@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Shared session construction so Verify/Bench/tests agree on the
+  * semantics-critical configs. */
+object Sessions {
+
+  /** Configs every engine session needs:
+    *  - UTC so time extraction matches the oracle;
+    *  - nanosAsLong so parquet TIMESTAMP(NANOS) (events.ts) reads as
+    *    LongType epoch-ns instead of erroring (Spark 4 has no ns
+    *    timestamps);
+    *  - AQE on: runtime shuffle coalescing + skew-join splitting —
+    *    the 100 TB posture, harmless locally.
+    */
+  def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.parquet.compression.codec", "snappy")
+      .config("spark.ui.enabled", "false")
+
+  def local(cores: Int): SparkSession = {
+    val s = builder(s"local[$cores]", math.max(cores, 4)).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -1,13 +1,30 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * NOTE: sessions used with these queries must set
+  * `spark.sql.legacy.parquet.nanosAsLong=true` (the testdata's
+  * events.ts is parquet TIMESTAMP(NANOS), which Spark 4 otherwise
+  * refuses; with the flag it arrives as LongType epoch-ns — the
+  * engine's native time representation, reference `main.py:100-102`).
+  * Verify/Bench/tests all do; `Sessions.tune` applies it to any other
+  * session.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query (multi-way join + aggregate, revenue per nation)
+    * on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("q09_join_agg")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    graft.queries.Queries.all
+
+  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB
+    * on the same parquet tables. Omitted keys get a rows-only check. */
+  def oracleSql: Map[String, String] =
+    graft.queries.Queries.oracles
 }

@@ -1,0 +1,458 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.AsOfJoin
+
+/** The relational query inventory (SURVEY.md §2.C Q1-Q9 + §2.B
+  * built-in coverage), each as a named DataFrame builder over the
+  * driver testdata plus its DuckDB oracle SQL.
+  *
+  * Determinism contract with the driver's hash compare:
+  *   - every query ends in an ORDER BY over a unique key prefix;
+  *   - column names/types are aligned with the oracle SQL;
+  *   - double aggregation goes through DECIMAL casts so the sum is
+  *     exact (shuffle-order independent) and only the final cast back
+  *     to double rounds — both engines then produce bit-identical
+  *     values. Per-row double arithmetic (x*y, 1-x) is IEEE-identical
+  *     across engines and needs no such care.
+  *
+  * `events.ts` note: the testdata stores timestamp[ns]; the engine
+  * reads it with spark.sql.legacy.parquet.nanosAsLong=true, i.e. as
+  * LongType epoch-nanoseconds (the reference's native time
+  * representation, `main.py:100-102`); the oracle uses epoch_ns(ts).
+  */
+object Queries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Exact decimal sum of a double expression, returned as double.
+    * sum(CAST(e AS DECIMAL(30,8))) is order-independent; one final
+    * rounding when cast back. Oracle mirrors the same shape. */
+  private def dsum(e: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sum(e.cast("decimal(30,8)")).cast("double")
+
+  // ---------------------------------------------------------------
+  // q01 — projection / rename / literal attach (reference O8+O10,
+  // `main.py:87-103`)
+  def q01(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").select(
+        col("l_orderkey").as("orderkey"),
+        col("l_linenumber").as("linenumber"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        lit("engine").as("alias"))
+      .orderBy("orderkey", "linenumber")
+
+  val q01Sql: String =
+    """SELECT l_orderkey AS orderkey, l_linenumber AS linenumber,
+       l_extendedprice * (1.0 - l_discount) AS revenue, 'engine' AS alias
+       FROM lineitem ORDER BY orderkey, linenumber"""
+
+  // ---------------------------------------------------------------
+  // q02 — tumbling-window RMS (reference O13+O16, `main.py:146-172`,
+  // generalized to 1-hour buckets so sf0.01 has multi-row windows).
+  // Fused single-aggregate plan per SURVEY.md §3 EP3.
+  def q02(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(expr("ts div 3600000000000").as("bucket_h"))
+      .agg(
+        count(lit(1)).as("n"),
+        sqrt(dsum(col("value") * col("value")) /
+          count(lit(1)).cast("double")).as("rms"))
+      .orderBy("bucket_h")
+
+  val q02Sql: String =
+    """SELECT epoch_ns(ts) // 3600000000000 AS bucket_h, count(*) AS n,
+       sqrt(CAST(sum(CAST(value * value AS DECIMAL(30,8))) AS DOUBLE)
+            / CAST(count(*) AS DOUBLE)) AS rms
+       FROM events GROUP BY 1 ORDER BY 1"""
+
+  // ---------------------------------------------------------------
+  // q03 — window-completeness predicate (reference O14,
+  // `main.py:148-153`): HAVING over the same aggregate — span of
+  // observed timestamps >= 90% of the window. One shuffle, no
+  // two-pass semi-join (the reference's isin() collapses into the
+  // post-aggregation filter).
+  def q03(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(expr("ts div 3600000000000").as("bucket_h"))
+      .agg(
+        count(lit(1)).as("n"),
+        // span at µs granularity: DuckDB truncates parquet ns
+        // timestamps to µs, so the oracle can't see sub-µs spans.
+        (max(expr("ts div 1000")) - min(expr("ts div 1000"))).as("span_us"),
+        sqrt(dsum(col("value") * col("value")) /
+          count(lit(1)).cast("double")).as("rms"))
+      .where(col("span_us") >= lit(3240000000L)) // 0.9 * 3600e6
+      .orderBy("bucket_h")
+
+  val q03Sql: String =
+    """SELECT * FROM (
+       SELECT epoch_ns(ts) // 3600000000000 AS bucket_h, count(*) AS n,
+              max(epoch_us(ts)) - min(epoch_us(ts)) AS span_us,
+              sqrt(CAST(sum(CAST(value * value AS DECIMAL(30,8))) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE)) AS rms
+       FROM events GROUP BY 1)
+       WHERE span_us >= 3240000000 ORDER BY bucket_h"""
+
+  // ---------------------------------------------------------------
+  // q04 — left-semi join (reference O15, `main.py:158`)
+  def q04(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+    t(s, dir, "orders")
+      .join(cust, col("o_custkey") === col("c_custkey"), "left_semi")
+      .select(col("o_orderkey"))
+      .orderBy("o_orderkey")
+  }
+
+  val q04Sql: String =
+    """SELECT o_orderkey FROM orders WHERE o_custkey IN
+       (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+       ORDER BY o_orderkey"""
+
+  // ---------------------------------------------------------------
+  // q05 — relative->absolute time normalization with HALF_EVEN
+  // rounding (reference O9, `main.py:100-102`; numpy .round() is
+  // banker's rounding => Spark bround, DuckDB round_even).
+  def q05(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").select(
+        col("event_id"),
+        (bround(col("value") * lit(1e9)).cast("long") +
+          lit(1704067200000000000L)).as("t_ns"))
+      .orderBy("event_id")
+
+  val q05Sql: String =
+    """SELECT event_id,
+       CAST(round_even(value * 1e9, 0) AS BIGINT) + 1704067200000000000 AS t_ns
+       FROM events ORDER BY event_id"""
+
+  // ---------------------------------------------------------------
+  // q06 — set-containment completeness gate (reference O4,
+  // `main.py:23-26`): collect the distinct set per group, keep groups
+  // containing every required element.
+  private val requiredTypes = Seq("click", "purchase", "signup", "error", "view")
+
+  def q06(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(collect_set(col("event_type")).as("types"))
+      .where(requiredTypes.map(r => array_contains(col("types"), r))
+        .reduce(_ && _))
+      .select(col("user_id"), size(col("types")).as("n_types"))
+      .orderBy("user_id")
+
+  val q06Sql: String =
+    """SELECT user_id, CAST(count(DISTINCT event_type) AS INT) AS n_types
+       FROM events GROUP BY user_id
+       HAVING list_has_all(list(DISTINCT event_type),
+                           ['click','purchase','signup','error','view'])
+       ORDER BY user_id"""
+
+  // ---------------------------------------------------------------
+  // q07 — Hive-partitioned sink round-trip (reference O12,
+  // `main.py:124-131`): derive year/month/day partitions, write with
+  // partitionBy, re-read, and return the logical content. Partition
+  // pruning on the re-read is then free for any downstream query.
+  def q07(s: SparkSession, dir: String): DataFrame = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_q07_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val withParts = t(s, dir, "events").select(
+      col("event_id"), col("value"),
+      year(timestamp_micros(expr("ts div 1000"))).as("year"),
+      month(timestamp_micros(expr("ts div 1000"))).as("month"),
+      dayofmonth(timestamp_micros(expr("ts div 1000"))).as("day"))
+    withParts.write.mode("overwrite")
+      .partitionBy("year", "month", "day").parquet(out)
+    s.read.parquet(out)
+      .select("event_id", "value", "year", "month", "day")
+      .orderBy("event_id")
+  }
+
+  val q07Sql: String =
+    """SELECT event_id, value, CAST(year(ts) AS INT) AS year,
+       CAST(month(ts) AS INT) AS month, CAST(day(ts) AS INT) AS day
+       FROM events ORDER BY event_id"""
+
+  // ---------------------------------------------------------------
+  // q08 — multi-aggregate groupBy (TPC-H Q1 skeleton; reference O16
+  // generality). Partial (map-side) aggregation is automatic.
+  def q08(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("sum_disc"),
+        (dsum(col("l_extendedprice")) / count(lit(1)).cast("double"))
+          .as("avg_price"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val q08Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(30,8))) AS DOUBLE) AS sum_base,
+       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,8))) AS DOUBLE) AS sum_disc,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(30,8))) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS avg_price,
+       count(*) AS n
+       FROM lineitem GROUP BY l_returnflag, l_linestatus
+       ORDER BY l_returnflag, l_linestatus"""
+
+  // ---------------------------------------------------------------
+  // q09 — multi-way join + aggregate (revenue per nation). `nation`
+  // is broadcast explicitly (25-5000 rows at any SF); the
+  // customer/orders/lineitem joins shuffle on their keys and AQE
+  // handles the rest. This is the flagship `entry` query.
+  def q09(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+      .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(t(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"),
+        count(lit(1)).as("n"))
+      .orderBy("n_name")
+
+  val q09Sql: String =
+    """SELECT n_name,
+       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,8))) AS DOUBLE) AS revenue,
+       count(*) AS n
+       FROM customer
+       JOIN orders ON c_custkey = o_custkey
+       JOIN lineitem ON o_orderkey = l_orderkey
+       JOIN nation ON c_nationkey = n_nationkey
+       GROUP BY n_name ORDER BY n_name"""
+
+  // ---------------------------------------------------------------
+  // q11 — ranking / analytic window functions (SURVEY.md §2.B):
+  // row_number, lag, running decimal sum; first 5 orders per customer.
+  def q11(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        row_number().over(w).as("rn"),
+        lag(col("o_orderkey"), 1).over(w).as("prev_okey"),
+        sum(col("o_totalprice").cast("decimal(30,8)"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double").as("running_spend"))
+      .where(col("rn") <= 5)
+      .orderBy("o_custkey", "rn")
+  }
+
+  val q11Sql: String =
+    """SELECT * FROM (
+       SELECT o_custkey, o_orderkey,
+         CAST(row_number() OVER w AS INT) AS rn,
+         lag(o_orderkey, 1) OVER w AS prev_okey,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(30,8)))
+              OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_spend
+       FROM orders
+       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
+       WHERE rn <= 5 ORDER BY o_custkey, rn"""
+
+  // ---------------------------------------------------------------
+  // q12 — top-k (orderBy+limit => TakeOrderedAndProject: per-partition
+  // heaps, no global sort — the right plan at 100 TB).
+  def q12(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+
+  val q12Sql: String =
+    """SELECT o_orderkey, o_totalprice FROM orders
+       ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"""
+
+  // ---------------------------------------------------------------
+  // q13 — set operations (SURVEY.md §2.B): INTERSECT then EXCEPT.
+  def q13(s: SparkSession, dir: String): DataFrame = {
+    val building = t(s, dir, "customer")
+      .where(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("k"))
+    val withOrders = t(s, dir, "orders").select(col("o_custkey").as("k"))
+    val eventUsers = t(s, dir, "events").select(col("user_id").as("k"))
+    building.intersect(withOrders).except(eventUsers).orderBy("k")
+  }
+
+  val q13Sql: String =
+    """SELECT k FROM (
+       (SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+        INTERSECT SELECT o_custkey FROM orders)
+       EXCEPT SELECT user_id FROM events)
+       ORDER BY k"""
+
+  // ---------------------------------------------------------------
+  // q14 — distinct / count-distinct per group.
+  def q14(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("users"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+
+  val q14Sql: String =
+    """SELECT event_type, count(DISTINCT user_id) AS users, count(*) AS n
+       FROM events GROUP BY event_type ORDER BY event_type"""
+
+  // ---------------------------------------------------------------
+  // q15 — ROLLUP grouping sets (SURVEY.md §2.B).
+  def q15(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("n"), col("qty"))
+      .orderBy("rf", "ls")
+
+  val q15Sql: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+       coalesce(l_linestatus, 'ALL') AS ls, count(*) AS n,
+       CAST(sum(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) AS qty
+       FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+       ORDER BY rf, ls"""
+
+  // ---------------------------------------------------------------
+  // q16 — JSON scalar extraction (reference parses JSON config, O22;
+  // here as a columnar scalar function over events.props).
+  def q16(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .orderBy("event_id")
+
+  val q16Sql: String =
+    """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+       FROM events ORDER BY event_id"""
+
+  // ---------------------------------------------------------------
+  // q17 — as-of join (backward, inclusive): for each event, the most
+  // recent order of the same customer at or before the event time.
+  // Right side deduped to one row per (custkey, orderdate) so the
+  // result is deterministic. Oracle = DuckDB's native ASOF JOIN.
+  def q17(s: SparkSession, dir: String): DataFrame = {
+    // µs time axis on both sides (DuckDB's TIMESTAMP comparison is µs)
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("user_id").as("k"),
+        expr("ts div 1000").as("tus"))
+    val ord = t(s, dir, "orders")
+      .groupBy(col("o_custkey").as("k"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("ots"))
+      .agg(max(col("o_orderkey")).as("okey"))
+    AsOfJoin.asofBackward(ev, ord,
+        leftKey = "k", rightKey = "k",
+        leftTime = "tus", rightTime = "ots",
+        rightVals = Seq("okey"))
+      .select(col("event_id"), col("okey"))
+      .orderBy("event_id")
+  }
+
+  val q17Sql: String =
+    """SELECT e.event_id, o.okey FROM events e
+       ASOF LEFT JOIN (SELECT o_custkey, o_orderdate,
+                       max(o_orderkey) AS okey
+                       FROM orders GROUP BY o_custkey, o_orderdate) o
+       ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+       ORDER BY e.event_id"""
+
+  // ---------------------------------------------------------------
+  // q18 — range (interval) join: same-user event pairs within one
+  // hour. Equi-key on user_id keeps this a hash/SMJ join with a range
+  // residual, not a cross product.
+  def q18(s: SparkSession, dir: String): DataFrame = {
+    // µs granularity to match the oracle's timestamp precision
+    val a = t(s, dir, "events").selectExpr(
+      "user_id", "ts div 1000 AS ats")
+    val b = t(s, dir, "events").selectExpr(
+      "user_id", "ts div 1000 AS bts")
+    a.join(b,
+        a("user_id") === b("user_id") &&
+          col("bts") > col("ats") &&
+          col("bts") - col("ats") <= lit(3600000000L))
+      .groupBy(a("user_id").as("user_id"))
+      .agg(count(lit(1)).as("pairs"))
+      .orderBy("user_id")
+  }
+
+  val q18Sql: String =
+    """SELECT a.user_id, count(*) AS pairs
+       FROM events a JOIN events b
+       ON a.user_id = b.user_id AND b.ts > a.ts
+          AND epoch_ns(b.ts) - epoch_ns(a.ts) <= 3600000000000
+       GROUP BY a.user_id ORDER BY a.user_id"""
+
+  // ---------------------------------------------------------------
+  // q19 — CUBE grouping sets.
+  def q19(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("st"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("pri"),
+        col("n"), col("total"))
+      .orderBy("st", "pri")
+
+  val q19Sql: String =
+    """SELECT coalesce(o_orderstatus, 'ALL') AS st,
+       coalesce(o_orderpriority, 'ALL') AS pri, count(*) AS n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS total
+       FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+       ORDER BY st, pri"""
+
+  /** Registry fragment: relational core. */
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_project_rename" -> (q01 _),
+    "q02_rms_window" -> (q02 _),
+    "q03_window_complete" -> (q03 _),
+    "q04_semi_join" -> (q04 _),
+    "q05_time_normalize" -> (q05 _),
+    "q06_set_containment" -> (q06 _),
+    "q07_partitioned_write" -> (q07 _),
+    "q08_agg_multi" -> (q08 _),
+    "q09_join_agg" -> (q09 _),
+    "q11_window_rank" -> (q11 _),
+    "q12_topk" -> (q12 _),
+    "q13_setops" -> (q13 _),
+    "q14_distinct" -> (q14 _),
+    "q15_rollup" -> (q15 _),
+    "q16_json" -> (q16 _),
+    "q17_asof_join" -> (q17 _),
+    "q18_range_join" -> (q18 _),
+    "q19_cube" -> (q19 _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q01_project_rename" -> q01Sql,
+    "q02_rms_window" -> q02Sql,
+    "q03_window_complete" -> q03Sql,
+    "q04_semi_join" -> q04Sql,
+    "q05_time_normalize" -> q05Sql,
+    "q06_set_containment" -> q06Sql,
+    "q07_partitioned_write" -> q07Sql,
+    "q08_agg_multi" -> q08Sql,
+    "q09_join_agg" -> q09Sql,
+    "q11_window_rank" -> q11Sql,
+    "q12_topk" -> q12Sql,
+    "q13_setops" -> q13Sql,
+    "q14_distinct" -> q14Sql,
+    "q15_rollup" -> q15Sql,
+    "q16_json" -> q16Sql,
+    "q17_asof_join" -> q17Sql,
+    "q18_range_join" -> q18Sql,
+    "q19_cube" -> q19Sql,
+  )
+}
