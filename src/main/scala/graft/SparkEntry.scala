@@ -21,7 +21,7 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.Queries.all
+    graft.queries.Queries.all ++ graft.queries.IngestQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB
     * on the same parquet tables. Omitted keys get a rows-only check. */

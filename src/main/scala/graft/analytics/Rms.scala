@@ -1,0 +1,78 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Tumbling-window RMS with window-completeness gating — the
+  * reference's second derived table (EP3, `main.py:146-181`),
+  * generalized over window length / threshold / axis set.
+  *
+  * The reference runs two groupbys plus an `isin` semi-join (span
+  * check → bucket list → detail filter → RMS agg). Because each
+  * window's RMS depends only on that window's rows, filter-after-agg
+  * is semantically identical, so this authors the fused plan directly
+  * (SURVEY.md §4.1): ONE hash aggregate computing count/min/max/avg(x²)
+  * per bucket, then a post-aggregation filter and a narrow projection.
+  * One shuffle total at any scale; partial (map-side) aggregation
+  * reduces 26 667 rows/s/device to one partial row per task before the
+  * exchange.
+  */
+object Rms {
+
+  /** @param df           enriched frame: `timeCol` epoch-ns long + axis doubles
+    * @param axes         axis column names (e.g. A_x_g, A_y_g, A_z_g)
+    * @param windowNs     tumbling window length (reference: 1 s)
+    * @param completeness min observed span as a fraction of the window
+    *                     (reference: 0.999, `main.py:151`)
+    * @param alias        constant alias column value (`main.py:180`)
+    * @param timeCol      epoch-ns time column name
+    *
+    * Output schema mirrors the reference (`FIXTURES.md §1.4`):
+    * `rms_<axis suffix>…, rms_mod, Time (window start, epoch ns), alias`.
+    */
+  def compute(
+      df: DataFrame,
+      axes: Seq[String],
+      windowNs: Long = 1000000000L,
+      completeness: Double = 0.999,
+      alias: String = "unknown",
+      timeCol: String = "Time"): DataFrame = {
+
+    val bucket = (col(timeCol).cast(LongType) / lit(windowNs))
+      .cast(LongType).as("bucket")
+    // pandas `mean` skips NaN; Spark `avg` skips null — align by
+    // nulling NaNs before the aggregate (SURVEY.md §7.4).
+    def meanSq(c: String): Column =
+      avg(pow(nanvl(col(c), lit(null)), 2))
+
+    val aggs: Seq[Column] =
+      axes.map(a => meanSq(a).as(s"__msq_$a")) ++ Seq(
+        min(col(timeCol)).as("__tmin"),
+        max(col(timeCol)).as("__tmax"))
+
+    val rmsNames = axes.map(rmsName)
+    val rmsCols = axes.zip(rmsNames).map { case (a, n) =>
+      sqrt(col(s"__msq_$a")).as(n)
+    }
+    df.groupBy(bucket)
+      .agg(aggs.head, aggs.tail: _*)
+      // window-completeness HAVING (reference `main.py:148-153`)
+      .where(col("__tmax") - col("__tmin") >= lit((completeness * windowNs).toLong))
+      .select(rmsCols :+ (col("bucket") * lit(windowNs)).as(timeCol): _*)
+      // row-wise vector magnitude (reference `main.py:175`)
+      .withColumn("rms_mod", sqrt(rmsNames.map(n => pow(col(n), 2)).reduce(_ + _)))
+      .withColumn("alias", lit(alias))
+      .select(rmsNames.map(col) ++ Seq(col("rms_mod"), col(timeCol), col("alias")): _*)
+  }
+
+  /** `A_x_g` → `rms_x` (reference names `main.py:162-172`); fallback
+    * keeps the sanitized axis name. */
+  private[analytics] def rmsName(axis: String): String = {
+    val m = "^[A-Za-z]+_([A-Za-z0-9]+)_[A-Za-z]+$".r
+    axis match {
+      case m(core) => s"rms_$core"
+      case _ => s"rms_$axis"
+    }
+  }
+}

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.fixtures.AcquisitionFixture
+import graft.ingest.{Ingest, Pipeline}
+
+/** E2E ingest: synthetic acquisition folder → gate → distributed
+  * decode → enrich → partitioned sinks → RMS, asserted against the
+  * fixture's closed-form expectations (FIXTURES.md §1.3) and the
+  * reference CI's output contract (`test-conversion.yml:127`). */
+class PipelineSpec extends SparkSpec {
+
+  private val spec = AcquisitionFixture.Spec() // 3.5 s, A=1 g, 50 Hz sine
+
+  test("completeness gate accepts complete, rejects incomplete (main.py:43-47)") {
+    val okDir = tmpDir("acq_ok")
+    val badDir = tmpDir("acq_bad")
+    AcquisitionFixture.write(s"$okDir/a1", spec)
+    AcquisitionFixture.writeIncomplete(s"$badDir/a2", spec)
+    assert(Ingest.isComplete(spark, s"$okDir/a1"))
+    assert(!Ingest.isComplete(spark, s"$badDir/a2"))
+    assert(Pipeline.processAcquisition(spark, s"$badDir/a2", tmpDir("out")).isEmpty)
+    assert(Ingest.completeAcquisitions(spark, okDir) == Seq(s"file:$okDir/a1"))
+  }
+
+  test("pipeline E2E: enriched output honors the CI contract + closed-form RMS") {
+    val acq = tmpDir("acq_e2e")
+    val out = tmpDir("out_e2e")
+    val nBlocks = AcquisitionFixture.write(s"$acq/LAF1_fixture", spec)
+    val res = Pipeline.processAcquisition(spark, s"$acq/LAF1_fixture", out).get
+
+    // --- enriched table, re-read from the partitioned sink ---
+    val enriched = spark.read.parquet(s"$out/data_parquet")
+    // CI contract: alias present, Time int64, rows > 0
+    assert(enriched.columns.contains("alias"))
+    assert(enriched.schema("Time").dataType == LongType)
+    val n = enriched.count()
+    assert(n == nBlocks * spec.samplesPerTs) // partial trailing block dropped
+    assert(enriched.select("alias").distinct().collect().map(_.getString(0)).toSeq == Seq("LAF1"))
+    // Hive partition layout alias=/year=/month=/day= (main.py:124-131)
+    assert(new java.io.File(
+      s"$out/data_parquet/alias=LAF1/year=2025/month=7/day=11").isDirectory)
+    // absolute time: first sample at start + 1/odr (ns, half-even round)
+    val startNs = 1752250937000000000L
+    val tMin = enriched.agg(min("Time")).collect()(0).getLong(0)
+    assert(tMin == startNs + math.rint(1e9 / spec.odr).toLong)
+
+    // --- RMS table: closed-form expectations ---
+    val rms = spark.read.parquet(s"$out/data_parquet_rms")
+      .orderBy("Time").collect()
+    // 3.487 s of data → exactly 3 complete 1-s windows
+    assert(rms.length == 3)
+    val aQ = AcquisitionFixture.quantize(spec.amplitudeG) * AcquisitionFixture.Sensitivity
+    rms.foreach { r =>
+      assert(math.abs(r.getAs[Double]("rms_x") - aQ) < 1e-9, "constant axis: RMS = A")
+      assert(math.abs(r.getAs[Double]("rms_y") - aQ / math.sqrt(2)) < 2e-3,
+        "sine axis: RMS = A/sqrt(2)")
+      assert(r.getAs[Double]("rms_z") == 0.0, "zero axis")
+      val expMod = math.sqrt(
+        math.pow(r.getAs[Double]("rms_x"), 2) +
+          math.pow(r.getAs[Double]("rms_y"), 2) +
+          math.pow(r.getAs[Double]("rms_z"), 2))
+      assert(math.abs(r.getAs[Double]("rms_mod") - expMod) < 1e-12)
+      assert(r.getAs[String]("alias") == "LAF1")
+      assert(r.getAs[Long]("Time") % 1000000000L == 0L, "window-start time")
+    }
+
+    // --- idempotency: re-running overwrites the same partitions ---
+    Pipeline.processAcquisition(spark, s"$acq/LAF1_fixture", out)
+    assert(spark.read.parquet(s"$out/data_parquet").count() == n)
+
+    res.rms.foreach(df => assert(df.columns.toSeq ==
+      Seq("rms_x", "rms_y", "rms_z", "rms_mod", "Time", "alias")))
+  }
+
+  test("empty-result guard: no complete window → no RMS sink (main.py:154-156)") {
+    val acq = tmpDir("acq_short")
+    val out = tmpDir("out_short")
+    AcquisitionFixture.write(s"$acq/short", spec.copy(seconds = 0.5))
+    val res = Pipeline.processAcquisition(spark, s"$acq/short", out).get
+    assert(res.rms.isEmpty)
+    assert(!new java.io.File(s"$out/data_parquet_rms").exists())
+  }
+
+  test("splittable decode: multi-split == single-split (anchor chain)") {
+    val acq = tmpDir("acq_split")
+    AcquisitionFixture.write(s"$acq/a", spec)
+    val meta = Ingest.readMeta(spark, s"$acq/a")
+    val cfg = meta.device.components("iis3dwb_acc")
+    val one = Ingest.decodeDat(spark, s"$acq/a/iis3dwb_acc.dat", cfg,
+      blocksPerSplit = 1000000)
+    val many = Ingest.decodeDat(spark, s"$acq/a/iis3dwb_acc.dat", cfg,
+      blocksPerSplit = 7)
+    assert(one.count() == many.count())
+    assert(one.exceptAll(many).isEmpty && many.exceptAll(one).isEmpty)
+  }
+}
