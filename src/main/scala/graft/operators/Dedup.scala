@@ -1,0 +1,197 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+
+/** Deduplication operators for large-scale text corpora: exact,
+  * n-gram-Jaccard similarity join, MinHash+LSH, SimHash.
+  *
+  * The reference pipeline dedups nothing (its idempotency comes from
+  * deterministic output names, `main.py:124-131`); these are the
+  * training-data-pipeline extensions (SURVEY.md §7.1 ext), built
+  * shuffle-aware:
+  *
+  *  - exact: one hash-shuffle on the (normalized) text key;
+  *  - Jaccard join: inverted-index self-join on shingles (prefix
+  *    index), NOT an O(n²) crossJoin — pair candidates are generated
+  *    only for docs sharing a shingle, then verified exactly;
+  *  - MinHash LSH: 128 permutations → 32 bands × 4 rows; candidate
+  *    generation via band-hash equi-join (buckets), then exact
+  *    verification on the candidates. At 100 TB the band join is the
+  *    only shuffle that grows with corpus size and it's an equi-join
+  *    Catalyst executes as a standard hash shuffle; no all-pairs.
+  *  - SimHash: 64-bit fingerprint; all pairs within Hamming distance
+  *    ≤ 3 found exactly via the 4×16-bit chunk pigeonhole join.
+  *
+  * All hash functions are Spark built-ins (xxhash64/murmur3) —
+  * codegen'd, no UDFs anywhere.
+  */
+object Dedup {
+
+  /** Word n-gram shingle set (distinct), matching the oracle's
+    * DuckDB formulation word-for-word: split on single space, join
+    * n consecutive words with a space. Docs shorter than n words get
+    * an empty set. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val words = split(text, " ")
+    when(size(words) >= n,
+      array_distinct(transform(
+        sequence(lit(0), size(words) - n),
+        i => concat_ws(" ", slice(words, i + 1, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Exact dedup by content key: one representative (min id) +
+    * multiplicity per distinct key. */
+  def exact(df: DataFrame, idCol: String, keyCol: String): DataFrame =
+    df.groupBy(col(keyCol))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** All-pairs n-gram Jaccard similarity join via inverted index.
+    *
+    * Returns (a, b, n_inter, n_union) for every doc pair with
+    * Jaccard(shingles(a), shingles(b)) ≥ threshold — integer
+    * evidence columns so the result is float-free and exactly
+    * comparable across engines.
+    */
+  def jaccardJoin(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      n: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("s"))
+      .withColumn("sz", size(col("s")))
+    val posts = sh.select(col("id"), col("sz"), explode(col("s")).as("shingle"))
+    val a = posts.select(col("shingle"), col("id").as("a"), col("sz").as("asz"))
+    val b = posts.select(col("shingle"), col("id").as("b"), col("sz").as("bsz"))
+    a.join(b, Seq("shingle"))
+      .where(col("a") < col("b"))
+      .groupBy(col("a"), col("b"), col("asz"), col("bsz"))
+      .agg(count(lit(1)).as("n_inter"))
+      .withColumn("n_union", col("asz") + col("bsz") - col("n_inter"))
+      // j ≥ t ⇔ inter ≥ t·union — integer-safe comparison
+      .where(col("n_inter").cast("double") >= lit(threshold) * col("n_union").cast("double"))
+      .select(col("a"), col("b"), col("n_inter"), col("n_union"))
+  }
+
+  /** Per-doc MinHash signature: numPerm long columns `mh0..mhN-1`,
+    * computed as numPerm map-side-combinable `min` aggregates over
+    * the exploded shingle posting list — one shuffle keyed by doc id.
+    * Permutation i is `xxhash64(xxhash64(shingle), seed, i)`: each
+    * shingle is string-hashed once, then re-mixed per permutation
+    * over the fixed-width long (cheap, overflow-free under ANSI
+    * mode, deterministic across engines/runs). */
+  def minhashSignature(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numPerm: Int = 128,
+      n: Int = 3,
+      seed: Long = 42L): DataFrame = {
+    val posts = df
+      .select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("shingle"))
+      .withColumn("h1", xxhash64(col("shingle")))
+    val mins = (0 until numPerm).map(i =>
+      min(xxhash64(col("h1"), lit(seed), lit(i))).as(s"mh$i"))
+    posts.groupBy(col("id")).agg(mins.head, mins.tail: _*)
+  }
+
+  /** MinHash-LSH near-duplicate join: band-bucket candidate
+    * generation + exact Jaccard verification. Output shape equals
+    * [[jaccardJoin]] — with enough bands the candidate set contains
+    * every true pair w.h.p. (r=4, b=32 at j=0.9: miss ≈ 1e-15). */
+  def minhashLsh(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      numPerm: Int = 128,
+      bands: Int = 32,
+      n: Int = 3,
+      seed: Long = 42L): DataFrame = {
+    val rows = numPerm / bands
+    val sig = minhashSignature(df, idCol, textCol, numPerm, n, seed)
+    // band value = hash of its r contiguous signature slots
+    val bandCols = (0 until bands).map { bIdx =>
+      xxhash64((lit(bIdx) +: (0 until rows)
+        .map(r => col(s"mh${bIdx * rows + r}"))): _*).as(s"band$bIdx")
+    }
+    val banded = sig.select(col("id") +: bandCols: _*)
+    val buckets = banded.select(col("id"),
+      posexplode(array((0 until bands).map(i => col(s"band$i")): _*)))
+      .toDF("id", "band_idx", "band_hash")
+    val cand = buckets.select(col("band_idx"), col("band_hash"), col("id").as("a"))
+      .join(buckets.select(col("band_idx"), col("band_hash"), col("id").as("b")),
+        Seq("band_idx", "band_hash"))
+      .where(col("a") < col("b"))
+      .select("a", "b").distinct()
+
+    // exact verification: join back the shingle sets (array ops are
+    // row-local; candidate count ≪ n² by construction)
+    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("s"))
+    cand
+      .join(sh.select(col("id").as("a"), col("s").as("sa")), Seq("a"))
+      .join(sh.select(col("id").as("b"), col("s").as("sb")), Seq("b"))
+      .withColumn("n_inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("n_union", size(col("sa")) + size(col("sb")) - col("n_inter"))
+      .where(col("n_inter").cast("double") >= lit(threshold) * col("n_union").cast("double"))
+      .select(col("a"), col("b"), col("n_inter"), col("n_union"))
+  }
+
+  /** 64-bit SimHash fingerprint per doc: sum the ±1 contribution of
+    * every shingle's hash bit, bit j of the fingerprint = sign of
+    * sum_j. 64 map-side-combinable sums, one shuffle. */
+  def simhash(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 2): DataFrame = {
+    val posts = df
+      .select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("shingle"))
+      .withColumn("h", xxhash64(col("shingle")))
+    val bitSums = (0 until 64).map(j =>
+      sum(shiftright(col("h"), j).bitwiseAND(lit(1L)) * lit(2L) - lit(1L)).as(s"s$j"))
+    val sums = posts.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
+    val fp = (0 until 64).map(j =>
+      when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce[Column](_.bitwiseOR(_))
+    sums.select(col("id"), fp.as("simhash"))
+  }
+
+  /** All pairs with Hamming(simhash_a, simhash_b) ≤ maxDist, found
+    * exactly: split the 64-bit fingerprint into maxDist+1 chunks —
+    * any pair within distance maxDist shares at least one chunk
+    * (pigeonhole), so a chunk equi-join finds every such pair
+    * without an all-pairs product. */
+  def simhashNearDup(
+      fps: DataFrame, // (id, simhash)
+      maxDist: Int = 3): DataFrame = {
+    val nChunks = maxDist + 1
+    require(nChunks <= 64, "need at least one bit per chunk")
+    // chunk c covers bits [offsets(c), offsets(c+1)): widths differ by
+    // at most one — the pigeonhole argument needs any partition
+    val base = 64 / nChunks
+    val extra = 64 % nChunks
+    val offsets = (0 to nChunks).map(c => c * base + math.min(c, extra))
+    val chunkCols = (0 until nChunks).map { c =>
+      val width = offsets(c + 1) - offsets(c)
+      val mask = if (width == 64) -1L else (1L << width) - 1
+      shiftrightunsigned(col("simhash"), offsets(c)).bitwiseAND(lit(mask))
+    }
+    val chunks = fps.select(col("id"), col("simhash"),
+      posexplode(array(chunkCols: _*)))
+      .toDF("id", "simhash", "chunk_idx", "chunk")
+    val a = chunks.select(col("chunk_idx"), col("chunk"),
+      col("id").as("a"), col("simhash").as("fa"))
+    val b = chunks.select(col("chunk_idx"), col("chunk"),
+      col("id").as("b"), col("simhash").as("fb"))
+    a.join(b, Seq("chunk_idx", "chunk"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        bit_count(col("fa").bitwiseXOR(col("fb"))).as("hamming"))
+      .where(col("hamming") <= maxDist)
+      .distinct()
+  }
+}

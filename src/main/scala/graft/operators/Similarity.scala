@@ -1,0 +1,254 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import scala.util.Random
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two paths (SURVEY.md §7.1 ext):
+  *  - [[bruteForceTopK]]: exact cosine top-k — the correctness
+  *    baseline. One broadcast of the smaller side, per-partition
+  *    ranking, no all-pairs shuffle.
+  *  - [[lshTopK]]: random-hyperplane LSH (sign-of-projection
+  *    sketches, Charikar'02) — the 100 TB path. Candidates come from
+  *    bucket equi-joins (`tables` independent hash tables of
+  *    `bits`-bit signatures), then exact cosine ranks only the
+  *    candidates. Recall tunes with tables×bits.
+  *
+  * Cosine is computed in double via codegen'd higher-order functions
+  * (`zip_with` + `aggregate`) — no UDFs.
+  */
+object Similarity {
+
+  /** `aggregate(zip_with(a,b,*), 0d, +)` — sequential left-to-right
+    * double sum, the same evaluation order DuckDB's list functions
+    * use, so cross-engine rank comparisons are stable. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column, na: Column, nb: Column): Column =
+    dot(a, b) / (na * nb)
+
+  /** Exact top-k neighbors for every row of `queries` against
+    * `corpus` (both `(idCol, vecCol)`), excluding self-matches.
+    * Output: (q, rank, n, cos). The corpus side is broadcast —
+    * at scale, corpus blocks stream through `queries` partitions
+    * without a shuffle; for corpus ≫ memory use [[lshTopK]]. */
+  def bruteForceTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("q"),
+      col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("qn", norm(col("qv")))
+    val c = corpus.select(col(idCol).as("n"),
+      col(vecCol).cast("array<double>").as("nv"))
+      .withColumn("nn", norm(col("nv")))
+    val w = Window.partitionBy(col("q"))
+      .orderBy(col("cos").desc, col("n"))
+    q.join(broadcast(c), col("q") =!= col("n"))
+      .withColumn("cos", cosine(col("qv"), col("nv"), col("qn"), col("nn")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("q"), col("rank"), col("n"), col("cos"))
+  }
+
+  /** Deterministic Gaussian hyperplanes: tables × bits × dim. */
+  private def hyperplanes(tables: Int, bits: Int, dim: Int, seed: Long)
+      : Array[Array[Array[Double]]] = {
+    val rnd = new Random(seed)
+    Array.fill(tables, bits, dim)(rnd.nextGaussian())
+  }
+
+  /** (id, table, bucket) signature rows. Sign-of-projection sketches
+    * are per-row imperative math over a dense vector — mapPartitions
+    * (SURVEY.md §7.1: genuine per-partition numeric kernel; an
+    * expression tree of tables×bits×dim terms would defeat codegen). */
+  def buckets(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      tables: Int = 8,
+      bits: Int = 12,
+      seed: Long = 42L): DataFrame = {
+    val spark = df.sparkSession
+    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    val planes = spark.sparkContext.broadcast(hyperplanes(tables, bits, dim, seed))
+    val in = df.select(col(idCol).cast(LongType).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val out = in.rdd.mapPartitions { it =>
+      val pl = planes.value
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        val v = r.getSeq[Double](1).toArray
+        pl.indices.iterator.map { t =>
+          var bucket = 0L
+          var j = 0
+          while (j < pl(t).length) {
+            var s = 0.0
+            val plane = pl(t)(j)
+            var d = 0
+            while (d < v.length && d < plane.length) { s += v(d) * plane(d); d += 1 }
+            if (s >= 0) bucket |= (1L << j)
+            j += 1
+          }
+          Row(id, t, bucket)
+        }
+      }
+    }
+    spark.createDataFrame(out, StructType(Seq(
+      StructField("id", LongType, false),
+      StructField("table", IntegerType, false),
+      StructField("bucket", LongType, false))))
+  }
+
+  /** Deterministic sampled k-means (k-means++ init, fixed iteration
+    * count, sequential arithmetic) — the IVF coarse quantizer. Runs
+    * on a driver-side sample (the standard production approach:
+    * train the quantizer on a sample, broadcast the centroids). */
+  private[operators] def trainCentroids(
+      sample: Array[Array[Double]],
+      k: Int,
+      iters: Int,
+      seed: Long): Array[Array[Double]] = {
+    val rnd = new Random(seed)
+    val dim = sample.head.length
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    // k-means++ seeding
+    val centroids = new Array[Array[Double]](k)
+    centroids(0) = sample(rnd.nextInt(sample.length)).clone()
+    val dist = Array.fill(sample.length)(Double.MaxValue)
+    for (c <- 1 until k) {
+      var i = 0
+      while (i < sample.length) {
+        dist(i) = math.min(dist(i), d2(sample(i), centroids(c - 1)))
+        i += 1
+      }
+      val total = dist.sum
+      var r = rnd.nextDouble() * total
+      var pick = 0
+      while (pick < sample.length - 1 && r > dist(pick)) { r -= dist(pick); pick += 1 }
+      centroids(c) = sample(pick).clone()
+    }
+    // Lloyd iterations
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k, dim)(0.0)
+      val counts = new Array[Long](k)
+      sample.foreach { v =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          val d = d2(v, centroids(c)); if (d < bestD) { bestD = d; best = c }; c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+      }
+      for (c <- 0 until k if counts(c) > 0; i <- 0 until dim)
+        centroids(c)(i) = sums(c)(i) / counts(c)
+    }
+    centroids
+  }
+
+  /** IVF (inverted-file) approximate top-k: corpus vectors are
+    * assigned to their nearest centroid's list; each query probes its
+    * `nprobe` nearest lists and ranks only those candidates exactly.
+    * The 100 TB shape: centroid training touches a sample, the
+    * corpus assignment is one narrow pass, and search shuffles only
+    * (query, probed-list) pairs — candidates per query ≈
+    * nprobe/k of the corpus instead of all of it. */
+  def ivfTopK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nLists: Int = 16,
+      nprobe: Int = 4,
+      sampleSize: Int = 2000,
+      seed: Long = 42L): DataFrame = {
+    val spark = df.sparkSession
+    val in = df.select(col(idCol).cast(LongType).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val sample = in.orderBy("id").limit(sampleSize) // deterministic sample
+      .collect().map(_.getSeq[Double](1).toArray)
+    val cents = spark.sparkContext.broadcast(
+      trainCentroids(sample, nLists, iters = 5, seed))
+
+    def assign(nearest: Int): DataFrame => DataFrame = { d =>
+      val rows = d.rdd.mapPartitions { it =>
+        val cs = cents.value
+        it.flatMap { r =>
+          val id = r.getLong(0)
+          val v = r.getSeq[Double](1).toArray
+          val byDist = cs.indices.map { c =>
+            var s = 0.0; var i = 0
+            while (i < v.length) { val x = v(i) - cs(c)(i); s += x * x; i += 1 }
+            (c, s)
+          }.sortBy(t => (t._2, t._1)).take(nearest)
+          byDist.iterator.map { case (c, _) => Row(id, c) }
+        }
+      }
+      d.sparkSession.createDataFrame(rows, StructType(Seq(
+        StructField("id", LongType, false),
+        StructField("list", IntegerType, false))))
+    }
+
+    val corpusLists = assign(1)(in)   // each corpus vector in ONE list
+    val queryLists = assign(nprobe)(in)
+    val vecs = in.withColumn("nrm", norm(col("v")))
+    val w = Window.partitionBy(col("q")).orderBy(col("cos").desc, col("n"))
+    queryLists.select(col("list"), col("id").as("q"))
+      .join(corpusLists.select(col("list"), col("id").as("n")), Seq("list"))
+      .where(col("q") =!= col("n"))
+      .select("q", "n").distinct()
+      .join(vecs.select(col("id").as("q"), col("v").as("qv"), col("nrm").as("qn")), Seq("q"))
+      .join(vecs.select(col("id").as("n"), col("v").as("nv"), col("nrm").as("nn")), Seq("n"))
+      .withColumn("cos", cosine(col("qv"), col("nv"), col("qn"), col("nn")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("q"), col("rank"), col("n"), col("cos"))
+  }
+
+  /** Approximate top-k via random-hyperplane LSH buckets → exact
+    * cosine rank. Same output shape as [[bruteForceTopK]]. Best in
+    * the high-similarity regime (near-duplicate embeddings, cos ≳
+    * 0.8); for mid-similarity ANN use [[ivfTopK]]. */
+  def lshTopK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      tables: Int = 8,
+      bits: Int = 12,
+      seed: Long = 42L): DataFrame = {
+    val sig = buckets(df, idCol, vecCol, tables, bits, seed)
+    val cand = sig.select(col("table"), col("bucket"), col("id").as("q"))
+      .join(sig.select(col("table"), col("bucket"), col("id").as("n")),
+        Seq("table", "bucket"))
+      .where(col("q") =!= col("n"))
+      .select("q", "n").distinct()
+    val vecs = df.select(col(idCol).cast(LongType).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val w = Window.partitionBy(col("q")).orderBy(col("cos").desc, col("n"))
+    cand
+      .join(vecs.select(col("id").as("q"), col("v").as("qv"), col("nrm").as("qn")), Seq("q"))
+      .join(vecs.select(col("id").as("n"), col("v").as("nv"), col("nrm").as("nn")), Seq("n"))
+      .withColumn("cos", cosine(col("qv"), col("nv"), col("qn"), col("nn")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("q"), col("rank"), col("n"), col("cos"))
+  }
+}

@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: language ID,
+  * quality scoring, token counting (SURVEY.md §7.1 ext). All pure
+  * `Column` expressions — codegen'd, shuffle-free, scale linearly. */
+object TextAnalysis {
+
+  /** Per-language stopword anchors for latin-script languages. Tiny
+    * on purpose: the heuristic is frequency-of-anchor-words, the
+    * classic cheap n-gram/stopword language detector. */
+  private val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "del", "las", "por"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "von", "den", "mit", "nicht", "ein"),
+    "fr" -> Seq("le", "la", "les", "de", "des", "et", "est", "une", "dans", "que"),
+    "it" -> Seq("il", "di", "che", "la", "per", "con", "del", "una", "sono", "non"),
+    "pt" -> Seq("o", "de", "que", "do", "da", "em", "um", "para", "com", "uma"))
+
+  private def countMatches(c: Column, pattern: String): Column =
+    size(regexp_extract_all(c, lit(pattern), lit(0)))
+
+  /** Heuristic language ID: script detection first (CJK/kana/hangul/
+    * cyrillic/arabic are unambiguous), then stopword voting among
+    * latin-script languages; 'und' when nothing matches. */
+  def langId(text: Column): Column = {
+    val lowered = lower(text)
+    val tokens = split(lowered, "\\s+")
+    def stopScore(words: Seq[String]): Column =
+      size(filter(tokens, t =>
+        words.map(w => t === lit(w)).reduce[Column](_ || _)))
+    val scores = stopwords.map { case (lang, words) => lang -> stopScore(words) }
+    val best = scores.map(_._2).reduce[Column](greatest(_, _))
+    val latinVote = scores.reverse.foldLeft(lit("und")) { case (acc, (lang, s)) =>
+      // fold reversed so earlier languages win ties (en first)
+      when(s === best && best > 0, lit(lang)).otherwise(acc)
+    }
+    // kana before CJK: Japanese text mixes kanji (CJK block) with kana
+    when(countMatches(text, "[\\u3040-\\u30ff]") > 0, "ja")
+      .when(countMatches(text, "[\\u4e00-\\u9fff]") > 0, "zh")
+      .when(countMatches(text, "[\\uac00-\\ud7af]") > 0, "ko")
+      .when(countMatches(text, "[\\u0400-\\u04ff]") > 0, "ru")
+      .when(countMatches(text, "[\\u0600-\\u06ff]") > 0, "ar")
+      .when(countMatches(text, "[\\u0370-\\u03ff]") > 0, "el")
+      .otherwise(latinVote)
+  }
+
+  /** Whitespace token count. */
+  def wsTokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, 0).otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish subword token count: letter runs, digit runs, and single
+    * non-alphanumeric marks each count as one token — a deterministic
+    * stand-in for a real tokenizer's piece count. */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Quality metrics (length / punctuation / stopword ratios — the
+    * classic cheap quality filters for web-scale corpora). All
+    * single-division doubles over integer counts, so every engine
+    * computes bit-identical values. */
+  def qualityMetrics(text: Column): Seq[(String, Column)] = {
+    val nChars = length(text)
+    val words = split(trim(text), "\\s+")
+    val nWords = wsTokenCount(text)
+    val enStop = stopwords.head._2
+    Seq(
+      "n_chars" -> nChars,
+      "n_words" -> nWords,
+      "avg_word_len" -> (length(regexp_replace(text, "\\s+", "")).cast("double") /
+        nWords.cast("double")),
+      "punct_ratio" -> (countMatches(text, "[.,;:!?]").cast("double") /
+        nChars.cast("double")),
+      "stopword_ratio" -> (size(filter(split(lower(text), "\\s+"), t =>
+        enStop.map(w => t === lit(w)).reduce[Column](_ || _))).cast("double") /
+        nWords.cast("double")),
+      "alpha_ratio" -> (countMatches(text, "[A-Za-z]").cast("double") /
+        nChars.cast("double")))
+  }
+
+  /** Composite keep/drop signal: a document passes the quality gate
+    * when it is long enough, word-like, and not punctuation soup. */
+  def qualityPass(text: Column): Column = {
+    val m = qualityMetrics(text).toMap
+    (m("n_words") >= 5) && (m("avg_word_len") >= 2.0) &&
+      (m("avg_word_len") <= 14.0) && (m("punct_ratio") <= 0.2) &&
+      (m("alpha_ratio") >= 0.5)
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near-dup of 0
+    (2L, "completely different content about spark query engines and shuffles here"),
+    (3L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 0
+    (4L, "tiny doc")).toDF("doc_id", "text")
+
+  test("exact dedup: representative + multiplicity per distinct text") {
+    val out = Dedup.exact(docs, "doc_id", "text")
+      .orderBy("keep_id").collect()
+    assert(out.length == 4)
+    val byKeep = out.map(r => r.getAs[Long]("keep_id") -> r.getAs[Long]("n_dups")).toMap
+    assert(byKeep(0L) == 2) // docs 0 and 3
+    assert(byKeep(1L) == 1 && byKeep(2L) == 1 && byKeep(4L) == 1)
+  }
+
+  test("jaccard join finds near+exact dup pairs, skips unrelated and short docs") {
+    val pairs = Dedup.jaccardJoin(docs, "doc_id", "text", 0.5)
+      .orderBy("a", "b").collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")))
+    assert(pairs.toSeq == Seq((0L, 1L), (0L, 3L), (1L, 3L)))
+  }
+
+  test("jaccard join: exact dup pair has inter == union") {
+    val r = Dedup.jaccardJoin(docs, "doc_id", "text", 0.5)
+      .where(col("a") === 0 && col("b") === 3).collect()(0)
+    assert(r.getAs[Long]("n_inter") == r.getAs[Long]("n_union"))
+  }
+
+  test("minhash LSH equals exact jaccard join on sf0.001 documents") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val exact = Dedup.jaccardJoin(d, "doc_id", "text", 0.5).orderBy("a", "b").collect()
+    val lsh = Dedup.minhashLsh(d, "doc_id", "text", 0.5).orderBy("a", "b").collect()
+    assert(exact.nonEmpty, "testdata should contain planted near-dups")
+    assert(lsh.map(_.toSeq).toSeq == exact.map(_.toSeq).toSeq)
+  }
+
+  test("simhash: near-dups close in Hamming space, unrelated far apart") {
+    val fps = Dedup.simhash(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("simhash")).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(fps(0L) == fps(3L), "identical text, identical fingerprint")
+    assert(ham(fps(0L), fps(1L)) <= 6, "one-word edit stays close")
+    assert(ham(fps(0L), fps(2L)) > 10, "unrelated text is far")
+    assert(ham(fps(0L), fps(1L)) < ham(fps(0L), fps(2L)))
+    // pigeonhole chunk join finds exactly the pairs within the radius
+    val nd = Dedup.simhashNearDup(Dedup.simhash(docs, "doc_id", "text"), maxDist = 6)
+      .orderBy("a", "b").collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")))
+    assert(nd.toSeq == Seq((0L, 1L), (0L, 3L), (1L, 3L)))
+    // exact-dup pair at distance 0 with the default radius too
+    val nd0 = Dedup.simhashNearDup(Dedup.simhash(docs, "doc_id", "text"))
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")))
+    assert(nd0.contains((0L, 3L)))
+  }
+}

@@ -1,0 +1,47 @@
+package graft
+
+import graft.operators.Multimodal
+
+class MultimodalSpec extends SparkSpec {
+
+  test("decodeMeta: header roundtrip for image/audio/video, invalid flagged") {
+    val fx = Multimodal.fixture(spark, 9)
+    val meta = Multimodal.decodeMeta(fx, "id", "media").orderBy("id").collect()
+    assert(meta.length == 9)
+    assert(meta(0).getAs[String]("mtype") == "image")
+    assert(meta(1).getAs[String]("mtype") == "audio")
+    assert(meta(2).getAs[String]("mtype") == "video")
+    assert(meta(0).getAs[Int]("width") == 8 && meta(0).getAs[Int]("height") == 6)
+    assert(meta(0).getAs[Int]("payload_bytes") == 8 * 6)
+    assert(meta.forall(_.getAs[Boolean]("valid")))
+
+    // corrupt blob → invalid row, not a crash
+    import spark.implicits._
+    val bad = Seq((99L, "nonsense".getBytes)).toDF("id", "media")
+    val badMeta = Multimodal.decodeMeta(bad, "id", "media").collect()(0)
+    assert(!badMeta.getAs[Boolean]("valid"))
+  }
+
+  test("extractFeatures: deterministic byte stats") {
+    val fx = Multimodal.fixture(spark, 3)
+    val f1 = Multimodal.extractFeatures(fx, "id", "media").orderBy("id").collect()
+    val f2 = Multimodal.extractFeatures(Multimodal.fixture(spark, 3), "id", "media")
+      .orderBy("id").collect()
+    assert(f1.map(_.toSeq).toSeq == f2.map(_.toSeq).toSeq)
+    assert(f1.forall { r =>
+      val m = r.getAs[Double]("mean_byte"); m >= 0 && m <= 255
+    })
+  }
+
+  test("sampleFrames: stride sampling of video frames") {
+    val fx = Multimodal.fixture(spark, 9) // ids 2,5,8 are video with 4..6 frames
+    val frames = Multimodal.sampleFrames(fx, "id", "media", stride = 2)
+      .collect().groupBy(_.getAs[Long]("id"))
+    // id 2: nframes = 4+2%3 = 6 → frames 0,2,4
+    assert(frames(2L).map(_.getAs[Int]("frame_idx")).sorted.toSeq == Seq(0, 2, 4))
+    // every frame blob is width*height = 64 bytes
+    assert(frames(2L).forall(_.getAs[Array[Byte]]("frame").length == 64))
+    // images (id 0,...) produce one frame at idx 0
+    assert(frames(0L).map(_.getAs[Int]("frame_idx")).toSeq == Seq(0))
+  }
+}

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine math: orthogonal/parallel sanity") {
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f)),
+      (2L, Array(2.0f, 0.0f))).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(df, df, "vec_id", "embedding", 1)
+      .collect().map(r => r.getAs[Long]("q") ->
+        (r.getAs[Long]("n"), r.getAs[Double]("cos"))).toMap
+    assert(top(0L)._1 == 2L && math.abs(top(0L)._2 - 1.0) < 1e-12,
+      "parallel vector wins with cos=1")
+    assert(math.abs(top(1L)._2 - 0.0) < 1e-12, "only orthogonal neighbors for q=1")
+  }
+
+  test("IVF ANN recall ≥ 0.8 vs brute force on sf0.001 embeddings") {
+    // the testdata embeddings are near-random (labels explain <10% of
+    // true top-5), so IVF recall ≈ scanned fraction — probe half the
+    // lists and expect ~0.84; clustered data (next test) does far
+    // better at a far lower scan fraction
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val exact = Similarity.bruteForceTopK(e, e, "vec_id", "embedding", 5)
+      .select("q", "n").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.ivfTopK(e, "vec_id", "embedding", 5, nLists = 16, nprobe = 8)
+      .select("q", "n").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(s"IVF recall@5 = $recall (|exact|=${exact.size}, |approx|=${approx.size})")
+    assert(recall >= 0.8)
+  }
+
+  test("IVF ANN recall ≥ 0.95 on clustered vectors at default params") {
+    val rnd = new scala.util.Random(5)
+    // 20 well-separated centers, 30 points each
+    val centers = Array.fill(20)(Array.fill(32)(rnd.nextGaussian() * 10))
+    val rows = (0 until 600).map { i =>
+      val c = centers(i % 20)
+      (i.toLong, c.map(x => (x + rnd.nextGaussian() * 0.5).toFloat))
+    }
+    val df = spark.createDataFrame(rows).toDF("vec_id", "embedding")
+    val exact = Similarity.bruteForceTopK(df, df, "vec_id", "embedding", 5)
+      .select("q", "n").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.ivfTopK(df, "vec_id", "embedding", 5, nLists = 20, nprobe = 3)
+      .select("q", "n").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(s"clustered IVF recall@5 = $recall at scan fraction 3/20")
+    assert(recall >= 0.95)
+  }
+
+  test("hyperplane LSH recall ≥ 0.9 in its regime (high-similarity near-dups)") {
+    // pairs of near-identical vectors (cos ≈ 0.99) + random background
+    val rnd = new scala.util.Random(11)
+    def vec() = Array.fill(32)(rnd.nextGaussian().toFloat)
+    val rows = (0 until 100).flatMap { i =>
+      val v = vec()
+      val dup = v.map(x => x + 0.05f * rnd.nextGaussian().toFloat)
+      Seq((2L * i, v), (2L * i + 1, dup))
+    }
+    val df = spark.createDataFrame(rows).toDF("vec_id", "embedding")
+    val found = Similarity.lshTopK(df, "vec_id", "embedding", 1, tables = 8, bits = 12)
+      .where(col("rank") === 1).collect()
+      .map(r => (r.getAs[Long]("q"), r.getAs[Long]("n"))).toSet
+    // each vector's true top-1 is its planted twin
+    val hits = (0 until 200).count { i =>
+      val twin = if (i % 2 == 0) i + 1 else i - 1
+      found.contains((i.toLong, twin.toLong))
+    }
+    info(s"LSH twin recall = ${hits / 200.0}")
+    assert(hits >= 180)
+  }
+
+  test("LSH buckets are deterministic across invocations") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val b1 = Similarity.buckets(e, "vec_id", "embedding").orderBy("id", "table").collect()
+    val b2 = Similarity.buckets(e, "vec_id", "embedding").orderBy("id", "table").collect()
+    assert(b1.map(_.toSeq).toSeq == b2.map(_.toSeq).toSeq)
+  }
+}

