@@ -68,6 +68,10 @@ object Dedup {
     val b = posts.select(col("shingle"), col("id").as("b"), col("sz").as("bsz"))
     a.join(b, Seq("shingle"))
       .where(col("a") < col("b"))
+      // size-ratio prefilter: J ≥ t forces t·|B| ≤ |A| ≤ |B|/t — prune
+      // cross-size candidates before the pair aggregation
+      .where(col("bsz").cast("double") * lit(threshold) <= col("asz").cast("double") &&
+        col("asz").cast("double") * lit(threshold) <= col("bsz").cast("double"))
       .groupBy(col("a"), col("b"), col("asz"), col("bsz"))
       .agg(count(lit(1)).as("n_inter"))
       .withColumn("n_union", col("asz") + col("bsz") - col("n_inter"))

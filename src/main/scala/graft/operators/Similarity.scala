@@ -24,11 +24,13 @@ import scala.util.Random
   */
 object Similarity {
 
-  /** `aggregate(zip_with(a,b,*), 0d, +)` — sequential left-to-right
-    * double sum, the same evaluation order DuckDB's list functions
-    * use, so cross-engine rank comparisons are stable. */
+  /** Native codegen dot product ([[graft.functions.DotProduct]]) —
+    * sequential left-to-right double sum (the same evaluation order
+    * DuckDB's list kernels use, so cross-engine ranks are stable),
+    * without the per-row array allocation of the zip_with/aggregate
+    * higher-order formulation. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.DotProduct(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -37,28 +39,40 @@ object Similarity {
 
   /** Exact top-k neighbors for every row of `queries` against
     * `corpus` (both `(idCol, vecCol)`), excluding self-matches.
-    * Output: (q, rank, n, cos). The corpus side is broadcast —
-    * at scale, corpus blocks stream through `queries` partitions
-    * without a shuffle; for corpus ≫ memory use [[lshTopK]]. */
+    * Output: (q, rank, n, cos).
+    *
+    * Scale shape: the corpus is broadcast (blocks stream through
+    * query partitions — no shuffle on the N×M candidate space), and
+    * the top-k runs as a typed `Aggregator` with map-side partial
+    * aggregation, so each task emits at most k rows per query key
+    * before the exchange — the N×M pair stream never shuffles. For
+    * corpus ≫ broadcast memory use [[ivfTopK]]. */
   def bruteForceTopK(
       queries: DataFrame,
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
       k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("q"),
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val q = queries.select(col(idCol).cast(LongType).as("q"),
       col(vecCol).cast("array<double>").as("qv"))
       .withColumn("qn", norm(col("qv")))
-    val c = corpus.select(col(idCol).as("n"),
+    val c = corpus.select(col(idCol).cast(LongType).as("n"),
       col(vecCol).cast("array<double>").as("nv"))
       .withColumn("nn", norm(col("nv")))
-    val w = Window.partitionBy(col("q"))
-      .orderBy(col("cos").desc, col("n"))
-    q.join(broadcast(c), col("q") =!= col("n"))
-      .withColumn("cos", cosine(col("qv"), col("nv"), col("qn"), col("nn")))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("q"), col("rank"), col("n"), col("cos"))
+    val scored = q.join(broadcast(c), col("q") =!= col("n"))
+      .select(col("q"), col("n"),
+        cosine(col("qv"), col("nv"), col("qn"), col("nn")).as("cos"))
+      .as[(Long, Long, Double)]
+    val topk = graft.functions.TopKAggregator.TopK(k).toColumn
+    scored.groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(topk.name("topk"))
+      .toDF("q", "topk")
+      .select(col("q"), posexplode(col("topk")))
+      .select(col("q"), (col("pos") + 1).as("rank"),
+        col("col._1").as("n"), col("col._2").as("cos"))
   }
 
   /** Deterministic Gaussian hyperplanes: tables × bits × dim. */

@@ -28,22 +28,27 @@ object TextAnalysis {
   def langId(text: Column): Column = {
     val lowered = lower(text)
     val tokens = split(lowered, "\\s+")
+    // distinct-anchor voting via set intersect (hash-set build per
+    // row instead of |tokens|×|stopwords| equality tests); scores
+    // live in ONE array so each is evaluated once for the argmax —
+    // a when-chain would re-evaluate every score per branch
     def stopScore(words: Seq[String]): Column =
-      size(filter(tokens, t =>
-        words.map(w => t === lit(w)).reduce[Column](_ || _)))
-    val scores = stopwords.map { case (lang, words) => lang -> stopScore(words) }
-    val best = scores.map(_._2).reduce[Column](greatest(_, _))
-    val latinVote = scores.reverse.foldLeft(lit("und")) { case (acc, (lang, s)) =>
-      // fold reversed so earlier languages win ties (en first)
-      when(s === best && best > 0, lit(lang)).otherwise(acc)
-    }
-    // kana before CJK: Japanese text mixes kanji (CJK block) with kana
-    when(countMatches(text, "[\\u3040-\\u30ff]") > 0, "ja")
-      .when(countMatches(text, "[\\u4e00-\\u9fff]") > 0, "zh")
-      .when(countMatches(text, "[\\uac00-\\ud7af]") > 0, "ko")
-      .when(countMatches(text, "[\\u0400-\\u04ff]") > 0, "ru")
-      .when(countMatches(text, "[\\u0600-\\u06ff]") > 0, "ar")
-      .when(countMatches(text, "[\\u0370-\\u03ff]") > 0, "el")
+      size(array_intersect(tokens, array(words.map(lit): _*)))
+    val scores = array(stopwords.map { case (_, words) => stopScore(words) }: _*)
+    val names = array(stopwords.map { case (lang, _) => lit(lang) }: _*)
+    val best = array_max(scores)
+    // array_position returns the FIRST max ⇒ earlier languages win ties
+    val latinVote = when(best > 0,
+      element_at(names, array_position(scores, best).cast("int")))
+      .otherwise(lit("und"))
+    // rlike (first-match, not a full count) — script presence is a
+    // boolean question; kana before CJK: Japanese mixes kanji + kana
+    when(text.rlike("[\\u3040-\\u30ff]"), "ja")
+      .when(text.rlike("[\\u4e00-\\u9fff]"), "zh")
+      .when(text.rlike("[\\uac00-\\ud7af]"), "ko")
+      .when(text.rlike("[\\u0400-\\u04ff]"), "ru")
+      .when(text.rlike("[\\u0600-\\u06ff]"), "ar")
+      .when(text.rlike("[\\u0370-\\u03ff]"), "el")
       .otherwise(latinVote)
   }
 

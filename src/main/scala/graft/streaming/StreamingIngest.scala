@@ -1,0 +1,143 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+import graft.ingest.{Ingest, Pipeline}
+
+/** Streaming ingest — the reference's event-driven shape (O1/O21,
+  * SURVEY.md §3 EP1) on Structured Streaming:
+  *
+  *  - GCS `object.finalize` events → a streaming file source over the
+  *    landing prefix (each new file is one event, exactly like the
+  *    reference's per-object trigger);
+  *  - the per-event "is the folder complete now?" check
+  *    (`main.py:43-47`) → [[completenessGate]], a
+  *    `flatMapGroupsWithState` keyed by acquisition dir that keeps
+  *    the seen-file set in state and emits each dir exactly once,
+  *    when the required set is present;
+  *  - the decode/enrich/RMS/sink pipeline runs per emitted dir in
+  *    `foreachBatch` — the same batch code (`Pipeline`), so batch and
+  *    streaming share one implementation.
+  *
+  * State is bounded: one small Set[String] per in-flight acquisition,
+  * dropped on emission; abandoned uploads can be expired with a
+  * processing-time timeout (the reference leaks nothing only because
+  * it re-lists per event — same at-least-once semantics).
+  */
+object StreamingIngest {
+
+  final case class FileEvent(dir: String, name: String)
+  final case class GateState(seen: Set[String], emitted: Boolean)
+
+  /** Stateful completeness gate: emits each acquisition dir once,
+    * in the micro-batch where its required file set completes. */
+  def completenessGate(
+      events: Dataset[FileEvent],
+      required: Set[String] = Ingest.RequiredFiles,
+      stateTimeout: Option[Long] = None): Dataset[String] = {
+    import events.sparkSession.implicits._
+    val timeoutConf =
+      if (stateTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+
+    events.groupByKey(_.dir)
+      .flatMapGroupsWithState[GateState, String](
+        OutputMode.Append, timeoutConf) {
+        case (dir, evs, state: GroupState[GateState]) =>
+          if (state.hasTimedOut) { // abandoned upload: drop state
+            state.remove()
+            Iterator.empty
+          } else {
+            val prev = state.getOption.getOrElse(GateState(Set.empty, emitted = false))
+            val seen = prev.seen ++ evs.map(_.name.toLowerCase)
+            val complete = required.subsetOf(seen)
+            if (prev.emitted || !complete) {
+              state.update(GateState(seen, prev.emitted))
+              stateTimeout.foreach(state.setTimeoutDuration)
+              Iterator.empty
+            } else {
+              state.update(GateState(seen, emitted = true))
+              Iterator.single(dir)
+            }
+          }
+      }
+  }
+
+  /** File events from a landing prefix: one row per newly-seen file,
+    * keyed by its acquisition dir. `latestFirst`/maxFilesPerTrigger
+    * stay at defaults; only paths are read here (content is re-read
+    * by the decode with proper splitting). */
+  def fileEvents(spark: SparkSession, landingDir: String): Dataset[FileEvent] = {
+    import spark.implicits._
+    spark.readStream
+      .format("binaryFile")
+      .option("pathGlobFilter", "*")
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("path",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("modificationTime",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("length",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("content",
+          org.apache.spark.sql.types.BinaryType))))
+      .load(s"$landingDir/*")
+      .select(col("path"))
+      .as[String]
+      .map { p =>
+        val slash = p.lastIndexOf('/')
+        FileEvent(p.substring(0, slash), p.substring(slash + 1))
+      }
+  }
+
+  /** End-to-end streaming pipeline: landing prefix → gate → batch
+    * pipeline per complete acquisition. `Trigger.AvailableNow`
+    * processes the backlog and stops — the driver-friendly mode; pass
+    * a different trigger for continuous tailing. */
+  def run(
+      spark: SparkSession,
+      landingDir: String,
+      outDir: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): Unit = {
+    val complete = completenessGate(fileEvents(spark, landingDir))
+    val query = complete.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[String], _: Long) =>
+        // tiny driver-side loop: one pipeline submission per newly
+        // complete acquisition (the heavy work is cluster-parallel
+        // inside Pipeline)
+        batch.collect().foreach { dir =>
+          Pipeline.processAcquisition(spark, dir, outDir)
+        }
+      }
+      .start()
+    query.awaitTermination()
+  }
+
+  /** Streaming tumbling-window RMS with watermarked late-data
+    * handling — the reference's RMS table as a live query
+    * (SURVEY.md §2.B watermarks). Input: event-time timestamp col +
+    * axis columns; output per closed window: rms per axis + rms_mod.
+    * Append mode: a window emits once its watermark passes. */
+  def streamingRms(
+      df: DataFrame,
+      tsCol: String,
+      axes: Seq[String],
+      windowLen: String = "1 second",
+      watermark: String = "5 seconds"): DataFrame = {
+    val msq = axes.map(a => avg(pow(col(a), 2)).as(s"__msq_$a"))
+    val agg = df
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen))
+      .agg(msq.head, msq.tail: _*)
+    val rmsCols = axes.map(a => sqrt(col(s"__msq_$a")).as(s"rms_$a"))
+    agg.select(
+      (col("window.start").as("Time") +: rmsCols) :+
+        sqrt(axes.map(a => col(s"__msq_$a")).reduce(_ + _)).as("rms_mod"): _*)
+  }
+}
