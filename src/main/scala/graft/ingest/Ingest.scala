@@ -2,7 +2,6 @@ package graft.ingest
 
 import java.nio.{ByteBuffer, ByteOrder}
 
-import scala.collection.mutable.ArrayBuffer
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
@@ -80,15 +79,16 @@ object Ingest {
     * `Time: double (relative s)` + one double column per axis with
     * the un-sanitized names (`A_x [g]`…).
     *
-    * @param blocksPerSplit packets per task; default ≈21 MB of int16
-    *   3-axis data per task at samples_per_ts=1000 — small files get
-    *   one task, a 100 GB file ~5000.
+    * @param blocksPerSplit packets per task; default ≈6 MB of int16
+    *   3-axis data per task at samples_per_ts=1000 — enough tasks to
+    *   saturate a 32-core local run on a 100 MB file, ~16k tasks for
+    *   a 100 GB file (well inside scheduler comfort).
     */
   def decodeDat(
       spark: SparkSession,
       datPath: String,
       cfg: ComponentConfig,
-      blocksPerSplit: Int = 3500): DataFrame = {
+      blocksPerSplit: Int = 1000): DataFrame = {
     val p = new Path(datPath)
     val hconf = spark.sparkContext.hadoopConfiguration
     val fs = p.getFileSystem(hconf)
@@ -130,11 +130,10 @@ object Ingest {
               }
             val buf = new Array[Byte](nBlocks * blockBytes)
             in.readFully(start, buf, 0, buf.length)
-            val out = new ArrayBuffer[Row](nBlocks * c.samplesPerTs)
-            Hsd2.decodeBlocks(buf, c, nBlocks, anchor).foreach { s =>
-              out += Row.fromSeq(s.time +: s.values.toSeq)
+            // lazy row stream — never materializes the split's rows
+            Hsd2.decodeBlocks(buf, c, nBlocks, anchor).map { s =>
+              Row.fromSeq(s.time +: s.values.toSeq)
             }
-            out
           } finally in.close()
         }
       }
