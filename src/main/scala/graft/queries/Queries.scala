@@ -413,6 +413,36 @@ object Queries {
        FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
        ORDER BY st, pri"""
 
+  // ---------------------------------------------------------------
+  // q32 — session windows (SURVEY.md §2.B): merge events closer than
+  // a 30-minute gap per user via the session_window builtin; oracle =
+  // classic gaps-and-islands SQL. Session end is exclusive (an event
+  // exactly gap-distant starts a new session) in both formulations.
+  def q32(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("tsm", timestamp_micros(expr("ts div 1000")))
+      .groupBy(col("user_id"), session_window(col("tsm"), "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start"),
+        col("n"))
+      .orderBy("user_id", "session_start")
+
+  val q32Sql: String =
+    """WITH m AS (
+         SELECT user_id, epoch_us(ts) AS tus,
+           CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                  OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+                THEN 1 ELSE 0 END AS new_s
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))),
+       s AS (SELECT user_id, tus,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY tus
+                                ROWS UNBOUNDED PRECEDING) AS sid
+             FROM m)
+       SELECT user_id, min(tus) AS session_start, count(*) AS n
+       FROM s GROUP BY user_id, sid ORDER BY user_id, session_start"""
+
   /** Registry fragment: relational core. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_project_rename" -> (q01 _),
@@ -433,6 +463,7 @@ object Queries {
     "q17_asof_join" -> (q17 _),
     "q18_range_join" -> (q18 _),
     "q19_cube" -> (q19 _),
+    "q32_session_window" -> (q32 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -454,5 +485,6 @@ object Queries {
     "q17_asof_join" -> q17Sql,
     "q18_range_join" -> q18Sql,
     "q19_cube" -> q19Sql,
+    "q32_session_window" -> q32Sql,
   )
 }
