@@ -235,6 +235,37 @@ object Similarity {
       .select(col("q"), col("rank"), col("n"), col("cos"))
   }
 
+  /** Embedding near-duplicate pairs: all (a < b) with cosine ≥
+    * threshold, via hyperplane-LSH bucket candidates + exact
+    * verification — the embedding-space member of the dedup family.
+    * High thresholds (≳0.8) are exactly LSH's strong regime: near-
+    * parallel vectors collide in some table w.h.p., so candidates
+    * stay ≪ n² while recall stays ~1. */
+  def cosineNearDup(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      tables: Int = 8,
+      bits: Int = 12,
+      seed: Long = 42L): DataFrame = {
+    val sig = buckets(df, idCol, vecCol, tables, bits, seed)
+    val cand = sig.select(col("table"), col("bucket"), col("id").as("a"))
+      .join(sig.select(col("table"), col("bucket"), col("id").as("b")),
+        Seq("table", "bucket"))
+      .where(col("a") < col("b"))
+      .select("a", "b").distinct()
+    val vecs = df.select(col(idCol).cast(LongType).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", norm(col("v")))
+    cand
+      .join(vecs.select(col("id").as("a"), col("v").as("av"), col("nrm").as("an")), Seq("a"))
+      .join(vecs.select(col("id").as("b"), col("v").as("bv"), col("nrm").as("bn")), Seq("b"))
+      .withColumn("cos", cosine(col("av"), col("bv"), col("an"), col("bn")))
+      .where(col("cos") >= threshold)
+      .select(col("a"), col("b"), col("cos"))
+  }
+
   /** Approximate top-k via random-hyperplane LSH buckets → exact
     * cosine rank. Same output shape as [[bruteForceTopK]]. Best in
     * the high-similarity regime (near-duplicate embeddings, cos ≳

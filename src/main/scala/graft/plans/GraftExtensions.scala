@@ -1,0 +1,49 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{DotProduct, RollingHash}
+
+/** `SparkSessionExtensions` installer: registers the engine's native
+  * Catalyst expressions as SQL functions, so `spark.sql` users get
+  * them too:
+  *
+  * {{{
+  *   SparkSession.builder()
+  *     .withExtensions(new GraftExtensions)            // or
+  *     .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+  *   ...
+  *   spark.sql("SELECT rolling_hash(text), dot_product(a, b) FROM t")
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    Seq(
+      (new FunctionIdentifier("rolling_hash"),
+        new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
+        (children: Seq[Expression]) => {
+          require(children.length == 1, "rolling_hash(str)")
+          RollingHash(children.head)
+        }),
+      (new FunctionIdentifier("dot_product"),
+        new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+        (children: Seq[Expression]) => {
+          require(children.length == 2, "dot_product(arr, arr)")
+          DotProduct(children(0), children(1))
+        }))
+
+  /** Register on a live session (REPL/notebook path). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    functions.foreach { case (id, info, builder) =>
+      org.apache.spark.sql.graftshim.ColumnShim.registerFunction(spark, id, info, builder)
+    }
+}

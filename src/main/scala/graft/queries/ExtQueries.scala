@@ -166,6 +166,25 @@ object ExtQueries {
     Multimodal.decodeMeta(Multimodal.fixture(s, 60), "id", "media")
       .orderBy("id")
 
+  // ---------------------------------------------------------------
+  // q33 — embedding-cosine near-dup pairs (LSH buckets + exact
+  // verify). The testdata has no high-cosine pairs, so the query
+  // plants one perturbed twin per corpus vector (deterministic) and
+  // must recover exactly the twin pairs at cos ≥ 0.99 (rows-only;
+  // pair-exactness asserted in SimilaritySpec).
+  def q33(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val twins = e.select(
+      (col("vec_id") + lit(1000000L)).as("vec_id"),
+      transform(col("embedding"),
+        (x, i) => x + when(i === 0, lit(0.05f)).otherwise(lit(0.0f)))
+        .as("embedding"))
+    Similarity.cosineNearDup(e.select("vec_id", "embedding").union(twins),
+        "vec_id", "embedding", threshold = 0.99)
+      .select(col("a"), col("b"))
+      .orderBy("a", "b")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_dedup_exact" -> (q21 _),
     "q22_jaccard_join" -> (q22 _),
@@ -178,6 +197,7 @@ object ExtQueries {
     "q29_tokens" -> (q29 _),
     "q30_fingerprint" -> (q30 _),
     "q31_multimodal" -> (q31 _),
+    "q33_embed_neardup" -> (q33 _),
   )
 
   val oracles: Map[String, String] = Map(

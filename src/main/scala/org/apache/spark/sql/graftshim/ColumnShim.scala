@@ -10,4 +10,15 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object ColumnShim {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Register a function on an ALREADY-RUNNING session (the
+    * builder-time path is SparkSessionExtensions; this is the
+    * notebook/REPL path). */
+  def registerFunction(
+      spark: SparkSession,
+      name: catalyst.FunctionIdentifier,
+      info: catalyst.expressions.ExpressionInfo,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[classic.SparkSession].sessionState
+      .functionRegistry.registerFunction(name, info, builder)
 }

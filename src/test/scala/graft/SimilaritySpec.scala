@@ -75,6 +75,20 @@ class SimilaritySpec extends SparkSpec {
     assert(hits >= 180)
   }
 
+  test("cosine near-dup: recovers exactly the planted twin pairs") {
+    import org.apache.spark.sql.functions.{col => c, lit, transform, when}
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val twins = e.select((c("vec_id") + lit(1000000L)).as("vec_id"),
+      transform(c("embedding"),
+        (x, i) => x + when(i === 0, lit(0.05f)).otherwise(lit(0.0f))).as("embedding"))
+    val pairs = Similarity.cosineNearDup(
+        e.select("vec_id", "embedding").union(twins), "vec_id", "embedding", 0.99)
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    val n = e.count()
+    val expected = (0L until n).map(i => (i, i + 1000000L)).toSet
+    assert(pairs == expected, s"got ${pairs.size} pairs, want $n twins")
+  }
+
   test("LSH buckets are deterministic across invocations") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val b1 = Similarity.buckets(e, "vec_id", "embedding").orderBy("id", "table").collect()

@@ -63,6 +63,16 @@ class TextSpec extends SparkSpec {
     assert(got.distinct.length == got.length - 0)
   }
 
+  test("SQL registration: rolling_hash/dot_product callable from spark.sql") {
+    graft.plans.GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT rolling_hash('hello world') AS fp, " +
+        "dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dp")
+      .collect()(0)
+    assert(r.getLong(0) == RollingHash.hash("hello world".getBytes("UTF-8")))
+    assert(r.getDouble(1) == 11.0)
+  }
+
   test("rolling hash: mulMod is exact vs BigInt") {
     val rnd = new scala.util.Random(7)
     val M = BigInt(RollingHash.Mod)
