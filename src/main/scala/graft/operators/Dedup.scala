@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 
@@ -60,22 +61,49 @@ object Dedup {
       idCol: String,
       textCol: String,
       threshold: Double,
-      n: Int = 3): DataFrame = {
+      n: Int = 3,
+      prefixFilter: Boolean = true): DataFrame = {
     val sh = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("s"))
       .withColumn("sz", size(col("s")))
     val posts = sh.select(col("id"), col("sz"), explode(col("s")).as("shingle"))
-    val a = posts.select(col("shingle"), col("id").as("a"), col("sz").as("asz"))
-    val b = posts.select(col("shingle"), col("id").as("b"), col("sz").as("bsz"))
-    a.join(b, Seq("shingle"))
-      .where(col("a") < col("b"))
-      // size-ratio prefilter: J ≥ t forces t·|B| ≤ |A| ≤ |B|/t — prune
-      // cross-size candidates before the pair aggregation
-      .where(col("bsz").cast("double") * lit(threshold) <= col("asz").cast("double") &&
-        col("asz").cast("double") * lit(threshold) <= col("bsz").cast("double"))
-      .groupBy(col("a"), col("b"), col("asz"), col("bsz"))
-      .agg(count(lit(1)).as("n_inter"))
-      .withColumn("n_union", col("asz") + col("bsz") - col("n_inter"))
-      // j ≥ t ⇔ inter ≥ t·union — integer-safe comparison
+
+    // candidate (a,b) pairs sharing an indexed shingle, size-ratio
+    // pruned (J ≥ t forces t·|B| ≤ |A| ≤ |B|/t)
+    def pairsFrom(index: DataFrame): DataFrame = {
+      val a = index.select(col("shingle"), col("id").as("a"), col("sz").as("asz"))
+      val b = index.select(col("shingle"), col("id").as("b"), col("sz").as("bsz"))
+      a.join(b, Seq("shingle"))
+        .where(col("a") < col("b"))
+        .where(col("bsz").cast("double") * lit(threshold) <= col("asz").cast("double") &&
+          col("asz").cast("double") * lit(threshold) <= col("bsz").cast("double"))
+        .select("a", "b").distinct()
+    }
+
+    val cand =
+      if (!prefixFilter) pairsFrom(posts)
+      else {
+        // positional prefix filter (ppjoin): under a global canonical
+        // shingle order (ascending document frequency, then value), a
+        // pair with overlap ≥ α = ⌈t·|x|⌉ must share an element inside
+        // each side's first |x| − α + 1 shingles — so only the prefix
+        // is indexed. Rare shingles sort first, which keeps posting
+        // lists short exactly where the index is dense.
+        val dfreq = posts.groupBy(col("shingle")).agg(count(lit(1)).as("dfc"))
+        val w = Window.partitionBy(col("id")).orderBy(col("dfc"), col("shingle"))
+        val prefix = posts.join(dfreq, Seq("shingle"))
+          .withColumn("rk", row_number().over(w))
+          .where(col("rk") <=
+            col("sz") - ceil(lit(threshold) * col("sz").cast("double")).cast("int") + 1)
+          .select("shingle", "id", "sz")
+        pairsFrom(prefix)
+      }
+
+    // exact verification on the candidates via row-local set ops
+    cand
+      .join(sh.select(col("id").as("a"), col("s").as("sa"), col("sz").as("asz")), Seq("a"))
+      .join(sh.select(col("id").as("b"), col("s").as("sb"), col("sz").as("bsz")), Seq("b"))
+      .withColumn("n_inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("n_union", (col("asz") + col("bsz") - col("n_inter")).cast("long"))
       .where(col("n_inter").cast("double") >= lit(threshold) * col("n_union").cast("double"))
       .select(col("a"), col("b"), col("n_inter"), col("n_union"))
   }

@@ -36,6 +36,16 @@ class DedupSpec extends SparkSpec {
     assert(r.getAs[Long]("n_inter") == r.getAs[Long]("n_union"))
   }
 
+  test("prefix-filtered jaccard join equals unfiltered on sf0.001 documents") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val full = Dedup.jaccardJoin(d, "doc_id", "text", 0.5, prefixFilter = false)
+      .orderBy("a", "b").collect()
+    val pref = Dedup.jaccardJoin(d, "doc_id", "text", 0.5, prefixFilter = true)
+      .orderBy("a", "b").collect()
+    assert(full.nonEmpty)
+    assert(pref.map(_.toSeq).toSeq == full.map(_.toSeq).toSeq)
+  }
+
   test("minhash LSH equals exact jaccard join on sf0.001 documents") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val exact = Dedup.jaccardJoin(d, "doc_id", "text", 0.5).orderBy("a", "b").collect()

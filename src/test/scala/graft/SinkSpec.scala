@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.fixtures.AcquisitionFixture
+import graft.ingest.Pipeline
+
+/** Physical-layer contract of the partitioned sink (reference O11/O12):
+  * partition pruning reaches the scan, and the parquet encodings match
+  * the reference's pins. */
+class SinkSpec extends SparkSpec {
+
+  private lazy val out: String = {
+    val acq = tmpDir("sink_acq")
+    val o = tmpDir("sink_out")
+    AcquisitionFixture.write(s"$acq/a", AcquisitionFixture.Spec())
+    Pipeline.processAcquisition(spark, s"$acq/a", o)
+    o
+  }
+
+  test("partition pruning: alias/year/month/day filters prune at planning time") {
+    val df = spark.read.parquet(s"$out/data_parquet")
+      .where(col("alias") === "LAF1" && col("year") === 2025 &&
+        col("month") === 7 && col("day") === 11)
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("PartitionFilters"),
+      s"expected partition filters in scan:\n$physical")
+    // a non-matching partition predicate must read zero files/rows
+    val none = spark.read.parquet(s"$out/data_parquet")
+      .where(col("year") === 1999)
+    assert(none.count() == 0)
+    assert(df.count() > 0)
+  }
+
+  test("parquet physical format: delta-packed Time, no data-column dictionary") {
+    import scala.jdk.CollectionConverters._
+    val file = new java.io.File(s"$out/data_parquet/alias=LAF1/year=2025/month=7/day=11")
+      .listFiles().filter(_.getName.endsWith(".parquet")).head
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file.getAbsolutePath),
+        spark.sparkContext.hadoopConfiguration))
+    try {
+      val cols = reader.getFooter.getBlocks.get(0).getColumns.asScala
+      val time = cols.find(_.getPath.toDotString == "Time").get
+      assert(time.getEncodings.asScala.exists(_.name == "DELTA_BINARY_PACKED"),
+        s"Time encodings: ${time.getEncodings}")
+      assert(time.getCodec.name == "SNAPPY")
+      // dictionary disabled for data columns (reference pins dict only
+      // on alias, which is a partition key here — not a data column)
+      cols.foreach { c =>
+        assert(!c.getEncodings.asScala.exists(_.name.contains("DICTIONARY")),
+          s"${c.getPath}: ${c.getEncodings}")
+      }
+    } finally reader.close()
+  }
+}
