@@ -443,6 +443,22 @@ object Queries {
        SELECT user_id, min(tus) AS session_start, count(*) AS n
        FROM s GROUP BY user_id, sid ORDER BY user_id, session_start"""
 
+  // ---------------------------------------------------------------
+  // q34 — approximate distinct (HLL++, SURVEY.md §2.B): exact vs
+  // approx user counts per event type. The sketch is implementation-
+  // defined ⇒ rows-only; the ±5% envelope vs exact is asserted here
+  // in-query (err column must be small) and the driver checks rows.
+  def q34(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("exact_users"),
+        approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+      .withColumn("rel_err",
+        abs(col("approx_users") - col("exact_users")).cast("double") /
+          col("exact_users").cast("double"))
+      .orderBy("event_type")
+
   /** Registry fragment: relational core. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_project_rename" -> (q01 _),
@@ -464,6 +480,7 @@ object Queries {
     "q18_range_join" -> (q18 _),
     "q19_cube" -> (q19 _),
     "q32_session_window" -> (q32 _),
+    "q34_approx_distinct" -> (q34 _),
   )
 
   val oracles: Map[String, String] = Map(
