@@ -109,12 +109,20 @@ object Ingest {
     val pathStr = datPath
     val cfgB = spark.sparkContext.broadcast(cfg)
 
+    val nFields = 1 + cfg.dim
     val rows = spark.sparkContext
       .parallelize(splits, math.max(1, splits.size))
       .mapPartitions { it =>
         val path = new Path(pathStr)
         val fsx = path.getFileSystem(serConf.value)
         val c = cfgB.value
+        // UnsafeRow emitted directly (the fast path every built-in
+        // source uses): no per-field Row→Catalyst conversion.
+        // Downstream operators that buffer rows copy them — standard
+        // source contract, so the writer/row is safely reused.
+        val writer = new org.apache.spark.sql.catalyst.expressions.codegen
+          .UnsafeRowWriter(nFields)
+        writer.resetRowWriter()
         it.flatMap { case (firstBlock, nBlocks) =>
           val start = firstBlock * blockBytes
           val in = fsx.open(path)
@@ -132,12 +140,19 @@ object Ingest {
             in.readFully(start, buf, 0, buf.length)
             // lazy row stream — never materializes the split's rows
             Hsd2.decodeBlocks(buf, c, nBlocks, anchor).map { s =>
-              Row.fromSeq(s.time +: s.values.toSeq)
+              writer.reset()
+              writer.write(0, s.time)
+              var d = 0
+              while (d < s.values.length) {
+                writer.write(d + 1, s.values(d))
+                d += 1
+              }
+              writer.getRow: org.apache.spark.sql.catalyst.InternalRow
             }
           } finally in.close()
         }
       }
-    spark.createDataFrame(rows, schema)
+    org.apache.spark.sql.graftshim.ColumnShim.internalCreateDataFrame(spark, rows, schema)
   }
 
   /** Enrichment (reference EP2, `main.py:87-103`): sanitize column

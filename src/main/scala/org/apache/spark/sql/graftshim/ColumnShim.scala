@@ -11,6 +11,15 @@ object ColumnShim {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Internal-row DataFrame constructor: lets a source emit
+    * `UnsafeRow`s directly (no Row → Catalyst conversion per field).
+    * The standard fast path for custom sources. */
+  def internalCreateDataFrame(
+      spark: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[catalyst.InternalRow],
+      schema: types.StructType): DataFrame =
+    spark.asInstanceOf[classic.SparkSession].internalCreateDataFrame(rdd, schema)
+
   /** Register a function on an ALREADY-RUNNING session (the
     * builder-time path is SparkSessionExtensions; this is the
     * notebook/REPL path). */
