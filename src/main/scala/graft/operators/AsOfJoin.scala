@@ -80,4 +80,22 @@ object AsOfJoin {
         (leftCols.map(c => col(s"__l_$c").as(c)) ++
           rightVals.map(c => col(s"__r_$c").as(c))): _*)
   }
+
+  /** Forward as-of join: the EARLIEST right row at or after the left
+    * row's time, per key. Same single-shuffle construction with the
+    * time axis negated (right still sorts first on ties ⇒ inclusive
+    * `>=` semantics). */
+  def asofForward(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTime: String,
+      rightTime: String,
+      rightVals: Seq[String]): DataFrame = {
+    val negL = left.withColumn(leftTime, col(leftTime).cast("long") * -1L)
+    val negR = right.withColumn(rightTime, col(rightTime).cast("long") * -1L)
+    asofBackward(negL, negR, leftKey, rightKey, leftTime, rightTime, rightVals)
+      .withColumn(leftTime, col(leftTime).cast("long") * -1L)
+  }
 }

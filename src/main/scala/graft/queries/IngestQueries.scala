@@ -42,8 +42,17 @@ object IngestQueries {
       .orderBy("Time")
   }
 
+  /** q35: the DataSource V2 `hsd` format with column pruning + Time
+    * pushdown — same fixture, pruned projection over a pushed range. */
+  def q35(s: SparkSession, dir: String): DataFrame =
+    s.read.format("hsd").load(fixture())
+      .where(col("Time") >= 1.0 && col("Time") < 3.0)
+      .select("Time", "A_x [g]")
+      .orderBy("Time")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q10_hsd2_decode" -> (q10 _),
     "q20_rms_pipeline" -> (q20 _),
+    "q35_hsd_source" -> (q35 _),
   )
 }

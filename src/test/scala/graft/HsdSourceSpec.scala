@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.fixtures.AcquisitionFixture
+import graft.ingest.Ingest
+
+/** DataSource V2 `hsd` format: correctness vs the mapPartitions
+  * decode, column pruning, and Time-range pushdown. */
+class HsdSourceSpec extends SparkSpec {
+
+  private lazy val acq: String = {
+    val d = tmpDir("hsd_src")
+    AcquisitionFixture.write(s"$d/a", AcquisitionFixture.Spec())
+    s"$d/a"
+  }
+
+  test("format(hsd) equals Ingest.decodeDat") {
+    val viaSource = spark.read.format("hsd").load(acq)
+    val meta = Ingest.readMeta(spark, acq)
+    val viaMap = Ingest.decodeDat(spark, s"$acq/iis3dwb_acc.dat",
+      meta.device.components("iis3dwb_acc"))
+    assert(viaSource.schema == viaMap.schema)
+    assert(viaSource.count() == viaMap.count())
+    assert(viaSource.exceptAll(viaMap).isEmpty && viaMap.exceptAll(viaSource).isEmpty)
+  }
+
+  test("column pruning reaches the scan (ReadSchema shrinks)") {
+    val df = spark.read.format("hsd").load(acq).select("Time")
+    val scanDesc = df.queryExecution.executedPlan.toString
+    assert(scanDesc.contains("ReadSchema=Time"), s"plan:\n$scanDesc")
+    // values still correct under pruning
+    val n = df.where(col("Time") > 0).count()
+    assert(n == df.count())
+  }
+
+  test("Time-range pushdown: block skip + exact residual") {
+    val full = spark.read.format("hsd").load(acq)
+    val lo = 1.0
+    val hi = 2.0
+    val ranged = full.where(col("Time") >= lo && col("Time") < hi)
+    val desc = ranged.queryExecution.executedPlan.toString
+    assert(desc.contains("PushedTimeRange"), s"plan:\n$desc")
+    // equality against the unpushed computation
+    val expect = full.collect().map(_.getDouble(0)).count(t => t >= lo && t < hi)
+    assert(ranged.count() == expect)
+    // boundary exactness: residual filter keeps sample granularity
+    assert(ranged.agg(min("Time")).head().getDouble(0) >= lo)
+    assert(ranged.agg(max("Time")).head().getDouble(0) < hi)
+  }
+
+  test("sensor option + missing component fails fast at planning") {
+    val e = intercept[Exception] {
+      spark.read.format("hsd").option("sensor", "nope").load(acq).schema
+    }
+    assert(e.getMessage.contains("nope"))
+  }
+}
