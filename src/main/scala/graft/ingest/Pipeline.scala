@@ -49,11 +49,30 @@ object Pipeline {
     Some(Result(enriched, rmsOut))
   }
 
-  /** Process every complete acquisition under a landing prefix —
-    * the reference's per-event fan-out (≤6 function instances)
-    * becomes cluster-parallel decode within each acquisition. */
-  def processLanding(spark: SparkSession, landingDir: String, outDir: String): Int =
-    Ingest.completeAcquisitions(spark, landingDir)
-      .flatMap(processAcquisition(spark, _, outDir))
-      .size
+  /** Process every complete acquisition under a landing prefix.
+    * Each acquisition's decode is cluster-parallel on its own; on top
+    * of that, `parallelism` pipelines run concurrently (the
+    * reference's ≤6 function instances, but sharing one cluster's
+    * scheduler). Concurrent jobs in one SparkSession interleave
+    * safely; two acquisitions landing in the SAME output partition
+    * race on dynamic overwrite exactly like concurrent reference
+    * instances did — last commit wins, idempotently. */
+  def processLanding(
+      spark: SparkSession,
+      landingDir: String,
+      outDir: String,
+      parallelism: Int = 4): Int = {
+    val dirs = Ingest.completeAcquisitions(spark, landingDir)
+    if (dirs.isEmpty) return 0
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(parallelism, dirs.size))
+    try {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      val done = Future.sequence(
+        dirs.map(d => Future(processAcquisition(spark, d, outDir))))
+      Await.result(done, Duration.Inf).flatten.size
+    } finally pool.shutdown()
+  }
 }

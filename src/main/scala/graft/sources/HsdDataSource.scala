@@ -97,11 +97,19 @@ case class HsdTable(dir: String, cfg: ComponentConfig, tableSchema: StructType)
 
 case class HsdScanBuilder(dir: String, cfg: ComponentConfig, blocksPerSplit: Int)
     extends ScanBuilder
-    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+    with SupportsPushDownLimit {
 
   private var requiredSchema: StructType = HsdDataSource.fullSchema(cfg)
   private var timeRange: (Double, Double) = (Double.NegativeInfinity, Double.PositiveInfinity)
   private var pushed: Array[Filter] = Array.empty
+  private var limit: Int = Int.MaxValue
+
+  override def pushLimit(l: Int): Boolean = {
+    // per-partition cap; Spark still applies the global limit above
+    limit = l
+    true
+  }
 
   override def pruneColumns(required: StructType): Unit = {
     // preserve source column order; empty projection (count(*)) keeps
@@ -132,7 +140,7 @@ case class HsdScanBuilder(dir: String, cfg: ComponentConfig, blocksPerSplit: Int
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = HsdScan(dir, cfg, requiredSchema, timeRange, blocksPerSplit)
+  override def build(): Scan = HsdScan(dir, cfg, requiredSchema, timeRange, blocksPerSplit, limit)
 }
 
 case class HsdScan(
@@ -140,7 +148,8 @@ case class HsdScan(
     cfg: ComponentConfig,
     projectedSchema: StructType,
     timeRange: (Double, Double),
-    blocksPerSplit: Int) extends Scan with Batch {
+    blocksPerSplit: Int,
+    limit: Int = Int.MaxValue) extends Scan with Batch {
 
   override def readSchema(): StructType = projectedSchema
   override def toBatch: Batch = this
@@ -167,6 +176,7 @@ case class HsdScan(
       s"$dir/${cfg.name}.dat", cfg,
       projectedSchema.fieldNames,
       timeRange,
+      limit,
       new SerializableConfiguration(spark.sparkContext.hadoopConfiguration))
   }
 }
@@ -178,11 +188,13 @@ case class HsdReaderFactory(
     cfg: ComponentConfig,
     columns: Array[String],
     timeRange: (Double, Double),
+    limit: Int,
     conf: SerializableConfiguration) extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[HsdInputPartition]
-    new HsdPartitionReader(datPath, cfg, columns, timeRange, conf, p.firstBlock, p.nBlocks)
+    new HsdPartitionReader(datPath, cfg, columns, timeRange, limit, conf,
+      p.firstBlock, p.nBlocks)
   }
 }
 
@@ -194,9 +206,12 @@ class HsdPartitionReader(
     cfg: ComponentConfig,
     columns: Array[String],
     timeRange: (Double, Double),
+    limit: Int,
     conf: SerializableConfiguration,
     firstBlock: Long,
     nBlocks: Int) extends PartitionReader[InternalRow] {
+
+  private var emitted = 0
 
   private val allNames = "Time" +: Hsd2.rawColumnNames(cfg)
   // projected field -> source index (0 = Time, 1.. = axes)
@@ -250,9 +265,11 @@ class HsdPartitionReader(
   }
 
   override def next(): Boolean = {
+    if (emitted >= limit) return false
     if (bb == null) open()
     skipNonMatchingBlocks()
     if (block >= nBlocks) return false
+    emitted += 1
     val base = block * blockBytes + (i * dim) * cfg.bytesPerSample
     val t = t0 + (i + 1).toDouble * (t1 - t0) / spts.toDouble
     writer.reset()

@@ -49,6 +49,12 @@ class HsdSourceSpec extends SparkSpec {
     assert(ranged.agg(max("Time")).head().getDouble(0) < hi)
   }
 
+  test("limit pushdown caps per-partition decode") {
+    val df = spark.read.format("hsd").load(acq).limit(7)
+    assert(df.count() == 7)
+    assert(df.collect().length == 7)
+  }
+
   test("sensor option + missing component fails fast at planning") {
     val e = intercept[Exception] {
       spark.read.format("hsd").option("sensor", "nope").load(acq).schema

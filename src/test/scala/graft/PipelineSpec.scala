@@ -84,6 +84,17 @@ class PipelineSpec extends SparkSpec {
     assert(!new java.io.File(s"$out/data_parquet_rms").exists())
   }
 
+  test("processLanding: concurrent pipelines over multiple acquisitions") {
+    val landing = tmpDir("landing_multi")
+    val out = tmpDir("out_multi")
+    AcquisitionFixture.write(s"$landing/a1", spec)
+    AcquisitionFixture.write(s"$landing/a2", spec.copy(alias = "LAF2"))
+    AcquisitionFixture.writeIncomplete(s"$landing/a3", spec)
+    assert(Pipeline.processLanding(spark, landing, out) == 2)
+    val enriched = spark.read.parquet(s"$out/data_parquet")
+    assert(enriched.select("alias").distinct().count() == 2)
+  }
+
   test("splittable decode: multi-split == single-split (anchor chain)") {
     val acq = tmpDir("acq_split")
     AcquisitionFixture.write(s"$acq/a", spec)
