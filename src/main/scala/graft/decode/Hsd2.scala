@@ -79,7 +79,12 @@ object Hsd2 {
           vals(d) = readRaw() * cfg.sensitivity
           d += 1
         }
-        val t = t0 + (i + 1).toDouble * (t1 - t0) / spts.toDouble
+        // last sample sits EXACTLY on the block timestamp (the spec's
+        // defining property); interpolation arithmetic alone can land
+        // 1 ulp off (t0 + n·(t1−t0)/n ≠ t1 in floating point)
+        val t =
+          if (i == spts - 1) t1
+          else t0 + (i + 1).toDouble * (t1 - t0) / spts.toDouble
         i += 1
         if (i == spts) {
           bb.position(bb.position() + 8) // consume the timestamp

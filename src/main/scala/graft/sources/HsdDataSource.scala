@@ -196,6 +196,66 @@ case class HsdReaderFactory(
     new HsdPartitionReader(datPath, cfg, columns, timeRange, limit, conf,
       p.firstBlock, p.nBlocks)
   }
+
+  /** Vectorized path: the scan emits ColumnarBatch (like the built-in
+    * parquet reader), so downstream whole-stage codegen consumes
+    * column vectors instead of one row at a time. */
+  override def supportColumnarReads(partition: InputPartition): Boolean = true
+
+  override def createColumnarReader(
+      partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val p = partition.asInstanceOf[HsdInputPartition]
+    new HsdColumnarReader(datPath, cfg, columns, timeRange, limit, conf,
+      p.firstBlock, p.nBlocks)
+  }
+}
+
+/** Columnar reader: decodes straight into OnHeapColumnVectors in
+  * batches of up to 4096 samples. Reuses the row reader's cursor
+  * logic (anchor chain, block skip, projection). */
+class HsdColumnarReader(
+    datPath: String,
+    cfg: ComponentConfig,
+    columns: Array[String],
+    timeRange: (Double, Double),
+    limit: Int,
+    conf: SerializableConfiguration,
+    firstBlock: Long,
+    nBlocks: Int)
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+
+  import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+  import org.apache.spark.sql.vectorized.ColumnarBatch
+
+  private val BatchSize = 4096
+  private val rows = new HsdPartitionReader(
+    datPath, cfg, columns, timeRange, limit, conf, firstBlock, nBlocks)
+  private val schema = StructType(columns.map(StructField(_, DoubleType, nullable = false)))
+  private val vectors = OnHeapColumnVector.allocateColumns(BatchSize, schema)
+  private val batch = new ColumnarBatch(vectors.map(v =>
+    v: org.apache.spark.sql.vectorized.ColumnVector))
+
+  override def next(): Boolean = {
+    var n = 0
+    vectors.foreach(_.reset())
+    while (n < BatchSize && rows.next()) {
+      val row = rows.get()
+      var f = 0
+      while (f < columns.length) {
+        vectors(f).putDouble(n, row.getDouble(f))
+        f += 1
+      }
+      n += 1
+    }
+    batch.setNumRows(n)
+    n > 0
+  }
+
+  override def get(): ColumnarBatch = batch
+  override def close(): Unit = {
+    rows.close()
+    batch.close()
+  }
 }
 
 /** Per-partition reader: seeks to its block range, chains the
@@ -271,7 +331,10 @@ class HsdPartitionReader(
     if (block >= nBlocks) return false
     emitted += 1
     val base = block * blockBytes + (i * dim) * cfg.bytesPerSample
-    val t = t0 + (i + 1).toDouble * (t1 - t0) / spts.toDouble
+    // same convention as Hsd2.decodeBlocks: final sample exactly on t1
+    val t =
+      if (i == spts - 1) t1
+      else t0 + (i + 1).toDouble * (t1 - t0) / spts.toDouble
     writer.reset()
     var f = 0
     while (f < proj.length) {
