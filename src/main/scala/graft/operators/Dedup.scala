@@ -172,6 +172,64 @@ object Dedup {
       .select(col("a"), col("b"), col("n_inter"), col("n_union"))
   }
 
+  /** Connected components over a near-dup pair graph: every doc gets
+    * the minimum id reachable through dup pairs as its `cluster`.
+    * Iterative min-label propagation — each round is one join + one
+    * aggregation; rounds needed = graph diameter (dup clusters are
+    * shallow: chains of a few edits), each round a bounded-size
+    * shuffle over the PAIRS, not the corpus. This is what turns a
+    * pair list (jaccardJoin / minhashLsh / simhashNearDup output)
+    * into an actual deduplication: keep rows where id == cluster. */
+  def clusters(ids: DataFrame, pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    // undirected edge list, both directions — materialized ONCE so the
+    // iteration doesn't recompute pair discovery every round
+    val edges = pairs.select(col("a").as("x"), col("b").as("y"))
+      .union(pairs.select(col("b").as("x"), col("a").as("y")))
+      .distinct()
+      .localCheckpoint(eager = true)
+    var labels = ids.select(col("id"), col("id").as("cluster"))
+      .localCheckpoint(eager = true)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      // candidate label per node: min of own and neighbors' labels
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "y")
+          .withColumnRenamed("cluster", "ncluster"), Seq("y"))
+        .groupBy(col("x").as("id"))
+        .agg(min(col("ncluster")).as("ncluster"))
+      // checkpoint BEFORE the convergence probe so the round's plan
+      // runs once; the probe then joins two materialized frames
+      val updated = labels.join(viaNeighbors, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("ncluster"), col("cluster")))
+            .as("cluster"))
+        .localCheckpoint(eager = true)
+      val changed = updated.alias("u")
+        .join(labels.alias("l"), Seq("id"))
+        .where(col("u.cluster") =!= col("l.cluster"))
+        .limit(1).count() > 0
+      labels = updated
+      converged = !changed
+      it += 1
+    }
+    labels
+  }
+
+  /** Full near-dup deduplication: pair discovery (MinHash LSH) →
+    * connected components → keep each cluster's minimum-id row. */
+  def dedupNear(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double): DataFrame = {
+    val pairs = minhashLsh(df, idCol, textCol, threshold)
+    val ids = df.select(col(idCol).as("id"))
+    val keep = clusters(ids, pairs).where(col("id") === col("cluster"))
+      .select(col("id").as(idCol))
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
   /** 64-bit SimHash fingerprint per doc: sum the ±1 contribution of
     * every shingle's hash bit, bit j of the fingerprint = sign of
     * sum_j. 64 map-side-combinable sums, one shuffle. */

@@ -112,6 +112,44 @@ object Multimodal {
     spark.createDataFrame(rows, schema)
   }
 
+  /** Resize STUB: nearest-neighbor downsample of each image-like
+    * blob's pixel grid to (outW × outH), re-encoded in the same fake
+    * container — deterministic; swapping in a real scaler changes no
+    * plan shape. Non-image/invalid blobs pass through null. */
+  def resize(df: DataFrame, idCol: String, binCol: String,
+      outW: Int, outH: Int): DataFrame = {
+    val spark = df.sparkSession
+    val schema = StructType(Seq(
+      StructField("id", LongType, false),
+      StructField("resized", BinaryType, true)))
+    val rows = df.select(col(idCol).cast(LongType), col(binCol)).rdd
+      .mapPartitions(_.map { r =>
+        val b = r.getAs[Array[Byte]](1)
+        val meta = parseHeader(b)
+        if (!meta.getBoolean(5) || meta.getString(0) != "image")
+          Row(r.getLong(0), null)
+        else {
+          val w = meta.getInt(1); val h = meta.getInt(2)
+          val out = ByteBuffer.allocate(17 + outW * outH)
+            .order(ByteOrder.LITTLE_ENDIAN)
+          out.put(Magic).put(0.toByte).putInt(outW).putInt(outH).putInt(1)
+          var y = 0
+          while (y < outH) {
+            val sy = y * h / outH
+            var x = 0
+            while (x < outW) {
+              val sx = x * w / outW
+              out.put(b(17 + sy * w + sx))
+              x += 1
+            }
+            y += 1
+          }
+          Row(r.getLong(0), out.array())
+        }
+      })
+    spark.createDataFrame(rows, schema)
+  }
+
   /** Frame sampling for video-like blobs: every `stride`-th frame as
     * its own row (id, frame_idx, frame binary). The explode runs
     * inside the partition — no shuffle, output size bounded by

@@ -185,6 +185,33 @@ object ExtQueries {
       .orderBy("a", "b")
   }
 
+  // ---------------------------------------------------------------
+  // q36 — full near-dup deduplication: MinHash-LSH pairs → connected
+  // components (iterative min-label) → keep each cluster's min id.
+  // Oracle: recursive-CTE transitive closure over the exact Jaccard
+  // pair graph.
+  def q36(s: SparkSession, dir: String): DataFrame =
+    Dedup.dedupNear(t(s, dir, "documents"), "doc_id", "text", 0.5)
+      .select(col("doc_id"))
+      .orderBy("doc_id")
+
+  val q36Sql: String =
+    """WITH RECURSIVE
+       toks AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+       sh AS (SELECT doc_id, list_distinct([array_to_string(w[i:i+2],' ')
+                for i in range(1, len(w)-1)]) s FROM toks),
+       p AS (SELECT a.doc_id AS a, b.doc_id AS b
+             FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             WHERE CAST(len(list_intersect(a.s,b.s)) AS DOUBLE)
+                   >= 0.5*(len(a.s)+len(b.s)-len(list_intersect(a.s,b.s)))),
+       e AS (SELECT a AS x, b AS y FROM p UNION ALL SELECT b, a FROM p),
+       reach(id, r) AS (
+         SELECT doc_id, doc_id FROM documents
+         UNION
+         SELECT e.x, reach.r FROM e JOIN reach ON reach.id = e.y)
+       SELECT id AS doc_id FROM (SELECT id, min(r) AS m FROM reach GROUP BY id)
+       WHERE id = m ORDER BY doc_id"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_dedup_exact" -> (q21 _),
     "q22_jaccard_join" -> (q22 _),
@@ -198,6 +225,7 @@ object ExtQueries {
     "q30_fingerprint" -> (q30 _),
     "q31_multimodal" -> (q31 _),
     "q33_embed_neardup" -> (q33 _),
+    "q36_dedup_clusters" -> (q36 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -207,5 +235,6 @@ object ExtQueries {
     "q25_cosine_topk" -> q25Sql,
     "q28_quality" -> q28Sql,
     "q29_tokens" -> q29Sql,
+    "q36_dedup_clusters" -> q36Sql,
   )
 }

@@ -54,6 +54,22 @@ class DedupSpec extends SparkSpec {
     assert(lsh.map(_.toSeq).toSeq == exact.map(_.toSeq).toSeq)
   }
 
+  test("clusters: transitive chains collapse to one component") {
+    val ids = Seq(0L, 1L, 2L, 3L, 4L, 5L).toDF("id")
+    // chain 0-1-2, pair 3-4, singleton 5
+    val pairs = Seq((0L, 1L), (1L, 2L), (3L, 4L)).toDF("a", "b")
+    val out = Dedup.clusters(ids, pairs).orderBy("id").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("cluster")))
+    assert(out.toSeq == Seq((0L, 0L), (1L, 0L), (2L, 0L), (3L, 3L), (4L, 3L), (5L, 5L)))
+  }
+
+  test("dedupNear: keeps one representative per near-dup cluster") {
+    val out = Dedup.dedupNear(docs, "doc_id", "text", 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    // docs 0,1,3 form one cluster (keep 0); 2 and 4 survive alone
+    assert(out == Seq(0L, 2L, 4L))
+  }
+
   test("simhash: near-dups close in Hamming space, unrelated far apart") {
     val fps = Dedup.simhash(docs, "doc_id", "text")
       .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("simhash")).toMap

@@ -33,6 +33,22 @@ class MultimodalSpec extends SparkSpec {
     })
   }
 
+  test("resize: nearest-neighbor downsample keeps container contract") {
+    val fx = Multimodal.fixture(spark, 3) // id 0 is an 8x6 image
+    val out = Multimodal.resize(fx, "id", "media", 4, 3)
+      .orderBy("id").collect()
+    val img = out(0).getAs[Array[Byte]]("resized")
+    assert(img != null)
+    val meta = Multimodal.decodeMeta(
+      spark.createDataFrame(Seq((0L, img)))
+        .toDF("id", "media"), "id", "media").collect()(0)
+    assert(meta.getAs[String]("mtype") == "image")
+    assert(meta.getAs[Int]("width") == 4 && meta.getAs[Int]("height") == 3)
+    assert(meta.getAs[Int]("payload_bytes") == 12)
+    // audio blob (id 1) passes through as null
+    assert(out(1).isNullAt(1))
+  }
+
   test("sampleFrames: stride sampling of video frames") {
     val fx = Multimodal.fixture(spark, 9) // ids 2,5,8 are video with 4..6 frames
     val frames = Multimodal.sampleFrames(fx, "id", "media", stride = 2)
