@@ -119,6 +119,18 @@ object StreamingIngest {
     query.awaitTermination()
   }
 
+  /** Streaming exact dedup: drop repeats of a key seen within the
+    * watermark horizon — the streaming member of the dedup family
+    * (state is bounded by the watermark, unlike plain dropDuplicates
+    * whose state grows forever). */
+  def streamingDedup(
+      df: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      watermark: String = "10 minutes"): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   /** Streaming tumbling-window RMS with watermarked late-data
     * handling — the reference's RMS table as a live query
     * (SURVEY.md §2.B watermarks). Input: event-time timestamp col +

@@ -68,6 +68,25 @@ class StreamingSpec extends SparkSpec {
     assert(rms.count() == 3)
   }
 
+  test("streaming dedup: repeats within the watermark horizon dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(String, java.sql.Timestamp)]
+    val df = input.toDF().toDF("k", "ts")
+    val deduped = StreamingIngest.streamingDedup(df, Seq("k"), "ts", "1 minute")
+    val q = deduped.writeStream.format("memory")
+      .queryName("dedup_out").outputMode("append").start()
+    try {
+      def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+      input.addData(("a", ts(0)), ("a", ts(5)), ("b", ts(10)))
+      q.processAllAvailable()
+      input.addData(("a", ts(20)), ("b", ts(30))) // still within horizon
+      q.processAllAvailable()
+      val keys = spark.table("dedup_out").collect().map(_.getString(0)).sorted
+      assert(keys.toSeq == Seq("a", "b"), s"got ${keys.toSeq}")
+    } finally q.stop()
+  }
+
   test("streaming RMS: watermarked tumbling windows close correctly") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
