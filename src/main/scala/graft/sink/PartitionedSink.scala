@@ -22,11 +22,28 @@ import org.apache.spark.sql.functions._
   */
 object PartitionedSink {
 
-  def write(df: DataFrame, outDir: String, timeCol: String = "Time"): Unit = {
+  /** @param filesPerDir cap output files per partition directory by
+    *   repartitioning on (partition cols, hash-salt) before the
+    *   write. Without it every upstream task writes one file into
+    *   every partition dir it touches — at 100 TB (~16k decode tasks)
+    *   that is a small-files catastrophe. One shuffle buys a bounded
+    *   layout; 0 disables (keeps task-parallel writes for tiny jobs).
+    */
+  def write(
+      df: DataFrame,
+      outDir: String,
+      timeCol: String = "Time",
+      filesPerDir: Int = 32): Unit = {
     val ts = timestamp_micros((col(timeCol) / lit(1000L)).cast("long"))
-    df.withColumn("year", year(ts))
+    val withParts = df.withColumn("year", year(ts))
       .withColumn("month", month(ts))
       .withColumn("day", dayofmonth(ts))
+    val arranged =
+      if (filesPerDir <= 0) withParts
+      else withParts.repartition(
+        col("alias"), col("year"), col("month"), col("day"),
+        pmod(xxhash64(col(timeCol)), lit(filesPerDir.toLong)))
+    arranged
       .write
       .mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
