@@ -39,8 +39,11 @@ object Rms {
       alias: String = "unknown",
       timeCol: String = "Time"): DataFrame = {
 
-    val bucket = (col(timeCol).cast(LongType) / lit(windowNs))
-      .cast(LongType).as("bucket")
+    // integer `div`, NOT `/`: double division of epoch-ns longs loses
+    // precision (ulp at 2025 magnitudes is 256 ns), putting boundary
+    // samples in the wrong window
+    val bucket = expr(s"CAST(`$timeCol` AS BIGINT) div ${windowNs}L")
+      .as("bucket")
     // pandas `mean` skips NaN; Spark `avg` skips null — align by
     // nulling NaNs before the aggregate (SURVEY.md §7.4).
     def meanSq(c: String): Column =

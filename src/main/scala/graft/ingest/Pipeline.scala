@@ -33,19 +33,26 @@ object Pipeline {
     val enriched = Ingest.enrich(decoded, meta.info.startTime, meta.device.alias)
     PartitionedSink.write(enriched, s"$outDir/data_parquet")
 
+    // compute RMS from the parquet just written — decode runs ONCE;
+    // the aggregate then reads the columnar sink (vectorized scan)
+    // instead of re-decoding the .dat
     val axes = decoded.columns.filter(_ != "Time").map(Sanitize.column).toSeq
-    val rms = Rms.compute(enriched, axes, windowNs, completeness,
-      alias = meta.device.alias)
+    val enrichedOnDisk = spark.read.parquet(s"$outDir/data_parquet")
+    val rms = Rms.compute(enrichedOnDisk, axes, windowNs, completeness,
+        alias = meta.device.alias)
+      .persist() // 1 row/s/device — tiny; reused by the guard + sink
     // empty-result guard (reference `main.py:154-156`)
     val rmsOut =
-      if (rms.isEmpty) {
-        org.slf4j.LoggerFactory.getLogger(getClass)
-          .warn(s"no complete ${windowNs / 1e9}s windows in $acqDir; skipping RMS sink")
-        None
-      } else {
-        PartitionedSink.write(rms, s"$outDir/data_parquet_rms")
-        Some(rms)
-      }
+      try {
+        if (rms.isEmpty) {
+          org.slf4j.LoggerFactory.getLogger(getClass)
+            .warn(s"no complete ${windowNs / 1e9}s windows in $acqDir; skipping RMS sink")
+          None
+        } else {
+          PartitionedSink.write(rms, s"$outDir/data_parquet_rms")
+          Some(rms)
+        }
+      } finally rms.unpersist()
     Some(Result(enriched, rmsOut))
   }
 

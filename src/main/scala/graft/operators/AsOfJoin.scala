@@ -45,7 +45,7 @@ object AsOfJoin {
 
     val lTagged = left.select(
       (Seq(
-        col(leftKey).cast("long").as("__k"),
+        col(leftKey).as("__k"), // any equi-comparable key type
         col(leftTime).cast("long").as("__t"),
         lit(1).as("__side")) ++
         leftCols.map(c => col(c).as(s"__l_$c")) ++
@@ -54,7 +54,7 @@ object AsOfJoin {
 
     val rTagged = right.select(
       (Seq(
-        col(rightKey).cast("long").as("__k"),
+        col(rightKey).as("__k"),
         col(rightTime).cast("long").as("__t"),
         lit(0).as("__side")) ++
         leftCols.map(c =>

@@ -143,6 +143,9 @@ object Dedup {
       bands: Int = 32,
       n: Int = 3,
       seed: Long = 42L): DataFrame = {
+    require(bands > 0 && bands <= numPerm && numPerm % bands == 0,
+      s"bands ($bands) must divide numPerm ($numPerm); bands > numPerm would " +
+        "make every band hash constant and degenerate candidates to all pairs")
     val rows = numPerm / bands
     val sig = minhashSignature(df, idCol, textCol, numPerm, n, seed)
     // band value = hash of its r contiguous signature slots
@@ -213,6 +216,11 @@ object Dedup {
       converged = !changed
       it += 1
     }
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"clusters() hit maxIters=$maxIters before converging — component " +
+          "diameter exceeds the iteration budget; labels may be non-minimal " +
+          "and dedup may keep extra representatives")
     labels
   }
 

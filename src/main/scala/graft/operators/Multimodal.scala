@@ -66,7 +66,13 @@ object Multimodal {
         case 2 => "video"
         case _ => "unknown"
       }
-      Row(mtype, bb.getInt, bb.getInt, bb.getInt, bytes.length - 17, true)
+      val w = bb.getInt; val h = bb.getInt; val nf = bb.getInt
+      // a truncated payload must flag invalid, not crash downstream
+      // pixel/frame readers with out-of-bounds access
+      val declared = w.toLong * h.toLong * math.max(nf, 1).toLong
+      val ok = w > 0 && h > 0 && nf > 0 &&
+        declared <= bytes.length.toLong - 17
+      Row(mtype, w, h, nf, bytes.length - 17, ok)
     }
   }
 

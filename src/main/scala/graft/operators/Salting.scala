@@ -25,6 +25,11 @@ object Salting {
       factor: Int = 16,
       joinType: String = "inner"): DataFrame = {
     require(factor > 0)
+    // right/full outer would emit null-extended rows for unmatched
+    // REPLICAS (up to factor-1 spurious rows per small-side row)
+    require(Set("inner", "left", "left_outer", "leftouter", "left_semi",
+      "leftsemi", "left_anti", "leftanti").contains(joinType.toLowerCase),
+      s"saltedEquiJoin supports inner/left-flavored joins, got $joinType")
     val bigCols = big.columns
     val salted = big.withColumn("__salt",
       pmod(xxhash64(bigCols.map(col): _*), lit(factor.toLong)).cast("int"))

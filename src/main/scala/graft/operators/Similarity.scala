@@ -94,7 +94,14 @@ object Similarity {
       bits: Int = 12,
       seed: Long = 42L): DataFrame = {
     val spark = df.sparkSession
-    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    val head = df.select(size(col(vecCol))).head(1)
+    if (head.isEmpty) // empty corpus → empty buckets, not a crash
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row],
+        StructType(Seq(StructField("id", LongType, false),
+          StructField("table", IntegerType, false),
+          StructField("bucket", LongType, false))))
+    val dim = head.head.getInt(0)
     val planes = spark.sparkContext.broadcast(hyperplanes(tables, bits, dim, seed))
     val in = df.select(col(idCol).cast(LongType).as("id"),
       col(vecCol).cast("array<double>").as("v"))
@@ -197,6 +204,13 @@ object Similarity {
       col(vecCol).cast("array<double>").as("v"))
     val sample = in.orderBy("id").limit(sampleSize) // deterministic sample
       .collect().map(_.getSeq[Double](1).toArray)
+    if (sample.isEmpty) // empty corpus → empty result, not a crash
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row],
+        StructType(Seq(StructField("q", LongType, false),
+          StructField("rank", IntegerType, false),
+          StructField("n", LongType, false),
+          StructField("cos", DoubleType, false))))
     val cents = spark.sparkContext.broadcast(
       trainCentroids(sample, nLists, iters = 5, seed))
 

@@ -59,6 +59,9 @@ object StreamingIngest {
               Iterator.empty
             } else {
               state.update(GateState(seen, emitted = true))
+              // emitted entries must still expire, else state for
+              // finished uploads accumulates forever
+              stateTimeout.foreach(state.setTimeoutDuration)
               Iterator.single(dir)
             }
           }
