@@ -459,6 +459,69 @@ object Queries {
           col("exact_users").cast("double"))
       .orderBy("event_type")
 
+  // ---------------------------------------------------------------
+  // q37 — pure theta join (no equi key ⇒ BroadcastNestedLoopJoin):
+  // per region, count nations whose name sorts after the region's.
+  def q37(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "region")
+      .join(t(s, dir, "nation"), col("n_name") > col("r_name"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("r_name")
+
+  val q37Sql: String =
+    """SELECT r_name, count(*) AS n FROM region r JOIN nation n
+       ON n.n_name > r.r_name GROUP BY r_name ORDER BY r_name"""
+
+  // ---------------------------------------------------------------
+  // q38 — anti join: customers with no events (non-empty at sf0.01,
+  // unlike orders/lineitem keys which are fully covered).
+  def q38(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "events"), col("c_custkey") === col("user_id"), "left_anti")
+      .select(col("c_custkey"))
+      .orderBy("c_custkey")
+
+  val q38Sql: String =
+    """SELECT c_custkey FROM customer
+       WHERE c_custkey NOT IN (SELECT user_id FROM events)
+       ORDER BY c_custkey"""
+
+  // ---------------------------------------------------------------
+  // q39 — generator / lateral view: posexplode tokens of the first
+  // 20 documents with their positions.
+  def q39(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .where(col("doc_id") < 20)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .toDF("doc_id", "pos", "token")
+      .orderBy("doc_id", "pos")
+
+  val q39Sql: String =
+    """SELECT doc_id, CAST(i - 1 AS INT) AS pos, w[i] AS token
+       FROM (SELECT doc_id, string_split(text, ' ') AS w
+             FROM documents WHERE doc_id < 20),
+            LATERAL unnest(generate_series(1, len(w))) AS t(i)
+       ORDER BY doc_id, pos"""
+
+  // ---------------------------------------------------------------
+  // q41 — higher-order array functions over the embedding column:
+  // integer-exact outputs (positive-component count, argmax index).
+  def q41(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(
+        col("vec_id"),
+        size(filter(col("embedding"), x => x > 0)).as("n_pos"),
+        array_position(col("embedding"), array_max(col("embedding")))
+          .cast("int").as("argmax1"))
+      .orderBy("vec_id")
+
+  val q41Sql: String =
+    """SELECT vec_id,
+       CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
+       CAST(list_position(embedding, list_max(embedding)) AS INT) AS argmax1
+       FROM embeddings ORDER BY vec_id"""
+
   /** Registry fragment: relational core. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_project_rename" -> (q01 _),
@@ -481,6 +544,10 @@ object Queries {
     "q19_cube" -> (q19 _),
     "q32_session_window" -> (q32 _),
     "q34_approx_distinct" -> (q34 _),
+    "q37_theta_join" -> (q37 _),
+    "q38_anti_join" -> (q38 _),
+    "q39_posexplode" -> (q39 _),
+    "q41_array_hof" -> (q41 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -503,5 +570,9 @@ object Queries {
     "q18_range_join" -> q18Sql,
     "q19_cube" -> q19Sql,
     "q32_session_window" -> q32Sql,
+    "q37_theta_join" -> q37Sql,
+    "q38_anti_join" -> q38Sql,
+    "q39_posexplode" -> q39Sql,
+    "q41_array_hof" -> q41Sql,
   )
 }
