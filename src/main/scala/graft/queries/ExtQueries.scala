@@ -212,6 +212,23 @@ object ExtQueries {
        SELECT id AS doc_id FROM (SELECT id, min(r) AS m FROM reach GROUP BY id)
        WHERE id = m ORDER BY doc_id"""
 
+  // ---------------------------------------------------------------
+  // q42 — corpus vocabulary statistics: term frequency + document
+  // frequency per token (the integer core of TF-IDF; scores stay
+  // integer-exact across engines).
+  def q42(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      .orderBy("token")
+
+  val q42Sql: String =
+    """SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+             FROM documents)
+       GROUP BY token ORDER BY token"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_dedup_exact" -> (q21 _),
     "q22_jaccard_join" -> (q22 _),
@@ -226,6 +243,7 @@ object ExtQueries {
     "q31_multimodal" -> (q31 _),
     "q33_embed_neardup" -> (q33 _),
     "q36_dedup_clusters" -> (q36 _),
+    "q42_vocab_stats" -> (q42 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -236,5 +254,6 @@ object ExtQueries {
     "q28_quality" -> q28Sql,
     "q29_tokens" -> q29Sql,
     "q36_dedup_clusters" -> q36Sql,
+    "q42_vocab_stats" -> q42Sql,
   )
 }
