@@ -259,37 +259,68 @@ object Dedup {
   }
 
   /** All pairs with Hamming(simhash_a, simhash_b) ≤ maxDist, found
-    * exactly: split the 64-bit fingerprint into maxDist+1 chunks —
-    * any pair within distance maxDist shares at least one chunk
-    * (pigeonhole), so a chunk equi-join finds every such pair
-    * without an all-pairs product. */
+    * exactly, with joins whose key space scales with the corpus:
+    *
+    *  1. The join runs over DISTINCT fingerprints, so exact-duplicate
+    *     clusters (the dominant skew at web scale — identical docs
+    *     share a fingerprint) collapse to one row each; identical-
+    *     fingerprint (Hamming 0) id pairs come from a separate
+    *     equi-join on the full 64-bit value.
+    *  2. Two-chunk blocking: the fingerprint splits into maxDist+2
+    *     chunks, so ≤ maxDist differing bits leave at least TWO
+    *     chunks intact (pigeonhole) — some ordered chunk PAIR matches.
+    *     Banding on all C(maxDist+2, 2) chunk pairs gives join keys
+    *     of ~2·64/(maxDist+2) bits (≈26 bits at maxDist=3, vs 16 bits
+    *     for single-chunk blocking) — bucket sizes shrink by ~2^10 and
+    *     candidate pairs by ~2^20 at any corpus size.
+    */
   def simhashNearDup(
       fps: DataFrame, // (id, simhash)
       maxDist: Int = 3): DataFrame = {
-    val nChunks = maxDist + 1
-    require(nChunks <= 64, "need at least one bit per chunk")
+    val nChunks = maxDist + 2
+    require(nChunks <= 64, "need at least one bit per chunk (maxDist <= 62)")
     // chunk c covers bits [offsets(c), offsets(c+1)): widths differ by
-    // at most one — the pigeonhole argument needs any partition
+    // at most one — the pigeonhole argument holds for any partition
     val base = 64 / nChunks
     val extra = 64 % nChunks
     val offsets = (0 to nChunks).map(c => c * base + math.min(c, extra))
-    val chunkCols = (0 until nChunks).map { c =>
+    def chunk(c: Int): Column = {
       val width = offsets(c + 1) - offsets(c)
       val mask = if (width == 64) -1L else (1L << width) - 1
       shiftrightunsigned(col("simhash"), offsets(c)).bitwiseAND(lit(mask))
     }
-    val chunks = fps.select(col("id"), col("simhash"),
-      posexplode(array(chunkCols: _*)))
-      .toDF("id", "simhash", "chunk_idx", "chunk")
-    val a = chunks.select(col("chunk_idx"), col("chunk"),
-      col("id").as("a"), col("simhash").as("fa"))
-    val b = chunks.select(col("chunk_idx"), col("chunk"),
-      col("id").as("b"), col("simhash").as("fb"))
-    a.join(b, Seq("chunk_idx", "chunk"))
-      .where(col("a") < col("b"))
-      .select(col("a"), col("b"),
-        bit_count(col("fa").bitwiseXOR(col("fb"))).as("hamming"))
+    val reps = fps.select(col("simhash")).distinct()
+    val bandKeys = for {
+      i <- 0 until nChunks
+      j <- i + 1 until nChunks
+    } yield struct(lit(i * nChunks + j).as("band"),
+      chunk(i).as("c1"), chunk(j).as("c2"))
+    val banded = reps
+      .select(col("simhash"), explode(array(bandKeys: _*)).as("bk"))
+      .select(col("simhash"), col("bk.band").as("band"),
+        col("bk.c1").as("c1"), col("bk.c2").as("c2"))
+    val fpPairs = banded
+      .select(col("band"), col("c1"), col("c2"), col("simhash").as("fa"))
+      .join(banded.select(col("band"), col("c1"), col("c2"),
+        col("simhash").as("fb")), Seq("band", "c1", "c2"))
+      .where(col("fa") < col("fb"))
+      .select("fa", "fb").distinct()
+      .withColumn("hamming", bit_count(col("fa").bitwiseXOR(col("fb"))))
       .where(col("hamming") <= maxDist)
-      .distinct()
+    val ids = fps.select(col("id"), col("simhash"))
+    // cross-fingerprint id pairs (output-size bound, no intermediate
+    // blowup: fpPairs is already Hamming-filtered)
+    val cross = fpPairs
+      .join(ids.select(col("simhash").as("fa"), col("id").as("ia")), Seq("fa"))
+      .join(ids.select(col("simhash").as("fb"), col("id").as("ib")), Seq("fb"))
+      .select(least(col("ia"), col("ib")).as("a"),
+        greatest(col("ia"), col("ib")).as("b"), col("hamming"))
+    // identical-fingerprint pairs (Hamming 0)
+    val within = ids.select(col("simhash"), col("id").as("a"))
+      .join(ids.select(col("simhash"), col("id").as("b")), Seq("simhash"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b"), lit(0).as("hamming"))
+    // disjoint by construction (hamming >= 1 vs == 0; one fp per id)
+    cross.union(within)
   }
 }

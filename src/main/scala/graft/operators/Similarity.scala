@@ -52,9 +52,17 @@ object Similarity {
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
-      k: Int): DataFrame = {
+      k: Int,
+      maxBroadcastBytes: Long = 2L << 30): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
+    // fail fast instead of letting a giant broadcast OOM an executor:
+    // the optimizer's size estimate is file-stat-accurate for file
+    // sources and exact for local relations
+    val est = corpus.queryExecution.optimizedPlan.stats.sizeInBytes
+    require(est <= maxBroadcastBytes,
+      s"bruteForceTopK would broadcast ~$est bytes of corpus (limit " +
+        s"$maxBroadcastBytes); use ivfTopK or lshTopK for large corpora")
     val q = queries.select(col(idCol).cast(LongType).as("q"),
       col(vecCol).cast("array<double>").as("qv"))
       .withColumn("qn", norm(col("qv")))
@@ -190,20 +198,38 @@ object Similarity {
     * corpus assignment is one narrow pass, and search shuffles only
     * (query, probed-list) pairs — candidates per query ≈
     * nprobe/k of the corpus instead of all of it. */
+  /** @param nLists  number of inverted lists; <= 0 derives √n clamped
+    *                 to [16, 512] (the driver-side quantizer trainer
+    *                 bounds k — beyond that, train distributed).
+    * @param sampleSize minimum quantizer training sample; scaled up
+    *                 to 32·nLists (capped 65536) so every centroid
+    *                 sees enough points. */
   def ivfTopK(
       df: DataFrame,
       idCol: String,
       vecCol: String,
       k: Int,
-      nLists: Int = 16,
+      nLists: Int = -1,
       nprobe: Int = 4,
       sampleSize: Int = 2000,
       seed: Long = 42L): DataFrame = {
     val spark = df.sparkSession
     val in = df.select(col(idCol).cast(LongType).as("id"),
       col(vecCol).cast("array<double>").as("v"))
-    val sample = in.orderBy("id").limit(sampleSize) // deterministic sample
-      .collect().map(_.getSeq[Double](1).toArray)
+    // One count job up front: sizes the list count and the sample rate.
+    val n = in.count()
+    val lists = if (nLists > 0) nLists
+      else math.max(16, math.min(512, math.sqrt(n.toDouble).toInt))
+    val target = math.min(65536, math.max(sampleSize, 32 * lists))
+    // Deterministic UNIFORM hash sample: a keep-slice of xxhash64(id),
+    // not the lowest ids — on real corpora id order correlates with
+    // source/time, and a prefix sample trains centroids on one shard.
+    // Collected rows are sorted by id driver-side so the training set
+    // (and thus the centroids) is independent of partitioning.
+    val step = math.max(1L, n / math.max(1, target))
+    val sample = in
+      .where(pmod(xxhash64(col("id"), lit(seed)), lit(step)) === 0)
+      .collect().sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray)
     if (sample.isEmpty) // empty corpus → empty result, not a crash
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row],
@@ -212,7 +238,7 @@ object Similarity {
           StructField("n", LongType, false),
           StructField("cos", DoubleType, false))))
     val cents = spark.sparkContext.broadcast(
-      trainCentroids(sample, nLists, iters = 5, seed))
+      trainCentroids(sample, math.min(lists, sample.length), iters = 5, seed))
 
     def assign(nearest: Int): DataFrame => DataFrame = { d =>
       val rows = d.rdd.mapPartitions { it =>

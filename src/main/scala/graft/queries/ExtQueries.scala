@@ -59,12 +59,63 @@ object ExtQueries {
       .orderBy("a", "b")
 
   // ---------------------------------------------------------------
-  // q24 — SimHash fingerprints + Hamming-≤3 near-dup pairs
-  // (hash-defined values ⇒ rows-only; semantics in DedupSpec)
+  // q24 — Hamming-≤3 near-dup pairs through the production pigeonhole
+  // blocking join (Dedup.simhashNearDup). Real SimHash fingerprints
+  // are xxhash64-defined (not recomputable in DuckDB), so the
+  // registry query derives DETERMINISTIC fingerprints from doc_id
+  // with exact decimal arithmetic both engines share: each group of
+  // 5 docs gets a multiplicative-hash base fingerprint with planted
+  // disjoint bit-flip sets of size 0/1/2/3/4 — within-group pair
+  // distances {1,2,3,4,5,6,7} straddle the ≤3 boundary. The oracle
+  // recomputes the expected pairs by brute-force bit_count over ALL
+  // pairs, so any pair the blocking misses (or invents) fails the
+  // gate. SimHash fingerprint values are asserted in DedupSpec.
   def q24(s: SparkSession, dir: String): DataFrame = {
-    val fps = Dedup.simhash(t(s, dir, "documents"), "doc_id", "text")
+    val fps = t(s, dir, "documents").select(
+      expr("CAST(doc_id AS BIGINT)").as("id"), derivedFp.as("simhash"))
     Dedup.simhashNearDup(fps).orderBy("a", "b")
   }
+
+  /** 64-bit fingerprint from doc_id using only exact decimal ops:
+    * golden-ratio multiplicative hash of (doc_id div 5) mod 2^64,
+    * re-signed to long, xor a planted flip mask by (doc_id mod 5). */
+  private def derivedFp: org.apache.spark.sql.Column = {
+    val u = expr(
+      """CAST(CAST(doc_id AS BIGINT) div 5 AS DECIMAL(38,0))
+         * CAST(11400714819323198485 AS DECIMAL(20,0))
+         % CAST(18446744073709551616 AS DECIMAL(20,0))""")
+    val signed = when(u >= lit(new java.math.BigDecimal("9223372036854775808")),
+        u - lit(new java.math.BigDecimal("18446744073709551616")))
+      .otherwise(u).cast("long")
+    val masks = Seq(0L, 1L << 1, (1L << 5) | (1L << 23),
+      (1L << 7) | (1L << 31) | (1L << 50),
+      (1L << 2) | (1L << 17) | (1L << 33) | (1L << 60))
+    signed.bitwiseXOR(
+      element_at(array(masks.map(lit): _*),
+        expr("CAST(doc_id % 5 AS INT)") + 1))
+  }
+
+  val q24Sql: String =
+    """WITH fp AS (SELECT doc_id AS id,
+         xor(CAST(CASE WHEN u >= 9223372036854775808
+                       THEN u - 18446744073709551616 ELSE u END AS BIGINT),
+             CASE doc_id % 5
+               WHEN 0 THEN 0
+               WHEN 1 THEN (CAST(1 AS BIGINT) << 1)
+               WHEN 2 THEN (CAST(1 AS BIGINT) << 5) | (CAST(1 AS BIGINT) << 23)
+               WHEN 3 THEN (CAST(1 AS BIGINT) << 7) | (CAST(1 AS BIGINT) << 31)
+                           | (CAST(1 AS BIGINT) << 50)
+               ELSE (CAST(1 AS BIGINT) << 2) | (CAST(1 AS BIGINT) << 17)
+                    | (CAST(1 AS BIGINT) << 33) | (CAST(1 AS BIGINT) << 60)
+             END) AS f
+       FROM (SELECT doc_id,
+               (CAST(doc_id // 5 AS HUGEINT) * 11400714819323198485)
+               % 18446744073709551616 AS u FROM documents))
+       SELECT a.id AS a, b.id AS b,
+         CAST(bit_count(xor(a.f, b.f)) AS INT) AS hamming
+       FROM fp a JOIN fp b ON a.id < b.id
+       WHERE bit_count(xor(a.f, b.f)) <= 3
+       ORDER BY a, b"""
 
   // ---------------------------------------------------------------
   // q25 — exact cosine top-5 neighbors (brute force, broadcast corpus)
@@ -85,23 +136,64 @@ object ExtQueries {
        WHERE rn <= 5 ORDER BY q, n"""
 
   // ---------------------------------------------------------------
-  // q26 — ANN top-5 via IVF (sampled k-means quantizer + nprobe list
-  // search; recall vs q25 asserted in SimilaritySpec; approximate ⇒
-  // rows-only)
+  // q26 — IVF top-5 with EXHAUSTIVE probe (nprobe = nLists): probing
+  // every list makes the candidate set complete, so the whole IVF
+  // machinery (quantizer training, list assignment, probe join, exact
+  // re-rank) must reproduce the exact top-k — oracle-checkable.
+  // Partial-probe recall (the actual ANN trade-off) is asserted in
+  // SimilaritySpec.
   def q26(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
-    Similarity.ivfTopK(e, "vec_id", "embedding", 5)
+    Similarity.ivfTopK(e, "vec_id", "embedding", 5, nLists = 16, nprobe = 16)
       .select(col("q"), col("rank"), col("n"))
       .orderBy("q", "rank")
   }
 
+  val q26Sql: String =
+    """SELECT q, rank, n FROM (
+       SELECT a.vec_id AS q, b.vec_id AS n,
+         CAST(row_number() OVER (PARTITION BY a.vec_id
+           ORDER BY list_cosine_similarity(a.embedding,b.embedding) DESC,
+                    b.vec_id) AS INT) AS rank
+       FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id)
+       WHERE rank <= 5 ORDER BY q, rank"""
+
   // ---------------------------------------------------------------
-  // q27 — heuristic language ID (script + stopword voting; rows-only,
-  // accuracy asserted on real multilingual samples in TextSpec)
+  // q27 — heuristic language ID (script + stopword voting). Every
+  // primitive (script regex, distinct-anchor intersect counts,
+  // first-max argmax) is DuckDB-expressible, so the full decision
+  // procedure is oracle-exact; multilingual accuracy additionally
+  // asserted on real samples in TextSpec.
   def q27(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
       .orderBy("doc_id")
+
+  // Mirrors TextAnalysis.langId step for step: lowercase whitespace
+  // tokens, per-language DISTINCT stopword-anchor hits
+  // (list_intersect dedups exactly like Spark's array_intersect),
+  // first-max argmax over the language order, script regexes first.
+  val q27Sql: String =
+    """WITH sc AS (SELECT doc_id, text, [
+         len(list_intersect(toks, ['the','a','of','and','to','in','is','that','it','for'])),
+         len(list_intersect(toks, ['el','la','de','que','y','en','los','del','las','por'])),
+         len(list_intersect(toks, ['der','die','und','das','ist','von','den','mit','nicht','ein'])),
+         len(list_intersect(toks, ['le','la','les','de','des','et','est','une','dans','que'])),
+         len(list_intersect(toks, ['il','di','che','la','per','con','del','una','sono','non'])),
+         len(list_intersect(toks, ['o','de','que','do','da','em','um','para','com','uma']))
+       ] AS scores FROM (SELECT doc_id, text,
+         string_split_regex(lower(text), '\s+') AS toks FROM documents))
+       SELECT doc_id,
+         CASE WHEN regexp_matches(text, '[\x{3040}-\x{30ff}]') THEN 'ja'
+              WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+              WHEN regexp_matches(text, '[\x{ac00}-\x{d7af}]') THEN 'ko'
+              WHEN regexp_matches(text, '[\x{0400}-\x{04ff}]') THEN 'ru'
+              WHEN regexp_matches(text, '[\x{0600}-\x{06ff}]') THEN 'ar'
+              WHEN regexp_matches(text, '[\x{0370}-\x{03ff}]') THEN 'el'
+              WHEN list_max(scores) > 0
+                THEN ['en','es','de','fr','it','pt'][list_position(scores, list_max(scores))]
+              ELSE 'und' END AS lang_pred
+       FROM sc ORDER BY doc_id"""
 
   // ---------------------------------------------------------------
   // q28 — quality metrics (pure arithmetic ⇒ oracle-exact doubles)
@@ -152,12 +244,25 @@ object ExtQueries {
        FROM documents ORDER BY doc_id"""
 
   // ---------------------------------------------------------------
-  // q30 — rolling-hash fingerprint (native codegen Expression;
-  // hash-defined ⇒ rows-only, spec-tested against a reference impl)
+  // q30 — rolling-hash fingerprint (native codegen Expression). The
+  // polynomial hash (B=257, M=2^61−1, Horner over UTF-8 bytes) is
+  // independently recomputable in DuckDB via a HUGEINT list_reduce
+  // over per-char codepoints — equivalent on the all-ASCII documents
+  // table (codepoint == UTF-8 byte); non-ASCII byte-level semantics
+  // are covered by RollingHashSpec's independent implementation.
   def q30(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(col("doc_id"), RollingHash.fingerprint(col("text")).as("fp"))
       .orderBy("doc_id")
+
+  val q30Sql: String =
+    """SELECT doc_id,
+       list_reduce(list_prepend(CAST(0 AS BIGINT),
+         list_transform(range(1, length(text)+1),
+           i -> CAST(ord(substr(text, CAST(i AS INT), 1)) AS BIGINT))),
+         (acc, x) -> CAST((CAST(acc AS HUGEINT)*257 + x)
+                          % 2305843009213693951 AS BIGINT)) AS fp
+       FROM documents ORDER BY doc_id"""
 
   // ---------------------------------------------------------------
   // q31 — multimodal plumbing: deterministic binary fixture → header
@@ -170,8 +275,12 @@ object ExtQueries {
   // q33 — embedding-cosine near-dup pairs (LSH buckets + exact
   // verify). The testdata has no high-cosine pairs, so the query
   // plants one perturbed twin per corpus vector (deterministic) and
-  // must recover exactly the twin pairs at cos ≥ 0.99 (rows-only;
-  // pair-exactness asserted in SimilaritySpec).
+  // must recover exactly the twin pairs at cos ≥ 0.99. The oracle
+  // rebuilds the same twins in DuckDB (identical float32 perturb)
+  // and takes the ALL-PAIRS cosine ≥ 0.99 set — so any missed LSH
+  // collision or spurious pair fails the gate. Twin cosines sit at
+  // ~0.9988, 9e-3 above the threshold, ~12 orders of magnitude wider
+  // than cross-engine double rounding.
   def q33(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
     val twins = e.select(
@@ -184,6 +293,17 @@ object ExtQueries {
       .select(col("a"), col("b"))
       .orderBy("a", "b")
   }
+
+  val q33Sql: String =
+    """WITH twins AS (SELECT vec_id + 1000000 AS vec_id,
+         list_prepend(embedding[1] + CAST(0.05 AS FLOAT), embedding[2:])
+           AS embedding FROM embeddings),
+       u AS (SELECT vec_id, embedding FROM embeddings
+             UNION ALL SELECT vec_id, embedding FROM twins)
+       SELECT a.vec_id AS a, b.vec_id AS b
+       FROM u a JOIN u b ON a.vec_id < b.vec_id
+       WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.99
+       ORDER BY a, b"""
 
   // ---------------------------------------------------------------
   // q36 — full near-dup deduplication: MinHash-LSH pairs → connected
@@ -250,9 +370,14 @@ object ExtQueries {
     "q21_dedup_exact" -> q21Sql,
     "q22_jaccard_join" -> jaccardOracle,
     "q23_minhash_lsh" -> jaccardOracle,
+    "q24_simhash" -> q24Sql,
     "q25_cosine_topk" -> q25Sql,
+    "q26_ann_lsh" -> q26Sql,
+    "q27_langid" -> q27Sql,
     "q28_quality" -> q28Sql,
     "q29_tokens" -> q29Sql,
+    "q30_fingerprint" -> q30Sql,
+    "q33_embed_neardup" -> q33Sql,
     "q36_dedup_clusters" -> q36Sql,
     "q42_vocab_stats" -> q42Sql,
   )

@@ -445,19 +445,27 @@ object Queries {
 
   // ---------------------------------------------------------------
   // q34 — approximate distinct (HLL++, SURVEY.md §2.B): exact vs
-  // approx user counts per event type. The sketch is implementation-
-  // defined ⇒ rows-only; the ±5% envelope vs exact is asserted here
-  // in-query (err column must be small) and the driver checks rows.
+  // approx user counts per event type. The sketch value itself is
+  // implementation-defined, so the query exposes the exact count
+  // plus a BOUND on the sketch (rel_err ≤ 5%, deterministic given
+  // the data) — both oracle-checkable: the oracle recomputes the
+  // exact count and asserts the bound as literal true. The raw
+  // approx value and its rel_err are asserted in QueriesSpec.
   def q34(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
       .groupBy(col("event_type"))
       .agg(
         countDistinct(col("user_id")).as("exact_users"),
         approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
-      .withColumn("rel_err",
-        abs(col("approx_users") - col("exact_users")).cast("double") /
-          col("exact_users").cast("double"))
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("approx_users") - col("exact_users")).cast("double") /
+          col("exact_users").cast("double") <= lit(0.05)).as("approx_ok"))
       .orderBy("event_type")
+
+  val q34Sql: String =
+    """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+       true AS approx_ok
+       FROM events GROUP BY event_type ORDER BY event_type"""
 
   // ---------------------------------------------------------------
   // q37 — pure theta join (no equi key ⇒ BroadcastNestedLoopJoin):
@@ -570,6 +578,7 @@ object Queries {
     "q18_range_join" -> q18Sql,
     "q19_cube" -> q19Sql,
     "q32_session_window" -> q32Sql,
+    "q34_approx_distinct" -> q34Sql,
     "q37_theta_join" -> q37Sql,
     "q38_anti_join" -> q38Sql,
     "q39_posexplode" -> q39Sql,
