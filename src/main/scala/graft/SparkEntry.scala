@@ -27,5 +27,6 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB
     * on the same parquet tables. Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] =
-    graft.queries.Queries.oracles ++ graft.queries.ExtQueries.oracles
+    graft.queries.Queries.oracles ++ graft.queries.IngestQueries.oracles ++
+      graft.queries.ExtQueries.oracles
 }

@@ -45,26 +45,37 @@ object Rms {
     val bucket = expr(s"CAST(`$timeCol` AS BIGINT) div ${windowNs}L")
       .as("bucket")
     // pandas `mean` skips NaN; Spark `avg` skips null — align by
-    // nulling NaNs before the aggregate (SURVEY.md §7.4).
-    def meanSq(c: String): Column =
-      avg(pow(nanvl(col(c), lit(null)), 2))
-
+    // nulling NaNs before the aggregate (SURVEY.md §7.4). The sum of
+    // squares goes through DECIMAL(30,8) so it is exact and shuffle-
+    // order independent (the q02/q08 dsum pattern — scale 8 keeps the
+    // scaled value < 2^53, where both engines' double→decimal casts
+    // agree bit-exactly; the ≤5e-9 per-sample quantization moves RMS
+    // by ≲1e-8 relative, inside every physical tolerance); the square
+    // is `v*v` (correctly-rounded IEEE multiply, bit-identical in
+    // every engine) rather than pow(), whose libm rounding may differ.
+    def sq(c: String): Column = {
+      val v = nanvl(col(c), lit(null))
+      v * v
+    }
     val aggs: Seq[Column] =
-      axes.map(a => meanSq(a).as(s"__msq_$a")) ++ Seq(
+      axes.flatMap(a => Seq(
+        sum(sq(a).cast("decimal(30,8)")).cast("double").as(s"__ssq_$a"),
+        count(nanvl(col(a), lit(null))).as(s"__cnt_$a"))) ++ Seq(
         min(col(timeCol)).as("__tmin"),
         max(col(timeCol)).as("__tmax"))
 
     val rmsNames = axes.map(rmsName)
     val rmsCols = axes.zip(rmsNames).map { case (a, n) =>
-      sqrt(col(s"__msq_$a")).as(n)
+      sqrt(col(s"__ssq_$a") / col(s"__cnt_$a").cast("double")).as(n)
     }
     df.groupBy(bucket)
       .agg(aggs.head, aggs.tail: _*)
       // window-completeness HAVING (reference `main.py:148-153`)
       .where(col("__tmax") - col("__tmin") >= lit((completeness * windowNs).toLong))
       .select(rmsCols :+ (col("bucket") * lit(windowNs)).as(timeCol): _*)
-      // row-wise vector magnitude (reference `main.py:175`)
-      .withColumn("rms_mod", sqrt(rmsNames.map(n => pow(col(n), 2)).reduce(_ + _)))
+      // row-wise vector magnitude (reference `main.py:175`); v*v not
+      // pow() for cross-engine bit-identity
+      .withColumn("rms_mod", sqrt(rmsNames.map(n => col(n) * col(n)).reduce(_ + _)))
       .withColumn("alias", lit(alias))
       .select(rmsNames.map(col) ++ Seq(col("rms_mod"), col(timeCol), col("alias")): _*)
   }

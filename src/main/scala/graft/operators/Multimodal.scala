@@ -10,12 +10,16 @@ import org.apache.spark.sql.types._
   * columns with typed metadata, processed per-partition (SURVEY.md
   * §7.1 ext).
   *
-  * The Spark-side plumbing — schema, batch shape, partition-parallel
-  * decode, frame explode — is real and tested. The actual codec is
-  * STUBBED behind a deterministic fake container format (`GRFT`
-  * header), because no image/audio libraries ship in this
-  * environment; swapping [[decodeMeta]]'s parser for a real codec
-  * changes no plan shape.
+  * Images are REAL formats — PNG and JPEG, parsed with the JDK's
+  * `javax.imageio` (no extra dependency): metadata comes from a
+  * header-only `ImageReader` probe (no pixel decode on the metadata
+  * path — the cheap scan a 100 TB catalog pass needs), pixels from a
+  * full `ImageIO.read` only where features/resize ask for them.
+  *
+  * Audio/video codecs don't ship in the JDK or this container, so
+  * those stay behind the deterministic `GRFT` container STUB — the
+  * per-partition batch shape is identical, and swapping in a real
+  * codec changes no plan shape.
   *
   * Fake container layout (little-endian):
   * {{{
@@ -33,11 +37,48 @@ object Multimodal {
 
   val metaSchema: StructType = StructType(Seq(
     StructField("mtype", StringType, true),
+    StructField("codec", StringType, true),
     StructField("width", IntegerType, true),
     StructField("height", IntegerType, true),
     StructField("nframes", IntegerType, true),
     StructField("payload_bytes", IntegerType, true),
     StructField("valid", BooleanType, false)))
+
+  private def isPng(b: Array[Byte]): Boolean =
+    b.length > 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G'
+
+  private def isJpeg(b: Array[Byte]): Boolean =
+    b.length > 3 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8
+
+  private def isGrft(b: Array[Byte]): Boolean =
+    b.length >= 17 && b(0) == 'G' && b(1) == 'R' && b(2) == 'F' && b(3) == 'T'
+
+  /** Header-only (width, height) of a PNG/JPEG — ImageReader probes
+    * the stream metadata without decoding pixel data. */
+  private def imageDims(bytes: Array[Byte]): Option[(Int, Int, String)] = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(iis)
+          val fmt = r.getFormatName.toLowerCase match {
+            case "jpg" => "jpeg"
+            case f => f
+          }
+          Some((r.getWidth(0), r.getHeight(0), fmt))
+        } finally r.dispose()
+      }
+    } catch { case _: Exception => None } finally iis.close()
+  }
+
+  /** Full pixel decode of a PNG/JPEG. */
+  private def readImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+    catch { case _: Exception => None }
 
   /** Deterministic fake encoder (fixture side). */
   def encode(mtype: Int, width: Int, height: Int, nframes: Int, seed: Long): Array[Byte] = {
@@ -55,10 +96,15 @@ object Multimodal {
   }
 
   private def parseHeader(bytes: Array[Byte]): Row = {
-    if (bytes == null || bytes.length < 17 ||
-        bytes(0) != 'G' || bytes(1) != 'R' || bytes(2) != 'F' || bytes(3) != 'T')
-      Row(null, null, null, null, null, false)
-    else {
+    if (bytes == null) Row(null, null, null, null, null, null, false)
+    else if (isPng(bytes) || isJpeg(bytes)) imageDims(bytes) match {
+      case Some((w, h, fmt)) =>
+        // payload_bytes for real images = pixel count (decoded size),
+        // not the codec-dependent encoded length
+        Row("image", fmt, w, h, 1, w * h, true)
+      case None => Row(null, null, null, null, null, null, false)
+    }
+    else if (isGrft(bytes)) {
       val bb = ByteBuffer.wrap(bytes, 4, 13).order(ByteOrder.LITTLE_ENDIAN)
       val mtype = bb.get() match {
         case 0 => "image"
@@ -72,8 +118,9 @@ object Multimodal {
       val declared = w.toLong * h.toLong * math.max(nf, 1).toLong
       val ok = w > 0 && h > 0 && nf > 0 &&
         declared <= bytes.length.toLong - 17
-      Row(mtype, w, h, nf, bytes.length - 17, ok)
+      Row(mtype, "grft", w, h, nf, bytes.length - 17, ok)
     }
+    else Row(null, null, null, null, null, null, false)
   }
 
   /** Header decode: binary column → typed metadata struct. Runs as a
@@ -91,9 +138,11 @@ object Multimodal {
     spark.createDataFrame(rows, outSchema)
   }
 
-  /** Feature extraction STUB: per-blob byte statistics stand in for
-    * a real embedding/feature model; the distribution shape (one
-    * dense vector per blob, partition-parallel) is the real contract. */
+  /** Per-blob channel/byte statistics (one feature row per blob,
+    * partition-parallel — the batch shape a real embedding model
+    * plugs into). Real PNG/JPEG blobs are pixel-decoded and measured
+    * over their R,G,B channel samples; GRFT blobs over their payload
+    * bytes. */
   def extractFeatures(df: DataFrame, idCol: String, binCol: String): DataFrame = {
     val spark = df.sparkSession
     val schema = StructType(Seq(
@@ -104,8 +153,30 @@ object Multimodal {
     val rows = df.select(col(idCol).cast(LongType), col(binCol)).rdd
       .mapPartitions(_.map { r =>
         val b = r.getAs[Array[Byte]](1)
-        if (b == null || b.length <= 17) Row(r.getLong(0), null, null, null)
-        else {
+        if (b == null) Row(r.getLong(0), null, null, null)
+        else if (isPng(b) || isJpeg(b)) readImage(b) match {
+          case Some(img) =>
+            var s = 0L; var mn = 255; var mx = 0
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                val rgb = img.getRGB(x, y)
+                var c = 0
+                while (c < 3) {
+                  val v = (rgb >>> (c * 8)) & 0xff
+                  s += v; if (v < mn) mn = v; if (v > mx) mx = v
+                  c += 1
+                }
+                x += 1
+              }
+              y += 1
+            }
+            val cnt = 3L * img.getWidth * img.getHeight
+            Row(r.getLong(0), s.toDouble / cnt.toDouble, mn, mx)
+          case None => Row(r.getLong(0), null, null, null)
+        }
+        else if (b.length > 17 && isGrft(b)) {
           var s = 0L; var mn = 255; var mx = 0; var i = 17
           while (i < b.length) {
             val v = b(i) & 0xff
@@ -114,14 +185,17 @@ object Multimodal {
           }
           Row(r.getLong(0), s.toDouble / (b.length - 17), mn, mx)
         }
+        else Row(r.getLong(0), null, null, null)
       })
     spark.createDataFrame(rows, schema)
   }
 
-  /** Resize STUB: nearest-neighbor downsample of each image-like
-    * blob's pixel grid to (outW × outH), re-encoded in the same fake
-    * container — deterministic; swapping in a real scaler changes no
-    * plan shape. Non-image/invalid blobs pass through null. */
+  /** Nearest-neighbor resize to (outW × outH). Real PNG/JPEG blobs
+    * are pixel-decoded, resampled with an explicit deterministic NN
+    * loop (no Graphics2D filtering ambiguity), and re-encoded as PNG
+    * (lossless — the resampled pixels round-trip exactly). GRFT image
+    * blobs resample their payload grid in-container. Non-image or
+    * invalid blobs pass through null. */
   def resize(df: DataFrame, idCol: String, binCol: String,
       outW: Int, outH: Int): DataFrame = {
     val spark = df.sparkSession
@@ -131,26 +205,46 @@ object Multimodal {
     val rows = df.select(col(idCol).cast(LongType), col(binCol)).rdd
       .mapPartitions(_.map { r =>
         val b = r.getAs[Array[Byte]](1)
-        val meta = parseHeader(b)
-        if (!meta.getBoolean(5) || meta.getString(0) != "image")
-          Row(r.getLong(0), null)
-        else {
-          val w = meta.getInt(1); val h = meta.getInt(2)
-          val out = ByteBuffer.allocate(17 + outW * outH)
-            .order(ByteOrder.LITTLE_ENDIAN)
-          out.put(Magic).put(0.toByte).putInt(outW).putInt(outH).putInt(1)
-          var y = 0
-          while (y < outH) {
-            val sy = y * h / outH
-            var x = 0
-            while (x < outW) {
-              val sx = x * w / outW
-              out.put(b(17 + sy * w + sx))
-              x += 1
+        if (b != null && (isPng(b) || isJpeg(b))) readImage(b) match {
+          case Some(img) =>
+            val out = new java.awt.image.BufferedImage(
+              outW, outH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < outH) {
+              val sy = y * img.getHeight / outH
+              var x = 0
+              while (x < outW) {
+                out.setRGB(x, y, img.getRGB(x * img.getWidth / outW, sy))
+                x += 1
+              }
+              y += 1
             }
-            y += 1
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", bos)
+            Row(r.getLong(0), bos.toByteArray)
+          case None => Row(r.getLong(0), null)
+        } else {
+          val meta = parseHeader(b)
+          if (!meta.getBoolean(6) || meta.getString(0) != "image")
+            Row(r.getLong(0), null)
+          else {
+            val w = meta.getInt(2); val h = meta.getInt(3)
+            val out = ByteBuffer.allocate(17 + outW * outH)
+              .order(ByteOrder.LITTLE_ENDIAN)
+            out.put(Magic).put(0.toByte).putInt(outW).putInt(outH).putInt(1)
+            var y = 0
+            while (y < outH) {
+              val sy = y * h / outH
+              var x = 0
+              while (x < outW) {
+                val sx = x * w / outW
+                out.put(b(17 + sy * w + sx))
+                x += 1
+              }
+              y += 1
+            }
+            Row(r.getLong(0), out.array())
           }
-          Row(r.getLong(0), out.array())
         }
       })
     spark.createDataFrame(rows, schema)
@@ -169,19 +263,59 @@ object Multimodal {
     val rows = df.select(col(idCol).cast(LongType), col(binCol)).rdd
       .mapPartitions(_.flatMap { r =>
         val b = r.getAs[Array[Byte]](1)
-        val meta = parseHeader(b)
-        if (!meta.getBoolean(5)) Iterator.empty
+        if (b != null && (isPng(b) || isJpeg(b)))
+          // a real still image is its own single frame
+          Iterator.single(Row(r.getLong(0), 0, b))
         else {
-          val w = meta.getInt(1); val h = meta.getInt(2); val nf = meta.getInt(3)
-          val frameBytes = w * h
-          (0 until nf by stride).iterator.map { f =>
-            val frame = java.util.Arrays.copyOfRange(b, 17 + f * frameBytes,
-              math.min(17 + (f + 1) * frameBytes, b.length))
-            Row(r.getLong(0), f, frame)
+          val meta = parseHeader(b)
+          if (!meta.getBoolean(6)) Iterator.empty
+          else {
+            val w = meta.getInt(2); val h = meta.getInt(3); val nf = meta.getInt(4)
+            val frameBytes = w * h
+            (0 until nf by stride).iterator.map { f =>
+              val frame = java.util.Arrays.copyOfRange(b, 17 + f * frameBytes,
+                math.min(17 + (f + 1) * frameBytes, b.length))
+              Row(r.getLong(0), f, frame)
+            }
           }
         }
       })
     spark.createDataFrame(rows, schema)
+  }
+
+  /** Encode a solid-color image via the JDK's real codecs (fixture /
+    * test side). PNG is lossless: decode returns exactly (r,g,b) at
+    * every pixel. JPEG dims survive exactly; pixel values are
+    * codec-rounded. */
+  def encodeImage(fmt: String, width: Int, height: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic REAL-image fixture: solid-color PNG (even ids) /
+    * JPEG (odd ids), dims and color closed-form in id — so decoded
+    * metadata (and PNG channel means) are independently recomputable
+    * in plain SQL. */
+  def imageFixture(spark: SparkSession, n: Int): DataFrame = {
+    val rows = (0 until n).map { i =>
+      val fmt = if (i % 2 == 0) "png" else "jpg"
+      val rgb = ((i % 256) << 16) | (((i * 7) % 256) << 8) | ((i * 13) % 256)
+      Row(i.toLong, encodeImage(fmt, 16 + i % 9, 12 + i % 7, rgb))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4),
+      StructType(Seq(
+        StructField("id", LongType, false),
+        StructField("media", BinaryType, true))))
   }
 
   /** Deterministic fixture table: mixed image/audio/video blobs. */

@@ -265,11 +265,37 @@ object ExtQueries {
        FROM documents ORDER BY doc_id"""
 
   // ---------------------------------------------------------------
-  // q31 — multimodal plumbing: deterministic binary fixture → header
-  // decode → metadata (codec stubbed; plumbing real — rows-only)
-  def q31(s: SparkSession, dir: String): DataFrame =
-    Multimodal.decodeMeta(Multimodal.fixture(s, 60), "id", "media")
+  // q31 — multimodal over REAL image bytes: a deterministic fixture
+  // of solid-color PNG/JPEG blobs goes through the header-only
+  // metadata probe AND the full pixel decode (channel means). Every
+  // output column is closed-form in id, so the oracle recomputes the
+  // expected metadata in SQL: wrong dims, a mis-parsed header, or a
+  // mis-decoded PNG pixel all fail the gate. (JPEG pixel values are
+  // codec-rounded ⇒ mean_byte emitted for PNGs only; JPEG pixel
+  // envelope asserted in MultimodalSpec.)
+  def q31(s: SparkSession, dir: String): DataFrame = {
+    val fx = Multimodal.imageFixture(s, 60)
+    val meta = Multimodal.decodeMeta(fx, "id", "media")
+      .select(col("id"), col("mtype"), col("codec"), col("width"),
+        col("height"), col("nframes"), col("valid"))
+    val feats = Multimodal.extractFeatures(fx, "id", "media")
+      .select(col("id"), col("mean_byte"))
+    meta.join(feats, Seq("id"))
+      .withColumn("mean_byte",
+        when(col("codec") === "png", col("mean_byte")).otherwise(lit(null)))
       .orderBy("id")
+  }
+
+  val q31Sql: String =
+    """SELECT r AS id, 'image' AS mtype,
+       CASE WHEN r % 2 = 0 THEN 'png' ELSE 'jpeg' END AS codec,
+       CAST(16 + r % 9 AS INT) AS width,
+       CAST(12 + r % 7 AS INT) AS height,
+       1 AS nframes, true AS valid,
+       CASE WHEN r % 2 = 0
+            THEN CAST(r % 256 + (r*7) % 256 + (r*13) % 256 AS DOUBLE) / 3.0
+            ELSE NULL END AS mean_byte
+       FROM range(0, 60) t(r) ORDER BY id"""
 
   // ---------------------------------------------------------------
   // q33 — embedding-cosine near-dup pairs (LSH buckets + exact
@@ -377,6 +403,7 @@ object ExtQueries {
     "q28_quality" -> q28Sql,
     "q29_tokens" -> q29Sql,
     "q30_fingerprint" -> q30Sql,
+    "q31_multimodal" -> q31Sql,
     "q33_embed_neardup" -> q33Sql,
     "q36_dedup_clusters" -> q36Sql,
     "q42_vocab_stats" -> q42Sql,

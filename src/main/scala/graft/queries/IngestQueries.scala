@@ -8,11 +8,50 @@ import graft.ingest.{Ingest, Pipeline}
 
 /** Ingest-side queries (SURVEY.md §2.C Q10): HSD2 binary decode and
   * the full acquisition pipeline, driven off a deterministic synthetic
-  * fixture (FIXTURES.md §1). Not SQL-expressible over the testdata
-  * tables, so the driver records rows-only checks; value correctness
-  * is asserted by Hsd2Spec/PipelineSpec closed-form tests.
+  * fixture (FIXTURES.md §1).
+  *
+  * Oracle strategy: the fixture is CLOSED-FORM — sample j (1-based)
+  * of the default Spec is fully determined by j through exact IEEE
+  * double arithmetic (block-timestamp interpolation, half-even
+  * quantization, sensitivity scaling), so DuckDB can regenerate the
+  * expected output from `range(1, 93001)` with the same operation
+  * order and compare hash-exactly. The only libm call is sin(); Java
+  * Math.sin and DuckDB's sin differ by 1 ulp on ~0.2% of the 93 000
+  * fixture arguments, but NEVER at a half-even quantization boundary
+  * (verified exhaustively), so the quantized values agree exactly.
   */
 object IngestQueries {
+
+  /** WITH-prelude regenerating the default fixture's decoded samples
+    * (AcquisitionFixture.Spec(): odr=26667, spts=1000, 93 blocks,
+    * sens=0.000488, 50 Hz sine, start 2025-07-11T16:22:17Z). Mirrors
+    * Hsd2.decodeBlocks' interpolation (last sample EXACTLY on the
+    * block timestamp) and Ingest.enrich's bround(t*1e9)+startNs. */
+  private val fixtureSamplesSql: String =
+    """WITH tt AS (
+         SELECT j, (j-1)%1000 AS i0,
+           CAST(((j-1)//1000)*1000 AS DOUBLE)/26667.0 AS t0,
+           CAST(((j-1)//1000+1)*1000 AS DOUBLE)/26667.0 AS t1
+         FROM range(1, 93001) r(j)),
+       sm AS (
+         SELECT j,
+           CASE WHEN i0 = 999 THEN t1
+                ELSE t0 + (CAST(i0+1 AS DOUBLE) * (t1 - t0)) / 1000.0
+           END AS t
+         FROM tt),
+       vals AS (
+         SELECT j, t,
+           CAST(round_even(t * 1e9, 0) AS BIGINT)
+             + 1752250937000000000 AS time_ns,
+           CAST(CAST(round_even(1.0/0.000488, 0) AS BIGINT) AS DOUBLE)
+             * 0.000488 AS vx,
+           -- BIGINT round-trip mirrors the engine's int16 raw value:
+           -- it drops round_even's IEEE -0.0 sign (0.toDouble = +0.0)
+           CAST(CAST(round_even(sin((2*pi()*50.0)
+                  * (CAST(j AS DOUBLE)/26667.0)) / 0.000488, 0)
+                AS BIGINT) AS DOUBLE) * 0.000488 AS vy,
+           CAST(0 AS DOUBLE) AS vz
+         FROM sm)"""
 
   private val lock = new Object
   @volatile private var fixtureDir: String = _
@@ -54,5 +93,44 @@ object IngestQueries {
     "q10_hsd2_decode" -> (q10 _),
     "q20_rms_pipeline" -> (q20 _),
     "q35_hsd_source" -> (q35 _),
+  )
+
+  val q10Sql: String = fixtureSamplesSql +
+    """
+       SELECT time_ns AS "Time", vx AS "A_x_g", vy AS "A_y_g",
+              vz AS "A_z_g", 'LAF1' AS alias
+       FROM vals ORDER BY "Time""""
+
+  // mirrors Rms.compute: decimal(30,8) sum of v*v, completeness span
+  // (0.999e9).toLong = 999000000 over long ns, left-assoc rms_mod
+  val q20Sql: String = fixtureSamplesSql +
+    """,
+       w AS (
+         SELECT time_ns//1000000000 AS bucket, count(*) AS n,
+           min(time_ns) AS tmin, max(time_ns) AS tmax,
+           CAST(sum(CAST(vx*vx AS DECIMAL(30,8))) AS DOUBLE) AS sx,
+           CAST(sum(CAST(vy*vy AS DECIMAL(30,8))) AS DOUBLE) AS sy,
+           CAST(sum(CAST(vz*vz AS DECIMAL(30,8))) AS DOUBLE) AS sz
+         FROM vals GROUP BY 1),
+       rms AS (
+         SELECT sqrt(sx / CAST(n AS DOUBLE)) AS rms_x,
+                sqrt(sy / CAST(n AS DOUBLE)) AS rms_y,
+                sqrt(sz / CAST(n AS DOUBLE)) AS rms_z,
+                bucket * 1000000000 AS "Time"
+         FROM w WHERE tmax - tmin >= 999000000)
+       SELECT rms_x, rms_y, rms_z,
+         sqrt(rms_x*rms_x + rms_y*rms_y + rms_z*rms_z) AS rms_mod,
+         "Time", 'LAF1' AS alias
+       FROM rms ORDER BY "Time""""
+
+  val q35Sql: String = fixtureSamplesSql +
+    """
+       SELECT t AS "Time", vx AS "A_x [g]"
+       FROM vals WHERE t >= 1.0 AND t < 3.0 ORDER BY "Time""""
+
+  val oracles: Map[String, String] = Map(
+    "q10_hsd2_decode" -> q10Sql,
+    "q20_rms_pipeline" -> q20Sql,
+    "q35_hsd_source" -> q35Sql,
   )
 }

@@ -22,6 +22,44 @@ class MultimodalSpec extends SparkSpec {
     assert(!badMeta.getAs[Boolean]("valid"))
   }
 
+  test("real PNG/JPEG: header-only dims, lossless PNG pixels, resize") {
+    val fx = Multimodal.imageFixture(spark, 10)
+    val meta = Multimodal.decodeMeta(fx, "id", "media").orderBy("id").collect()
+    assert(meta.length == 10)
+    meta.zipWithIndex.foreach { case (m, i) =>
+      assert(m.getAs[String]("mtype") == "image")
+      assert(m.getAs[String]("codec") == (if (i % 2 == 0) "png" else "jpeg"))
+      assert(m.getAs[Int]("width") == 16 + i % 9, s"width of id $i")
+      assert(m.getAs[Int]("height") == 12 + i % 7, s"height of id $i")
+      assert(m.getAs[Boolean]("valid"))
+    }
+    // PNG is lossless: solid-color channel mean is exactly (r+g+b)/3
+    val feats = Multimodal.extractFeatures(fx, "id", "media")
+      .orderBy("id").collect()
+    for (i <- 0 until 10 by 2) {
+      val expected = (i % 256 + (i * 7) % 256 + (i * 13) % 256).toDouble / 3.0
+      assert(feats(i).getAs[Double]("mean_byte") == expected, s"png mean id $i")
+    }
+    // JPEG pixels are codec-rounded but stay near the solid color
+    for (i <- 1 until 10 by 2) {
+      val expected = (i % 256 + (i * 7) % 256 + (i * 13) % 256).toDouble / 3.0
+      assert(math.abs(feats(i).getAs[Double]("mean_byte") - expected) < 8.0,
+        s"jpeg mean id $i")
+    }
+    // resize: real decode → NN resample → PNG re-encode, dims stick
+    val rz = Multimodal.resize(fx, "id", "media", 5, 4).orderBy("id").collect()
+    val rzMeta = Multimodal.decodeMeta(
+      spark.createDataFrame(Seq((0L, rz(0).getAs[Array[Byte]]("resized"))))
+        .toDF("id", "media"), "id", "media").collect()(0)
+    assert(rzMeta.getAs[String]("codec") == "png")
+    assert(rzMeta.getAs[Int]("width") == 5 && rzMeta.getAs[Int]("height") == 4)
+    // a solid-color PNG resamples to the same solid color, losslessly
+    val rzFeats = Multimodal.extractFeatures(
+      spark.createDataFrame(Seq((0L, rz(0).getAs[Array[Byte]]("resized"))))
+        .toDF("id", "media"), "id", "media").collect()(0)
+    assert(rzFeats.getAs[Double]("mean_byte") == 0.0) // id 0 is black
+  }
+
   test("extractFeatures: deterministic byte stats") {
     val fx = Multimodal.fixture(spark, 3)
     val f1 = Multimodal.extractFeatures(fx, "id", "media").orderBy("id").collect()
