@@ -39,6 +39,24 @@ object Hsd2 {
   def completeBlocks(totalBytes: Long, cfg: ComponentConfig): Long =
     totalBytes / cfg.blockBytes
 
+  /** Absolute-position raw-sample reader for a dtype — the ONE
+    * dispatch point shared by the framed decode, the unframed decode
+    * and the DSv2 reader, so the supported type sets cannot drift
+    * (dtype space per the reference dtk's TypeConversion,
+    * `HSD_DataToolkit.py:47-48`). Resolved once per task, outside
+    * the per-sample loop. */
+  def rawReader(dataType: String): (ByteBuffer, Int) => Double = dataType match {
+    case "int16" => (bb, p) => bb.getShort(p).toDouble
+    case "uint16" => (bb, p) => (bb.getShort(p) & 0xffff).toDouble
+    case "int8" => (bb, p) => bb.get(p).toDouble
+    case "uint8" => (bb, p) => (bb.get(p) & 0xff).toDouble
+    case "int32" => (bb, p) => bb.getInt(p).toDouble
+    case "uint32" => (bb, p) => (bb.getInt(p).toLong & 0xffffffffL).toDouble
+    case "float" | "float32" => (bb, p) => bb.getFloat(p).toDouble
+    case "double" | "float64" => (bb, p) => bb.getDouble(p)
+    case other => throw new IllegalArgumentException(s"data_type $other")
+  }
+
   /** Decode `nBlocks` packets from `bytes` (which must start on a
     * packet boundary).
     *
@@ -54,6 +72,8 @@ object Hsd2 {
     require(cfg.samplesPerTs > 0, "samples_per_ts must be > 0 for framed decode")
     val spts = cfg.samplesPerTs
     val dim = cfg.dim
+    val bps = cfg.bytesPerSample
+    val reader = rawReader(cfg.dataType)
     val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
 
     new Iterator[Sample] {
@@ -96,16 +116,10 @@ object Hsd2 {
         Sample(t, vals)
       }
 
-      private def readRaw(): Double = cfg.dataType match {
-        case "int16" => bb.getShort.toDouble
-        case "uint16" => (bb.getShort & 0xffff).toDouble
-        case "int8" => bb.get.toDouble
-        case "uint8" => (bb.get & 0xff).toDouble
-        case "int32" => bb.getInt.toDouble
-        case "uint32" => (bb.getInt.toLong & 0xffffffffL).toDouble
-        case "float" | "float32" => bb.getFloat.toDouble
-        case "double" | "float64" => bb.getDouble
-        case other => throw new IllegalArgumentException(s"data_type $other")
+      private def readRaw(): Double = {
+        val v = reader(bb, bb.position())
+        bb.position(bb.position() + bps)
+        v
       }
     }
   }
@@ -114,20 +128,15 @@ object Hsd2 {
     * timestamps); time axis synthesized from the output data rate. */
   def decodeUnframed(bytes: Array[Byte], cfg: ComponentConfig): Iterator[Sample] = {
     val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
-    val n = bytes.length / (cfg.dim * cfg.bytesPerSample)
+    val bps = cfg.bytesPerSample
+    val n = bytes.length / (cfg.dim * bps)
     val dim = cfg.dim
+    val reader = rawReader(cfg.dataType)
     Iterator.tabulate(n) { i =>
       val vals = new Array[Double](dim)
       var d = 0
       while (d < dim) {
-        vals(d) = (cfg.dataType match {
-          case "int16" => bb.getShort.toDouble
-          case "int8" => bb.get.toDouble
-          case "int32" => bb.getInt.toDouble
-          case "float" | "float32" => bb.getFloat.toDouble
-          case "double" | "float64" => bb.getDouble
-          case other => throw new IllegalArgumentException(s"data_type $other")
-        }) * cfg.sensitivity
+        vals(d) = reader(bb, (i * dim + d) * bps) * cfg.sensitivity
         d += 1
       }
       Sample(cfg.ioffset + i.toDouble / cfg.odr, vals)

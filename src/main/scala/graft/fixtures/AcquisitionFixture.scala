@@ -30,7 +30,8 @@ object AcquisitionFixture {
       seconds: Double = 3.5, // 3 whole seconds + a truncated tail
       amplitudeG: Double = 1.0,
       sineHz: Double = 50.0,
-      ioffset: Double = 0.0)
+      ioffset: Double = 0.0,
+      dataType: String = "int16") // int16 (quantized) or float32 (raw g/S)
 
   /** Raw int16 LSB value of the constant x amplitude after
     * quantization (round-half-even like numpy would). */
@@ -67,7 +68,7 @@ object AcquisitionFixture {
       s"""{"device":{"device_info":{"alias":"${spec.alias}"},"components":[
          |{"firmware_info":{"alias":"${spec.alias}","fw_name":"FP-SNS-DATALOG2","fw_version":"1.0.0"}},
          |{"iis3dwb_acc":{"enable":true,"odr":${spec.odr},"fs":16.0,"dim":3,
-         |"data_type":"int16","samples_per_ts":${spec.samplesPerTs},
+         |"data_type":"${spec.dataType}","samples_per_ts":${spec.samplesPerTs},
          |"ioffset":${spec.ioffset},"sensitivity":$Sensitivity,"sd_dps":6144}}]}}"""
         .stripMargin.getBytes(StandardCharsets.UTF_8))
 
@@ -77,10 +78,21 @@ object AcquisitionFixture {
     val totalSamples = (spec.seconds * spec.odr).toLong
     val nBlocks = totalSamples / spec.samplesPerTs // trailing partial dropped
     val xRaw = quantize(spec.amplitudeG)
+    val bps = spec.dataType match {
+      case "int16" => 2
+      case "float32" => 4
+      case other => throw new IllegalArgumentException(s"fixture dtype $other")
+    }
+    // raw axis writers: int16 = half-even quantized LSBs; float32 =
+    // g / sensitivity as float (scaling back at decode restores ~g)
+    def putRaw(bb: ByteBuffer, g: Double): Unit = spec.dataType match {
+      case "int16" => bb.putShort(quantize(g))
+      case "float32" => bb.putFloat((g / Sensitivity).toFloat)
+    }
     val out = new BufferedOutputStream(new FileOutputStream(file.toFile), 1 << 20)
     try {
       val bb = ByteBuffer
-        .allocate(spec.samplesPerTs * 3 * 2 + 8)
+        .allocate(spec.samplesPerTs * 3 * bps + 8)
         .order(ByteOrder.LITTLE_ENDIAN)
       var sample = 0L
       var b = 0L
@@ -95,9 +107,10 @@ object AcquisitionFixture {
           sample += 1
           val t = spec.ioffset + sample.toDouble / spec.odr
           val y = spec.amplitudeG * math.sin(2 * math.Pi * spec.sineHz * t)
-          bb.putShort(xRaw)
-          bb.putShort(quantize(y))
-          bb.putShort(0)
+          if (spec.dataType == "int16") bb.putShort(xRaw)
+          else putRaw(bb, spec.amplitudeG)
+          putRaw(bb, y)
+          putRaw(bb, 0.0)
           i += 1
         }
         // block-end timestamp = time of the block's LAST sample
@@ -112,7 +125,9 @@ object AcquisitionFixture {
         bb.clear()
         var i = 0
         while (i < rem) {
-          bb.putShort(xRaw); bb.putShort(0); bb.putShort(0)
+          if (spec.dataType == "int16") bb.putShort(xRaw)
+          else putRaw(bb, spec.amplitudeG)
+          putRaw(bb, 0.0); putRaw(bb, 0.0)
           i += 1
         }
         out.write(bb.array(), 0, bb.position())

@@ -78,8 +78,7 @@ object HsdDataSource {
     val meta = Ingest.readMeta(spark, dir)
     val cfg = meta.device.components.getOrElse(sensor,
       throw new IllegalArgumentException(s"component $sensor not in device_config"))
-    require(cfg.dataType == "int16",
-      s"hsd source currently decodes int16 sensors, got ${cfg.dataType}")
+    Hsd2.rawReader(cfg.dataType) // fail fast at planning on unknown dtypes
     (dir, cfg)
   }
 }
@@ -277,6 +276,9 @@ class HsdPartitionReader(
   // projected field -> source index (0 = Time, 1.. = axes)
   private val proj: Array[Int] = columns.map(allNames.indexOf)
   private val writer = new UnsafeRowWriter(proj.length)
+  // dtype dispatch resolved once per task (same table as the batch
+  // decode — Hsd2.rawReader — so the DSv2 path supports every dtype)
+  private val readRaw = Hsd2.rawReader(cfg.dataType)
 
   private val blockBytes = cfg.blockBytes
   private val spts = cfg.samplesPerTs
@@ -341,7 +343,7 @@ class HsdPartitionReader(
       val src = proj(f)
       if (src == 0) writer.write(f, t)
       else writer.write(f,
-        bb.getShort(base + (src - 1) * cfg.bytesPerSample).toDouble * cfg.sensitivity)
+        readRaw(bb, base + (src - 1) * cfg.bytesPerSample) * cfg.sensitivity)
       f += 1
     }
     current = writer.getRow

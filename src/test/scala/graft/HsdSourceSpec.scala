@@ -55,6 +55,28 @@ class HsdSourceSpec extends SparkSpec {
     assert(df.collect().length == 7)
   }
 
+  test("float32 sensor decodes through format(hsd) with pruning+pushdown") {
+    val d = tmpDir("hsd_f32")
+    AcquisitionFixture.write(s"$d/a",
+      AcquisitionFixture.Spec(seconds = 1.5, dataType = "float32"))
+    val src = spark.read.format("hsd").load(s"$d/a")
+    val meta = Ingest.readMeta(spark, s"$d/a")
+    assert(meta.device.components("iis3dwb_acc").dataType == "float32")
+    val viaMap = Ingest.decodeDat(spark, s"$d/a/iis3dwb_acc.dat",
+      meta.device.components("iis3dwb_acc"))
+    assert(src.schema == viaMap.schema)
+    assert(src.exceptAll(viaMap).isEmpty && viaMap.exceptAll(src).isEmpty)
+    // x axis round-trips to ~1 g through float32 raw + sensitivity
+    val x = src.select("A_x [g]").head().getDouble(0)
+    assert(math.abs(x - 1.0) < 1e-4, s"x=$x")
+    // pruning + pushdown still engage on the non-int16 path
+    val ranged = src.where(col("Time") >= 0.5 && col("Time") < 1.0).select("Time")
+    val desc = ranged.queryExecution.executedPlan.toString
+    assert(desc.contains("PushedTimeRange") && desc.contains("ReadSchema=Time"))
+    val expect = src.collect().map(_.getDouble(0)).count(t => t >= 0.5 && t < 1.0)
+    assert(ranged.count() == expect)
+  }
+
   test("sensor option + missing component fails fast at planning") {
     val e = intercept[Exception] {
       spark.read.format("hsd").option("sensor", "nope").load(acq).schema

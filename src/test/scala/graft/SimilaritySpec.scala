@@ -53,6 +53,39 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.95)
   }
 
+  test("IVF sampling is id-order unbiased: clustered-by-id corpus, recall ≥ 0.9") {
+    // adversarial layout: ids are assigned cluster-major (a real
+    // corpus sorted by source/time), and the training sample is
+    // forced far below the corpus size — a lowest-id prefix sample
+    // would train the quantizer on the first few clusters only; the
+    // uniform xxhash64 keep-slice must span all of them
+    val rnd = new scala.util.Random(7)
+    val centers = Array.fill(20)(Array.fill(32)(rnd.nextGaussian() * 10))
+    val rows = (0 until 2000).map { i =>
+      val c = centers(i / 100) // ids 0-99 cluster 0, 100-199 cluster 1, …
+      (i.toLong, c.map(x => (x + rnd.nextGaussian() * 0.5).toFloat))
+    }
+    val df = spark.createDataFrame(rows).toDF("vec_id", "embedding")
+    val exact = Similarity.bruteForceTopK(df, df, "vec_id", "embedding", 5)
+      .select("q", "n").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.ivfTopK(df, "vec_id", "embedding", 5,
+        nLists = 20, nprobe = 3, sampleSize = 100)
+      .select("q", "n").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(s"id-clustered IVF recall@5 = $recall")
+    assert(recall >= 0.9)
+  }
+
+  test("bruteForceTopK: broadcast size guard fails fast") {
+    val df = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.bruteForceTopK(df, df, "vec_id", "embedding", 1,
+        maxBroadcastBytes = 16)
+    }
+    assert(e.getMessage.contains("ivfTopK"))
+  }
+
   test("hyperplane LSH recall ≥ 0.9 in its regime (high-similarity near-dups)") {
     // pairs of near-identical vectors (cos ≈ 0.99) + random background
     val rnd = new scala.util.Random(11)
