@@ -6,9 +6,10 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Sessions.local(cpus.toInt)
     // Warm the JVM/codegen once so per-query numbers measure the
-    // queries, not classloading.
-    try SparkEntry.queries.headOption.foreach(_._2(spark, sfDir)
-      .write.format("noop").mode("overwrite").save())
+    // queries, not classloading — a NAMED query (flagship join-agg),
+    // not an arbitrary Map head.
+    try SparkEntry.queries("q09_join_agg")(spark, sfDir)
+      .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -39,7 +40,31 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] ingest failed: ${e.getMessage}"); ""
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$ingestJson}""")
+    // per-query DuckDB oracle wall times, if tools/bench_oracle.py
+    // recorded them for this sf — lets the driver grade "within 2x of
+    // the oracle" per query instead of inferring from three published
+    // numbers
+    val oracleJson = {
+      val sfName = new java.io.File(sfDir).getName
+      val p = java.nio.file.Paths.get(s"tools/oracle_times_$sfName.json")
+      if (!java.nio.file.Files.exists(p)) ""
+      else try {
+        import org.json4s._
+        val times = org.json4s.jackson.JsonMethods.parse(
+          java.nio.file.Files.readString(p)) \ "times" match {
+          case JObject(fs) => fs.collect {
+            case (k, JDouble(v)) => k -> v
+            case (k, JInt(v)) => k -> v.toDouble
+            case (k, JDecimal(v)) => k -> v.toDouble
+          }
+          case _ => Nil
+        }
+        if (times.isEmpty) ""
+        else times.map { case (k, v) => "\"" + k + "\":" + v }
+          .mkString(""","oracle_sec":{""", ",", "}")
+      } catch { case _: Throwable => "" }
+    }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$ingestJson$oracleJson}""")
     spark.stop()
   }
 }

@@ -126,17 +126,19 @@ object DeviceConfig {
   }
 }
 
-/** Column-name sanitizer (reference `main.py:87-96`): space→`_`,
-  * strip `[`/`]`, drop unit suffixes `(g)`/`{g}`/`/g`, `°`→`deg`,
-  * `,`→`_`. E.g. `A_x [g]` → `A_x_g`, `Temp [°C]` → `Temp_degC`. */
+/** Column-name sanitizer — the reference rename lambda
+  * (`main.py:87-96`) applied in ITS order: space→`_`, strip `[`/`]`,
+  * drop unit forms `(g)`/`{g}`/`/g` entirely (empty string, not "g"),
+  * `°`→`deg`, `,`→`_`. E.g. `A_x [g]` → `A_x_g` (bracket strip keeps
+  * the g), `Gyro (g)` → `Gyro_`, `Temp [°C]` → `Temp_degC`. */
 object Sanitize {
   def column(c: String): String =
-    c.replace("(g)", "g")
-      .replace("{g}", "g")
-      .replace("/g", "g")
-      .replace(" ", "_")
+    c.replace(" ", "_")
       .replace("[", "")
       .replace("]", "")
+      .replace("(g)", "")
+      .replace("{g}", "")
+      .replace("/g", "")
       .replace("°", "deg")
       .replace(",", "_")
 }

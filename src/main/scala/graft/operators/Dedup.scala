@@ -224,16 +224,44 @@ object Dedup {
     labels
   }
 
-  /** Full near-dup deduplication: pair discovery (MinHash LSH) →
-    * connected components → keep each cluster's minimum-id row. */
+  /** Full near-dup deduplication: exact-duplicate pre-pass → pair
+    * discovery (MinHash LSH) over DISTINCT texts → connected
+    * components → keep each cluster's minimum-id row.
+    *
+    * The pre-pass matters at corpus scale: identical documents share
+    * every band hash, so a web-scale exact-dup cluster of size k
+    * would put k rows in 32 band buckets each and emit k² candidate
+    * pairs. Collapsing to one representative per distinct text first
+    * (one hash shuffle on a 128-bit text key — xxhash64 ⊕
+    * rolling_hash, collision odds ~2⁻¹²⁵ per pair) makes the band
+    * join's input distinct-text-sized; member rows rejoin their
+    * component through rep→member edges. Connectivity is preserved
+    * exactly: similarity is a function of the text, so any edge LSH
+    * would have found from a duplicate member is implied
+    * transitively through its representative. */
   def dedupNear(
       df: DataFrame,
       idCol: String,
       textCol: String,
       threshold: Double): DataFrame = {
-    val pairs = minhashLsh(df, idCol, textCol, threshold)
+    val keyed = df.select(col(idCol).as("id"), col(textCol),
+      xxhash64(col(textCol)).as("__k1"),
+      graft.functions.RollingHash.fingerprint(col(textCol)).as("__k2"))
+    val reps = keyed.groupBy(col("__k1"), col("__k2"))
+      .agg(min(col("id")).as("rep"))
+    // rep -> member edges inside each exact-dup group
+    val repEdges = keyed.join(reps, Seq("__k1", "__k2"))
+      .where(col("id") =!= col("rep"))
+      .select(col("rep").as("a"), col("id").as("b"))
+    // LSH pair discovery over one row per distinct text
+    val repRows = keyed.join(
+        reps.select(col("rep").as("id")), Seq("id"), "left_semi")
+      .select(col("id").as(idCol), col(textCol))
+    val lshPairs = minhashLsh(repRows, idCol, textCol, threshold)
+      .select(col("a"), col("b"))
     val ids = df.select(col(idCol).as("id"))
-    val keep = clusters(ids, pairs).where(col("id") === col("cluster"))
+    val keep = clusters(ids, lshPairs.union(repEdges))
+      .where(col("id") === col("cluster"))
       .select(col("id").as(idCol))
     df.join(keep, Seq(idCol), "left_semi")
   }

@@ -44,6 +44,7 @@ object ExtQueries {
        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
        WHERE CAST(len(list_intersect(a.s,b.s)) AS DOUBLE)
              >= 0.5*(len(a.s)+len(b.s)-len(list_intersect(a.s,b.s)))
+         AND (len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))) > 0
        ORDER BY a, b"""
 
   // ---------------------------------------------------------------
@@ -349,7 +350,8 @@ object ExtQueries {
        p AS (SELECT a.doc_id AS a, b.doc_id AS b
              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
              WHERE CAST(len(list_intersect(a.s,b.s)) AS DOUBLE)
-                   >= 0.5*(len(a.s)+len(b.s)-len(list_intersect(a.s,b.s)))),
+                   >= 0.5*(len(a.s)+len(b.s)-len(list_intersect(a.s,b.s)))
+               AND (len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))) > 0),
        e AS (SELECT a AS x, b AS y FROM p UNION ALL SELECT b, a FROM p),
        reach(id, r) AS (
          SELECT doc_id, doc_id FROM documents

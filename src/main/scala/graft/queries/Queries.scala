@@ -468,6 +468,29 @@ object Queries {
        FROM events GROUP BY event_type ORDER BY event_type"""
 
   // ---------------------------------------------------------------
+  // q40 — skew-salted equi-join (SURVEY.md §2.B skew salting):
+  // row-count preserving by construction, so the salted plan must
+  // produce exactly the plain join's aggregate — which is what the
+  // oracle computes. Salting spreads each hot key over `factor`
+  // reducers for the pathological skews AQE can't split.
+  def q40(s: SparkSession, dir: String): DataFrame = {
+    val big = t(s, dir, "orders")
+      .select(col("o_custkey").as("custkey"), col("o_totalprice"))
+    val small = t(s, dir, "customer")
+      .select(col("c_custkey").as("custkey"), col("c_mktsegment"))
+    graft.operators.Salting.saltedEquiJoin(big, small, Seq("custkey"), factor = 8)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .orderBy("c_mktsegment")
+  }
+
+  val q40Sql: String =
+    """SELECT c_mktsegment, count(*) AS n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS total
+       FROM orders JOIN customer ON o_custkey = c_custkey
+       GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+
+  // ---------------------------------------------------------------
   // q37 — pure theta join (no equi key ⇒ BroadcastNestedLoopJoin):
   // per region, count nations whose name sorts after the region's.
   def q37(s: SparkSession, dir: String): DataFrame =
@@ -552,6 +575,7 @@ object Queries {
     "q19_cube" -> (q19 _),
     "q32_session_window" -> (q32 _),
     "q34_approx_distinct" -> (q34 _),
+    "q40_salted_join" -> (q40 _),
     "q37_theta_join" -> (q37 _),
     "q38_anti_join" -> (q38 _),
     "q39_posexplode" -> (q39 _),
@@ -579,6 +603,7 @@ object Queries {
     "q19_cube" -> q19Sql,
     "q32_session_window" -> q32Sql,
     "q34_approx_distinct" -> q34Sql,
+    "q40_salted_join" -> q40Sql,
     "q37_theta_join" -> q37Sql,
     "q38_anti_join" -> q38Sql,
     "q39_posexplode" -> q39Sql,

@@ -6,9 +6,13 @@ import org.apache.spark.sql.functions._
 /** Hive-partitioned Parquet sink with the reference's physical-format
   * choices (reference O11+O12, `main.py:107-131`):
   *
-  *  - layout `alias=…/year=…/month=…/day=…` — identical to the
-  *    reference's hand-built path string, so downstream partition
-  *    pruning on any of the four keys is free;
+  *  - layout `alias=…/year=…/month=…/day=…` — the reference's
+  *    hand-built path keys (`main.py:124-131`), with one DELIBERATE
+  *    divergence: the reference derives year/month/day from the
+  *    acquisition START date (all of an acquisition's files land in
+  *    one dir even across midnight), while this sink partitions each
+  *    ROW by its own timestamp — so a day-partition holds exactly
+  *    that day's data and pruning on any of the four keys is exact;
   *  - Snappy compression, Parquet data-page v2, dictionary encoding
   *    enabled only for `alias` (`main.py:112-118`: the reference pins
   *    DELTA_BINARY_PACKED on Time and dictionary only on alias; with
@@ -34,7 +38,10 @@ object PartitionedSink {
       outDir: String,
       timeCol: String = "Time",
       filesPerDir: Int = 32): Unit = {
-    val ts = timestamp_micros((col(timeCol) / lit(1000L)).cast("long"))
+    // integer `div`, NOT `/`: double division of epoch-ns longs loses
+    // precision above 2^53 (ulp ≈ 256 ns at 2025 epochs), which can
+    // drop a row within ~1 µs of midnight into the wrong day dir
+    val ts = timestamp_micros(expr(s"CAST(`$timeCol` AS BIGINT) div 1000"))
     val withParts = df.withColumn("year", year(ts))
       .withColumn("month", month(ts))
       .withColumn("day", dayofmonth(ts))

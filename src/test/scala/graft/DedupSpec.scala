@@ -70,6 +70,24 @@ class DedupSpec extends SparkSpec {
     assert(out == Seq(0L, 2L, 4L))
   }
 
+  test("dedupNear: heavy exact-dup clusters collapse before the band join") {
+    // the pre-pass case: one text repeated 40x + a near-dup variant
+    // repeated 10x + distinct background. Components must merge the
+    // exact group, its near-dup group, and nothing else — and the
+    // LSH band join only ever sees one row per distinct text.
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val near = "the quick brown fox jumps over the lazy dog near the river bank tonight"
+    val rows =
+      (0 until 40).map(i => (i.toLong, base)) ++
+      (40 until 50).map(i => (i.toLong, near)) ++
+      Seq((50L, "completely different content about spark query engines and shuffles here"),
+          (51L, "another unrelated document mentioning columnar layouts and vectorized reads"))
+    val df = rows.toDF("doc_id", "text")
+    val kept = Dedup.dedupNear(df, "doc_id", "text", 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(0L, 50L, 51L))
+  }
+
   test("simhash: near-dups close in Hamming space, unrelated far apart") {
     val fps = Dedup.simhash(docs, "doc_id", "text")
       .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("simhash")).toMap

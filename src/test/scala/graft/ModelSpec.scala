@@ -41,7 +41,10 @@ class ModelSpec extends AnyFunSuite {
   test("column sanitizer (main.py:87-96)") {
     assert(Sanitize.column("A_x [g]") == "A_x_g")
     assert(Sanitize.column("Temp [°C]") == "Temp_degC")
-    assert(Sanitize.column("Gyro (g)") == "Gyro_g")
-    assert(Sanitize.column("a,b/g") == "a_bg")
+    // reference drops the (g)/{g}//g unit forms entirely (replace
+    // with "", main.py:90-93) — trailing underscore and all
+    assert(Sanitize.column("Gyro (g)") == "Gyro_")
+    assert(Sanitize.column("{g}x/g") == "x")
+    assert(Sanitize.column("a,b/g") == "a_b")
   }
 }
