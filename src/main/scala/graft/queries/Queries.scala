@@ -536,6 +536,36 @@ object Queries {
        ORDER BY doc_id, pos"""
 
   // ---------------------------------------------------------------
+  // q43 — bucketed co-located join (SURVEY.md §2.B): both sides
+  // written bucketed on the join key, re-read through the catalog and
+  // joined with ZERO exchanges (asserted in BucketingSpec); the
+  // aggregate must equal the plain join's — which the oracle computes.
+  def q43(s: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val tmp = System.getProperty("java.io.tmpdir")
+    val lt = s"graft_q43_orders$tag"
+    val rt = s"graft_q43_cust$tag"
+    graft.sink.Bucketing.writeBucketed(
+      t(s, dir, "orders").select(col("o_custkey"), col("o_totalprice")),
+      lt, Seq("o_custkey"), 8, path = Some(s"$tmp/$lt"))
+    graft.sink.Bucketing.writeBucketed(
+      t(s, dir, "customer").select(col("c_custkey").as("o_custkey"),
+        col("c_mktsegment")),
+      rt, Seq("o_custkey"), 8, path = Some(s"$tmp/$rt"))
+    graft.sink.Bucketing.bucketedJoin(s, lt, rt, Seq("o_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("o_custkey")).as("n_cust"))
+      .orderBy("c_mktsegment")
+  }
+
+  val q43Sql: String =
+    """SELECT c_mktsegment, count(*) AS n,
+       count(DISTINCT o_custkey) AS n_cust
+       FROM orders JOIN customer ON o_custkey = c_custkey
+       GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+
+  // ---------------------------------------------------------------
   // q41 — higher-order array functions over the embedding column:
   // integer-exact outputs (positive-component count, argmax index).
   def q41(s: SparkSession, dir: String): DataFrame =
@@ -580,6 +610,7 @@ object Queries {
     "q38_anti_join" -> (q38 _),
     "q39_posexplode" -> (q39 _),
     "q41_array_hof" -> (q41 _),
+    "q43_bucketed_join" -> (q43 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -608,5 +639,6 @@ object Queries {
     "q38_anti_join" -> q38Sql,
     "q39_posexplode" -> q39Sql,
     "q41_array_hof" -> q41Sql,
+    "q43_bucketed_join" -> q43Sql,
   )
 }

@@ -19,12 +19,15 @@ object Bucketing {
       table: String,
       bucketCols: Seq[String],
       numBuckets: Int,
-      sortCols: Seq[String] = Nil): Unit = {
+      sortCols: Seq[String] = Nil,
+      path: Option[String] = None): Unit = {
     val w = df.write
       .mode("overwrite")
       .format("parquet")
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
-    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+    val located = path.fold(w)(p => w.option("path", p)) // external table
+    (if (sortCols.nonEmpty) located.sortBy(sortCols.head, sortCols.tail: _*)
+     else located)
       .saveAsTable(table)
   }
 
