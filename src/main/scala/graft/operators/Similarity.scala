@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, Row}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -262,17 +261,36 @@ object Similarity {
     val corpusLists = assign(1)(in)   // each corpus vector in ONE list
     val queryLists = assign(nprobe)(in)
     val vecs = in.withColumn("nrm", norm(col("v")))
-    val w = Window.partitionBy(col("q")).orderBy(col("cos").desc, col("n"))
-    queryLists.select(col("list"), col("id").as("q"))
+    // each corpus vector lives in exactly one list and each query
+    // probes a list once ⇒ (q,n) candidates are already unique — no
+    // distinct shuffle needed (unlike the multi-table LSH paths)
+    val scored = queryLists.select(col("list"), col("id").as("q"))
       .join(corpusLists.select(col("list"), col("id").as("n")), Seq("list"))
       .where(col("q") =!= col("n"))
-      .select("q", "n").distinct()
       .join(vecs.select(col("id").as("q"), col("v").as("qv"), col("nrm").as("qn")), Seq("q"))
       .join(vecs.select(col("id").as("n"), col("v").as("nv"), col("nrm").as("nn")), Seq("n"))
       .withColumn("cos", cosine(col("qv"), col("nv"), col("qn"), col("nn")))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("q"), col("rank"), col("n"), col("cos"))
+    topKPerQuery(scored, k)
+  }
+
+  /** (q, n, cos) candidates → (q, rank, n, cos) top-k per query via
+    * the typed Aggregator: map-side partial aggregation caps every
+    * task at k rows per query BEFORE the exchange — the candidate
+    * stream itself never shuffles (vs a window row_number, which
+    * shuffles all candidates to rank them). Ties break cos desc,
+    * n asc — deterministic. */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val topk = graft.functions.TopKAggregator.TopK(k).toColumn
+    scored.select(col("q"), col("n"), col("cos")).as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(topk.name("topk"))
+      .toDF("q", "topk")
+      .select(col("q"), posexplode(col("topk")))
+      .select(col("q"), (col("pos") + 1).as("rank"),
+        col("col._1").as("n"), col("col._2").as("cos"))
   }
 
   /** Embedding near-duplicate pairs: all (a < b) with cosine ≥
@@ -323,17 +341,14 @@ object Similarity {
       .join(sig.select(col("table"), col("bucket"), col("id").as("n")),
         Seq("table", "bucket"))
       .where(col("q") =!= col("n"))
-      .select("q", "n").distinct()
+      .select("q", "n").distinct() // pairs recur across tables
     val vecs = df.select(col(idCol).cast(LongType).as("id"),
       col(vecCol).cast("array<double>").as("v"))
       .withColumn("nrm", norm(col("v")))
-    val w = Window.partitionBy(col("q")).orderBy(col("cos").desc, col("n"))
-    cand
+    val scored = cand
       .join(vecs.select(col("id").as("q"), col("v").as("qv"), col("nrm").as("qn")), Seq("q"))
       .join(vecs.select(col("id").as("n"), col("v").as("nv"), col("nrm").as("nn")), Seq("n"))
       .withColumn("cos", cosine(col("qv"), col("nv"), col("qn"), col("nn")))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("q"), col("rank"), col("n"), col("cos"))
+    topKPerQuery(scored, k)
   }
 }
