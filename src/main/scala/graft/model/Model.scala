@@ -18,10 +18,22 @@ final case class AcquisitionInfo(
     uuid: String,
     name: String,
     /** ISO-8601 with Z suffix (reference `main.py:68-69`); epoch when absent. */
-    startTime: Instant)
+    startTime: Instant,
+    /** Tag toggle events from the `tags` array (public HSDatalog2
+      * acquisition_info shape: `{"l": label, "e": enable, "ta": iso
+      * time}`) — the data behind `labeled=True` conversions and the
+      * pipeline `tag_cb`. Empty when absent (the reference runs
+      * `labeled=False`). */
+    tags: Seq[TagToggle] = Nil)
+
+/** One tag toggle: `label` switched to `enable` at epoch-ns `ts`. */
+final case class TagToggle(label: String, enable: Boolean, ts: Long)
 
 object AcquisitionInfo {
   val DefaultStart: Instant = Instant.EPOCH
+
+  private def parseIso(s: String): Instant =
+    OffsetDateTime.parse(s.replace("Z", "+00:00")).toInstant
 
   def fromJson(json: String): AcquisitionInfo = {
     val j = JsonMethods.parse(json)
@@ -29,13 +41,24 @@ object AcquisitionInfo {
       case JString(s) => Some(s)
       case _ => None
     }
+    val tags = j \ "tags" match {
+      case JArray(items) => items.flatMap { t =>
+        (t \ "l", t \ "e", t \ "ta") match {
+          case (JString(l), JBool(e), JString(ta)) =>
+            scala.util.Try(TagToggle(l, e, epochNanos(parseIso(ta)))).toOption
+          case _ => None
+        }
+      }
+      case _ => Nil
+    }
     AcquisitionInfo(
       uuid = str("uuid").getOrElse(""),
       name = str("name").getOrElse(""),
       startTime = str("start_time")
         // reference accepts "...Z"; replace matches main.py:69
-        .map(s => OffsetDateTime.parse(s.replace("Z", "+00:00")).toInstant)
-        .getOrElse(DefaultStart))
+        .map(parseIso)
+        .getOrElse(DefaultStart),
+      tags = tags)
   }
 
   /** Epoch nanoseconds of the acquisition start — the additive term of

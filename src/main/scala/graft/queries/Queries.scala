@@ -566,6 +566,39 @@ object Queries {
        GROUP BY c_mktsegment ORDER BY c_mktsegment"""
 
   // ---------------------------------------------------------------
+  // q44 — tag/label data path (reference `labeled=True` surface +
+  // tag_cb, `main.py:78`): a fixed toggle history annotates every
+  // event with per-label booleans, evaluated shuffle-free from
+  // literal arrays (Tagging.labelSamples). µs time axis so the
+  // oracle's µs-truncated timestamps agree exactly; toggle
+  // boundaries are hour-aligned.
+  def q44(s: SparkSession, dir: String): DataFrame = {
+    val b = 1704067200000000L // 2024-01-01T00:00:00Z epoch-µs
+    val h = 3600000000L       // one hour in µs
+    val toggles = Seq(
+      graft.model.TagToggle("walk", enable = true, b + h),
+      graft.model.TagToggle("walk", enable = false, b + 3 * h),
+      graft.model.TagToggle("walk", enable = true, b + 5 * h),
+      graft.model.TagToggle("run", enable = true, b + 2 * h),
+      graft.model.TagToggle("run", enable = false, b + 2 * h + h / 2))
+    graft.operators.Tagging.labelSamples(
+        t(s, dir, "events").select(col("event_id"),
+          expr("ts div 1000").as("tus")),
+        toggles, timeCol = "tus")
+      .orderBy("event_id")
+  }
+
+  val q44Sql: String =
+    """SELECT event_id, epoch_us(ts) AS tus,
+       ((epoch_us(ts) >= 1704067200000000 + 2*3600000000
+         AND epoch_us(ts) < 1704067200000000 + 2*3600000000 + 1800000000))
+         AS tag_run,
+       ((epoch_us(ts) >= 1704067200000000 + 3600000000
+         AND epoch_us(ts) < 1704067200000000 + 3*3600000000)
+        OR epoch_us(ts) >= 1704067200000000 + 5*3600000000) AS tag_walk
+       FROM events ORDER BY event_id"""
+
+  // ---------------------------------------------------------------
   // q41 — higher-order array functions over the embedding column:
   // integer-exact outputs (positive-component count, argmax index).
   def q41(s: SparkSession, dir: String): DataFrame =
@@ -611,6 +644,7 @@ object Queries {
     "q39_posexplode" -> (q39 _),
     "q41_array_hof" -> (q41 _),
     "q43_bucketed_join" -> (q43 _),
+    "q44_tag_labels" -> (q44 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -640,5 +674,6 @@ object Queries {
     "q39_posexplode" -> q39Sql,
     "q41_array_hof" -> q41Sql,
     "q43_bucketed_join" -> q43Sql,
+    "q44_tag_labels" -> q44Sql,
   )
 }
