@@ -30,7 +30,14 @@ object Pipeline {
     val meta = Ingest.readMeta(spark, acqDir)
     val cfg = meta.device.components(sensorName)
     val decoded = Ingest.decodeDat(spark, s"$acqDir/$sensorName.dat", cfg)
-    val enriched = Ingest.enrich(decoded, meta.info.startTime, meta.device.alias)
+    val bare = Ingest.enrich(decoded, meta.info.startTime, meta.device.alias)
+    // labeled export (reference `labeled=` surface): acquisitions
+    // carrying tag toggles in acquisition_info.json get one boolean
+    // column per label — a pure projection, so the sink write is
+    // otherwise unchanged
+    val enriched =
+      if (meta.info.tags.isEmpty) bare
+      else graft.operators.Tagging.labelSamples(bare, meta.info.tags)
     PartitionedSink.write(enriched, s"$outDir/data_parquet")
 
     // compute RMS from the parquet just written — decode runs ONCE;

@@ -88,6 +88,31 @@ class DedupSpec extends SparkSpec {
     assert(kept == Seq(0L, 50L, 51L))
   }
 
+  test("simhashNearDup: equals brute force on random fingerprints for several maxDist") {
+    val rnd = new scala.util.Random(13)
+    // 120 random base fingerprints, each with a planted variant at a
+    // known Hamming distance 0..6 (distinct flip positions)
+    val fps: Seq[(Long, Long)] = (0 until 120).flatMap { i =>
+      val f = rnd.nextLong()
+      val flips = i % 7
+      val positions = rnd.shuffle((0 until 64).toList).take(flips)
+      val variant = positions.foldLeft(f)((v, p) => v ^ (1L << p))
+      Seq((2L * i, f), (2L * i + 1, variant))
+    }
+    def brute(maxDist: Int): Set[(Long, Long, Int)] =
+      (for {
+        (a, fa) <- fps; (b, fb) <- fps if a < b
+        h = java.lang.Long.bitCount(fa ^ fb) if h <= maxDist
+      } yield (a, b, h)).toSet
+    val df = fps.toDF("id", "simhash")
+    for (maxDist <- Seq(1, 2, 3, 5)) {
+      val got = Dedup.simhashNearDup(df, maxDist).collect()
+        .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"),
+          r.getAs[Int]("hamming"))).toSet
+      assert(got == brute(maxDist), s"maxDist=$maxDist")
+    }
+  }
+
   test("simhash: near-dups close in Hamming space, unrelated far apart") {
     val fps = Dedup.simhash(docs, "doc_id", "text")
       .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("simhash")).toMap

@@ -77,6 +77,27 @@ class PipelineSpec extends SparkSpec {
       Seq("rms_x", "rms_y", "rms_z", "rms_mod", "Time", "alias")))
   }
 
+  test("pipeline: tagged acquisition exports per-label boolean columns") {
+    val d = tmpDir("acq_tagged")
+    AcquisitionFixture.write(s"$d/acq", AcquisitionFixture.Spec(seconds = 2.5))
+    // splice the public HSDatalog tags shape into acquisition_info:
+    // walk enabled on [start+1s, start+2s)
+    val infoPath = java.nio.file.Paths.get(s"$d/acq/acquisition_info.json")
+    val info = java.nio.file.Files.readString(infoPath).trim
+    java.nio.file.Files.writeString(infoPath, info.dropRight(1) +
+      ""","tags":[{"l":"walk","e":true,"ta":"2025-07-11T16:22:18.000Z"},
+          {"l":"walk","e":false,"ta":"2025-07-11T16:22:19.000Z"}]}""")
+    val out = tmpDir("acq_tagged_out")
+    val res = Pipeline.processAcquisition(spark, s"$d/acq", out)
+    assert(res.nonEmpty)
+    val enriched = spark.read.parquet(s"$out/data_parquet")
+    assert(enriched.columns.contains("tag_walk"))
+    // 2.5 s · 26667 → 66 blocks → 66000 samples; tag true exactly for
+    // sample times in [start+1s, start+2s) = samples 26667..53333
+    val n = enriched.where(org.apache.spark.sql.functions.col("tag_walk")).count()
+    assert(n == 26667L, s"tagged sample count $n")
+  }
+
   test("empty-result guard: no complete window → no RMS sink (main.py:154-156)") {
     val acq = tmpDir("acq_short")
     val out = tmpDir("out_short")
