@@ -70,4 +70,40 @@ class Hsd2Spec extends AnyFunSuite {
     assert(out.map(_.values.head) == Seq(1.0, 2.0, 3.0))
     assert(out.map(_.time) == Seq(0.0, 0.25, 0.5))
   }
+
+  test("dtype matrix: every supported dtype round-trips framed AND unframed") {
+    // (dtype, writer, expected decoded values) — covers sign/zero
+    // extension of the unsigned branches the old unframed path lacked
+    val cases: Seq[(String, ByteBuffer => Unit, Seq[Double])] = Seq(
+      ("int16", bb => Seq(-2, 0, 32767).foreach(v => bb.putShort(v.toShort)),
+        Seq(-2.0, 0.0, 32767.0)),
+      ("uint16", bb => Seq(0xFFFE, 0, 7).foreach(v => bb.putShort(v.toShort)),
+        Seq(65534.0, 0.0, 7.0)),
+      ("int8", bb => Seq(-128, 0, 127).foreach(v => bb.put(v.toByte)),
+        Seq(-128.0, 0.0, 127.0)),
+      ("uint8", bb => Seq(0xFF, 0, 1).foreach(v => bb.put(v.toByte)),
+        Seq(255.0, 0.0, 1.0)),
+      ("int32", bb => Seq(-70000, 0, 70000).foreach(bb.putInt),
+        Seq(-70000.0, 0.0, 70000.0)),
+      ("uint32", bb => Seq(0xFFFFFFFE, 0, 9).foreach(v => bb.putInt(v.toInt)),
+        Seq(4294967294.0, 0.0, 9.0)),
+      ("float32", bb => Seq(-1.5f, 0f, 2.25f).foreach(bb.putFloat),
+        Seq(-1.5, 0.0, 2.25)),
+      ("float64", bb => Seq(-1.25, 0.0, 3.5).foreach(bb.putDouble),
+        Seq(-1.25, 0.0, 3.5)))
+    cases.foreach { case (dtype, writeVals, expect) =>
+      val cFramed = ComponentConfig("s", enabled = true, odr = 4.0, dim = 1,
+        dataType = dtype, samplesPerTs = 3, ioffset = 0.0, sensitivity = 1.0)
+      val bbF = ByteBuffer.allocate(cFramed.blockBytes).order(ByteOrder.LITTLE_ENDIAN)
+      writeVals(bbF); bbF.putDouble(1.0)
+      val framed = Hsd2.decodeBlocks(bbF.array(), cFramed, 1, 0.0).toSeq
+      assert(framed.map(_.values.head) == expect, s"framed $dtype")
+
+      val cRaw = cFramed.copy(samplesPerTs = 0)
+      val bbU = ByteBuffer.allocate(3 * cRaw.bytesPerSample).order(ByteOrder.LITTLE_ENDIAN)
+      writeVals(bbU)
+      val unframed = Hsd2.decodeUnframed(bbU.array(), cRaw).toSeq
+      assert(unframed.map(_.values.head) == expect, s"unframed $dtype")
+    }
+  }
 }
