@@ -1,0 +1,58 @@
+package graft
+
+/** Physical-plan audits: the properties that make these queries hold
+  * up at 100 TB — column pruning and predicate pushdown reaching the
+  * parquet scan, broadcast joins where a side is dimension-sized,
+  * top-k as TakeOrderedAndProject (per-partition heaps, no global
+  * sort), and NO shuffle cartesian product anywhere. Asserting them
+  * here turns "the plan we'd want" into a regression gate. */
+class PlanAuditSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q01: projection prunes the lineitem scan to the used columns") {
+    val p = plan("q01_project_rename")
+    assert(p.contains("l_extendedprice") && p.contains("l_discount"))
+    assert(!p.contains("l_shipdate") && !p.contains("l_comment"),
+      s"unused columns reached the scan:\n$p")
+  }
+
+  test("q04: dimension filter is pushed into the parquet scan") {
+    val p = plan("q04_semi_join")
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"), s"plan:\n$p")
+  }
+
+  test("q09: dimension broadcast + hash joins, no nested loop") {
+    val p = plan("q09_join_agg")
+    assert(p.contains("BroadcastHashJoin"), s"plan:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("q12: top-k plans as TakeOrderedAndProject, not global sort") {
+    val p = plan("q12_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"plan:\n$p")
+  }
+
+  test("q18: range join keeps its equi key (hash/SMJ, not cross)") {
+    val p = plan("q18_range_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"plan:\n$p")
+  }
+
+  test("no shuffle cartesian product in any registry query") {
+    // BroadcastNestedLoopJoin is legitimate where a side is tiny or
+    // broadcast-by-design: the pure theta join (q37) and the
+    // broadcast brute-force baselines (q25 feeds q26's oracle shape).
+    val bnljOk = Set("q37_theta_join", "q25_cosine_topk")
+    SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian:\n$p")
+      if (!bnljOk(name))
+        assert(!p.contains("BroadcastNestedLoopJoin"),
+          s"$name plans a nested loop join:\n$p")
+    }
+  }
+}
