@@ -65,14 +65,22 @@ object Dedup {
       prefixFilter: Boolean = true): DataFrame = {
     val sh = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("s"))
       .withColumn("sz", size(col("s")))
+    // the index/prefix machinery runs on xxhash64 tokens, not shingle
+    // strings: 8-byte fixed-width join/shuffle keys instead of ~25-byte
+    // strings. Sound: a hash collision only MERGES two universe
+    // elements, so hash-overlap ⊇ true overlap and the ppjoin prefix
+    // theorem (under the hash-space total order) still guarantees every
+    // qualifying pair a shared indexed token; the exact verification
+    // below uses the true shingle arrays, so spurious candidates die.
     val posts = sh.select(col("id"), col("sz"), explode(col("s")).as("shingle"))
+      .select(col("id"), col("sz"), xxhash64(col("shingle")).as("tok"))
 
-    // candidate (a,b) pairs sharing an indexed shingle, size-ratio
+    // candidate (a,b) pairs sharing an indexed token, size-ratio
     // pruned (J ≥ t forces t·|B| ≤ |A| ≤ |B|/t)
     def pairsFrom(index: DataFrame): DataFrame = {
-      val a = index.select(col("shingle"), col("id").as("a"), col("sz").as("asz"))
-      val b = index.select(col("shingle"), col("id").as("b"), col("sz").as("bsz"))
-      a.join(b, Seq("shingle"))
+      val a = index.select(col("tok"), col("id").as("a"), col("sz").as("asz"))
+      val b = index.select(col("tok"), col("id").as("b"), col("sz").as("bsz"))
+      a.join(b, Seq("tok"))
         .where(col("a") < col("b"))
         .where(col("bsz").cast("double") * lit(threshold) <= col("asz").cast("double") &&
           col("asz").cast("double") * lit(threshold) <= col("bsz").cast("double"))
@@ -83,18 +91,18 @@ object Dedup {
       if (!prefixFilter) pairsFrom(posts)
       else {
         // positional prefix filter (ppjoin): under a global canonical
-        // shingle order (ascending document frequency, then value), a
+        // token order (ascending document frequency, then value), a
         // pair with overlap ≥ α = ⌈t·|x|⌉ must share an element inside
-        // each side's first |x| − α + 1 shingles — so only the prefix
-        // is indexed. Rare shingles sort first, which keeps posting
+        // each side's first |x| − α + 1 tokens — so only the prefix
+        // is indexed. Rare tokens sort first, which keeps posting
         // lists short exactly where the index is dense.
-        val dfreq = posts.groupBy(col("shingle")).agg(count(lit(1)).as("dfc"))
-        val w = Window.partitionBy(col("id")).orderBy(col("dfc"), col("shingle"))
-        val prefix = posts.join(dfreq, Seq("shingle"))
+        val dfreq = posts.groupBy(col("tok")).agg(count(lit(1)).as("dfc"))
+        val w = Window.partitionBy(col("id")).orderBy(col("dfc"), col("tok"))
+        val prefix = posts.join(dfreq, Seq("tok"))
           .withColumn("rk", row_number().over(w))
           .where(col("rk") <=
             col("sz") - ceil(lit(threshold) * col("sz").cast("double")).cast("int") + 1)
-          .select("shingle", "id", "sz")
+          .select("tok", "id", "sz")
         pairsFrom(prefix)
       }
 
