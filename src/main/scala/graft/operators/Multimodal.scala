@@ -98,11 +98,12 @@ object Multimodal {
   private def parseHeader(bytes: Array[Byte]): Row = {
     if (bytes == null) Row(null, null, null, null, null, null, false)
     else if (isPng(bytes) || isJpeg(bytes)) imageDims(bytes) match {
-      case Some((w, h, fmt)) =>
+      case Some((w, h, fmt)) if w > 0 && h > 0 && w.toLong * h <= Int.MaxValue =>
         // payload_bytes for real images = pixel count (decoded size),
-        // not the codec-dependent encoded length
+        // not the codec-dependent encoded length; >2^31-pixel images
+        // fall through to invalid rather than overflowing the Int
         Row("image", fmt, w, h, 1, w * h, true)
-      case None => Row(null, null, null, null, null, null, false)
+      case _ => Row(null, null, null, null, null, null, false)
     }
     else if (isGrft(bytes)) {
       val bb = ByteBuffer.wrap(bytes, 4, 13).order(ByteOrder.LITTLE_ENDIAN)

@@ -57,9 +57,12 @@ object Similarity {
     import spark.implicits._
     // fail fast instead of letting a giant broadcast OOM an executor:
     // the optimizer's size estimate is file-stat-accurate for file
-    // sources and exact for local relations
+    // sources and exact for local relations. Stats-less plans
+    // (LogicalRDD, some DSv2 scans) report spark.sql.defaultSizeInBytes
+    // = Long.MaxValue — that means UNKNOWN, not huge, so only enforce
+    // when the estimate is a real number.
     val est = corpus.queryExecution.optimizedPlan.stats.sizeInBytes
-    require(est <= maxBroadcastBytes,
+    require(est >= BigInt(Long.MaxValue) || est <= maxBroadcastBytes,
       s"bruteForceTopK would broadcast ~$est bytes of corpus (limit " +
         s"$maxBroadcastBytes); use ivfTopK or lshTopK for large corpora")
     val q = queries.select(col(idCol).cast(LongType).as("q"),
@@ -225,7 +228,9 @@ object Similarity {
     // source/time, and a prefix sample trains centroids on one shard.
     // Collected rows are sorted by id driver-side so the training set
     // (and thus the centroids) is independent of partitioning.
-    val step = math.max(1L, n / math.max(1, target))
+    // ceil, not floor: floor(n/target) = 1 for n < 2·target would keep
+    // EVERY row; ceil bounds the expected collected sample at target
+    val step = math.max(1L, (n + target - 1) / math.max(1, target))
     val sample = in
       .where(pmod(xxhash64(col("id"), lit(seed)), lit(step)) === 0)
       .collect().sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray)

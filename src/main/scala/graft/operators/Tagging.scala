@@ -29,12 +29,15 @@ object Tagging {
   val TagToggle = graft.model.TagToggle
 
   /** State of one label at sample time `t`: enable of the last toggle
-    * ≤ t, false before the first toggle. */
+    * ≤ t, false before the first toggle. The index is a fold of
+    * comparisons (no per-row array allocation — this runs once per
+    * sample per label in the labeled-ingest hot path); the enable
+    * lookup array is all-literal ⇒ constant-folded once. */
   private def stateAt(toggles: Seq[TagToggle], t: Column): Column = {
     val sorted = toggles.sortBy(_.ts)
-    val tsArr = array(sorted.map(x => lit(x.ts)): _*)
     val enArr = array(sorted.map(x => lit(x.enable)): _*)
-    val idx = size(filter(tsArr, x => x <= t))
+    val idx = sorted.map(x => when(lit(x.ts) <= t, 1).otherwise(0))
+      .reduce[Column](_ + _)
     when(idx === 0, lit(false)).otherwise(element_at(enArr, idx))
   }
 
@@ -43,12 +46,18 @@ object Tagging {
   def labelSamples(
       samples: DataFrame,
       toggles: Seq[TagToggle],
-      timeCol: String = "Time"): DataFrame =
-    toggles.groupBy(_.label).toSeq.sortBy(_._1)
-      .foldLeft(samples) { case (df, (label, ts)) =>
-        df.withColumn(s"tag_${Sanitize.column(label)}",
-          stateAt(ts, col(timeCol)))
-      }
+      timeCol: String = "Time"): DataFrame = {
+    val byLabel = toggles.groupBy(_.label).toSeq.sortBy(_._1)
+    // two distinct labels colliding post-sanitization would silently
+    // overwrite each other's column — refuse instead
+    val colNames = byLabel.map { case (l, _) => Sanitize.column(l) }
+    require(colNames.distinct.size == colNames.size,
+      s"tag labels collide after sanitization: ${byLabel.map(_._1).mkString(", ")}")
+    byLabel.foldLeft(samples) { case (df, (label, ts)) =>
+      df.withColumn(s"tag_${Sanitize.column(label)}",
+        stateAt(ts, col(timeCol)))
+    }
+  }
 
   /** Intervals view of a toggle history: (label, start_ns, end_ns)
     * with end = next disable (exclusive) or Long.MaxValue while still

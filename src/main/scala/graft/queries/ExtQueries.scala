@@ -351,7 +351,14 @@ object ExtQueries {
              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
              WHERE CAST(len(list_intersect(a.s,b.s)) AS DOUBLE)
                    >= 0.5*(len(a.s)+len(b.s)-len(list_intersect(a.s,b.s)))
-               AND (len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))) > 0),
+               AND (len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))) > 0
+             UNION
+             -- dedupNear's exact-dup pre-pass links IDENTICAL texts
+             -- regardless of shingle count (two copies of a 2-word doc
+             -- are duplicates even though their shingle sets are empty)
+             SELECT a.doc_id AS a, b.doc_id AS b
+             FROM documents a JOIN documents b
+             ON a.doc_id < b.doc_id AND a.text = b.text),
        e AS (SELECT a AS x, b AS y FROM p UNION ALL SELECT b, a FROM p),
        reach(id, r) AS (
          SELECT doc_id, doc_id FROM documents

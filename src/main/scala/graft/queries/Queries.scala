@@ -545,13 +545,20 @@ object Queries {
     val tmp = System.getProperty("java.io.tmpdir")
     val lt = s"graft_q43_orders$tag"
     val rt = s"graft_q43_cust$tag"
-    graft.sink.Bucketing.writeBucketed(
-      t(s, dir, "orders").select(col("o_custkey"), col("o_totalprice")),
-      lt, Seq("o_custkey"), 8, path = Some(s"$tmp/$lt"))
-    graft.sink.Bucketing.writeBucketed(
-      t(s, dir, "customer").select(col("c_custkey").as("o_custkey"),
-        col("c_mktsegment")),
-      rt, Seq("o_custkey"), 8, path = Some(s"$tmp/$rt"))
+    // write-once per (session, sf): constructing the query must not
+    // re-write the tables — Explain/bench/plan-audit build this frame
+    // repeatedly and should measure (and show) the co-located JOIN,
+    // not two table writes. Inputs are immutable testdata, so an
+    // existing table is already current.
+    if (!s.catalog.tableExists(lt))
+      graft.sink.Bucketing.writeBucketed(
+        t(s, dir, "orders").select(col("o_custkey"), col("o_totalprice")),
+        lt, Seq("o_custkey"), 8, path = Some(s"$tmp/$lt"))
+    if (!s.catalog.tableExists(rt))
+      graft.sink.Bucketing.writeBucketed(
+        t(s, dir, "customer").select(col("c_custkey").as("o_custkey"),
+          col("c_mktsegment")),
+        rt, Seq("o_custkey"), 8, path = Some(s"$tmp/$rt"))
     graft.sink.Bucketing.bucketedJoin(s, lt, rt, Seq("o_custkey"))
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n"),

@@ -113,6 +113,19 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("dedupNear: identical sub-shingle-length docs still merge (exact pre-pass)") {
+    // "tiny doc" has an empty 3-gram shingle set — LSH can't see it,
+    // but two identical copies ARE duplicates and the exact pre-pass
+    // must link them
+    val df = Seq(
+      (0L, "tiny doc"), (1L, "tiny doc"),
+      (2L, "another tiny"), (3L, "a full length document with plenty of words inside it")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.dedupNear(df, "doc_id", "text", 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(0L, 2L, 3L))
+  }
+
   test("simhash: near-dups close in Hamming space, unrelated far apart") {
     val fps = Dedup.simhash(docs, "doc_id", "text")
       .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("simhash")).toMap

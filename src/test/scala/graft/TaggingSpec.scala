@@ -36,6 +36,16 @@ class TaggingSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"plan:\n$plan")
   }
 
+  test("labels colliding after sanitization are refused, not silently merged") {
+    val samples = Seq(1L).toDF("Time")
+    val e = intercept[IllegalArgumentException] {
+      Tagging.labelSamples(samples, Seq(
+        TagToggle("walk run", enable = true, 1L),
+        TagToggle("walk,run", enable = true, 2L)))
+    }
+    assert(e.getMessage.contains("collide"))
+  }
+
   test("intervals: open/close pairing with a trailing open interval") {
     val iv = Tagging.intervals(toggles)
     assert(iv == Seq(
