@@ -63,8 +63,13 @@ object Dedup {
       threshold: Double,
       n: Int = 3,
       prefixFilter: Boolean = true): DataFrame = {
+    // the shingle table feeds the posting index once and the exact
+    // verification twice; localCheckpoint materializes it on first
+    // use so the split+distinct shingle computation (and the source
+    // scan under it) runs ONCE instead of three times
     val sh = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("s"))
       .withColumn("sz", size(col("s")))
+      .localCheckpoint(eager = false)
     // the index/prefix machinery runs on xxhash64 tokens, not shingle
     // strings: 8-byte fixed-width join/shuffle keys instead of ~25-byte
     // strings. Sound: a hash collision only MERGES two universe
@@ -129,9 +134,19 @@ object Dedup {
       textCol: String,
       numPerm: Int = 128,
       n: Int = 3,
-      seed: Long = 42L): DataFrame = {
-    val posts = df
-      .select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("shingle"))
+      seed: Long = 42L): DataFrame =
+    minhashSignatureFromShingles(
+      df.select(col(idCol).as("id"), shingles(col(textCol), n).as("s")),
+      numPerm, seed)
+
+  /** Signature over a pre-shingled `(id, s)` frame — lets callers
+    * that also need the shingle sets (LSH verification) share ONE
+    * materialization instead of re-deriving them. */
+  private def minhashSignatureFromShingles(
+      sh: DataFrame,
+      numPerm: Int,
+      seed: Long): DataFrame = {
+    val posts = sh.select(col("id"), explode(col("s")).as("shingle"))
       .withColumn("h1", xxhash64(col("shingle")))
     val mins = (0 until numPerm).map(i =>
       min(xxhash64(col("h1"), lit(seed), lit(i))).as(s"mh$i"))
@@ -155,7 +170,13 @@ object Dedup {
       s"bands ($bands) must divide numPerm ($numPerm); bands > numPerm would " +
         "make every band hash constant and degenerate candidates to all pairs")
     val rows = numPerm / bands
-    val sig = minhashSignature(df, idCol, textCol, numPerm, n, seed)
+    // one shingle materialization feeds both the signature and the
+    // exact verification (localCheckpoint trades lineage for reuse —
+    // the standard call for a frame consumed 3x; MEMORY_AND_DISK, so
+    // it spills rather than OOMs at scale)
+    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("s"))
+      .localCheckpoint(eager = false)
+    val sig = minhashSignatureFromShingles(sh, numPerm, seed)
     // band value = hash of its r contiguous signature slots
     val bandCols = (0 until bands).map { bIdx =>
       xxhash64((lit(bIdx) +: (0 until rows)
@@ -173,7 +194,6 @@ object Dedup {
 
     // exact verification: join back the shingle sets (array ops are
     // row-local; candidate count ≪ n² by construction)
-    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("s"))
     cand
       .join(sh.select(col("id").as("a"), col("s").as("sa")), Seq("a"))
       .join(sh.select(col("id").as("b"), col("s").as("sb")), Seq("b"))
