@@ -49,6 +49,21 @@ object Dedup {
     df.groupBy(col(keyCol))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** Canonical text-normalization key: lowercase, strip everything
+    * but [a-z0-9 ], collapse whitespace runs, trim. The standard
+    * "fuzzy exact" dedup key (case/punctuation/whitespace variants
+    * of one document collapse) used by web-scale corpus pipelines
+    * before any near-dup pass. Pure Column expression. */
+  def normalizedKey(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9 ]", ""), "\\s+", " "))
+
+  /** Exact dedup over the normalized key. */
+  def normalizedExact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), normalizedKey(col(textCol)).as("norm_key"))
+      .groupBy(col("norm_key"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
   /** All-pairs n-gram Jaccard similarity join via inverted index.
     *
     * Returns (a, b, n_inter, n_union) for every doc pair with

