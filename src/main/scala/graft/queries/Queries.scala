@@ -606,6 +606,31 @@ object Queries {
        FROM events ORDER BY event_id"""
 
   // ---------------------------------------------------------------
+  // q47 — ordered-set aggregates (SURVEY.md §2.B distinct/approx
+  // family): exact interpolated percentiles per group. Spark's
+  // percentile() and DuckDB's quantile_cont share the definition
+  // (sort + linear interpolation at rank p·(n−1)); min/max anchor
+  // the tails exactly.
+  def q47(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        expr("percentile(value, 0.25)").as("p25"),
+        expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.75)").as("p75"),
+        min(col("value")).as("mn"),
+        max(col("value")).as("mx"))
+      .orderBy("event_type")
+
+  val q47Sql: String =
+    """SELECT event_type,
+       quantile_cont(value, 0.25) AS p25,
+       quantile_cont(value, 0.5) AS p50,
+       quantile_cont(value, 0.75) AS p75,
+       min(value) AS mn, max(value) AS mx
+       FROM events GROUP BY event_type ORDER BY event_type"""
+
+  // ---------------------------------------------------------------
   // q41 — higher-order array functions over the embedding column:
   // integer-exact outputs (positive-component count, argmax index).
   def q41(s: SparkSession, dir: String): DataFrame =
@@ -652,6 +677,7 @@ object Queries {
     "q41_array_hof" -> (q41 _),
     "q43_bucketed_join" -> (q43 _),
     "q44_tag_labels" -> (q44 _),
+    "q47_percentiles" -> (q47 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -682,5 +708,6 @@ object Queries {
     "q41_array_hof" -> q41Sql,
     "q43_bucketed_join" -> q43Sql,
     "q44_tag_labels" -> q44Sql,
+    "q47_percentiles" -> q47Sql,
   )
 }
