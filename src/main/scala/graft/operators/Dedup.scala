@@ -50,13 +50,15 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
   /** Canonical text-normalization key: lowercase, strip everything
-    * but [a-z0-9 ], collapse whitespace runs, trim. The standard
-    * "fuzzy exact" dedup key (case/punctuation/whitespace variants
-    * of one document collapse) used by web-scale corpus pipelines
-    * before any near-dup pass. Pure Column expression. */
+    * but alphanumerics and whitespace, THEN collapse whitespace runs
+    * (order matters: stripping must keep \t/\n so the collapse sees
+    * them — deleting them would fuse adjacent words), trim. The
+    * standard "fuzzy exact" dedup key (case/punctuation/whitespace
+    * variants of one document collapse) used by web-scale corpus
+    * pipelines before any near-dup pass. Pure Column expression. */
   def normalizedKey(text: Column): Column =
     trim(regexp_replace(
-      regexp_replace(lower(text), "[^a-z0-9 ]", ""), "\\s+", " "))
+      regexp_replace(lower(text), "[^a-z0-9\\s]", ""), "\\s+", " "))
 
   /** Exact dedup over the normalized key. */
   def normalizedExact(df: DataFrame, idCol: String, textCol: String): DataFrame =

@@ -337,10 +337,13 @@ object Similarity {
     require(qEst >= BigInt(Long.MaxValue) || qEst <= maxQueryBytes,
       s"pqTopK broadcasts the query set (~$qEst bytes > $maxQueryBytes); " +
         "batch the queries — each batch is one compressed corpus scan")
+    require(k >= 1 && rerank >= 1, s"need k ($k) >= 1 and rerank ($rerank) >= 1")
     val in = corpus.select(col(idCol).cast(LongType).as("id"),
       col(vecCol).cast("array<double>").as("v"))
     val n = in.count()
-    val target = math.min(65536, sampleSize)
+    // like ivfTopK: scale the sample so every centroid sees enough
+    // points — 256 centroids per subspace want >= 32*256 = 8192
+    val target = math.min(65536, math.max(sampleSize, 32 * 256))
     val step = math.max(1L, (n + target - 1) / math.max(1, target))
     val sampleRows = in
       .where(pmod(xxhash64(col("id"), lit(seed)), lit(step)) === 0)
@@ -352,7 +355,7 @@ object Similarity {
         StructType(Seq(StructField("q", LongType, false),
           StructField("rank", IntegerType, false),
           StructField("n", LongType, false),
-          StructField("adist", DoubleType, false))))
+          StructField("cos", DoubleType, false))))
     def normalize(v: Array[Double]): Array[Double] = {
       var s = 0.0; var i = 0
       while (i < v.length) { s += v(i) * v(i); i += 1 }

@@ -419,7 +419,7 @@ object ExtQueries {
        SELECT min(doc_id) AS keep_id, count(*) AS n_dups
        FROM (SELECT doc_id,
                trim(regexp_replace(regexp_replace(lower(text),
-                 '[^a-z0-9 ]', '', 'g'), '\s+', ' ', 'g')) AS k
+                 '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')) AS k
              FROM u)
        GROUP BY k ORDER BY keep_id"""
 

@@ -70,6 +70,19 @@ class DedupSpec extends SparkSpec {
     assert(out == Seq(0L, 2L, 4L))
   }
 
+  test("normalizedKey: case/punct/whitespace variants collapse, distinct texts don't") {
+    val df = Seq(
+      (0L, "Foo Bar, baz!"),
+      (1L, "foo\tbar   baz"),   // tab + run of spaces — same key as 0
+      (2L, "foo\nbar baz"),     // newline — same key as 0
+      (3L, "foobar baz"),       // genuinely different (no split)
+      (4L, "foo bar qux")).toDF("doc_id", "text")
+    val out = Dedup.normalizedExact(df, "doc_id", "text")
+      .orderBy("keep_id").collect()
+      .map(r => r.getAs[Long]("keep_id") -> r.getAs[Long]("n_dups")).toMap
+    assert(out == Map(0L -> 3L, 3L -> 1L, 4L -> 1L))
+  }
+
   test("dedupNear: heavy exact-dup clusters collapse before the band join") {
     // the pre-pass case: one text repeated 40x + a near-dup variant
     // repeated 10x + distinct background. Components must merge the
