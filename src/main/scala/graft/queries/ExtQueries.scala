@@ -394,6 +394,34 @@ object ExtQueries {
        WHERE rank <= 5 ORDER BY q, rank"""
 
   // ---------------------------------------------------------------
+  // q48 — hyperplane-LSH top-k in its strong regime: with one
+  // planted twin per vector (cos ≈ 0.9988, vs ≤ ~0.5 for any random
+  // pair at 64-dim), every query's nearest neighbor IS its twin and
+  // LSH must recover exactly that — the oracle writes the twin
+  // mapping in closed form. Misses (no shared bucket) or wrong
+  // ranking both fail the gate. Mid-similarity recall behavior is
+  // SimilaritySpec's territory.
+  def q48(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val twins = e.select(
+      (col("vec_id") + lit(1000000L)).as("vec_id"),
+      transform(col("embedding"),
+        (x, i) => x + when(i === 0, lit(0.05f)).otherwise(lit(0.0f)))
+        .as("embedding"))
+    Similarity.lshTopK(
+        e.select("vec_id", "embedding").union(twins), "vec_id", "embedding", 1)
+      .select(col("q"), col("n"))
+      .orderBy("q")
+  }
+
+  val q48Sql: String =
+    """SELECT q, n FROM (
+         SELECT vec_id AS q, vec_id + 1000000 AS n FROM embeddings
+         UNION ALL
+         SELECT vec_id + 1000000 AS q, vec_id AS n FROM embeddings)
+       ORDER BY q"""
+
+  // ---------------------------------------------------------------
   // q45 — normalization-keyed exact dedup (the "fuzzy exact" pass
   // web-corpus pipelines run before near-dup): case, punctuation and
   // whitespace variants of one document share a key. The synthetic
@@ -457,6 +485,7 @@ object ExtQueries {
     "q42_vocab_stats" -> (q42 _),
     "q45_normalized_dedup" -> (q45 _),
     "q46_pq_ann" -> (q46 _),
+    "q48_lsh_topk" -> (q48 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -476,5 +505,6 @@ object ExtQueries {
     "q42_vocab_stats" -> q42Sql,
     "q45_normalized_dedup" -> q45Sql,
     "q46_pq_ann" -> q46Sql,
+    "q48_lsh_topk" -> q48Sql,
   )
 }
