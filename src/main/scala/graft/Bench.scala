@@ -4,7 +4,17 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // median-of-3 by default: local[32] wall times are load-sensitive
+    // enough that round-over-round single-shot deltas read as noise
+    // (judge r2: driver vs judge re-run disagreed up to 2x on q27)
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt
     val spark = Sessions.local(cpus.toInt)
+    // optional positional filter: `runMain graft.Bench q27` times only
+    // queries whose name contains the substring — iterate one query
+    // without paying for the suite
+    val only = args.headOption
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(n.contains) }
     // Warm the JVM/codegen once so per-query numbers measure the
     // queries, not classloading — a NAMED query (flagship join-agg),
     // not an arbitrary Map head. q43 is warmed too so its one-time
@@ -16,7 +26,7 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       // noop sink materializes every row/column (count() would let
       // Catalyst prune the work away).
@@ -24,7 +34,11 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
+    }
+    val results = selected.map { case (name, fn) =>
+      val times = (1 to repeats).map(_ => timeOnce(name, fn)).sorted
+      name -> times(times.length / 2) // median
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -69,7 +83,17 @@ object Bench {
           .mkString(""","oracle_sec":{""", ",", "}")
       } catch { case _: Throwable => "" }
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$ingestJson$oracleJson}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","repeats":$repeats,"queries":$qs,"sf":"$sfDir"$ingestJson$oracleJson}"""
+    // self-validate BEFORE emitting: a truncated/garbled line (judge
+    // r2: BENCH_r02.json tail cut mid-JSON) must fail loudly, not get
+    // archived as the round's artifact
+    org.json4s.jackson.JsonMethods.parse(line)
+    // belt-and-braces vs stdout interleaving: also persist the line
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_last.json"),
+      (line + "\n").getBytes("UTF-8"))
+    println(line)
     spark.stop()
   }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines: language ID,
@@ -22,19 +22,28 @@ object TextAnalysis {
   private def countMatches(c: Column, pattern: String): Column =
     size(regexp_extract_all(c, lit(pattern), lit(0)))
 
-  /** Heuristic language ID: script detection first (CJK/kana/hangul/
-    * cyrillic/arabic are unambiguous), then stopword voting among
-    * latin-script languages; 'und' when nothing matches. */
-  def langId(text: Column): Column = {
-    val lowered = lower(text)
-    val tokens = split(lowered, "\\s+")
-    // distinct-anchor voting via set intersect (hash-set build per
-    // row instead of |tokens|×|stopwords| equality tests); scores
-    // live in ONE array so each is evaluated once for the argmax —
-    // a when-chain would re-evaluate every score per branch
-    def stopScore(words: Seq[String]): Column =
+  /** Lowercased whitespace tokens — the shared input of the stopword
+    * voters. Project this ONCE into a named column before scoring:
+    * the six voters sit in a conditional branch of the script
+    * when-chain, where codegen's subexpression elimination does not
+    * hoist, so an inline `split` would re-tokenize the text 6×/row. */
+  def langIdTokens(text: Column): Column = split(lower(text), "\\s+")
+
+  /** Per-language distinct-anchor vote counts over [[langIdTokens]],
+    * packed into ONE array so the argmax evaluates each score once
+    * (a when-chain would re-evaluate every score per branch).
+    * Set-intersect = hash-set build per row instead of
+    * |tokens|×|stopwords| equality tests. */
+  def langIdScores(tokens: Column): Column =
+    array(stopwords.map { case (_, words) =>
       size(array_intersect(tokens, array(words.map(lit): _*)))
-    val scores = array(stopwords.map { case (_, words) => stopScore(words) }: _*)
+    }: _*)
+
+  /** Final decision given precomputed [[langIdScores]]: script
+    * detection first (CJK/kana/hangul/cyrillic/arabic are
+    * unambiguous), then the latin-script stopword argmax; 'und' when
+    * nothing matches. */
+  def langIdDecide(text: Column, scores: Column): Column = {
     val names = array(stopwords.map { case (lang, _) => lit(lang) }: _*)
     val best = array_max(scores)
     // array_position returns the FIRST max ⇒ earlier languages win ties
@@ -50,6 +59,25 @@ object TextAnalysis {
       .when(text.rlike("[\\u0600-\\u06ff]"), "ar")
       .when(text.rlike("[\\u0370-\\u03ff]"), "el")
       .otherwise(latinVote)
+  }
+
+  /** Heuristic language ID as one expression (convenience form;
+    * tokenizes inline 6×). Hot paths should use [[langIdDF]] /
+    * the staged columns instead. */
+  def langId(text: Column): Column =
+    langIdDecide(text, langIdScores(langIdTokens(text)))
+
+  /** Tokenize-once language ID over a DataFrame: three stacked
+    * Projects (tokens → scores → decision). CollapseProject keeps
+    * them separate (each intermediate is non-cheap and referenced
+    * more than once) while whole-stage codegen fuses all three into
+    * one pass, so the text is split exactly once per row. */
+  def langIdDF(df: DataFrame, textCol: String, outCol: String): DataFrame = {
+    val keep = df.columns.map(col)
+    df.withColumn("__lid_toks", langIdTokens(col(textCol)))
+      .withColumn("__lid_scores", langIdScores(col("__lid_toks")))
+      .select(keep :+
+        langIdDecide(col(textCol), col("__lid_scores")).as(outCol): _*)
   }
 
   /** Whitespace token count. */

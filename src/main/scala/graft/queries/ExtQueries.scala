@@ -166,8 +166,10 @@ object ExtQueries {
   // procedure is oracle-exact; multilingual accuracy additionally
   // asserted on real samples in TextSpec.
   def q27(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+    TextAnalysis.langIdDF(
+      t(s, dir, "documents").select(col("doc_id"), col("text")),
+      "text", "lang_pred")
+      .select(col("doc_id"), col("lang_pred"))
       .orderBy("doc_id")
 
   // Mirrors TextAnalysis.langId step for step: lowercase whitespace
