@@ -220,6 +220,153 @@ object Dedup {
       .select(col("a"), col("b"), col("n_inter"), col("n_union"))
   }
 
+  /** Cross-corpus (R×S) n-gram Jaccard similarity join — the
+    * decontamination primitive: pair every `left` doc with every
+    * `right` doc at Jaccard ≥ threshold. Same inverted-index +
+    * positional-prefix (ppjoin) shape as the self-join [[jaccardJoin]],
+    * with two cross-side changes:
+    *
+    *  - no `a < b` dedup trick — sides are distinct corpora, every
+    *    (a, b) ordered pair is a result;
+    *  - the canonical token order (ascending document frequency, then
+    *    value) is computed over the UNION of both posting sets — the
+    *    prefix-filter theorem needs one GLOBAL order shared by both
+    *    sides; per-side orders would disagree and drop true pairs.
+    *
+    * The size-ratio prune is side-symmetric (J ≥ t ⇒ t·|B| ≤ |A| ≤
+    * |B|/t) so it applies unchanged. At 100 TB the typical call has a
+    * small right side (an eval/benchmark set): its posting list is
+    * tiny, the candidate join is bounded by the right side's index,
+    * and the big side is streamed through one token-keyed shuffle.
+    *
+    * Returns (a, b, n_inter, n_union): a from `left`, b from `right`,
+    * integer evidence columns (float-free, engine-exact). */
+  def jaccardJoinCross(
+      left: DataFrame,
+      right: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      n: Int = 3,
+      prefixFilter: Boolean = true): DataFrame = {
+    def shingled(df: DataFrame): DataFrame =
+      df.select(col(idCol).as("id"), shingles(col(textCol), n).as("s"))
+        .withColumn("sz", size(col("s")))
+        .localCheckpoint(eager = false)
+    def postsOf(sh: DataFrame): DataFrame =
+      sh.select(col("id"), col("sz"), explode(col("s")).as("shingle"))
+        .select(col("id"), col("sz"), xxhash64(col("shingle")).as("tok"))
+    val shL = shingled(left)
+    val shR = shingled(right)
+    val pL = postsOf(shL)
+    val pR = postsOf(shR)
+
+    def pairsFrom(ia: DataFrame, ib: DataFrame): DataFrame =
+      ia.select(col("tok"), col("id").as("a"), col("sz").as("asz"))
+        .join(ib.select(col("tok"), col("id").as("b"), col("sz").as("bsz")),
+          Seq("tok"))
+        .where(col("bsz").cast("double") * lit(threshold) <= col("asz").cast("double") &&
+          col("asz").cast("double") * lit(threshold) <= col("bsz").cast("double"))
+        .select("a", "b").distinct()
+
+    val cand =
+      if (!prefixFilter) pairsFrom(pL, pR)
+      else {
+        val dfreq = pL.select("tok").union(pR.select("tok"))
+          .groupBy(col("tok")).agg(count(lit(1)).as("dfc"))
+        def prefixOf(posts: DataFrame): DataFrame = {
+          val w = Window.partitionBy(col("id")).orderBy(col("dfc"), col("tok"))
+          posts.join(dfreq, Seq("tok"))
+            .withColumn("rk", row_number().over(w))
+            .where(col("rk") <=
+              col("sz") - ceil(lit(threshold) * col("sz").cast("double")).cast("int") + 1)
+            .select("tok", "id", "sz")
+        }
+        pairsFrom(prefixOf(pL), prefixOf(pR))
+      }
+
+    cand
+      .join(shL.select(col("id").as("a"), col("s").as("sa"), col("sz").as("asz")), Seq("a"))
+      .join(shR.select(col("id").as("b"), col("s").as("sb"), col("sz").as("bsz")), Seq("b"))
+      .withColumn("n_inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("n_union", (col("asz") + col("bsz") - col("n_inter")).cast("long"))
+      .where(col("n_inter").cast("double") >= lit(threshold) * col("n_union").cast("double"))
+      .select(col("a"), col("b"), col("n_inter"), col("n_union"))
+  }
+
+  /** Cross-corpus MinHash-LSH near-duplicate join: [[minhashLsh]]'s
+    * band-bucket candidate generation across two frames. Both sides
+    * hash with the SAME permutation family (seed + index), so equal
+    * band values mean equal signature slices regardless of side.
+    * Output shape equals [[jaccardJoinCross]]. */
+  def minhashLshCross(
+      left: DataFrame,
+      right: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      numPerm: Int = 128,
+      bands: Int = 32,
+      n: Int = 3,
+      seed: Long = 42L): DataFrame = {
+    require(bands > 0 && bands <= numPerm && numPerm % bands == 0,
+      s"bands ($bands) must divide numPerm ($numPerm)")
+    val rows = numPerm / bands
+    def shingled(df: DataFrame): DataFrame =
+      df.select(col(idCol).as("id"), shingles(col(textCol), n).as("s"))
+        .localCheckpoint(eager = false)
+    val shL = shingled(left)
+    val shR = shingled(right)
+    def bucketsOf(sh: DataFrame): DataFrame = {
+      val sig = minhashSignatureFromShingles(sh, numPerm, seed)
+      val bandCols = (0 until bands).map { bIdx =>
+        xxhash64((lit(bIdx) +: (0 until rows)
+          .map(r => col(s"mh${bIdx * rows + r}"))): _*).as(s"band$bIdx")
+      }
+      sig.select(col("id") +: bandCols: _*)
+        .select(col("id"),
+          posexplode(array((0 until bands).map(i => col(s"band$i")): _*)))
+        .toDF("id", "band_idx", "band_hash")
+    }
+    val cand = bucketsOf(shL)
+      .select(col("band_idx"), col("band_hash"), col("id").as("a"))
+      .join(bucketsOf(shR)
+        .select(col("band_idx"), col("band_hash"), col("id").as("b")),
+        Seq("band_idx", "band_hash"))
+      .select("a", "b").distinct()
+    cand
+      .join(shL.select(col("id").as("a"), col("s").as("sa")), Seq("a"))
+      .join(shR.select(col("id").as("b"), col("s").as("sb")), Seq("b"))
+      .withColumn("n_inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("n_union",
+        (size(col("sa")) + size(col("sb")) - col("n_inter")).cast("long"))
+      .where(col("n_inter").cast("double") >= lit(threshold) * col("n_union").cast("double"))
+      .select(col("a"), col("b"), col("n_inter"), col("n_union"))
+  }
+
+  /** Decontamination: drop every `corpus` row whose text
+    * near-duplicates (n-gram Jaccard ≥ threshold) ANY `contam` row —
+    * the "remove training docs that leak the eval set" pass run
+    * before every serious model training job. Candidates come from
+    * the cross-corpus LSH (index both sides, equi-join on band
+    * hashes — never all-pairs), verification is exact, and the final
+    * step is one left_anti join on the corpus id. */
+  def decontaminate(
+      corpus: DataFrame,
+      contam: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      numPerm: Int = 128,
+      bands: Int = 32,
+      n: Int = 3,
+      seed: Long = 42L): DataFrame = {
+    val bad = minhashLshCross(corpus, contam, idCol, textCol, threshold,
+      numPerm, bands, n, seed)
+      .select(col("a").as(idCol)).distinct()
+    corpus.join(bad, Seq(idCol), "left_anti")
+  }
+
   /** Connected components over a near-dup pair graph: every doc gets
     * the minimum id reachable through dup pairs as its `cluster`.
     * Iterative min-label propagation — each round is one join + one

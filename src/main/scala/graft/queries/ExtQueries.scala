@@ -470,6 +470,67 @@ object ExtQueries {
              FROM documents)
        GROUP BY token ORDER BY token"""
 
+  // ---------------------------------------------------------------
+  // q49 — eval-set decontamination (THE cross-corpus dedup use case):
+  // docs with doc_id % 4 = 0 play the planted "eval" set (it crosses
+  // several of the testdata's planted near-dup pairs), the rest are
+  // the training corpus; the query returns the corpus ids that
+  // SURVIVE removal of everything near-duplicating an eval doc.
+  // Candidates come from the cross-corpus MinHash LSH band join —
+  // recall 1.0 at this pair separation by q23's argument — then exact
+  // Jaccard verification, so the survivor set is oracle-exact.
+  def q49(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val eval = docs.where(col("doc_id") % 4 === 0)
+    val corpus = docs.where(col("doc_id") % 4 =!= 0)
+    Dedup.decontaminate(corpus, eval, "doc_id", "text", 0.5)
+      .select(col("doc_id"))
+      .orderBy("doc_id")
+  }
+
+  val q49Sql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+       sh AS (SELECT doc_id, list_distinct([array_to_string(w[i:i+2],' ')
+                for i in range(1, len(w)-1)]) s FROM toks),
+       ev AS (SELECT * FROM sh WHERE doc_id % 4 = 0),
+       co AS (SELECT * FROM sh WHERE doc_id % 4 != 0),
+       bad AS (SELECT DISTINCT co.doc_id FROM co JOIN ev ON
+         CAST(len(list_intersect(co.s,ev.s)) AS DOUBLE)
+           >= 0.5*(len(co.s)+len(ev.s)-len(list_intersect(co.s,ev.s)))
+         AND (len(co.s)+len(ev.s)-len(list_intersect(co.s,ev.s))) > 0)
+       SELECT doc_id FROM co
+       WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+       ORDER BY doc_id"""
+
+  // ---------------------------------------------------------------
+  // q51 — the cross-corpus pair list itself (jaccardJoinCross with
+  // the cross-side ppjoin prefix filter), pair-and-evidence exact:
+  // any pair the global-token-order prefix index drops (or invents)
+  // fails the hash gate. Same corpus/eval split as q49.
+  def q51(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Dedup.jaccardJoinCross(
+      docs.where(col("doc_id") % 4 =!= 0),
+      docs.where(col("doc_id") % 4 === 0),
+      "doc_id", "text", 0.5)
+      .orderBy("a", "b")
+  }
+
+  val q51Sql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+       sh AS (SELECT doc_id, list_distinct([array_to_string(w[i:i+2],' ')
+                for i in range(1, len(w)-1)]) s FROM toks),
+       co AS (SELECT * FROM sh WHERE doc_id % 4 != 0),
+       ev AS (SELECT * FROM sh WHERE doc_id % 4 = 0)
+       SELECT co.doc_id AS a, ev.doc_id AS b,
+         CAST(len(list_intersect(co.s,ev.s)) AS BIGINT) AS n_inter,
+         CAST(len(co.s)+len(ev.s)-len(list_intersect(co.s,ev.s)) AS BIGINT) AS n_union
+       FROM co JOIN ev ON
+         CAST(len(list_intersect(co.s,ev.s)) AS DOUBLE)
+           >= 0.5*(len(co.s)+len(ev.s)-len(list_intersect(co.s,ev.s)))
+         AND (len(co.s)+len(ev.s)-len(list_intersect(co.s,ev.s))) > 0
+       ORDER BY a, b"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_dedup_exact" -> (q21 _),
     "q22_jaccard_join" -> (q22 _),
@@ -488,6 +549,8 @@ object ExtQueries {
     "q45_normalized_dedup" -> (q45 _),
     "q46_pq_ann" -> (q46 _),
     "q48_lsh_topk" -> (q48 _),
+    "q49_decontaminate" -> (q49 _),
+    "q51_cross_jaccard" -> (q51 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -508,5 +571,7 @@ object ExtQueries {
     "q45_normalized_dedup" -> q45Sql,
     "q46_pq_ann" -> q46Sql,
     "q48_lsh_topk" -> q48Sql,
+    "q49_decontaminate" -> q49Sql,
+    "q51_cross_jaccard" -> q51Sql,
   )
 }

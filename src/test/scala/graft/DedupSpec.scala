@@ -54,6 +54,46 @@ class DedupSpec extends SparkSpec {
     assert(lsh.map(_.toSeq).toSeq == exact.map(_.toSeq).toSeq)
   }
 
+  test("cross-corpus jaccard join pairs left docs with right near-dups only") {
+    val left = docs.where(col("doc_id").isin(0L, 2L, 4L))
+    val right = docs.where(col("doc_id").isin(1L, 3L))
+    val pairs = Dedup.jaccardJoinCross(left, right, "doc_id", "text", 0.5)
+      .orderBy("a", "b").collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")))
+    // doc 0 near-dups 1 and exactly matches 3; 2 and 4 match nothing
+    assert(pairs.toSeq == Seq((0L, 1L), (0L, 3L)))
+  }
+
+  test("cross-corpus jaccard: prefix filter equals unfiltered on sf0.001 split") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val l = d.where(col("doc_id") % 4 =!= 0)
+    val r = d.where(col("doc_id") % 4 === 0)
+    val full = Dedup.jaccardJoinCross(l, r, "doc_id", "text", 0.5, prefixFilter = false)
+      .orderBy("a", "b").collect()
+    val pref = Dedup.jaccardJoinCross(l, r, "doc_id", "text", 0.5, prefixFilter = true)
+      .orderBy("a", "b").collect()
+    assert(pref.map(_.toSeq).toSeq == full.map(_.toSeq).toSeq)
+  }
+
+  test("cross-corpus minhash LSH equals cross-corpus exact jaccard on sf0.001") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val l = d.where(col("doc_id") % 4 =!= 0)
+    val r = d.where(col("doc_id") % 4 === 0)
+    val exact = Dedup.jaccardJoinCross(l, r, "doc_id", "text", 0.5)
+      .orderBy("a", "b").collect()
+    val lsh = Dedup.minhashLshCross(l, r, "doc_id", "text", 0.5)
+      .orderBy("a", "b").collect()
+    assert(lsh.map(_.toSeq).toSeq == exact.map(_.toSeq).toSeq)
+  }
+
+  test("decontaminate drops exactly the corpus docs near-duplicating the eval set") {
+    val corpus = docs.where(col("doc_id").isin(0L, 2L, 4L))
+    val eval = docs.where(col("doc_id").isin(1L, 3L))
+    val kept = Dedup.decontaminate(corpus, eval, "doc_id", "text", 0.5)
+      .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
+    assert(kept.toSeq == Seq(2L, 4L)) // 0 leaks eval docs 1 and 3
+  }
+
   test("clusters: transitive chains collapse to one component") {
     val ids = Seq(0L, 1L, 2L, 3L, 4L, 5L).toDF("id")
     // chain 0-1-2, pair 3-4, singleton 5
