@@ -89,10 +89,30 @@ object IngestQueries {
       .select("Time", "A_x [g]")
       .orderBy("Time")
 
+  /** q50: the reference's ACTUAL execution model under the oracle —
+    * event-driven streaming ingest (`main.py:29-47`). A fresh landing
+    * dir gets the fixture acquisition; the Structured Streaming
+    * pipeline (binaryFile events → stateful completeness gate →
+    * foreachBatch batch pipeline) runs with Trigger.AvailableNow to
+    * drain the backlog and stop; the query returns the RMS table read
+    * back from the partitioned sink. Same closed-form oracle as q20:
+    * the streaming path must produce byte-identical RMS rows. */
+  def q50(s: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_q50").toString
+    AcquisitionFixture.write(s"$base/landing/LAF1_fixture", AcquisitionFixture.Spec())
+    graft.streaming.StreamingIngest.run(
+      s, s"$base/landing", s"$base/out", s"$base/ckpt")
+    s.read.parquet(s"$base/out/data_parquet_rms")
+      .select(col("rms_x"), col("rms_y"), col("rms_z"), col("rms_mod"),
+        col("Time"), col("alias").cast("string").as("alias"))
+      .orderBy("Time")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q10_hsd2_decode" -> (q10 _),
     "q20_rms_pipeline" -> (q20 _),
     "q35_hsd_source" -> (q35 _),
+    "q50_streaming_rms" -> (q50 _),
   )
 
   val q10Sql: String = fixtureSamplesSql +
@@ -132,5 +152,6 @@ object IngestQueries {
     "q10_hsd2_decode" -> q10Sql,
     "q20_rms_pipeline" -> q20Sql,
     "q35_hsd_source" -> q35Sql,
+    "q50_streaming_rms" -> q20Sql,
   )
 }
