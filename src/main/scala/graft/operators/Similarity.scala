@@ -214,9 +214,29 @@ object Similarity {
       nLists: Int = -1,
       nprobe: Int = 4,
       sampleSize: Int = 2000,
+      seed: Long = 42L): DataFrame =
+    ivfTopKCross(df, df, idCol, vecCol, k, nLists, nprobe, sampleSize, seed)
+
+  /** Query-vs-corpus IVF probe — how ANN is actually served: the
+    * quantizer trains on (a sample of) the CORPUS, the corpus is
+    * assigned once, and a separate query set probes the prebuilt
+    * lists. [[ivfTopK]] is the self-join special case. Rows where a
+    * query id equals a corpus id are excluded as self-matches (the
+    * family-wide convention). */
+  def ivfTopKCross(
+      queriesDf: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nLists: Int = -1,
+      nprobe: Int = 4,
+      sampleSize: Int = 2000,
       seed: Long = 42L): DataFrame = {
-    val spark = df.sparkSession
-    val in = df.select(col(idCol).cast(LongType).as("id"),
+    val spark = corpus.sparkSession
+    val in = corpus.select(col(idCol).cast(LongType).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val qIn = queriesDf.select(col(idCol).cast(LongType).as("id"),
       col(vecCol).cast("array<double>").as("v"))
     // One count job up front: sizes the list count and the sample rate.
     val n = in.count()
@@ -264,15 +284,16 @@ object Similarity {
     }
 
     val corpusLists = assign(1)(in)   // each corpus vector in ONE list
-    val queryLists = assign(nprobe)(in)
+    val queryLists = assign(nprobe)(qIn)
     val vecs = in.withColumn("nrm", norm(col("v")))
+    val qVecs = qIn.withColumn("nrm", norm(col("v")))
     // each corpus vector lives in exactly one list and each query
     // probes a list once ⇒ (q,n) candidates are already unique — no
     // distinct shuffle needed (unlike the multi-table LSH paths)
     val scored = queryLists.select(col("list"), col("id").as("q"))
       .join(corpusLists.select(col("list"), col("id").as("n")), Seq("list"))
       .where(col("q") =!= col("n"))
-      .join(vecs.select(col("id").as("q"), col("v").as("qv"), col("nrm").as("qn")), Seq("q"))
+      .join(qVecs.select(col("id").as("q"), col("v").as("qv"), col("nrm").as("qn")), Seq("q"))
       .join(vecs.select(col("id").as("n"), col("v").as("nv"), col("nrm").as("nn")), Seq("n"))
       .withColumn("cos", cosine(col("qv"), col("nv"), col("qn"), col("nn")))
     topKPerQuery(scored, k)
@@ -311,10 +332,11 @@ object Similarity {
     * driver-side (like [[ivfTopK]]); encoding is one narrow pass; the
     * scan streams the CODES partition-parallel with the query set
     * broadcast, and only per-partition top-k survivors (queries × k ×
-    * partitions rows) reach the final exchange. For query sets too
-    * big to broadcast, batch the queries — each batch is one scan
-    * (the query-side size guard fails fast instead of OOMing the
-    * driver).
+    * partitions rows) reach the final exchange. Queries are batched
+    * internally so the per-task ADC lookup-table block (m × nCents ×
+    * 8 B per query) stays under `maxLutBytes`; multi-batch runs cache
+    * the code stream, so extra batches cost one in-memory scan each.
+    * The `maxQueryBytes` guard still bounds the driver-side collect.
     *
     * The ADC scan is a coarse ranker: quantization error is on the
     * order of within-cluster distances, so the scan keeps the top
@@ -331,7 +353,8 @@ object Similarity {
       rerank: Int = 8,
       sampleSize: Int = 2000,
       seed: Long = 42L,
-      maxQueryBytes: Long = 512L << 20): DataFrame = {
+      maxQueryBytes: Long = 512L << 20,
+      maxLutBytes: Long = 256L << 20): DataFrame = {
     val spark = corpus.sparkSession
     val qEst = queriesDf.queryExecution.optimizedPlan.stats.sizeInBytes
     require(qEst >= BigInt(Long.MaxValue) || qEst <= maxQueryBytes,
@@ -408,56 +431,24 @@ object Similarity {
       .collect().map(r =>
         (r.getLong(0), normalize(r.getSeq[Double](1).toArray)))
       .sortBy(_._1)
-    val qB = spark.sparkContext.broadcast(queries)
 
+    // ADC lookup tables cost m × nCents × 8 B PER QUERY per task —
+    // the dominant task memory, and the query-VECTOR byte guard above
+    // underestimates it for small dim / large m. Batch the queries so
+    // a task's LUT block stays under maxLutBytes; each batch is one
+    // scan over the (cached, m-bytes-per-vector) code stream.
+    val lutBytesPerQuery = m.toLong * nCents * 8
+    val batchSize = math.max(1, (maxLutBytes / lutBytesPerQuery).toInt)
+    val batches = queries.grouped(batchSize).toArray
     val codeRows = in.rdd.mapPartitions(_.map { r =>
       (r.getLong(0), encodeCodes(normalize(r.getSeq[Double](1).toArray)))
     })
-    val partials = codeRows.mapPartitions { it =>
-      val qs = qB.value; val cbs = cbB.value; val off = offB.value
-      // one ADC lookup table per query: exact subspace distances to
-      // every centroid — built once per (partition, query)
-      val luts = qs.map { case (_, qv) =>
-        Array.tabulate(cbs.length) { s =>
-          Array.tabulate(cbs(s).length) { c =>
-            var d2 = 0.0; var i = off(s)
-            val cent = cbs(s)(c)
-            while (i < off(s + 1)) {
-              val x = qv(i) - cent(i - off(s)); d2 += x * x; i += 1
-            }
-            d2
-          }
-        }
-      }
-      // per-query top-k heaps over this partition's codes; head =
-      // worst kept entry (largest distance, then largest id — ties
-      // keep the smaller id, matching the final rank order)
-      val heaps = Array.fill(qs.length)(
-        scala.collection.mutable.PriorityQueue.empty[(Double, Long)](
-          Ordering.Tuple2[Double, Long]))
-      val keep = k * rerank
-      it.foreach { case (id, codes) =>
-        var qi = 0
-        while (qi < qs.length) {
-          if (qs(qi)._1 != id) {
-            val lut = luts(qi)
-            var d = 0.0; var s = 0
-            while (s < codes.length) {
-              d += lut(s)(codes(s) & 0xff); s += 1
-            }
-            val h = heaps(qi)
-            if (h.size < keep) h.enqueue((d, id))
-            else if (d < h.head._1 || (d == h.head._1 && id < h.head._2)) {
-              h.dequeue(); h.enqueue((d, id))
-            }
-          }
-          qi += 1
-        }
-      }
-      heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
-        h.iterator.map { case (d, id) => Row(qs(qi)._1, id, d) }
-      }
-    }
+    if (batches.length > 1)
+      codeRows.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val partials = batches.map { batch =>
+      val qB = spark.sparkContext.broadcast(batch)
+      scanBatch(codeRows, qB, cbB, offB, k * rerank)
+    }.reduce(_ union _)
     val partialDf = spark.createDataFrame(partials, StructType(Seq(
       StructField("q", LongType, false),
       StructField("n", LongType, false),
@@ -480,6 +471,61 @@ object Similarity {
       .withColumn("cos", cosine(col("qv"), col("nv"), col("qn"), col("nn")))
     topKPerQuery(scored, k)
   }
+
+  /** One ADC scan of the code stream for one query batch: per
+    * (partition, query) lookup table of exact subspace distances,
+    * per-query top-`keep` heaps, ≤ keep rows per (partition, query)
+    * emitted. */
+  private def scanBatch(
+      codeRows: org.apache.spark.rdd.RDD[(Long, Array[Byte])],
+      qB: org.apache.spark.broadcast.Broadcast[Array[(Long, Array[Double])]],
+      cbB: org.apache.spark.broadcast.Broadcast[Array[Array[Array[Double]]]],
+      offB: org.apache.spark.broadcast.Broadcast[Array[Int]],
+      keep: Int): org.apache.spark.rdd.RDD[Row] =
+    codeRows.mapPartitions { it =>
+      val qs = qB.value; val cbs = cbB.value; val off = offB.value
+      // one ADC lookup table per query: exact subspace distances to
+      // every centroid — built once per (partition, query)
+      val luts = qs.map { case (_, qv) =>
+        Array.tabulate(cbs.length) { s =>
+          Array.tabulate(cbs(s).length) { c =>
+            var d2 = 0.0; var i = off(s)
+            val cent = cbs(s)(c)
+            while (i < off(s + 1)) {
+              val x = qv(i) - cent(i - off(s)); d2 += x * x; i += 1
+            }
+            d2
+          }
+        }
+      }
+      // per-query top-k heaps over this partition's codes; head =
+      // worst kept entry (largest distance, then largest id — ties
+      // keep the smaller id, matching the final rank order)
+      val heaps = Array.fill(qs.length)(
+        scala.collection.mutable.PriorityQueue.empty[(Double, Long)](
+          Ordering.Tuple2[Double, Long]))
+      it.foreach { case (id, codes) =>
+        var qi = 0
+        while (qi < qs.length) {
+          if (qs(qi)._1 != id) {
+            val lut = luts(qi)
+            var d = 0.0; var s = 0
+            while (s < codes.length) {
+              d += lut(s)(codes(s) & 0xff); s += 1
+            }
+            val h = heaps(qi)
+            if (h.size < keep) h.enqueue((d, id))
+            else if (d < h.head._1 || (d == h.head._1 && id < h.head._2)) {
+              h.dequeue(); h.enqueue((d, id))
+            }
+          }
+          qi += 1
+        }
+      }
+      heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+        h.iterator.map { case (d, id) => Row(qs(qi)._1, id, d) }
+      }
+    }
 
   /** Embedding near-duplicate pairs: all (a < b) with cosine ≥
     * threshold, via hyperplane-LSH bucket candidates + exact
@@ -523,19 +569,40 @@ object Similarity {
       k: Int,
       tables: Int = 8,
       bits: Int = 12,
+      seed: Long = 42L): DataFrame =
+    lshTopKCross(df, df, idCol, vecCol, k, tables, bits, seed)
+
+  /** Query-vs-corpus hyperplane-LSH probe: both sides hash with the
+    * SAME deterministic hyperplane family (seed + dimension), so a
+    * query collides with exactly the corpus vectors it would have
+    * collided with inside one frame — probing a prebuilt index with a
+    * separate query set returns the self-join's result restricted to
+    * those queries. [[lshTopK]] is the queries == corpus case. */
+  def lshTopKCross(
+      queriesDf: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      tables: Int = 8,
+      bits: Int = 12,
       seed: Long = 42L): DataFrame = {
-    val sig = buckets(df, idCol, vecCol, tables, bits, seed)
-    val cand = sig.select(col("table"), col("bucket"), col("id").as("q"))
-      .join(sig.select(col("table"), col("bucket"), col("id").as("n")),
+    val qSig = buckets(queriesDf, idCol, vecCol, tables, bits, seed)
+    val cSig = buckets(corpus, idCol, vecCol, tables, bits, seed)
+    val cand = qSig.select(col("table"), col("bucket"), col("id").as("q"))
+      .join(cSig.select(col("table"), col("bucket"), col("id").as("n")),
         Seq("table", "bucket"))
       .where(col("q") =!= col("n"))
       .select("q", "n").distinct() // pairs recur across tables
-    val vecs = df.select(col(idCol).cast(LongType).as("id"),
-      col(vecCol).cast("array<double>").as("v"))
-      .withColumn("nrm", norm(col("v")))
+    def vecsOf(df: DataFrame): DataFrame =
+      df.select(col(idCol).cast(LongType).as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+        .withColumn("nrm", norm(col("v")))
     val scored = cand
-      .join(vecs.select(col("id").as("q"), col("v").as("qv"), col("nrm").as("qn")), Seq("q"))
-      .join(vecs.select(col("id").as("n"), col("v").as("nv"), col("nrm").as("nn")), Seq("n"))
+      .join(vecsOf(queriesDf)
+        .select(col("id").as("q"), col("v").as("qv"), col("nrm").as("qn")), Seq("q"))
+      .join(vecsOf(corpus)
+        .select(col("id").as("n"), col("v").as("nv"), col("nrm").as("nn")), Seq("n"))
       .withColumn("cos", cosine(col("qv"), col("nv"), col("qn"), col("nn")))
     topKPerQuery(scored, k)
   }

@@ -531,6 +531,32 @@ object ExtQueries {
          AND (len(co.s)+len(ev.s)-len(list_intersect(co.s,ev.s))) > 0
        ORDER BY a, b"""
 
+  // ---------------------------------------------------------------
+  // q52 — query-vs-corpus ANN probe (how ANN is actually served):
+  // every 10th embedding plays the eval query set, probing the IVF
+  // index built over the WHOLE corpus. Exhaustive probe (nprobe =
+  // nLists) keeps the candidate set complete, so the asymmetric path
+  // (corpus-trained quantizer, separate query assignment, cross join,
+  // re-rank) must reproduce the exact top-k — oracle-exact like q26.
+  def q52(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Similarity.ivfTopKCross(
+      e.where(col("vec_id") % 10 === 0), e,
+      "vec_id", "embedding", 5, nLists = 16, nprobe = 16)
+      .select(col("q"), col("rank"), col("n"))
+      .orderBy("q", "rank")
+  }
+
+  val q52Sql: String =
+    """SELECT q, rank, n FROM (
+       SELECT a.vec_id AS q, b.vec_id AS n,
+         CAST(row_number() OVER (PARTITION BY a.vec_id
+           ORDER BY list_cosine_similarity(a.embedding,b.embedding) DESC,
+                    b.vec_id) AS INT) AS rank
+       FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+       WHERE a.vec_id % 10 = 0)
+       WHERE rank <= 5 ORDER BY q, rank"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_dedup_exact" -> (q21 _),
     "q22_jaccard_join" -> (q22 _),
@@ -551,6 +577,7 @@ object ExtQueries {
     "q48_lsh_topk" -> (q48 _),
     "q49_decontaminate" -> (q49 _),
     "q51_cross_jaccard" -> (q51 _),
+    "q52_ann_probe" -> (q52 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -573,5 +600,6 @@ object ExtQueries {
     "q48_lsh_topk" -> q48Sql,
     "q49_decontaminate" -> q49Sql,
     "q51_cross_jaccard" -> q51Sql,
+    "q52_ann_probe" -> q52Sql,
   )
 }

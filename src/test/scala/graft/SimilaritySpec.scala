@@ -97,6 +97,47 @@ class SimilaritySpec extends SparkSpec {
     assert(pq2 == pq)
   }
 
+  test("PQ ANN: LUT-memory batching (forced multi-batch) equals one-batch run") {
+    val rnd = new scala.util.Random(31)
+    val centers = Array.fill(10)(Array.fill(16)(rnd.nextGaussian() * 10))
+    val rows = (0 until 300).map { i =>
+      val c = centers(i % 10)
+      (i.toLong, c.map(x => (x + rnd.nextGaussian() * 0.5).toFloat))
+    }
+    val df = spark.createDataFrame(rows).toDF("vec_id", "embedding")
+    val one = Similarity.pqTopK(df, df, "vec_id", "embedding", 3, m = 8)
+      .orderBy("q", "rank").collect().map(_.toSeq)
+    // m=8, nCents<=75 for a 300-row corpus sample; 8*75*8 = 4800 B per
+    // query -> maxLutBytes=20000 forces ~75 batches over 300 queries
+    val batched = Similarity.pqTopK(df, df, "vec_id", "embedding", 3, m = 8,
+      maxLutBytes = 20000)
+      .orderBy("q", "rank").collect().map(_.toSeq)
+    assert(batched.toSeq == one.toSeq)
+  }
+
+  test("ivfTopKCross with exhaustive probe equals brute force on the query subset") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = d.where(col("vec_id") % 10 === 0)
+    val exact = Similarity.bruteForceTopK(q, d, "vec_id", "embedding", 5)
+      .select("q", "rank", "n").orderBy("q", "rank").collect().map(_.toSeq)
+    val probed = Similarity.ivfTopKCross(q, d, "vec_id", "embedding", 5,
+      nLists = 8, nprobe = 8)
+      .select("q", "rank", "n").orderBy("q", "rank").collect().map(_.toSeq)
+    assert(probed.toSeq == exact.toSeq)
+  }
+
+  test("lshTopKCross equals lshTopK restricted to the query subset") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = d.where(col("vec_id") % 7 === 0)
+    val self = Similarity.lshTopK(d, "vec_id", "embedding", 3)
+      .where(col("q") % 7 === 0)
+      .orderBy("q", "rank").collect().map(_.toSeq)
+    val cross = Similarity.lshTopKCross(q, d, "vec_id", "embedding", 3)
+      .orderBy("q", "rank").collect().map(_.toSeq)
+    assert(cross.toSeq == self.toSeq)
+    assert(cross.nonEmpty)
+  }
+
   test("bruteForceTopK: broadcast size guard fails fast") {
     val df = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)))
       .toDF("vec_id", "embedding")
