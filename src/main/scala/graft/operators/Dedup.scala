@@ -458,6 +458,42 @@ object Dedup {
     df.join(keep, Seq(idCol), "left_semi")
   }
 
+  /** Substring-level exact dedup (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better"): two documents are
+    * substring duplicates when they share ANY contiguous run of
+    * `windowTokens` tokens. The classic complement to whole-document
+    * near-dup — catches boilerplate, quoted passages, and templated
+    * text that document-level Jaccard misses.
+    *
+    * Shape: every window fingerprint comes from ONE O(bytes) pass per
+    * document ([[graft.functions.WindowFingerprints]], codegen
+    * prefix-hash kernel — not windowTokens× re-hashing), pairs come
+    * from an inverted-index equi-join over distinct fingerprints —
+    * never all-pairs; the join's key space is the distinct-window
+    * universe, and web-scale boilerplate (the same window in k docs)
+    * costs k posting rows, k(k−1)/2 output pairs, exactly the true
+    * result size.
+    *
+    * Output (a, b, n_shared): the number of DISTINCT window
+    * fingerprints the pair shares — integer evidence, engine-exact
+    * (the oracle recomputes the same polynomial hashes). */
+  def substringDupPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      windowTokens: Int = 50): DataFrame = {
+    val fps = graft.functions.WindowFingerprints
+      .windowFingerprints(col(textCol), windowTokens)
+    val posts = df
+      .select(col(idCol).as("id"), explode(array_distinct(fps)).as("fp"))
+      .localCheckpoint(eager = false) // feeds both join sides once
+    posts.select(col("fp"), col("id").as("a"))
+      .join(posts.select(col("fp"), col("id").as("b")), Seq("fp"))
+      .where(col("a") < col("b"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** 64-bit SimHash fingerprint per doc: sum the ±1 contribution of
     * every shingle's hash bit, bit j of the fingerprint = sign of
     * sum_j. 64 map-side-combinable sums, one shuffle. */

@@ -557,6 +557,36 @@ object ExtQueries {
        WHERE a.vec_id % 10 = 0)
        WHERE rank <= 5 ORDER BY q, rank"""
 
+  // ---------------------------------------------------------------
+  // q53 — substring-level exact dedup (Lee et al. 2022): doc pairs
+  // sharing any contiguous 20-token run, with the count of distinct
+  // shared windows as integer evidence. The engine computes window
+  // fingerprints via the O(bytes) prefix-hash codegen Expression;
+  // the oracle re-derives every window STRING and hashes it with the
+  // same polynomial in HUGEINT arithmetic (q30's pattern) — a
+  // disagreement in tokenization, windowing, or hash algebra fails
+  // the gate. 20 tokens (not the paper's 50) so the 10-99-word
+  // testdata exercises both matching and sub-window-length docs.
+  def q53(s: SparkSession, dir: String): DataFrame =
+    Dedup.substringDupPairs(t(s, dir, "documents"), "doc_id", "text",
+      windowTokens = 20)
+      .orderBy("a", "b")
+
+  val q53Sql: String =
+    """WITH w AS (SELECT doc_id, string_split(text,' ') t FROM documents),
+       win AS (SELECT doc_id, unnest([array_to_string(t[i:i+19],' ')
+                 for i in range(1, len(t)-18)]) s FROM w),
+       fp AS (SELECT DISTINCT doc_id,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(range(1, length(s)+1),
+               i -> CAST(ord(substr(s, CAST(i AS INT), 1)) AS BIGINT))),
+             (acc, x) -> CAST((CAST(acc AS HUGEINT)*257 + x)
+                              % 2305843009213693951 AS BIGINT)) AS f
+         FROM win)
+       SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS n_shared
+       FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
+       GROUP BY 1, 2 ORDER BY a, b"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_dedup_exact" -> (q21 _),
     "q22_jaccard_join" -> (q22 _),
@@ -578,6 +608,7 @@ object ExtQueries {
     "q49_decontaminate" -> (q49 _),
     "q51_cross_jaccard" -> (q51 _),
     "q52_ann_probe" -> (q52 _),
+    "q53_substring_dedup" -> (q53 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -601,5 +632,6 @@ object ExtQueries {
     "q49_decontaminate" -> q49Sql,
     "q51_cross_jaccard" -> q51Sql,
     "q52_ann_probe" -> q52Sql,
+    "q53_substring_dedup" -> q53Sql,
   )
 }

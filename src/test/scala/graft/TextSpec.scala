@@ -73,6 +73,28 @@ class TextSpec extends SparkSpec {
     assert(r.getDouble(1) == 11.0)
   }
 
+  test("window fingerprints: prefix-hash kernel equals per-window rolling hash") {
+    import graft.functions.WindowFingerprints
+    val rnd = new scala.util.Random(13)
+    val vocab = Vector("alpha", "beta", "g", "delta42", "", "héé")
+    val texts = Seq(
+      "", "one", "a b", "a  b   c", // multi-space → empty tokens
+      "the quick brown fox jumps over the lazy dog") ++
+      (0 until 40).map(_ => Seq.fill(rnd.nextInt(12) + 1)(
+        vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    for (n <- Seq(1, 2, 3, 5); text <- texts) {
+      val got = spark.sql("SELECT 1").select(
+        WindowFingerprints.windowFingerprints(lit(text), n).as("w"))
+        .collect()(0).getSeq[Long](0)
+      // naive reference: split on single space, join each n-window
+      // with single space, full Horner hash per window
+      val toks = text.split(" ", -1)
+      val want = (0 to toks.length - n).map(i =>
+        RollingHash.hash(toks.slice(i, i + n).mkString(" ").getBytes("UTF-8")))
+      assert(got == want, s"n=$n text='$text'")
+    }
+  }
+
   test("rolling hash: mulMod is exact vs BigInt") {
     val rnd = new scala.util.Random(7)
     val M = BigInt(RollingHash.Mod)
