@@ -1,0 +1,59 @@
+package graft.operators
+
+import java.math.{BigDecimal => JBigDecimal, RoundingMode}
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic stratified / weighted corpus sampling — the
+  * data-mixing primitive of training-data pipelines ("keep 50% of
+  * crawl, 10% of forums, all of wiki"). A pure Column filter:
+  *
+  *  - no shuffle, no RNG state — the keep decision is a function of
+  *    (id, seed, stratum) only, so the sample is reproducible across
+  *    runs, partitionings, and engines, and rows keep their sampling
+  *    fate when the corpus is re-sharded or incrementally extended
+  *    (the property `df.sample()` does NOT have);
+  *  - the hash is Knuth's multiplicative golden-ratio scheme computed
+  *    in exact 128-bit DECIMAL arithmetic, so any engine (Spark,
+  *    DuckDB HUGEINT, …) derives the identical keep set — unlike
+  *    xxhash64, which only Spark evaluates;
+  *  - per-stratum rates become integer thresholds on the hash value
+  *    (keep iff u < ⌊rate·2⁶⁴⌋), folded into one CASE expression —
+  *    codegen'd, scale-free.
+  */
+object Sampling {
+
+  private val Phi = new JBigDecimal("11400714819323198485") // ⌊2⁶⁴/φ⌋, odd
+  private val Two64 = new JBigDecimal("18446744073709551616")
+
+  /** u(id) = (id + seed)·⌊2⁶⁴/φ⌋ mod 2⁶⁴ as DECIMAL(38,0) —
+    * uniform over [0, 2⁶⁴) for sequential or hashed ids. */
+  def uniformHash64(id: Column, seed: Long): Column =
+    (id.cast("decimal(38,0)") + lit(seed)) * lit(Phi) % lit(Two64)
+
+  /** ⌊rate · 2⁶⁴⌋ — the exact integer keep-threshold for a rate. */
+  def threshold(rate: BigDecimal): JBigDecimal =
+    Two64.multiply(rate.underlying).setScale(0, RoundingMode.FLOOR)
+
+  /** Keep each row of stratum s with probability rates(s) —
+    * deterministically in (idCol, seed). Strata absent from `rates`
+    * keep `defaultRate`. Rates are exact decimals (pass
+    * BigDecimal("0.1"), not 0.1) so engine and oracle agree on the
+    * threshold integer. */
+  def stratifiedSample(
+      df: DataFrame,
+      idCol: String,
+      stratumCol: String,
+      rates: Map[String, BigDecimal],
+      defaultRate: BigDecimal = BigDecimal(0),
+      seed: Long = 0L): DataFrame = {
+    require(rates.values.forall(r => r >= 0 && r <= 1) &&
+      defaultRate >= 0 && defaultRate <= 1, "rates must be in [0, 1]")
+    val thrCol = rates.foldLeft(lit(threshold(defaultRate))) {
+      case (acc, (stratum, rate)) =>
+        when(col(stratumCol) === stratum, lit(threshold(rate))).otherwise(acc)
+    }
+    df.where(uniformHash64(col(idCol), seed) < thrCol)
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.RollingHash
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** Training-data-pipeline queries (SURVEY.md §7.1 ext): dedup,
   * similarity search, text analysis, multimodal plumbing — over the
@@ -587,6 +587,34 @@ object ExtQueries {
        FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
        GROUP BY 1, 2 ORDER BY a, b"""
 
+  // ---------------------------------------------------------------
+  // q54 — stratified corpus sampling (the data-mixing primitive):
+  // keep 50% of sources src0-src9 and 10% of src10-src19,
+  // deterministically in (doc_id, seed). The keep decision is an
+  // exact-decimal multiplicative hash both engines compute
+  // identically (q24's derivedFp pattern — xxhash64 would be
+  // Spark-only), so the EXACT surviving row set is oracle-checked,
+  // not just the sample size.
+  def q54(s: SparkSession, dir: String): DataFrame = {
+    val rates = (0 until 20).map(i =>
+      s"src$i" -> (if (i < 10) BigDecimal("0.5") else BigDecimal("0.1"))).toMap
+    Sampling.stratifiedSample(t(s, dir, "documents"),
+      "doc_id", "source", rates, seed = 7L)
+      .select(col("doc_id"), col("source"))
+      .orderBy("doc_id")
+  }
+
+  val q54Sql: String =
+    """SELECT doc_id, source FROM (
+         SELECT doc_id, source,
+           (CAST(doc_id + 7 AS HUGEINT) * 11400714819323198485)
+             % 18446744073709551616 AS u
+         FROM documents)
+       WHERE u < CASE WHEN CAST(substr(source, 4, 10) AS INT) < 10
+                      THEN 9223372036854775808
+                      ELSE 1844674407370955161 END
+       ORDER BY doc_id"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_dedup_exact" -> (q21 _),
     "q22_jaccard_join" -> (q22 _),
@@ -609,6 +637,7 @@ object ExtQueries {
     "q51_cross_jaccard" -> (q51 _),
     "q52_ann_probe" -> (q52 _),
     "q53_substring_dedup" -> (q53 _),
+    "q54_stratified_sample" -> (q54 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -633,5 +662,6 @@ object ExtQueries {
     "q51_cross_jaccard" -> q51Sql,
     "q52_ann_probe" -> q52Sql,
     "q53_substring_dedup" -> q53Sql,
+    "q54_stratified_sample" -> q54Sql,
   )
 }

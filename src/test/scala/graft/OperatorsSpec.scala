@@ -2,10 +2,35 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOfJoin, Salting}
+import graft.operators.{AsOfJoin, Salting, Sampling}
 
 class OperatorsSpec extends SparkSpec {
   import spark.implicits._
+
+  test("stratified sample: deterministic, partition-independent, rate-accurate") {
+    val rows = (0L until 4000L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+    val df = rows.toDF("id", "stratum")
+    val rates = Map("a" -> BigDecimal("0.5"), "b" -> BigDecimal("0.1"))
+    val s1 = Sampling.stratifiedSample(df, "id", "stratum", rates, seed = 7L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    // same input re-partitioned → identical sample (pure filter)
+    val s2 = Sampling.stratifiedSample(df.repartition(17), "id", "stratum",
+      rates, seed = 7L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(s1 == s2)
+    val aKept = s1.count(_ % 2 == 0).toDouble / 2000
+    val bKept = s1.count(_ % 2 == 1).toDouble / 2000
+    assert(math.abs(aKept - 0.5) < 0.05, s"a rate $aKept")
+    assert(math.abs(bKept - 0.1) < 0.03, s"b rate $bKept")
+    // different seed → different sample
+    val s3 = Sampling.stratifiedSample(df, "id", "stratum", rates, seed = 8L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(s3 != s1)
+    // rate 1 keeps everything, default rate 0 drops unknown strata
+    val all = Sampling.stratifiedSample(df, "id", "stratum",
+      Map("a" -> BigDecimal(1)), seed = 7L).select("id").collect()
+    assert(all.length == 2000 && all.forall(_.getLong(0) % 2 == 0))
+  }
 
   test("salted equi-join equals plain join on skewed data") {
     // 10k rows of one hot key + tail
