@@ -393,18 +393,19 @@ object Dedup {
           .withColumnRenamed("cluster", "ncluster"), Seq("y"))
         .groupBy(col("x").as("id"))
         .agg(min(col("ncluster")).as("ncluster"))
-      // checkpoint BEFORE the convergence probe so the round's plan
-      // runs once; the probe then joins two materialized frames
+      // the change flag rides ALONG in the round's projection (did a
+      // neighbor offer a strictly smaller label?), so the convergence
+      // probe is a filter over the materialized checkpoint — no extra
+      // join against the previous labels
       val updated = labels.join(viaNeighbors, Seq("id"), "left")
         .select(col("id"),
           least(col("cluster"), coalesce(col("ncluster"), col("cluster")))
-            .as("cluster"))
+            .as("cluster"),
+          (coalesce(col("ncluster"), col("cluster")) < col("cluster"))
+            .as("__changed"))
         .localCheckpoint(eager = true)
-      val changed = updated.alias("u")
-        .join(labels.alias("l"), Seq("id"))
-        .where(col("u.cluster") =!= col("l.cluster"))
-        .limit(1).count() > 0
-      labels = updated
+      val changed = updated.where(col("__changed")).limit(1).count() > 0
+      labels = updated.drop("__changed")
       converged = !changed
       it += 1
     }

@@ -54,4 +54,25 @@ class SinkSpec extends SparkSpec {
       }
     } finally reader.close()
   }
+
+  test("RMS sink honors the same physical format pins") {
+    import scala.jdk.CollectionConverters._
+    val file = new java.io.File(s"$out/data_parquet_rms/alias=LAF1/year=2025/month=7/day=11")
+      .listFiles().filter(_.getName.endsWith(".parquet")).head
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file.getAbsolutePath),
+        spark.sparkContext.hadoopConfiguration))
+    try {
+      val cols = reader.getFooter.getBlocks.get(0).getColumns.asScala
+      val time = cols.find(_.getPath.toDotString == "Time").get
+      assert(time.getEncodings.asScala.exists(_.name == "DELTA_BINARY_PACKED"),
+        s"Time encodings: ${time.getEncodings}")
+      assert(time.getCodec.name == "SNAPPY")
+      cols.foreach { c =>
+        assert(!c.getEncodings.asScala.exists(_.name.contains("DICTIONARY")),
+          s"${c.getPath}: ${c.getEncodings}")
+      }
+    } finally reader.close()
+  }
 }
