@@ -48,13 +48,18 @@ object Bench {
     // fixture and reported as-is plus the 1-hour extrapolation
     val ingestJson = try {
       val landing = java.nio.file.Files.createTempDirectory("graft_bench_ingest").toString
-      val out = java.nio.file.Files.createTempDirectory("graft_bench_ingest_out").toString
       fixtures.AcquisitionFixture.write(s"$landing/acq",
         fixtures.AcquisitionFixture.Spec(seconds = 600.0))
       val rawMb = new java.io.File(s"$landing/acq/iis3dwb_acc.dat").length() / 1e6
-      val t0 = System.nanoTime()
-      graft.ingest.Pipeline.processAcquisition(spark, s"$landing/acq", out)
-      val dt = (System.nanoTime() - t0) / 1e9
+      // median like the queries: the single-shot ingest number was the
+      // noisiest artifact of rounds 1-2 (2x spread across runs)
+      val times = (1 to repeats).map { _ =>
+        val out = java.nio.file.Files.createTempDirectory("graft_bench_ingest_out").toString
+        val t0 = System.nanoTime()
+        graft.ingest.Pipeline.processAcquisition(spark, s"$landing/acq", out)
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      val dt = times(times.length / 2)
       s""","ingest_10min_sec":$dt,"ingest_mb_per_sec":${rawMb / dt},"ingest_1h_extrapolated_sec":${dt * 6}"""
     } catch { case e: Throwable =>
       System.err.println(s"[bench] ingest failed: ${e.getMessage}"); ""

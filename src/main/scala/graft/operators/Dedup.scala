@@ -495,6 +495,31 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Substring-level decontamination (how eval-set leakage is
+    * actually removed in practice, per Lee et al. 2022 / GPT-3
+    * appendix C): drop every `corpus` doc sharing ANY contiguous
+    * `windowTokens`-token run with a `contam` doc. Window
+    * fingerprints come from the O(bytes) prefix-hash kernel; the
+    * membership test is a left_semi join of corpus posting rows
+    * against the contam side's distinct fingerprints (small —
+    * broadcast-able for real eval sets), then one left_anti on the
+    * corpus id. */
+  def decontaminateSubstring(
+      corpus: DataFrame,
+      contam: DataFrame,
+      idCol: String,
+      textCol: String,
+      windowTokens: Int = 50): DataFrame = {
+    def postsOf(df: DataFrame): DataFrame =
+      df.select(col(idCol).as("id"),
+        explode(array_distinct(graft.functions.WindowFingerprints
+          .windowFingerprints(col(textCol), windowTokens))).as("fp"))
+    val bad = postsOf(corpus)
+      .join(postsOf(contam).select("fp").distinct(), Seq("fp"), "left_semi")
+      .select(col("id").as(idCol)).distinct()
+    corpus.join(bad, Seq(idCol), "left_anti")
+  }
+
   /** 64-bit SimHash fingerprint per doc: sum the ±1 contribution of
     * every shingle's hash bit, bit j of the fingerprint = sign of
     * sum_j. 64 map-side-combinable sums, one shuffle. */

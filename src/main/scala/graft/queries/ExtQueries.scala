@@ -615,6 +615,42 @@ object ExtQueries {
                       ELSE 1844674407370955161 END
        ORDER BY doc_id"""
 
+  // ---------------------------------------------------------------
+  // q55 — substring-level decontamination (Lee et al. 2022 / GPT-3
+  // appendix C: the production eval-leak removal): corpus docs
+  // sharing any contiguous 20-token run with the planted eval subset
+  // (doc_id % 4 = 0, as in q49) are dropped. The oracle re-derives
+  // every window fingerprint in HUGEINT and recomputes the surviving
+  // id set.
+  def q55(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Dedup.decontaminateSubstring(
+      docs.where(col("doc_id") % 4 =!= 0),
+      docs.where(col("doc_id") % 4 === 0),
+      "doc_id", "text", windowTokens = 20)
+      .select(col("doc_id"))
+      .orderBy("doc_id")
+  }
+
+  val q55Sql: String =
+    """WITH w AS (SELECT doc_id, string_split(text,' ') t FROM documents),
+       win AS (SELECT doc_id, unnest([array_to_string(t[i:i+19],' ')
+                 for i in range(1, len(t)-18)]) s FROM w),
+       fp AS (SELECT DISTINCT doc_id,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(range(1, length(s)+1),
+               i -> CAST(ord(substr(s, CAST(i AS INT), 1)) AS BIGINT))),
+             (acc, x) -> CAST((CAST(acc AS HUGEINT)*257 + x)
+                              % 2305843009213693951 AS BIGINT)) AS f
+         FROM win),
+       ev AS (SELECT DISTINCT f FROM fp WHERE doc_id % 4 = 0),
+       bad AS (SELECT DISTINCT fp.doc_id FROM fp JOIN ev ON fp.f = ev.f
+               WHERE fp.doc_id % 4 != 0)
+       SELECT doc_id FROM documents
+       WHERE doc_id % 4 != 0
+         AND doc_id NOT IN (SELECT doc_id FROM bad)
+       ORDER BY doc_id"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_dedup_exact" -> (q21 _),
     "q22_jaccard_join" -> (q22 _),
@@ -638,6 +674,7 @@ object ExtQueries {
     "q52_ann_probe" -> (q52 _),
     "q53_substring_dedup" -> (q53 _),
     "q54_stratified_sample" -> (q54 _),
+    "q55_substring_decontam" -> (q55 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -663,5 +700,6 @@ object ExtQueries {
     "q52_ann_probe" -> q52Sql,
     "q53_substring_dedup" -> q53Sql,
     "q54_stratified_sample" -> q54Sql,
+    "q55_substring_decontam" -> q55Sql,
   )
 }

@@ -94,6 +94,19 @@ class DedupSpec extends SparkSpec {
     assert(kept.toSeq == Seq(2L, 4L)) // 0 leaks eval docs 1 and 3
   }
 
+  test("decontaminateSubstring drops corpus docs sharing an n-token window with eval") {
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"), // shares 4-window with eval 10
+      (1L, "one two three four five six seven"),   // clean
+      (2L, "tiny")).toDF("doc_id", "text")
+    val eval = Seq(
+      (10L, "XX alpha beta gamma delta YY")).toDF("doc_id", "text")
+    val kept = Dedup.decontaminateSubstring(corpus, eval, "doc_id", "text",
+      windowTokens = 4)
+      .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
+    assert(kept.toSeq == Seq(1L, 2L))
+  }
+
   test("clusters: transitive chains collapse to one component") {
     val ids = Seq(0L, 1L, 2L, 3L, 4L, 5L).toDF("id")
     // chain 0-1-2, pair 3-4, singleton 5
