@@ -42,6 +42,20 @@ class PlanAuditSpec extends SparkSpec {
       s"plan:\n$p")
   }
 
+  test("q27: text is tokenized exactly once (staged projections survive optimization)") {
+    val p = plan("q27_langid")
+    val splits = "split\\(lower\\(".r.findAllIn(p).length
+    assert(splits == 1, s"expected 1 tokenization, found $splits:\n$p")
+  }
+
+  test("q54: stratified sample is a pure filter — no shuffle") {
+    // orderBy adds the final presentation exchange; everything below
+    // it must be scan→filter (Exchange count == the one for the sort)
+    val p = plan("q54_stratified_sample")
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 1, s"sampling should not shuffle:\n$p")
+  }
+
   test("no shuffle cartesian product in any registry query") {
     // BroadcastNestedLoopJoin is legitimate where a side is tiny or
     // broadcast-by-design: the pure theta join (q37) and the
