@@ -113,6 +113,17 @@ object TextAnalysis {
         nChars.cast("double")))
   }
 
+  /** Intra-document repetition counts (Rae et al. 2021 "Gopher"
+    * repetition filters): total vs distinct n-token windows. A
+    * low distinct/total ratio flags boilerplate loops and degenerate
+    * generations. One O(bytes) pass per row via
+    * [[graft.functions.WindowFingerprints]]; integer outputs so every
+    * engine agrees exactly. */
+  def repetitionCounts(text: Column, n: Int = 3): (Column, Column) = {
+    val fps = graft.functions.WindowFingerprints.windowFingerprints(text, n)
+    (size(fps).cast("long"), size(array_distinct(fps)).cast("long"))
+  }
+
   /** Composite keep/drop signal: a document passes the quality gate
     * when it is long enough, word-like, and not punctuation soup. */
   def qualityPass(text: Column): Column = {

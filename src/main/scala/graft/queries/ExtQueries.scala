@@ -651,6 +651,30 @@ object ExtQueries {
          AND doc_id NOT IN (SELECT doc_id FROM bad)
        ORDER BY doc_id"""
 
+  // ---------------------------------------------------------------
+  // q56 — intra-document repetition (Gopher-style duplicate-n-gram
+  // filter): total vs distinct 3-token windows per doc. The engine
+  // dedups window FINGERPRINTS (prefix-hash kernel); the oracle
+  // dedups the window STRINGS themselves — so a single hash
+  // collision anywhere in the corpus would fail the gate, making
+  // this an independent collision check on the 2^61 fingerprint
+  // space as well as a windowing/tokenization gate.
+  def q56(s: SparkSession, dir: String): DataFrame = {
+    val (nw, nd) = TextAnalysis.repetitionCounts(col("text"), n = 3)
+    t(s, dir, "documents")
+      .select(col("doc_id"), nw.as("n_windows"), nd.as("n_distinct"))
+      .orderBy("doc_id")
+  }
+
+  val q56Sql: String =
+    """SELECT doc_id,
+         CAST(len(wins) AS BIGINT) AS n_windows,
+         CAST(len(list_distinct(wins)) AS BIGINT) AS n_distinct
+       FROM (SELECT doc_id, [array_to_string(t[i:i+2],' ')
+               for i in range(1, len(t)-1)] AS wins
+             FROM (SELECT doc_id, string_split(text,' ') t FROM documents))
+       ORDER BY doc_id"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_dedup_exact" -> (q21 _),
     "q22_jaccard_join" -> (q22 _),
@@ -675,6 +699,7 @@ object ExtQueries {
     "q53_substring_dedup" -> (q53 _),
     "q54_stratified_sample" -> (q54 _),
     "q55_substring_decontam" -> (q55 _),
+    "q56_repetition" -> (q56 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -701,5 +726,6 @@ object ExtQueries {
     "q53_substring_dedup" -> q53Sql,
     "q54_stratified_sample" -> q54Sql,
     "q55_substring_decontam" -> q55Sql,
+    "q56_repetition" -> q56Sql,
   )
 }
