@@ -56,6 +56,28 @@ case class WindowFingerprints(child: Expression, windowTokens: Int)
 object WindowFingerprints {
   import RollingHash.{Mod, Base, mulMod}
 
+  // B^i mod M depends only on constants — share one lazily-grown
+  // table across rows/threads instead of rebuilding len mulMods per
+  // row (halves the kernel's modular multiplies). Volatile snapshot
+  // read; growth (to the longest doc seen, doubling) under lock.
+  @volatile private var powTable: Array[Long] = Array(1L)
+  private def powers(upTo: Int): Array[Long] = {
+    val p = powTable
+    if (p.length > upTo) p
+    else synchronized {
+      var cur = powTable
+      if (cur.length <= upTo) {
+        val n = math.max(upTo + 1, cur.length * 2)
+        val np = java.util.Arrays.copyOf(cur, n)
+        var i = cur.length
+        while (i < n) { np(i) = mulMod(np(i - 1), Base); i += 1 }
+        powTable = np
+        cur = np
+      }
+      cur
+    }
+  }
+
   /** Prefix-hash pass: H(i) = hash of bytes[0, i), pow(i) = B^i mod M;
     * token starts = 0 plus every index after a 0x20 byte (matching
     * `split(text, " ")`, where consecutive spaces yield empty
@@ -73,13 +95,11 @@ object WindowFingerprints {
     i = 0
     while (i < len) { if (bytes(i) == ' ') { starts(t) = i + 1; t += 1 }; i += 1 }
     val h = new Array[Long](len + 1)
-    val pow = new Array[Long](len + 1)
-    pow(0) = 1L
+    val pow = powers(len)
     i = 0
     while (i < len) {
       val s = mulMod(h(i), Base) + (bytes(i) & 0xff).toLong
       h(i + 1) = if (s >= Mod) s - Mod else s
-      pow(i + 1) = mulMod(pow(i), Base)
       i += 1
     }
     val out = new Array[Long](nWin)

@@ -170,6 +170,28 @@ object Dedup {
     posts.groupBy(col("id")).agg(mins.head, mins.tail: _*)
   }
 
+  /** (id, band_idx, band_hash) bucket rows from a pre-shingled
+    * frame: signature → per-band xxhash64 of the band's r contiguous
+    * slots → posexplode. ONE definition shared by the self- and
+    * cross-corpus LSH joins, so the band-hash family cannot drift
+    * between them. */
+  private def bandBuckets(
+      sh: DataFrame,
+      numPerm: Int,
+      bands: Int,
+      seed: Long): DataFrame = {
+    val rows = numPerm / bands
+    val sig = minhashSignatureFromShingles(sh, numPerm, seed)
+    val bandCols = (0 until bands).map { bIdx =>
+      xxhash64((lit(bIdx) +: (0 until rows)
+        .map(r => col(s"mh${bIdx * rows + r}"))): _*).as(s"band$bIdx")
+    }
+    sig.select(col("id") +: bandCols: _*)
+      .select(col("id"),
+        posexplode(array((0 until bands).map(i => col(s"band$i")): _*)))
+      .toDF("id", "band_idx", "band_hash")
+  }
+
   /** MinHash-LSH near-duplicate join: band-bucket candidate
     * generation + exact Jaccard verification. Output shape equals
     * [[jaccardJoin]] — with enough bands the candidate set contains
@@ -186,23 +208,13 @@ object Dedup {
     require(bands > 0 && bands <= numPerm && numPerm % bands == 0,
       s"bands ($bands) must divide numPerm ($numPerm); bands > numPerm would " +
         "make every band hash constant and degenerate candidates to all pairs")
-    val rows = numPerm / bands
     // one shingle materialization feeds both the signature and the
     // exact verification (localCheckpoint trades lineage for reuse —
     // the standard call for a frame consumed 3x; MEMORY_AND_DISK, so
     // it spills rather than OOMs at scale)
     val sh = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("s"))
       .localCheckpoint(eager = false)
-    val sig = minhashSignatureFromShingles(sh, numPerm, seed)
-    // band value = hash of its r contiguous signature slots
-    val bandCols = (0 until bands).map { bIdx =>
-      xxhash64((lit(bIdx) +: (0 until rows)
-        .map(r => col(s"mh${bIdx * rows + r}"))): _*).as(s"band$bIdx")
-    }
-    val banded = sig.select(col("id") +: bandCols: _*)
-    val buckets = banded.select(col("id"),
-      posexplode(array((0 until bands).map(i => col(s"band$i")): _*)))
-      .toDF("id", "band_idx", "band_hash")
+    val buckets = bandBuckets(sh, numPerm, bands, seed)
     val cand = buckets.select(col("band_idx"), col("band_hash"), col("id").as("a"))
       .join(buckets.select(col("band_idx"), col("band_hash"), col("id").as("b")),
         Seq("band_idx", "band_hash"))
@@ -311,26 +323,14 @@ object Dedup {
       seed: Long = 42L): DataFrame = {
     require(bands > 0 && bands <= numPerm && numPerm % bands == 0,
       s"bands ($bands) must divide numPerm ($numPerm)")
-    val rows = numPerm / bands
     def shingled(df: DataFrame): DataFrame =
       df.select(col(idCol).as("id"), shingles(col(textCol), n).as("s"))
         .localCheckpoint(eager = false)
     val shL = shingled(left)
     val shR = shingled(right)
-    def bucketsOf(sh: DataFrame): DataFrame = {
-      val sig = minhashSignatureFromShingles(sh, numPerm, seed)
-      val bandCols = (0 until bands).map { bIdx =>
-        xxhash64((lit(bIdx) +: (0 until rows)
-          .map(r => col(s"mh${bIdx * rows + r}"))): _*).as(s"band$bIdx")
-      }
-      sig.select(col("id") +: bandCols: _*)
-        .select(col("id"),
-          posexplode(array((0 until bands).map(i => col(s"band$i")): _*)))
-        .toDF("id", "band_idx", "band_hash")
-    }
-    val cand = bucketsOf(shL)
+    val cand = bandBuckets(shL, numPerm, bands, seed)
       .select(col("band_idx"), col("band_hash"), col("id").as("a"))
-      .join(bucketsOf(shR)
+      .join(bandBuckets(shR, numPerm, bands, seed)
         .select(col("band_idx"), col("band_hash"), col("id").as("b")),
         Seq("band_idx", "band_hash"))
       .select("a", "b").distinct()

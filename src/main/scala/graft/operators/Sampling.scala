@@ -26,11 +26,26 @@ object Sampling {
 
   private val Phi = new JBigDecimal("11400714819323198485") // ⌊2⁶⁴/φ⌋, odd
   private val Two64 = new JBigDecimal("18446744073709551616")
+  private val Two32 = new JBigDecimal("4294967296")
+  private val PhiHi = new JBigDecimal("2654435769")  // Phi div 2³²
+  private val PhiLo = new JBigDecimal("2135587861")  // Phi mod 2³²
 
-  /** u(id) = (id + seed)·⌊2⁶⁴/φ⌋ mod 2⁶⁴ as DECIMAL(38,0) —
-    * uniform over [0, 2⁶⁴) for sequential or hashed ids. */
-  def uniformHash64(id: Column, seed: Long): Column =
-    (id.cast("decimal(38,0)") + lit(seed)) * lit(Phi) % lit(Two64)
+  /** u(id) = ((id + seed) mod 2⁶⁴)·⌊2⁶⁴/φ⌋ mod 2⁶⁴ as DECIMAL(38,0),
+    * uniform over [0, 2⁶⁴) for sequential AND hashed ids anywhere in
+    * the signed-long range. Two sign/overflow traps are designed out:
+    * decimal `%` follows the dividend's sign (a negative hash would
+    * compare below every threshold ⇒ row always kept), so the input
+    * is first range-reduced to [0, 2⁶⁴); and a 20-digit a times
+    * 20-digit Phi can exceed DECIMAL(38)'s range (ANSI exception), so
+    * the product is taken schoolbook-style in 2³² halves — every
+    * intermediate stays < 10²⁹. Identical values to the plain
+    * (a·Phi) mod 2⁶⁴ on any input. */
+  def uniformHash64(id: Column, seed: Long): Column = {
+    val raw = (id.cast("decimal(38,0)") + lit(seed)) % lit(Two64)
+    val a = when(raw < 0, raw + lit(Two64)).otherwise(raw)
+    // (a·Phi) mod 2⁶⁴ = (a·PhiLo + ((a·PhiHi) mod 2³²)·2³²) mod 2⁶⁴
+    (a * lit(PhiLo) + (a * lit(PhiHi) % lit(Two32)) * lit(Two32)) % lit(Two64)
+  }
 
   /** ⌊rate · 2⁶⁴⌋ — the exact integer keep-threshold for a rate. */
   def threshold(rate: BigDecimal): JBigDecimal =

@@ -432,6 +432,13 @@ object Similarity {
         (r.getLong(0), normalize(r.getSeq[Double](1).toArray)))
       .sortBy(_._1)
 
+    if (queries.isEmpty) // empty query set → empty result, not a crash
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row],
+        StructType(Seq(StructField("q", LongType, false),
+          StructField("rank", IntegerType, false),
+          StructField("n", LongType, false),
+          StructField("cos", DoubleType, false))))
     // ADC lookup tables cost m × nCents × 8 B PER QUERY per task —
     // the dominant task memory, and the query-VECTOR byte guard above
     // underestimates it for small dim / large m. Batch the queries so
@@ -443,16 +450,26 @@ object Similarity {
     val codeRows = in.rdd.mapPartitions(_.map { r =>
       (r.getLong(0), encodeCodes(normalize(r.getSeq[Double](1).toArray)))
     })
-    if (batches.length > 1)
+    val multiBatch = batches.length > 1
+    if (multiBatch)
       codeRows.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val partials = batches.map { batch =>
-      val qB = spark.sparkContext.broadcast(batch)
-      scanBatch(codeRows, qB, cbB, offB, k * rerank)
-    }.reduce(_ union _)
-    val partialDf = spark.createDataFrame(partials, StructType(Seq(
+    val qBs = batches.map(b => spark.sparkContext.broadcast(b))
+    val partials = qBs.map(qB => scanBatch(codeRows, qB, cbB, offB, k * rerank))
+      .reduce(_ union _)
+    var partialDf = spark.createDataFrame(partials, StructType(Seq(
       StructField("q", LongType, false),
       StructField("n", LongType, false),
       StructField("adist", DoubleType, false))))
+    if (multiBatch) {
+      // materialize the (small: queries × k·rerank × partitions rows)
+      // survivor set NOW so the cached code stream and per-batch
+      // broadcasts can be released instead of pinning executor memory
+      // until the caller's action — cleanup the ContextCleaner would
+      // otherwise do only on GC of the lineage
+      partialDf = partialDf.localCheckpoint(eager = true)
+      codeRows.unpersist(blocking = false)
+      qBs.foreach(_.destroy())
+    }
     // global candidate merge (smaller ADC distance is better ⇒ negate
     // for the descending-score aggregator), then EXACT cosine re-rank
     // of the k·rerank survivors per query

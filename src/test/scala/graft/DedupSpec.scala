@@ -38,12 +38,18 @@ class DedupSpec extends SparkSpec {
 
   test("prefix-filtered jaccard join equals unfiltered on sf0.001 documents") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    val full = Dedup.jaccardJoin(d, "doc_id", "text", 0.5, prefixFilter = false)
-      .orderBy("a", "b").collect()
-    val pref = Dedup.jaccardJoin(d, "doc_id", "text", 0.5, prefixFilter = true)
-      .orderBy("a", "b").collect()
-    assert(full.nonEmpty)
-    assert(pref.map(_.toSeq).toSeq == full.map(_.toSeq).toSeq)
+    // thresholds beyond 0.5 on purpose: 0.1/0.3 are not exactly
+    // representable doubles, exercising the ceil(t*sz) prefix-length
+    // boundary (sound because candidate generation and verification
+    // share the same double t; fl-ceil never exceeds true-ceil)
+    for (t <- Seq(0.1, 0.3, 0.5)) {
+      val full = Dedup.jaccardJoin(d, "doc_id", "text", t, prefixFilter = false)
+        .orderBy("a", "b").collect()
+      val pref = Dedup.jaccardJoin(d, "doc_id", "text", t, prefixFilter = true)
+        .orderBy("a", "b").collect()
+      assert(full.nonEmpty)
+      assert(pref.map(_.toSeq).toSeq == full.map(_.toSeq).toSeq, s"t=$t")
+    }
   }
 
   test("minhash LSH equals exact jaccard join on sf0.001 documents") {

@@ -32,6 +32,22 @@ class OperatorsSpec extends SparkSpec {
     assert(all.length == 2000 && all.forall(_.getLong(0) % 2 == 0))
   }
 
+  test("stratified sample: NEGATIVE (hashed) ids sample at the stated rate") {
+    // xxhash64-style ids are negative ~half the time; decimal % follows
+    // the dividend sign, so an unreduced hash would be < every
+    // threshold and the row always kept — the operator must range-
+    // reduce first. Also exercises ids near ±Long.Max (the DECIMAL(38)
+    // overflow regime of a one-shot 20x20-digit multiply).
+    val rnd = new scala.util.Random(99)
+    val ids = (0 until 4000).map(_ => rnd.nextLong()) :+
+      Long.MaxValue :+ Long.MinValue :+ -1L
+    val df = ids.map((_, "a")).toDF("id", "stratum")
+    val kept = Sampling.stratifiedSample(df, "id", "stratum",
+      Map("a" -> BigDecimal("0.1")), seed = 7L).count()
+    val rate = kept.toDouble / ids.size
+    assert(math.abs(rate - 0.1) < 0.03, s"rate $rate")
+  }
+
   test("salted equi-join equals plain join on skewed data") {
     // 10k rows of one hot key + tail
     val big = spark.range(10000).select(
