@@ -7,7 +7,10 @@ object Bench {
     // median-of-3 by default: local[32] wall times are load-sensitive
     // enough that round-over-round single-shot deltas read as noise
     // (judge r2: driver vs judge re-run disagreed up to 2x on q27)
-    val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt
+    // clamp to >= 1: 0/negative would leave `times` empty and crash
+    // the median lookup after the whole suite has already run
+    val repeats = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt)
     val spark = Sessions.local(cpus.toInt)
     // optional positional filter: `runMain graft.Bench q27` times only
     // queries whose name contains the substring — iterate one query
@@ -94,10 +97,15 @@ object Bench {
     // r2: BENCH_r02.json tail cut mid-JSON) must fail loudly, not get
     // archived as the round's artifact
     org.json4s.jackson.JsonMethods.parse(line)
-    // belt-and-braces vs stdout interleaving: also persist the line
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get("bench_last.json"),
-      (line + "\n").getBytes("UTF-8"))
+    // belt-and-braces vs stdout interleaving: also persist the line —
+    // bench_last.json for local iteration, BENCH-summary.json as the
+    // TRACKED per-round artifact (the driver's stdout-tail capture
+    // truncated mid-JSON in rounds 2-3, losing q01-q42; a committed
+    // file survives regardless of how the tail is cut)
+    Seq("bench_last.json", "BENCH-summary.json").foreach { f =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(f), (line + "\n").getBytes("UTF-8"))
+    }
     println(line)
     spark.stop()
   }

@@ -57,17 +57,30 @@ object WindowFingerprints {
   import RollingHash.{Mod, Base, mulMod}
 
   // B^i mod M depends only on constants — share one lazily-grown
-  // table across rows/threads instead of rebuilding len mulMods per
+  // table across rows/threads instead of rebuilding the mulMods per
   // row (halves the kernel's modular multiplies). Volatile snapshot
-  // read; growth (to the longest doc seen, doubling) under lock.
+  // read; growth (doubling, to the largest WINDOW SPAN seen — the
+  // kernel only ever indexes pow(r − l), so the table is bounded by
+  // ~windowTokens × max token length, NOT document length: one 100 MB
+  // document must not pin an 800 MB long[] per executor JVM) under
+  // lock. A pathological span past the cap (a single multi-MB token)
+  // gets a transient local table instead of growing the shared one.
+  private val MaxSharedPow = 1 << 20 // 8 MB of longs per executor JVM
   @volatile private var powTable: Array[Long] = Array(1L)
   private def powers(upTo: Int): Array[Long] = {
+    if (upTo >= MaxSharedPow) {
+      val np = new Array[Long](upTo + 1)
+      np(0) = 1L
+      var i = 1
+      while (i <= upTo) { np(i) = mulMod(np(i - 1), Base); i += 1 }
+      return np
+    }
     val p = powTable
     if (p.length > upTo) p
     else synchronized {
       var cur = powTable
       if (cur.length <= upTo) {
-        val n = math.max(upTo + 1, cur.length * 2)
+        val n = math.max(upTo + 1, math.min(MaxSharedPow, cur.length * 2))
         val np = java.util.Arrays.copyOf(cur, n)
         var i = cur.length
         while (i < n) { np(i) = mulMod(np(i - 1), Base); i += 1 }
@@ -77,6 +90,9 @@ object WindowFingerprints {
       cur
     }
   }
+
+  /** Test hook: current shared-table length (bounded-growth spec). */
+  private[graft] def sharedPowLength: Int = powTable.length
 
   /** Prefix-hash pass: H(i) = hash of bytes[0, i), pow(i) = B^i mod M;
     * token starts = 0 plus every index after a 0x20 byte (matching
@@ -95,7 +111,17 @@ object WindowFingerprints {
     i = 0
     while (i < len) { if (bytes(i) == ' ') { starts(t) = i + 1; t += 1 }; i += 1 }
     val h = new Array[Long](len + 1)
-    val pow = powers(len)
+    // the hash-difference step only indexes pow(r − l) for window
+    // spans, so size the (shared) table by the max span, not len
+    var maxSpan = 0
+    var w0 = 0
+    while (w0 < nWin) {
+      val l = starts(w0)
+      val r = if (w0 + n < nTok) starts(w0 + n) - 1 else len
+      if (r - l > maxSpan) maxSpan = r - l
+      w0 += 1
+    }
+    val pow = powers(maxSpan)
     i = 0
     while (i < len) {
       val s = mulMod(h(i), Base) + (bytes(i) & 0xff).toLong

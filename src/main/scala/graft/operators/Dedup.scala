@@ -350,7 +350,20 @@ object Dedup {
     * before every serious model training job. Candidates come from
     * the cross-corpus LSH (index both sides, equi-join on band
     * hashes — never all-pairs), verification is exact, and the final
-    * step is one left_anti join on the corpus id. */
+    * step is one left_anti join on the corpus id.
+    *
+    * Recall bound: LSH candidate recall follows the banding S-curve —
+    * a pair at Jaccard j is a candidate with probability
+    * 1 − (1 − j^r)^b (r = numPerm/bands rows per band, b = bands).
+    * At the defaults (r=4, b=32) a pair at j = threshold = 0.5 is
+    * found with p ≈ 0.87, at j = 0.7 with p ≈ 0.9998, at j = 0.9 with
+    * 1 − ~1e-15 — so pairs NEAR the threshold can be silently missed
+    * and leaked docs under-removed. Callers needing guaranteed
+    * removal set `exact = true`: candidates then come from
+    * [[jaccardJoinCross]]'s inverted index (complete by the ppjoin
+    * prefix theorem — every qualifying pair shares an indexed token),
+    * at the cost of joining on raw token postings instead of band
+    * hashes. */
   def decontaminate(
       corpus: DataFrame,
       contam: DataFrame,
@@ -360,10 +373,13 @@ object Dedup {
       numPerm: Int = 128,
       bands: Int = 32,
       n: Int = 3,
-      seed: Long = 42L): DataFrame = {
-    val bad = minhashLshCross(corpus, contam, idCol, textCol, threshold,
-      numPerm, bands, n, seed)
-      .select(col("a").as(idCol)).distinct()
+      seed: Long = 42L,
+      exact: Boolean = false): DataFrame = {
+    val pairs =
+      if (exact) jaccardJoinCross(corpus, contam, idCol, textCol, threshold, n)
+      else minhashLshCross(corpus, contam, idCol, textCol, threshold,
+        numPerm, bands, n, seed)
+    val bad = pairs.select(col("a").as(idCol)).distinct()
     corpus.join(bad, Seq(idCol), "left_anti")
   }
 

@@ -460,16 +460,15 @@ object Similarity {
       StructField("q", LongType, false),
       StructField("n", LongType, false),
       StructField("adist", DoubleType, false))))
-    if (multiBatch) {
-      // materialize the (small: queries × k·rerank × partitions rows)
-      // survivor set NOW so the cached code stream and per-batch
-      // broadcasts can be released instead of pinning executor memory
-      // until the caller's action — cleanup the ContextCleaner would
-      // otherwise do only on GC of the lineage
-      partialDf = partialDf.localCheckpoint(eager = true)
-      codeRows.unpersist(blocking = false)
-      qBs.foreach(_.destroy())
-    }
+    // materialize the (small: queries × k·rerank × partitions rows)
+    // survivor set NOW so the cached code stream and the per-batch
+    // query broadcasts can be released instead of pinning executor
+    // memory until ContextCleaner GC of the lineage — unconditional:
+    // the single-batch path's broadcast would otherwise stay alive
+    // for the lifetime of a long-lived session
+    partialDf = partialDf.localCheckpoint(eager = true)
+    if (multiBatch) codeRows.unpersist(blocking = false)
+    qBs.foreach(_.destroy())
     // global candidate merge (smaller ADC distance is better ⇒ negate
     // for the descending-score aggregator), then EXACT cosine re-rank
     // of the k·rerank survivors per query

@@ -106,8 +106,11 @@ object TextAnalysis {
         nWords.cast("double")),
       "punct_ratio" -> (countMatches(text, "[.,;:!?]").cast("double") /
         nChars.cast("double")),
-      "stopword_ratio" -> (size(filter(split(lower(text), "\\s+"), t =>
-        enStop.map(w => t === lit(w)).reduce[Column](_ || _))).cast("double") /
+      // occurrence count (dups kept — array_intersect would dedup and
+      // change the ratio); isin compiles to one In membership test
+      // instead of a 10-term OR chain per token
+      "stopword_ratio" -> (size(filter(split(lower(text), "\\s+"),
+        t => t.isin(enStop: _*))).cast("double") /
         nWords.cast("double")),
       "alpha_ratio" -> (countMatches(text, "[A-Za-z]").cast("double") /
         nChars.cast("double")))

@@ -102,10 +102,25 @@ object IngestQueries {
     AcquisitionFixture.write(s"$base/landing/LAF1_fixture", AcquisitionFixture.Spec())
     graft.streaming.StreamingIngest.run(
       s, s"$base/landing", s"$base/out", s"$base/ckpt")
-    s.read.parquet(s"$base/out/data_parquet_rms")
+    // materialize the (3-row) result off the temp files, then delete
+    // the whole tree — Bench's median-of-3 re-invokes this query, and
+    // leaked landing+sink+checkpoint trees accumulate disk per run
+    val out = s.read.parquet(s"$base/out/data_parquet_rms")
       .select(col("rms_x"), col("rms_y"), col("rms_z"), col("rms_mod"),
         col("Time"), col("alias").cast("string").as("alias"))
-      .orderBy("Time")
+      .localCheckpoint(eager = true)
+    deleteTree(java.nio.file.Paths.get(base))
+    out.orderBy("Time")
+  }
+
+  private def deleteTree(root: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(root)) {
+      val walk = java.nio.file.Files.walk(root)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close()
+    }
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(

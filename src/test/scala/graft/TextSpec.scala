@@ -95,6 +95,34 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("window fingerprints: shared power table bounded by window span, not doc length") {
+    import graft.functions.WindowFingerprints
+    // multi-MB document of short tokens: spans stay tiny even though
+    // the document is huge — the shared B^i table must NOT grow to
+    // the document's byte length (one 100 MB doc would otherwise pin
+    // ~800 MB per executor JVM permanently)
+    val words = 400000 // ~2.8 MB of "abcdef " tokens
+    val text = Array.fill(words)("abcdef").mkString(" ")
+    val got = WindowFingerprints.compute(text.getBytes("UTF-8"), 20)
+    assert(got.numElements() == words - 20 + 1)
+    // max span = 20 tokens × 7 bytes − 1 = 139 bytes; table grows by
+    // doubling so allow slack, but it must be nowhere near 2.8 M
+    assert(WindowFingerprints.sharedPowLength < 10000,
+      s"shared power table grew to ${WindowFingerprints.sharedPowLength}")
+    // correctness spot-check on the first window
+    val toks = text.split(" ", -1)
+    assert(got.getLong(0) ==
+      RollingHash.hash(toks.take(20).mkString(" ").getBytes("UTF-8")))
+    // pathological span past the shared cap (single giant token):
+    // still correct, via a transient local table
+    val giant = "x" * ((1 << 20) + 50)
+    val g = WindowFingerprints.compute(s"$giant a".getBytes("UTF-8"), 1)
+    assert(g.numElements() == 2)
+    assert(g.getLong(0) == RollingHash.hash(giant.getBytes("UTF-8")))
+    assert(WindowFingerprints.sharedPowLength <= (1 << 20),
+      "pathological doc must not grow the shared table past the cap")
+  }
+
   test("rolling hash: mulMod is exact vs BigInt") {
     val rnd = new scala.util.Random(7)
     val M = BigInt(RollingHash.Mod)
