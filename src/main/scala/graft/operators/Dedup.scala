@@ -385,52 +385,85 @@ object Dedup {
 
   /** Connected components over a near-dup pair graph: every doc gets
     * the minimum id reachable through dup pairs as its `cluster`.
-    * Iterative min-label propagation — each round is one join + one
-    * aggregation; rounds needed = graph diameter (dup clusters are
-    * shallow: chains of a few edits), each round a bounded-size
-    * shuffle over the PAIRS, not the corpus. This is what turns a
-    * pair list (jaccardJoin / minhashLsh / simhashNearDup output)
-    * into an actual deduplication: keep rows where id == cluster. */
+    *
+    * Alternating large-star / small-star rounds (Kiveris et al. 2014,
+    * "Connected Components in MapReduce and Beyond"): each round
+    * rewires edges toward local minima —
+    *
+    *  - large-star: every node connects its strictly LARGER neighbors
+    *    to the minimum of its closed neighborhood;
+    *  - small-star: every node connects its smaller neighbors (and
+    *    itself) to the minimum of its smaller neighbors.
+    *
+    * Both preserve connectivity, and the edge set converges to stars
+    * rooted at each component's minimum id in O(log n) rounds — where
+    * plain min-label propagation needs O(diameter) rounds and an
+    * adversarial chain (pairwise-overlapping boilerplate) needs one
+    * round PER HOP. Each round is two self-aggregations over the PAIR
+    * graph, not the corpus; eager checkpoints keep the lineage flat.
+    * This is what turns a pair list (jaccardJoin / minhashLsh /
+    * simhashNearDup output) into an actual deduplication: keep rows
+    * where id == cluster. */
   def clusters(ids: DataFrame, pairs: DataFrame, maxIters: Int = 20): DataFrame = {
-    // undirected edge list, both directions — materialized ONCE so the
-    // iteration doesn't recompute pair discovery every round
-    val edges = pairs.select(col("a").as("x"), col("b").as("y"))
-      .union(pairs.select(col("b").as("x"), col("a").as("y")))
+    // canonical (hi > lo) orientation, self-loops dropped, distinct —
+    // materialized ONCE so rounds don't recompute pair discovery
+    var edges = pairs
+      .select(greatest(col("a"), col("b")).as("hi"),
+        least(col("a"), col("b")).as("lo"))
+      .where(col("hi") =!= col("lo"))
       .distinct()
       .localCheckpoint(eager = true)
-    var labels = ids.select(col("id"), col("id").as("cluster"))
-      .localCheckpoint(eager = true)
-    var converged = false
+
+    // large-star: group BOTH directions by u; m = min(Γ(u) ∪ {u});
+    // emit (v, m) for neighbors v > u. Output is canonical: v > u ≥ m.
+    def largeStar(e: DataFrame): DataFrame = {
+      val dir = e.select(col("hi").as("u"), col("lo").as("v"))
+        .union(e.select(col("lo").as("u"), col("hi").as("v")))
+      val mins = dir.groupBy(col("u"))
+        .agg(least(min(col("v")), col("u")).as("m"))
+      dir.join(mins, Seq("u"))
+        .where(col("v") > col("u"))
+        .select(col("v").as("hi"), col("m").as("lo"))
+        .distinct()
+    }
+
+    // small-star: canonical edges grouped by hi; m = min of smaller
+    // neighbors; emit (v, m) for v ∈ Γ⁻(hi) ∪ {hi} minus the (m, m)
+    // self-loop. Every output edge has lo = m < v.
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy(col("hi")).agg(min(col("lo")).as("m"))
+      e.join(mins, Seq("hi"))
+        .where(col("lo") > col("m"))
+        .select(col("lo").as("hi"), col("m").as("lo"))
+        .union(mins.select(col("hi"), col("m").as("lo")))
+        .distinct()
+    }
+
+    // distinct-set equality: same row count and empty difference (both
+    // sides are distinct by construction; counts are free off the
+    // eager checkpoints)
+    def sameSet(a: DataFrame, b: DataFrame): Boolean =
+      a.count() == b.count() && a.except(b).limit(1).count() == 0
+
+    var converged = edges.limit(1).count() == 0 // no edges → all singletons
     var it = 0
     while (!converged && it < maxIters) {
-      // candidate label per node: min of own and neighbors' labels
-      val viaNeighbors = edges
-        .join(labels.withColumnRenamed("id", "y")
-          .withColumnRenamed("cluster", "ncluster"), Seq("y"))
-        .groupBy(col("x").as("id"))
-        .agg(min(col("ncluster")).as("ncluster"))
-      // the change flag rides ALONG in the round's projection (did a
-      // neighbor offer a strictly smaller label?), so the convergence
-      // probe is a filter over the materialized checkpoint — no extra
-      // join against the previous labels
-      val updated = labels.join(viaNeighbors, Seq("id"), "left")
-        .select(col("id"),
-          least(col("cluster"), coalesce(col("ncluster"), col("cluster")))
-            .as("cluster"),
-          (coalesce(col("ncluster"), col("cluster")) < col("cluster"))
-            .as("__changed"))
-        .localCheckpoint(eager = true)
-      val changed = updated.where(col("__changed")).limit(1).count() > 0
-      labels = updated.drop("__changed")
-      converged = !changed
+      val afterLarge = largeStar(edges).localCheckpoint(eager = true)
+      val afterSmall = smallStar(afterLarge).localCheckpoint(eager = true)
+      converged = sameSet(afterLarge, edges) && sameSet(afterSmall, afterLarge)
+      edges = afterSmall
       it += 1
     }
     if (!converged)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"clusters() hit maxIters=$maxIters before converging — component " +
-          "diameter exceeds the iteration budget; labels may be non-minimal " +
-          "and dedup may keep extra representatives")
-    labels
+        s"clusters() hit maxIters=$maxIters before converging — labels may " +
+          "be non-minimal and dedup may keep extra representatives")
+    // at convergence edges form stars (leaf → component-min root);
+    // min-aggregate is belt-and-braces for the non-converged warn path
+    val roots = edges.groupBy(col("hi").as("id")).agg(min(col("lo")).as("root"))
+    ids.select(col("id"))
+      .join(roots, Seq("id"), "left")
+      .select(col("id"), coalesce(col("root"), col("id")).as("cluster"))
   }
 
   /** Full near-dup deduplication: exact-duplicate pre-pass → pair

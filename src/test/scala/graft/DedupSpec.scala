@@ -122,6 +122,23 @@ class DedupSpec extends SparkSpec {
     assert(out.toSeq == Seq((0L, 0L), (1L, 0L), (2L, 0L), (3L, 3L), (4L, 3L), (5L, 5L)))
   }
 
+  test("clusters: 1000-node chain converges within O(log n) star rounds") {
+    // adversarial for min-label propagation (needs diameter ≈ 1000
+    // rounds); the alternating large-star/small-star rounds must
+    // collapse it within the default budget — maxIters = 12 ≈ log2(n)
+    // + slack, and a wrong/unconverged run can't produce these labels
+    val n = 1000L
+    val ids = spark.range(n).toDF("id")
+    val pairs = spark.range(n - 1)
+      .select(col("id").as("a"), (col("id") + 1).as("b"))
+    val out = Dedup.clusters(ids, pairs, maxIters = 12)
+      .agg(org.apache.spark.sql.functions.sum(col("cluster")).as("s"),
+        org.apache.spark.sql.functions.count(lit(1)).as("c"))
+      .collect()(0)
+    assert(out.getLong(1) == n)
+    assert(out.getLong(0) == 0L, "every node must label to the chain min 0")
+  }
+
   test("dedupNear: keeps one representative per near-dup cluster") {
     val out = Dedup.dedupNear(docs, "doc_id", "text", 0.5)
       .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
