@@ -574,6 +574,74 @@ object Similarity {
       .select(col("a"), col("b"), col("cos"))
   }
 
+  /** Cross-corpus embedding near-duplicate pairs: every (a, b) with
+    * a from `left`, b from `right`, cosine ≥ threshold — the
+    * embedding-space decontamination primitive, completing the
+    * cross-corpus family ([[Dedup.jaccardJoinCross]] /
+    * [[Dedup.decontaminateSubstring]] are its text-space siblings).
+    * Both sides hash with the SAME deterministic hyperplane family
+    * (seed + dimension), so a left vector collides with exactly the
+    * right vectors it would collide with in a self-join; candidates
+    * come from the bucket equi-join (never all-pairs), verification
+    * is exact cosine. No `a < b` dedup — sides are distinct corpora,
+    * every ordered pair is a result (rows with a == b are excluded as
+    * self-matches, the family-wide convention). At 100 TB the typical
+    * right side is a small eval set: its bucket index bounds the
+    * join. */
+  def cosineNearDupCross(
+      left: DataFrame,
+      right: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      tables: Int = 8,
+      bits: Int = 12,
+      seed: Long = 42L): DataFrame = {
+    val lSig = buckets(left, idCol, vecCol, tables, bits, seed)
+    val rSig = buckets(right, idCol, vecCol, tables, bits, seed)
+    val cand = lSig.select(col("table"), col("bucket"), col("id").as("a"))
+      .join(rSig.select(col("table"), col("bucket"), col("id").as("b")),
+        Seq("table", "bucket"))
+      .where(col("a") =!= col("b"))
+      .select("a", "b").distinct() // pairs recur across tables
+    def vecsOf(df: DataFrame): DataFrame =
+      df.select(col(idCol).cast(LongType).as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+        .withColumn("nrm", norm(col("v")))
+    cand
+      .join(vecsOf(left)
+        .select(col("id").as("a"), col("v").as("av"), col("nrm").as("an")), Seq("a"))
+      .join(vecsOf(right)
+        .select(col("id").as("b"), col("v").as("bv"), col("nrm").as("bn")), Seq("b"))
+      .withColumn("cos", cosine(col("av"), col("bv"), col("an"), col("bn")))
+      .where(col("cos") >= threshold)
+      .select(col("a"), col("b"), col("cos"))
+  }
+
+  /** Embedding-space decontamination: drop every `corpus` row whose
+    * vector has cosine ≥ threshold against ANY `contam` row — the
+    * [[Dedup.decontaminate]] pattern in embedding space (catches
+    * paraphrased eval leakage that n-gram overlap misses). Candidates
+    * via [[cosineNearDupCross]], one left_anti on the corpus id.
+    * Recall is LSH-bounded like the text path: a pair at cosine c
+    * collides in one table's bucket with probability
+    * (1 − θ(c)/π)^bits, θ = arccos(c) — near-parallel vectors
+    * (c ≳ 0.9) collide in some table w.h.p. at the defaults. */
+  def decontaminateEmbedding(
+      corpus: DataFrame,
+      contam: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      tables: Int = 8,
+      bits: Int = 12,
+      seed: Long = 42L): DataFrame = {
+    val bad = cosineNearDupCross(corpus, contam, idCol, vecCol, threshold,
+      tables, bits, seed)
+      .select(col("a").as(idCol)).distinct()
+    corpus.join(bad, Seq(idCol), "left_anti")
+  }
+
   /** Approximate top-k via random-hyperplane LSH buckets → exact
     * cosine rank. Same output shape as [[bruteForceTopK]]. Best in
     * the high-similarity regime (near-duplicate embeddings, cos ≳

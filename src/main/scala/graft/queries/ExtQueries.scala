@@ -675,6 +675,37 @@ object ExtQueries {
              FROM (SELECT doc_id, string_split(text,' ') t FROM documents))
        ORDER BY doc_id"""
 
+  // ---------------------------------------------------------------
+  // q58 — cross-corpus embedding near-dup (the embedding-space
+  // decontamination primitive, completing the cross family): q33's
+  // planted twins play the eval set for every 4th vector, the
+  // original embeddings are the corpus; cosineNearDupCross must
+  // return exactly the (original, twin) pairs at cos ≥ 0.99. The
+  // oracle takes the ALL-PAIRS cross cosine — a missed LSH collision
+  // or spurious pair fails the gate.
+  def q58(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val eval = e.where(col("vec_id") % 4 === 0).select(
+      (col("vec_id") + lit(1000000L)).as("vec_id"),
+      transform(col("embedding"),
+        (x, i) => x + when(i === 0, lit(0.05f)).otherwise(lit(0.0f)))
+        .as("embedding"))
+    Similarity.cosineNearDupCross(
+      e.select("vec_id", "embedding"), eval,
+      "vec_id", "embedding", threshold = 0.99)
+      .select(col("a"), col("b"))
+      .orderBy("a", "b")
+  }
+
+  val q58Sql: String =
+    """WITH ev AS (SELECT vec_id + 1000000 AS vec_id,
+         list_prepend(embedding[1] + CAST(0.05 AS FLOAT), embedding[2:])
+           AS embedding FROM embeddings WHERE vec_id % 4 = 0)
+       SELECT a.vec_id AS a, b.vec_id AS b
+       FROM embeddings a JOIN ev b
+         ON list_cosine_similarity(a.embedding, b.embedding) >= 0.99
+       ORDER BY a, b"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_dedup_exact" -> (q21 _),
     "q22_jaccard_join" -> (q22 _),
@@ -700,6 +731,7 @@ object ExtQueries {
     "q54_stratified_sample" -> (q54 _),
     "q55_substring_decontam" -> (q55 _),
     "q56_repetition" -> (q56 _),
+    "q58_embed_neardup_cross" -> (q58 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -727,5 +759,6 @@ object ExtQueries {
     "q54_stratified_sample" -> q54Sql,
     "q55_substring_decontam" -> q55Sql,
     "q56_repetition" -> q56Sql,
+    "q58_embed_neardup_cross" -> q58Sql,
   )
 }

@@ -184,6 +184,28 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs == expected, s"got ${pairs.size} pairs, want $n twins")
   }
 
+  test("cosineNearDupCross + decontaminateEmbedding: twin eval pairs found, leaked rows dropped") {
+    val rnd = new scala.util.Random(11)
+    def vec(): Array[Float] = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val corpus = (0L until 30L).map(i => (i, vec())).toDF("vec_id", "embedding")
+    // eval = near-copies of corpus rows 0 and 7 (tiny perturbation →
+    // cos ≈ 1) plus one independent vector
+    val base = corpus.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val eval = Seq(
+      (100L, base(0L).map(x => x + 0.01f)),
+      (107L, base(7L).map(x => x + 0.01f)),
+      (199L, vec())).toDF("vec_id", "embedding")
+    val pairs = Similarity.cosineNearDupCross(
+      corpus, eval, "vec_id", "embedding", threshold = 0.98)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 100L), (7L, 107L)))
+    val kept = Similarity.decontaminateEmbedding(
+      corpus, eval, "vec_id", "embedding", threshold = 0.98)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == (0L until 30L).toSet -- Set(0L, 7L))
+  }
+
   test("LSH buckets are deterministic across invocations") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val b1 = Similarity.buckets(e, "vec_id", "embedding").orderBy("id", "table").collect()
