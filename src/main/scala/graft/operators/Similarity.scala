@@ -193,6 +193,132 @@ object Similarity {
     centroids
   }
 
+  /** Deterministic uniform init for the DISTRIBUTED trainer: the k
+    * rows with the smallest (xxhash64(id, seed), id) — a seeded
+    * uniform draw (FAISS-style random-point init; k-means++ is
+    * inherently sequential: k dependent passes over the data, k
+    * Spark jobs at k ≈ 3×10⁴ — not a distributed init). Runs as a
+    * distributed top-k (TakeOrderedAndProject), never materializing
+    * the corpus; result order is (hash, id) — partition-independent. */
+  private[graft] def hashInit(
+      vecs: DataFrame, k: Int, seed: Long): Array[Array[Double]] =
+    vecs.select(col("id"), col("v"),
+        xxhash64(col("id"), lit(seed)).as("h"))
+      .orderBy(col("h"), col("id"))
+      .limit(k)
+      .collect().map(_.getSeq[Double](1).toArray)
+
+  /** Distributed Lloyd iterations with ORDER-INDEPENDENT arithmetic:
+    * assignment is row-local double math (nearest centroid, ties →
+    * lowest index), the mean update sums each (cluster, dim) slot as
+    * decimal(38,18) — exact, so the result does not depend on
+    * partition count or row order — then divides in double. Per
+    * round: one broadcast of k×dim centroids, one narrow assignment
+    * pass, one partial-aggregated groupBy over (cluster, dim); only
+    * k×dim stat rows ever reach the driver. [[lloydDecimalLocal]] is
+    * the same algorithm on an array — bit-exact equality between the
+    * two is spec-asserted. */
+  private[graft] def lloydDecimal(
+      vecs: DataFrame, // (id long, v array<double>)
+      init: Array[Array[Double]],
+      iters: Int): Array[Array[Double]] = {
+    val spark = vecs.sparkSession
+    val dim = init.head.length
+    val centroids = init.map(_.clone())
+    for (_ <- 0 until iters) {
+      val cB = spark.sparkContext.broadcast(centroids.map(_.clone()))
+      val assigned = vecs.rdd.mapPartitions { it =>
+        val cs = cB.value
+        it.map { r =>
+          val v = r.getSeq[Double](1).toArray
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < cs.length) {
+            var s = 0.0; var i = 0
+            while (i < dim) { val x = v(i) - cs(c)(i); s += x * x; i += 1 }
+            if (s < bestD) { bestD = s; best = c }
+            c += 1
+          }
+          Row(best, r.getSeq[Double](1))
+        }
+      }
+      val stats = spark.createDataFrame(assigned, StructType(Seq(
+          StructField("list", IntegerType, false),
+          StructField("v", ArrayType(DoubleType, true), false))))
+        .select(col("list"), posexplode(col("v")))
+        .groupBy(col("list"), col("pos"))
+        .agg(sum(col("col").cast(DecimalType(38, 18))).as("s"),
+          count(lit(1)).as("cnt"))
+        .collect()
+      cB.destroy()
+      stats.foreach { r =>
+        val c = r.getInt(0); val d = r.getInt(1)
+        centroids(c)(d) =
+          r.getDecimal(2).doubleValue() / r.getLong(3).toDouble
+      }
+      // clusters with no points keep their previous centroid (no row)
+    }
+    centroids
+  }
+
+  /** Driver-side reference of [[lloydDecimal]] — IDENTICAL algorithm
+    * and arithmetic (java BigDecimal at scale 18, HALF_UP on the cast
+    * like Spark's double→decimal(38,18), exact adds, double division)
+    * so the two are bit-exact on the same input. Exists for the
+    * determinism spec and for callers who already hold a sample. */
+  private[graft] def lloydDecimalLocal(
+      sample: Array[Array[Double]],
+      init: Array[Array[Double]],
+      iters: Int): Array[Array[Double]] = {
+    val k = init.length
+    val dim = init.head.length
+    val centroids = init.map(_.clone())
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k, dim)(java.math.BigDecimal.ZERO)
+      val counts = new Array[Long](k)
+      sample.foreach { v =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var s = 0.0; var i = 0
+          while (i < dim) { val x = v(i) - centroids(c)(i); s += x * x; i += 1 }
+          if (s < bestD) { bestD = s; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < dim) {
+          sums(best)(i) = sums(best)(i).add(
+            java.math.BigDecimal.valueOf(v(i))
+              .setScale(18, java.math.RoundingMode.HALF_UP))
+          i += 1
+        }
+      }
+      for (c <- 0 until k if counts(c) > 0; i <- 0 until dim)
+        centroids(c)(i) = sums(c)(i).doubleValue() / counts(c).toDouble
+    }
+    centroids
+  }
+
+  /** Distributed coarse-quantizer training — the path that lifts the
+    * 512-list driver clamp: hash-uniform init + decimal-exact Lloyd,
+    * everything but the k×dim centroids staying distributed. At 10⁹+
+    * vectors the √n rule wants ~3×10⁴ lists; a driver-side trainer
+    * over a ≤65 536-row sample cannot make that many centroids, this
+    * can (the training set itself should still be a hash sample of
+    * ~256 rows per centroid, FAISS's max_points_per_centroid — the
+    * [[ivfTopKCross]] clamp site does exactly that). Deterministic:
+    * same data + seed → same centroids, regardless of partitioning. */
+  private[graft] def trainCentroidsDistributed(
+      vecs: DataFrame, // (id long, v array<double>)
+      k: Int,
+      iters: Int,
+      seed: Long): Array[Array[Double]] = {
+    val init = hashInit(vecs, k, seed)
+    if (init.isEmpty) Array.empty
+    else lloydDecimal(vecs, init, iters)
+  }
+
   /** IVF (inverted-file) approximate top-k: corpus vectors are
     * assigned to their nearest centroid's list; each query probes its
     * `nprobe` nearest lists and ranks only those candidates exactly.
@@ -200,9 +326,10 @@ object Similarity {
     * corpus assignment is one narrow pass, and search shuffles only
     * (query, probed-list) pairs — candidates per query ≈
     * nprobe/k of the corpus instead of all of it. */
-  /** @param nLists  number of inverted lists; <= 0 derives √n clamped
-    *                 to [16, 512] (the driver-side quantizer trainer
-    *                 bounds k — beyond that, train distributed).
+  /** @param nLists  number of inverted lists; <= 0 derives √n (min
+    *                 16, uncapped — lists > 512 train via the
+    *                 distributed quantizer instead of the driver
+    *                 k-means++ loop).
     * @param sampleSize minimum quantizer training sample; scaled up
     *                 to 32·nLists (capped 65536) so every centroid
     *                 sees enough points. */
@@ -240,29 +367,50 @@ object Similarity {
       col(vecCol).cast("array<double>").as("v"))
     // One count job up front: sizes the list count and the sample rate.
     val n = in.count()
-    val lists = if (nLists > 0) nLists
-      else math.max(16, math.min(512, math.sqrt(n.toDouble).toInt))
-    val target = math.min(65536, math.max(sampleSize, 32 * lists))
-    // Deterministic UNIFORM hash sample: a keep-slice of xxhash64(id),
-    // not the lowest ids — on real corpora id order correlates with
-    // source/time, and a prefix sample trains centroids on one shard.
-    // Collected rows are sorted by id driver-side so the training set
-    // (and thus the centroids) is independent of partitioning.
-    // ceil, not floor: floor(n/target) = 1 for n < 2·target would keep
-    // EVERY row; ceil bounds the expected collected sample at target
-    val step = math.max(1L, (n + target - 1) / math.max(1, target))
-    val sample = in
-      .where(pmod(xxhash64(col("id"), lit(seed)), lit(step)) === 0)
-      .collect().sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray)
-    if (sample.isEmpty) // empty corpus → empty result, not a crash
+    if (n == 0) // empty corpus → empty result, not a crash
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row],
         StructType(Seq(StructField("q", LongType, false),
           StructField("rank", IntegerType, false),
           StructField("n", LongType, false),
           StructField("cos", DoubleType, false))))
-    val cents = spark.sparkContext.broadcast(
-      trainCentroids(sample, math.min(lists, sample.length), iters = 5, seed))
+    val lists = if (nLists > 0) nLists
+      else math.max(16, math.sqrt(n.toDouble).toInt)
+    val centArr: Array[Array[Double]] =
+      if (lists <= 512) {
+        // small quantizer: driver-side k-means++ over a bounded sample
+        val target = math.min(65536, math.max(sampleSize, 32 * lists))
+        // Deterministic UNIFORM hash sample: a keep-slice of
+        // xxhash64(id), not the lowest ids — on real corpora id order
+        // correlates with source/time, and a prefix sample trains
+        // centroids on one shard. Collected rows are sorted by id
+        // driver-side so the training set (and thus the centroids) is
+        // independent of partitioning. ceil, not floor: floor(n/target)
+        // = 1 for n < 2·target would keep EVERY row; ceil bounds the
+        // expected collected sample at target
+        val step = math.max(1L, (n + target - 1) / math.max(1, target))
+        val slice = in
+          .where(pmod(xxhash64(col("id"), lit(seed)), lit(step)) === 0)
+          .collect()
+        // hash-slice empty despite n > 0 (astronomically unlikely):
+        // fall back to a bounded prefix rather than an empty quantizer
+        val rows = if (slice.nonEmpty) slice else in.limit(target).collect()
+        val sample = rows.sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray)
+        trainCentroids(sample, math.min(lists, sample.length), iters = 5, seed)
+      } else {
+        // large quantizer (the 100 TB regime: √n lists at 10⁹+ rows):
+        // distributed hash-init + decimal-exact Lloyd over a hash
+        // sample of ~256 rows per centroid (FAISS's
+        // max_points_per_centroid) — the corpus never reaches the
+        // driver, only k×dim centroid stats per round do
+        val target = math.min(n, 256L * lists)
+        val step = math.max(1L, (n + target - 1) / target)
+        val train = in.where(pmod(xxhash64(col("id"), lit(seed)), lit(step)) === 0)
+        val got = trainCentroidsDistributed(train, lists, iters = 5, seed)
+        if (got.nonEmpty) got
+        else trainCentroidsDistributed(in, lists, iters = 5, seed)
+      }
+    val cents = spark.sparkContext.broadcast(centArr)
 
     def assign(nearest: Int): DataFrame => DataFrame = { d =>
       val rows = d.rdd.mapPartitions { it =>

@@ -206,6 +206,46 @@ class SimilaritySpec extends SparkSpec {
     assert(kept == (0L until 30L).toSet -- Set(0L, 7L))
   }
 
+  test("distributed quantizer: lloydDecimal is bit-exact vs local reference, partition-independent") {
+    val rnd = new scala.util.Random(3)
+    val data = (0L until 400L).map(i =>
+      (i, Array.fill(8)(rnd.nextGaussian()))).toSeq
+    val df = data.toDF("id", "v")
+    val init = Similarity.hashInit(df, 16, seed = 9L)
+    assert(init.length == 16)
+    val local = Similarity.lloydDecimalLocal(
+      data.map(_._2).toArray, init, iters = 3)
+    val dist7 = Similarity.lloydDecimal(df.repartition(7), init, iters = 3)
+    val dist3 = Similarity.lloydDecimal(df.repartition(3), init, iters = 3)
+    // decimal-exact sums ⇒ the distributed result is BIT-identical to
+    // the sequential reference, at any partition count
+    assert(dist7.map(_.toSeq).toSeq == local.map(_.toSeq).toSeq)
+    assert(dist3.map(_.toSeq).toSeq == local.map(_.toSeq).toSeq)
+  }
+
+  test("distributed quantizer: trains nLists=4096 without driver materialization") {
+    val rnd = new scala.util.Random(17)
+    val df = (0L until 20000L).map(i =>
+      (i, Array.fill(4)(rnd.nextGaussian()))).toSeq.toDF("id", "v")
+    val a = Similarity.trainCentroidsDistributed(
+      df.repartition(5), 4096, iters = 2, seed = 1L)
+    val b = Similarity.trainCentroidsDistributed(
+      df.repartition(13), 4096, iters = 2, seed = 1L)
+    assert(a.length == 4096)
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq,
+      "centroids must not depend on partitioning")
+  }
+
+  test("IVF with nLists > 512 (distributed trainer path) matches brute force under exhaustive probe") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val exact = Similarity.bruteForceTopK(e, e, "vec_id", "embedding", 5)
+      .select("q", "n").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaDist = Similarity.ivfTopK(e, "vec_id", "embedding", 5,
+        nLists = 600, nprobe = 600)
+      .select("q", "n").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaDist == exact)
+  }
+
   test("LSH buckets are deterministic across invocations") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val b1 = Similarity.buckets(e, "vec_id", "embedding").orderBy("id", "table").collect()
