@@ -84,11 +84,19 @@ object TextAnalysis {
   def wsTokenCount(text: Column): Column =
     when(length(trim(text)) === 0, 0).otherwise(size(split(trim(text), "\\s+")))
 
-  /** BPE-ish subword token count: letter runs, digit runs, and single
-    * non-alphanumeric marks each count as one token — a deterministic
-    * stand-in for a real tokenizer's piece count. */
+  /** LEGACY heuristic piece count: letter runs, digit runs, and
+    * single non-alphanumeric marks each count as one token. Kept for
+    * the q29 gate and zero-dependency callers; the token count of
+    * record is [[bpeTokenCount]] (a real trained tokenizer). */
   def bpeishTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** REAL subword token count: total greedy-BPE pieces over the
+    * checked-in merge table ([[graft.functions.Bpe]], Sennrich et
+    * al. 2016) — the default for token budgeting. Shuffle-free,
+    * codegen Expression per row; oracle-gated by q57. */
+  def bpeTokenCount(text: Column): Column =
+    aggregate(graft.functions.Bpe.pieceCounts(text), lit(0L), _ + _)
 
   /** Quality metrics (length / punctuation / stopword ratios — the
     * classic cheap quality filters for web-scale corpora). All

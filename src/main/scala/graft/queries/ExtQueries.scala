@@ -676,6 +676,64 @@ object ExtQueries {
        ORDER BY doc_id"""
 
   // ---------------------------------------------------------------
+  // q57 — REAL subword tokenization (greedy BPE over the checked-in
+  // merge table, Sennrich et al. 2016) — replaces the q29 letter-run
+  // stand-in as the token-count of record: mixing budgets and
+  // repetition thresholds are defined in tokenizer pieces. The engine
+  // replays the committed table in a codegen Expression (leftmost
+  // lowest-rank merge per step); the oracle replays the SAME table in
+  // a DuckDB recursive CTE — a disagreement in merge order, tie
+  // handling, or table content fails the hash gate.
+  def q57(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("__bp", graft.functions.Bpe.pieceCounts(col("text")))
+      .select(col("doc_id"),
+        aggregate(col("__bp"), lit(0L), _ + _).as("bpe_tokens"),
+        array_max(col("__bp")).as("max_word_pieces"))
+      .orderBy("doc_id")
+
+  val q57Sql: String = {
+    def esc(x: String) = x.replace("'", "''")
+    val values = graft.functions.Bpe.merges.zipWithIndex.map { case ((l, r), i) =>
+      s"(${i + 1},'${esc(l)}','${esc(r)}')"
+    }.mkString(",")
+    s"""WITH RECURSIVE
+       merges(rank, l, r) AS (VALUES $values),
+       pk AS (SELECT list(l || chr(9) || r ORDER BY rank) AS pk FROM merges),
+       wc AS (SELECT doc_id, w, count(*) AS cnt
+              FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                    FROM documents)
+              GROUP BY 1, 2),
+       enc(doc_id, w, cnt, syms) AS (
+         SELECT doc_id, w, cnt,
+           [substr(w, CAST(i AS INT), 1) for i in range(1, length(w)+1)]
+         FROM wc
+         UNION
+         SELECT doc_id, w, cnt,
+           syms[1:bp-1] || [syms[bp] || syms[bp+1]] || syms[bp+2:]
+         FROM (
+           SELECT doc_id, w, cnt, syms,
+             list_position(prs, list_min(list_filter(prs, x -> x > 0))) AS bp
+           FROM (SELECT e.doc_id, e.w, e.cnt, e.syms,
+                   [coalesce(list_position(pk.pk,
+                      e.syms[i] || chr(9) || e.syms[i+1]), 0)
+                    for i in range(1, len(e.syms))] AS prs
+                 FROM enc e, pk))
+         WHERE bp IS NOT NULL AND bp > 0),
+       fin AS (
+         SELECT doc_id, w, cnt, len(syms) AS pieces
+         FROM (SELECT e.doc_id, e.w, e.cnt, e.syms,
+                 [coalesce(list_position(pk.pk,
+                    e.syms[i] || chr(9) || e.syms[i+1]), 0)
+                  for i in range(1, len(e.syms))] AS prs
+               FROM enc e, pk)
+         WHERE len(list_filter(prs, x -> x > 0)) = 0)
+       SELECT doc_id, CAST(sum(pieces * cnt) AS BIGINT) AS bpe_tokens,
+              CAST(max(pieces) AS BIGINT) AS max_word_pieces
+       FROM fin GROUP BY doc_id ORDER BY doc_id"""
+  }
+
+  // ---------------------------------------------------------------
   // q58 — cross-corpus embedding near-dup (the embedding-space
   // decontamination primitive, completing the cross family): q33's
   // planted twins play the eval set for every 4th vector, the
@@ -731,6 +789,7 @@ object ExtQueries {
     "q54_stratified_sample" -> (q54 _),
     "q55_substring_decontam" -> (q55 _),
     "q56_repetition" -> (q56 _),
+    "q57_bpe_tokens" -> (q57 _),
     "q58_embed_neardup_cross" -> (q58 _),
   )
 
@@ -759,6 +818,7 @@ object ExtQueries {
     "q54_stratified_sample" -> q54Sql,
     "q55_substring_decontam" -> q55Sql,
     "q56_repetition" -> q56Sql,
+    "q57_bpe_tokens" -> q57Sql,
     "q58_embed_neardup_cross" -> q58Sql,
   )
 }

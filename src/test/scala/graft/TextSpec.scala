@@ -123,6 +123,35 @@ class TextSpec extends SparkSpec {
       "pathological doc must not grow the shared table past the cap")
   }
 
+  test("BPE: greedy merge-table replay segments words deterministically") {
+    import graft.functions.Bpe
+    // hand-built table: rank order must win over position order
+    val ranks = new java.util.HashMap[String, Integer]()
+    Seq(("t", "h"), ("th", "e"), ("c", "a"), ("ca", "t"))
+      .zipWithIndex.foreach { case ((l, r), i) => ranks.put(l + "\t" + r, i) }
+    assert(Bpe.encodeWith("the", ranks).toSeq == Seq("the"))
+    assert(Bpe.encodeWith("cat", ranks).toSeq == Seq("cat"))
+    // (t,h) outranks (c,a): in "catthe" the t-h merge fires first but
+    // the final segmentation is the same pieces
+    assert(Bpe.encodeWith("catthe", ranks).toSeq == Seq("cat", "the"))
+    assert(Bpe.encodeWith("xyz", ranks).toSeq == Seq("x", "y", "z"))
+    assert(Bpe.encodeWith("", ranks).isEmpty)
+    // pieces always concatenate back to the word (checked-in table)
+    for (w <- Seq("join", "hash", "customer", "zzzz", "a"))
+      assert(Bpe.encodeWord(w).mkString == w)
+    // empty words from consecutive spaces count 0 pieces
+    assert(Bpe.pieceCountsOf("a  b").toSeq == Seq(1L, 0L, 1L))
+  }
+
+  test("BPE training: deterministic merges, most-frequent-pair first") {
+    import graft.functions.Bpe
+    val wc = Array(("aab", 10L), ("ab", 5L), ("ba", 1L))
+    // pair counts: (a,a)=10, (a,b)=15, (b,a)=1 → first merge (a,b)
+    val m = Bpe.trainFromCounts(wc, 2)
+    assert(m.head == ("a", "b"))
+    assert(m == Bpe.trainFromCounts(wc, 2), "training must be deterministic")
+  }
+
   test("rolling hash: mulMod is exact vs BigInt") {
     val rnd = new scala.util.Random(7)
     val M = BigInt(RollingHash.Mod)
