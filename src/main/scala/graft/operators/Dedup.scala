@@ -558,13 +558,41 @@ object Dedup {
       contam: DataFrame,
       idCol: String,
       textCol: String,
-      windowTokens: Int = 50): DataFrame = {
-    def postsOf(df: DataFrame): DataFrame =
-      df.select(col(idCol).as("id"),
+      windowTokens: Int = 50): DataFrame =
+    decontaminateSubstringAgainst(corpus,
+      contamFingerprints(contam, idCol, textCol, windowTokens),
+      idCol, textCol, windowTokens)
+
+  /** The contam side's distinct window fingerprints — one `fp` column.
+    * Split out so long-lived callers (the streaming pass) compute the
+    * eval set's fingerprints ONCE and reuse them across micro-batches
+    * instead of re-deriving them per batch. */
+  def contamFingerprints(
+      contam: DataFrame,
+      idCol: String,
+      textCol: String,
+      windowTokens: Int = 50): DataFrame =
+    contam.select(
         explode(array_distinct(graft.functions.WindowFingerprints
           .windowFingerprints(col(textCol), windowTokens))).as("fp"))
-    val bad = postsOf(corpus)
-      .join(postsOf(contam).select("fp").distinct(), Seq("fp"), "left_semi")
+      .distinct()
+
+  /** [[decontaminateSubstring]] against a precomputed fingerprint
+    * set (from [[contamFingerprints]] — possibly checkpointed once
+    * and shared across many corpus passes). */
+  def decontaminateSubstringAgainst(
+      corpus: DataFrame,
+      contamFps: DataFrame, // (fp long)
+      idCol: String,
+      textCol: String,
+      windowTokens: Int = 50): DataFrame = {
+    val posts = corpus.select(col(idCol).as("id"),
+      explode(array_distinct(graft.functions.WindowFingerprints
+        .windowFingerprints(col(textCol), windowTokens))).as("fp"))
+    // left_semi needs no distinct on the build side — duplicate fps
+    // would not multiply rows anyway
+    val bad = posts
+      .join(contamFps.select("fp"), Seq("fp"), "left_semi")
       .select(col("id").as(idCol)).distinct()
     corpus.join(bad, Seq(idCol), "left_anti")
   }

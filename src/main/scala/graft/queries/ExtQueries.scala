@@ -764,6 +764,31 @@ object ExtQueries {
          ON list_cosine_similarity(a.embedding, b.embedding) >= 0.99
        ORDER BY a, b"""
 
+  // ---------------------------------------------------------------
+  // q59 — STREAMING substring decontamination: the q55 pass as a
+  // Structured Streaming job. The corpus (doc_id % 4 != 0) lands as
+  // parquet files and streams through in forced multi-file
+  // micro-batches; the eval side's fingerprints are computed once and
+  // reused per batch; survivors append to a parquet sink read back as
+  // the result. Same oracle as q55 — the streamed split must be
+  // byte-identical to the batch answer.
+  def q59(s: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_q59").toString
+    val docs = t(s, dir, "documents")
+    docs.where(col("doc_id") % 4 =!= 0)
+      .repartition(4) // several landing files → several micro-batches
+      .write.parquet(s"$base/landing")
+    graft.streaming.StreamingIngest.runDecontaminateSubstring(
+      s, s"$base/landing", docs.where(col("doc_id") % 4 === 0),
+      "doc_id", "text", s"$base/out", s"$base/ckpt",
+      windowTokens = 20, maxFilesPerTrigger = Some(2))
+    val out = s.read.parquet(s"$base/out")
+      .select(col("doc_id"))
+      .localCheckpoint(eager = true)
+    IngestQueries.deleteTree(java.nio.file.Paths.get(base))
+    out.orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_dedup_exact" -> (q21 _),
     "q22_jaccard_join" -> (q22 _),
@@ -791,6 +816,7 @@ object ExtQueries {
     "q56_repetition" -> (q56 _),
     "q57_bpe_tokens" -> (q57 _),
     "q58_embed_neardup_cross" -> (q58 _),
+    "q59_streaming_decontam" -> (q59 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -820,5 +846,6 @@ object ExtQueries {
     "q56_repetition" -> q56Sql,
     "q57_bpe_tokens" -> q57Sql,
     "q58_embed_neardup_cross" -> q58Sql,
+    "q59_streaming_decontam" -> q55Sql,
   )
 }

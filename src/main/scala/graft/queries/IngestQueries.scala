@@ -113,7 +113,7 @@ object IngestQueries {
     out.orderBy("Time")
   }
 
-  private def deleteTree(root: java.nio.file.Path): Unit = {
+  private[queries] def deleteTree(root: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
     if (java.nio.file.Files.exists(root)) {
       val walk = java.nio.file.Files.walk(root)

@@ -134,6 +134,53 @@ object StreamingIngest {
     df.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Streaming substring-level decontamination: corpus documents
+    * arrive as parquet files under `landingDir`; each micro-batch is
+    * scrubbed against a FIXED eval set ([[graft.operators.Dedup
+    * .decontaminateSubstringAgainst]]) and survivors append to
+    * `outDir` — eval-leak removal as a continuous ingest pass instead
+    * of a corpus-wide batch job. The eval set's distinct window
+    * fingerprints are computed ONCE up front and checkpointed; every
+    * micro-batch reuses that (small, broadcast-able) frame, so the
+    * per-batch cost is one narrow fingerprint pass over the batch +
+    * one semi-join. Soundness note: substring decontamination is
+    * per-document against the fixed eval side, so batch boundaries
+    * cannot change the result — streaming the corpus in ANY split
+    * yields exactly the batch answer (q59 gates this against q55's
+    * oracle). `Trigger.AvailableNow` drains the backlog and stops;
+    * pass a different trigger for continuous tailing. */
+  def runDecontaminateSubstring(
+      spark: SparkSession,
+      landingDir: String,
+      contam: DataFrame,
+      idCol: String,
+      textCol: String,
+      outDir: String,
+      checkpointDir: String,
+      windowTokens: Int = 50,
+      maxFilesPerTrigger: Option[Int] = None,
+      trigger: Trigger = Trigger.AvailableNow()): Unit = {
+    val contamFps = graft.operators.Dedup
+      .contamFingerprints(contam, idCol, textCol, windowTokens)
+      .localCheckpoint(eager = true)
+    val schema = spark.read.parquet(landingDir).schema
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val query = reader.parquet(landingDir)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Dedup
+          .decontaminateSubstringAgainst(batch, contamFps,
+            idCol, textCol, windowTokens)
+          .write.mode("append").parquet(outDir)
+      }
+      .start()
+    query.awaitTermination()
+  }
+
   /** Streaming tumbling-window RMS with watermarked late-data
     * handling — the reference's RMS table as a live query
     * (SURVEY.md §2.B watermarks). Input: event-time timestamp col +
