@@ -16,10 +16,14 @@ import org.apache.spark.sql.types._
   * path — the cheap scan a 100 TB catalog pass needs), pixels from a
   * full `ImageIO.read` only where features/resize ask for them.
   *
-  * Audio/video codecs don't ship in the JDK or this container, so
-  * those stay behind the deterministic `GRFT` container STUB — the
-  * per-partition batch shape is identical, and swapping in a real
-  * codec changes no plan shape.
+  * Audio is REAL for the canonical raw format — RIFF/WAVE PCM (8/16
+  * bit), parsed with a plain chunk walk (WAV is a container + raw
+  * samples; no codec library needed): metadata from the fmt/data
+  * chunks, features from the decoded sample stream. COMPRESSED audio
+  * (mp3/aac) and video codecs don't ship in the JDK or this
+  * container, so those stay behind the deterministic `GRFT` container
+  * STUB — the per-partition batch shape is identical, and swapping in
+  * a real codec changes no plan shape.
   *
   * Fake container layout (little-endian):
   * {{{
@@ -52,6 +56,43 @@ object Multimodal {
 
   private def isGrft(b: Array[Byte]): Boolean =
     b.length >= 17 && b(0) == 'G' && b(1) == 'R' && b(2) == 'F' && b(3) == 'T'
+
+  private def isWav(b: Array[Byte]): Boolean =
+    b.length >= 44 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+
+  /** PCM WAV parse: walk the RIFF chunks, return (sampleRate,
+    * channels, bitsPerSample, dataOffset, dataLength) for PCM 8/16
+    * bit with a size-consistent data chunk. None for compressed,
+    * malformed, or truncated containers. */
+  private[operators] def parseWav(b: Array[Byte])
+      : Option[(Int, Int, Int, Int, Int)] = {
+    if (!isWav(b)) return None
+    val bb = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+    var off = 12
+    var fmt: Option[(Int, Int, Int, Int)] = None // (audioFmt, ch, rate, bits)
+    var data: Option[(Int, Int)] = None // (offset, length)
+    while (off + 8 <= b.length && (fmt.isEmpty || data.isEmpty)) {
+      val id = new String(b, off, 4, "ASCII")
+      val size = bb.getInt(off + 4)
+      if (size < 0 || off + 8 + size > b.length) return None // truncated
+      if (id == "fmt " && size >= 16)
+        fmt = Some((bb.getShort(off + 8) & 0xffff,
+          bb.getShort(off + 10) & 0xffff,
+          bb.getInt(off + 12),
+          bb.getShort(off + 22) & 0xffff))
+      else if (id == "data")
+        data = Some((off + 8, size))
+      off += 8 + size + (size & 1) // chunks are word-aligned
+    }
+    for {
+      (audioFmt, ch, rate, bits) <- fmt
+      (dOff, dLen) <- data
+      if audioFmt == 1 && (bits == 8 || bits == 16) && ch > 0 && rate > 0
+      blockAlign = ch * bits / 8
+      if blockAlign > 0 && dLen % blockAlign == 0
+    } yield (rate, ch, bits, dOff, dLen)
+  }
 
   /** Header-only (width, height) of a PNG/JPEG — ImageReader probes
     * the stream metadata without decoding pixel data. */
@@ -97,6 +138,14 @@ object Multimodal {
 
   private def parseHeader(bytes: Array[Byte]): Row = {
     if (bytes == null) Row(null, null, null, null, null, null, false)
+    else if (isWav(bytes)) parseWav(bytes) match {
+      // audio maps onto the shared meta columns like the GRFT
+      // container: width = sample_rate, height = channels,
+      // nframes = samples per channel
+      case Some((rate, ch, bits, _, dLen)) =>
+        Row("audio", "wav", rate, ch, dLen / (ch * bits / 8), dLen, true)
+      case None => Row("audio", "wav", null, null, null, null, false)
+    }
     else if (isPng(bytes) || isJpeg(bytes)) imageDims(bytes) match {
       case Some((w, h, fmt)) if w > 0 && h > 0 && w.toLong * h <= Int.MaxValue =>
         // payload_bytes for real images = pixel count (decoded size),
@@ -155,6 +204,32 @@ object Multimodal {
       .mapPartitions(_.map { r =>
         val b = r.getAs[Array[Byte]](1)
         if (b == null) Row(r.getLong(0), null, null, null)
+        else if (isWav(b)) parseWav(b) match {
+          // audio features run in the SAMPLE domain (int16 signed /
+          // uint8 re-centered to signed), interleaved stream order
+          case Some((_, _, bits, dOff, dLen)) if dLen > 0 =>
+            val bb = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+            var s = 0L; var mn = Int.MaxValue; var mx = Int.MinValue
+            if (bits == 16) {
+              var i = dOff
+              while (i < dOff + dLen) {
+                val v: Int = bb.getShort(i)
+                s += v; if (v < mn) mn = v; if (v > mx) mx = v
+                i += 2
+              }
+              val cnt = dLen / 2
+              Row(r.getLong(0), s.toDouble / cnt.toDouble, mn, mx)
+            } else {
+              var i = dOff
+              while (i < dOff + dLen) {
+                val v = (b(i) & 0xff) - 128
+                s += v; if (v < mn) mn = v; if (v > mx) mx = v
+                i += 1
+              }
+              Row(r.getLong(0), s.toDouble / dLen.toDouble, mn, mx)
+            }
+          case _ => Row(r.getLong(0), null, null, null)
+        }
         else if (isPng(b) || isJpeg(b)) readImage(b) match {
           case Some(img) =>
             var s = 0L; var mn = 255; var mx = 0
@@ -267,6 +342,8 @@ object Multimodal {
         if (b != null && (isPng(b) || isJpeg(b)))
           // a real still image is its own single frame
           Iterator.single(Row(r.getLong(0), 0, b))
+        else if (b != null && isWav(b))
+          Iterator.empty // audio has samples, not frames
         else {
           val meta = parseHeader(b)
           if (!meta.getBoolean(6)) Iterator.empty
@@ -311,6 +388,46 @@ object Multimodal {
       val fmt = if (i % 2 == 0) "png" else "jpg"
       val rgb = ((i % 256) << 16) | (((i * 7) % 256) << 8) | ((i * 13) % 256)
       Row(i.toLong, encodeImage(fmt, 16 + i % 9, 12 + i % 7, rgb))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4),
+      StructType(Seq(
+        StructField("id", LongType, false),
+        StructField("media", BinaryType, true))))
+  }
+
+  /** Encode a REAL PCM16 WAV container (fixture / test side):
+    * canonical 44-byte header + interleaved little-endian samples. */
+  def encodeWav(sampleRate: Int, channels: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = ByteBuffer.allocate(44 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("ASCII"))
+    bb.put("fmt ".getBytes("ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(channels.toShort)
+      .putInt(sampleRate)
+      .putInt(sampleRate * channels * 2) // byte rate
+      .putShort((channels * 2).toShort)  // block align
+      .putShort(16)                      // bits per sample
+    bb.put("data".getBytes("ASCII")).putInt(dataLen)
+    samples.foreach(bb.putShort(_))
+    bb.array()
+  }
+
+  /** Deterministic REAL-audio fixture: PCM16 WAV blobs whose rate,
+    * channel count and every sample value are closed-form in id —
+    * sample j (interleaved) of blob r is ((r·31 + j·7) mod 65536) −
+    * 32768 — so decoded metadata AND sample statistics are
+    * independently recomputable in plain SQL. */
+  def audioFixture(spark: SparkSession, n: Int): DataFrame = {
+    val rows = (0 until n).map { i =>
+      val rate = 8000 + (i % 3) * 4000
+      val ch = 1 + i % 2
+      val frames = 50 + i % 20
+      val samples = Array.tabulate(frames * ch)(j =>
+        (((i.toLong * 31 + j.toLong * 7) % 65536) - 32768).toShort)
+      Row(i.toLong, encodeWav(rate, ch, samples))
     }
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 4),

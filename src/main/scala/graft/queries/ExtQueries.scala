@@ -765,6 +765,44 @@ object ExtQueries {
        ORDER BY a, b"""
 
   // ---------------------------------------------------------------
+  // q60 — REAL audio decode: PCM16 RIFF/WAVE blobs (the canonical raw
+  // audio format — a chunk walk, no codec library) through the
+  // metadata probe AND the full sample decode. Rate, channel count
+  // and EVERY sample value are closed-form in id, so the oracle
+  // recomputes metadata and sample statistics in plain SQL — a
+  // mis-parsed header, wrong chunk offset, or byte-order slip fails
+  // the gate. (Compressed audio/video stay behind the documented GRFT
+  // stub; MultimodalSpec covers malformed/truncated containers.)
+  def q60(s: SparkSession, dir: String): DataFrame = {
+    val fx = Multimodal.audioFixture(s, 40)
+    val meta = Multimodal.decodeMeta(fx, "id", "media")
+      .select(col("id"), col("mtype"), col("codec"),
+        col("width").as("sample_rate"), col("height").as("channels"),
+        col("nframes").as("n_samples"), col("valid"))
+    val feats = Multimodal.extractFeatures(fx, "id", "media")
+      .select(col("id"), col("mean_byte").as("mean_sample"),
+        col("min_byte").as("min_sample"), col("max_byte").as("max_sample"))
+    meta.join(feats, Seq("id")).orderBy("id")
+  }
+
+  val q60Sql: String =
+    """WITH base AS (
+         SELECT r, (50 + r % 20) * (1 + r % 2) AS total FROM range(0, 40) t(r)),
+       vals AS (
+         SELECT r, total,
+           [(r*31 + j*7) % 65536 - 32768 for j in range(0, total)] AS v
+         FROM base)
+       SELECT r AS id, 'audio' AS mtype, 'wav' AS codec,
+         CAST(8000 + (r % 3) * 4000 AS INT) AS sample_rate,
+         CAST(1 + r % 2 AS INT) AS channels,
+         CAST(50 + r % 20 AS INT) AS n_samples,
+         true AS valid,
+         CAST(list_sum(v) AS DOUBLE) / total AS mean_sample,
+         CAST(list_min(v) AS INT) AS min_sample,
+         CAST(list_max(v) AS INT) AS max_sample
+       FROM vals ORDER BY id"""
+
+  // ---------------------------------------------------------------
   // q59 — STREAMING substring decontamination: the q55 pass as a
   // Structured Streaming job. The corpus (doc_id % 4 != 0) lands as
   // parquet files and streams through in forced multi-file
@@ -817,6 +855,7 @@ object ExtQueries {
     "q57_bpe_tokens" -> (q57 _),
     "q58_embed_neardup_cross" -> (q58 _),
     "q59_streaming_decontam" -> (q59 _),
+    "q60_audio_wav" -> (q60 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -847,5 +886,6 @@ object ExtQueries {
     "q57_bpe_tokens" -> q57Sql,
     "q58_embed_neardup_cross" -> q58Sql,
     "q59_streaming_decontam" -> q55Sql,
+    "q60_audio_wav" -> q60Sql,
   )
 }

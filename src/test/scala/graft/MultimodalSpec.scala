@@ -60,6 +60,35 @@ class MultimodalSpec extends SparkSpec {
     assert(rzFeats.getAs[Double]("mean_byte") == 0.0) // id 0 is black
   }
 
+  test("real WAV: PCM16 metadata + sample stats, malformed containers flagged") {
+    import spark.implicits._
+    val samples = Array[Short](-3, 0, 7, 32767, -32768, 5)
+    val good = Multimodal.encodeWav(44100, 2, samples)
+    // truncated data chunk: declared size runs past the buffer
+    val truncated = java.util.Arrays.copyOf(good, good.length - 4)
+    // non-PCM audio format (2 = ADPCM) must be rejected, not decoded
+    val adpcm = good.clone(); adpcm(20) = 2
+    val df = Seq((0L, good), (1L, truncated), (2L, adpcm))
+      .toDF("id", "media")
+    val meta = Multimodal.decodeMeta(df, "id", "media").orderBy("id").collect()
+    assert(meta(0).getAs[String]("mtype") == "audio")
+    assert(meta(0).getAs[String]("codec") == "wav")
+    assert(meta(0).getAs[Int]("width") == 44100, "sample_rate")
+    assert(meta(0).getAs[Int]("height") == 2, "channels")
+    assert(meta(0).getAs[Int]("nframes") == 3, "frames per channel")
+    assert(meta(0).getAs[Boolean]("valid"))
+    assert(!meta(1).getAs[Boolean]("valid"), "truncated must flag invalid")
+    assert(!meta(2).getAs[Boolean]("valid"), "compressed fmt must flag invalid")
+    val feats = Multimodal.extractFeatures(df, "id", "media")
+      .orderBy("id").collect()
+    assert(feats(0).getAs[Double]("mean_byte") == samples.map(_.toInt).sum.toDouble / 6)
+    assert(feats(0).getAs[Int]("min_byte") == -32768)
+    assert(feats(0).getAs[Int]("max_byte") == 32767)
+    assert(feats(1).isNullAt(1) && feats(2).isNullAt(1))
+    // audio has samples, not frames
+    assert(Multimodal.sampleFrames(df.limit(1), "id", "media", 1).count() == 0)
+  }
+
   test("extractFeatures: deterministic byte stats") {
     val fx = Multimodal.fixture(spark, 3)
     val f1 = Multimodal.extractFeatures(fx, "id", "media").orderBy("id").collect()

@@ -56,6 +56,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges <= 1, s"sampling should not shuffle:\n$p")
   }
 
+  test("q57: BPE replay runs exactly once per row (staged projection survives optimization)") {
+    // bpe_tokens and max_word_pieces both read __bp; if CollapseProject
+    // folded the stage away, the merge-table replay would run twice
+    val p = plan("q57_bpe_tokens")
+    val evals = "bpe_piece_counts\\(".r.findAllIn(p).length
+    assert(evals == 1, s"expected 1 BPE evaluation, found $evals:\n$p")
+  }
+
   test("no shuffle cartesian product in any registry query") {
     // BroadcastNestedLoopJoin is legitimate where a side is tiny or
     // broadcast-by-design: the pure theta join (q37) and the
