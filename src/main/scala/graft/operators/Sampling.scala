@@ -71,4 +71,30 @@ object Sampling {
     }
     df.where(uniformHash64(col(idCol), seed) < thrCol)
   }
+
+  /** EXACTLY `k` rows per stratum (all rows where the stratum has
+    * fewer): the k smallest (u(id), id) — the fixed-budget mixing
+    * primitive ("5 000 docs per source into the eval slice") next to
+    * [[stratifiedSample]]'s fixed-rate one. Same exact-decimal hash ⇒
+    * same cross-engine determinism, and the selection is a PREFIX of
+    * the hash order, so growing the corpus only ever swaps rows out,
+    * never reshuffles survivors arbitrarily. One stratum-keyed
+    * shuffle; rank is a streaming row_number over the in-partition
+    * sort (skew-heavy strata sort spill-aware — for k ≪ stratum size
+    * a rate pre-filter via [[stratifiedSample]] can bound the sort
+    * input first). */
+  def stratifiedExactK(
+      df: DataFrame,
+      idCol: String,
+      stratumCol: String,
+      k: Int,
+      seed: Long = 0L): DataFrame = {
+    require(k >= 0, s"k must be >= 0, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(uniformHash64(col(idCol), seed), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k)
+      .drop("__rn")
+  }
 }

@@ -765,6 +765,28 @@ object ExtQueries {
        ORDER BY a, b"""
 
   // ---------------------------------------------------------------
+  // q61 — fixed-BUDGET stratified sampling (exactly k per stratum),
+  // the companion of q54's fixed-rate mixing: the k smallest
+  // (hash, id) per source survive. Same exact-decimal multiplicative
+  // hash, so the oracle recomputes the identical surviving row SET —
+  // not just per-stratum counts.
+  def q61(s: SparkSession, dir: String): DataFrame =
+    Sampling.stratifiedExactK(t(s, dir, "documents"),
+      "doc_id", "source", k = 5, seed = 7L)
+      .select(col("doc_id"), col("source"))
+      .orderBy("doc_id")
+
+  val q61Sql: String =
+    """SELECT doc_id, source FROM (
+         SELECT doc_id, source,
+           row_number() OVER (PARTITION BY source ORDER BY u, doc_id) AS rn
+         FROM (SELECT doc_id, source,
+                 (CAST(doc_id + 7 AS HUGEINT) * 11400714819323198485)
+                   % 18446744073709551616 AS u
+               FROM documents))
+       WHERE rn <= 5 ORDER BY doc_id"""
+
+  // ---------------------------------------------------------------
   // q60 — REAL audio decode: PCM16 RIFF/WAVE blobs (the canonical raw
   // audio format — a chunk walk, no codec library) through the
   // metadata probe AND the full sample decode. Rate, channel count
@@ -856,6 +878,7 @@ object ExtQueries {
     "q58_embed_neardup_cross" -> (q58 _),
     "q59_streaming_decontam" -> (q59 _),
     "q60_audio_wav" -> (q60 _),
+    "q61_stratified_topk" -> (q61 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -887,5 +910,6 @@ object ExtQueries {
     "q58_embed_neardup_cross" -> q58Sql,
     "q59_streaming_decontam" -> q55Sql,
     "q60_audio_wav" -> q60Sql,
+    "q61_stratified_topk" -> q61Sql,
   )
 }

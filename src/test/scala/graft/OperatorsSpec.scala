@@ -32,6 +32,25 @@ class OperatorsSpec extends SparkSpec {
     assert(all.length == 2000 && all.forall(_.getLong(0) % 2 == 0))
   }
 
+  test("stratifiedExactK: exactly k per stratum, partition-independent, prefix-stable") {
+    val rows = (0L until 300L).map(i => (i, s"s${i % 3}")) ++
+      Seq((1000L, "tiny"), (1001L, "tiny")) // stratum smaller than k
+    val df = rows.toDF("id", "stratum")
+    val s1 = Sampling.stratifiedExactK(df, "id", "stratum", k = 10, seed = 7L)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(s1.count(_._2 == "s0") == 10)
+    assert(s1.count(_._2 == "s1") == 10)
+    assert(s1.count(_._2 == "s2") == 10)
+    assert(s1.count(_._2 == "tiny") == 2, "undersized stratum keeps all rows")
+    val s2 = Sampling.stratifiedExactK(df.repartition(13), "id", "stratum",
+      k = 10, seed = 7L).collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(s1.toSet == s2.toSet, "selection must not depend on partitioning")
+    // prefix property: growing k only ADDS rows, never swaps them
+    val s3 = Sampling.stratifiedExactK(df, "id", "stratum", k = 20, seed = 7L)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(s1.toSet.subsetOf(s3.toSet))
+  }
+
   test("stratified sample: NEGATIVE (hashed) ids sample at the stated rate") {
     // xxhash64-style ids are negative ~half the time; decimal % follows
     // the dividend sign, so an unreduced hash would be < every
