@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.RollingHash
-import graft.operators.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
 
 /** Training-data-pipeline queries (SURVEY.md §7.1 ext): dedup,
   * similarity search, text analysis, multimodal plumbing — over the
@@ -787,6 +787,41 @@ object ExtQueries {
        WHERE rn <= 5 ORDER BY doc_id"""
 
   // ---------------------------------------------------------------
+  // q62 — sequence packing (concat-then-chunk, the LM pretraining
+  // layout): documents lie end-to-end in id order, cut every 512
+  // tokens. The engine computes the global token prefix sum as a
+  // DISTRIBUTED two-pass (per-partition subtotals → driver offsets →
+  // per-partition emit — no global single-partition window); the
+  // oracle computes the same prefix sum as a plain window. Any
+  // offset drift — a lost row, a partition-boundary error, a
+  // subtotal/offset mismatch — shifts every downstream bin and fails
+  // the hash gate.
+  def q62(s: SparkSession, dir: String): DataFrame = {
+    val withToks = t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.wsTokenCount(col("text")).cast("long").as("toks"))
+    Packing.sequencePack(withToks, "doc_id", "toks", budget = 512L)
+      .select(col("id").as("doc_id"), col("n_tokens"), col("start_tok"),
+        col("bin_first"), col("bin_last"))
+      .orderBy("doc_id")
+  }
+
+  val q62Sql: String =
+    """WITH t AS (SELECT doc_id,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT)
+           AS toks
+       FROM documents),
+       c AS (SELECT doc_id, toks,
+         coalesce(sum(toks) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+       FROM t)
+       SELECT doc_id, toks AS n_tokens, start_tok,
+         start_tok // 512 AS bin_first,
+         (start_tok + greatest(toks, 1) - 1) // 512 AS bin_last
+       FROM c ORDER BY doc_id"""
+
+  // ---------------------------------------------------------------
   // q60 — REAL audio decode: PCM16 RIFF/WAVE blobs (the canonical raw
   // audio format — a chunk walk, no codec library) through the
   // metadata probe AND the full sample decode. Rate, channel count
@@ -879,6 +914,7 @@ object ExtQueries {
     "q59_streaming_decontam" -> (q59 _),
     "q60_audio_wav" -> (q60 _),
     "q61_stratified_topk" -> (q61 _),
+    "q62_sequence_pack" -> (q62 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -911,5 +947,6 @@ object ExtQueries {
     "q59_streaming_decontam" -> q55Sql,
     "q60_audio_wav" -> q60Sql,
     "q61_stratified_topk" -> q61Sql,
+    "q62_sequence_pack" -> q62Sql,
   )
 }

@@ -51,6 +51,29 @@ class OperatorsSpec extends SparkSpec {
     assert(s1.toSet.subsetOf(s3.toSet))
   }
 
+  test("sequencePack: distributed prefix sum equals sequential, partition-independent") {
+    import graft.operators.Packing
+    val rnd = new scala.util.Random(23)
+    val rows = (0L until 500L).map(i => (i, rnd.nextInt(40).toLong))
+    val df = rows.toDF("id", "toks")
+    def packed(d: org.apache.spark.sql.DataFrame) =
+      Packing.sequencePack(d, "id", "toks", budget = 100L)
+        .orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val got = packed(df)
+    // sequential reference
+    var cum = 0L
+    rows.foreach { case (i, t) =>
+      val (id, start, bFirst, bLast) = got(i.toInt)
+      assert(id == i && start == cum, s"offset drift at id $i")
+      assert(bFirst == cum / 100 && bLast == (cum + math.max(t, 1) - 1) / 100)
+      cum += t
+    }
+    // partitioning must not change anything
+    assert(packed(df.repartition(11)).toSeq == got.toSeq)
+    assert(packed(df.coalesce(1)).toSeq == got.toSeq)
+  }
+
   test("stratified sample: NEGATIVE (hashed) ids sample at the stated rate") {
     // xxhash64-style ids are negative ~half the time; decimal % follows
     // the dividend sign, so an unreduced hash would be < every
