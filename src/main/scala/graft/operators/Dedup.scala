@@ -617,6 +617,54 @@ object Dedup {
     sums.select(col("id"), fp.as("simhash"))
   }
 
+  /** Cross-corpus SimHash near-dup join: all (a from `left`, b from
+    * `right`) fingerprint pairs within Hamming ≤ maxDist — the
+    * SimHash member of the cross family (jaccardJoinCross /
+    * minhashLshCross / cosineNearDupCross are its siblings). Same
+    * two-chunk pigeonhole blocking as [[simhashNearDup]], over the
+    * DISTINCT fingerprints of each side; both sides chunk with the
+    * SAME partition of the 64 bits, so a left fingerprint lands in
+    * exactly the buckets its ≤ maxDist right neighbors share. Every
+    * ordered (a, b) pair is a result (ids equal across sides are
+    * excluded as self-matches, the family-wide convention). */
+  def simhashNearDupCross(
+      left: DataFrame,  // (id, simhash)
+      right: DataFrame, // (id, simhash)
+      maxDist: Int = 3): DataFrame = {
+    val nChunks = maxDist + 2
+    require(nChunks <= 64, "need at least one bit per chunk (maxDist <= 62)")
+    val base = 64 / nChunks
+    val extra = 64 % nChunks
+    val offsets = (0 to nChunks).map(c => c * base + math.min(c, extra))
+    def chunk(c: Int): Column = {
+      val width = offsets(c + 1) - offsets(c)
+      val mask = if (width == 64) -1L else (1L << width) - 1
+      shiftrightunsigned(col("simhash"), offsets(c)).bitwiseAND(lit(mask))
+    }
+    val bandKeys = for {
+      i <- 0 until nChunks
+      j <- i + 1 until nChunks
+    } yield struct(lit(i * nChunks + j).as("band"),
+      chunk(i).as("c1"), chunk(j).as("c2"))
+    def banded(df: DataFrame): DataFrame =
+      df.select(col("simhash")).distinct()
+        .select(col("simhash"), explode(array(bandKeys: _*)).as("bk"))
+        .select(col("simhash"), col("bk.band").as("band"),
+          col("bk.c1").as("c1"), col("bk.c2").as("c2"))
+    val fpPairs = banded(left)
+      .select(col("band"), col("c1"), col("c2"), col("simhash").as("fa"))
+      .join(banded(right).select(col("band"), col("c1"), col("c2"),
+        col("simhash").as("fb")), Seq("band", "c1", "c2"))
+      .select("fa", "fb").distinct()
+      .withColumn("hamming", bit_count(col("fa").bitwiseXOR(col("fb"))))
+      .where(col("hamming") <= maxDist)
+    fpPairs
+      .join(left.select(col("simhash").as("fa"), col("id").as("a")), Seq("fa"))
+      .join(right.select(col("simhash").as("fb"), col("id").as("b")), Seq("fb"))
+      .where(col("a") =!= col("b"))
+      .select(col("a"), col("b"), col("hamming"))
+  }
+
   /** All pairs with Hamming(simhash_a, simhash_b) ≤ maxDist, found
     * exactly, with joins whose key space scales with the corpus:
     *

@@ -787,6 +787,43 @@ object ExtQueries {
        WHERE rn <= 5 ORDER BY doc_id"""
 
   // ---------------------------------------------------------------
+  // q63 — cross-corpus SimHash near-dup (the SimHash member of the
+  // cross family): q24's deterministic derived fingerprints, split
+  // corpus/eval like q49; the pigeonhole blocking join must return
+  // exactly the brute-force cross pairs at Hamming ≤ 3 — including
+  // identical-fingerprint pairs, which in the cross case fall out of
+  // the band join itself (no separate Hamming-0 branch).
+  def q63(s: SparkSession, dir: String): DataFrame = {
+    val fps = t(s, dir, "documents").select(
+      expr("CAST(doc_id AS BIGINT)").as("id"), derivedFp.as("simhash"))
+    Dedup.simhashNearDupCross(
+      fps.where(col("id") % 4 =!= 0), fps.where(col("id") % 4 === 0))
+      .orderBy("a", "b")
+  }
+
+  val q63Sql: String =
+    """WITH fp AS (SELECT doc_id AS id,
+         xor(CAST(CASE WHEN u >= 9223372036854775808
+                       THEN u - 18446744073709551616 ELSE u END AS BIGINT),
+             CASE doc_id % 5
+               WHEN 0 THEN 0
+               WHEN 1 THEN (CAST(1 AS BIGINT) << 1)
+               WHEN 2 THEN (CAST(1 AS BIGINT) << 5) | (CAST(1 AS BIGINT) << 23)
+               WHEN 3 THEN (CAST(1 AS BIGINT) << 7) | (CAST(1 AS BIGINT) << 31)
+                           | (CAST(1 AS BIGINT) << 50)
+               ELSE (CAST(1 AS BIGINT) << 2) | (CAST(1 AS BIGINT) << 17)
+                    | (CAST(1 AS BIGINT) << 33) | (CAST(1 AS BIGINT) << 60)
+             END) AS f
+       FROM (SELECT doc_id,
+               (CAST(doc_id // 5 AS HUGEINT) * 11400714819323198485)
+               % 18446744073709551616 AS u FROM documents))
+       SELECT a.id AS a, b.id AS b,
+         CAST(bit_count(xor(a.f, b.f)) AS INT) AS hamming
+       FROM fp a JOIN fp b ON a.id % 4 != 0 AND b.id % 4 = 0
+       WHERE bit_count(xor(a.f, b.f)) <= 3
+       ORDER BY a, b"""
+
+  // ---------------------------------------------------------------
   // q62 — sequence packing (concat-then-chunk, the LM pretraining
   // layout): documents lie end-to-end in id order, cut every 512
   // tokens. The engine computes the global token prefix sum as a
@@ -915,6 +952,7 @@ object ExtQueries {
     "q60_audio_wav" -> (q60 _),
     "q61_stratified_topk" -> (q61 _),
     "q62_sequence_pack" -> (q62 _),
+    "q63_simhash_cross" -> (q63 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -948,5 +986,6 @@ object ExtQueries {
     "q60_audio_wav" -> q60Sql,
     "q61_stratified_topk" -> q61Sql,
     "q62_sequence_pack" -> q62Sql,
+    "q63_simhash_cross" -> q63Sql,
   )
 }

@@ -64,6 +64,11 @@ class PlanAuditSpec extends SparkSpec {
     assert(evals == 1, s"expected 1 BPE evaluation, found $evals:\n$p")
   }
 
+  test("q62: packing plans NO global window — offsets come from the two-pass prefix sum") {
+    val p = plan("q62_sequence_pack")
+    assert(!p.contains("Window"), s"global window would single-partition the corpus:\n$p")
+  }
+
   test("no shuffle cartesian product in any registry query") {
     // BroadcastNestedLoopJoin is legitimate where a side is tiny or
     // broadcast-by-design: the pure theta join (q37) and the

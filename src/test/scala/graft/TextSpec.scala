@@ -143,6 +143,24 @@ class TextSpec extends SparkSpec {
     assert(Bpe.pieceCountsOf("a  b").toSeq == Seq(1L, 0L, 1L))
   }
 
+  test("BPE property: pieces always concatenate back to the word, any table") {
+    val rnd = new scala.util.Random(41)
+    val chars = "abcdef"
+    def word(n: Int) = Array.fill(n)(chars(rnd.nextInt(chars.length))).mkString
+    for (_ <- 0 until 200) {
+      // random merge table over random 1-3 char symbols
+      val ranks = new java.util.HashMap[String, Integer]()
+      (0 until rnd.nextInt(30)).foreach { i =>
+        ranks.putIfAbsent(word(1 + rnd.nextInt(3)) + "\t" +
+          word(1 + rnd.nextInt(3)), i)
+      }
+      val w = word(rnd.nextInt(15))
+      val pieces = graft.functions.Bpe.encodeWith(w, ranks)
+      assert(pieces.mkString == w, s"lossy segmentation of '$w'")
+      assert(w.isEmpty || pieces.nonEmpty)
+    }
+  }
+
   test("BPE training: deterministic merges, most-frequent-pair first") {
     import graft.functions.Bpe
     val wc = Array(("aab", 10L), ("ab", 5L), ("ba", 1L))
