@@ -101,8 +101,12 @@ object Bench {
     // bench_last.json for local iteration, BENCH-summary.json as the
     // TRACKED per-round artifact (the driver's stdout-tail capture
     // truncated mid-JSON in rounds 2-3, losing q01-q42; a committed
-    // file survives regardless of how the tail is cut)
-    Seq("bench_last.json", "BENCH-summary.json").foreach { f =>
+    // file survives regardless of how the tail is cut). A FILTERED
+    // run (`runMain graft.Bench q27`) must NOT clobber the committed
+    // full-suite record with a partial one.
+    val sinks = if (only.isEmpty) Seq("bench_last.json", "BENCH-summary.json")
+      else Seq("bench_last.json")
+    sinks.foreach { f =>
       java.nio.file.Files.write(
         java.nio.file.Paths.get(f), (line + "\n").getBytes("UTF-8"))
     }

@@ -28,7 +28,10 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * bin index. Deterministic: the result depends only on (id order,
   * token counts, budget) — never on partition boundaries (the range
   * partitioner's sampled split points shift subtotals and offsets in
-  * lockstep). */
+  * lockstep). Preconditions: ids UNIQUE (duplicate ids have no
+  * defined order, so their individual offsets would be arbitrary)
+  * and token counts non-null — a null is rejected up front with a
+  * clear error instead of an executor-deep NPE. */
 object Packing {
 
   def sequencePack(
@@ -47,7 +50,11 @@ object Packing {
     val subtotals = sorted.rdd
       .mapPartitionsWithIndex { (pid, it) =>
         var s = 0L
-        it.foreach(r => s += r.getLong(1))
+        it.foreach { r =>
+          require(!r.isNullAt(1),
+            s"sequencePack: null token count for id ${r.getLong(0)}")
+          s += r.getLong(1)
+        }
         Iterator.single((pid, s))
       }
       .collect().sortBy(_._1).map(_._2)

@@ -314,9 +314,14 @@ object Similarity {
       k: Int,
       iters: Int,
       seed: Long): Array[Array[Double]] = {
-    val init = hashInit(vecs, k, seed)
+    // pin the training set ONCE: hashInit plus every Lloyd round scan
+    // it, and without the checkpoint each pass would replay the full
+    // upstream lineage (corpus scan + sample filter) — iters+1 corpus
+    // reads instead of one materialization of the (sampled) train set
+    val pinned = vecs.localCheckpoint(eager = true)
+    val init = hashInit(pinned, k, seed)
     if (init.isEmpty) Array.empty
-    else lloydDecimal(vecs, init, iters)
+    else lloydDecimal(pinned, init, iters)
   }
 
   /** IVF (inverted-file) approximate top-k: corpus vectors are
@@ -580,13 +585,15 @@ object Similarity {
         (r.getLong(0), normalize(r.getSeq[Double](1).toArray)))
       .sortBy(_._1)
 
-    if (queries.isEmpty) // empty query set → empty result, not a crash
+    if (queries.isEmpty) { // empty query set → empty result, not a crash
+      cbB.destroy(); offB.destroy()
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row],
         StructType(Seq(StructField("q", LongType, false),
           StructField("rank", IntegerType, false),
           StructField("n", LongType, false),
           StructField("cos", DoubleType, false))))
+    }
     // ADC lookup tables cost m × nCents × 8 B PER QUERY per task —
     // the dominant task memory, and the query-VECTOR byte guard above
     // underestimates it for small dim / large m. Batch the queries so
@@ -617,6 +624,12 @@ object Similarity {
     partialDf = partialDf.localCheckpoint(eager = true)
     if (multiBatch) codeRows.unpersist(blocking = false)
     qBs.foreach(_.destroy())
+    // the exact re-rank below uses the raw vectors only — the
+    // codebook/offset broadcasts are dead once the ADC survivors are
+    // materialized, and would otherwise accumulate across calls in a
+    // long-lived session until ContextCleaner GC
+    cbB.destroy()
+    offB.destroy()
     // global candidate merge (smaller ADC distance is better ⇒ negate
     // for the descending-score aggregator), then EXACT cosine re-rank
     // of the k·rerank survivors per query

@@ -159,12 +159,16 @@ object StreamingIngest {
       checkpointDir: String,
       windowTokens: Int = 50,
       maxFilesPerTrigger: Option[Int] = None,
-      trigger: Trigger = Trigger.AvailableNow()): Unit = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      schema: Option[org.apache.spark.sql.types.StructType] = None): Unit = {
     val contamFps = graft.operators.Dedup
       .contamFingerprints(contam, idCol, textCol, windowTokens)
       .localCheckpoint(eager = true)
-    val schema = spark.read.parquet(landingDir).schema
-    val reader = spark.readStream.schema(schema)
+    // continuous-tailing callers starting BEFORE the first file lands
+    // must pass `schema` explicitly — batch inference over an empty
+    // landing dir cannot work
+    val inferred = schema.getOrElse(spark.read.parquet(landingDir).schema)
+    val reader = spark.readStream.schema(inferred)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
     val query = reader.parquet(landingDir)
       .writeStream
