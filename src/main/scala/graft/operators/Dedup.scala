@@ -306,6 +306,54 @@ object Dedup {
       .select(col("a"), col("b"), col("n_inter"), col("n_union"))
   }
 
+  /** Cross-corpus n-gram CONTAINMENT join — the asymmetric complement
+    * of [[jaccardJoinCross]]: pair (a from `left`, b from `right`)
+    * whenever |shingles(a) ∩ shingles(b)| ≥ threshold · |shingles(b)|,
+    * i.e. at least that fraction of b's n-grams appear in a. This is
+    * the quote/boilerplate/leak COVERAGE measure: a long document
+    * containing a short eval item verbatim has low Jaccard (the union
+    * is dominated by the long side) but containment ≈ 1 — GPT-3-style
+    * leak audits are defined this way. Candidates come from the same
+    * 8-byte-token inverted index (hash-overlap ⊇ true overlap, exact
+    * verification kills spurious candidates); the size prune is the
+    * one-sided |A| ≥ t·|B| (since inter ≤ |A|). No ppjoin prefix: the
+    * prefix theorem is Jaccard-symmetric, and the typical right side
+    * (an eval set) keeps the index small anyway.
+    *
+    * Returns (a, b, n_inter, n_b): integer evidence, engine-exact;
+    * containment = n_inter / n_b. Right docs with empty shingle sets
+    * (< n words) match nothing. */
+  def containmentJoinCross(
+      left: DataFrame,
+      right: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      n: Int = 3): DataFrame = {
+    def shingled(df: DataFrame): DataFrame =
+      df.select(col(idCol).as("id"), shingles(col(textCol), n).as("s"))
+        .withColumn("sz", size(col("s")))
+        .localCheckpoint(eager = false)
+    def postsOf(sh: DataFrame): DataFrame =
+      sh.select(col("id"), col("sz"), explode(col("s")).as("shingle"))
+        .select(col("id"), col("sz"), xxhash64(col("shingle")).as("tok"))
+    val shL = shingled(left)
+    val shR = shingled(right)
+    val cand = postsOf(shL)
+      .select(col("tok"), col("id").as("a"), col("sz").as("asz"))
+      .join(postsOf(shR)
+        .select(col("tok"), col("id").as("b"), col("sz").as("bsz")), Seq("tok"))
+      .where(col("asz").cast("double") >= lit(threshold) * col("bsz").cast("double"))
+      .select("a", "b").distinct()
+    cand
+      .join(shL.select(col("id").as("a"), col("s").as("sa")), Seq("a"))
+      .join(shR.select(col("id").as("b"), col("s").as("sb"), col("sz").as("n_b")), Seq("b"))
+      .withColumn("n_inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .where(col("n_b") > 0 &&
+        col("n_inter").cast("double") >= lit(threshold) * col("n_b").cast("double"))
+      .select(col("a"), col("b"), col("n_inter"), col("n_b").cast("long").as("n_b"))
+  }
+
   /** Cross-corpus MinHash-LSH near-duplicate join: [[minhashLsh]]'s
     * band-bucket candidate generation across two frames. Both sides
     * hash with the SAME permutation family (seed + index), so equal

@@ -787,6 +787,36 @@ object ExtQueries {
        WHERE rn <= 5 ORDER BY doc_id"""
 
   // ---------------------------------------------------------------
+  // q64 — cross-corpus n-gram CONTAINMENT (coverage) join: the
+  // GPT-3-style leak audit measure — at least 80% of an eval doc's
+  // 3-grams appear in the corpus doc. Asymmetric on purpose: a long
+  // doc quoting a short eval item verbatim has low Jaccard but
+  // containment ≈ 1. Same corpus/eval split as q49; pair list +
+  // integer evidence oracle-exact.
+  def q64(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Dedup.containmentJoinCross(
+      docs.where(col("doc_id") % 4 =!= 0),
+      docs.where(col("doc_id") % 4 === 0),
+      "doc_id", "text", 0.8)
+      .orderBy("a", "b")
+  }
+
+  val q64Sql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+       sh AS (SELECT doc_id, list_distinct([array_to_string(w[i:i+2],' ')
+                for i in range(1, len(w)-1)]) s FROM toks),
+       co AS (SELECT * FROM sh WHERE doc_id % 4 != 0),
+       ev AS (SELECT * FROM sh WHERE doc_id % 4 = 0)
+       SELECT co.doc_id AS a, ev.doc_id AS b,
+         CAST(len(list_intersect(co.s, ev.s)) AS BIGINT) AS n_inter,
+         CAST(len(ev.s) AS BIGINT) AS n_b
+       FROM co JOIN ev ON len(ev.s) > 0
+         AND CAST(len(list_intersect(co.s, ev.s)) AS DOUBLE)
+               >= 0.8 * len(ev.s)
+       ORDER BY a, b"""
+
+  // ---------------------------------------------------------------
   // q63 — cross-corpus SimHash near-dup (the SimHash member of the
   // cross family): q24's deterministic derived fingerprints, split
   // corpus/eval like q49; the pigeonhole blocking join must return
@@ -953,6 +983,7 @@ object ExtQueries {
     "q61_stratified_topk" -> (q61 _),
     "q62_sequence_pack" -> (q62 _),
     "q63_simhash_cross" -> (q63 _),
+    "q64_containment_cross" -> (q64 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -987,5 +1018,6 @@ object ExtQueries {
     "q61_stratified_topk" -> q61Sql,
     "q62_sequence_pack" -> q62Sql,
     "q63_simhash_cross" -> q63Sql,
+    "q64_containment_cross" -> q64Sql,
   )
 }
