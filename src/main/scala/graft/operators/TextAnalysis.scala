@@ -124,6 +124,32 @@ object TextAnalysis {
         nChars.cast("double")))
   }
 
+  // PII patterns shared by counting and scrubbing — deliberately
+  // restricted to constructs Java regex and RE2 (DuckDB) interpret
+  // identically, so the oracle replays them verbatim
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlRe = "https?://[^ ]+"
+  val Ipv4Re = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+
+  /** PII occurrence counts over the ORIGINAL text (the audit signal
+    * logged before scrubbing). */
+  def piiCounts(text: Column): Seq[(String, Column)] = Seq(
+    "n_emails" -> countMatches(text, EmailRe),
+    "n_urls" -> countMatches(text, UrlRe),
+    "n_ips" -> countMatches(text, Ipv4Re))
+
+  /** Scrub PII spans with typed placeholders — the compliance pass
+    * web-corpus pipelines run before training. URL first (addresses
+    * embedded in URLs vanish with the URL), then email, then bare
+    * IPv4. Pure Column regexp_replace chain: codegen'd, shuffle-free,
+    * deterministic. */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, UrlRe, "<URL>"),
+        EmailRe, "<EMAIL>"),
+      Ipv4Re, "<IP>")
+
   /** Intra-document repetition counts (Rae et al. 2021 "Gopher"
     * repetition filters): total vs distinct n-token windows. A
     * low distinct/total ratio flags boilerplate loops and degenerate

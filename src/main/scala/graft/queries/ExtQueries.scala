@@ -787,6 +787,49 @@ object ExtQueries {
        WHERE rn <= 5 ORDER BY doc_id"""
 
   // ---------------------------------------------------------------
+  // q65 — PII scrubbing (the compliance pass before training): the
+  // synthetic docs carry no PII, so the query plants a deterministic
+  // email / URL / bare-IPv4 tail per doc_id residue class, then
+  // counts occurrences on the original and scrubs with typed
+  // placeholders. Counts AND the full scrubbed text are hash-gated —
+  // a pattern-dialect divergence or replacement-order slip fails.
+  def q65(s: SparkSession, dir: String): DataFrame = {
+    val planted = t(s, dir, "documents").select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" contact user"), col("doc_id"), lit("@example.com now")))
+        .when(col("doc_id") % 3 === 1,
+          concat(lit(" see https://ex.com/d/"), col("doc_id"), lit(" next")))
+        .otherwise(concat(lit(" host 10.0.0."), col("doc_id") % 256,
+          lit(" end")))).as("text"))
+    val counts = TextAnalysis.piiCounts(col("text"))
+    planted.select(col("doc_id") +:
+      counts.map { case (n, c) => c.as(n) } :+
+      TextAnalysis.scrubPii(col("text")).as("scrubbed"): _*)
+      .orderBy("doc_id")
+  }
+
+  val q65Sql: String =
+    """WITH planted AS (SELECT doc_id, text ||
+         CASE WHEN doc_id % 3 = 0
+              THEN ' contact user' || doc_id || '@example.com now'
+              WHEN doc_id % 3 = 1
+              THEN ' see https://ex.com/d/' || doc_id || ' next'
+              ELSE ' host 10.0.0.' || (doc_id % 256) || ' end'
+         END AS text FROM documents)
+       SELECT doc_id,
+         len(regexp_extract_all(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+         len(regexp_extract_all(text, 'https?://[^ ]+')) AS n_urls,
+         len(regexp_extract_all(text,
+           '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS n_ips,
+         regexp_replace(regexp_replace(regexp_replace(text,
+           'https?://[^ ]+', '<URL>', 'g'),
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g') AS scrubbed
+       FROM planted ORDER BY doc_id"""
+
+  // ---------------------------------------------------------------
   // q64 — cross-corpus n-gram CONTAINMENT (coverage) join: the
   // GPT-3-style leak audit measure — at least 80% of an eval doc's
   // 3-grams appear in the corpus doc. Asymmetric on purpose: a long
@@ -984,6 +1027,7 @@ object ExtQueries {
     "q62_sequence_pack" -> (q62 _),
     "q63_simhash_cross" -> (q63 _),
     "q64_containment_cross" -> (q64 _),
+    "q65_pii_scrub" -> (q65 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1019,5 +1063,6 @@ object ExtQueries {
     "q62_sequence_pack" -> q62Sql,
     "q63_simhash_cross" -> q63Sql,
     "q64_containment_cross" -> q64Sql,
+    "q65_pii_scrub" -> q65Sql,
   )
 }

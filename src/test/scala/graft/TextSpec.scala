@@ -148,6 +148,20 @@ class TextSpec extends SparkSpec {
     assert(Bpe.pieceCountsOf("a  b").toSeq == Seq(1L, 0L, 1L))
   }
 
+  test("PII scrub: typed placeholders, URL-first order, counts on original") {
+    val df = Seq(
+      "mail a@b.co and http://x.io/a@b.co plus 10.0.0.1 done").toDF("text")
+    val out = df.select(TextAnalysis.scrubPii(col("text")).as("s") +:
+        TextAnalysis.piiCounts(col("text")).map { case (n, c) => c.as(n) }: _*)
+      .collect()(0)
+    // the email inside the URL vanishes WITH the URL (order matters);
+    // counts run on the original so both emails are seen
+    assert(out.getAs[String]("s") == "mail <EMAIL> and <URL> plus <IP> done")
+    assert(out.getAs[Int]("n_emails") == 2)
+    assert(out.getAs[Int]("n_urls") == 1)
+    assert(out.getAs[Int]("n_ips") == 1)
+  }
+
   test("BPE property: pieces always concatenate back to the word, any table") {
     val rnd = new scala.util.Random(41)
     val chars = "abcdef"
