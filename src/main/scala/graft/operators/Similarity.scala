@@ -547,9 +547,14 @@ object Similarity {
     // per-subspace codebooks: 256 centroids (fewer when the sample is
     // small — k-means can't make more clusters than points)
     val nCents = math.min(256, math.max(2, sample.length / 4))
-    val codebooks: Array[Array[Array[Double]]] = Array.tabulate(m) { s =>
+    // the m subspace codebooks are independent seeded k-means runs —
+    // train them in parallel (each is pure in its arguments, results
+    // land at distinct indices, values identical to the sequential
+    // loop); this was the q46 driver-side bottleneck
+    val codebooks = new Array[Array[Array[Double]]](m)
+    java.util.stream.IntStream.range(0, m).parallel().forEach { s =>
       val sub = sample.map(_.slice(offsets(s), offsets(s + 1)))
-      trainCentroids(sub, nCents, iters = 5, seed + s)
+      codebooks(s) = trainCentroids(sub, nCents, iters = 5, seed + s)
     }
     val cbB = spark.sparkContext.broadcast(codebooks)
     val offB = spark.sparkContext.broadcast(offsets.toArray)

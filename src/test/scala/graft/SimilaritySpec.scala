@@ -236,6 +236,27 @@ class SimilaritySpec extends SparkSpec {
       "centroids must not depend on partitioning")
   }
 
+  test("IVF distributed-trainer path: partial-probe recall on clustered vectors") {
+    // 40 well-separated centers x 60 points at dim 16; nLists = 600
+    // forces the distributed trainer, nprobe = 60 scans 10% of lists —
+    // recall must come from centroid quality, not exhaustiveness
+    val rnd = new scala.util.Random(29)
+    val centers = Array.fill(40, 16)(rnd.nextGaussian() * 10)
+    val pts = (0 until 2400).map { i =>
+      val c = centers(i % 40)
+      (i.toLong, c.map(x => (x + rnd.nextGaussian() * 0.3).toFloat))
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    val exact = Similarity.bruteForceTopK(df, df, "vec_id", "embedding", 5)
+      .select("q", "n").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.ivfTopK(df, "vec_id", "embedding", 5,
+        nLists = 600, nprobe = 60)
+      .select("q", "n").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(s"distributed-path IVF recall@5 = $recall")
+    assert(recall >= 0.9)
+  }
+
   test("IVF with nLists > 512 (distributed trainer path) matches brute force under exhaustive probe") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val exact = Similarity.bruteForceTopK(e, e, "vec_id", "embedding", 5)
