@@ -43,6 +43,28 @@ object Dedup {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Shared shingle materialization for the similarity-join family:
+    * (id, s, sz), checkpointed lazily so the split+distinct shingle
+    * computation (and the source scan under it) runs once per frame
+    * however many times the caller consumes it. ONE definition — the
+    * self/cross Jaccard, MinHash and containment joins must never
+    * disagree on what a shingle is. */
+  private def shingledFrame(
+      df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("id"), shingles(col(textCol), n).as("s"))
+      .withColumn("sz", size(col("s")))
+      .localCheckpoint(eager = false)
+
+  /** Posting list of a shingled frame: (id, sz, tok) with 8-byte
+    * xxhash64 tokens — fixed-width join/shuffle keys instead of
+    * ~25-byte strings. Sound for candidate generation: a hash
+    * collision only MERGES two universe elements, so hash-overlap ⊇
+    * true overlap; exact verification on the shingle arrays kills
+    * spurious candidates. */
+  private def postsFrame(sh: DataFrame): DataFrame =
+    sh.select(col("id"), col("sz"), explode(col("s")).as("shingle"))
+      .select(col("id"), col("sz"), xxhash64(col("shingle")).as("tok"))
+
   /** Exact dedup by content key: one representative (min id) +
     * multiplicity per distinct key. */
   def exact(df: DataFrame, idCol: String, keyCol: String): DataFrame =
@@ -81,21 +103,13 @@ object Dedup {
       n: Int = 3,
       prefixFilter: Boolean = true): DataFrame = {
     // the shingle table feeds the posting index once and the exact
-    // verification twice; localCheckpoint materializes it on first
-    // use so the split+distinct shingle computation (and the source
-    // scan under it) runs ONCE instead of three times
-    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("s"))
-      .withColumn("sz", size(col("s")))
-      .localCheckpoint(eager = false)
-    // the index/prefix machinery runs on xxhash64 tokens, not shingle
-    // strings: 8-byte fixed-width join/shuffle keys instead of ~25-byte
-    // strings. Sound: a hash collision only MERGES two universe
-    // elements, so hash-overlap ⊇ true overlap and the ppjoin prefix
-    // theorem (under the hash-space total order) still guarantees every
-    // qualifying pair a shared indexed token; the exact verification
-    // below uses the true shingle arrays, so spurious candidates die.
-    val posts = sh.select(col("id"), col("sz"), explode(col("s")).as("shingle"))
-      .select(col("id"), col("sz"), xxhash64(col("shingle")).as("tok"))
+    // verification twice. The index/prefix machinery runs on the
+    // posting frame's xxhash64 tokens; the ppjoin prefix theorem
+    // (under the hash-space total order) still guarantees every
+    // qualifying pair a shared indexed token, and the exact
+    // verification below uses the true shingle arrays.
+    val sh = shingledFrame(df, idCol, textCol, n)
+    val posts = postsFrame(sh)
 
     // candidate (a,b) pairs sharing an indexed token, size-ratio
     // pruned (J ≥ t forces t·|B| ≤ |A| ≤ |B|/t)
@@ -209,11 +223,9 @@ object Dedup {
       s"bands ($bands) must divide numPerm ($numPerm); bands > numPerm would " +
         "make every band hash constant and degenerate candidates to all pairs")
     // one shingle materialization feeds both the signature and the
-    // exact verification (localCheckpoint trades lineage for reuse —
-    // the standard call for a frame consumed 3x; MEMORY_AND_DISK, so
-    // it spills rather than OOMs at scale)
-    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("s"))
-      .localCheckpoint(eager = false)
+    // exact verification (the checkpoint spills rather than OOMs at
+    // scale)
+    val sh = shingledFrame(df, idCol, textCol, n)
     val buckets = bandBuckets(sh, numPerm, bands, seed)
     val cand = buckets.select(col("band_idx"), col("band_hash"), col("id").as("a"))
       .join(buckets.select(col("band_idx"), col("band_hash"), col("id").as("b")),
@@ -261,17 +273,10 @@ object Dedup {
       threshold: Double,
       n: Int = 3,
       prefixFilter: Boolean = true): DataFrame = {
-    def shingled(df: DataFrame): DataFrame =
-      df.select(col(idCol).as("id"), shingles(col(textCol), n).as("s"))
-        .withColumn("sz", size(col("s")))
-        .localCheckpoint(eager = false)
-    def postsOf(sh: DataFrame): DataFrame =
-      sh.select(col("id"), col("sz"), explode(col("s")).as("shingle"))
-        .select(col("id"), col("sz"), xxhash64(col("shingle")).as("tok"))
-    val shL = shingled(left)
-    val shR = shingled(right)
-    val pL = postsOf(shL)
-    val pR = postsOf(shR)
+    val shL = shingledFrame(left, idCol, textCol, n)
+    val shR = shingledFrame(right, idCol, textCol, n)
+    val pL = postsFrame(shL)
+    val pR = postsFrame(shR)
 
     def pairsFrom(ia: DataFrame, ib: DataFrame): DataFrame =
       ia.select(col("tok"), col("id").as("a"), col("sz").as("asz"))
@@ -330,18 +335,11 @@ object Dedup {
       textCol: String,
       threshold: Double,
       n: Int = 3): DataFrame = {
-    def shingled(df: DataFrame): DataFrame =
-      df.select(col(idCol).as("id"), shingles(col(textCol), n).as("s"))
-        .withColumn("sz", size(col("s")))
-        .localCheckpoint(eager = false)
-    def postsOf(sh: DataFrame): DataFrame =
-      sh.select(col("id"), col("sz"), explode(col("s")).as("shingle"))
-        .select(col("id"), col("sz"), xxhash64(col("shingle")).as("tok"))
-    val shL = shingled(left)
-    val shR = shingled(right)
-    val cand = postsOf(shL)
+    val shL = shingledFrame(left, idCol, textCol, n)
+    val shR = shingledFrame(right, idCol, textCol, n)
+    val cand = postsFrame(shL)
       .select(col("tok"), col("id").as("a"), col("sz").as("asz"))
-      .join(postsOf(shR)
+      .join(postsFrame(shR)
         .select(col("tok"), col("id").as("b"), col("sz").as("bsz")), Seq("tok"))
       .where(col("asz").cast("double") >= lit(threshold) * col("bsz").cast("double"))
       .select("a", "b").distinct()
@@ -371,11 +369,8 @@ object Dedup {
       seed: Long = 42L): DataFrame = {
     require(bands > 0 && bands <= numPerm && numPerm % bands == 0,
       s"bands ($bands) must divide numPerm ($numPerm)")
-    def shingled(df: DataFrame): DataFrame =
-      df.select(col(idCol).as("id"), shingles(col(textCol), n).as("s"))
-        .localCheckpoint(eager = false)
-    val shL = shingled(left)
-    val shR = shingled(right)
+    val shL = shingledFrame(left, idCol, textCol, n)
+    val shR = shingledFrame(right, idCol, textCol, n)
     val cand = bandBuckets(shL, numPerm, bands, seed)
       .select(col("band_idx"), col("band_hash"), col("id").as("a"))
       .join(bandBuckets(shR, numPerm, bands, seed)

@@ -51,8 +51,8 @@ object Packing {
       .mapPartitionsWithIndex { (pid, it) =>
         var s = 0L
         it.foreach { r =>
-          require(!r.isNullAt(1),
-            s"sequencePack: null token count for id ${r.getLong(0)}")
+          require(!r.isNullAt(1), "sequencePack: null token count for id " +
+            (if (r.isNullAt(0)) "<null>" else r.getLong(0).toString))
           s += r.getLong(1)
         }
         Iterator.single((pid, s))

@@ -34,10 +34,16 @@ object ExtQueries {
     """SELECT min(doc_id) AS keep_id, count(*) AS n_dups
        FROM documents GROUP BY text ORDER BY keep_id"""
 
-  private val jaccardOracle =
+  /** The normative DuckDB 3-gram shingle CTE — ONE definition shared
+    * by every oracle in the similarity-join family, mirroring
+    * `Dedup.shingledFrame` being the one engine-side definition. */
+  private val shingleCte =
     """WITH toks AS (SELECT doc_id, string_split(text,' ') w FROM documents),
        sh AS (SELECT doc_id, list_distinct([array_to_string(w[i:i+2],' ')
-                for i in range(1, len(w)-1)]) s FROM toks)
+                for i in range(1, len(w)-1)]) s FROM toks)"""
+
+  private val jaccardOracle = shingleCte +
+    """
        SELECT a.doc_id AS a, b.doc_id AS b,
          CAST(len(list_intersect(a.s,b.s)) AS BIGINT) AS n_inter,
          CAST(len(a.s)+len(b.s)-len(list_intersect(a.s,b.s)) AS BIGINT) AS n_union
@@ -488,10 +494,8 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
-  val q49Sql: String =
-    """WITH toks AS (SELECT doc_id, string_split(text,' ') w FROM documents),
-       sh AS (SELECT doc_id, list_distinct([array_to_string(w[i:i+2],' ')
-                for i in range(1, len(w)-1)]) s FROM toks),
+  val q49Sql: String = shingleCte +
+    """,
        ev AS (SELECT * FROM sh WHERE doc_id % 4 = 0),
        co AS (SELECT * FROM sh WHERE doc_id % 4 != 0),
        bad AS (SELECT DISTINCT co.doc_id FROM co JOIN ev ON
@@ -516,10 +520,8 @@ object ExtQueries {
       .orderBy("a", "b")
   }
 
-  val q51Sql: String =
-    """WITH toks AS (SELECT doc_id, string_split(text,' ') w FROM documents),
-       sh AS (SELECT doc_id, list_distinct([array_to_string(w[i:i+2],' ')
-                for i in range(1, len(w)-1)]) s FROM toks),
+  val q51Sql: String = shingleCte +
+    """,
        co AS (SELECT * FROM sh WHERE doc_id % 4 != 0),
        ev AS (SELECT * FROM sh WHERE doc_id % 4 = 0)
        SELECT co.doc_id AS a, ev.doc_id AS b,
@@ -845,10 +847,8 @@ object ExtQueries {
       .orderBy("a", "b")
   }
 
-  val q64Sql: String =
-    """WITH toks AS (SELECT doc_id, string_split(text,' ') w FROM documents),
-       sh AS (SELECT doc_id, list_distinct([array_to_string(w[i:i+2],' ')
-                for i in range(1, len(w)-1)]) s FROM toks),
+  val q64Sql: String = shingleCte +
+    """,
        co AS (SELECT * FROM sh WHERE doc_id % 4 != 0),
        ev AS (SELECT * FROM sh WHERE doc_id % 4 = 0)
        SELECT co.doc_id AS a, ev.doc_id AS b,
