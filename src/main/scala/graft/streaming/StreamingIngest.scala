@@ -175,15 +175,39 @@ object StreamingIngest {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.operators.Dedup
-          .decontaminateSubstringAgainst(batch, contamFps,
-            idCol, textCol, windowTokens)
-          .write.mode("append").parquet(outDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        decontamBatch(batch, contamFps, idCol, textCol, windowTokens,
+          outDir, batchId)
       }
       .start()
     query.awaitTermination()
   }
+
+  /** One micro-batch of the streaming decontamination, written
+    * IDEMPOTENTLY: foreachBatch is at-least-once across failure
+    * replays, so a plain append would duplicate a batch's survivors
+    * if the batch reruns after a crash-before-checkpoint. Survivors
+    * land under a `batch_id=` partition with DYNAMIC partition
+    * overwrite — a replayed batch overwrites exactly its own
+    * partition, leaving every other batch untouched ⇒ effective
+    * exactly-once regardless of replays. */
+  private[graft] def decontamBatch(
+      batch: DataFrame,
+      contamFps: DataFrame,
+      idCol: String,
+      textCol: String,
+      windowTokens: Int,
+      outDir: String,
+      batchId: Long): Unit =
+    graft.operators.Dedup
+      .decontaminateSubstringAgainst(batch, contamFps, idCol, textCol,
+        windowTokens)
+      .withColumn("batch_id", lit(batchId))
+      .write
+      .partitionBy("batch_id")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite")
+      .parquet(outDir)
 
   /** Streaming tumbling-window RMS with watermarked late-data
     * handling — the reference's RMS table as a live query

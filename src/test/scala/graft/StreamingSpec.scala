@@ -68,6 +68,31 @@ class StreamingSpec extends SparkSpec {
     assert(rms.count() == 3)
   }
 
+  test("streaming decontamination: batch write is idempotent under replay") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_decontam_idem").toString + "/out"
+    val contam = Seq((10L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val fps = graft.operators.Dedup
+      .contamFingerprints(contam, "doc_id", "text", 3)
+      .localCheckpoint(eager = true)
+    val b0 = Seq(
+      (1L, "clean one two three"),
+      (2L, "alpha beta gamma delta leak")).toDF("doc_id", "text")
+    StreamingIngest.decontamBatch(b0, fps, "doc_id", "text", 3, out, 0L)
+    // foreachBatch is at-least-once: a crash-before-checkpoint replays
+    // the SAME batch id — the write must overwrite, not duplicate
+    StreamingIngest.decontamBatch(b0, fps, "doc_id", "text", 3, out, 0L)
+    val after = spark.read.parquet(out)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(after == Seq(1L), s"replayed batch must not duplicate: $after")
+    // a NEW batch id accumulates next to the old one
+    val b1 = Seq((3L, "four five six seven")).toDF("doc_id", "text")
+    StreamingIngest.decontamBatch(b1, fps, "doc_id", "text", 3, out, 1L)
+    val all = spark.read.parquet(out)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(all == Seq(1L, 3L))
+  }
+
   test("streaming dedup: repeats within the watermark horizon dropped") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
