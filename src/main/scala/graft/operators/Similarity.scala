@@ -349,6 +349,49 @@ object Similarity {
       seed: Long = 42L): DataFrame =
     ivfTopKCross(df, df, idCol, vecCol, k, nLists, nprobe, sampleSize, seed)
 
+  /** Coarse-quantizer centroids for an IVF index over `in` (id, v) —
+    * ONE definition shared by the IVF and IVF-PQ paths: driver-side
+    * k-means++ over a bounded hash sample for ≤ 512 lists, the
+    * distributed hash-init + decimal-Lloyd trainer beyond (the 100 TB
+    * regime: √n lists at 10⁹+ rows; the corpus never reaches the
+    * driver, only k×dim centroid stats per round do). */
+  private[graft] def coarseCentroids(
+      in: DataFrame, // (id long, v array<double>), non-empty
+      n: Long,
+      nLists: Int,
+      sampleSize: Int,
+      seed: Long): Array[Array[Double]] = {
+    val lists = if (nLists > 0) nLists
+      else math.max(16, math.sqrt(n.toDouble).toInt)
+    if (lists <= 512) {
+      val target = math.min(65536, math.max(sampleSize, 32 * lists))
+      // Deterministic UNIFORM hash sample: a keep-slice of
+      // xxhash64(id), not the lowest ids — on real corpora id order
+      // correlates with source/time, and a prefix sample trains
+      // centroids on one shard. Collected rows are sorted by id
+      // driver-side so the training set (and thus the centroids) is
+      // independent of partitioning. ceil, not floor: floor(n/target)
+      // = 1 for n < 2·target would keep EVERY row; ceil bounds the
+      // expected collected sample at target
+      val step = math.max(1L, (n + target - 1) / math.max(1, target))
+      val slice = in
+        .where(pmod(xxhash64(col("id"), lit(seed)), lit(step)) === 0)
+        .collect()
+      // hash-slice empty despite n > 0 (astronomically unlikely):
+      // fall back to a bounded prefix rather than an empty quantizer
+      val rows = if (slice.nonEmpty) slice else in.limit(target).collect()
+      val sample = rows.sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray)
+      trainCentroids(sample, math.min(lists, sample.length), iters = 5, seed)
+    } else {
+      val target = math.min(n, 256L * lists)
+      val step = math.max(1L, (n + target - 1) / target)
+      val train = in.where(pmod(xxhash64(col("id"), lit(seed)), lit(step)) === 0)
+      val got = trainCentroidsDistributed(train, lists, iters = 5, seed)
+      if (got.nonEmpty) got
+      else trainCentroidsDistributed(in, lists, iters = 5, seed)
+    }
+  }
+
   /** Query-vs-corpus IVF probe — how ANN is actually served: the
     * quantizer trains on (a sample of) the CORPUS, the corpus is
     * assigned once, and a separate query set probes the prebuilt
@@ -379,43 +422,8 @@ object Similarity {
           StructField("rank", IntegerType, false),
           StructField("n", LongType, false),
           StructField("cos", DoubleType, false))))
-    val lists = if (nLists > 0) nLists
-      else math.max(16, math.sqrt(n.toDouble).toInt)
-    val centArr: Array[Array[Double]] =
-      if (lists <= 512) {
-        // small quantizer: driver-side k-means++ over a bounded sample
-        val target = math.min(65536, math.max(sampleSize, 32 * lists))
-        // Deterministic UNIFORM hash sample: a keep-slice of
-        // xxhash64(id), not the lowest ids — on real corpora id order
-        // correlates with source/time, and a prefix sample trains
-        // centroids on one shard. Collected rows are sorted by id
-        // driver-side so the training set (and thus the centroids) is
-        // independent of partitioning. ceil, not floor: floor(n/target)
-        // = 1 for n < 2·target would keep EVERY row; ceil bounds the
-        // expected collected sample at target
-        val step = math.max(1L, (n + target - 1) / math.max(1, target))
-        val slice = in
-          .where(pmod(xxhash64(col("id"), lit(seed)), lit(step)) === 0)
-          .collect()
-        // hash-slice empty despite n > 0 (astronomically unlikely):
-        // fall back to a bounded prefix rather than an empty quantizer
-        val rows = if (slice.nonEmpty) slice else in.limit(target).collect()
-        val sample = rows.sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray)
-        trainCentroids(sample, math.min(lists, sample.length), iters = 5, seed)
-      } else {
-        // large quantizer (the 100 TB regime: √n lists at 10⁹+ rows):
-        // distributed hash-init + decimal-exact Lloyd over a hash
-        // sample of ~256 rows per centroid (FAISS's
-        // max_points_per_centroid) — the corpus never reaches the
-        // driver, only k×dim centroid stats per round do
-        val target = math.min(n, 256L * lists)
-        val step = math.max(1L, (n + target - 1) / target)
-        val train = in.where(pmod(xxhash64(col("id"), lit(seed)), lit(step)) === 0)
-        val got = trainCentroidsDistributed(train, lists, iters = 5, seed)
-        if (got.nonEmpty) got
-        else trainCentroidsDistributed(in, lists, iters = 5, seed)
-      }
-    val cents = spark.sparkContext.broadcast(centArr)
+    val cents = spark.sparkContext.broadcast(
+      coarseCentroids(in, n, nLists, sampleSize, seed))
 
     def assign(nearest: Int): DataFrame => DataFrame = { d =>
       val rows = d.rdd.mapPartitions { it =>
@@ -450,6 +458,15 @@ object Similarity {
       .join(vecs.select(col("id").as("n"), col("v").as("nv"), col("nrm").as("nn")), Seq("n"))
       .withColumn("cos", cosine(col("qv"), col("nv"), col("qn"), col("nn")))
     topKPerQuery(scored, k)
+  }
+
+  /** L2-normalize (zero vectors pass through) — shared by the PQ
+    * paths: on unit vectors L2 order == cosine order. */
+  private def normalize(v: Array[Double]): Array[Double] = {
+    var s = 0.0; var i = 0
+    while (i < v.length) { s += v(i) * v(i); i += 1 }
+    val nn = math.sqrt(s)
+    if (nn == 0) v else v.map(_ / nn)
   }
 
   /** (q, n, cos) candidates → (q, rank, n, cos) top-k per query via
@@ -532,12 +549,6 @@ object Similarity {
           StructField("rank", IntegerType, false),
           StructField("n", LongType, false),
           StructField("cos", DoubleType, false))))
-    def normalize(v: Array[Double]): Array[Double] = {
-      var s = 0.0; var i = 0
-      while (i < v.length) { s += v(i) * v(i); i += 1 }
-      val nn = math.sqrt(s)
-      if (nn == 0) v else v.map(_ / nn)
-    }
     val dim = sampleRows.head.length
     require(m >= 1 && m <= dim, s"need 1 <= m ($m) <= dim ($dim)")
     val base = dim / m
@@ -708,6 +719,231 @@ object Similarity {
         h.iterator.map { case (d, id) => Row(qs(qi)._1, id, d) }
       }
     }
+
+  /** Composite IVF-PQ top-k (Jégou et al., PAMI'11 §V — the FAISS
+    * big-corpus serving shape): the coarse quantizer partitions the
+    * (normalized) corpus into inverted lists, each vector stores only
+    * the m-byte PQ code of its RESIDUAL (v − centroid(list)), and a
+    * query probes its `nprobe` nearest lists, ADC-scanning just those
+    * lists' codes — ~nprobe/nLists of the corpus touched per query at
+    * m bytes per vector, the memory-AND-compute-bound path for 10⁹+
+    * corpora ([[ivfTopKCross]] scans raw vectors of probed lists;
+    * [[pqTopK]] scans ALL codes).
+    *
+    * Shapes: coarse centroids via [[coarseCentroids]] (distributed
+    * trainer past 512 lists); one shared residual codebook set
+    * across lists (the standard formulation) trained on a hash
+    * sample; encoding is one narrow pass; the index is one row per
+    * list (id+code arrays); search joins (query, probed-list) pairs
+    * to their list blocks — the per-(query, list) ADC lookup table
+    * (m×256×(dim/m) flops) amortizes over the whole block's codes at
+    * m adds each. Exact cosine re-rank of the k·rerank ADC survivors
+    * picks the final k. Output (q, rank, n, cos). */
+  def ivfpqTopKCross(
+      queriesDf: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nLists: Int = -1,
+      nprobe: Int = 8,
+      m: Int = 8,
+      rerank: Int = 8,
+      sampleSize: Int = 2000,
+      seed: Long = 42L): DataFrame = {
+    val spark = corpus.sparkSession
+    require(k >= 1 && rerank >= 1 && nprobe >= 1,
+      s"need k ($k), rerank ($rerank), nprobe ($nprobe) >= 1")
+    val in = corpus.select(col(idCol).cast(LongType).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val qIn = queriesDf.select(col(idCol).cast(LongType).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val n = in.count()
+    def emptyResult() = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row],
+      StructType(Seq(StructField("q", LongType, false),
+        StructField("rank", IntegerType, false),
+        StructField("n", LongType, false),
+        StructField("cos", DoubleType, false))))
+    if (n == 0) return emptyResult()
+    // coarse quantizer over NORMALIZED vectors (L2 on unit vectors ==
+    // cosine ranking, the family's metric)
+    val nrmCol = sqrt(dot(col("v"), col("v")))
+    val inNorm = in.select(col("id"),
+      when(nrmCol === 0, col("v"))
+        .otherwise(transform(col("v"), x => x / nrmCol)).as("v"))
+    val cents = coarseCentroids(inNorm, n, nLists, sampleSize, seed)
+    val cB = spark.sparkContext.broadcast(cents)
+    // residual PQ codebooks from a hash sample (shared across lists)
+    val target = math.min(65536, math.max(sampleSize, 32 * 256))
+    val step = math.max(1L, (n + target - 1) / math.max(1, target))
+    val slice = in
+      .where(pmod(xxhash64(col("id"), lit(seed)), lit(step)) === 0)
+      .collect()
+    val sampleRows = (if (slice.nonEmpty) slice else in.limit(target).collect())
+      .sortBy(_.getLong(0)).map(r => normalize(r.getSeq[Double](1).toArray))
+    if (sampleRows.isEmpty) return emptyResult()
+    val dim = sampleRows.head.length
+    require(m >= 1 && m <= dim, s"need 1 <= m ($m) <= dim ($dim)")
+    val base = dim / m
+    val extra = dim % m
+    val offsets = (0 to m).map(s => s * base + math.min(s, extra)).toArray
+    def nearest(v: Array[Double], cs: Array[Array[Double]]): Int = {
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < cs.length) {
+        var s = 0.0; var i = 0
+        while (i < v.length) { val x = v(i) - cs(c)(i); s += x * x; i += 1 }
+        if (s < bestD) { bestD = s; best = c }
+        c += 1
+      }
+      best
+    }
+    def residual(v: Array[Double], cent: Array[Double]): Array[Double] = {
+      val r = new Array[Double](v.length)
+      var i = 0
+      while (i < v.length) { r(i) = v(i) - cent(i); i += 1 }
+      r
+    }
+    val residuals = sampleRows.map(v => residual(v, cents(nearest(v, cents))))
+    val nCents = math.min(256, math.max(2, residuals.length / 4))
+    val codebooks = new Array[Array[Array[Double]]](m)
+    java.util.stream.IntStream.range(0, m).parallel().forEach { s =>
+      val sub = residuals.map(_.slice(offsets(s), offsets(s + 1)))
+      codebooks(s) = trainCentroids(sub, nCents, iters = 5, seed + s)
+    }
+    val cbB = spark.sparkContext.broadcast(codebooks)
+    val offB = spark.sparkContext.broadcast(offsets)
+
+    def encodeSub(res: Array[Double]): Array[Byte] = {
+      val cbs = cbB.value; val off = offB.value
+      val codes = new Array[Byte](cbs.length)
+      var s = 0
+      while (s < cbs.length) {
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < cbs(s).length) {
+          var d2 = 0.0; var i = off(s)
+          val cent = cbs(s)(c)
+          while (i < off(s + 1)) {
+            val x = res(i) - cent(i - off(s)); d2 += x * x; i += 1
+          }
+          if (d2 < bestD) { bestD = d2; best = c }
+          c += 1
+        }
+        codes(s) = best.toByte
+        s += 1
+      }
+      codes
+    }
+
+    // one narrow encoding pass → one index row per list
+    val encoded = spark.createDataFrame(
+      in.rdd.mapPartitions(_.map { r =>
+        val v = normalize(r.getSeq[Double](1).toArray)
+        val l = nearest(v, cB.value)
+        Row(l, r.getLong(0), encodeSub(residual(v, cB.value(l))))
+      }),
+      StructType(Seq(StructField("list", IntegerType, false),
+        StructField("id", LongType, false),
+        StructField("codes", BinaryType, false))))
+    val blocks = encoded.groupBy(col("list"))
+      .agg(collect_list(struct(col("id"), col("codes"))).as("blk"))
+
+    // queries: normalize + nprobe nearest lists
+    val qAssigned = spark.createDataFrame(
+      qIn.rdd.mapPartitions { it =>
+        val cs = cB.value
+        it.flatMap { r =>
+          val qv = normalize(r.getSeq[Double](1).toArray)
+          val byDist = cs.indices.map { c =>
+            var s = 0.0; var i = 0
+            while (i < qv.length) { val x = qv(i) - cs(c)(i); s += x * x; i += 1 }
+            (c, s)
+          }.sortBy(t => (t._2, t._1)).take(nprobe)
+          byDist.iterator.map { case (c, _) =>
+            Row(c, r.getLong(0), qv.toSeq) }
+        }
+      },
+      StructType(Seq(StructField("list", IntegerType, false),
+        StructField("q", LongType, false),
+        StructField("qv", ArrayType(DoubleType, false), false))))
+
+    // (query, probed-list) × list block → per-pair ADC scan; ≤
+    // k·rerank survivors per (query, list) emitted
+    val keep = k * rerank
+    val partials = qAssigned.join(blocks, Seq("list")).rdd.mapPartitions { it =>
+      val cs = cB.value; val cbs = cbB.value; val off = offB.value
+      it.flatMap { r =>
+        val list = r.getInt(0)
+        val q = r.getLong(1)
+        val qres = residual(r.getSeq[Double](2).toArray, cs(list))
+        // ADC lookup table for THIS (query, list): exact subspace
+        // distances of the query residual to every codeword
+        val lut = Array.tabulate(cbs.length) { s =>
+          Array.tabulate(cbs(s).length) { c =>
+            var d2 = 0.0; var i = off(s)
+            val cent = cbs(s)(c)
+            while (i < off(s + 1)) {
+              val x = qres(i) - cent(i - off(s)); d2 += x * x; i += 1
+            }
+            d2
+          }
+        }
+        val heap = scala.collection.mutable.PriorityQueue
+          .empty[(Double, Long)](Ordering.Tuple2[Double, Long])
+        val blk = r.getSeq[Row](3)
+        blk.foreach { e =>
+          val id = e.getLong(0)
+          if (id != q) {
+            val codes = e.getAs[Array[Byte]](1)
+            var d = 0.0; var s = 0
+            while (s < codes.length) { d += lut(s)(codes(s) & 0xff); s += 1 }
+            if (heap.size < keep) heap.enqueue((d, id))
+            else if (d < heap.head._1 || (d == heap.head._1 && id < heap.head._2)) {
+              heap.dequeue(); heap.enqueue((d, id))
+            }
+          }
+        }
+        heap.iterator.map { case (d, id) => Row(q, id, d) }
+      }
+    }
+    var partialDf = spark.createDataFrame(partials, StructType(Seq(
+      StructField("q", LongType, false),
+      StructField("n", LongType, false),
+      StructField("adist", DoubleType, false))))
+    // materialize survivors, then release every broadcast (same
+    // hygiene as pqTopK)
+    partialDf = partialDf.localCheckpoint(eager = true)
+    cB.destroy(); cbB.destroy(); offB.destroy()
+    val cand = topKPerQuery(partialDf.withColumn("cos", -col("adist")), keep)
+      .select(col("q"), col("n"))
+    val vecs = in.withColumn("nrm", norm(col("v")))
+    val qVecs = qIn
+      .select(col("id").as("q"), col("v").as("qvv"))
+      .withColumn("qn", norm(col("qvv")))
+    val scored = cand
+      .join(qVecs, Seq("q"))
+      .join(vecs.select(col("id").as("n"), col("v").as("nv"),
+        col("nrm").as("nn")), Seq("n"))
+      .withColumn("cos", cosine(col("qvv"), col("nv"), col("qn"), col("nn")))
+    topKPerQuery(scored, k)
+  }
+
+  /** Self-join convenience form of [[ivfpqTopKCross]]. */
+  def ivfpqTopK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nLists: Int = -1,
+      nprobe: Int = 8,
+      m: Int = 8,
+      rerank: Int = 8,
+      sampleSize: Int = 2000,
+      seed: Long = 42L): DataFrame =
+    ivfpqTopKCross(df, df, idCol, vecCol, k, nLists, nprobe, m, rerank,
+      sampleSize, seed)
 
   /** Embedding near-duplicate pairs: all (a < b) with cosine ≥
     * threshold, via hyperplane-LSH bucket candidates + exact

@@ -789,6 +789,21 @@ object ExtQueries {
        WHERE rn <= 5 ORDER BY doc_id"""
 
   // ---------------------------------------------------------------
+  // q66 — composite IVF-PQ ANN (the FAISS big-corpus serving shape:
+  // inverted lists + residual product quantization + ADC list scans +
+  // exact re-rank). Exhaustive probe (nprobe = nLists) keeps the
+  // candidate set complete, so the full train→assign→encode→probe→
+  // scan→rerank machinery must reproduce the exact top-k — the q26
+  // oracle. Partial-probe recall is SimilaritySpec's territory.
+  def q66(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Similarity.ivfpqTopK(e, "vec_id", "embedding", 5,
+        nLists = 16, nprobe = 16, m = 16, rerank = 40)
+      .select(col("q"), col("rank"), col("n"))
+      .orderBy("q", "rank")
+  }
+
+  // ---------------------------------------------------------------
   // q65 — PII scrubbing (the compliance pass before training): the
   // synthetic docs carry no PII, so the query plants a deterministic
   // email / URL / bare-IPv4 tail per doc_id residue class, then
@@ -1028,6 +1043,7 @@ object ExtQueries {
     "q63_simhash_cross" -> (q63 _),
     "q64_containment_cross" -> (q64 _),
     "q65_pii_scrub" -> (q65 _),
+    "q66_ivfpq_ann" -> (q66 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1064,5 +1080,6 @@ object ExtQueries {
     "q63_simhash_cross" -> q63Sql,
     "q64_containment_cross" -> q64Sql,
     "q65_pii_scrub" -> q65Sql,
+    "q66_ivfpq_ann" -> q26Sql,
   )
 }

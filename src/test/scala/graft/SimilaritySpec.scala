@@ -267,6 +267,27 @@ class SimilaritySpec extends SparkSpec {
     assert(viaDist == exact)
   }
 
+  test("IVF-PQ: partial-probe recall on clustered vectors") {
+    // same clustered regime as the IVF tests: 20 centers x 30 points,
+    // nLists=20, probe 25% — residual-PQ ADC + rerank must recover
+    // most true neighbors from a quarter of the lists
+    val rnd = new scala.util.Random(5)
+    val centers = Array.fill(20, 32)(rnd.nextGaussian() * 8)
+    val pts = (0 until 600).map { i =>
+      val c = centers(i % 20)
+      (i.toLong, c.map(x => (x + rnd.nextGaussian() * 0.4).toFloat))
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    val exact = Similarity.bruteForceTopK(df, df, "vec_id", "embedding", 5)
+      .select("q", "n").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.ivfpqTopK(df, "vec_id", "embedding", 5,
+        nLists = 20, nprobe = 5, m = 8, rerank = 8)
+      .select("q", "n").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(s"IVF-PQ recall@5 = $recall")
+    assert(recall >= 0.85)
+  }
+
   test("LSH buckets are deterministic across invocations") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val b1 = Similarity.buckets(e, "vec_id", "embedding").orderBy("id", "table").collect()
