@@ -794,7 +794,10 @@ object ExtQueries {
   // exact re-rank). Exhaustive probe (nprobe = nLists) keeps the
   // candidate set complete, so the full train→assign→encode→probe→
   // scan→rerank machinery must reproduce the exact top-k — the q26
-  // oracle. Partial-probe recall is SimilaritySpec's territory.
+  // oracle. NOTE: exhaustive probe is IVF-PQ's adversarial extreme
+  // (every query × every list emits k·rerank ADC survivors); the
+  // serving configuration probes nprobe ≪ nLists and its economics
+  // are what SimilaritySpec's partial-probe recall test exercises.
   def q66(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
     Similarity.ivfpqTopK(e, "vec_id", "embedding", 5,
