@@ -908,16 +908,20 @@ object Similarity {
         heap.iterator.map { case (d, id) => Row(q, id, d) }
       }
     }
-    var partialDf = spark.createDataFrame(partials, StructType(Seq(
+    val partialDf = spark.createDataFrame(partials, StructType(Seq(
       StructField("q", LongType, false),
       StructField("n", LongType, false),
       StructField("adist", DoubleType, false))))
-    // materialize survivors, then release every broadcast (same
-    // hygiene as pqTopK)
-    partialDf = partialDf.localCheckpoint(eager = true)
-    cB.destroy(); cbB.destroy(); offB.destroy()
+    // merge per-(query, list) survivors through the map-side top-k
+    // aggregator FIRST (each task caps at `keep` rows per query before
+    // the exchange — under exhaustive probe the raw partials are
+    // q×nLists×keep rows, the merged set only q×keep), and
+    // materialize THAT before releasing the broadcasts (same hygiene
+    // as pqTopK, at a fraction of the checkpointed volume)
     val cand = topKPerQuery(partialDf.withColumn("cos", -col("adist")), keep)
       .select(col("q"), col("n"))
+      .localCheckpoint(eager = true)
+    cB.destroy(); cbB.destroy(); offB.destroy()
     val vecs = in.withColumn("nrm", norm(col("v")))
     val qVecs = qIn
       .select(col("id").as("q"), col("v").as("qvv"))
