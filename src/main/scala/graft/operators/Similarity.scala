@@ -21,7 +21,10 @@ import scala.util.Random
   * Cosine is computed in double via codegen'd higher-order functions
   * (`zip_with` + `aggregate`) — no UDFs.
   */
-object Similarity {
+// Serializable: the PQ kernels (pqEncode/adcLut) are object methods
+// called from task closures, which therefore capture the (stateless)
+// module reference
+object Similarity extends Serializable {
 
   /** Native codegen dot product ([[graft.functions.DotProduct]]) —
     * sequential left-to-right double sum (the same evaluation order
@@ -469,6 +472,51 @@ object Similarity {
     if (nn == 0) v else v.map(_ / nn)
   }
 
+  /** Nearest-codeword PQ encoding of a vector (or residual) under
+    * per-subspace codebooks — ONE definition shared by the flat-PQ
+    * and IVF-PQ paths. */
+  private def pqEncode(
+      v: Array[Double],
+      cbs: Array[Array[Array[Double]]],
+      off: Array[Int]): Array[Byte] = {
+    val codes = new Array[Byte](cbs.length)
+    var s = 0
+    while (s < cbs.length) {
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < cbs(s).length) {
+        var d2 = 0.0; var i = off(s)
+        val cent = cbs(s)(c)
+        while (i < off(s + 1)) {
+          val x = v(i) - cent(i - off(s)); d2 += x * x; i += 1
+        }
+        if (d2 < bestD) { bestD = d2; best = c }
+        c += 1
+      }
+      codes(s) = best.toByte
+      s += 1
+    }
+    codes
+  }
+
+  /** Per-query ADC lookup table: exact subspace distances of a query
+    * (or query residual) to every codeword — shared by both PQ scan
+    * paths, so the distance algebra cannot diverge between them. */
+  private def adcLut(
+      qv: Array[Double],
+      cbs: Array[Array[Array[Double]]],
+      off: Array[Int]): Array[Array[Double]] =
+    Array.tabulate(cbs.length) { s =>
+      Array.tabulate(cbs(s).length) { c =>
+        var d2 = 0.0; var i = off(s)
+        val cent = cbs(s)(c)
+        while (i < off(s + 1)) {
+          val x = qv(i) - cent(i - off(s)); d2 += x * x; i += 1
+        }
+        d2
+      }
+    }
+
   /** (q, n, cos) candidates → (q, rank, n, cos) top-k per query via
     * the typed Aggregator: map-side partial aggregation caps every
     * task at k rows per query BEFORE the exchange — the candidate
@@ -570,27 +618,8 @@ object Similarity {
     val cbB = spark.sparkContext.broadcast(codebooks)
     val offB = spark.sparkContext.broadcast(offsets.toArray)
 
-    def encodeCodes(v: Array[Double]): Array[Byte] = {
-      val cbs = cbB.value; val off = offB.value
-      val codes = new Array[Byte](cbs.length)
-      var s = 0
-      while (s < cbs.length) {
-        var best = 0; var bestD = Double.MaxValue
-        var c = 0
-        while (c < cbs(s).length) {
-          var d2 = 0.0; var i = off(s)
-          val cent = cbs(s)(c)
-          while (i < off(s + 1)) {
-            val x = v(i) - cent(i - off(s)); d2 += x * x; i += 1
-          }
-          if (d2 < bestD) { bestD = d2; best = c }
-          c += 1
-        }
-        codes(s) = best.toByte
-        s += 1
-      }
-      codes
-    }
+    def encodeCodes(v: Array[Double]): Array[Byte] =
+      pqEncode(v, cbB.value, offB.value)
 
     // the (normalized) query set rides a broadcast; the corpus
     // streams as codes
@@ -677,20 +706,9 @@ object Similarity {
       keep: Int): org.apache.spark.rdd.RDD[Row] =
     codeRows.mapPartitions { it =>
       val qs = qB.value; val cbs = cbB.value; val off = offB.value
-      // one ADC lookup table per query: exact subspace distances to
-      // every centroid — built once per (partition, query)
-      val luts = qs.map { case (_, qv) =>
-        Array.tabulate(cbs.length) { s =>
-          Array.tabulate(cbs(s).length) { c =>
-            var d2 = 0.0; var i = off(s)
-            val cent = cbs(s)(c)
-            while (i < off(s + 1)) {
-              val x = qv(i) - cent(i - off(s)); d2 += x * x; i += 1
-            }
-            d2
-          }
-        }
-      }
+      // one ADC lookup table per query, built once per (partition,
+      // query) via the shared kernel
+      val luts = qs.map { case (_, qv) => adcLut(qv, cbs, off) }
       // per-query top-k heaps over this partition's codes; head =
       // worst kept entry (largest distance, then largest id — ties
       // keep the smaller id, matching the final rank order)
@@ -767,14 +785,20 @@ object Similarity {
         StructField("cos", DoubleType, false))))
     if (n == 0) return emptyResult()
     // coarse quantizer over NORMALIZED vectors (L2 on unit vectors ==
-    // cosine ranking, the family's metric)
-    val nrmCol = sqrt(dot(col("v"), col("v")))
-    val inNorm = in.select(col("id"),
-      when(nrmCol === 0, col("v"))
-        .otherwise(transform(col("v"), x => x / nrmCol)).as("v"))
+    // cosine ranking, the family's metric). Project the norm ONCE and
+    // reference the attribute inside the lambda — higher-order-fn
+    // bodies evaluate per element, so an inline sqrt(dot) would cost
+    // O(dim²) per row
+    val inNorm = in.withColumn("nrm", norm(col("v")))
+      .select(col("id"),
+        when(col("nrm") === 0, col("v"))
+          .otherwise(transform(col("v"), x => x / col("nrm"))).as("v"))
     val cents = coarseCentroids(inNorm, n, nLists, sampleSize, seed)
     val cB = spark.sparkContext.broadcast(cents)
-    // residual PQ codebooks from a hash sample (shared across lists)
+    // residual PQ codebooks from a hash sample (shared across lists).
+    // This is a SECOND sample next to coarseCentroids' — they size
+    // differently by design (32·nLists vs 32·256 rows) and both are
+    // narrow id+vector scans, dwarfed by the full encode pass below.
     val target = math.min(65536, math.max(sampleSize, 32 * 256))
     val step = math.max(1L, (n + target - 1) / math.max(1, target))
     val slice = in
@@ -815,34 +839,13 @@ object Similarity {
     val cbB = spark.sparkContext.broadcast(codebooks)
     val offB = spark.sparkContext.broadcast(offsets)
 
-    def encodeSub(res: Array[Double]): Array[Byte] = {
-      val cbs = cbB.value; val off = offB.value
-      val codes = new Array[Byte](cbs.length)
-      var s = 0
-      while (s < cbs.length) {
-        var best = 0; var bestD = Double.MaxValue
-        var c = 0
-        while (c < cbs(s).length) {
-          var d2 = 0.0; var i = off(s)
-          val cent = cbs(s)(c)
-          while (i < off(s + 1)) {
-            val x = res(i) - cent(i - off(s)); d2 += x * x; i += 1
-          }
-          if (d2 < bestD) { bestD = d2; best = c }
-          c += 1
-        }
-        codes(s) = best.toByte
-        s += 1
-      }
-      codes
-    }
-
     // one narrow encoding pass → one index row per list
     val encoded = spark.createDataFrame(
       in.rdd.mapPartitions(_.map { r =>
         val v = normalize(r.getSeq[Double](1).toArray)
         val l = nearest(v, cB.value)
-        Row(l, r.getLong(0), encodeSub(residual(v, cB.value(l))))
+        Row(l, r.getLong(0),
+          pqEncode(residual(v, cB.value(l)), cbB.value, offB.value))
       }),
       StructType(Seq(StructField("list", IntegerType, false),
         StructField("id", LongType, false),
@@ -878,18 +881,9 @@ object Similarity {
         val list = r.getInt(0)
         val q = r.getLong(1)
         val qres = residual(r.getSeq[Double](2).toArray, cs(list))
-        // ADC lookup table for THIS (query, list): exact subspace
-        // distances of the query residual to every codeword
-        val lut = Array.tabulate(cbs.length) { s =>
-          Array.tabulate(cbs(s).length) { c =>
-            var d2 = 0.0; var i = off(s)
-            val cent = cbs(s)(c)
-            while (i < off(s + 1)) {
-              val x = qres(i) - cent(i - off(s)); d2 += x * x; i += 1
-            }
-            d2
-          }
-        }
+        // ADC lookup table for THIS (query, list) via the shared
+        // kernel: exact subspace distances of the query residual
+        val lut = adcLut(qres, cbs, off)
         val heap = scala.collection.mutable.PriorityQueue
           .empty[(Double, Long)](Ordering.Tuple2[Double, Long])
         val blk = r.getSeq[Row](3)

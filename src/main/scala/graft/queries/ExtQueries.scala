@@ -791,13 +791,16 @@ object ExtQueries {
   // ---------------------------------------------------------------
   // q66 — composite IVF-PQ ANN (the FAISS big-corpus serving shape:
   // inverted lists + residual product quantization + ADC list scans +
-  // exact re-rank). Exhaustive probe (nprobe = nLists) keeps the
-  // candidate set complete, so the full train→assign→encode→probe→
-  // scan→rerank machinery must reproduce the exact top-k — the q26
-  // oracle. NOTE: exhaustive probe is IVF-PQ's adversarial extreme
-  // (every query × every list emits k·rerank ADC survivors); the
-  // serving configuration probes nprobe ≪ nLists and its economics
-  // are what SimilaritySpec's partial-probe recall test exercises.
+  // exact re-rank). Exhaustive probe (nprobe = nLists) makes the ADC
+  // scan see EVERY corpus vector; like q46, exactness then rests on
+  // the margin that residual quantization error keeps the true top-5
+  // within the k·rerank = 200 ADC survivors (40% of the sf0.01
+  // corpus) that the exact re-rank reorders — the q26 oracle fails
+  // the gate if the margin is ever violated. NOTE: exhaustive probe
+  // is IVF-PQ's adversarial extreme (every query × every list emits
+  // survivors); the serving configuration probes nprobe ≪ nLists —
+  // SimilaritySpec's partial-probe recall test exercises those
+  // economics.
   def q66(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
     Similarity.ivfpqTopK(e, "vec_id", "embedding", 5,

@@ -267,6 +267,17 @@ class SimilaritySpec extends SparkSpec {
     assert(viaDist == exact)
   }
 
+  test("ivfpqTopKCross with exhaustive probe equals brute force on the query subset") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val qs = e.where(col("vec_id") % 7 === 0)
+    val exact = Similarity.bruteForceTopK(qs, e, "vec_id", "embedding", 5)
+      .select("q", "n").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cross = Similarity.ivfpqTopKCross(qs, e, "vec_id", "embedding", 5,
+        nLists = 8, nprobe = 8, m = 8, rerank = 40)
+      .select("q", "n").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cross == exact)
+  }
+
   test("IVF-PQ: partial-probe recall on clustered vectors") {
     // same clustered regime as the IVF tests: 20 centers x 30 points,
     // nLists=20, probe 25% — residual-PQ ADC + rerank must recover
