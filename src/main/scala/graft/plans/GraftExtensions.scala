@@ -2,9 +2,10 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{DotProduct, RollingHash}
+import graft.functions.{BpePieceCounts, DotProduct, RollingHash, WindowFingerprints}
 
 /** `SparkSessionExtensions` installer: registers the engine's native
   * Catalyst expressions as SQL functions, so `spark.sql` users get
@@ -39,6 +40,24 @@ object GraftExtensions {
         (children: Seq[Expression]) => {
           require(children.length == 2, "dot_product(arr, arr)")
           DotProduct(children(0), children(1))
+        }),
+      (new FunctionIdentifier("window_fingerprints"),
+        new ExpressionInfo(classOf[WindowFingerprints].getName, "window_fingerprints"),
+        (children: Seq[Expression]) => {
+          require(children.length == 2,
+            "window_fingerprints(str, nTokens) — nTokens an int literal")
+          val n = children(1) match {
+            case Literal(i: Int, IntegerType) => i
+            case other => throw new IllegalArgumentException(
+              s"window_fingerprints: nTokens must be an int literal, got $other")
+          }
+          WindowFingerprints(children.head, n)
+        }),
+      (new FunctionIdentifier("bpe_piece_counts"),
+        new ExpressionInfo(classOf[BpePieceCounts].getName, "bpe_piece_counts"),
+        (children: Seq[Expression]) => {
+          require(children.length == 1, "bpe_piece_counts(str)")
+          BpePieceCounts(children.head)
         }))
 
   /** Register on a live session (REPL/notebook path). */

@@ -63,14 +63,22 @@ class TextSpec extends SparkSpec {
     assert(got.distinct.length == got.length - 0)
   }
 
-  test("SQL registration: rolling_hash/dot_product callable from spark.sql") {
+  test("SQL registration: native expressions callable from spark.sql") {
     graft.plans.GraftExtensions.register(spark)
     val r = spark.sql(
       "SELECT rolling_hash('hello world') AS fp, " +
-        "dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dp")
+        "dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dp, " +
+        "window_fingerprints('a b c', 2) AS wf, " +
+        "bpe_piece_counts('join hash') AS bp")
       .collect()(0)
     assert(r.getLong(0) == RollingHash.hash("hello world".getBytes("UTF-8")))
     assert(r.getDouble(1) == 11.0)
+    assert(r.getSeq[Long](2) == Seq(
+      RollingHash.hash("a b".getBytes("UTF-8")),
+      RollingHash.hash("b c".getBytes("UTF-8"))))
+    assert(r.getSeq[Long](3) == Seq(
+      graft.functions.Bpe.encodeWord("join").length.toLong,
+      graft.functions.Bpe.encodeWord("hash").length.toLong))
   }
 
   test("window fingerprints: prefix-hash kernel equals per-window rolling hash") {
