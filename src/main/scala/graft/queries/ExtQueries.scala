@@ -1015,6 +1015,95 @@ object ExtQueries {
     out.orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------
+  // q67 — the CAPSTONE: a full training-data pipeline composed from
+  // the suite's operators — quality gate → normalized ("fuzzy exact")
+  // dedup → substring decontamination vs the eval split → 50% hash
+  // mixing sample → 256-token sequence packing. Each stage is
+  // individually oracle-exact (q28/q45/q55/q54/q62); this gates their
+  // COMPOSITION: the oracle replays all five stages in one SQL chain,
+  // so any stage reordering, survivor-set drift, or offset slip
+  // anywhere in the flow fails the hash gate on the final packed
+  // layout.
+  def q67(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val eval = docs.where(col("doc_id") % 4 === 0)
+    val c1 = docs.where(col("doc_id") % 4 =!= 0)
+      .where(TextAnalysis.qualityPass(col("text")))
+    val keep = Dedup.normalizedExact(c1, "doc_id", "text")
+      .select(col("keep_id").as("doc_id"))
+    val c2 = c1.join(keep, Seq("doc_id"), "left_semi")
+    val c3 = Dedup.decontaminateSubstring(c2, eval, "doc_id", "text",
+      windowTokens = 20)
+    val c4 = Sampling.stratifiedSample(c3, "doc_id", "source",
+      Map.empty, defaultRate = BigDecimal("0.5"), seed = 7L)
+    val withToks = c4.select(col("doc_id"),
+      TextAnalysis.wsTokenCount(col("text")).cast("long").as("toks"))
+    Packing.sequencePack(withToks, "doc_id", "toks", budget = 256L)
+      .select(col("id").as("doc_id"), col("n_tokens"), col("start_tok"),
+        col("bin_first"), col("bin_last"))
+      .orderBy("doc_id")
+  }
+
+  val q67Sql: String =
+    """WITH c1 AS (
+         SELECT doc_id, source, text FROM documents
+         WHERE doc_id % 4 != 0
+           AND len(string_split_regex(trim(text), '\s+')) >= 5
+           AND CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+               / len(string_split_regex(trim(text), '\s+')) BETWEEN 2.0 AND 14.0
+           AND CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+               / length(text) <= 0.2
+           AND CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
+               / length(text) >= 0.5),
+       keyed AS (SELECT doc_id, source, text,
+           trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')) AS k
+         FROM c1),
+       keep AS (SELECT min(doc_id) AS doc_id FROM keyed GROUP BY k),
+       c2 AS (SELECT keyed.doc_id, keyed.source, keyed.text
+              FROM keyed JOIN keep USING (doc_id)),
+       w2 AS (SELECT doc_id, string_split(text,' ') t FROM c2),
+       win2 AS (SELECT doc_id, unnest([array_to_string(t[i:i+19],' ')
+                  for i in range(1, len(t)-18)]) s FROM w2),
+       fp2 AS (SELECT DISTINCT doc_id,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(range(1, length(s)+1),
+               i -> CAST(ord(substr(s, CAST(i AS INT), 1)) AS BIGINT))),
+             (acc, x) -> CAST((CAST(acc AS HUGEINT)*257 + x)
+                              % 2305843009213693951 AS BIGINT)) AS f
+         FROM win2),
+       we AS (SELECT doc_id, string_split(text,' ') t FROM documents
+              WHERE doc_id % 4 = 0),
+       wine AS (SELECT doc_id, unnest([array_to_string(t[i:i+19],' ')
+                  for i in range(1, len(t)-18)]) s FROM we),
+       fpe AS (SELECT DISTINCT
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(range(1, length(s)+1),
+               i -> CAST(ord(substr(s, CAST(i AS INT), 1)) AS BIGINT))),
+             (acc, x) -> CAST((CAST(acc AS HUGEINT)*257 + x)
+                              % 2305843009213693951 AS BIGINT)) AS f
+         FROM wine),
+       bad AS (SELECT DISTINCT fp2.doc_id FROM fp2 JOIN fpe ON fp2.f = fpe.f),
+       c3 AS (SELECT * FROM c2
+              WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
+       c4 AS (SELECT * FROM c3
+              WHERE (CAST(doc_id + 7 AS HUGEINT) * 11400714819323198485)
+                    % 18446744073709551616 < 9223372036854775808),
+       toks AS (SELECT doc_id,
+           CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT)
+             AS toks
+         FROM c4),
+       c5 AS (SELECT doc_id, toks,
+           coalesce(sum(toks) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+         FROM toks)
+       SELECT doc_id, toks AS n_tokens, start_tok,
+         start_tok // 256 AS bin_first,
+         (start_tok + greatest(toks, 1) - 1) // 256 AS bin_last
+       FROM c5 ORDER BY doc_id"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_dedup_exact" -> (q21 _),
     "q22_jaccard_join" -> (q22 _),
@@ -1050,6 +1139,7 @@ object ExtQueries {
     "q64_containment_cross" -> (q64 _),
     "q65_pii_scrub" -> (q65 _),
     "q66_ivfpq_ann" -> (q66 _),
+    "q67_pipeline_e2e" -> (q67 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1087,5 +1177,6 @@ object ExtQueries {
     "q64_containment_cross" -> q64Sql,
     "q65_pii_scrub" -> q65Sql,
     "q66_ivfpq_ann" -> q26Sql,
+    "q67_pipeline_e2e" -> q67Sql,
   )
 }
