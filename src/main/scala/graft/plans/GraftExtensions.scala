@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.types.IntegerType
 
 import graft.functions.{BpePieceCounts, DotProduct, RollingHash, WindowFingerprints}
@@ -45,11 +45,17 @@ object GraftExtensions {
         new ExpressionInfo(classOf[WindowFingerprints].getName, "window_fingerprints"),
         (children: Seq[Expression]) => {
           require(children.length == 2,
-            "window_fingerprints(str, nTokens) — nTokens an int literal")
+            "window_fingerprints(str, nTokens) — nTokens a constant int")
+          // accept any FOLDABLE int expression (CAST(20 AS INT), 2*10,
+          // …), not just a bare parsed literal
           val n = children(1) match {
-            case Literal(i: Int, IntegerType) => i
+            case e if e.foldable && e.dataType == IntegerType =>
+              val v = e.eval()
+              if (v == null) throw new IllegalArgumentException(
+                "window_fingerprints: nTokens must not be null")
+              v.asInstanceOf[Int]
             case other => throw new IllegalArgumentException(
-              s"window_fingerprints: nTokens must be an int literal, got $other")
+              s"window_fingerprints: nTokens must be a constant int, got $other")
           }
           WindowFingerprints(children.head, n)
         }),

@@ -42,6 +42,16 @@ object ExtQueries {
        sh AS (SELECT doc_id, list_distinct([array_to_string(w[i:i+2],' ')
                 for i in range(1, len(w)-1)]) s FROM toks)"""
 
+  /** HUGEINT replay of the engine's rolling polynomial hash (B=257,
+    * M=2^61−1) over a window-string column `s` — ONE fragment shared
+    * by every substring-fingerprint oracle. */
+  private val hugeintHashOfS =
+    """list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(range(1, length(s)+1),
+               i -> CAST(ord(substr(s, CAST(i AS INT), 1)) AS BIGINT))),
+             (acc, x) -> CAST((CAST(acc AS HUGEINT)*257 + x)
+                              % 2305843009213693951 AS BIGINT))"""
+
   private val jaccardOracle = shingleCte +
     """
        SELECT a.doc_id AS a, b.doc_id AS b,
@@ -575,15 +585,10 @@ object ExtQueries {
       .orderBy("a", "b")
 
   val q53Sql: String =
-    """WITH w AS (SELECT doc_id, string_split(text,' ') t FROM documents),
+    raw"""WITH w AS (SELECT doc_id, string_split(text,' ') t FROM documents),
        win AS (SELECT doc_id, unnest([array_to_string(t[i:i+19],' ')
                  for i in range(1, len(t)-18)]) s FROM w),
-       fp AS (SELECT DISTINCT doc_id,
-           list_reduce(list_prepend(CAST(0 AS BIGINT),
-             list_transform(range(1, length(s)+1),
-               i -> CAST(ord(substr(s, CAST(i AS INT), 1)) AS BIGINT))),
-             (acc, x) -> CAST((CAST(acc AS HUGEINT)*257 + x)
-                              % 2305843009213693951 AS BIGINT)) AS f
+       fp AS (SELECT DISTINCT doc_id, $hugeintHashOfS AS f
          FROM win)
        SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS n_shared
        FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
@@ -635,15 +640,10 @@ object ExtQueries {
   }
 
   val q55Sql: String =
-    """WITH w AS (SELECT doc_id, string_split(text,' ') t FROM documents),
+    raw"""WITH w AS (SELECT doc_id, string_split(text,' ') t FROM documents),
        win AS (SELECT doc_id, unnest([array_to_string(t[i:i+19],' ')
                  for i in range(1, len(t)-18)]) s FROM w),
-       fp AS (SELECT DISTINCT doc_id,
-           list_reduce(list_prepend(CAST(0 AS BIGINT),
-             list_transform(range(1, length(s)+1),
-               i -> CAST(ord(substr(s, CAST(i AS INT), 1)) AS BIGINT))),
-             (acc, x) -> CAST((CAST(acc AS HUGEINT)*257 + x)
-                              % 2305843009213693951 AS BIGINT)) AS f
+       fp AS (SELECT DISTINCT doc_id, $hugeintHashOfS AS f
          FROM win),
        ev AS (SELECT DISTINCT f FROM fp WHERE doc_id % 4 = 0),
        bad AS (SELECT DISTINCT fp.doc_id FROM fp JOIN ev ON fp.f = ev.f
@@ -1028,11 +1028,17 @@ object ExtQueries {
   def q67(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val eval = docs.where(col("doc_id") % 4 === 0)
+    // checkpoint the reused frames (suite convention): c1 feeds the
+    // dedup groupBy AND the semi-join, c2 feeds both sides of the
+    // decontamination — without the checkpoints each consumer replays
+    // the scan + the 4-regex quality gate
     val c1 = docs.where(col("doc_id") % 4 =!= 0)
       .where(TextAnalysis.qualityPass(col("text")))
+      .localCheckpoint(eager = false)
     val keep = Dedup.normalizedExact(c1, "doc_id", "text")
       .select(col("keep_id").as("doc_id"))
     val c2 = c1.join(keep, Seq("doc_id"), "left_semi")
+      .localCheckpoint(eager = false)
     val c3 = Dedup.decontaminateSubstring(c2, eval, "doc_id", "text",
       windowTokens = 20)
     val c4 = Sampling.stratifiedSample(c3, "doc_id", "source",
@@ -1046,7 +1052,7 @@ object ExtQueries {
   }
 
   val q67Sql: String =
-    """WITH c1 AS (
+    raw"""WITH c1 AS (
          SELECT doc_id, source, text FROM documents
          WHERE doc_id % 4 != 0
            AND len(string_split_regex(trim(text), '\s+')) >= 5
@@ -1066,23 +1072,13 @@ object ExtQueries {
        w2 AS (SELECT doc_id, string_split(text,' ') t FROM c2),
        win2 AS (SELECT doc_id, unnest([array_to_string(t[i:i+19],' ')
                   for i in range(1, len(t)-18)]) s FROM w2),
-       fp2 AS (SELECT DISTINCT doc_id,
-           list_reduce(list_prepend(CAST(0 AS BIGINT),
-             list_transform(range(1, length(s)+1),
-               i -> CAST(ord(substr(s, CAST(i AS INT), 1)) AS BIGINT))),
-             (acc, x) -> CAST((CAST(acc AS HUGEINT)*257 + x)
-                              % 2305843009213693951 AS BIGINT)) AS f
+       fp2 AS (SELECT DISTINCT doc_id, $hugeintHashOfS AS f
          FROM win2),
        we AS (SELECT doc_id, string_split(text,' ') t FROM documents
               WHERE doc_id % 4 = 0),
        wine AS (SELECT doc_id, unnest([array_to_string(t[i:i+19],' ')
                   for i in range(1, len(t)-18)]) s FROM we),
-       fpe AS (SELECT DISTINCT
-           list_reduce(list_prepend(CAST(0 AS BIGINT),
-             list_transform(range(1, length(s)+1),
-               i -> CAST(ord(substr(s, CAST(i AS INT), 1)) AS BIGINT))),
-             (acc, x) -> CAST((CAST(acc AS HUGEINT)*257 + x)
-                              % 2305843009213693951 AS BIGINT)) AS f
+       fpe AS (SELECT DISTINCT $hugeintHashOfS AS f
          FROM wine),
        bad AS (SELECT DISTINCT fp2.doc_id FROM fp2 JOIN fpe ON fp2.f = fpe.f),
        c3 AS (SELECT * FROM c2
