@@ -335,6 +335,11 @@ object Dedup {
       textCol: String,
       threshold: Double,
       n: Int = 3): DataFrame = {
+    // soundness precondition: candidates need >= 1 shared posting
+    // token, so pairs with zero overlap are never emitted — complete
+    // only for a strictly positive containment threshold
+    require(threshold > 0 && threshold <= 1,
+      s"containment threshold must be in (0, 1], got $threshold")
     val shL = shingledFrame(left, idCol, textCol, n)
     val shR = shingledFrame(right, idCol, textCol, n)
     val cand = postsFrame(shL)

@@ -75,7 +75,10 @@ object Multimodal {
     while (off + 8 <= b.length && (fmt.isEmpty || data.isEmpty)) {
       val id = new String(b, off, 4, "ASCII")
       val size = bb.getInt(off + 4)
-      if (size < 0 || off + 8 + size > b.length) return None // truncated
+      // long arithmetic: for size near Int.MaxValue the int sum
+      // off + 8 + size wraps negative and a truncated/crafted chunk
+      // would slip past the guard (then the data loop walks garbage)
+      if (size < 0 || off.toLong + 8L + size > b.length) return None // truncated
       if (id == "fmt " && size >= 16)
         fmt = Some((bb.getShort(off + 8) & 0xffff,
           bb.getShort(off + 10) & 0xffff,

@@ -50,9 +50,21 @@ object Packing {
     val subtotals = sorted.rdd
       .mapPartitionsWithIndex { (pid, it) =>
         var s = 0L
+        // duplicate detection is complete here: the range partitioner
+        // sends equal ids to one partition and the in-partition sort
+        // makes them adjacent — a dup would get arbitrary
+        // (partition-order-dependent) per-row offsets, so fail loudly
+        var prev = Long.MinValue
+        var first = true
         it.foreach { r =>
           require(!r.isNullAt(1), "sequencePack: null token count for id " +
             (if (r.isNullAt(0)) "<null>" else r.getLong(0).toString))
+          val id = r.getLong(0)
+          require(first || id != prev,
+            s"sequencePack: duplicate id $id — ids must be unique " +
+              "(offsets among duplicates would be partition-dependent)")
+          prev = id
+          first = false
           s += r.getLong(1)
         }
         Iterator.single((pid, s))

@@ -944,8 +944,9 @@ object ExtQueries {
            AS toks
        FROM documents),
        c AS (SELECT doc_id, toks,
-         coalesce(sum(toks) OVER (ORDER BY doc_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+         CAST(coalesce(sum(toks) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS start_tok
        FROM t)
        SELECT doc_id, toks AS n_tokens, start_tok,
          start_tok // 512 AS bin_first,
@@ -1092,8 +1093,9 @@ object ExtQueries {
              AS toks
          FROM c4),
        c5 AS (SELECT doc_id, toks,
-           coalesce(sum(toks) OVER (ORDER BY doc_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+           CAST(coalesce(sum(toks) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             AS start_tok
          FROM toks)
        SELECT doc_id, toks AS n_tokens, start_tok,
          start_tok // 256 AS bin_first,

@@ -48,6 +48,21 @@ def main():
             status = f"ROWS-ONLY rows={len(grows)}"
             print(f"  {name}: {status}")
             continue
+        # Guard: the driver materializes oracle results through pandas,
+        # where HUGEINT/DECIMAL become float64 ("123.0" != "123" under
+        # value hashing even when fetchall() compares equal). Reject any
+        # oracle whose OUTPUT types would survive fetchall() but diverge
+        # on the driver (root cause of the r4/r5 q62+q67 hash reds).
+        SAFE = {"BIGINT", "INTEGER", "SMALLINT", "TINYINT", "DOUBLE",
+                "FLOAT", "VARCHAR", "BOOLEAN", "DATE", "TIMESTAMP"}
+        rel = con.sql(f"SELECT * FROM ({oracles[name]}) LIMIT 0")
+        odd = [(c, str(t)) for c, t in zip(rel.columns, rel.types)
+               if str(t) not in SAFE and not str(t).startswith("TIMESTAMP")]
+        if odd:
+            n_fail += 1
+            print(f"  {name}: FAIL pandas-unsafe oracle output types {odd}"
+                  " (CAST them; driver hashes via pandas)")
+            continue
         want = con.execute(oracles[name])
         wrows, wcols = want.fetchall(), [d[0] for d in want.description]
         problems = []
