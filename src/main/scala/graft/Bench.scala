@@ -37,7 +37,11 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // untimed: drop this run's pinned blocks so the NEXT measurement
+      // starts from a clean block manager (suite-order independence)
+      Sessions.release(spark)
+      dt
     }
     val results = selected.map { case (name, fn) =>
       val times = (1 to repeats).map(_ => timeOnce(name, fn)).sorted

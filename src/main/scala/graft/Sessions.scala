@@ -29,4 +29,18 @@ object Sessions {
     s.sparkContext.setLogLevel("WARN")
     s
   }
+
+  /** Inter-query hygiene for the suite harnesses (Verify/Bench): drop
+    * whatever the finished query left pinned in the block manager —
+    * eager localCheckpoints, persists, cached relations. Queries are
+    * self-contained by contract, so nothing reaches across; without
+    * this, 60+ queries of checkpoint blocks accumulate (the
+    * ContextCleaner only reaps them on driver GC, rare under a 128 GiB
+    * heap), storage squeezes execution memory, and late-alphabet
+    * queries (q6x) inflate and wobble in full-suite runs only. */
+  def release(spark: SparkSession): Unit = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+  }
 }

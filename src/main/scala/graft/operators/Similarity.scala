@@ -752,7 +752,9 @@ object Similarity extends Serializable {
     * trainer past 512 lists); one shared residual codebook set
     * across lists (the standard formulation) trained on a hash
     * sample; encoding is one narrow pass; the index is one row per
-    * list (id+code arrays); search joins (query, probed-list) pairs
+    * (list, sub-block) with oversized lists hash-split at
+    * `maxBlockRows` (no unbounded row under quantizer skew); search
+    * joins (query, probed-list) pairs
     * to their list blocks — the per-(query, list) ADC lookup table
     * (m×256×(dim/m) flops) amortizes over the whole block's codes at
     * m adds each. Exact cosine re-rank of the k·rerank ADC survivors
@@ -768,10 +770,12 @@ object Similarity extends Serializable {
       m: Int = 8,
       rerank: Int = 8,
       sampleSize: Int = 2000,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      maxBlockRows: Int = 1 << 16): DataFrame = {
     val spark = corpus.sparkSession
-    require(k >= 1 && rerank >= 1 && nprobe >= 1,
-      s"need k ($k), rerank ($rerank), nprobe ($nprobe) >= 1")
+    require(k >= 1 && rerank >= 1 && nprobe >= 1 && maxBlockRows >= 1,
+      s"need k ($k), rerank ($rerank), nprobe ($nprobe), " +
+        s"maxBlockRows ($maxBlockRows) >= 1")
     val in = corpus.select(col(idCol).cast(LongType).as("id"),
       col(vecCol).cast("array<double>").as("v"))
     val qIn = queriesDf.select(col(idCol).cast(LongType).as("id"),
@@ -839,7 +843,10 @@ object Similarity extends Serializable {
     val cbB = spark.sparkContext.broadcast(codebooks)
     val offB = spark.sparkContext.broadcast(offsets)
 
-    // one narrow encoding pass → one index row per list
+    // one narrow encoding pass → the PQ-compressed corpus (~(8+m) B
+    // per vector — fitting THIS is the format's point). Pinned once:
+    // the per-list sizing pass and the block build both scan it, and
+    // without the checkpoint each would replay the encode.
     val encoded = spark.createDataFrame(
       in.rdd.mapPartitions(_.map { r =>
         val v = normalize(r.getSeq[Double](1).toArray)
@@ -850,8 +857,29 @@ object Similarity extends Serializable {
       StructType(Seq(StructField("list", IntegerType, false),
         StructField("id", LongType, false),
         StructField("codes", BinaryType, false))))
-    val blocks = encoded.groupBy(col("list"))
+      .localCheckpoint(eager = true)
+    // Index rows are (list, sub-block): a list bigger than
+    // maxBlockRows splits into ceil(size/maxBlockRows) hash
+    // sub-blocks, so no single row is unbounded under quantizer skew
+    // (one collect_list row per LIST would concentrate a hot list's
+    // entire code set in one task/row at the 10⁹-vector regime).
+    // Search is invariant to the chunking: each probed list's codes
+    // are scanned exactly once across its blocks, and the global
+    // top-k of unioned per-block top-k survivors equals the
+    // unchunked answer. Lists at/below the bound keep one block —
+    // the LUT-per-(query, block) amortization is unchanged there.
+    val listSizes = encoded.groupBy(col("list")).count().collect()
+      .map(r => Row(r.getInt(0),
+        math.max(1L, (r.getLong(1) + maxBlockRows - 1) / maxBlockRows).toInt))
+    val nBlkDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(listSizes.toSeq, 1),
+      StructType(Seq(StructField("list", IntegerType, false),
+        StructField("nblk", IntegerType, false))))
+    val blocks = encoded.join(broadcast(nBlkDf), Seq("list"))
+      .groupBy(col("list"),
+        pmod(xxhash64(col("id")), col("nblk")).cast("int").as("blkno"))
       .agg(collect_list(struct(col("id"), col("codes"))).as("blk"))
+      .select("list", "blk")
 
     // queries: normalize + nprobe nearest lists
     val qAssigned = spark.createDataFrame(
@@ -939,9 +967,10 @@ object Similarity extends Serializable {
       m: Int = 8,
       rerank: Int = 8,
       sampleSize: Int = 2000,
-      seed: Long = 42L): DataFrame =
+      seed: Long = 42L,
+      maxBlockRows: Int = 1 << 16): DataFrame =
     ivfpqTopKCross(df, df, idCol, vecCol, k, nLists, nprobe, m, rerank,
-      sampleSize, seed)
+      sampleSize, seed, maxBlockRows)
 
   /** Embedding near-duplicate pairs: all (a < b) with cosine ≥
     * threshold, via hyperplane-LSH bucket candidates + exact

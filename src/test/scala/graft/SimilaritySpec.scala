@@ -278,6 +278,22 @@ class SimilaritySpec extends SparkSpec {
     assert(cross == exact)
   }
 
+  test("ivfpqTopKCross is invariant to the list sub-block size") {
+    // maxBlockRows=7 forces every list into many hash sub-blocks
+    // (500/16 lists ≈ 31 rows each → ~5 blocks per list); the full
+    // (q, rank, n, cos) output must be bit-identical to the default
+    // single-block-per-list layout — each list's codes are scanned
+    // exactly once across its blocks and the unioned per-block top-k
+    // survivors merge to the same global top-k
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val qs = e.where(col("vec_id") % 7 === 0)
+    def run(blk: Int) = Similarity.ivfpqTopKCross(qs, e, "vec_id",
+        "embedding", 5, nLists = 16, nprobe = 4, m = 8, rerank = 8,
+        maxBlockRows = blk)
+      .orderBy("q", "rank").collect().map(_.toString).toSeq
+    assert(run(7) == run(1 << 16))
+  }
+
   test("IVF-PQ: partial-probe recall on clustered vectors") {
     // same clustered regime as the IVF tests: 20 centers x 30 points,
     // nLists=20, probe 25% — residual-PQ ADC + rerank must recover
