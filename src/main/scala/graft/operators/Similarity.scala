@@ -327,6 +327,38 @@ object Similarity extends Serializable {
     else lloydDecimal(pinned, init, iters)
   }
 
+  /** Training samples at or below this row count collect to the
+    * driver (k-means++ there is fast and exactly reproducible);
+    * beyond it the per-subspace codebooks train with the distributed
+    * trainer instead — the driver never materializes the set. */
+  private val DriverTrainCap = 65536
+
+  /** Per-subspace PQ codebooks via the distributed trainer — the
+    * path for training samples past [[DriverTrainCap]]: the training
+    * set stays distributed, each subspace runs the seeded hash-init +
+    * decimal-Lloyd loop ([[trainCentroidsDistributed]]), and only
+    * k×(dim/m) centroid stats per round reach the driver. Same
+    * determinism contract as the coarse trainer: results depend on
+    * (data, seed), never on partitioning. `train` must already be
+    * normalized (flat PQ) or residualized (IVF-PQ). Returns empty
+    * when `train` is empty — callers fall back. */
+  private def subspaceCodebooksDistributed(
+      train: DataFrame, // (id long, v array<double>)
+      m: Int,
+      offsets: Array[Int],
+      seed: Long): Array[Array[Array[Double]]] = {
+    // pin once: all m subspace slices (and their Lloyd rounds) scan it
+    val pinned = train.localCheckpoint(eager = true)
+    val cnt = pinned.count()
+    if (cnt == 0) return Array.empty
+    val nCents = math.min(256L, math.max(2L, cnt / 4)).toInt
+    (0 until m).map { s =>
+      val sub = pinned.select(col("id"),
+        slice(col("v"), offsets(s) + 1, offsets(s + 1) - offsets(s)).as("v"))
+      trainCentroidsDistributed(sub, nCents, iters = 5, seed + s)
+    }.toArray
+  }
+
   /** IVF (inverted-file) approximate top-k: corpus vectors are
     * assigned to their nearest centroid's list; each query probes its
     * `nprobe` nearest lists and ranks only those candidates exactly.
@@ -582,39 +614,57 @@ object Similarity extends Serializable {
     val in = corpus.select(col(idCol).cast(LongType).as("id"),
       col(vecCol).cast("array<double>").as("v"))
     val n = in.count()
+    def emptyResult() = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row],
+      StructType(Seq(StructField("q", LongType, false),
+        StructField("rank", IntegerType, false),
+        StructField("n", LongType, false),
+        StructField("cos", DoubleType, false))))
+    if (n == 0) return emptyResult()
     // like ivfTopK: scale the sample so every centroid sees enough
-    // points — 256 centroids per subspace want >= 32*256 = 8192
-    val target = math.min(65536, math.max(sampleSize, 32 * 256))
+    // points — 256 centroids per subspace want >= 32*256 = 8192. No
+    // hard cap: a requested sample past the driver-collect budget
+    // trains with the distributed trainer below instead of collecting.
+    val target = math.max(sampleSize, 32 * 256)
     val step = math.max(1L, (n + target - 1) / math.max(1, target))
-    val sampleRows = in
+    val sliceDf = in
       .where(pmod(xxhash64(col("id"), lit(seed)), lit(step)) === 0)
-      .collect().sortBy(_.getLong(0))
-      .map(_.getSeq[Double](1).toArray)
-    if (sampleRows.isEmpty)
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[Row],
-        StructType(Seq(StructField("q", LongType, false),
-          StructField("rank", IntegerType, false),
-          StructField("n", LongType, false),
-          StructField("cos", DoubleType, false))))
-    val dim = sampleRows.head.length
+    val dim = in.limit(1).collect().head.getSeq[Double](1).length
     require(m >= 1 && m <= dim, s"need 1 <= m ($m) <= dim ($dim)")
     val base = dim / m
     val extra = dim % m
     val offsets = (0 to m).map(s => s * base + math.min(s, extra))
-    val sample = sampleRows.map(normalize)
-    // per-subspace codebooks: 256 centroids (fewer when the sample is
-    // small — k-means can't make more clusters than points)
-    val nCents = math.min(256, math.max(2, sample.length / 4))
-    // the m subspace codebooks are independent seeded k-means runs —
-    // train them in parallel (each is pure in its arguments, results
-    // land at distinct indices, values identical to the sequential
-    // loop); this was the q46 driver-side bottleneck
-    val codebooks = new Array[Array[Array[Double]]](m)
-    java.util.stream.IntStream.range(0, m).parallel().forEach { s =>
-      val sub = sample.map(_.slice(offsets(s), offsets(s + 1)))
-      codebooks(s) = trainCentroids(sub, nCents, iters = 5, seed + s)
-    }
+    val codebooks: Array[Array[Array[Double]]] =
+      if (target <= DriverTrainCap) {
+        val sample = sliceDf.collect().sortBy(_.getLong(0))
+          .map(r => normalize(r.getSeq[Double](1).toArray))
+        if (sample.isEmpty) return emptyResult()
+        // per-subspace codebooks: 256 centroids (fewer when the sample
+        // is small — k-means can't make more clusters than points)
+        val nCents = math.min(256, math.max(2, sample.length / 4))
+        // the m subspace codebooks are independent seeded k-means runs
+        // — train them in parallel (each is pure in its arguments,
+        // results land at distinct indices, values identical to the
+        // sequential loop); this was the q46 driver-side bottleneck
+        val cbs = new Array[Array[Array[Double]]](m)
+        java.util.stream.IntStream.range(0, m).parallel().forEach { s =>
+          val sub = sample.map(_.slice(offsets(s), offsets(s + 1)))
+          cbs(s) = trainCentroids(sub, nCents, iters = 5, seed + s)
+        }
+        cbs
+      } else {
+        // distributed: normalize in-plan (norm projected once — HOF
+        // bodies evaluate per element) and train each subspace slice
+        // without ever collecting the sample
+        def normed(src: DataFrame) = src.withColumn("nrm", norm(col("v")))
+          .select(col("id"),
+            when(col("nrm") === 0, col("v"))
+              .otherwise(transform(col("v"), x => x / col("nrm"))).as("v"))
+        val got = subspaceCodebooksDistributed(
+          normed(sliceDf), m, offsets.toArray, seed)
+        if (got.nonEmpty) got
+        else subspaceCodebooksDistributed(normed(in), m, offsets.toArray, seed)
+      }
     val cbB = spark.sparkContext.broadcast(codebooks)
     val offB = spark.sparkContext.broadcast(offsets.toArray)
 
@@ -644,7 +694,9 @@ object Similarity extends Serializable {
     // underestimates it for small dim / large m. Batch the queries so
     // a task's LUT block stays under maxLutBytes; each batch is one
     // scan over the (cached, m-bytes-per-vector) code stream.
-    val lutBytesPerQuery = m.toLong * nCents * 8
+    // nCents varies per subspace only in degenerate tiny-sample runs;
+    // the max is the right sizing bound either way
+    val lutBytesPerQuery = m.toLong * codebooks.map(_.length).max * 8
     val batchSize = math.max(1, (maxLutBytes / lutBytesPerQuery).toInt)
     val batches = queries.grouped(batchSize).toArray
     val codeRows = in.rdd.mapPartitions(_.map { r =>
@@ -803,15 +855,13 @@ object Similarity extends Serializable {
     // This is a SECOND sample next to coarseCentroids' — they size
     // differently by design (32·nLists vs 32·256 rows) and both are
     // narrow id+vector scans, dwarfed by the full encode pass below.
-    val target = math.min(65536, math.max(sampleSize, 32 * 256))
+    // No hard cap: past the driver-collect budget the subspaces train
+    // with the distributed trainer (residuals stay on the executors).
+    val target = math.max(sampleSize, 32 * 256)
     val step = math.max(1L, (n + target - 1) / math.max(1, target))
-    val slice = in
+    val sliceDf = in
       .where(pmod(xxhash64(col("id"), lit(seed)), lit(step)) === 0)
-      .collect()
-    val sampleRows = (if (slice.nonEmpty) slice else in.limit(target).collect())
-      .sortBy(_.getLong(0)).map(r => normalize(r.getSeq[Double](1).toArray))
-    if (sampleRows.isEmpty) return emptyResult()
-    val dim = sampleRows.head.length
+    val dim = cents(0).length // trained on the corpus, so dim == |v|
     require(m >= 1 && m <= dim, s"need 1 <= m ($m) <= dim ($dim)")
     val base = dim / m
     val extra = dim % m
@@ -833,13 +883,37 @@ object Similarity extends Serializable {
       while (i < v.length) { r(i) = v(i) - cent(i); i += 1 }
       r
     }
-    val residuals = sampleRows.map(v => residual(v, cents(nearest(v, cents))))
-    val nCents = math.min(256, math.max(2, residuals.length / 4))
-    val codebooks = new Array[Array[Array[Double]]](m)
-    java.util.stream.IntStream.range(0, m).parallel().forEach { s =>
-      val sub = residuals.map(_.slice(offsets(s), offsets(s + 1)))
-      codebooks(s) = trainCentroids(sub, nCents, iters = 5, seed + s)
-    }
+    val codebooks: Array[Array[Array[Double]]] =
+      if (target <= DriverTrainCap) {
+        val slice = sliceDf.collect()
+        val sampleRows =
+          (if (slice.nonEmpty) slice else in.limit(target).collect())
+            .sortBy(_.getLong(0)).map(r => normalize(r.getSeq[Double](1).toArray))
+        val residuals = sampleRows.map(v => residual(v, cents(nearest(v, cents))))
+        val nCents = math.min(256, math.max(2, residuals.length / 4))
+        val cbs = new Array[Array[Array[Double]]](m)
+        java.util.stream.IntStream.range(0, m).parallel().forEach { s =>
+          val sub = residuals.map(_.slice(offsets(s), offsets(s + 1)))
+          cbs(s) = trainCentroids(sub, nCents, iters = 5, seed + s)
+        }
+        cbs
+      } else {
+        // distributed: normalize + residualize against the broadcast
+        // coarse centroids executor-side, then train each subspace
+        // slice without collecting the sample
+        def residualDf(src: DataFrame) = spark.createDataFrame(
+          src.rdd.map { r =>
+            val v = normalize(r.getSeq[Double](1).toArray)
+            Row(r.getLong(0),
+              residual(v, cB.value(nearest(v, cB.value))).toSeq)
+          },
+          StructType(Seq(StructField("id", LongType, false),
+            StructField("v", ArrayType(DoubleType, false), false))))
+        val got = subspaceCodebooksDistributed(
+          residualDf(sliceDf), m, offsets, seed)
+        if (got.nonEmpty) got
+        else subspaceCodebooksDistributed(residualDf(in), m, offsets, seed)
+      }
     val cbB = spark.sparkContext.broadcast(codebooks)
     val offB = spark.sparkContext.broadcast(offsets)
 

@@ -278,6 +278,27 @@ class SimilaritySpec extends SparkSpec {
     assert(cross == exact)
   }
 
+  test("subspace codebooks train distributed above the driver cap: " +
+      "partition-independent, exhaustive-probe exact") {
+    // sampleSize 100 000 > DriverTrainCap forces the distributed
+    // subspace trainer in both PQ paths (on 500 rows, step=1: the
+    // whole corpus is the training set, never collected)
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val qs = e.where(col("vec_id") % 7 === 0)
+    def runPq(parts: Int) = Similarity.pqTopK(qs, e.repartition(parts),
+        "vec_id", "embedding", 5, m = 8, rerank = 40, sampleSize = 100000)
+      .orderBy("q", "rank").collect().map(_.toString).toSeq
+    assert(runPq(3) == runPq(11),
+      "distributed-trained PQ must not depend on partitioning")
+    val exact = Similarity.bruteForceTopK(qs, e, "vec_id", "embedding", 5)
+      .select("q", "n").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cross = Similarity.ivfpqTopKCross(qs, e, "vec_id", "embedding", 5,
+        nLists = 8, nprobe = 8, m = 8, rerank = 40, sampleSize = 100000)
+      .select("q", "n").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cross == exact,
+      "exhaustive probe + rerank over distributed-trained codebooks")
+  }
+
   test("ivfpqTopKCross is invariant to the list sub-block size") {
     // maxBlockRows=7 forces every list into many hash sub-blocks
     // (500/16 lists ≈ 31 rows each → ~5 blocks per list); the full
