@@ -65,6 +65,47 @@ object Dedup {
     sh.select(col("id"), col("sz"), explode(col("s")).as("shingle"))
       .select(col("id"), col("sz"), xxhash64(col("shingle")).as("tok"))
 
+  /** Hot-token skew guard for the posting-index candidate joins: the
+    * per-token join work is |Lₐ|·|L_b|, so one stopword-grade shingle
+    * whose posting list holds a corpus-scale fraction of docs makes a
+    * single reducer the straggler at 100×. Tokens whose combined
+    * posting count exceeds `hotCutoff` are routed through the salted
+    * join (a-side hash-split into `factor` groups, b-side replicated
+    * — [[Salting.saltedEquiJoin]]); the rest take the plain equi-join.
+    *
+    * Candidate-set EXACT, not approximate: per token, the salted join
+    * emits precisely the plain join's (a, b) pairs (each a-row meets
+    * the one b-replica carrying its salt), hot and cold route
+    * disjoint token sets, and the union is the original candidate
+    * multiset — downstream prefix/size/verify logic is untouched.
+    * The hot set collects to the driver (bounded: above any sane
+    * cutoff only stopword-like shingles qualify) so the common
+    * no-hot-token case pays one map-side-combined count aggregate
+    * and nothing else. */
+  private def skewAwareTokJoin(
+      ia: DataFrame, // (tok, a, asz)
+      ib: DataFrame, // (tok, b, bsz)
+      hotCutoff: Int,
+      factor: Int): DataFrame = {
+    require(hotCutoff > 0 && factor > 0,
+      s"need hotTokenCutoff ($hotCutoff) and saltFactor ($factor) > 0")
+    val hot = ia.select("tok").union(ib.select("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") > hotCutoff)
+      .select("tok").collect().map(_.getLong(0))
+    if (hot.isEmpty) ia.join(ib, Seq("tok"))
+    else {
+      // >10 values ⇒ Catalyst folds isin to an O(1) InSet probe
+      val cold = ia.where(!col("tok").isin(hot: _*))
+        .join(ib.where(!col("tok").isin(hot: _*)), Seq("tok"))
+      val salted = Salting.saltedEquiJoin(
+        ia.where(col("tok").isin(hot: _*)),
+        ib.where(col("tok").isin(hot: _*)),
+        Seq("tok"), factor)
+      cold.unionByName(salted)
+    }
+  }
+
   /** Exact dedup by content key: one representative (min id) +
     * multiplicity per distinct key. */
   def exact(df: DataFrame, idCol: String, keyCol: String): DataFrame =
@@ -101,7 +142,9 @@ object Dedup {
       textCol: String,
       threshold: Double,
       n: Int = 3,
-      prefixFilter: Boolean = true): DataFrame = {
+      prefixFilter: Boolean = true,
+      hotTokenCutoff: Int = 1 << 17,
+      saltFactor: Int = 32): DataFrame = {
     // the shingle table feeds the posting index once and the exact
     // verification twice. The index/prefix machinery runs on the
     // posting frame's xxhash64 tokens; the ppjoin prefix theorem
@@ -116,7 +159,7 @@ object Dedup {
     def pairsFrom(index: DataFrame): DataFrame = {
       val a = index.select(col("tok"), col("id").as("a"), col("sz").as("asz"))
       val b = index.select(col("tok"), col("id").as("b"), col("sz").as("bsz"))
-      a.join(b, Seq("tok"))
+      skewAwareTokJoin(a, b, hotTokenCutoff, saltFactor)
         .where(col("a") < col("b"))
         .where(col("bsz").cast("double") * lit(threshold) <= col("asz").cast("double") &&
           col("asz").cast("double") * lit(threshold) <= col("bsz").cast("double"))
@@ -272,16 +315,19 @@ object Dedup {
       textCol: String,
       threshold: Double,
       n: Int = 3,
-      prefixFilter: Boolean = true): DataFrame = {
+      prefixFilter: Boolean = true,
+      hotTokenCutoff: Int = 1 << 17,
+      saltFactor: Int = 32): DataFrame = {
     val shL = shingledFrame(left, idCol, textCol, n)
     val shR = shingledFrame(right, idCol, textCol, n)
     val pL = postsFrame(shL)
     val pR = postsFrame(shR)
 
     def pairsFrom(ia: DataFrame, ib: DataFrame): DataFrame =
-      ia.select(col("tok"), col("id").as("a"), col("sz").as("asz"))
-        .join(ib.select(col("tok"), col("id").as("b"), col("sz").as("bsz")),
-          Seq("tok"))
+      skewAwareTokJoin(
+        ia.select(col("tok"), col("id").as("a"), col("sz").as("asz")),
+        ib.select(col("tok"), col("id").as("b"), col("sz").as("bsz")),
+        hotTokenCutoff, saltFactor)
         .where(col("bsz").cast("double") * lit(threshold) <= col("asz").cast("double") &&
           col("asz").cast("double") * lit(threshold) <= col("bsz").cast("double"))
         .select("a", "b").distinct()
@@ -334,7 +380,9 @@ object Dedup {
       idCol: String,
       textCol: String,
       threshold: Double,
-      n: Int = 3): DataFrame = {
+      n: Int = 3,
+      hotTokenCutoff: Int = 1 << 17,
+      saltFactor: Int = 32): DataFrame = {
     // soundness precondition: candidates need >= 1 shared posting
     // token, so pairs with zero overlap are never emitted — complete
     // only for a strictly positive containment threshold
@@ -342,10 +390,12 @@ object Dedup {
       s"containment threshold must be in (0, 1], got $threshold")
     val shL = shingledFrame(left, idCol, textCol, n)
     val shR = shingledFrame(right, idCol, textCol, n)
-    val cand = postsFrame(shL)
-      .select(col("tok"), col("id").as("a"), col("sz").as("asz"))
-      .join(postsFrame(shR)
-        .select(col("tok"), col("id").as("b"), col("sz").as("bsz")), Seq("tok"))
+    val cand = skewAwareTokJoin(
+        postsFrame(shL)
+          .select(col("tok"), col("id").as("a"), col("sz").as("asz")),
+        postsFrame(shR)
+          .select(col("tok"), col("id").as("b"), col("sz").as("bsz")),
+        hotTokenCutoff, saltFactor)
       .where(col("asz").cast("double") >= lit(threshold) * col("bsz").cast("double"))
       .select("a", "b").distinct()
     cand

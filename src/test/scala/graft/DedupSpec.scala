@@ -52,6 +52,29 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("hot-token salted path is candidate-set exact: cutoff=1 equals default") {
+    // hotTokenCutoff=1 forces EVERY shared token through the salted
+    // join (any posting list with 2+ entries is 'hot'); outputs must
+    // be bit-identical to the effectively-unsalted default — salting
+    // re-partitions the join's work, never its result. Exercises the
+    // self-join, the cross Jaccard, and the containment join; odd
+    // saltFactor 3 so group sizes are uneven.
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val l = d.where(col("doc_id") % 4 =!= 0)
+    val r = d.where(col("doc_id") % 4 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("a", "b").collect().map(_.toSeq).toSeq
+    assert(rows(Dedup.jaccardJoin(d, "doc_id", "text", 0.3,
+        hotTokenCutoff = 1, saltFactor = 3)) ==
+      rows(Dedup.jaccardJoin(d, "doc_id", "text", 0.3)))
+    assert(rows(Dedup.jaccardJoinCross(l, r, "doc_id", "text", 0.3,
+        hotTokenCutoff = 1, saltFactor = 3)) ==
+      rows(Dedup.jaccardJoinCross(l, r, "doc_id", "text", 0.3)))
+    assert(rows(Dedup.containmentJoinCross(l, r, "doc_id", "text", 0.5,
+        hotTokenCutoff = 1, saltFactor = 3)) ==
+      rows(Dedup.containmentJoinCross(l, r, "doc_id", "text", 0.5)))
+  }
+
   test("minhash LSH equals exact jaccard join on sf0.001 documents") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val exact = Dedup.jaccardJoin(d, "doc_id", "text", 0.5).orderBy("a", "b").collect()
