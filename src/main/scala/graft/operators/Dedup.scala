@@ -78,10 +78,25 @@ object Dedup {
     * the one b-replica carrying its salt), hot and cold route
     * disjoint token sets, and the union is the original candidate
     * multiset — downstream prefix/size/verify logic is untouched.
-    * The hot set collects to the driver (bounded: above any sane
-    * cutoff only stopword-like shingles qualify) so the common
-    * no-hot-token case pays one map-side-combined count aggregate
-    * and nothing else. */
+    * The hot set collects to the driver, hard-capped at
+    * [[MaxHotTokens]] hottest tokens (descending count, token value
+    * tiebreak — deterministic): a caller passing a tiny cutoff on a
+    * large corpus would otherwise collect an unbounded token list
+    * into driver memory AND a pathological isin plan. Truncation
+    * never costs correctness — a hot token left in the cold route
+    * still joins exactly, it just skips the skew mitigation (a
+    * warning notes it).
+    *
+    * NOTE (laziness): computing the hot set runs an eager Spark job
+    * (one map-side-combined count aggregate over the posting index +
+    * a bounded collect) at DataFrame-CONSTRUCTION time — the builders
+    * that use it (jaccardJoin, jaccardJoinCross, containmentJoinCross)
+    * are not purely lazy plan constructors. Repeated callers (e.g.
+    * per-micro-batch streaming decontam) should build once and reuse
+    * the frame, or pass hotTokenCutoff = Int.MaxValue-scale values to
+    * make the scan trivially empty. */
+  private[graft] val MaxHotTokens = 4096
+
   private def skewAwareTokJoin(
       ia: DataFrame, // (tok, a, asz)
       ib: DataFrame, // (tok, b, bsz)
@@ -89,10 +104,18 @@ object Dedup {
       factor: Int): DataFrame = {
     require(hotCutoff > 0 && factor > 0,
       s"need hotTokenCutoff ($hotCutoff) and saltFactor ($factor) > 0")
-    val hot = ia.select("tok").union(ib.select("tok"))
+    val hotRows = ia.select("tok").union(ib.select("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
       .where(col("cnt") > hotCutoff)
-      .select("tok").collect().map(_.getLong(0))
+      .orderBy(col("cnt").desc, col("tok"))
+      .limit(MaxHotTokens + 1)
+      .select("tok").collect()
+    if (hotRows.length > MaxHotTokens)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"skewAwareTokJoin: >$MaxHotTokens tokens above hotTokenCutoff=" +
+          s"$hotCutoff; salting only the $MaxHotTokens hottest (exactness " +
+          "unaffected; raise the cutoff to silence)")
+    val hot = hotRows.take(MaxHotTokens).map(_.getLong(0))
     if (hot.isEmpty) ia.join(ib, Seq("tok"))
     else {
       // >10 values ⇒ Catalyst folds isin to an O(1) InSet probe
@@ -135,6 +158,10 @@ object Dedup {
     * Jaccard(shingles(a), shingles(b)) ≥ threshold — integer
     * evidence columns so the result is float-free and exactly
     * comparable across engines.
+    *
+    * NOT a purely lazy builder: the hot-token skew scan (see
+    * [[skewAwareTokJoin]]) runs one eager count aggregate at call
+    * time.
     */
   def jaccardJoin(
       df: DataFrame,
@@ -307,7 +334,9 @@ object Dedup {
     * and the big side is streamed through one token-keyed shuffle.
     *
     * Returns (a, b, n_inter, n_union): a from `left`, b from `right`,
-    * integer evidence columns (float-free, engine-exact). */
+    * integer evidence columns (float-free, engine-exact). Not purely
+    * lazy: the hot-token scan ([[skewAwareTokJoin]]) runs at call
+    * time. */
   def jaccardJoinCross(
       left: DataFrame,
       right: DataFrame,
@@ -373,7 +402,8 @@ object Dedup {
     *
     * Returns (a, b, n_inter, n_b): integer evidence, engine-exact;
     * containment = n_inter / n_b. Right docs with empty shingle sets
-    * (< n words) match nothing. */
+    * (< n words) match nothing. Not purely lazy: the hot-token scan
+    * ([[skewAwareTokJoin]]) runs at call time. */
   def containmentJoinCross(
       left: DataFrame,
       right: DataFrame,

@@ -59,6 +59,8 @@ object Packing {
         it.foreach { r =>
           require(!r.isNullAt(1), "sequencePack: null token count for id " +
             (if (r.isNullAt(0)) "<null>" else r.getLong(0).toString))
+          require(!r.isNullAt(0),
+            "sequencePack: null id — ids must be unique and non-null")
           val id = r.getLong(0)
           require(first || id != prev,
             s"sequencePack: duplicate id $id — ids must be unique " +

@@ -54,10 +54,15 @@ def main():
         # oracle whose OUTPUT types would survive fetchall() but diverge
         # on the driver (root cause of the r4/r5 q62+q67 hash reds).
         SAFE = {"BIGINT", "INTEGER", "SMALLINT", "TINYINT", "DOUBLE",
-                "FLOAT", "VARCHAR", "BOOLEAN", "DATE", "TIMESTAMP"}
-        rel = con.sql(f"SELECT * FROM ({oracles[name]}) LIMIT 0")
+                "FLOAT", "VARCHAR", "BOOLEAN", "DATE",
+                # plain (UTC-naive) timestamps only: WITH TIME ZONE
+                # becomes tz-aware in pandas and can diverge from
+                # Spark's UTC-naive output
+                "TIMESTAMP", "TIMESTAMP_NS", "TIMESTAMP_MS", "TIMESTAMP_S"}
+        sql = oracles[name].rstrip().rstrip(";")
+        rel = con.sql(f"SELECT * FROM ({sql}) LIMIT 0")
         odd = [(c, str(t)) for c, t in zip(rel.columns, rel.types)
-               if str(t) not in SAFE and not str(t).startswith("TIMESTAMP")]
+               if str(t) not in SAFE]
         if odd:
             n_fail += 1
             print(f"  {name}: FAIL pandas-unsafe oracle output types {odd}"
