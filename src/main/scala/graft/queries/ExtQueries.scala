@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.RollingHash
-import graft.operators.{Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Dedup, LangModel, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
 
 /** Training-data-pipeline queries (SURVEY.md §7.1 ext): dedup,
   * similarity search, text analysis, multimodal plumbing — over the
@@ -1102,6 +1102,58 @@ object ExtQueries {
          (start_tok + greatest(toks, 1) - 1) // 256 AS bin_last
        FROM c5 ORDER BY doc_id"""
 
+  // ---------------------------------------------------------------
+  // q69 — bigram-LM surprisal quality filter (CCNet-style): train an
+  // add-one bigram LM on the non-eval split (doc_id % 4 != 0), score
+  // EVERY document — eval docs exercise the unseen-word/bigram
+  // smoothed-zero path. Integer evidence only (see LangModel): a
+  // transition is surprising when 48·(c12+1) < c1+V, exact long
+  // arithmetic — no libm, no float fold order. D=48 / passFactor=16
+  // sit inside the testdata's ratio spread (min 19, p99 ≈ 54): ~60%
+  // of docs carry nonzero surprise and ~5% fail the gate.
+  def q69(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").localCheckpoint(eager = false)
+    val lm = LangModel.trainBigramLm(
+      docs.where(col("doc_id") % 4 =!= 0), "doc_id", "text")
+    LangModel.surprisalScore(docs, lm, "doc_id", "text",
+        thresholdDen = 48L, passFactor = 16L)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
+  val q69Sql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       uni AS (SELECT w1, count(*) AS c1
+               FROM (SELECT unnest(w) AS w1 FROM toks WHERE doc_id % 4 != 0)
+               GROUP BY 1),
+       vocab AS (SELECT count(*) AS v FROM uni),
+       big AS (SELECT doc_id,
+                 unnest([{'w1': w[i], 'bg': w[i] || ' ' || w[i+1]}
+                         for i in range(1, len(w))]) AS p
+               FROM toks WHERE len(w) >= 2),
+       bigc AS (SELECT p.bg AS bg, count(*) AS c12 FROM big
+                WHERE doc_id % 4 != 0 GROUP BY 1),
+       scored AS (
+         SELECT b.doc_id,
+           count(*) AS n_bigrams,
+           sum(CASE WHEN 48 * (coalesce(bc.c12, 0) + 1)
+                         < coalesce(u.c1, 0) + v.v
+                    THEN 1 ELSE 0 END) AS n_surprise
+         FROM big b
+         LEFT JOIN bigc bc ON b.p.bg = bc.bg
+         LEFT JOIN uni u ON b.p.w1 = u.w1
+         CROSS JOIN vocab v
+         GROUP BY 1)
+       SELECT d.doc_id,
+         CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+         CAST(coalesce(s.n_surprise, 0) AS BIGINT) AS n_surprise,
+         (coalesce(s.n_bigrams, 0) > 0
+          AND 16 * coalesce(s.n_surprise, 0) <= coalesce(s.n_bigrams, 0))
+           AS lm_pass
+       FROM documents d LEFT JOIN scored s USING (doc_id)
+       ORDER BY d.doc_id"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_dedup_exact" -> (q21 _),
     "q22_jaccard_join" -> (q22 _),
@@ -1138,6 +1190,7 @@ object ExtQueries {
     "q65_pii_scrub" -> (q65 _),
     "q66_ivfpq_ann" -> (q66 _),
     "q67_pipeline_e2e" -> (q67 _),
+    "q69_lm_surprisal" -> (q69 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1176,5 +1229,6 @@ object ExtQueries {
     "q65_pii_scrub" -> q65Sql,
     "q66_ivfpq_ann" -> q26Sql,
     "q67_pipeline_e2e" -> q67Sql,
+    "q69_lm_surprisal" -> q69Sql,
   )
 }

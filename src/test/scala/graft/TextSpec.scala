@@ -197,6 +197,41 @@ class TextSpec extends SparkSpec {
     assert(m == Bpe.trainFromCounts(wc, 2), "training must be deterministic")
   }
 
+  test("bigram LM surprisal: closed-form counts, unseen path, partition-independent") {
+    import graft.operators.LangModel
+    // train corpus: "a b a b c" + "a b" → unigrams a:3 b:3 c:1 (V=3),
+    // bigrams "a b":3 "b a":1 "b c":1
+    val train = Seq((1L, "a b a b c"), (2L, "a b")).toDF("doc_id", "text")
+    val lm = LangModel.trainBigramLm(train, "doc_id", "text")
+    assert(lm.vocab.head.getLong(0) == 3L)
+    val bc = lm.bigrams.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bc == Map("a b" -> 3L, "b a" -> 1L, "b c" -> 1L))
+    // score a doc with one seen bigram ("a b": D(3+1)=8 ≥ c1(a)+V=6 →
+    // not surprising at D=2) and one unseen word pair ("b z": c12=0,
+    // c1(b)=3 → D(0+1)=2 < 3+3=6 → surprising)
+    val docs = Seq((10L, "a b z"), (11L, "q"), (12L, "")).toDF("doc_id", "text")
+    val out = LangModel.surprisalScore(docs, lm, "doc_id", "text",
+      thresholdDen = 2L, passFactor = 2L)
+      .orderBy("id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(10L, 11L, 12L))
+    val r10 = out(0)
+    assert(r10.getLong(1) == 3L && r10.getLong(2) == 2L && r10.getLong(3) == 1L,
+      s"doc 10: $r10")
+    assert(r10.getBoolean(4), "1/2 surprising passes at passFactor=2")
+    // single-token and empty docs: no bigrams, lm_pass=false
+    assert(out(1).getLong(2) == 0L && !out(1).getBoolean(4))
+    assert(out(2).getLong(1) == 1L && !out(2).getBoolean(4)) // split("") = [""]
+    // partition independence: same result at 1 and 7 partitions
+    val big = (0 until 200).map(i =>
+      (i.toLong, s"w${i % 5} w${(i * 3) % 7} w${i % 5} w${(i + 1) % 11}"))
+      .toDF("doc_id", "text")
+    def run(parts: Int) = LangModel.surprisalScore(
+      big.repartition(parts), LangModel.trainBigramLm(big.repartition(parts), "doc_id", "text"),
+      "doc_id", "text", thresholdDen = 8L, passFactor = 4L)
+      .orderBy("id").collect().toSeq
+    assert(run(1) == run(7), "surprisal must not depend on partitioning")
+  }
+
   test("rolling hash: mulMod is exact vs BigInt") {
     val rnd = new scala.util.Random(7)
     val M = BigInt(RollingHash.Mod)
