@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.RollingHash
-import graft.operators.{Dedup, LangModel, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Bm25, Dedup, LangModel, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
 
 /** Training-data-pipeline queries (SURVEY.md §7.1 ext): dedup,
   * similarity search, text analysis, multimodal plumbing — over the
@@ -1154,6 +1154,53 @@ object ExtQueries {
        FROM documents d LEFT JOIN scored s USING (doc_id)
        ORDER BY d.doc_id"""
 
+  // ---------------------------------------------------------------
+  // q70 — BM25 top-k retrieval (rational-idf gated configuration, see
+  // Bm25 scaladoc): 3-term query with a df spread (dup ≈ 5% of docs,
+  // spark/scan ≈ 80%), top-100 by (score desc, doc_id). The score
+  // double is bit-identical across engines — only correctly-rounded
+  // IEEE ops in pinned order (the oracle states every literal as the
+  // same expression, e.g. (1.2 + 1.0), so folding agrees too).
+  def q70(s: SparkSession, dir: String): DataFrame =
+    Bm25.topK(t(s, dir, "documents"), "doc_id", "text",
+        terms = Seq("dup", "spark", "scan"), k = 100, lnIdf = false)
+      .withColumnRenamed("id", "doc_id")
+
+  val q70Sql: String =
+    """WITH base AS (
+         SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+           CAST(len(list_filter(string_split(text, ' '), x -> x = 'dup')) AS BIGINT) AS tf_dup,
+           CAST(len(list_filter(string_split(text, ' '), x -> x = 'spark')) AS BIGINT) AS tf_spark,
+           CAST(len(list_filter(string_split(text, ' '), x -> x = 'scan')) AS BIGINT) AS tf_scan
+         FROM documents),
+       stats AS (
+         SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(dl) AS BIGINT) AS sumdl,
+           CAST(sum(CASE WHEN tf_dup > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_dup,
+           CAST(sum(CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_spark,
+           CAST(sum(CASE WHEN tf_scan > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_scan
+         FROM base)
+       SELECT b.doc_id, b.dl, b.tf_dup, b.tf_spark, b.tf_scan,
+         ((CAST(s.n AS DOUBLE) - CAST(s.df_dup AS DOUBLE) + 0.5)
+            / (CAST(s.df_dup AS DOUBLE) + 0.5))
+          * ((CAST(b.tf_dup AS DOUBLE) * (1.2 + 1.0))
+            / (CAST(b.tf_dup AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75
+               * (CAST(b.dl AS DOUBLE) / (CAST(s.sumdl AS DOUBLE) / CAST(s.n AS DOUBLE))))))
+         + ((CAST(s.n AS DOUBLE) - CAST(s.df_spark AS DOUBLE) + 0.5)
+            / (CAST(s.df_spark AS DOUBLE) + 0.5))
+          * ((CAST(b.tf_spark AS DOUBLE) * (1.2 + 1.0))
+            / (CAST(b.tf_spark AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75
+               * (CAST(b.dl AS DOUBLE) / (CAST(s.sumdl AS DOUBLE) / CAST(s.n AS DOUBLE))))))
+         + ((CAST(s.n AS DOUBLE) - CAST(s.df_scan AS DOUBLE) + 0.5)
+            / (CAST(s.df_scan AS DOUBLE) + 0.5))
+          * ((CAST(b.tf_scan AS DOUBLE) * (1.2 + 1.0))
+            / (CAST(b.tf_scan AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75
+               * (CAST(b.dl AS DOUBLE) / (CAST(s.sumdl AS DOUBLE) / CAST(s.n AS DOUBLE))))))
+           AS score
+       FROM base b CROSS JOIN stats s
+       ORDER BY score DESC, doc_id LIMIT 100"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_dedup_exact" -> (q21 _),
     "q22_jaccard_join" -> (q22 _),
@@ -1191,6 +1238,7 @@ object ExtQueries {
     "q66_ivfpq_ann" -> (q66 _),
     "q67_pipeline_e2e" -> (q67 _),
     "q69_lm_surprisal" -> (q69 _),
+    "q70_bm25_topk" -> (q70 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1230,5 +1278,6 @@ object ExtQueries {
     "q66_ivfpq_ann" -> q26Sql,
     "q67_pipeline_e2e" -> q67Sql,
     "q69_lm_surprisal" -> q69Sql,
+    "q70_bm25_topk" -> q70Sql,
   )
 }

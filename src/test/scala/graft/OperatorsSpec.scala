@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOfJoin, Salting, Sampling}
+import graft.operators.{AsOfJoin, Bm25, Salting, Sampling}
 
 class OperatorsSpec extends SparkSpec {
   import spark.implicits._
@@ -126,5 +126,43 @@ class OperatorsSpec extends SparkSpec {
       .collect().map(r => (r.getAs[String]("name"), r.getAs[Long]("v"))).toMap
     assert(out("a") == 1L) // inclusive tie at t=10
     assert(out("b") == 2L) // most recent before 9 is 5
+  }
+
+  test("bm25: hand-computed score, rank order, shuffle-free scoring plan") {
+    // corpus of 4: "rare" appears in 1 doc, "common" in 3
+    val docs = Seq(
+      (1L, "rare common x"),
+      (2L, "common common y z"),
+      (3L, "common a b"),
+      (4L, "p q r s t")).toDF("doc_id", "text")
+    val out = Bm25.score(docs, "doc_id", "text", Seq("rare", "common"),
+      lnIdf = true).orderBy("id").collect()
+    // independent reference computation (classic Lucene BM25)
+    val dls = Map(1L -> 3.0, 2L -> 4.0, 3L -> 3.0, 4L -> 5.0)
+    val tfs = Map( // (tf_rare, tf_common)
+      1L -> (1.0, 1.0), 2L -> (0.0, 2.0), 3L -> (0.0, 1.0), 4L -> (0.0, 0.0))
+    val avgdl = dls.values.sum / 4.0
+    def ref(id: Long): Double = {
+      def term(tf: Double, df: Double): Double = {
+        val idf = math.log1p((4.0 - df + 0.5) / (df + 0.5))
+        idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dls(id) / avgdl)))
+      }
+      term(tfs(id)._1, 1.0) + term(tfs(id)._2, 3.0)
+    }
+    out.foreach { r =>
+      val id = r.getLong(0)
+      assert(math.abs(r.getAs[Double]("score") - ref(id)) < 1e-12,
+        s"doc $id: got ${r.getAs[Double]("score")}, want ${ref(id)}")
+    }
+    // ranking: the rare-term doc wins, the no-term doc scores 0 last
+    val ranked = Bm25.topK(docs, "doc_id", "text", Seq("rare", "common"),
+      k = 4, lnIdf = true).select("id").collect().map(_.getLong(0)).toSeq
+    assert(ranked.head == 1L && ranked.last == 4L, s"ranked $ranked")
+    // scale claim from the scaladoc: scoring shuffles NOTHING — the
+    // only Exchange under topK feeds the final TakeOrdered
+    val plan = Bm25.score(docs, "doc_id", "text", Seq("rare"), lnIdf = false)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"per-doc scoring must not hash-shuffle:\n$plan")
   }
 }
