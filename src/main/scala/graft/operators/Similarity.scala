@@ -21,7 +21,7 @@ import scala.util.Random
   * Cosine is computed in double via codegen'd higher-order functions
   * (`zip_with` + `aggregate`) — no UDFs.
   */
-// Serializable: the PQ kernels (pqEncode/adcLut) are object methods
+// Serializable: the PQ kernels (pqEncode/adcLutFlat) are object methods
 // called from task closures, which therefore capture the (stateless)
 // module reference
 object Similarity extends Serializable {
@@ -534,20 +534,85 @@ object Similarity extends Serializable {
   /** Per-query ADC lookup table: exact subspace distances of a query
     * (or query residual) to every codeword — shared by both PQ scan
     * paths, so the distance algebra cannot diverge between them. */
-  private def adcLut(
+  /** Flat ADC lookup table: ONE double[m·256] with stride 256
+    * (lut(s·256 + code)), not m separate arrays — the table is built
+    * per (query[, probed list]) in the ANN hot loops, where per-build
+    * allocation count matters as much as flops. Slots past a
+    * subspace's codebook size stay 0 and are never indexed (codes are
+    * valid codebook indices by construction). */
+  private def adcLutFlat(
       qv: Array[Double],
       cbs: Array[Array[Array[Double]]],
-      off: Array[Int]): Array[Array[Double]] =
-    Array.tabulate(cbs.length) { s =>
-      Array.tabulate(cbs(s).length) { c =>
+      off: Array[Int]): Array[Double] = {
+    val lut = new Array[Double](cbs.length << 8)
+    var s = 0
+    while (s < cbs.length) {
+      val cents = cbs(s)
+      val base = s << 8
+      var c = 0
+      while (c < cents.length) {
+        val cent = cents(c)
         var d2 = 0.0; var i = off(s)
-        val cent = cbs(s)(c)
         while (i < off(s + 1)) {
           val x = qv(i) - cent(i - off(s)); d2 += x * x; i += 1
         }
-        d2
+        lut(base | c) = d2
+        c += 1
+      }
+      s += 1
+    }
+    lut
+  }
+
+  /** Primitive bounded "keep the k smallest (d, id)" heap — the ADC
+    * scan kernels' accumulator. A max-heap on (d, id) lexicographic
+    * order (root = worst kept) over two parallel primitive arrays:
+    * no tuple/Double/Long boxing, no per-candidate allocation, O(1)
+    * reject once full. Ties keep the smaller id — identical to the
+    * (adist asc, id asc) rank order the family guarantees. */
+  private final class DLHeap(cap: Int) {
+    private val ds = new Array[Double](cap)
+    private val ids = new Array[Long](cap)
+    private var n = 0
+    @inline private def worse(d1: Double, i1: Long, d2: Double, i2: Long): Boolean =
+      d1 > d2 || (d1 == d2 && i1 > i2)
+    def offer(d: Double, id: Long): Unit = {
+      if (n < cap) {
+        var i = n; ds(i) = d; ids(i) = id; n += 1
+        var cont = i > 0
+        while (cont) {
+          val p = (i - 1) >> 1
+          if (worse(ds(i), ids(i), ds(p), ids(p))) {
+            val td = ds(i); val ti = ids(i)
+            ds(i) = ds(p); ids(i) = ids(p); ds(p) = td; ids(p) = ti
+            i = p; cont = i > 0
+          } else cont = false
+        }
+      } else if (worse(ds(0), ids(0), d, id)) {
+        ds(0) = d; ids(0) = id
+        var i = 0
+        var cont = true
+        while (cont) {
+          val l = (i << 1) + 1; val r = l + 1
+          var m = i
+          if (l < n && worse(ds(l), ids(l), ds(m), ids(m))) m = l
+          if (r < n && worse(ds(r), ids(r), ds(m), ids(m))) m = r
+          if (m == i) cont = false
+          else {
+            val td = ds(i); val ti = ids(i)
+            ds(i) = ds(m); ids(i) = ids(m); ds(m) = td; ids(m) = ti
+            i = m
+          }
+        }
       }
     }
+    def size: Int = n
+    /** Drain in (unspecified) heap order — consumers re-rank. */
+    def foreachEntry(f: (Double, Long) => Unit): Unit = {
+      var i = 0
+      while (i < n) { f(ds(i), ids(i)); i += 1 }
+    }
+  }
 
   /** (q, n, cos) candidates → (q, rank, n, cos) top-k per query via
     * the typed Aggregator: map-side partial aggregation caps every
@@ -758,15 +823,11 @@ object Similarity extends Serializable {
       keep: Int): org.apache.spark.rdd.RDD[Row] =
     codeRows.mapPartitions { it =>
       val qs = qB.value; val cbs = cbB.value; val off = offB.value
-      // one ADC lookup table per query, built once per (partition,
-      // query) via the shared kernel
-      val luts = qs.map { case (_, qv) => adcLut(qv, cbs, off) }
-      // per-query top-k heaps over this partition's codes; head =
-      // worst kept entry (largest distance, then largest id — ties
-      // keep the smaller id, matching the final rank order)
-      val heaps = Array.fill(qs.length)(
-        scala.collection.mutable.PriorityQueue.empty[(Double, Long)](
-          Ordering.Tuple2[Double, Long]))
+      // one flat ADC lookup table per query, built once per
+      // (partition, query) via the shared kernel
+      val luts = qs.map { case (_, qv) => adcLutFlat(qv, cbs, off) }
+      // per-query primitive top-k heaps over this partition's codes
+      val heaps = Array.fill(qs.length)(new DLHeap(keep))
       it.foreach { case (id, codes) =>
         var qi = 0
         while (qi < qs.length) {
@@ -774,19 +835,17 @@ object Similarity extends Serializable {
             val lut = luts(qi)
             var d = 0.0; var s = 0
             while (s < codes.length) {
-              d += lut(s)(codes(s) & 0xff); s += 1
+              d += lut((s << 8) | (codes(s) & 0xff)); s += 1
             }
-            val h = heaps(qi)
-            if (h.size < keep) h.enqueue((d, id))
-            else if (d < h.head._1 || (d == h.head._1 && id < h.head._2)) {
-              h.dequeue(); h.enqueue((d, id))
-            }
+            heaps(qi).offer(d, id)
           }
           qi += 1
         }
       }
       heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
-        h.iterator.map { case (d, id) => Row(qs(qi)._1, id, d) }
+        val rows = new scala.collection.mutable.ArrayBuffer[Row](h.size)
+        h.foreachEntry((d, id) => rows += Row(qs(qi)._1, id, d))
+        rows.iterator
       }
     }
 
@@ -977,32 +1036,57 @@ object Similarity extends Serializable {
     // (query, probed-list) × list block → per-pair ADC scan; ≤
     // k·rerank survivors per (query, list) emitted
     val keep = k * rerank
+    // per-PARTITION per-query merged heaps, not a heap per (query,
+    // list) pair: a query probing p of this partition's lists feeds
+    // ONE primitive heap, so the stage emits ≤ keep rows per (query,
+    // partition) instead of ≤ keep per (query, list) — at exhaustive
+    // probe that's the difference between the aggregator ingesting
+    // the whole scanned corpus and ingesting the pre-merged
+    // survivors. Correct because lists partition the corpus (an id
+    // reaches a given query's heap at most once) and top-keep of a
+    // union is the top-keep of per-part top-keeps. The heap map is
+    // flushed at `flushAt` distinct queries to bound task memory on
+    // serving shapes with huge query sets — the aggregator re-merges
+    // flushed fragments exactly like cross-partition ones.
+    val flushAt = 8192
     val partials = qAssigned.join(blocks, Seq("list")).rdd.mapPartitions { it =>
       val cs = cB.value; val cbs = cbB.value; val off = offB.value
-      it.flatMap { r =>
+      val heaps = new java.util.LinkedHashMap[Long, DLHeap]()
+      val out = new scala.collection.mutable.ArrayBuffer[Row]()
+      def flush(): Unit = {
+        val hit = heaps.entrySet().iterator()
+        while (hit.hasNext) {
+          val en = hit.next()
+          val q = en.getKey
+          en.getValue.foreachEntry((d, id) => out += Row(q, id, d))
+        }
+        heaps.clear()
+      }
+      it.foreach { r =>
         val list = r.getInt(0)
         val q = r.getLong(1)
         val qres = residual(r.getSeq[Double](2).toArray, cs(list))
-        // ADC lookup table for THIS (query, list) via the shared
+        // flat ADC lookup table for THIS (query, list) via the shared
         // kernel: exact subspace distances of the query residual
-        val lut = adcLut(qres, cbs, off)
-        val heap = scala.collection.mutable.PriorityQueue
-          .empty[(Double, Long)](Ordering.Tuple2[Double, Long])
+        val lut = adcLutFlat(qres, cbs, off)
+        var heap = heaps.get(q)
+        if (heap == null) {
+          if (heaps.size >= flushAt) flush()
+          heap = new DLHeap(keep); heaps.put(q, heap)
+        }
         val blk = r.getSeq[Row](3)
         blk.foreach { e =>
           val id = e.getLong(0)
           if (id != q) {
             val codes = e.getAs[Array[Byte]](1)
             var d = 0.0; var s = 0
-            while (s < codes.length) { d += lut(s)(codes(s) & 0xff); s += 1 }
-            if (heap.size < keep) heap.enqueue((d, id))
-            else if (d < heap.head._1 || (d == heap.head._1 && id < heap.head._2)) {
-              heap.dequeue(); heap.enqueue((d, id))
-            }
+            while (s < codes.length) { d += lut((s << 8) | (codes(s) & 0xff)); s += 1 }
+            heap.offer(d, id)
           }
         }
-        heap.iterator.map { case (d, id) => Row(q, id, d) }
       }
+      flush()
+      out.iterator
     }
     val partialDf = spark.createDataFrame(partials, StructType(Seq(
       StructField("q", LongType, false),
