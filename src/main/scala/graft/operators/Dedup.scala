@@ -88,24 +88,33 @@ object Dedup {
     * warning notes it).
     *
     * NOTE (laziness): computing the hot set runs an eager Spark job
-    * (one map-side-combined count aggregate over the posting index +
-    * a bounded collect) at DataFrame-CONSTRUCTION time — the builders
-    * that use it (jaccardJoin, jaccardJoinCross, containmentJoinCross)
-    * are not purely lazy plan constructors. Repeated callers (e.g.
-    * per-micro-batch streaming decontam) should build once and reuse
-    * the frame, or pass hotTokenCutoff = Int.MaxValue-scale values to
-    * make the scan trivially empty. */
+    * (one count aggregate + a bounded collect) at DataFrame-
+    * CONSTRUCTION time — the builders that use it (jaccardJoin,
+    * jaccardJoinCross, containmentJoinCross) are not purely lazy plan
+    * constructors. Repeated callers (e.g. per-micro-batch streaming
+    * decontam) should build once and reuse the frame, or pass
+    * hotTokenCutoff = Int.MaxValue-scale values to make the scan
+    * trivially empty.
+    *
+    * `counts`, when supplied, is a (tok, cnt) frame whose cnt UPPER-
+    * BOUNDS the token's combined posting count across both sides —
+    * callers that already aggregate token frequencies (the ppjoin
+    * paths' dfreq) reuse that aggregate instead of paying a second
+    * full index scan. Any upper bound is sound: overestimating only
+    * routes extra tokens through the (exact) salted join. */
   private[graft] val MaxHotTokens = 4096
 
   private def skewAwareTokJoin(
       ia: DataFrame, // (tok, a, asz)
       ib: DataFrame, // (tok, b, bsz)
       hotCutoff: Int,
-      factor: Int): DataFrame = {
+      factor: Int,
+      counts: Option[DataFrame] = None): DataFrame = {
     require(hotCutoff > 0 && factor > 0,
       s"need hotTokenCutoff ($hotCutoff) and saltFactor ($factor) > 0")
-    val hotRows = ia.select("tok").union(ib.select("tok"))
-      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val hotRows = counts.getOrElse(
+        ia.select("tok").union(ib.select("tok"))
+          .groupBy(col("tok")).agg(count(lit(1)).as("cnt")))
       .where(col("cnt") > hotCutoff)
       .orderBy(col("cnt").desc, col("tok"))
       .limit(MaxHotTokens + 1)
@@ -182,19 +191,24 @@ object Dedup {
     val posts = postsFrame(sh)
 
     // candidate (a,b) pairs sharing an indexed token, size-ratio
-    // pruned (J ≥ t forces t·|B| ≤ |A| ≤ |B|/t)
-    def pairsFrom(index: DataFrame): DataFrame = {
+    // pruned (J ≥ t forces t·|B| ≤ |A| ≤ |B|/t). The hot-token scan
+    // reuses `counts` (2× the full-posting document frequency — an
+    // upper bound on the self-join's combined index counts) instead
+    // of re-aggregating the index union.
+    def pairsFrom(index: DataFrame, counts: DataFrame): DataFrame = {
       val a = index.select(col("tok"), col("id").as("a"), col("sz").as("asz"))
       val b = index.select(col("tok"), col("id").as("b"), col("sz").as("bsz"))
-      skewAwareTokJoin(a, b, hotTokenCutoff, saltFactor)
+      skewAwareTokJoin(a, b, hotTokenCutoff, saltFactor, Some(counts))
         .where(col("a") < col("b"))
         .where(col("bsz").cast("double") * lit(threshold) <= col("asz").cast("double") &&
           col("asz").cast("double") * lit(threshold) <= col("bsz").cast("double"))
         .select("a", "b").distinct()
     }
 
+    val dfreq = posts.groupBy(col("tok")).agg(count(lit(1)).as("dfc"))
+    val selfCounts = dfreq.select(col("tok"), (col("dfc") * 2).as("cnt"))
     val cand =
-      if (!prefixFilter) pairsFrom(posts)
+      if (!prefixFilter) pairsFrom(posts, selfCounts)
       else {
         // positional prefix filter (ppjoin): under a global canonical
         // token order (ascending document frequency, then value), a
@@ -202,14 +216,13 @@ object Dedup {
         // each side's first |x| − α + 1 tokens — so only the prefix
         // is indexed. Rare tokens sort first, which keeps posting
         // lists short exactly where the index is dense.
-        val dfreq = posts.groupBy(col("tok")).agg(count(lit(1)).as("dfc"))
         val w = Window.partitionBy(col("id")).orderBy(col("dfc"), col("tok"))
         val prefix = posts.join(dfreq, Seq("tok"))
           .withColumn("rk", row_number().over(w))
           .where(col("rk") <=
             col("sz") - ceil(lit(threshold) * col("sz").cast("double")).cast("int") + 1)
           .select("tok", "id", "sz")
-        pairsFrom(prefix)
+        pairsFrom(prefix, selfCounts)
       }
 
     // exact verification on the candidates via row-local set ops
@@ -352,18 +365,21 @@ object Dedup {
     val pL = postsFrame(shL)
     val pR = postsFrame(shR)
 
-    def pairsFrom(ia: DataFrame, ib: DataFrame): DataFrame =
+    def pairsFrom(ia: DataFrame, ib: DataFrame,
+        counts: Option[DataFrame]): DataFrame =
       skewAwareTokJoin(
         ia.select(col("tok"), col("id").as("a"), col("sz").as("asz")),
         ib.select(col("tok"), col("id").as("b"), col("sz").as("bsz")),
-        hotTokenCutoff, saltFactor)
+        hotTokenCutoff, saltFactor, counts)
         .where(col("bsz").cast("double") * lit(threshold) <= col("asz").cast("double") &&
           col("asz").cast("double") * lit(threshold) <= col("bsz").cast("double"))
         .select("a", "b").distinct()
 
     val cand =
-      if (!prefixFilter) pairsFrom(pL, pR)
+      if (!prefixFilter) pairsFrom(pL, pR, None)
       else {
+        // dfreq doubles as the hot-token count source: it already IS
+        // the combined (union) posting frequency of both sides
         val dfreq = pL.select("tok").union(pR.select("tok"))
           .groupBy(col("tok")).agg(count(lit(1)).as("dfc"))
         def prefixOf(posts: DataFrame): DataFrame = {
@@ -374,7 +390,8 @@ object Dedup {
               col("sz") - ceil(lit(threshold) * col("sz").cast("double")).cast("int") + 1)
             .select("tok", "id", "sz")
         }
-        pairsFrom(prefixOf(pL), prefixOf(pR))
+        pairsFrom(prefixOf(pL), prefixOf(pR),
+          Some(dfreq.select(col("tok"), col("dfc").as("cnt"))))
       }
 
     cand
