@@ -38,7 +38,14 @@ object Pipeline {
     val enriched =
       if (meta.info.tags.isEmpty) bare
       else graft.operators.Tagging.labelSamples(bare, meta.info.tags)
-    PartitionedSink.write(enriched, s"$outDir/data_parquet")
+    // deterministic object names mirroring the reference
+    // (`iis3dwb_acc_${yyyymmdd_HHMMSS}.parquet`, main.py:124-131):
+    // sensor name + the acquisition's start timestamp (UTC)
+    val prefix = sensorName + "_" +
+      java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd_HHmmss")
+        .withZone(java.time.ZoneOffset.UTC).format(meta.info.startTime)
+    PartitionedSink.write(enriched, s"$outDir/data_parquet",
+      filePrefix = Some(prefix))
 
     // compute RMS from the parquet just written — decode runs ONCE;
     // the aggregate then reads the columnar sink (vectorized scan)
@@ -56,7 +63,8 @@ object Pipeline {
             .warn(s"no complete ${windowNs / 1e9}s windows in $acqDir; skipping RMS sink")
           None
         } else {
-          PartitionedSink.write(rms, s"$outDir/data_parquet_rms")
+          PartitionedSink.write(rms, s"$outDir/data_parquet_rms",
+            filePrefix = Some(prefix + "_rms"))
           Some(rms)
         }
       } finally rms.unpersist()

@@ -32,12 +32,22 @@ object PartitionedSink {
     *   every partition dir it touches — at 100 TB (~16k decode tasks)
     *   that is a small-files catastrophe. One shuffle buys a bounded
     *   layout; 0 disables (keeps task-parallel writes for tiny jobs).
+    * @param filePrefix when set, rename each partition directory's
+    *   committed `part-*` files to `<prefix>_00000.parquet, …`
+    *   (name-sorted, so stable across identical re-runs) — the
+    *   reference's deterministic object names
+    *   (`iis3dwb_acc_${"{yyyymmdd_HHMMSS}"}.parquet`, main.py:124-131).
+    *   A post-commit metadata pass: one driver-side recursive listing
+    *   plus a rename per file — O(1) on HDFS-like stores; on
+    *   copy-on-rename object stores prefer the default (None), where
+    *   idempotency comes from dynamic partition overwrite alone.
     */
   def write(
       df: DataFrame,
       outDir: String,
       timeCol: String = "Time",
-      filesPerDir: Int = 32): Unit = {
+      filesPerDir: Int = 32,
+      filePrefix: Option[String] = None): Unit = {
     // integer `div`, NOT `/`: double division of epoch-ns longs loses
     // precision above 2^53 (ulp ≈ 256 ns at 2025 epochs), which can
     // drop a row within ~1 µs of midnight into the wrong day dir
@@ -60,5 +70,50 @@ object PartitionedSink {
       .option("parquet.enable.dictionary#alias", "true")
       .partitionBy("alias", "year", "month", "day")
       .parquet(outDir)
+    filePrefix.foreach(p => deterministicNames(df, outDir, p))
+  }
+
+  /** Rename committed part files to `<prefix>_NNNNN.parquet` per
+    * partition directory. Sort key is the committed name (task
+    * partition index), deterministic for a deterministic plan;
+    * dynamic partition overwrite clears a rewritten partition before
+    * commit, so a directory this write touched holds ONLY fresh
+    * `part-*` files. Directories with any other content (untouched
+    * partitions already normalized, or a concurrent writer's output)
+    * are left alone, and a rename lost to a concurrent normalizer is
+    * skipped, not fatal — content is identical either way. */
+  private def deterministicNames(
+      df: DataFrame, outDir: String, prefix: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(outDir)
+    val fs = root.getFileSystem(
+      df.sparkSession.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return
+    val files = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.hadoop.fs.Path]
+    // manual walk, not listFiles(recursive): skips hidden/staging
+    // trees (.spark-staging-*, _temporary) a CONCURRENT writer may be
+    // committing — their entries vanish mid-iteration — and tolerates
+    // directories deleted underneath us
+    def walk(dir: org.apache.hadoop.fs.Path): Unit = {
+      val statuses =
+        try fs.listStatus(dir)
+        catch { case _: java.io.FileNotFoundException => return }
+      statuses.foreach { st =>
+        val name = st.getPath.getName
+        if (!name.startsWith(".") && !name.startsWith("_")) {
+          if (st.isDirectory) walk(st.getPath)
+          else if (name.endsWith(".parquet")) files += st.getPath
+        }
+      }
+    }
+    walk(root)
+    files.groupBy(_.getParent).foreach { case (dir, fl) =>
+      if (fl.forall(_.getName.startsWith("part-"))) {
+        fl.sortBy(_.getName).zipWithIndex.foreach { case (src, i) =>
+          val dst = new org.apache.hadoop.fs.Path(dir, f"${prefix}_$i%05d.parquet")
+          if (fs.exists(src) && !fs.exists(dst)) fs.rename(src, dst)
+        }
+      }
+    }
   }
 }

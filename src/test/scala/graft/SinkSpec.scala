@@ -10,12 +10,12 @@ import graft.ingest.Pipeline
   * the reference's pins. */
 class SinkSpec extends SparkSpec {
 
-  private lazy val out: String = {
+  private lazy val (acqDir: String, out: String) = {
     val acq = tmpDir("sink_acq")
     val o = tmpDir("sink_out")
     AcquisitionFixture.write(s"$acq/a", AcquisitionFixture.Spec())
     Pipeline.processAcquisition(spark, s"$acq/a", o)
-    o
+    (s"$acq/a", o)
   }
 
   test("partition pruning: alias/year/month/day filters prune at planning time") {
@@ -53,6 +53,29 @@ class SinkSpec extends SparkSpec {
           s"${c.getPath}: ${c.getEncodings}")
       }
     } finally reader.close()
+  }
+
+  test("deterministic file names: reference-style prefix, stable across re-runs") {
+    def names(sub: String): Set[String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$out/$sub"))
+        .map(_.getName).filter(_.endsWith(".parquet")).toSet
+    }
+    val first = names("data_parquet")
+    // reference naming (main.py:124-131): sensor + acquisition start
+    // (fixture Spec starts 2025-07-11T16:22:17Z), zero-padded index
+    assert(first.nonEmpty)
+    assert(first.forall(_.matches("iis3dwb_acc_20250711_162217_\\d{5}\\.parquet")),
+      s"unexpected names: $first")
+    val rms = names("data_parquet_rms")
+    assert(rms.nonEmpty &&
+      rms.forall(_.matches("iis3dwb_acc_20250711_162217_rms_\\d{5}\\.parquet")),
+      s"unexpected rms names: $rms")
+    // idempotent re-run (dynamic overwrite + rename): same name sets
+    Pipeline.processAcquisition(spark, acqDir, out)
+    assert(names("data_parquet") == first)
+    assert(names("data_parquet_rms") == rms)
   }
 
   test("RMS sink honors the same physical format pins") {
