@@ -1161,6 +1161,35 @@ object Similarity extends Serializable {
       .select(col("a"), col("b"), col("cos"))
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication"): embeddings with cosine ≥ threshold are semantic
+    * duplicates, the near-dup graph's connected components are the
+    * semantic clusters, and each cluster keeps its minimum id —
+    * whole-document near-dedup lifted into embedding space, catching
+    * paraphrases exact/shingle dedup can't see.
+    *
+    * Composition of two already-scale-shaped pieces: pair discovery
+    * is [[cosineNearDup]] (hyperplane-LSH buckets + exact cosine
+    * verify — never all-pairs), components are [[Dedup.clusters]]
+    * (alternating large/small-star contraction, O(log n) rounds).
+    * Output: one row per input id — (id, cluster, kept) with
+    * cluster = the component's min id and kept = (id == cluster). */
+  def dedupSemantic(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      tables: Int = 8,
+      bits: Int = 12,
+      seed: Long = 42L): DataFrame = {
+    val pairs = cosineNearDup(df, idCol, vecCol, threshold, tables, bits, seed)
+      .select("a", "b")
+    val ids = df.select(col(idCol).cast(LongType).as("id"))
+    Dedup.clusters(ids, pairs)
+      .withColumn("kept", col("id") === col("cluster"))
+  }
+
   /** Cross-corpus embedding near-duplicate pairs: every (a, b) with
     * a from `left`, b from `right`, cosine ≥ threshold — the
     * embedding-space decontamination primitive, completing the

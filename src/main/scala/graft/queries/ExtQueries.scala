@@ -1201,6 +1201,43 @@ object ExtQueries {
        FROM base b CROSS JOIN stats s
        ORDER BY score DESC, doc_id LIMIT 100"""
 
+  // ---------------------------------------------------------------
+  // q71 — SemDeDup semantic dedup: q33's planted-twin corpus (each
+  // vector + a cosine≈0.9988 perturbed copy at id+1e6), LSH+verify
+  // pairs → star-contraction components → keep each cluster's min
+  // id. Oracle: all-pairs cosine graph + recursive-CTE closure (the
+  // q33/q36 oracle patterns composed).
+  def q71(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val twins = e.select(
+      (col("vec_id") + lit(1000000L)).as("vec_id"),
+      transform(col("embedding"),
+        (x, i) => x + when(i === 0, lit(0.05f)).otherwise(lit(0.0f)))
+        .as("embedding"))
+    Similarity.dedupSemantic(e.select("vec_id", "embedding").union(twins),
+        "vec_id", "embedding", threshold = 0.99)
+      .select(col("id").as("vec_id"), col("cluster"), col("kept"))
+      .orderBy("vec_id")
+  }
+
+  val q71Sql: String =
+    """WITH RECURSIVE
+       twins AS (SELECT vec_id + 1000000 AS vec_id,
+         list_prepend(embedding[1] + CAST(0.05 AS FLOAT), embedding[2:])
+           AS embedding FROM embeddings),
+       u AS (SELECT vec_id, embedding FROM embeddings
+             UNION ALL SELECT vec_id, embedding FROM twins),
+       p AS (SELECT a.vec_id AS a, b.vec_id AS b
+             FROM u a JOIN u b ON a.vec_id < b.vec_id
+             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.99),
+       e AS (SELECT a AS x, b AS y FROM p UNION ALL SELECT b, a FROM p),
+       reach(id, r) AS (
+         SELECT vec_id, vec_id FROM u
+         UNION
+         SELECT e.x, reach.r FROM e JOIN reach ON reach.id = e.y)
+       SELECT id AS vec_id, min(r) AS cluster, (id = min(r)) AS kept
+       FROM reach GROUP BY id ORDER BY vec_id"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_dedup_exact" -> (q21 _),
     "q22_jaccard_join" -> (q22 _),
@@ -1239,6 +1276,7 @@ object ExtQueries {
     "q67_pipeline_e2e" -> (q67 _),
     "q69_lm_surprisal" -> (q69 _),
     "q70_bm25_topk" -> (q70 _),
+    "q71_semantic_dedup" -> (q71 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1279,5 +1317,6 @@ object ExtQueries {
     "q67_pipeline_e2e" -> q67Sql,
     "q69_lm_surprisal" -> q69Sql,
     "q70_bm25_topk" -> q70Sql,
+    "q71_semantic_dedup" -> q71Sql,
   )
 }

@@ -342,4 +342,24 @@ class SimilaritySpec extends SparkSpec {
     val b2 = Similarity.buckets(e, "vec_id", "embedding").orderBy("id", "table").collect()
     assert(b1.map(_.toSeq).toSeq == b2.map(_.toSeq).toSeq)
   }
+
+  test("dedupSemantic: transitive chains cluster, keeps min id, covers all rows") {
+    // 2-D chain at 15° steps: adjacent pairs cos(15°)≈0.966 ≥ 0.95,
+    // ends cos(30°)≈0.866 < 0.95 — the cluster must still be ONE
+    // component via transitivity. Vector 10 is near-orthogonal.
+    def rot(deg: Double) = {
+      val r = math.toRadians(deg)
+      Array(math.cos(r).toFloat, math.sin(r).toFloat)
+    }
+    val df = Seq(
+      (3L, rot(0)), (1L, rot(15)), (2L, rot(30)),
+      (10L, rot(100))).toDF("vec_id", "embedding")
+    val out = Similarity.dedupSemantic(df, "vec_id", "embedding",
+      threshold = 0.95, tables = 32, bits = 4)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.toSeq == Seq(
+      (1L, 1L, true), (2L, 1L, false), (3L, 1L, false), (10L, 10L, true)),
+      s"got ${out.toSeq}")
+  }
 }
