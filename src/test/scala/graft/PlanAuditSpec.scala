@@ -71,9 +71,12 @@ class PlanAuditSpec extends SparkSpec {
 
   test("no shuffle cartesian product in any registry query") {
     // BroadcastNestedLoopJoin is legitimate where a side is tiny or
-    // broadcast-by-design: the pure theta join (q37) and the
-    // broadcast brute-force baselines (q25 feeds q26's oracle shape).
-    val bnljOk = Set("q37_theta_join", "q25_cosine_topk")
+    // broadcast-by-design: the pure theta join (q37), the broadcast
+    // brute-force baselines (q25 feeds q26's oracle shape), and
+    // q69/q70's 1-row corpus-stats frames riding a broadcast cross
+    // join back onto the scan.
+    val bnljOk = Set("q37_theta_join", "q25_cosine_topk",
+      "q69_lm_surprisal", "q70_bm25_topk")
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian:\n$p")
