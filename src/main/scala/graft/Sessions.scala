@@ -42,5 +42,14 @@ object Sessions {
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = false))
+    // nudge the ContextCleaner: shuffle files, broadcast blocks and
+    // checkpoint data are reaped when their driver references are
+    // GC'd, and a 128 GiB heap may not GC for the whole suite —
+    // 60+ queries of shuffle spill then stack up on local disk and
+    // late-alphabet queries wobble in FULL-suite runs only (q66
+    // 3.7 s in any subset, up to 14 s after 65 predecessors). A
+    // single collection between queries is untimed and keeps the
+    // per-query runtime state flat.
+    System.gc()
   }
 }
