@@ -97,4 +97,42 @@ object Sampling {
       .where(col("__rn") <= k)
       .drop("__rn")
   }
+
+  /** Temperature-flattened mixture sampling — the source/language
+    * REBALANCING step of multilingual and multi-source training
+    * mixes (α = 0.5 temperature: sampling proportional to √c instead
+    * of c up-weights rare strata, down-weights dominant ones —
+    * the standard fix for head-language domination). Per stratum of
+    * c rows keep k = min(c, scale · ⌊√c⌋) rows: the budget uses
+    * INTEGER sqrt (⌊·⌋ of an IEEE sqrt on counts < 2⁵², exact in any
+    * engine), selection is [[stratifiedExactK]]'s k-smallest
+    * (hash, id) prefix — so the whole operator is engine-exact and
+    * corpus-growth-stable.
+    *
+    * Fully lazy, no driver collect: the per-stratum budgets are one
+    * map-side-combined count aggregate (rows = distinct strata)
+    * broadcast back onto the row stream; the only corpus-sized
+    * exchange is the stratum-keyed rank shuffle it shares with
+    * [[stratifiedExactK]]. */
+  def temperatureFlatten(
+      df: DataFrame,
+      idCol: String,
+      stratumCol: String,
+      scale: Long = 1L,
+      seed: Long = 0L): DataFrame = {
+    require(scale >= 1, s"scale must be >= 1, got $scale")
+    val ks = df.groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("__c"))
+      .select(col(stratumCol),
+        least(col("__c"),
+          lit(scale) * floor(sqrt(col("__c").cast("double"))).cast("long"))
+          .as("__k"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(uniformHash64(col(idCol), seed), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .join(broadcast(ks), Seq(stratumCol))
+      .where(col("__rn") <= col("__k"))
+      .select(df.columns.map(col).toSeq: _*) // input column order
+  }
 }

@@ -1238,6 +1238,47 @@ object ExtQueries {
        SELECT id AS vec_id, min(r) AS cluster, (id = min(r)) AS kept
        FROM reach GROUP BY id ORDER BY vec_id"""
 
+  // ---------------------------------------------------------------
+  // q72 — temperature-flattened mixture sampling (α = 0.5 source
+  // rebalancing): the testdata's sources are uniform, so the query
+  // derives a GEOMETRICALLY skewed stratum from doc_id (g0 ≈ half,
+  // g1 ≈ quarter, g2 ≈ eighth, g3 = rest) and flattens it — rare
+  // strata keep a larger fraction (√c budgets), exactly the
+  // multilingual head-language fix. Budgets use integer sqrt, the
+  // kept set is the deterministic (hash, id) prefix per stratum —
+  // engine-exact end to end.
+  def q72(s: SparkSession, dir: String): DataFrame = {
+    val strat = t(s, dir, "documents").withColumn("stratum",
+      when(col("doc_id") % 2 === 1, "g0")
+        .when(col("doc_id") % 4 === 2, "g1")
+        .when(col("doc_id") % 8 === 4, "g2")
+        .otherwise("g3"))
+    Sampling.temperatureFlatten(strat, "doc_id", "stratum",
+        scale = 2L, seed = 7L)
+      .select(col("doc_id"), col("stratum"))
+      .orderBy("doc_id")
+  }
+
+  val q72Sql: String =
+    """WITH strat AS (
+         SELECT doc_id,
+           CASE WHEN doc_id % 2 = 1 THEN 'g0'
+                WHEN doc_id % 4 = 2 THEN 'g1'
+                WHEN doc_id % 8 = 4 THEN 'g2'
+                ELSE 'g3' END AS stratum
+         FROM documents),
+       k AS (SELECT stratum,
+               least(count(*), 2 * CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT)) AS k
+             FROM strat GROUP BY 1),
+       r AS (SELECT doc_id, stratum,
+               row_number() OVER (PARTITION BY stratum ORDER BY u, doc_id) AS rn
+             FROM (SELECT doc_id, stratum,
+                     (CAST(doc_id + 7 AS HUGEINT) * 11400714819323198485)
+                       % 18446744073709551616 AS u
+                   FROM strat))
+       SELECT r.doc_id, r.stratum FROM r JOIN k USING (stratum)
+       WHERE r.rn <= k.k ORDER BY r.doc_id"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_dedup_exact" -> (q21 _),
     "q22_jaccard_join" -> (q22 _),
@@ -1277,6 +1318,7 @@ object ExtQueries {
     "q69_lm_surprisal" -> (q69 _),
     "q70_bm25_topk" -> (q70 _),
     "q71_semantic_dedup" -> (q71 _),
+    "q72_mixture_flatten" -> (q72 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1318,5 +1360,6 @@ object ExtQueries {
     "q69_lm_surprisal" -> q69Sql,
     "q70_bm25_topk" -> q70Sql,
     "q71_semantic_dedup" -> q71Sql,
+    "q72_mixture_flatten" -> q72Sql,
   )
 }

@@ -128,6 +128,27 @@ class OperatorsSpec extends SparkSpec {
     assert(out("b") == 2L) // most recent before 9 is 5
   }
 
+  test("temperatureFlatten: sqrt budgets, rare-stratum up-weighting, determinism") {
+    // strata: a=400 rows, b=100, c=4 → k = 2·⌊√c⌋ = 40, 20, 4
+    val rows = (0L until 400L).map((_, "a")) ++
+      (1000L until 1100L).map((_, "b")) ++ (2000L until 2004L).map((_, "c"))
+    val df = rows.toDF("id", "stratum")
+    val out = Sampling.temperatureFlatten(df, "id", "stratum", scale = 2L, seed = 3L)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val bySize = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(bySize == Map("a" -> 40, "b" -> 20, "c" -> 4), s"got $bySize")
+    // kept FRACTION grows as strata shrink (the flattening point):
+    // a keeps 10%, b 20%, c 100% (k = min(c, 2·√c) caps at the stratum)
+    // determinism + partition independence
+    val again = Sampling.temperatureFlatten(df.repartition(13), "id", "stratum",
+      scale = 2L, seed = 3L).collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+    // hash-prefix stability: scale=1 budgets are a PREFIX of scale=2's
+    val half = Sampling.temperatureFlatten(df, "id", "stratum", scale = 1L, seed = 3L)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(half.subsetOf(out.toSet))
+  }
+
   test("bm25: hand-computed score, rank order, shuffle-free scoring plan") {
     // corpus of 4: "rare" appears in 1 doc, "common" in 3
     val docs = Seq(
