@@ -1,0 +1,41 @@
+package graft
+
+/** Partition-invariance gate for registry queries: the driver's
+  * correctness check hashes VALUES IN ROW ORDER, so a query whose
+  * output depends on shuffle partitioning (float fold order, an
+  * unordered limit, RangePartitioner sampling) would pass locally and
+  * flake under the driver's parallelism — the r4 q62/q67 episode.
+  * Each covered query runs under 3 and then 29 shuffle partitions in
+  * the same session (prime vs default-ish, so every exchange
+  * re-buckets) and must collect bit-identical row sequences.
+  *
+  * Coverage: the packing path (the historical flake surface) plus
+  * every query whose output carries raw doubles or rank cuts —
+  * q70's BM25 score doubles are the newest such surface. sf0.001
+  * keeps the whole gate in seconds.
+  */
+class QueryDeterminismSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private val covered = Seq(
+    "q62_sequence_pack", "q67_pipeline_e2e", // historical flakes
+    "q68_dtdl_catalog", "q69_lm_surprisal", "q70_bm25_topk",
+    "q71_semantic_dedup", "q72_mixture_flatten")
+
+  covered.foreach { name =>
+    test(s"$name: output invariant to shuffle partitioning") {
+      val fn = SparkEntry.queries(name)
+      def run(parts: Int): Seq[Seq[Any]] = {
+        spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+        try fn(spark, sfDir).collect().toSeq.map(_.toSeq)
+        finally spark.conf.unset("spark.sql.shuffle.partitions")
+      }
+      val a = run(3)
+      val b = run(29)
+      assert(a.size == b.size, s"row counts differ: ${a.size} vs ${b.size}")
+      a.zip(b).zipWithIndex.foreach { case ((ra, rb), i) =>
+        assert(ra == rb, s"row $i differs:\n  3 parts: $ra\n  29 parts: $rb")
+      }
+    }
+  }
+}
