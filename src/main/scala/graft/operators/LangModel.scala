@@ -99,4 +99,61 @@ object LangModel {
           lit(passFactor) * coalesce(col("n_surprise"), lit(0L)) <=
             coalesce(col("n_bigrams"), lit(0L))).as("lm_pass"))
   }
+
+  /** DSIR-style domain relevance (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every
+    * document by how much its tokens lean toward a small TARGET
+    * corpus versus the remaining RAW corpus, using two add-one
+    * unigram models over the shared vocabulary.
+    *
+    * Exactness variant: instead of the paper's summed log-importance
+    * weight (libm-dependent), a token is TARGET-LEANING when
+    * p_target(w) > p_raw(w), decided by one integer
+    * cross-multiplication — (c_t+1)·(N_r+V) > (c_r+1)·(N_t+V) — and a
+    * document's evidence is (n_tokens, n_lean) plus the one-division
+    * fraction. Products ride decimal(38,0) so corpus-scale counts
+    * cannot overflow under ANSI mode.
+    *
+    * Scale shape: one conditional-count aggregate builds BOTH models
+    * in a single pass over the token stream (map-side combined); the
+    * scoring join carries one row per DISTINCT (doc, word) via the
+    * multiplicity pre-aggregation; the totals frame is 1 row,
+    * broadcast. Same shuffle profile as [[surprisalScore]].
+    *
+    * @param isTarget boolean Column selecting the target split
+    * @return (id, n_tokens, n_lean, lean_frac, dsir_pass) where
+    *         dsir_pass ⇔ passFactor·n_lean ≥ n_tokens
+    */
+  def domainRelevance(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      isTarget: Column,
+      passFactor: Long = 4L): DataFrame = {
+    require(passFactor >= 1, s"passFactor must be >= 1, got $passFactor")
+    val toks = docs.select(col(idCol).as("id"), isTarget.as("tgt"),
+      explode(split(col(textCol), " ")).as("w"))
+    // Both unigram models in one pass; V is the shared vocab.
+    val stats = toks.groupBy("w").agg(
+      sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"),
+      sum(when(col("tgt"), 0L).otherwise(1L)).as("cr"))
+    val totals = stats.agg(
+      sum(col("ct")).as("nt"), sum(col("cr")).as("nr"),
+      count(lit(1)).as("v"))
+    val dec = "decimal(38,0)"
+    val perDocWord = toks.groupBy("id", "w").agg(count(lit(1)).as("m"))
+    val leaned = perDocWord
+      .join(stats, Seq("w"))
+      .crossJoin(broadcast(totals))
+      .withColumn("lean",
+        (col("ct") + 1L).cast(dec) * (col("nr") + col("v")).cast(dec) >
+          (col("cr") + 1L).cast(dec) * (col("nt") + col("v")).cast(dec))
+      .groupBy("id")
+      .agg(sum(col("m")).as("n_tokens"),
+        sum(when(col("lean"), col("m")).otherwise(0L)).as("n_lean"))
+    leaned.select(col("id"), col("n_tokens"), col("n_lean"),
+      (col("n_lean").cast("double") / col("n_tokens").cast("double"))
+        .as("lean_frac"),
+      (lit(passFactor) * col("n_lean") >= col("n_tokens")).as("dsir_pass"))
+  }
 }

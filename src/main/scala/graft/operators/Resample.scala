@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series regularization: resample an irregular per-entity event
+  * stream onto a fixed-step grid with linear interpolation (gap-fill).
+  * The standard prep step before windowed feature extraction on
+  * telemetry — the reference's RMS pipeline assumes the decoder's
+  * regular sample clock (`main.py:100-102`); this operator produces
+  * that regularity for sources that don't have it.
+  *
+  * Algorithm: per entity, emit grid instants `t = k·step` covering
+  * `[min(ts), max(ts)]` (interior only, so every grid point has a
+  * neighbor on both sides), union them with the real events into one
+  * time-ordered stream, and recover each grid point's bracketing
+  * events with two running window functions — `last(value) ignoring
+  * nulls` up to the current row and `first(value) ignoring nulls`
+  * from it. One shuffle (by entity), no self-join, no per-entity
+  * collect: the canonical Spark shape for as-of interpolation, and
+  * the window state is O(1) per row.
+  *
+  * Determinism: events tied on the same (entity, instant) are
+  * pre-aggregated with `min(value)` (documented tie-break); grid rows
+  * sort after event rows at the same instant, so a grid point landing
+  * exactly on an event returns that event's value (the `dt = 0`
+  * branch), and the interpolation `v0 + (v1−v0)·(dt/DT)` is evaluated
+  * in this exact operation order — all correctly-rounded IEEE ops, so
+  * the doubles are bit-identical across engines.
+  */
+object Resample {
+
+  /** @param events   input frame
+    * @param entityCol partition key
+    * @param timeCol  long instants (any unit; µs recommended)
+    * @param valueCol numeric column to interpolate
+    * @param step     grid step, same unit as `timeCol` (> 0)
+    * @return (entityCol, grid_ts, v_interp) — one row per interior
+    *         grid instant per entity
+    */
+  def gridInterpolate(events: DataFrame, entityCol: String,
+                      timeCol: String, valueCol: String,
+                      step: Long): DataFrame = {
+    require(step > 0, "gridInterpolate: step must be positive")
+    val ent = col(entityCol)
+    // Deterministic value per (entity, instant).
+    val ev = events.groupBy(ent, col(timeCol).as("t"))
+      .agg(min(col(valueCol).cast("double")).as("v"))
+    // Interior grid: ceil(lo/step)..floor(hi/step). Integer ceil of a
+    // non-negative quotient via (lo + step − 1) div step keeps the
+    // arithmetic exact for lo ≥ 0 (time axes are epoch-based here).
+    val grid = events.groupBy(ent)
+      .agg(min(col(timeCol)).as("lo"), max(col(timeCol)).as("hi"))
+      // Integer `div`, not floor(double /): epoch-µs instants exceed
+      // double's 2^53 exact range too easily to round-trip through it.
+      .withColumn("s0", expr(s"(lo + ${step - 1}L) div ${step}L"))
+      .withColumn("s1", expr(s"hi div ${step}L"))
+      .where(col("s0") <= col("s1")) // span shorter than one step → no grid
+      .select(ent, explode(sequence(col("s0"), col("s1"))).as("slot"))
+      .select(ent, (col("slot") * lit(step)).as("t"),
+        lit(null).cast("double").as("v"))
+    // Events sort before grid points at the same instant (isg 0 < 1).
+    val stream = ev.select(ent, col("t"), col("v"), lit(0).as("isg"))
+      .unionByName(grid.withColumn("isg", lit(1)))
+    val ord = Window.partitionBy(ent).orderBy(col("t"), col("isg"))
+    val back = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val prevV = last(col("v"), ignoreNulls = true).over(back)
+    val prevT = last(when(col("v").isNotNull, col("t")), ignoreNulls = true).over(back)
+    val nextV = first(col("v"), ignoreNulls = true).over(fwd)
+    val nextT = first(when(col("v").isNotNull, col("t")), ignoreNulls = true).over(fwd)
+    stream
+      .withColumn("pv", prevV).withColumn("pt", prevT)
+      .withColumn("nv", nextV).withColumn("nt", nextT)
+      .where(col("isg") === 1)
+      .select(ent, col("t").as("grid_ts"),
+        when(col("t") === col("pt"), col("pv"))
+          .otherwise(col("pv") + (col("nv") - col("pv")) *
+            ((col("t") - col("pt")).cast("double") /
+              (col("nt") - col("pt")).cast("double")))
+          .as("v_interp"))
+  }
+}
