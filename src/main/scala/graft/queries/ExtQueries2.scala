@@ -1,9 +1,10 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Funnel, LangModel, Resample, Upsert, ZOrder}
+import graft.operators.{Audit, Funnel, LangModel, Resample, Upsert, ZOrder}
 
 /** Round-7 extension queries: warehouse/analytics operators (funnel,
   * gap-fill resample, z-order layout, CDC merge) and the DSIR-style
@@ -197,12 +198,126 @@ object ExtQueries2 {
          FROM ch WHERE op <> 'D')
        ORDER BY o_orderkey"""
 
+  // ---------------------------------------------------------------
+  // q78 — STREAMING sessionization via flatMapGroupsWithState
+  // (custom state + event-time timeout): the events land as files,
+  // a far-future sentinel row pushes the watermark past every real
+  // session's close, and the state handler emits (user, start, n)
+  // exactly once per session. Output ≡ batch session_window, so the
+  // oracle IS q32's gaps-and-islands SQL.
+  def q78(s: SparkSession, dir: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val base = java.nio.file.Files.createTempDirectory("graft_q78").toString
+    val landing = java.nio.file.Paths.get(s"$base/landing")
+    t(s, dir, "events")
+      .select(col("user_id").as("k"), expr("ts div 1000").as("tus"))
+      .repartition(1).write.parquet(landing.toString)
+    val firstBatch = java.nio.file.Files.list(landing).iterator().asScala
+      .map(_.getFileName.toString).toSet
+    // Sentinel (year 2100, filtered key −1): lands as its OWN
+    // micro-batch (maxFilesPerTrigger=1 + a later mtime), so the
+    // watermark advances past all real sessions and the no-data
+    // batch that follows fires every timeout before AvailableNow
+    // terminates.
+    s.range(1).select(lit(-1L).as("k"), lit(4102444800000000L).as("tus"))
+      .write.mode("append").parquet(landing.toString)
+    val files = java.nio.file.Files.list(landing).iterator().asScala.toList
+    val maxMs = files.filter(f => firstBatch(f.getFileName.toString))
+      .map(java.nio.file.Files.getLastModifiedTime(_).toMillis).max
+    files.filterNot(f => firstBatch(f.getFileName.toString)).foreach { f =>
+      java.nio.file.Files.setLastModifiedTime(f,
+        java.nio.file.attribute.FileTime.fromMillis(maxMs + 60000L))
+    }
+    graft.streaming.Sessionize.runSessionize(s, landing.toString,
+      s"$base/out", s"$base/ckpt", gapUs = 1800000000L,
+      maxFilesPerTrigger = Some(1))
+    val out = s.read.parquet(s"$base/out")
+      .where(col("user_id") >= 0)
+      .localCheckpoint(eager = true)
+    IngestQueries.deleteTree(java.nio.file.Paths.get(base))
+    out.orderBy("user_id", "session_start")
+  }
+
+  // ---------------------------------------------------------------
+  // q79 — time-RANGE moving aggregate: per user, each event's count /
+  // decimal-exact sum / mean of `value` over the trailing hour. RANGE
+  // frame over a BIGINT µs axis (peers included identically in both
+  // engines); sum rides decimal(30,8) (order-independent) and the
+  // mean is the suite's single division.
+  def q79(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tus"))
+      .rangeBetween(-3600000000L, 0L)
+    t(s, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        expr("ts div 1000").as("tus"), col("value"))
+      .withColumn("n_win", count(lit(1)).over(w))
+      .withColumn("vsum",
+        sum(col("value").cast("decimal(30,8)")).over(w).cast("double"))
+      .withColumn("mavg", col("vsum") / col("n_win").cast("double"))
+      .select("event_id", "n_win", "vsum", "mavg")
+      .orderBy("event_id")
+  }
+
+  val q79Sql: String =
+    """SELECT event_id, n_win, vsum,
+         vsum / CAST(n_win AS DOUBLE) AS mavg
+       FROM (SELECT event_id,
+               count(*) OVER w AS n_win,
+               CAST(sum(CAST(value AS DECIMAL(30,8))) OVER w AS DOUBLE)
+                 AS vsum
+             FROM events
+             WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                          RANGE BETWEEN 3600000000 PRECEDING
+                                AND CURRENT ROW))
+       ORDER BY event_id"""
+
+  // ---------------------------------------------------------------
+  // q80 — data-quality audit (Deequ-style constraint verification):
+  // completeness, distinctness, and rule-violation counts over
+  // orders in one aggregation pass, unpivoted to (metric, value).
+  def q80(s: SparkSession, dir: String): DataFrame =
+    Audit.audit(t(s, dir, "orders"), Seq(
+        Audit.rowCount,
+        Audit.nullCount("o_custkey"),
+        Audit.distinctCount("o_orderstatus"),
+        Audit.distinctCount("o_custkey"),
+        Audit.violations("nonpositive_price", col("o_totalprice") <= 0),
+        Audit.violations("date_out_of_range",
+          col("o_orderdate") < lit("1992-01-01").cast("timestamp") ||
+            col("o_orderdate") >= lit("2026-01-01").cast("timestamp")),
+        Audit.violations("bad_status",
+          !col("o_orderstatus").isin("O", "F", "P"))))
+      .orderBy("metric")
+
+  val q80Sql: String =
+    """SELECT metric, CAST(value AS BIGINT) AS value FROM (
+         SELECT 'row_count' AS metric, count(*) AS value FROM orders
+         UNION ALL SELECT 'null_count:o_custkey',
+           count(*) - count(o_custkey) FROM orders
+         UNION ALL SELECT 'distinct_count:o_orderstatus',
+           count(DISTINCT o_orderstatus) FROM orders
+         UNION ALL SELECT 'distinct_count:o_custkey',
+           count(DISTINCT o_custkey) FROM orders
+         UNION ALL SELECT 'violations:nonpositive_price',
+           sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) FROM orders
+         UNION ALL SELECT 'violations:date_out_of_range',
+           sum(CASE WHEN o_orderdate < TIMESTAMP '1992-01-01'
+                      OR o_orderdate >= TIMESTAMP '2026-01-01'
+                    THEN 1 ELSE 0 END) FROM orders
+         UNION ALL SELECT 'violations:bad_status',
+           sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                    THEN 1 ELSE 0 END) FROM orders)
+       ORDER BY metric"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q73_funnel" -> (q73 _),
     "q74_resample" -> (q74 _),
     "q75_zorder_layout" -> (q75 _),
     "q76_dsir_relevance" -> (q76 _),
     "q77_cdc_merge" -> (q77 _),
+    "q78_streaming_sessions" -> (q78 _),
+    "q79_moving_aggregate" -> (q79 _),
+    "q80_quality_audit" -> (q80 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -211,5 +326,8 @@ object ExtQueries2 {
     "q75_zorder_layout" -> q75Sql,
     "q76_dsir_relevance" -> q76Sql,
     "q77_cdc_merge" -> q77Sql,
+    "q78_streaming_sessions" -> Queries.q32Sql,
+    "q79_moving_aggregate" -> q79Sql,
+    "q80_quality_audit" -> q80Sql,
   )
 }

@@ -157,6 +157,24 @@ class WarehouseOpsSpec extends SparkSpec {
     assert(!e2.isInstanceOf[TestFailedException])
   }
 
+  // ------------------------------------------------------------ audit
+
+  test("audit: one-pass metrics match closed form") {
+    val df = Seq(
+      (1L, Some("a"), 5.0), (2L, None, -1.0), (3L, Some("a"), 2.0),
+      (4L, Some("b"), 0.0)
+    ).toDF("id", "cat", "x")
+    val out = graft.operators.Audit.audit(df, Seq(
+        graft.operators.Audit.rowCount,
+        graft.operators.Audit.nullCount("cat"),
+        graft.operators.Audit.distinctCount("cat"),
+        graft.operators.Audit.violations("nonpos_x", col("x") <= 0)))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(out == Map(
+      "row_count" -> 4L, "null_count:cat" -> 1L,
+      "distinct_count:cat" -> 2L, "violations:nonpos_x" -> 2L))
+  }
+
   // ------------------------------------------------- domain relevance
 
   test("domainRelevance: hand-computed lean decisions") {
