@@ -309,6 +309,63 @@ object ExtQueries2 {
                     THEN 1 ELSE 0 END) FROM orders)
        ORDER BY metric"""
 
+  // ---------------------------------------------------------------
+  // q81 — interchange-format round-trip (JSON Lines + CSV source/
+  // sink): documents go out as JSONL (full fidelity, text included)
+  // and as a CSV metadata extract, come back through the matching
+  // readers, and re-join. The oracle reads the ORIGINAL parquet — any
+  // escaping, schema, or type drift in either format family breaks
+  // the hash. Text rides JSONL only (CSV is for flat metadata — the
+  // conventional split in training-data pipelines).
+  def q81(s: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_q81").toString
+    val docs = t(s, dir, "documents")
+    docs.select("doc_id", "text", "lang").repartition(4)
+      .write.json(s"$base/jsonl")
+    docs.select("doc_id", "source", "n_chars").repartition(4)
+      .write.option("header", "true").csv(s"$base/csv")
+    val j = s.read
+      .schema("doc_id BIGINT, text STRING, lang STRING")
+      .json(s"$base/jsonl")
+    val c = s.read.option("header", "true")
+      .schema("doc_id BIGINT, source STRING, n_chars BIGINT")
+      .csv(s"$base/csv")
+    val out = j.join(c, Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        length(col("text")).cast("long").as("text_len"))
+      .localCheckpoint(eager = true)
+    IngestQueries.deleteTree(java.nio.file.Paths.get(base))
+    out.orderBy("doc_id")
+  }
+
+  val q81Sql: String =
+    """SELECT doc_id, lang, source, n_chars,
+         CAST(length(text) AS BIGINT) AS text_len
+       FROM documents ORDER BY doc_id"""
+
+  // ---------------------------------------------------------------
+  // q82 — pivot (wide conditional aggregation): events per user ×
+  // event type. The value list is EXPLICIT, so the output schema is
+  // static — the 100-TB-safe way to pivot (a discovery pass over the
+  // key domain is a separate job, not an implicit one).
+  def q82(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy("user_id")
+      .pivot("event_type",
+        Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("user_id")
+
+  val q82Sql: String =
+    """SELECT user_id,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+         CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+       FROM events GROUP BY user_id ORDER BY user_id"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q73_funnel" -> (q73 _),
     "q74_resample" -> (q74 _),
@@ -318,6 +375,8 @@ object ExtQueries2 {
     "q78_streaming_sessions" -> (q78 _),
     "q79_moving_aggregate" -> (q79 _),
     "q80_quality_audit" -> (q80 _),
+    "q81_text_formats" -> (q81 _),
+    "q82_pivot" -> (q82 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -329,5 +388,7 @@ object ExtQueries2 {
     "q78_streaming_sessions" -> Queries.q32Sql,
     "q79_moving_aggregate" -> q79Sql,
     "q80_quality_audit" -> q80Sql,
+    "q81_text_formats" -> q81Sql,
+    "q82_pivot" -> q82Sql,
   )
 }

@@ -76,7 +76,8 @@ class PlanAuditSpec extends SparkSpec {
     // q69/q70's 1-row corpus-stats frames riding a broadcast cross
     // join back onto the scan.
     val bnljOk = Set("q37_theta_join", "q25_cosine_topk",
-      "q69_lm_surprisal", "q70_bm25_topk")
+      "q69_lm_surprisal", "q70_bm25_topk",
+      "q76_dsir_relevance") // 1-row model-totals frame on a broadcast cross
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian:\n$p")

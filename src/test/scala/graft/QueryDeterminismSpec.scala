@@ -20,7 +20,12 @@ class QueryDeterminismSpec extends SparkSpec {
   private val covered = Seq(
     "q62_sequence_pack", "q67_pipeline_e2e", // historical flakes
     "q68_dtdl_catalog", "q69_lm_surprisal", "q70_bm25_topk",
-    "q71_semantic_dedup", "q72_mixture_flatten")
+    "q71_semantic_dedup", "q72_mixture_flatten",
+    // round-7 additions: q74/q76/q79 carry raw doubles (interp,
+    // lean_frac, windowed mean); the rest are cheap to pin
+    "q73_funnel", "q74_resample", "q75_zorder_layout",
+    "q76_dsir_relevance", "q77_cdc_merge", "q79_moving_aggregate",
+    "q80_quality_audit", "q82_pivot")
 
   covered.foreach { name =>
     test(s"$name: output invariant to shuffle partitioning") {
