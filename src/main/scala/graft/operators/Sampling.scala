@@ -135,4 +135,48 @@ object Sampling {
       .where(col("__rn") <= col("__k"))
       .select(df.columns.map(col).toSeq: _*) // input column order
   }
+
+  /** Proportional mixture interleaving — the deterministic TRAINING
+    * ORDER for a multi-source corpus: stratum s appears in the
+    * schedule with frequency ∝ weights(s), uniformly interleaved
+    * rather than in blocks (block order front-loads one distribution;
+    * interleaving keeps every training prefix on-mixture — the
+    * sampling-schedule half of Pile/Dolma-style data mixing).
+    *
+    * Mechanism: rows rank within their stratum by the deterministic
+    * (uniformHash64, id) order; row rn of stratum s gets
+    * `sched_key = rn · (L / weights(s))` with L = lcm(weights) — an
+    * exact integer rational ordering (rn / w without division), so a
+    * weight-2 stratum lands keys at half the stride of a weight-1
+    * stratum. Consumers sort by (sched_key, stratum, id) — a total
+    * SORT (range exchange), not a global window, so the schedule
+    * scales like any distributed sort. Strata absent from `weights`
+    * are dropped (weight 0).
+    */
+  def mixtureSchedule(
+      df: DataFrame,
+      idCol: String,
+      stratumCol: String,
+      weights: Map[String, Long],
+      seed: Long = 0L): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "mixtureSchedule: weights must be positive")
+    @annotation.tailrec
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    val L = weights.values.foldLeft(1L)((a, b) => a / gcd(a, b) * b)
+    val strides = weights.toSeq.sortBy(_._1)
+    val stride = strides.tail
+      .foldLeft(when(col(stratumCol) === strides.head._1,
+        lit(L / strides.head._2))) { case (acc, (s, wgt)) =>
+        acc.when(col(stratumCol) === s, lit(L / wgt))
+      }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(uniformHash64(col(idCol), seed), col(idCol))
+    df.withColumn("__stride", stride)
+      .where(col("__stride").isNotNull)
+      .withColumn("sched_key",
+        row_number().over(w).cast("long") * col("__stride"))
+      .drop("__stride")
+  }
 }

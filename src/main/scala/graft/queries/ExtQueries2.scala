@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Audit, Funnel, LangModel, Resample, Upsert, ZOrder}
+import graft.operators.{Audit, Funnel, LangModel, Resample, Sampling, Upsert, ZOrder}
 
 /** Round-7 extension queries: warehouse/analytics operators (funnel,
   * gap-fill resample, z-order layout, CDC merge) and the DSIR-style
@@ -366,6 +366,46 @@ object ExtQueries2 {
          CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
        FROM events GROUP BY user_id ORDER BY user_id"""
 
+  // ---------------------------------------------------------------
+  // q83 — proportional mixture interleaving: q72's geometric strata
+  // with weights 1/2/4/8 (rare strata up-weighted), emitted as the
+  // deterministic interleaved TRAINING ORDER. sched_key is the exact
+  // integer rational rank rn/w (rn · lcm/w), so the schedule is
+  // engine-exact; the ordering is a total sort, not a global window.
+  def q83(s: SparkSession, dir: String): DataFrame = {
+    val strat = t(s, dir, "documents").withColumn("stratum",
+      when(col("doc_id") % 2 === 1, "g0")
+        .when(col("doc_id") % 4 === 2, "g1")
+        .when(col("doc_id") % 8 === 4, "g2")
+        .otherwise("g3"))
+    Sampling.mixtureSchedule(strat, "doc_id", "stratum",
+        weights = Map("g0" -> 1L, "g1" -> 2L, "g2" -> 4L, "g3" -> 8L),
+        seed = 7L)
+      .select(col("sched_key"), col("stratum"), col("doc_id"))
+      .orderBy("sched_key", "stratum", "doc_id")
+  }
+
+  val q83Sql: String =
+    """WITH strat AS (
+         SELECT doc_id,
+           CASE WHEN doc_id % 2 = 1 THEN 'g0'
+                WHEN doc_id % 4 = 2 THEN 'g1'
+                WHEN doc_id % 8 = 4 THEN 'g2'
+                ELSE 'g3' END AS stratum
+         FROM documents),
+       r AS (SELECT doc_id, stratum,
+               row_number() OVER (PARTITION BY stratum ORDER BY u, doc_id)
+                 AS rn
+             FROM (SELECT doc_id, stratum,
+                     (CAST(doc_id + 7 AS HUGEINT) * 11400714819323198485)
+                       % 18446744073709551616 AS u
+                   FROM strat))
+       SELECT CAST(rn * (CASE stratum WHEN 'g0' THEN 8 WHEN 'g1' THEN 4
+                         WHEN 'g2' THEN 2 ELSE 1 END) AS BIGINT)
+                AS sched_key,
+         stratum, doc_id
+       FROM r ORDER BY sched_key, stratum, doc_id"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q73_funnel" -> (q73 _),
     "q74_resample" -> (q74 _),
@@ -377,6 +417,7 @@ object ExtQueries2 {
     "q80_quality_audit" -> (q80 _),
     "q81_text_formats" -> (q81 _),
     "q82_pivot" -> (q82 _),
+    "q83_mixture_schedule" -> (q83 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -390,5 +431,6 @@ object ExtQueries2 {
     "q80_quality_audit" -> q80Sql,
     "q81_text_formats" -> q81Sql,
     "q82_pivot" -> q82Sql,
+    "q83_mixture_schedule" -> q83Sql,
   )
 }

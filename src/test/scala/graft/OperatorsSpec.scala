@@ -32,6 +32,34 @@ class OperatorsSpec extends SparkSpec {
     assert(all.length == 2000 && all.forall(_.getLong(0) % 2 == 0))
   }
 
+  test("mixtureSchedule: proportional interleave, deterministic, drops unweighted strata") {
+    val rows = (0L until 900L).map(i => (i, s"s${i % 3}"))
+    val df = rows.toDF("id", "stratum")
+    val weights = Map("s0" -> 1L, "s1" -> 3L) // s2 unweighted → dropped
+    val sched = Sampling.mixtureSchedule(df, "id", "stratum", weights, seed = 5L)
+      .select("sched_key", "stratum", "id")
+      .orderBy("sched_key", "stratum", "id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(sched.length == 600, "unweighted stratum dropped")
+    assert(!sched.exists(_._2 == "s2"))
+    // proportionality: every prefix ending at a full cycle holds a
+    // 1:3 ratio; check the first 200 scheduled rows ≈ 50/150 ± cycle
+    val prefix = sched.take(200)
+    val n1 = prefix.count(_._2 == "s1")
+    assert(math.abs(n1 - 150) <= 3, s"s1 in prefix: $n1")
+    // sched_key is rn·stride exactly: min keys are stride-sized
+    val s0Keys = sched.filter(_._2 == "s0").map(_._1)
+    val s1Keys = sched.filter(_._2 == "s1").map(_._1)
+    assert(s0Keys.min == 3L && s1Keys.min == 1L) // lcm(1,3)=3
+    // deterministic across partitioning
+    val again = Sampling.mixtureSchedule(df.repartition(13), "id", "stratum",
+        weights, seed = 5L)
+      .select("sched_key", "stratum", "id")
+      .orderBy("sched_key", "stratum", "id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(sched.toSeq == again.toSeq)
+  }
+
   test("stratifiedExactK: exactly k per stratum, partition-independent, prefix-stable") {
     val rows = (0L until 300L).map(i => (i, s"s${i % 3}")) ++
       Seq((1000L, "tiny"), (1001L, "tiny")) // stratum smaller than k
