@@ -1306,4 +1306,51 @@ object Similarity extends Serializable {
       .withColumn("cos", cosine(col("qv"), col("nv"), col("qn"), col("nn")))
     topKPerQuery(scored, k)
   }
+
+  /** Nearest-seed partition assignment — the ASSIGN half of Lloyd's
+    * iteration as a standalone corpus-partitioning operator (the
+    * update half, decimal-exact distributed means, lives in
+    * [[trainCentroidsDistributed]]; the full loop is oracle-gated
+    * end-to-end through the IVF family). Seeds are the k lowest-id
+    * vectors — a deterministic, data-derived medoid seeding, so a
+    * cross-engine oracle can reconstruct them relationally.
+    *
+    * Scale shape: seeds collect to the driver (k rows — the same
+    * bounded-contract collect as the ANN query-set broadcasts) and
+    * unroll into LITERAL codegen expressions, so assignment is a
+    * SHUFFLE-FREE map over the corpus: k·dim fused multiply-adds per
+    * row inside whole-stage codegen, argmin via one array_min +
+    * array_position (ties → lowest seed id, matching the oracle's
+    * (dist, sid) order). The only exchange is the final cluster-size
+    * window.
+    *
+    * @return (id, cluster = seed id, cluster_n) — integer-only
+    *         output (suite invariant for similarity operators).
+    */
+  def seedAssign(vecs: DataFrame, idCol: String, vecCol: String,
+                 k: Int): DataFrame = {
+    require(k >= 1 && k <= 256, s"seedAssign: k in [1, 256], got $k")
+    val seeds: Array[(Long, Array[Double])] =
+      vecs.orderBy(col(idCol)).limit(k)
+        .select(col(idCol).cast(LongType),
+          col(vecCol).cast("array<double>"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    require(seeds.nonEmpty, "seedAssign: empty input")
+    val x = col(vecCol)
+    val dists: Seq[Column] = seeds.toIndexedSeq.map { case (_, s) =>
+      s.indices.map { i =>
+        val d = element_at(x, i + 1).cast("double") - lit(s(i))
+        d * d
+      }.reduce(_ + _)
+    }
+    val ids = array(seeds.map(s => lit(s._1)).toIndexedSeq: _*)
+    val darr = array(dists: _*)
+    val cluster = element_at(ids,
+      array_position(darr, array_min(darr)).cast("int"))
+    val sizes = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster"))
+    vecs.select(col(idCol).as("id"), cluster.as("cluster"))
+      .withColumn("cluster_n", count(lit(1)).over(sizes))
+  }
 }

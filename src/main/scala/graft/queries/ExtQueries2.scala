@@ -406,6 +406,38 @@ object ExtQueries2 {
          stratum, doc_id
        FROM r ORDER BY sched_key, stratum, doc_id"""
 
+  // ---------------------------------------------------------------
+  // q84 — nearest-seed partition assignment (the assign half of
+  // Lloyd, deterministic medoid seeding): every embedding goes to its
+  // closest of the 8 lowest-id vectors; integer-only output
+  // (cluster = seed id + cluster size). The oracle rebuilds the seeds
+  // relationally and replays the squared-L2 argmin with (dist, sid)
+  // tie order; a SimilaritySpec margin gate proves the argmin is
+  // insensitive to sub-ulp cross-engine distance differences.
+  def q84(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity
+      .seedAssign(t(s, dir, "embeddings"), "vec_id", "embedding", k = 8)
+      .withColumnRenamed("id", "vec_id")
+      .orderBy("vec_id")
+
+  val q84Sql: String =
+    """WITH seeds AS (SELECT vec_id AS sid, embedding AS semb
+                      FROM embeddings ORDER BY vec_id LIMIT 8),
+       d AS (SELECT e.vec_id, s.sid,
+               list_sum(list_transform(range(1, 65),
+                 i -> (CAST(e.embedding[i] AS DOUBLE)
+                        - CAST(s.semb[i] AS DOUBLE))
+                    * (CAST(e.embedding[i] AS DOUBLE)
+                        - CAST(s.semb[i] AS DOUBLE)))) AS dist
+             FROM embeddings e CROSS JOIN seeds s),
+       a AS (SELECT vec_id, sid AS cluster,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, sid)
+                 AS rn
+             FROM d)
+       SELECT vec_id, cluster,
+         CAST(count(*) OVER (PARTITION BY cluster) AS BIGINT) AS cluster_n
+       FROM a WHERE rn = 1 ORDER BY vec_id"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q73_funnel" -> (q73 _),
     "q74_resample" -> (q74 _),
@@ -418,6 +450,7 @@ object ExtQueries2 {
     "q81_text_formats" -> (q81 _),
     "q82_pivot" -> (q82 _),
     "q83_mixture_schedule" -> (q83 _),
+    "q84_kmeans_assign" -> (q84 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -432,5 +465,6 @@ object ExtQueries2 {
     "q81_text_formats" -> q81Sql,
     "q82_pivot" -> q82Sql,
     "q83_mixture_schedule" -> q83Sql,
+    "q84_kmeans_assign" -> q84Sql,
   )
 }

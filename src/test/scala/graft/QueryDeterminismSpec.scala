@@ -25,7 +25,8 @@ class QueryDeterminismSpec extends SparkSpec {
     // lean_frac, windowed mean); the rest are cheap to pin
     "q73_funnel", "q74_resample", "q75_zorder_layout",
     "q76_dsir_relevance", "q77_cdc_merge", "q79_moving_aggregate",
-    "q80_quality_audit", "q82_pivot")
+    "q80_quality_audit", "q82_pivot", "q83_mixture_schedule",
+    "q84_kmeans_assign")
 
   covered.foreach { name =>
     test(s"$name: output invariant to shuffle partitioning") {

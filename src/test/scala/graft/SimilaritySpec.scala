@@ -362,4 +362,47 @@ class SimilaritySpec extends SparkSpec {
       (1L, 1L, true), (2L, 1L, false), (3L, 1L, false), (10L, 10L, true)),
       s"got ${out.toSeq}")
   }
+
+  test("seedAssign: closed-form clusters, ties to lowest seed, partition-independent") {
+    // Seeds are ids 0 and 1 (k=2). id 2 sits nearer seed 1; id 3 is
+    // EXACTLY equidistant → tie goes to the lower seed id (0).
+    val df = Seq(
+      (0L, Array(0f, 0f)), (1L, Array(4f, 0f)),
+      (2L, Array(3f, 0f)), (3L, Array(2f, 0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.seedAssign(df, "vec_id", "embedding", k = 2)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((0L, 0L, 2L), (1L, 1L, 2L),
+      (2L, 1L, 2L), (3L, 0L, 2L)))
+    val repart = Similarity.seedAssign(df.repartition(7), "vec_id",
+        "embedding", k = 2)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(repart.toSeq == out.toSeq)
+  }
+
+  test("q84 argmin margins tolerate cross-engine ulp noise (sf0.01 + sf0.1)") {
+    // The oracle recomputes distances with its own fold; a sub-ulp
+    // disagreement only matters if some vector's best two seeds are
+    // nearly equidistant. Gate: relative margin > 1e-9 everywhere.
+    Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1").foreach { dir =>
+      val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      val seeds = vecs.orderBy(col("vec_id")).limit(8)
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      val dists = seeds.toIndexedSeq.map { case (_, s) =>
+        s.indices.map { i =>
+          val d = element_at(col("embedding"), i + 1).cast("double") - lit(s(i))
+          d * d
+        }.reduce(_ + _)
+      }
+      val sorted = array_sort(array(dists: _*))
+      val margin = vecs.select(
+          ((element_at(sorted, 2) - element_at(sorted, 1)) /
+            greatest(element_at(sorted, 1), lit(1e-300))).as("m"))
+        .agg(min(col("m"))).collect()(0).getDouble(0)
+      assert(margin > 1e-9, s"$dir min relative margin $margin")
+    }
+  }
 }
