@@ -45,13 +45,21 @@ object Pipeline {
       java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd_HHmmss")
         .withZone(java.time.ZoneOffset.UTC).format(meta.info.startTime)
     PartitionedSink.write(enriched, s"$outDir/data_parquet",
-      filePrefix = Some(prefix))
+      filePrefix = Some(prefix),
+      renameScope = Seq(meta.device.alias))
 
     // compute RMS from the parquet just written — decode runs ONCE;
     // the aggregate then reads the columnar sink (vectorized scan)
     // instead of re-decoding the .dat
     val axes = decoded.columns.filter(_ != "Time").map(Sanitize.column).toSeq
+    // Scope to THIS acquisition's alias partition: the table root
+    // accumulates every device's acquisitions, and an unfiltered scan
+    // would (a) mix another device's same-window samples into this
+    // RMS — wrong values whenever two devices record concurrently —
+    // and (b) read a sibling pipeline's files mid-rename. The filter
+    // partition-prunes to alias=<ours>, so neither can happen.
     val enrichedOnDisk = spark.read.parquet(s"$outDir/data_parquet")
+      .where(org.apache.spark.sql.functions.col("alias") === meta.device.alias)
     val rms = Rms.compute(enrichedOnDisk, axes, windowNs, completeness,
         alias = meta.device.alias)
       .persist() // 1 row/s/device — tiny; reused by the guard + sink
@@ -64,7 +72,8 @@ object Pipeline {
           None
         } else {
           PartitionedSink.write(rms, s"$outDir/data_parquet_rms",
-            filePrefix = Some(prefix + "_rms"))
+            filePrefix = Some(prefix + "_rms"),
+            renameScope = Seq(meta.device.alias))
           Some(rms)
         }
       } finally rms.unpersist()

@@ -37,7 +37,7 @@ object ExtQueries {
   /** The normative DuckDB 3-gram shingle CTE — ONE definition shared
     * by every oracle in the similarity-join family, mirroring
     * `Dedup.shingledFrame` being the one engine-side definition. */
-  private val shingleCte =
+  private[queries] val shingleCte =
     """WITH toks AS (SELECT doc_id, string_split(text,' ') w FROM documents),
        sh AS (SELECT doc_id, list_distinct([array_to_string(w[i:i+2],' ')
                 for i in range(1, len(w)-1)]) s FROM toks)"""

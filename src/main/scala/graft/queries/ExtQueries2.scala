@@ -438,6 +438,137 @@ object ExtQueries2 {
          CAST(count(*) OVER (PARTITION BY cluster) AS BIGINT) AS cluster_n
        FROM a WHERE rn = 1 ORDER BY vec_id"""
 
+  // ---------------------------------------------------------------
+  // q85 — GROUPING SETS with an arbitrary (non-rollup) set list plus
+  // grouping_id: (status, priority), (priority), () — the shape
+  // rollup/cube can't express (q15/q19 cover those). NULL group keys
+  // coalesce to 'ALL' (suite convention); gid disambiguates.
+  def q85(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+          Seq(col("o_orderpriority")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("st"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("pri"),
+        col("gid"), col("n"))
+      .orderBy("gid", "st", "pri")
+
+  val q85Sql: String =
+    """SELECT coalesce(o_orderstatus, 'ALL') AS st,
+         coalesce(o_orderpriority, 'ALL') AS pri,
+         CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+         count(*) AS n
+       FROM orders
+       GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                               (o_orderpriority), ())
+       ORDER BY gid, st, pri"""
+
+  // ---------------------------------------------------------------
+  // q86 — ranking-window zoo: ntile, percent_rank, cume_dist, and a
+  // running first_value per status, ordered by (price, key) so every
+  // rank is tie-free and the rational rank doubles ((r−1)/(n−1),
+  // r/n) are the same single divisions in both engines.
+  def q86(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .select(col("o_orderkey"),
+        ntile(8).over(w).as("tile"),
+        percent_rank().over(w).as("prank"),
+        cume_dist().over(w).as("cdist"),
+        first(col("o_orderkey")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("cheapest"))
+      .orderBy("o_orderkey")
+  }
+
+  val q86Sql: String =
+    """SELECT o_orderkey,
+         CAST(ntile(8) OVER w AS INT) AS tile,
+         percent_rank() OVER w AS prank,
+         cume_dist() OVER w AS cdist,
+         first_value(o_orderkey) OVER
+           (PARTITION BY o_orderstatus
+            ORDER BY o_totalprice, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cheapest
+       FROM orders
+       WINDOW w AS (PARTITION BY o_orderstatus
+                    ORDER BY o_totalprice, o_orderkey)
+       ORDER BY o_orderkey"""
+
+  // ---------------------------------------------------------------
+  // q87 — edit-distance verification stage: the q22 Jaccard
+  // candidates re-scored with exact Levenshtein distance and a
+  // 25%-edit near-exact gate — the classic two-stage fuzzy-dedup
+  // shape (cheap set-similarity candidates → exact string verify on
+  // the tiny survivor set, never corpus × corpus).
+  def q87(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.operators.Dedup.jaccardJoin(docs, "doc_id", "text", 0.5)
+      .join(docs.select(col("doc_id").as("a"), col("text").as("ta")), Seq("a"))
+      .join(docs.select(col("doc_id").as("b"), col("text").as("tb")), Seq("b"))
+      .withColumn("lev", levenshtein(col("ta"), col("tb")).cast("long"))
+      .select(col("a"), col("b"), col("lev"),
+        (lit(4L) * col("lev") <=
+          greatest(length(col("ta")), length(col("tb"))).cast("long"))
+          .as("near_exact"))
+      .orderBy("a", "b")
+  }
+
+  val q87Sql: String = ExtQueries.shingleCte +
+    """,
+       p AS (SELECT a.doc_id AS a, b.doc_id AS b
+             FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             WHERE CAST(len(list_intersect(a.s,b.s)) AS DOUBLE)
+                   >= 0.5*(len(a.s)+len(b.s)-len(list_intersect(a.s,b.s)))
+               AND (len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))) > 0)
+       SELECT p.a, p.b,
+         CAST(levenshtein(da.text, db.text) AS BIGINT) AS lev,
+         4 * levenshtein(da.text, db.text)
+           <= greatest(length(da.text), length(db.text)) AS near_exact
+       FROM p JOIN documents da ON p.a = da.doc_id
+              JOIN documents db ON p.b = db.doc_id
+       ORDER BY a, b"""
+
+  // ---------------------------------------------------------------
+  // q88 — STREAM-STREAM interval join: views and purchases land as
+  // two live file streams; purchases within an hour of a same-user
+  // view pair up through two-sided join state. Watermark delay (30
+  // days) exceeds the data span, so nothing is evicted early and the
+  // streamed pair set ≡ the batch interval join the oracle runs.
+  def q88(s: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_q88").toString
+    val ev = t(s, dir, "events")
+    ev.where(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("aid"),
+        expr("ts div 1000").as("atus"))
+      .repartition(2).write.parquet(s"$base/views")
+    ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("bid"),
+        expr("ts div 1000").as("btus"))
+      .repartition(2).write.parquet(s"$base/purchases")
+    graft.streaming.StreamJoin.runIntervalJoin(s, s"$base/views",
+      s"$base/purchases", s"$base/out", s"$base/ckpt",
+      maxGapUs = 3600000000L)
+    val out = s.read.parquet(s"$base/out")
+      .groupBy("user_id").agg(count(lit(1)).as("pairs"))
+      .localCheckpoint(eager = true)
+    IngestQueries.deleteTree(java.nio.file.Paths.get(base))
+    out.orderBy("user_id")
+  }
+
+  val q88Sql: String =
+    """SELECT a.user_id, count(*) AS pairs
+       FROM events a JOIN events b
+       ON a.user_id = b.user_id
+          AND a.event_type = 'view' AND b.event_type = 'purchase'
+          AND epoch_us(b.ts) > epoch_us(a.ts)
+          AND epoch_us(b.ts) - epoch_us(a.ts) <= 3600000000
+       GROUP BY a.user_id ORDER BY a.user_id"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q73_funnel" -> (q73 _),
     "q74_resample" -> (q74 _),
@@ -451,6 +582,10 @@ object ExtQueries2 {
     "q82_pivot" -> (q82 _),
     "q83_mixture_schedule" -> (q83 _),
     "q84_kmeans_assign" -> (q84 _),
+    "q85_grouping_sets" -> (q85 _),
+    "q86_window_zoo" -> (q86 _),
+    "q87_edit_distance" -> (q87 _),
+    "q88_stream_stream_join" -> (q88 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -466,5 +601,9 @@ object ExtQueries2 {
     "q82_pivot" -> q82Sql,
     "q83_mixture_schedule" -> q83Sql,
     "q84_kmeans_assign" -> q84Sql,
+    "q85_grouping_sets" -> q85Sql,
+    "q86_window_zoo" -> q86Sql,
+    "q87_edit_distance" -> q87Sql,
+    "q88_stream_stream_join" -> q88Sql,
   )
 }

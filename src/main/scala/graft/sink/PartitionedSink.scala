@@ -42,12 +42,22 @@ object PartitionedSink {
     *   copy-on-rename object stores prefer the default (None), where
     *   idempotency comes from dynamic partition overwrite alone.
     */
+  /** @param renameScope when non-empty, the post-commit rename pass
+    *   walks ONLY `alias=<value>` subtrees for these alias values.
+    *   CONCURRENT writers to one table root (the reference's ≤6
+    *   function instances) MUST scope to their own alias: an unscoped
+    *   walk renames a sibling writer's freshly committed part files
+    *   while that writer is still reading them back (observed as
+    *   FILE_NOT_EXIST in its RMS read). Empty = whole tree
+    *   (single-writer mode).
+    */
   def write(
       df: DataFrame,
       outDir: String,
       timeCol: String = "Time",
       filesPerDir: Int = 32,
-      filePrefix: Option[String] = None): Unit = {
+      filePrefix: Option[String] = None,
+      renameScope: Seq[String] = Nil): Unit = {
     // integer `div`, NOT `/`: double division of epoch-ns longs loses
     // precision above 2^53 (ulp ≈ 256 ns at 2025 epochs), which can
     // drop a row within ~1 µs of midnight into the wrong day dir
@@ -70,7 +80,17 @@ object PartitionedSink {
       .option("parquet.enable.dictionary#alias", "true")
       .partitionBy("alias", "year", "month", "day")
       .parquet(outDir)
-    filePrefix.foreach(p => deterministicNames(df, outDir, p))
+    filePrefix.foreach { p =>
+      val roots =
+        if (renameScope.isEmpty) Seq(outDir)
+        else renameScope.map(a => s"$outDir/alias=$a")
+      roots.foreach(r => deterministicNames(df, r, p))
+      // the renames happen underneath any listing this session may
+      // have cached for the path (FileStatusCache) — a later reader
+      // would list the old part-* names and die with FILE_NOT_EXIST;
+      // drop the stale entries now that the layout is final
+      df.sparkSession.catalog.refreshByPath(outDir)
+    }
   }
 
   /** Rename committed part files to `<prefix>_NNNNN.parquet` per

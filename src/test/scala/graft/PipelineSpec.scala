@@ -116,6 +116,21 @@ class PipelineSpec extends SparkSpec {
     assert(Pipeline.processLanding(spark, landing, out) == 2)
     val enriched = spark.read.parquet(s"$out/data_parquet")
     assert(enriched.select("alias").distinct().count() == 2)
+    // each acquisition's RMS must equal a SOLO run's — a read-back
+    // that scanned the sibling alias would double the window energy
+    val solo = tmpDir("out_solo")
+    val landingSolo = tmpDir("landing_solo")
+    AcquisitionFixture.write(s"$landingSolo/a1", spec)
+    assert(Pipeline.processLanding(spark, landingSolo, solo) == 1)
+    val multiRms = spark.read.parquet(s"$out/data_parquet_rms")
+      .where(col("alias") === spec.alias)
+      .select("Time", "rms_x", "rms_y", "rms_z", "rms_mod")
+    val soloRms = spark.read.parquet(s"$solo/data_parquet_rms")
+      .select("Time", "rms_x", "rms_y", "rms_z", "rms_mod")
+    assert(multiRms.count() > 0)
+    assert(multiRms.exceptAll(soloRms).isEmpty &&
+      soloRms.exceptAll(multiRms).isEmpty,
+      "concurrent-run RMS drifted from the solo run")
   }
 
   test("splittable decode: multi-split == single-split (anchor chain)") {
