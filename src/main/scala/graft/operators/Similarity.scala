@@ -1327,6 +1327,75 @@ object Similarity extends Serializable {
     * @return (id, cluster = seed id, cluster_n) — integer-only
     *         output (suite invariant for similarity operators).
     */
+  /** Maximal Marginal Relevance selection (Carbonell & Goldstein
+    * 1998): from the query's top-`poolSize` cosine candidates, pick
+    * `k` results greedily by `lambda·rel − mu·max_sim_to_selected` —
+    * relevance with a diversity penalty, the standard re-rank between
+    * ANN retrieval and serving.
+    *
+    * Scale shape: the candidate pool is a DISTRIBUTED exact-cosine
+    * top-R (one pass, map-side heaps via TakeOrdered); only those R
+    * rows collect (the bounded serving contract, like the ANN query
+    * broadcasts), and the O(k·R) greedy runs on them. `mu` is an
+    * explicit parameter, NOT computed as 1−lambda: 1−0.7 is
+    * 0.30000000000000004 in IEEE — an oracle writing the literal 0.3
+    * would silently disagree.
+    *
+    * @return (rank, vec_id) — the selection order, integers only.
+    */
+  def mmrSelect(corpus: DataFrame, idCol: String, vecCol: String,
+                queryId: Long, k: Int, poolSize: Int,
+                lambda: Double, mu: Double): DataFrame = {
+    require(k >= 1 && poolSize >= k, "mmrSelect: need poolSize >= k >= 1")
+    val spark = corpus.sparkSession
+    val qRows = corpus.where(col(idCol) === queryId)
+      .select(col(vecCol).cast("array<double>")).collect()
+    require(qRows.nonEmpty, s"mmrSelect: query id $queryId not found")
+    val qv = qRows(0).getSeq[Double](0).toArray
+    val qn = math.sqrt(qv.map(x => x * x).sum)
+    val dotQ = qv.indices
+      .map(i => element_at(col("v"), i + 1) * lit(qv(i)))
+      .reduce(_ + _)
+    val pool = corpus.where(col(idCol) =!= queryId)
+      .select(col(idCol).cast(LongType).as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("rel", dotQ / (norm(col("v")) * lit(qn)))
+      .orderBy(col("rel").desc, col("id"))
+      .limit(poolSize)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double])]
+    val remaining = scala.collection.mutable.LinkedHashMap(
+      pool.map(p => p._1 -> p).toIndexedSeq: _*)
+    while (selected.size < k && remaining.nonEmpty) {
+      // argmax score, ties → lowest id (iterate ascending-id order of
+      // the pool, strict > keeps the first/lowest winner)
+      var best: (Long, Array[Double], Double) = null
+      var bestScore = Double.NegativeInfinity
+      remaining.valuesIterator.foreach { case (id, v, rel) =>
+        val maxSim =
+          if (selected.isEmpty) 0.0
+          else selected.iterator.map(s => cos(v, s._2)).max
+        val score = lambda * rel - mu * maxSim
+        if (score > bestScore ||
+          (score == bestScore && (best == null || id < best._1))) {
+          bestScore = score; best = (id, v, rel)
+        }
+      }
+      selected += ((best._1, best._2))
+      remaining.remove(best._1)
+    }
+    import spark.implicits._
+    selected.toIndexedSeq.zipWithIndex
+      .map { case ((id, _), i) => (i + 1L, id) }
+      .toDF("rank", "vec_id")
+  }
+
   def seedAssign(vecs: DataFrame, idCol: String, vecCol: String,
                  k: Int): DataFrame = {
     require(k >= 1 && k <= 256, s"seedAssign: k in [1, 256], got $k")

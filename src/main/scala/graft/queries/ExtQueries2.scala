@@ -569,6 +569,49 @@ object ExtQueries2 {
           AND epoch_us(b.ts) - epoch_us(a.ts) <= 3600000000
        GROUP BY a.user_id ORDER BY a.user_id"""
 
+  // ---------------------------------------------------------------
+  // q89 — MMR diverse re-rank (Carbonell & Goldstein 1998): top-20
+  // cosine pool for query vec 0, then 5 greedy picks by
+  // 0.7·rel − 0.3·max-sim-to-selected. Integer-only output (the
+  // selection order); the oracle unrolls the greedy step by step
+  // with correlated max-sim subqueries. mu = 0.3 is an explicit
+  // literal in BOTH engines (1 − 0.7 ≠ 0.3 in IEEE). A margin spec
+  // proves every greedy decision has >1e-9 relative separation.
+  def q89(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.mmrSelect(t(s, dir, "embeddings"),
+        "vec_id", "embedding", queryId = 0L, k = 5, poolSize = 20,
+        lambda = 0.7, mu = 0.3)
+      .orderBy("rank")
+
+  val q89Sql: String = {
+    val steps = (2 to 5).map { n =>
+      s""",
+       sel$n AS (SELECT id, v, rel, $n AS rank FROM (
+           SELECT p.id, p.v, p.rel,
+             0.7*p.rel - 0.3*(SELECT max(list_cosine_similarity(p.v, a.v))
+                              FROM all${n - 1} a) AS score
+           FROM pool p ANTI JOIN all${n - 1} USING (id))
+         ORDER BY score DESC, id LIMIT 1),
+       all$n AS (SELECT id, v, rel, rank FROM all${n - 1}
+                 UNION ALL SELECT id, v, rel, rank FROM sel$n)"""
+    }.mkString
+    s"""WITH pool AS (
+         SELECT e.vec_id AS id,
+           list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS v,
+           list_cosine_similarity(
+             list_transform(e.embedding, x -> CAST(x AS DOUBLE)), q.v) AS rel
+         FROM embeddings e,
+           (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings WHERE vec_id = 0) q
+         WHERE e.vec_id <> 0
+         ORDER BY rel DESC, id LIMIT 20),
+       sel1 AS (SELECT id, v, rel, 1 AS rank FROM pool
+                ORDER BY rel DESC, id LIMIT 1),
+       all1 AS (SELECT id, v, rel, rank FROM sel1)$steps
+       SELECT CAST(rank AS BIGINT) AS rank, id AS vec_id
+       FROM all5 ORDER BY rank"""
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q73_funnel" -> (q73 _),
     "q74_resample" -> (q74 _),
@@ -586,6 +629,7 @@ object ExtQueries2 {
     "q86_window_zoo" -> (q86 _),
     "q87_edit_distance" -> (q87 _),
     "q88_stream_stream_join" -> (q88 _),
+    "q89_mmr_rerank" -> (q89 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -605,5 +649,6 @@ object ExtQueries2 {
     "q86_window_zoo" -> q86Sql,
     "q87_edit_distance" -> q87Sql,
     "q88_stream_stream_join" -> q88Sql,
+    "q89_mmr_rerank" -> q89Sql,
   )
 }

@@ -382,6 +382,61 @@ class SimilaritySpec extends SparkSpec {
     assert(repart.toSeq == out.toSeq)
   }
 
+  test("mmrSelect: closed-form pick order and diversity behavior") {
+    // 3-D so diversity can exist off the relevance axis (on a 2-D arc
+    // every relevant vector is also similar to every other): 1 and 3
+    // are equally relevant in ORTHOGONAL planes (exact rel tie → id 1
+    // first); 2 is slightly less relevant but nearly a duplicate of
+    // 1, so the diversity penalty must rank 3 above 2.
+    val df = Seq(
+      (0L, Array(1f, 0f, 0f)),
+      (1L, Array(0.9f, 0.436f, 0f)),
+      (2L, Array(0.89f, 0.456f, 0f)),
+      (3L, Array(0.9f, 0f, 0.436f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.mmrSelect(df, "vec_id", "embedding",
+        queryId = 0L, k = 3, poolSize = 3, lambda = 0.5, mu = 0.5)
+      .orderBy("rank").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 1L), (2L, 3L), (3L, 2L)), s"got ${out.toSeq}")
+  }
+
+  test("q89 greedy margins tolerate cross-engine ulp noise (sf0.01 + sf0.1)") {
+    // Replay q89's pool + greedy in plain Scala and assert each
+    // decision (pool cut at 20, every argmax step) is separated by
+    // >1e-9 relative — sub-ulp cosine disagreement cannot change the
+    // oracle's picks.
+    Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1").foreach { dir =>
+      val rows = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      val qv = rows.find(_._1 == 0L).get._2
+      def cos(a: Array[Double], b: Array[Double]): Double = {
+        var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+        d / (math.sqrt(na) * math.sqrt(nb))
+      }
+      val rel = rows.filter(_._1 != 0L)
+        .map { case (id, v) => (id, v, cos(v, qv)) }
+        .sortBy(t => (-t._3, t._1))
+      val cut = (rel(19)._3 - rel(20)._3) / math.max(math.abs(rel(19)._3), 1e-300)
+      assert(cut > 1e-9, s"$dir pool-boundary margin $cut")
+      var pool = rel.take(20).toBuffer
+      var selected = List.empty[(Long, Array[Double])]
+      (1 to 5).foreach { _ =>
+        val scored = pool.map { case (id, v, r) =>
+          val ms = if (selected.isEmpty) 0.0
+            else selected.map(s => cos(v, s._2)).max
+          (id, v, 0.7 * r - 0.3 * ms)
+        }.sortBy(t => (-t._3, t._1))
+        val margin = (scored(0)._3 - scored(1)._3) /
+          math.max(math.abs(scored(0)._3), 1e-300)
+        assert(margin > 1e-9, s"$dir greedy step margin $margin")
+        selected ::= ((scored(0)._1, scored(0)._2))
+        pool = pool.filterNot(_._1 == scored(0)._1)
+      }
+    }
+  }
+
   test("q84 argmin margins tolerate cross-engine ulp noise (sf0.01 + sf0.1)") {
     // The oracle recomputes distances with its own fold; a sub-ulp
     // disagreement only matters if some vector's best two seeds are
