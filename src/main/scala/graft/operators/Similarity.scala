@@ -1406,12 +1406,17 @@ object Similarity extends Serializable {
         .collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     require(seeds.nonEmpty, "seedAssign: empty input")
-    val x = col(vecCol)
+    // ‖x−s‖² = x·x − 2·x·s + ‖s‖² through the DotProduct kernel: k
+    // compact codegen calls instead of a k·dim-term unrolled sum,
+    // whose janino compilation dominated the query at k·dim ≈ 512.
+    // The expansion reorders the float ops vs the oracle's Σ(x−s)²
+    // — covered by the >1e-9 argmin-margin gate (SimilaritySpec).
+    val withV = vecs.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("__xv"))
+    val xx = graft.functions.DotProduct(col("__xv"), col("__xv"))
     val dists: Seq[Column] = seeds.toIndexedSeq.map { case (_, s) =>
-      s.indices.map { i =>
-        val d = element_at(x, i + 1).cast("double") - lit(s(i))
-        d * d
-      }.reduce(_ + _)
+      xx - lit(2.0) * graft.functions.DotProduct(col("__xv"),
+        typedLit(s.toSeq)) + lit(s.map(x => x * x).sum)
     }
     val ids = array(seeds.map(s => lit(s._1)).toIndexedSeq: _*)
     val darr = array(dists: _*)
@@ -1419,7 +1424,7 @@ object Similarity extends Serializable {
       array_position(darr, array_min(darr)).cast("int"))
     val sizes = org.apache.spark.sql.expressions.Window
       .partitionBy(col("cluster"))
-    vecs.select(col(idCol).as("id"), cluster.as("cluster"))
+    withV.select(col("id"), cluster.as("cluster"))
       .withColumn("cluster_n", count(lit(1)).over(sizes))
   }
 }

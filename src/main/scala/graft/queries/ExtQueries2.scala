@@ -228,9 +228,17 @@ object ExtQueries2 {
       java.nio.file.Files.setLastModifiedTime(f,
         java.nio.file.attribute.FileTime.fromMillis(maxMs + 60000L))
     }
-    graft.streaming.Sessionize.runSessionize(s, landing.toString,
-      s"$base/out", s"$base/ckpt", gapUs = 1800000000L,
-      maxFilesPerTrigger = Some(1))
+    // 8 state-store partitions, not the session's 32: the stateful
+    // overhead is per-partition-per-batch (store commit + snapshot),
+    // and 150-1500 session keys don't need 32-way state parallelism.
+    // Output is unaffected (ordered collect downstream).
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    try {
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      graft.streaming.Sessionize.runSessionize(s, landing.toString,
+        s"$base/out", s"$base/ckpt", gapUs = 1800000000L,
+        maxFilesPerTrigger = Some(1))
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     val out = s.read.parquet(s"$base/out")
       .where(col("user_id") >= 0)
       .localCheckpoint(eager = true)
@@ -550,9 +558,15 @@ object ExtQueries2 {
       .select(col("user_id"), col("event_id").as("bid"),
         expr("ts div 1000").as("btus"))
       .repartition(2).write.parquet(s"$base/purchases")
-    graft.streaming.StreamJoin.runIntervalJoin(s, s"$base/views",
-      s"$base/purchases", s"$base/out", s"$base/ckpt",
-      maxGapUs = 3600000000L)
+    // 8 join-state partitions (see q78): two-sided state commits per
+    // partition per batch dominate at this key cardinality.
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    try {
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      graft.streaming.StreamJoin.runIntervalJoin(s, s"$base/views",
+        s"$base/purchases", s"$base/out", s"$base/ckpt",
+        maxGapUs = 3600000000L)
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     val out = s.read.parquet(s"$base/out")
       .groupBy("user_id").agg(count(lit(1)).as("pairs"))
       .localCheckpoint(eager = true)
