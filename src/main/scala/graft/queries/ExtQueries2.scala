@@ -626,6 +626,60 @@ object ExtQueries2 {
        FROM all5 ORDER BY rank"""
   }
 
+  // ---------------------------------------------------------------
+  // q90 — small-file compaction: lineitem fragmented into 64 shards,
+  // compacted back to size-targeted files by rewrite-and-swap. The
+  // oracle reads the ORIGINAL table — compaction must preserve every
+  // row bit-for-bit; a spec asserts the file count actually shrank.
+  def q90(s: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_q90").toString
+    t(s, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .repartition(64).write.parquet(s"$base/frag")
+    graft.operators.Maintenance.compactFiles(s, s"$base/frag",
+      s"$base/compact", targetFileBytes = 16L * 1024 * 1024)
+    val out = s.read.parquet(s"$base/compact")
+      .localCheckpoint(eager = true)
+    IngestQueries.deleteTree(java.nio.file.Paths.get(base))
+    // (l_orderkey, l_linenumber) is NOT unique in the synthetic
+    // lineitem — order by every column; remaining ties are identical
+    // rows, so the value hash is order-insensitive to them
+    out.orderBy("l_orderkey", "l_linenumber", "l_quantity",
+      "l_extendedprice")
+  }
+
+  val q90Sql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+       FROM lineitem
+       ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice"""
+
+  // ---------------------------------------------------------------
+  // q91 — incremental aggregate maintenance: revenue-per-customer
+  // kept as a maintained aggregate; a 10% delta batch merges in via
+  // the associative combine instead of a base-table rescan. The
+  // oracle aggregates the full table in one pass — any combine error
+  // (double-count, dropped group, non-associative sum) fails the
+  // hash. Decimal sums keep the combine order-independent.
+  def q91(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    def agg(df: DataFrame): DataFrame =
+      df.groupBy("o_custkey").agg(
+        count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(30,8)")).as("rev"))
+    val maintained = agg(o.where(col("o_orderkey") % 10 =!= 0))
+    val delta = agg(o.where(col("o_orderkey") % 10 === 0))
+    graft.operators.Maintenance
+      .combineAggregates(maintained, delta, Seq("o_custkey"), Seq("rev"))
+      .select(col("o_custkey"), col("n"),
+        col("rev").cast("double").as("revenue"))
+      .orderBy("o_custkey")
+  }
+
+  val q91Sql: String =
+    """SELECT o_custkey, count(*) AS n,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS revenue
+       FROM orders GROUP BY o_custkey ORDER BY o_custkey"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q73_funnel" -> (q73 _),
     "q74_resample" -> (q74 _),
@@ -644,6 +698,8 @@ object ExtQueries2 {
     "q87_edit_distance" -> (q87 _),
     "q88_stream_stream_join" -> (q88 _),
     "q89_mmr_rerank" -> (q89 _),
+    "q90_compaction" -> (q90 _),
+    "q91_incremental_agg" -> (q91 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -664,5 +720,7 @@ object ExtQueries2 {
     "q87_edit_distance" -> q87Sql,
     "q88_stream_stream_join" -> q88Sql,
     "q89_mmr_rerank" -> q89Sql,
+    "q90_compaction" -> q90Sql,
+    "q91_incremental_agg" -> q91Sql,
   )
 }

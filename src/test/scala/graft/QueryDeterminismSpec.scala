@@ -27,7 +27,8 @@ class QueryDeterminismSpec extends SparkSpec {
     "q76_dsir_relevance", "q77_cdc_merge", "q79_moving_aggregate",
     "q80_quality_audit", "q82_pivot", "q83_mixture_schedule",
     "q84_kmeans_assign", "q85_grouping_sets", "q86_window_zoo",
-    "q87_edit_distance", "q89_mmr_rerank")
+    "q87_edit_distance", "q89_mmr_rerank", "q90_compaction",
+    "q91_incremental_agg")
 
   covered.foreach { name =>
     test(s"$name: output invariant to shuffle partitioning") {

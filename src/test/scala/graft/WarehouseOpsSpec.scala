@@ -175,6 +175,38 @@ class WarehouseOpsSpec extends SparkSpec {
       "distinct_count:cat" -> 2L, "violations:nonpos_x" -> 2L))
   }
 
+  // ------------------------------------------------------ maintenance
+
+  test("compactFiles: shrinks the file count, preserves every row") {
+    val base = tmpDir("graft_compact")
+    val df = spark.range(20000).select(col("id"), (col("id") % 97).as("v"))
+    df.repartition(40).write.parquet(s"$base/frag")
+    val nFrag = new java.io.File(s"$base/frag").list()
+      .count(_.endsWith(".parquet"))
+    assert(nFrag == 40)
+    val nOut = graft.operators.Maintenance.compactFiles(spark,
+      s"$base/frag", s"$base/out", targetFileBytes = 1L << 30)
+    assert(nOut == 1, s"expected 1 compacted file, got $nOut")
+    val a = spark.read.parquet(s"$base/out")
+    assert(a.exceptAll(df).isEmpty && df.exceptAll(a).isEmpty)
+  }
+
+  test("combineAggregates ≡ full aggregate over the union") {
+    val rows = (0L until 1000L).map(i => (i % 37, i * 3 % 101))
+    val df = rows.toDF("k", "x")
+    def agg(d: org.apache.spark.sql.DataFrame) =
+      d.groupBy("k").agg(count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(30,8)")).as("s"))
+    val merged = graft.operators.Maintenance.combineAggregates(
+        agg(df.where(col("x") % 3 =!= 0)), agg(df.where(col("x") % 3 === 0)),
+        Seq("k"), Seq("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDecimal(2).doubleValue)).toSet
+    val full = agg(df).collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getDecimal(2).doubleValue)).toSet
+    assert(merged == full)
+  }
+
   // ------------------------------------------------- domain relevance
 
   test("domainRelevance: hand-computed lean decisions") {
