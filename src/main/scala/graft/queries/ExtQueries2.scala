@@ -680,6 +680,35 @@ object ExtQueries2 {
          CAST(sum(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS revenue
        FROM orders GROUP BY o_custkey ORDER BY o_custkey"""
 
+  // ---------------------------------------------------------------
+  // q92 — SLIDING (overlapping) windows: 2-hour windows advancing
+  // hourly, per event type — each event lands in exactly two windows
+  // (q32 covers session windows; this is the hopping variant of
+  // SURVEY §2.B). The oracle expands each event into its two window
+  // starts with a list comprehension and re-aggregates.
+  def q92(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("tsm", timestamp_micros(expr("ts div 1000")))
+      .groupBy(col("event_type"),
+        window(col("tsm"), "2 hours", "1 hour"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(30,8)")).cast("double").as("vsum"))
+      .select(col("event_type"),
+        unix_micros(col("window.start")).as("win_start"),
+        col("n"), col("vsum"))
+      .orderBy("event_type", "win_start")
+
+  val q92Sql: String =
+    """WITH expanded AS (
+         SELECT event_type, value,
+           unnest([(epoch_us(ts) // 3600000000) * 3600000000,
+                   (epoch_us(ts) // 3600000000) * 3600000000 - 3600000000])
+             AS win_start
+         FROM events)
+       SELECT event_type, win_start, count(*) AS n,
+         CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS vsum
+       FROM expanded GROUP BY 1, 2 ORDER BY event_type, win_start"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q73_funnel" -> (q73 _),
     "q74_resample" -> (q74 _),
@@ -700,6 +729,7 @@ object ExtQueries2 {
     "q89_mmr_rerank" -> (q89 _),
     "q90_compaction" -> (q90 _),
     "q91_incremental_agg" -> (q91 _),
+    "q92_sliding_window" -> (q92 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -722,5 +752,6 @@ object ExtQueries2 {
     "q89_mmr_rerank" -> q89Sql,
     "q90_compaction" -> q90Sql,
     "q91_incremental_agg" -> q91Sql,
+    "q92_sliding_window" -> q92Sql,
   )
 }
