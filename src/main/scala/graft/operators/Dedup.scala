@@ -51,7 +51,11 @@ object Dedup {
     * disagree on what a shingle is. */
   private def shingledFrame(
       df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(col(idCol).as("id"), shingles(col(textCol), n).as("s"))
+    // sorted ascending (binary UTF8 order) so the verification stage
+    // can count intersections with the allocation-free merge-walk
+    // kernel (SortedIntersectCount) instead of per-pair hash sets
+    df.select(col(idCol).as("id"),
+        sort_array(shingles(col(textCol), n)).as("s"))
       .withColumn("sz", size(col("s")))
       .localCheckpoint(eager = false)
 
@@ -229,7 +233,7 @@ object Dedup {
     cand
       .join(sh.select(col("id").as("a"), col("s").as("sa"), col("sz").as("asz")), Seq("a"))
       .join(sh.select(col("id").as("b"), col("s").as("sb"), col("sz").as("bsz")), Seq("b"))
-      .withColumn("n_inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("n_inter", graft.functions.SortedIntersectCount(col("sa"), col("sb")).cast("long"))
       .withColumn("n_union", (col("asz") + col("bsz") - col("n_inter")).cast("long"))
       .where(col("n_inter").cast("double") >= lit(threshold) * col("n_union").cast("double"))
       .select(col("a"), col("b"), col("n_inter"), col("n_union"))
@@ -321,7 +325,7 @@ object Dedup {
     cand
       .join(sh.select(col("id").as("a"), col("s").as("sa")), Seq("a"))
       .join(sh.select(col("id").as("b"), col("s").as("sb")), Seq("b"))
-      .withColumn("n_inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("n_inter", graft.functions.SortedIntersectCount(col("sa"), col("sb")))
       .withColumn("n_union", size(col("sa")) + size(col("sb")) - col("n_inter"))
       .where(col("n_inter").cast("double") >= lit(threshold) * col("n_union").cast("double"))
       .select(col("a"), col("b"), col("n_inter"), col("n_union"))
@@ -397,7 +401,7 @@ object Dedup {
     cand
       .join(shL.select(col("id").as("a"), col("s").as("sa"), col("sz").as("asz")), Seq("a"))
       .join(shR.select(col("id").as("b"), col("s").as("sb"), col("sz").as("bsz")), Seq("b"))
-      .withColumn("n_inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("n_inter", graft.functions.SortedIntersectCount(col("sa"), col("sb")).cast("long"))
       .withColumn("n_union", (col("asz") + col("bsz") - col("n_inter")).cast("long"))
       .where(col("n_inter").cast("double") >= lit(threshold) * col("n_union").cast("double"))
       .select(col("a"), col("b"), col("n_inter"), col("n_union"))
@@ -448,7 +452,7 @@ object Dedup {
     cand
       .join(shL.select(col("id").as("a"), col("s").as("sa")), Seq("a"))
       .join(shR.select(col("id").as("b"), col("s").as("sb"), col("sz").as("n_b")), Seq("b"))
-      .withColumn("n_inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("n_inter", graft.functions.SortedIntersectCount(col("sa"), col("sb")).cast("long"))
       .where(col("n_b") > 0 &&
         col("n_inter").cast("double") >= lit(threshold) * col("n_b").cast("double"))
       .select(col("a"), col("b"), col("n_inter"), col("n_b").cast("long").as("n_b"))
@@ -482,7 +486,7 @@ object Dedup {
     cand
       .join(shL.select(col("id").as("a"), col("s").as("sa")), Seq("a"))
       .join(shR.select(col("id").as("b"), col("s").as("sb")), Seq("b"))
-      .withColumn("n_inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("n_inter", graft.functions.SortedIntersectCount(col("sa"), col("sb")).cast("long"))
       .withColumn("n_union",
         (size(col("sa")) + size(col("sb")) - col("n_inter")).cast("long"))
       .where(col("n_inter").cast("double") >= lit(threshold) * col("n_union").cast("double"))

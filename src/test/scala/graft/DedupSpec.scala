@@ -5,6 +5,22 @@ import org.apache.spark.sql.functions._
 import graft.operators.Dedup
 
 class DedupSpec extends SparkSpec {
+
+  test("SortedIntersectCount ≡ size(array_intersect) on sorted distinct arrays") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val rows = (0 until 300).map { _ =>
+      def arr() = (0 until rnd.nextInt(30))
+        .map(_ => s"w${rnd.nextInt(40)}").distinct.sorted
+      (arr(), arr())
+    } :+ ((Seq.empty[String], Seq("a"))) :+ ((Seq("a"), Seq.empty[String]))
+    val df = rows.toDF("a", "b")
+    val out = df.select(
+        graft.functions.SortedIntersectCount(col("a"), col("b")).as("fast"),
+        size(array_intersect(col("a"), col("b"))).as("ref"))
+      .collect()
+    out.foreach(r => assert(r.getInt(0) == r.getInt(1), r.toString))
+  }
   import spark.implicits._
 
   private val docs = Seq(
