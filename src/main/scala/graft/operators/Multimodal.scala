@@ -19,11 +19,15 @@ import org.apache.spark.sql.types._
   * Audio is REAL for the canonical raw format — RIFF/WAVE PCM (8/16
   * bit), parsed with a plain chunk walk (WAV is a container + raw
   * samples; no codec library needed): metadata from the fmt/data
-  * chunks, features from the decoded sample stream. COMPRESSED audio
-  * (mp3/aac) and video codecs don't ship in the JDK or this
-  * container, so those stay behind the deterministic `GRFT` container
-  * STUB — the per-partition batch shape is identical, and swapping in
-  * a real codec changes no plan shape.
+  * chunks, features from the decoded sample stream. For COMPRESSED
+  * audio, the MP3 (MPEG-1 Layer III) frame-HEADER walk is also real —
+  * sync/version/layer verification, per-frame length arithmetic,
+  * sample rate / bitrate / frame count / duration, i.e. the whole
+  * metadata-catalog surface — while the audio DECODE (and aac/video
+  * codecs, which don't ship in the JDK or this container) stays
+  * behind the deterministic `GRFT` container STUB: the per-partition
+  * batch shape is identical, and swapping in a real codec changes no
+  * plan shape.
   *
   * Fake container layout (little-endian):
   * {{{
@@ -97,6 +101,78 @@ object Multimodal {
     } yield (rate, ch, bits, dOff, dLen)
   }
 
+  private def isMp3Sync(b: Array[Byte]): Boolean =
+    b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xe0) == 0xe0
+
+  /** MPEG-1 Layer III header tables (public ISO/IEC 11172-3 layout).
+    * Index 0 ("free") and 15 (reserved) are rejected. */
+  private val Mp3Bitrates = Array(
+    0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+  private val Mp3Rates = Array(44100, 48000, 32000)
+
+  /** REAL frame-header walk over an MPEG-1 Layer III stream: verify
+    * the sync + version/layer bits of every frame, derive each
+    * frame's length from its bitrate/sample-rate/padding fields
+    * (144·bitrate/rate + pad), and require the walk to land exactly
+    * on end-of-buffer. Returns (sampleRate, firstFrameBitrateKbps,
+    * frameCount) — the metadata a catalog pass needs (duration =
+    * frames·1152/rate) WITHOUT any audio decode, which stays behind
+    * the GRFT stub. Mixed sample rates, truncated tails, or reserved
+    * field values ⇒ None. */
+  private[graft] def parseMp3(b: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (!isMp3Sync(b)) return None
+    var off = 0; var n = 0; var sr = -1; var br = -1
+    while (off + 4 <= b.length) {
+      if ((b(off) & 0xff) != 0xff || (b(off + 1) & 0xe0) != 0xe0) return None
+      // low 5 bits of byte 1: version(2) layer(2) protection(1);
+      // require MPEG-1 (11) Layer III (01), either protection bit
+      if ((b(off + 1) & 0x1e) != 0x1a) return None
+      val b2 = b(off + 2) & 0xff
+      val bi = b2 >> 4
+      val si = (b2 >> 2) & 3
+      val pad = (b2 >> 1) & 1
+      if (bi == 0 || bi == 15 || si == 3) return None
+      if (sr == -1) { sr = Mp3Rates(si); br = Mp3Bitrates(bi) }
+      else if (Mp3Rates(si) != sr) return None
+      val flen = 144000 * Mp3Bitrates(bi) / sr + pad
+      if (flen < 4 || off + flen > b.length) return None
+      n += 1
+      off += flen
+    }
+    if (n > 0 && off == b.length) Some((sr, br, n)) else None
+  }
+
+  /** CBR MPEG-1 Layer III frame stream with zeroed payloads — valid
+    * headers, no audio content (the header walk is what's real). */
+  def encodeMp3(bitrateIdx: Int, rateIdx: Int, nFrames: Int): Array[Byte] = {
+    require(bitrateIdx >= 1 && bitrateIdx <= 14 && rateIdx >= 0 && rateIdx <= 2)
+    val flen = 144000 * Mp3Bitrates(bitrateIdx) / Mp3Rates(rateIdx)
+    val out = new Array[Byte](flen * nFrames)
+    var f = 0
+    while (f < nFrames) {
+      val o = f * flen
+      out(o) = 0xff.toByte
+      out(o + 1) = 0xfb.toByte // sync(3) | MPEG-1(11) | Layer III(01) | no CRC(1)
+      out(o + 2) = ((bitrateIdx << 4) | (rateIdx << 2)).toByte // pad=0
+      out(o + 3) = 0xc4.toByte // mono, no emphasis
+      f += 1
+    }
+    out
+  }
+
+  /** Deterministic MP3 fixture: CBR streams whose bitrate index,
+    * sample-rate index and frame count are closed-form in id. */
+  def mp3Fixture(spark: SparkSession, n: Int): DataFrame = {
+    val rows = (0 until n).map { i =>
+      Row(i.toLong, encodeMp3(1 + i % 14, i % 3, 10 + i % 30))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4),
+      StructType(Seq(
+        StructField("id", LongType, false),
+        StructField("media", BinaryType, true))))
+  }
+
   /** Header-only (width, height) of a PNG/JPEG — ImageReader probes
     * the stream metadata without decoding pixel data. */
   private def imageDims(bytes: Array[Byte]): Option[(Int, Int, String)] = {
@@ -148,6 +224,12 @@ object Multimodal {
       case Some((rate, ch, bits, _, dLen)) =>
         Row("audio", "wav", rate, ch, dLen / (ch * bits / 8), dLen, true)
       case None => Row("audio", "wav", null, null, null, null, false)
+    }
+    else if (isMp3Sync(bytes)) parseMp3(bytes) match {
+      // width = sample_rate, height = bitrate_kbps, nframes = frames
+      case Some((rate, kbps, nf)) =>
+        Row("audio", "mp3", rate, kbps, nf, bytes.length, true)
+      case None => Row("audio", "mp3", null, null, null, null, false)
     }
     else if (isPng(bytes) || isJpeg(bytes)) imageDims(bytes) match {
       case Some((w, h, fmt)) if w > 0 && h > 0 && w.toLong * h <= Int.MaxValue =>

@@ -709,6 +709,47 @@ object ExtQueries2 {
          CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS vsum
        FROM expanded GROUP BY 1, 2 ORDER BY event_type, win_start"""
 
+  // ---------------------------------------------------------------
+  // q93 — REAL MP3 frame-header metadata: CBR MPEG-1 Layer III
+  // streams (valid headers, closed-form parameters in id) walked
+  // frame by frame; duration derives as frames·1152·1000 div rate —
+  // one integer division. The oracle replays the public header
+  // tables in SQL.
+  def q93(s: SparkSession, dir: String): DataFrame = {
+    val fx = graft.operators.Multimodal.mp3Fixture(s, 40)
+    graft.operators.Multimodal.decodeMeta(fx, "id", "media")
+      .select(col("id"), col("codec"),
+        col("width").as("sample_rate"),
+        col("height").as("bitrate_kbps"),
+        col("nframes").as("n_frames"),
+        expr("(CAST(nframes AS BIGINT) * 1152000L) div CAST(width AS BIGINT)")
+          .as("dur_ms"),
+        col("valid"))
+      .orderBy("id")
+  }
+
+  val q93Sql: String =
+    """WITH base AS (SELECT r, 1 + r % 14 AS bi, r % 3 AS si,
+                       10 + r % 30 AS nf
+                     FROM range(0, 40) t(r)),
+       p AS (SELECT r,
+               CASE si WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                       ELSE 32000 END AS rate,
+               CASE bi WHEN 1 THEN 32 WHEN 2 THEN 40 WHEN 3 THEN 48
+                 WHEN 4 THEN 56 WHEN 5 THEN 64 WHEN 6 THEN 80
+                 WHEN 7 THEN 96 WHEN 8 THEN 112 WHEN 9 THEN 128
+                 WHEN 10 THEN 160 WHEN 11 THEN 192 WHEN 12 THEN 224
+                 WHEN 13 THEN 256 ELSE 320 END AS kbps,
+               nf
+             FROM base)
+       SELECT r AS id, 'mp3' AS codec,
+         CAST(rate AS INT) AS sample_rate,
+         CAST(kbps AS INT) AS bitrate_kbps,
+         CAST(nf AS INT) AS n_frames,
+         CAST(nf * 1152000 // rate AS BIGINT) AS dur_ms,
+         true AS valid
+       FROM p ORDER BY id"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q73_funnel" -> (q73 _),
     "q74_resample" -> (q74 _),
@@ -730,6 +771,7 @@ object ExtQueries2 {
     "q90_compaction" -> (q90 _),
     "q91_incremental_agg" -> (q91 _),
     "q92_sliding_window" -> (q92 _),
+    "q93_mp3_headers" -> (q93 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -753,5 +795,6 @@ object ExtQueries2 {
     "q90_compaction" -> q90Sql,
     "q91_incremental_agg" -> q91Sql,
     "q92_sliding_window" -> q92Sql,
+    "q93_mp3_headers" -> q93Sql,
   )
 }

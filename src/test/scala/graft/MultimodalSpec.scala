@@ -127,4 +127,33 @@ class MultimodalSpec extends SparkSpec {
     // images (id 0,...) produce one frame at idx 0
     assert(frames(0L).map(_.getAs[Int]("frame_idx")).toSeq == Seq(0))
   }
+
+  test("mp3: frame-header walk — valid streams parse, malformed reject") {
+    import graft.operators.Multimodal
+    // closed-form CBR stream: bitrate idx 9 (128 kbps), rate idx 0
+    // (44100), 7 frames → frame length 144000·128/44100 = 417 bytes
+    val good = Multimodal.encodeMp3(9, 0, 7)
+    assert(good.length == 417 * 7)
+    assert(Multimodal.parseMp3(good).contains((44100, 128, 7)))
+    // truncated tail → reject (walk must land exactly on EOF)
+    assert(Multimodal.parseMp3(good.dropRight(1)).isEmpty)
+    // mixed sample rates across frames → reject
+    val mixed = Multimodal.encodeMp3(9, 0, 2) ++ Multimodal.encodeMp3(9, 1, 1)
+    assert(Multimodal.parseMp3(mixed).isEmpty)
+    // reserved bitrate index (15) → reject
+    val bad = good.clone(); bad(2) = 0xf0.toByte
+    assert(Multimodal.parseMp3(bad).isEmpty)
+    // decodeMeta dispatch: mp3 sync classified as audio/mp3 with the
+    // (rate, kbps, frames) mapping; a JPEG must NOT be misdetected
+    val fx = Multimodal.mp3Fixture(spark, 6)
+    val meta = Multimodal.decodeMeta(fx, "id", "media")
+      .orderBy("id").collect()
+    meta.foreach { r =>
+      assert(r.getAs[String]("mtype") == "audio" &&
+        r.getAs[String]("codec") == "mp3" && r.getAs[Boolean]("valid"))
+    }
+    assert(meta(0).getAs[Int]("width") == 44100) // id 0: rate idx 0
+    assert(meta(0).getAs[Int]("height") == 32)   // id 0: bitrate idx 1 → 32 kbps
+    assert(meta(0).getAs[Int]("nframes") == 10)  // id 0: 10 + 0 % 30
+  }
 }
