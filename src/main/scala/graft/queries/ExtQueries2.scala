@@ -750,6 +750,40 @@ object ExtQueries2 {
          true AS valid
        FROM p ORDER BY id"""
 
+  // ---------------------------------------------------------------
+  // q94 — subquery rewrites: an uncorrelated scalar subquery (global
+  // mean price) and a correlated NOT EXISTS (customers with no
+  // high-value order) in one statement — Catalyst decorrelates both
+  // into joins; the oracle runs the identical SQL.
+  def q94(s: SparkSession, dir: String): DataFrame = {
+    Seq("customer", "orders").foreach { n =>
+      t(s, dir, n).createOrReplaceTempView(n)
+    }
+    s.sql(
+      """SELECT c.c_custkey, c.c_acctbal,
+           (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE)
+              / CAST(count(*) AS DOUBLE)
+            FROM orders) AS mean_price
+         FROM customer c
+         WHERE NOT EXISTS (
+             SELECT 1 FROM orders o
+             WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+           AND c.c_acctbal > 0
+         ORDER BY c.c_custkey""")
+  }
+
+  val q94Sql: String =
+    """SELECT c.c_custkey, c.c_acctbal,
+         (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE)
+            / CAST(count(*) AS DOUBLE)
+          FROM orders) AS mean_price
+       FROM customer c
+       WHERE NOT EXISTS (
+           SELECT 1 FROM orders o
+           WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+         AND c.c_acctbal > 0
+       ORDER BY c.c_custkey"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q73_funnel" -> (q73 _),
     "q74_resample" -> (q74 _),
@@ -772,6 +806,7 @@ object ExtQueries2 {
     "q91_incremental_agg" -> (q91 _),
     "q92_sliding_window" -> (q92 _),
     "q93_mp3_headers" -> (q93 _),
+    "q94_subqueries" -> (q94 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -796,5 +831,6 @@ object ExtQueries2 {
     "q91_incremental_agg" -> q91Sql,
     "q92_sliding_window" -> q92Sql,
     "q93_mp3_headers" -> q93Sql,
+    "q94_subqueries" -> q94Sql,
   )
 }

@@ -28,7 +28,8 @@ class QueryDeterminismSpec extends SparkSpec {
     "q80_quality_audit", "q82_pivot", "q83_mixture_schedule",
     "q84_kmeans_assign", "q85_grouping_sets", "q86_window_zoo",
     "q87_edit_distance", "q89_mmr_rerank", "q90_compaction",
-    "q91_incremental_agg", "q92_sliding_window", "q93_mp3_headers")
+    "q91_incremental_agg", "q92_sliding_window", "q93_mp3_headers",
+    "q94_subqueries")
 
   covered.foreach { name =>
     test(s"$name: output invariant to shuffle partitioning") {
