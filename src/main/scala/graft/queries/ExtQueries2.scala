@@ -784,6 +784,67 @@ object ExtQueries2 {
          AND c.c_acctbal > 0
        ORDER BY c.c_custkey"""
 
+  // ---------------------------------------------------------------
+  // q95 — moment statistics with engine-exact doubles: per event
+  // type, sample stddev of value and Pearson correlation between
+  // value and hour-of-day. Spark's stddev/corr aggregates fold
+  // doubles in partition order (non-deterministic); instead the five
+  // moments ride decimal(30,8) sums (order-independent), and both
+  // statistics are ONE pinned double formula over those exact sums —
+  // bit-identical cross-engine (±,·,/,sqrt are correctly rounded).
+  def q95(s: SparkSession, dir: String): DataFrame = {
+    // (15,4): narrow enough that products stay inside DECIMAL(38)
+    // in BOTH engines (15+15+1 = 31 digits) with no scale reduction;
+    // wide enough to hold the 2-decimal values and hour ints exactly
+    val d = "decimal(15,4)"
+    val e = t(s, dir, "events").select(
+      col("event_type"),
+      col("value").cast(d).as("x"),
+      expr("((ts div 1000) div 3600000000L) % 24").cast(d).as("h"))
+    e.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("h")).as("sh"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("h") * col("h")).as("shh"),
+        sum(col("x") * col("h")).as("sxh"))
+      .select(col("event_type"), col("n"),
+        sqrt((col("n").cast("double") * col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double")) /
+          (col("n").cast("double") * (col("n").cast("double") - lit(1.0))))
+          .as("sd_value"),
+        ((col("n").cast("double") * col("sxh").cast("double") -
+          col("sx").cast("double") * col("sh").cast("double")) /
+          (sqrt(col("n").cast("double") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double")) *
+            sqrt(col("n").cast("double") * col("shh").cast("double") -
+              col("sh").cast("double") * col("sh").cast("double"))))
+          .as("corr_value_hour"))
+      .orderBy("event_type")
+  }
+
+  val q95Sql: String =
+    """WITH e AS (SELECT event_type,
+           CAST(value AS DECIMAL(15,4)) AS x,
+           CAST((epoch_us(ts) // 3600000000) % 24 AS DECIMAL(15,4)) AS h
+         FROM events),
+       m AS (SELECT event_type, count(*) AS n,
+               sum(x) AS sx, sum(h) AS sh,
+               sum(x*x) AS sxx, sum(h*h) AS shh, sum(x*h) AS sxh
+             FROM e GROUP BY 1)
+       SELECT event_type, n,
+         sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+           AS sd_value,
+         ((CAST(n AS DOUBLE) * CAST(sxh AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sh AS DOUBLE))
+          / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             * sqrt(CAST(n AS DOUBLE) * CAST(shh AS DOUBLE)
+                    - CAST(sh AS DOUBLE) * CAST(sh AS DOUBLE))))
+           AS corr_value_hour
+       FROM m ORDER BY event_type"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q73_funnel" -> (q73 _),
     "q74_resample" -> (q74 _),
@@ -807,6 +868,7 @@ object ExtQueries2 {
     "q92_sliding_window" -> (q92 _),
     "q93_mp3_headers" -> (q93 _),
     "q94_subqueries" -> (q94 _),
+    "q95_moment_stats" -> (q95 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -832,5 +894,6 @@ object ExtQueries2 {
     "q92_sliding_window" -> q92Sql,
     "q93_mp3_headers" -> q93Sql,
     "q94_subqueries" -> q94Sql,
+    "q95_moment_stats" -> q95Sql,
   )
 }

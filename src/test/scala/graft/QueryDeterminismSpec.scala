@@ -29,7 +29,7 @@ class QueryDeterminismSpec extends SparkSpec {
     "q84_kmeans_assign", "q85_grouping_sets", "q86_window_zoo",
     "q87_edit_distance", "q89_mmr_rerank", "q90_compaction",
     "q91_incremental_agg", "q92_sliding_window", "q93_mp3_headers",
-    "q94_subqueries")
+    "q94_subqueries", "q95_moment_stats")
 
   covered.foreach { name =>
     test(s"$name: output invariant to shuffle partitioning") {
