@@ -33,18 +33,21 @@ object Audit {
     Rule(s"violations:$name", sum(when(pred, 1L).otherwise(0L)))
 
   /** Run the audit: one row per rule, `ORDER BY metric` left to the
-    * caller. All values are BIGINT. */
+    * caller. All values are BIGINT. Rule names are carried as Column
+    * LITERALS, never interpolated into SQL text — a name containing
+    * quotes/backslashes/commas round-trips verbatim (Spark would
+    * otherwise concatenate adjacent string literals and silently
+    * mangle a `''`-escaped quote). */
   def audit(df: DataFrame, rules: Seq[Rule]): DataFrame = {
     require(rules.nonEmpty, "audit: at least one rule")
     val aggs = rules.zipWithIndex.map { case (r, i) =>
       r.agg.cast("long").as(s"__m$i")
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
-    val pairs = rules.zipWithIndex
-      .map { case (r, i) =>
-        s"'${r.name.replace("'", "''")}', __m$i"
-      }
-      .mkString(", ")
-    one.selectExpr(s"stack(${rules.size}, $pairs) AS (metric, value)")
+    val kvs = rules.zipWithIndex.map { case (r, i) =>
+      struct(lit(r.name).as("metric"), col(s"__m$i").as("value"))
+    }
+    one.select(explode(array(kvs: _*)).as("kv"))
+      .select(col("kv.metric").as("metric"), col("kv.value").as("value"))
   }
 }

@@ -50,8 +50,10 @@ object Resample {
     // Interior grid: ceil(lo/step)..floor(hi/step). Integer ceil of a
     // non-negative quotient via (lo + step − 1) div step keeps the
     // arithmetic exact for lo ≥ 0 (time axes are epoch-based here).
-    val grid = events.groupBy(ent)
-      .agg(min(col(timeCol)).as("lo"), max(col(timeCol)).as("hi"))
+    // bounds come from the already-deduplicated `ev`, not a second
+    // scan of the raw event stream (identical lo/hi, half the input)
+    val grid = ev.groupBy(ent)
+      .agg(min(col("t")).as("lo"), max(col("t")).as("hi"))
       // Integer `div`, not floor(double /): epoch-µs instants exceed
       // double's 2^53 exact range too easily to round-trip through it.
       .withColumn("s0", expr(s"(lo + ${step - 1}L) div ${step}L"))

@@ -1307,26 +1307,6 @@ object Similarity extends Serializable {
     topKPerQuery(scored, k)
   }
 
-  /** Nearest-seed partition assignment — the ASSIGN half of Lloyd's
-    * iteration as a standalone corpus-partitioning operator (the
-    * update half, decimal-exact distributed means, lives in
-    * [[trainCentroidsDistributed]]; the full loop is oracle-gated
-    * end-to-end through the IVF family). Seeds are the k lowest-id
-    * vectors — a deterministic, data-derived medoid seeding, so a
-    * cross-engine oracle can reconstruct them relationally.
-    *
-    * Scale shape: seeds collect to the driver (k rows — the same
-    * bounded-contract collect as the ANN query-set broadcasts) and
-    * unroll into LITERAL codegen expressions, so assignment is a
-    * SHUFFLE-FREE map over the corpus: k·dim fused multiply-adds per
-    * row inside whole-stage codegen, argmin via one array_min +
-    * array_position (ties → lowest seed id, matching the oracle's
-    * (dist, sid) order). The only exchange is the final cluster-size
-    * window.
-    *
-    * @return (id, cluster = seed id, cluster_n) — integer-only
-    *         output (suite invariant for similarity operators).
-    */
   /** Maximal Marginal Relevance selection (Carbonell & Goldstein
     * 1998): from the query's top-`poolSize` cosine candidates, pick
     * `k` results greedily by `lambda·rel − mu·max_sim_to_selected` —
@@ -1353,12 +1333,17 @@ object Similarity extends Serializable {
     require(qRows.nonEmpty, s"mmrSelect: query id $queryId not found")
     val qv = qRows(0).getSeq[Double](0).toArray
     val qn = math.sqrt(qv.map(x => x * x).sum)
+    require(qn > 0, s"mmrSelect: query vector $queryId has zero norm")
     val dotQ = qv.indices
       .map(i => element_at(col("v"), i + 1) * lit(qv(i)))
       .reduce(_ + _)
     val pool = corpus.where(col(idCol) =!= queryId)
       .select(col(idCol).cast(LongType).as("id"),
         col(vecCol).cast("array<double>").as("v"))
+      // zero-norm rows would score rel = NaN, and NaN sorts GREATEST
+      // under desc — they'd flood the pool and leave the greedy loop
+      // with no valid argmax; cosine is undefined for them anyway
+      .where(graft.functions.DotProduct(col("v"), col("v")) > 0)
       .withColumn("rel", dotQ / (norm(col("v")) * lit(qn)))
       .orderBy(col("rel").desc, col("id"))
       .limit(poolSize)
@@ -1396,6 +1381,26 @@ object Similarity extends Serializable {
       .toDF("rank", "vec_id")
   }
 
+  /** Nearest-seed partition assignment — the ASSIGN half of Lloyd's
+    * iteration as a standalone corpus-partitioning operator (the
+    * update half, decimal-exact distributed means, lives in
+    * [[trainCentroidsDistributed]]; the full loop is oracle-gated
+    * end-to-end through the IVF family). Seeds are the k lowest-id
+    * vectors — a deterministic, data-derived medoid seeding, so a
+    * cross-engine oracle can reconstruct them relationally.
+    *
+    * Scale shape: seeds collect to the driver (k rows — the same
+    * bounded-contract collect as the ANN query-set broadcasts) and
+    * unroll into LITERAL codegen expressions, so assignment is a
+    * SHUFFLE-FREE map over the corpus: k·dim fused multiply-adds per
+    * row inside whole-stage codegen, argmin via one array_min +
+    * array_position (ties → lowest seed id, matching the oracle's
+    * (dist, sid) order). The only exchange is the final cluster-size
+    * window.
+    *
+    * @return (id, cluster = seed id, cluster_n) — integer-only
+    *         output (suite invariant for similarity operators).
+    */
   def seedAssign(vecs: DataFrame, idCol: String, vecCol: String,
                  k: Int): DataFrame = {
     require(k >= 1 && k <= 256, s"seedAssign: k in [1, 256], got $k")

@@ -205,15 +205,22 @@ object ExtQueries2 {
   // session's close, and the state handler emits (user, start, n)
   // exactly once per session. Output ≡ batch session_window, so the
   // oracle IS q32's gaps-and-islands SQL.
-  def q78(s: SparkSession, dir: String): DataFrame = {
+  /** `Files.list` under try/finally — the stream holds a directory fd
+    * until closed (leaks accumulate across Bench/determinism runs in
+    * one JVM). */
+  private[graft] def listDir(dir: java.nio.file.Path): List[java.nio.file.Path] = {
     import scala.jdk.CollectionConverters._
+    val st = java.nio.file.Files.list(dir)
+    try st.iterator().asScala.toList finally st.close()
+  }
+
+  def q78(s: SparkSession, dir: String): DataFrame = {
     val base = java.nio.file.Files.createTempDirectory("graft_q78").toString
     val landing = java.nio.file.Paths.get(s"$base/landing")
     t(s, dir, "events")
       .select(col("user_id").as("k"), expr("ts div 1000").as("tus"))
       .repartition(1).write.parquet(landing.toString)
-    val firstBatch = java.nio.file.Files.list(landing).iterator().asScala
-      .map(_.getFileName.toString).toSet
+    val firstBatch = listDir(landing).map(_.getFileName.toString).toSet
     // Sentinel (year 2100, filtered key −1): lands as its OWN
     // micro-batch (maxFilesPerTrigger=1 + a later mtime), so the
     // watermark advances past all real sessions and the no-data
@@ -221,7 +228,7 @@ object ExtQueries2 {
     // terminates.
     s.range(1).select(lit(-1L).as("k"), lit(4102444800000000L).as("tus"))
       .write.mode("append").parquet(landing.toString)
-    val files = java.nio.file.Files.list(landing).iterator().asScala.toList
+    val files = listDir(landing)
     val maxMs = files.filter(f => firstBatch(f.getFileName.toString))
       .map(java.nio.file.Files.getLastModifiedTime(_).toMillis).max
     files.filterNot(f => firstBatch(f.getFileName.toString)).foreach { f =>

@@ -49,14 +49,12 @@ class SessionizeSpec extends SparkSpec {
     val cut1 = 3600000000L + 2000000000L
     val cut2 = 3600000000L + 4000000000L
     df.where(col("tus") < cut1).repartition(1).write.parquet(landing)
-    val f1 = Files.list(Paths.get(landing)).iterator()
-    val seen1 = new scala.collection.mutable.HashSet[String]
-    f1.forEachRemaining(p => { seen1 += p.getFileName.toString; () })
+    val seen1 = graft.queries.ExtQueries2.listDir(Paths.get(landing))
+      .map(_.getFileName.toString).toSet
     df.where(col("tus") >= cut1 && col("tus") < cut2)
       .repartition(1).write.mode("append").parquet(landing)
-    val seen2 = new scala.collection.mutable.HashSet[String]
-    Files.list(Paths.get(landing)).iterator()
-      .forEachRemaining(p => { seen2 += p.getFileName.toString; () })
+    val seen2 = graft.queries.ExtQueries2.listDir(Paths.get(landing))
+      .map(_.getFileName.toString).toSet
     df.where(col("tus") >= cut2)
       .repartition(1).write.mode("append").parquet(landing)
     // sentinel to flush the final sessions
@@ -64,7 +62,7 @@ class SessionizeSpec extends SparkSpec {
       .write.mode("append").parquet(landing)
     // stagger mtimes: batch order = file order
     val now = System.currentTimeMillis()
-    Files.list(Paths.get(landing)).iterator().forEachRemaining { p =>
+    graft.queries.ExtQueries2.listDir(Paths.get(landing)).foreach { p =>
       val name = p.getFileName.toString
       val slot =
         if (seen1(name)) 0
@@ -75,8 +73,7 @@ class SessionizeSpec extends SparkSpec {
     }
     // the sentinel's part file is indistinguishable by name from batch
     // 3's — re-bump: any part file NOT in seen2 that carries key −1
-    val sentinelParts = Files.list(Paths.get(landing)).iterator()
-    sentinelParts.forEachRemaining { p =>
+    graft.queries.ExtQueries2.listDir(Paths.get(landing)).foreach { p =>
       val name = p.getFileName.toString
       if (name.startsWith("part-") && !seen1(name) && !seen2(name)) {
         val hasSentinel = spark.read.parquet(p.toString)
