@@ -852,6 +852,38 @@ object ExtQueries2 {
            AS corr_value_hour
        FROM m ORDER BY event_type"""
 
+  // ---------------------------------------------------------------
+  // q96 — Bloom-filter runtime join pruning: revenue per brand for
+  // small parts. The dim side (p_size ≤ 4, ~8.5% of part) builds a
+  // distributed Bloom sketch of its keys; the lineitem scan drops
+  // non-joining rows BEFORE the exchange (might_contain sits inside
+  // the scan's codegen stage). Output is exactly the plain join —
+  // false positives die in the join — so the oracle is plain SQL.
+  def q96(s: SparkSession, dir: String): DataFrame = {
+    val dim = t(s, dir, "part").where(col("p_size") <= 4)
+      .select(col("p_partkey"), col("p_brand"))
+    val fact = t(s, dir, "lineitem").select(
+      col("l_partkey").as("p_partkey"),
+      // per-row IEEE product — identical cross-engine; the ORDER-
+      // dependent part (the sum) rides decimal(30,8)
+      (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(30,8)").as("rev"))
+    graft.operators.RuntimeFilter.bloomPrunedJoin(fact, dim,
+        Seq("p_partkey"), expectedItems = 4096L)
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n"),
+        sum(col("rev")).cast("double").as("revenue"))
+      .orderBy("p_brand")
+  }
+
+  val q96Sql: String =
+    """SELECT p_brand, count(*) AS n,
+         CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                       AS DECIMAL(30,8))) AS DOUBLE) AS revenue
+       FROM lineitem JOIN part ON l_partkey = p_partkey
+       WHERE p_size <= 4
+       GROUP BY 1 ORDER BY p_brand"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q73_funnel" -> (q73 _),
     "q74_resample" -> (q74 _),
@@ -876,6 +908,7 @@ object ExtQueries2 {
     "q93_mp3_headers" -> (q93 _),
     "q94_subqueries" -> (q94 _),
     "q95_moment_stats" -> (q95 _),
+    "q96_bloom_join" -> (q96 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -902,5 +935,6 @@ object ExtQueries2 {
     "q93_mp3_headers" -> q93Sql,
     "q94_subqueries" -> q94Sql,
     "q95_moment_stats" -> q95Sql,
+    "q96_bloom_join" -> q96Sql,
   )
 }
