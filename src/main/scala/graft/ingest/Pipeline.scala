@@ -52,14 +52,21 @@ object Pipeline {
     // the aggregate then reads the columnar sink (vectorized scan)
     // instead of re-decoding the .dat
     val axes = decoded.columns.filter(_ != "Time").map(Sanitize.column).toSeq
-    // Scope to THIS acquisition's alias partition: the table root
-    // accumulates every device's acquisitions, and an unfiltered scan
-    // would (a) mix another device's same-window samples into this
-    // RMS — wrong values whenever two devices record concurrently —
-    // and (b) read a sibling pipeline's files mid-rename. The filter
-    // partition-prunes to alias=<ours>, so neither can happen.
-    val enrichedOnDisk = spark.read.parquet(s"$outDir/data_parquet")
-      .where(org.apache.spark.sql.functions.col("alias") === meta.device.alias)
+    // Scope to THIS acquisition's alias DIRECTORY, not the table root:
+    // the root accumulates every device's acquisitions, and a
+    // root-level read would (a) mix another device's same-window
+    // samples into this RMS — wrong values whenever two devices
+    // record concurrently — and (b) LIST and footer-read a sibling
+    // pipeline's partition mid-rename (a post-filter partition-prunes
+    // the scan but not schema-inference listing — observed as a
+    // FileNotFoundException under concurrent processLanding). Reading
+    // the alias subdirectory keeps sibling files out of the listing
+    // entirely; basePath re-derives the alias partition column. At
+    // table scale this also turns a whole-root listing per
+    // acquisition into a single-partition one.
+    val enrichedOnDisk = spark.read
+      .option("basePath", s"$outDir/data_parquet")
+      .parquet(s"$outDir/data_parquet/alias=${meta.device.alias}")
     val rms = Rms.compute(enrichedOnDisk, axes, windowNs, completeness,
         alias = meta.device.alias)
       .persist() // 1 row/s/device — tiny; reused by the guard + sink

@@ -884,6 +884,26 @@ object ExtQueries2 {
        WHERE p_size <= 4
        GROUP BY 1 ORDER BY p_brand"""
 
+  // ---------------------------------------------------------------
+  // q97 — Count-Min-sketch heavy hitters: parts ordered ≥ 40 times.
+  // One narrow pass sketches xxhash64(l_partkey); a cms_estimate < T
+  // predicate prunes keys that provably cannot be heavy (CMS error is
+  // one-sided) BEFORE the exact groupBy — the wide shuffle carries
+  // candidates only. The exact count on survivors kills sketch false
+  // positives, so the output — and the oracle — is the plain
+  // GROUP BY ... HAVING.
+  def q97(s: SparkSession, dir: String): DataFrame =
+    graft.operators.HeavyHitters.heavyHitters(
+        t(s, dir, "lineitem"), "l_partkey", threshold = 40L,
+        eps = 0.00002, confidence = 0.99, seed = 42)
+      .select(col("k").as("l_partkey"), col("n"))
+      .orderBy("l_partkey")
+
+  val q97Sql: String =
+    """SELECT l_partkey, count(*) AS n
+       FROM lineitem GROUP BY 1 HAVING count(*) >= 40
+       ORDER BY l_partkey"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q73_funnel" -> (q73 _),
     "q74_resample" -> (q74 _),
@@ -909,6 +929,7 @@ object ExtQueries2 {
     "q94_subqueries" -> (q94 _),
     "q95_moment_stats" -> (q95 _),
     "q96_bloom_join" -> (q96 _),
+    "q97_heavy_hitters" -> (q97 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -936,5 +957,6 @@ object ExtQueries2 {
     "q94_subqueries" -> q94Sql,
     "q95_moment_stats" -> q95Sql,
     "q96_bloom_join" -> q96Sql,
+    "q97_heavy_hitters" -> q97Sql,
   )
 }
