@@ -1432,4 +1432,81 @@ object Similarity extends Serializable {
     withV.select(col("id"), cluster.as("cluster"))
       .withColumn("cluster_n", count(lit(1)).over(sizes))
   }
+
+  /** Full Lloyd k-means — `rounds` assignment passes with exact mean
+    * updates between them — made cross-engine replayable by running
+    * on 10⁻⁶-QUANTIZED vectors: `q_j = bround(x_j · 10⁶)` as BIGINT
+    * (half-even ties both engines — the suite's bround ≡ round_even
+    * invariant). Every centroid update is then an INTEGER sum per
+    * dimension plus ONE pinned double division `s_j / n` — no decimal
+    * scale rules, no fold-order doubles — so engine and oracle derive
+    * bit-identical centroids, and the only approximate step left is
+    * the double argmin, gated by the q84 margin pattern
+    * (SimilaritySpec: >1e-9 relative separation per round at sf0.01
+    * and sf0.1). Seeds are the k lowest-id vectors (q84's
+    * relationally reconstructable medoid seeding); an emptied cluster
+    * keeps its previous centroid; cluster ids stay the seed ids.
+    *
+    * Scale shape per round: assignment is the [[seedAssign]] kernel —
+    * centroids unroll into literal codegen DotProduct expressions, a
+    * SHUFFLE-FREE map over the corpus; the update is one groupBy(k)
+    * carrying dim partial long sums (map-side combine, k·dim·8 B per
+    * task); the driver hop is k·(dim+1) longs per round — bounded by
+    * k and dim, never by corpus size. The quantized frame is
+    * localCheckpoint'ed once, so rounds don't replay lineage.
+    *
+    * @return (id, cluster = seed id, cluster_n) — integer-only
+    *         output (suite invariant for similarity operators).
+    */
+  def lloydKMeans(vecs: DataFrame, idCol: String, vecCol: String,
+                  k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && k <= 256, s"lloydKMeans: k in [1, 256], got $k")
+    require(rounds >= 1 && rounds <= 16,
+      s"lloydKMeans: rounds in [1, 16], got $rounds")
+    val q = vecs.select(col(idCol).cast(LongType).as("id"),
+        transform(col(vecCol).cast("array<double>"),
+          e => bround(e * lit(1000000.0)).cast(LongType)).as("qv"))
+      .withColumn("xd", transform(col("qv"), _.cast(DoubleType)))
+      .localCheckpoint(eager = true)
+    val dimRow = q.agg(min(size(col("qv"))), max(size(col("qv")))).head()
+    require(!dimRow.isNullAt(0), "lloydKMeans: empty input")
+    val dim = dimRow.getInt(0)
+    require(dim == dimRow.getInt(1),
+      s"lloydKMeans: ragged vectors ($dim vs ${dimRow.getInt(1)})")
+    var cents: IndexedSeq[(Long, Array[Double])] =
+      q.orderBy("id").limit(k).select(col("id"), col("xd")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toIndexedSeq
+    def assign(): DataFrame = {
+      val xx = graft.functions.DotProduct(col("xd"), col("xd"))
+      val dists = cents.map { case (_, m) =>
+        xx - lit(2.0) * graft.functions.DotProduct(col("xd"),
+          typedLit(m.toSeq)) + lit(m.map(v => v * v).sum)
+      }
+      val ids = array(cents.map(c => lit(c._1)): _*)
+      val darr = array(dists: _*)
+      q.withColumn("cluster",
+        element_at(ids, array_position(darr, array_min(darr)).cast("int")))
+    }
+    var assigned = assign()
+    for (_ <- 1 until rounds) {
+      val aggs = count(lit(1)).as("n") +:
+        (0 until dim).map(j => sum(element_at(col("qv"), j + 1)).as(s"s$j"))
+      val stats = assigned.groupBy("cluster")
+        .agg(aggs.head, aggs.tail: _*).collect()
+        .map { r =>
+          val n = r.getLong(1)
+          val means = Array.tabulate(dim)(j =>
+            r.getLong(2 + j).toDouble / n.toDouble)
+          r.getLong(0) -> means
+        }.toMap
+      cents = cents.map { case (cid, old) =>
+        (cid, stats.getOrElse(cid, old))
+      }
+      assigned = assign()
+    }
+    val sizes = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster"))
+    assigned.select(col("id"), col("cluster"))
+      .withColumn("cluster_n", count(lit(1)).over(sizes))
+  }
 }

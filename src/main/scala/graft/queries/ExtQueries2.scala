@@ -904,6 +904,60 @@ object ExtQueries2 {
        FROM lineitem GROUP BY 1 HAVING count(*) >= 40
        ORDER BY l_partkey"""
 
+  // ---------------------------------------------------------------
+  // q98 — FULL Lloyd k-means (3 assignment rounds, 2 exact mean
+  // updates) over 10⁻⁶-quantized embeddings: quantization (bround ≡
+  // round_even) makes every centroid update an integer sum per dim +
+  // one pinned double division, so engine and oracle derive
+  // bit-identical centroids each round; the double argmin is gated by
+  // the q84 margin spec. Closes the "assign-step only" gap q84 left.
+  def q98(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity
+      .lloydKMeans(t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 8, rounds = 3)
+      .withColumnRenamed("id", "vec_id")
+      .orderBy("vec_id")
+
+  val q98Sql: String = {
+    val dim = 64
+    def roundSql(t: Int) = s"""
+       d$t AS (SELECT q.vec_id, c.cid,
+            list_sum(list_transform(range(1, ${dim + 1}),
+              i -> (CAST(q.qv[i] AS DOUBLE) - c.m[i])
+                 * (CAST(q.qv[i] AS DOUBLE) - c.m[i]))) AS dist
+          FROM q CROSS JOIN c${t - 1} c),
+       a$t AS (SELECT vec_id, cid AS cluster FROM (
+            SELECT vec_id, cid,
+              row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid)
+                AS rn
+            FROM d$t) WHERE rn = 1)"""
+    def updateSql(t: Int) = s"""
+       u$t AS (SELECT a.cluster, generate_subscripts(q.qv, 1) AS i,
+                 unnest(q.qv) AS x
+               FROM a$t a JOIN q USING (vec_id)),
+       s$t AS (SELECT cluster, i, sum(x) AS s, count(*) AS n
+               FROM u$t GROUP BY 1, 2),
+       m$t AS (SELECT cluster,
+                 list(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) ORDER BY i)
+                   AS m
+               FROM s$t GROUP BY 1),
+       c$t AS (SELECT c.cid, COALESCE(m$t.m, c.m) AS m
+               FROM c${t - 1} c LEFT JOIN m$t ON m$t.cluster = c.cid)"""
+    s"""WITH q AS (SELECT vec_id, list_transform(embedding,
+           e -> CAST(round_even(CAST(e AS DOUBLE) * 1000000.0, 0)
+                     AS BIGINT)) AS qv
+         FROM embeddings),
+       c0 AS (SELECT vec_id AS cid,
+                list_transform(qv, v -> CAST(v AS DOUBLE)) AS m
+              FROM q ORDER BY vec_id LIMIT 8),
+       ${roundSql(1)}, ${updateSql(1)},
+       ${roundSql(2)}, ${updateSql(2)},
+       ${roundSql(3)}
+       SELECT vec_id, cluster,
+         CAST(count(*) OVER (PARTITION BY cluster) AS BIGINT) AS cluster_n
+       FROM a3 ORDER BY vec_id"""
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q73_funnel" -> (q73 _),
     "q74_resample" -> (q74 _),
@@ -930,6 +984,7 @@ object ExtQueries2 {
     "q95_moment_stats" -> (q95 _),
     "q96_bloom_join" -> (q96 _),
     "q97_heavy_hitters" -> (q97 _),
+    "q98_lloyd_kmeans" -> (q98 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -958,5 +1013,6 @@ object ExtQueries2 {
     "q95_moment_stats" -> q95Sql,
     "q96_bloom_join" -> q96Sql,
     "q97_heavy_hitters" -> q97Sql,
+    "q98_lloyd_kmeans" -> q98Sql,
   )
 }
