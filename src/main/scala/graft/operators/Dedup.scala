@@ -657,6 +657,43 @@ object Dedup {
     df.join(keep, Seq(idCol), "left_semi")
   }
 
+  /** Canonical selection within near-duplicate clusters: instead of
+    * dedupNear's keep-minimum-id rule, keep each cluster's BEST
+    * document — the curation policy real pipelines run (drop the
+    * truncated mirror, keep the full article). "Best" is an INTEGER
+    * key chain (token count DESC, id ASC), so every decision is
+    * exact cross-engine — no double ordering, no margin gate.
+    *
+    * Pair discovery is [[jaccardJoin]]'s inverted index (COMPLETE by
+    * the ppjoin prefix theorem — every pair at Jaccard ≥ threshold
+    * shares an indexed token — unlike the LSH path's S-curve recall),
+    * clustering is the alternating-star connected components. One
+    * row per cluster: (cluster = min member id, keep_id, n_members,
+    * keep_tokens) — integer-only output.
+    */
+  def canonicalSelect(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      n: Int = 3): DataFrame = {
+    val pairs = jaccardJoin(df, idCol, textCol, threshold, n)
+      .select(col("a"), col("b"))
+    val ids = df.select(col(idCol).as("id"))
+    val comp = clusters(ids, pairs)
+    val stats = df.select(col(idCol).as("id"),
+      size(split(col(textCol), " ")).cast("long").as("n_tokens"))
+    val byCluster = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster"))
+    val pick = byCluster.orderBy(col("n_tokens").desc, col("id").asc)
+    comp.join(stats, Seq("id"))
+      .withColumn("rn", row_number().over(pick))
+      .withColumn("n_members", count(lit(1)).over(byCluster))
+      .where(col("rn") === 1)
+      .select(col("cluster"), col("id").as("keep_id"),
+        col("n_members"), col("n_tokens").as("keep_tokens"))
+  }
+
   /** Substring-level exact dedup (Lee et al. 2022, "Deduplicating
     * Training Data Makes Language Models Better"): two documents are
     * substring duplicates when they share ANY contiguous run of

@@ -958,6 +958,45 @@ object ExtQueries2 {
        FROM a3 ORDER BY vec_id"""
   }
 
+  // ---------------------------------------------------------------
+  // q99 — canonical selection within near-dup clusters: exact-Jaccard
+  // clusters (q36's semantics, but pairs from the COMPLETE inverted
+  // index, not LSH), then keep each cluster's best doc by the integer
+  // key chain (token count DESC, doc_id ASC) — every decision exact,
+  // no margin gate. One row per cluster.
+  def q99(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup
+      .canonicalSelect(t(s, dir, "documents"), "doc_id", "text", 0.5)
+      .orderBy("cluster")
+
+  val q99Sql: String =
+    """WITH RECURSIVE
+       toks AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+       sh AS (SELECT doc_id, list_distinct([array_to_string(w[i:i+2],' ')
+                for i in range(1, len(w)-1)]) s FROM toks),
+       p AS (SELECT a.doc_id AS a, b.doc_id AS b
+             FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             WHERE CAST(len(list_intersect(a.s,b.s)) AS DOUBLE)
+                   >= 0.5*(len(a.s)+len(b.s)-len(list_intersect(a.s,b.s)))
+               AND (len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))) > 0),
+       e AS (SELECT a AS x, b AS y FROM p UNION ALL SELECT b, a FROM p),
+       reach(id, r) AS (
+         SELECT doc_id, doc_id FROM documents
+         UNION
+         SELECT e.x, reach.r FROM e JOIN reach ON reach.id = e.y),
+       comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+       st AS (SELECT doc_id AS id,
+                CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens
+              FROM documents),
+       ranked AS (SELECT c.cluster, c.id, s.n_tokens,
+                    row_number() OVER (PARTITION BY c.cluster
+                      ORDER BY s.n_tokens DESC, c.id) AS rn,
+                    count(*) OVER (PARTITION BY c.cluster) AS nm
+                  FROM comp c JOIN st s USING (id))
+       SELECT cluster, id AS keep_id, CAST(nm AS BIGINT) AS n_members,
+         n_tokens AS keep_tokens
+       FROM ranked WHERE rn = 1 ORDER BY cluster"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q73_funnel" -> (q73 _),
     "q74_resample" -> (q74 _),
@@ -985,6 +1024,7 @@ object ExtQueries2 {
     "q96_bloom_join" -> (q96 _),
     "q97_heavy_hitters" -> (q97 _),
     "q98_lloyd_kmeans" -> (q98 _),
+    "q99_canonical_select" -> (q99 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1014,5 +1054,6 @@ object ExtQueries2 {
     "q96_bloom_join" -> q96Sql,
     "q97_heavy_hitters" -> q97Sql,
     "q98_lloyd_kmeans" -> q98Sql,
+    "q99_canonical_select" -> q99Sql,
   )
 }

@@ -272,4 +272,35 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")))
     assert(nd0.contains((0L, 3L)))
   }
+
+  test("canonicalSelect: keeps the longest doc per cluster, id tiebreak, singletons intact") {
+    // ids 1,2,5 form one near-dup cluster (5 is the longest → kept,
+    // beating min-id 1); 3 and 4 are identical length-wise (tie →
+    // lower id 3 kept... but identical TEXTS so same token count);
+    // 9 is a singleton
+    val base = "the quick brown fox jumps over a lazy dog near the river bank today"
+    val df = Seq(
+      (1L, base),
+      (2L, base + " again"),
+      (5L, base + " again and again tonight"),
+      (3L, "completely different text about spark engines and parquet files ok"),
+      (4L, "completely different text about spark engines and parquet files ok"),
+      (9L, "a lone unrelated document with nothing shared at all here")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Dedup
+      .canonicalSelect(df, "doc_id", "text", 0.5)
+      .orderBy("cluster").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, 5L, 3L, 18L),   // cluster of 1,2,5 → keep 5 (18 tokens)
+      (3L, 3L, 2L, 10L),   // identical pair → token tie → keep id 3
+      (9L, 9L, 1L, 10L)),  // singleton keeps itself
+      s"got ${out.toSeq}")
+    // partition-count invariance
+    val repart = graft.operators.Dedup
+      .canonicalSelect(df.repartition(5), "doc_id", "text", 0.5)
+      .orderBy("cluster").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(repart.toSeq == out.toSeq)
+  }
 }
