@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+
+/** Table statistics builders — the summaries a cost-based optimizer
+  * or zone-map pruner derives from a table (SURVEY.md §4.2's "design
+  * for the planner" posture, reference main.py's role as a curated
+  * table producer). */
+object Stats {
+
+  /** EXACT equi-depth (equi-height) histogram: `buckets` bins over a
+    * total order, sizes differing by at most one row (larger bins
+    * first — SQL NTILE semantics), with each bin's true row count and
+    * min/max value. The classic CBO/statistics artifact: selectivity
+    * estimates and zone-map style range pruning both read it.
+    *
+    * The naive formulation is `ntile(B) OVER (ORDER BY v)` — a GLOBAL
+    * window that funnels the whole table through ONE partition. This
+    * is the distributed prefix sum instead (the sequencePack
+    * pattern): range-repartition + in-partition sort on the total
+    * order (v, id) — the one table-sized exchange — then
+    * per-partition counts to the driver (≤ one long per partition), a
+    * scan-left into partition rank offsets, and a narrow pass that
+    * turns global rank into the NTILE bucket in closed form. Bucket
+    * aggregation then shuffles only (bucket, v) pairs.
+    *
+    * Deterministic: rank is defined by the total order (v, id), never
+    * by partition boundaries (sampled split points shift subtotals
+    * and offsets in lockstep); rows tied on the FULL key are
+    * interchangeable, so bucket counts and min/max are invariant.
+    * NULL values are excluded up front (engines disagree on NULL
+    * ordering; a histogram of values has no NULL bin).
+    */
+  def equiDepthHistogram(
+      df: DataFrame,
+      valueCol: String,
+      idCol: String,
+      buckets: Int): DataFrame = {
+    require(buckets >= 1 && buckets <= (1 << 20),
+      s"equiDepthHistogram: buckets in [1, 2^20], got $buckets")
+    val spark = df.sparkSession
+    val sorted = df
+      .where(col(valueCol).isNotNull)
+      .select(col(valueCol).cast(DoubleType).as("v"),
+        col(idCol).cast(LongType).as("id"))
+      .repartitionByRange(col("v"), col("id"))
+      .sortWithinPartitions("v", "id")
+      .localCheckpoint(eager = true) // pin partitioning across passes
+    val counts = sorted.rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        Iterator.single((pid, it.size.toLong))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val total = offsets.last
+    require(total > 0, "equiDepthHistogram: no non-null values")
+    val b = buckets.toLong
+    val offB = spark.sparkContext.broadcast(offsets)
+    val bucketed = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      // NTILE in closed form over the global rank: the first
+      // (total mod B) buckets hold ceil(total/B) rows, the rest
+      // floor(total/B) — integer arithmetic only
+      val floorSz = total / b
+      val rem = total % b
+      var rank = offB.value(pid)
+      it.map { row =>
+        val bucket =
+          if (rank < rem * (floorSz + 1)) rank / (floorSz + 1)
+          else rem + (rank - rem * (floorSz + 1)) / floorSz
+        rank += 1
+        Row(bucket + 1, row.getDouble(0)) // NTILE is 1-based
+      }
+    }
+    spark.createDataFrame(bucketed, StructType(Seq(
+        StructField("bucket", LongType, nullable = false),
+        StructField("v", DoubleType, nullable = false))))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), min(col("v")).as("lo"),
+        max(col("v")).as("hi"))
+  }
+}

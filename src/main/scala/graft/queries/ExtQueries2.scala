@@ -997,6 +997,26 @@ object ExtQueries2 {
          n_tokens AS keep_tokens
        FROM ranked WHERE rn = 1 ORDER BY cluster"""
 
+  // ---------------------------------------------------------------
+  // q100 — exact equi-depth histogram (CBO statistics): 16 bins over
+  // (o_totalprice, o_orderkey), true per-bin count + min/max. The
+  // engine computes NTILE in closed form over a DISTRIBUTED prefix-
+  // sum rank (sequencePack pattern — no global window); the oracle
+  // uses real NTILE. Counts and bin edges are exact (edges are stored
+  // data values, not computed doubles).
+  def q100(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats
+      .equiDepthHistogram(t(s, dir, "orders"), "o_totalprice",
+        "o_orderkey", buckets = 16)
+      .orderBy("bucket")
+
+  val q100Sql: String =
+    """WITH r AS (SELECT o_totalprice AS v,
+           ntile(16) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+         FROM orders WHERE o_totalprice IS NOT NULL)
+       SELECT bucket, count(*) AS n, min(v) AS lo, max(v) AS hi
+       FROM r GROUP BY 1 ORDER BY bucket"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q73_funnel" -> (q73 _),
     "q74_resample" -> (q74 _),
@@ -1025,6 +1045,7 @@ object ExtQueries2 {
     "q97_heavy_hitters" -> (q97 _),
     "q98_lloyd_kmeans" -> (q98 _),
     "q99_canonical_select" -> (q99 _),
+    "q100_histogram" -> (q100 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1055,5 +1076,6 @@ object ExtQueries2 {
     "q97_heavy_hitters" -> q97Sql,
     "q98_lloyd_kmeans" -> q98Sql,
     "q99_canonical_select" -> q99Sql,
+    "q100_histogram" -> q100Sql,
   )
 }
