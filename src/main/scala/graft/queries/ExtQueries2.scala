@@ -1017,6 +1017,53 @@ object ExtQueries2 {
        SELECT bucket, count(*) AS n, min(v) AS lo, max(v) AS hi
        FROM r GROUP BY 1 ORDER BY bucket"""
 
+  // ---------------------------------------------------------------
+  // q101 — iterative PageRank (4 supersteps, damping 0.85) over the
+  // undirected customer↔supplier graph (suppliers offset by 1e9 to
+  // disjoin the key spaces; both edge orientations, so no dangling
+  // nodes). INTEGER arithmetic throughout (q98 playbook): rank mass
+  // in 10¹² units, contributions and damping via integer division —
+  // bit-identical cross-engine, no margin gates.
+  def q101(s: SparkSession, dir: String): DataFrame = {
+    val e0 = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      .join(t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o_orderkey"), col("l_suppkey")),
+        Seq("o_orderkey"))
+      .select(col("o_custkey").as("src"),
+        (col("l_suppkey") + lit(1000000000L)).as("dst"))
+      .distinct()
+    val sym = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+    graft.operators.Graph.pageRankInt(sym, "src", "dst", iters = 4)
+      .orderBy("node")
+  }
+
+  val q101Sql: String = {
+    def step(t: Int) = s"""
+       c$t AS (SELECT e.dst AS node, sum(r${t - 1}.r // d.deg) AS s
+               FROM e JOIN r${t - 1} ON e.src = r${t - 1}.node
+                 JOIN deg d ON d.src = e.src
+               GROUP BY 1),
+       r$t AS (SELECT nodes.node,
+                 (15 * ((1000000000000 // nn.n)) ) // 100
+                   + (85 * COALESCE(c$t.s, 0)) // 100 AS r
+               FROM nodes CROSS JOIN nn
+               LEFT JOIN c$t ON c$t.node = nodes.node)"""
+    s"""WITH e0 AS (SELECT DISTINCT o_custkey AS src,
+           l_suppkey + 1000000000 AS dst
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       e AS (SELECT src, dst FROM e0
+             UNION ALL SELECT dst, src FROM e0),
+       deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+       nodes AS (SELECT DISTINCT src AS node FROM e),
+       nn AS (SELECT count(*) AS n FROM nodes),
+       r0 AS (SELECT node, 1000000000000 // nn.n AS r
+              FROM nodes CROSS JOIN nn),
+       ${step(1)}, ${step(2)}, ${step(3)}, ${step(4)}
+       SELECT r4.node, CAST(d.deg AS BIGINT) AS deg, CAST(r4.r AS BIGINT) AS r
+       FROM r4 JOIN deg d ON d.src = r4.node
+       ORDER BY r4.node"""
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q73_funnel" -> (q73 _),
     "q74_resample" -> (q74 _),
@@ -1046,6 +1093,7 @@ object ExtQueries2 {
     "q98_lloyd_kmeans" -> (q98 _),
     "q99_canonical_select" -> (q99 _),
     "q100_histogram" -> (q100 _),
+    "q101_pagerank" -> (q101 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1077,5 +1125,6 @@ object ExtQueries2 {
     "q98_lloyd_kmeans" -> q98Sql,
     "q99_canonical_select" -> q99Sql,
     "q100_histogram" -> q100Sql,
+    "q101_pagerank" -> q101Sql,
   )
 }
