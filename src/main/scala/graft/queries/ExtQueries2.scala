@@ -1064,6 +1064,35 @@ object ExtQueries2 {
        ORDER BY r4.node"""
   }
 
+  // ---------------------------------------------------------------
+  // q102 — ORC source/sink round-trip: documents written as a Hive-
+  // partitioned ORC table (zlib, per-column bloom filters — the
+  // format-specific knobs a warehouse sink would pin), read back
+  // through the vectorized ORC reader, and verified ROW FOR ROW
+  // against the original parquet (the q81/q90 oracle pattern: any
+  // encode/decode drift fails the hash).
+  def q102(s: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_q102").toString
+    t(s, dir, "documents")
+      .select("doc_id", "source", "lang", "n_chars", "text")
+      .repartition(4)
+      .write.partitionBy("source")
+      .option("compression", "zlib")
+      .option("orc.bloom.filter.columns", "doc_id")
+      .orc(s"$base/orc")
+    val out = s.read.orc(s"$base/orc")
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
+        length(col("text")).cast("long").as("text_len"))
+      .localCheckpoint(eager = true)
+    IngestQueries.deleteTree(java.nio.file.Paths.get(base))
+    out.orderBy("doc_id")
+  }
+
+  val q102Sql: String =
+    """SELECT doc_id, source, lang, n_chars,
+         CAST(length(text) AS BIGINT) AS text_len
+       FROM documents ORDER BY doc_id"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q73_funnel" -> (q73 _),
     "q74_resample" -> (q74 _),
@@ -1094,6 +1123,7 @@ object ExtQueries2 {
     "q99_canonical_select" -> (q99 _),
     "q100_histogram" -> (q100 _),
     "q101_pagerank" -> (q101 _),
+    "q102_orc_roundtrip" -> (q102 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1126,5 +1156,6 @@ object ExtQueries2 {
     "q99_canonical_select" -> q99Sql,
     "q100_histogram" -> q100Sql,
     "q101_pagerank" -> q101Sql,
+    "q102_orc_roundtrip" -> q102Sql,
   )
 }
