@@ -54,4 +54,30 @@ object Maintenance {
       .groupBy(keys.map(col).toIndexedSeq: _*)
       .agg(aggs.head, aggs.tail: _*)
   }
+
+  /** The DELTA of an inner equi-join under insertions to both sides —
+    * the distributive delta-join rule of incremental view
+    * maintenance:
+    *
+    *   Δ(A ⋈ B) = ΔA ⋈ B  ∪  A ⋈ ΔB  ∪  ΔA ⋈ ΔB
+    *
+    * (A, B are the PRE-delta states). Feeding the result through the
+    * view's aggregation and [[combineAggregates]] maintains an
+    * aggregated-join view while touching only |Δ|-proportional join
+    * work — the base⋈base join, the expensive term at warehouse
+    * scale, is never recomputed. Insert-only (the CDC upsert path
+    * handles updates/deletes upstream — [[Upsert]]).
+    *
+    * Scale shape: three joins whose smaller side is delta-sized;
+    * Catalyst broadcasts them when small, and each term's exchange
+    * carries at most |Δ|·(join fanout) rows.
+    */
+  def deltaJoin(baseA: DataFrame, deltaA: DataFrame,
+                baseB: DataFrame, deltaB: DataFrame,
+                keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "deltaJoin: at least one join key")
+    deltaA.join(baseB, keys)
+      .unionByName(baseA.join(deltaB, keys))
+      .unionByName(deltaA.join(deltaB, keys))
+  }
 }

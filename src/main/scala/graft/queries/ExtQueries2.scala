@@ -1093,6 +1093,45 @@ object ExtQueries2 {
          CAST(length(text) AS BIGINT) AS text_len
        FROM documents ORDER BY doc_id"""
 
+  // ---------------------------------------------------------------
+  // q103 — incremental maintenance of an aggregated JOIN view:
+  // revenue per customer over orders⋈lineitem, maintained under
+  // independent 10%/[(k+l)%7] insert batches to BOTH sides via the
+  // delta-join rule Δ(A⋈B) = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB — the base⋈base
+  // join is computed once and never revisited. Decimal-exact sums;
+  // the oracle aggregates the FULL join in one pass (maintained ≡
+  // recomputed is the whole point).
+  def q103(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select(col("o_orderkey").as("k"), col("o_custkey"))
+    val l = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("k"), col("l_linenumber"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(30,8)").as("rev"))
+    val oIsDelta = col("k") % 10 === 0
+    val lIsDelta = (col("k") + col("l_linenumber")) % 7 === 0
+    def agg(df: DataFrame): DataFrame =
+      df.groupBy("o_custkey").agg(count(lit(1)).as("n"),
+        sum(col("rev")).as("rev"))
+    val baseView = agg(o.where(!oIsDelta).join(l.where(!lIsDelta), Seq("k")))
+    val deltaRows = graft.operators.Maintenance.deltaJoin(
+      o.where(!oIsDelta), o.where(oIsDelta),
+      l.where(!lIsDelta), l.where(lIsDelta), Seq("k"))
+    graft.operators.Maintenance
+      .combineAggregates(baseView, agg(deltaRows),
+        Seq("o_custkey"), Seq("rev"))
+      .select(col("o_custkey"), col("n"),
+        col("rev").cast("double").as("revenue"))
+      .orderBy("o_custkey")
+  }
+
+  val q103Sql: String =
+    """SELECT o_custkey, count(*) AS n,
+         CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                       AS DECIMAL(30,8))) AS DOUBLE) AS revenue
+       FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       GROUP BY 1 ORDER BY o_custkey"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q73_funnel" -> (q73 _),
     "q74_resample" -> (q74 _),
@@ -1124,6 +1163,7 @@ object ExtQueries2 {
     "q100_histogram" -> (q100 _),
     "q101_pagerank" -> (q101 _),
     "q102_orc_roundtrip" -> (q102 _),
+    "q103_join_ivm" -> (q103 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1157,5 +1197,6 @@ object ExtQueries2 {
     "q100_histogram" -> q100Sql,
     "q101_pagerank" -> q101Sql,
     "q102_orc_roundtrip" -> q102Sql,
+    "q103_join_ivm" -> q103Sql,
   )
 }

@@ -236,4 +236,22 @@ class WarehouseOpsSpec extends SparkSpec {
           r.getDouble(3), r.getBoolean(4))).toSet
     assert(run(docs) == run(docs.repartition(19)))
   }
+
+  test("deltaJoin: base⋈base ∪ Δ-terms ≡ full⋈full under arbitrary splits") {
+    import spark.implicits._
+    // deterministic many-to-many data with several split rules —
+    // including empty and full deltas — the identity must hold for all
+    val a = (0 until 120).map(i => (i.toLong % 30, i.toLong)).toDF("k", "av")
+    val b = (0 until 200).map(i => (i.toLong % 40, 1000L + i)).toDF("k", "bv")
+    val full = a.join(b, Seq("k"))
+    for (m <- Seq(3L, 7L, 1L, 1000000L)) {
+      val (aBase, aDelta) = (a.where(col("av") % m =!= 0), a.where(col("av") % m === 0))
+      val (bBase, bDelta) = (b.where(col("bv") % (m + 1) =!= 0), b.where(col("bv") % (m + 1) === 0))
+      val maintained = aBase.join(bBase, Seq("k")).unionByName(
+        graft.operators.Maintenance.deltaJoin(aBase, aDelta, bBase, bDelta, Seq("k")))
+      assert(maintained.count() == full.count(), s"split m=$m count")
+      assert(maintained.exceptAll(full).isEmpty &&
+        full.exceptAll(maintained).isEmpty, s"split m=$m rows drifted")
+    }
+  }
 }
