@@ -1132,6 +1132,42 @@ object ExtQueries2 {
        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
        GROUP BY 1 ORDER BY o_custkey"""
 
+  // ---------------------------------------------------------------
+  // q104 — per-entity EWMA (exponential smoothing, adjust=false,
+  // y₁ = x₁): the classic feature-engineering scan, engine-exact by
+  // PINNED SEQUENTIAL FOLD — both engines reduce the (tus, event_id)-
+  // ordered series left-to-right with the identical IEEE expression
+  // acc·0.75 + x·0.25 (both factors explicit literals), so every
+  // intermediate double is bit-identical. Inherently serial PER KEY
+  // (it's a scan); the grouping distributes across keys, and series
+  // stay bounded per entity.
+  def q104(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(col("user_id"),
+      expr("ts div 1000").as("tus"), col("event_id"), col("value"))
+    ev.groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+        sort_array(collect_list(struct(col("tus"), col("event_id"),
+          col("value")))).as("arr"))
+      .select(col("user_id"), col("n"),
+        aggregate(
+          slice(col("arr"), lit(2), greatest(size(col("arr")) - 1, lit(0))),
+          element_at(col("arr"), 1).getField("value"),
+          (acc, e) => acc * lit(0.75) +
+            e.getField("value") * lit(0.25)).as("ewma"))
+      .orderBy("user_id")
+  }
+
+  val q104Sql: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_id, value
+                  FROM events),
+       g AS (SELECT user_id, count(*) AS n,
+               list(value ORDER BY tus, event_id) AS l
+             FROM e GROUP BY 1)
+       SELECT user_id, n,
+         list_reduce(l, (acc, x) -> acc*CAST(0.75 AS DOUBLE)
+                                  + x*CAST(0.25 AS DOUBLE)) AS ewma
+       FROM g ORDER BY user_id"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q73_funnel" -> (q73 _),
     "q74_resample" -> (q74 _),
@@ -1164,6 +1200,7 @@ object ExtQueries2 {
     "q101_pagerank" -> (q101 _),
     "q102_orc_roundtrip" -> (q102 _),
     "q103_join_ivm" -> (q103 _),
+    "q104_ewma" -> (q104 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1198,5 +1235,6 @@ object ExtQueries2 {
     "q101_pagerank" -> q101Sql,
     "q102_orc_roundtrip" -> q102Sql,
     "q103_join_ivm" -> q103Sql,
+    "q104_ewma" -> q104Sql,
   )
 }

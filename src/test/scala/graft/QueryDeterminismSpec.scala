@@ -29,7 +29,14 @@ class QueryDeterminismSpec extends SparkSpec {
     "q84_kmeans_assign", "q85_grouping_sets", "q86_window_zoo",
     "q87_edit_distance", "q89_mmr_rerank", "q90_compaction",
     "q91_incremental_agg", "q92_sliding_window", "q93_mp3_headers",
-    "q94_subqueries", "q95_moment_stats")
+    "q94_subqueries", "q95_moment_stats",
+    // session-2 additions: q98/q101 are iterative loops, q100 rides
+    // RangePartitioner sampling, q104 folds doubles over a
+    // collect_list (ordered only via sort_array) — all prime flake
+    // surfaces; the rest are cheap to pin
+    "q96_bloom_join", "q97_heavy_hitters", "q98_lloyd_kmeans",
+    "q99_canonical_select", "q100_histogram", "q101_pagerank",
+    "q102_orc_roundtrip", "q103_join_ivm", "q104_ewma")
 
   covered.foreach { name =>
     test(s"$name: output invariant to shuffle partitioning") {
