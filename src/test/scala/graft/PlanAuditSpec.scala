@@ -69,6 +69,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Window"), s"global window would single-partition the corpus:\n$p")
   }
 
+  test("q96: bloom prefilter sits at the fact scan; dim side broadcasts") {
+    val p = plan("q96_bloom_join")
+    assert(p.contains("might_contain"), s"bloom filter folded away:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"dim side should broadcast:\n$p")
+  }
+
+  test("q97: cms_estimate prefilter survives into the physical plan") {
+    val p = plan("q97_heavy_hitters")
+    assert(p.contains("cms_estimate"), s"CMS prefilter folded away:\n$p")
+  }
+
+  test("q100: histogram plans NO global window — NTILE comes from the prefix sum") {
+    val p = plan("q100_histogram")
+    assert(!p.contains("Window"), s"global window would single-partition the table:\n$p")
+  }
+
   test("no shuffle cartesian product in any registry query") {
     // BroadcastNestedLoopJoin is legitimate where a side is tiny or
     // broadcast-by-design: the pure theta join (q37), the broadcast
