@@ -80,4 +80,41 @@ object Stats {
       .agg(count(lit(1)).as("n"), min(col("v")).as("lo"),
         max(col("v")).as("hi"))
   }
+
+  /** Zone map: per storage zone (a partition / z-order bucket / file
+    * id), row count and min/max of each listed column — the skipping
+    * metadata parquet keeps per row group and lakehouse formats keep
+    * per file, materialized as a queryable table. One narrow
+    * aggregation; columns land as `<c>_min` / `<c>_max`.
+    */
+  def zoneMap(df: DataFrame, zoneCol: String,
+              cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "zoneMap: at least one stats column")
+    val aggs: Seq[org.apache.spark.sql.Column] =
+      count(lit(1)).as("n") +: cols.flatMap(c =>
+        Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max")))
+    df.groupBy(col(zoneCol).as("zone")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Zone-map range pruning: answer `lo ≤ col ≤ hi` by first
+    * selecting the zones whose [min, max] interval intersects the
+    * range (a zone-map scan — tiny), then reading ONLY those zones
+    * and applying the exact residual filter. EXACT output: the zone
+    * cut is a superset (any qualifying row's zone interval must
+    * intersect the range), and the residual filter removes the rest.
+    * At table scale the semi-join on the zone key is what a reader
+    * turns into partition/file skipping — the query never touches
+    * non-intersecting zones.
+    */
+  def pruneByZoneMap(df: DataFrame, zm: DataFrame, zoneCol: String,
+                     valueCol: String, lo: Long, hi: Long): DataFrame = {
+    val zones = zm.where(col(s"${valueCol}_min") <= hi &&
+        col(s"${valueCol}_max") >= lo)
+      .select(col("zone").as(zoneCol))
+    df.join(zones, Seq(zoneCol), "left_semi")
+      .where(col(valueCol) >= lo && col(valueCol) <= hi)
+      // the semi-join hoists the zone key to the front — restore the
+      // caller's column order (prune must be schema-transparent)
+      .select(df.columns.map(col).toIndexedSeq: _*)
+  }
 }

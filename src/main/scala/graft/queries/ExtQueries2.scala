@@ -1168,6 +1168,37 @@ object ExtQueries2 {
                                   + x*CAST(0.25 AS DOUBLE)) AS ewma
        FROM g ORDER BY user_id"""
 
+  // ---------------------------------------------------------------
+  // q105 — zone-map statistics over the z-order layout: per zbucket
+  // (q75's clustering zones), row count + min/max of both clustering
+  // dimensions — the skipping metadata a reader turns into
+  // partition/file pruning (Stats.pruneByZoneMap is the consuming
+  // half, spec-gated exact). Integer-only output.
+  def q105(s: SparkSession, dir: String): DataFrame = {
+    val z = ZOrder.withZOrder(t(s, dir, "events"),
+        col("user_id"), floor(col("value")).cast("long"),
+        bits = 10, bucketBits = 6)
+      .select(col("zbucket"), col("user_id"),
+        floor(col("value")).cast("long").as("vfloor"))
+    graft.operators.Stats.zoneMap(z, "zbucket", Seq("user_id", "vfloor"))
+      .orderBy("zone")
+  }
+
+  val q105Sql: String = {
+    val terms = (0 until 10).map(i =>
+      s"(((ua >> $i) & 1) << ${2 * i}) | (((ub >> $i) & 1) << ${2 * i + 1})")
+    s"""WITH z AS (SELECT (${terms.mkString(" | ")}) >> 14 AS zone,
+           user_id, vfloor
+         FROM (SELECT user_id & 1023 AS ua,
+                 CAST(floor(value) AS BIGINT) & 1023 AS ub,
+                 user_id, CAST(floor(value) AS BIGINT) AS vfloor
+               FROM events))
+       SELECT zone, count(*) AS n,
+         min(user_id) AS user_id_min, max(user_id) AS user_id_max,
+         min(vfloor) AS vfloor_min, max(vfloor) AS vfloor_max
+       FROM z GROUP BY 1 ORDER BY zone"""
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q73_funnel" -> (q73 _),
     "q74_resample" -> (q74 _),
@@ -1201,6 +1232,7 @@ object ExtQueries2 {
     "q102_orc_roundtrip" -> (q102 _),
     "q103_join_ivm" -> (q103 _),
     "q104_ewma" -> (q104 _),
+    "q105_zone_map" -> (q105 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1236,5 +1268,6 @@ object ExtQueries2 {
     "q102_orc_roundtrip" -> q102Sql,
     "q103_join_ivm" -> q103Sql,
     "q104_ewma" -> q104Sql,
+    "q105_zone_map" -> q105Sql,
   )
 }

@@ -36,7 +36,8 @@ class QueryDeterminismSpec extends SparkSpec {
     // surfaces; the rest are cheap to pin
     "q96_bloom_join", "q97_heavy_hitters", "q98_lloyd_kmeans",
     "q99_canonical_select", "q100_histogram", "q101_pagerank",
-    "q102_orc_roundtrip", "q103_join_ivm", "q104_ewma")
+    "q102_orc_roundtrip", "q103_join_ivm", "q104_ewma",
+    "q105_zone_map")
 
   covered.foreach { name =>
     test(s"$name: output invariant to shuffle partitioning") {

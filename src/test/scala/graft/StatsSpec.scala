@@ -59,4 +59,38 @@ class StatsSpec extends SparkSpec {
       Stats.equiDepthHistogram(fixture.where(lit(false)), "v", "id", 4)
     }
   }
+
+  // zones of 10 consecutive values: zone z holds val in [10z, 10z+9]
+  private def zoned = (0 until 400).map { i =>
+    val v = (i * 7) % 100
+    (i.toLong, (v / 10).toLong, v.toLong)
+  }.toDF("id", "zone_id", "val")
+
+  test("zoneMap: per-zone count and min/max match closed form") {
+    val zm = Stats.zoneMap(zoned, "zone_id", Seq("val"))
+      .orderBy("zone").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(zm.length == 10)
+    zm.foreach { case (z, n, lo, hi) =>
+      assert(n == 40, s"zone $z count $n")
+      assert(lo >= 10 * z && hi <= 10 * z + 9 && lo <= hi)
+    }
+  }
+
+  test("pruneByZoneMap ≡ direct range filter; non-matching zones are cut") {
+    val zm = Stats.zoneMap(zoned, "zone_id", Seq("val"))
+    // aligned, straddling, single-point and empty ranges must all be
+    // exact — the zone cut is a superset, the residual filter exact
+    for ((lo, hi) <- Seq((20L, 39L), (25L, 44L), (63L, 63L), (200L, 300L))) {
+      val got = Stats.pruneByZoneMap(zoned, zm, "zone_id", "val", lo, hi)
+        .orderBy("id").collect().toSeq
+      val want = zoned.where(col("val") >= lo && col("val") <= hi)
+        .orderBy("id").collect().toSeq
+      assert(got == want, s"range [$lo,$hi]")
+    }
+    // the cut really skips zones: a 2-zone range selects 2 of 10
+    val zonesHit = zm.where(col("val_min") <= 39L && col("val_max") >= 20L)
+      .count()
+    assert(zonesHit == 2, s"expected 2 zones, got $zonesHit")
+  }
 }
