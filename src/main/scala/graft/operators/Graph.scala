@@ -40,6 +40,112 @@ object Graph {
     * plan never replays prior iterations. Driver traffic is the
     * node COUNT only.
     */
+  /** Per-node triangle counts via DEGREE-ORDERED ORIENTATION (the
+    * Suri–Vassilvitskii / Cohen MapReduce scheme): canonicalize the
+    * undirected edge set, orient every edge from its lower endpoint
+    * to its higher endpoint under the total order (degree, node), and
+    * enumerate wedges only at each edge's LOWER endpoint. Every
+    * triangle then has exactly one "apex" (its order-minimal vertex),
+    * so each is generated once, and the wedge count is
+    * Σᵤ C(outdeg(u), 2) — O(E^{3/2}) total because the orientation
+    * caps out-degree at O(√E) — instead of Σᵤ C(deg(u), 2), which a
+    * hub vertex turns quadratic. Scale shape: two hash joins (wedge
+    * build + closure probe) and one groupBy — no crossJoin, no
+    * windows; the skew a social-graph hub would cause is exactly what
+    * the orientation removes.
+    *
+    * Input edges are undirected; both orientations, self-loops and
+    * duplicates are tolerated (canonicalized away). Output: one row
+    * per node incident to ≥ 1 edge — (node, deg, triangles), integer
+    * exact. */
+  def triangleCounts(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String): DataFrame = {
+    val canon = edges.select(
+        least(col(srcCol), col(dstCol)).cast(LongType).as("a"),
+        greatest(col(srcCol), col(dstCol)).cast(LongType).as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct()
+    val deg = canon.select(col("a").as("node"))
+      .union(canon.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // orient by (deg, node): u→v iff (deg_u, u) <lex (deg_v, v)
+    val withDeg = canon
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), Seq("b"))
+    val lowFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val oriented = withDeg.select(
+      when(lowFirst, col("a")).otherwise(col("b")).as("u"),
+      when(lowFirst, col("b")).otherwise(col("a")).as("v"),
+      when(lowFirst, col("db")).otherwise(col("da")).as("dv"))
+    // wedges at the apex u: out-neighbors v < w under (deg, node)
+    val e1 = oriented.select(col("u"), col("v"), col("dv"))
+    val e2 = oriented.select(col("u"), col("v").as("w"), col("dv").as("dw"))
+    val wedges = e1.join(e2, Seq("u"))
+      .where(col("dv") < col("dw") ||
+        (col("dv") === col("dw") && col("v") < col("w")))
+      .select(col("u"), col("v"), col("w"))
+    val tris = wedges.join(
+        oriented.select(col("u").as("v"), col("v").as("w")), Seq("v", "w"))
+      .select(col("u"), col("v"), col("w"))
+    val perNode = tris.select(explode(array(col("u"), col("v"), col("w")))
+        .as("node"))
+      .groupBy("node").agg(count(lit(1)).as("tri"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("tri"), lit(0L)).as("triangles"))
+  }
+
+  /** Bounded-depth BFS: minimum hop count from `source` to every node
+    * reachable within `maxHops` supersteps. Integer hop labels — no
+    * doubles anywhere, so results are trivially exact cross-engine.
+    * Level-synchronous frontier expansion: each round joins the
+    * CURRENT FRONTIER ONLY (not the full visited set) against the
+    * checkpointed edge list, then anti-joins visited — the standard
+    * Pregel BFS; per-round cost is O(frontier out-edges), and the
+    * visited set stays partitioned by node. The loop state is
+    * localCheckpoint'ed so round k's plan does not replay rounds
+    * 1..k-1. Driver traffic: one isEmpty probe per round (early stop
+    * once the frontier drains). */
+  def bfsHops(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      source: Long,
+      maxHops: Int): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 64,
+      s"bfsHops: maxHops in [1, 64], got $maxHops")
+    val e = edges.select(col(srcCol).cast(LongType).as("src"),
+        col(dstCol).cast(LongType).as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint(eager = true) // probed every superstep
+    val spark = edges.sparkSession
+    import spark.implicits._
+    var visited = Seq((source, 0L)).toDF("node", "hops")
+      .localCheckpoint(eager = true)
+    var frontier = visited.select("node")
+    var hop = 0L
+    var drained = false
+    while (hop < maxHops && !drained) {
+      hop += 1
+      val next = frontier.join(e, col("node") === col("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(visited.select(col("node").as("vn")),
+          col("node") === col("vn"), "left_anti")
+        .localCheckpoint(eager = true)
+      if (next.isEmpty) { drained = true }
+      else {
+        visited = visited.union(next.select(col("node"), lit(hop).as("hops")))
+          .localCheckpoint(eager = true)
+        frontier = next
+      }
+    }
+    visited
+  }
+
   def pageRankInt(
       edges: DataFrame,
       srcCol: String,

@@ -179,4 +179,59 @@ object Sampling {
         row_number().over(w).cast("long") * col("__stride"))
       .drop("__stride")
   }
+
+  /** Weight-proportional SYSTEMATIC sampling (size-proportional-to-
+    * weight without replacement): lay rows end-to-end in id order,
+    * each occupying `weight` units of the cumulative axis, and select
+    * the row under every multiple of step = ⌊W/k⌋ (W = total weight).
+    * The classic PPS-systematic design — inclusion probability is
+    * proportional to weight, a row with weight ≥ step is ALWAYS
+    * selected (`hits` counts how many grid points it absorbs, like
+    * PPS with-replacement multiplicity), and the draw is fully
+    * deterministic in (id order, weights, k): no RNG, so engine and
+    * oracle derive the identical sample, and the selection is stable
+    * under re-sharding.
+    *
+    * Built on [[Packing.sequencePack]]'s distributed prefix sum (the
+    * one corpus-sized exchange is its range partition; the grid
+    * selection itself is a pure Column filter over nonneg integers —
+    * truncating and flooring division agree, so `div` ≡ DuckDB `//`).
+    * Driver traffic: the 1-row total-weight aggregate + sequencePack's
+    * per-partition subtotals. Preconditions inherited: unique ids,
+    * non-null weights; weights must be ≥ 0 and W ≥ k. */
+  def weightedSystematic(
+      df: DataFrame,
+      idCol: String,
+      weightCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"weightedSystematic: k >= 1, got $k")
+    val totRow = df.agg(
+      sum(col(weightCol).cast("long")).as("w"),
+      min(col(weightCol).cast("long")).as("mn")).head()
+    require(!totRow.isNullAt(0), "weightedSystematic: empty input")
+    require(totRow.getLong(1) >= 0,
+      s"weightedSystematic: negative weight ${totRow.getLong(1)}")
+    val total = totRow.getLong(0)
+    require(total >= k.toLong,
+      s"weightedSystematic: total weight $total < k=$k")
+    val step = total / k
+    // zero-weight rows occupy no axis (they cannot absorb a grid
+    // point, and dropping them leaves every other row's offset
+    // unchanged) — excluding them up front keeps all grid arithmetic
+    // on strictly positive intervals, where truncating division is
+    // flooring division in every engine
+    Packing.sequencePack(
+        df.where(col(weightCol).cast("long") >= 1L)
+          .select(col(idCol), col(weightCol)),
+        idCol, weightCol, budget = step)
+      .select(col("id"), col("n_tokens").as("weight"),
+        col("start_tok").as("cum_start"))
+      // grid points m·step inside [cum_start, cum_start+weight):
+      // first = ceil(cum_start/step), last = (cum_start+weight-1) div step
+      .withColumn("_first", expr(s"(cum_start + ${step - 1}L) div ${step}L"))
+      .withColumn("hits",
+        expr(s"(cum_start + weight - 1L) div ${step}L") - col("_first") + 1L)
+      .where(col("hits") >= 1L)
+      .withColumnRenamed("_first", "first_grid")
+  }
 }

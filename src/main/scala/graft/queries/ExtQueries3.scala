@@ -1,0 +1,231 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Graph, Intervals, PhraseSearch, Sampling, Skyline}
+
+/** Round-7 session-3 extension queries: graph analytics (triangles,
+  * BFS), gaps-and-islands interval coalescing, Pareto skyline,
+  * PPS-systematic weighted sampling, and positional phrase search.
+  * Same contract as [[ExtQueries]]: every query ends in ORDER BY over
+  * a unique key prefix, column names match the oracle SQL exactly,
+  * and every comparison/aggregate that decides a row is integer- or
+  * decimal-exact (no doubles anywhere in this file's outputs).
+  */
+object ExtQueries3 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  // ---------------------------------------------------------------
+  // q106 — per-node triangle counts over the part co-purchase graph
+  // (parts sharing an order), via degree-ordered orientation
+  // (Graph.triangleCounts): each triangle enumerated exactly once at
+  // its order-minimal apex, wedge work Σ C(outdeg,2) = O(E^{3/2}).
+  // The oracle counts the same triangles from the canonical a<b edge
+  // list directly. Integer-exact.
+  def q106(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    val e = li.as("x").join(li.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+      .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+    Graph.triangleCounts(e, "src", "dst").orderBy("node")
+  }
+
+  val q106Sql: String =
+    """WITH e AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+         FROM lineitem a JOIN lineitem b
+           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+       deg AS (SELECT node, count(*) AS deg FROM
+           (SELECT a AS node FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+       tri AS (SELECT x.a AS u, x.b AS v, y.b AS w
+               FROM e x JOIN e y ON y.a = x.b
+                 JOIN e z ON z.a = x.a AND z.b = y.b),
+       pn AS (SELECT node, count(*) AS tri FROM
+           (SELECT u AS node FROM tri UNION ALL SELECT v FROM tri
+            UNION ALL SELECT w FROM tri) GROUP BY 1)
+       SELECT d.node, d.deg, COALESCE(pn.tri, 0) AS triangles
+       FROM deg d LEFT JOIN pn USING (node) ORDER BY d.node"""
+
+  // ---------------------------------------------------------------
+  // q107 — bounded BFS (6 supersteps) over a deterministic 3-regular
+  // chord graph on the customer keys (k → k+1, 2k, 3k+7 mod N): min
+  // hop count from node 0 for every node reached. Both engines build
+  // the identical edge set from the identical keys, so no assumption
+  // on key contiguity is needed; hop labels are integers — exact by
+  // construction. The oracle unrolls the 6 level-synchronous
+  // frontiers and takes the per-node min.
+  private val BfsHops = 6
+
+  def q107(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").select(col("c_custkey").as("k"))
+    val n = c.count()
+    val e = c.select(col("k").as("src"), ((col("k") + 1) % n).as("dst"))
+      .union(c.select(col("k"), (col("k") * 2) % n))
+      .union(c.select(col("k"), (col("k") * 3 + 7) % n))
+    Graph.bfsHops(e, "src", "dst", source = 0L, maxHops = BfsHops)
+      .orderBy("node")
+  }
+
+  val q107Sql: String = {
+    val levels = (1 to BfsHops).map { h =>
+      s"""r$h AS (SELECT DISTINCT e.dst AS node
+            FROM e JOIN r${h - 1} ON e.src = r${h - 1}.node)"""
+    }.mkString(",\n       ")
+    val union = (0 to BfsHops).map(h =>
+      s"SELECT node, $h AS h FROM r$h").mkString(" UNION ALL ")
+    s"""WITH nn AS (SELECT count(*) AS n FROM customer),
+       k AS (SELECT c_custkey AS k FROM customer),
+       e AS (SELECT k AS src, (k + 1) % nn.n AS dst FROM k CROSS JOIN nn
+             UNION ALL SELECT k, (k * 2) % nn.n FROM k CROSS JOIN nn
+             UNION ALL SELECT k, (k * 3 + 7) % nn.n FROM k CROSS JOIN nn),
+       r0 AS (SELECT CAST(0 AS BIGINT) AS node),
+       $levels
+       SELECT node, min(h) AS hops FROM ($union)
+       GROUP BY 1 ORDER BY node"""
+  }
+
+  // ---------------------------------------------------------------
+  // q108 — gaps-and-islands: each event opens a 6-hour half-open
+  // activity interval [tus, tus+6h); overlapping-or-chained intervals
+  // per user coalesce into islands (Intervals.coalesce — one hash
+  // exchange + two in-partition window scans). µs integers end to
+  // end; the median inter-event gap is ~7.3 h, so real merging occurs
+  // without degenerating to one island per user.
+  private val SpanUs = 21600000000L // 6 h
+
+  def q108(s: SparkSession, dir: String): DataFrame = {
+    val iv = t(s, dir, "events").select(col("user_id"),
+      expr("ts div 1000").as("s"),
+      (expr("ts div 1000") + SpanUs).as("e"), col("event_id"))
+    Intervals.coalesce(iv, "user_id", "s", "e", "event_id")
+      .orderBy("user_id", "island")
+  }
+
+  val q108Sql: String =
+    s"""WITH iv AS (SELECT user_id, epoch_us(ts) AS s,
+           epoch_us(ts) + $SpanUs AS e, event_id FROM events),
+       w AS (SELECT user_id, s, e, event_id,
+               max(e) OVER (PARTITION BY user_id ORDER BY s, e, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+             FROM iv),
+       f AS (SELECT user_id, s, e, event_id,
+               CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END AS brk
+             FROM w),
+       g AS (SELECT user_id, s, e,
+               CAST(sum(brk) OVER (PARTITION BY user_id
+                 ORDER BY s, e, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS island
+             FROM f)
+       SELECT user_id, island, min(s) AS island_start, max(e) AS island_end,
+         count(*) AS n_rows, max(e) - min(s) AS covered
+       FROM g GROUP BY 1, 2 ORDER BY user_id, island"""
+
+  // ---------------------------------------------------------------
+  // q109 — Pareto skyline of parts (minimize price, maximize size):
+  // the sort-based 2-D characterization (Skyline.skyline2d) — per-
+  // cost-group max + a strict-prefix running max over the DISTINCT
+  // cost series, never the O(n²) dominance anti-join. Price is
+  // quantized to integer cents with bround ≡ round_even (q98
+  // playbook), so every dominance comparison is exact.
+  def q109(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "part").select(col("p_partkey"),
+      bround(col("p_retailprice") * lit(100.0), 0).cast("long").as("cents"),
+      col("p_size").cast("long").as("size"))
+    Skyline.skyline2d(p, "cents", "size")
+      .select(col("p_partkey"), col("cents"), col("size"))
+      .orderBy("p_partkey")
+  }
+
+  val q109Sql: String =
+    """WITH p AS (SELECT p_partkey,
+           CAST(round_even(p_retailprice * 100.0, 0) AS BIGINT) AS cents,
+           CAST(p_size AS BIGINT) AS size FROM part),
+       g AS (SELECT cents, max(size) AS gmax FROM p GROUP BY 1),
+       f AS (SELECT cents, gmax FROM
+           (SELECT cents, gmax,
+              max(gmax) OVER (ORDER BY cents
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+            FROM g)
+           WHERE pm IS NULL OR gmax > pm)
+       SELECT p.p_partkey, p.cents, p.size
+       FROM p JOIN f ON p.cents = f.cents AND p.size = f.gmax
+       ORDER BY p.p_partkey"""
+
+  // ---------------------------------------------------------------
+  // q110 — PPS-systematic weighted sample (k=64 grid points) of the
+  // corpus by token weight: documents laid end-to-end in id order,
+  // the document under every multiple of ⌊W/64⌋ selected
+  // (Sampling.weightedSystematic over the distributed prefix sum).
+  // Deterministic, RNG-free; `hits` is the PPS multiplicity a
+  // heavier-than-step document absorbs. All-integer arithmetic on
+  // strictly positive offsets, so `div` ≡ `//`.
+  def q110(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"),
+      size(split(col("text"), " ", -1)).cast("long").as("w"))
+    Sampling.weightedSystematic(d, "doc_id", "w", k = 64)
+      .orderBy("id")
+  }
+
+  val q110Sql: String =
+    """WITH d AS (SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS w
+         FROM documents),
+       tt AS (SELECT CAST(sum(w) // 64 AS BIGINT) AS step FROM d),
+       c AS (SELECT doc_id, w,
+               CAST(COALESCE(sum(w) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS cs
+             FROM d),
+       sel AS (SELECT doc_id AS id, w AS weight, cs AS cum_start,
+                 (cs + step - 1) // step AS first_grid,
+                 (cs + w - 1) // step - (cs + step - 1) // step + 1 AS hits
+               FROM c CROSS JOIN tt)
+       SELECT id, weight, cum_start, first_grid, hits
+       FROM sel WHERE hits >= 1 ORDER BY id"""
+
+  // ---------------------------------------------------------------
+  // q111 — positional phrase search: documents containing the exact
+  // phrase "table hash", with occurrence count and first 0-based
+  // position, via the positional-postings intersection
+  // (PhraseSearch.phraseHits — the token stream is filtered to the
+  // phrase's terms BEFORE any join). The oracle scans each token
+  // list with an index comprehension.
+  def q111(s: SparkSession, dir: String): DataFrame =
+    PhraseSearch.phraseHits(t(s, dir, "documents"), "doc_id", "text",
+        Seq("table", "hash"))
+      .withColumnRenamed("doc", "doc_id")
+      .orderBy("doc_id")
+
+  val q111Sql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+         FROM documents),
+       h AS (SELECT doc_id,
+               [j for j in range(1, len(w))
+                if w[j] = 'table' AND w[j + 1] = 'hash'] AS ps
+             FROM w)
+       SELECT doc_id, CAST(len(ps) AS BIGINT) AS n_hits,
+         CAST(ps[1] - 1 AS BIGINT) AS first_pos
+       FROM h WHERE len(ps) >= 1 ORDER BY doc_id"""
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q106_triangles" -> (q106 _),
+    "q107_bfs_hops" -> (q107 _),
+    "q108_interval_merge" -> (q108 _),
+    "q109_skyline" -> (q109 _),
+    "q110_weighted_sample" -> (q110 _),
+    "q111_phrase_search" -> (q111 _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q106_triangles" -> q106Sql,
+    "q107_bfs_hops" -> q107Sql,
+    "q108_interval_merge" -> q108Sql,
+    "q109_skyline" -> q109Sql,
+    "q110_weighted_sample" -> q110Sql,
+    "q111_phrase_search" -> q111Sql,
+  )
+}

@@ -1,0 +1,165 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Intervals, PhraseSearch, Sampling, Skyline}
+
+/** Property gates for the session-3 analytics operators: each is
+  * checked against an independent brute-force/local reference on
+  * seeded random inputs, plus the structural invariants that define
+  * the operator (dominance-freedom, island disjointness, overlap
+  * counting, grid absorption). */
+class AnalyticsOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ----------------------------------------------------- skyline
+  private def bruteSkyline(pts: Seq[(Long, Long, Long)])
+      : Set[(Long, Long, Long)] =
+    pts.filter { case (_, c, s) =>
+      !pts.exists { case (_, c2, s2) =>
+        c2 <= c && s2 >= s && (c2 < c || s2 > s)
+      }
+    }.toSet
+
+  test("skyline2d matches brute-force dominance, ties survive together") {
+    val rnd = new scala.util.Random(3)
+    // duplicate (cost, size) pairs included — both copies must survive
+    // or fall together
+    val base = (0 until 200).map(i =>
+      (i.toLong, rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+    val pts = base ++ base.take(20).map { case (i, c, s) => (i + 1000, c, s) }
+    val got = Skyline.skyline2d(pts.toDF("id", "c", "s"), "c", "s")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == bruteSkyline(pts), s"got $got\nwant ${bruteSkyline(pts)}")
+    assert(got.nonEmpty)
+  }
+
+  test("skyline2d: a single strictly-dominating point wins alone") {
+    val pts = Seq((1L, 0L, 99L), (2L, 5L, 99L), (3L, 0L, 5L), (4L, 7L, 100L))
+    val got = Skyline.skyline2d(pts.toDF("id", "c", "s"), "c", "s")
+      .collect().map(_.getLong(0)).toSet
+    // (1) dominates (2) and (3); (4) survives on size
+    assert(got == Set(1L, 4L))
+  }
+
+  // --------------------------------------------------- intervals
+  test("Intervals.coalesce: islands are disjoint, gapped, and complete") {
+    val rnd = new scala.util.Random(5)
+    val rows = (0 until 400).map { i =>
+      val s = rnd.nextInt(2000).toLong
+      (rnd.nextInt(4).toLong, s, s + 1 + rnd.nextInt(60).toLong, i.toLong)
+    }
+    val out = Intervals.coalesce(rows.toDF("k", "s", "e", "id"),
+        "k", "s", "e", "id")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // per key: islands sorted by start must be strictly gapped
+    // (next start > prev end), covered = end - start, and row counts
+    // sum to the input size
+    out.groupBy(_._1).foreach { case (_, isl) =>
+      val sorted = isl.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array((_, _, pe, _, _), (_, ns, _, _, _)) =>
+          assert(ns > pe, s"islands touch or overlap: $sorted")
+        case _ =>
+      }
+    }
+    assert(out.map(_._4).sum == rows.size)
+    assert(out.forall { case (_, s, e, _, cov) => cov == e - s && e > s })
+    // every input interval is inside exactly one island of its key
+    rows.foreach { case (k, s, e, _) =>
+      assert(out.count { case (ik, is, ie, _, _) =>
+        ik == k && is <= s && e <= ie } == 1)
+    }
+  }
+
+  test("Intervals.coalesce: half-open abutting intervals chain into one") {
+    // [0,10) and [10,20) abut (10 > pmax=10 is false) → one island
+    val rows = Seq((1L, 0L, 10L, 1L), (1L, 10L, 20L, 2L), (1L, 21L, 25L, 3L))
+    val out = Intervals.coalesce(rows.toDF("k", "s", "e", "id"),
+        "k", "s", "e", "id")
+      .orderBy("island").collect()
+    assert(out.length == 2)
+    assert(out(0).getLong(2) == 0L && out(0).getLong(3) == 20L)
+    assert(out(1).getLong(2) == 21L && out(1).getLong(3) == 25L)
+  }
+
+  // ------------------------------------------------ phrase search
+  private def naivePhrase(text: String, phrase: Seq[String]): (Long, Long) = {
+    val toks = text.split(" ", -1)
+    val hits = (0 to toks.length - phrase.length)
+      .filter(i => phrase.indices.forall(j => toks(i + j) == phrase(j)))
+    (hits.size.toLong, if (hits.isEmpty) -1L else hits.head.toLong)
+  }
+
+  test("phraseHits matches a naive scan, incl. overlapping occurrences") {
+    val docs = Seq(
+      (1L, "a b c a b c a b"),
+      (2L, "a a a a"),          // "a a" overlaps: 3 hits
+      (3L, "b c b c"),
+      (4L, "a"),                // shorter than the phrase
+      (5L, ""),
+      (6L, "x a b x a b")
+    )
+    for (phrase <- Seq(Seq("a", "b"), Seq("a", "a"), Seq("b", "c", "a"))) {
+      val got = PhraseSearch.phraseHits(docs.toDF("id", "text"),
+          "id", "text", phrase)
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getInt(2).toLong)))
+        .toMap
+      val want = docs.map { case (id, t) => (id, naivePhrase(t, phrase)) }
+        .filter(_._2._1 > 0).toMap
+      assert(got == want, s"phrase $phrase: got $got want $want")
+    }
+  }
+
+  test("phraseHits: single-term phrase degenerates to term frequency") {
+    val docs = Seq((1L, "a b a"), (2L, "b"), (3L, "a a a"))
+    val got = PhraseSearch.phraseHits(docs.toDF("id", "text"),
+        "id", "text", Seq("a"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 2L, 3L -> 3L))
+  }
+
+  // ------------------------------------------- weighted sampling
+  test("weightedSystematic: grid absorption, multiplicity, invariance") {
+    val rnd = new scala.util.Random(9)
+    val rows = (0 until 500).map(i => (i.toLong, 1L + rnd.nextInt(50).toLong))
+    val df = rows.toDF("id", "w")
+    val k = 16
+    val total = rows.map(_._2).sum
+    val step = total / k
+    val nGrid = (total - 1) / step + 1 // multiples of step in [0, total)
+    val out = Sampling.weightedSystematic(df, "id", "w", k)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.map(_._5).sum == nGrid, "every grid point absorbed once")
+    // local reference: prefix-sum scan
+    val cum = rows.map(_._2).scanLeft(0L)(_ + _)
+    val want = rows.zipWithIndex.flatMap { case ((id, w), i) =>
+      val first = (cum(i) + step - 1) / step
+      val hits = (cum(i) + w - 1) / step - first + 1
+      if (hits >= 1) Some((id, w, cum(i), first, hits)) else None
+    }
+    assert(out.toSeq == want)
+    // partition-invariant (the offsets must not depend on layout)
+    val reparted = Sampling.weightedSystematic(df.repartition(17), "id",
+        "w", k)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(reparted.toSeq == out.toSeq)
+    // a row heavier than the step is always selected
+    val heavy = Sampling.weightedSystematic(
+      Seq((1L, 5L), (2L, 1000L), (3L, 5L)).toDF("id", "w"), "id", "w", 4)
+    assert(heavy.where(col("id") === 2L).count() == 1)
+  }
+
+  test("weightedSystematic: zero-weight rows never absorb a grid point") {
+    val df = Seq((1L, 0L), (2L, 10L), (3L, 0L), (4L, 10L)).toDF("id", "w")
+    val got = Sampling.weightedSystematic(df, "id", "w", 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(!got.contains(1L) && !got.contains(3L))
+    assert(got.contains(2L)) // owns offset 0
+  }
+}

@@ -58,6 +58,88 @@ class GraphSpec extends SparkSpec {
     assert(a.nonEmpty)
   }
 
+  /** Naive local triangle reference: per-node count over the
+    * canonical edge set. */
+  private def localTriangles(edges: Seq[(Long, Long)])
+      : Map[Long, (Long, Long)] = {
+    val canon = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter { case (a, b) => a != b }.distinct
+    val adj = (canon ++ canon.map(_.swap)).groupBy(_._1)
+      .map { case (k, v) => (k, v.map(_._2).toSet) }
+    val nodes = adj.keys.toSeq.sorted
+    // each triangle {u<v<w} found once at its min edge (u,v),
+    // contributing to all three corners
+    val per = canon.flatMap { case (u, v) =>
+      // toSeq BEFORE flatMap — Set semantics would collapse the u/v
+      // contributions of two triangles sharing the edge (u,v)
+      (adj(u) & adj(v)).toSeq.filter(w => w > v).flatMap(w => Seq(u, v, w))
+    }.groupBy(identity).map { case (k, v) => (k, v.size.toLong) }
+    nodes.map(u => u -> (adj(u).size.toLong, per.getOrElse(u, 0L))).toMap
+  }
+
+  test("triangleCounts matches brute force on a seeded random graph") {
+    val rnd = new scala.util.Random(7)
+    val edges = (0 until 160).map(_ =>
+      (rnd.nextInt(28).toLong, rnd.nextInt(28).toLong))
+    // feed duplicates, self-loops and both orientations — all must
+    // canonicalize away
+    val noisy = edges ++ edges.take(40).map(_.swap) ++
+      Seq((3L, 3L), (5L, 5L))
+    val got = Graph.triangleCounts(noisy.toDF("src", "dst"), "src", "dst")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+      .toMap
+    val want = localTriangles(edges)
+    assert(got == want, s"engine $got\nlocal $want")
+    assert(got.values.map(_._2).sum % 3 == 0, "per-node sum must be 3·#tri")
+    assert(got.values.map(_._2).sum > 0, "fixture should contain triangles")
+  }
+
+  test("triangleCounts: triangle-free bipartite graph counts zero") {
+    val edges = for (a <- 0L to 5L; b <- 10L to 14L) yield (a, b)
+    val got = Graph.triangleCounts(edges.toDF("src", "dst"), "src", "dst")
+      .collect().map(_.getLong(2))
+    assert(got.length == 11 && got.forall(_ == 0L))
+  }
+
+  /** Local level-synchronous BFS reference. */
+  private def localBfs(edges: Seq[(Long, Long)], src: Long, maxHops: Int)
+      : Map[Long, Long] = {
+    val adj = edges.filter(e => e._1 != e._2).distinct.groupBy(_._1)
+      .map { case (k, v) => (k, v.map(_._2)) }
+    var dist = Map(src -> 0L)
+    var frontier = Seq(src)
+    for (h <- 1 to maxHops if frontier.nonEmpty) {
+      val next = frontier.flatMap(adj.getOrElse(_, Nil)).distinct
+        .filterNot(dist.contains)
+      dist = dist ++ next.map(_ -> h.toLong)
+      frontier = next
+    }
+    dist
+  }
+
+  test("bfsHops matches local BFS and is partition-invariant") {
+    val rnd = new scala.util.Random(11)
+    val edges = (0 until 120).map(_ =>
+      (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+    val df = edges.toDF("src", "dst")
+    val got = Graph.bfsHops(df, "src", "dst", source = 0L, maxHops = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == localBfs(edges, 0L, 4))
+    val reparted = Graph.bfsHops(df.repartition(13), "src", "dst", 0L, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(reparted == got)
+    // hop levels must all be ≤ 4 and the source is at 0
+    assert(got(0L) == 0L && got.values.forall(_ <= 4L))
+  }
+
+  test("bfsHops stops early when the frontier drains") {
+    // 0→1→2, disconnected 7→8: only the source component is reached
+    val edges = Seq((0L, 1L), (1L, 2L), (7L, 8L))
+    val got = Graph.bfsHops(edges.toDF("src", "dst"), "src", "dst", 0L, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 2L))
+  }
+
   test("symmetric graph conserves mass up to bounded div loss") {
     val e0 = Seq((1L, 10L), (2L, 10L), (3L, 11L), (1L, 11L), (4L, 12L))
     val sym = e0 ++ e0.map(_.swap)

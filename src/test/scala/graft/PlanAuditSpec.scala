@@ -85,6 +85,30 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Window"), s"global window would single-partition the table:\n$p")
   }
 
+  test("q106: triangle counting plans hash joins only — no window, no cartesian") {
+    val p = plan("q106_triangles")
+    assert(!p.contains("Window"),
+      s"orientation scheme needs no window:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"wedge/closure must be equi-joins:\n$p")
+  }
+
+  test("q110: weighted sampling plans NO global window — offsets from the prefix sum") {
+    val p = plan("q110_weighted_sample")
+    assert(!p.contains("Window"),
+      s"global window would single-partition the corpus:\n$p")
+  }
+
+  test("q111: phrase postings are filtered to the phrase terms before any join") {
+    // the isin(term) filter must sit under the generate, not after
+    // the join — the index-lookup shape is the whole point
+    val p = plan("q111_phrase_search")
+    assert(p.contains("table") && p.contains("hash"), s"plan:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"plan:\n$p")
+  }
+
   test("no shuffle cartesian product in any registry query") {
     // BroadcastNestedLoopJoin is legitimate where a side is tiny or
     // broadcast-by-design: the pure theta join (q37), the broadcast

@@ -37,7 +37,11 @@ class QueryDeterminismSpec extends SparkSpec {
     "q96_bloom_join", "q97_heavy_hitters", "q98_lloyd_kmeans",
     "q99_canonical_select", "q100_histogram", "q101_pagerank",
     "q102_orc_roundtrip", "q103_join_ivm", "q104_ewma",
-    "q105_zone_map")
+    "q105_zone_map",
+    // session-3 additions: q107's BFS is an iterative loop, q110
+    // rides sequencePack's RangePartitioner; the rest are cheap to pin
+    "q106_triangles", "q107_bfs_hops", "q108_interval_merge",
+    "q109_skyline", "q110_weighted_sample", "q111_phrase_search")
 
   covered.foreach { name =>
     test(s"$name: output invariant to shuffle partitioning") {
