@@ -33,26 +33,64 @@ import graft.functions.CmsEstimate
   */
 object HeavyHitters {
 
+  /** The sketch-build half: one narrow aggregate pass → serialized
+    * CMS of xxhash64(key). Empty input yields an all-zero sketch
+    * (not null) — every estimate is then 0, which downstream
+    * prefilters handle correctly. */
+  def sketchOf(
+      df: DataFrame,
+      keyCol: String,
+      eps: Double = 0.0001,
+      confidence: Double = 0.99,
+      seed: Int = 42): Array[Byte] =
+    df.select(
+      count_min_sketch(xxhash64(col(keyCol)), lit(eps), lit(confidence),
+        lit(seed)).as("cms")).head().getAs[Array[Byte]](0)
+
+  /** Cell-wise merge of partial sketches (same eps/confidence/seed by
+    * construction — callers derive them all from one config). CMS
+    * merge is commutative + associative integer addition, so ANY
+    * merge order yields the identical sketch — the property that lets
+    * partials come from executors, micro-batches, or days of history
+    * interchangeably. */
+  def mergeSketches(sketches: Seq[Array[Byte]]): Array[Byte] = {
+    require(sketches.nonEmpty, "mergeSketches: no partial sketches")
+    import org.apache.spark.util.sketch.CountMinSketch
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    val acc = CountMinSketch.readFrom(new ByteArrayInputStream(sketches.head))
+    sketches.tail.foreach { b =>
+      acc.mergeInPlace(CountMinSketch.readFrom(new ByteArrayInputStream(b)))
+    }
+    val out = new ByteArrayOutputStream()
+    acc.writeTo(out)
+    out.toByteArray
+  }
+
+  /** The exact-verify half: CMS prefilter (sound — one-sided error)
+    * + exact groupBy over the survivors; `count ≥ T` kills the
+    * sketch's false positives. Output = exactly the naive
+    * `groupBy.count.having` plan's. */
+  def verifyWithSketch(
+      df: DataFrame,
+      keyCol: String,
+      threshold: Long,
+      sketch: Array[Byte]): DataFrame = {
+    require(threshold >= 1,
+      s"verifyWithSketch: threshold >= 1, got $threshold")
+    df.select(col(keyCol).as("k"), xxhash64(col(keyCol)).as("kh"))
+      .where(CmsEstimate(sketch, col("kh")) >= threshold)
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n"))
+      .where(col("n") >= threshold)
+  }
+
   def heavyHitters(
       df: DataFrame,
       keyCol: String,
       threshold: Long,
       eps: Double = 0.0001,
       confidence: Double = 0.99,
-      seed: Int = 42): DataFrame = {
-    require(threshold >= 1, s"heavyHitters: threshold >= 1, got $threshold")
-    val keyed = df.select(col(keyCol).as("k"),
-      xxhash64(col(keyCol)).as("kh"))
-    // empty input yields an all-zero sketch (not null): every
-    // estimate is 0 < T, the prefilter drops all rows, and the empty
-    // result is CORRECT — no guard needed
-    val sketch = keyed.select(
-      count_min_sketch(col("kh"), lit(eps), lit(confidence), lit(seed))
-        .as("cms")).head().getAs[Array[Byte]](0)
-    keyed
-      .where(CmsEstimate(sketch, col("kh")) >= threshold)
-      .groupBy(col("k"))
-      .agg(count(lit(1)).as("n"))
-      .where(col("n") >= threshold)
-  }
+      seed: Int = 42): DataFrame =
+    verifyWithSketch(df, keyCol, threshold,
+      sketchOf(df, keyCol, eps, confidence, seed))
 }

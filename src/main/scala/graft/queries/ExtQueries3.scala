@@ -211,6 +211,37 @@ object ExtQueries3 {
          CAST(ps[1] - 1 AS BIGINT) AS first_pos
        FROM h WHERE len(ps) >= 1 ORDER BY doc_id"""
 
+  // ---------------------------------------------------------------
+  // q112 — STREAMING heavy hitters: the events table lands as parquet
+  // and streams through in forced multi-file micro-batches; each
+  // batch reduces to one Count-Min-sketch partial (KBs of state, the
+  // q59 exactly-once partition discipline), merged post-stream and
+  // verified exactly (StreamingIngest.runHeavyHittersSketch /
+  // finishHeavyHitters). Oracle = the plain batch GROUP BY/HAVING —
+  // the streamed split must be invisible in the answer.
+  def q112(s: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_q112").toString
+    t(s, dir, "events").select("user_id")
+      .repartition(4) // several landing files → several micro-batches
+      .write.parquet(s"$base/landing")
+    graft.streaming.StreamingIngest.runHeavyHittersSketch(
+      s, s"$base/landing", "user_id", s"$base/sketches", s"$base/ckpt",
+      eps = 0.00002, confidence = 0.99, seed = 42,
+      maxFilesPerTrigger = Some(2))
+    val out = graft.streaming.StreamingIngest
+      .finishHeavyHitters(s, s"$base/landing", s"$base/sketches",
+        "user_id", threshold = 80L)
+      .select(col("k").as("user_id"), col("n"))
+      .localCheckpoint(eager = true)
+    IngestQueries.deleteTree(java.nio.file.Paths.get(base))
+    out.orderBy("user_id")
+  }
+
+  val q112Sql: String =
+    """SELECT user_id, count(*) AS n
+       FROM events GROUP BY 1 HAVING count(*) >= 80
+       ORDER BY user_id"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q106_triangles" -> (q106 _),
     "q107_bfs_hops" -> (q107 _),
@@ -218,6 +249,7 @@ object ExtQueries3 {
     "q109_skyline" -> (q109 _),
     "q110_weighted_sample" -> (q110 _),
     "q111_phrase_search" -> (q111 _),
+    "q112_streaming_heavy" -> (q112 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -227,5 +259,6 @@ object ExtQueries3 {
     "q109_skyline" -> q109Sql,
     "q110_weighted_sample" -> q110Sql,
     "q111_phrase_search" -> q111Sql,
+    "q112_streaming_heavy" -> q112Sql,
   )
 }

@@ -113,7 +113,7 @@ object IngestQueries {
     out.orderBy("Time")
   }
 
-  private[queries] def deleteTree(root: java.nio.file.Path): Unit = {
+  private[graft] def deleteTree(root: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
     if (java.nio.file.Files.exists(root)) {
       val walk = java.nio.file.Files.walk(root)

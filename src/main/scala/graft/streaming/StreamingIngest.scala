@@ -149,6 +149,85 @@ object StreamingIngest {
     * yields exactly the batch answer (q59 gates this against q55's
     * oracle). `Trigger.AvailableNow` drains the backlog and stops;
     * pass a different trigger for continuous tailing. */
+  /** STREAMING heavy-hitter accumulation: each micro-batch reduces to
+    * one Count-Min-sketch row (depth×width cells, ~KBs — the batch's
+    * rows never leave the executors), landed under a `batch_id=`
+    * partition with dynamic overwrite, so an at-least-once replay
+    * overwrites exactly its own partial and the accumulated state is
+    * effectively exactly-once (the q59 sink discipline). Because CMS
+    * merge is cell-wise addition, the post-stream merge of the
+    * per-batch partials is BYTE-IDENTICAL to a single batch pass over
+    * the same rows — how the batches happened to split the stream is
+    * invisible (gated by SketchPropertySpec).
+    *
+    * This is the serving shape for "top keys over an unbounded
+    * stream": bounded state per batch, history kept as mergeable
+    * partials, any window of batches answerable by merging its
+    * partials. [[finishHeavyHitters]] is the exact-verify read side. */
+  def runHeavyHittersSketch(
+      spark: SparkSession,
+      landingDir: String,
+      keyCol: String,
+      sketchDir: String,
+      checkpointDir: String,
+      eps: Double = 0.0001,
+      confidence: Double = 0.99,
+      seed: Int = 42,
+      maxFilesPerTrigger: Option[Int] = None,
+      trigger: Trigger = Trigger.AvailableNow(),
+      schema: Option[org.apache.spark.sql.types.StructType] = None): Unit = {
+    val inferred = schema.getOrElse(spark.read.parquet(landingDir).schema)
+    val reader = spark.readStream.schema(inferred)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val query = reader.parquet(landingDir)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sketchBatch(batch, keyCol, eps, confidence, seed, sketchDir, batchId)
+      }
+      .start()
+    query.awaitTermination()
+  }
+
+  private[graft] def sketchBatch(
+      batch: DataFrame,
+      keyCol: String,
+      eps: Double,
+      confidence: Double,
+      seed: Int,
+      sketchDir: String,
+      batchId: Long): Unit =
+    batch
+      .select(count_min_sketch(xxhash64(col(keyCol)), lit(eps),
+        lit(confidence), lit(seed)).as("cms"))
+      .withColumn("batch_id", lit(batchId))
+      .write
+      .partitionBy("batch_id")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite")
+      .parquet(sketchDir)
+
+  /** Read side of the streaming heavy hitters: merge the per-batch
+    * sketch partials, then run the sound prefilter + exact verify
+    * over the landed corpus ([[graft.operators.HeavyHitters]]).
+    * Oracle-exact: output = the naive groupBy/HAVING over everything
+    * the stream landed. */
+  def finishHeavyHitters(
+      spark: SparkSession,
+      landingDir: String,
+      sketchDir: String,
+      keyCol: String,
+      threshold: Long): DataFrame = {
+    val partials = spark.read.parquet(sketchDir)
+      .select("cms").collect().map(_.getAs[Array[Byte]](0)).toSeq
+    val merged = graft.operators.HeavyHitters.mergeSketches(partials)
+    graft.operators.HeavyHitters
+      .verifyWithSketch(spark.read.parquet(landingDir), keyCol, threshold,
+        merged)
+  }
+
   def runDecontaminateSubstring(
       spark: SparkSession,
       landingDir: String,

@@ -80,6 +80,38 @@ class HeavyHittersSpec extends SparkSpec {
       s"prefilter pruned nothing: $kept of 200 distinct keys survive")
   }
 
+  test("streamed per-batch partials merge to the single-pass sketch, byte-identical") {
+    val base = java.nio.file.Files.createTempDirectory("graft_hh_stream")
+      .toString
+    // three uneven "micro-batches" of the same rows, landed through
+    // the streaming batch writer (incl. a REPLAY of batch 1 — the
+    // dynamic-overwrite discipline must keep it idempotent)
+    val parts = Seq(skewed.where(col("key") % 3 === 0),
+      skewed.where(col("key") % 3 === 1),
+      skewed.where(col("key") % 3 === 2))
+    parts.zipWithIndex.foreach { case (b, i) =>
+      graft.streaming.StreamingIngest.sketchBatch(
+        b, "key", 0.01, 0.99, 42, s"$base/sketches", i.toLong)
+    }
+    graft.streaming.StreamingIngest.sketchBatch( // at-least-once replay
+      parts(1), "key", 0.01, 0.99, 42, s"$base/sketches", 1L)
+    val partials = spark.read.parquet(s"$base/sketches")
+      .select("cms").collect().map(_.getAs[Array[Byte]](0)).toSeq
+    assert(partials.size == 3, "replayed batch must overwrite, not append")
+    val merged = HeavyHitters.mergeSketches(partials)
+    val single = HeavyHitters.sketchOf(skewed, "key", eps = 0.01,
+      confidence = 0.99, seed = 42)
+    assert(java.util.Arrays.equals(merged, single),
+      "batch-split must be invisible in the accumulated sketch")
+    // and the exact-verify read side returns the naive answer
+    skewed.write.mode("overwrite").parquet(s"$base/landing")
+    val got = graft.streaming.StreamingIngest.finishHeavyHitters(
+        spark, s"$base/landing", s"$base/sketches", "key", 50L)
+      .orderBy("k").collect().toSeq
+    assert(got == naive(50L))
+    graft.queries.IngestQueries.deleteTree(java.nio.file.Paths.get(base))
+  }
+
   test("same seed → identical sketch; empty input → empty result") {
     def sketchOf(seed: Int) = skewed
       .select(count_min_sketch(xxhash64(col("key")), lit(0.01), lit(0.99),

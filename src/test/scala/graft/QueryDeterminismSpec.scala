@@ -41,7 +41,8 @@ class QueryDeterminismSpec extends SparkSpec {
     // session-3 additions: q107's BFS is an iterative loop, q110
     // rides sequencePack's RangePartitioner; the rest are cheap to pin
     "q106_triangles", "q107_bfs_hops", "q108_interval_merge",
-    "q109_skyline", "q110_weighted_sample", "q111_phrase_search")
+    "q109_skyline", "q110_weighted_sample", "q111_phrase_search",
+    "q112_streaming_heavy")
 
   covered.foreach { name =>
     test(s"$name: output invariant to shuffle partitioning") {
