@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftshim.ColumnShim
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 
 /** Intersection COUNT of two SORTED string arrays — a codegen'd merge
   * walk replacing `size(array_intersect(a, b))` in the similarity
@@ -47,6 +47,59 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): SortedIntersectCount =
     copy(left = newLeft, right = newRight)
+}
+
+/** [[SortedIntersectCount]] for SORTED, duplicate-free long arrays —
+  * the graph family's adjacency-intersection kernel (triangle
+  * counting's hot loop runs it once per edge over the two endpoint
+  * neighbor lists). Same contract: unsorted input silently
+  * undercounts; private engine kernel. */
+case class SortedIntersectCountLong(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"sorted_intersect_count_long requires array<bigint> inputs, got $l / $r")
+    }
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sorted_intersect_count_long"
+
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    SortedIntersectCountLong.count(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.SortedIntersectCountLong.count($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectCountLong =
+    copy(left = newLeft, right = newRight)
+}
+
+object SortedIntersectCountLong {
+
+  def count(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0; var j = 0; var c = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  def apply(a: Column, b: Column): Column =
+    ColumnShim.column(SortedIntersectCountLong(
+      ColumnShim.expression(a), ColumnShim.expression(b)))
 }
 
 object SortedIntersectCount {

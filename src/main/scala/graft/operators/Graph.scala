@@ -12,64 +12,103 @@ import org.apache.spark.sql.types.LongType
   */
 object Graph {
 
-  /** Integer-arithmetic PageRank: rank mass is carried in integer
-    * units of `massScale` (default 10¹²), and each iteration is
+  /** Per-node triangle counts. Two strategies behind one contract,
+    * auto-selected on the graph's MAX DEGREE (one scalar aggregate):
     *
-    *   c_u  = r_u div deg_u                (per-edge contribution)
-    *   r'_v = (15·(massScale div N)) div 100
-    *        + (85 · Σ_{u→v} c_u) div 100   (damping 0.85)
+    *  - **Adjacency intersection** (default path): build each node's
+    *    sorted neighbor array once, join the two endpoint arrays onto
+    *    every canonical edge, and count |N(a)∩N(b)| with the
+    *    allocation-free codegen merge walk
+    *    ([[graft.functions.SortedIntersectCountLong]]). Each triangle
+    *    {x,y,z} is seen once per edge, so tri(x) = Σ_{edges∋x} c/2 —
+    *    integer-exact (the sum is always even). Work is
+    *    Σ_edges (deg a + deg b) simple long compares INSIDE a
+    *    projection — no wedge set is ever materialized, no data-sized
+    *    exchange beyond the adjacency groupBy and the two edge joins.
+    *    The cap: a node's neighbor array is deg-sized, so this path
+    *    requires maxDeg ≤ `maxAdjDegree` rows per array (default 1M ≈
+    *    8 MB — beyond it a hub row would dominate a partition).
     *
-    * — integer division throughout (all quantities positive, so
-    * truncating and flooring agree across engines). The div losses
-    * mean total mass is not conserved to the last unit, but the
-    * FIXED POINT is deterministic and bit-identical in any engine
-    * that does 64-bit integer math — no double folds, no margin
-    * gates. At massScale=10¹² the quantization error per rank is
-    * ~10⁻¹² of total mass per step — far below any ranking use.
-    *
-    * The graph is whatever `edges` encodes (directed src→dst);
-    * callers wanting undirected semantics pass both orientations.
-    * Nodes are the union of endpoints; a node with no out-edges
-    * contributes nothing (classic dangling behavior), one with no
-    * in-edges settles at the teleport base.
-    *
-    * Scale shape per iteration: one broadcast-or-shuffle join of
-    * ranks to the (checkpointed) edge list + one groupBy(dst) with
-    * map-side partial sums — the textbook Pregel superstep as two
-    * exchanges; rank state is localCheckpoint'ed each round so the
-    * plan never replays prior iterations. Driver traffic is the
-    * node COUNT only.
-    */
-  /** Per-node triangle counts via DEGREE-ORDERED ORIENTATION (the
-    * Suri–Vassilvitskii / Cohen MapReduce scheme): canonicalize the
-    * undirected edge set, orient every edge from its lower endpoint
-    * to its higher endpoint under the total order (degree, node), and
-    * enumerate wedges only at each edge's LOWER endpoint. Every
-    * triangle then has exactly one "apex" (its order-minimal vertex),
-    * so each is generated once, and the wedge count is
-    * Σᵤ C(outdeg(u), 2) — O(E^{3/2}) total because the orientation
-    * caps out-degree at O(√E) — instead of Σᵤ C(deg(u), 2), which a
-    * hub vertex turns quadratic. Scale shape: two hash joins (wedge
-    * build + closure probe) and one groupBy — no crossJoin, no
-    * windows; the skew a social-graph hub would cause is exactly what
-    * the orientation removes.
+    *  - **Degree-ordered wedge enumeration** (hub-safe fallback, the
+    *    Suri–Vassilvitskii MapReduce scheme): orient each edge from
+    *    its (degree, node)-lower endpoint, enumerate wedges at each
+    *    edge's lower endpoint only — each triangle generated exactly
+    *    once at its order-minimal apex, wedge work Σ C(outdeg,2) =
+    *    O(E^{3/2}) since the orientation caps out-degree at O(√E).
+    *    The orientation is precisely what removes the hub skew that
+    *    disqualified the adjacency path.
     *
     * Input edges are undirected; both orientations, self-loops and
     * duplicates are tolerated (canonicalized away). Output: one row
     * per node incident to ≥ 1 edge — (node, deg, triangles), integer
-    * exact. */
+    * exact, identical from both paths (gated by GraphSpec). */
   def triangleCounts(
       edges: DataFrame,
       srcCol: String,
-      dstCol: String): DataFrame = {
+      dstCol: String,
+      maxAdjDegree: Long = 1000000L,
+      broadcastEdgeLimit: Long = 5000000L): DataFrame = {
+    // canon and deg each feed several consumers: checkpoint (suite
+    // convention) so none replays the upstream distinct, and so AQE
+    // sees TRUE sizes — the |V|-sized degree/adjacency tables then
+    // broadcast-join instead of the stats-blind sort-merge.
     val canon = edges.select(
         least(col(srcCol), col(dstCol)).cast(LongType).as("a"),
         greatest(col(srcCol), col(dstCol)).cast(LongType).as("b"))
       .where(col("a") =!= col("b"))
       .distinct()
+      .localCheckpoint(eager = true)
     val deg = canon.select(col("a").as("node"))
       .union(canon.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(eager = true)
+    val maxDegRow = deg.agg(max(col("deg"))).head()
+    val maxDeg = if (maxDegRow.isNullAt(0)) 0L else maxDegRow.getLong(0)
+    val perNode =
+      if (maxDeg <= maxAdjDegree) adjacencyTriangles(canon)
+      else wedgeTriangles(canon, deg, broadcastEdgeLimit)
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("tri"), lit(0L)).as("triangles"))
+  }
+
+  /** Adjacency-intersection path: (node, tri) for nodes with ≥ 1
+    * triangle. `canon` must be canonical a<b, distinct, checkpointed. */
+  private def adjacencyTriangles(canon: DataFrame): DataFrame = {
+    // collect_list (not _set): canon is distinct, so neighbor lists
+    // are duplicate-free by construction — and the kernel needs them
+    // SORTED, which sort_array pins
+    val adj = canon.select(col("a").as("node"), col("b").as("nbr"))
+      .union(canon.select(col("b").as("node"), col("a").as("nbr")))
+      .groupBy("node")
+      .agg(sort_array(collect_list(col("nbr"))).as("nbrs"))
+      .localCheckpoint(eager = true)
+    val withCounts = canon
+      .join(adj.select(col("node").as("a"), col("nbrs").as("na")), Seq("a"))
+      .join(adj.select(col("node").as("b"), col("nbrs").as("nb")), Seq("b"))
+      .select(col("a"), col("b"),
+        graft.functions.SortedIntersectCountLong(col("na"), col("nb"))
+          .cast(LongType).as("c"))
+      .where(col("c") > 0)
+    // each triangle at node x is seen by BOTH its x-incident edges →
+    // the per-node edge-count sum is exactly 2·tri(x), always even
+    withCounts.select(explode(array(
+        struct(col("a").as("node"), col("c")),
+        struct(col("b").as("node"), col("c")))).as("s"))
+      .select(col("s.node").as("node"), col("s.c").as("c"))
+      .groupBy("node").agg(expr("sum(c) div 2").as("tri"))
+  }
+
+  /** Degree-ordered wedge path: (node, tri). Hub-safe — out-degree is
+    * O(√E) after orientation. When the oriented edge list is small
+    * enough to broadcast (≤ `broadcastEdgeLimit` rows), wedges are
+    * built AND closed map-side and never leave their producing
+    * partition; past it, the closure is the classic shuffle join on
+    * (v, w). */
+  private def wedgeTriangles(
+      canon: DataFrame,
+      deg: DataFrame,
+      broadcastEdgeLimit: Long): DataFrame = {
     // orient by (deg, node): u→v iff (deg_u, u) <lex (deg_v, v)
     val withDeg = canon
       .join(deg.select(col("node").as("a"), col("deg").as("da")), Seq("a"))
@@ -80,22 +119,21 @@ object Graph {
       when(lowFirst, col("a")).otherwise(col("b")).as("u"),
       when(lowFirst, col("b")).otherwise(col("a")).as("v"),
       when(lowFirst, col("db")).otherwise(col("da")).as("dv"))
-    // wedges at the apex u: out-neighbors v < w under (deg, node)
+      .localCheckpoint(eager = true)
     val e1 = oriented.select(col("u"), col("v"), col("dv"))
     val e2 = oriented.select(col("u"), col("v").as("w"), col("dv").as("dw"))
-    val wedges = e1.join(e2, Seq("u"))
+    val closure = oriented.select(col("u").as("v"), col("v").as("w"))
+    val (wedgeRight, closeRight) =
+      if (canon.count() <= broadcastEdgeLimit)
+        (broadcast(e2), broadcast(closure))
+      else (e2, closure)
+    val wedges = e1.join(wedgeRight, Seq("u"))
       .where(col("dv") < col("dw") ||
         (col("dv") === col("dw") && col("v") < col("w")))
       .select(col("u"), col("v"), col("w"))
-    val tris = wedges.join(
-        oriented.select(col("u").as("v"), col("v").as("w")), Seq("v", "w"))
-      .select(col("u"), col("v"), col("w"))
-    val perNode = tris.select(explode(array(col("u"), col("v"), col("w")))
-        .as("node"))
+    wedges.join(closeRight, Seq("v", "w"))
+      .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("tri"))
-    deg.join(perNode, Seq("node"), "left")
-      .select(col("node"), col("deg"),
-        coalesce(col("tri"), lit(0L)).as("triangles"))
   }
 
   /** Bounded-depth BFS: minimum hop count from `source` to every node
@@ -146,6 +184,34 @@ object Graph {
     visited
   }
 
+  /** Integer-arithmetic PageRank: rank mass is carried in integer
+    * units of `massScale` (default 10¹²), and each iteration is
+    *
+    *   c_u  = r_u div deg_u                (per-edge contribution)
+    *   r'_v = (15·(massScale div N)) div 100
+    *        + (85 · Σ_{u→v} c_u) div 100   (damping 0.85)
+    *
+    * — integer division throughout (all quantities positive, so
+    * truncating and flooring agree across engines). The div losses
+    * mean total mass is not conserved to the last unit, but the
+    * FIXED POINT is deterministic and bit-identical in any engine
+    * that does 64-bit integer math — no double folds, no margin
+    * gates. At massScale=10¹² the quantization error per rank is
+    * ~10⁻¹² of total mass per step — far below any ranking use.
+    *
+    * The graph is whatever `edges` encodes (directed src→dst);
+    * callers wanting undirected semantics pass both orientations.
+    * Nodes are the union of endpoints; a node with no out-edges
+    * contributes nothing (classic dangling behavior), one with no
+    * in-edges settles at the teleport base.
+    *
+    * Scale shape per iteration: one broadcast-or-shuffle join of
+    * ranks to the (checkpointed) edge list + one groupBy(dst) with
+    * map-side partial sums — the textbook Pregel superstep as two
+    * exchanges; rank state is localCheckpoint'ed each round so the
+    * plan never replays prior iterations. Driver traffic is the
+    * node COUNT only.
+    */
   def pageRankInt(
       edges: DataFrame,
       srcCol: String,

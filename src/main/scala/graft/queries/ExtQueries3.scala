@@ -26,11 +26,16 @@ object ExtQueries3 {
   // The oracle counts the same triangles from the canonical a<b edge
   // list directly. Integer-exact.
   def q106(s: SparkSession, dir: String): DataFrame = {
+    // co-purchase pairs WITHOUT a self-join: group each order's parts
+    // (one shuffle of the 4-ish-item groups), then two chained
+    // explodes emit the per-order pairs narrowly — the sort-merge
+    // self-join this replaces was the query's single biggest cost
     val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
-    val e = li.as("x").join(li.as("y"),
-        col("x.l_orderkey") === col("y.l_orderkey") &&
-          col("x.l_partkey") < col("y.l_partkey"))
-      .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+    val e = li.groupBy("l_orderkey")
+      .agg(collect_set(col("l_partkey")).as("ps"))
+      .select(explode(col("ps")).as("src"), col("ps"))
+      .select(col("src"), explode(col("ps")).as("dst"))
+      .where(col("src") < col("dst"))
     Graph.triangleCounts(e, "src", "dst").orderBy("node")
   }
 
@@ -242,6 +247,69 @@ object ExtQueries3 {
        FROM events GROUP BY 1 HAVING count(*) >= 80
        ORDER BY user_id"""
 
+  // ---------------------------------------------------------------
+  // q113 — SCD Type 2 history build: each user's event_type
+  // observation stream becomes versioned rows with closed
+  // [valid_from, valid_to] µs intervals, a new version exactly at
+  // value changes (Scd.scd2Build — the gaps-and-islands discipline,
+  // no global window). String equality + integer time: every decision
+  // exact.
+  def q113(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(col("user_id"),
+      col("event_type"), expr("ts div 1000").as("tus"), col("event_id"))
+    graft.operators.Scd.scd2Build(ev, "user_id", "event_type",
+        "tus", "event_id")
+      .orderBy("user_id", "version")
+  }
+
+  val q113Sql: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tus, event_id
+         FROM events),
+       f AS (SELECT user_id, event_type, tus,
+               CASE WHEN row_number() OVER w = 1
+                      OR event_type IS DISTINCT FROM lag(event_type) OVER w
+                    THEN 1 ELSE 0 END AS brk
+             FROM e WINDOW w AS (PARTITION BY user_id
+                                 ORDER BY tus, event_id)),
+       g AS (SELECT user_id, event_type, tus,
+               CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY tus
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS version
+             FROM f),
+       v AS (SELECT user_id, version, min(event_type) AS attr,
+               min(tus) AS valid_from, count(*) AS n_obs
+             FROM g GROUP BY 1, 2)
+       SELECT user_id, version, attr, valid_from,
+         lead(valid_from) OVER (PARTITION BY user_id ORDER BY version) - 1
+           AS valid_to,
+         n_obs
+       FROM v ORDER BY user_id, version"""
+
+  // ---------------------------------------------------------------
+  // q114 — sliding-window chunking (128-token chunks, stride 96):
+  // every document explodes into its overlapping token windows in
+  // closed form — one Generate inside the scan stage, NO shuffle
+  // (plan-audited). head/tail token witnesses make the oracle catch
+  // any slicing off-by-one.
+  def q114(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Chunking.slidingChunks(t(s, dir, "documents"),
+        "doc_id", "text", chunkTokens = 128, strideTokens = 96)
+      .orderBy("doc_id", "chunk_idx")
+
+  val q114Sql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+         FROM documents),
+       c AS (SELECT doc_id, w, n,
+               unnest(range(0, 1 + (greatest(n - 128, 0) + 95) // 96))
+                 AS chunk_idx
+             FROM d)
+       SELECT doc_id, chunk_idx, chunk_idx * 96 AS start_tok,
+         least(128, n - chunk_idx * 96) AS chunk_len,
+         w[chunk_idx * 96 + 1] AS head_tok,
+         w[chunk_idx * 96 + least(128, n - chunk_idx * 96)] AS tail_tok
+       FROM c ORDER BY doc_id, chunk_idx"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q106_triangles" -> (q106 _),
     "q107_bfs_hops" -> (q107 _),
@@ -250,6 +318,8 @@ object ExtQueries3 {
     "q110_weighted_sample" -> (q110 _),
     "q111_phrase_search" -> (q111 _),
     "q112_streaming_heavy" -> (q112 _),
+    "q113_scd2" -> (q113 _),
+    "q114_chunking" -> (q114 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -260,5 +330,7 @@ object ExtQueries3 {
     "q110_weighted_sample" -> q110Sql,
     "q111_phrase_search" -> q111Sql,
     "q112_streaming_heavy" -> q112Sql,
+    "q113_scd2" -> q113Sql,
+    "q114_chunking" -> q114Sql,
   )
 }

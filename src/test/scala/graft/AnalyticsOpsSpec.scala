@@ -84,6 +84,70 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(out(1).getLong(2) == 21L && out(1).getLong(3) == 25L)
   }
 
+  // ------------------------------------------------------- scd2
+  test("scd2Build: versions at value changes, closed intervals, null-safe") {
+    val obs = Seq( // (key, attr, ts, tie)
+      (1L, "a", 10L, 1L), (1L, "a", 20L, 2L), (1L, "b", 30L, 3L),
+      (1L, null, 40L, 4L), (1L, null, 50L, 5L), (1L, "a", 60L, 6L),
+      (2L, "x", 5L, 7L)
+    )
+    val out = graft.operators.Scd
+      .scd2Build(obs.toDF("k", "attr", "ts", "tie"), "k", "attr", "ts", "tie")
+      .orderBy("k", "version").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), if (r.isNullAt(4)) -1L else r.getLong(4),
+        r.getLong(5)))
+    assert(out.toSeq == Seq(
+      (1L, 1L, "a", 10L, 29L, 2L),   // two equal obs collapse
+      (1L, 2L, "b", 30L, 39L, 1L),
+      (1L, 3L, null, 40L, 59L, 2L),  // value→null opens a version
+      (1L, 4L, "a", 60L, -1L, 1L),   // live version: open-ended
+      (2L, 1L, "x", 5L, -1L, 1L)))
+    // intervals tile the key's observed range with no gap/overlap:
+    // each valid_to + 1 == next valid_from (checked by construction
+    // above), and every observation timestamp falls inside exactly
+    // one version of its key
+    obs.foreach { case (k, _, ts, _) =>
+      assert(out.count { case (ok, _, _, f, to, _) =>
+        ok == k && f <= ts && (to == -1L || ts <= to) } == 1)
+    }
+  }
+
+  // --------------------------------------------------- chunking
+  test("slidingChunks: coverage, overlap, witnesses, boundary sizes") {
+    // n = 1 (single short chunk), n = C (exactly one), n = C+1 (two,
+    // tiny tail), n = 2C-S+… mid cases — C=8, S=6
+    val docs = Seq(
+      (1L, (1 to 1).map(i => s"t$i").mkString(" ")),
+      (2L, (1 to 8).map(i => s"t$i").mkString(" ")),
+      (3L, (1 to 9).map(i => s"t$i").mkString(" ")),
+      (4L, (1 to 21).map(i => s"t$i").mkString(" ")))
+    val out = graft.operators.Chunking
+      .slidingChunks(docs.toDF("id", "text"), "id", "text", 8, 6)
+      .orderBy("id", "chunk_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5)))
+    def chunksOf(n: Int): Seq[(Long, Long)] = {
+      val k = 1 + math.max(0, (n - 8 + 5) / 6)
+      (0 until k).map(i => (i * 6L, math.min(8L, n - i * 6L)))
+    }
+    val want = docs.flatMap { case (id, text) =>
+      val n = text.split(" ").length
+      chunksOf(n).zipWithIndex.map { case ((st, len), i) =>
+        (id, i.toLong, st, len, s"t${st + 1}", s"t${st + len}")
+      }
+    }
+    assert(out.toSeq == want)
+    // every token of every doc is inside ≥ 1 chunk; consecutive
+    // chunks overlap by C - S = 2
+    docs.foreach { case (id, text) =>
+      val n = text.split(" ").length
+      val ranges = out.filter(_._1 == id).map(c => (c._3, c._3 + c._4))
+      (0 until n).foreach(tk =>
+        assert(ranges.exists { case (a, b) => a <= tk && tk < b }))
+    }
+  }
+
   // ------------------------------------------------ phrase search
   private def naivePhrase(text: String, phrase: Seq[String]): (Long, Long) = {
     val toks = text.split(" ", -1)

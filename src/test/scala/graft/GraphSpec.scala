@@ -94,6 +94,26 @@ class GraphSpec extends SparkSpec {
     assert(got.values.map(_._2).sum > 0, "fixture should contain triangles")
   }
 
+  test("triangleCounts: wedge fallback path matches the adjacency path") {
+    val rnd = new scala.util.Random(13)
+    val edges = (0 until 200).map(_ =>
+      (rnd.nextInt(35).toLong, rnd.nextInt(35).toLong))
+    val df = edges.toDF("src", "dst")
+    val adjPath = Graph.triangleCounts(df, "src", "dst")
+      .orderBy("node").collect().toSeq.map(_.toSeq)
+    // maxAdjDegree = 0 forces every graph down the degree-ordered
+    // wedge path; broadcastEdgeLimit = 0 additionally forces its
+    // shuffle closure — all three plans must agree row for row
+    val wedgeB = Graph.triangleCounts(df, "src", "dst", maxAdjDegree = 0L)
+      .orderBy("node").collect().toSeq.map(_.toSeq)
+    val wedgeS = Graph.triangleCounts(df, "src", "dst", maxAdjDegree = 0L,
+        broadcastEdgeLimit = 0L)
+      .orderBy("node").collect().toSeq.map(_.toSeq)
+    assert(adjPath == wedgeB)
+    assert(adjPath == wedgeS)
+    assert(adjPath.nonEmpty)
+  }
+
   test("triangleCounts: triangle-free bipartite graph counts zero") {
     val edges = for (a <- 0L to 5L; b <- 10L to 14L) yield (a, b)
     val got = Graph.triangleCounts(edges.toDF("src", "dst"), "src", "dst")

@@ -109,6 +109,15 @@ class PlanAuditSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"), s"plan:\n$p")
   }
 
+  test("q114: chunking is shuffle-free — one Generate inside the scan stage") {
+    // orderBy adds the final presentation exchange; everything below
+    // must be scan→project→generate
+    val p = plan("q114_chunking")
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 1, s"chunking should not shuffle:\n$p")
+    assert(p.contains("Generate"), s"plan:\n$p")
+  }
+
   test("no shuffle cartesian product in any registry query") {
     // BroadcastNestedLoopJoin is legitimate where a side is tiny or
     // broadcast-by-design: the pure theta join (q37), the broadcast

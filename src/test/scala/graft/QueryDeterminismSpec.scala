@@ -42,7 +42,7 @@ class QueryDeterminismSpec extends SparkSpec {
     // rides sequencePack's RangePartitioner; the rest are cheap to pin
     "q106_triangles", "q107_bfs_hops", "q108_interval_merge",
     "q109_skyline", "q110_weighted_sample", "q111_phrase_search",
-    "q112_streaming_heavy")
+    "q112_streaming_heavy", "q113_scd2", "q114_chunking")
 
   covered.foreach { name =>
     test(s"$name: output invariant to shuffle partitioning") {
