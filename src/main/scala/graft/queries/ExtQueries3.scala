@@ -310,6 +310,98 @@ object ExtQueries3 {
          w[chunk_idx * 96 + least(128, n - chunk_idx * 96)] AS tail_tok
        FROM c ORDER BY doc_id, chunk_idx"""
 
+  // ---------------------------------------------------------------
+  // q115 — cohort retention: users bucketed by first-activity day,
+  // distinct active users per (cohort_day, age_days) cell — the
+  // product-analytics staple. Two hash aggregates + one join, all
+  // integer day arithmetic (µs div 86400000000, positive → div ≡ //).
+  private val DayUs = 86400000000L
+
+  def q115(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(col("user_id"),
+      expr(s"(ts div 1000) div ${DayUs}L").as("day"))
+    val cohort = ev.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+    ev.join(cohort, Seq("user_id"))
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("age_days"))
+      .agg(count_distinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_day", "age_days")
+  }
+
+  val q115Sql: String =
+    s"""WITH e AS (SELECT user_id, epoch_us(ts) // $DayUs AS day
+         FROM events),
+       c AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY 1)
+       SELECT c.cohort_day, e.day - c.cohort_day AS age_days,
+         count(DISTINCT e.user_id) AS n_users
+       FROM e JOIN c USING (user_id)
+       GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  // ---------------------------------------------------------------
+  // q116 — grouped OLS trend fit: per user, the slope/intercept of
+  // value against days-since-first-observation, from one aggregation
+  // pass over exact integer sufficient statistics
+  // (Regression.groupedOls — q98 playbook; the only doubles are the
+  // two final pinned divisions, identical IEEE ops in both engines).
+  def q116(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(col("user_id"),
+      expr(s"(ts div 1000) div ${DayUs}L").as("day"), col("value"))
+    val d0 = ev.groupBy("user_id").agg(min(col("day")).as("d0"))
+    val xy = ev.join(d0, Seq("user_id"))
+      .select(col("user_id"), (col("day") - col("d0")).as("x"), col("value"))
+    graft.operators.Regression.groupedOls(xy, "user_id", "x", "value")
+      .withColumnRenamed("k", "user_id")
+      .orderBy("user_id")
+  }
+
+  val q116Sql: String =
+    s"""WITH e AS (SELECT user_id, epoch_us(ts) // $DayUs AS day, value
+         FROM events),
+       m AS (SELECT user_id, min(day) AS d0 FROM e GROUP BY 1),
+       q AS (SELECT e.user_id, CAST(e.day - m.d0 AS HUGEINT) AS x,
+               CAST(round_even(value * 1000000.0, 0) AS HUGEINT) AS y
+             FROM e JOIN m USING (user_id)),
+       a AS (SELECT user_id, CAST(count(*) AS HUGEINT) AS n,
+               sum(x) AS sx, sum(y) AS sy,
+               sum(x * x) AS sxx, sum(x * y) AS sxy
+             FROM q GROUP BY 1),
+       b AS (SELECT *, n * sxx - sx * sx AS den FROM a
+             WHERE n * sxx - sx * sx != 0)
+       SELECT user_id, CAST(n AS BIGINT) AS n,
+         CAST(n * sxy - sx * sy AS DOUBLE) / CAST(den AS DOUBLE)
+           / 1000000.0 AS slope,
+         (CAST(sy AS DOUBLE) / 1000000.0
+           - (CAST(n * sxy - sx * sy AS DOUBLE) / CAST(den AS DOUBLE)
+              / 1000000.0) * CAST(sx AS DOUBLE))
+           / CAST(n AS DOUBLE) AS intercept
+       FROM b ORDER BY user_id"""
+
+  // ---------------------------------------------------------------
+  // q117 — integer-exact z-score outliers: events more than 2
+  // population standard deviations from their user's mean, decided by
+  // the cross-multiplied predicate (n·x − S)² > k²·(n·Σx² − S²) —
+  // no division, no sqrt, every side an exact 128-bit integer, so the
+  // flag is bit-identical cross-engine with NO margin gate.
+  def q117(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(col("user_id"), col("event_id"),
+      col("value"))
+    graft.operators.Regression.zScoreOutliers(ev, "user_id", "value", k = 2)
+      .select(col("user_id"), col("event_id"), col("value"), col("group_n"))
+      .orderBy("user_id", "event_id")
+  }
+
+  val q117Sql: String =
+    """WITH q AS (SELECT user_id, event_id, value,
+           CAST(round_even(value * 1000000.0, 0) AS HUGEINT) AS qv
+         FROM events),
+       st AS (SELECT user_id, CAST(count(*) AS HUGEINT) AS n,
+                sum(qv) AS s, sum(qv * qv) AS ss
+              FROM q GROUP BY 1)
+       SELECT q.user_id, q.event_id, q.value, CAST(st.n AS BIGINT) AS group_n
+       FROM q JOIN st USING (user_id)
+       WHERE (st.n * q.qv - st.s) * (st.n * q.qv - st.s)
+             > 4 * (st.n * st.ss - st.s * st.s)
+       ORDER BY q.user_id, q.event_id"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q106_triangles" -> (q106 _),
     "q107_bfs_hops" -> (q107 _),
@@ -320,6 +412,9 @@ object ExtQueries3 {
     "q112_streaming_heavy" -> (q112 _),
     "q113_scd2" -> (q113 _),
     "q114_chunking" -> (q114 _),
+    "q115_retention" -> (q115 _),
+    "q116_grouped_ols" -> (q116 _),
+    "q117_zscore_outliers" -> (q117 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -332,5 +427,8 @@ object ExtQueries3 {
     "q112_streaming_heavy" -> q112Sql,
     "q113_scd2" -> q113Sql,
     "q114_chunking" -> q114Sql,
+    "q115_retention" -> q115Sql,
+    "q116_grouped_ols" -> q116Sql,
+    "q117_zscore_outliers" -> q117Sql,
   )
 }

@@ -148,6 +148,61 @@ class AnalyticsOpsSpec extends SparkSpec {
     }
   }
 
+  // ----------------------------------------------- regression
+  test("groupedOls recovers an exact linear signal and matches local math") {
+    // key 1: y = 3 + 2x exactly → slope 2, intercept 3 (quantization
+    // is exact for these values); key 2: constant x → dropped
+    val pts = (0L to 10L).map(x => (1L, x, 3.0 + 2.0 * x)) ++
+      Seq((2L, 5L, 1.0), (2L, 5L, 2.0))
+    val out = graft.operators.Regression
+      .groupedOls(pts.toDF("k", "x", "y"), "k", "x", "y")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))).toMap
+    assert(out.keySet == Set(1L))
+    assert(out(1L)._1 == 11L)
+    assert(out(1L)._2 == 2.0 && out(1L)._3 == 3.0)
+    // noisy group: compare against the same integer-statistic math
+    // computed locally (not naive float OLS — the CONTRACT is the
+    // quantized closed form)
+    val rnd = new scala.util.Random(17)
+    val noisy = (0 until 50).map(i =>
+      (7L, (i % 13).toLong, rnd.nextDouble() * 100))
+    val got = graft.operators.Regression
+      .groupedOls(noisy.toDF("k", "x", "y"), "k", "x", "y")
+      .collect().map(r => (r.getDouble(2), r.getDouble(3))).head
+    val q = noisy.map { case (_, x, y) =>
+      (BigInt(x), BigInt(math.rint(y * 1e6).toLong)) }
+    val (n, sx, sy) = (BigInt(q.size), q.map(_._1).sum, q.map(_._2).sum)
+    val sxx = q.map(p => p._1 * p._1).sum
+    val sxy = q.map(p => p._1 * p._2).sum
+    val slope = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble / 1e6
+    val intercept = (sy.toDouble / 1e6 - slope * sx.toDouble) / n.toDouble
+    assert(got == ((slope, intercept)))
+  }
+
+  test("zScoreOutliers flags exactly the cross-multiplied set") {
+    val rnd = new scala.util.Random(23)
+    val rows = (0 until 300).map(i =>
+      ((i % 3).toLong, i.toLong, rnd.nextDouble() * 50 +
+        (if (i % 37 == 0) 400.0 else 0.0))) // planted spikes
+    val got = graft.operators.Regression
+      .zScoreOutliers(rows.toDF("k", "id", "v"), "k", "v", k = 2)
+      .collect().map(_.getLong(1)).toSet
+    // local reference: same integer predicate
+    val want = rows.groupBy(_._1).flatMap { case (_, g) =>
+      val q = g.map(r => (r._2, BigInt(math.rint(r._3 * 1e6).toLong)))
+      val n = BigInt(q.size); val s = q.map(_._2).sum
+      val ss = q.map(p => p._2 * p._2).sum
+      q.filter { case (_, x) =>
+        val dev = n * x - s
+        dev * dev > BigInt(4) * (n * ss - s * s)
+      }.map(_._1)
+    }.toSet
+    assert(got == want)
+    assert(rows.filter(_._2 % 37 == 0).forall(r => got.contains(r._2)),
+      "planted spikes must all be flagged")
+  }
+
   // ------------------------------------------------ phrase search
   private def naivePhrase(text: String, phrase: Seq[String]): (Long, Long) = {
     val toks = text.split(" ", -1)

@@ -42,7 +42,10 @@ class QueryDeterminismSpec extends SparkSpec {
     // rides sequencePack's RangePartitioner; the rest are cheap to pin
     "q106_triangles", "q107_bfs_hops", "q108_interval_merge",
     "q109_skyline", "q110_weighted_sample", "q111_phrase_search",
-    "q112_streaming_heavy", "q113_scd2", "q114_chunking")
+    "q112_streaming_heavy", "q113_scd2", "q114_chunking",
+    // q116 carries raw doubles (slope/intercept divisions) — prime
+    // flake surface; q115/q117 are cheap to pin
+    "q115_retention", "q116_grouped_ols", "q117_zscore_outliers")
 
   covered.foreach { name =>
     test(s"$name: output invariant to shuffle partitioning") {
