@@ -83,4 +83,50 @@ object Resample {
               (col("nt") - col("pt")).cast("double")))
           .as("v_interp"))
   }
+
+  /** Time-weighted average under last-observation-carried-forward —
+    * the metric that de-biases irregular sensor/metric series (a
+    * plain mean over-weights bursts):
+    *
+    *   TWA = Σᵢ vᵢ·(tᵢ₊₁ − tᵢ) / (t_last − t_first)
+    *
+    * Cross-engine exact (q98 playbook): values quantize once to
+    * integer units (bround ≡ round_even), each vᵢ·Δt term and their
+    * sum are exact DECIMAL(38,0) integers, and the only doubles are
+    * the final pinned divisions (/duration, /scale — stated in that
+    * order by both engines). Entities with a single observation (or
+    * zero observed span) have no defined TWA and are dropped.
+    * CALLER BOUND for bit-exactness across engines: pick the time
+    * unit and `scale` so max|qv|·span < 2⁵³ — then the area's
+    * decimal→double cast is exact everywhere; beyond it, engines may
+    * legitimately differ in the cast's last ulp (observed: DuckDB's
+    * HUGEINT→DOUBLE rounding on a 2⁶⁰-sized area).
+    *
+    * Scale shape: one hash exchange on the entity, one in-partition
+    * window scan (lead) sharing the sort with the aggregation below
+    * it — no global window, entity series stay bounded. */
+  def timeWeightedAvg(
+      df: DataFrame,
+      entityCol: String,
+      tsCol: String,
+      valCol: String,
+      tieCol: String,
+      scale: Long = 1000000L): DataFrame = {
+    require(scale >= 1, s"timeWeightedAvg: scale >= 1, got $scale")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(entityCol).orderBy(col(tsCol), col(tieCol))
+    df.select(col(entityCol), col(tsCol), col(tieCol),
+        bround(col(valCol) * lit(scale.toDouble), 0)
+          .cast("decimal(38,0)").as("_qv"))
+      .withColumn("_dt",
+        (lead(col(tsCol), 1).over(w) - col(tsCol)).cast("decimal(38,0)"))
+      .groupBy(col(entityCol))
+      .agg(count(lit(1)).as("n_obs"),
+        sum(when(col("_dt").isNotNull, col("_qv") * col("_dt"))).as("_area"),
+        (max(col(tsCol)) - min(col(tsCol))).as("span"))
+      .where(col("span") > 0)
+      .select(col(entityCol), col("n_obs"), col("span"),
+        (col("_area").cast("double") / col("span").cast("double")
+          / lit(scale.toDouble)).as("twa"))
+  }
 }

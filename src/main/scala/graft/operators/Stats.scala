@@ -87,6 +87,40 @@ object Stats {
     * per file, materialized as a queryable table. One narrow
     * aggregation; columns land as `<c>_min` / `<c>_max`.
     */
+  /** Per-group Gini concentration index of a non-negative integer
+    * measure (how unequally tokens/bytes/revenue spread across a
+    * group's members) — the sorted-rank formulation
+    *
+    *   G = (2·Σᵢ i·x₍ᵢ₎ − (n+1)·Σx) / (n·Σx),   x₍₁₎ ≤ … ≤ x₍ₙ₎
+    *
+    * computed entirely in exact integer arithmetic: ranks come from a
+    * per-group window (ties broken by the caller's tie column —
+    * deterministic), numerator and denominator are DECIMAL(38,0)
+    * sums, and the single final division is the only double. Groups
+    * with Σx = 0 are dropped (undefined index). One hash exchange +
+    * one in-partition sort shared by the rank and the aggregate. */
+  def giniIndex(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      tieCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(col("_x"), col(tieCol))
+    df.select(col(groupCol), col(tieCol),
+        col(valueCol).cast("decimal(38,0)").as("_x"))
+      .withColumn("_i", row_number().over(w).cast("decimal(38,0)"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("_n"),
+        sum(col("_x")).as("_sx"),
+        sum(col("_i") * col("_x")).as("_six"))
+      .where(col("_sx") > 0)
+      .select(col(groupCol), col("_n").cast("long").as("n"),
+        col("_sx").cast("long").as("total"),
+        ((lit(2) * col("_six") - (col("_n") + lit(1)) * col("_sx"))
+          .cast("double")
+          / (col("_n") * col("_sx")).cast("double")).as("gini"))
+  }
+
   def zoneMap(df: DataFrame, zoneCol: String,
               cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "zoneMap: at least one stats column")

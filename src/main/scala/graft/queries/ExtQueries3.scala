@@ -402,6 +402,68 @@ object ExtQueries3 {
              > 4 * (st.n * st.ss - st.s * st.s)
        ORDER BY q.user_id, q.event_id"""
 
+  // ---------------------------------------------------------------
+  // q118 — time-weighted average (LOCF): per user, Σ vᵢ·Δtᵢ over the
+  // observed span — the de-biased mean for irregular series
+  // (Resample.timeWeightedAvg). Areas are exact DECIMAL(38,0)
+  // integers after the one-time quantization; the two final divisions
+  // are pinned in the same order in both engines. SECOND-granularity
+  // time axis: max qv·span = 5.6e8·2.6e6 < 2⁵³ keeps the area's
+  // decimal→double cast bit-exact everywhere (the µs axis provably
+  // does not — observed 1-ulp HUGEINT→DOUBLE drift in DuckDB).
+  def q118(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(col("user_id"),
+      expr("ts div 1000000000").as("tsec"), col("event_id"), col("value"))
+    graft.operators.Resample
+      .timeWeightedAvg(ev, "user_id", "tsec", "value", "event_id")
+      .orderBy("user_id")
+  }
+
+  val q118Sql: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) // 1000000 AS tsec, event_id,
+           CAST(round_even(value * 1000000.0, 0) AS HUGEINT) AS qv
+         FROM events),
+       w AS (SELECT user_id, tsec, qv,
+               lead(tsec) OVER (PARTITION BY user_id ORDER BY tsec, event_id)
+                 - tsec AS dt
+             FROM e),
+       a AS (SELECT user_id, count(*) AS n_obs,
+               sum(CASE WHEN dt IS NOT NULL
+                        THEN qv * CAST(dt AS HUGEINT) END) AS area,
+               max(tsec) - min(tsec) AS span
+             FROM w GROUP BY 1)
+       SELECT user_id, n_obs, span,
+         CAST(area AS DOUBLE) / CAST(span AS DOUBLE) / 1000000.0 AS twa
+       FROM a WHERE span > 0 ORDER BY user_id"""
+
+  // ---------------------------------------------------------------
+  // q119 — per-source Gini concentration of document token counts
+  // (how unequally a source's token mass spreads across its docs):
+  // the sorted-rank formulation with integer numerator/denominator
+  // and ONE final division (Stats.giniIndex) — no margin gate needed.
+  def q119(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("source"), col("doc_id"),
+      size(split(col("text"), " ", -1)).cast("long").as("toks"))
+    graft.operators.Stats.giniIndex(d, "source", "toks", "doc_id")
+      .orderBy("source")
+  }
+
+  val q119Sql: String =
+    """WITH d AS (SELECT source, doc_id,
+           CAST(len(string_split(text, ' ')) AS HUGEINT) AS x
+         FROM documents),
+       r AS (SELECT source, x,
+               CAST(row_number() OVER (PARTITION BY source
+                 ORDER BY x, doc_id) AS HUGEINT) AS i
+             FROM d),
+       a AS (SELECT source, CAST(count(*) AS HUGEINT) AS n,
+               sum(x) AS sx, sum(i * x) AS six
+             FROM r GROUP BY 1)
+       SELECT source, CAST(n AS BIGINT) AS n, CAST(sx AS BIGINT) AS total,
+         CAST(2 * six - (n + 1) * sx AS DOUBLE)
+           / CAST(n * sx AS DOUBLE) AS gini
+       FROM a WHERE sx > 0 ORDER BY source"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q106_triangles" -> (q106 _),
     "q107_bfs_hops" -> (q107 _),
@@ -415,6 +477,8 @@ object ExtQueries3 {
     "q115_retention" -> (q115 _),
     "q116_grouped_ols" -> (q116 _),
     "q117_zscore_outliers" -> (q117 _),
+    "q118_time_weighted_avg" -> (q118 _),
+    "q119_gini" -> (q119 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -430,5 +494,7 @@ object ExtQueries3 {
     "q115_retention" -> q115Sql,
     "q116_grouped_ols" -> q116Sql,
     "q117_zscore_outliers" -> q117Sql,
+    "q118_time_weighted_avg" -> q118Sql,
+    "q119_gini" -> q119Sql,
   )
 }

@@ -203,6 +203,37 @@ class AnalyticsOpsSpec extends SparkSpec {
       "planted spikes must all be flagged")
   }
 
+  test("timeWeightedAvg: LOCF areas, constant series, single-obs dropped") {
+    // key 1: v=10 for 10s then v=20 for 30s → TWA = (100+600)/40 = 17.5
+    // key 2: constant 5.0 → TWA exactly 5.0 regardless of spacing
+    // key 3: one observation → dropped (no span)
+    val rows = Seq(
+      (1L, 0L, 1L, 10.0), (1L, 10L, 2L, 20.0), (1L, 40L, 3L, 7.0),
+      (2L, 0L, 4L, 5.0), (2L, 13L, 5L, 5.0), (2L, 99L, 6L, 5.0),
+      (3L, 7L, 7L, 42.0))
+    val got = graft.operators.Resample
+      .timeWeightedAvg(rows.toDF("k", "t", "tie", "v"), "k", "t", "v", "tie")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(got.keySet == Set(1L, 2L))
+    assert(got(1L) == ((3L, 40L, 17.5)))
+    assert(got(2L) == ((3L, 99L, 5.0)))
+  }
+
+  test("giniIndex: uniform → 0-ish lower bound, concentrated → near 1, exact math") {
+    // all-equal values: G = (2·Σi·x − (n+1)·n·x) / (n·n·x) with
+    // Σi = n(n+1)/2 → exactly 0
+    val eq = (1L to 8L).map(i => ("a", i, 10L))
+    // one member owns everything: G = (n-1)/n
+    val conc = (1L to 8L).map(i => ("b", i, if (i == 8L) 800L else 0L))
+    val got = graft.operators.Stats
+      .giniIndex((eq ++ conc).toDF("g", "id", "x"), "g", "x", "id")
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(got("a") == ((8L, 80L, 0.0)))
+    assert(got("b") == ((8L, 800L, 7.0 / 8.0)))
+  }
+
   // ------------------------------------------------ phrase search
   private def naivePhrase(text: String, phrase: Seq[String]): (Long, Long) = {
     val toks = text.split(" ", -1)

@@ -45,7 +45,8 @@ class QueryDeterminismSpec extends SparkSpec {
     "q112_streaming_heavy", "q113_scd2", "q114_chunking",
     // q116 carries raw doubles (slope/intercept divisions) — prime
     // flake surface; q115/q117 are cheap to pin
-    "q115_retention", "q116_grouped_ols", "q117_zscore_outliers")
+    "q115_retention", "q116_grouped_ols", "q117_zscore_outliers",
+    "q118_time_weighted_avg", "q119_gini")
 
   covered.foreach { name =>
     test(s"$name: output invariant to shuffle partitioning") {
