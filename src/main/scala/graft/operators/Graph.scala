@@ -62,10 +62,16 @@ object Graph {
       .union(canon.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
       .localCheckpoint(eager = true)
-    val maxDegRow = deg.agg(max(col("deg"))).head()
-    val maxDeg = if (maxDegRow.isNullAt(0)) 0L else maxDegRow.getLong(0)
+    val statsRow = deg.agg(max(col("deg")), count(lit(1))).head()
+    val maxDeg = if (statsRow.isNullAt(0)) 0L else statsRow.getLong(0)
+    val nNodes = statsRow.getLong(1)
     val perNode =
-      if (maxDeg <= maxAdjDegree) adjacencyTriangles(canon)
+      if (maxDeg <= maxAdjDegree)
+        // worst-case adjacency bytes ≈ |V|·maxDeg·8: when that fits a
+        // broadcast (≤ 32 MB) the two edge⋈adjacency joins run
+        // map-side and the edge list never shuffles at all
+        adjacencyTriangles(canon,
+          broadcastAdj = nNodes * maxDeg * 8L <= 32L * 1024 * 1024)
       else wedgeTriangles(canon, deg, broadcastEdgeLimit)
     deg.join(perNode, Seq("node"), "left")
       .select(col("node"), col("deg"),
@@ -74,15 +80,18 @@ object Graph {
 
   /** Adjacency-intersection path: (node, tri) for nodes with ≥ 1
     * triangle. `canon` must be canonical a<b, distinct, checkpointed. */
-  private def adjacencyTriangles(canon: DataFrame): DataFrame = {
+  private def adjacencyTriangles(
+      canon: DataFrame,
+      broadcastAdj: Boolean): DataFrame = {
     // collect_list (not _set): canon is distinct, so neighbor lists
     // are duplicate-free by construction — and the kernel needs them
     // SORTED, which sort_array pins
-    val adj = canon.select(col("a").as("node"), col("b").as("nbr"))
+    val adj0 = canon.select(col("a").as("node"), col("b").as("nbr"))
       .union(canon.select(col("b").as("node"), col("a").as("nbr")))
       .groupBy("node")
       .agg(sort_array(collect_list(col("nbr"))).as("nbrs"))
       .localCheckpoint(eager = true)
+    val adj = if (broadcastAdj) broadcast(adj0) else adj0
     val withCounts = canon
       .join(adj.select(col("node").as("a"), col("nbrs").as("na")), Seq("a"))
       .join(adj.select(col("node").as("b"), col("nbrs").as("nb")), Seq("b"))
