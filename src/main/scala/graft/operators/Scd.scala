@@ -57,4 +57,31 @@ object Scd {
       .select(col(keyCol), col("version"), col("attr"),
         col("valid_from"), col("valid_to"), col("n_obs"))
   }
+
+  /** Point-in-time (bitemporal) probe of a type-2 dimension: each
+    * probe row (key, t) picks up the version active at t —
+    * valid_from ≤ t ≤ valid_to, with the live version's NULL
+    * valid_to treated as +∞. Because [[scd2Build]]'s intervals tile
+    * each key's history, a probe matches AT MOST one version (before
+    * the first version: no match → inner-join drop, the warehouse
+    * convention). Plan: one equi hash join on the key with the
+    * interval predicate as a join residual — per-key version chains
+    * are change-counts, orders of magnitude smaller than the probe
+    * stream, so the join is dimension⋈fact shaped (broadcast when
+    * small, hash-partitioned otherwise — Catalyst/AQE decides from
+    * stats). Integer time axis throughout. */
+  def pointInTime(
+      versions: DataFrame,
+      probes: DataFrame,
+      keyCol: String,
+      probeTsCol: String): DataFrame = {
+    // keep every dimension payload column (n_obs, future attrs…) —
+    // only the key is renamed to avoid the ambiguous self-reference
+    val v = versions.withColumnRenamed(keyCol, "_vk")
+    probes.join(v,
+        probes(keyCol) === col("_vk") &&
+          col(probeTsCol) >= col("valid_from") &&
+          (col("valid_to").isNull || col(probeTsCol) <= col("valid_to")))
+      .drop("_vk", "valid_from", "valid_to")
+  }
 }

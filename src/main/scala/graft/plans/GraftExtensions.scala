@@ -64,6 +64,23 @@ object GraftExtensions {
         (children: Seq[Expression]) => {
           require(children.length == 1, "bpe_piece_counts(str)")
           BpePieceCounts(children.head)
+        }),
+      (new FunctionIdentifier("sorted_intersect_count"),
+        new ExpressionInfo(classOf[graft.functions.SortedIntersectCount].getName,
+          "sorted_intersect_count"),
+        (children: Seq[Expression]) => {
+          require(children.length == 2,
+            "sorted_intersect_count(sorted array<string>, sorted array<string>)")
+          graft.functions.SortedIntersectCount(children(0), children(1))
+        }),
+      (new FunctionIdentifier("sorted_intersect_count_long"),
+        new ExpressionInfo(
+          classOf[graft.functions.SortedIntersectCountLong].getName,
+          "sorted_intersect_count_long"),
+        (children: Seq[Expression]) => {
+          require(children.length == 2,
+            "sorted_intersect_count_long(sorted array<bigint>, sorted array<bigint>)")
+          graft.functions.SortedIntersectCountLong(children(0), children(1))
         }))
 
   /** Register on a live session (REPL/notebook path). */

@@ -464,6 +464,55 @@ object ExtQueries3 {
            / CAST(n * sx AS DOUBLE) AS gini
        FROM a WHERE sx > 0 ORDER BY source"""
 
+  // ---------------------------------------------------------------
+  // q120 — point-in-time probe of the q113 dimension: each event,
+  // shifted one hour forward, picks up the user's event_type version
+  // active at that instant (Scd.pointInTime — at most one match by
+  // interval tiling; probes past nothing drop, probes past the end
+  // hit the open-ended live version). Integer µs; exercises build +
+  // consume as one pipeline.
+  def q120(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(col("user_id"),
+      col("event_type"), expr("ts div 1000").as("tus"), col("event_id"))
+    val versions = graft.operators.Scd.scd2Build(ev, "user_id",
+      "event_type", "tus", "event_id")
+    val probes = ev.select(col("user_id"), col("event_id"),
+      (col("tus") + lit(3600000000L)).as("probe_t"))
+    graft.operators.Scd.pointInTime(versions, probes, "user_id", "probe_t")
+      .select(col("user_id"), col("event_id"), col("probe_t"),
+        col("version"), col("attr"), col("n_obs"))
+      .orderBy("user_id", "event_id")
+  }
+
+  val q120Sql: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tus, event_id
+         FROM events),
+       f AS (SELECT user_id, event_type, tus,
+               CASE WHEN row_number() OVER w = 1
+                      OR event_type IS DISTINCT FROM lag(event_type) OVER w
+                    THEN 1 ELSE 0 END AS brk
+             FROM e WINDOW w AS (PARTITION BY user_id
+                                 ORDER BY tus, event_id)),
+       g AS (SELECT user_id, event_type, tus,
+               CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY tus
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS version
+             FROM f),
+       v AS (SELECT user_id, version, min(event_type) AS attr,
+               min(tus) AS valid_from, count(*) AS n_obs
+             FROM g GROUP BY 1, 2),
+       vv AS (SELECT user_id, version, attr, valid_from, n_obs,
+                lead(valid_from) OVER (PARTITION BY user_id
+                  ORDER BY version) - 1 AS valid_to
+              FROM v),
+       p AS (SELECT user_id, event_id, tus + 3600000000 AS probe_t FROM e)
+       SELECT p.user_id, p.event_id, p.probe_t,
+         vv.version, vv.attr, vv.n_obs
+       FROM p JOIN vv ON p.user_id = vv.user_id
+         AND p.probe_t >= vv.valid_from
+         AND (vv.valid_to IS NULL OR p.probe_t <= vv.valid_to)
+       ORDER BY p.user_id, p.event_id"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q106_triangles" -> (q106 _),
     "q107_bfs_hops" -> (q107 _),
@@ -479,6 +528,7 @@ object ExtQueries3 {
     "q117_zscore_outliers" -> (q117 _),
     "q118_time_weighted_avg" -> (q118 _),
     "q119_gini" -> (q119 _),
+    "q120_scd2_probe" -> (q120 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -496,5 +546,6 @@ object ExtQueries3 {
     "q117_zscore_outliers" -> q117Sql,
     "q118_time_weighted_avg" -> q118Sql,
     "q119_gini" -> q119Sql,
+    "q120_scd2_probe" -> q120Sql,
   )
 }

@@ -113,6 +113,23 @@ class AnalyticsOpsSpec extends SparkSpec {
     }
   }
 
+  test("pointInTime: probes hit exactly their interval's version") {
+    val obs = Seq((1L, "a", 10L, 1L), (1L, "b", 30L, 2L), (1L, "c", 50L, 3L))
+    val versions = graft.operators.Scd
+      .scd2Build(obs.toDF("k", "attr", "ts", "tie"), "k", "attr", "ts", "tie")
+    // probes: before history (drops), inside v1, boundary instants,
+    // inside the open-ended live version
+    val probes = Seq((1L, 100L, 5L), (1L, 101L, 10L), (1L, 102L, 29L),
+      (1L, 103L, 30L), (1L, 104L, 49L), (1L, 105L, 9999L),
+      (2L, 106L, 10L)) // unknown key drops
+    val got = graft.operators.Scd
+      .pointInTime(versions, probes.toDF("k", "pid", "t"), "k", "t")
+      .collect().map(r => (r.getAs[Long]("pid"), r.getAs[String]("attr")))
+      .toMap
+    assert(got == Map(101L -> "a", 102L -> "a", 103L -> "b",
+      104L -> "b", 105L -> "c"))
+  }
+
   // --------------------------------------------------- chunking
   test("slidingChunks: coverage, overlap, witnesses, boundary sizes") {
     // n = 1 (single short chunk), n = C (exactly one), n = C+1 (two,

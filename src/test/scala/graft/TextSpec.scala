@@ -79,6 +79,11 @@ class TextSpec extends SparkSpec {
     assert(r.getSeq[Long](3) == Seq(
       graft.functions.Bpe.encodeWord("join").length.toLong,
       graft.functions.Bpe.encodeWord("hash").length.toLong))
+    val r2 = spark.sql(
+      "SELECT sorted_intersect_count(array('a','b','d'), array('b','c','d')) AS s, " +
+        "sorted_intersect_count_long(array(1L, 3L, 7L, 9L), array(3L, 8L, 9L)) AS l")
+      .collect()(0)
+    assert(r2.getInt(0) == 2 && r2.getInt(1) == 2)
   }
 
   test("window fingerprints: prefix-hash kernel equals per-window rolling hash") {
