@@ -262,4 +262,67 @@ object Graph {
       .select(col("node"),
         coalesce(col("deg"), lit(0L)).as("deg"), col("r"))
   }
+
+  /** PERSONALIZED PageRank ("random walk with restart"): identical
+    * integer superstep to [[pageRankInt]], but both the initial mass
+    * and the 15% teleport return to the SOURCE SET only — the scores
+    * rank nodes by proximity to the sources (recommendation /
+    * expansion queries), not by global centrality. Sources carry
+    * massScale div |S| units each; non-source nodes start at 0 and
+    * earn rank only through in-edges. Same exactness contract: all
+    * positive integer arithmetic, bit-identical cross-engine, no
+    * margin gates. Sources need not appear in the edge list (an
+    * isolated source keeps exactly its teleport term). */
+  def personalizedPageRankInt(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      sources: Seq[Long],
+      iters: Int,
+      massScale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1 && iters <= 32,
+      s"personalizedPageRankInt: iters in [1, 32], got $iters")
+    require(sources.nonEmpty && sources.size <= 10000,
+      s"personalizedPageRankInt: 1-10000 sources, got ${sources.size}")
+    require(sources.distinct.size == sources.size,
+      "personalizedPageRankInt: duplicate sources")
+    require(massScale >= 1000000L,
+      s"personalizedPageRankInt: massScale >= 1e6, got $massScale")
+    val e = edges.select(col(srcCol).cast(LongType).as("src"),
+        col(dstCol).cast(LongType).as("dst"))
+      .distinct()
+      .localCheckpoint(eager = true) // reused every superstep
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(eager = true)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .union(edges.sparkSession.createDataFrame(
+        edges.sparkSession.sparkContext
+          .parallelize(sources.map(org.apache.spark.sql.Row(_)), 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("node", LongType, false)))))
+      .distinct()
+      .localCheckpoint(eager = true)
+    val init = massScale / sources.size
+    val base = (15L * init) / 100L
+    val isSource = col("node").isin(sources: _*)
+    var r = nodes.withColumn("r",
+      when(isSource, lit(init)).otherwise(lit(0L)))
+      .localCheckpoint(eager = true)
+    for (_ <- 1 to iters) {
+      val contrib = r.join(deg, col("node") === col("src"))
+        .select(col("src"), expr("r div deg").as("c"))
+      val sums = e.join(contrib, Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("c")).as("s"))
+      r = nodes.join(sums, Seq("node"), "left")
+        .select(col("node"),
+          (when(isSource, lit(base)).otherwise(lit(0L)) +
+            expr("(85 * coalesce(s, CAST(0 AS BIGINT))) div 100")).as("r"))
+        .localCheckpoint(eager = true)
+    }
+    r.join(deg, col("node") === col("src"), "left")
+      .select(col("node"),
+        coalesce(col("deg"), lit(0L)).as("deg"), col("r"))
+  }
 }

@@ -513,6 +513,60 @@ object ExtQueries3 {
          AND (vv.valid_to IS NULL OR p.probe_t <= vv.valid_to)
        ORDER BY p.user_id, p.event_id"""
 
+  // ---------------------------------------------------------------
+  // q121 — PERSONALIZED PageRank (random walk with restart) from
+  // customer seeds {0, 7, 42} over the symmetrized customer↔supplier
+  // graph: proximity scores, not global centrality — the
+  // recommendation-expansion primitive. Same integer-superstep
+  // exactness as q101 (teleport mass restricted to the seeds).
+  def q121(s: SparkSession, dir: String): DataFrame = {
+    val e0 = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      .join(t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o_orderkey"), col("l_suppkey")),
+        Seq("o_orderkey"))
+      .select(col("o_custkey").as("src"),
+        (col("l_suppkey") + lit(1000000000L)).as("dst"))
+      .distinct()
+    val sym = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+    graft.operators.Graph.personalizedPageRankInt(sym, "src", "dst",
+        sources = Seq(0L, 7L, 42L), iters = 3)
+      .where(col("r") > 0)
+      .orderBy("node")
+  }
+
+  val q121Sql: String = {
+    val init = "(1000000000000 // 3)"
+    val base = s"((15 * $init) // 100)"
+    def step(t: Int) = s"""
+       c$t AS (SELECT e.dst AS node, sum(r${t - 1}.r // d.deg) AS s
+               FROM e JOIN r${t - 1} ON e.src = r${t - 1}.node
+                 JOIN deg d ON d.src = e.src
+               WHERE r${t - 1}.r > 0
+               GROUP BY 1),
+       r$t AS (SELECT nodes.node,
+                 CASE WHEN nodes.node IN (0, 7, 42) THEN $base ELSE 0 END
+                   + (85 * COALESCE(c$t.s, 0)) // 100 AS r
+               FROM nodes
+               LEFT JOIN c$t ON c$t.node = nodes.node)"""
+    s"""WITH e0 AS (SELECT DISTINCT o_custkey AS src,
+           l_suppkey + 1000000000 AS dst
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       e AS (SELECT src, dst FROM e0
+             UNION ALL SELECT dst, src FROM e0),
+       deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+       nodes AS (SELECT DISTINCT src AS node FROM e
+                 UNION SELECT unnest([0, 7, 42])),
+       r0 AS (SELECT node,
+                CASE WHEN node IN (0, 7, 42) THEN $init ELSE 0 END AS r
+              FROM nodes),
+       ${step(1)}, ${step(2)}, ${step(3)}
+       SELECT r3.node, CAST(COALESCE(d.deg, 0) AS BIGINT) AS deg,
+         CAST(r3.r AS BIGINT) AS r
+       FROM r3 LEFT JOIN deg d ON d.src = r3.node
+       WHERE r3.r > 0
+       ORDER BY r3.node"""
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q106_triangles" -> (q106 _),
     "q107_bfs_hops" -> (q107 _),
@@ -529,6 +583,7 @@ object ExtQueries3 {
     "q118_time_weighted_avg" -> (q118 _),
     "q119_gini" -> (q119 _),
     "q120_scd2_probe" -> (q120 _),
+    "q121_personalized_pagerank" -> (q121 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -547,5 +602,6 @@ object ExtQueries3 {
     "q118_time_weighted_avg" -> q118Sql,
     "q119_gini" -> q119Sql,
     "q120_scd2_probe" -> q120Sql,
+    "q121_personalized_pagerank" -> q121Sql,
   )
 }

@@ -160,6 +160,41 @@ class GraphSpec extends SparkSpec {
     assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 2L))
   }
 
+  /** Local integer PPR mirroring the engine's superstep. */
+  private def localPpr(edges: Seq[(Long, Long)], sources: Seq[Long],
+      iters: Int): Map[Long, Long] = {
+    val e = edges.distinct
+    val deg = e.groupBy(_._1).map { case (s, xs) => (s, xs.size.toLong) }
+    val nodes = ((e.map(_._1) ++ e.map(_._2)) ++ sources).distinct
+    val init = R / sources.size
+    val base = (15L * init) / 100L
+    var r = nodes.map(v => v -> (if (sources.contains(v)) init else 0L)).toMap
+    for (_ <- 1 to iters) {
+      val sums = e.groupBy(_._2).map { case (d, in) =>
+        (d, in.map { case (s, _) => r(s) / deg(s) }.sum)
+      }
+      r = nodes.map(v => v -> ((if (sources.contains(v)) base else 0L)
+        + (85L * sums.getOrElse(v, 0L)) / 100L)).toMap
+    }
+    r
+  }
+
+  test("personalizedPageRankInt matches the local reference; isolated source keeps its teleport") {
+    val edges = (0 until 200).map(i =>
+      ((i % 30).toLong, ((i * 11 + 5) % 30).toLong))
+      .filter { case (a, b) => a != b }
+    val sources = Seq(3L, 999L) // 999 is NOT in the graph
+    val got = Graph.personalizedPageRankInt(edges.toDF("src", "dst"),
+        "src", "dst", sources, iters = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    val want = localPpr(edges, sources, 4)
+    assert(got == want, s"engine $got\nlocal $want")
+    // the isolated source has no in-edges: rank = its teleport term
+    assert(got(999L) == (15L * (R / 2)) / 100L)
+    // a node unreachable-and-unseeded stays at 0; the seeds dominate
+    assert(got(3L) > got.filterNot(kv => sources.contains(kv._1)).values.max)
+  }
+
   test("symmetric graph conserves mass up to bounded div loss") {
     val e0 = Seq((1L, 10L), (2L, 10L), (3L, 11L), (1L, 11L), (4L, 12L))
     val sym = e0 ++ e0.map(_.swap)
