@@ -567,6 +567,53 @@ object ExtQueries3 {
        ORDER BY r3.node"""
   }
 
+  // ---------------------------------------------------------------
+  // q122 — distributed PCA leading component, exact integer power
+  // iteration (Pca.powerProjection): one aggregation pass builds the
+  // 64² scatter matrix, the KB-sized matrix power-iterates on the
+  // driver in BigInt with sign-split renormalization (truncation ≡
+  // floor on both engines), and every vector's projection broadcasts
+  // back as a literal dot product. Deterministic by definition — the
+  // contract is "4 power steps from e₁ under this arithmetic".
+  def q122(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Pca
+      .powerProjection(t(s, dir, "embeddings"), "vec_id", "embedding",
+        iters = 4)
+      .withColumnRenamed("id", "vec_id")
+      .orderBy("vec_id")
+
+  val q122Sql: String = {
+    def step(t: Int) = s"""
+       w$t AS (SELECT c.i, sum(c.c * v${t - 1}.v) AS w
+               FROM c JOIN v${t - 1} ON v${t - 1}.i = c.j GROUP BY 1),
+       m$t AS (SELECT max(abs(w)) AS m FROM w$t),
+       v$t AS (SELECT i, CAST(CASE WHEN w < 0
+                   THEN -((-w * 1000000) // m)
+                   ELSE (w * 1000000) // m END AS HUGEINT) AS v
+               FROM w$t CROSS JOIN m$t)"""
+    s"""WITH q AS (SELECT vec_id, list_transform(embedding,
+           e -> CAST(round_even(CAST(e AS DOUBLE) * 1000000.0, 0)
+                     AS HUGEINT)) AS qv
+         FROM embeddings),
+       u AS (SELECT vec_id, generate_subscripts(qv, 1) AS i,
+               unnest(qv) AS x FROM q),
+       si AS (SELECT i, sum(x) AS s FROM u GROUP BY 1),
+       sij AS (SELECT a.i AS i, b.i AS j, sum(a.x * b.x) AS s
+               FROM u a JOIN u b USING (vec_id) GROUP BY 1, 2),
+       nn AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM q),
+       c AS (SELECT sij.i, sij.j, nn.n * sij.s - sa.s * sb.s AS c
+             FROM sij CROSS JOIN nn
+               JOIN si sa ON sa.i = sij.i
+               JOIN si sb ON sb.i = sij.j),
+       v0 AS (SELECT i, CAST(CASE WHEN i = 1 THEN 1000000 ELSE 0 END
+                  AS HUGEINT) AS v
+              FROM range(1, 65) t(i)),
+       ${step(1)}, ${step(2)}, ${step(3)}, ${step(4)}
+       SELECT u.vec_id, CAST(sum(u.x * v4.v) AS BIGINT) AS score
+       FROM u JOIN v4 USING (i)
+       GROUP BY 1 ORDER BY u.vec_id"""
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q106_triangles" -> (q106 _),
     "q107_bfs_hops" -> (q107 _),
@@ -584,6 +631,7 @@ object ExtQueries3 {
     "q119_gini" -> (q119 _),
     "q120_scd2_probe" -> (q120 _),
     "q121_personalized_pagerank" -> (q121 _),
+    "q122_pca_projection" -> (q122 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -603,5 +651,6 @@ object ExtQueries3 {
     "q119_gini" -> q119Sql,
     "q120_scd2_probe" -> q120Sql,
     "q121_personalized_pagerank" -> q121Sql,
+    "q122_pca_projection" -> q122Sql,
   )
 }

@@ -251,6 +251,41 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(got("b") == ((8L, 800L, 7.0 / 8.0)))
   }
 
+  // ------------------------------------------------------ pca
+  test("powerProjection matches a local BigInt reference and finds the planted axis") {
+    val rnd = new scala.util.Random(29)
+    // variance planted overwhelmingly on dim 2 of 4
+    val vecs = (0 until 60).map { i =>
+      (i.toLong, Array(rnd.nextDouble() * 0.01, rnd.nextDouble() * 0.01,
+        (i % 7).toDouble - 3.0, rnd.nextDouble() * 0.01).toSeq)
+    }
+    val got = graft.operators.Pca
+      .powerProjection(vecs.toDF("id", "v"), "id", "v", iters = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // local replay of the exact contract
+    val q = vecs.map { case (id, v) =>
+      (id, v.map(x => BigInt(math.rint(x * 1e6).toLong)).toArray) }
+    val d = 4
+    val n = BigInt(q.size)
+    val si = Array.tabulate(d)(i => q.map(_._2(i)).sum)
+    val c = Array.tabulate(d, d)((i, j) =>
+      n * q.map(r => r._2(i) * r._2(j)).sum - si(i) * si(j))
+    var v = Array.tabulate(d)(i => if (i == 0) BigInt(1000000) else BigInt(0))
+    for (_ <- 1 to 4) {
+      val w = Array.tabulate(d)(i => (0 until d).map(j => c(i)(j) * v(j)).sum)
+      val m = w.map(_.abs).max
+      v = w.map(x => x.sign * ((x.abs * 1000000) / m))
+    }
+    val want = q.map { case (id, qv) =>
+      (id, (0 until d).map(k => qv(k) * v(k)).sum.toLong) }.toMap
+    assert(got == want)
+    // the direction must be dominated by the planted dimension: the
+    // projection ordering tracks dim-2's value ordering
+    val byScore = vecs.sortBy(r => got(r._1)).map(_._2(2))
+    assert(byScore == byScore.sorted || byScore == byScore.sorted.reverse,
+      "projection should be monotone in the planted axis")
+  }
+
   // ------------------------------------------------ phrase search
   private def naivePhrase(text: String, phrase: Seq[String]): (Long, Long) = {
     val toks = text.split(" ", -1)
