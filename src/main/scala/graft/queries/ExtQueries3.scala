@@ -614,6 +614,37 @@ object ExtQueries3 {
        GROUP BY 1 ORDER BY u.vec_id"""
   }
 
+  // ---------------------------------------------------------------
+  // q123 — STREAMING watermarked deduplication: the events table with
+  // every third row duplicated streams through forced multi-file
+  // micro-batches; dropDuplicatesWithinWatermark keys bounded state
+  // by event_id and the survivors land exactly-once (q59 discipline).
+  // The watermark delay (720 h) covers the fixture's full span, so no
+  // row is ever late-dropped and the streamed result must equal the
+  // batch DISTINCT — the oracle is the original table itself.
+  def q123(s: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_q123").toString
+    val ev = t(s, dir, "events").select(col("event_id"), col("user_id"),
+      expr("timestamp_micros(ts div 1000)").as("tstamp"), col("value"))
+    ev.union(ev.where(col("event_id") % 3 === 0)) // inject duplicates
+      .repartition(4)
+      .write.parquet(s"$base/landing")
+    graft.streaming.StreamingIngest.runDedupStream(
+      s, s"$base/landing", Seq("event_id"), "tstamp",
+      watermark = "720 hours", s"$base/out", s"$base/ckpt",
+      maxFilesPerTrigger = Some(2))
+    val out = s.read.parquet(s"$base/out")
+      .select(col("event_id"), col("user_id"),
+        expr("unix_micros(tstamp)").as("tus"), col("value"))
+      .localCheckpoint(eager = true)
+    IngestQueries.deleteTree(java.nio.file.Paths.get(base))
+    out.orderBy("event_id")
+  }
+
+  val q123Sql: String =
+    """SELECT event_id, user_id, epoch_us(ts) AS tus, value
+       FROM events ORDER BY event_id"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q106_triangles" -> (q106 _),
     "q107_bfs_hops" -> (q107 _),
@@ -632,6 +663,7 @@ object ExtQueries3 {
     "q120_scd2_probe" -> (q120 _),
     "q121_personalized_pagerank" -> (q121 _),
     "q122_pca_projection" -> (q122 _),
+    "q123_streaming_dedup" -> (q123 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -652,5 +684,6 @@ object ExtQueries3 {
     "q120_scd2_probe" -> q120Sql,
     "q121_personalized_pagerank" -> q121Sql,
     "q122_pca_projection" -> q122Sql,
+    "q123_streaming_dedup" -> q123Sql,
   )
 }

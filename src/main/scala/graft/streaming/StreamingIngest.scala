@@ -228,6 +228,49 @@ object StreamingIngest {
         merged)
   }
 
+  /** STREAMING exactly-once deduplication: `dropDuplicatesWithinWatermark`
+    * keys the state by `keyCols` and expires it once the event-time
+    * watermark passes — the BOUNDED-STATE streaming dedup (plain
+    * dropDuplicates would grow state forever on an unbounded stream).
+    * Semantics contract: duplicates arriving within the watermark of
+    * their first occurrence are dropped; the batch equivalent is
+    * DISTINCT-by-key whenever duplicate occurrences share (or
+    * closely trail) the original's event time. Survivors land under
+    * batch_id= partitions (the q59 exactly-once discipline).
+    * `tsCol` must be a TimestampType event-time column. */
+  def runDedupStream(
+      spark: SparkSession,
+      landingDir: String,
+      keyCols: Seq[String],
+      tsCol: String,
+      watermark: String,
+      outDir: String,
+      checkpointDir: String,
+      maxFilesPerTrigger: Option[Int] = None,
+      trigger: Trigger = Trigger.AvailableNow(),
+      schema: Option[org.apache.spark.sql.types.StructType] = None): Unit = {
+    val inferred = schema.getOrElse(spark.read.parquet(landingDir).schema)
+    val reader = spark.readStream.schema(inferred)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val query = reader.parquet(landingDir)
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.withColumn("batch_id", lit(batchId))
+          .write
+          .partitionBy("batch_id")
+          .option("partitionOverwriteMode", "dynamic")
+          .mode("overwrite")
+          .parquet(outDir)
+      }
+      .start()
+    query.awaitTermination()
+  }
+
   def runDecontaminateSubstring(
       spark: SparkSession,
       landingDir: String,

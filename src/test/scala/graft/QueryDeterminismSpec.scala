@@ -47,7 +47,8 @@ class QueryDeterminismSpec extends SparkSpec {
     // flake surface; q115/q117 are cheap to pin
     "q115_retention", "q116_grouped_ols", "q117_zscore_outliers",
     "q118_time_weighted_avg", "q119_gini", "q120_scd2_probe",
-    "q121_personalized_pagerank", "q122_pca_projection")
+    "q121_personalized_pagerank", "q122_pca_projection",
+    "q123_streaming_dedup")
 
   covered.foreach { name =>
     test(s"$name: output invariant to shuffle partitioning") {
