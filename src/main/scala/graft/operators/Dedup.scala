@@ -916,4 +916,40 @@ object Dedup {
     // disjoint by construction (hamming >= 1 vs == 0; one fp per id)
     cross.union(within)
   }
+
+  /** Corpus-level overlap matrix: for every pair of groups (sources,
+    * dumps, crawls), the exact count of SHARED DISTINCT SHINGLES plus
+    * both group sizes — the audit that tells a data curator which
+    * corpora substantially duplicate each other before any doc-level
+    * dedup runs. Same shingle definition as the whole similarity
+    * family ([[shingles]] — one definition, never two).
+    *
+    * Scale shape: one distinct over (group, shingle) — the corpus-
+    * sized exchange — then a shingle-keyed self-join whose per-key
+    * fan-out is bounded by C(G,2) for G groups (a shingle can pair at
+    * most all group combinations), so with source-level G the join
+    * output is ≤ 45·|shingles| and skew is structurally capped. All
+    * integer outputs; consumers derive Jaccard/containment as
+    * rationals from (inter, n_a, n_b) without losing exactness. */
+  def sourceOverlap(
+      df: DataFrame,
+      groupCol: String,
+      textCol: String,
+      n: Int = 3): DataFrame = {
+    val sh = df.select(col(groupCol).as("grp"),
+        explode(shingles(col(textCol), n)).as("sh"))
+      .distinct()
+      .localCheckpoint(eager = true) // feeds sizes AND both join sides
+    val sizes = sh.groupBy("grp").agg(count(lit(1)).as("n_sh"))
+    sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.grp") < col("b.grp"))
+      .groupBy(col("a.grp").as("grp_a"), col("b.grp").as("grp_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("grp").as("grp_a"), col("n_sh").as("n_a")),
+        Seq("grp_a"))
+      .join(sizes.select(col("grp").as("grp_b"), col("n_sh").as("n_b")),
+        Seq("grp_b"))
+      .select(col("grp_a"), col("grp_b"), col("inter"),
+        col("n_a"), col("n_b"))
+  }
 }

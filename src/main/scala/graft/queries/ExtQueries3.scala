@@ -645,6 +645,34 @@ object ExtQueries3 {
     """SELECT event_id, user_id, epoch_us(ts) AS tus, value
        FROM events ORDER BY event_id"""
 
+  // ---------------------------------------------------------------
+  // q124 — corpus overlap matrix: shared distinct shingles between
+  // every source pair + both corpus sizes (Dedup.sourceOverlap) — the
+  // curator's "which crawls duplicate each other" audit, with the
+  // SAME shingle definition as the whole similarity family. Integer
+  // outputs; Jaccard derives as a rational downstream.
+  def q124(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup
+      .sourceOverlap(t(s, dir, "documents"), "source", "text")
+      .orderBy("grp_a", "grp_b")
+
+  val q124Sql: String =
+    """WITH w AS (SELECT source, string_split(text, ' ') AS w
+         FROM documents),
+       sh AS (SELECT DISTINCT source,
+                unnest([array_to_string(w[i:i+2], ' ')
+                        for i in range(1, len(w) - 1)]) AS s
+              FROM w),
+       p AS (SELECT a.source AS grp_a, b.source AS grp_b,
+               count(*) AS inter
+             FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+             GROUP BY 1, 2),
+       sz AS (SELECT source, count(*) AS n FROM sh GROUP BY 1)
+       SELECT grp_a, grp_b, inter, za.n AS n_a, zb.n AS n_b
+       FROM p JOIN sz za ON za.source = p.grp_a
+         JOIN sz zb ON zb.source = p.grp_b
+       ORDER BY grp_a, grp_b"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q106_triangles" -> (q106 _),
     "q107_bfs_hops" -> (q107 _),
@@ -664,6 +692,7 @@ object ExtQueries3 {
     "q121_personalized_pagerank" -> (q121 _),
     "q122_pca_projection" -> (q122 _),
     "q123_streaming_dedup" -> (q123 _),
+    "q124_corpus_overlap" -> (q124 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -685,5 +714,6 @@ object ExtQueries3 {
     "q121_personalized_pagerank" -> q121Sql,
     "q122_pca_projection" -> q122Sql,
     "q123_streaming_dedup" -> q123Sql,
+    "q124_corpus_overlap" -> q124Sql,
   )
 }

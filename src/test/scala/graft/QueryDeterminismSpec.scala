@@ -48,7 +48,7 @@ class QueryDeterminismSpec extends SparkSpec {
     "q115_retention", "q116_grouped_ols", "q117_zscore_outliers",
     "q118_time_weighted_avg", "q119_gini", "q120_scd2_probe",
     "q121_personalized_pagerank", "q122_pca_projection",
-    "q123_streaming_dedup")
+    "q123_streaming_dedup", "q124_corpus_overlap")
 
   covered.foreach { name =>
     test(s"$name: output invariant to shuffle partitioning") {
