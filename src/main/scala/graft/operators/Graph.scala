@@ -193,6 +193,57 @@ object Graph {
     visited
   }
 
+  /** Synchronous bounded-round min-label propagation: every node
+    * starts labeled with its own id; each round every node adopts the
+    * minimum label among itself and its in-neighbors,
+    *
+    *   label'(v) = min(label(v), min_{(u,v)∈E} label(u)),
+    *
+    * run for exactly `iters` rounds (no convergence test — the round
+    * count is part of the contract so the result is deterministic and
+    * cross-engine reproducible). With both edge orientations supplied
+    * this is the label-propagation view of connected components cut
+    * off at radius `iters`: label(v) = min node id within `iters`
+    * hops, a community-seed / blocking-key assignment that needs no
+    * full fixed point. All-integer, so exact by construction.
+    *
+    * Scale shape per round: one shuffle join of labels to the
+    * checkpointed edge list + one min-groupBy + one left join back to
+    * the node set — the Pregel superstep as two exchanges, same as
+    * [[pageRankInt]]; label state is localCheckpoint'ed each round so
+    * no round replays its predecessors. Zero driver traffic inside
+    * the loop. */
+  def minLabelPropagate(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 32,
+      s"minLabelPropagate: iters in [1, 32], got $iters")
+    val e = edges.select(col(srcCol).cast(LongType).as("src"),
+        col(dstCol).cast(LongType).as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint(eager = true) // reused every round
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint(eager = true)
+    var l = nodes.withColumn("label", col("node"))
+    for (_ <- 1 to iters) {
+      val m = e.join(l, col("src") === col("node"))
+        .groupBy(col("dst").as("node"))
+        .agg(min(col("label")).as("ml"))
+      // l is node-complete every round, so the left join alone keeps
+      // nodes with no in-edges at their current label
+      l = l.join(m, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("ml"), col("label"))).as("label"))
+        .localCheckpoint(eager = true)
+    }
+    l
+  }
+
   /** Integer-arithmetic PageRank: rank mass is carried in integer
     * units of `massScale` (default 10¹²), and each iteration is
     *
@@ -237,6 +288,12 @@ object Graph {
       .localCheckpoint(eager = true) // reused every superstep
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
       .localCheckpoint(eager = true)
+    // out-degree hoisted ONTO the edge list once, outside the loop:
+    // r div deg is constant per src, so computing it edge-side after a
+    // single (src, dst, deg) pre-join is value-identical to the
+    // node-side contribution join — and drops one shuffle join from
+    // every superstep
+    val eDeg = e.join(deg, Seq("src")).localCheckpoint(eager = true)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
@@ -247,11 +304,9 @@ object Graph {
     val base = (15L * init) / 100L        // teleport term, positive → truncation ≡ floor
     var r = nodes.withColumn("r", lit(init))
     for (_ <- 1 to iters) {
-      val contrib = r.join(deg, col("node") === col("src"))
-        .select(col("src"), expr("r div deg").as("c"))
-      val sums = e.join(contrib, Seq("src"))
+      val sums = eDeg.join(r, col("src") === col("node"))
         .groupBy(col("dst").as("node"))
-        .agg(sum(col("c")).as("s"))
+        .agg(sum(expr("r div deg")).as("s"))
       r = nodes.join(sums, Seq("node"), "left")
         .select(col("node"),
           (lit(base) +
@@ -294,6 +349,9 @@ object Graph {
       .localCheckpoint(eager = true) // reused every superstep
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
       .localCheckpoint(eager = true)
+    // same deg-hoist as [[pageRankInt]]: one (src, dst, deg) pre-join
+    // replaces the per-superstep rank⋈deg contribution join
+    val eDeg = e.join(deg, Seq("src")).localCheckpoint(eager = true)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .union(edges.sparkSession.createDataFrame(
@@ -310,11 +368,9 @@ object Graph {
       when(isSource, lit(init)).otherwise(lit(0L)))
       .localCheckpoint(eager = true)
     for (_ <- 1 to iters) {
-      val contrib = r.join(deg, col("node") === col("src"))
-        .select(col("src"), expr("r div deg").as("c"))
-      val sums = e.join(contrib, Seq("src"))
+      val sums = eDeg.join(r, col("src") === col("node"))
         .groupBy(col("dst").as("node"))
-        .agg(sum(col("c")).as("s"))
+        .agg(sum(expr("r div deg")).as("s"))
       r = nodes.join(sums, Seq("node"), "left")
         .select(col("node"),
           (when(isSource, lit(base)).otherwise(lit(0L)) +

@@ -1,0 +1,316 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{ChangeCapture, Graph, Rolling}
+
+/** Round-7 extension queries: bounded min-label propagation
+  * (community seeds), PMI token co-occurrence, snapshot differencing
+  * (change-data-feed generation), exact rolling median/MAD robust
+  * outliers, deterministic multiplicative-hash dataset splits, and
+  * byte-exact encoding-quality scoring. Same contract as
+  * [[ExtQueries]]: every query ends in ORDER BY over a unique key
+  * prefix, column names match the oracle SQL exactly, and every
+  * value that decides or appears in a row is integer-exact
+  * cross-engine (no doubles in any output).
+  */
+object ExtQueries4 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  // ---------------------------------------------------------------
+  // q125 — community seeds by bounded min-label propagation over the
+  // supplier co-supply graph (suppliers sharing a part, via the
+  // grouped-explode pair enumeration of q106 — no self-join). Three
+  // synchronous rounds of label'(v) = min(label(v), min over
+  // neighbors) assign every supplier the smallest supplier id within
+  // 3 hops — a deterministic blocking/community key with NO fixed-
+  // point iteration count dependence. Integer labels, exact.
+  private val LpIters = 3
+
+  def q125(s: SparkSession, dir: String): DataFrame = {
+    val sp = t(s, dir, "lineitem")
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("sk"))
+      .distinct()
+    val e = sp.groupBy("p").agg(collect_set(col("sk")).as("ss"))
+      .select(explode(col("ss")).as("src"), col("ss"))
+      .select(col("src"), explode(col("ss")).as("dst"))
+      .where(col("src") =!= col("dst"))
+    Graph.minLabelPropagate(e, "src", "dst", iters = LpIters)
+      .orderBy("node")
+  }
+
+  val q125Sql: String = {
+    val rounds = (1 to LpIters).map { i =>
+      s"""l$i AS (SELECT node, min(label) AS label FROM (
+            SELECT node, label FROM l${i - 1}
+            UNION ALL
+            SELECT e.dst AS node, l.label FROM e JOIN l${i - 1} l
+              ON e.src = l.node) GROUP BY 1)"""
+    }.mkString(",\n       ")
+    s"""WITH sp AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS sk
+           FROM lineitem),
+       e AS (SELECT DISTINCT a.sk AS src, b.sk AS dst
+             FROM sp a JOIN sp b ON a.p = b.p AND a.sk != b.sk),
+       l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+       $rounds
+       SELECT node, label FROM l$LpIters ORDER BY node"""
+  }
+
+  // ---------------------------------------------------------------
+  // q126 — token co-occurrence with an integer PMI surrogate: over
+  // the 64 highest-document-frequency tokens (df desc, token asc —
+  // total order), count per-pair co-document frequency and score
+  //   pmi_ppm = (c_ab · N · 10⁶) div (df_a · df_b)
+  // — monotone in the true PMI e^pmi = c_ab·N/(df_a·df_b), all-
+  // integer so exact. The vocab cap bounds the per-doc pair fan-out
+  // at C(64,2) regardless of corpus scale; the vocab itself
+  // broadcasts. Same whitespace tokenization as q42.
+  private val PmiVocab = 64
+
+  def q126(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val n = docs.count()
+    val tk = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .distinct()
+    val vocab = tk.groupBy("tok").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("tok"))
+      .limit(PmiVocab)
+    val vt = tk.join(broadcast(vocab), Seq("tok"))
+    val a = vt.select(col("doc_id"), col("tok").as("tok_a"), col("df").as("df_a"))
+    val b = vt.select(col("doc_id"), col("tok").as("tok_b"), col("df").as("df_b"))
+    a.join(b, Seq("doc_id"))
+      .where(col("tok_a") < col("tok_b"))
+      .groupBy("tok_a", "tok_b", "df_a", "df_b")
+      .agg(count(lit(1)).as("c_ab"))
+      .select(col("tok_a"), col("tok_b"), col("c_ab"), col("df_a"), col("df_b"),
+        expr(s"(c_ab * ${n}L * 1000000L) div (df_a * df_b)").as("pmi_ppm"))
+      .orderBy("tok_a", "tok_b")
+  }
+
+  val q126Sql: String =
+    s"""WITH tk AS (SELECT DISTINCT doc_id, tok FROM
+           (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents)),
+       df AS (SELECT tok, count(*) AS df FROM tk GROUP BY 1),
+       v AS (SELECT tok, df FROM df ORDER BY df DESC, tok LIMIT $PmiVocab),
+       vt AS (SELECT t.doc_id, t.tok, v.df FROM tk t JOIN v USING (tok)),
+       nn AS (SELECT count(*) AS n FROM documents),
+       p AS (SELECT a.tok AS tok_a, b.tok AS tok_b,
+               a.df AS df_a, b.df AS df_b, count(*) AS c_ab
+             FROM vt a JOIN vt b
+               ON a.doc_id = b.doc_id AND a.tok < b.tok
+             GROUP BY 1, 2, 3, 4)
+       SELECT tok_a, tok_b, c_ab, df_a, df_b,
+         (c_ab * nn.n * 1000000) // (df_a * df_b) AS pmi_ppm
+       FROM p CROSS JOIN nn ORDER BY tok_a, tok_b"""
+
+  // ---------------------------------------------------------------
+  // q127 — change-data-feed generation by snapshot differencing
+  // (ChangeCapture.snapshotDiff — ONE full-outer hash join on the
+  // key, all classification map-side): the "old" snapshot drops
+  // orderkeys ≡3 (mod 10), the "new" drops ≡2 (mod 7), bumps price
+  // by 250 cents for keys ≡0 (mod 5) and flips status to 'P' for
+  // keys ≡0 (mod 11) — yielding real I/D/U rows plus a majority of
+  // unchanged rows that must be filtered. Prices in integer cents
+  // (bround ≡ round_even); absent-side sentinels -1/'' keep every
+  // output column non-null.
+  def q127(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val cents = bround(col("o_totalprice") * lit(100.0), 0).cast("long")
+    val oldSnap = o.where(col("o_orderkey") % 10 =!= 3)
+      .select(col("o_orderkey"), cents.as("cents"),
+        col("o_orderstatus").as("status"))
+    val newSnap = o.where(col("o_orderkey") % 7 =!= 2)
+      .select(col("o_orderkey"),
+        (cents + when(col("o_orderkey") % 5 === 0, lit(250L))
+          .otherwise(lit(0L))).as("cents"),
+        when(col("o_orderkey") % 11 === 0, lit("P"))
+          .otherwise(col("o_orderstatus")).as("status"))
+    ChangeCapture.snapshotDiff(oldSnap, newSnap, "o_orderkey",
+        Seq("cents", "status"))
+      .select(col("o_orderkey"), col("op"),
+        coalesce(col("old_cents"), lit(-1L)).as("old_cents"),
+        coalesce(col("new_cents"), lit(-1L)).as("new_cents"),
+        coalesce(col("old_status"), lit("")).as("old_status"),
+        coalesce(col("new_status"), lit("")).as("new_status"),
+        col("changed"))
+      .orderBy("o_orderkey")
+  }
+
+  val q127Sql: String =
+    """WITH o AS (SELECT o_orderkey AS k,
+           CAST(round_even(o_totalprice * 100.0, 0) AS BIGINT) AS cents,
+           o_orderstatus AS status
+         FROM orders WHERE o_orderkey % 10 != 3),
+       n AS (SELECT o_orderkey AS k,
+           CAST(round_even(o_totalprice * 100.0, 0) AS BIGINT)
+             + CASE WHEN o_orderkey % 5 = 0 THEN 250 ELSE 0 END AS cents,
+           CASE WHEN o_orderkey % 11 = 0 THEN 'P' ELSE o_orderstatus END
+             AS status
+         FROM orders WHERE o_orderkey % 7 != 2),
+       j AS (SELECT COALESCE(o.k, n.k) AS o_orderkey,
+               CASE WHEN o.k IS NULL THEN 'I'
+                    WHEN n.k IS NULL THEN 'D'
+                    WHEN o.cents != n.cents OR o.status != n.status THEN 'U'
+               END AS op,
+               COALESCE(o.cents, -1) AS old_cents,
+               COALESCE(n.cents, -1) AS new_cents,
+               COALESCE(o.status, '') AS old_status,
+               COALESCE(n.status, '') AS new_status,
+               CASE WHEN o.k IS NOT NULL AND n.k IS NOT NULL THEN
+                 concat_ws(',',
+                   CASE WHEN o.cents != n.cents THEN 'cents' END,
+                   CASE WHEN o.status != n.status THEN 'status' END)
+               ELSE '' END AS changed
+             FROM o FULL OUTER JOIN n ON o.k = n.k)
+       SELECT o_orderkey, op, old_cents, new_cents, old_status,
+         new_status, changed
+       FROM j WHERE op IS NOT NULL ORDER BY o_orderkey"""
+
+  // ---------------------------------------------------------------
+  // q128 — rolling robust outliers: per-user rolling MEDIAN and MAD
+  // of the event amount (integer cents) over the last 7 events
+  // (Rolling.medianMad — one exchange, one window scan; med2 = 2×
+  // median and mad4 = 4×MAD keep every comparison integer, both
+  // window parities included). Outlier: 2·|2·x − med2| > 3·mad4,
+  // the classic 3-MAD fence.
+  def q128(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(col("event_id"), col("user_id"),
+      col("ts"), bround(col("value") * lit(100.0), 0).cast("long").as("cents"))
+    Rolling.medianMad(ev, "user_id", Seq("ts", "event_id"), "cents",
+        window = 7, k = 3)
+      .select(col("event_id"), col("user_id"), col("cents"),
+        col("med2"), col("mad4"), col("outlier"))
+      .orderBy("event_id")
+  }
+
+  val q128Sql: String =
+    """WITH ev AS (SELECT event_id, user_id, ts,
+           CAST(round_even(value * 100.0, 0) AS BIGINT) AS cents
+         FROM events),
+       w AS (SELECT event_id, user_id, cents,
+               list_sort(list(cents) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS arr
+             FROM ev),
+       m AS (SELECT event_id, user_id, cents, arr, len(arr) AS n,
+               arr[(len(arr) + 1) // 2] + arr[len(arr) // 2 + 1] AS med2
+             FROM w),
+       d AS (SELECT event_id, user_id, cents, n, med2,
+               list_sort([abs(2 * x - med2) FOR x IN arr]) AS devs
+             FROM m)
+       SELECT event_id, user_id, cents, med2,
+         devs[(n + 1) // 2] + devs[n // 2 + 1] AS mad4,
+         CAST(CASE WHEN 2 * abs(2 * cents - med2) >
+             3 * (devs[(n + 1) // 2] + devs[n // 2 + 1])
+           THEN 1 ELSE 0 END AS BIGINT) AS outlier
+       FROM d ORDER BY event_id"""
+
+  // ---------------------------------------------------------------
+  // q129 — deterministic train/val/test split by multiplicative
+  // hash: bucket = (doc_id · 2654435761) mod 2³² mod 100 (Knuth's
+  // golden-ratio multiplier — engine-neutral 64-bit integer math, no
+  // overflow below 2⁵³ products, unlike xxhash64 which DuckDB lacks),
+  // 90/5/5 → train/val/test. Per (split, lang) audit counts — the
+  // leakage-free split assignment every training pipeline needs,
+  // reproducible from the id alone with no RNG state.
+  def q129(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        (col("doc_id") * lit(2654435761L) % lit(4294967296L) % lit(100L))
+          .as("bucket"))
+      .select(col("lang"), col("n_chars"), col("doc_id"),
+        when(col("bucket") < 90, lit("train"))
+          .when(col("bucket") < 95, lit("val"))
+          .otherwise(lit("test")).as("split"))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+      .orderBy("split", "lang")
+
+  val q129Sql: String =
+    """SELECT split, lang, count(*) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         min(doc_id) AS min_id, max(doc_id) AS max_id
+       FROM (SELECT lang, n_chars, doc_id,
+               CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 90
+                      THEN 'train'
+                    WHEN (doc_id * 2654435761) % 4294967296 % 100 < 95
+                      THEN 'val'
+                    ELSE 'test' END AS split
+             FROM documents)
+       GROUP BY 1, 2 ORDER BY split, lang"""
+
+  // ---------------------------------------------------------------
+  // q130 — encoding-quality scoring, BYTE-exact: every count is a
+  // UTF-8 byte count (octet_length / strlen agree across engines;
+  // code-POINT counting would diverge on surrogate handling), so the
+  // per-class counts come from length deltas after regexp strips.
+  // Docs with doc_id ≡ 0 (mod 17) get one U+FFFD replacement char +
+  // one BEL appended to plant real mojibake/control hits. ascii_ppm
+  // = printable-ASCII bytes per million total bytes — the corpus-
+  // hygiene filter signal.
+  def q130(s: SparkSession, dir: String): DataFrame = {
+    val txt = when(col("doc_id") % 17 === 0,
+      concat(col("text"), lit("\uFFFD\u0007"))).otherwise(col("text"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), txt.as("t"))
+      .select(col("doc_id"),
+        octet_length(col("t")).cast("long").as("n_bytes"),
+        octet_length(regexp_replace(col("t"), "[^\\x20-\\x7e]", ""))
+          .cast("long").as("ascii_n"),
+        (octet_length(col("t")) - octet_length(regexp_replace(col("t"),
+          "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]", ""))).cast("long")
+          .as("ctrl_n"),
+        // `div` (not `/`): int `/` promotes to double; U+FFFD is
+        // always 3 UTF-8 bytes so the division is exact
+        expr("(octet_length(t) - octet_length(regexp_replace(t, '\\uFFFD', ''))) div 3")
+          .as("repl_n"))
+      .select(col("doc_id"), col("n_bytes"), col("ascii_n"), col("ctrl_n"),
+        col("repl_n"),
+        when(col("n_bytes") > 0,
+          expr("(ascii_n * 1000000) div n_bytes")).otherwise(lit(-1L))
+          .as("ascii_ppm"))
+      .orderBy("doc_id")
+  }
+
+  val q130Sql: String =
+    """WITH d AS (SELECT doc_id,
+           CASE WHEN doc_id % 17 = 0 THEN text || chr(65533) || chr(7)
+                ELSE text END AS t
+         FROM documents),
+       c AS (SELECT doc_id,
+               CAST(strlen(t) AS BIGINT) AS n_bytes,
+               CAST(strlen(regexp_replace(t, '[^\x20-\x7e]', '', 'g'))
+                 AS BIGINT) AS ascii_n,
+               CAST(strlen(t) - strlen(regexp_replace(t,
+                 '[\x00-\x08\x0b\x0c\x0e-\x1f]', '', 'g')) AS BIGINT)
+                 AS ctrl_n,
+               CAST((strlen(t) - strlen(regexp_replace(t, chr(65533),
+                 '', 'g'))) // 3 AS BIGINT) AS repl_n
+             FROM d)
+       SELECT doc_id, n_bytes, ascii_n, ctrl_n, repl_n,
+         CASE WHEN n_bytes > 0 THEN (ascii_n * 1000000) // n_bytes
+              ELSE -1 END AS ascii_ppm
+       FROM c ORDER BY doc_id"""
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q125_label_propagation" -> (q125 _),
+    "q126_pmi_cooccur" -> (q126 _),
+    "q127_snapshot_diff" -> (q127 _),
+    "q128_rolling_mad" -> (q128 _),
+    "q129_hash_split" -> (q129 _),
+    "q130_encoding_quality" -> (q130 _))
+
+  val oracles: Map[String, String] = Map(
+    "q125_label_propagation" -> q125Sql,
+    "q126_pmi_cooccur" -> q126Sql,
+    "q127_snapshot_diff" -> q127Sql,
+    "q128_rolling_mad" -> q128Sql,
+    "q129_hash_split" -> q129Sql,
+    "q130_encoding_quality" -> q130Sql)
+}

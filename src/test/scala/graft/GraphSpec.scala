@@ -206,4 +206,54 @@ class GraphSpec extends SparkSpec {
     assert(total <= R && total >= R - out.length * 3 * 3 - 100,
       s"total mass $total vs $R")
   }
+
+  /** Plain-Scala synchronous min-label propagation. */
+  private def localLp(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val e = edges.distinct.filter { case (a, b) => a != b }
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    var l = nodes.map(v => v -> v).toMap
+    for (_ <- 1 to iters) {
+      l = nodes.map { v =>
+        val in = e.collect { case (u, d) if d == v => l(u) }
+        v -> (l(v) +: in).min
+      }.toMap
+    }
+    l
+  }
+
+  test("minLabelPropagate matches the local reference at each radius") {
+    // two chains joined at one end + an isolated pair: labels spread
+    // one hop per round, so iters acts as a radius cap
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+    val edges = und ++ und.map(_.swap)
+    for (iters <- Seq(1, 2, 4)) {
+      val got = Graph.minLabelPropagate(
+          edges.toDF("src", "dst"), "src", "dst", iters)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == localLp(edges, iters), s"iters=$iters")
+    }
+    // radius 4 reaches everything in the 5-chain: full component label
+    val conv = Graph.minLabelPropagate(
+        edges.toDF("src", "dst"), "src", "dst", 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 5L).forall(conv(_) == 1L) && conv(10L) == 10L &&
+      conv(11L) == 10L)
+  }
+
+  test("minLabelPropagate is partition-invariant and directed-aware") {
+    val edges = (0 until 400).map { i =>
+      ((i % 53).toLong, ((i * 11 + 5) % 53).toLong)
+    }.filter { case (a, b) => a != b }
+    val df = edges.toDF("src", "dst")
+    val a = Graph.minLabelPropagate(df, "src", "dst", 3)
+      .orderBy("node").collect().toSeq
+    val b = Graph.minLabelPropagate(df.repartition(13), "src", "dst", 3)
+      .orderBy("node").collect().toSeq
+    assert(a == b && a.nonEmpty)
+    // directed: labels flow src→dst only — a pure source keeps its id
+    val dirEdges = Seq((5L, 1L), (1L, 2L)).toDF("src", "dst")
+    val dir = Graph.minLabelPropagate(dirEdges, "src", "dst", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dir(5L) == 5L && dir(1L) == 1L && dir(2L) == 1L)
+  }
 }

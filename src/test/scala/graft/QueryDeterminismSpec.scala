@@ -48,7 +48,12 @@ class QueryDeterminismSpec extends SparkSpec {
     "q115_retention", "q116_grouped_ols", "q117_zscore_outliers",
     "q118_time_weighted_avg", "q119_gini", "q120_scd2_probe",
     "q121_personalized_pagerank", "q122_pca_projection",
-    "q123_streaming_dedup", "q124_corpus_overlap")
+    "q123_streaming_dedup", "q124_corpus_overlap",
+    // session-4 additions: q125's propagation is an iterative loop,
+    // q126 has a df-ranked LIMIT vocab cut (ties broken by token);
+    // the rest are cheap to pin
+    "q125_label_propagation", "q126_pmi_cooccur", "q127_snapshot_diff",
+    "q128_rolling_mad", "q129_hash_split", "q130_encoding_quality")
 
   covered.foreach { name =>
     test(s"$name: output invariant to shuffle partitioning") {
