@@ -298,13 +298,273 @@ object ExtQueries4 {
               ELSE -1 END AS ascii_ppm
        FROM c ORDER BY doc_id"""
 
+  // ---------------------------------------------------------------
+  // q131 — market-basket recommendations: for every part, the top-3
+  // co-purchased parts by co-order count (ties by partner id — total
+  // order), with integer confidence conf_ppm = (c_ab·10⁶) div c_part.
+  // Pair generation rides the q106 grouped-double-explode (per-order
+  // fan-out structurally ≤ C(basket,2), basket ≤ 13 here — never a
+  // corpus self-join); the per-part rank is a bounded window over the
+  // pair table, not the baskets.
+  def q131(s: SparkSession, dir: String): DataFrame = {
+    val po = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val pc = po.groupBy(col("p")).agg(count(lit(1)).as("c_part"))
+    val pairs = po.groupBy("o").agg(collect_set(col("p")).as("ps"))
+      .select(explode(col("ps")).as("x"), col("ps"))
+      .select(col("x"), explode(col("ps")).as("y"))
+      .where(col("x") < col("y"))
+      .groupBy("x", "y").agg(count(lit(1)).as("c_ab"))
+      .where(col("c_ab") >= 2)
+    val sym = pairs.select(col("x").as("part"), col("y").as("partner"), col("c_ab"))
+      .union(pairs.select(col("y"), col("x"), col("c_ab")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("part").orderBy(col("c_ab").desc, col("partner"))
+    sym.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .join(pc.select(col("p").as("part"), col("c_part")), Seq("part"))
+      .select(col("part"), col("rank").cast("long").as("rank"),
+        col("partner"), col("c_ab"), col("c_part"),
+        expr("(c_ab * 1000000) div c_part").as("conf_ppm"))
+      .orderBy("part", "rank")
+  }
+
+  val q131Sql: String =
+    """WITH po AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+           FROM lineitem),
+       pc AS (SELECT p, count(*) AS c_part FROM po GROUP BY 1),
+       pr AS (SELECT a.p AS x, b.p AS y, count(*) AS c_ab
+              FROM po a JOIN po b ON a.o = b.o AND a.p < b.p
+              GROUP BY 1, 2 HAVING count(*) >= 2),
+       sym AS (SELECT x AS part, y AS partner, c_ab FROM pr
+               UNION ALL SELECT y, x, c_ab FROM pr),
+       rk AS (SELECT part, partner, c_ab,
+                row_number() OVER (PARTITION BY part
+                  ORDER BY c_ab DESC, partner) AS rank
+              FROM sym)
+       SELECT rk.part, CAST(rk.rank AS BIGINT) AS rank, rk.partner,
+         rk.c_ab, pc.c_part,
+         (rk.c_ab * 1000000) // pc.c_part AS conf_ppm
+       FROM rk JOIN pc ON pc.p = rk.part
+       WHERE rk.rank <= 3 ORDER BY rk.part, rk.rank"""
+
+  // ---------------------------------------------------------------
+  // q132 — Markov transition matrix over per-user event sequences:
+  // count each (event_type → next event_type) transition along the
+  // (ts, event_id)-ordered per-user stream (lead window — one hash
+  // exchange + one in-partition sort), then row-normalize to ppm.
+  // The transition table is |types|² ≤ 25 rows, so the normalizing
+  // window is driver-trivial; all outputs integer.
+  def q132(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val tr = t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("prev_type"))
+      .withColumn("next_type", lead(col("prev_type"), 1).over(w))
+      .where(col("next_type").isNotNull)
+      .groupBy("prev_type", "next_type")
+      .agg(count(lit(1)).as("c"))
+    val wn = org.apache.spark.sql.expressions.Window.partitionBy("prev_type")
+    tr.withColumn("out_total", sum(col("c")).over(wn))
+      .select(col("prev_type"), col("next_type"), col("c"), col("out_total"),
+        expr("(c * 1000000) div out_total").as("p_ppm"))
+      .orderBy("prev_type", "next_type")
+  }
+
+  val q132Sql: String =
+    """WITH tr AS (SELECT event_type AS prev_type,
+           lead(event_type) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id) AS next_type
+         FROM events),
+       c AS (SELECT prev_type, next_type, count(*) AS c FROM tr
+             WHERE next_type IS NOT NULL GROUP BY 1, 2)
+       SELECT prev_type, next_type, c,
+         CAST(sum(c) OVER (PARTITION BY prev_type) AS BIGINT) AS out_total,
+         CAST((c * 1000000) // sum(c) OVER (PARTITION BY prev_type)
+           AS BIGINT) AS p_ppm
+       FROM c ORDER BY prev_type, next_type"""
+
+  // ---------------------------------------------------------------
+  // q133 — per-source table checksums (anti-entropy audit): an
+  // ORDER-INDEPENDENT per-group fingerprint, checksum = Σ rowhash
+  // mod (2³¹−1) with rowhash = (id·2654435761 + bytes·97) mod
+  // (2³¹−1) — commutative, so partitioning/shuffle order can never
+  // change it, and engine-neutral (plain 64-bit integer products,
+  // far below 2⁶³; no xxhash, which the oracle engine lacks).
+  // Detects dropped/duplicated rows and any text-length drift;
+  // replica-comparison is a checksum equi-join.
+  def q133(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("source"), col("doc_id"),
+        octet_length(col("text")).cast("long").as("nb"))
+      .select(col("source"),
+        expr("(doc_id * 2654435761L + nb * 97L) % 2147483647L").as("rh"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_rows"),
+        expr("sum(rh) % 2147483647L").as("checksum"))
+      .orderBy("source")
+
+  val q133Sql: String =
+    """SELECT source, count(*) AS n_rows,
+         CAST(sum((doc_id * 2654435761 + strlen(text) * 97) % 2147483647)
+           % 2147483647 AS BIGINT) AS checksum
+       FROM documents GROUP BY 1 ORDER BY source"""
+
+  // ---------------------------------------------------------------
+  // q134 — deterministic negative sampling (contrastive-training data
+  // gen): rank documents by id via the DISTRIBUTED prefix sum
+  // (Packing.sequencePack with unit weights — never a global
+  // single-partition window), then for each document draw 4
+  // pseudo-random partner ranks (rank·2654435761 + j·40503241) mod N
+  // (products < 2⁶³ for N < 3.4·10⁹ — comment-bounded) and join back
+  // rank→id. Self-collisions are filtered identically in both
+  // engines. RNG-free: the sample is reproducible from ids alone.
+  private val NegPerDoc = 4
+
+  def q134(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"))
+    val n = docs.count()
+    val rk = graft.operators.Packing.sequencePack(
+        docs.withColumn("one", lit(1L)), "doc_id", "one", budget = 1L)
+      .select(col("id").as("doc_id"), col("start_tok").as("rk"))
+      .localCheckpoint(eager = true) // reused as probe AND partner side
+    val js = (1 to NegPerDoc).map(j => lit(j.toLong)).toArray
+    rk.select(col("doc_id"), col("rk"),
+        explode(array(js: _*)).as("j"))
+      .withColumn("nr",
+        expr(s"(rk * 2654435761L + j * 40503241L) % ${n}L"))
+      .where(col("nr") =!= col("rk"))
+      .join(rk.select(col("rk").as("nr"), col("doc_id").as("neg_doc_id")),
+        Seq("nr"))
+      .select(col("doc_id"), col("j"), col("neg_doc_id"))
+      .orderBy("doc_id", "j")
+  }
+
+  val q134Sql: String =
+    s"""WITH r AS (SELECT doc_id,
+           row_number() OVER (ORDER BY doc_id) - 1 AS rk
+         FROM documents),
+       nn AS (SELECT count(*) AS n FROM documents),
+       neg AS (SELECT r.doc_id, j.j, r.rk,
+                 (r.rk * 2654435761 + j.j * 40503241) % nn.n AS nr
+               FROM r CROSS JOIN nn
+                 CROSS JOIN (SELECT unnest(range(1, ${NegPerDoc + 1})) AS j) j)
+       SELECT neg.doc_id, neg.j, r2.doc_id AS neg_doc_id
+       FROM neg JOIN r r2 ON r2.rk = neg.nr
+       WHERE neg.nr != neg.rk
+       ORDER BY neg.doc_id, neg.j"""
+
+  // ---------------------------------------------------------------
+  // q135 — blocked record linkage: a deterministically corrupted copy
+  // of customer (one name char dropped at position key mod 16 + 2;
+  // nation/segment stable) is matched back against the originals.
+  // Candidates are generated ONLY within (nation, segment) blocks —
+  // the classic blocking step that turns O(n²) linkage into
+  // Σ_block O(b²) — then verified with Levenshtein ≤ 2 and resolved
+  // to the best match via the single-pass integer argmin
+  // min(lev·10⁷ + key) (valid while keys < 10⁷ — comment-bounded),
+  // decomposed by div/mod. The fixed-width synthetic names make
+  // near-miss digit patterns real false candidates, so the ranking
+  // is exercised, not vacuous.
+  def q135(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val corrupt = c.select(
+      (col("c_custkey") + 100000L).as("k2"),
+      expr("""concat(substr(c_name, 1, int(c_custkey % 16 + 1)),
+              substr(c_name, int(c_custkey % 16 + 3)))""").as("name2"),
+      col("c_nationkey").as("nk2"), col("c_mktsegment").as("seg2"))
+    val cand = corrupt.join(c,
+        col("nk2") === col("c_nationkey") && col("seg2") === col("c_mktsegment"))
+      .withColumn("lev", levenshtein(col("name2"), col("c_name")))
+      .where(col("lev") <= 2)
+    cand.groupBy(col("k2"))
+      .agg(count(lit(1)).as("n_cands"),
+        min(col("lev").cast("long") * 10000000L + col("c_custkey"))
+          .as("best"))
+      .select(col("k2"), expr("best % 10000000L").as("matched_key"),
+        expr("best div 10000000L").as("lev"), col("n_cands"))
+      .orderBy("k2")
+  }
+
+  val q135Sql: String =
+    """WITH corrupt AS (SELECT c_custkey + 100000 AS k2,
+           substr(c_name, 1, CAST(c_custkey % 16 + 1 AS INT))
+             || substr(c_name, CAST(c_custkey % 16 + 3 AS INT)) AS name2,
+           c_nationkey AS nk2, c_mktsegment AS seg2
+         FROM customer),
+       cand AS (SELECT k2, c_custkey, levenshtein(name2, c_name) AS lev
+                FROM corrupt JOIN customer
+                  ON nk2 = c_nationkey AND seg2 = c_mktsegment
+                WHERE levenshtein(name2, c_name) <= 2)
+       SELECT k2, CAST(min(lev * 10000000 + c_custkey) % 10000000
+           AS BIGINT) AS matched_key,
+         CAST(min(lev * 10000000 + c_custkey) // 10000000 AS BIGINT) AS lev,
+         count(*) AS n_cands
+       FROM cand GROUP BY 1 ORDER BY k2"""
+
+  // ---------------------------------------------------------------
+  // q136 — first-touch attribution: every purchase is attributed to
+  // the EARLIEST click by the same user within the preceding 7 days
+  // (µs integers end to end). The candidate join is per-user range-
+  // banded (one hash exchange on user_id; per-user event counts are
+  // bounded), and the earliest-click resolution is two deterministic
+  // min-aggregations — first the timestamp, then the event id at
+  // that timestamp — so ties can never flake the output.
+  private val AttrWindowUs = 604800000000L // 7 days
+
+  def q136(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val purch = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        expr("ts div 1000").as("pt"))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        expr("ts div 1000").as("ct"))
+    val cand = purch.join(clicks, Seq("user_id"))
+      .where(col("ct") <= col("pt") &&
+        col("ct") >= col("pt") - AttrWindowUs)
+    val first = cand.groupBy("purchase_id")
+      .agg(min(col("ct")).as("first_ct"))
+    cand.join(first, Seq("purchase_id"))
+      .where(col("ct") === col("first_ct"))
+      .groupBy(col("purchase_id"))
+      .agg(min(col("user_id")).as("user_id"),
+        min(col("click_id")).as("click_id"),
+        min(col("pt") - col("ct")).as("gap_us"))
+      .orderBy("purchase_id")
+  }
+
+  val q136Sql: String =
+    s"""WITH p AS (SELECT user_id, event_id AS purchase_id,
+           epoch_us(ts) AS pt FROM events WHERE event_type = 'purchase'),
+       c AS (SELECT user_id, event_id AS click_id, epoch_us(ts) AS ct
+             FROM events WHERE event_type = 'click'),
+       cand AS (SELECT p.purchase_id, p.user_id, c.click_id, p.pt, c.ct
+                FROM p JOIN c ON p.user_id = c.user_id
+                WHERE c.ct <= p.pt AND c.ct >= p.pt - $AttrWindowUs),
+       f AS (SELECT purchase_id, min(ct) AS first_ct FROM cand GROUP BY 1)
+       SELECT cand.purchase_id, min(cand.user_id) AS user_id,
+         min(cand.click_id) AS click_id,
+         min(cand.pt - cand.ct) AS gap_us
+       FROM cand JOIN f ON cand.purchase_id = f.purchase_id
+         AND cand.ct = f.first_ct
+       GROUP BY 1 ORDER BY cand.purchase_id"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q125_label_propagation" -> (q125 _),
     "q126_pmi_cooccur" -> (q126 _),
     "q127_snapshot_diff" -> (q127 _),
     "q128_rolling_mad" -> (q128 _),
     "q129_hash_split" -> (q129 _),
-    "q130_encoding_quality" -> (q130 _))
+    "q130_encoding_quality" -> (q130 _),
+    "q131_copurchase_topk" -> (q131 _),
+    "q132_transition_matrix" -> (q132 _),
+    "q133_integrity_checksum" -> (q133 _),
+    "q134_negative_sampling" -> (q134 _),
+    "q135_record_linkage" -> (q135 _),
+    "q136_attribution" -> (q136 _))
 
   val oracles: Map[String, String] = Map(
     "q125_label_propagation" -> q125Sql,
@@ -312,5 +572,11 @@ object ExtQueries4 {
     "q127_snapshot_diff" -> q127Sql,
     "q128_rolling_mad" -> q128Sql,
     "q129_hash_split" -> q129Sql,
-    "q130_encoding_quality" -> q130Sql)
+    "q130_encoding_quality" -> q130Sql,
+    "q131_copurchase_topk" -> q131Sql,
+    "q132_transition_matrix" -> q132Sql,
+    "q133_integrity_checksum" -> q133Sql,
+    "q134_negative_sampling" -> q134Sql,
+    "q135_record_linkage" -> q135Sql,
+    "q136_attribution" -> q136Sql)
 }

@@ -53,7 +53,12 @@ class QueryDeterminismSpec extends SparkSpec {
     // q126 has a df-ranked LIMIT vocab cut (ties broken by token);
     // the rest are cheap to pin
     "q125_label_propagation", "q126_pmi_cooccur", "q127_snapshot_diff",
-    "q128_rolling_mad", "q129_hash_split", "q130_encoding_quality")
+    "q128_rolling_mad", "q129_hash_split", "q130_encoding_quality",
+    // q134 rides sequencePack's RangePartitioner (the historical
+    // flake surface), q131 has a ranked window cut; rest cheap to pin
+    "q131_copurchase_topk", "q132_transition_matrix",
+    "q133_integrity_checksum", "q134_negative_sampling",
+    "q135_record_linkage", "q136_attribution")
 
   covered.foreach { name =>
     test(s"$name: output invariant to shuffle partitioning") {
