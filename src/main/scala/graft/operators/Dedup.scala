@@ -34,14 +34,14 @@ object Dedup {
     * DuckDB formulation word-for-word: split on single space, join
     * n consecutive words with a space. Docs shorter than n words get
     * an empty set. */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val words = split(text, " ")
-    when(size(words) >= n,
-      array_distinct(transform(
-        sequence(lit(0), size(words) - n),
-        i => concat_ws(" ", slice(words, i + 1, lit(n))))))
-      .otherwise(array().cast("array<string>"))
-  }
+  def shingles(text: Column, n: Int = 3): Column =
+    // native codegen kernel (functions/ShingleSet) — semantically the
+    // HOF chain sort_array(array_distinct(transform(sequence(...),
+    // i => concat_ws(" ", slice(split(text," "), i+1, n))))), but one
+    // byte-scan pass instead of per-position array slices + concat
+    // buffers (the HOF allocation gotcha); output arrives SORTED in
+    // binary UTF8 order, so downstream sort_array is unnecessary
+    graft.functions.ShingleSet.shingleSet(text, n)
 
   /** Shared shingle materialization for the similarity-join family:
     * (id, s, sz), checkpointed lazily so the split+distinct shingle
@@ -54,8 +54,9 @@ object Dedup {
     // sorted ascending (binary UTF8 order) so the verification stage
     // can count intersections with the allocation-free merge-walk
     // kernel (SortedIntersectCount) instead of per-pair hash sets
-    df.select(col(idCol).as("id"),
-        sort_array(shingles(col(textCol), n)).as("s"))
+    // shingles() already emits ascending binary UTF8 order (the
+    // ShingleSet kernel pins it) — no sort_array needed
+    df.select(col(idCol).as("id"), shingles(col(textCol), n).as("s"))
       .withColumn("sz", size(col("s")))
       .localCheckpoint(eager = false)
 
@@ -924,26 +925,35 @@ object Dedup {
     * dedup runs. Same shingle definition as the whole similarity
     * family ([[shingles]] — one definition, never two).
     *
-    * Scale shape: one distinct over (group, shingle) — the corpus-
-    * sized exchange — then a shingle-keyed self-join whose per-key
-    * fan-out is bounded by C(G,2) for G groups (a shingle can pair at
-    * most all group combinations), so with source-level G the join
-    * output is ≤ 45·|shingles| and skew is structurally capped. All
-    * integer outputs; consumers derive Jaccard/containment as
-    * rationals from (inter, n_a, n_b) without losing exactness. */
+    * Scale shape: ONE corpus-sized exchange — groupBy(shingle) with a
+    * map-side-combining collect_set(group) subsumes both the
+    * (group, shingle) distinct AND the shingle-keyed self-join this
+    * used to run (three full exchanges collapsed to one). Each
+    * shingle's group set is ≤ G elements, so per-key state is bounded
+    * and skew structurally capped; group sizes and the ≤ C(G,2)
+    * per-shingle pair expansion both derive NARROWLY from the
+    * checkpointed per-shingle sets. All integer outputs; consumers
+    * derive Jaccard/containment as rationals from (inter, n_a, n_b)
+    * without losing exactness. */
   def sourceOverlap(
       df: DataFrame,
       groupCol: String,
       textCol: String,
       n: Int = 3): DataFrame = {
-    val sh = df.select(col(groupCol).as("grp"),
+    val bySh = df.select(col(groupCol).as("grp"),
         explode(shingles(col(textCol), n)).as("sh"))
-      .distinct()
-      .localCheckpoint(eager = true) // feeds sizes AND both join sides
-    val sizes = sh.groupBy("grp").agg(count(lit(1)).as("n_sh"))
-    sh.as("a").join(sh.as("b"),
-        col("a.sh") === col("b.sh") && col("a.grp") < col("b.grp"))
-      .groupBy(col("a.grp").as("grp_a"), col("b.grp").as("grp_b"))
+      .groupBy("sh").agg(collect_set(col("grp")).as("gs"))
+      .localCheckpoint(eager = true) // feeds sizes AND pair expansion
+    // exploding the per-shingle DISTINCT group sets yields exactly the
+    // distinct (group, shingle) pairs — sizes without a second exchange
+    // over the corpus (the groupBy here is G-sized)
+    val sizes = bySh.select(explode(col("gs")).as("grp"))
+      .groupBy("grp").agg(count(lit(1)).as("n_sh"))
+    bySh.where(size(col("gs")) >= 2)
+      .select(explode(col("gs")).as("ga"), col("gs"))
+      .select(col("ga"), explode(col("gs")).as("gb"))
+      .where(col("ga") < col("gb"))
+      .groupBy(col("ga").as("grp_a"), col("gb").as("grp_b"))
       .agg(count(lit(1)).as("inter"))
       .join(sizes.select(col("grp").as("grp_a"), col("n_sh").as("n_a")),
         Seq("grp_a"))

@@ -235,11 +235,17 @@ object Graph {
         .groupBy(col("dst").as("node"))
         .agg(min(col("label")).as("ml"))
       // l is node-complete every round, so the left join alone keeps
-      // nodes with no in-edges at their current label
+      // nodes with no in-edges at their current label.
+      // LAZY checkpoint: the loop is pure plan construction (no
+      // driver action until the caller's one materialization), so an
+      // eager cut per round would serialize `iters` barrier jobs for
+      // nothing — lazy still truncates the Catalyst lineage while the
+      // whole fixed-point executes as ONE multi-stage job. Loops that
+      // PROBE per round (bfsHops' isEmpty) must stay eager.
       l = l.join(m, Seq("node"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("ml"), col("label"))).as("label"))
-        .localCheckpoint(eager = true)
+        .localCheckpoint(eager = false)
     }
     l
   }
@@ -307,11 +313,13 @@ object Graph {
       val sums = eDeg.join(r, col("src") === col("node"))
         .groupBy(col("dst").as("node"))
         .agg(sum(expr("r div deg")).as("s"))
+      // lazy: pure plan-construction loop, one materialization at the
+      // caller — see minLabelPropagate's note
       r = nodes.join(sums, Seq("node"), "left")
         .select(col("node"),
           (lit(base) +
             expr("(85 * coalesce(s, CAST(0 AS BIGINT))) div 100")).as("r"))
-        .localCheckpoint(eager = true)
+        .localCheckpoint(eager = false)
     }
     r.join(deg, col("node") === col("src"), "left")
       .select(col("node"),
@@ -371,11 +379,12 @@ object Graph {
       val sums = eDeg.join(r, col("src") === col("node"))
         .groupBy(col("dst").as("node"))
         .agg(sum(expr("r div deg")).as("s"))
+      // lazy: pure plan-construction loop — see minLabelPropagate
       r = nodes.join(sums, Seq("node"), "left")
         .select(col("node"),
           (when(isSource, lit(base)).otherwise(lit(0L)) +
             expr("(85 * coalesce(s, CAST(0 AS BIGINT))) div 100")).as("r"))
-        .localCheckpoint(eager = true)
+        .localCheckpoint(eager = false)
     }
     r.join(deg, col("node") === col("src"), "left")
       .select(col("node"),

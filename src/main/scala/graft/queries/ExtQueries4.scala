@@ -475,10 +475,13 @@ object ExtQueries4 {
       expr("""concat(substr(c_name, 1, int(c_custkey % 16 + 1)),
               substr(c_name, int(c_custkey % 16 + 3)))""").as("name2"),
       col("c_nationkey").as("nk2"), col("c_mktsegment").as("seg2"))
+    // threshold-banded Levenshtein (3-arg form, O(k·n) band instead
+    // of the O(n²) full DP; returns -1 past the bound) — the verify
+    // step runs on every block pair, so the band is the win
     val cand = corrupt.join(c,
         col("nk2") === col("c_nationkey") && col("seg2") === col("c_mktsegment"))
-      .withColumn("lev", levenshtein(col("name2"), col("c_name")))
-      .where(col("lev") <= 2)
+      .withColumn("lev", expr("levenshtein(name2, c_name, 2)"))
+      .where(col("lev") >= 0)
     cand.groupBy(col("k2"))
       .agg(count(lit(1)).as("n_cands"),
         min(col("lev").cast("long") * 10000000L + col("c_custkey"))
@@ -552,6 +555,103 @@ object ExtQueries4 {
          AND cand.ct = f.first_ct
        GROUP BY 1 ORDER BY cand.purchase_id"""
 
+  // ---------------------------------------------------------------
+  // q137 — per-group equi-depth quantile binning (feature
+  // discretization): within each event_type, rows are ranked by the
+  // (cents, event_id) total order and assigned decile
+  // bucket = ((rank−1)·10) div n_g — exactly ⌈n/10⌉/⌊n/10⌋ rows per
+  // bucket, no percentile interpolation anywhere. The window is
+  // PARTITIONED BY the group (bounded per-partition work — this is
+  // the per-group variant of q100's global prefix-sum histogram;
+  // a GLOBAL rank here would be the single-partition trap). Output:
+  // per (event_type, bucket) count + integer cent bounds.
+  def q137(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("cents", "event_id")
+    val wn = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+    t(s, dir, "events")
+      .select(col("event_type"), col("event_id"),
+        bround(col("value") * lit(100.0), 0).cast("long").as("cents"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("n_g", count(lit(1)).over(wn))
+      .select(col("event_type"),
+        expr("((rk - 1) * 10) div n_g").as("bucket"),
+        col("cents"))
+      .groupBy("event_type", "bucket")
+      .agg(count(lit(1)).as("n"),
+        min(col("cents")).as("lo"), max(col("cents")).as("hi"))
+      .orderBy("event_type", "bucket")
+  }
+
+  val q137Sql: String =
+    """WITH ev AS (SELECT event_type, event_id,
+           CAST(round_even(value * 100.0, 0) AS BIGINT) AS cents
+         FROM events),
+       r AS (SELECT event_type, cents,
+               row_number() OVER (PARTITION BY event_type
+                 ORDER BY cents, event_id) AS rk,
+               count(*) OVER (PARTITION BY event_type) AS n_g
+             FROM ev)
+       SELECT event_type, ((rk - 1) * 10) // n_g AS bucket,
+         count(*) AS n, min(cents) AS lo, max(cents) AS hi
+       FROM r GROUP BY 1, 2 ORDER BY event_type, bucket"""
+
+  // ---------------------------------------------------------------
+  // q138 — referential-integrity audit across the FK chain
+  // lineitem→orders→customer→nation: per relation, total child rows
+  // vs orphans (children whose parent key misses — left-anti
+  // semantics via a left join null-count so one pass yields both
+  // numbers). Parents are deterministically thinned (≡5 mod 13 /
+  // ≡7 mod 17 dropped) so real orphans exist; integer ppm rate.
+  // Scale shape: three independent key-only joins, each aggregated
+  // map-side to a single row — the orphan table never materializes.
+  def q138(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_orderkey"))
+    val ord = t(s, dir, "orders")
+    val cust = t(s, dir, "customer")
+    val nat = t(s, dir, "nation").select(col("n_nationkey"))
+    val ordK = ord.where(col("o_orderkey") % 13 =!= 5)
+      .select(col("o_orderkey"), lit(1).as("p1"))
+    val custK = cust.where(col("c_custkey") % 17 =!= 7)
+      .select(col("c_custkey"), lit(1).as("p2"))
+    val natK = nat.select(col("n_nationkey"), lit(1).as("p3"))
+    def audit(rel: String, child: DataFrame, flag: String): DataFrame =
+      child.agg(count(lit(1)).as("n_rows"),
+          sum(when(col(flag).isNull, 1L).otherwise(0L)).as("n_orphans"))
+        .select(lit(rel).as("relation"), col("n_rows"), col("n_orphans"),
+          expr("(n_orphans * 1000000) div n_rows").as("orphan_ppm"))
+    val a = audit("lineitem_orders",
+      li.join(ordK, col("l_orderkey") === col("o_orderkey"), "left"), "p1")
+    val b = audit("orders_customer",
+      ord.select(col("o_custkey"))
+        .join(custK, col("o_custkey") === col("c_custkey"), "left"), "p2")
+    val c = audit("customer_nation",
+      cust.select(col("c_nationkey"))
+        .join(natK, col("c_nationkey") === col("n_nationkey"), "left"), "p3")
+    a.union(b).union(c).orderBy("relation")
+  }
+
+  val q138Sql: String =
+    """WITH ok AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 13 != 5),
+       ck AS (SELECT c_custkey FROM customer WHERE c_custkey % 17 != 7),
+       a AS (SELECT 'lineitem_orders' AS relation, count(*) AS n_rows,
+               CAST(sum(CASE WHEN ok.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_orphans
+             FROM lineitem LEFT JOIN ok ON l_orderkey = ok.o_orderkey),
+       b AS (SELECT 'orders_customer', count(*),
+               CAST(sum(CASE WHEN ck.c_custkey IS NULL THEN 1 ELSE 0 END)
+                 AS BIGINT)
+             FROM orders LEFT JOIN ck ON o_custkey = ck.c_custkey),
+       c AS (SELECT 'customer_nation', count(*),
+               CAST(sum(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END)
+                 AS BIGINT)
+             FROM customer LEFT JOIN nation n ON c_nationkey = n.n_nationkey)
+       SELECT relation, n_rows, n_orphans,
+         (n_orphans * 1000000) // n_rows AS orphan_ppm
+       FROM (SELECT * FROM a UNION ALL SELECT * FROM b
+             UNION ALL SELECT * FROM c)
+       ORDER BY relation"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q125_label_propagation" -> (q125 _),
     "q126_pmi_cooccur" -> (q126 _),
@@ -564,7 +664,9 @@ object ExtQueries4 {
     "q133_integrity_checksum" -> (q133 _),
     "q134_negative_sampling" -> (q134 _),
     "q135_record_linkage" -> (q135 _),
-    "q136_attribution" -> (q136 _))
+    "q136_attribution" -> (q136 _),
+    "q137_grouped_quantile_bins" -> (q137 _),
+    "q138_fk_audit" -> (q138 _))
 
   val oracles: Map[String, String] = Map(
     "q125_label_propagation" -> q125Sql,
@@ -578,5 +680,7 @@ object ExtQueries4 {
     "q133_integrity_checksum" -> q133Sql,
     "q134_negative_sampling" -> q134Sql,
     "q135_record_linkage" -> q135Sql,
-    "q136_attribution" -> q136Sql)
+    "q136_attribution" -> q136Sql,
+    "q137_grouped_quantile_bins" -> q137Sql,
+    "q138_fk_audit" -> q138Sql)
 }

@@ -118,6 +118,38 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Generate"), s"plan:\n$p")
   }
 
+  test("q127: snapshot diff is one join — classification adds no exchange") {
+    // full-outer join (2 exchanges) + the presentation sort; the
+    // I/U/D classification and changed-list must stay map-side
+    val p = plan("q127_snapshot_diff")
+    val joins = "(SortMergeJoin|ShuffledHashJoin)".r.findAllIn(p).length
+    assert(joins == 1, s"expected exactly the full-outer join:\n$p")
+    assert(!p.contains("Window"), s"classification must not window:\n$p")
+  }
+
+  test("q128: rolling median/MAD is one exchange + one window sort") {
+    // one hash exchange on user_id; med2/mad4/outlier all ride the
+    // SAME window sort (plus the presentation orderBy exchange)
+    val p = plan("q128_rolling_mad")
+    val windows = "Window".r.findAllIn(p).length
+    assert(windows <= 2, s"med2/mad4 must share the window scan:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"no join belongs here:\n$p")
+  }
+
+  test("q134: negative sampling plans NO global window — ranks from the prefix sum") {
+    val p = plan("q134_negative_sampling")
+    assert(!p.contains("Window"),
+      s"global row_number would single-partition the corpus:\n$p")
+  }
+
+  test("q136: attribution joins stay equi-keyed on user — no cross, no window") {
+    val p = plan("q136_attribution")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"range band must ride the user_id equi key:\n$p")
+  }
+
   test("no shuffle cartesian product in any registry query") {
     // BroadcastNestedLoopJoin is legitimate where a side is tiny or
     // broadcast-by-design: the pure theta join (q37), the broadcast
