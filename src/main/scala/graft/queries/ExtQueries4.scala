@@ -652,6 +652,51 @@ object ExtQueries4 {
              UNION ALL SELECT * FROM c)
        ORDER BY relation"""
 
+  // ---------------------------------------------------------------
+  // q139 — STREAMING stream-static broadcast enrichment: events
+  // stream through forced multi-file micro-batches and pick up the
+  // customer market segment via a broadcast dimension join
+  // (StreamingIngest.runEnrichStream — stateless map-side lookup, no
+  // state store, the at-ingest enrichment shape; contrast q88's
+  // stateful stream-stream join). user_id maps onto the customer key
+  // space by modulo |customer| (both engines compute the same
+  // mapping). The landed enriched stream is then audited per
+  // (segment, event_type): row count + integer cent sum — equal to
+  // the batch join's aggregate, which is the oracle.
+  def q139(s: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_q139").toString
+    val cust = t(s, dir, "customer")
+    val nc = cust.count()
+    t(s, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        bround(col("value") * lit(100.0), 0).cast("long").as("cents"),
+        (col("user_id") % nc).as("c_custkey"))
+      .repartition(4)
+      .write.parquet(s"$base/landing")
+    graft.streaming.StreamingIngest.runEnrichStream(
+      s, s"$base/landing",
+      cust.select(col("c_custkey"), col("c_mktsegment")),
+      Seq("c_custkey"), s"$base/out", s"$base/ckpt",
+      maxFilesPerTrigger = Some(2))
+    val out = s.read.parquet(s"$base/out")
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents_sum"))
+      .localCheckpoint(eager = true)
+    IngestQueries.deleteTree(java.nio.file.Paths.get(base))
+    out.orderBy("c_mktsegment", "event_type")
+  }
+
+  val q139Sql: String =
+    """WITH nc AS (SELECT count(*) AS n FROM customer),
+       ev AS (SELECT event_type,
+                CAST(round_even(value * 100.0, 0) AS BIGINT) AS cents,
+                user_id % nc.n AS c_custkey
+              FROM events CROSS JOIN nc)
+       SELECT c.c_mktsegment, ev.event_type, count(*) AS n,
+         CAST(sum(ev.cents) AS BIGINT) AS cents_sum
+       FROM ev JOIN customer c ON ev.c_custkey = c.c_custkey
+       GROUP BY 1, 2 ORDER BY c_mktsegment, event_type"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q125_label_propagation" -> (q125 _),
     "q126_pmi_cooccur" -> (q126 _),
@@ -666,7 +711,8 @@ object ExtQueries4 {
     "q135_record_linkage" -> (q135 _),
     "q136_attribution" -> (q136 _),
     "q137_grouped_quantile_bins" -> (q137 _),
-    "q138_fk_audit" -> (q138 _))
+    "q138_fk_audit" -> (q138 _),
+    "q139_streaming_enrich" -> (q139 _))
 
   val oracles: Map[String, String] = Map(
     "q125_label_propagation" -> q125Sql,
@@ -682,5 +728,6 @@ object ExtQueries4 {
     "q135_record_linkage" -> q135Sql,
     "q136_attribution" -> q136Sql,
     "q137_grouped_quantile_bins" -> q137Sql,
-    "q138_fk_audit" -> q138Sql)
+    "q138_fk_audit" -> q138Sql,
+    "q139_streaming_enrich" -> q139Sql)
 }

@@ -238,6 +238,51 @@ object StreamingIngest {
     * closely trail) the original's event time. Survivors land under
     * batch_id= partitions (the q59 exactly-once discipline).
     * `tsCol` must be a TimestampType event-time column. */
+  // format: keep runEnrichStream adjacent to the other run* entry points
+
+  /** STREAM-STATIC broadcast enrichment — the at-ingest dimension
+    * lookup every event pipeline runs (attach segment/geo/account
+    * attributes as rows arrive). The static side is hint-broadcast,
+    * so each micro-batch is a stateless map-side hash join: NO
+    * streaming state, no watermark, nothing to evict — the one
+    * streaming join shape that scales with the dimension held in
+    * memory per executor rather than in the state store (contrast
+    * q88's two-sided stream-stream state). Inner join semantics:
+    * events missing a dimension row are dropped (the batch
+    * equivalent is the plain inner equi-join). Enriched rows land
+    * under batch_id= partitions (q59 exactly-once discipline:
+    * at-least-once replays overwrite their own partition). */
+  def runEnrichStream(
+      spark: SparkSession,
+      landingDir: String,
+      dim: DataFrame,
+      joinKeys: Seq[String],
+      outDir: String,
+      checkpointDir: String,
+      maxFilesPerTrigger: Option[Int] = None,
+      trigger: Trigger = Trigger.AvailableNow(),
+      schema: Option[org.apache.spark.sql.types.StructType] = None): Unit = {
+    val inferred = schema.getOrElse(spark.read.parquet(landingDir).schema)
+    val reader = spark.readStream.schema(inferred)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val query = reader.parquet(landingDir)
+      .join(org.apache.spark.sql.functions.broadcast(dim), joinKeys)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.withColumn("batch_id", lit(batchId))
+          .write
+          .partitionBy("batch_id")
+          .option("partitionOverwriteMode", "dynamic")
+          .mode("overwrite")
+          .parquet(outDir)
+      }
+      .start()
+    query.awaitTermination()
+  }
+
   def runDedupStream(
       spark: SparkSession,
       landingDir: String,

@@ -59,7 +59,8 @@ class QueryDeterminismSpec extends SparkSpec {
     "q131_copurchase_topk", "q132_transition_matrix",
     "q133_integrity_checksum", "q134_negative_sampling",
     "q135_record_linkage", "q136_attribution",
-    "q137_grouped_quantile_bins", "q138_fk_audit")
+    "q137_grouped_quantile_bins", "q138_fk_audit",
+    "q139_streaming_enrich")
 
   covered.foreach { name =>
     test(s"$name: output invariant to shuffle partitioning") {
