@@ -697,6 +697,92 @@ object ExtQueries4 {
        FROM ev JOIN customer c ON ev.c_custkey = c.c_custkey
        GROUP BY 1, 2 ORDER BY c_mktsegment, event_type"""
 
+  // ---------------------------------------------------------------
+  // q140 — running DISTINCT count per user (how many distinct event
+  // types has each user seen so far, at every event): the scale-safe
+  // formulation — a first-occurrence flag (row_number = 1 within
+  // (user, type), one exchange) cum-summed along the (ts, event_id)
+  // event order — instead of the O(n²)-state collect_set-over-window
+  // a naive translation would plan. Two group-partitioned windows,
+  // no global window, all integers.
+  def q140(s: SparkSession, dir: String): DataFrame = {
+    val wFirst = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      .withColumn("first_seen",
+        when(row_number().over(wFirst) === 1, 1L).otherwise(0L))
+      .withColumn("n_types_seen", sum(col("first_seen")).over(wCum))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("first_seen"), col("n_types_seen"))
+      .orderBy("event_id")
+  }
+
+  val q140Sql: String =
+    """WITH f AS (SELECT event_id, user_id, ts, event_type,
+           CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+                  ORDER BY ts, event_id) = 1
+                THEN 1 ELSE 0 END AS first_seen
+         FROM events)
+       SELECT event_id, user_id, event_type,
+         CAST(first_seen AS BIGINT) AS first_seen,
+         CAST(sum(first_seen) OVER (PARTITION BY user_id
+           ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS n_types_seen
+       FROM f ORDER BY event_id"""
+
+  // ---------------------------------------------------------------
+  // q141 — OHLC bars: per (user, 6-hour bucket) open/high/low/close
+  // of the event amount in integer cents. Open/close are first_value/
+  // last_value over the full bucket frame pinned by the unique
+  // (ts, event_id) order (ties can't flake); high/low are plain
+  // min/max. One exchange on (user, bucket), windows + the final
+  // group share the sort.
+  private val BarUs = 21600000000L // 6 h
+
+  def q141(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id", "bucket").orderBy("tus", "event_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    t(s, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        expr("ts div 1000").as("tus"),
+        bround(col("value") * lit(100.0), 0).cast("long").as("cents"))
+      .withColumn("bucket", expr(s"tus div ${BarUs}L"))
+      .withColumn("open", first(col("cents")).over(w))
+      .withColumn("close", last(col("cents")).over(w))
+      .groupBy("user_id", "bucket")
+      .agg(count(lit(1)).as("n"), min(col("open")).as("open"),
+        max(col("cents")).as("high"), min(col("cents")).as("low"),
+        min(col("close")).as("close"))
+      .orderBy("user_id", "bucket")
+  }
+
+  val q141Sql: String =
+    s"""WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS tus,
+           CAST(round_even(value * 100.0, 0) AS BIGINT) AS cents
+         FROM events),
+       b AS (SELECT *, tus // $BarUs AS bucket FROM ev),
+       w AS (SELECT user_id, bucket, cents,
+               first_value(cents) OVER (PARTITION BY user_id, bucket
+                 ORDER BY tus, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                 AS open,
+               last_value(cents) OVER (PARTITION BY user_id, bucket
+                 ORDER BY tus, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                 AS close
+             FROM b)
+       SELECT user_id, bucket, count(*) AS n, min(open) AS open,
+         max(cents) AS high, min(cents) AS low, min(close) AS close
+       FROM w GROUP BY 1, 2 ORDER BY user_id, bucket"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q125_label_propagation" -> (q125 _),
     "q126_pmi_cooccur" -> (q126 _),
@@ -712,7 +798,9 @@ object ExtQueries4 {
     "q136_attribution" -> (q136 _),
     "q137_grouped_quantile_bins" -> (q137 _),
     "q138_fk_audit" -> (q138 _),
-    "q139_streaming_enrich" -> (q139 _))
+    "q139_streaming_enrich" -> (q139 _),
+    "q140_running_distinct" -> (q140 _),
+    "q141_ohlc_bars" -> (q141 _))
 
   val oracles: Map[String, String] = Map(
     "q125_label_propagation" -> q125Sql,
@@ -729,5 +817,7 @@ object ExtQueries4 {
     "q136_attribution" -> q136Sql,
     "q137_grouped_quantile_bins" -> q137Sql,
     "q138_fk_audit" -> q138Sql,
-    "q139_streaming_enrich" -> q139Sql)
+    "q139_streaming_enrich" -> q139Sql,
+    "q140_running_distinct" -> q140Sql,
+    "q141_ohlc_bars" -> q141Sql)
 }
