@@ -783,6 +783,92 @@ object ExtQueries4 {
          max(cents) AS high, min(cents) AS low, min(close) AS close
        FROM w GROUP BY 1, 2 ORDER BY user_id, bucket"""
 
+  // ---------------------------------------------------------------
+  // q142 — burst detection on the event-rate series: per-type hourly
+  // counts, then each bucket tested against the rolling median of
+  // its trailing 8 buckets with the integer 2·|2x−med2| > 3·mad4
+  // robust fence (Rolling.medianMad COMPOSED on the aggregated
+  // series — the aggregate is tiny, so the window stage costs
+  // nothing; the corpus-sized work is the one groupBy). Empty
+  // buckets are NOT materialized (a gap simply doesn't test), which
+  // keeps the series sparse-safe at scale.
+  private val BurstBucketUs = 3600000000L // 1 h
+
+  def q142(s: SparkSession, dir: String): DataFrame = {
+    val counts = t(s, dir, "events")
+      .select(col("event_type"),
+        expr(s"(ts div 1000) div ${BurstBucketUs}L").as("bucket"))
+      .groupBy("event_type", "bucket")
+      .agg(count(lit(1)).as("n"))
+    Rolling.medianMad(counts, "event_type", Seq("bucket"), "n",
+        window = 8, k = 3)
+      .select(col("event_type"), col("bucket"), col("n"),
+        col("med2"), col("mad4"), col("outlier").as("burst"))
+      .orderBy("event_type", "bucket")
+  }
+
+  val q142Sql: String =
+    s"""WITH c AS (SELECT event_type, epoch_us(ts) // $BurstBucketUs
+             AS bucket, count(*) AS n
+           FROM events GROUP BY 1, 2),
+       w AS (SELECT event_type, bucket, n,
+               list_sort(list(n) OVER (PARTITION BY event_type
+                 ORDER BY bucket
+                 ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)) AS arr
+             FROM c),
+       m AS (SELECT event_type, bucket, n, arr, len(arr) AS ln,
+               arr[(len(arr) + 1) // 2] + arr[len(arr) // 2 + 1] AS med2
+             FROM w),
+       d AS (SELECT event_type, bucket, n, ln, med2,
+               list_sort([abs(2 * x - med2) FOR x IN arr]) AS devs
+             FROM m)
+       SELECT event_type, bucket, n, med2,
+         devs[(ln + 1) // 2] + devs[ln // 2 + 1] AS mad4,
+         CAST(CASE WHEN 2 * abs(2 * n - med2) >
+             3 * (devs[(ln + 1) // 2] + devs[ln // 2 + 1])
+           THEN 1 ELSE 0 END AS BIGINT) AS burst
+       FROM d ORDER BY event_type, bucket"""
+
+  // ---------------------------------------------------------------
+  // q143 — coverage-gap audit (sensor dropout / user churn): per
+  // user, consecutive-event gaps over 24 h — count, longest gap, and
+  // total uncovered time, from ONE lag window (one exchange + one
+  // sort) and a conditional aggregate. µs integers end to end; users
+  // with no long gap report zeros (left join back to the user set).
+  private val GapUs = 86400000000L // 24 h
+
+  def q143(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("tus", "event_id")
+    val gaps = t(s, dir, "events")
+      .select(col("user_id"), expr("ts div 1000").as("tus"), col("event_id"))
+      .withColumn("gap", col("tus") - lag(col("tus"), 1).over(w))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("gap") > GapUs, 1L).otherwise(0L)).as("n_gaps"),
+        max(when(col("gap") > GapUs, col("gap"))).as("max_gap"),
+        sum(when(col("gap") > GapUs, col("gap")).otherwise(lit(0L)))
+          .as("uncovered_us"))
+    gaps.select(col("user_id"), col("n_events"), col("n_gaps"),
+        coalesce(col("max_gap"), lit(0L)).as("max_gap_us"),
+        col("uncovered_us"))
+      .orderBy("user_id")
+  }
+
+  val q143Sql: String =
+    s"""WITH g AS (SELECT user_id,
+           epoch_us(ts) - lag(epoch_us(ts)) OVER
+             (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap
+         FROM events)
+       SELECT user_id, count(*) AS n_events,
+         CAST(sum(CASE WHEN gap > $GapUs THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_gaps,
+         COALESCE(max(CASE WHEN gap > $GapUs THEN gap END), 0)
+           AS max_gap_us,
+         CAST(sum(CASE WHEN gap > $GapUs THEN gap ELSE 0 END) AS BIGINT)
+           AS uncovered_us
+       FROM g GROUP BY 1 ORDER BY user_id"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q125_label_propagation" -> (q125 _),
     "q126_pmi_cooccur" -> (q126 _),
@@ -800,7 +886,9 @@ object ExtQueries4 {
     "q138_fk_audit" -> (q138 _),
     "q139_streaming_enrich" -> (q139 _),
     "q140_running_distinct" -> (q140 _),
-    "q141_ohlc_bars" -> (q141 _))
+    "q141_ohlc_bars" -> (q141 _),
+    "q142_burst_detection" -> (q142 _),
+    "q143_coverage_gaps" -> (q143 _))
 
   val oracles: Map[String, String] = Map(
     "q125_label_propagation" -> q125Sql,
@@ -819,5 +907,7 @@ object ExtQueries4 {
     "q138_fk_audit" -> q138Sql,
     "q139_streaming_enrich" -> q139Sql,
     "q140_running_distinct" -> q140Sql,
-    "q141_ohlc_bars" -> q141Sql)
+    "q141_ohlc_bars" -> q141Sql,
+    "q142_burst_detection" -> q142Sql,
+    "q143_coverage_gaps" -> q143Sql)
 }

@@ -60,7 +60,8 @@ class QueryDeterminismSpec extends SparkSpec {
     "q133_integrity_checksum", "q134_negative_sampling",
     "q135_record_linkage", "q136_attribution",
     "q137_grouped_quantile_bins", "q138_fk_audit",
-    "q139_streaming_enrich", "q140_running_distinct", "q141_ohlc_bars")
+    "q139_streaming_enrich", "q140_running_distinct", "q141_ohlc_bars",
+    "q142_burst_detection", "q143_coverage_gaps")
 
   covered.foreach { name =>
     test(s"$name: output invariant to shuffle partitioning") {
