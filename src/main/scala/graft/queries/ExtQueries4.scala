@@ -5,11 +5,15 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.{ChangeCapture, Graph, Rolling}
 
-/** Round-7 extension queries: bounded min-label propagation
-  * (community seeds), PMI token co-occurrence, snapshot differencing
-  * (change-data-feed generation), exact rolling median/MAD robust
-  * outliers, deterministic multiplicative-hash dataset splits, and
-  * byte-exact encoding-quality scoring. Same contract as
+/** Round-7 extension queries (q125–q143): graph label propagation,
+  * PMI co-occurrence, snapshot differencing (CDC feed generation),
+  * rolling median/MAD robust outliers, hash dataset splits,
+  * byte-exact encoding quality, market-basket top-k, Markov
+  * transitions, anti-entropy table checksums, deterministic negative
+  * sampling, blocked record linkage, first-touch attribution,
+  * per-group quantile binning, FK-integrity audits, stream-static
+  * broadcast enrichment, running distinct counts, OHLC bars, burst
+  * detection, and coverage-gap audits. Same contract as
   * [[ExtQueries]]: every query ends in ORDER BY over a unique key
   * prefix, column names match the oracle SQL exactly, and every
   * value that decides or appears in a row is integer-exact
