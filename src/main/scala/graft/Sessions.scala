@@ -8,9 +8,10 @@ object Sessions {
 
   /** Configs every engine session needs:
     *  - UTC so time extraction matches the oracle;
-    *  - nanosAsLong so parquet TIMESTAMP(NANOS) (events.ts) reads as
-    *    LongType epoch-ns instead of erroring (Spark 4 has no ns
-    *    timestamps);
+    *  - nanosAsLong so parquet TIMESTAMP(NANOS) reads as LongType
+    *    epoch-ns instead of erroring (Spark 4 has no ns timestamps);
+    *    with UTC this lets queries.Tables expose events.ts as BIGINT
+    *    ns for either physical type the driver has shipped;
     *  - AQE on: runtime shuffle coalescing + skew-join splitting —
     *    the 100 TB posture, harmless locally.
     */

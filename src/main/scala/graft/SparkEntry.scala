@@ -4,13 +4,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
-  * NOTE: sessions used with these queries must set
-  * `spark.sql.legacy.parquet.nanosAsLong=true` (the testdata's
-  * events.ts is parquet TIMESTAMP(NANOS), which Spark 4 otherwise
-  * refuses; with the flag it arrives as LongType epoch-ns — the
-  * engine's native time representation, reference `main.py:100-102`).
-  * Verify/Bench/tests all do; `Sessions.tune` applies it to any other
-  * session.
+  * NOTE: sessions used with these queries should come from
+  * `graft.Sessions` (UTC + `nanosAsLong=true`): events.ts is exposed
+  * to every query as LongType epoch-ns — the engine's native time
+  * representation, reference `main.py:100-102` — by
+  * [[graft.queries.Tables.load]], which adapts whichever physical
+  * type the testdata ships (TIMESTAMP(NANOS) needs the nanosAsLong
+  * flag; timestamp[us] NTZ needs the UTC session zone).
   */
 object SparkEntry {
 

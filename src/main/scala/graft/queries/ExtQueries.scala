@@ -21,7 +21,7 @@ import graft.operators.{Bm25, Dedup, LangModel, Multimodal, Packing, Sampling, S
 object ExtQueries {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    Tables.load(s, dir, name)
 
   // ---------------------------------------------------------------
   // q21 — exact dedup (hash groupBy on content key)

@@ -16,7 +16,7 @@ import graft.operators.{Audit, Funnel, LangModel, Resample, Sampling, Upsert, ZO
 object ExtQueries2 {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    Tables.load(s, dir, name)
 
   // ---------------------------------------------------------------
   // q73 — ordered funnel (view → click → purchase): per user, the

@@ -16,7 +16,7 @@ import graft.operators.{Graph, Intervals, PhraseSearch, Sampling, Skyline}
 object ExtQueries3 {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    Tables.load(s, dir, name)
 
   // ---------------------------------------------------------------
   // q106 — per-node triangle counts over the part co-purchase graph

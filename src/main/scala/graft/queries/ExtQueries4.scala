@@ -22,7 +22,7 @@ import graft.operators.{ChangeCapture, Graph, Rolling}
 object ExtQueries4 {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    Tables.load(s, dir, name)
 
   // ---------------------------------------------------------------
   // q125 — community seeds by bounded min-label propagation over the

@@ -19,15 +19,16 @@ import graft.operators.AsOfJoin
   *     values. Per-row double arithmetic (x*y, 1-x) is IEEE-identical
   *     across engines and needs no such care.
   *
-  * `events.ts` note: the testdata stores timestamp[ns]; the engine
-  * reads it with spark.sql.legacy.parquet.nanosAsLong=true, i.e. as
-  * LongType epoch-nanoseconds (the reference's native time
-  * representation, `main.py:100-102`); the oracle uses epoch_ns(ts).
+  * `events.ts` note: [[Tables.load]] exposes it as BIGINT epoch-ns
+  * (the reference's native time representation, `main.py:100-102`)
+  * whatever the parquet physical type — TIMESTAMP(NANOS) or
+  * timestamp[us] NTZ; the oracle uses epoch_ns(ts)/epoch_us(ts),
+  * which DuckDB resolves for any precision.
   */
 object Queries {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    Tables.load(s, dir, name)
 
   /** Exact decimal sum of a double expression, returned as double.
     * sum(CAST(e AS DECIMAL(30,8))) is order-independent; one final
