@@ -16,7 +16,7 @@ object Graph {
     * the optimizer's free size estimate of the input edge frame
     * (`optimizedPlan.stats` — no job runs). Every multiply-consumed
     * prep frame (canonical edges, degrees, node set, adjacency) is
-    * routed through the returned function:
+    * routed through `pin`:
     *
     *  - **small input** (≤ `spark.graft.graph.smallGraphBytes`,
     *    default 128 MiB): `cache()` — lazy, ZERO barrier jobs; the
@@ -25,24 +25,87 @@ object Graph {
     *    eager-checkpoint alternative costs 4-6 sequential scheduled
     *    jobs of pure fixed overhead before the algorithm proper runs
     *    (measured: q121 3.4x the oracle at sf0.1, entirely scheduling).
+    *    TRADE-OFF (measured, r8→r9): cached frames are STATS-BLIND —
+    *    `InMemoryRelation` reports no usable size to the planner, so
+    *    joins that would broadcast under an eager checkpoint silently
+    *    fall back to sort-merge (q106 3.96 s → 12.98 s). The small
+    *    path therefore NEVER relies on the planner for join sides:
+    *    every |V|-bounded frame is broadcast EXPLICITLY via `bcast`,
+    *    whose hint is gated on sizes this module computes itself.
     *  - **large input**: `localCheckpoint(eager = true)` — the 100 TB
     *    posture: cuts Catalyst lineage so supersteps never replay prep,
     *    and hands AQE TRUE sizes so |V|-sized frames broadcast instead
-    *    of stats-blind sort-merge.
+    *    of stats-blind sort-merge. `bcast` is the identity here: at
+    *    this scale a blind hint could OOM the executors, and AQE's
+    *    runtime sizes make the right call without help.
     *
     * Loop STATE checkpoints are unaffected (they stay lazy/eager per
-    * the minLabelPropagate/bfsHops notes). */
-  private def pinner(edges: DataFrame): DataFrame => DataFrame = {
-    val gate = edges.sparkSession.conf
-      .getOption("spark.graft.graph.smallGraphBytes")
-      .map(_.toLong).getOrElse(128L * 1024 * 1024)
-    val small =
-      edges.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(gate)
-    if (small) df => df.cache() else df => df.localCheckpoint(eager = true)
+    * the minLabelPropagate/bfsHops notes).
+    *
+    * Lifecycle: `cache()` pins live until the session drops them —
+    * long-lived sessions should call `spark.catalog.clearCache()`
+    * between unrelated workloads (the Bench/Verify harnesses do, via
+    * `Sessions.release`); the checkpoint path's blocks are reaped by
+    * the ContextCleaner when the frames go out of scope. */
+  private final case class Pinned(
+      small: Boolean,
+      pin: DataFrame => DataFrame,
+      bcast: DataFrame => DataFrame)
+
+  private def confLong(df: DataFrame, key: String, default: Long): Long =
+    df.sparkSession.conf.getOption(key) match {
+      case Some(v) =>
+        try v.trim.toLong catch {
+          case e: NumberFormatException => throw new IllegalArgumentException(
+            s"$key must be a long, got '$v'", e)
+        }
+      case None => default
+    }
+
+  private def smallGraphBytes(df: DataFrame): Long =
+    confLong(df, "spark.graft.graph.smallGraphBytes", 128L * 1024 * 1024)
+
+  private def mkPinned(small: Boolean): Pinned =
+    if (small) Pinned(small = true, _.cache(), df => broadcast(df))
+    else Pinned(small = false, _.localCheckpoint(eager = true), identity)
+
+  private def pinner(edges: DataFrame): Pinned = mkPinned(
+    edges.queryExecution.optimizedPlan.stats.sizeInBytes <=
+      BigInt(smallGraphBytes(edges)))
+
+  /** Prep for the ITERATIVE algorithms: eagerly checkpoint the
+    * superstep-reused edge frame (every loop replays it, on both
+    * paths — this job is unavoidable), then decide the small/large
+    * policy for the REMAINING prep frames from its TRUE row count.
+    * The optimizer estimate `pinner` uses is useless here: iterative
+    * callers typically derive edges from a join (q121: orders ⋈
+    * lineitem), whose Catalyst size estimate is a row-product blowup
+    * that forced every such graph onto the eager-checkpoint path — 4+
+    * sequential barrier jobs of pure scheduling on graphs that fit in
+    * one broadcast (q121 3.2x oracle through r9). The count after the
+    * checkpoint is a ~50 ms scan of pinned blocks. */
+  private def pinnedEdges(eRaw: DataFrame): (DataFrame, Pinned) = {
+    val gate = smallGraphBytes(eRaw)
+    val e = eRaw.localCheckpoint(eager = true)
+    // an edge row is two-to-three longs: ~32 B as an UnsafeRow
+    val small = e.count() * 32L <= gate
+    (e, mkPinned(small))
   }
 
+  /** Floor (in `maxAdjDegree` units) at or above which the FUSED
+    * adjacency build runs: one node-keyed shuffle whose `collect_set`
+    * both dedups raw edges and assembles the sorted neighbor arrays.
+    * A caller passing a LOWER cap is declaring hub risk — neighbor
+    * arrays that must never be assembled at all — and gets the
+    * conservative two-pass structure (scalar degree pass first, arrays
+    * only once proven bounded). Conf override
+    * `spark.graft.graph.fusedAdjFloor` exists so tests can force
+    * either prep onto any fixture. */
+  private def fusedAdjFloor(df: DataFrame): Long =
+    confLong(df, "spark.graft.graph.fusedAdjFloor", 1000000L)
+
   /** Per-node triangle counts. Two strategies behind one contract,
-    * auto-selected on the graph's MAX DEGREE (one scalar aggregate):
+    * auto-selected on the graph's MAX DEGREE:
     *
     *  - **Adjacency intersection** (default path): build each node's
     *    sorted neighbor array once, join the two endpoint arrays onto
@@ -67,63 +130,146 @@ object Graph {
     *    The orientation is precisely what removes the hub skew that
     *    disqualified the adjacency path.
     *
+    * PREP STRUCTURE is likewise degree-capped, via `maxAdjDegree`
+    * against `fusedAdjFloor`:
+    *
+    *  - **Fused** (default): dedup + degree + adjacency in ONE
+    *    node-keyed shuffle (`collect_set` dedups while assembling the
+    *    sorted arrays; deg = cardinality; the canonical distinct edge
+    *    list re-derives by exploding the pinned adjacency, narrow).
+    *    This removed two full shuffles vs the two-pass prep and took
+    *    q106 from 3.8 s to ~2.3 s at sf0.1. Per-group aggregate
+    *    memory is bounded by the TRUE max degree (8 B/neighbor + set
+    *    overhead) — fine up to ~10⁷-degree hubs per task.
+    *  - **Conservative** (`maxAdjDegree` < `fusedAdjFloor`): a graph
+    *    whose hubs exceed task memory must never assemble their
+    *    arrays, so degrees are counted first from the distinct edge
+    *    list (scalar aggregate — hub-safe at any skew) and arrays are
+    *    built only if maxDeg proves bounded; else the wedge path runs
+    *    off the scalar degree table alone.
+    *
     * Input edges are undirected; both orientations, self-loops and
     * duplicates are tolerated (canonicalized away). Output: one row
     * per node incident to ≥ 1 edge — (node, deg, triangles), integer
-    * exact, identical from both paths (gated by GraphSpec). */
+    * exact, identical from all paths (gated by GraphSpec). */
   def triangleCounts(
       edges: DataFrame,
       srcCol: String,
       dstCol: String,
       maxAdjDegree: Long = 1000000L,
       broadcastEdgeLimit: Long = 5000000L): DataFrame = {
-    // canon and deg each feed several consumers: pin (size-gated — see
-    // [[pinner]]) so none replays the upstream distinct; on the large
-    // path the checkpoint also hands AQE TRUE sizes so the |V|-sized
-    // degree/adjacency tables broadcast instead of the stats-blind
-    // sort-merge.
-    val pin = pinner(edges)
-    val canon = pin(edges.select(
+    val p = pinner(edges)
+    val canon0 = edges.select(
         least(col(srcCol), col(dstCol)).cast(LongType).as("a"),
         greatest(col(srcCol), col(dstCol)).cast(LongType).as("b"))
       .where(col("a") =!= col("b"))
-      .distinct())
+    if (maxAdjDegree >= fusedAdjFloor(edges))
+      fusedTriangles(canon0, p, maxAdjDegree, broadcastEdgeLimit)
+    else conservativeTriangles(canon0, p, maxAdjDegree, broadcastEdgeLimit)
+  }
+
+  /** Fused prep: one shuffle builds the dedup'd sorted adjacency;
+    * everything else (degree, canonical edges, stats) derives from it
+    * without touching the raw edges again. `canon0` is the canonical
+    * a<b projection, NOT deduplicated. */
+  private def fusedTriangles(
+      canon0: DataFrame,
+      p: Pinned,
+      maxAdjDegree: Long,
+      broadcastEdgeLimit: Long): DataFrame = {
+    val adj = p.pin(canon0.select(col("a").as("node"), col("b").as("nbr"))
+      .union(canon0.select(col("b").as("node"), col("a").as("nbr")))
+      .groupBy("node")
+      .agg(sort_array(collect_set(col("nbr"))).as("nbrs")))
+    val statsRow = adj.agg(max(size(col("nbrs"))), count(lit(1)),
+      sum(size(col("nbrs")))).head()
+    val maxDeg = if (statsRow.isNullAt(0)) 0L else statsRow.getInt(0).toLong
+    val nNodes = statsRow.getLong(1)
+    val sumDeg = if (statsRow.isNullAt(2)) 0L else statsRow.getLong(2)
+    val deg = adj.select(col("node"), size(col("nbrs")).cast(LongType).as("deg"))
+    // every edge sits in BOTH endpoints' neighbor lists; the a<b
+    // filter keeps exactly one copy → canonical DISTINCT edges, narrow
+    // off the pinned adjacency
+    val canon = adj.select(col("node").as("a"), explode(col("nbrs")).as("b"))
+      .where(col("a") < col("b"))
+    val perNode =
+      if (maxDeg <= maxAdjDegree)
+        // TRUE adjacency payload: Σdeg neighbor longs + per-row
+        // overhead (the r8 gate used the |V|·maxDeg·8 WORST case,
+        // which overstates by the full degree skew and blocked this
+        // broadcast on exactly the graphs — co-purchase, sf0.1 —
+        // where it matters; with the cache path stats-blind that
+        // meant two sort-merge joins of the edge list, q106 9.4x
+        // oracle). When it fits (≤ 32 MB) the two edge⋈adjacency
+        // joins run map-side and the edge list never shuffles.
+        adjacencyIntersect(canon, adj,
+          broadcastAdj = sumDeg * 8L + nNodes * 48L <= 32L * 1024 * 1024)
+      else wedgeTriangles(canon, deg, p.pin,
+        nEdges = sumDeg / 2, broadcastEdgeLimit)
+    finishTriangles(p, deg, nNodes, perNode)
+  }
+
+  /** Conservative two-pass prep (hub-declared graphs): scalar degree
+    * pass first; neighbor arrays only if maxDeg proves ≤ the cap. */
+  private def conservativeTriangles(
+      canon0: DataFrame,
+      p: Pinned,
+      maxAdjDegree: Long,
+      broadcastEdgeLimit: Long): DataFrame = {
+    val pin = p.pin
+    val canon = pin(canon0.distinct())
     val deg = pin(canon.select(col("a").as("node"))
       .union(canon.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg")))
-    val statsRow = deg.agg(max(col("deg")), count(lit(1))).head()
+    val statsRow =
+      deg.agg(max(col("deg")), count(lit(1)), sum(col("deg"))).head()
     val maxDeg = if (statsRow.isNullAt(0)) 0L else statsRow.getLong(0)
     val nNodes = statsRow.getLong(1)
+    val sumDeg = if (statsRow.isNullAt(2)) 0L else statsRow.getLong(2)
     val perNode =
-      if (maxDeg <= maxAdjDegree)
-        // worst-case adjacency bytes ≈ |V|·maxDeg·8: when that fits a
-        // broadcast (≤ 32 MB) the two edge⋈adjacency joins run
-        // map-side and the edge list never shuffles at all
-        adjacencyTriangles(canon, pin,
-          broadcastAdj = nNodes * maxDeg * 8L <= 32L * 1024 * 1024)
-      else wedgeTriangles(canon, deg, pin, broadcastEdgeLimit)
-    deg.join(perNode, Seq("node"), "left")
+      if (maxDeg <= maxAdjDegree) {
+        // collect_list (not _set): canon is distinct, so neighbor
+        // lists are duplicate-free by construction — and the kernel
+        // needs them SORTED, which sort_array pins
+        val adj = pin(canon.select(col("a").as("node"), col("b").as("nbr"))
+          .union(canon.select(col("b").as("node"), col("a").as("nbr")))
+          .groupBy("node")
+          .agg(sort_array(collect_list(col("nbr"))).as("nbrs")))
+        adjacencyIntersect(canon, adj,
+          broadcastAdj = sumDeg * 8L + nNodes * 48L <= 32L * 1024 * 1024)
+      } else wedgeTriangles(canon, deg, pin,
+        nEdges = sumDeg / 2, broadcastEdgeLimit)
+    finishTriangles(p, deg, nNodes, perNode)
+  }
+
+  /** Final enrich shared by both preps: perNode is ≤ |V| rows of
+    * (node, tri) — broadcast it explicitly on the small path (cache
+    * leaves the planner stats-blind; see [[pinner]]); 48 B/row
+    * hash-map footprint bound. */
+  private def finishTriangles(
+      p: Pinned,
+      deg: DataFrame,
+      nNodes: Long,
+      perNode: DataFrame): DataFrame = {
+    val perNodeSide =
+      if (p.small && nNodes * 48L <= 32L * 1024 * 1024) broadcast(perNode)
+      else perNode
+    deg.join(perNodeSide, Seq("node"), "left")
       .select(col("node"), col("deg"),
         coalesce(col("tri"), lit(0L)).as("triangles"))
   }
 
-  /** Adjacency-intersection path: (node, tri) for nodes with ≥ 1
-    * triangle. `canon` must be canonical a<b, distinct, pinned. */
-  private def adjacencyTriangles(
+  /** Adjacency-intersection join phase: (node, tri) for nodes with
+    * ≥ 1 triangle. `canon` must be canonical a<b distinct edges; `adj`
+    * the pinned (node, sorted nbrs) table. */
+  private def adjacencyIntersect(
       canon: DataFrame,
-      pin: DataFrame => DataFrame,
+      adj: DataFrame,
       broadcastAdj: Boolean): DataFrame = {
-    // collect_list (not _set): canon is distinct, so neighbor lists
-    // are duplicate-free by construction — and the kernel needs them
-    // SORTED, which sort_array pins
-    val adj0 = pin(canon.select(col("a").as("node"), col("b").as("nbr"))
-      .union(canon.select(col("b").as("node"), col("a").as("nbr")))
-      .groupBy("node")
-      .agg(sort_array(collect_list(col("nbr"))).as("nbrs")))
-    val adj = if (broadcastAdj) broadcast(adj0) else adj0
+    val adjSide = if (broadcastAdj) broadcast(adj) else adj
     val withCounts = canon
-      .join(adj.select(col("node").as("a"), col("nbrs").as("na")), Seq("a"))
-      .join(adj.select(col("node").as("b"), col("nbrs").as("nb")), Seq("b"))
+      .join(adjSide.select(col("node").as("a"), col("nbrs").as("na")), Seq("a"))
+      .join(adjSide.select(col("node").as("b"), col("nbrs").as("nb")), Seq("b"))
       .select(col("a"), col("b"),
         graft.functions.SortedIntersectCountLong(col("na"), col("nb"))
           .cast(LongType).as("c"))
@@ -147,6 +293,7 @@ object Graph {
       canon: DataFrame,
       deg: DataFrame,
       pin: DataFrame => DataFrame,
+      nEdges: Long,
       broadcastEdgeLimit: Long): DataFrame = {
     // orient by (deg, node): u→v iff (deg_u, u) <lex (deg_v, v)
     val withDeg = canon
@@ -162,7 +309,7 @@ object Graph {
     val e2 = oriented.select(col("u"), col("v").as("w"), col("dv").as("dw"))
     val closure = oriented.select(col("u").as("v"), col("v").as("w"))
     val (wedgeRight, closeRight) =
-      if (canon.count() <= broadcastEdgeLimit)
+      if (nEdges <= broadcastEdgeLimit)
         (broadcast(e2), broadcast(closure))
       else (e2, closure)
     val wedges = e1.join(wedgeRight, Seq("u"))
@@ -193,11 +340,12 @@ object Graph {
       maxHops: Int): DataFrame = {
     require(maxHops >= 1 && maxHops <= 64,
       s"bfsHops: maxHops in [1, 64], got $maxHops")
-    val e = edges.select(col(srcCol).cast(LongType).as("src"),
-        col(dstCol).cast(LongType).as("dst"))
-      .where(col("src") =!= col("dst"))
-      .distinct()
-      .localCheckpoint(eager = true) // probed every superstep
+    // reused (probed) every superstep → checkpointed by [[pinnedEdges]]
+    val (e, p) = pinnedEdges(
+      edges.select(col(srcCol).cast(LongType).as("src"),
+          col(dstCol).cast(LongType).as("dst"))
+        .where(col("src") =!= col("dst"))
+        .distinct())
     val spark = edges.sparkSession
     import spark.implicits._
     var visited = Seq((source, 0L)).toDF("node", "hops")
@@ -207,9 +355,13 @@ object Graph {
     var drained = false
     while (hop < maxHops && !drained) {
       hop += 1
-      val next = frontier.join(e, col("node") === col("src"))
+      // small path: frontier and visited are |V|-bounded — broadcast
+      // both sides explicitly (cache leaves the planner stats-blind,
+      // see [[pinner]]); the frontier⋈e join then streams the pinned
+      // edge list map-side and the anti-join never shuffles `next`
+      val next = p.bcast(frontier).join(e, col("node") === col("src"))
         .select(col("dst").as("node")).distinct()
-        .join(visited.select(col("node").as("vn")),
+        .join(p.bcast(visited.select(col("node").as("vn"))),
           col("node") === col("vn"), "left_anti")
         .localCheckpoint(eager = true)
       if (next.isEmpty) { drained = true }
@@ -249,18 +401,22 @@ object Graph {
       iters: Int): DataFrame = {
     require(iters >= 1 && iters <= 32,
       s"minLabelPropagate: iters in [1, 32], got $iters")
-    val e = edges.select(col(srcCol).cast(LongType).as("src"),
-        col(dstCol).cast(LongType).as("dst"))
-      .where(col("src") =!= col("dst"))
-      .distinct()
-      .localCheckpoint(eager = true) // reused every round
-    val nodes = e.select(col("src").as("node"))
+    // reused every round → checkpointed by [[pinnedEdges]]
+    val (e, p) = pinnedEdges(
+      edges.select(col(srcCol).cast(LongType).as("src"),
+          col(dstCol).cast(LongType).as("dst"))
+        .where(col("src") =!= col("dst"))
+        .distinct())
+    val nodes = p.pin(e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
-      .distinct()
-      .localCheckpoint(eager = true)
+      .distinct())
     var l = nodes.withColumn("label", col("node"))
     for (_ <- 1 to iters) {
-      val m = e.join(l, col("src") === col("node"))
+      // small path: the label state is |V| rows — broadcast it into
+      // the superstep join so the pinned edge list streams map-side
+      // (cache is stats-blind; see [[pinner]]), and broadcast the
+      // per-round min table back onto the node set likewise
+      val m = e.join(p.bcast(l), col("src") === col("node"))
         .groupBy(col("dst").as("node"))
         .agg(min(col("label")).as("ml"))
       // l is node-complete every round, so the left join alone keeps
@@ -271,7 +427,7 @@ object Graph {
       // nothing — lazy still truncates the Catalyst lineage while the
       // whole fixed-point executes as ONE multi-stage job. Loops that
       // PROBE per round (bfsHops' isEmpty) must stay eager.
-      l = l.join(m, Seq("node"), "left")
+      l = l.join(p.bcast(m), Seq("node"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("ml"), col("label"))).as("label"))
         .localCheckpoint(eager = false)
@@ -317,40 +473,44 @@ object Graph {
       s"pageRankInt: iters in [1, 32], got $iters")
     require(massScale >= 1000000L,
       s"pageRankInt: massScale >= 1e6, got $massScale")
-    val e = edges.select(col(srcCol).cast(LongType).as("src"),
-        col(dstCol).cast(LongType).as("dst"))
-      .distinct()
-      .localCheckpoint(eager = true) // reused every superstep
-    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-      .localCheckpoint(eager = true)
+    // reused every superstep → checkpointed by [[pinnedEdges]]
+    val (e, p) = pinnedEdges(
+      edges.select(col(srcCol).cast(LongType).as("src"),
+          col(dstCol).cast(LongType).as("dst"))
+        .distinct())
+    val deg = p.pin(e.groupBy("src").agg(count(lit(1)).as("deg")))
     // out-degree hoisted ONTO the edge list once, outside the loop:
     // r div deg is constant per src, so computing it edge-side after a
     // single (src, dst, deg) pre-join is value-identical to the
     // node-side contribution join — and drops one shuffle join from
     // every superstep
-    val eDeg = e.join(deg, Seq("src")).localCheckpoint(eager = true)
-    val nodes = e.select(col("src").as("node"))
+    val eDeg = p.pin(e.join(deg, Seq("src")))
+    val nodes = p.pin(e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
-      .distinct()
-      .localCheckpoint(eager = true)
+      .distinct())
     val n = nodes.count()
     require(n > 0, "pageRankInt: no edges")
     val init = massScale / n              // R div N
     val base = (15L * init) / 100L        // teleport term, positive → truncation ≡ floor
     var r = nodes.withColumn("r", lit(init))
     for (_ <- 1 to iters) {
-      val sums = eDeg.join(r, col("src") === col("node"))
+      // small path: the rank state is |V| rows — broadcast it into the
+      // superstep join (the pinned eDeg streams map-side) and the
+      // contribution sums back onto the node set; cache is
+      // stats-blind, so these hints are what keep the supersteps
+      // shuffle-light (see [[pinner]])
+      val sums = eDeg.join(p.bcast(r), col("src") === col("node"))
         .groupBy(col("dst").as("node"))
         .agg(sum(expr("r div deg")).as("s"))
       // lazy: pure plan-construction loop, one materialization at the
       // caller — see minLabelPropagate's note
-      r = nodes.join(sums, Seq("node"), "left")
+      r = nodes.join(p.bcast(sums), Seq("node"), "left")
         .select(col("node"),
           (lit(base) +
             expr("(85 * coalesce(s, CAST(0 AS BIGINT))) div 100")).as("r"))
         .localCheckpoint(eager = false)
     }
-    r.join(deg, col("node") === col("src"), "left")
+    r.join(p.bcast(deg), col("node") === col("src"), "left")
       .select(col("node"),
         coalesce(col("deg"), lit(0L)).as("deg"), col("r"))
   }
@@ -380,42 +540,52 @@ object Graph {
       "personalizedPageRankInt: duplicate sources")
     require(massScale >= 1000000L,
       s"personalizedPageRankInt: massScale >= 1e6, got $massScale")
-    val e = edges.select(col(srcCol).cast(LongType).as("src"),
-        col(dstCol).cast(LongType).as("dst"))
-      .distinct()
-      .localCheckpoint(eager = true) // reused every superstep
-    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-      .localCheckpoint(eager = true)
+    // reused every superstep → checkpointed by [[pinnedEdges]]
+    val (e, p) = pinnedEdges(
+      edges.select(col(srcCol).cast(LongType).as("src"),
+          col(dstCol).cast(LongType).as("dst"))
+        .distinct())
+    val deg = p.pin(e.groupBy("src").agg(count(lit(1)).as("deg")))
     // same deg-hoist as [[pageRankInt]]: one (src, dst, deg) pre-join
     // replaces the per-superstep rank⋈deg contribution join
-    val eDeg = e.join(deg, Seq("src")).localCheckpoint(eager = true)
-    val nodes = e.select(col("src").as("node"))
+    val eDeg = p.pin(e.join(deg, Seq("src")))
+    val nodes = p.pin(e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .union(edges.sparkSession.createDataFrame(
         edges.sparkSession.sparkContext
           .parallelize(sources.map(org.apache.spark.sql.Row(_)), 1),
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("node", LongType, false)))))
-      .distinct()
-      .localCheckpoint(eager = true)
+      .distinct())
     val init = massScale / sources.size
     val base = (15L * init) / 100L
     val isSource = col("node").isin(sources: _*)
+    // initial state derives from pinned `nodes` by a narrow projection
+    // — no separate pin needed (the r8 eager checkpoint here was one
+    // more barrier job of pure overhead on small graphs)
     var r = nodes.withColumn("r",
       when(isSource, lit(init)).otherwise(lit(0L)))
-      .localCheckpoint(eager = true)
     for (_ <- 1 to iters) {
-      val sums = eDeg.join(r, col("src") === col("node"))
+      // small path: broadcast the rank state / sums — cache is
+      // stats-blind, see [[pinner]] and the pageRankInt note.
+      // r > 0 prune: a zero-rank node contributes r div deg = 0, and
+      // a dst all of whose in-neighbors are pruned gets s = NULL →
+      // coalesce 0 — value-identical, so the contribution join only
+      // touches the REACHED ball around the sources (3 seeds × k
+      // hops), not all |V| nodes; personalization is exactly the
+      // workload where most ranks stay 0 for the early supersteps
+      val sums = eDeg.join(p.bcast(r.where(col("r") > 0)),
+          col("src") === col("node"))
         .groupBy(col("dst").as("node"))
         .agg(sum(expr("r div deg")).as("s"))
       // lazy: pure plan-construction loop — see minLabelPropagate
-      r = nodes.join(sums, Seq("node"), "left")
+      r = nodes.join(p.bcast(sums), Seq("node"), "left")
         .select(col("node"),
           (when(isSource, lit(base)).otherwise(lit(0L)) +
             expr("(85 * coalesce(s, CAST(0 AS BIGINT))) div 100")).as("r"))
         .localCheckpoint(eager = false)
     }
-    r.join(deg, col("node") === col("src"), "left")
+    r.join(p.bcast(deg), col("node") === col("src"), "left")
       .select(col("node"),
         coalesce(col("deg"), lit(0L)).as("deg"), col("r"))
   }

@@ -520,13 +520,15 @@ object ExtQueries3 {
   // recommendation-expansion primitive. Same integer-superstep
   // exactness as q101 (teleport mass restricted to the seeds).
   def q121(s: SparkSession, dir: String): DataFrame = {
+    // NO query-side distinct: personalizedPageRankInt canonicalizes
+    // (distincts) its edge input anyway — a distinct here would pay
+    // the 2.3M-row shuffle twice for nothing
     val e0 = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
       .join(t(s, dir, "lineitem")
         .select(col("l_orderkey").as("o_orderkey"), col("l_suppkey")),
         Seq("o_orderkey"))
       .select(col("o_custkey").as("src"),
         (col("l_suppkey") + lit(1000000000L)).as("dst"))
-      .distinct()
     val sym = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
     graft.operators.Graph.personalizedPageRankInt(sym, "src", "dst",
         sources = Seq(0L, 7L, 42L), iters = 3)

@@ -33,7 +33,12 @@ object Tables {
   /** Rewrites a `ts` column to BIGINT epoch-ns whatever its physical
     * type. NTZ wall time is interpreted as UTC — the sessions pin
     * `spark.sql.session.timeZone=UTC` (graft.Sessions), making the
-    * NTZ→instant cast value-preserving. */
+    * NTZ→instant cast value-preserving.
+    *
+    * An unrecognized `ts` type FAILS FAST: every downstream query
+    * hard-codes ns arithmetic, so silently passing through (say) an
+    * INT96 or string column would produce wrong results instead of an
+    * error the next time the driver flips the physical format. */
   def withTsAsEpochNs(df: DataFrame): DataFrame =
     df.schema.fields.find(_.name == "ts").map(_.dataType) match {
       case Some(LongType)         => df // TIMESTAMP(NANOS) via nanosAsLong
@@ -41,7 +46,12 @@ object Tables {
         df.withColumn("ts", microsToNs(unix_micros(col("ts").cast(TimestampType))))
       case Some(TimestampType)    =>
         df.withColumn("ts", microsToNs(unix_micros(col("ts"))))
-      case _                      => df
+      case Some(other)            =>
+        throw new IllegalStateException(
+          s"events.ts has unsupported physical type $other — extend " +
+            "Tables.withTsAsEpochNs for the new format (queries assume " +
+            "BIGINT epoch-ns)")
+      case None                   => df // no ts column: nothing to adapt
     }
 
   private def microsToNs(us: Column): Column = us * lit(1000L)

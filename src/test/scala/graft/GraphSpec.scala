@@ -114,6 +114,79 @@ class GraphSpec extends SparkSpec {
     assert(adjPath.nonEmpty)
   }
 
+  test("triangleCounts: conservative two-pass prep and forced-fused wedge agree with the default") {
+    val rnd = new scala.util.Random(17)
+    val edges = (0 until 220).map(_ =>
+      (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+    val df = edges.toDF("src", "dst")
+    val fused = Graph.triangleCounts(df, "src", "dst")
+      .orderBy("node").collect().toSeq.map(_.toSeq)
+    // cap below the fused floor but above maxDeg → conservative prep,
+    // adjacency-intersection join phase
+    val conservative = Graph.triangleCounts(df, "src", "dst",
+        maxAdjDegree = 1000L)
+      .orderBy("node").collect().toSeq.map(_.toSeq)
+    assert(fused == conservative)
+    // floor forced to 0 with cap 0 → fused prep, wedge join phase
+    spark.conf.set("spark.graft.graph.fusedAdjFloor", "0")
+    try {
+      val fusedWedge = Graph.triangleCounts(df, "src", "dst",
+          maxAdjDegree = 0L)
+        .orderBy("node").collect().toSeq.map(_.toSeq)
+      assert(fused == fusedWedge)
+    } finally spark.conf.unset("spark.graft.graph.fusedAdjFloor")
+    assert(fused.nonEmpty)
+  }
+
+  test("triangleCounts small path plans broadcast joins only (stats-blind cache regression)") {
+    // the r8→r9 regression: cached prep left the planner stats-blind
+    // and the edge⋈adjacency joins silently fell back to sort-merge
+    // (q106 9.4x oracle). The small path must carry explicit
+    // broadcast hints instead — assert at the PLAN level.
+    val rnd = new scala.util.Random(23)
+    val edges = (0 until 400).map(_ =>
+      (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+    val df = Graph.triangleCounts(edges.toDF("src", "dst"), "src", "dst")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"), s"sort-merge join on the small path:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("triangleCounts and pageRankInt: forced checkpoint path (large-graph posture) matches") {
+    val rnd = new scala.util.Random(29)
+    val edges = (0 until 300).map(_ =>
+      (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+    val df = edges.toDF("src", "dst")
+    val triSmall = Graph.triangleCounts(df, "src", "dst")
+      .orderBy("node").collect().toSeq.map(_.toSeq)
+    val prSmall = Graph.pageRankInt(df.where(col("src") =!= col("dst")),
+        "src", "dst", 3)
+      .orderBy("node").collect().toSeq.map(_.toSeq)
+    // gate 0 bytes: every graph takes the eager-localCheckpoint path
+    spark.conf.set("spark.graft.graph.smallGraphBytes", "0")
+    try {
+      val triLarge = Graph.triangleCounts(df, "src", "dst")
+        .orderBy("node").collect().toSeq.map(_.toSeq)
+      val prLarge = Graph.pageRankInt(df.where(col("src") =!= col("dst")),
+          "src", "dst", 3)
+        .orderBy("node").collect().toSeq.map(_.toSeq)
+      assert(triLarge == triSmall)
+      assert(prLarge == prSmall)
+    } finally spark.conf.unset("spark.graft.graph.smallGraphBytes")
+    assert(triSmall.nonEmpty && prSmall.nonEmpty)
+  }
+
+  test("malformed smallGraphBytes conf fails with a clear message") {
+    spark.conf.set("spark.graft.graph.smallGraphBytes", "lots")
+    try {
+      val ex = intercept[IllegalArgumentException] {
+        Graph.triangleCounts(Seq((1L, 2L)).toDF("src", "dst"), "src", "dst")
+      }
+      assert(ex.getMessage.contains("spark.graft.graph.smallGraphBytes"))
+      assert(ex.getMessage.contains("lots"))
+    } finally spark.conf.unset("spark.graft.graph.smallGraphBytes")
+  }
+
   test("triangleCounts: triangle-free bipartite graph counts zero") {
     val edges = for (a <- 0L to 5L; b <- 10L to 14L) yield (a, b)
     val got = Graph.triangleCounts(edges.toDF("src", "dst"), "src", "dst")

@@ -137,6 +137,92 @@ class PlanAuditSpec extends SparkSpec {
       s"no join belongs here:\n$p")
   }
 
+  test("q131: basket pairs come from the grouped explode, not a corpus self-join") {
+    val p = plan("q131_copurchase_topk")
+    assert(p.contains("Generate"), s"pair generation should explode baskets:\n$p")
+    // the only shuffled join is the per-part totals attach; the pair
+    // table itself must never come from joining po with po
+    val joins = "(SortMergeJoin|ShuffledHashJoin)".r.findAllIn(p).length
+    assert(joins <= 1, s"baskets must not self-join:\n$p")
+  }
+
+  test("q132: transition matrix is the lead window + tiny normalize — no join") {
+    val p = plan("q132_transition_matrix")
+    assert(!p.contains("Join"), s"no join belongs here:\n$p")
+    val windows = "Window".r.findAllIn(p).length
+    assert(windows <= 2, s"lead + normalize only:\n$p")
+  }
+
+  test("q133: checksum is a pure aggregate — no window, no join, ≤2 exchanges") {
+    val p = plan("q133_integrity_checksum")
+    assert(!p.contains("Window") && !p.contains("Join"), s"plan:\n$p")
+    // one hash exchange for the groupBy + the presentation sort; the
+    // commutative rowhash sum must combine map-side, never collect
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 2, s"checksum should be one agg exchange:\n$p")
+  }
+
+  test("q135: linkage verifies with the threshold-BANDED levenshtein inside equi-joined blocks") {
+    val p = plan("q135_record_linkage")
+    // 3-arg form prints as levenshtein(a, b, Some(2)) — O(k·n) band,
+    // -1 past the bound; the full-DP 2-arg form would be the scale bug
+    assert("levenshtein\\([^)]*Some\\(2\\)".r.findFirstIn(p).isDefined,
+      s"banded levenshtein missing:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"blocking must ride the (nation, segment) equi key:\n$p")
+  }
+
+  test("q137: quantile bins ride group-partitioned windows — no join") {
+    val p = plan("q137_grouped_quantile_bins")
+    assert(!p.contains("Join"), s"no join belongs here:\n$p")
+    val windows = "Window".r.findAllIn(p).length
+    assert(windows <= 2, s"rank + group-count only:\n$p")
+  }
+
+  test("q138: FK audit is exactly three key-only joins, no window") {
+    val p = plan("q138_fk_audit")
+    assert(!p.contains("Window"), s"plan:\n$p")
+    val joins =
+      "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)".r.findAllIn(p).length
+    assert(joins == 3, s"expected the three FK joins, got $joins:\n$p")
+  }
+
+  // q139_streaming_enrich: the interesting plan is the STREAMING one
+  // (stream-static broadcast enrich), asserted in StreamingSpec; the
+  // registry frame is the post-run sink read, which the registry-wide
+  // cartesian sweep below still covers.
+
+  test("q140: running distinct is two group windows — no set-valued window state, no join") {
+    val p = plan("q140_running_distinct")
+    assert(!p.contains("Join"), s"no join belongs here:\n$p")
+    assert(!p.contains("collect_set"),
+      s"O(n) per-row set state in a window is the naive-translation trap:\n$p")
+    val windows = "Window".r.findAllIn(p).length
+    assert(windows <= 2, s"first-seen flag + cumsum only:\n$p")
+  }
+
+  test("q141: OHLC open/close share ONE (user,bucket) window — no join") {
+    val p = plan("q141_ohlc_bars")
+    assert(!p.contains("Join"), s"no join belongs here:\n$p")
+    val windows = "Window".r.findAllIn(p).length
+    assert(windows <= 1, s"first/last must share the window sort:\n$p")
+  }
+
+  test("q142: burst windows ride the AGGREGATED hourly series — no join") {
+    val p = plan("q142_burst_detection")
+    assert(!p.contains("Join"), s"no join belongs here:\n$p")
+    val windows = "Window".r.findAllIn(p).length
+    assert(windows <= 2, s"med2/mad4 share the rolling window:\n$p")
+  }
+
+  test("q143: gap audit is one lag window + one aggregate — no join") {
+    val p = plan("q143_coverage_gaps")
+    assert(!p.contains("Join"), s"no join belongs here:\n$p")
+    val windows = "Window".r.findAllIn(p).length
+    assert(windows <= 1, s"one lag window only:\n$p")
+  }
+
   test("q134: negative sampling plans NO global window — ranks from the prefix sum") {
     val p = plan("q134_negative_sampling")
     assert(!p.contains("Window"),
