@@ -173,6 +173,233 @@ object Multimodal {
         StructField("media", BinaryType, true))))
   }
 
+  // ------------------------------------------------------------------
+  // FLAC — REAL container walk + frame decode for the CONSTANT-subframe
+  // subset (public format, xiph.org spec / RFC 9639): "fLaC" magic,
+  // METADATA_BLOCK walk, STREAMINFO bit unpacking, per-frame header
+  // verification (sync, blocksize/sample-rate codes, UTF-8-coded frame
+  // number, CRC-8) and constant-subframe SAMPLE decode with the frame
+  // CRC-16 checked — i.e. actual PCM reconstruction, not just headers,
+  // for the subset a fixture can pin closed-form. LPC/fixed/verbatim
+  // subframes (rice-coded residuals) are out of scope and flag the
+  // blob invalid rather than guessing. Restricting to bps ∈ {8,16} and
+  // whole-byte layouts keeps every field byte-aligned, so the walk is
+  // plain index arithmetic — no bit reader in the hot loop.
+
+  private def isFlac(b: Array[Byte]): Boolean =
+    b.length > 42 && b(0) == 'f' && b(1) == 'L' && b(2) == 'a' && b(3) == 'C'
+
+  /** CRC-8, poly 0x07, init 0 — the FLAC frame-header checksum. */
+  private[graft] def flacCrc8(b: Array[Byte], from: Int, until: Int): Int = {
+    var crc = 0
+    var i = from
+    while (i < until) {
+      crc ^= b(i) & 0xff
+      var k = 0
+      while (k < 8) {
+        crc = if ((crc & 0x80) != 0) ((crc << 1) ^ 0x07) & 0xff
+          else (crc << 1) & 0xff
+        k += 1
+      }
+      i += 1
+    }
+    crc
+  }
+
+  /** CRC-16, poly 0x8005, init 0 — the FLAC whole-frame checksum. */
+  private[graft] def flacCrc16(b: Array[Byte], from: Int, until: Int): Int = {
+    var crc = 0
+    var i = from
+    while (i < until) {
+      crc ^= (b(i) & 0xff) << 8
+      var k = 0
+      while (k < 8) {
+        crc = if ((crc & 0x8000) != 0) ((crc << 1) ^ 0x8005) & 0xffff
+          else (crc << 1) & 0xffff
+        k += 1
+      }
+      i += 1
+    }
+    crc
+  }
+
+  /** Sample-rate header codes this module emits (subset of the spec
+    * table; parse rejects others as unsupported-not-invalid). */
+  private val FlacRates = Map(8 -> 32000, 9 -> 44100, 10 -> 48000)
+  private val FlacBlockSize = 4096 // header code 0b1100 = 256·2⁴
+
+  /** CBR-like FLAC stream of CONSTANT-subframe frames: every header
+    * field, CRC and sample value is real per spec — a conforming
+    * decoder reproduces exactly `nFrames·4096` samples per channel.
+    * `bps` ∈ {8,16}; `frame f`'s constant (all channels) is
+    * `((seed·31 + f·17) mod 200) − 100`. */
+  def encodeFlac(rateCode: Int, channels: Int, bps: Int, nFrames: Int,
+      seed: Long): Array[Byte] = {
+    require(FlacRates.contains(rateCode), s"rateCode $rateCode")
+    require(channels >= 1 && channels <= 8, s"channels $channels")
+    require(bps == 8 || bps == 16, s"bps $bps (byte-aligned subset)")
+    require(nFrames >= 1 && nFrames <= 127,
+      s"nFrames $nFrames (single-byte UTF-8 frame numbers)")
+    val rate = FlacRates(rateCode)
+    val vBytes = bps / 8
+    val frameLen = 6 + channels * (1 + vBytes) + 2
+    val total = nFrames.toLong * FlacBlockSize
+    val out = ByteBuffer.allocate(4 + 4 + 34 + frameLen * nFrames)
+      .order(ByteOrder.BIG_ENDIAN) // FLAC is big-endian throughout
+    out.put("fLaC".getBytes("ASCII"))
+    // METADATA_BLOCK_HEADER: last-block flag | type 0 (STREAMINFO), 24-bit length
+    out.put(0x80.toByte).put(0.toByte).put(0.toByte).put(34.toByte)
+    // STREAMINFO: min/max blocksize (16+16), min/max frame size (24+24)
+    out.putShort(FlacBlockSize.toShort).putShort(FlacBlockSize.toShort)
+    out.put((frameLen >> 16).toByte).put((frameLen >> 8).toByte).put(frameLen.toByte)
+    out.put((frameLen >> 16).toByte).put((frameLen >> 8).toByte).put(frameLen.toByte)
+    // rate(20) | channels-1(3) | bps-1(5) | totalSamples(36) = 8 bytes
+    out.putLong((rate.toLong << 44) | ((channels - 1).toLong << 41) |
+      ((bps - 1).toLong << 36) | total)
+    out.put(new Array[Byte](16)) // MD5 of unencoded audio: 0 = unknown
+    val bpsCode = if (bps == 8) 1 else 4
+    var f = 0
+    while (f < nFrames) {
+      val start = out.position()
+      out.put(0xff.toByte).put(0xf8.toByte) // sync(14) | reserved 0 | fixed blocksize
+      out.put(((12 << 4) | rateCode).toByte) // blocksize 4096 | sample rate
+      out.put((((channels - 1) << 4) | (bpsCode << 1)).toByte)
+      out.put(f.toByte) // UTF-8 frame number, single byte for 0..127
+      out.put(flacCrc8(out.array(), start, out.position()).toByte)
+      val v = (((seed * 31 + f * 17) % 200) - 100).toInt
+      var c = 0
+      while (c < channels) {
+        out.put(0x00.toByte) // subframe header: reserved 0 | CONSTANT | no wasted bits
+        if (bps == 8) out.put(v.toByte) else out.putShort(v.toShort)
+        c += 1
+      }
+      out.putShort(flacCrc16(out.array(), start, out.position()).toShort)
+      f += 1
+    }
+    out.array()
+  }
+
+  /** REAL decode of the constant-subframe FLAC subset. Verifies magic,
+    * metadata walk, STREAMINFO consistency, every frame's sync +
+    * header codes + CRC-8 + CRC-16, and reconstructs each channel's
+    * constant sample value. Returns
+    * (sampleRate, channels, bps, nFrames, totalSamples, valueSum)
+    * where valueSum = Σ_frames Σ_channels constant — an integer the
+    * oracle can replay closed-form. Any non-constant subframe, CRC
+    * mismatch, code inconsistency or trailing bytes ⇒ None. */
+  private[graft] def parseFlac(b: Array[Byte])
+      : Option[(Int, Int, Int, Int, Long, Long)] = {
+    if (!isFlac(b)) return None
+    var off = 4
+    // metadata block walk: STREAMINFO must come first (spec), later
+    // blocks (padding, vorbis comments...) are skipped
+    if (off + 4 > b.length || (b(off) & 0x7f) != 0) return None
+    var last = (b(off) & 0x80) != 0
+    var len = ((b(off + 1) & 0xff) << 16) | ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+    if (len != 34 || off + 4 + len > b.length) return None
+    val si = off + 4
+    val minBs = ((b(si) & 0xff) << 8) | (b(si + 1) & 0xff)
+    val maxBs = ((b(si + 2) & 0xff) << 8) | (b(si + 3) & 0xff)
+    val packed = ByteBuffer.wrap(b, si + 10, 8).order(ByteOrder.BIG_ENDIAN).getLong
+    val rate = (packed >>> 44).toInt
+    val channels = ((packed >>> 41) & 0x7).toInt + 1
+    val bps = ((packed >>> 36) & 0x1f).toInt + 1
+    val totalSamples = packed & 0xfffffffffL
+    off = si + len
+    while (!last) {
+      if (off + 4 > b.length) return None
+      last = (b(off) & 0x80) != 0
+      if ((b(off) & 0x7f) == 0) return None // duplicate STREAMINFO
+      len = ((b(off + 1) & 0xff) << 16) | ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+      off += 4 + len
+      if (off > b.length) return None
+    }
+    if (minBs != FlacBlockSize || maxBs != FlacBlockSize) return None
+    if (bps != 8 && bps != 16) return None
+    if (!FlacRates.values.exists(_ == rate)) return None
+    val vBytes = bps / 8
+    var nFrames = 0
+    var valueSum = 0L
+    while (off < b.length) {
+      val start = off
+      if (off + 6 > b.length) return None
+      // sync (14 bits) + reserved 0 + fixed-blocksize strategy
+      if ((b(off) & 0xff) != 0xff || (b(off + 1) & 0xff) != 0xf8) return None
+      val bsCode = (b(off + 2) & 0xff) >> 4
+      val srCode = b(off + 2) & 0x0f
+      if (bsCode != 12) return None // 0b1100 = 4096, the emitted subset
+      if (!FlacRates.get(srCode).contains(rate)) return None
+      val chAssign = (b(off + 3) & 0xff) >> 4
+      val bpsCode = (b(off + 3) & 0x0f) >> 1
+      if (chAssign != channels - 1) return None
+      if ((bpsCode == 1 && bps != 8) || (bpsCode == 4 && bps != 16)) return None
+      if (bpsCode != 1 && bpsCode != 4) return None
+      if ((b(off + 4) & 0x80) != 0) return None // single-byte UTF-8 number
+      if ((b(off + 4) & 0x7f) != nFrames) return None // coded frame index
+      if ((b(off + 5) & 0xff) != flacCrc8(b, start, off + 5)) return None
+      off += 6
+      var c = 0
+      while (c < channels) {
+        if (off + 1 + vBytes > b.length) return None
+        if ((b(off) & 0xff) != 0x00) return None // CONSTANT subframe only
+        val v =
+          if (bps == 8) b(off + 1).toInt // sign-extends
+          else (b(off + 1) << 8) | (b(off + 2) & 0xff)
+        valueSum += v
+        off += 1 + vBytes
+        c += 1
+      }
+      if (off + 2 > b.length) return None
+      val crc = ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+      if (crc != flacCrc16(b, start, off)) return None
+      off += 2
+      nFrames += 1
+    }
+    if (nFrames.toLong * FlacBlockSize != totalSamples) return None
+    Some((rate, channels, bps, nFrames, totalSamples, valueSum))
+  }
+
+  /** Deterministic FLAC fixture: rate/channels/bps/frame-count are
+    * closed-form in id, so the oracle replays the decode in SQL. */
+  def flacFixture(spark: SparkSession, n: Int): DataFrame = {
+    val rows = (0 until n).map { i =>
+      Row(i.toLong, encodeFlac(8 + i % 3, 1 + i % 2,
+        if (i % 4 < 2) 8 else 16, 3 + i % 7, i.toLong))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4),
+      StructType(Seq(
+        StructField("id", LongType, false),
+        StructField("media", BinaryType, true))))
+  }
+
+  /** Full constant-subset decode as a DataFrame op: one row per blob,
+    * integer-only outputs (the q93 playbook, plus actual sample
+    * values). Runs per-partition over the binary column — the batch
+    * shape a real codec plugs into, no shuffle. */
+  def decodeFlac(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("id", LongType, false),
+      StructField("sample_rate", IntegerType, true),
+      StructField("channels", IntegerType, true),
+      StructField("bps", IntegerType, true),
+      StructField("n_frames", IntegerType, true),
+      StructField("total_samples", LongType, true),
+      StructField("value_sum", LongType, true),
+      StructField("valid", BooleanType, false)))
+    val rows = df.select(col(idCol).cast(LongType), col(binCol)).rdd
+      .mapPartitions(_.map { r =>
+        parseFlac(r.getAs[Array[Byte]](1)) match {
+          case Some((rate, ch, bps, nf, total, sum)) =>
+            Row(r.getLong(0), rate, ch, bps, nf, total, sum, true)
+          case None =>
+            Row(r.getLong(0), null, null, null, null, null, null, false)
+        }
+      })
+    spark.createDataFrame(rows, outSchema)
+  }
+
   /** Header-only (width, height) of a PNG/JPEG — ImageReader probes
     * the stream metadata without decoding pixel data. */
   private def imageDims(bytes: Array[Byte]): Option[(Int, Int, String)] = {
@@ -230,6 +457,13 @@ object Multimodal {
       case Some((rate, kbps, nf)) =>
         Row("audio", "mp3", rate, kbps, nf, bytes.length, true)
       case None => Row("audio", "mp3", null, null, null, null, false)
+    }
+    else if (isFlac(bytes)) parseFlac(bytes) match {
+      // width = sample_rate, height = channels (like wav);
+      // nframes = FLAC frame count
+      case Some((rate, ch, _, nf, _, _)) =>
+        Row("audio", "flac", rate, ch, nf, bytes.length, true)
+      case None => Row("audio", "flac", null, null, null, null, false)
     }
     else if (isPng(bytes) || isJpeg(bytes)) imageDims(bytes) match {
       case Some((w, h, fmt)) if w > 0 && h > 0 && w.toLong * h <= Int.MaxValue =>

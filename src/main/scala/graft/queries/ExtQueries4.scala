@@ -873,6 +873,46 @@ object ExtQueries4 {
            AS uncovered_us
        FROM g GROUP BY 1 ORDER BY user_id"""
 
+  // ---------------------------------------------------------------
+  // q144 — REAL FLAC decode (constant-subframe subset): 48 streams
+  // whose rate/channels/bps/frame-count are closed-form in id are
+  // fully verified (magic, STREAMINFO bit unpacking, per-frame sync
+  // + header codes + CRC-8 + CRC-16) and their constant sample
+  // values RECONSTRUCTED — value_sum is actual decoded PCM content,
+  // not header metadata. The oracle replays the closed forms,
+  // including the per-frame constant Σ_f ((id·31 + f·17) mod 200 −
+  // 100) · channels, in SQL. All-integer outputs.
+  private val FlacN = 48
+
+  def q144(s: SparkSession, dir: String): DataFrame = {
+    val fx = graft.operators.Multimodal.flacFixture(s, FlacN)
+    graft.operators.Multimodal.decodeFlac(fx, "id", "media")
+      .select(col("id"), col("sample_rate"), col("channels"), col("bps"),
+        col("n_frames"), col("total_samples"), col("value_sum"),
+        expr("(total_samples * 1000) div CAST(sample_rate AS BIGINT)")
+          .as("dur_ms"),
+        col("valid"))
+      .orderBy("id")
+  }
+
+  val q144Sql: String =
+    s"""WITH base AS (SELECT r, r % 3 AS ri, 1 + r % 2 AS ch,
+           CASE WHEN r % 4 < 2 THEN 8 ELSE 16 END AS bps,
+           3 + r % 7 AS nf
+         FROM range(0, $FlacN) t(r))
+       SELECT r AS id,
+         CAST(CASE ri WHEN 0 THEN 32000 WHEN 1 THEN 44100
+              ELSE 48000 END AS INT) AS sample_rate,
+         CAST(ch AS INT) AS channels, CAST(bps AS INT) AS bps,
+         CAST(nf AS INT) AS n_frames,
+         CAST(nf * 4096 AS BIGINT) AS total_samples,
+         CAST(ch * list_sum([(r * 31 + f * 17) % 200 - 100
+           FOR f IN range(0, nf)]) AS BIGINT) AS value_sum,
+         CAST(nf * 4096 * 1000 // CASE ri WHEN 0 THEN 32000
+           WHEN 1 THEN 44100 ELSE 48000 END AS BIGINT) AS dur_ms,
+         true AS valid
+       FROM base ORDER BY id"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q125_label_propagation" -> (q125 _),
     "q126_pmi_cooccur" -> (q126 _),
@@ -892,7 +932,8 @@ object ExtQueries4 {
     "q140_running_distinct" -> (q140 _),
     "q141_ohlc_bars" -> (q141 _),
     "q142_burst_detection" -> (q142 _),
-    "q143_coverage_gaps" -> (q143 _))
+    "q143_coverage_gaps" -> (q143 _),
+    "q144_flac_decode" -> (q144 _))
 
   val oracles: Map[String, String] = Map(
     "q125_label_propagation" -> q125Sql,
@@ -913,5 +954,6 @@ object ExtQueries4 {
     "q140_running_distinct" -> q140Sql,
     "q141_ohlc_bars" -> q141Sql,
     "q142_burst_detection" -> q142Sql,
-    "q143_coverage_gaps" -> q143Sql)
+    "q143_coverage_gaps" -> q143Sql,
+    "q144_flac_decode" -> q144Sql)
 }

@@ -156,4 +156,52 @@ class MultimodalSpec extends SparkSpec {
     assert(meta(0).getAs[Int]("height") == 32)   // id 0: bitrate idx 1 → 32 kbps
     assert(meta(0).getAs[Int]("nframes") == 10)  // id 0: 10 + 0 % 30
   }
+
+  test("flac: constant-subframe decode — values reconstruct, every corruption rejects") {
+    import graft.operators.Multimodal
+    // closed-form reference for the fixture's frame constants
+    def refSum(seed: Long, nf: Int, ch: Int): Long =
+      (0 until nf).map(f => ((seed * 31 + f * 17) % 200) - 100).sum * ch
+    val good = Multimodal.encodeFlac(rateCode = 9, channels = 2, bps = 16,
+      nFrames = 5, seed = 3L)
+    val parsed = Multimodal.parseFlac(good)
+    assert(parsed.contains((44100, 2, 16, 5, 5L * 4096, refSum(3L, 5, 2))))
+    // 8-bit mono variant
+    val p8 = Multimodal.parseFlac(
+      Multimodal.encodeFlac(8, 1, 8, 3, seed = 7L))
+    assert(p8.contains((32000, 1, 8, 3, 3L * 4096, refSum(7L, 3, 1))))
+    // corruptions: each must reject, never mis-decode
+    def mut(i: Int, f: Byte => Byte): Array[Byte] = {
+      val c = good.clone(); c(i) = f(c(i)); c
+    }
+    assert(Multimodal.parseFlac(mut(0, _ => 'g')).isEmpty, "magic")
+    assert(Multimodal.parseFlac(mut(8, b => (b ^ 1).toByte)).isEmpty,
+      "STREAMINFO blocksize vs frame code")
+    val frame0 = 4 + 4 + 34
+    assert(Multimodal.parseFlac(mut(frame0 + 1, _ => 0xf9.toByte)).isEmpty,
+      "blocking-strategy bit")
+    assert(Multimodal.parseFlac(
+      mut(frame0 + 7, b => (b ^ 1).toByte)).isEmpty,
+      "flipped sample byte breaks the frame CRC-16")
+    assert(Multimodal.parseFlac(
+      mut(frame0 + 6, b => (b | 0x08).toByte)).isEmpty,
+      "non-constant subframe type")
+    assert(Multimodal.parseFlac(good.dropRight(1)).isEmpty, "truncated tail")
+    assert(Multimodal.parseFlac(good ++ Array[Byte](0)).isEmpty,
+      "trailing garbage")
+    // CRC self-checks against known spec vectors: CRC-8(0x00)=0x00,
+    // CRC-8 of "123456789" (poly 0x07) = 0xF4; CRC-16/BUYPASS = 0xFEE8
+    val ck = "123456789".getBytes("ASCII")
+    assert(Multimodal.flacCrc8(ck, 0, ck.length) == 0xf4)
+    assert(Multimodal.flacCrc16(ck, 0, ck.length) == 0xfee8)
+    // decodeMeta catalogs flac blobs alongside the other codecs
+    val meta = Multimodal.decodeMeta(
+        Multimodal.flacFixture(spark, 6), "id", "media")
+      .orderBy("id").collect()
+    assert(meta.forall(_.getAs[Boolean]("valid")))
+    assert(meta(0).getAs[String]("codec") == "flac")
+    assert(meta(0).getAs[Int]("width") == 32000) // id 0: rate code 8
+    assert(meta(1).getAs[Int]("height") == 2)    // id 1: 1 + 1 % 2 channels
+    assert(meta(3).getAs[Int]("nframes") == 6)   // id 3: 3 + 3 % 7
+  }
 }
