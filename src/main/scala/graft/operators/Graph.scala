@@ -330,8 +330,9 @@ object Graph {
     * Pregel BFS; per-round cost is O(frontier out-edges), and the
     * visited set stays partitioned by node. The loop state is
     * localCheckpoint'ed so round k's plan does not replay rounds
-    * 1..k-1. Driver traffic: one isEmpty probe per round (early stop
-    * once the frontier drains). */
+    * 1..k-1. Driver traffic: one count probe per round (early stop
+    * once the frontier drains), which doubles as the lazy
+    * checkpoint's materialization — one scheduled job per round. */
   def bfsHops(
       edges: DataFrame,
       srcCol: String,
@@ -358,16 +359,22 @@ object Graph {
       // small path: frontier and visited are |V|-bounded — broadcast
       // both sides explicitly (cache leaves the planner stats-blind,
       // see [[pinner]]); the frontier⋈e join then streams the pinned
-      // edge list map-side and the anti-join never shuffles `next`
+      // edge list map-side and the anti-join never shuffles `next`.
+      // LAZY checkpoint + explicit count: the count job materializes
+      // AND persists the marked RDD in one pass — the per-round probe
+      // the old eager-then-isEmpty pair paid two scheduled jobs for
       val next = p.bcast(frontier).join(e, col("node") === col("src"))
         .select(col("dst").as("node")).distinct()
         .join(p.bcast(visited.select(col("node").as("vn"))),
           col("node") === col("vn"), "left_anti")
-        .localCheckpoint(eager = true)
-      if (next.isEmpty) { drained = true }
+        .localCheckpoint(eager = false)
+      if (next.count() == 0) { drained = true }
       else {
+        // lazy: materializes (and persists) inside the NEXT round's
+        // probe job — or the caller's terminal action on the last
+        // round — so no extra barrier job per round
         visited = visited.union(next.select(col("node"), lit(hop).as("hops")))
-          .localCheckpoint(eager = true)
+          .localCheckpoint(eager = false)
         frontier = next
       }
     }

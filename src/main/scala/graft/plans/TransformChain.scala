@@ -27,6 +27,22 @@ object TransformChain {
   def chain(plugins: Seq[Plugin]): Stage =
     df => plugins.foldLeft(df)((d, p) => d.transform(p.stage))
 
+  /** Runtime plugin discovery (the reference's `.py`-dir scan,
+    * re-expressed as the JVM ServiceLoader SPI — see
+    * [[TransformPlugin]]): collects every implementation registered
+    * on the classpath, ordered by (order, name) so the composed
+    * chain is deterministic regardless of provider enumeration
+    * order. Jars added via `--jars` contribute plugins with zero
+    * engine changes. */
+  def discover(loader: ClassLoader =
+      Thread.currentThread.getContextClassLoader): Seq[Plugin] = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader.load(classOf[TransformPlugin], loader)
+      .asScala.toSeq
+      .sortBy(p => (p.order, p.name))
+      .map(p => Plugin(p.name, p.stage))
+  }
+
   /** Chain with lifecycle callbacks (batch flavor of the dtk
     * pipeline's cb hooks): onStart before the plan is built, onStage
     * after each plugin attaches its transform, onComplete with the

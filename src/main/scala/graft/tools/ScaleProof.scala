@@ -61,10 +61,13 @@ object ScaleProof {
     }
 
     // ---- task-duration listener for the straggler check ----
-    val durations = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+    // skew is judged WITHIN the heaviest stage (by summed task time):
+    // a query's global max-task / global median-task mixes trivial
+    // bookkeeping stages into the median and reads as fake skew
+    val durations = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long)]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
-        if (e.taskInfo != null) durations.add(e.taskInfo.duration)
+        if (e.taskInfo != null) durations.add((e.stageId, e.taskInfo.duration))
     })
 
     def run(label: String)(body: => org.apache.spark.sql.DataFrame): Unit = {
@@ -72,11 +75,14 @@ object ScaleProof {
       val t0 = System.nanoTime()
       body.write.format("noop").mode("overwrite").save()
       val wall = (System.nanoTime() - t0) / 1e9
-      val ds = durations.toArray(Array.empty[java.lang.Long])
-        .map(_.longValue).sorted
-      val med = if (ds.isEmpty) 0L else ds(ds.length / 2)
-      val mx = if (ds.isEmpty) 0L else ds.last
-      println(f"""{"scale_query":"$label","k":$k,"wall_sec":$wall%.2f,"n_tasks":${ds.length},"median_task_ms":$med,"max_task_ms":$mx,"max_over_median":${if (med > 0) mx.toDouble / med else 0.0}%.2f}""")
+      val byStage = durations.toArray(Array.empty[(Int, Long)])
+        .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+      val nTasks = byStage.valuesIterator.map(_.length).sum
+      val heavy = if (byStage.isEmpty) Array.empty[Long]
+        else byStage.values.maxBy(_.sum)
+      val med = if (heavy.isEmpty) 0L else heavy(heavy.length / 2)
+      val mx = if (heavy.isEmpty) 0L else heavy.last
+      println(f"""{"scale_query":"$label","k":$k,"wall_sec":$wall%.2f,"n_tasks":$nTasks,"heavy_stage_tasks":${heavy.length},"heavy_stage_median_ms":$med,"heavy_stage_max_ms":$mx,"max_over_median":${if (med > 0) mx.toDouble / med else 0.0}%.2f}""")
       graft.Sessions.release(spark)
     }
 

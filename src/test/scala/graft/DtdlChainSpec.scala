@@ -74,4 +74,19 @@ class DtdlChainSpec extends SparkSpec {
     val plan = out.queryExecution.optimizedPlan.toString
     assert(!plan.toLowerCase.contains("cache"))
   }
+
+  test("plugin discovery: ServiceLoader finds registered plugins in (order, name) order") {
+    import graft.plans.TransformChain
+    val found = TransformChain.discover()
+    // the two test plugins are registered in REVERSE of their declared
+    // order fields — discovery must sort, not trust file order
+    assert(found.map(_.name) == Seq("add_one", "scale_values"),
+      s"got ${found.map(_.name)}")
+    // composed chain applies add_one (order 20) before scale_values
+    // (order 50): v=1 → (1+1)·10 = 20, not 1·10+1 = 11
+    import spark.implicits._
+    val out = TransformChain.chain(found)(Seq(1L).toDF("v"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(out == Seq(20L))
+  }
 }
