@@ -20,14 +20,18 @@ import org.apache.spark.sql.types._
   * bit), parsed with a plain chunk walk (WAV is a container + raw
   * samples; no codec library needed): metadata from the fmt/data
   * chunks, features from the decoded sample stream. For COMPRESSED
-  * audio, the MP3 (MPEG-1 Layer III) frame-HEADER walk is also real —
-  * sync/version/layer verification, per-frame length arithmetic,
-  * sample rate / bitrate / frame count / duration, i.e. the whole
-  * metadata-catalog surface — while the audio DECODE (and aac/video
-  * codecs, which don't ship in the JDK or this container) stays
-  * behind the deterministic `GRFT` container STUB: the per-partition
-  * batch shape is identical, and swapping in a real codec changes no
-  * plan shape.
+  * audio, three public formats are real: the MP3 (MPEG-1 Layer III)
+  * frame-HEADER walk (sync/version/layer verification, per-frame
+  * length arithmetic, rate/bitrate/frame-count/duration), the FLAC
+  * constant-subframe DECODE (STREAMINFO unpacking, CRC-8/CRC-16
+  * verification, actual PCM sample reconstruction for the
+  * byte-aligned subset), and the MP4/M4A `moov` box walk (ISO-BMFF
+  * nesting, timescales, stsd sample entries). Perceptual-codec
+  * DECODE (mp3/aac payloads, LPC FLAC subframes) and video codecs —
+  * none of which ship in the JDK or this container — stay behind the
+  * deterministic `GRFT` container STUB: the per-partition batch
+  * shape is identical, and swapping in a real codec changes no plan
+  * shape.
   *
   * Fake container layout (little-endian):
   * {{{
@@ -400,6 +404,224 @@ object Multimodal {
     spark.createDataFrame(rows, outSchema)
   }
 
+  // ------------------------------------------------------------------
+  // MP4 / M4A — REAL ISO-BMFF (MPEG-4 Part 12) box walk: the
+  // `moov` metadata catalog pass a 100 TB media library needs. The
+  // walk parses the actual container protocol — [size][fourcc]
+  // nesting, FullBox version/flags, mvhd/mdhd timescales, the stsd
+  // sample-entry layout with its 16.16 fixed-point sample rate — and
+  // requires byte-exact landing at every level. Audio/video PAYLOAD
+  // decode (mdat) stays out of scope, exactly like a real catalog
+  // scan; fixtures carry an empty mdat.
+
+  private def isMp4(b: Array[Byte]): Boolean =
+    b.length > 16 && b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p'
+
+  private def be32(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+      ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+
+  private def fourcc(b: Array[Byte], o: Int): String =
+    new String(Array(b(o), b(o + 1), b(o + 2), b(o + 3)), "ASCII")
+
+  /** Walk one box level [from, until), invoking f(type, payloadFrom,
+    * payloadUntil); returns false on any structural violation
+    * (truncated box, size < 8, not landing exactly on `until`).
+    * 64-bit largesize and size-0 (to-EOF) boxes are rejected — the
+    * fixtures never emit them and a catalog pass flags, not guesses. */
+  private def walkBoxes(b: Array[Byte], from: Int, until: Int)(
+      f: (String, Int, Int) => Boolean): Boolean = {
+    var off = from
+    while (off < until) {
+      if (off + 8 > until) return false
+      val size = be32(b, off)
+      if (size < 8 || off + size > until) return false
+      if (!f(fourcc(b, off + 4), off + 8, off + size.toInt)) return false
+      off += size.toInt
+    }
+    off == until
+  }
+
+  /** Minimal-but-conforming M4A: ftyp + moov{mvhd, trak{mdia{mdhd,
+    * hdlr(soun), minf{stbl{stsd{mp4a}}}}}} + empty mdat. Movie
+    * timescale 1000; the audio track's mdhd timescale is the sample
+    * rate (the iTunes/ffmpeg convention). */
+  def encodeMp4(rate: Int, channels: Int, nSamples: Long): Array[Byte] = {
+    require(channels >= 1 && channels <= 2 && rate > 0 && nSamples > 0)
+    val durMovieMs = nSamples * 1000 / rate
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(8 + payload.length).order(ByteOrder.BIG_ENDIAN)
+      bb.putInt(8 + payload.length).put(typ.getBytes("ASCII")).put(payload)
+      bb.array()
+    }
+    val ftyp = box("ftyp", {
+      val bb = ByteBuffer.allocate(8)
+      bb.put("M4A ".getBytes("ASCII")).putInt(0)
+      bb.array()
+    })
+    val mvhd = box("mvhd", {
+      val bb = ByteBuffer.allocate(100).order(ByteOrder.BIG_ENDIAN)
+      bb.putInt(0)                 // version 0 + flags
+      bb.putInt(0).putInt(0)       // creation/modification
+      bb.putInt(1000)              // movie timescale: ms
+      bb.putInt(durMovieMs.toInt)  // duration in movie units
+      bb.putInt(0x00010000)        // rate 1.0 (16.16)
+      bb.putShort(0x0100.toShort)  // volume 1.0 (8.8)
+      bb.position(bb.position() + 2 + 8) // reserved
+      // unity matrix
+      bb.putInt(0x00010000).putInt(0).putInt(0)
+      bb.putInt(0).putInt(0x00010000).putInt(0)
+      bb.putInt(0).putInt(0).putInt(0x40000000)
+      bb.position(bb.position() + 24) // pre_defined
+      bb.putInt(2)                 // next_track_ID
+      bb.array()
+    })
+    val mdhd = box("mdhd", {
+      val bb = ByteBuffer.allocate(24).order(ByteOrder.BIG_ENDIAN)
+      bb.putInt(0).putInt(0).putInt(0)
+      bb.putInt(rate)              // media timescale: the sample rate
+      bb.putInt(nSamples.toInt)    // duration in media units
+      bb.putShort(0x55c4.toShort)  // language 'und' packed 5-bit
+      bb.putShort(0)
+      bb.array()
+    })
+    val hdlr = box("hdlr", {
+      val bb = ByteBuffer.allocate(25)
+      bb.putInt(0).putInt(0).put("soun".getBytes("ASCII"))
+      bb.position(bb.position() + 12) // reserved
+      bb.put(0.toByte)                // empty name
+      bb.array()
+    })
+    val mp4aEntry = {
+      val bb = ByteBuffer.allocate(36).order(ByteOrder.BIG_ENDIAN)
+      bb.putInt(36).put("mp4a".getBytes("ASCII"))
+      bb.position(bb.position() + 6)  // reserved
+      bb.putShort(1)                  // data_reference_index
+      bb.position(bb.position() + 8)  // reserved
+      bb.putShort(channels.toShort).putShort(16) // channelcount, samplesize
+      bb.putShort(0).putShort(0)      // pre_defined, reserved
+      bb.putInt(rate << 16)           // samplerate, 16.16 fixed point
+      bb.array()
+    }
+    val stsd = box("stsd", {
+      val bb = ByteBuffer.allocate(8 + mp4aEntry.length).order(ByteOrder.BIG_ENDIAN)
+      bb.putInt(0).putInt(1).put(mp4aEntry)
+      bb.array()
+    })
+    val minf = box("minf", box("stbl", stsd))
+    val mdia = box("mdia", mdhd ++ hdlr ++ minf)
+    val trak = box("trak", mdia)
+    val moov = box("moov", mvhd ++ trak)
+    val mdat = box("mdat", Array.emptyByteArray)
+    ftyp ++ moov ++ mdat
+  }
+
+  /** REAL moov walk. Returns (brand, movieTimescale, movieDuration,
+    * nTracks, audioCodec, audioRate, audioChannels, mediaDuration) —
+    * the catalog surface — or None on any structural violation. */
+  private[graft] def parseMp4(b: Array[Byte])
+      : Option[(String, Int, Long, Int, String, Int, Int, Long)] = {
+    if (!isMp4(b)) return None
+    var brand: String = null
+    var movieTs = -1; var movieDur = -1L
+    var nTracks = 0
+    var codec: String = null; var aRate = -1; var aCh = -1
+    var mediaDur = -1L
+    var sawMoov = false
+    val ok = walkBoxes(b, 0, b.length) {
+      case ("ftyp", from, until) =>
+        if (until - from < 8) false else { brand = fourcc(b, from); true }
+      case ("moov", mFrom, mUntil) =>
+        sawMoov = true
+        walkBoxes(b, mFrom, mUntil) {
+          case ("mvhd", f, u) =>
+            if (u - f < 100 || b(f) != 0) false // version 0 only
+            else { movieTs = be32(b, f + 12).toInt; movieDur = be32(b, f + 16); true }
+          case ("trak", tF, tU) =>
+            nTracks += 1
+            walkBoxes(b, tF, tU) {
+              case ("mdia", dF, dU) => walkBoxes(b, dF, dU) {
+                case ("mdhd", f, u) =>
+                  if (u - f < 24 || b(f) != 0) false
+                  else { aRate = be32(b, f + 12).toInt; mediaDur = be32(b, f + 16); true }
+                case ("minf", f, u) => walkBoxes(b, f, u) {
+                  case ("stbl", sF, sU) => walkBoxes(b, sF, sU) {
+                    case ("stsd", eF, eU) =>
+                      if (eU - eF < 16 || be32(b, eF + 4) < 1) false
+                      else {
+                        val entry = eF + 8
+                        val esize = be32(b, entry)
+                        if (esize < 36 || entry + esize > eU) false
+                        else {
+                          codec = fourcc(b, entry + 4)
+                          aCh = ((b(entry + 24) & 0xff) << 8) | (b(entry + 25) & 0xff)
+                          // sample rate is 16.16 fixed point
+                          if ((be32(b, entry + 32) & 0xffff) != 0) false
+                          else {
+                            if ((be32(b, entry + 32) >>> 16).toInt != aRate) false
+                            else true
+                          }
+                        }
+                      }
+                    case _ => true
+                  }
+                  case _ => true
+                }
+                case _ => true
+              }
+              case _ => true
+            }
+          case _ => true // udta, iods… skipped
+        }
+      case ("mdat", _, _) => true
+      case _ => true // free, skip…
+    }
+    if (!ok || !sawMoov || brand == null || movieTs <= 0 || codec == null ||
+      aRate <= 0 || aCh <= 0) None
+    else Some((brand, movieTs, movieDur, nTracks, codec, aRate, aCh, mediaDur))
+  }
+
+  /** Deterministic M4A fixture: rate/channels/sample-count closed-form
+    * in id. */
+  def mp4Fixture(spark: SparkSession, n: Int): DataFrame = {
+    val rows = (0 until n).map { i =>
+      val rate = Array(32000, 44100, 48000)(i % 3)
+      Row(i.toLong, encodeMp4(rate, 1 + i % 2, (rate.toLong * (2 + i % 9)) / 2))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4),
+      StructType(Seq(
+        StructField("id", LongType, false),
+        StructField("media", BinaryType, true))))
+  }
+
+  /** moov-walk catalog pass as a DataFrame op (one row per blob,
+    * integer outputs, per-partition, no shuffle). */
+  def decodeMp4(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("id", LongType, false),
+      StructField("brand", StringType, true),
+      StructField("codec", StringType, true),
+      StructField("movie_timescale", IntegerType, true),
+      StructField("movie_duration", LongType, true),
+      StructField("n_tracks", IntegerType, true),
+      StructField("sample_rate", IntegerType, true),
+      StructField("channels", IntegerType, true),
+      StructField("media_duration", LongType, true),
+      StructField("valid", BooleanType, false)))
+    val rows = df.select(col(idCol).cast(LongType), col(binCol)).rdd
+      .mapPartitions(_.map { r =>
+        parseMp4(r.getAs[Array[Byte]](1)) match {
+          case Some((brand, ts, dur, nt, codec, rate, ch, mDur)) =>
+            Row(r.getLong(0), brand, codec, ts, dur, nt, rate, ch, mDur, true)
+          case None =>
+            Row(r.getLong(0), null, null, null, null, null, null, null, null, false)
+        }
+      })
+    spark.createDataFrame(rows, outSchema)
+  }
+
   /** Header-only (width, height) of a PNG/JPEG — ImageReader probes
     * the stream metadata without decoding pixel data. */
   private def imageDims(bytes: Array[Byte]): Option[(Int, Int, String)] = {
@@ -464,6 +686,12 @@ object Multimodal {
       case Some((rate, ch, _, nf, _, _)) =>
         Row("audio", "flac", rate, ch, nf, bytes.length, true)
       case None => Row("audio", "flac", null, null, null, null, false)
+    }
+    else if (isMp4(bytes)) parseMp4(bytes) match {
+      // width = sample_rate, height = channels, nframes = n_tracks
+      case Some((_, _, _, nt, _, rate, ch, _)) =>
+        Row("audio", "mp4a", rate, ch, nt, bytes.length, true)
+      case None => Row("audio", "mp4a", null, null, null, null, false)
     }
     else if (isPng(bytes) || isJpeg(bytes)) imageDims(bytes) match {
       case Some((w, h, fmt)) if w > 0 && h > 0 && w.toLong * h <= Int.MaxValue =>

@@ -913,6 +913,43 @@ object ExtQueries4 {
          true AS valid
        FROM base ORDER BY id"""
 
+  // ---------------------------------------------------------------
+  // q145 — REAL MP4/M4A moov walk (ISO-BMFF / MPEG-4 Part 12): 42
+  // minimal-but-conforming M4A containers (ftyp + moov{mvhd,
+  // trak{mdia{mdhd, hdlr, minf{stbl{stsd{mp4a}}}}}} + mdat) whose
+  // rate/channels/sample-count are closed-form in id, walked with
+  // byte-exact box nesting, FullBox version checks and the 16.16
+  // fixed-point sample-rate cross-check against the media timescale.
+  // The catalog surface (timescales, durations, codec fourcc) comes
+  // out as integers the oracle replays closed-form.
+  private val Mp4N = 42
+
+  def q145(s: SparkSession, dir: String): DataFrame = {
+    val fx = graft.operators.Multimodal.mp4Fixture(s, Mp4N)
+    graft.operators.Multimodal.decodeMp4(fx, "id", "media")
+      .select(col("id"), col("brand"), col("codec"),
+        col("movie_timescale"), col("movie_duration"), col("n_tracks"),
+        col("sample_rate"), col("channels"), col("media_duration"),
+        col("valid"))
+      .orderBy("id")
+  }
+
+  val q145Sql: String =
+    s"""WITH base AS (SELECT r,
+           CASE r % 3 WHEN 0 THEN 32000 WHEN 1 THEN 44100
+             ELSE 48000 END AS rate,
+           1 + r % 2 AS ch, 2 + r % 9 AS k
+         FROM range(0, $Mp4N) t(r)),
+       p AS (SELECT r, rate, ch, rate * k // 2 AS nsamp FROM base)
+       SELECT r AS id, 'M4A ' AS brand, 'mp4a' AS codec,
+         CAST(1000 AS INT) AS movie_timescale,
+         CAST(nsamp * 1000 // rate AS BIGINT) AS movie_duration,
+         CAST(1 AS INT) AS n_tracks,
+         CAST(rate AS INT) AS sample_rate, CAST(ch AS INT) AS channels,
+         CAST(nsamp AS BIGINT) AS media_duration,
+         true AS valid
+       FROM p ORDER BY id"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q125_label_propagation" -> (q125 _),
     "q126_pmi_cooccur" -> (q126 _),
@@ -933,7 +970,8 @@ object ExtQueries4 {
     "q141_ohlc_bars" -> (q141 _),
     "q142_burst_detection" -> (q142 _),
     "q143_coverage_gaps" -> (q143 _),
-    "q144_flac_decode" -> (q144 _))
+    "q144_flac_decode" -> (q144 _),
+    "q145_mp4_moov" -> (q145 _))
 
   val oracles: Map[String, String] = Map(
     "q125_label_propagation" -> q125Sql,
@@ -955,5 +993,6 @@ object ExtQueries4 {
     "q141_ohlc_bars" -> q141Sql,
     "q142_burst_detection" -> q142Sql,
     "q143_coverage_gaps" -> q143Sql,
-    "q144_flac_decode" -> q144Sql)
+    "q144_flac_decode" -> q144Sql,
+    "q145_mp4_moov" -> q145Sql)
 }

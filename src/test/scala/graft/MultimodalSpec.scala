@@ -204,4 +204,46 @@ class MultimodalSpec extends SparkSpec {
     assert(meta(1).getAs[Int]("height") == 2)    // id 1: 1 + 1 % 2 channels
     assert(meta(3).getAs[Int]("nframes") == 6)   // id 3: 3 + 3 % 7
   }
+
+  test("mp4: moov walk — conforming containers parse, malformed reject") {
+    import graft.operators.Multimodal
+    val good = Multimodal.encodeMp4(rate = 44100, channels = 2,
+      nSamples = 44100L * 3)
+    // full catalog surface via the DataFrame op
+    val row = Multimodal.decodeMp4(
+        Multimodal.mp4Fixture(spark, 1), "id", "media")
+      .head()
+    assert(row.getAs[Boolean]("valid"))
+    assert(row.getAs[String]("brand") == "M4A ")
+    assert(row.getAs[String]("codec") == "mp4a")
+    assert(row.getAs[Int]("movie_timescale") == 1000)
+    assert(row.getAs[Int]("sample_rate") == 32000) // id 0: rate idx 0
+    assert(row.getAs[Int]("channels") == 1)
+    assert(row.getAs[Long]("media_duration") == 32000L) // 32000·2/2
+    assert(row.getAs[Long]("movie_duration") == 1000L)
+    // structural corruption matrix
+    def mut(i: Int, v: Byte): Array[Byte] = {
+      val c = good.clone(); c(i) = v; c
+    }
+    assert(Multimodal.decodeMp4(spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(0L, mut(5, 'x'.toByte)),       // no ftyp
+        org.apache.spark.sql.Row(1L, good.dropRight(1)),         // truncated
+        org.apache.spark.sql.Row(2L, mut(3, 99.toByte)),         // ftyp size lies
+        org.apache.spark.sql.Row(3L, good ++ Array[Byte](0, 0))  // trailing bytes
+      ), 1),
+      new org.apache.spark.sql.types.StructType()
+        .add("id", "long", false).add("media", "binary")), "id", "media")
+      .collect().forall(!_.getAs[Boolean]("valid")))
+    // 16.16 sample-rate / mdhd-timescale cross-check: corrupt the
+    // mdhd timescale field and the stsd check must reject
+    val mdhdTsOff = good.indexOfSlice("mdhd".getBytes("ASCII")) + 4 + 12
+    val badTs = good.clone(); badTs(mdhdTsOff + 3) = (badTs(mdhdTsOff + 3) ^ 1).toByte
+    assert(Multimodal.decodeMp4(spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(0L, badTs)), 1),
+      new org.apache.spark.sql.types.StructType()
+        .add("id", "long", false).add("media", "binary")), "id", "media")
+      .collect().forall(!_.getAs[Boolean]("valid")))
+  }
 }
