@@ -66,6 +66,13 @@ object Bench {
           SparkSession.clearDefaultSession()
           spark = Sessions.local(cpus.toInt)
           warm(spark)
+          // one untimed run of the TARGET query: the fresh session's
+          // first run pays file listing / codegen / page-cache costs
+          // that belong to the session, not the query — without this
+          // a median-of-3 isolated number is one-third cold-start
+          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          catch { case _: Throwable => () }
+          Sessions.release(spark)
         }
         // fail fast: one failed repeat fails the query — repeats of a
         // deterministic failure would just re-run the error path
