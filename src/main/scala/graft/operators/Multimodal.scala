@@ -622,6 +622,159 @@ object Multimodal {
     spark.createDataFrame(rows, outSchema)
   }
 
+  // ------------------------------------------------------------------
+  // Animated GIF — REAL multi-frame decode via the JDK's ImageIO
+  // (GIF89a): frame count, per-frame pixel decode, and per-frame
+  // delay from the GraphicControlExtension metadata tree. This makes
+  // the video-style frame-sampling path real on an actual format —
+  // fixtures write TYPE_BYTE_INDEXED images over a fixed 256-gray
+  // palette, so the palette-indexed storage round-trips pixels
+  // EXACTLY (no quantizer in the loop) and oracles can replay sums
+  // closed-form.
+
+  private def isGif(b: Array[Byte]): Boolean =
+    b.length > 13 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8'
+
+  private def grayPalette: java.awt.image.IndexColorModel = {
+    val g = Array.tabulate[Byte](256)(_.toByte)
+    new java.awt.image.IndexColorModel(8, 256, g, g, g)
+  }
+
+  /** Animated GIF with explicit per-frame delays (centiseconds) and
+    * 8-bit gray pixels; `pixels(f)(y*width + x)` row-major. */
+  def encodeGif(width: Int, height: Int, pixels: Seq[Array[Byte]],
+      delaysCs: Seq[Int]): Array[Byte] = {
+    require(pixels.nonEmpty && pixels.length == delaysCs.length)
+    require(pixels.forall(_.length == width * height))
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      pixels.zip(delaysCs).foreach { case (px, delay) =>
+        val img = new java.awt.image.BufferedImage(width, height,
+          java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, grayPalette)
+        img.getRaster.setDataElements(0, 0, width, height, px)
+        val meta = writer.getDefaultImageMetadata(
+          new javax.imageio.ImageTypeSpecifier(img),
+          writer.getDefaultWriteParam)
+        val fmt = "javax_imageio_gif_image_1.0"
+        val tree = meta.getAsTree(fmt)
+          .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+        val gce = {
+          val kids = tree.getElementsByTagName("GraphicControlExtension")
+          if (kids.getLength > 0)
+            kids.item(0).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+          else {
+            val n = new javax.imageio.metadata.IIOMetadataNode(
+              "GraphicControlExtension")
+            tree.appendChild(n); n
+          }
+        }
+        gce.setAttribute("disposalMethod", "none")
+        gce.setAttribute("userInputFlag", "FALSE")
+        gce.setAttribute("transparentColorFlag", "FALSE")
+        gce.setAttribute("transparentColorIndex", "0")
+        gce.setAttribute("delayTime", delay.toString)
+        meta.setFromTree(fmt, tree)
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(img, null, meta), null)
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    baos.toByteArray
+  }
+
+  /** REAL GIF multi-frame decode: (width, height, nFrames,
+    * pixelSum over every frame's gray samples, totalDelayCs). None
+    * on anything ImageIO rejects or on inconsistent frame dims. */
+  private[graft] def parseGif(b: Array[Byte])
+      : Option[(Int, Int, Int, Long, Long)] = {
+    if (!isGif(b)) return None
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(b))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return None
+      val r = readers.next()
+      try {
+        r.setInput(iis)
+        val n = r.getNumImages(true)
+        if (n < 1) return None
+        var w = -1; var h = -1
+        var pixelSum = 0L; var delaySum = 0L
+        var f = 0
+        while (f < n) {
+          val img = r.read(f)
+          if (f == 0) { w = img.getWidth; h = img.getHeight }
+          else if (img.getWidth != w || img.getHeight != h) return None
+          val raster = img.getRaster
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { pixelSum += raster.getSample(x, y, 0); x += 1 }
+            y += 1
+          }
+          val fmt = "javax_imageio_gif_image_1.0"
+          val tree = r.getImageMetadata(f).getAsTree(fmt)
+            .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+          val gce = tree.getElementsByTagName("GraphicControlExtension")
+          if (gce.getLength > 0)
+            delaySum += gce.item(0)
+              .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+              .getAttribute("delayTime").toLong
+          f += 1
+        }
+        Some((w, h, n, pixelSum, delaySum))
+      } finally r.dispose()
+    } catch { case _: Exception => None } finally iis.close()
+  }
+
+  /** Deterministic animated-GIF fixture: dims 8×6, frame count,
+    * pixels and delays closed-form in id. */
+  def gifFixture(spark: SparkSession, n: Int): DataFrame = {
+    val rows = (0 until n).map { i =>
+      val nf = 2 + i % 5
+      val px = (0 until nf).map { f =>
+        Array.tabulate[Byte](8 * 6) { p =>
+          val x = p % 8; val y = p / 8
+          ((i * 7 + f * 13 + x * 3 + y) % 256).toByte
+        }
+      }
+      val delays = (0 until nf).map(f => 5 + (i + f) % 10)
+      Row(i.toLong, encodeGif(8, 6, px, delays))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4),
+      StructType(Seq(
+        StructField("id", LongType, false),
+        StructField("media", BinaryType, true))))
+  }
+
+  /** GIF catalog pass as a DataFrame op (integer outputs, one row per
+    * blob, per-partition, no shuffle). */
+  def decodeGif(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("id", LongType, false),
+      StructField("width", IntegerType, true),
+      StructField("height", IntegerType, true),
+      StructField("n_frames", IntegerType, true),
+      StructField("pixel_sum", LongType, true),
+      StructField("total_delay_cs", LongType, true),
+      StructField("valid", BooleanType, false)))
+    val rows = df.select(col(idCol).cast(LongType), col(binCol)).rdd
+      .mapPartitions(_.map { r =>
+        parseGif(r.getAs[Array[Byte]](1)) match {
+          case Some((w, h, nf, ps, ds)) =>
+            Row(r.getLong(0), w, h, nf, ps, ds, true)
+          case None => Row(r.getLong(0), null, null, null, null, null, false)
+        }
+      })
+    spark.createDataFrame(rows, outSchema)
+  }
+
   /** Header-only (width, height) of a PNG/JPEG — ImageReader probes
     * the stream metadata without decoding pixel data. */
   private def imageDims(bytes: Array[Byte]): Option[(Int, Int, String)] = {
@@ -692,6 +845,12 @@ object Multimodal {
       case Some((_, _, _, nt, _, rate, ch, _)) =>
         Row("audio", "mp4a", rate, ch, nt, bytes.length, true)
       case None => Row("audio", "mp4a", null, null, null, null, false)
+    }
+    else if (isGif(bytes)) parseGif(bytes) match {
+      case Some((w, h, nf, _, _)) =>
+        Row(if (nf > 1) "video" else "image", "gif", w, h, nf,
+          bytes.length, true)
+      case None => Row("image", "gif", null, null, null, null, false)
     }
     else if (isPng(bytes) || isJpeg(bytes)) imageDims(bytes) match {
       case Some((w, h, fmt)) if w > 0 && h > 0 && w.toLong * h <= Int.MaxValue =>
@@ -889,6 +1048,38 @@ object Multimodal {
         if (b != null && (isPng(b) || isJpeg(b)))
           // a real still image is its own single frame
           Iterator.single(Row(r.getLong(0), 0, b))
+        else if (b != null && isGif(b)) {
+          // REAL multi-frame sampling: decode every stride-th GIF
+          // frame and re-encode losslessly as PNG
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(b))
+          try {
+            val readers = javax.imageio.ImageIO.getImageReaders(iis)
+            if (!readers.hasNext) Iterator.empty
+            else {
+              val rd = readers.next()
+              try {
+                rd.setInput(iis)
+                val n = rd.getNumImages(true)
+                (0 until n by stride).map { f =>
+                  val src = rd.read(f)
+                  // resolve the GIF palette to true color BEFORE the
+                  // PNG encode: round-tripping the indexed color
+                  // model through the PNG writer is not
+                  // palette-order-stable across JDK codecs
+                  val rgb = new java.awt.image.BufferedImage(
+                    src.getWidth, src.getHeight,
+                    java.awt.image.BufferedImage.TYPE_INT_RGB)
+                  val g = rgb.getGraphics
+                  try g.drawImage(src, 0, 0, null) finally g.dispose()
+                  val out = new java.io.ByteArrayOutputStream()
+                  javax.imageio.ImageIO.write(rgb, "png", out)
+                  Row(r.getLong(0), f, out.toByteArray)
+                }.iterator
+              } finally rd.dispose()
+            }
+          } catch { case _: Exception => Iterator.empty } finally iis.close()
+        }
         else if (b != null && isWav(b))
           Iterator.empty // audio has samples, not frames
         else {

@@ -950,6 +950,40 @@ object ExtQueries4 {
          true AS valid
        FROM p ORDER BY id"""
 
+  // ---------------------------------------------------------------
+  // q146 — REAL animated-GIF multi-frame decode (GIF89a via the JDK's
+  // ImageIO): 36 animations whose dims/frame-count/pixels/delays are
+  // closed-form in id, written over a fixed 256-gray indexed palette
+  // (so the palette storage round-trips pixels EXACTLY), decoded
+  // frame by frame — pixel_sum is actual decoded sample content, and
+  // total_delay_cs comes from each frame's GraphicControlExtension.
+  // The oracle replays the triple pixel sum and delay sum in SQL.
+  private val GifN = 36
+
+  def q146(s: SparkSession, dir: String): DataFrame = {
+    val fx = graft.operators.Multimodal.gifFixture(s, GifN)
+    graft.operators.Multimodal.decodeGif(fx, "id", "media")
+      .select(col("id"), col("width"), col("height"), col("n_frames"),
+        col("pixel_sum"), col("total_delay_cs"),
+        (col("total_delay_cs") * 10).as("dur_ms"), col("valid"))
+      .orderBy("id")
+  }
+
+  val q146Sql: String =
+    s"""WITH base AS (SELECT r, 2 + r % 5 AS nf FROM range(0, $GifN) t(r))
+       SELECT r AS id, CAST(8 AS INT) AS width, CAST(6 AS INT) AS height,
+         CAST(nf AS INT) AS n_frames,
+         CAST(list_sum([list_sum([list_sum([
+             (r * 7 + f * 13 + x * 3 + y) % 256
+           FOR y IN range(0, 6)]) FOR x IN range(0, 8)])
+           FOR f IN range(0, nf)]) AS BIGINT) AS pixel_sum,
+         CAST(list_sum([5 + (r + f) % 10 FOR f IN range(0, nf)])
+           AS BIGINT) AS total_delay_cs,
+         CAST(list_sum([5 + (r + f) % 10 FOR f IN range(0, nf)]) * 10
+           AS BIGINT) AS dur_ms,
+         true AS valid
+       FROM base ORDER BY id"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q125_label_propagation" -> (q125 _),
     "q126_pmi_cooccur" -> (q126 _),
@@ -971,7 +1005,8 @@ object ExtQueries4 {
     "q142_burst_detection" -> (q142 _),
     "q143_coverage_gaps" -> (q143 _),
     "q144_flac_decode" -> (q144 _),
-    "q145_mp4_moov" -> (q145 _))
+    "q145_mp4_moov" -> (q145 _),
+    "q146_gif_frames" -> (q146 _))
 
   val oracles: Map[String, String] = Map(
     "q125_label_propagation" -> q125Sql,
@@ -994,5 +1029,6 @@ object ExtQueries4 {
     "q142_burst_detection" -> q142Sql,
     "q143_coverage_gaps" -> q143Sql,
     "q144_flac_decode" -> q144Sql,
-    "q145_mp4_moov" -> q145Sql)
+    "q145_mp4_moov" -> q145Sql,
+    "q146_gif_frames" -> q146Sql)
 }

@@ -205,6 +205,44 @@ class MultimodalSpec extends SparkSpec {
     assert(meta(3).getAs[Int]("nframes") == 6)   // id 3: 3 + 3 % 7
   }
 
+  test("gif: animated multi-frame decode — exact pixels, delays, PNG frame sampling") {
+    import graft.operators.Multimodal
+    // hand-built 2-frame animation with known pixels + delays
+    val px0 = Array.tabulate[Byte](8 * 6)(p => (p % 256).toByte)
+    val px1 = Array.tabulate[Byte](8 * 6)(p => ((p * 3 + 1) % 256).toByte)
+    val gif = Multimodal.encodeGif(8, 6, Seq(px0, px1), Seq(7, 12))
+    val want = px0.map(_ & 0xff).sum.toLong + px1.map(_ & 0xff).sum
+    assert(Multimodal.parseGif(gif).contains((8, 6, 2, want, 19L)))
+    // corrupt magic rejects
+    val bad = gif.clone(); bad(0) = 'X'.toByte
+    assert(Multimodal.parseGif(bad).isEmpty)
+    // the DataFrame op over the closed-form fixture
+    val rows = Multimodal.decodeGif(
+        Multimodal.gifFixture(spark, 4), "id", "media")
+      .orderBy("id").collect()
+    assert(rows.forall(_.getAs[Boolean]("valid")))
+    assert(rows(2).getAs[Int]("n_frames") == 4) // id 2: 2 + 2 % 5
+    val refSum = (0 until 4).flatMap(f => for {
+      x <- 0 until 8; y <- 0 until 6
+    } yield (2 * 7 + f * 13 + x * 3 + y) % 256).map(_.toLong).sum
+    assert(rows(2).getAs[Long]("pixel_sum") == refSum)
+    // sampleFrames: real PNG re-encode of every second frame,
+    // losslessly decodable back to the same gray values
+    val frames = Multimodal.sampleFrames(
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(
+            Seq(org.apache.spark.sql.Row(0L, gif)), 1),
+          new org.apache.spark.sql.types.StructType()
+            .add("id", "long", false).add("media", "binary")),
+        "id", "media", stride = 2)
+      .orderBy("frame_idx").collect()
+    assert(frames.map(_.getAs[Int]("frame_idx")).toSeq == Seq(0))
+    val png = frames(0).getAs[Array[Byte]]("frame")
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    assert(img.getWidth == 8 && img.getHeight == 6)
+    assert((img.getRGB(3, 2) & 0xff) == (px0(2 * 8 + 3) & 0xff))
+  }
+
   test("mp4: moov walk — conforming containers parse, malformed reject") {
     import graft.operators.Multimodal
     val good = Multimodal.encodeMp4(rate = 44100, channels = 2,
