@@ -223,6 +223,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(windows <= 1, s"one lag window only:\n$p")
   }
 
+  test("q144-q146: codec decodes run per-partition — no shuffle beyond the presentation sort") {
+    // FLAC / MP4 / GIF decode are mapPartitions over the binary
+    // column; the only exchange allowed is the final orderBy — a
+    // second one would mean blob bytes moved between executors
+    Seq("q144_flac_decode", "q145_mp4_moov", "q146_gif_frames").foreach { q =>
+      val p = plan(q)
+      val exchanges = "Exchange".r.findAllIn(p).length
+      assert(exchanges <= 1, s"$q: codec decode should not shuffle:\n$p")
+      assert(!p.contains("Join") && !p.contains("Window"), s"$q plan:\n$p")
+    }
+  }
+
   test("q134: negative sampling plans NO global window — ranks from the prefix sum") {
     val p = plan("q134_negative_sampling")
     assert(!p.contains("Window"),
