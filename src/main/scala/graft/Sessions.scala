@@ -24,6 +24,25 @@ object Sessions {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.parquet.compression.codec", "snappy")
       .config("spark.ui.enabled", "false")
+      // suite-mode hygiene (both are heap-growth caps, harmless for a
+      // real cluster session):
+      //  - the live status store retains 1000 jobs/stages + 1000 SQL
+      //    executions WITH per-task metric rollups by default — across
+      //    a 146-query benchmark that is hundreds of MB of driver heap
+      //    and per-event bookkeeping; cap it low (nothing reads the
+      //    store with the UI off)
+      .config("spark.ui.retainedJobs", "50")
+      .config("spark.ui.retainedStages", "50")
+      .config("spark.ui.retainedTasks", "2000")
+      .config("spark.sql.ui.retainedExecutions", "10")
+      //  - the whole-stage codegen class cache holds 100 entries
+      //    JVM-wide (STATIC conf — first session pins it); a 146-query
+      //    suite compiles far more than 100 distinct stages, so by
+      //    late suite every query re-pays janino compilation that the
+      //    isolated baseline (warm cache, few predecessors) does not.
+      //    2000 entries keeps every suite stage resident (~MBs of
+      //    class metadata, nothing at a 128 GiB heap)
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
 
   def local(cores: Int): SparkSession = {
     val s = builder(s"local[$cores]", math.max(cores, 4)).getOrCreate()
@@ -42,15 +61,20 @@ object Sessions {
   def release(spark: SparkSession): Unit = {
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values
-      .foreach(_.unpersist(blocking = false))
-    // nudge the ContextCleaner: shuffle files, broadcast blocks and
-    // checkpoint data are reaped when their driver references are
-    // GC'd, and a 128 GiB heap may not GC for the whole suite —
-    // 60+ queries of shuffle spill then stack up on local disk and
-    // late-alphabet queries wobble in FULL-suite runs only (q66
-    // 3.7 s in any subset, up to 14 s after 65 predecessors). A
-    // single collection between queries is untimed and keeps the
-    // per-query runtime state flat.
+      .foreach(_.unpersist(blocking = true))
+    // SYNCHRONOUS shuffle + broadcast teardown. Through round 10 this
+    // was only a System.gc() nudge at the ContextCleaner, which (a)
+    // returns before the cleaner thread drains its queue and (b)
+    // removes shuffles NON-blocking by default — so 60+ queries of
+    // shuffle spill stacked up on local disk and late-alphabet
+    // queries inflated in FULL-suite runs only (q66 3.05 s isolated,
+    // 6.1 s after 65 predecessors; up to 14 s through r9). The shim
+    // blocks until the block manager confirms every registered
+    // shuffle and broadcast block is gone.
+    org.apache.spark.graftshim.SessionJanitor
+      .drainRuntimeState(spark.sparkContext)
+    // one untimed collection keeps driver-heap pressure flat across
+    // the suite (weakly-referenced accumulators, dropped plan trees)
     System.gc()
   }
 }

@@ -84,12 +84,133 @@ object Graph {
     * sequential barrier jobs of pure scheduling on graphs that fit in
     * one broadcast (q121 3.2x oracle through r9). The count after the
     * checkpoint is a ~50 ms scan of pinned blocks. */
-  private def pinnedEdges(eRaw: DataFrame): (DataFrame, Pinned) = {
+  private def pinnedEdges(eRaw: DataFrame): (DataFrame, Pinned, Long) = {
     val gate = smallGraphBytes(eRaw)
-    val e = eRaw.localCheckpoint(eager = true)
-    // an edge row is two-to-three longs: ~32 B as an UnsafeRow
-    val small = e.count() * 32L <= gate
-    (e, mkPinned(small))
+    // LAZY checkpoint + count: the count job below materializes AND
+    // persists the marked RDD in one pass — eager-then-count paid a
+    // second full scan as a second scheduled job (the bfsHops
+    // probe-fusion pattern, applied to the prep itself)
+    val e = eRaw.localCheckpoint(eager = false)
+    // an edge row is two-to-three longs: ~32 B as an UnsafeRow. The
+    // constant deliberately ignores partition/row overheads (ADVICE
+    // r10): it only routes the cache-vs-checkpoint POLICY, and every
+    // per-frame broadcast is separately size-gated by [[gatedBcast]],
+    // so a graph just inside this gate cannot be handed an oversized
+    // broadcast off the rough constant alone.
+    val rows = e.count()
+    (e, mkPinned(rows * 32L <= gate), rows)
+  }
+
+  /** Explicit-broadcast policy for the |V|-bounded per-round frames
+    * (frontier/visited, label tables, contribution sums) on the SMALL
+    * path, where cached inputs leave the planner stats-blind (see
+    * [[pinner]]) and the hint is what keeps supersteps shuffle-light.
+    * ADVICE r10: the hint must not be unconditional — the 128 MiB edge
+    * gate admits ~4M-edge graphs whose node tables run to hundreds of
+    * MB, too big to re-broadcast every round. Gate on a row bound the
+    * algorithm computes itself (the TRUE node count where the algorithm
+    * already builds the node set; 2x the checkpointed edge count in
+    * bfsHops, which never does) at the same ~48 B/row hash-map
+    * footprint and 32 MB ceiling as [[finishTriangles]]. Above the
+    * gate — and always on the large path — identity: AQE's true sizes
+    * (checkpoint path) or plain shuffle joins make the call. */
+  private def gatedBcast(p: Pinned, rowBound: Long): DataFrame => DataFrame =
+    if (p.small && rowBound * 48L <= 32L * 1024 * 1024)
+      df => broadcast(df)
+    else identity
+
+  /** Gate for the driver-local PageRank kernels: collected-edge
+    * footprint (rows × 32 B) at or under this runs the fixed-point on
+    * the driver in primitive arrays (default 64 MiB ≈ 2M edges, ~300
+    * MB transient driver heap at the gate). Rationale: a 3-iteration
+    * superstep loop on a sub-2M-edge graph schedules ~26 driver jobs
+    * of pure fixed overhead (AQE stage-jobs, broadcast collects,
+    * checkpoint materializations) — ~3 s of wall at local[32] for
+    * milliseconds of arithmetic, and the same fixed floor on a real
+    * cluster. Same posture as Similarity's DriverTrainCap: a
+    * documented, conf-gated, bounded driver hop with the distributed
+    * superstep path as the contract above the gate (equality-gated
+    * against the kernel in GraphSpec across all three paths). */
+  private def driverGraphBytes(df: DataFrame): Long =
+    confLong(df, "spark.graft.graph.driverGraphBytes", 64L * 1024 * 1024)
+
+  /** Driver-local integer PageRank fixed point (see
+    * [[driverGraphBytes]] for when and why). Runs the IDENTICAL
+    * integer recurrence as the distributed superstep — same divisions
+    * in the same order, all quantities positive longs — so the result
+    * is bit-equal to the distributed paths (GraphSpec asserts all
+    * three). `e` must be the distinct (src, dst) checkpointed edge
+    * frame; `sources = None` is global PageRank, `Some(seeds)` the
+    * personalized variant (teleport restricted to seeds, which are
+    * indexed even when isolated). One collect job in, one parallelize
+    * out; everything between is primitive-array arithmetic. */
+  private def pageRankLocal(
+      e: DataFrame,
+      sources: Option[Seq[Long]],
+      iters: Int,
+      massScale: Long): DataFrame = {
+    val spark = e.sparkSession
+    val rows = e.select(col("src"), col("dst")).collect()
+    val m = rows.length
+    // node-id interning: index of first appearance
+    val idx = new java.util.HashMap[Long, Int]()
+    val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def intern(x: Long): Int = {
+      val got = idx.getOrDefault(x, -1)
+      if (got >= 0) got
+      else { val i = ids.length; idx.put(x, i); ids += x; i }
+    }
+    val srcI = new Array[Int](m)
+    val dstI = new Array[Int](m)
+    var i = 0
+    while (i < m) {
+      srcI(i) = intern(rows(i).getLong(0))
+      dstI(i) = intern(rows(i).getLong(1))
+      i += 1
+    }
+    sources.foreach(_.foreach(intern)) // isolated seeds keep teleport
+    val n = ids.length
+    require(n > 0, sources.fold("pageRankInt: no edges")(_ =>
+      "personalizedPageRankInt: no nodes"))
+    val deg = new Array[Long](n)
+    i = 0; while (i < m) { deg(srcI(i)) += 1L; i += 1 }
+    val init = massScale / sources.fold(n.toLong)(_.size.toLong)
+    val base = (15L * init) / 100L
+    val isSeed = new Array[Boolean](n)
+    sources.foreach(_.foreach(s => isSeed(idx.get(s)) = true))
+    val r = new Array[Long](n)
+    i = 0
+    while (i < n) {
+      r(i) = if (sources.isEmpty || isSeed(i)) init else 0L
+      i += 1
+    }
+    var k = 0
+    while (k < iters) {
+      val s = new Array[Long](n)
+      i = 0
+      while (i < m) {
+        // deg(srcI) >= 1 by construction (it has this out-edge)
+        s(dstI(i)) += r(srcI(i)) / deg(srcI(i))
+        i += 1
+      }
+      i = 0
+      while (i < n) {
+        val b = if (sources.isEmpty || isSeed(i)) base else 0L
+        r(i) = b + (85L * s(i)) / 100L
+        i += 1
+      }
+      k += 1
+    }
+    val out = (0 until n).map(j =>
+      org.apache.spark.sql.Row(ids(j), deg(j), r(j)))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("node", LongType, false),
+      org.apache.spark.sql.types.StructField("deg", LongType, false),
+      org.apache.spark.sql.types.StructField("r", LongType, false)))
+    val slices = math.max(1, math.min(
+      spark.sparkContext.defaultParallelism, n / 10000 + 1))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out, slices), schema)
   }
 
   /** Floor (in `maxAdjDegree` units) at or above which the FUSED
@@ -342,11 +463,14 @@ object Graph {
     require(maxHops >= 1 && maxHops <= 64,
       s"bfsHops: maxHops in [1, 64], got $maxHops")
     // reused (probed) every superstep → checkpointed by [[pinnedEdges]]
-    val (e, p) = pinnedEdges(
+    val (e, p, eRows) = pinnedEdges(
       edges.select(col(srcCol).cast(LongType).as("src"),
           col(dstCol).cast(LongType).as("dst"))
         .where(col("src") =!= col("dst"))
         .distinct())
+    // |V| ≤ 2|E| bounds frontier and visited; BFS never builds the
+    // node set, so the edge count is the bound [[gatedBcast]] gets
+    val bcast = gatedBcast(p, 2L * eRows)
     val spark = edges.sparkSession
     import spark.implicits._
     var visited = Seq((source, 0L)).toDF("node", "hops")
@@ -363,9 +487,9 @@ object Graph {
       // LAZY checkpoint + explicit count: the count job materializes
       // AND persists the marked RDD in one pass — the per-round probe
       // the old eager-then-isEmpty pair paid two scheduled jobs for
-      val next = p.bcast(frontier).join(e, col("node") === col("src"))
+      val next = bcast(frontier).join(e, col("node") === col("src"))
         .select(col("dst").as("node")).distinct()
-        .join(p.bcast(visited.select(col("node").as("vn"))),
+        .join(bcast(visited.select(col("node").as("vn"))),
           col("node") === col("vn"), "left_anti")
         .localCheckpoint(eager = false)
       if (next.count() == 0) { drained = true }
@@ -409,7 +533,7 @@ object Graph {
     require(iters >= 1 && iters <= 32,
       s"minLabelPropagate: iters in [1, 32], got $iters")
     // reused every round → checkpointed by [[pinnedEdges]]
-    val (e, p) = pinnedEdges(
+    val (e, p, _) = pinnedEdges(
       edges.select(col(srcCol).cast(LongType).as("src"),
           col(dstCol).cast(LongType).as("dst"))
         .where(col("src") =!= col("dst"))
@@ -417,13 +541,16 @@ object Graph {
     val nodes = p.pin(e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct())
+    // TRUE node count gates the per-round broadcasts (~50 ms scan of
+    // the pinned set, once per invocation — see [[gatedBcast]])
+    val bcast = gatedBcast(p, nodes.count())
     var l = nodes.withColumn("label", col("node"))
     for (_ <- 1 to iters) {
       // small path: the label state is |V| rows — broadcast it into
       // the superstep join so the pinned edge list streams map-side
       // (cache is stats-blind; see [[pinner]]), and broadcast the
       // per-round min table back onto the node set likewise
-      val m = e.join(p.bcast(l), col("src") === col("node"))
+      val m = e.join(bcast(l), col("src") === col("node"))
         .groupBy(col("dst").as("node"))
         .agg(min(col("label")).as("ml"))
       // l is node-complete every round, so the left join alone keeps
@@ -434,7 +561,7 @@ object Graph {
       // nothing — lazy still truncates the Catalyst lineage while the
       // whole fixed-point executes as ONE multi-stage job. Loops that
       // PROBE per round (bfsHops' isEmpty) must stay eager.
-      l = l.join(p.bcast(m), Seq("node"), "left")
+      l = l.join(bcast(m), Seq("node"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("ml"), col("label"))).as("label"))
         .localCheckpoint(eager = false)
@@ -463,12 +590,27 @@ object Graph {
     * contributes nothing (classic dangling behavior), one with no
     * in-edges settles at the teleport base.
     *
-    * Scale shape per iteration: one broadcast-or-shuffle join of
-    * ranks to the (checkpointed) edge list + one groupBy(dst) with
-    * map-side partial sums — the textbook Pregel superstep as two
-    * exchanges; rank state is localCheckpoint'ed each round so the
-    * plan never replays prior iterations. Driver traffic is the
-    * node COUNT only.
+    * Scale shape per iteration (FUSED superstep, round-11): ONE
+    * broadcast-or-shuffle join of the previous round's contribution
+    * sums onto the checkpointed (src, dst, deg) list + one
+    * groupBy(dst) with map-side partial sums. The per-round rank
+    * table is never materialized node-side inside the loop:
+    *
+    *   r_{k-1}(u) = base + (85 · s_{k-1}(u)) div 100   (s absent → 0)
+    *
+    * is an exact function of the previous sums, so each round
+    * reconstructs it EDGE-SIDE after the join — value-identical to
+    * the r10 shape (rank join + |V|-row node-set completion join per
+    * round) because nodes absent from sums reconstruct to exactly the
+    * rank the completion join would have assigned them. On the
+    * broadcast path this halves the per-round driver-scheduled jobs
+    * (one sums broadcast-collect instead of sums + rank) and drops
+    * the completion join entirely — the fixed scheduling floor that
+    * held q121 at 2.5x its tiny-graph oracle (BENCH-notes r10). Sums
+    * state is lazily localCheckpoint'ed each round: the next round's
+    * broadcast-collect job materializes AND persists it in one pass
+    * (the bfsHops probe-fusion pattern). Driver traffic is the node
+    * COUNT only.
     */
   def pageRankInt(
       edges: DataFrame,
@@ -481,10 +623,12 @@ object Graph {
     require(massScale >= 1000000L,
       s"pageRankInt: massScale >= 1e6, got $massScale")
     // reused every superstep → checkpointed by [[pinnedEdges]]
-    val (e, p) = pinnedEdges(
+    val (e, p, eRows) = pinnedEdges(
       edges.select(col(srcCol).cast(LongType).as("src"),
           col(dstCol).cast(LongType).as("dst"))
         .distinct())
+    if (eRows * 32L <= driverGraphBytes(edges))
+      return pageRankLocal(e, None, iters, massScale)
     val deg = p.pin(e.groupBy("src").agg(count(lit(1)).as("deg")))
     // out-degree hoisted ONTO the edge list once, outside the loop:
     // r div deg is constant per src, so computing it edge-side after a
@@ -497,27 +641,26 @@ object Graph {
       .distinct())
     val n = nodes.count()
     require(n > 0, "pageRankInt: no edges")
+    val bcast = gatedBcast(p, n)
     val init = massScale / n              // R div N
     val base = (15L * init) / 100L        // teleport term, positive → truncation ≡ floor
-    var r = nodes.withColumn("r", lit(init))
-    for (_ <- 1 to iters) {
-      // small path: the rank state is |V| rows — broadcast it into the
-      // superstep join (the pinned eDeg streams map-side) and the
-      // contribution sums back onto the node set; cache is
-      // stats-blind, so these hints are what keep the supersteps
-      // shuffle-light (see [[pinner]])
-      val sums = eDeg.join(p.bcast(r), col("src") === col("node"))
+    // reconstructed edge-side rank: round 1 sees the uniform init mass
+    val damp = "(85 * coalesce(s, CAST(0 AS BIGINT))) div 100"
+    var sums: DataFrame = null
+    for (k <- 1 to iters) {
+      val joined =
+        if (k == 1) eDeg.withColumn("rv", lit(init))
+        else eDeg.join(bcast(sums), col("src") === col("node"), "left")
+          .withColumn("rv", lit(base) + expr(damp))
+      sums = joined
         .groupBy(col("dst").as("node"))
-        .agg(sum(expr("r div deg")).as("s"))
-      // lazy: pure plan-construction loop, one materialization at the
-      // caller — see minLabelPropagate's note
-      r = nodes.join(p.bcast(sums), Seq("node"), "left")
-        .select(col("node"),
-          (lit(base) +
-            expr("(85 * coalesce(s, CAST(0 AS BIGINT))) div 100")).as("r"))
+        .agg(sum(expr("rv div deg")).as("s"))
         .localCheckpoint(eager = false)
     }
-    r.join(p.bcast(deg), col("node") === col("src"), "left")
+    // node-set completion happens ONCE, after the loop
+    val r = nodes.join(bcast(sums), Seq("node"), "left")
+      .select(col("node"), (lit(base) + expr(damp)).as("r"))
+    r.join(bcast(deg), col("node") === col("src"), "left")
       .select(col("node"),
         coalesce(col("deg"), lit(0L)).as("deg"), col("r"))
   }
@@ -548,14 +691,23 @@ object Graph {
     require(massScale >= 1000000L,
       s"personalizedPageRankInt: massScale >= 1e6, got $massScale")
     // reused every superstep → checkpointed by [[pinnedEdges]]
-    val (e, p) = pinnedEdges(
+    val (e, p, eRows) = pinnedEdges(
       edges.select(col(srcCol).cast(LongType).as("src"),
           col(dstCol).cast(LongType).as("dst"))
         .distinct())
+    if (eRows * 32L <= driverGraphBytes(edges))
+      return pageRankLocal(e, Some(sources), iters, massScale)
     val deg = p.pin(e.groupBy("src").agg(count(lit(1)).as("deg")))
-    // same deg-hoist as [[pageRankInt]]: one (src, dst, deg) pre-join
-    // replaces the per-superstep rank⋈deg contribution join
-    val eDeg = p.pin(e.join(deg, Seq("src")))
+    val init = massScale / sources.size
+    val base = (15L * init) / 100L
+    val isSource = col("node").isin(sources: _*)
+    val srcIsSource = col("src").isin(sources: _*)
+    // same deg-hoist as [[pageRankInt]], plus the source-teleport term
+    // hoisted ONTO the edge list outside the loop — the fused
+    // superstep reconstructs r_{k-1}(src) edge-side and the teleport
+    // part of that rank is a constant per src
+    val eDeg = p.pin(e.join(deg, Seq("src"))
+      .withColumn("srcBase", when(srcIsSource, lit(base)).otherwise(lit(0L))))
     val nodes = p.pin(e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .union(edges.sparkSession.createDataFrame(
@@ -564,35 +716,40 @@ object Graph {
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("node", LongType, false)))))
       .distinct())
-    val init = massScale / sources.size
-    val base = (15L * init) / 100L
-    val isSource = col("node").isin(sources: _*)
-    // initial state derives from pinned `nodes` by a narrow projection
-    // — no separate pin needed (the r8 eager checkpoint here was one
-    // more barrier job of pure overhead on small graphs)
-    var r = nodes.withColumn("r",
-      when(isSource, lit(init)).otherwise(lit(0L)))
-    for (_ <- 1 to iters) {
-      // small path: broadcast the rank state / sums — cache is
-      // stats-blind, see [[pinner]] and the pageRankInt note.
-      // r > 0 prune: a zero-rank node contributes r div deg = 0, and
-      // a dst all of whose in-neighbors are pruned gets s = NULL →
-      // coalesce 0 — value-identical, so the contribution join only
-      // touches the REACHED ball around the sources (3 seeds × k
-      // hops), not all |V| nodes; personalization is exactly the
-      // workload where most ranks stay 0 for the early supersteps
-      val sums = eDeg.join(p.bcast(r.where(col("r") > 0)),
-          col("src") === col("node"))
+    val bcast = gatedBcast(p, nodes.count())
+    // FUSED superstep (see [[pageRankInt]]): per round, one join of
+    // the previous sums onto the pinned edge list reconstructs
+    //   r_{k-1}(src) = srcBase + (85 · s_{k-1}(src)) div 100
+    // and the rv > 0 prune keeps the exact ball the old r > 0
+    // broadcast prune kept — a zero-rank src contributes rv div deg
+    // = 0 and a dst with no surviving in-edge reads s = NULL →
+    // coalesce 0, so the sums table stays REACHED-BALL-sized (3
+    // seeds × k hops) while all-|V| completion happens once after
+    // the loop; personalization is exactly the workload where most
+    // ranks stay 0 for the early supersteps
+    val damp = "(85 * coalesce(s, CAST(0 AS BIGINT))) div 100"
+    var sums: DataFrame = null
+    for (k <- 1 to iters) {
+      val joined =
+        if (k == 1)
+          // round 1: only sources carry mass — a pinned-scan filter,
+          // no join at all
+          eDeg.withColumn("rv",
+            when(srcIsSource, lit(init)).otherwise(lit(0L)))
+        else eDeg.join(bcast(sums), col("src") === col("node"), "left")
+          .withColumn("rv", col("srcBase") + expr(damp))
+      // lazy checkpoint: materialized + persisted by the next round's
+      // broadcast-collect (or the caller's terminal action)
+      sums = joined
+        .where(col("rv") > 0)
         .groupBy(col("dst").as("node"))
-        .agg(sum(expr("r div deg")).as("s"))
-      // lazy: pure plan-construction loop — see minLabelPropagate
-      r = nodes.join(p.bcast(sums), Seq("node"), "left")
-        .select(col("node"),
-          (when(isSource, lit(base)).otherwise(lit(0L)) +
-            expr("(85 * coalesce(s, CAST(0 AS BIGINT))) div 100")).as("r"))
+        .agg(sum(expr("rv div deg")).as("s"))
         .localCheckpoint(eager = false)
     }
-    r.join(p.bcast(deg), col("node") === col("src"), "left")
+    val r = nodes.join(bcast(sums), Seq("node"), "left")
+      .select(col("node"),
+        (when(isSource, lit(base)).otherwise(lit(0L)) + expr(damp)).as("r"))
+    r.join(bcast(deg), col("node") === col("src"), "left")
       .select(col("node"),
         coalesce(col("deg"), lit(0L)).as("deg"), col("r"))
   }

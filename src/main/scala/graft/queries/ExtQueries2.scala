@@ -1025,13 +1025,18 @@ object ExtQueries2 {
   // in 10¹² units, contributions and damping via integer division —
   // bit-identical cross-engine, no margin gates.
   def q101(s: SparkSession, dir: String): DataFrame = {
+    // eager checkpoint BEFORE symmetrizing: both union orientations
+    // read the one materialized join instead of each replaying the
+    // orders⋈lineitem shuffle (2x the prep through r10); no
+    // query-side distinct — pageRankInt canonicalizes its edge input
+    // anyway, so a distinct here would shuffle twice for nothing
     val e0 = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
       .join(t(s, dir, "lineitem")
         .select(col("l_orderkey").as("o_orderkey"), col("l_suppkey")),
         Seq("o_orderkey"))
       .select(col("o_custkey").as("src"),
         (col("l_suppkey") + lit(1000000000L)).as("dst"))
-      .distinct()
+      .localCheckpoint(eager = true)
     val sym = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
     graft.operators.Graph.pageRankInt(sym, "src", "dst", iters = 4)
       .orderBy("node")

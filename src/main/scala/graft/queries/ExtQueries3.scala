@@ -522,13 +522,16 @@ object ExtQueries3 {
   def q121(s: SparkSession, dir: String): DataFrame = {
     // NO query-side distinct: personalizedPageRankInt canonicalizes
     // (distincts) its edge input anyway — a distinct here would pay
-    // the 2.3M-row shuffle twice for nothing
+    // the 2.3M-row shuffle twice for nothing. Eager checkpoint BEFORE
+    // symmetrizing: both union orientations read the one materialized
+    // join instead of each replaying the orders⋈lineitem shuffle
     val e0 = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
       .join(t(s, dir, "lineitem")
         .select(col("l_orderkey").as("o_orderkey"), col("l_suppkey")),
         Seq("o_orderkey"))
       .select(col("o_custkey").as("src"),
         (col("l_suppkey") + lit(1000000000L)).as("dst"))
+      .localCheckpoint(eager = true)
     val sym = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
     graft.operators.Graph.personalizedPageRankInt(sym, "src", "dst",
         sources = Seq(0L, 7L, 42L), iters = 3)

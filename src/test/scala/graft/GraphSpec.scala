@@ -163,7 +163,9 @@ class GraphSpec extends SparkSpec {
         "src", "dst", 3)
       .orderBy("node").collect().toSeq.map(_.toSeq)
     // gate 0 bytes: every graph takes the eager-localCheckpoint path
+    // (driver gate 0 too, else PageRank would stay on the local kernel)
     spark.conf.set("spark.graft.graph.smallGraphBytes", "0")
+    spark.conf.set("spark.graft.graph.driverGraphBytes", "0")
     try {
       val triLarge = Graph.triangleCounts(df, "src", "dst")
         .orderBy("node").collect().toSeq.map(_.toSeq)
@@ -172,8 +174,45 @@ class GraphSpec extends SparkSpec {
         .orderBy("node").collect().toSeq.map(_.toSeq)
       assert(triLarge == triSmall)
       assert(prLarge == prSmall)
-    } finally spark.conf.unset("spark.graft.graph.smallGraphBytes")
+    } finally {
+      spark.conf.unset("spark.graft.graph.smallGraphBytes")
+      spark.conf.unset("spark.graft.graph.driverGraphBytes")
+    }
     assert(triSmall.nonEmpty && prSmall.nonEmpty)
+  }
+
+  test("pageRank driver kernel ≡ distributed small ≡ distributed large (both variants)") {
+    // default gate (64 MiB) routes this tiny graph onto the driver
+    // kernel; driverGraphBytes=0 forces the distributed superstep on
+    // the cache (small) path; + smallGraphBytes=0 the checkpoint
+    // (large) path. All three must be BIT-equal — the kernel runs the
+    // identical integer recurrence.
+    val rnd = new scala.util.Random(31)
+    val edges = (0 until 500).map(_ =>
+      (rnd.nextInt(70).toLong, rnd.nextInt(70).toLong))
+      .filter { case (a, b) => a != b }
+    val df = edges.toDF("src", "dst")
+    val seeds = Seq(1L, 13L, 7777L) // 7777 isolated
+    def runBoth(): (Seq[Seq[Any]], Seq[Seq[Any]]) = (
+      Graph.pageRankInt(df, "src", "dst", 4)
+        .orderBy("node").collect().toSeq.map(_.toSeq),
+      Graph.personalizedPageRankInt(df, "src", "dst", seeds, 4)
+        .orderBy("node").collect().toSeq.map(_.toSeq))
+    val (prLocal, pprLocal) = runBoth()
+    spark.conf.set("spark.graft.graph.driverGraphBytes", "0")
+    try {
+      val (prSmall, pprSmall) = runBoth()
+      assert(prSmall == prLocal)
+      assert(pprSmall == pprLocal)
+      spark.conf.set("spark.graft.graph.smallGraphBytes", "0")
+      val (prLarge, pprLarge) = runBoth()
+      assert(prLarge == prLocal)
+      assert(pprLarge == pprLocal)
+    } finally {
+      spark.conf.unset("spark.graft.graph.driverGraphBytes")
+      spark.conf.unset("spark.graft.graph.smallGraphBytes")
+    }
+    assert(prLocal.nonEmpty && pprLocal.nonEmpty)
   }
 
   test("malformed smallGraphBytes conf fails with a clear message") {
