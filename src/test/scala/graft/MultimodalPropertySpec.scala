@@ -71,4 +71,61 @@ object MultimodalPropertySpec extends Properties("MultimodalCodecs") {
       val got = Multimodal.parseMp4(b.dropRight(cut))
       got.isEmpty || (cut == 8 && got == full)
     }
+
+  private val flacPredParams = for {
+    rateCode <- Gen.oneOf(8, 9, 10)
+    channels <- Gen.choose(1, 8)
+    nFrames <- Gen.choose(1, 16)
+    seed <- Gen.choose(0L, 1000000L)
+  } yield (rateCode, channels, nFrames, seed)
+
+  private def refSumPred(seed: Long, nf: Int, ch: Int): Long =
+    (0 until nf).map { f =>
+      val t = ((seed + f) % 7).toInt
+      val c0 = (seed * 31 + f * 17) % 50 - 25
+      val c1 = if (t == 0) 0L else (seed * 13 + f * 7) % 7 - 3
+      val d = if (t == 0) 0L else (seed + f) % 4
+      4096L * c0 + 8386560L * c1 + 2048L * d
+    }.sum * ch
+
+  property("flac PCM decode(encodePred(params)) reconstructs every sample") =
+    Prop.forAll(flacPredParams) { case (rc, ch, nf, seed) =>
+      val b = Multimodal.encodeFlacPred(rc, ch, nf, seed)
+      Multimodal.parseFlacPcm(b).contains(
+        (flacRates(rc), ch, 16, nf, nf.toLong * 4096,
+          refSumPred(seed, nf, ch)))
+    }
+
+  property("flac PCM agrees with the catalog parser on constant streams (x4096)") =
+    Prop.forAll(flacParams) { case (rc, ch, bps, nf, seed) =>
+      val b = Multimodal.encodeFlac(rc, ch, bps, nf, seed)
+      (Multimodal.parseFlac(b), Multimodal.parseFlacPcm(b)) match {
+        case (Some((r1, c1, b1, n1, t1, s1)), Some((r2, c2, b2, n2, t2, s2))) =>
+          r1 == r2 && c1 == c2 && b1 == b2 && n1 == n2 && t1 == t2 &&
+            s2 == 4096L * s1
+        case _ => false
+      }
+    }
+
+  private val aviParams = for {
+    w <- Gen.choose(8, 24)
+    h <- Gen.choose(6, 18)
+    rate <- Gen.choose(5, 60)
+    grays <- Gen.nonEmptyListOf(Gen.choose(0, 255)).map(_.take(6))
+  } yield (w, h, rate, grays)
+
+  property("avi decode(encode(params)) reconstructs frames bit-exactly") =
+    Prop.forAll(aviParams) { case (w, h, rate, grays) =>
+      val b = Multimodal.encodeAvi(w, h, grays, rate)
+      Multimodal.parseAvi(b).contains(
+        (w, h, grays.length, (1000000 / rate).toLong,
+          grays.length * 1000L / rate, 3L * w * h * grays.sum))
+    }
+
+  property("avi: truncation never parses") =
+    Prop.forAll(aviParams, Gen.choose(1, 4096)) { (p, cutRaw) =>
+      val (w, h, rate, grays) = p
+      val b = Multimodal.encodeAvi(w, h, grays, rate)
+      Multimodal.parseAvi(b.dropRight(cutRaw % b.length + 1)).isEmpty
+    }
 }

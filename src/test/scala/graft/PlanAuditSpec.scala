@@ -223,11 +223,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(windows <= 1, s"one lag window only:\n$p")
   }
 
-  test("q144-q146: codec decodes run per-partition — no shuffle beyond the presentation sort") {
+  test("q144-q148: codec decodes run per-partition — no shuffle beyond the presentation sort") {
     // FLAC / MP4 / GIF decode are mapPartitions over the binary
     // column; the only exchange allowed is the final orderBy — a
     // second one would mean blob bytes moved between executors
-    Seq("q144_flac_decode", "q145_mp4_moov", "q146_gif_frames").foreach { q =>
+    Seq("q144_flac_decode", "q145_mp4_moov", "q146_gif_frames",
+        "q147_avi_frames", "q148_flac_pcm").foreach { q =>
       val p = plan(q)
       val exchanges = "Exchange".r.findAllIn(p).length
       assert(exchanges <= 1, s"$q: codec decode should not shuffle:\n$p")
@@ -263,6 +264,34 @@ class PlanAuditSpec extends SparkSpec {
       if (!bnljOk(name))
         assert(!p.contains("BroadcastNestedLoopJoin"),
           s"$name plans a nested loop join:\n$p")
+    }
+  }
+
+  test("q101/q121/q125: iterative-graph supersteps plan clean on every path") {
+    // r10 VERDICT #7: the superstep loops need the same gate q106
+    // has. Default path for the PageRank pair is the driver kernel
+    // (parallelize + sort — trivially clean); force the DISTRIBUTED
+    // superstep paths and assert no cartesian / nested-loop join and
+    // no window sneaks into any round's plan. q125 (label
+    // propagation) has no kernel and is audited as planned.
+    def audit(name: String): Unit = {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$name: superstep must stay equi-join:\n$p")
+      assert(!p.contains("Window"), s"$name: no window belongs here:\n$p")
+    }
+    audit("q125_label_propagation")
+    // distributed small (cache) path, then checkpoint (large) path
+    spark.conf.set("spark.graft.graph.driverGraphBytes", "0")
+    try {
+      Seq("q101_pagerank", "q121_personalized_pagerank").foreach(audit)
+      spark.conf.set("spark.graft.graph.smallGraphBytes", "0")
+      Seq("q101_pagerank", "q121_personalized_pagerank", "q125_label_propagation")
+        .foreach(audit)
+    } finally {
+      spark.conf.unset("spark.graft.graph.driverGraphBytes")
+      spark.conf.unset("spark.graft.graph.smallGraphBytes")
     }
   }
 }
