@@ -79,16 +79,19 @@ object Ingest {
     * `Time: double (relative s)` + one double column per axis with
     * the un-sanitized names (`A_x [g]`…).
     *
-    * @param blocksPerSplit packets per task; default ≈6 MB of int16
-    *   3-axis data per task at samples_per_ts=1000 — enough tasks to
-    *   saturate a 32-core local run on a 100 MB file, ~16k tasks for
-    *   a 100 GB file (well inside scheduler comfort).
+    * @param blocksPerSplit packets per task; default ≈3 MB of int16
+    *   3-axis data per task at samples_per_ts=1000. The r10 default
+    *   (1000 blocks ≈ 6 MB) yielded only 16 tasks on the 96 MB
+    *   benchmark fixture — half a 32-core box idle through decode AND
+    *   the parquet write that pipelines behind it, the largest single
+    *   cost of the ingest path. 500 blocks ⇒ 32 tasks there, ~33k
+    *   tasks for a 100 GB file (well inside scheduler comfort).
     */
   def decodeDat(
       spark: SparkSession,
       datPath: String,
       cfg: ComponentConfig,
-      blocksPerSplit: Int = 1000): DataFrame = {
+      blocksPerSplit: Int = 500): DataFrame = {
     val p = new Path(datPath)
     val hconf = spark.sparkContext.hadoopConfiguration
     val fs = p.getFileSystem(hconf)

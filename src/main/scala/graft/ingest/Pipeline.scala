@@ -67,8 +67,20 @@ object Pipeline {
     val enrichedOnDisk = spark.read
       .option("basePath", s"$outDir/data_parquet")
       .parquet(s"$outDir/data_parquet/alias=${meta.device.alias}")
+    // sensor physics bounds |v| at max raw code × sensitivity for
+    // integer payloads — unlocks Rms.compute's long-sum fast path
+    // (float payloads are unbounded → None keeps the decimal path)
+    val maxAbs: Option[Double] = cfg.dataType match {
+      case "int8" => Some(128.0 * cfg.sensitivity.abs)
+      case "uint8" => Some(255.0 * cfg.sensitivity.abs)
+      case "int16" => Some(32768.0 * cfg.sensitivity.abs)
+      case "uint16" => Some(65535.0 * cfg.sensitivity.abs)
+      case "int32" => Some(2147483648.0 * cfg.sensitivity.abs)
+      case "uint32" => Some(4294967295.0 * cfg.sensitivity.abs)
+      case _ => None
+    }
     val rms = Rms.compute(enrichedOnDisk, axes, windowNs, completeness,
-        alias = meta.device.alias)
+        alias = meta.device.alias, maxAbs = maxAbs)
       .persist() // 1 row/s/device — tiny; reused by the guard + sink
     // empty-result guard (reference `main.py:154-156`)
     val rmsOut =

@@ -145,4 +145,33 @@ class PipelineSpec extends SparkSpec {
     assert(one.count() == many.count())
     assert(one.exceptAll(many).isEmpty && many.exceptAll(one).isEmpty)
   }
+
+  test("Rms long-sum fast path is bit-identical to the decimal path") {
+    // bounded sensor-like doubles + NaN holes; 27 windows; the two
+    // paths must agree on EVERY output bit (Quantize8's per-row
+    // values equal the decimal cast's, and sums of scale-8 decimals
+    // are the same integers either way)
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val rows = (0 until 50000).map { i =>
+      val t = 1700000000000000000L + i.toLong * 37000000L
+      val v = if (i % 997 == 0) Double.NaN else (rnd.nextDouble() - 0.5) * 32.0
+      (t, v, -v, v * 0.5)
+    }
+    val df = rows.toDF("Time", "A_x_g", "A_y_g", "A_z_g")
+    val axes = Seq("A_x_g", "A_y_g", "A_z_g")
+    val slow = graft.analytics.Rms.compute(df, axes, alias = "t")
+      .orderBy("Time").collect().toSeq
+    val fast = graft.analytics.Rms.compute(df, axes, alias = "t",
+        maxAbs = Some(16.0))
+      .orderBy("Time").collect().toSeq
+    assert(slow.nonEmpty)
+    assert(fast == slow)
+    // an unusable bound (too large for the long headroom) must keep
+    // the decimal path and still agree
+    val wide = graft.analytics.Rms.compute(df, axes, alias = "t",
+        maxAbs = Some(1e6))
+      .orderBy("Time").collect().toSeq
+    assert(wide == slow)
+  }
 }
