@@ -225,6 +225,35 @@ object Graph {
   private def fusedAdjFloor(df: DataFrame): Long =
     confLong(df, "spark.graft.graph.fusedAdjFloor", 1000000L)
 
+  /** Sampled hub probe for UNDECLARED hub risk on the LARGE path
+    * (ADVICE r10): the fused prep assembles full neighbor arrays
+    * before the true max degree is known, so a hub-skewed graph whose
+    * caller left `maxAdjDegree` at the default would pay (and possibly
+    * blow task memory on) hub-array assembly that the measured degree
+    * would have routed to the wedge fallback. Before the fused build
+    * runs on a graph past the small-stats gate, Bernoulli-sample the
+    * canonical edges (seeded — the route is deterministic given a
+    * fixed partitioning, and BOTH routes are result-identical per
+    * GraphSpec, so routing may depend on layout but results never do)
+    * and estimate maxDeg as maxSampleDeg / f: a true degree-d hub
+    * samples Binomial(d, f), so at the default f = 1% a cap-sized
+    * (1e6) hub concentrates at 10 000 ± ~100 sampled neighbors —
+    * detection is essentially certain, and the ×2 safety margin below
+    * absorbs the tail. Cost: one scan + a 1%-sized shuffle, only on
+    * graphs big enough (> `smallGraphBytes`) to hold a dangerous hub
+    * at all — the small path skips it because a ≤128 MiB edge list
+    * cannot contain a neighbor array past ~4M longs (32 MB, well
+    * inside a task). */
+  private[graft] def sampledHubRisk(
+      canon: DataFrame, cap: Long, fraction: Double = 0.01): Boolean = {
+    val maxRow = canon.sample(withReplacement = false, fraction, seed = 20740)
+      .select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+      .agg(max(col("d"))).head()
+    val maxSampleDeg = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+    maxSampleDeg / fraction >= cap / 2.0
+  }
+
   /** Per-node triangle counts. Two strategies behind one contract,
     * auto-selected on the graph's MAX DEGREE:
     *
@@ -284,7 +313,11 @@ object Graph {
         least(col(srcCol), col(dstCol)).cast(LongType).as("a"),
         greatest(col(srcCol), col(dstCol)).cast(LongType).as("b"))
       .where(col("a") =!= col("b"))
-    if (maxAdjDegree >= fusedAdjFloor(edges))
+    // Fused is the default; an undeclared hub graph past the small
+    // gate is demoted to the conservative two-pass prep when the
+    // sampled probe estimates a hub near the adjacency cap.
+    if (maxAdjDegree >= fusedAdjFloor(edges) &&
+        (p.small || !sampledHubRisk(canon0, maxAdjDegree)))
       fusedTriangles(canon0, p, maxAdjDegree, broadcastEdgeLimit)
     else conservativeTriangles(canon0, p, maxAdjDegree, broadcastEdgeLimit)
   }

@@ -138,6 +138,44 @@ class GraphSpec extends SparkSpec {
     assert(fused.nonEmpty)
   }
 
+  test("sampledHubRisk flags an over-cap hub and clears a bounded-degree graph") {
+    // star: node 0 has degree 10 000 — at full sampling (f=1) the
+    // probe sees the exact degree, so caps at/below 20 000 flag risk
+    // and caps far above clear it (the ×2 margin sits in between)
+    val star = (1L to 10000L).map(d => (0L, d)).toDF("a", "b")
+    assert(Graph.sampledHubRisk(star, cap = 10000L, fraction = 1.0))
+    assert(!Graph.sampledHubRisk(star, cap = 1000000L, fraction = 1.0))
+    // Bernoulli concentration at the default-style fraction: a 10k hub
+    // sampled at 10% reads ~1000 ± ~30 → estimate ~10k, flags cap 10k
+    assert(Graph.sampledHubRisk(star, cap = 10000L, fraction = 0.1))
+    // bounded-degree graph (cycle, deg 2) never flags
+    val cycle = (0L until 5000L).map(i => (i, (i + 1) % 5000L)).toDF("a", "b")
+    assert(!Graph.sampledHubRisk(cycle, cap = 100L, fraction = 1.0))
+    // end-to-end: a hub graph forced past the small-stats gate with
+    // the fused floor lowered, so the PROBE (not the cap-vs-floor
+    // gate) decides the route — whichever way it routes, counts must
+    // equal the default small-path result
+    spark.conf.set("spark.graft.graph.smallGraphBytes", "0")
+    spark.conf.set("spark.graft.graph.fusedAdjFloor", "0")
+    try {
+      val rnd = new scala.util.Random(29)
+      val hubby = ((1L to 300L).map(d => (0L, d)) ++ (0 until 150).map(_ =>
+        (1L + rnd.nextInt(40).toLong, 1L + rnd.nextInt(40).toLong)))
+        .toDF("a", "b")
+      val probed = Graph.triangleCounts(hubby, "a", "b", maxAdjDegree = 100L)
+        .orderBy("node").collect().toSeq.map(_.toSeq)
+      spark.conf.unset("spark.graft.graph.smallGraphBytes")
+      spark.conf.unset("spark.graft.graph.fusedAdjFloor")
+      val default = Graph.triangleCounts(hubby, "a", "b")
+        .orderBy("node").collect().toSeq.map(_.toSeq)
+      assert(probed == default)
+      assert(probed.nonEmpty)
+    } finally {
+      spark.conf.unset("spark.graft.graph.smallGraphBytes")
+      spark.conf.unset("spark.graft.graph.fusedAdjFloor")
+    }
+  }
+
   test("triangleCounts small path plans broadcast joins only (stats-blind cache regression)") {
     // the r8→r9 regression: cached prep left the planner stats-blind
     // and the edge⋈adjacency joins silently fell back to sort-merge
