@@ -1059,6 +1059,45 @@ object ExtQueries4 {
          true AS valid
        FROM base ORDER BY id"""
 
+  // ---------------------------------------------------------------
+  // q149 — FLAC LPC PCM decode (RFC 9639 §9.2.4): 44 streams whose
+  // every frame is an LPC subframe — orders 1-8, quantized 12-bit
+  // coefficients, shifts 1-4, partitioned Rice residuals in both
+  // parameter widths with escaped raw partitions — decoded sample by
+  // sample through the real predictor recurrence. The fixture's
+  // TARGET signal keeps q148's ramp-plus-wiggle law, so value_sum
+  // replays closed-form no matter which predictor coded it (the
+  // residuals, not the law, change per frame). Closes the r10
+  // "missing" item 2 (LPC subframes flagged instead of decoding).
+  private val FlacLpcN = 44
+
+  def q149(s: SparkSession, dir: String): DataFrame = {
+    val fx = graft.operators.Multimodal.flacLpcFixture(s, FlacLpcN)
+    graft.operators.Multimodal.decodeFlacPcm(fx, "id", "media")
+      .select(col("id"), col("sample_rate"), col("channels"), col("bps"),
+        col("n_frames"), col("total_samples"), col("value_sum"),
+        col("valid"))
+      .orderBy("id")
+  }
+
+  val q149Sql: String =
+    s"""WITH base AS (SELECT r, r % 3 AS ri, 1 + r % 2 AS ch,
+           2 + r % 4 AS nf
+         FROM range(0, $FlacLpcN) t(r))
+       SELECT r AS id,
+         CAST(CASE ri WHEN 0 THEN 32000 WHEN 1 THEN 44100
+              ELSE 48000 END AS INT) AS sample_rate,
+         CAST(ch AS INT) AS channels, CAST(16 AS INT) AS bps,
+         CAST(nf AS INT) AS n_frames,
+         CAST(nf * 4096 AS BIGINT) AS total_samples,
+         CAST(ch * list_sum([
+             4096 * ((r * 31 + f * 17) % 50 - 25)
+             + 8386560 * ((r * 13 + f * 7) % 7 - 3)
+             + 2048 * ((r + f) % 4)
+           FOR f IN range(0, nf)]) AS BIGINT) AS value_sum,
+         true AS valid
+       FROM base ORDER BY id"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q125_label_propagation" -> (q125 _),
     "q126_pmi_cooccur" -> (q126 _),
@@ -1083,7 +1122,8 @@ object ExtQueries4 {
     "q145_mp4_moov" -> (q145 _),
     "q146_gif_frames" -> (q146 _),
     "q147_avi_frames" -> (q147 _),
-    "q148_flac_pcm" -> (q148 _))
+    "q148_flac_pcm" -> (q148 _),
+    "q149_flac_lpc" -> (q149 _))
 
   val oracles: Map[String, String] = Map(
     "q125_label_propagation" -> q125Sql,
@@ -1109,5 +1149,6 @@ object ExtQueries4 {
     "q145_mp4_moov" -> q145Sql,
     "q146_gif_frames" -> q146Sql,
     "q147_avi_frames" -> q147Sql,
-    "q148_flac_pcm" -> q148Sql)
+    "q148_flac_pcm" -> q148Sql,
+    "q149_flac_lpc" -> q149Sql)
 }

@@ -96,6 +96,23 @@ object MultimodalPropertySpec extends Properties("MultimodalCodecs") {
           refSumPred(seed, nf, ch)))
     }
 
+  // the LPC fixture's value_sum law is predictor-independent (the
+  // ramp-plus-wiggle target never has the CONSTANT special case)
+  private def refSumLpc(seed: Long, nf: Int, ch: Int): Long =
+    (0 until nf).map { f =>
+      4096L * ((seed * 31 + f * 17) % 50 - 25) +
+        8386560L * ((seed * 13 + f * 7) % 7 - 3) +
+        2048L * ((seed + f) % 4)
+    }.sum * ch
+
+  property("flac PCM decode(encodeLpc(params)) reconstructs every sample") =
+    Prop.forAll(flacPredParams) { case (rc, ch, nf, seed) =>
+      val b = Multimodal.encodeFlacLpc(rc, ch, nf, seed)
+      Multimodal.parseFlacPcm(b).contains(
+        (flacRates(rc), ch, 16, nf, nf.toLong * 4096,
+          refSumLpc(seed, nf, ch)))
+    }
+
   property("flac PCM agrees with the catalog parser on constant streams (x4096)") =
     Prop.forAll(flacParams) { case (rc, ch, bps, nf, seed) =>
       val b = Multimodal.encodeFlac(rc, ch, bps, nf, seed)

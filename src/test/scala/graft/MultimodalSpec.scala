@@ -347,7 +347,7 @@ class MultimodalSpec extends SparkSpec {
       4096L * c0 + 8386560L * c1 + 2048L * d
     }.sum * ch
 
-  test("flac PCM: fixed-predictor/verbatim/constant decode — every sample reconstructs, LPC rejects") {
+  test("flac PCM: fixed-predictor/verbatim/constant decode — every sample reconstructs") {
     import graft.operators.Multimodal
     // one stream covering all 7 subframe types (seed 0, 7 frames)
     val all7 = Multimodal.encodeFlacPred(9, 2, 7, 0L)
@@ -365,16 +365,18 @@ class MultimodalSpec extends SparkSpec {
       (44100, 2, 16, 4, 4L * 4096, 4096L * refConst(5L, 4, 2))))
     assert(Multimodal.parseFlac(const).contains(
       (44100, 2, 16, 4, 4L * 4096, refConst(5L, 4, 2))))
-    // LPC subframe (type 0x20 = order-1 LPC, header byte 0x40)
-    // rejects even with a VALID recomputed frame CRC-16: the frame
-    // here is a 1-frame mono 8-bit constant stream, 10 bytes
+    // a constant frame RELABELED as LPC order 1 (header byte 0x40,
+    // CRC-16 recomputed valid) is structurally garbage as LPC — the
+    // decoder runs out of bits mid-subframe and rejects rather than
+    // guessing (real LPC decode is covered by its own test below)
     val lpc = Multimodal.encodeFlac(8, 1, 8, 1, 3L).clone()
     val f0 = 4 + 4 + 34
     lpc(f0 + 6) = 0x40.toByte // subframe header: LPC order 1
     val crc = Multimodal.flacCrc16(lpc, f0, lpc.length - 2)
     lpc(lpc.length - 2) = (crc >> 8).toByte
     lpc(lpc.length - 1) = crc.toByte
-    assert(Multimodal.parseFlacPcm(lpc).isEmpty, "LPC must reject")
+    assert(Multimodal.parseFlacPcm(lpc).isEmpty,
+      "truncated-as-LPC must reject")
     // structural damage: truncation and trailing garbage reject
     assert(Multimodal.parseFlacPcm(all7.dropRight(1)).isEmpty)
     assert(Multimodal.parseFlacPcm(all7 ++ Array[Byte](0)).isEmpty)
@@ -397,5 +399,97 @@ class MultimodalSpec extends SparkSpec {
     assert(r3.getAs[Int]("channels") == 2)
     assert(r3.getAs[Int]("n_frames") == 5)
     assert(r3.getAs[Long]("value_sum") == refSumPred(3L, 5, 2))
+  }
+
+  /** Closed-form sample sum for the LPC FLAC fixture (the full
+    * ramp-plus-wiggle law, no CONSTANT special case). */
+  private def refSumLpc(seed: Long, nf: Int, ch: Int): Long =
+    (0 until nf).map { f =>
+      4096L * ((seed * 31 + f * 17) % 50 - 25) +
+        8386560L * ((seed * 13 + f * 7) % 7 - 3) +
+        2048L * ((seed + f) % 4)
+    }.sum * ch
+
+  /** Single-frame mono/16-bit/44100 FLAC stream with CALLER-SUPPLIED
+    * subframe bits — valid outer framing (CRC-8/CRC-16/pad), so a
+    * reject is attributable to the subframe payload, not the
+    * envelope. Bits are (value, width) MSB-first. */
+  private def craftedFlacFrame(subframeBits: Seq[(Long, Int)]): Array[Byte] = {
+    val bits = scala.collection.mutable.ArrayBuffer.empty[Boolean]
+    def put(v: Long, n: Int): Unit =
+      (n - 1 to 0 by -1).foreach(i => bits += ((v >>> i) & 1L) != 0L)
+    Seq(0xffL -> 8, 0xf8L -> 8, ((12 << 4) | 9).toLong -> 8,
+      (4 << 1).toLong -> 8, 0L -> 8).foreach { case (v, n) => put(v, n) }
+    // crc8 over the 5 header bytes
+    val hdr = new Array[Byte](5)
+    bits.zipWithIndex.foreach { case (b, i) =>
+      if (b) hdr(i / 8) = (hdr(i / 8) | (0x80 >>> (i % 8))).toByte }
+    put(graft.operators.Multimodal.flacCrc8(hdr, 0, 5).toLong, 8)
+    subframeBits.foreach { case (v, n) => put(v, n) }
+    while (bits.length % 8 != 0) bits += false
+    val frame = new Array[Byte](bits.length / 8)
+    bits.zipWithIndex.foreach { case (b, i) =>
+      if (b) frame(i / 8) = (frame(i / 8) | (0x80 >>> (i % 8))).toByte }
+    val crc16 = graft.operators.Multimodal.flacCrc16(frame, 0, frame.length)
+    val out = java.nio.ByteBuffer.allocate(42 + frame.length + 2)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    out.put("fLaC".getBytes("ASCII"))
+    out.put(0x80.toByte).put(0.toByte).put(0.toByte).put(34.toByte)
+    out.putShort(4096.toShort).putShort(4096.toShort)
+    out.put(new Array[Byte](6))
+    out.putLong((44100L << 44) | (0L << 41) | (15L << 36) | 4096L)
+    out.put(new Array[Byte](16))
+    out.put(frame)
+    out.putShort(crc16.toShort)
+    out.array()
+  }
+
+  test("flac PCM: LPC subframes decode bit-exactly; illegal predictor specs reject") {
+    import graft.operators.Multimodal
+    // 10 frames sweep orders 1-8, shifts 1-4, both Rice parameter
+    // widths, partition orders 0-2 and two escaped-raw frames
+    val st = Multimodal.encodeFlacLpc(9, 2, 10, 0L)
+    assert(Multimodal.parseFlacPcm(st).contains(
+      (44100, 2, 16, 10, 10L * 4096, refSumLpc(0L, 10, 2))))
+    assert(Multimodal.parseFlacPcm(Multimodal.encodeFlacLpc(8, 1, 7, 23L))
+      .contains((32000, 1, 16, 7, 7L * 4096, refSumLpc(23L, 7, 1))))
+    // structural damage rejects
+    assert(Multimodal.parseFlacPcm(st.dropRight(1)).isEmpty)
+    assert(Multimodal.parseFlacPcm(st ++ Array[Byte](0)).isEmpty)
+    var pos = 42
+    while (pos < st.length) {
+      val c = st.clone(); c(pos) = (c(pos) ^ 0x41).toByte
+      assert(Multimodal.parseFlacPcm(c).isEmpty, s"flip at byte $pos parsed")
+      pos += 7
+    }
+    // crafted illegal predictor specs, each in a CRC-valid envelope:
+    // LPC order 1 (subframe header (0x20|0)<<1 = 0x40), one 16-bit
+    // warm-up sample, then the offending field
+    val warmup = Seq(0x40L -> 8, 0L -> 16)
+    // precision code 0b1111 is forbidden (RFC 9639 §9.2.4)
+    assert(Multimodal.parseFlacPcm(craftedFlacFrame(
+      warmup ++ Seq(15L -> 4, 1L -> 5, 0L -> 12))).isEmpty)
+    // negative shift (5-bit two's complement -1) is spec-forbidden
+    assert(Multimodal.parseFlacPcm(craftedFlacFrame(
+      warmup ++ Seq(11L -> 4, 0x1fL -> 5, 0L -> 12))).isEmpty)
+    // reserved residual method 0b10
+    assert(Multimodal.parseFlacPcm(craftedFlacFrame(
+      warmup ++ Seq(11L -> 4, 1L -> 5, 4L -> 12, 2L -> 2))).isEmpty)
+    // partition order that leaves the first partition non-positive:
+    // order 8 LPC with bs >> po = 8 ≤ 8 (po = 9)
+    val warm8 = Seq(((0x20L | 7L) << 1, 8)) ++ (0 until 8).map(_ => 0L -> 16)
+    assert(Multimodal.parseFlacPcm(craftedFlacFrame(
+      warm8 ++ Seq(11L -> 4, 1L -> 5) ++ (0 until 8).map(_ => 4L -> 12) ++
+        Seq(0L -> 2, 9L -> 4, 3L -> 4))).isEmpty)
+    // the registry fixture end-to-end
+    val rows = Multimodal.decodeFlacPcm(
+        Multimodal.flacLpcFixture(spark, 8), "id", "media")
+      .orderBy("id").collect()
+    assert(rows.forall(_.getAs[Boolean]("valid")))
+    val r5 = rows(5) // id 5: rate 48000, ch 2, nf 3
+    assert(r5.getAs[Int]("sample_rate") == 48000)
+    assert(r5.getAs[Int]("channels") == 2)
+    assert(r5.getAs[Int]("n_frames") == 3)
+    assert(r5.getAs[Long]("value_sum") == refSumLpc(5L, 3, 2))
   }
 }
