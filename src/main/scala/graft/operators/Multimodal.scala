@@ -419,9 +419,11 @@ object Multimodal {
   // extends the honest decode surface per r10 VERDICT #5 (fixed,
   // q148) and the r10 "missing" list item 2 (LPC, q149) — value_sum
   // is the sum of EVERY decoded sample (a constant frame contributes
-  // 4096·v). Still rejected, never guessed: stereo decorrelation
-  // (left/side channel assignments), wasted bits, variable block
-  // size, reserved residual methods.
+  // 4096·v). Stereo decorrelation (left/side, right/side, mid/side
+  // channel assignments, one-bit-wider side subframes) and wasted
+  // bits decode for real too (q150). Still rejected, never guessed:
+  // variable block size, reserved residual methods, reserved
+  // subframe/channel codes.
 
   /** MSB-first bit writer over a growable frame buffer; exposes the
     * written bytes so FLAC's CRCs can run over the exact stream. */
@@ -580,9 +582,11 @@ object Multimodal {
     * LPC up to order 32 (§9.2.4: per-subframe coefficient precision,
     * signed coefficients, arithmetic-shift division) — with
     * partitioned Rice residuals (§9.2.7: both 4- and 5-bit parameter
-    * widths, any legal partition order, escaped raw partitions).
-    * Stereo-decorrelated channel assignments, wasted bits and
-    * reserved codes reject — unsupported-not-guessed. Returns
+    * widths, any legal partition order, escaped raw partitions),
+    * stereo decorrelation (§9.1.3: left/side, right/side, mid/side
+    * with the one-bit-wider side subframe) and wasted bits (§9.2.1).
+    * Variable block size and reserved codes reject —
+    * unsupported-not-guessed. Returns
     * (sampleRate, channels, bps, nFrames, totalSamples, pcmSum). */
   private[graft] def parseFlacPcm(b: Array[Byte])
       : Option[(Int, Int, Int, Int, Long, Long)] = {
@@ -624,23 +628,36 @@ object Multimodal {
         if (!FlacRates.get(b(off + 2) & 0x0f).contains(rate)) return None
         val chAssign = (b(off + 3) & 0xff) >> 4
         val bpsCode = (b(off + 3) & 0x0f) >> 1
-        if (chAssign != channels - 1) return None
+        // 0-7: chAssign+1 independent channels; 8/9/10: left/side,
+        // right/side, mid/side stereo decorrelation (§9.1.3 — the
+        // SIDE subframe carries one extra bit); 11-15: reserved
+        val stereoMode = chAssign - 8
+        if (chAssign <= 7) { if (chAssign != channels - 1) return None }
+        else if (chAssign > 10 || channels != 2) return None
         if ((bpsCode == 1 && bps != 8) || (bpsCode == 4 && bps != 16)) return None
         if (bpsCode != 1 && bpsCode != 4) return None
         if ((b(off + 4) & 0x80) != 0) return None
         if ((b(off + 4) & 0x7f) != nFrames) return None
         if ((b(off + 5) & 0xff) != flacCrc8(b, start, off + 5)) return None
         val br = new FlacBitReader(b, off + 6, b.length)
-        var c = 0
-        while (c < channels) {
+        // One subframe at `effBps` bits → the decoded sample array,
+        // or null on any structural/reserved-code violation. Wasted
+        // bits (§9.2.1: header flag + unary k-1) narrow the coded
+        // width and shift the decoded samples back up.
+        def decodeSub(effBps: Int): Array[Int] = {
           val hdr = br.readBits(8).toInt
-          if ((hdr & 0x80) != 0 || (hdr & 1) != 0) return None // reserved | wasted bits
+          if ((hdr & 0x80) != 0) return null // reserved bit
+          var wasted = 0
+          if ((hdr & 1) != 0) wasted = br.readUnary() + 1
+          val w = effBps - wasted
+          if (w <= 0) return null
           val typ = (hdr >> 1) & 0x3f
+          val s = new Array[Int](bs)
           if (typ == 0) {
-            pcmSum += br.readSigned(bps).toLong * bs
+            java.util.Arrays.fill(s, br.readSigned(w))
           } else if (typ == 1) {
             var i = 0
-            while (i < bs) { pcmSum += br.readSigned(bps); i += 1 }
+            while (i < bs) { s(i) = br.readSigned(w); i += 1 }
           } else if ((typ >= 8 && typ <= 12) || typ >= 32) {
             // FIXED order 0-4 (RFC 9639 §9.2.2) or LPC order 1-32
             // (§9.2.4): both are [warm-up][predictor spec][coded
@@ -648,18 +665,17 @@ object Multimodal {
             // (LPC reaches back up to 32 samples).
             val isLpc = typ >= 32
             val o = if (isLpc) typ - 31 else typ - 8
-            val s = new Array[Int](bs)
             var i = 0
-            while (i < o) { s(i) = br.readSigned(bps); i += 1 }
+            while (i < o) { s(i) = br.readSigned(w); i += 1 }
             var shift = 0
             var coefs: Array[Long] = null
             if (isLpc) {
               val precM1 = br.readBits(4).toInt
-              if (precM1 == 15) return None // 0b1111: forbidden (§9.2.4)
+              if (precM1 == 15) return null // 0b1111: forbidden (§9.2.4)
               val prec = precM1 + 1
               val shRaw = br.readBits(5)
               shift = ((shRaw << 59) >> 59).toInt // 5-bit sign extend
-              if (shift < 0) return None // negative shift: spec-forbidden
+              if (shift < 0) return null // negative shift: spec-forbidden
               coefs = new Array[Long](o)
               var j = 0
               while (j < o) {
@@ -672,12 +688,12 @@ object Multimodal {
             // samples; per-partition parameter, all-ones = escape to
             // raw `rawBits`-wide residuals (rawBits 0 → all zero).
             val method = br.readBits(2).toInt
-            if (method > 1) return None // 0b1x: reserved
+            if (method > 1) return null // 0b1x: reserved
             val kBits = 4 + method
             val escape = (1 << kBits) - 1
             val po = br.readBits(4).toInt
             val nPart = 1 << po
-            if (bs % nPart != 0 || (bs >> po) <= o) return None // §9.2.7
+            if (bs % nPart != 0 || (bs >> po) <= o) return null // §9.2.7
             var part = 0
             while (part < nPart) {
               val k = br.readBits(kBits).toInt
@@ -713,10 +729,42 @@ object Multimodal {
               }
               part += 1
             }
-            i = 0
+          } else return null // reserved subframe types: reject
+          if (wasted > 0) {
+            var i = 0
+            while (i < bs) { s(i) = s(i) << wasted; i += 1 }
+          }
+          s
+        }
+        if (stereoMode < 0) {
+          var c = 0
+          while (c < channels) {
+            val s = decodeSub(bps)
+            if (s == null) return None
+            var i = 0
             while (i < bs) { pcmSum += s(i); i += 1 }
-          } else return None // reserved subframe types: reject
-          c += 1
+            c += 1
+          }
+        } else {
+          // the SIDE subframe is coded one bit wider (§9.1.3):
+          // mode 0 = left/side, 1 = right/side (side FIRST), 2 = mid/side
+          val s0 = decodeSub(if (stereoMode == 1) bps + 1 else bps)
+          if (s0 == null) return None
+          val s1 = decodeSub(if (stereoMode == 1) bps else bps + 1)
+          if (s1 == null) return None
+          var i = 0
+          while (i < bs) {
+            if (stereoMode == 0) { // left + side → right = left - side
+              pcmSum += s0(i); pcmSum += s0(i) - s1(i)
+            } else if (stereoMode == 1) { // side + right → left = right + side
+              pcmSum += s1(i) + s0(i); pcmSum += s1(i)
+            } else { // mid + side: L+R = (mid<<1)|(side&1), L-R = side
+              val m2 = (s0(i) << 1) | (s1(i) & 1)
+              pcmSum += (m2 + s1(i)) >> 1
+              pcmSum += (m2 - s1(i)) >> 1
+            }
+            i += 1
+          }
         }
         br.alignByteZero()
         val end = br.bytePos
@@ -847,6 +895,122 @@ object Multimodal {
   def flacLpcFixture(spark: SparkSession, n: Int): DataFrame = {
     val rows = (0 until n).map { i =>
       Row(i.toLong, encodeFlacLpc(8 + i % 3, 1 + i % 2, 2 + i % 4, i.toLong))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4),
+      StructType(Seq(
+        StructField("id", LongType, false),
+        StructField("media", BinaryType, true))))
+  }
+
+  /** Stereo-decorrelated FLAC stream (2 channels, bps 16): frame `f`
+    * cycles the channel assignment by `f mod 4` — independent,
+    * left/side, right/side, mid/side (RFC 9639 §9.1.3) — over the
+    * closed-form channel laws
+    *   L[i] = (a0 + a1·i + da·(i mod 2)) · 2^w
+    *   R[i] =  b0 + b1·i + db·(i mod 2)
+    * with a0 = (seed·31 + f·17) mod 50 − 25, a1 = (seed·13 + f·7) mod 3 − 1,
+    *      da = (seed + f) mod 4, b0 = (seed·19 + f·23) mod 50 − 25,
+    *      b1 = (seed·11 + f·5) mod 7 − 3, db = (seed + 2f) mod 4, and
+    *      w = (seed + f) mod 3 on the independent and left/side frames
+    *      (0 otherwise) — `w` wasted bits are ENCODED on the first
+    * subframe of those frames (samples written >> w at bps − w, flag +
+    * unary k−1 in the subframe header). Σ(L+R) per frame is
+    *   2^w·(4096·a0 + 8386560·a1 + 2048·da)
+    *      + 4096·b0 + 8386560·b1 + 2048·db,
+    * SQL-replayable. Subframes are FIXED order 2 (k=5 Rice), except
+    * the second subframe goes VERBATIM when (seed + f) mod 5 = 0 —
+    * exercising 17-bit verbatim side channels. */
+  def encodeFlacStereo(rateCode: Int, nFrames: Int,
+      seed: Long): Array[Byte] = {
+    require(FlacRates.contains(rateCode), s"rateCode $rateCode")
+    require(nFrames >= 1 && nFrames <= 127,
+      s"nFrames $nFrames (single-byte UTF-8 frame numbers)")
+    val bps = 16
+    val bs = FlacBlockSize
+    val rate = FlacRates(rateCode)
+    val frames = (0 until nFrames).map { f =>
+      val a0 = ((seed * 31 + f * 17) % 50 - 25).toInt
+      val a1 = ((seed * 13 + f * 7) % 3 - 1).toInt
+      val da = ((seed + f) % 4).toInt
+      val b0 = ((seed * 19 + f * 23) % 50 - 25).toInt
+      val b1 = ((seed * 11 + f * 5) % 7 - 3).toInt
+      val db = ((seed + 2 * f) % 4).toInt
+      val mode = f % 4 // 0 indep, 1 left/side, 2 right/side, 3 mid/side
+      val w = if (mode <= 1) ((seed + f) % 3).toInt else 0
+      def L(i: Int): Int = (a0 + a1 * i + da * (i % 2)) << w
+      def R(i: Int): Int = b0 + b1 * i + db * (i % 2)
+      val chAssign = if (mode == 0) 1 else 7 + mode
+      val verb1 = (seed + f) % 5 == 0
+      val bw = new FlacBitWriter(64 + 2 * bs * 4)
+      bw.writeBits(0xff, 8); bw.writeBits(0xf8, 8)
+      bw.writeBits((12 << 4) | rateCode, 8)
+      bw.writeBits((chAssign << 4) | (4 << 1), 8)
+      bw.writeBits(f.toLong, 8)
+      bw.writeBits(flacCrc8(bw.bytes, 0, bw.byteLength).toLong, 8)
+      // subframe payloads per assignment; the side channel is L-R
+      val (v0, e0, w0) = mode match {
+        case 0 => (Array.tabulate(bs)(L), bps, w)
+        case 1 => (Array.tabulate(bs)(L), bps, w)
+        case 2 => (Array.tabulate(bs)(i => L(i) - R(i)), bps + 1, 0)
+        case _ => (Array.tabulate(bs)(i => (L(i) + R(i)) >> 1), bps, 0)
+      }
+      val (v1, e1) = mode match {
+        case 0 | 2 => (Array.tabulate(bs)(R), bps)
+        case _ => (Array.tabulate(bs)(i => L(i) - R(i)), bps + 1)
+      }
+      def writeSub(vals: Array[Int], effBps: Int, wasted: Int,
+          verbatim: Boolean): Unit = {
+        val vs = if (wasted > 0) vals.map(_ >> wasted) else vals
+        val b2 = effBps - wasted
+        val mask = (1L << b2) - 1
+        val typ = if (verbatim) 1 else 10 // VERBATIM | FIXED order 2
+        bw.writeBits(((typ << 1) | (if (wasted > 0) 1 else 0)).toLong, 8)
+        if (wasted > 0) bw.writeUnary(wasted - 1)
+        if (verbatim) vs.foreach(x => bw.writeBits(x.toLong & mask, b2))
+        else {
+          bw.writeBits(vs(0).toLong & mask, b2)
+          bw.writeBits(vs(1).toLong & mask, b2)
+          bw.writeBits(0, 2) // 4-bit Rice
+          bw.writeBits(0, 4) // partition order 0
+          val k = 5
+          bw.writeBits(k.toLong, 4)
+          var i = 2
+          while (i < bs) {
+            val e = vs(i) - 2 * vs(i - 1) + vs(i - 2)
+            val z = (e << 1) ^ (e >> 31)
+            bw.writeUnary(z >>> k)
+            bw.writeBits((z & ((1 << k) - 1)).toLong, k)
+            i += 1
+          }
+        }
+      }
+      writeSub(v0, e0, w0, verbatim = false)
+      writeSub(v1, e1, 0, verbatim = verb1)
+      bw.alignByte()
+      bw.writeBits(flacCrc16(bw.bytes, 0, bw.byteLength).toLong, 16)
+      bw.toArray
+    }
+    val total = nFrames.toLong * bs
+    val out = ByteBuffer.allocate(4 + 4 + 34 + frames.map(_.length).sum)
+      .order(ByteOrder.BIG_ENDIAN)
+    out.put("fLaC".getBytes("ASCII"))
+    out.put(0x80.toByte).put(0.toByte).put(0.toByte).put(34.toByte)
+    out.putShort(bs.toShort).putShort(bs.toShort)
+    out.put(new Array[Byte](6))
+    out.putLong((rate.toLong << 44) | (1L << 41) | ((bps - 1).toLong << 36) |
+      total)
+    out.put(new Array[Byte](16))
+    frames.foreach(out.put)
+    out.array()
+  }
+
+  /** Deterministic stereo-decorrelation fixture (see
+    * [[encodeFlacStereo]]): rate / frame count / per-frame channel
+    * assignment and both channel laws closed-form in id. */
+  def flacStereoFixture(spark: SparkSession, n: Int): DataFrame = {
+    val rows = (0 until n).map { i =>
+      Row(i.toLong, encodeFlacStereo(8 + i % 3, 2 + i % 4, i.toLong))
     }
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 4),

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.{ChangeCapture, Graph, Rolling}
 
-/** Round-7 extension queries (q125–q143): graph label propagation,
+/** Round-7+ extension queries (q125–q150): graph label propagation,
   * PMI co-occurrence, snapshot differencing (CDC feed generation),
   * rolling median/MAD robust outliers, hash dataset splits,
   * byte-exact encoding quality, market-basket top-k, Markov
@@ -1098,6 +1098,48 @@ object ExtQueries4 {
          true AS valid
        FROM base ORDER BY id"""
 
+  // ---------------------------------------------------------------
+  // q150 — FLAC stereo-decorrelation PCM decode (RFC 9639 §9.1.3):
+  // 44 two-channel streams whose frames cycle independent /
+  // left-side / right-side / mid-side channel assignments (the side
+  // subframe one bit wider), with wasted-bits subframes on the
+  // independent and left/side frames. Both channel laws are
+  // closed-form ramps, so Σ(L+R) — what the decoder must reproduce
+  // after undoing the decorrelation — replays exactly in SQL.
+  private val FlacStereoN = 44
+
+  def q150(s: SparkSession, dir: String): DataFrame = {
+    val fx = graft.operators.Multimodal.flacStereoFixture(s, FlacStereoN)
+    graft.operators.Multimodal.decodeFlacPcm(fx, "id", "media")
+      .select(col("id"), col("sample_rate"), col("channels"), col("bps"),
+        col("n_frames"), col("total_samples"), col("value_sum"),
+        col("valid"))
+      .orderBy("id")
+  }
+
+  val q150Sql: String =
+    s"""WITH base AS (SELECT r, r % 3 AS ri, 2 + r % 4 AS nf
+         FROM range(0, $FlacStereoN) t(r))
+       SELECT r AS id,
+         CAST(CASE ri WHEN 0 THEN 32000 WHEN 1 THEN 44100
+              ELSE 48000 END AS INT) AS sample_rate,
+         CAST(2 AS INT) AS channels, CAST(16 AS INT) AS bps,
+         CAST(nf AS INT) AS n_frames,
+         CAST(nf * 4096 AS BIGINT) AS total_samples,
+         CAST(list_sum([
+             (CASE WHEN f % 4 <= 1
+                THEN CASE (r + f) % 3 WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 4 END
+                ELSE 1 END)
+             * (4096 * ((r * 31 + f * 17) % 50 - 25)
+                + 8386560 * ((r * 13 + f * 7) % 3 - 1)
+                + 2048 * ((r + f) % 4))
+             + 4096 * ((r * 19 + f * 23) % 50 - 25)
+             + 8386560 * ((r * 11 + f * 5) % 7 - 3)
+             + 2048 * ((r + 2 * f) % 4)
+           FOR f IN range(0, nf)]) AS BIGINT) AS value_sum,
+         true AS valid
+       FROM base ORDER BY id"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q125_label_propagation" -> (q125 _),
     "q126_pmi_cooccur" -> (q126 _),
@@ -1123,7 +1165,8 @@ object ExtQueries4 {
     "q146_gif_frames" -> (q146 _),
     "q147_avi_frames" -> (q147 _),
     "q148_flac_pcm" -> (q148 _),
-    "q149_flac_lpc" -> (q149 _))
+    "q149_flac_lpc" -> (q149 _),
+    "q150_flac_stereo" -> (q150 _))
 
   val oracles: Map[String, String] = Map(
     "q125_label_propagation" -> q125Sql,
@@ -1150,5 +1193,6 @@ object ExtQueries4 {
     "q146_gif_frames" -> q146Sql,
     "q147_avi_frames" -> q147Sql,
     "q148_flac_pcm" -> q148Sql,
-    "q149_flac_lpc" -> q149Sql)
+    "q149_flac_lpc" -> q149Sql,
+    "q150_flac_stereo" -> q150Sql)
 }

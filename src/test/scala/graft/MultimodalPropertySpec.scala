@@ -113,6 +113,27 @@ object MultimodalPropertySpec extends Properties("MultimodalCodecs") {
           refSumLpc(seed, nf, ch)))
     }
 
+  private def refSumStereo(seed: Long, nf: Int): Long =
+    (0 until nf).map { f =>
+      val mode = f % 4
+      val w = if (mode <= 1) ((seed + f) % 3).toInt else 0
+      (1L << w) * (4096L * ((seed * 31 + f * 17) % 50 - 25) +
+        8386560L * ((seed * 13 + f * 7) % 3 - 1) +
+        2048L * ((seed + f) % 4)) +
+        4096L * ((seed * 19 + f * 23) % 50 - 25) +
+        8386560L * ((seed * 11 + f * 5) % 7 - 3) +
+        2048L * ((seed + 2 * f) % 4)
+    }.sum
+
+  property("flac PCM decode(encodeStereo(params)) undoes the decorrelation exactly") =
+    Prop.forAll(Gen.oneOf(8, 9, 10), Gen.choose(1, 16),
+        Gen.choose(0L, 1000000L)) { (rc, nf, seed) =>
+      val b = Multimodal.encodeFlacStereo(rc, nf, seed)
+      Multimodal.parseFlacPcm(b).contains(
+        (flacRates(rc), 2, 16, nf, nf.toLong * 4096,
+          refSumStereo(seed, nf)))
+    }
+
   property("flac PCM agrees with the catalog parser on constant streams (x4096)") =
     Prop.forAll(flacParams) { case (rc, ch, bps, nf, seed) =>
       val b = Multimodal.encodeFlac(rc, ch, bps, nf, seed)

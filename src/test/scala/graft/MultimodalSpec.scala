@@ -492,4 +492,63 @@ class MultimodalSpec extends SparkSpec {
     assert(r5.getAs[Int]("n_frames") == 3)
     assert(r5.getAs[Long]("value_sum") == refSumLpc(5L, 3, 2))
   }
+
+  /** Closed-form Σ(L+R) for the stereo-decorrelation fixture. */
+  private def refSumStereo(seed: Long, nf: Int): Long =
+    (0 until nf).map { f =>
+      val mode = f % 4
+      val w = if (mode <= 1) ((seed + f) % 3).toInt else 0
+      (1L << w) * (4096L * ((seed * 31 + f * 17) % 50 - 25) +
+        8386560L * ((seed * 13 + f * 7) % 3 - 1) +
+        2048L * ((seed + f) % 4)) +
+        4096L * ((seed * 19 + f * 23) % 50 - 25) +
+        8386560L * ((seed * 11 + f * 5) % 7 - 3) +
+        2048L * ((seed + 2 * f) % 4)
+    }.sum
+
+  test("flac PCM: stereo decorrelation + wasted bits decode bit-exactly") {
+    import graft.operators.Multimodal
+    // 8 frames cycle independent / left-side / right-side / mid-side
+    // twice, with wasted-bits subframes and a verbatim 17-bit side
+    val st = Multimodal.encodeFlacStereo(9, 8, 0L)
+    assert(Multimodal.parseFlacPcm(st).contains(
+      (44100, 2, 16, 8, 8L * 4096, refSumStereo(0L, 8))))
+    for (seed <- 1L to 20L; nf <- Seq(3, 5)) {
+      assert(Multimodal.parseFlacPcm(Multimodal.encodeFlacStereo(10, nf, seed))
+        .contains((48000, 2, 16, nf, nf.toLong * 4096,
+          refSumStereo(seed, nf))),
+        s"stereo round-trip failed at seed=$seed nf=$nf")
+    }
+    // structural damage rejects
+    assert(Multimodal.parseFlacPcm(st.dropRight(1)).isEmpty)
+    assert(Multimodal.parseFlacPcm(st ++ Array[Byte](0)).isEmpty)
+    var pos = 42
+    while (pos < st.length) {
+      val c = st.clone(); c(pos) = (c(pos) ^ 0x41).toByte
+      assert(Multimodal.parseFlacPcm(c).isEmpty, s"flip at byte $pos parsed")
+      pos += 7
+    }
+    // reserved channel assignment 11 rejects (header byte, CRC-8 and
+    // CRC-16 recomputed so the reject is attributable to the code)
+    val bad = st.clone()
+    bad(42 + 3) = ((11 << 4) | (4 << 1)).toByte
+    bad(42 + 5) = Multimodal.flacCrc8(bad, 42, 42 + 5).toByte
+    assert(Multimodal.parseFlacPcm(bad).isEmpty, "reserved chAssign parsed")
+    // a MONO stream with a stereo channel assignment rejects (the
+    // streaminfo channel count must match)
+    val mono = Multimodal.encodeFlacPred(9, 1, 3, 2L).clone()
+    mono(42 + 3) = ((8 << 4) | (4 << 1)).toByte
+    mono(42 + 5) = Multimodal.flacCrc8(mono, 42, 42 + 5).toByte
+    assert(Multimodal.parseFlacPcm(mono).isEmpty, "stereo-on-mono parsed")
+    // the registry fixture end-to-end
+    val rows = Multimodal.decodeFlacPcm(
+        Multimodal.flacStereoFixture(spark, 8), "id", "media")
+      .orderBy("id").collect()
+    assert(rows.forall(_.getAs[Boolean]("valid")))
+    val r4 = rows(4) // id 4: rate code 8+1 → 44100, nf 2 + 4 % 4 = 2
+    assert(r4.getAs[Int]("sample_rate") == 44100)
+    assert(r4.getAs[Int]("channels") == 2)
+    assert(r4.getAs[Int]("n_frames") == 2)
+    assert(r4.getAs[Long]("value_sum") == refSumStereo(4L, 2))
+  }
 }
