@@ -1001,9 +1001,23 @@ object Similarity extends Serializable {
     // top-k of unioned per-block top-k survivors equals the
     // unchunked answer. Lists at/below the bound keep one block —
     // the LUT-per-(query, block) amortization is unchanged there.
-    val listSizes = encoded.groupBy(col("list")).count().collect()
+    // Effective block size: the caller's maxBlockRows stays the
+    // task-memory CEILING, but when the corpus is large enough that
+    // ceiling-sized blocks would leave cores idle (nLists=16 at 200k
+    // vectors → 16 single-block scan tasks on a 32-core session,
+    // measured 265-s-median tasks at the 100× scale proof), split
+    // lists further so the scan stage has ≳4 blocks per core. The
+    // 4096-row floor keeps the per-(query, block) LUT build (m·256
+    // subspace distances) amortized over ≥4k code scans, so the
+    // extra blocks buy parallelism without LUT-bound re-work.
+    val rawSizes = encoded.groupBy(col("list")).count().collect()
+    val totalRows = rawSizes.map(_.getLong(1)).sum
+    val targetBlocks = 4L * spark.sparkContext.defaultParallelism
+    val effBlockRows = math.min(maxBlockRows.toLong,
+      math.max(4096L, totalRows / math.max(1L, targetBlocks))).toInt
+    val listSizes = rawSizes
       .map(r => Row(r.getInt(0),
-        math.max(1L, (r.getLong(1) + maxBlockRows - 1) / maxBlockRows).toInt))
+        math.max(1L, (r.getLong(1) + effBlockRows - 1) / effBlockRows).toInt))
     val nBlkDf = spark.createDataFrame(
       spark.sparkContext.parallelize(listSizes.toSeq, 1),
       StructType(Seq(StructField("list", IntegerType, false),
@@ -1012,9 +1026,18 @@ object Similarity extends Serializable {
       .groupBy(col("list"),
         pmod(xxhash64(col("id")), col("nblk")).cast("int").as("blkno"))
       .agg(collect_list(struct(col("id"), col("codes"))).as("blk"))
-      .select("list", "blk")
+      .select("list", "blkno", "blk")
 
-    // queries: normalize + nprobe nearest lists
+    // queries: normalize + nprobe nearest lists, REPLICATED per list
+    // block — the scan join below keys on (list, blkno), not list
+    // alone, so its parallelism grows with the BLOCK count (∝ corpus
+    // size / maxBlockRows) instead of capping at nLists distinct
+    // keys. At 100× corpus (200k vectors, nLists 16) the list-keyed
+    // join ran its whole 277-s-median scan on ≤16 tasks of a 32-core
+    // session; block-keyed, every core holds a bounded block. The
+    // LUT is computed per joined row either way, so the replication
+    // adds no ADC work — only (nblk-1) extra copies of each probed
+    // query vector through the exchange.
     val qAssigned = spark.createDataFrame(
       qIn.rdd.mapPartitions { it =>
         val cs = cB.value
@@ -1032,6 +1055,9 @@ object Similarity extends Serializable {
       StructType(Seq(StructField("list", IntegerType, false),
         StructField("q", LongType, false),
         StructField("qv", ArrayType(DoubleType, false), false))))
+      .join(broadcast(nBlkDf), Seq("list"))
+      .select(col("list"), explode(sequence(lit(0), col("nblk") - 1))
+        .as("blkno"), col("q"), col("qv"))
 
     // (query, probed-list) × list block → per-pair ADC scan; ≤
     // k·rerank survivors per (query, list) emitted
@@ -1049,7 +1075,8 @@ object Similarity extends Serializable {
     // serving shapes with huge query sets — the aggregator re-merges
     // flushed fragments exactly like cross-partition ones.
     val flushAt = 8192
-    val partials = qAssigned.join(blocks, Seq("list")).rdd.mapPartitions { it =>
+    val partials = qAssigned.join(blocks, Seq("list", "blkno"))
+      .select("list", "q", "qv", "blk").rdd.mapPartitions { it =>
       val cs = cB.value; val cbs = cbB.value; val off = offB.value
       val heaps = new java.util.LinkedHashMap[Long, DLHeap]()
       val out = new scala.collection.mutable.ArrayBuffer[Row]()

@@ -8,11 +8,20 @@ import org.apache.spark.sql.functions._
   * ANN queries scale sub-quadratically with no stragglers.
   *
   * The corpus grows by deterministic copies whose texts are PERTURBED
-  * per copy (every 8th word, phase-shifted by copy index, gets a
-  * copy-specific suffix) so copies are NOT near-duplicates of each
-  * other — corpus growth, not a 10-way duplicate explosion that would
-  * trivially densify every LSH bucket. Embedding copies get a small
-  * per-copy, per-dimension offset for the same reason.
+  * per copy — every 2nd word, phase-shifted by copy index, gets a
+  * copy-specific suffix — so every w-gram shingle of every copy
+  * contains a copy-specific word and copies share NO shingles:
+  * corpus growth, not a duplicate explosion. (The round-10 harness
+  * perturbed every 8TH word, which still left ~37% of each copy's
+  * shingles shared across the whole copy family; at 100× that made
+  * every base document a 100-member near-family whose ssjoin
+  * candidate pairs grow QUADRATICALLY in the duplication factor —
+  * 50M candidate pairs carrying their shingle arrays through the
+  * verify join, >77 GB of spill. That is the designed ssjoin response
+  * to duplication density, not to corpus size; the every-2nd-word
+  * perturbation makes the blow-up measure corpus SCALE instead.)
+  * Embedding copies get a small per-copy, per-dimension offset for
+  * the same reason.
   *
   * Run: SPARK_GRAFT_SCALE=10 sbt -batch "runMain graft.tools.ScaleProof"
   * Emits one JSON line per query: wall seconds, task count, median /
@@ -37,7 +46,7 @@ object ScaleProof {
           (col("doc_id") + lit(i * maxDoc)).as("doc_id"),
           array_join(
             transform(split(col("text"), " "),
-              (w, idx) => when((idx + lit(i)) % 8 === 0,
+              (w, idx) => when((idx + lit(i)) % 2 === 0,
                 concat(w, lit(s"v$i"))).otherwise(w)),
             " ").as("text"),
           col("lang"), col("source"))
@@ -86,16 +95,21 @@ object ScaleProof {
       graft.Sessions.release(spark)
     }
 
+    // SPARK_GRAFT_SCALE_ONLY=<substring> reruns a subset in a fresh
+    // JVM — the Bench --isolate discipline for attributing an
+    // in-sequence failure/regression to the query vs session state
+    val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+    def wanted(q: String): Boolean = only.forall(q.contains)
     val registry = Seq("q22_jaccard_join", "q36_dedup_clusters",
       "q49_decontaminate", "q64_containment_cross", "q66_ivfpq_ann")
-    registry.foreach { q =>
+    registry.filter(wanted).foreach { q =>
       run(q)(graft.SparkEntry.queries(q)(spark, out))
     }
     // q66's registry parameterization (nLists=16) is the sf0.1
     // operating point; the IVF discipline at N·k vectors is
     // nLists ∝ √N — the sub-quadratic scale path COVERAGE.md claims.
     val nLists = math.max(16, (16 * math.sqrt(k)).toInt)
-    run(s"q66_ivfpq_scaled_lists_$nLists") {
+    if (wanted("q66_ivfpq_scaled")) run(s"q66_ivfpq_scaled_lists_$nLists") {
       graft.operators.Similarity.ivfpqTopK(
         graft.queries.Tables.load(spark, out, "embeddings"),
         "vec_id", "embedding", 5,
