@@ -91,6 +91,28 @@ class DedupSpec extends SparkSpec {
       rows(Dedup.containmentJoinCross(l, r, "doc_id", "text", 0.5)))
   }
 
+  test("containment prefix filter is complete: near-unfiltered run agrees at every threshold") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val l = d.where(col("doc_id") % 4 =!= 0)
+    val r = d.where(col("doc_id") % 4 === 0)
+    // t = 1e-6 keeps every right doc's FULL token set in the index
+    // (prefix size sz − ⌈t·sz⌉ + 1 = sz for sz ≤ 1e6), so this run
+    // reproduces the unfiltered candidate set; re-thresholding its
+    // integer evidence is an independent reference for filtered runs
+    val base = Dedup.containmentJoinCross(l, r, "doc_id", "text", 1e-6)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    for (t <- Seq(0.5, 0.8, 1.0)) {
+      val ref = base.filter { case (_, _, ni, nb) => nb > 0 && ni.toDouble >= t * nb }
+        .sortBy(x => (x._1, x._2)).toSeq
+      val got = Dedup.containmentJoinCross(l, r, "doc_id", "text", t)
+        .orderBy("a", "b").collect()
+        .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3))).toSeq
+      assert(got == ref, s"t=$t")
+    }
+    assert(base.exists { case (_, _, ni, nb) => nb > 0 && ni.toDouble >= 0.8 * nb },
+      "fixture should contain qualifying containment pairs")
+  }
+
   test("minhash LSH equals exact jaccard join on sf0.001 documents") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val exact = Dedup.jaccardJoin(d, "doc_id", "text", 0.5).orderBy("a", "b").collect()
