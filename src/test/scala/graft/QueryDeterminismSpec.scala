@@ -61,7 +61,12 @@ class QueryDeterminismSpec extends SparkSpec {
     "q135_record_linkage", "q136_attribution",
     "q137_grouped_quantile_bins", "q138_fk_audit",
     "q139_streaming_enrich", "q140_running_distinct", "q141_ohlc_bars",
-    "q142_burst_detection", "q143_coverage_gaps")
+    "q142_burst_detection", "q143_coverage_gaps",
+    // round-11 codec decodes: per-row fixture decodes ordered by a
+    // unique id — no partition-sensitive state, cheap to pin
+    "q144_flac_decode", "q145_mp4_moov", "q146_gif_frames",
+    "q147_avi_frames", "q148_flac_pcm", "q149_flac_lpc",
+    "q150_flac_stereo")
 
   covered.foreach { name =>
     test(s"$name: output invariant to shuffle partitioning") {
