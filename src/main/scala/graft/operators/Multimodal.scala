@@ -61,23 +61,23 @@ object Multimodal {
     StructField("valid", BooleanType, false)))
 
   private def isPng(b: Array[Byte]): Boolean =
-    b.length > 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G'
+    b != null && b.length > 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G'
 
   private def isJpeg(b: Array[Byte]): Boolean =
-    b.length > 3 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8
+    b != null && b.length > 3 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8
 
   private def isGrft(b: Array[Byte]): Boolean =
-    b.length >= 17 && b(0) == 'G' && b(1) == 'R' && b(2) == 'F' && b(3) == 'T'
+    b != null && b.length >= 17 && b(0) == 'G' && b(1) == 'R' && b(2) == 'F' && b(3) == 'T'
 
   private def isWav(b: Array[Byte]): Boolean =
-    b.length >= 44 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+    b != null && b.length >= 44 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
       b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
 
   /** PCM WAV parse: walk the RIFF chunks, return (sampleRate,
     * channels, bitsPerSample, dataOffset, dataLength) for PCM 8/16
     * bit with a size-consistent data chunk. None for compressed,
     * malformed, or truncated containers. */
-  private[operators] def parseWav(b: Array[Byte])
+  private[graft] def parseWav(b: Array[Byte])
       : Option[(Int, Int, Int, Int, Int)] = {
     if (!isWav(b)) return None
     val bb = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
@@ -110,7 +110,7 @@ object Multimodal {
   }
 
   private def isMp3Sync(b: Array[Byte]): Boolean =
-    b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xe0) == 0xe0
+    b != null && b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xe0) == 0xe0
 
   /** MPEG-1 Layer III header tables (public ISO/IEC 11172-3 layout).
     * Index 0 ("free") and 15 (reserved) are rejected. */
@@ -195,7 +195,7 @@ object Multimodal {
   // plain index arithmetic — no bit reader in the hot loop.
 
   private def isFlac(b: Array[Byte]): Boolean =
-    b.length > 42 && b(0) == 'f' && b(1) == 'L' && b(2) == 'a' && b(3) == 'C'
+    b != null && b.length > 42 && b(0) == 'f' && b(1) == 'L' && b(2) == 'a' && b(3) == 'C'
 
   /** CRC-8, poly 0x07, init 0 — the FLAC frame-header checksum. */
   private[graft] def flacCrc8(b: Array[Byte], from: Int, until: Int): Int = {
@@ -1069,7 +1069,7 @@ object Multimodal {
   // scan; fixtures carry an empty mdat.
 
   private def isMp4(b: Array[Byte]): Boolean =
-    b.length > 16 && b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p'
+    b != null && b.length > 16 && b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p'
 
   private def be32(b: Array[Byte], o: Int): Long =
     ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
@@ -1307,7 +1307,7 @@ object Multimodal {
   // closed-form.
 
   private def isGif(b: Array[Byte]): Boolean =
-    b.length > 13 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8'
+    b != null && b.length > 13 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8'
 
   private def grayPalette: java.awt.image.IndexColorModel = {
     val g = Array.tabulate[Byte](256)(_.toByte)
@@ -1467,7 +1467,7 @@ object Multimodal {
   // trick transposed to the lossy codec.
 
   private def isAvi(b: Array[Byte]): Boolean =
-    b.length > 12 && fourcc(b, 0) == "RIFF" && fourcc(b, 8) == "AVI "
+    b != null && b.length > 12 && fourcc(b, 0) == "RIFF" && fourcc(b, 8) == "AVI "
 
   private def le32(b: Array[Byte], o: Int): Long =
     (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
