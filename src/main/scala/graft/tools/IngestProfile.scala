@@ -38,9 +38,14 @@ object IngestProfile {
       val onDisk = spark.read
         .option("basePath", s"$out/data_parquet")
         .parquet(s"$out/data_parquet/alias=${meta.device.alias}")
+      // mirror Pipeline.processAcquisition's fast-path declaration
+      val maxAbs: Option[Double] = cfg.dataType match {
+        case "int16" => Some(32768.0 * cfg.sensitivity.abs)
+        case _ => None
+      }
       val rms = t("rms-compute")(
         graft.analytics.Rms.compute(onDisk, axes, 1000000000L, 0.999,
-          alias = meta.device.alias).persist())
+          alias = meta.device.alias, maxAbs = maxAbs).persist())
       t("rms-guard")(println("  rmsEmpty=" + rms.isEmpty))
       t("sink-rms")(graft.sink.PartitionedSink.write(rms,
         s"$out/data_parquet_rms",
