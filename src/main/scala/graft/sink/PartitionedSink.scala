@@ -65,8 +65,18 @@ object PartitionedSink {
     val withParts = df.withColumn("year", year(ts))
       .withColumn("month", month(ts))
       .withColumn("day", dayofmonth(ts))
+    // The salt repartition exists to BOUND files/dir when the input
+    // has many partitions (the 100 TB small-files problem: ~16k
+    // decode tasks each touching every dir). When the input already
+    // has ≤ filesPerDir partitions the bound holds for free — each
+    // task writes at most one file per directory — so the full-data
+    // shuffle is pure cost and is skipped. A single acquisition's
+    // 32-split decode therefore streams straight from decode into
+    // the writer (measured: the shuffle was ~25% of the warm ingest
+    // pipeline), and time-contiguous input tasks additionally leave
+    // tighter Time min/max per file for zone-map-style readers.
     val arranged =
-      if (filesPerDir <= 0) withParts
+      if (filesPerDir <= 0 || df.rdd.getNumPartitions <= filesPerDir) withParts
       else withParts.repartition(
         col("alias"), col("year"), col("month"), col("day"),
         pmod(xxhash64(col(timeCol)), lit(filesPerDir.toLong)))

@@ -32,6 +32,34 @@ class SinkSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("filesPerDir bound holds on both sink paths: shuffle-free under it, salted above it") {
+    import graft.sink.PartitionedSink
+    import spark.implicits._
+    val base = java.time.Instant.parse("2025-07-11T10:00:00Z")
+      .getEpochSecond * 1000000000L
+    def fixture(nPart: Int) = (0 until 40000).map { i =>
+      (base + i.toLong * 1000000L, i.toDouble)
+    }.toDF("Time", "v").withColumn("alias", lit("LAF1")).repartition(nPart)
+    def filesIn(dir: String): Seq[java.io.File] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(dir)).filter(_.getName.endsWith(".parquet"))
+    }
+    // 8 input partitions, cap 32: bound holds WITHOUT the salt
+    // shuffle — at most one file per task per directory
+    val o1 = tmpDir("sink_direct")
+    val small = fixture(8)
+    PartitionedSink.write(small, s"$o1/t", filesPerDir = 32)
+    assert(filesIn(s"$o1/t").length <= 8)
+    assert(spark.read.parquet(s"$o1/t").count() == 40000)
+    // 64 input partitions, cap 32: the salt repartition engages and
+    // pins the per-directory file count at the cap
+    val o2 = tmpDir("sink_salted")
+    PartitionedSink.write(fixture(64), s"$o2/t", filesPerDir = 32)
+    assert(filesIn(s"$o2/t").length <= 32)
+    assert(spark.read.parquet(s"$o2/t").count() == 40000)
+  }
+
   test("parquet physical format: delta-packed Time, no data-column dictionary") {
     import scala.jdk.CollectionConverters._
     val file = new java.io.File(s"$out/data_parquet/alias=LAF1/year=2025/month=7/day=11")
