@@ -213,6 +213,98 @@ object Graph {
       spark.sparkContext.parallelize(out, slices), schema)
   }
 
+  /** Driver-local triangle kernel (see [[driverGraphBytes]] for the
+    * gate rationale — same fixed-scheduling-floor argument as
+    * [[pageRankLocal]]: the distributed path schedules the adjacency
+    * shuffle, a stats probe, two edge⋈adjacency joins, the per-node
+    * groupBy and the completion join — ~8 driver jobs of fixed
+    * overhead for a graph whose whole edge list fits in one task).
+    * `canonD` must be the DISTINCT canonical a<b edge frame. The
+    * arithmetic is the identical integer math as the distributed
+    * adjacency path (|N(a)∩N(b)| per edge, per-node sum halved), so
+    * results are exactly equal on every path (GraphSpec asserts all
+    * three). One collect in, one parallelize out; the intersection
+    * loop runs data-parallel over edge chunks with per-thread
+    * accumulators (integer adds — order-independent, deterministic). */
+  private def triangleLocal(canonD: DataFrame): DataFrame = {
+    val spark = canonD.sparkSession
+    val rows = canonD.select(col("a"), col("b")).collect()
+    val m = rows.length
+    val idx = new java.util.HashMap[Long, Int]()
+    val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def intern(x: Long): Int = {
+      val got = idx.getOrDefault(x, -1)
+      if (got >= 0) got
+      else { val i = ids.length; idx.put(x, i); ids += x; i }
+    }
+    val aI = new Array[Int](m)
+    val bI = new Array[Int](m)
+    var i = 0
+    while (i < m) {
+      aI(i) = intern(rows(i).getLong(0))
+      bI(i) = intern(rows(i).getLong(1))
+      i += 1
+    }
+    val n = ids.length
+    // CSR adjacency: degree count → offsets → fill → per-node sort
+    val deg = new Array[Int](n)
+    i = 0; while (i < m) { deg(aI(i)) += 1; deg(bI(i)) += 1; i += 1 }
+    val off = new Array[Int](n + 1)
+    i = 0; while (i < n) { off(i + 1) = off(i) + deg(i); i += 1 }
+    val fill = java.util.Arrays.copyOf(off, n)
+    val nbr = new Array[Long](2 * m)
+    i = 0
+    while (i < m) {
+      nbr(fill(aI(i))) = ids(bI(i)); fill(aI(i)) += 1
+      nbr(fill(bI(i))) = ids(aI(i)); fill(bI(i)) += 1
+      i += 1
+    }
+    java.util.stream.IntStream.range(0, n).parallel().forEach { v =>
+      java.util.Arrays.sort(nbr, off(v), off(v + 1))
+    }
+    // each triangle at node x is counted by BOTH its x-incident edges
+    // → per-node sums are exactly 2·tri(x) (the adjacencyIntersect
+    // invariant), halved below
+    val nThreads = math.max(1,
+      math.min(Runtime.getRuntime.availableProcessors(), 32))
+    val partials = java.util.stream.IntStream.range(0, nThreads).parallel()
+      .mapToObj[Array[Long]] { t =>
+        val acc = new Array[Long](n)
+        val lo = (m.toLong * t / nThreads).toInt
+        val hi = (m.toLong * (t + 1) / nThreads).toInt
+        var e = lo
+        while (e < hi) {
+          val u = aI(e); val v = bI(e)
+          var p = off(u); val pEnd = off(u + 1)
+          var q = off(v); val qEnd = off(v + 1)
+          var c = 0L
+          while (p < pEnd && q < qEnd) {
+            val x = nbr(p); val y = nbr(q)
+            if (x < y) p += 1
+            else if (y < x) q += 1
+            else { c += 1; p += 1; q += 1 }
+          }
+          acc(u) += c; acc(v) += c
+          e += 1
+        }
+        acc
+      }.toArray(k => new Array[Array[Long]](k))
+    val tri = new Array[Long](n)
+    partials.foreach { acc =>
+      i = 0; while (i < n) { tri(i) += acc(i); i += 1 }
+    }
+    val out = (0 until n).map(j =>
+      org.apache.spark.sql.Row(ids(j), deg(j).toLong, tri(j) / 2))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("node", LongType, false),
+      org.apache.spark.sql.types.StructField("deg", LongType, false),
+      org.apache.spark.sql.types.StructField("triangles", LongType, false)))
+    val slices = math.max(1, math.min(
+      spark.sparkContext.defaultParallelism, n / 10000 + 1))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out, slices), schema)
+  }
+
   /** Floor (in `maxAdjDegree` units) at or above which the FUSED
     * adjacency build runs: one node-keyed shuffle whose `collect_set`
     * both dedups raw edges and assembles the sorted neighbor arrays.
@@ -254,8 +346,13 @@ object Graph {
     maxSampleDeg / fraction >= cap / 2.0
   }
 
-  /** Per-node triangle counts. Two strategies behind one contract,
-    * auto-selected on the graph's MAX DEGREE:
+  /** Per-node triangle counts. A tiny graph (distinct canonical
+    * edges × 32 B ≤ `spark.graft.graph.driverGraphBytes`, default
+    * 64 MiB) runs the driver-local CSR kernel ([[triangleLocal]] —
+    * the pageRankInt posture: exact-identical integer math, one
+    * bounded collect, no superstep scheduling floor). Above the gate,
+    * two distributed strategies behind one contract, auto-selected on
+    * the graph's MAX DEGREE:
     *
     *  - **Adjacency intersection** (default path): build each node's
     *    sorted neighbor array once, join the two endpoint arrays onto
@@ -313,6 +410,24 @@ object Graph {
         least(col(srcCol), col(dstCol)).cast(LongType).as("a"),
         greatest(col(srcCol), col(dstCol)).cast(LongType).as("b"))
       .where(col("a") =!= col("b"))
+    // Driver-kernel probe, small-stats path only (a graph past the
+    // stats gate cannot fit the driver gate anyway, so the distinct +
+    // count probe job would be pure waste there). Lazy checkpoint +
+    // count materializes and persists the distinct edge list in one
+    // pass (the bfsHops probe-fusion pattern) — if the kernel is
+    // declined, the distributed prep reuses the pinned distinct
+    // blocks instead of replaying the caller's edge derivation.
+    val dgb = driverGraphBytes(edges)
+    if (p.small && dgb > 0) {
+      val canonD = canon0.distinct().localCheckpoint(eager = false)
+      if (canonD.count() * 32L <= dgb) return triangleLocal(canonD)
+      // distinct input: the fused collect_set dedup is a no-op on it
+      // and the conservative prep's distinct() is a cheap re-shuffle
+      // of pinned blocks — both paths stay value-identical
+      return if (maxAdjDegree >= fusedAdjFloor(edges))
+        fusedTriangles(canonD, p, maxAdjDegree, broadcastEdgeLimit)
+      else conservativeTriangles(canonD, p, maxAdjDegree, broadcastEdgeLimit)
+    }
     // Fused is the default; an undeclared hub graph past the small
     // gate is demoted to the conservative two-pass prep when the
     // sampled probe estimates a hub near the adjacency cap.

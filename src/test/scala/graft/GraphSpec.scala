@@ -99,19 +99,25 @@ class GraphSpec extends SparkSpec {
     val edges = (0 until 200).map(_ =>
       (rnd.nextInt(35).toLong, rnd.nextInt(35).toLong))
     val df = edges.toDF("src", "dst")
-    val adjPath = Graph.triangleCounts(df, "src", "dst")
-      .orderBy("node").collect().toSeq.map(_.toSeq)
-    // maxAdjDegree = 0 forces every graph down the degree-ordered
-    // wedge path; broadcastEdgeLimit = 0 additionally forces its
-    // shuffle closure — all three plans must agree row for row
-    val wedgeB = Graph.triangleCounts(df, "src", "dst", maxAdjDegree = 0L)
-      .orderBy("node").collect().toSeq.map(_.toSeq)
-    val wedgeS = Graph.triangleCounts(df, "src", "dst", maxAdjDegree = 0L,
-        broadcastEdgeLimit = 0L)
-      .orderBy("node").collect().toSeq.map(_.toSeq)
-    assert(adjPath == wedgeB)
-    assert(adjPath == wedgeS)
-    assert(adjPath.nonEmpty)
+    // driver gate 0: this test's subject is the DISTRIBUTED join
+    // phases — the default gate would route this tiny fixture onto
+    // the driver kernel regardless of maxAdjDegree
+    spark.conf.set("spark.graft.graph.driverGraphBytes", "0")
+    try {
+      val adjPath = Graph.triangleCounts(df, "src", "dst")
+        .orderBy("node").collect().toSeq.map(_.toSeq)
+      // maxAdjDegree = 0 forces every graph down the degree-ordered
+      // wedge path; broadcastEdgeLimit = 0 additionally forces its
+      // shuffle closure — all three plans must agree row for row
+      val wedgeB = Graph.triangleCounts(df, "src", "dst", maxAdjDegree = 0L)
+        .orderBy("node").collect().toSeq.map(_.toSeq)
+      val wedgeS = Graph.triangleCounts(df, "src", "dst", maxAdjDegree = 0L,
+          broadcastEdgeLimit = 0L)
+        .orderBy("node").collect().toSeq.map(_.toSeq)
+      assert(adjPath == wedgeB)
+      assert(adjPath == wedgeS)
+      assert(adjPath.nonEmpty)
+    } finally spark.conf.unset("spark.graft.graph.driverGraphBytes")
   }
 
   test("triangleCounts: conservative two-pass prep and forced-fused wedge agree with the default") {
@@ -119,23 +125,51 @@ class GraphSpec extends SparkSpec {
     val edges = (0 until 220).map(_ =>
       (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
     val df = edges.toDF("src", "dst")
-    val fused = Graph.triangleCounts(df, "src", "dst")
-      .orderBy("node").collect().toSeq.map(_.toSeq)
-    // cap below the fused floor but above maxDeg → conservative prep,
-    // adjacency-intersection join phase
-    val conservative = Graph.triangleCounts(df, "src", "dst",
-        maxAdjDegree = 1000L)
-      .orderBy("node").collect().toSeq.map(_.toSeq)
-    assert(fused == conservative)
-    // floor forced to 0 with cap 0 → fused prep, wedge join phase
-    spark.conf.set("spark.graft.graph.fusedAdjFloor", "0")
+    // driver gate 0: the preps under test are the distributed ones
+    spark.conf.set("spark.graft.graph.driverGraphBytes", "0")
     try {
-      val fusedWedge = Graph.triangleCounts(df, "src", "dst",
-          maxAdjDegree = 0L)
+      val fused = Graph.triangleCounts(df, "src", "dst")
         .orderBy("node").collect().toSeq.map(_.toSeq)
-      assert(fused == fusedWedge)
-    } finally spark.conf.unset("spark.graft.graph.fusedAdjFloor")
-    assert(fused.nonEmpty)
+      // cap below the fused floor but above maxDeg → conservative prep,
+      // adjacency-intersection join phase
+      val conservative = Graph.triangleCounts(df, "src", "dst",
+          maxAdjDegree = 1000L)
+        .orderBy("node").collect().toSeq.map(_.toSeq)
+      assert(fused == conservative)
+      // floor forced to 0 with cap 0 → fused prep, wedge join phase
+      spark.conf.set("spark.graft.graph.fusedAdjFloor", "0")
+      try {
+        val fusedWedge = Graph.triangleCounts(df, "src", "dst",
+            maxAdjDegree = 0L)
+          .orderBy("node").collect().toSeq.map(_.toSeq)
+        assert(fused == fusedWedge)
+      } finally spark.conf.unset("spark.graft.graph.fusedAdjFloor")
+      assert(fused.nonEmpty)
+    } finally spark.conf.unset("spark.graft.graph.driverGraphBytes")
+  }
+
+  test("triangle driver kernel ≡ distributed small ≡ distributed large") {
+    // default gate (64 MiB) routes this tiny graph onto the driver
+    // CSR kernel; driverGraphBytes=0 forces the distributed fused
+    // prep on the cache (small) path; + smallGraphBytes=0 the
+    // checkpoint (large) path. All integer math — exactly equal.
+    val rnd = new scala.util.Random(37)
+    val edges = (0 until 500).map(_ =>
+      (rnd.nextInt(55).toLong, rnd.nextInt(55).toLong))
+    val df = edges.toDF("src", "dst")
+    def run(): Seq[Seq[Any]] = Graph.triangleCounts(df, "src", "dst")
+      .orderBy("node").collect().toSeq.map(_.toSeq)
+    val kernel = run()
+    spark.conf.set("spark.graft.graph.driverGraphBytes", "0")
+    try {
+      assert(run() == kernel)
+      spark.conf.set("spark.graft.graph.smallGraphBytes", "0")
+      assert(run() == kernel)
+    } finally {
+      spark.conf.unset("spark.graft.graph.driverGraphBytes")
+      spark.conf.unset("spark.graft.graph.smallGraphBytes")
+    }
+    assert(kernel.nonEmpty && kernel.exists(_.last.asInstanceOf[Long] > 0L))
   }
 
   test("sampledHubRisk flags an over-cap hub and clears a bounded-degree graph") {
@@ -184,10 +218,14 @@ class GraphSpec extends SparkSpec {
     val rnd = new scala.util.Random(23)
     val edges = (0 until 400).map(_ =>
       (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
-    val df = Graph.triangleCounts(edges.toDF("src", "dst"), "src", "dst")
-    val plan = df.queryExecution.executedPlan.toString
-    assert(!plan.contains("SortMergeJoin"), s"sort-merge join on the small path:\n$plan")
-    assert(plan.contains("BroadcastHashJoin"), plan)
+    // driver gate 0: the plan under audit is the distributed small path
+    spark.conf.set("spark.graft.graph.driverGraphBytes", "0")
+    try {
+      val df = Graph.triangleCounts(edges.toDF("src", "dst"), "src", "dst")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("SortMergeJoin"), s"sort-merge join on the small path:\n$plan")
+      assert(plan.contains("BroadcastHashJoin"), plan)
+    } finally spark.conf.unset("spark.graft.graph.driverGraphBytes")
   }
 
   test("triangleCounts and pageRankInt: forced checkpoint path (large-graph posture) matches") {

@@ -86,12 +86,26 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("q106: triangle counting plans hash joins only — no window, no cartesian") {
-    val p = plan("q106_triangles")
-    assert(!p.contains("Window"),
-      s"orientation scheme needs no window:\n$p")
-    assert(!p.contains("CartesianProduct") &&
-      !p.contains("BroadcastNestedLoopJoin"),
-      s"wedge/closure must be equi-joins:\n$p")
+    // default path is now the driver CSR kernel (trivially clean);
+    // the plans under audit are the DISTRIBUTED small + checkpoint
+    // paths, forced the same way as the q101/q121 audit below
+    def audit(): Unit = {
+      val p = plan("q106_triangles")
+      assert(!p.contains("Window"),
+        s"orientation scheme needs no window:\n$p")
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"wedge/closure must be equi-joins:\n$p")
+    }
+    spark.conf.set("spark.graft.graph.driverGraphBytes", "0")
+    try {
+      audit()
+      spark.conf.set("spark.graft.graph.smallGraphBytes", "0")
+      audit()
+    } finally {
+      spark.conf.unset("spark.graft.graph.driverGraphBytes")
+      spark.conf.unset("spark.graft.graph.smallGraphBytes")
+    }
   }
 
   test("q110: weighted sampling plans NO global window — offsets from the prefix sum") {
