@@ -87,6 +87,23 @@ object Ingest {
     *   cost of the ingest path. 500 blocks ⇒ 32 tasks there, ~33k
     *   tasks for a 100 GB file (well inside scheduler comfort).
     */
+  /** Number of decode tasks [[decodeDat]] creates for this file —
+    * derived from the file length alone, so sink callers can declare
+    * their input's partition count driver-side
+    * (`PartitionedSink.write(inputPartitions = …)`) instead of
+    * forcing physical-plan finalization via `df.rdd`. */
+  def decodeSplitCount(
+      spark: SparkSession,
+      datPath: String,
+      cfg: ComponentConfig,
+      blocksPerSplit: Int = 500): Int = {
+    val p = new Path(datPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBlocks = Hsd2.completeBlocks(fs.getFileStatus(p).getLen, cfg)
+    math.max(1L,
+      (totalBlocks + blocksPerSplit - 1) / blocksPerSplit).toInt
+  }
+
   def decodeDat(
       spark: SparkSession,
       datPath: String,

@@ -44,9 +44,14 @@ object Pipeline {
     val prefix = sensorName + "_" +
       java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd_HHmmss")
         .withZone(java.time.ZoneOffset.UTC).format(meta.info.startTime)
+    // declare the decode split count to the sink's shuffle-skip gate
+    // (enrich/labelSamples are narrow, so the count survives to the
+    // write) — avoids the df.rdd plan-finalization probe (ADVICE r11)
     PartitionedSink.write(enriched, s"$outDir/data_parquet",
       filePrefix = Some(prefix),
-      renameScope = Seq(meta.device.alias))
+      renameScope = Seq(meta.device.alias),
+      inputPartitions = Some(Ingest.decodeSplitCount(
+        spark, s"$acqDir/$sensorName.dat", cfg)))
 
     // compute RMS from the parquet just written — decode runs ONCE;
     // the aggregate then reads the columnar sink (vectorized scan)

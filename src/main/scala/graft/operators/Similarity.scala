@@ -370,6 +370,11 @@ object Similarity extends Serializable {
     *                 16, uncapped — lists > 512 train via the
     *                 distributed quantizer instead of the driver
     *                 k-means++ loop).
+    * @param nprobe  lists probed per query; <= 0 probes ALL lists
+    *                 (exhaustive — the candidate set is complete, so
+    *                 the result is the exact top-k for ANY quantizer;
+    *                 pair with nLists <= 0 for a scale-adaptive index
+    *                 whose oracle stays the brute-force answer).
     * @param sampleSize minimum quantizer training sample; scaled up
     *                 to 32·nLists (capped 65536) so every centroid
     *                 sees enough points. */
@@ -480,7 +485,9 @@ object Similarity extends Serializable {
     }
 
     val corpusLists = assign(1)(in)   // each corpus vector in ONE list
-    val queryLists = assign(nprobe)(qIn)
+    // nprobe <= 0 → exhaustive probe of every derived list (see scaladoc)
+    val queryLists = assign(
+      if (nprobe > 0) nprobe else cents.value.length)(qIn)
     val vecs = in.withColumn("nrm", norm(col("v")))
     val qVecs = qIn.withColumn("nrm", norm(col("v")))
     // each corpus vector lives in exactly one list and each query
@@ -884,9 +891,10 @@ object Similarity extends Serializable {
       seed: Long = 42L,
       maxBlockRows: Int = 1 << 16): DataFrame = {
     val spark = corpus.sparkSession
-    require(k >= 1 && rerank >= 1 && nprobe >= 1 && maxBlockRows >= 1,
-      s"need k ($k), rerank ($rerank), nprobe ($nprobe), " +
-        s"maxBlockRows ($maxBlockRows) >= 1")
+    // nprobe <= 0 → exhaustive probe of every derived list (resolved
+    // after the coarse quantizer sizes itself, same as [[ivfTopKCross]])
+    require(k >= 1 && rerank >= 1 && maxBlockRows >= 1,
+      s"need k ($k), rerank ($rerank), maxBlockRows ($maxBlockRows) >= 1")
     val in = corpus.select(col(idCol).cast(LongType).as("id"),
       col(vecCol).cast("array<double>").as("v"))
     val qIn = queriesDf.select(col(idCol).cast(LongType).as("id"),
@@ -1047,7 +1055,8 @@ object Similarity extends Serializable {
             var s = 0.0; var i = 0
             while (i < qv.length) { val x = qv(i) - cs(c)(i); s += x * x; i += 1 }
             (c, s)
-          }.sortBy(t => (t._2, t._1)).take(nprobe)
+          }.sortBy(t => (t._2, t._1))
+            .take(if (nprobe > 0) nprobe else cs.length)
           byDist.iterator.map { case (c, _) =>
             Row(c, r.getLong(0), qv.toSeq) }
         }

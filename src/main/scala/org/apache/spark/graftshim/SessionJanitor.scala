@@ -34,6 +34,19 @@ object SessionJanitor {
   def drainRuntimeState(sc: SparkContext): (Int, Int) = {
     val cleaner = sc.cleaner
     if (cleaner.isEmpty) return (0, 0)
+    // Enforce the "between self-contained queries" precondition
+    // instead of trusting the caller's comment (ADVICE r11): a drain
+    // with jobs in flight or frames still cached would destroy state
+    // those consumers re-read, surfacing later as 'Broadcast destroyed'
+    // or silent shuffle recomputation — fail HERE, attributably.
+    require(sc.statusTracker.getActiveJobIds().isEmpty,
+      "SessionJanitor.drainRuntimeState called with active jobs — " +
+        "it must only run between self-contained queries")
+    require(sc.getPersistentRDDs.isEmpty,
+      s"SessionJanitor.drainRuntimeState called with " +
+        s"${sc.getPersistentRDDs.size} cached RDDs still registered — " +
+        "unpersist/clearCache before draining (ids: " +
+        sc.getPersistentRDDs.keys.toSeq.sorted.take(8).mkString(",") + ")")
     val tracker =
       SparkEnv.get.mapOutputTracker.asInstanceOf[MapOutputTrackerMaster]
     val shuffleIds = tracker.shuffleStatuses.keySet.toSeq.sorted
