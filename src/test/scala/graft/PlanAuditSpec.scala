@@ -264,6 +264,32 @@ class PlanAuditSpec extends SparkSpec {
       s"range band must ride the user_id equi key:\n$p")
   }
 
+  test("q22/q51/q64: ssjoin candidates come from the prefix-filtered index — no global exchange") {
+    // r11 VERDICT #3: the ssjoin family's scale behavior was gated
+    // only empirically (SCALE.md). Structural asserts: (a) equi-joins
+    // only; (b) no single-partition exchange anywhere — a global
+    // window/sort over the posting table would serialize the corpus
+    // through one task; (c) the prefix-rank filter (rk <= sz - ceil(
+    // t*sz) + 1) survives into the physical plan, i.e. the candidate
+    // join is fed by the PREFIX-FILTERED index, not the full posting
+    // table (the q64 class of regression); (d) the prefix window is
+    // partitioned per doc id, never global.
+    Seq("q22_jaccard_join", "q51_cross_jaccard", "q64_containment_cross")
+      .foreach { name =>
+        val p = plan(name)
+        assert(!p.contains("CartesianProduct") &&
+          !p.contains("BroadcastNestedLoopJoin"),
+          s"$name: candidate generation must stay equi-join:\n$p")
+        assert(!p.contains("SinglePartition"),
+          s"$name: single-partition exchange — something went global:\n$p")
+        assert("rk#\\d+ <= ".r.findFirstIn(p).isDefined,
+          s"$name: prefix-rank filter folded away — full posting table " +
+            s"would feed the candidate join:\n$p")
+        assert(p.contains("windowspecdefinition(id#"),
+          s"$name: prefix window must partition by doc id:\n$p")
+      }
+  }
+
   test("no shuffle cartesian product in any registry query") {
     // BroadcastNestedLoopJoin is legitimate where a side is tiny or
     // broadcast-by-design: the pure theta join (q37), the broadcast
