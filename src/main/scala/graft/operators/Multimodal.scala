@@ -109,6 +109,239 @@ object Multimodal {
     } yield (rate, ch, bits, dOff, dLen)
   }
 
+  // ------------------------------------------------------------------
+  // IMA-ADPCM WAV (wFormatTag 0x11 — DVI/IMA ADPCM, the public IMA
+  // Digital Audio Compatibility Project algorithm as registered for
+  // RIFF/WAVE): REAL compressed-audio sample decode — 4-bit nibbles
+  // through the 89-entry step-size state machine, per-block state
+  // reset from the block header, interleaved 4-byte channel words.
+  // This closes the "PCM-only" gap in the WAV path with pure integer
+  // table arithmetic (no codec library, no perceptual transform).
+
+  private val ImaStepTable: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+
+  private val ImaIndexTable: Array[Int] = Array(-1, -1, -1, -1, 2, 4, 6, 8)
+
+  /** One IMA nibble through the decoder state machine: returns the
+    * new (predictor, stepIndex). Both clamps are the standard's. */
+  private def imaStep(pred: Int, idx: Int, nib: Int): (Int, Int) = {
+    val step = ImaStepTable(idx)
+    var diff = step >> 3
+    if ((nib & 4) != 0) diff += step
+    if ((nib & 2) != 0) diff += step >> 1
+    if ((nib & 1) != 0) diff += step >> 2
+    val p =
+      if ((nib & 8) != 0) math.max(pred - diff, -32768)
+      else math.min(pred + diff, 32767)
+    (p, math.min(math.max(idx + ImaIndexTable(nib & 7), 0), 88))
+  }
+
+  /** Parse + FULLY decode an IMA-ADPCM RIFF/WAVE container. Strict:
+    * fmt tag 0x11, 4 bits/sample, 1-2 channels, the fmt extension's
+    * samplesPerBlock consistent with blockAlign (spb = 1 +
+    * (blockAlign − 4·ch)·2/ch, data-word region a multiple of 4·ch),
+    * a fact chunk matching nBlocks·spb, data a whole number of
+    * blocks, and every block header's step index ≤ 88. Returns
+    * (rate, ch, samplesPerBlock, nBlocks, totalSamples, valueSum,
+    * minSample, maxSample) over every decoded sample (the block
+    * header predictor IS sample 0 of its block, per the format). */
+  private[graft] def parseAdpcmWav(b: Array[Byte])
+      : Option[(Int, Int, Int, Int, Long, Long, Int, Int)] = {
+    if (!isWav(b)) return None
+    val bb = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+    var off = 12
+    var fmt: Option[(Int, Int, Int, Int, Int, Int)] = None
+    var data: Option[(Int, Int)] = None
+    var fact: Option[Long] = None
+    while (off + 8 <= b.length && (fmt.isEmpty || data.isEmpty || fact.isEmpty)) {
+      val id = new String(b, off, 4, "ASCII")
+      val size = bb.getInt(off + 4)
+      if (size < 0 || off.toLong + 8L + size > b.length) return None
+      if (id == "fmt " && size >= 20)
+        fmt = Some((bb.getShort(off + 8) & 0xffff,   // wFormatTag
+          bb.getShort(off + 10) & 0xffff,            // channels
+          bb.getInt(off + 12),                       // sample rate
+          bb.getShort(off + 20) & 0xffff,            // blockAlign
+          bb.getShort(off + 22) & 0xffff,            // bitsPerSample
+          bb.getShort(off + 26) & 0xffff))           // samplesPerBlock
+      else if (id == "fact" && size >= 4)
+        fact = Some(bb.getInt(off + 8).toLong & 0xffffffffL)
+      else if (id == "data")
+        data = Some((off + 8, size))
+      off += 8 + size + (size & 1)
+    }
+    for {
+      (tag, ch, rate, blockAlign, bits, spb) <- fmt
+      (dOff, dLen) <- data
+      factSamples <- fact
+      if tag == 0x11 && bits == 4 && (ch == 1 || ch == 2) && rate > 0
+      if blockAlign > 4 * ch && (blockAlign - 4 * ch) % (4 * ch) == 0
+      if spb == 1 + (blockAlign - 4 * ch) * 2 / ch
+      if dLen > 0 && dLen % blockAlign == 0
+      nBlocks = dLen / blockAlign
+      if factSamples == nBlocks.toLong * spb
+      decoded <- decodeAdpcmBlocks(b, dOff, nBlocks, blockAlign, ch, spb)
+    } yield {
+      val (sum, mn, mx) = decoded
+      (rate, ch, spb, nBlocks, nBlocks.toLong * spb * ch, sum, mn, mx)
+    }
+  }
+
+  /** Decode every block's every channel; None if any block header
+    * carries a step index > 88. Data words interleave per channel in
+    * 4-byte groups (8 nibbles, low nibble first — the IMA layout). */
+  private def decodeAdpcmBlocks(
+      b: Array[Byte], dOff: Int, nBlocks: Int, blockAlign: Int,
+      ch: Int, spb: Int): Option[(Long, Int, Int)] = {
+    val bb = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+    val wordsPerChannel = (spb - 1) / 8
+    var sum = 0L
+    var mn = Int.MaxValue
+    var mx = Int.MinValue
+    val pred = new Array[Int](ch)
+    val idx = new Array[Int](ch)
+    var blk = 0
+    while (blk < nBlocks) {
+      val o = dOff + blk * blockAlign
+      var c = 0
+      while (c < ch) {
+        pred(c) = bb.getShort(o + 4 * c).toInt
+        idx(c) = b(o + 4 * c + 2) & 0xff
+        if (idx(c) > 88) return None
+        // header predictor is the block's sample 0 for this channel
+        sum += pred(c); mn = math.min(mn, pred(c)); mx = math.max(mx, pred(c))
+        c += 1
+      }
+      val dataStart = o + 4 * ch
+      var w = 0
+      while (w < wordsPerChannel) {
+        c = 0
+        while (c < ch) {
+          val wo = dataStart + (w * ch + c) * 4
+          var k = 0
+          while (k < 8) {
+            val byte = b(wo + (k >> 1)) & 0xff
+            val nib = if ((k & 1) == 0) byte & 0xf else byte >> 4
+            val (p, i) = imaStep(pred(c), idx(c), nib)
+            pred(c) = p; idx(c) = i
+            sum += p; mn = math.min(mn, p); mx = math.max(mx, p)
+            k += 1
+          }
+          c += 1
+        }
+        w += 1
+      }
+      blk += 1
+    }
+    Some((sum, mn, mx))
+  }
+
+  /** Encode a REAL IMA-ADPCM WAV container (fixture / test side): the
+    * nibble stream is SUPPLIED, not quantized from PCM — the decode
+    * state machine is the operator under test, and a supplied stream
+    * keeps every decoded sample an exact integer function of the
+    * (header, nibbles) laws so the oracle can replay it. */
+  def encodeAdpcmWav(
+      rate: Int,
+      channels: Int,
+      samplesPerBlock: Int,
+      nBlocks: Int,
+      header: (Int, Int) => (Int, Int),   // (block, ch) -> (pred0, idx0)
+      nibble: (Int, Int, Int) => Int      // (block, ch, j) -> 0..15
+  ): Array[Byte] = {
+    require((samplesPerBlock - 1) % 8 == 0 && samplesPerBlock > 1)
+    val w = (samplesPerBlock - 1) / 8
+    val blockAlign = 4 * channels + 4 * w * channels
+    val dataLen = nBlocks * blockAlign
+    // fmt payload: 16 base + cbSize(2) + samplesPerBlock(2) = 20 bytes
+    val bb = ByteBuffer.allocate(12 + 8 + 20 + 8 + 4 + 8 + dataLen)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("ASCII")).putInt(4 + 28 + 12 + 8 + dataLen)
+      .put("WAVE".getBytes("ASCII"))
+    bb.put("fmt ".getBytes("ASCII")).putInt(20)
+      .putShort(0x11)                       // IMA ADPCM
+      .putShort(channels.toShort)
+      .putInt(rate)
+      .putInt(rate * blockAlign / samplesPerBlock) // nominal byte rate
+      .putShort(blockAlign.toShort)
+      .putShort(4)                          // bits per sample
+      .putShort(2)                          // cbSize
+      .putShort(samplesPerBlock.toShort)
+    bb.put("fact".getBytes("ASCII")).putInt(4)
+      .putInt(nBlocks * samplesPerBlock)
+    bb.put("data".getBytes("ASCII")).putInt(dataLen)
+    for (blk <- 0 until nBlocks) {
+      for (c <- 0 until channels) {
+        val (p0, i0) = header(blk, c)
+        bb.putShort(p0.toShort).put(i0.toByte).put(0.toByte)
+      }
+      for (w0 <- 0 until w; c <- 0 until channels; byteK <- 0 until 4) {
+        val lo = nibble(blk, c, w0 * 8 + byteK * 2) & 0xf
+        val hi = nibble(blk, c, w0 * 8 + byteK * 2 + 1) & 0xf
+        bb.put(((hi << 4) | lo).toByte)
+      }
+    }
+    bb.array()
+  }
+
+  /** Deterministic IMA-ADPCM fixture: rate, channels, block shape,
+    * every block header and every nibble closed-form in id — the
+    * oracle replays the identical state machine (step/index tables as
+    * SQL literals, recursion over the nibble stream). */
+  def adpcmFixture(spark: SparkSession, n: Int): DataFrame = {
+    val rows = (0 until n).map { i =>
+      val rate = 8000 + (i % 3) * 4000
+      val ch = 1 + i % 2
+      val spb = 1 + 8 * (2 + i % 3)
+      val nBlocks = 2 + i % 4
+      Row(i.toLong, encodeAdpcmWav(rate, ch, spb, nBlocks,
+        header = (b, c) => (((i * 31 + b * 17 + c * 29) % 4001) - 2000,
+          (i * 7 + b * 3 + c * 5) % 89),
+        nibble = (b, c, j) => (i * 13 + b * 7 + c * 3 + j * 5) % 16))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4),
+      StructType(Seq(
+        StructField("id", LongType, false),
+        StructField("media", BinaryType, true))))
+  }
+
+  /** Full-decode DataFrame op over IMA-ADPCM WAV blobs — same surface
+    * family as [[decodeFlacPcm]]; malformed/PCM/non-IMA containers
+    * yield valid=false rows, never throw. */
+  def decodeAdpcm(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("id", LongType, false),
+      StructField("sample_rate", IntegerType, true),
+      StructField("channels", IntegerType, true),
+      StructField("samples_per_block", IntegerType, true),
+      StructField("n_blocks", IntegerType, true),
+      StructField("total_samples", LongType, true),
+      StructField("value_sum", LongType, true),
+      StructField("min_sample", IntegerType, true),
+      StructField("max_sample", IntegerType, true),
+      StructField("valid", BooleanType, false)))
+    val rows = df.select(col(idCol).cast(LongType), col(binCol)).rdd
+      .mapPartitions(_.map { r =>
+        scala.util.Try(parseAdpcmWav(r.getAs[Array[Byte]](1))).toOption
+          .flatten match {
+          case Some((rate, ch, spb, nb, total, sum, mn, mx)) =>
+            Row(r.getLong(0), rate, ch, spb, nb, total, sum, mn, mx, true)
+          case None =>
+            Row(r.getLong(0), null, null, null, null, null, null, null, null, false)
+        }
+      })
+    spark.createDataFrame(rows, outSchema)
+  }
+
   private def isMp3Sync(b: Array[Byte]): Boolean =
     b != null && b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xe0) == 0xe0
 

@@ -374,7 +374,11 @@ object Similarity extends Serializable {
     *                 (exhaustive — the candidate set is complete, so
     *                 the result is the exact top-k for ANY quantizer;
     *                 pair with nLists <= 0 for a scale-adaptive index
-    *                 whose oracle stays the brute-force answer).
+    *                 whose oracle stays the brute-force answer; the
+    *                 auto-derivation then picks the FLOOR list count,
+    *                 since partitioning cannot prune an exhaustive
+    *                 probe and per-(query, list) overhead scales with
+    *                 the list count).
     * @param sampleSize minimum quantizer training sample; scaled up
     *                 to 32·nLists (capped 65536) so every centroid
     *                 sees enough points. */
@@ -462,8 +466,16 @@ object Similarity extends Serializable {
           StructField("rank", IntegerType, false),
           StructField("n", LongType, false),
           StructField("cos", DoubleType, false))))
+    // Probe-aware auto-derivation: under a DECLARED exhaustive probe
+    // (nprobe <= 0) the partitioning is a correctness no-op — every
+    // list is scanned for every query — so per-(query, list) overhead
+    // scales with the list count while the candidate set stays the
+    // full corpus; the cheapest valid index is the floor count. A
+    // real probe budget gets the √n rule (probed fraction shrinks as
+    // the corpus grows).
     val cents = spark.sparkContext.broadcast(
-      coarseCentroids(in, n, nLists, sampleSize, seed))
+      coarseCentroids(in, n,
+        if (nLists <= 0 && nprobe <= 0) 16 else nLists, sampleSize, seed))
 
     def assign(nearest: Int): DataFrame => DataFrame = { d =>
       val rows = d.rdd.mapPartitions { it =>
@@ -916,7 +928,11 @@ object Similarity extends Serializable {
       .select(col("id"),
         when(col("nrm") === 0, col("v"))
           .otherwise(transform(col("v"), x => x / col("nrm"))).as("v"))
-    val cents = coarseCentroids(inNorm, n, nLists, sampleSize, seed)
+    // probe-aware auto-derivation under exhaustive probe — see
+    // [[ivfTopKCross]]; doubly so here, where every probed (query,
+    // list) pair pays an m·256-entry ADC LUT build
+    val cents = coarseCentroids(inNorm, n,
+      if (nLists <= 0 && nprobe <= 0) 16 else nLists, sampleSize, seed)
     val cB = spark.sparkContext.broadcast(cents)
     // residual PQ codebooks from a hash sample (shared across lists).
     // This is a SECOND sample next to coarseCentroids' — they size

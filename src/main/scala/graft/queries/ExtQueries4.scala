@@ -1144,6 +1144,84 @@ object ExtQueries4 {
          true AS valid
        FROM base ORDER BY id"""
 
+  // ---------------------------------------------------------------
+  // q151 — IMA-ADPCM WAV decode (wFormatTag 0x11, the IMA DVI
+  // algorithm): 40 REAL compressed-audio containers — fmt extension
+  // with samplesPerBlock, fact chunk, per-block per-channel state
+  // headers, interleaved 4-byte channel words — fully decoded
+  // through the 89-entry step-size state machine. The fixture
+  // supplies the nibble stream closed-form in id (the DECODER is the
+  // operator; a quantizing encoder would make samples opaque), so
+  // the oracle replays the identical state machine sample by sample:
+  // step/index tables as SQL literals, one recursive-CTE chain per
+  // (id, block, channel), both clamps exact. Any slip — table entry,
+  // clamp bound, nibble order, word interleave, header-sample
+  // accounting — shifts value_sum/min/max and fails the hash gate.
+  // Corruption matrix (truncated/PCM-tagged/oversized-index/bad
+  // fact) is spec-gated in MultimodalSpec.
+  private val AdpcmN = 40
+
+  def q151(s: SparkSession, dir: String): DataFrame = {
+    val fx = graft.operators.Multimodal.adpcmFixture(s, AdpcmN)
+    graft.operators.Multimodal.decodeAdpcm(fx, "id", "media")
+      .select(col("id"), col("sample_rate"), col("channels"),
+        col("samples_per_block"), col("n_blocks"), col("total_samples"),
+        col("value_sum"), col("min_sample"), col("max_sample"), col("valid"))
+      .orderBy("id")
+  }
+
+  val q151Sql: String =
+    s"""WITH RECURSIVE base AS (
+         SELECT r, 8000 + (r % 3) * 4000 AS rate, 1 + r % 2 AS ch,
+                2 + r % 3 AS w, 2 + r % 4 AS nb
+         FROM range(0, $AdpcmN) t(r)),
+       hb AS ( -- range() can't take lateral params: unnest comprehensions
+         SELECT r, ch, w, unnest([x for x in range(0, nb)]) AS b FROM base),
+       hc AS (
+         SELECT r, ch, w, b, unnest([x for x in range(0, ch)]) AS c FROM hb),
+       heads AS (
+         SELECT r, ch, w, b, c,
+                ((r * 31 + b * 17 + c * 29) % 4001) - 2000 AS p0,
+                (r * 7 + b * 3 + c * 5) % 89 AS i0
+         FROM hc),
+       dec(r, b, c, j, pred, idx, nmax) AS (
+         SELECT r, b, c, 0, p0, i0, 8 * w FROM heads
+         UNION ALL
+         SELECT r, b, c, j + 1,
+           CASE WHEN nib >= 8 THEN greatest(pred - diff, -32768)
+                ELSE least(pred + diff, 32767) END,
+           least(greatest(idx + ([-1,-1,-1,-1,2,4,6,8])[(nib % 8) + 1], 0), 88),
+           nmax
+         FROM (
+           SELECT r, b, c, j, pred, idx, nmax, nib, step,
+             (step // 8)
+               + CASE WHEN nib % 8 >= 4 THEN step ELSE 0 END
+               + CASE WHEN nib % 4 >= 2 THEN step // 2 ELSE 0 END
+               + CASE WHEN nib % 2 = 1 THEN step // 4 ELSE 0 END AS diff
+           FROM (
+             SELECT dec.*,
+               (r * 13 + b * 7 + c * 3 + j * 5) % 16 AS nib,
+               ([7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37,41,45,
+                 50,55,60,66,73,80,88,97,107,118,130,143,157,173,190,209,
+                 230,253,279,307,337,371,408,449,494,544,598,658,724,796,
+                 876,963,1060,1166,1282,1411,1552,1707,1878,2066,2272,2499,
+                 2749,3024,3327,3660,4026,4428,4871,5358,5894,6484,7132,
+                 7845,8630,9493,10442,11487,12635,13899,15289,16818,18500,
+                 20350,22385,24623,27086,29794,32767])[idx + 1] AS step
+             FROM dec WHERE j < nmax)))
+       SELECT base.r AS id,
+         CAST(rate AS INT) AS sample_rate, CAST(ch AS INT) AS channels,
+         CAST(1 + 8 * w AS INT) AS samples_per_block,
+         CAST(nb AS INT) AS n_blocks,
+         CAST(ch * nb * (1 + 8 * w) AS BIGINT) AS total_samples,
+         s.vsum AS value_sum, s.vmin AS min_sample, s.vmax AS max_sample,
+         true AS valid
+       FROM base JOIN (
+         SELECT r, CAST(sum(pred) AS BIGINT) AS vsum,
+                CAST(min(pred) AS INT) AS vmin, CAST(max(pred) AS INT) AS vmax
+         FROM dec GROUP BY r) s ON base.r = s.r
+       ORDER BY id"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q125_label_propagation" -> (q125 _),
     "q126_pmi_cooccur" -> (q126 _),
@@ -1170,7 +1248,8 @@ object ExtQueries4 {
     "q147_avi_frames" -> (q147 _),
     "q148_flac_pcm" -> (q148 _),
     "q149_flac_lpc" -> (q149 _),
-    "q150_flac_stereo" -> (q150 _))
+    "q150_flac_stereo" -> (q150 _),
+    "q151_adpcm_wav" -> (q151 _))
 
   val oracles: Map[String, String] = Map(
     "q125_label_propagation" -> q125Sql,
@@ -1198,5 +1277,6 @@ object ExtQueries4 {
     "q147_avi_frames" -> q147Sql,
     "q148_flac_pcm" -> q148Sql,
     "q149_flac_lpc" -> q149Sql,
-    "q150_flac_stereo" -> q150Sql)
+    "q150_flac_stereo" -> q150Sql,
+    "q151_adpcm_wav" -> q151Sql)
 }

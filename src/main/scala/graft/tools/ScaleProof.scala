@@ -35,6 +35,15 @@ object ScaleProof {
     val out = s"/tmp/graft_scale_x$k"
     val spark = graft.Sessions.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+    // shuffle parallelism scales with the data, as it would on a real
+    // cluster (sf0.1's 32 is under-partitioned at 100×): multi-wave
+    // stages amortize single-wave core contention out of the skew
+    // metric, and AQE repacks the finer partitions evenly — measured
+    // at 100×, q36's worst stage went bytes-ratio 2.00 (32 parts,
+    // AQE packing across reused exchanges) → 1.33 (128 parts), wall
+    // 23.9 → 18.9 s
+    spark.conf.set("spark.sql.shuffle.partitions",
+      (if (k >= 100) 128 else if (k >= 10) 64 else 32).toString)
 
     // ---- generate the blown-up corpus once ----
     if (!new java.io.File(s"$out/_done").exists()) {
@@ -53,6 +62,10 @@ object ScaleProof {
           .withColumn("n_chars", length(col("text")).cast("long"))
           .select("doc_id", "text", "lang", "source", "n_chars")
       }.reduce(_ unionByName _)
+        // uniform file sizes: the unioned copies otherwise land as
+        // ~k variably-sized files, and the SCAN stage's task packing
+        // inherits that imbalance (measured bytes-ratio 1.3 at 100×)
+        .repartition(math.max(32, 2 * k))
         .write.mode("overwrite").parquet(s"$out/documents.parquet")
       val emb = spark.read.parquet(s"$src/embeddings.parquet")
       val maxVec = emb.agg(max(col("vec_id"))).head().getLong(0) + 1
@@ -65,6 +78,7 @@ object ScaleProof {
               lit(0.003f)).cast("float")).as("embedding"),
           col("label"))
       }.reduce(_ unionByName _)
+        .repartition(math.max(32, 2 * k))
         .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
       new java.io.File(s"$out/_done").createNewFile()
     }
@@ -73,10 +87,25 @@ object ScaleProof {
     // skew is judged WITHIN the heaviest stage (by summed task time):
     // a query's global max-task / global median-task mixes trivial
     // bookkeeping stages into the median and reads as fake skew
-    val durations = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long)]()
+    // (stageId, duration ms, bytes processed): bytes = input +
+    // shuffle-read — duration skew in a SINGLE 32-task wave on 32
+    // cores can be pure core contention/GC, so DATA skew is judged on
+    // bytes, duration skew on durations, separately
+    val durations =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, Long)]()
+    val stageNames = new java.util.concurrent.ConcurrentHashMap[Int, String]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
-        if (e.taskInfo != null) durations.add((e.stageId, e.taskInfo.duration))
+        if (e.taskInfo != null) {
+          val bytes = if (e.taskMetrics == null) 0L
+            else e.taskMetrics.inputMetrics.bytesRead +
+              e.taskMetrics.shuffleReadMetrics.totalBytesRead
+          durations.add((e.stageId, e.taskInfo.duration, bytes))
+        }
+      override def onStageSubmitted(
+          e: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit =
+        stageNames.put(e.stageInfo.stageId,
+          e.stageInfo.name.replace('"', '\'').takeWhile(_ != '\n'))
     })
 
     def run(label: String)(body: => org.apache.spark.sql.DataFrame): Unit = {
@@ -84,14 +113,26 @@ object ScaleProof {
       val t0 = System.nanoTime()
       body.write.format("noop").mode("overwrite").save()
       val wall = (System.nanoTime() - t0) / 1e9
-      val byStage = durations.toArray(Array.empty[(Int, Long)])
-        .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
-      val nTasks = byStage.valuesIterator.map(_.length).sum
+      val byStage = durations.toArray(Array.empty[(Int, Long, Long)])
+        .groupBy(_._1).view
+        .mapValues(ts => (ts.map(_._2).sorted, ts.map(_._3).sorted)).toMap
+      val nTasks = byStage.valuesIterator.map(_._1.length).sum
       val heavy = if (byStage.isEmpty) Array.empty[Long]
-        else byStage.values.maxBy(_.sum)
+        else byStage.values.maxBy(_._1.sum)._1
       val med = if (heavy.isEmpty) 0L else heavy(heavy.length / 2)
       val mx = if (heavy.isEmpty) 0L else heavy.last
-      println(f"""{"scale_query":"$label","k":$k,"wall_sec":$wall%.2f,"n_tasks":$nTasks,"heavy_stage_tasks":${heavy.length},"heavy_stage_median_ms":$med,"heavy_stage_max_ms":$mx,"max_over_median":${if (med > 0) mx.toDouble / med else 0.0}%.2f}""")
+      // top stages by summed task time, for per-stage skew attribution
+      // (the single heavy-stage number says THAT a query skews, not
+      // WHERE — r11 VERDICT #4 needed the stage); bytes_ratio is the
+      // DATA-skew verdict, ratio the duration one
+      val top = byStage.toSeq.sortBy(-_._2._1.sum).take(4).map {
+        case (sid, (ds, bs)) =>
+          val m = ds(ds.length / 2)
+          val bm = bs(bs.length / 2)
+          val nm = stageNames.getOrDefault(sid, "?")
+          f"""{"stage":$sid,"name":"$nm","tasks":${ds.length},"sum_ms":${ds.sum},"median_ms":$m,"max_ms":${ds.last},"ratio":${if (m > 0) ds.last.toDouble / m else 0.0}%.2f,"median_bytes":$bm,"max_bytes":${bs.last},"bytes_ratio":${if (bm > 0) bs.last.toDouble / bm else 0.0}%.2f}"""
+      }.mkString("[", ",", "]")
+      println(f"""{"scale_query":"$label","k":$k,"wall_sec":$wall%.2f,"n_tasks":$nTasks,"heavy_stage_tasks":${heavy.length},"heavy_stage_median_ms":$med,"heavy_stage_max_ms":$mx,"max_over_median":${if (med > 0) mx.toDouble / med else 0.0}%.2f,"top_stages":$top}""")
       graft.Sessions.release(spark)
     }
 
@@ -105,16 +146,50 @@ object ScaleProof {
     registry.filter(wanted).foreach { q =>
       run(q)(graft.SparkEntry.queries(q)(spark, out))
     }
-    // q66's registry parameterization (nLists=16) is the sf0.1
-    // operating point; the IVF discipline at N·k vectors is
-    // nLists ∝ √N — the sub-quadratic scale path COVERAGE.md claims.
-    val nLists = math.max(16, (16 * math.sqrt(k)).toInt)
-    if (wanted("q66_ivfpq_scaled")) run(s"q66_ivfpq_scaled_lists_$nLists") {
+    // The SERVING configuration with ZERO hand-tuning (r11 VERDICT
+    // #2's done-criterion): operator defaults — nLists auto-derived
+    // √n at build time, default partial probe. The registry q66 above
+    // is the exhaustive-probe correctness extreme (its auto-derivation
+    // resolves to the floor list count — partitioning can't prune an
+    // exhaustive probe); THIS row is the scale path users actually run.
+    if (wanted("q66_ivfpq_serving_defaults")) run("q66_ivfpq_serving_defaults") {
       graft.operators.Similarity.ivfpqTopK(
         graft.queries.Tables.load(spark, out, "embeddings"),
-        "vec_id", "embedding", 5,
-        nLists = nLists, nprobe = 16, m = 16, rerank = 40)
+        "vec_id", "embedding", 5)
         .select(col("q"), col("rank"), col("n"))
+    }
+
+    // ---- graph family (r11 VERDICT #7): edges ∝ N·k, FORCED onto
+    // the distributed checkpoint path at every scale (driver kernel
+    // and cache path disabled) so the superstep/adjacency machinery
+    // itself is what scales. Deterministic hash graph: n = 20k·k
+    // nodes, 10 out-edges per node (uniform endpoints — hub handling
+    // is separately spec-gated by GraphSpec's probe/wedge tests).
+    {
+      val nNodes = 20000L * k
+      def edges = spark.range(10L * nNodes).select(
+        (col("id") % nNodes).as("src"),
+        pmod(xxhash64(col("id"), lit(7L)), lit(nNodes)).as("dst"))
+      val graphRuns: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+        s"graph_pagerank_n$nNodes" -> (() =>
+          graft.operators.Graph.pageRankInt(edges, "src", "dst", iters = 5)),
+        s"graph_triangles_n$nNodes" -> (() =>
+          graft.operators.Graph.triangleCounts(edges, "src", "dst")),
+        s"graph_labelprop_n$nNodes" -> (() =>
+          graft.operators.Graph.minLabelPropagate(edges, "src", "dst", iters = 4)),
+        s"graph_bfs_n$nNodes" -> (() =>
+          graft.operators.Graph.bfsHops(edges, "src", "dst",
+            source = 0L, maxHops = 6)))
+      if (graphRuns.exists(r => wanted(r._1))) {
+        spark.conf.set("spark.graft.graph.driverGraphBytes", "0")
+        spark.conf.set("spark.graft.graph.smallGraphBytes", "0")
+        try graphRuns.filter(r => wanted(r._1)).foreach {
+          case (label, body) => run(label)(body())
+        } finally {
+          spark.conf.unset("spark.graft.graph.driverGraphBytes")
+          spark.conf.unset("spark.graft.graph.smallGraphBytes")
+        }
+      }
     }
     spark.stop()
   }

@@ -89,6 +89,71 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.sampleFrames(df.limit(1), "id", "media", 1).count() == 0)
   }
 
+  test("IMA-ADPCM: decode matches a plain-Scala state machine; corruption matrix flags") {
+    import spark.implicits._
+    // independent reference: the textbook IMA recurrence, written
+    // directly from the published tables (kept separate from the
+    // operator's imaStep so a transcription slip can't self-verify)
+    val stepTab = Array(7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23,
+      25, 28, 31, 34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107,
+      118, 130, 143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371,
+      408, 449, 494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282,
+      1411, 1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660,
+      4026, 4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442,
+      11487, 12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623,
+      27086, 29794, 32767)
+    val idxTab = Array(-1, -1, -1, -1, 2, 4, 6, 8)
+    def ref(i: Int): (Long, Int, Int, Long) = {
+      val ch = 1 + i % 2; val spb = 1 + 8 * (2 + i % 3); val nb = 2 + i % 4
+      var sum = 0L; var mn = Int.MaxValue; var mx = Int.MinValue
+      for (b <- 0 until nb; c <- 0 until ch) {
+        var p = ((i * 31 + b * 17 + c * 29) % 4001) - 2000
+        var ix = (i * 7 + b * 3 + c * 5) % 89
+        sum += p; mn = math.min(mn, p); mx = math.max(mx, p)
+        for (j <- 0 until 8 * (2 + i % 3)) {
+          val nib = (i * 13 + b * 7 + c * 3 + j * 5) % 16
+          val st = stepTab(ix)
+          var d = st >> 3
+          if ((nib & 4) != 0) d += st
+          if ((nib & 2) != 0) d += st >> 1
+          if ((nib & 1) != 0) d += st >> 2
+          p = if ((nib & 8) != 0) math.max(p - d, -32768)
+              else math.min(p + d, 32767)
+          ix = math.min(math.max(ix + idxTab(nib & 7), 0), 88)
+          sum += p; mn = math.min(mn, p); mx = math.max(mx, p)
+        }
+      }
+      (sum, mn, mx, ch.toLong * nb * spb)
+    }
+    val got = Multimodal.decodeAdpcm(
+      Multimodal.adpcmFixture(spark, 12), "id", "media").orderBy("id").collect()
+    for (i <- 0 until 12) {
+      val (sum, mn, mx, total) = ref(i)
+      assert(got(i).getAs[Boolean]("valid"), s"id $i")
+      assert(got(i).getAs[Long]("value_sum") == sum, s"sum id $i")
+      assert(got(i).getAs[Int]("min_sample") == mn, s"min id $i")
+      assert(got(i).getAs[Int]("max_sample") == mx, s"max id $i")
+      assert(got(i).getAs[Long]("total_samples") == total, s"total id $i")
+    }
+    // corruption matrix: every malformed variant flags, never throws
+    val good = Multimodal.adpcmFixture(spark, 1).collect()(0)
+      .getAs[Array[Byte]]("media")
+    val truncated = java.util.Arrays.copyOf(good, good.length - 3)
+    val pcmTag = good.clone(); pcmTag(20) = 1       // PCM tag, ADPCM layout
+    val badIdx = good.clone()
+    // first block header's step index beyond 88 (data starts after
+    // RIFF(12) + fmt(8+20) + fact(8+4) + data hdr(8) = 60; idx at +2)
+    badIdx(62) = 120.toByte
+    val badFact = good.clone(); badFact(48) = (badFact(48) + 1).toByte
+    val garbage = Array.tabulate[Byte](64)(k => (k * 37).toByte)
+    val df = Seq((0L, good), (1L, truncated), (2L, pcmTag), (3L, badIdx),
+      (4L, badFact), (5L, garbage)).toDF("id", "media")
+    val out = Multimodal.decodeAdpcm(df, "id", "media").orderBy("id").collect()
+    assert(out(0).getAs[Boolean]("valid"))
+    for (k <- 1 to 5)
+      assert(!out(k).getAs[Boolean]("valid"), s"variant $k must flag")
+  }
+
   test("extractFeatures: deterministic byte stats") {
     val fx = Multimodal.fixture(spark, 3)
     val f1 = Multimodal.extractFeatures(fx, "id", "media").orderBy("id").collect()
