@@ -342,6 +342,151 @@ object Multimodal {
     spark.createDataFrame(rows, outSchema)
   }
 
+  // ------------------------------------------------------------------
+  // G.711 μ-law / A-law WAV (wFormatTag 7 / 6 — the ITU-T G.711
+  // companding laws, public since 1972; decode formulas per the
+  // CCITT reference implementation): stateless byte → PCM16 table
+  // decode, the telephony capture format a speech-data pipeline
+  // ingests by the petabyte.
+
+  /** μ-law byte → linear sample (G.711; CCITT reference formula). */
+  private def ulaw2linear(v: Int): Int = {
+    val u = (~v) & 0xff
+    val t = (((u & 0x0f) << 3) + 0x84) << ((u & 0x70) >> 4)
+    if ((u & 0x80) != 0) 0x84 - t else t - 0x84
+  }
+
+  /** A-law byte → linear sample (G.711; CCITT reference formula). */
+  private def alaw2linear(v: Int): Int = {
+    val a = v ^ 0x55
+    val seg = (a & 0x70) >> 4
+    val t0 = (a & 0x0f) << 4
+    val t = seg match {
+      case 0 => t0 + 8
+      case 1 => t0 + 0x108
+      case _ => (t0 + 0x108) << (seg - 1)
+    }
+    if ((a & 0x80) != 0) t else -t
+  }
+
+  /** Parse + fully decode a G.711 RIFF/WAVE container (fmt tag 6 =
+    * A-law, 7 = μ-law; 8 bits/sample, blockAlign == channels, fact
+    * chunk matching the frame count). Returns (codec, rate, ch,
+    * totalSamples, valueSum, min, max). */
+  private[graft] def parseG711Wav(b: Array[Byte])
+      : Option[(String, Int, Int, Long, Long, Int, Int)] = {
+    if (!isWav(b)) return None
+    val bb = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+    var off = 12
+    var fmt: Option[(Int, Int, Int, Int, Int)] = None
+    var data: Option[(Int, Int)] = None
+    var fact: Option[Long] = None
+    while (off + 8 <= b.length && (fmt.isEmpty || data.isEmpty || fact.isEmpty)) {
+      val id = new String(b, off, 4, "ASCII")
+      val size = bb.getInt(off + 4)
+      if (size < 0 || off.toLong + 8L + size > b.length) return None
+      if (id == "fmt " && size >= 16)
+        fmt = Some((bb.getShort(off + 8) & 0xffff,   // wFormatTag
+          bb.getShort(off + 10) & 0xffff,            // channels
+          bb.getInt(off + 12),                       // sample rate
+          bb.getShort(off + 20) & 0xffff,            // blockAlign
+          bb.getShort(off + 22) & 0xffff))           // bitsPerSample
+      else if (id == "fact" && size >= 4)
+        fact = Some(bb.getInt(off + 8).toLong & 0xffffffffL)
+      else if (id == "data")
+        data = Some((off + 8, size))
+      off += 8 + size + (size & 1)
+    }
+    for {
+      (tag, ch, rate, blockAlign, bits) <- fmt
+      (dOff, dLen) <- data
+      factSamples <- fact
+      if (tag == 6 || tag == 7) && bits == 8 && ch > 0 && rate > 0
+      if blockAlign == ch && dLen > 0 && dLen % ch == 0
+      if factSamples == dLen.toLong / ch
+    } yield {
+      val dec: Int => Int = if (tag == 7) ulaw2linear else alaw2linear
+      var sum = 0L; var mn = Int.MaxValue; var mx = Int.MinValue
+      var k = 0
+      while (k < dLen) {
+        val s = dec(b(dOff + k) & 0xff)
+        sum += s; mn = math.min(mn, s); mx = math.max(mx, s)
+        k += 1
+      }
+      (if (tag == 7) "ulaw" else "alaw", rate, ch, dLen.toLong, sum, mn, mx)
+    }
+  }
+
+  /** Encode a REAL G.711 WAV container (fixture / test side). */
+  def encodeG711Wav(
+      rate: Int, channels: Int, tag: Int, bytes: Array[Byte]): Array[Byte] = {
+    require(tag == 6 || tag == 7, s"G.711 tag 6 or 7, got $tag")
+    require(bytes.length % channels == 0)
+    val dataLen = bytes.length
+    val pad = dataLen & 1
+    val bb = ByteBuffer.allocate(12 + 8 + 18 + 8 + 4 + 8 + dataLen + pad)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("ASCII")).putInt(4 + 26 + 12 + 8 + dataLen + pad)
+      .put("WAVE".getBytes("ASCII"))
+    bb.put("fmt ".getBytes("ASCII")).putInt(18) // 16 base + cbSize(0)
+      .putShort(tag.toShort)
+      .putShort(channels.toShort)
+      .putInt(rate)
+      .putInt(rate * channels) // 1 byte/sample
+      .putShort(channels.toShort)
+      .putShort(8)
+      .putShort(0) // cbSize
+    bb.put("fact".getBytes("ASCII")).putInt(4).putInt(dataLen / channels)
+    bb.put("data".getBytes("ASCII")).putInt(dataLen).put(bytes)
+    bb.array()
+  }
+
+  /** Deterministic G.711 fixture: even ids μ-law, odd ids A-law;
+    * every encoded byte closed-form in (id, j) and sweeping the full
+    * byte range across ids. */
+  def g711Fixture(spark: SparkSession, n: Int): DataFrame = {
+    val rows = (0 until n).map { i =>
+      val rate = 8000 * (1 + i % 2)
+      val ch = 1 + i % 2
+      val frames = 40 + i % 25
+      val bytes = Array.tabulate[Byte](frames * ch)(j =>
+        ((i * 11 + j * 13) % 256).toByte)
+      Row(i.toLong, encodeG711Wav(rate, ch, if (i % 2 == 0) 7 else 6, bytes))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4),
+      StructType(Seq(
+        StructField("id", LongType, false),
+        StructField("media", BinaryType, true))))
+  }
+
+  /** Full-decode DataFrame op over G.711 WAV blobs; malformed/PCM/
+    * other-codec containers yield valid=false rows, never throw. */
+  def decodeG711(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("id", LongType, false),
+      StructField("codec", StringType, true),
+      StructField("sample_rate", IntegerType, true),
+      StructField("channels", IntegerType, true),
+      StructField("total_samples", LongType, true),
+      StructField("value_sum", LongType, true),
+      StructField("min_sample", IntegerType, true),
+      StructField("max_sample", IntegerType, true),
+      StructField("valid", BooleanType, false)))
+    val rows = df.select(col(idCol).cast(LongType), col(binCol)).rdd
+      .mapPartitions(_.map { r =>
+        scala.util.Try(parseG711Wav(r.getAs[Array[Byte]](1))).toOption
+          .flatten match {
+          case Some((codec, rate, ch, total, sum, mn, mx)) =>
+            Row(r.getLong(0), codec, rate, ch, total, sum, mn, mx, true)
+          case None =>
+            Row(r.getLong(0), null, null, null, null, null, null, null, false)
+        }
+      })
+    spark.createDataFrame(rows, outSchema)
+  }
+
   private def isMp3Sync(b: Array[Byte]): Boolean =
     b != null && b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xe0) == 0xe0
 

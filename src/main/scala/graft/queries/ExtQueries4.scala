@@ -1222,6 +1222,70 @@ object ExtQueries4 {
          FROM dec GROUP BY r) s ON base.r = s.r
        ORDER BY id"""
 
+  // ---------------------------------------------------------------
+  // q152 — G.711 μ-law / A-law WAV decode (wFormatTag 7 / 6, the
+  // ITU-T telephony companding laws): 40 real containers (even ids
+  // μ-law, odd A-law), every byte decoded through the CCITT
+  // reference formulas to linear PCM16. Stateless table decode, so
+  // the oracle computes the SAME formula per byte in plain SQL (the
+  // complement/xor, segment shift and bias arithmetic inline) and
+  // aggregates — any slip in bias, segment handling or either sign
+  // convention (μ-law sign bit set = negative AFTER complement;
+  // A-law set = positive AFTER xor 0x55) fails the hash gate.
+  private val G711N = 40
+
+  def q152(s: SparkSession, dir: String): DataFrame = {
+    val fx = graft.operators.Multimodal.g711Fixture(s, G711N)
+    graft.operators.Multimodal.decodeG711(fx, "id", "media")
+      .select(col("id"), col("codec"), col("sample_rate"), col("channels"),
+        col("total_samples"), col("value_sum"), col("min_sample"),
+        col("max_sample"), col("valid"))
+      .orderBy("id")
+  }
+
+  val q152Sql: String =
+    s"""WITH base AS (
+         SELECT r, 8000 * (1 + r % 2) AS rate, 1 + r % 2 AS ch,
+                40 + r % 25 AS frames
+         FROM range(0, $G711N) t(r)),
+       samp AS (
+         SELECT r, unnest([
+           CASE WHEN r % 2 = 0 THEN
+             -- ulaw2linear(v), v = (r*11 + j*13) % 256: u = ~v;
+             -- t = ((u&15)*8 + 132) << ((u>>4)&7); sign(u&128): 132-t
+             CASE WHEN (255 - (r * 11 + j * 13) % 256) >= 128
+               THEN 132 - ((((255 - (r * 11 + j * 13) % 256) % 16) * 8 + 132)
+                           * (1 << ((255 - (r * 11 + j * 13) % 256) // 16 % 8)))
+               ELSE ((((255 - (r * 11 + j * 13) % 256) % 16) * 8 + 132)
+                     * (1 << ((255 - (r * 11 + j * 13) % 256) // 16 % 8))) - 132
+             END
+           ELSE
+             -- alaw2linear(v): a = v ^ 85; seg = (a>>4)&7;
+             -- t = seg=0 ? m*16+8 : seg=1 ? m*16+264 : (m*16+264)<<(seg-1);
+             -- sign(a&128): positive
+             CASE WHEN xor((r * 11 + j * 13) % 256, 85) >= 128 THEN 1 ELSE -1 END
+             * CASE WHEN xor((r * 11 + j * 13) % 256, 85) // 16 % 8 = 0
+                 THEN (xor((r * 11 + j * 13) % 256, 85) % 16) * 16 + 8
+                 WHEN xor((r * 11 + j * 13) % 256, 85) // 16 % 8 = 1
+                 THEN (xor((r * 11 + j * 13) % 256, 85) % 16) * 16 + 264
+                 ELSE ((xor((r * 11 + j * 13) % 256, 85) % 16) * 16 + 264)
+                      * (1 << (xor((r * 11 + j * 13) % 256, 85) // 16 % 8 - 1))
+               END
+           END
+           FOR j IN range(0, frames * ch)]) AS v
+         FROM base)
+       SELECT base.r AS id,
+         CASE WHEN base.r % 2 = 0 THEN 'ulaw' ELSE 'alaw' END AS codec,
+         CAST(rate AS INT) AS sample_rate, CAST(ch AS INT) AS channels,
+         CAST(frames * ch AS BIGINT) AS total_samples,
+         s.vsum AS value_sum, s.vmin AS min_sample, s.vmax AS max_sample,
+         true AS valid
+       FROM base JOIN (
+         SELECT r, CAST(sum(v) AS BIGINT) AS vsum,
+                CAST(min(v) AS INT) AS vmin, CAST(max(v) AS INT) AS vmax
+         FROM samp GROUP BY r) s ON base.r = s.r
+       ORDER BY id"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q125_label_propagation" -> (q125 _),
     "q126_pmi_cooccur" -> (q126 _),
@@ -1249,7 +1313,8 @@ object ExtQueries4 {
     "q148_flac_pcm" -> (q148 _),
     "q149_flac_lpc" -> (q149 _),
     "q150_flac_stereo" -> (q150 _),
-    "q151_adpcm_wav" -> (q151 _))
+    "q151_adpcm_wav" -> (q151 _),
+    "q152_g711_wav" -> (q152 _))
 
   val oracles: Map[String, String] = Map(
     "q125_label_propagation" -> q125Sql,
@@ -1278,5 +1343,6 @@ object ExtQueries4 {
     "q148_flac_pcm" -> q148Sql,
     "q149_flac_lpc" -> q149Sql,
     "q150_flac_stereo" -> q150Sql,
-    "q151_adpcm_wav" -> q151Sql)
+    "q151_adpcm_wav" -> q151Sql,
+    "q152_g711_wav" -> q152Sql)
 }

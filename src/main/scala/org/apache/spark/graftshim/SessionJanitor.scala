@@ -39,6 +39,14 @@ object SessionJanitor {
     // with jobs in flight or frames still cached would destroy state
     // those consumers re-read, surfacing later as 'Broadcast destroyed'
     // or silent shuffle recomputation — fail HERE, attributably.
+    // statusTracker is fed by the async listener bus and can lag a
+    // just-finished job (observed right after a streaming query's
+    // AvailableNow termination) — poll briefly before declaring a
+    // genuine violation.
+    val deadline = System.nanoTime() + 2000000000L
+    while (sc.statusTracker.getActiveJobIds().nonEmpty &&
+        System.nanoTime() < deadline)
+      Thread.sleep(10)
     require(sc.statusTracker.getActiveJobIds().isEmpty,
       "SessionJanitor.drainRuntimeState called with active jobs — " +
         "it must only run between self-contained queries")

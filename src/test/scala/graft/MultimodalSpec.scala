@@ -154,6 +154,60 @@ class MultimodalSpec extends SparkSpec {
       assert(!out(k).getAs[Boolean]("valid"), s"variant $k must flag")
   }
 
+  test("G.711: μ-law/A-law decode matches the reference tables on all 256 bytes; corruption flags") {
+    import spark.implicits._
+    // independent reference: decode ALL 256 byte values per law
+    // against the published G.711 segment-boundary spot values
+    def uref(v: Int): Int = {
+      val u = (~v) & 0xff
+      val t = (((u & 0xf) << 3) + 132) << ((u >> 4) & 7)
+      if ((u & 0x80) != 0) 132 - t else t - 132
+    }
+    def aref(v: Int): Int = {
+      val a = v ^ 0x55
+      val m = a & 0xf; val seg = (a >> 4) & 7
+      val t = if (seg == 0) (m << 4) + 8
+        else if (seg == 1) (m << 4) + 0x108
+        else ((m << 4) + 0x108) << (seg - 1)
+      if ((a & 0x80) != 0) t else -t
+    }
+    // spec anchors: μ-law 0xFF → 0 (+ silence), 0x7F → -0,
+    // 0x80 → +32124 max magnitude; A-law 0xD5 → +8, 0x2A → -8
+    assert(uref(0xff) == 0 && uref(0x80) == 32124 && uref(0x00) == -32124)
+    assert(aref(0xd5) == 8 && aref(0x55) == -8 && aref(0xaa) == 32256)
+    // one blob per law carrying every byte value once → decoder
+    // sum/min/max must equal the reference aggregate over 0..255
+    val allBytes = Array.tabulate[Byte](256)(_.toByte)
+    val df = Seq(
+      (0L, Multimodal.encodeG711Wav(8000, 1, 7, allBytes)),
+      (1L, Multimodal.encodeG711Wav(8000, 1, 6, allBytes))).toDF("id", "media")
+    val out = Multimodal.decodeG711(df, "id", "media").orderBy("id").collect()
+    val us = (0 until 256).map(uref)
+    val as = (0 until 256).map(aref)
+    assert(out(0).getAs[String]("codec") == "ulaw")
+    assert(out(0).getAs[Long]("value_sum") == us.map(_.toLong).sum)
+    assert(out(0).getAs[Int]("min_sample") == us.min)
+    assert(out(0).getAs[Int]("max_sample") == us.max)
+    assert(out(1).getAs[String]("codec") == "alaw")
+    assert(out(1).getAs[Long]("value_sum") == as.map(_.toLong).sum)
+    assert(out(1).getAs[Int]("min_sample") == as.min)
+    assert(out(1).getAs[Int]("max_sample") == as.max)
+    // corruption matrix
+    val good = Multimodal.encodeG711Wav(8000, 2, 7, allBytes)
+    val truncated = java.util.Arrays.copyOf(good, good.length - 5)
+    val pcmTag = good.clone(); pcmTag(20) = 1
+    val badFact = good.clone(); badFact(46) = (badFact(46) + 1).toByte
+    val cdf = Seq((0L, good), (1L, truncated), (2L, pcmTag), (3L, badFact))
+      .toDF("id", "media")
+    val cout = Multimodal.decodeG711(cdf, "id", "media").orderBy("id").collect()
+    assert(cout(0).getAs[Boolean]("valid") &&
+      cout(0).getAs[Long]("total_samples") == 256L)
+    for (k <- 1 to 3) assert(!cout(k).getAs[Boolean]("valid"), s"variant $k")
+    // the dedicated decoders ignore each other's formats
+    assert(!Multimodal.decodeAdpcm(cdf.limit(1), "id", "media")
+      .collect()(0).getAs[Boolean]("valid"))
+  }
+
   test("extractFeatures: deterministic byte stats") {
     val fx = Multimodal.fixture(spark, 3)
     val f1 = Multimodal.extractFeatures(fx, "id", "media").orderBy("id").collect()
