@@ -166,4 +166,105 @@ object MultimodalPropertySpec extends Properties("MultimodalCodecs") {
       val b = Multimodal.encodeAvi(w, h, grays, rate)
       Multimodal.parseAvi(b.dropRight(cutRaw % b.length + 1)).isEmpty
     }
+
+  // ---- IMA-ADPCM: randomized state-machine round trip -------------
+
+  private val adpcmParams = for {
+    rate <- Gen.oneOf(8000, 16000, 44100)
+    ch <- Gen.choose(1, 2)
+    w <- Gen.choose(1, 6)           // samplesPerBlock = 1 + 8w
+    nBlocks <- Gen.choose(1, 5)
+    seed <- Gen.choose(0L, 1000000L)
+  } yield (rate, ch, w, nBlocks, seed)
+
+  private val imaStepTab = Array(7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19,
+    21, 23, 25, 28, 31, 34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97,
+    107, 118, 130, 143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371,
+    408, 449, 494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282,
+    1411, 1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660,
+    4026, 4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442,
+    11487, 12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767)
+  private val imaIdxTab = Array(-1, -1, -1, -1, 2, 4, 6, 8)
+
+  property("adpcm decode(encode) matches the reference recurrence on random streams") =
+    Prop.forAll(adpcmParams) { case (rate, ch, w, nb, seed) =>
+      val spb = 1 + 8 * w
+      def hdr(b: Int, c: Int): (Int, Int) =
+        ((((seed * 31 + b * 17 + c * 29) % 4001) - 2000).toInt,
+          ((seed * 7 + b * 3 + c * 5) % 89).toInt)
+      def nib(b: Int, c: Int, j: Int): Int =
+        ((seed * 13 + b * 7 + c * 3 + j * 5) % 16).toInt
+      val bytes = Multimodal.encodeAdpcmWav(rate, ch, spb, nb, hdr, nib)
+      var sum = 0L; var mn = Int.MaxValue; var mx = Int.MinValue
+      for (b <- 0 until nb; c <- 0 until ch) {
+        var (p, ix) = hdr(b, c)
+        sum += p; mn = math.min(mn, p); mx = math.max(mx, p)
+        for (j <- 0 until 8 * w) {
+          val v = nib(b, c, j)
+          val st = imaStepTab(ix)
+          var d = st >> 3
+          if ((v & 4) != 0) d += st
+          if ((v & 2) != 0) d += st >> 1
+          if ((v & 1) != 0) d += st >> 2
+          p = if ((v & 8) != 0) math.max(p - d, -32768)
+              else math.min(p + d, 32767)
+          ix = math.min(math.max(ix + imaIdxTab(v & 7), 0), 88)
+          sum += p; mn = math.min(mn, p); mx = math.max(mx, p)
+        }
+      }
+      Multimodal.parseAdpcmWav(bytes).contains(
+        (rate, ch, spb, nb, nb.toLong * spb * ch, sum, mn, mx))
+    }
+
+  property("adpcm: truncation never parses") =
+    Prop.forAll(adpcmParams, Gen.choose(1, 4096)) { case ((rate, ch, w, nb, seed), cutRaw) =>
+      val b = Multimodal.encodeAdpcmWav(rate, ch, 1 + 8 * w, nb,
+        (bk, c) => (0, (seed % 89).toInt), (bk, c, j) => (j * 7 + seed.toInt) % 16)
+      Multimodal.parseAdpcmWav(b.dropRight(cutRaw % b.length + 1)).isEmpty
+    }
+
+  // ---- G.711: randomized companding round trip --------------------
+
+  private val g711Params = for {
+    rate <- Gen.oneOf(8000, 16000)
+    ch <- Gen.choose(1, 2)
+    tag <- Gen.oneOf(6, 7)
+    frames <- Gen.choose(1, 500)
+    seed <- Gen.choose(0, 100000)
+  } yield (rate, ch, tag, frames, seed)
+
+  property("g711 decode(encode) matches the reference companding on random bytes") =
+    Prop.forAll(g711Params) { case (rate, ch, tag, frames, seed) =>
+      val raw = Array.tabulate[Byte](frames * ch)(j => ((seed + j * 41) % 256).toByte)
+      def dec(v: Int): Int =
+        if (tag == 7) {
+          val u = (~v) & 0xff
+          val t = (((u & 0xf) << 3) + 132) << ((u >> 4) & 7)
+          if ((u & 0x80) != 0) 132 - t else t - 132
+        } else {
+          val a = v ^ 0x55
+          val m = a & 0xf; val seg = (a >> 4) & 7
+          val t = if (seg == 0) (m << 4) + 8
+            else if (seg == 1) (m << 4) + 0x108
+            else ((m << 4) + 0x108) << (seg - 1)
+          if ((a & 0x80) != 0) t else -t
+        }
+      val vals = raw.map(b => dec(b & 0xff))
+      Multimodal.parseG711Wav(
+        Multimodal.encodeG711Wav(rate, ch, tag, raw)).contains(
+        (if (tag == 7) "ulaw" else "alaw", rate, ch, raw.length.toLong,
+          vals.map(_.toLong).sum, vals.min, vals.max))
+    }
+
+  property("g711: truncation never parses") =
+    Prop.forAll(g711Params, Gen.choose(1, 4096)) { case ((rate, ch, tag, frames, seed), cutRaw) =>
+      val raw = Array.tabulate[Byte](frames * ch)(j => ((seed + j) % 256).toByte)
+      val b = Multimodal.encodeG711Wav(rate, ch, tag, raw)
+      // cut past the RIFF word-alignment pad byte (losing only the
+      // pad leaves every chunk intact — legal to parse)
+      val pad = raw.length & 1
+      val cut = pad + 1 + cutRaw % (b.length - pad - 1)
+      Multimodal.parseG711Wav(b.dropRight(cut)).isEmpty
+    }
 }
