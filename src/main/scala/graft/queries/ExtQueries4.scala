@@ -1286,6 +1286,91 @@ object ExtQueries4 {
          FROM samp GROUP BY r) s ON base.r = s.r
        ORDER BY id"""
 
+  // ---------------------------------------------------------------
+  // q153 — URL canonicalization (the web-corpus dedup-key pass):
+  // every doc gets a deterministically MESSY url (mixed-case scheme/
+  // host, default and non-default ports, duplicate and trailing
+  // slashes, tracking params out of order, a fragment), the engine
+  // normalizes it with UrlOps.normalizeUrl (pure Column chain — no
+  // UDF, stays in codegen), and docs sharing a canonical form are
+  // counted (the URL-dedup group size). The oracle rebuilds the same
+  // messy url and applies the IDENTICAL rule chain in SQL — every
+  // rule (case, ports, slashes, fragment, tracking filter, param
+  // sort) is exercised by some residue class, so a slipped rule
+  // flips at least one url_norm and fails the hash gate.
+  def q153(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    def ds(m: Int) = (d % m).cast("string")
+    val url = concat(
+      when(d % 3 === 0, lit("HTTP")).when(d % 3 === 1, lit("https"))
+        .otherwise(lit("HtTpS")),
+      lit("://WWW.Site"), ds(5), lit(".COM"),
+      when(d % 4 === 0, lit(":443")).when(d % 4 === 1, lit(":80"))
+        .when(d % 4 === 2, lit(":8080")).otherwise(lit("")),
+      lit("//a"), ds(7), lit("/b//c"),
+      when(d % 2 === 0, lit("/")).otherwise(lit("")),
+      lit("?utm_source=x&z="), ds(3), lit("&a="), ds(2),
+      lit("&gclid=foo#frag"), ds(2))
+    val withUrl = Tables.load(s, dir, "documents")
+      .select(col("doc_id")).withColumn("url", url)
+    val norm = withUrl
+      .withColumn("url_norm", graft.operators.UrlOps.normalizeUrl(col("url")))
+      .withColumn("host", graft.operators.UrlOps.host(col("url")))
+    // ≤ 420 distinct canonical urls (lcm of the residue moduli) —
+    // the groups table is tiny at any corpus size, so the count
+    // attach is a broadcast join, never a corpus shuffle
+    val counts = norm.groupBy("url_norm").agg(count(lit(1)).as("n_same_norm"))
+    norm.join(broadcast(counts), Seq("url_norm"))
+      .select(col("doc_id"), col("url"), col("url_norm"), col("host"),
+        col("n_same_norm"))
+      .orderBy("doc_id")
+  }
+
+  val q153Sql: String =
+    raw"""WITH u0 AS (
+         SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'HTTP' WHEN 1 THEN 'https'
+                ELSE 'HtTpS' END
+           || '://WWW.Site' || (doc_id % 5) || '.COM'
+           || CASE doc_id % 4 WHEN 0 THEN ':443' WHEN 1 THEN ':80'
+                   WHEN 2 THEN ':8080' ELSE '' END
+           || '//a' || (doc_id % 7) || '/b//c'
+           || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END
+           || '?utm_source=x&z=' || (doc_id % 3) || '&a=' || (doc_id % 2)
+           || '&gclid=foo#frag' || (doc_id % 2) AS url
+         FROM documents),
+       n AS (
+         SELECT doc_id, url,
+           lower(regexp_extract(url, '^([^:/?#]+)://', 1)) AS sch,
+           regexp_replace(regexp_replace(
+             lower(regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1)),
+             ':[0-9]*$$', ''), '^www\.', '') AS host,
+           regexp_extract(
+             lower(regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1)),
+             ':([0-9]+)$$', 1) AS port,
+           regexp_replace(regexp_replace(
+             regexp_extract(url, '^[^:/?#]+://[^/?#]*([^?#]*)', 1),
+             '/{2,}', '/', 'g'), '/+$$', '') AS path,
+           array_to_string(list_sort(list_filter(
+             string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+             p -> p != '' AND NOT regexp_matches(p,
+               '^(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)(=|$$)'))), '&') AS q
+         FROM u0),
+       m AS (
+         SELECT doc_id, url,
+           sch || '://' || host
+           || CASE WHEN port != '' AND NOT (sch = 'http' AND port = '80')
+                    AND NOT (sch = 'https' AND port = '443')
+                   THEN ':' || port ELSE '' END
+           || path
+           || CASE WHEN q != '' THEN '?' || q ELSE '' END AS url_norm,
+           host
+         FROM n)
+       SELECT m.doc_id, m.url, m.url_norm, m.host, c.n_same_norm
+       FROM m JOIN (SELECT url_norm, count(*) AS n_same_norm
+                    FROM m GROUP BY 1) c USING (url_norm)
+       ORDER BY doc_id"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q125_label_propagation" -> (q125 _),
     "q126_pmi_cooccur" -> (q126 _),
@@ -1314,7 +1399,8 @@ object ExtQueries4 {
     "q149_flac_lpc" -> (q149 _),
     "q150_flac_stereo" -> (q150 _),
     "q151_adpcm_wav" -> (q151 _),
-    "q152_g711_wav" -> (q152 _))
+    "q152_g711_wav" -> (q152 _),
+    "q153_url_normalize" -> (q153 _))
 
   val oracles: Map[String, String] = Map(
     "q125_label_propagation" -> q125Sql,
@@ -1344,5 +1430,6 @@ object ExtQueries4 {
     "q149_flac_lpc" -> q149Sql,
     "q150_flac_stereo" -> q150Sql,
     "q151_adpcm_wav" -> q151Sql,
-    "q152_g711_wav" -> q152Sql)
+    "q152_g711_wav" -> q152Sql,
+    "q153_url_normalize" -> q153Sql)
 }
