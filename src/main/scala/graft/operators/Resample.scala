@@ -44,9 +44,15 @@ object Resample {
                       step: Long): DataFrame = {
     require(step > 0, "gridInterpolate: step must be positive")
     val ent = col(entityCol)
-    // Deterministic value per (entity, instant).
+    // Deterministic value per (entity, instant) — EAGERLY pinned: the
+    // deduped series feeds BOTH the grid-bounds aggregate and the
+    // stream union below, and without the checkpoint Catalyst plans
+    // two full scans + aggregations of the raw event stream (the plan
+    // audit pins the single-scan shape). Not purely lazy: the pin
+    // runs one job at call time.
     val ev = events.groupBy(ent, col(timeCol).as("t"))
       .agg(min(col(valueCol).cast("double")).as("v"))
+      .localCheckpoint(true)
     // Interior grid: ceil(lo/step)..floor(hi/step). Integer ceil of a
     // non-negative quotient via (lo + step − 1) div step keeps the
     // arithmetic exact for lo ≥ 0 (time axes are epoch-based here).
@@ -63,24 +69,30 @@ object Resample {
       .select(ent, (col("slot") * lit(step)).as("t"),
         lit(null).cast("double").as("v"))
     // Events sort before grid points at the same instant (isg 0 < 1).
+    // The bracketing (t, v) pairs ride ONE pre-projected struct per
+    // row and ONE window function per direction: `last(tv)` /
+    // `first(tv)` over a plain attribute lets Spark place both frames
+    // in a single Window operator over the shared sort — the
+    // per-component formulation (last(v), last(when(...)), …) forced
+    // intermediate projections that split the plan into three Window
+    // nodes over the same 280k-row sort (plan-audited now).
     val stream = ev.select(ent, col("t"), col("v"), lit(0).as("isg"))
       .unionByName(grid.withColumn("isg", lit(1)))
+      .withColumn("tv", when(col("v").isNotNull,
+        struct(col("t").as("bt"), col("v").as("bv"))))
     val ord = Window.partitionBy(ent).orderBy(col("t"), col("isg"))
     val back = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val fwd = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    val prevV = last(col("v"), ignoreNulls = true).over(back)
-    val prevT = last(when(col("v").isNotNull, col("t")), ignoreNulls = true).over(back)
-    val nextV = first(col("v"), ignoreNulls = true).over(fwd)
-    val nextT = first(when(col("v").isNotNull, col("t")), ignoreNulls = true).over(fwd)
     stream
-      .withColumn("pv", prevV).withColumn("pt", prevT)
-      .withColumn("nv", nextV).withColumn("nt", nextT)
+      .select(ent, col("t"), col("isg"),
+        last(col("tv"), ignoreNulls = true).over(back).as("p"),
+        first(col("tv"), ignoreNulls = true).over(fwd).as("n"))
       .where(col("isg") === 1)
       .select(ent, col("t").as("grid_ts"),
-        when(col("t") === col("pt"), col("pv"))
-          .otherwise(col("pv") + (col("nv") - col("pv")) *
-            ((col("t") - col("pt")).cast("double") /
-              (col("nt") - col("pt")).cast("double")))
+        when(col("t") === col("p.bt"), col("p.bv"))
+          .otherwise(col("p.bv") + (col("n.bv") - col("p.bv")) *
+            ((col("t") - col("p.bt")).cast("double") /
+              (col("n.bt") - col("p.bt")).cast("double")))
           .as("v_interp"))
   }
 

@@ -80,6 +80,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("cms_estimate"), s"CMS prefilter folded away:\n$p")
   }
 
+  test("q74: resample is one window pass over one pinned dedup scan") {
+    // the bracketing (t, v) pairs ride per-direction structs so both
+    // frames land in ONE Window operator; the deduped event series is
+    // eagerly pinned so the raw events scan + aggregate runs once —
+    // the pre-r12 shape planned three Window nodes and scanned the
+    // events parquet twice
+    val p = plan("q74_resample")
+    val windows = "Window \\[".r.findAllIn(p).length
+    assert(windows == 1, s"both frames must share one Window operator:\n$p")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 0, s"events must come from the pinned dedup, not re-scans:\n$p")
+  }
+
   test("q100: histogram plans NO global window — NTILE comes from the prefix sum") {
     val p = plan("q100_histogram")
     assert(!p.contains("Window"), s"global window would single-partition the table:\n$p")
