@@ -311,9 +311,12 @@ object ExtQueries4 {
   // corpus self-join); the per-part rank is a bounded window over the
   // pair table, not the baskets.
   def q131(s: SparkSession, dir: String): DataFrame = {
+    // pinned: po feeds the per-part totals AND the basket build —
+    // without the checkpoint both consumers replay the scan+distinct
     val po = t(s, dir, "lineitem")
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
       .distinct()
+      .localCheckpoint(true)
     val pc = po.groupBy(col("p")).agg(count(lit(1)).as("c_part"))
     val pairs = po.groupBy("o").agg(collect_set(col("p")).as("ps"))
       .select(explode(col("ps")).as("x"), col("ps"))
