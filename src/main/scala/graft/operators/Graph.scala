@@ -305,6 +305,94 @@ object Graph {
       spark.sparkContext.parallelize(out, slices), schema)
   }
 
+  /** Driver-local level-synchronous BFS (gate rationale:
+    * [[driverGraphBytes]] — each distributed superstep is a
+    * broadcast join + distinct + anti-join + count probe, ~4 driver
+    * jobs of fixed overhead per hop on a tiny graph). `e` must be
+    * the distinct self-loop-free (src, dst) frame. Integer hop
+    * labels — exactly equal to the superstep path by construction
+    * (GraphSpec three-path equality). */
+  private def bfsLocal(
+      e: DataFrame, source: Long, maxHops: Int): DataFrame = {
+    val spark = e.sparkSession
+    val rows = e.select(col("src"), col("dst")).collect()
+    val adj = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[Long]]()
+    rows.foreach { r =>
+      adj.computeIfAbsent(r.getLong(0),
+        _ => scala.collection.mutable.ArrayBuffer.empty[Long]) += r.getLong(1)
+    }
+    val dist = new java.util.HashMap[Long, Long]()
+    dist.put(source, 0L)
+    var frontier: Seq[Long] = Seq(source)
+    var hop = 0L
+    while (hop < maxHops && frontier.nonEmpty) {
+      hop += 1
+      val next = scala.collection.mutable.ArrayBuffer.empty[Long]
+      frontier.foreach { u =>
+        val ns = adj.get(u)
+        if (ns != null) ns.foreach { v =>
+          if (!dist.containsKey(v)) { dist.put(v, hop); next += v }
+        }
+      }
+      frontier = next.toSeq
+    }
+    import scala.jdk.CollectionConverters._
+    val out = dist.entrySet().asScala.toSeq
+      .map(kv => org.apache.spark.sql.Row(kv.getKey.longValue(), kv.getValue.longValue()))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("node", LongType, false),
+      org.apache.spark.sql.types.StructField("hops", LongType, false)))
+    spark.createDataFrame(spark.sparkContext.parallelize(out,
+      math.max(1, math.min(spark.sparkContext.defaultParallelism,
+        out.size / 10000 + 1))), schema)
+  }
+
+  /** Driver-local synchronous min-label propagation (same gate and
+    * exactness argument as [[bfsLocal]]; the distributed loop costs
+    * two exchanges per round). `e` must be the distinct
+    * self-loop-free (src, dst) frame. */
+  private def labelPropLocal(e: DataFrame, iters: Int): DataFrame = {
+    val spark = e.sparkSession
+    val rows = e.select(col("src"), col("dst")).collect()
+    val m = rows.length
+    val idx = new java.util.HashMap[Long, Int]()
+    val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def intern(x: Long): Int = {
+      val got = idx.getOrDefault(x, -1)
+      if (got >= 0) got
+      else { val i = ids.length; idx.put(x, i); ids += x; i }
+    }
+    val srcI = new Array[Int](m)
+    val dstI = new Array[Int](m)
+    var i = 0
+    while (i < m) {
+      srcI(i) = intern(rows(i).getLong(0))
+      dstI(i) = intern(rows(i).getLong(1))
+      i += 1
+    }
+    val n = ids.length
+    var l = Array.tabulate(n)(j => ids(j))
+    var k = 0
+    while (k < iters) {
+      // synchronous: next round's labels read ONLY last round's
+      val nl = l.clone()
+      i = 0
+      while (i < m) {
+        if (l(srcI(i)) < nl(dstI(i))) nl(dstI(i)) = l(srcI(i))
+        i += 1
+      }
+      l = nl
+      k += 1
+    }
+    val out = (0 until n).map(j => org.apache.spark.sql.Row(ids(j), l(j)))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("node", LongType, false),
+      org.apache.spark.sql.types.StructField("label", LongType, false)))
+    spark.createDataFrame(spark.sparkContext.parallelize(out,
+      math.max(1, math.min(spark.sparkContext.defaultParallelism,
+        n / 10000 + 1))), schema)
+  }
+
   /** Floor (in `maxAdjDegree` units) at or above which the FUSED
     * adjacency build runs: one node-keyed shuffle whose `collect_set`
     * both dedups raw edges and assembles the sorted neighbor arrays.
@@ -616,6 +704,8 @@ object Graph {
           col(dstCol).cast(LongType).as("dst"))
         .where(col("src") =!= col("dst"))
         .distinct())
+    if (eRows * 32L <= driverGraphBytes(edges))
+      return bfsLocal(e, source, maxHops)
     // |V| ≤ 2|E| bounds frontier and visited; BFS never builds the
     // node set, so the edge count is the bound [[gatedBcast]] gets
     val bcast = gatedBcast(p, 2L * eRows)
@@ -681,11 +771,13 @@ object Graph {
     require(iters >= 1 && iters <= 32,
       s"minLabelPropagate: iters in [1, 32], got $iters")
     // reused every round → checkpointed by [[pinnedEdges]]
-    val (e, p, _) = pinnedEdges(
+    val (e, p, eRows) = pinnedEdges(
       edges.select(col(srcCol).cast(LongType).as("src"),
           col(dstCol).cast(LongType).as("dst"))
         .where(col("src") =!= col("dst"))
         .distinct())
+    if (eRows * 32L <= driverGraphBytes(edges))
+      return labelPropLocal(e, iters)
     val nodes = p.pin(e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct())

@@ -325,6 +325,34 @@ class GraphSpec extends SparkSpec {
     dist
   }
 
+  test("bfs and minLabelPropagate: driver kernel ≡ distributed small ≡ distributed large") {
+    val rnd = new scala.util.Random(41)
+    val edges = (0 until 400).map(_ =>
+      (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter { case (a, b) => a != b }
+    val df = edges.toDF("src", "dst")
+    def runBoth(): (Seq[Seq[Any]], Seq[Seq[Any]]) = (
+      Graph.bfsHops(df, "src", "dst", source = 0L, maxHops = 5)
+        .orderBy("node").collect().toSeq.map(_.toSeq),
+      Graph.minLabelPropagate(df, "src", "dst", iters = 3)
+        .orderBy("node").collect().toSeq.map(_.toSeq))
+    val (bfsK, lpK) = runBoth()
+    spark.conf.set("spark.graft.graph.driverGraphBytes", "0")
+    try {
+      val (bfsS, lpS) = runBoth()
+      assert(bfsS == bfsK)
+      assert(lpS == lpK)
+      spark.conf.set("spark.graft.graph.smallGraphBytes", "0")
+      val (bfsL, lpL) = runBoth()
+      assert(bfsL == bfsK)
+      assert(lpL == lpK)
+    } finally {
+      spark.conf.unset("spark.graft.graph.driverGraphBytes")
+      spark.conf.unset("spark.graft.graph.smallGraphBytes")
+    }
+    assert(bfsK.nonEmpty && lpK.nonEmpty)
+  }
+
   test("bfsHops matches local BFS and is partition-invariant") {
     val rnd = new scala.util.Random(11)
     val edges = (0 until 120).map(_ =>

@@ -321,13 +321,12 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
-  test("q101/q121/q125: iterative-graph supersteps plan clean on every path") {
+  test("q101/q121/q125/q107: iterative-graph supersteps plan clean on every path") {
     // r10 VERDICT #7: the superstep loops need the same gate q106
-    // has. Default path for the PageRank pair is the driver kernel
+    // has. Default path for ALL four is now the driver kernel
     // (parallelize + sort — trivially clean); force the DISTRIBUTED
     // superstep paths and assert no cartesian / nested-loop join and
-    // no window sneaks into any round's plan. q125 (label
-    // propagation) has no kernel and is audited as planned.
+    // no window sneaks into any round's plan.
     def audit(name: String): Unit = {
       val p = plan(name)
       assert(!p.contains("CartesianProduct") &&
@@ -335,14 +334,14 @@ class PlanAuditSpec extends SparkSpec {
         s"$name: superstep must stay equi-join:\n$p")
       assert(!p.contains("Window"), s"$name: no window belongs here:\n$p")
     }
-    audit("q125_label_propagation")
+    val qs = Seq("q101_pagerank", "q121_personalized_pagerank",
+      "q125_label_propagation", "q107_bfs_hops")
     // distributed small (cache) path, then checkpoint (large) path
     spark.conf.set("spark.graft.graph.driverGraphBytes", "0")
     try {
-      Seq("q101_pagerank", "q121_personalized_pagerank").foreach(audit)
+      qs.foreach(audit)
       spark.conf.set("spark.graft.graph.smallGraphBytes", "0")
-      Seq("q101_pagerank", "q121_personalized_pagerank", "q125_label_propagation")
-        .foreach(audit)
+      qs.foreach(audit)
     } finally {
       spark.conf.unset("spark.graft.graph.driverGraphBytes")
       spark.conf.unset("spark.graft.graph.smallGraphBytes")
