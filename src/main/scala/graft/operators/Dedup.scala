@@ -579,6 +579,64 @@ object Dedup {
       .where(col("hi") =!= col("lo"))
       .distinct()
       .localCheckpoint(eager = true)
+    // Driver union-find kernel for tiny pair graphs — the
+    // graph-family gate (spark.graft.graph.driverGraphBytes, 0
+    // disables): a near-dup pair list is typically corpus-tiny (pairs
+    // ∝ duplicates, not documents), while each alternating-star round
+    // costs two aggregate shuffles plus two convergence-count probe
+    // jobs. The kernel's min-root components equal the converged star
+    // labels exactly (DedupSpec path equality); the corpus-sized
+    // `ids` frame never reaches the driver — only the pair list does,
+    // and the root table returns via one parallelize into the same
+    // left join.
+    val dgb = edges.sparkSession.conf
+      .getOption("spark.graft.graph.driverGraphBytes")
+      .map(_.trim.toLong).getOrElse(64L * 1024 * 1024)
+    if (dgb > 0 && edges.count() * 32L <= dgb) {
+      val rows = edges.collect()
+      val root = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (root.getOrDefault(r, r) != r) r = root.getOrDefault(r, r)
+        // path compression
+        var c = x
+        while (root.getOrDefault(c, c) != r) {
+          val nxt = root.getOrDefault(c, c); root.put(c, r); c = nxt
+        }
+        r
+      }
+      rows.foreach { e =>
+        val (a, b) = (find(e.getLong(0)), find(e.getLong(1)))
+        if (a != b) root.put(math.max(a, b), math.min(a, b))
+      }
+      // second pass: label every seen node with its component MIN
+      // (union-by-min above keeps roots minimal, so find() IS the min)
+      val nodes = new java.util.HashSet[Long]()
+      rows.foreach { e => nodes.add(e.getLong(0)); nodes.add(e.getLong(1)) }
+      import scala.jdk.CollectionConverters._
+      val out = nodes.asScala.toSeq.collect {
+        case n if find(n) != n => org.apache.spark.sql.Row(n, find(n))
+      }
+      val spark = edges.sparkSession
+      val rootsDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(out,
+          math.max(1, math.min(spark.sparkContext.defaultParallelism,
+            out.size / 10000 + 1))),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType, false),
+          org.apache.spark.sql.types.StructField("root",
+            org.apache.spark.sql.types.LongType, false))))
+      // explicit broadcast only under the family's 32 MB hash-map
+      // bound (finishTriangles discipline) — a 2M-edge graph at the
+      // gate can carry millions of labeled nodes
+      val rootsSide =
+        if (out.size * 48L <= 32L * 1024 * 1024) broadcast(rootsDf)
+        else rootsDf
+      return ids.select(col("id"))
+        .join(rootsSide, Seq("id"), "left")
+        .select(col("id"), coalesce(col("root"), col("id")).as("cluster"))
+    }
 
     // large-star: group BOTH directions by u; m = min(Γ(u) ∪ {u});
     // emit (v, m) for neighbors v > u. Output is canonical: v > u ≥ m.

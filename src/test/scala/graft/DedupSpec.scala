@@ -187,17 +187,37 @@ class DedupSpec extends SparkSpec {
     // adversarial for min-label propagation (needs diameter ≈ 1000
     // rounds); the alternating large-star/small-star rounds must
     // collapse it within the default budget — maxIters = 12 ≈ log2(n)
-    // + slack, and a wrong/unconverged run can't produce these labels
-    val n = 1000L
-    val ids = spark.range(n).toDF("id")
-    val pairs = spark.range(n - 1)
-      .select(col("id").as("a"), (col("id") + 1).as("b"))
-    val out = Dedup.clusters(ids, pairs, maxIters = 12)
-      .agg(org.apache.spark.sql.functions.sum(col("cluster")).as("s"),
-        org.apache.spark.sql.functions.count(lit(1)).as("c"))
-      .collect()(0)
-    assert(out.getLong(1) == n)
-    assert(out.getLong(0) == 0L, "every node must label to the chain min 0")
+    // + slack, and a wrong/unconverged run can't produce these labels.
+    // driver gate 0: the distributed star rounds are the subject
+    spark.conf.set("spark.graft.graph.driverGraphBytes", "0")
+    try {
+      val n = 1000L
+      val ids = spark.range(n).toDF("id")
+      val pairs = spark.range(n - 1)
+        .select(col("id").as("a"), (col("id") + 1).as("b"))
+      val out = Dedup.clusters(ids, pairs, maxIters = 12)
+        .agg(org.apache.spark.sql.functions.sum(col("cluster")).as("s"),
+          org.apache.spark.sql.functions.count(lit(1)).as("c"))
+        .collect()(0)
+      assert(out.getLong(1) == n)
+      assert(out.getLong(0) == 0L, "every node must label to the chain min 0")
+    } finally spark.conf.unset("spark.graft.graph.driverGraphBytes")
+  }
+
+  test("clusters: driver union-find kernel ≡ distributed star rounds") {
+    val rnd = new scala.util.Random(43)
+    val ids = spark.range(80).toDF("id")
+    val pairs = (0 until 120).map(_ =>
+      (rnd.nextInt(80).toLong, rnd.nextInt(80).toLong)).toDF("a", "b")
+    val kernel = Dedup.clusters(ids, pairs).orderBy("id")
+      .collect().toSeq.map(_.toSeq)
+    spark.conf.set("spark.graft.graph.driverGraphBytes", "0")
+    try {
+      val dist = Dedup.clusters(ids, pairs).orderBy("id")
+        .collect().toSeq.map(_.toSeq)
+      assert(dist == kernel)
+    } finally spark.conf.unset("spark.graft.graph.driverGraphBytes")
+    assert(kernel.nonEmpty)
   }
 
   test("dedupNear: keeps one representative per near-dup cluster") {
