@@ -146,6 +146,16 @@ object ScaleProof {
     registry.filter(wanted).foreach { q =>
       run(q)(graft.SparkEntry.queries(q)(spark, out))
     }
+    // the union-find CC kernel legitimately serves even the 100×
+    // pair list (pairs scale with duplicates, not corpus) — force
+    // the DISTRIBUTED alternating-star rounds so their scale shape
+    // stays measured (the 100 TB path for billion-pair dedups)
+    if (wanted("q36_dedup_clusters_dist")) {
+      spark.conf.set("spark.graft.graph.driverGraphBytes", "0")
+      try run("q36_dedup_clusters_dist")(
+        graft.SparkEntry.queries("q36_dedup_clusters")(spark, out))
+      finally spark.conf.unset("spark.graft.graph.driverGraphBytes")
+    }
     // The SERVING configuration with ZERO hand-tuning (r11 VERDICT
     // #2's done-criterion): operator defaults — nLists auto-derived
     // √n at build time, default partial probe. The registry q66 above
