@@ -2507,6 +2507,98 @@ object Multimodal {
         StructField("media", BinaryType, true))))
   }
 
+  /** Heterogeneous AUDIO CATALOG dispatch — the "scan a mixed audio
+    * lake" pass: sniff each blob's container, route it to the right
+    * REAL parser, and emit one uniform metadata row. Formats: PCM
+    * WAV (fmt 1), IMA-ADPCM WAV (fmt 0x11), G.711 WAV (fmt 6/7),
+    * FLAC, MPEG-1 Layer III. `total_samples` reports each family's
+    * parser convention (WAV families: samples × channels; FLAC:
+    * frames × 4096 per channel; MP3: frames × 1152 per channel).
+    * Unrecognized/malformed blobs flag valid=false, never throw. */
+  /** One catalog row's dispatch (see [[audioCatalog]]); object-level
+    * so the task closure stays free of enclosing-scope captures. */
+  private[graft] def catalogRow(id: Long, b: Array[Byte]): Row = {
+    val parsed: Option[(String, Int, Int, Long)] =
+      if (isWav(b))
+        parseWav(b).map { case (rate, ch, bits, _, dLen) =>
+          ("pcm", rate, ch, dLen.toLong / (bits / 8))
+        }.orElse(parseAdpcmWav(b).map { case (rate, ch, _, _, total, _, _, _) =>
+          ("adpcm", rate, ch, total)
+        }).orElse(parseG711Wav(b).map { case (codec, rate, ch, total, _, _, _) =>
+          (codec, rate, ch, total)
+        })
+      else if (b != null && b.length > 4 && b(0) == 'f' && b(1) == 'L' &&
+          b(2) == 'a' && b(3) == 'C')
+        parseFlacPcm(b).map { case (rate, ch, _, _, total, _) =>
+          ("flac", rate, ch, total)
+        }
+      else if (isMp3Sync(b))
+        parseMp3(b).map { case (rate, _, frames) =>
+          ("mp3", rate, 1, frames.toLong * 1152)
+        }
+      else None
+    parsed match {
+      case Some((codec, rate, ch, total)) =>
+        Row(id, codec, rate, ch, total, true)
+      case None => Row(id, null, null, null, null, false)
+    }
+  }
+
+  def audioCatalog(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("id", LongType, false),
+      StructField("codec", StringType, true),
+      StructField("sample_rate", IntegerType, true),
+      StructField("channels", IntegerType, true),
+      StructField("total_samples", LongType, true),
+      StructField("valid", BooleanType, false)))
+    spark.createDataFrame(
+      df.select(col(idCol).cast(LongType), col(binCol)).rdd
+        .mapPartitions(_.map { r =>
+          scala.util.Try(
+            Multimodal.catalogRow(r.getLong(0), r.getAs[Array[Byte]](1)))
+            .getOrElse(Row(r.getLong(0), null, null, null, null, false))
+        }),
+      outSchema)
+  }
+
+  /** Mixed-format audio fixture: id % 5 selects the family, each
+    * family reusing its own query's closed-form parameter law. */
+  def audioLakeFixture(spark: SparkSession, n: Int): DataFrame = {
+    val rows = (0 until n).map { i =>
+      val bytes = (i % 5) match {
+        case 0 => // PCM WAV (q60 law)
+          val ch = 1 + i % 2
+          val frames = 50 + i % 20
+          encodeWav(8000 + (i % 3) * 4000, ch,
+            Array.tabulate(frames * ch)(j =>
+              (((i.toLong * 31 + j.toLong * 7) % 65536) - 32768).toShort))
+        case 1 => // IMA-ADPCM (q151 law)
+          encodeAdpcmWav(8000 + (i % 3) * 4000, 1 + i % 2,
+            1 + 8 * (2 + i % 3), 2 + i % 4,
+            header = (b, c) => (((i * 31 + b * 17 + c * 29) % 4001) - 2000,
+              (i * 7 + b * 3 + c * 5) % 89),
+            nibble = (b, c, j) => (i * 13 + b * 7 + c * 3 + j * 5) % 16)
+        case 2 => // G.711 (q152 law)
+          val ch = 1 + i % 2
+          val frames = 40 + i % 25
+          encodeG711Wav(8000 * (1 + i % 2), ch, if (i % 2 == 0) 7 else 6,
+            Array.tabulate[Byte](frames * ch)(j => ((i * 11 + j * 13) % 256).toByte))
+        case 3 => // FLAC fixed-predictor (q148 law)
+          encodeFlacPred(8 + i % 3, 1 + i % 2, 2 + i % 4, i.toLong)
+        case _ => // MP3 CBR headers (q93 law)
+          encodeMp3(1 + i % 14, i % 3, 10 + i % 30)
+      }
+      Row(i.toLong, bytes)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4),
+      StructType(Seq(
+        StructField("id", LongType, false),
+        StructField("media", BinaryType, true))))
+  }
+
   /** Deterministic fixture table: mixed image/audio/video blobs. */
   def fixture(spark: SparkSession, n: Int): DataFrame = {
     val rows = (0 until n).map { i =>

@@ -1374,6 +1374,49 @@ object ExtQueries4 {
                     FROM m GROUP BY 1) c USING (url_norm)
        ORDER BY doc_id"""
 
+  // ---------------------------------------------------------------
+  // q154 — heterogeneous audio-lake catalog: 50 blobs mixing five
+  // REAL audio containers (PCM WAV / IMA-ADPCM / G.711 / FLAC / MP3,
+  // each reusing its own query's closed-form parameter law) routed
+  // through Multimodal.audioCatalog's container-sniff dispatch to one
+  // uniform metadata surface — the pass a 100 TB media lake runs
+  // before any per-format work. The oracle recomputes every family's
+  // metadata closed-form from the id; a mis-sniffed container or a
+  // family handed to the wrong parser flips codec/rate/counts and
+  // fails the hash gate. Per-format sample-level decode is gated by
+  // q60/q151/q152/q148/q93 — this query gates the DISPATCH.
+  private val LakeN = 50
+
+  def q154(s: SparkSession, dir: String): DataFrame = {
+    val fx = graft.operators.Multimodal.audioLakeFixture(s, LakeN)
+    graft.operators.Multimodal.audioCatalog(fx, "id", "media")
+      .select(col("id"), col("codec"), col("sample_rate"), col("channels"),
+        col("total_samples"), col("valid"))
+      .orderBy("id")
+  }
+
+  val q154Sql: String =
+    s"""SELECT r AS id,
+         CASE r % 5 WHEN 0 THEN 'pcm' WHEN 1 THEN 'adpcm'
+              WHEN 2 THEN CASE WHEN r % 2 = 0 THEN 'ulaw' ELSE 'alaw' END
+              WHEN 3 THEN 'flac' ELSE 'mp3' END AS codec,
+         CAST(CASE r % 5
+              WHEN 2 THEN 8000 * (1 + r % 2)
+              WHEN 3 THEN CASE r % 3 WHEN 0 THEN 32000 WHEN 1 THEN 44100
+                               ELSE 48000 END
+              WHEN 4 THEN CASE r % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                               ELSE 32000 END
+              ELSE 8000 + (r % 3) * 4000 END AS INT) AS sample_rate,
+         CAST(CASE WHEN r % 5 = 4 THEN 1 ELSE 1 + r % 2 END AS INT) AS channels,
+         CAST(CASE r % 5
+              WHEN 0 THEN (50 + r % 20) * (1 + r % 2)
+              WHEN 1 THEN (2 + r % 4) * (1 + 8 * (2 + r % 3)) * (1 + r % 2)
+              WHEN 2 THEN (40 + r % 25) * (1 + r % 2)
+              WHEN 3 THEN (2 + r % 4) * 4096
+              ELSE (10 + r % 30) * 1152 END AS BIGINT) AS total_samples,
+         true AS valid
+       FROM range(0, $LakeN) t(r) ORDER BY id"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q125_label_propagation" -> (q125 _),
     "q126_pmi_cooccur" -> (q126 _),
@@ -1403,7 +1446,8 @@ object ExtQueries4 {
     "q150_flac_stereo" -> (q150 _),
     "q151_adpcm_wav" -> (q151 _),
     "q152_g711_wav" -> (q152 _),
-    "q153_url_normalize" -> (q153 _))
+    "q153_url_normalize" -> (q153 _),
+    "q154_audio_catalog" -> (q154 _))
 
   val oracles: Map[String, String] = Map(
     "q125_label_propagation" -> q125Sql,
@@ -1434,5 +1478,6 @@ object ExtQueries4 {
     "q150_flac_stereo" -> q150Sql,
     "q151_adpcm_wav" -> q151Sql,
     "q152_g711_wav" -> q152Sql,
-    "q153_url_normalize" -> q153Sql)
+    "q153_url_normalize" -> q153Sql,
+    "q154_audio_catalog" -> q154Sql)
 }

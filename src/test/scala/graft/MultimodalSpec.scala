@@ -208,6 +208,27 @@ class MultimodalSpec extends SparkSpec {
       .collect()(0).getAs[Boolean]("valid"))
   }
 
+  test("audioCatalog: dispatch routes every family to its parser; junk flags") {
+    import spark.implicits._
+    val out = Multimodal.audioCatalog(
+        Multimodal.audioLakeFixture(spark, 10), "id", "media")
+      .orderBy("id").collect()
+    assert(out.map(_.getAs[String]("codec")).toSeq ==
+      Seq("pcm", "adpcm", "ulaw", "flac", "mp3",
+          "pcm", "adpcm", "alaw", "flac", "mp3"))
+    assert(out.forall(_.getAs[Boolean]("valid")))
+    // a PCM-tagged WAV with ADPCM-only extension fields must NOT be
+    // claimed by any family; raw garbage likewise
+    val adpcm = Multimodal.audioLakeFixture(spark, 2).collect()(1)
+      .getAs[Array[Byte]]("media")
+    val mislabeled = adpcm.clone(); mislabeled(20) = 1 // tag 0x11 -> 1
+    val junk = Array.tabulate[Byte](128)(k => (k * 29).toByte)
+    val bad = Multimodal.audioCatalog(
+        Seq((0L, mislabeled), (1L, junk)).toDF("id", "media"), "id", "media")
+      .orderBy("id").collect()
+    assert(bad.forall(!_.getAs[Boolean]("valid")))
+  }
+
   test("extractFeatures: deterministic byte stats") {
     val fx = Multimodal.fixture(spark, 3)
     val f1 = Multimodal.extractFeatures(fx, "id", "media").orderBy("id").collect()

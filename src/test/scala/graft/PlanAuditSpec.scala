@@ -256,7 +256,8 @@ class PlanAuditSpec extends SparkSpec {
     // second one would mean blob bytes moved between executors
     Seq("q144_flac_decode", "q145_mp4_moov", "q146_gif_frames",
         "q147_avi_frames", "q148_flac_pcm", "q149_flac_lpc",
-        "q150_flac_stereo", "q151_adpcm_wav", "q152_g711_wav").foreach { q =>
+        "q150_flac_stereo", "q151_adpcm_wav", "q152_g711_wav",
+        "q154_audio_catalog").foreach { q =>
       val p = plan(q)
       val exchanges = "Exchange".r.findAllIn(p).length
       assert(exchanges <= 1, s"$q: codec decode should not shuffle:\n$p")

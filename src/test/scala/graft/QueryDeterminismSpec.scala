@@ -67,7 +67,7 @@ class QueryDeterminismSpec extends SparkSpec {
     "q144_flac_decode", "q145_mp4_moov", "q146_gif_frames",
     "q147_avi_frames", "q148_flac_pcm", "q149_flac_lpc",
     "q150_flac_stereo", "q151_adpcm_wav", "q152_g711_wav",
-    "q153_url_normalize")
+    "q153_url_normalize", "q154_audio_catalog")
 
   covered.foreach { name =>
     test(s"$name: output invariant to shuffle partitioning") {

@@ -48,4 +48,35 @@ class UrlOpsSpec extends SparkSpec {
     val once = norm(messy: _*)
     assert(norm(once: _*) == once)
   }
+
+  test("normalization is idempotent on 300 seeded random URLs") {
+    val rnd = new scala.util.Random(7)
+    def pick[A](xs: Seq[A]): A = xs(rnd.nextInt(xs.length))
+    val urls = (0 until 300).map { _ =>
+      val scheme = pick(Seq("http", "HTTP", "https", "HtTpS"))
+      val www = pick(Seq("", "www.", "WWW."))
+      val host = pick(Seq("a.com", "Sub.B.org", "x-y.net"))
+      val port = pick(Seq("", ":80", ":443", ":8080", ":9"))
+      val segs = (0 until rnd.nextInt(4)).map(_ =>
+        "/" * (1 + rnd.nextInt(3)) + pick(Seq("p", "Q", "r5")))
+      val slash = pick(Seq("", "/", "//"))
+      val params = (0 until rnd.nextInt(5)).map(_ =>
+        pick(Seq("a=1", "z=9", "utm_source=x", "gclid=g", "ref", "b=2", "")))
+      val query = if (params.isEmpty) "" else "?" + params.mkString("&")
+      val frag = pick(Seq("", "#f", "#sec/2?x=1"))
+      s"$scheme://$www$host$port${segs.mkString}$slash$query$frag"
+    }
+    val once = norm(urls: _*)
+    val twice = norm(once: _*)
+    once.zip(twice).zip(urls).foreach { case ((o, t), u) =>
+      assert(o == t, s"not idempotent for $u: '$o' -> '$t'")
+    }
+    // sanity: no fragment, no tracking param, no double slash in
+    // any normalized path, no uppercase scheme/host
+    once.foreach { o =>
+      assert(!o.contains("#") && !o.contains("utm_") &&
+        !o.contains("gclid") && !o.matches(".*://.*//.*"), o)
+      assert(o.takeWhile(_ != '/') == o.takeWhile(_ != '/').toLowerCase, o)
+    }
+  }
 }
