@@ -67,6 +67,11 @@ object UrlOps {
     val queryPart = when(size(params) > 0,
       concat(lit("?"), array_join(array_sort(params), "&")))
       .otherwise(lit(""))
-    concat(sch, lit("://"), h, portPart, path, queryPart)
+    // not a parseable absolute URL (no scheme or no host) → null,
+    // not a junk "://"-prefixed string — callers groupBy(url_norm)
+    // and a junk non-null key would silently cluster all malformed
+    // rows together
+    when(sch === "" || h === "", lit(null).cast("string"))
+      .otherwise(concat(sch, lit("://"), h, portPart, path, queryPart))
   }
 }

@@ -33,6 +33,13 @@ class UrlOpsSpec extends SparkSpec {
     assert(norm("http://x.com/p?refx=1") == Seq("http://x.com/p?refx=1"))
   }
 
+  test("unparseable input normalizes to null, not a junk key") {
+    val got = Seq("not a url", "relative/path?a=1", "://nohost", "http://",
+        "mailto:user@x.com")
+      .toDF("u").select(UrlOps.normalizeUrl(col("u"))).collect()
+    assert(got.forall(_.isNullAt(0)), got.mkString(","))
+  }
+
   test("host extraction strips www and port, lowercases") {
     val got = Seq("HTTPS://WWW.Example.COM:8443/x", "http://plain.org",
         "https://www.www-like.net/a")
