@@ -1417,6 +1417,81 @@ object ExtQueries4 {
          true AS valid
        FROM range(0, $LakeN) t(r) ORDER BY id"""
 
+  // ---------------------------------------------------------------
+  // q155 — MPEG-1 Audio Layer I payload decode (ISO/IEC 11172-3):
+  // 42 REAL Layer I streams — sync/header walk, CRC-16 protection on
+  // even ids, padding slots, mono/stereo/dual modes, per-subband
+  // 4-bit allocations, 6-bit scalefactors, 12 granules of
+  // offset-binary codes — decoded to the subband domain through the
+  // conformant requantizer s'' = (2c − 2^nb + 2)/(2^nb − 1), scaled
+  // by power-of-two scalefactors and rounded half-even to Q15
+  // integers. The oracle replays the identical integer arithmetic
+  // (shift/floor-mod/round-half-even inline) per sample; any slip —
+  // allocation order, scalefactor law, offset-binary mapping,
+  // requantizer constants, rounding parity — shifts value_sum or
+  // min/max and fails the hash gate. CRC/corruption matrix (bad CRC,
+  // alloc 15, scf 63, intensity-stereo mode, truncation) is
+  // spec-gated in MultimodalSpec; the synthesis-window scope
+  // boundary is documented at the operator.
+  private val Mp1N = 42
+
+  def q155(s: SparkSession, dir: String): DataFrame = {
+    val fx = graft.operators.Multimodal.mp1Fixture(s, Mp1N)
+    graft.operators.Multimodal.decodeMp1(fx, "id", "media")
+      .select(col("id"), col("sample_rate"), col("bitrate_kbps"),
+        col("channels"), col("n_frames"), col("total_samples"),
+        col("n_decoded"), col("value_sum"), col("min_sample"),
+        col("max_sample"), col("valid"))
+      .orderBy("id")
+  }
+
+  val q155Sql: String =
+    s"""WITH base AS (
+         SELECT r,
+           CASE r % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                ELSE 32000 END AS rate,
+           CASE (r // 3) % 3 WHEN 0 THEN 1 ELSE 2 END AS ch,
+           416 + 32 * (r % 2) AS kbps,
+           2 + r % 4 AS nf, 5 + r % 4 AS na
+         FROM range(0, $Mp1N) t(r)),
+       jrow AS (
+         SELECT r, rate, ch, kbps, nf, na,
+                unnest([j for j in range(0, na)]) AS j FROM base),
+       sbnb AS (
+         SELECT r, ch, nf, j, (r + 3 * j) % 32 AS sb,
+                2 + (3 * r + 5 * j) % 14 AS nb FROM jrow),
+       frow AS (SELECT *, unnest([f for f in range(0, nf)]) AS f FROM sbnb),
+       crow AS (SELECT *, unnest([c for c in range(0, ch)]) AS c FROM frow),
+       grow AS (SELECT *, unnest([g for g in range(0, 12)]) AS g FROM crow),
+       samp AS (
+         SELECT r, nb, (r + sb + 7 * c + 2 * f) % 21 AS e,
+           (r * 13 + f * 3 + g * 7 + sb * 5 + c * 11) % (1 << nb) AS code
+         FROM grow),
+       ab AS (
+         SELECT r,
+           CAST(2 * code - (1 << nb) + 2 AS BIGINT)
+             * (CAST(1 AS BIGINT) << (36 - e)) AS a,
+           ((CAST(1 AS BIGINT) << nb) - 1) * (CAST(1 AS BIGINT) << 20) AS b
+         FROM samp),
+       qv AS ( -- exact round-half-even of a/b: floor quotient + tie parity
+         SELECT r, fq + CASE WHEN 2 * rp > b THEN 1
+                             WHEN 2 * rp = b AND fq % 2 <> 0 THEN 1
+                             ELSE 0 END AS q
+         FROM (SELECT r, b, ((a % b) + b) % b AS rp,
+                      (a - (((a % b) + b) % b)) // b AS fq FROM ab))
+       SELECT base.r AS id, CAST(rate AS INT) AS sample_rate,
+         CAST(kbps AS INT) AS bitrate_kbps, CAST(ch AS INT) AS channels,
+         CAST(nf AS INT) AS n_frames,
+         CAST(nf * 384 * ch AS BIGINT) AS total_samples,
+         CAST(nf * 12 * na * ch AS BIGINT) AS n_decoded,
+         s.vsum AS value_sum, s.vmin AS min_sample, s.vmax AS max_sample,
+         true AS valid
+       FROM base JOIN (
+         SELECT r, CAST(sum(q) AS BIGINT) AS vsum,
+                CAST(min(q) AS INT) AS vmin, CAST(max(q) AS INT) AS vmax
+         FROM qv GROUP BY r) s ON base.r = s.r
+       ORDER BY id"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q125_label_propagation" -> (q125 _),
     "q126_pmi_cooccur" -> (q126 _),
@@ -1447,7 +1522,8 @@ object ExtQueries4 {
     "q151_adpcm_wav" -> (q151 _),
     "q152_g711_wav" -> (q152 _),
     "q153_url_normalize" -> (q153 _),
-    "q154_audio_catalog" -> (q154 _))
+    "q154_audio_catalog" -> (q154 _),
+    "q155_mp1_decode" -> (q155 _))
 
   val oracles: Map[String, String] = Map(
     "q125_label_propagation" -> q125Sql,
@@ -1479,5 +1555,6 @@ object ExtQueries4 {
     "q151_adpcm_wav" -> q151Sql,
     "q152_g711_wav" -> q152Sql,
     "q153_url_normalize" -> q153Sql,
-    "q154_audio_catalog" -> q154Sql)
+    "q154_audio_catalog" -> q154Sql,
+    "q155_mp1_decode" -> q155Sql)
 }

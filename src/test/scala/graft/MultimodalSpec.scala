@@ -208,6 +208,100 @@ class MultimodalSpec extends SparkSpec {
       .collect()(0).getAs[Boolean]("valid"))
   }
 
+  test("MPEG-1 Layer I: payload decode matches a BigDecimal reference; corruption flags") {
+    import spark.implicits._
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    // independent reference: replay the fixture laws through
+    // BigDecimal HALF_EVEN division — none of the decoder's
+    // shift/floorDiv/parity arithmetic is reused
+    def ref(i: Int): (Long, Long, Long, Long) = {
+      val mode = Seq(3, 0, 2)((i / 3) % 3)
+      val ch = if (mode == 3) 1 else 2
+      val nf = 2 + i % 4
+      val nA = 5 + i % 4
+      var sum = 0L; var mn = Long.MaxValue; var mx = Long.MinValue; var n = 0L
+      for (j <- 0 until nA; f <- 0 until nf; c <- 0 until ch; g <- 0 until 12) {
+        val sb = (i + 3 * j) % 32
+        val nb = 2 + (3 * i + 5 * j) % 14
+        val e = (i + sb + 7 * c + 2 * f) % 21
+        val code = (i * 13 + f * 3 + g * 7 + sb * 5 + c * 11) % (1 << nb)
+        val m = 2 * code - (1 << nb) + 2
+        val num = new JBD(m).multiply(new JBD(2).pow(36 - e))
+        val den = new JBD((1L << nb) - 1).multiply(new JBD(2).pow(20))
+        val q = num.divide(den, 0, RoundingMode.HALF_EVEN).longValueExact()
+        sum += q; mn = math.min(mn, q); mx = math.max(mx, q); n += 1
+      }
+      (sum, mn, mx, n)
+    }
+    val got = Multimodal.decodeMp1(
+      Multimodal.mp1Fixture(spark, 12), "id", "media").orderBy("id").collect()
+    for (i <- 0 until 12) {
+      val (sum, mn, mx, n) = ref(i)
+      assert(got(i).getAs[Boolean]("valid"), s"id $i")
+      assert(got(i).getAs[Long]("value_sum") == sum, s"sum id $i")
+      assert(got(i).getAs[Int]("min_sample").toLong == mn, s"min id $i")
+      assert(got(i).getAs[Int]("max_sample").toLong == mx, s"max id $i")
+      assert(got(i).getAs[Long]("n_decoded") == n, s"nDec id $i")
+    }
+    // irrational-scalefactor path (idx % 3 != 0): sf = 2·2^(−idx/3),
+    // IEEE-double rint — spec-gated here (the oracle subset pins
+    // idx ≡ 0 mod 3)
+    val odd = Multimodal.encodeMp1(14, 0, 3, 1, protect = false,
+      pad = _ => 0, alloc = (_, sb, _) => if (sb == 0) 8 else 0,
+      scf = (_, _, _) => 7, code = (_, g, _, _) => g * 11)
+    val oddOut = Multimodal.decodeMp1(
+      Seq((0L, odd)).toDF("id", "media"), "id", "media").collect()(0)
+    val sf7 = 2.0 * math.pow(2.0, -7.0 / 3.0)
+    val expOdd = (0 until 12).map { g =>
+      val code = (g * 11) % 256
+      Math.rint(sf7 * 32768.0 * (2 * code - 256 + 2) / 255.0).toLong
+    }.sum
+    assert(oddOut.getAs[Boolean]("valid") &&
+      oddOut.getAs[Long]("value_sum") == expOdd)
+    // silent stream: every subband off is VALID (12·384·ch duration,
+    // zero decoded subband samples)
+    val silent = Multimodal.encodeMp1(14, 1, 3, 2, protect = true,
+      pad = _ => 0, alloc = (_, _, _) => 0, scf = (_, _, _) => 0,
+      code = (_, _, _, _) => 0)
+    val sOut = Multimodal.decodeMp1(
+      Seq((0L, silent)).toDF("id", "media"), "id", "media").collect()(0)
+    assert(sOut.getAs[Boolean]("valid") &&
+      sOut.getAs[Long]("total_samples") == 768L &&
+      sOut.getAs[Long]("n_decoded") == 0L &&
+      sOut.getAs[Long]("value_sum") == 0L)
+    // corruption matrix over fixture id 1 (unprotected mono: alloc
+    // bits at bytes 4-19, scalefactors from byte 20) and id 0
+    // (protected: CRC word at bytes 4-5, alloc from byte 6)
+    val fx = Multimodal.mp1Fixture(spark, 2).collect()
+    val goodU = fx(1).getAs[Array[Byte]]("media")
+    val goodP = fx(0).getAs[Array[Byte]]("media")
+    val truncated = java.util.Arrays.copyOf(goodU, goodU.length - 3)
+    val alloc15 = goodU.clone(); alloc15(4) = (alloc15(4) | 0xf0).toByte
+    val scf63 = goodU.clone(); scf63(20) = (scf63(20) | 0xfc).toByte
+    val joint = goodU.clone(); joint(3) = ((joint(3) & 0x3f) | 0x40).toByte
+    val freeRate = goodU.clone(); freeRate(2) = (freeRate(2) & 0x0f).toByte
+    val badCrc = goodP.clone(); badCrc(6) = (badCrc(6) ^ 0x10).toByte
+    val mixedRate = Multimodal.encodeMp1(14, 0, 3, 1, protect = false,
+        pad = _ => 0, alloc = (_, sb, _) => if (sb < 4) 4 else 0,
+        scf = (_, _, _) => 0, code = (_, _, _, _) => 5) ++
+      Multimodal.encodeMp1(14, 1, 3, 1, protect = false,
+        pad = _ => 0, alloc = (_, sb, _) => if (sb < 4) 4 else 0,
+        scf = (_, _, _) => 0, code = (_, _, _, _) => 5)
+    val cdf = Seq((0L, goodU), (1L, truncated), (2L, alloc15), (3L, scf63),
+      (4L, joint), (5L, freeRate), (6L, badCrc), (7L, mixedRate))
+      .toDF("id", "media")
+    val cout = Multimodal.decodeMp1(cdf, "id", "media").orderBy("id").collect()
+    assert(cout(0).getAs[Boolean]("valid"))
+    for (k <- 1 to 7)
+      assert(!cout(k).getAs[Boolean]("valid"), s"variant $k must flag")
+    // layer discrimination: a Layer III stream is NOT a Layer I
+    // stream and vice versa; a WAV is neither
+    val mp3 = Multimodal.encodeMp3(9, 0, 3)
+    assert(!Multimodal.decodeMp1(Seq((0L, mp3)).toDF("id", "media"),
+      "id", "media").collect()(0).getAs[Boolean]("valid"))
+    assert(Multimodal.parseMp3(goodU).isEmpty)
+  }
+
   test("audioCatalog: dispatch routes every family to its parser; junk flags") {
     import spark.implicits._
     val out = Multimodal.audioCatalog(

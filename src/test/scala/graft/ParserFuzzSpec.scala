@@ -29,6 +29,7 @@ class ParserFuzzSpec extends AnyFunSuite {
   private val parsers: Seq[(String, Parser)] = Seq(
     "parseWav" -> (b => Multimodal.parseWav(b)),
     "parseMp3" -> (b => Multimodal.parseMp3(b)),
+    "parseMp1" -> (b => Multimodal.parseMp1(b)),
     "parseFlac" -> (b => Multimodal.parseFlac(b)),
     "parseFlacPcm" -> (b => Multimodal.parseFlacPcm(b)),
     "parseMp4" -> (b => Multimodal.parseMp4(b)),
@@ -38,6 +39,7 @@ class ParserFuzzSpec extends AnyFunSuite {
   private val magics: Seq[(String, Array[Byte])] = Seq(
     "wav" -> ("RIFF\u0000\u0000\u0000\u0000WAVE").getBytes("ISO-8859-1"),
     "mp3" -> Array(0xff.toByte, 0xfa.toByte),
+    "mp1" -> Array(0xff.toByte, 0xfe.toByte),
     "flac" -> "fLaC".getBytes("ASCII"),
     "mp4" -> Array[Byte](0, 0, 0, 16, 'f', 't', 'y', 'p'),
     "gif" -> "GIF89a".getBytes("ASCII"),
@@ -80,6 +82,10 @@ class ParserFuzzSpec extends AnyFunSuite {
     "wav" -> Multimodal.encodeWav(32000, 2,
       Array.tabulate(600)(i => (i * 7 - 2000).toShort)),
     "mp3" -> Multimodal.encodeMp3(9, 0, 5),
+    "mp1" -> Multimodal.encodeMp1(14, 0, 0, 2, protect = true,
+      pad = _ % 2, alloc = (_, sb, _) => if (sb % 3 == 0) 2 + sb % 14 else 0,
+      scf = (f, sb, c) => (sb * 3 + c * 7 + f) % 63,
+      code = (f, g, sb, c) => f + g * 3 + sb * 5 + c),
     "flac-const" -> Multimodal.encodeFlac(9, 2, 16, 3, 7L),
     "flac-pred" -> Multimodal.encodeFlacPred(8, 2, 5, 3L),
     "flac-lpc" -> Multimodal.encodeFlacLpc(10, 1, 5, 9L),
