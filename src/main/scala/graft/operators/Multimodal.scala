@@ -836,7 +836,386 @@ object Multimodal {
   /** Full-decode DataFrame op over MPEG-1 Layer I blobs — same
     * surface family as [[decodeAdpcm]]; malformed streams yield
     * valid=false rows, never throw. */
-  def decodeMp1(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+  def decodeMp1(df: DataFrame, idCol: String, binCol: String): DataFrame =
+    decodeMpegAudio(df, idCol, binCol, parseMp1)
+
+  // ------------------------------------------------------------------
+  // MPEG-1 Audio Layer II — REAL payload decode (ISO/IEC 11172-3
+  // §2.4.1.6 / §2.4.2.7 / Annex B Tables 3-B.2a/b and 3-B.4, public
+  // spec). Layer II adds everything Layer I leaves out structurally:
+  // tabulated bit-allocation classes per subband (Tables 3-B.2a/b —
+  // the low-bitrate B.2c/d regimes at <= 48 kbps/ch are documented
+  // out of scope and rejected, not guessed), GROUPED quantizers (3/5/
+  // 9-level codes packed three-samples-to-a-word in 5/7/10 bits,
+  // degrouped by base-nlevels digit extraction), scalefactor select
+  // information (scfsi — 1, 2 or 3 scalefactors per subband covering
+  // the three 12-sample parts of the frame), and CRC-16 protection
+  // spanning the allocation AND scfsi fields. The requantizer is the
+  // spec's s'' = C·(s''' + D) with C = 2^nb/nlevels and D an exact
+  // binary fraction (Table 3-B.4 — every C,D is rational), which
+  // collapses to the integer form
+  //   s'' = (2·c − 2^nb + madd) / nlevels,
+  //   madd = 2^(nb−1) for grouped classes, 2 otherwise,
+  // so the Q15 round-half-even output q = rne(sf·s''·2^15) is exact
+  // integer arithmetic whenever sf is a power of two (scf idx ≡ 0
+  // mod 3) and the DuckDB oracle replays it bit-for-bit — the same
+  // contract as Layer I (q155). Mode-bitrate legality (§2.4.2.3:
+  // 32/48/56/80 kbps mono-only, 224+ two-channel-only), free format,
+  // intensity stereo, scalefactor 63 and grouped codes ≥ nlevels³
+  // are all rejected. The 512-tap synthesis window (Table 3-B.3)
+  // stays out of decode scope exactly as for Layer I.
+
+  /** Layer II bitrate table (kbps), index 1-14; 0 = free (rejected). */
+  private val Mp2Bitrates = Array(
+    0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384)
+
+  // Table 3-B.2a/b quantization-class rows: nonzero allocation code a
+  // selects row(a-1). B.2b differs from B.2a only by extending the
+  // 2-bit tail rows from subband 27 to 30 (sblimit).
+  private val Mp2Steps03 = Array(
+    3, 7, 15, 31, 63, 127, 255, 511, 1023, 2047, 4095, 8191, 16383,
+    32767, 65535)
+  private val Mp2Steps311 = Array(
+    3, 5, 7, 9, 15, 31, 63, 127, 255, 511, 1023, 2047, 4095, 8191, 65535)
+  private val Mp2Steps1123 = Array(3, 5, 7, 9, 15, 31, 65535)
+  private val Mp2StepsTail = Array(3, 5, 65535)
+  private def mp2Row(sb: Int): Array[Int] =
+    if (sb < 3) Mp2Steps03 else if (sb < 11) Mp2Steps311
+    else if (sb < 23) Mp2Steps1123 else Mp2StepsTail
+  private def mp2Nbal(sb: Int): Int =
+    if (sb < 11) 4 else if (sb < 23) 3 else 2
+
+  /** Bits per sample code for a class (Table 3-B.4 "bits"): grouped
+    * classes (3/5/9 levels) conceptually use 2/3/4 bits, transmitted
+    * as one 5/7/10-bit group word per three samples. */
+  private def mp2SampleBits(nlev: Int): Int = nlev match {
+    case 3 => 2
+    case 5 => 3
+    case 9 => 4
+    case _ => 32 - Integer.numberOfLeadingZeros(nlev)
+  }
+
+  /** Requantize one Layer II sample code to a Q15 round-half-even
+    * integer (see block comment): exact integer path for power-of-two
+    * scalefactors, IEEE-double path otherwise. */
+  private def mp2Quant(code: Int, nlev: Int, scfIdx: Int): Long = {
+    val nb = mp2SampleBits(nlev)
+    val grouped = nlev == 3 || nlev == 5 || nlev == 9
+    val m = 2 * code - (1 << nb) + (if (grouped) 1 << (nb - 1) else 2)
+    if (scfIdx % 3 == 0) {
+      val e = scfIdx / 3
+      rne(m.toLong << (36 - e), nlev.toLong << 20)
+    } else
+      Math.rint(Mp1Scalefactors(scfIdx) * 32768.0 * m / nlev.toDouble).toLong
+  }
+
+  /** Table 3-B.2 regime: sblimit for (rate, per-channel kbps), or -1
+    * for the out-of-scope low-bitrate B.2c/B.2d regimes. 48 kHz always
+    * uses B.2a (27); 44.1/32 kHz use B.2a up to 80 kbps/ch and B.2b
+    * (30) above. */
+  private def mp2Sblimit(rate: Int, perChKbps: Int): Int =
+    if (perChKbps <= 48) -1
+    else if (rate == 48000 || perChKbps <= 80) 27
+    else 30
+
+  /** Parse + FULLY decode an MPEG-1 Layer II stream to the subband
+    * domain — the Layer II counterpart of [[parseMp1]]; same
+    * strictness posture, same aggregate surface. */
+  private[graft] def parseMp2(b: Array[Byte]): Option[Mp1Decoded] = {
+    if (b == null || b.length < 8) return None
+    var off = 0; var nf = 0
+    var rate = -1; var kbps = -1; var chans = -1; var sblimit = -1
+    var sum = 0L; var mn = Int.MaxValue; var mx = Int.MinValue; var nDec = 0L
+    try {
+      while (off + 4 <= b.length) {
+        if ((b(off) & 0xff) != 0xff || (b(off + 1) & 0xfe) != 0xfc) return None
+        val prot = (b(off + 1) & 1) == 0
+        val b2 = b(off + 2) & 0xff
+        val bi = b2 >> 4
+        val si = (b2 >> 2) & 3
+        val pad = (b2 >> 1) & 1
+        if (bi == 0 || bi == 15 || si == 3) return None
+        val b3 = b(off + 3) & 0xff
+        val mode = b3 >> 6
+        if (mode == 1) return None // intensity stereo out of scope
+        val ch = if (mode == 3) 1 else 2
+        val kb = Mp2Bitrates(bi)
+        // §2.4.2.3 mode-bitrate legality for Layer II
+        if (ch == 1 && kb >= 224) return None
+        if (ch == 2 && (kb == 32 || kb == 48 || kb == 56 || kb == 80))
+          return None
+        val r0 = Mp3Rates(si)
+        val sbl = mp2Sblimit(r0, kb / ch)
+        if (sbl < 0) return None
+        if (rate == -1) { rate = r0; kbps = kb; chans = ch; sblimit = sbl }
+        else if (r0 != rate || ch != chans || sbl != sblimit) return None
+        val flen = 144000 * kb / r0 + pad
+        if (flen < 12 || off + flen > b.length) return None
+        val br = new FlacBitReader(b, off + 4, off + flen)
+        val crcWord = if (prot) br.readBits(16).toInt else -1
+        val crc = new Mp1Crc
+        crc.update(b2, 8); crc.update(b3, 8)
+        val nlev = Array.ofDim[Int](sbl, ch)
+        var sb = 0
+        while (sb < sbl) {
+          val nbal = mp2Nbal(sb); val row = mp2Row(sb)
+          var c = 0
+          while (c < ch) {
+            val a = br.readBits(nbal).toInt
+            crc.update(a, nbal)
+            nlev(sb)(c) = if (a == 0) 0 else row(a - 1)
+            c += 1
+          }
+          sb += 1
+        }
+        val scfsi = Array.ofDim[Int](sbl, ch)
+        sb = 0
+        while (sb < sbl) {
+          var c = 0
+          while (c < ch) {
+            if (nlev(sb)(c) != 0) {
+              val s = br.readBits(2).toInt
+              crc.update(s, 2)
+              scfsi(sb)(c) = s
+            }
+            c += 1
+          }
+          sb += 1
+        }
+        if (prot && crc.value != crcWord) return None
+        // scalefactors: 3 / 2 / 1 transmitted per scfsi, expanded to
+        // the three 12-sample parts (idx 63 forbidden)
+        val scf = Array.ofDim[Int](sbl, ch, 3)
+        sb = 0
+        while (sb < sbl) {
+          var c = 0
+          while (c < ch) {
+            if (nlev(sb)(c) != 0) {
+              val t0 = br.readBits(6).toInt
+              if (t0 == 63) return None
+              scfsi(sb)(c) match {
+                case 0 =>
+                  val t1 = br.readBits(6).toInt
+                  val t2 = br.readBits(6).toInt
+                  if (t1 == 63 || t2 == 63) return None
+                  scf(sb)(c)(0) = t0; scf(sb)(c)(1) = t1; scf(sb)(c)(2) = t2
+                case 1 =>
+                  val t1 = br.readBits(6).toInt
+                  if (t1 == 63) return None
+                  scf(sb)(c)(0) = t0; scf(sb)(c)(1) = t0; scf(sb)(c)(2) = t1
+                case 2 =>
+                  scf(sb)(c)(0) = t0; scf(sb)(c)(1) = t0; scf(sb)(c)(2) = t0
+                case _ =>
+                  val t1 = br.readBits(6).toInt
+                  if (t1 == 63) return None
+                  scf(sb)(c)(0) = t0; scf(sb)(c)(1) = t1; scf(sb)(c)(2) = t1
+              }
+            }
+            c += 1
+          }
+          sb += 1
+        }
+        var g = 0
+        while (g < 12) {
+          sb = 0
+          while (sb < sbl) {
+            var c = 0
+            while (c < ch) {
+              val nl = nlev(sb)(c)
+              if (nl != 0) {
+                val e = scf(sb)(c)(g >> 2)
+                if (nl == 3 || nl == 5 || nl == 9) {
+                  val gb = if (nl == 3) 5 else if (nl == 5) 7 else 10
+                  var v = br.readBits(gb).toInt
+                  if (v >= nl * nl * nl) return None
+                  var k = 0
+                  while (k < 3) {
+                    val q = mp2Quant(v % nl, nl, e)
+                    sum += q
+                    if (q < mn) mn = q.toInt
+                    if (q > mx) mx = q.toInt
+                    v /= nl
+                    k += 1
+                  }
+                } else {
+                  val nb = mp2SampleBits(nl)
+                  var k = 0
+                  while (k < 3) {
+                    val q = mp2Quant(br.readBits(nb).toInt, nl, e)
+                    sum += q
+                    if (q < mn) mn = q.toInt
+                    if (q > mx) mx = q.toInt
+                    k += 1
+                  }
+                }
+                nDec += 3
+              }
+              c += 1
+            }
+            sb += 1
+          }
+          g += 1
+        }
+        nf += 1
+        off += flen
+      }
+      if (nf > 0 && off == b.length) {
+        if (nDec == 0) { mn = 0; mx = 0 }
+        Some(Mp1Decoded(rate, kbps, chans, nf,
+          nf.toLong * 1152 * chans, nDec, sum, mn, mx))
+      } else None
+    } catch { case FlacEof => None }
+  }
+
+  /** Encode a REAL MPEG-1 Layer II stream (fixture / test side).
+    * `allocIdx` returns the ALLOCATION CODE into the subband's Table
+    * 3-B.2 row (0 = subband off); `scf(frame, part, sb, ch)` supplies
+    * the three 12-sample-part scalefactor indices (only the parts
+    * scfsi transmits are written — parts the decoder expands by
+    * sharing are taken from the shared slot, per §2.4.2.7); `code`
+    * supplies each sample's quantizer code (MUST be < nlevels —
+    * grouped words are packed here). */
+  def encodeMp2(
+      bitrateIdx: Int, rateIdx: Int, mode: Int, nFrames: Int,
+      protect: Boolean,
+      pad: Int => Int,                       // frame -> 0/1
+      allocIdx: (Int, Int, Int) => Int,      // (frame, sb, ch) -> code
+      scfsi: (Int, Int, Int) => Int,         // (frame, sb, ch) -> 0..3
+      scf: (Int, Int, Int, Int) => Int,      // (frame, part, sb, ch) -> 0..62
+      code: (Int, Int, Int, Int, Int) => Int // (frame, granule, k, sb, ch)
+  ): Array[Byte] = {
+    require(bitrateIdx >= 1 && bitrateIdx <= 14 && rateIdx >= 0 && rateIdx <= 2)
+    require(mode == 0 || mode == 2 || mode == 3)
+    val rate = Mp3Rates(rateIdx)
+    val ch = if (mode == 3) 1 else 2
+    val kb = Mp2Bitrates(bitrateIdx)
+    require(!(ch == 1 && kb >= 224) &&
+      !(ch == 2 && Set(32, 48, 56, 80)(kb)), s"illegal mode for $kb kbps")
+    val sbl = mp2Sblimit(rate, kb / ch)
+    require(sbl > 0, s"low-bitrate B.2c/d regime not encodable here")
+    val out = new java.io.ByteArrayOutputStream()
+    var f = 0
+    while (f < nFrames) {
+      val p = pad(f) & 1
+      val flen = 144000 * kb / rate + p
+      val bw = new FlacBitWriter(flen)
+      val b2 = (bitrateIdx << 4) | (rateIdx << 2) | (p << 1)
+      val b3 = mode << 6
+      bw.writeBits(0xfff, 12)                // sync
+      bw.writeBit(1)                         // ID: MPEG-1
+      bw.writeBits(2, 2)                     // Layer II
+      bw.writeBit(if (protect) 0 else 1)
+      bw.writeBits(b2.toLong, 8)
+      bw.writeBits(b3.toLong, 8)
+      val crc = new Mp1Crc
+      crc.update(b2, 8); crc.update(b3, 8)
+      for (sb <- 0 until sbl; c <- 0 until ch) {
+        val a = allocIdx(f, sb, c)
+        require(a >= 0 && a < (1 << mp2Nbal(sb)), s"alloc code $a sb $sb")
+        crc.update(a, mp2Nbal(sb))
+      }
+      for (sb <- 0 until sbl; c <- 0 until ch)
+        if (allocIdx(f, sb, c) != 0) crc.update(scfsi(f, sb, c) & 3, 2)
+      if (protect) bw.writeBits(crc.value.toLong, 16)
+      for (sb <- 0 until sbl; c <- 0 until ch)
+        bw.writeBits(allocIdx(f, sb, c).toLong, mp2Nbal(sb))
+      for (sb <- 0 until sbl; c <- 0 until ch)
+        if (allocIdx(f, sb, c) != 0) bw.writeBits((scfsi(f, sb, c) & 3).toLong, 2)
+      for (sb <- 0 until sbl; c <- 0 until ch) if (allocIdx(f, sb, c) != 0) {
+        val parts: Seq[Int] = (scfsi(f, sb, c) & 3) match {
+          case 0 => Seq(0, 1, 2)
+          case 1 => Seq(0, 2)
+          case 2 => Seq(0)
+          case _ => Seq(0, 1)
+        }
+        parts.foreach { pt =>
+          val idx = scf(f, pt, sb, c)
+          require(idx >= 0 && idx <= 62, s"scf $idx")
+          bw.writeBits(idx.toLong, 6)
+        }
+      }
+      for (g <- 0 until 12; sb <- 0 until sbl; c <- 0 until ch) {
+        val a = allocIdx(f, sb, c)
+        if (a != 0) {
+          val nl = mp2Row(sb)(a - 1)
+          def cd(k: Int): Int = {
+            val v = code(f, g, k, sb, c)
+            require(v >= 0 && v < nl, s"code $v >= nlevels $nl")
+            v
+          }
+          if (nl == 3 || nl == 5 || nl == 9) {
+            val gb = if (nl == 3) 5 else if (nl == 5) 7 else 10
+            bw.writeBits((cd(0) + nl * cd(1) + nl * nl * cd(2)).toLong, gb)
+          } else {
+            val nb = mp2SampleBits(nl)
+            bw.writeBits(cd(0).toLong, nb)
+            bw.writeBits(cd(1).toLong, nb)
+            bw.writeBits(cd(2).toLong, nb)
+          }
+        }
+      }
+      // payload overflow (supplied laws too wide for the bitrate)
+      // surfaces as FlacBitWriter's capacity bound — fixture-side only
+      out.write(java.util.Arrays.copyOf(bw.bytes, flen))
+      f += 1
+    }
+    out.toByteArray
+  }
+
+  /** Deterministic Layer II fixture: 44.1/48/32 kHz cycle (B.2b at
+    * 44.1/32, B.2a at 48 — both tables exercised), mono 192 kbps /
+    * two-channel 384 kbps (per-channel 192 ≥ 96 keeps the high-rate
+    * regime), 4-7 active subbands per id stepping (i + 7j) % sblimit
+    * across every class row, all four scfsi patterns, power-of-two
+    * scalefactors (idx ≡ 0 mod 3) and closed-form sample codes — the
+    * exact laws the q156 oracle replays. Even ids CRC-protected. */
+  def mp2Fixture(spark: SparkSession, n: Int): DataFrame = {
+    val rows = (0 until n).map { i =>
+      val rateIdx = i % 3
+      val mode = Seq(3, 0, 2)((i / 3) % 3)   // mono / stereo / dual
+      val ch = if (mode == 3) 1 else 2
+      val bitrateIdx = if (ch == 1) 10 else 14 // 192 / 384 kbps
+      val sbl = mp2Sblimit(Mp3Rates(rateIdx), Mp2Bitrates(bitrateIdx) / ch)
+      val nf = 2 + i % 3
+      val nA = 4 + i % 4
+      // active subbands (i + 7j) % sblimit, j < nA — distinct since
+      // gcd(7, 27) = gcd(7, 30) = 1 and nA <= 7
+      val act: Map[Int, Int] = (0 until nA).map { j =>
+        val sb = (i + 7 * j) % sbl
+        val cap = if (sb < 11) 15 else if (sb < 23) 7 else 3
+        sb -> (1 + (3 * i + 5 * j) % cap)
+      }.toMap
+      val jOf: Map[Int, Int] =
+        (0 until nA).map(j => ((i + 7 * j) % sbl) -> j).toMap
+      Row(i.toLong, encodeMp2(bitrateIdx, rateIdx, mode, nf,
+        protect = i % 2 == 0,
+        pad = f => (i + f) % 2,
+        allocIdx = (_, sb, _) => act.getOrElse(sb, 0),
+        scfsi = (_, sb, c) => (i + 2 * jOf(sb) + c) % 4,
+        scf = (f, p, sb, c) => 3 * ((i + sb + 7 * c + 2 * p + f) % 21),
+        code = (f, g, k, sb, c) => {
+          val nl = mp2Row(sb)(act(sb) - 1)
+          (i * 13 + f * 3 + g * 7 + k * 17 + sb * 5 + c * 11) % nl
+        }))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4),
+      StructType(Seq(
+        StructField("id", LongType, false),
+        StructField("media", BinaryType, true))))
+  }
+
+  /** Full-decode DataFrame op over MPEG-1 Layer II blobs — same
+    * surface as [[decodeMp1]]; malformed streams yield valid=false
+    * rows, never throw. */
+  def decodeMp2(df: DataFrame, idCol: String, binCol: String): DataFrame =
+    decodeMpegAudio(df, idCol, binCol, parseMp2)
+
+  /** Shared aggregate-row surface for the MPEG audio payload
+    * decoders ([[decodeMp1]]/[[decodeMp2]]). */
+  private def decodeMpegAudio(
+      df: DataFrame, idCol: String, binCol: String,
+      parse: Array[Byte] => Option[Mp1Decoded]): DataFrame = {
     val spark = df.sparkSession
     val outSchema = StructType(Seq(
       StructField("id", LongType, false),
@@ -852,7 +1231,7 @@ object Multimodal {
       StructField("valid", BooleanType, false)))
     val rows = df.select(col(idCol).cast(LongType), col(binCol)).rdd
       .mapPartitions(_.map { r =>
-        scala.util.Try(parseMp1(r.getAs[Array[Byte]](1))).toOption
+        scala.util.Try(parse(r.getAs[Array[Byte]](1))).toOption
           .flatten match {
           case Some(d) =>
             Row(r.getLong(0), d.rate, d.kbps, d.channels, d.nFrames,

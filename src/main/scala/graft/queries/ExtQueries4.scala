@@ -1492,6 +1492,156 @@ object ExtQueries4 {
          FROM qv GROUP BY r) s ON base.r = s.r
        ORDER BY id"""
 
+  // ---------------------------------------------------------------
+  // q156 — MPEG-1 Audio Layer II payload decode (ISO/IEC 11172-3):
+  // 42 REAL Layer II streams across both high-rate allocation tables
+  // (3-B.2a at 48 kHz, 3-B.2b at 44.1/32 kHz), all class rows
+  // including the GROUPED 3/5/9-level quantizers (5/7/10-bit words
+  // degrouped by base-nlevels digits), all four scfsi scalefactor-
+  // sharing patterns, CRC-16 over allocation+scfsi on even ids —
+  // decoded to the subband domain through s'' = (2c − 2^nb + madd)/
+  // nlevels (the exact rational form of Table 3-B.4's C·(s'''+D)),
+  // scaled by power-of-two scalefactors and rounded half-even to
+  // Q15. The oracle replays the allocation tables, the degrouped
+  // code law, the scfsi part-sharing map and the integer rounding
+  // per sample; any slip — a wrong table entry, group digit order,
+  // scfsi expansion, madd constant — shifts value_sum or min/max
+  // and fails the hash gate. Corruption/legality matrix is
+  // spec-gated in MultimodalSpec.
+  private val Mp2N = 42
+
+  def q156(s: SparkSession, dir: String): DataFrame = {
+    val fx = graft.operators.Multimodal.mp2Fixture(s, Mp2N)
+    graft.operators.Multimodal.decodeMp2(fx, "id", "media")
+      .select(col("id"), col("sample_rate"), col("bitrate_kbps"),
+        col("channels"), col("n_frames"), col("total_samples"),
+        col("n_decoded"), col("value_sum"), col("min_sample"),
+        col("max_sample"), col("valid"))
+      .orderBy("id")
+  }
+
+  val q156Sql: String =
+    s"""WITH base AS (
+         SELECT r,
+           CASE r % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                ELSE 32000 END AS rate,
+           CASE (r // 3) % 3 WHEN 0 THEN 1 ELSE 2 END AS ch,
+           2 + r % 3 AS nf, 4 + r % 4 AS na
+         FROM range(0, $Mp2N) t(r)),
+       base2 AS (
+         SELECT *, CASE WHEN ch = 1 THEN 192 ELSE 384 END AS kbps,
+                CASE WHEN rate = 48000 THEN 27 ELSE 30 END AS sbl
+         FROM base),
+       jrow AS (
+         SELECT r, ch, nf, sbl,
+                unnest([j for j in range(0, na)]) AS j FROM base2),
+       sbrow AS (SELECT r, ch, nf, j, (r + 7 * j) % sbl AS sb FROM jrow),
+       nlrow AS ( -- Table 3-B.2a/b class rows (B.2b = B.2a + tail rows)
+         SELECT r, ch, nf, j, sb,
+           (CASE WHEN sb < 3 THEN [3,7,15,31,63,127,255,511,1023,
+                                   2047,4095,8191,16383,32767,65535]
+                 WHEN sb < 11 THEN [3,5,7,9,15,31,63,127,255,511,
+                                    1023,2047,4095,8191,65535]
+                 WHEN sb < 23 THEN [3,5,7,9,15,31,65535]
+                 ELSE [3,5,65535] END)
+           [1 + (3 * r + 5 * j) % (CASE WHEN sb < 11 THEN 15
+                WHEN sb < 23 THEN 7 ELSE 3 END)] AS nlev
+         FROM sbrow),
+       nbrow AS (
+         SELECT *,
+           CASE nlev WHEN 3 THEN 2 WHEN 5 THEN 3 WHEN 9 THEN 4
+             WHEN 7 THEN 3 WHEN 15 THEN 4 WHEN 31 THEN 5 WHEN 63 THEN 6
+             WHEN 127 THEN 7 WHEN 255 THEN 8 WHEN 511 THEN 9
+             WHEN 1023 THEN 10 WHEN 2047 THEN 11 WHEN 4095 THEN 12
+             WHEN 8191 THEN 13 WHEN 16383 THEN 14 WHEN 32767 THEN 15
+             ELSE 16 END AS nb,
+           CASE nlev WHEN 3 THEN 2 WHEN 5 THEN 4 WHEN 9 THEN 8
+             ELSE 2 END AS madd
+         FROM nlrow),
+       crow AS (SELECT *, unnest([c for c in range(0, ch)]) AS c FROM nbrow),
+       scfr AS (SELECT *, (r + 2 * j + c) % 4 AS scfsi FROM crow),
+       frow AS (SELECT *, unnest([f for f in range(0, nf)]) AS f FROM scfr),
+       grow AS (SELECT *, unnest([g for g in range(0, 12)]) AS g FROM frow),
+       erow AS ( -- scfsi part sharing: 0=(0,1,2) 1=(0,0,2) 2=(0,0,0) 3=(0,1,1)
+         SELECT *, (r + sb + 7 * c + f + 2 *
+           (CASE scfsi WHEN 0 THEN g // 4
+                 WHEN 1 THEN (CASE WHEN g // 4 = 2 THEN 2 ELSE 0 END)
+                 WHEN 2 THEN 0
+                 ELSE (CASE WHEN g // 4 = 0 THEN 0 ELSE 1 END) END)) % 21 AS e
+         FROM grow),
+       krow AS (SELECT *, unnest([k for k in range(0, 3)]) AS k FROM erow),
+       ab AS (
+         SELECT r,
+           CAST(2 * ((r * 13 + f * 3 + g * 7 + k * 17 + sb * 5 + c * 11)
+                     % nlev) - (1 << nb) + madd AS BIGINT)
+             * (CAST(1 AS BIGINT) << (36 - e)) AS a,
+           CAST(nlev AS BIGINT) * (CAST(1 AS BIGINT) << 20) AS b
+         FROM krow),
+       qv AS ( -- exact round-half-even of a/b: floor quotient + tie parity
+         SELECT r, fq + CASE WHEN 2 * rp > b THEN 1
+                             WHEN 2 * rp = b AND fq % 2 <> 0 THEN 1
+                             ELSE 0 END AS q
+         FROM (SELECT r, b, ((a % b) + b) % b AS rp,
+                      (a - (((a % b) + b) % b)) // b AS fq FROM ab))
+       SELECT base2.r AS id, CAST(rate AS INT) AS sample_rate,
+         CAST(kbps AS INT) AS bitrate_kbps, CAST(ch AS INT) AS channels,
+         CAST(nf AS INT) AS n_frames,
+         CAST(nf * 1152 * ch AS BIGINT) AS total_samples,
+         CAST(nf * na * ch * 36 AS BIGINT) AS n_decoded,
+         s.vsum AS value_sum, s.vmin AS min_sample, s.vmax AS max_sample,
+         true AS valid
+       FROM base2 JOIN (
+         SELECT r, CAST(sum(q) AS BIGINT) AS vsum,
+                CAST(min(q) AS INT) AS vmin, CAST(max(q) AS INT) AS vmax
+         FROM qv GROUP BY r) s ON base2.r = s.r
+       ORDER BY id"""
+
+  // ---------------------------------------------------------------
+  // q157 — web-archive (WARC / Common Crawl) extraction: 45 archive
+  // blobs — per-record gzip members (REAL RFC 1952 walk: optional
+  // FNAME/FEXTRA fields, REAL DEFLATE inflate through the JDK, CRC-32
+  // AND ISIZE trailer verification) with every fifth blob a plain
+  // uncompressed .warc — exploded to one row per WARC record with
+  // strict ISO 28500 parsing (version line, mandatory headers, exact
+  // Content-Length payload, CRLF CRLF terminator). The digit_sum
+  // column is computed from the DECODED payload text, so any
+  // decompression or record-framing slip shifts it and fails the
+  // hash gate. Corruption matrix (bit-flipped DEFLATE, bad CRC, bad
+  // ISIZE, truncation, missing terminator, bad version, bad date) is
+  // spec-gated in WarcSpec.
+  private val WarcN = 45
+
+  def q157(s: SparkSession, dir: String): DataFrame = {
+    val fx = graft.operators.Warc.warcFixture(s, WarcN)
+    graft.operators.Warc.extractWarc(fx, "id", "media")
+      .select(col("id"), col("rec"), col("warc_type"), col("uri"),
+        col("date_epoch"), col("content_length"), col("n_words"),
+        col("digit_sum"), col("valid"))
+      .orderBy("id", "rec")
+  }
+
+  val q157Sql: String =
+    s"""WITH base AS (
+         SELECT r AS id, 3 + r % 4 AS nr FROM range(0, $WarcN) t(r)),
+       recs AS (
+         SELECT id, unnest([x for x in range(0, nr)]) AS rec FROM base),
+       tok AS (SELECT id, rec, 10 + (id + rec) % 6 AS nt FROM recs),
+       dig AS (
+         SELECT id, rec,
+           CAST(list_sum([(id * 7 + rec * 3 + k) % 10
+                          for k in range(0, nt)]) AS BIGINT) AS digit_sum
+         FROM tok)
+       SELECT t.id, CAST(t.rec AS INT) AS rec,
+         CASE t.rec % 2 WHEN 0 THEN 'conversion' ELSE 'metadata' END
+           AS warc_type,
+         'https://example.com/' || t.id || '/' || t.rec AS uri,
+         CAST(1704067200 + t.id * 60 + t.rec AS BIGINT) AS date_epoch,
+         CAST(3 * t.nt - 1 AS BIGINT) AS content_length,
+         CAST(t.nt AS BIGINT) AS n_words,
+         d.digit_sum, true AS valid
+       FROM tok t JOIN dig d ON t.id = d.id AND t.rec = d.rec
+       ORDER BY t.id, t.rec"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q125_label_propagation" -> (q125 _),
     "q126_pmi_cooccur" -> (q126 _),
@@ -1523,7 +1673,9 @@ object ExtQueries4 {
     "q152_g711_wav" -> (q152 _),
     "q153_url_normalize" -> (q153 _),
     "q154_audio_catalog" -> (q154 _),
-    "q155_mp1_decode" -> (q155 _))
+    "q155_mp1_decode" -> (q155 _),
+    "q156_mp2_decode" -> (q156 _),
+    "q157_warc_extract" -> (q157 _))
 
   val oracles: Map[String, String] = Map(
     "q125_label_propagation" -> q125Sql,
@@ -1556,5 +1708,7 @@ object ExtQueries4 {
     "q152_g711_wav" -> q152Sql,
     "q153_url_normalize" -> q153Sql,
     "q154_audio_catalog" -> q154Sql,
-    "q155_mp1_decode" -> q155Sql)
+    "q155_mp1_decode" -> q155Sql,
+    "q156_mp2_decode" -> q156Sql,
+    "q157_warc_extract" -> q157Sql)
 }

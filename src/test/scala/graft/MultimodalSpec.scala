@@ -302,6 +302,136 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.parseMp3(goodU).isEmpty)
   }
 
+  test("MPEG-1 Layer II: payload decode matches a BigDecimal reference; corruption flags") {
+    import spark.implicits._
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    // independent reference: replay the fixture laws (allocation
+    // tables, grouped-code degrouping, scfsi sharing) through
+    // BigDecimal HALF_EVEN division — none of the decoder's
+    // shift/floorDiv/parity arithmetic is reused
+    val row03 = Array(3, 7, 15, 31, 63, 127, 255, 511, 1023, 2047, 4095,
+      8191, 16383, 32767, 65535)
+    val row311 = Array(3, 5, 7, 9, 15, 31, 63, 127, 255, 511, 1023, 2047,
+      4095, 8191, 65535)
+    val row1123 = Array(3, 5, 7, 9, 15, 31, 65535)
+    val rowTail = Array(3, 5, 65535)
+    def ref(i: Int): (Long, Long, Long, Long) = {
+      val rate = Seq(44100, 48000, 32000)(i % 3)
+      val ch = if (Seq(3, 0, 2)((i / 3) % 3) == 3) 1 else 2
+      val sbl = if (rate == 48000) 27 else 30
+      val nf = 2 + i % 3
+      val nA = 4 + i % 4
+      var sum = 0L; var mn = Long.MaxValue; var mx = Long.MinValue; var n = 0L
+      for (j <- 0 until nA; f <- 0 until nf; c <- 0 until ch;
+           g <- 0 until 12; k <- 0 until 3) {
+        val sb = (i + 7 * j) % sbl
+        val row = if (sb < 3) row03 else if (sb < 11) row311
+          else if (sb < 23) row1123 else rowTail
+        val cap = if (sb < 11) 15 else if (sb < 23) 7 else 3
+        val nlev = row((3 * i + 5 * j) % cap)
+        val nb = if (nlev == 3) 2 else if (nlev == 5) 3 else if (nlev == 9) 4
+          else 32 - Integer.numberOfLeadingZeros(nlev)
+        val madd = if (nlev == 3 || nlev == 5 || nlev == 9) 1 << (nb - 1) else 2
+        val scfsi = (i + 2 * j + c) % 4
+        val p = g / 4
+        val pEff = scfsi match {
+          case 0 => p
+          case 1 => if (p == 2) 2 else 0
+          case 2 => 0
+          case _ => if (p == 0) 0 else 1
+        }
+        val e = (i + sb + 7 * c + 2 * pEff + f) % 21
+        val code = (i * 13 + f * 3 + g * 7 + k * 17 + sb * 5 + c * 11) % nlev
+        val m = 2 * code - (1 << nb) + madd
+        val num = new JBD(m).multiply(new JBD(2).pow(36 - e))
+        val den = new JBD(nlev).multiply(new JBD(2).pow(20))
+        val q = num.divide(den, 0, RoundingMode.HALF_EVEN).longValueExact()
+        sum += q; mn = math.min(mn, q); mx = math.max(mx, q); n += 1
+      }
+      (sum, mn, mx, n)
+    }
+    val got = Multimodal.decodeMp2(
+      Multimodal.mp2Fixture(spark, 12), "id", "media").orderBy("id").collect()
+    for (i <- 0 until 12) {
+      val (sum, mn, mx, n) = ref(i)
+      assert(got(i).getAs[Boolean]("valid"), s"id $i")
+      assert(got(i).getAs[Long]("value_sum") == sum, s"sum id $i")
+      assert(got(i).getAs[Int]("min_sample").toLong == mn, s"min id $i")
+      assert(got(i).getAs[Int]("max_sample").toLong == mx, s"max id $i")
+      assert(got(i).getAs[Long]("n_decoded") == n, s"nDec id $i")
+      assert(got(i).getAs[Long]("total_samples") ==
+        (2 + i % 3).toLong * 1152 *
+          (if (Seq(3, 0, 2)((i / 3) % 3) == 3) 1 else 2), s"total id $i")
+    }
+    // irrational-scalefactor path (idx % 3 != 0): IEEE rint, spec-gated
+    val odd = Multimodal.encodeMp2(10, 1, 3, 1, protect = false,
+      pad = _ => 0, allocIdx = (_, sb, _) => if (sb == 0) 2 else 0, // nlev 7
+      scfsi = (_, _, _) => 2, scf = (_, _, _, _) => 5,
+      code = (_, g, k, _, _) => (g + k) % 7)
+    val oddOut = Multimodal.decodeMp2(
+      Seq((0L, odd)).toDF("id", "media"), "id", "media").collect()(0)
+    val sf5 = 2.0 * math.pow(2.0, -5.0 / 3.0)
+    val expOdd = (for (g <- 0 until 12; k <- 0 until 3) yield {
+      val code = (g + k) % 7
+      Math.rint(sf5 * 32768.0 * (2 * code - 8 + 2) / 7.0).toLong
+    }).sum
+    assert(oddOut.getAs[Boolean]("valid") &&
+      oddOut.getAs[Long]("value_sum") == expOdd)
+    // silent stream (all subbands off) is VALID: 1152·ch·nf duration
+    val silent = Multimodal.encodeMp2(14, 0, 0, 2, protect = true,
+      pad = _ => 0, allocIdx = (_, _, _) => 0, scfsi = (_, _, _) => 0,
+      scf = (_, _, _, _) => 0, code = (_, _, _, _, _) => 0)
+    val sOut = Multimodal.decodeMp2(
+      Seq((0L, silent)).toDF("id", "media"), "id", "media").collect()(0)
+    assert(sOut.getAs[Boolean]("valid") &&
+      sOut.getAs[Long]("total_samples") == 4608L &&
+      sOut.getAs[Long]("n_decoded") == 0L)
+    // corruption/legality matrix. Crafted layout (unprotected mono
+    // 192 kbps @ 48 kHz, ONE active subband sb 0): header bytes 0-3,
+    // allocation bits 32-119 (88 bits), scfsi bits 120-121, one
+    // scalefactor bits 122-127, sample words from byte 16.
+    val one = Multimodal.encodeMp2(10, 1, 3, 1, protect = false,
+      pad = _ => 0, allocIdx = (_, sb, _) => if (sb == 0) 1 else 0, // nlev 3
+      scfsi = (_, _, _) => 2, scf = (_, _, _, _) => 0,
+      code = (_, g, k, _, _) => (g + k) % 3)
+    val scf63 = one.clone(); scf63(15) = (scf63(15) | 0x3f).toByte
+    val groupOver = one.clone() // first 5-bit group word := 31 >= 3^3
+    groupOver(16) = (groupOver(16) | 0xf8).toByte
+    val joint = one.clone(); joint(3) = ((joint(3) & 0x3f) | 0x40).toByte
+    val truncated = java.util.Arrays.copyOf(one, one.length - 3)
+    val freeRate = one.clone(); freeRate(2) = (freeRate(2) & 0x0f).toByte
+    val prot = Multimodal.mp2Fixture(spark, 1).collect()(0)
+      .getAs[Array[Byte]]("media") // id 0: protected, CRC at bytes 4-5
+    val badCrc = prot.clone(); badCrc(4) = (badCrc(4) ^ 0x10).toByte
+    // hand-crafted headers: low-bitrate B.2c regime (48 kbps mono —
+    // legal mode, out-of-scope table) and stereo at a mono-only rate
+    def hdr(b1: Int, b2: Int, b3: Int, len: Int): Array[Byte] = {
+      val a = new Array[Byte](len)
+      a(0) = 0xff.toByte; a(1) = b1.toByte; a(2) = b2.toByte; a(3) = b3.toByte
+      a
+    }
+    val b2c = hdr(0xfd, 0x24, 0xc0, 144) // 48 kbps mono 48 kHz
+    val modeBad = hdr(0xfd, 0x24, 0x00, 144) // 48 kbps STEREO: illegal
+    val cdf = Seq((0L, one), (1L, scf63), (2L, groupOver), (3L, joint),
+      (4L, truncated), (5L, freeRate), (6L, badCrc), (7L, b2c),
+      (8L, modeBad)).toDF("id", "media")
+    val cout = Multimodal.decodeMp2(cdf, "id", "media").orderBy("id").collect()
+    assert(cout(0).getAs[Boolean]("valid"))
+    for (k <- 1 to 8)
+      assert(!cout(k).getAs[Boolean]("valid"), s"variant $k must flag")
+    // layer discrimination: Layer I/III streams are not Layer II and
+    // vice versa
+    val mp1 = Multimodal.encodeMp1(14, 0, 3, 1, protect = false,
+      pad = _ => 0, alloc = (_, _, _) => 0, scf = (_, _, _) => 0,
+      code = (_, _, _, _) => 0)
+    assert(Multimodal.parseMp2(mp1).isEmpty)
+    assert(Multimodal.parseMp1(one).isEmpty)
+    assert(Multimodal.parseMp3(one).isEmpty)
+    assert(!Multimodal.decodeMp2(
+      Seq((0L, Multimodal.encodeMp3(9, 0, 3))).toDF("id", "media"),
+      "id", "media").collect()(0).getAs[Boolean]("valid"))
+  }
+
   test("audioCatalog: dispatch routes every family to its parser; junk flags") {
     import spark.implicits._
     val out = Multimodal.audioCatalog(

@@ -30,20 +30,25 @@ class ParserFuzzSpec extends AnyFunSuite {
     "parseWav" -> (b => Multimodal.parseWav(b)),
     "parseMp3" -> (b => Multimodal.parseMp3(b)),
     "parseMp1" -> (b => Multimodal.parseMp1(b)),
+    "parseMp2" -> (b => Multimodal.parseMp2(b)),
     "parseFlac" -> (b => Multimodal.parseFlac(b)),
     "parseFlacPcm" -> (b => Multimodal.parseFlacPcm(b)),
     "parseMp4" -> (b => Multimodal.parseMp4(b)),
     "parseGif" -> (b => Multimodal.parseGif(b)),
-    "parseAvi" -> (b => Multimodal.parseAvi(b)))
+    "parseAvi" -> (b => Multimodal.parseAvi(b)),
+    "parseWarc" -> (b => graft.operators.Warc.parseArchive(b)))
 
   private val magics: Seq[(String, Array[Byte])] = Seq(
     "wav" -> ("RIFF\u0000\u0000\u0000\u0000WAVE").getBytes("ISO-8859-1"),
     "mp3" -> Array(0xff.toByte, 0xfa.toByte),
     "mp1" -> Array(0xff.toByte, 0xfe.toByte),
+    "mp2" -> Array(0xff.toByte, 0xfc.toByte),
     "flac" -> "fLaC".getBytes("ASCII"),
     "mp4" -> Array[Byte](0, 0, 0, 16, 'f', 't', 'y', 'p'),
     "gif" -> "GIF89a".getBytes("ASCII"),
-    "avi" -> ("RIFF\u0000\u0000\u0000\u0000AVI ").getBytes("ISO-8859-1"))
+    "avi" -> ("RIFF\u0000\u0000\u0000\u0000AVI ").getBytes("ISO-8859-1"),
+    "warc" -> "WARC/1.0\r\n".getBytes("ISO-8859-1"),
+    "warcgz" -> Array(0x1f.toByte, 0x8b.toByte, 8.toByte, 0.toByte))
 
   private def noThrow(label: String, p: Parser, b: Array[Byte]): Unit =
     try { p(b); () } catch {
@@ -86,6 +91,12 @@ class ParserFuzzSpec extends AnyFunSuite {
       pad = _ % 2, alloc = (_, sb, _) => if (sb % 3 == 0) 2 + sb % 14 else 0,
       scf = (f, sb, c) => (sb * 3 + c * 7 + f) % 63,
       code = (f, g, sb, c) => f + g * 3 + sb * 5 + c),
+    "mp2" -> Multimodal.encodeMp2(14, 0, 0, 2, protect = true,
+      pad = _ % 2,
+      allocIdx = (_, sb, _) => if (sb % 4 == 0) 1 + sb % 3 else 0,
+      scfsi = (_, sb, c) => (sb + c) % 4,
+      scf = (f, p, sb, c) => (sb * 3 + c * 7 + f + p) % 63,
+      code = (f, g, k, sb, c) => 0),
     "flac-const" -> Multimodal.encodeFlac(9, 2, 16, 3, 7L),
     "flac-pred" -> Multimodal.encodeFlacPred(8, 2, 5, 3L),
     "flac-lpc" -> Multimodal.encodeFlacLpc(10, 1, 5, 9L),
@@ -93,7 +104,15 @@ class ParserFuzzSpec extends AnyFunSuite {
     "mp4" -> Multimodal.encodeMp4(44100, 2, 88200L),
     "gif" -> Multimodal.encodeGif(8, 6,
       Seq(Array.fill(48)(17.toByte), Array.fill(48)(99.toByte)), Seq(7, 9)),
-    "avi" -> Multimodal.encodeAvi(12, 8, Seq(10, 200, 77), 15))
+    "avi" -> Multimodal.encodeAvi(12, 8, Seq(10, 200, 77), 15),
+    "warc" -> {
+      import graft.operators.Warc
+      Warc.gzipMember(Warc.recordBytes("conversion",
+        "https://example.com/0/0", "2024-01-01T00:00:00Z",
+        "<urn:uuid:0-0>", "w1 w2 w3"), fname = Some("r.warc")) ++
+        Warc.recordBytes("metadata", "", "2024-01-01T00:00:01Z",
+          "<urn:uuid:0-1>", "w4 w5")
+    })
 
   test("every single-byte corruption of a valid stream never throws") {
     validStreams.foreach { case (sname, v) =>

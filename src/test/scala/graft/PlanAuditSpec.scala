@@ -250,14 +250,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(windows <= 1, s"one lag window only:\n$p")
   }
 
-  test("q144-q155: codec decodes run per-partition — no shuffle beyond the presentation sort") {
+  test("q144-q157: codec decodes run per-partition — no shuffle beyond the presentation sort") {
     // FLAC / MP4 / GIF decode are mapPartitions over the binary
     // column; the only exchange allowed is the final orderBy — a
     // second one would mean blob bytes moved between executors
     Seq("q144_flac_decode", "q145_mp4_moov", "q146_gif_frames",
         "q147_avi_frames", "q148_flac_pcm", "q149_flac_lpc",
         "q150_flac_stereo", "q151_adpcm_wav", "q152_g711_wav",
-        "q154_audio_catalog", "q155_mp1_decode").foreach { q =>
+        "q154_audio_catalog", "q155_mp1_decode",
+        "q156_mp2_decode", "q157_warc_extract").foreach { q =>
       val p = plan(q)
       val exchanges = "Exchange".r.findAllIn(p).length
       assert(exchanges <= 1, s"$q: codec decode should not shuffle:\n$p")
