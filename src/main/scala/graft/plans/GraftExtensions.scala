@@ -59,6 +59,13 @@ object GraftExtensions {
           }
           WindowFingerprints(children.head, n)
         }),
+      (new FunctionIdentifier("html_to_text"),
+        new ExpressionInfo(classOf[graft.functions.HtmlToText].getName,
+          "html_to_text"),
+        (children: Seq[Expression]) => {
+          require(children.length == 1, "html_to_text(str)")
+          graft.functions.HtmlToText(children.head)
+        }),
       (new FunctionIdentifier("bpe_piece_counts"),
         new ExpressionInfo(classOf[BpePieceCounts].getName, "bpe_piece_counts"),
         (children: Seq[Expression]) => {

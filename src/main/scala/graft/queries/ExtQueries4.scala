@@ -1642,6 +1642,67 @@ object ExtQueries4 {
        FROM tok t JOIN dig d ON t.id = d.id AND t.rec = d.rec
        ORDER BY t.id, t.rec"""
 
+  // ---------------------------------------------------------------
+  // q158 — HTML → visible-text extraction (the codegen HtmlToText
+  // kernel): 40 documents exercising the whole documented surface —
+  // doctype, head/title, style+script elision WITH content (a script
+  // whose string literal contains "<p>"), inline-vs-block tag
+  // separation, quoted attributes holding '&' entities, comments
+  // hiding markup, named + decimal + hex character references, nbsp
+  // collapse. The oracle rebuilds the expected TEXT string
+  // closed-form from the same laws, so the hash gate pins every
+  // rule: a wrong block-tag set, a script leak, an entity slip or a
+  // whitespace-collapse change all shift the string. Real-world
+  // malformed-input behavior is spec-gated in HtmlToTextSpec.
+  private val HtmlN = 40
+
+  def q158(s: SparkSession, dir: String): DataFrame = {
+    val rows = (0 until HtmlN).map { i =>
+      val ni = 2 + i % 4
+      val items = (0 until ni)
+        .map(k => s"<li>item${(i + k) % 9}</li>").mkString
+      val html =
+        s"""<!DOCTYPE html><html><head><title>T$i</title>""" +
+          """<style>body{color:#fff}</style>""" +
+          """<script>var x = "<p>not text</p>";</script></head>""" +
+          s"""<body><h1>Head $i</h1>""" +
+          s"""<p>alpha&nbsp;beta &amp; gamma ${i * 3 % 7}</p>""" +
+          s"""<div>seg <b>bold$i</b> tail """ +
+          s"""<a href="/x?a=1&amp;b=2">link$i</a></div>""" +
+          """<!-- hidden <p>comment</p> -->""" +
+          s"""<ul>$items</ul>""" +
+          s"""<p>&#65;&#x42;C row ${i % 5}</p></body></html>"""
+      (i.toLong, html)
+    }
+    import s.implicits._
+    rows.toDF("id", "html").repartition(4)
+      .select(col("id"),
+        graft.functions.HtmlToText.htmlToText(col("html")).as("text"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("n_lines",
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "\n", "")) + 1).cast("long"))
+      .orderBy("id")
+  }
+
+  val q158Sql: String =
+    s"""WITH base AS (SELECT r AS id, 2 + r % 4 AS ni FROM range(0, $HtmlN) t(r)),
+       txt AS (
+         SELECT id,
+           'T' || id || chr(10) ||
+           'Head ' || id || chr(10) ||
+           'alpha beta & gamma ' || (id * 3 % 7) || chr(10) ||
+           'seg bold' || id || ' tail link' || id || chr(10) ||
+           array_to_string([('item' || ((id + k) % 9))
+                            for k in range(0, ni)], chr(10)) || chr(10) ||
+           'ABC row ' || (id % 5) AS text
+         FROM base)
+       SELECT id, text,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(length(text) - length(replace(text, chr(10), '')) + 1
+              AS BIGINT) AS n_lines
+       FROM txt ORDER BY id"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q125_label_propagation" -> (q125 _),
     "q126_pmi_cooccur" -> (q126 _),
@@ -1675,7 +1736,8 @@ object ExtQueries4 {
     "q154_audio_catalog" -> (q154 _),
     "q155_mp1_decode" -> (q155 _),
     "q156_mp2_decode" -> (q156 _),
-    "q157_warc_extract" -> (q157 _))
+    "q157_warc_extract" -> (q157 _),
+    "q158_html_text" -> (q158 _))
 
   val oracles: Map[String, String] = Map(
     "q125_label_propagation" -> q125Sql,
@@ -1710,5 +1772,6 @@ object ExtQueries4 {
     "q154_audio_catalog" -> q154Sql,
     "q155_mp1_decode" -> q155Sql,
     "q156_mp2_decode" -> q156Sql,
-    "q157_warc_extract" -> q157Sql)
+    "q157_warc_extract" -> q157Sql,
+    "q158_html_text" -> q158Sql)
 }
