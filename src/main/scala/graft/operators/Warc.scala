@@ -31,10 +31,10 @@ import org.apache.spark.sql.types._
   */
 object Warc {
 
-  /** One decoded record: header fields + payload-derived stats. */
+  /** One decoded record: header fields + the decoded payload bytes. */
   private[graft] final case class WarcRec(
       rec: Int, warcType: String, uri: String, dateEpoch: Long,
-      contentLength: Long, nWords: Long, digitSum: Long)
+      contentLength: Long, payload: Array[Byte])
 
   // ------------------------------------------------------------------
   // gzip member walk (RFC 1952)
@@ -200,24 +200,71 @@ object Warc {
     if (epochOpt.isEmpty) return None
     val epoch = epochOpt.get
     if (p + clen + 4 > b.length) return None
-    val payload = new String(b, p, clen.toInt, "UTF-8")
+    val payload = java.util.Arrays.copyOfRange(b, p, p + clen.toInt)
     p += clen.toInt
     if (!(b(p) == '\r' && b(p + 1) == '\n' &&
         b(p + 2) == '\r' && b(p + 3) == '\n')) return None
     p += 4
-    // payload-derived stats: whitespace words; digit sum proves the
-    // DECODED content (not just lengths) survived decompression
+    Some((WarcRec(recIdx, wtype, uri, epoch, clen, payload), p - off))
+  }
+
+  /** Payload-derived stats: whitespace words and a digit sum that
+    * proves the DECODED content (not just lengths) survived
+    * decompression. */
+  private[graft] def payloadStats(payload: Array[Byte]): (Long, Long) = {
+    val s = new String(payload, "UTF-8")
     var nWords = 0L; var digitSum = 0L
-    if (payload.nonEmpty) {
-      payload.split(' ').foreach { w =>
+    if (s.nonEmpty) {
+      s.split(' ').foreach { w =>
         if (w.nonEmpty) {
           nWords += 1
           w.foreach(c => if (c >= '0' && c <= '9') digitSum += c - '0')
         }
       }
     }
-    Some((WarcRec(recIdx, wtype, uri, epoch, clen, nWords, digitSum),
-      p - off))
+    (nWords, digitSum)
+  }
+
+  /** Strict HTTP/1.x response-envelope parse (the payload format of
+    * WARC `response` records — RFC 9112 framing): status line,
+    * header fields to the blank line, body = the rest; if the
+    * response declares Content-Length it must match the body length
+    * exactly. Returns (status, content-type lowercased without
+    * parameters, body). */
+  private[graft] def parseHttp(p: Array[Byte]): Option[(Int, String, Array[Byte])] = {
+    var i = 0
+    def line(): Option[String] = {
+      var q = i
+      while (q + 1 < p.length && !(p(q) == '\r' && p(q + 1) == '\n')) q += 1
+      if (q + 1 >= p.length) None
+      else { val s = new String(p, i, q - i, "ISO-8859-1"); i = q + 2; Some(s) }
+    }
+    val status = line() match {
+      case Some(sl) =>
+        val parts = sl.split(" ", 3)
+        if (parts.length < 2 || !parts(0).matches("HTTP/1\\.[01]")) return None
+        try parts(1).toInt catch { case _: NumberFormatException => return None }
+      case None => return None
+    }
+    if (status < 100 || status > 599) return None
+    var ctype = ""; var clen = -1L
+    var l = line()
+    while (l.exists(_.nonEmpty)) {
+      val s = l.get
+      val c = s.indexOf(':')
+      if (c <= 0) return None
+      val k = s.substring(0, c).trim.toLowerCase
+      val v = s.substring(c + 1).trim
+      if (k == "content-type")
+        ctype = v.split(";")(0).trim.toLowerCase
+      else if (k == "content-length")
+        clen = try v.toLong catch { case _: NumberFormatException => -1L }
+      l = line()
+    }
+    if (l.isEmpty) return None // no blank line before body
+    val body = java.util.Arrays.copyOfRange(p, i, p.length)
+    if (clen >= 0 && clen != body.length.toLong) return None
+    Some((status, ctype, body))
   }
 
   /** Walk one archive blob: at each record boundary sniff gzip magic
@@ -268,9 +315,11 @@ object Warc {
       .mapPartitions(_.flatMap { r =>
         scala.util.Try(parseArchive(r.getAs[Array[Byte]](1))).toOption
           .flatten match {
-          case Some(recs) => recs.map(w =>
+          case Some(recs) => recs.map { w =>
+            val (nWords, digitSum) = payloadStats(w.payload)
             Row(r.getLong(0), w.rec, w.warcType, w.uri, w.dateEpoch,
-              w.contentLength, w.nWords, w.digitSum, true))
+              w.contentLength, nWords, digitSum, true)
+          }
           case None =>
             Seq(Row(r.getLong(0), null, null, null, null, null, null,
               null, false))
@@ -279,11 +328,55 @@ object Warc {
     spark.createDataFrame(rows, outSchema)
   }
 
+  /** Explode archive blobs into HTTP-level rows: WARC `response`
+    * records get their HTTP envelope parsed (status, media type,
+    * body as UTF-8 text); non-response records pass through with
+    * null HTTP fields. A response whose envelope fails to parse
+    * invalidates the whole archive — same strictness as the member
+    * walk. */
+  def extractWarcHttp(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("id", LongType, false),
+      StructField("rec", IntegerType, true),
+      StructField("warc_type", StringType, true),
+      StructField("uri", StringType, true),
+      StructField("date_epoch", LongType, true),
+      StructField("status", IntegerType, true),
+      StructField("content_type", StringType, true),
+      StructField("body", StringType, true),
+      StructField("valid", BooleanType, false)))
+    val rows = df.select(col(idCol).cast(LongType), col(binCol)).rdd
+      .mapPartitions(_.flatMap { r =>
+        val parsed = scala.util.Try(parseArchive(r.getAs[Array[Byte]](1)))
+          .toOption.flatten.flatMap { recs =>
+            val out = recs.map { w =>
+              if (w.warcType == "response") parseHttp(w.payload).map {
+                case (status, ctype, body) =>
+                  Row(r.getLong(0), w.rec, w.warcType, w.uri, w.dateEpoch,
+                    status, ctype, new String(body, "UTF-8"), true)
+              }
+              else Some(Row(r.getLong(0), w.rec, w.warcType, w.uri,
+                w.dateEpoch, null, null,
+                new String(w.payload, "UTF-8"), true))
+            }
+            if (out.forall(_.isDefined)) Some(out.map(_.get)) else None
+          }
+        parsed.getOrElse(Seq(Row(r.getLong(0), null, null, null, null,
+          null, null, null, false)))
+      })
+    spark.createDataFrame(rows, outSchema)
+  }
+
   /** Build one record's bytes (fixture/test side). */
   private[graft] def recordBytes(
       wtype: String, uri: String, date: String, rid: String,
-      payload: String): Array[Byte] = {
-    val body = payload.getBytes("UTF-8")
+      payload: String): Array[Byte] =
+    recordBytesRaw(wtype, uri, date, rid, payload.getBytes("UTF-8"))
+
+  private[graft] def recordBytesRaw(
+      wtype: String, uri: String, date: String, rid: String,
+      body: Array[Byte]): Array[Byte] = {
     val head = new StringBuilder
     head.append("WARC/1.0\r\n")
     head.append(s"WARC-Type: $wtype\r\n")
@@ -294,6 +387,63 @@ object Warc {
     head.append(s"Content-Length: ${body.length}\r\n\r\n")
     head.toString.getBytes("ISO-8859-1") ++ body ++
       "\r\n\r\n".getBytes("ISO-8859-1")
+  }
+
+  /** Build one HTTP response payload (fixture/test side). */
+  private[graft] def httpResponse(
+      status: Int, reason: String, ctype: String,
+      body: Array[Byte]): Array[Byte] =
+    (s"HTTP/1.1 $status $reason\r\nContent-Type: $ctype\r\n" +
+      s"Content-Length: ${body.length}\r\nServer: graft-fixture\r\n\r\n")
+      .getBytes("ISO-8859-1") ++ body
+
+  /** Deterministic crawl-shaped fixture replayed closed-form by the
+    * q159 oracle: per-record-gzipped WARC `response` records whose
+    * HTTP bodies are law-HTML pages (plus every fourth record a 404
+    * text/plain miss and every sixth a `metadata` record — both must
+    * be FILTERED by the pipeline, not crash it). */
+  def warcHttpFixture(spark: SparkSession, n: Int): DataFrame = {
+    val rows = (0 until n).map { i =>
+      val nr = 3 + i % 3
+      val out = new java.io.ByteArrayOutputStream()
+      (0 until nr).foreach { r =>
+        val epoch = 1704067200L + i * 60 + r
+        val date = java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd'T'HH:mm:ss'Z'")
+          .format(java.time.Instant.ofEpochSecond(epoch)
+            .atOffset(java.time.ZoneOffset.UTC))
+        val uri = s"https://crawl.example/$i/$r"
+        val recBytes =
+          if ((i + r) % 6 == 5)
+            recordBytes("metadata", uri, date, s"<urn:uuid:m-$i-$r>",
+              s"meta $i $r")
+          else if ((i + r) % 4 == 3)
+            recordBytesRaw("response", uri, date, s"<urn:uuid:x-$i-$r>",
+              httpResponse(404, "Not Found", "text/plain",
+                s"missing $i/$r".getBytes("UTF-8")))
+          else {
+            val nw = 4 + (i + r) % 5
+            val words = (0 until nw)
+              .map(k => s"t${(i * 5 + r * 7 + k) % 10}").mkString(" ")
+            val html =
+              s"""<html><head><title>Page $i/$r</title>""" +
+                """<script>track("<div>");</script></head>""" +
+                s"""<body><h1>Doc $i &#45; $r</h1>""" +
+                s"""<p>$words</p>""" +
+                s"""<div>end&nbsp;$i</div></body></html>"""
+            recordBytesRaw("response", uri, date, s"<urn:uuid:h-$i-$r>",
+              httpResponse(200, "OK",
+                "text/html; charset=utf-8", html.getBytes("UTF-8")))
+          }
+        out.write(gzipMember(recBytes))
+      }
+      Row(i.toLong, out.toByteArray)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4),
+      StructType(Seq(
+        StructField("id", LongType, false),
+        StructField("media", BinaryType, true))))
   }
 
   /** Deterministic archive fixture replayed closed-form by the q157

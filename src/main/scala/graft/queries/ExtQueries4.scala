@@ -1703,6 +1703,54 @@ object ExtQueries4 {
               AS BIGINT) AS n_lines
        FROM txt ORDER BY id"""
 
+  // ---------------------------------------------------------------
+  // q159 — web-pipeline capstone: gzip WARC archive → strict HTTP
+  // response-envelope parse (RFC 9112 framing: status line, headers,
+  // Content-Length cross-check) → media-type filter (only 200
+  // text/html pages survive; 404 text/plain misses and metadata
+  // records are dropped by the PIPELINE, exercising the filter, not
+  // the parser) → the codegen html_to_text kernel → per-page text
+  // stats. The oracle rebuilds each page's extracted TEXT closed-form
+  // from the fixture laws, so the hash gate spans the whole chain:
+  // DEFLATE decode, WARC framing, HTTP headers, HTML rules and the
+  // whitespace collapse — any slip anywhere shifts the string.
+  private val WarcHttpN = 36
+
+  def q159(s: SparkSession, dir: String): DataFrame = {
+    val fx = graft.operators.Warc.warcHttpFixture(s, WarcHttpN)
+    graft.operators.Warc.extractWarcHttp(fx, "id", "media")
+      .where(col("valid") && col("status") === 200 &&
+        col("content_type") === "text/html")
+      .select(col("id"), col("rec"), col("uri"),
+        graft.functions.HtmlToText.htmlToText(col("body")).as("text"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("n_words",
+        size(split(col("text"), "[ \n]")).cast("long"))
+      .orderBy("id", "rec")
+  }
+
+  val q159Sql: String =
+    s"""WITH base AS (SELECT r AS id, 3 + r % 3 AS nr
+         FROM range(0, $WarcHttpN) t(r)),
+       recs AS (
+         SELECT id, unnest([x for x in range(0, nr)]) AS rec FROM base),
+       pages AS ( -- the 200 text/html law rows (404s/metadata filtered)
+         SELECT id, rec, 4 + (id + rec) % 5 AS nw FROM recs
+         WHERE (id + rec) % 6 <> 5 AND (id + rec) % 4 <> 3),
+       txt AS (
+         SELECT id, rec, nw,
+           'Page ' || id || '/' || rec || chr(10) ||
+           'Doc ' || id || ' - ' || rec || chr(10) ||
+           array_to_string([('t' || ((id * 5 + rec * 7 + k) % 10))
+                            for k in range(0, nw)], ' ') || chr(10) ||
+           'end ' || id AS text
+         FROM pages)
+       SELECT id, CAST(rec AS INT) AS rec,
+         'https://crawl.example/' || id || '/' || rec AS uri,
+         text, CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(nw + 8 AS BIGINT) AS n_words
+       FROM txt ORDER BY id, rec"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q125_label_propagation" -> (q125 _),
     "q126_pmi_cooccur" -> (q126 _),
@@ -1737,7 +1785,8 @@ object ExtQueries4 {
     "q155_mp1_decode" -> (q155 _),
     "q156_mp2_decode" -> (q156 _),
     "q157_warc_extract" -> (q157 _),
-    "q158_html_text" -> (q158 _))
+    "q158_html_text" -> (q158 _),
+    "q159_web_pipeline" -> (q159 _))
 
   val oracles: Map[String, String] = Map(
     "q125_label_propagation" -> q125Sql,
@@ -1773,5 +1822,6 @@ object ExtQueries4 {
     "q155_mp1_decode" -> q155Sql,
     "q156_mp2_decode" -> q156Sql,
     "q157_warc_extract" -> q157Sql,
-    "q158_html_text" -> q158Sql)
+    "q158_html_text" -> q158Sql,
+    "q159_web_pipeline" -> q159Sql)
 }

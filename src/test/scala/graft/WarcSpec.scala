@@ -114,6 +114,40 @@ class WarcSpec extends SparkSpec {
     assert(jout.forall(!_.getAs[Boolean]("valid")))
   }
 
+  test("HTTP response envelope: strict parse, filter-not-crash pipeline semantics") {
+    import spark.implicits._
+    val html = "<body><p>hi &amp; bye</p></body>"
+    val ok = Warc.httpResponse(200, "OK", "text/html; charset=utf-8",
+      html.getBytes("UTF-8"))
+    assert(Warc.parseHttp(ok).exists { case (st, ct, body) =>
+      st == 200 && ct == "text/html" && new String(body, "UTF-8") == html })
+    // Content-Length mismatch, garbled status line, missing blank line
+    val short = Warc.httpResponse(200, "OK", "text/html",
+      html.getBytes("UTF-8")).dropRight(3)
+    assert(Warc.parseHttp(short).isEmpty)
+    assert(Warc.parseHttp("ICY 200 OK\r\n\r\nx".getBytes).isEmpty)
+    assert(Warc.parseHttp("HTTP/1.1 abc OK\r\n\r\nx".getBytes).isEmpty)
+    assert(Warc.parseHttp("HTTP/1.1 200 OK\r\nContent-Type: a".getBytes).isEmpty)
+    // no Content-Length declared: body = rest (WARC bounds it)
+    assert(Warc.parseHttp("HTTP/1.0 404 NF\r\nX: y\r\n\r\nbody".getBytes)
+      .exists { case (st, ct, b) =>
+        st == 404 && ct == "" && new String(b) == "body" })
+    // fixture pipeline: 404/metadata records present but filtered;
+    // a malformed HTTP envelope inside a response record invalidates
+    val fx = Warc.warcHttpFixture(spark, 8)
+    val rows = Warc.extractWarcHttp(fx, "id", "media").collect()
+    assert(rows.forall(_.getAs[Boolean]("valid")))
+    assert(rows.exists(r => r.getAs[String]("warc_type") == "response" &&
+      r.getAs[Int]("status") == 404))
+    assert(rows.exists(r => r.getAs[String]("warc_type") == "metadata" &&
+      r.isNullAt(r.fieldIndex("status"))))
+    val badHttp = Warc.gzipMember(Warc.recordBytes("response",
+      "https://x/", "2024-01-01T00:00:00Z", "<urn:uuid:b>", "NOT HTTP"))
+    val bout = Warc.extractWarcHttp(
+      Seq((0L, badHttp)).toDF("id", "media"), "id", "media").collect()
+    assert(bout.length == 1 && !bout(0).getAs[Boolean]("valid"))
+  }
+
   test("warcDateEpoch: strict profile only") {
     assert(Warc.warcDateEpoch("2024-01-01T00:00:00Z").contains(1704067200L))
     assert(Warc.warcDateEpoch("1970-01-01T00:00:00Z").contains(0L))
