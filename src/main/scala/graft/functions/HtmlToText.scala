@@ -79,10 +79,35 @@ object HtmlToText {
   def extract(s: UTF8String): UTF8String =
     UTF8String.fromString(extractStr(s.toString))
 
+  /** Tokenizer callbacks — the one HTML walk feeding both this kernel
+    * and [[MainContent]]'s block/link accounting. */
+  private[functions] trait Sink {
+    /** One visible character (entities decoded; source newlines
+      * already mapped to spaces — rendering semantics). */
+    def visible(c: Char): Unit
+    /** A block-tag boundary (line-break marker). */
+    def break(): Unit
+    /** Any element tag (after eliding it); self-closed tags fire
+      * open-then-close. */
+    def tag(name: String, closing: Boolean): Unit
+  }
+
   /** The kernel: single forward pass + whitespace-collapse pass. */
   def extractStr(html: String): String = {
+    val raw = new java.lang.StringBuilder(math.min(html.length, 1 << 16))
+    walk(html, new Sink {
+      def visible(c: Char): Unit = raw.append(c)
+      def break(): Unit = raw.append('\n')
+      def tag(name: String, closing: Boolean): Unit = ()
+    })
+    collapse(raw)
+  }
+
+  /** Single forward pass over the markup, emitting visible chars /
+    * block breaks / tag events into `sink`. */
+  private[functions] def walk(html: String, sink: Sink): Unit = {
     val n = html.length
-    val raw = new java.lang.StringBuilder(math.min(n, 1 << 16))
+    val ent = new java.lang.StringBuilder(8) // entity scratch
     var i = 0
     while (i < n) {
       val c = html.charAt(i)
@@ -96,12 +121,13 @@ object HtmlToText {
           i = if (e < 0) n else e + 1
         } else {
           var j = i + 1
-          if (j < n && html.charAt(j) == '/') j += 1
+          var closing = false
+          if (j < n && html.charAt(j) == '/') { closing = true; j += 1 }
           val ns = j
           while (j < n && (isLetter(html.charAt(j)) ||
               (j > ns && isDigit(html.charAt(j))))) j += 1
           if (j == ns) { // stray '<': literal text
-            raw.append(c); i += 1
+            sink.visible(c); i += 1
           } else {
             val name = lower(html, ns, j)
             // scan to the tag's '>' honoring quoted attribute values
@@ -119,7 +145,7 @@ object HtmlToText {
               // `</name>` (closing) and `<name/>` (self-closed) have
               // no content to skip
               val selfClosed = k - 2 >= ns && html.charAt(k - 2) == '/'
-              if (html.charAt(ns - 1) != '/' && !selfClosed &&
+              if (!closing && !selfClosed &&
                   (name == "script" || name == "style")) {
                 val e = indexOfIgnoreCase(html, "</" + name, i)
                 if (e < 0) i = n
@@ -128,19 +154,23 @@ object HtmlToText {
                   i = if (e2 < 0) n else e2 + 1
                 }
               }
-              if (BlockTags.contains(name)) raw.append('\n')
+              sink.tag(name, closing)
+              if (selfClosed && !closing) sink.tag(name, closing = true)
+              if (BlockTags.contains(name)) sink.break()
             }
           }
         }
       } else if (c == '&') {
-        i += appendEntity(html, i, raw)
+        ent.setLength(0)
+        i += appendEntity(html, i, ent)
+        var k = 0
+        while (k < ent.length) { sink.visible(ent.charAt(k)); k += 1 }
       } else {
         // source line breaks are ordinary whitespace (HTML rendering
         // semantics) — only BLOCK tags produce the '\n' break marker
-        raw.append(if (c == '\n') ' ' else c); i += 1
+        sink.visible(if (c == '\n') ' ' else c); i += 1
       }
     }
-    collapse(raw)
   }
 
   private def isLetter(c: Char): Boolean =
@@ -214,12 +244,12 @@ object HtmlToText {
     }
   }
 
-  private def isSpace(c: Char): Boolean =
+  private[functions] def isSpace(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\r' || c == '\f' || c == '\u00a0'
 
   /** Collapse whitespace runs: any run with a '\n' → one '\n', else
     * one ' '; leading/trailing runs dropped. */
-  private def collapse(raw: java.lang.StringBuilder): String = {
+  private[functions] def collapse(raw: java.lang.StringBuilder): String = {
     val n = raw.length
     val out = new java.lang.StringBuilder(n)
     var pendingSpace = false

@@ -66,6 +66,13 @@ object GraftExtensions {
           require(children.length == 1, "html_to_text(str)")
           graft.functions.HtmlToText(children.head)
         }),
+      (new FunctionIdentifier("main_content"),
+        new ExpressionInfo(classOf[graft.functions.MainContent].getName,
+          "main_content"),
+        (children: Seq[Expression]) => {
+          require(children.length == 1, "main_content(str)")
+          graft.functions.MainContent(children.head)
+        }),
       (new FunctionIdentifier("bpe_piece_counts"),
         new ExpressionInfo(classOf[BpePieceCounts].getName, "bpe_piece_counts"),
         (children: Seq[Expression]) => {

@@ -1751,6 +1751,67 @@ object ExtQueries4 {
          CAST(nw + 8 AS BIGINT) AS n_words
        FROM txt ORDER BY id, rec"""
 
+  // ---------------------------------------------------------------
+  // q160 — boilerplate removal (the MainContent link-density kernel):
+  // 40 pages each carrying a navigation bar (link-dominated → must
+  // drop), 1-3 main paragraphs with one inline reference link each
+  // (→ must survive), a sidebar link list (one-word blocks → drop)
+  // and a two-word footer (→ drop). The oracle rebuilds the SURVIVING
+  // text closed-form, so the hash gate pins the whole keep rule —
+  // block segmentation, per-block link-char accounting, the integer
+  // density threshold and the word floor. Threshold edge cases are
+  // spec-gated in MainContentSpec.
+  private val MainN = 40
+
+  def q160(s: SparkSession, dir: String): DataFrame = {
+    val rows = (0 until MainN).map { i =>
+      val np = 1 + i % 3
+      val paras = (0 until np).map { p =>
+        val words = (0 until 4 + (i + p) % 3)
+          .map(k => s"m${(i * 3 + p * 5 + k) % 10}").mkString(" ")
+        s"""<p>$words see <a href="/r">ref${(i + p) % 7}</a> tail$p</p>"""
+      }.mkString
+      val html =
+        """<html><body>""" +
+          """<div><a href="/">home</a> <a href="/a">about</a> """ +
+          """<a href="/c">contact us</a></div>""" +
+          paras +
+          """<ul>""" +
+          (0 until 3).map(k => s"""<li><a href="/s">s$k</a></li>""").mkString +
+          """</ul>""" +
+          s"""<div>(c) $i</div></body></html>"""
+      (i.toLong, html)
+    }
+    import s.implicits._
+    rows.toDF("id", "html").repartition(4)
+      .select(col("id"),
+        graft.functions.MainContent.mainContent(col("html")).as("text"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("n_lines",
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "\n", "")) + 1).cast("long"))
+      .orderBy("id")
+  }
+
+  val q160Sql: String =
+    s"""WITH base AS (SELECT r AS id, 1 + r % 3 AS np FROM range(0, $MainN) t(r)),
+       prow AS (SELECT id, np, unnest([p for p in range(0, np)]) AS p
+                FROM base),
+       lines AS (
+         SELECT id, p,
+           array_to_string([('m' || ((id * 3 + p * 5 + k) % 10))
+                            for k in range(0, 4 + (id + p) % 3)], ' ')
+           || ' see ref' || ((id + p) % 7) || ' tail' || p AS line
+         FROM prow),
+       txt AS (
+         SELECT id, string_agg(line, chr(10) ORDER BY p) AS text
+         FROM lines GROUP BY id)
+       SELECT t.id, t.text,
+         CAST(length(t.text) AS BIGINT) AS n_chars,
+         CAST(b.np AS BIGINT) AS n_lines
+       FROM txt t JOIN base b ON t.id = b.id
+       ORDER BY t.id"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q125_label_propagation" -> (q125 _),
     "q126_pmi_cooccur" -> (q126 _),
@@ -1786,7 +1847,8 @@ object ExtQueries4 {
     "q156_mp2_decode" -> (q156 _),
     "q157_warc_extract" -> (q157 _),
     "q158_html_text" -> (q158 _),
-    "q159_web_pipeline" -> (q159 _))
+    "q159_web_pipeline" -> (q159 _),
+    "q160_main_content" -> (q160 _))
 
   val oracles: Map[String, String] = Map(
     "q125_label_propagation" -> q125Sql,
@@ -1823,5 +1885,6 @@ object ExtQueries4 {
     "q156_mp2_decode" -> q156Sql,
     "q157_warc_extract" -> q157Sql,
     "q158_html_text" -> q158Sql,
-    "q159_web_pipeline" -> q159Sql)
+    "q159_web_pipeline" -> q159Sql,
+    "q160_main_content" -> q160Sql)
 }
