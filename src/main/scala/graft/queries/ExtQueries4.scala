@@ -1812,6 +1812,44 @@ object ExtQueries4 {
        FROM txt t JOIN base b ON t.id = b.id
        ORDER BY t.id"""
 
+  // ---------------------------------------------------------------
+  // q161 — charset detection + decode (the byte→text step of web
+  // ingestion): 40 buffers cycling BOM'd UTF-8 / UTF-16LE / UTF-16BE
+  // / raw windows-1252 (0x80-0x9F-row characters, not valid UTF-8) /
+  // BOM-less UTF-8, each decoded through the documented detection
+  // ladder (BOM → strict RFC 3629 UTF-8 validation → strict cp1252).
+  // The oracle states each row's expected charset and exact decoded
+  // text as literals, so the hash gate pins BOM handling, the
+  // validator and the fallback mapping. Malformed-payload rejects
+  // (BOM + truncated sequence, odd UTF-16 length, unpaired
+  // surrogates, undefined cp1252 bytes) are spec-gated.
+  private val CharsetN = 40
+
+  def q161(s: SparkSession, dir: String): DataFrame = {
+    val fx = graft.operators.TextCharset.charsetFixture(s, CharsetN)
+    graft.operators.TextCharset.decodeText(fx, "id", "media")
+      .select(col("id"), col("charset"), col("text"), col("n_chars"),
+        col("valid"))
+      .orderBy("id")
+  }
+
+  val q161Sql: String =
+    s"""SELECT id, charset, text,
+         CAST(length(text) AS BIGINT) AS n_chars, true AS valid
+       FROM (
+         SELECT r AS id,
+           CASE r % 5 WHEN 0 THEN 'utf-8' WHEN 1 THEN 'utf-16le'
+                WHEN 2 THEN 'utf-16be' WHEN 3 THEN 'windows-1252'
+                ELSE 'utf-8' END AS charset,
+           CASE r % 5
+             WHEN 0 THEN 'café € menu ' || r
+             WHEN 1 THEN '日本語 text ' || r
+             WHEN 2 THEN 'snowman ☃ row ' || r
+             WHEN 3 THEN 'quote “w' || r || '” dash – eur €'
+             ELSE 'plain ascii line ' || r END AS text
+         FROM range(0, $CharsetN) t(r))
+       ORDER BY id"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q125_label_propagation" -> (q125 _),
     "q126_pmi_cooccur" -> (q126 _),
@@ -1848,7 +1886,8 @@ object ExtQueries4 {
     "q157_warc_extract" -> (q157 _),
     "q158_html_text" -> (q158 _),
     "q159_web_pipeline" -> (q159 _),
-    "q160_main_content" -> (q160 _))
+    "q160_main_content" -> (q160 _),
+    "q161_charset_sniff" -> (q161 _))
 
   val oracles: Map[String, String] = Map(
     "q125_label_propagation" -> q125Sql,
@@ -1886,5 +1925,6 @@ object ExtQueries4 {
     "q157_warc_extract" -> q157Sql,
     "q158_html_text" -> q158Sql,
     "q159_web_pipeline" -> q159Sql,
-    "q160_main_content" -> q160Sql)
+    "q160_main_content" -> q160Sql,
+    "q161_charset_sniff" -> q161Sql)
 }

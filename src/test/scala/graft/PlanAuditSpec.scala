@@ -259,7 +259,7 @@ class PlanAuditSpec extends SparkSpec {
         "q150_flac_stereo", "q151_adpcm_wav", "q152_g711_wav",
         "q154_audio_catalog", "q155_mp1_decode",
         "q156_mp2_decode", "q157_warc_extract",
-        "q159_web_pipeline").foreach { q =>
+        "q159_web_pipeline", "q161_charset_sniff").foreach { q =>
       val p = plan(q)
       val exchanges = "Exchange".r.findAllIn(p).length
       assert(exchanges <= 1, s"$q: codec decode should not shuffle:\n$p")
