@@ -1850,6 +1850,84 @@ object ExtQueries4 {
          FROM range(0, $CharsetN) t(r))
        ORDER BY id"""
 
+  // ---------------------------------------------------------------
+  // q162 — robots.txt crawl-policy evaluation (RFC 9309): 8 hosts —
+  // even ones carry a graftbot-specific group (which must SHADOW the
+  // `*` group), odd ones only `*` — each also carrying an `other`
+  // group with `Disallow: /` that must never apply (its leakage
+  // would flip half the table). Wildcard, end-anchor, longest-match
+  // and allow-wins-ties all exercised. The ORACLE is an independent
+  // relational implementation of the same RFC semantics (rules UNION
+  // + regexp match + the 2·plen+allow score max), not a hardcoded
+  // truth table. Parser/group-selection edge cases are spec-gated in
+  // RobotsSpec.
+  def q162(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hosts = (0 until 8).map { j =>
+      val robots =
+        if (j % 2 == 0)
+          s"""# policy $j
+             |User-agent: graftbot
+             |Disallow: /private
+             |Allow: /private/pub$j
+             |
+             |User-agent: other
+             |Disallow: /
+             |
+             |User-agent: *
+             |Disallow: /tmp*
+             |""".stripMargin
+        else
+          s"""User-agent: other
+             |Disallow: /
+             |
+             |User-agent: *
+             |Disallow: /tmp*
+             |Allow: /tmp/keep$j$$
+             |Disallow: /a*/b$j
+             |Disallow:
+             |Sitemap: https://h$j.example/sitemap.xml
+             |""".stripMargin
+      (s"h$j.example", robots)
+    }.toDF("host", "robots_txt")
+    val urls = (0 until 8).flatMap { j =>
+      Seq(s"/private/pub$j/x", "/private/secret", s"/tmp/keep$j",
+        s"/tmp/keep$j/more", s"/a${j}x/b${j}z", s"/ok/page$j")
+        .map(p => (s"h$j.example", p))
+    }.toDF("host", "path").repartition(4)
+    graft.operators.Robots.robotsFilter(urls, hosts, "graftbot")
+      .orderBy("host", "path")
+  }
+
+  val q162Sql: String =
+    """WITH hosts AS (
+         SELECT r AS j, 'h' || r || '.example' AS host, r % 2 AS kind
+         FROM range(0, 8) t(r)),
+       rules AS (
+         SELECT host, '^/private' AS re, 8 AS plen, 0 AS al
+           FROM hosts WHERE kind = 0
+         UNION ALL SELECT host, '^/private/pub' || j, 13, 1
+           FROM hosts WHERE kind = 0
+         UNION ALL SELECT host, '^/tmp', 5, 0 FROM hosts WHERE kind = 1
+         UNION ALL SELECT host, '^/tmp/keep' || j || '$', 11, 1
+           FROM hosts WHERE kind = 1
+         UNION ALL SELECT host, '^/a.*/b' || j, 6, 0
+           FROM hosts WHERE kind = 1),
+       urls AS (
+         SELECT host, unnest([
+           '/private/pub' || j || '/x', '/private/secret',
+           '/tmp/keep' || j, '/tmp/keep' || j || '/more',
+           '/a' || j || 'x/b' || j || 'z', '/ok/page' || j]) AS path
+         FROM hosts),
+       m AS (
+         SELECT u.host, u.path,
+           max(CASE WHEN regexp_matches(u.path, r.re)
+               THEN r.plen * 2 + r.al END) AS best
+         FROM urls u LEFT JOIN rules r ON u.host = r.host
+         GROUP BY u.host, u.path)
+       SELECT host, path, (best IS NULL OR best % 2 = 1) AS allowed
+       FROM m ORDER BY host, path"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q125_label_propagation" -> (q125 _),
     "q126_pmi_cooccur" -> (q126 _),
@@ -1887,7 +1965,8 @@ object ExtQueries4 {
     "q158_html_text" -> (q158 _),
     "q159_web_pipeline" -> (q159 _),
     "q160_main_content" -> (q160 _),
-    "q161_charset_sniff" -> (q161 _))
+    "q161_charset_sniff" -> (q161 _),
+    "q162_robots_policy" -> (q162 _))
 
   val oracles: Map[String, String] = Map(
     "q125_label_propagation" -> q125Sql,
@@ -1926,5 +2005,6 @@ object ExtQueries4 {
     "q158_html_text" -> q158Sql,
     "q159_web_pipeline" -> q159Sql,
     "q160_main_content" -> q160Sql,
-    "q161_charset_sniff" -> q161Sql)
+    "q161_charset_sniff" -> q161Sql,
+    "q162_robots_policy" -> q162Sql)
 }

@@ -121,6 +121,13 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q162: robots rules broadcast to the URL frontier — no cartesian") {
+    val p = plan("q162_robots_policy")
+    assert(p.contains("BroadcastHashJoin"), s"rules side must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"plan:\n$p")
+  }
+
   test("q110: weighted sampling plans NO global window — offsets from the prefix sum") {
     val p = plan("q110_weighted_sample")
     assert(!p.contains("Window"),
