@@ -169,6 +169,65 @@ object ScaleProof {
         .select(col("q"), col("rank"), col("n"))
     }
 
+    // ---- web-archive family: archives ∝ N — REAL per-record gzip
+    // WARC members wrapping the blown-up documents' text in HTTP
+    // response envelopes + law HTML (entity-escaped), built ONCE and
+    // cached like the corpus. The measured pass is the full q159
+    // machinery: member walk + inflate + CRC, WARC/HTTP framing, and
+    // the codegen html_to_text kernel — the per-partition shape whose
+    // 100 TB story is "embarrassingly parallel, zero shuffles":
+    // max_over_median on the scan stage IS the claim's test.
+    if (!new java.io.File(s"$out/_done_warc").exists()) {
+      import spark.implicits._
+      spark.read.parquet(s"$out/documents.parquet")
+        .select((col("doc_id") / 20).cast("long").as("id"),
+          col("doc_id"), col("text"))
+        .groupBy("id")
+        .agg(collect_list(struct(col("doc_id"), col("text"))).as("docs"))
+        .as[(Long, Seq[(Long, String)])]
+        .map { case (id, ds) =>
+          val bos = new java.io.ByteArrayOutputStream()
+          ds.foreach { case (d, t) =>
+            val esc = t.replace("&", "&amp;")
+              .replace("<", "&lt;").replace(">", "&gt;")
+            val html = s"<html><head><title>D$d</title></head>" +
+              s"<body><h1>Doc $d</h1><p>$esc</p></body></html>"
+            bos.write(graft.operators.Warc.gzipMember(
+              graft.operators.Warc.recordBytesRaw("response",
+                s"https://scale.example/$d", "2024-01-01T00:00:00Z",
+                s"<urn:uuid:$d>",
+                graft.operators.Warc.httpResponse(200, "OK",
+                  "text/html; charset=utf-8",
+                  html.getBytes("UTF-8")))))
+          }
+          (id, bos.toByteArray)
+        }.toDF("id", "media")
+        .write.mode("overwrite").parquet(s"$out/archives.parquet")
+      new java.io.File(s"$out/_done_warc").createNewFile()
+    }
+    if (wanted("warc_pipeline")) {
+      // a real archive lake is 100k × ~1 GB .warc.gz files and the
+      // scan splits by file; this corpus is small, so shrink the
+      // split size to keep the same tasks-per-byte shape the claim
+      // is about (decode parallelism ∝ data, not file count)
+      val oldSplit = spark.conf.get("spark.sql.files.maxPartitionBytes")
+      spark.conf.set("spark.sql.files.maxPartitionBytes", (4 << 20).toString)
+      def pipeline() = {
+        val rec = graft.operators.Warc.extractWarcHttp(
+          spark.read.parquet(s"$out/archives.parquet"), "id", "media")
+        rec.where(col("status") === 200)
+          .select(graft.functions.HtmlToText.htmlToText(col("body")).as("t"))
+          .agg(sum(length(col("t"))).as("chars"), count(lit(1)).as("pages"))
+      }
+      // warm-up: at this corpus size the whole pass is seconds, so a
+      // first-wave task paying one-time whole-stage-codegen JIT (~2 s)
+      // reads as a fake 50× straggler; compile once untimed, measure
+      // the steady state (the 100 TB claim is about the steady state)
+      pipeline().collect()
+      try run("warc_pipeline")(pipeline())
+      finally spark.conf.set("spark.sql.files.maxPartitionBytes", oldSplit)
+    }
+
     // ---- graph family (r11 VERDICT #7): edges ∝ N·k, FORCED onto
     // the distributed checkpoint path at every scale (driver kernel
     // and cache path disabled) so the superstep/adjacency machinery
