@@ -73,6 +73,21 @@ object GraftExtensions {
           require(children.length == 1, "main_content(str)")
           graft.functions.MainContent(children.head)
         }),
+      (new FunctionIdentifier("unicode_norm"),
+        new ExpressionInfo(classOf[graft.functions.UnicodeNorm].getName,
+          "unicode_norm"),
+        (children: Seq[Expression]) => {
+          require(children.length == 2,
+            "unicode_norm(str, 'nfc'|'nfkc'|'strip')")
+          val form = children(1) match {
+            case e if e.foldable &&
+                e.dataType == org.apache.spark.sql.types.StringType =>
+              String.valueOf(e.eval())
+            case other => throw new IllegalArgumentException(
+              s"unicode_norm: form must be a constant string, got $other")
+          }
+          graft.functions.UnicodeNorm(children.head, form)
+        }),
       (new FunctionIdentifier("bpe_piece_counts"),
         new ExpressionInfo(classOf[BpePieceCounts].getName, "bpe_piece_counts"),
         (children: Seq[Expression]) => {

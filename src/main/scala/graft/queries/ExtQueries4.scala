@@ -1928,6 +1928,62 @@ object ExtQueries4 {
        SELECT host, path, (best IS NULL OR best % 2 = 1) AS allowed
        FROM m ORDER BY host, path"""
 
+  // ---------------------------------------------------------------
+  // q163 — Unicode normalization (UAX #15): 36 strings cycling
+  // decomposed vs precomposed accents, combining rings, ligatures /
+  // circled digits / full-width forms and strip-immune letters
+  // (ø ß 中). The NFC and accent-strip columns are checked against
+  // DuckDB's INDEPENDENT implementation (utf8proc's nfc_normalize /
+  // strip_accents vs the JDK Normalizer — two unrelated codebases
+  // implementing the same Unicode algorithm must agree byte for
+  // byte); NFKC (absent in DuckDB) is pinned by the fixture law.
+  private val UniN = 36
+
+  def q163(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rows = (0 until UniN).map { i =>
+      val raw = (i % 6) match {
+        case 0 => s"cafe\u0301 menu $i"  // decomposed e + combining acute
+        case 1 => s"caf\u00e9 latte $i"  // precomposed \u00e9
+        case 2 => s"A\u030a ring $i"     // A + combining ring above
+        case 3 => s"\ufb01ne \ufb02ow \u2460 $i" // fi fl ligatures + circled 1
+        case 4 => s"\uff26\uff57\u3000\uff15 w $i" // full-width F w SPACE 5
+        case _ => s"na\u00efve \u00d1 \u00f8 \u00df \u4e2d $i"
+      }
+      (i.toLong, raw)
+    }
+    rows.toDF("id", "raw").repartition(4)
+      .select(col("id"), col("raw"),
+        graft.functions.UnicodeNorm.nfc(col("raw")).as("nfc"),
+        graft.functions.UnicodeNorm.nfkc(col("raw")).as("nfkc"),
+        graft.functions.UnicodeNorm.stripAccents(col("raw")).as("stripped"))
+      .withColumn("len_raw", length(col("raw")).cast("long"))
+      .withColumn("len_nfc", length(col("nfc")).cast("long"))
+      .orderBy("id")
+  }
+
+  val q163Sql: String =
+    s"""WITH base AS (
+         SELECT r AS id,
+           CASE r % 6
+             WHEN 0 THEN 'caf' || 'e' || chr(769) || ' menu ' || r
+             WHEN 1 THEN 'café latte ' || r
+             WHEN 2 THEN 'A' || chr(778) || ' ring ' || r
+             WHEN 3 THEN 'ﬁne ﬂow ① ' || r
+             WHEN 4 THEN 'Ｆｗ' || chr(12288) || '５ w ' || r
+             ELSE 'naïve Ñ ø ß 中 ' || r END AS raw
+         FROM range(0, $UniN) t(r))
+       SELECT id, raw,
+         nfc_normalize(raw) AS nfc,
+         CASE id % 6
+           WHEN 3 THEN 'fine flow 1 ' || id
+           WHEN 4 THEN 'Fw 5 w ' || id
+           ELSE nfc_normalize(raw) END AS nfkc,
+         strip_accents(raw) AS stripped,
+         CAST(length(raw) AS BIGINT) AS len_raw,
+         CAST(length(nfc_normalize(raw)) AS BIGINT) AS len_nfc
+       FROM base ORDER BY id"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q125_label_propagation" -> (q125 _),
     "q126_pmi_cooccur" -> (q126 _),
@@ -1966,7 +2022,8 @@ object ExtQueries4 {
     "q159_web_pipeline" -> (q159 _),
     "q160_main_content" -> (q160 _),
     "q161_charset_sniff" -> (q161 _),
-    "q162_robots_policy" -> (q162 _))
+    "q162_robots_policy" -> (q162 _),
+    "q163_unicode_norm" -> (q163 _))
 
   val oracles: Map[String, String] = Map(
     "q125_label_propagation" -> q125Sql,
@@ -2006,5 +2063,6 @@ object ExtQueries4 {
     "q159_web_pipeline" -> q159Sql,
     "q160_main_content" -> q160Sql,
     "q161_charset_sniff" -> q161Sql,
-    "q162_robots_policy" -> q162Sql)
+    "q162_robots_policy" -> q162Sql,
+    "q163_unicode_norm" -> q163Sql)
 }
