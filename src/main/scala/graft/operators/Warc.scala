@@ -84,8 +84,12 @@ object Warc {
           try inf.inflate(buf)
           catch { case _: java.util.zip.DataFormatException => return None }
         if (n > 0) out.write(buf, 0, n)
-        else if (inf.needsInput() || inf.needsDictionary())
-          return None // truncated stream (dictionary: impossible raw)
+        // an empty member finishes in the same call that returns 0;
+        // only an UNfinished stall is a truncation (dictionary:
+        // impossible for raw deflate, guarded anyway)
+        else if (!inf.finished() &&
+            (inf.needsInput() || inf.needsDictionary()))
+          return None
       }
       val used = (b.length - p) - inf.getRemaining
       p += used

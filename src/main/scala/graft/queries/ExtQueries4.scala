@@ -1984,6 +1984,94 @@ object ExtQueries4 {
          CAST(length(nfc_normalize(raw)) AS BIGINT) AS len_nfc
        FROM base ORDER BY id"""
 
+  // ---------------------------------------------------------------
+  // q164 — ZIP archive extraction (PKWARE APPNOTE): 40 archives
+  // built by the JDK's OWN ZipOutputStream (an independent encoder),
+  // parsed by the spec-written central-directory walk — EOCD
+  // backwards search through archive comments, local-header name
+  // cross-check, STORED + DEFLATE (raw Inflater) with CRC-32 and
+  // exact-size verification on every payload, data-descriptor
+  // streams read from the authoritative central sizes. Stats come
+  // from the DECOMPRESSED text, so the hash gate spans the whole
+  // container chain. Corruption matrix is spec-gated in ZipLakeSpec.
+  private val ZipN = 40
+
+  def q164(s: SparkSession, dir: String): DataFrame = {
+    val fx = graft.operators.ZipLake.zipFixture(s, ZipN)
+    graft.operators.ZipLake.extractZip(fx, "id", "media")
+      .select(col("id"), col("entry"), col("name"), col("method"),
+        col("uncomp_size"), col("n_words"), col("digit_sum"), col("valid"))
+      .orderBy("id", "entry")
+  }
+
+  val q164Sql: String =
+    s"""WITH base AS (SELECT r AS id, 3 + r % 4 AS ne FROM range(0, $ZipN) t(r)),
+       ent AS (
+         SELECT id, unnest([k for k in range(0, ne)]) AS k FROM base),
+       tok AS (SELECT id, k, 8 + (id + k) % 5 AS nt FROM ent),
+       dig AS (
+         SELECT id, k,
+           CAST(list_sum([(id * 7 + k * 3 + j) % 10
+                          for j in range(0, nt)]) AS BIGINT) AS digit_sum
+         FROM tok)
+       SELECT t.id, CAST(t.k AS INT) AS entry,
+         'doc_' || t.id || '_' || t.k || '.txt' AS name,
+         CASE t.k % 2 WHEN 0 THEN 'deflate' ELSE 'stored' END AS method,
+         CAST(3 * t.nt - 1 AS BIGINT) AS uncomp_size,
+         CAST(t.nt AS BIGINT) AS n_words, d.digit_sum, true AS valid
+       FROM tok t JOIN dig d ON t.id = d.id AND t.k = d.k
+       ORDER BY t.id, t.k"""
+
+  // ---------------------------------------------------------------
+  // q165 — TAR bundle extraction (POSIX ustar): 40 bundles, each a
+  // leading directory entry plus 3-6 file entries whose paths
+  // alternate between full-name and prefix[155]-split encodings
+  // (both must join to the same path); every second bundle is a REAL
+  // .tar.gz (single RFC 1952 member, CRC-32 + ISIZE verified, FNAME
+  // header field present). Header checksums, strict octal fields,
+  // zero-block termination and zero payload padding are all enforced;
+  // stats come from the EXTRACTED text so the hash gate spans the
+  // gzip + tar chain. Corruption matrix is spec-gated in TarLakeSpec.
+  private val TarN = 40
+
+  def q165(s: SparkSession, dir: String): DataFrame = {
+    val fx = graft.operators.TarLake.tarFixture(s, TarN)
+    graft.operators.TarLake.extractTar(fx, "id", "media")
+      .select(col("id"), col("entry"), col("name"), col("typeflag"),
+        col("size"), col("mtime_epoch"), col("n_words"),
+        col("digit_sum"), col("valid"))
+      .orderBy("id", "entry")
+  }
+
+  val q165Sql: String =
+    s"""WITH base AS (SELECT r AS id, 3 + r % 4 AS ne FROM range(0, $TarN) t(r)),
+       ent AS (
+         SELECT id, unnest([k for k in range(0, ne + 1)]) AS e FROM base),
+       tok AS (SELECT id, e, 8 + (id + e - 1) % 5 AS nt
+               FROM ent WHERE e > 0),
+       dig AS (
+         SELECT id, e,
+           CAST(list_sum([(id * 7 + (e - 1) * 3 + j) % 10
+                          for j in range(0, nt)]) AS BIGINT) AS digit_sum
+         FROM tok)
+       SELECT n.id, CAST(n.e AS INT) AS entry,
+         CASE WHEN n.e = 0 THEN 'd' || n.id || '/'
+              ELSE 'd' || n.id || '/f_' || n.id || '_' || (n.e - 1) || '.txt'
+         END AS name,
+         CASE WHEN n.e = 0 THEN 'dir' ELSE 'file' END AS typeflag,
+         CASE WHEN n.e = 0 THEN CAST(0 AS BIGINT)
+              ELSE CAST(3 * t.nt - 1 AS BIGINT) END AS size,
+         CAST(1704067200 + n.id * 60 + n.e - 1 AS BIGINT) AS mtime_epoch,
+         CASE WHEN n.e = 0 THEN CAST(0 AS BIGINT)
+              ELSE CAST(t.nt AS BIGINT) END AS n_words,
+         CASE WHEN n.e = 0 THEN CAST(0 AS BIGINT)
+              ELSE d.digit_sum END AS digit_sum,
+         true AS valid
+       FROM ent n
+       LEFT JOIN tok t ON n.id = t.id AND n.e = t.e
+       LEFT JOIN dig d ON n.id = d.id AND n.e = d.e
+       ORDER BY n.id, n.e"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q125_label_propagation" -> (q125 _),
     "q126_pmi_cooccur" -> (q126 _),
@@ -2023,7 +2111,9 @@ object ExtQueries4 {
     "q160_main_content" -> (q160 _),
     "q161_charset_sniff" -> (q161 _),
     "q162_robots_policy" -> (q162 _),
-    "q163_unicode_norm" -> (q163 _))
+    "q163_unicode_norm" -> (q163 _),
+    "q164_zip_extract" -> (q164 _),
+    "q165_tar_extract" -> (q165 _))
 
   val oracles: Map[String, String] = Map(
     "q125_label_propagation" -> q125Sql,
@@ -2064,5 +2154,7 @@ object ExtQueries4 {
     "q160_main_content" -> q160Sql,
     "q161_charset_sniff" -> q161Sql,
     "q162_robots_policy" -> q162Sql,
-    "q163_unicode_norm" -> q163Sql)
+    "q163_unicode_norm" -> q163Sql,
+    "q164_zip_extract" -> q164Sql,
+    "q165_tar_extract" -> q165Sql)
 }

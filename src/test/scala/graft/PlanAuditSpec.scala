@@ -257,7 +257,7 @@ class PlanAuditSpec extends SparkSpec {
     assert(windows <= 1, s"one lag window only:\n$p")
   }
 
-  test("q144-q157/q159: codec + web decodes run per-partition — no shuffle beyond the presentation sort") {
+  test("q144-q164: codec + web + archive decodes run per-partition — no shuffle beyond the presentation sort") {
     // FLAC / MP4 / GIF decode are mapPartitions over the binary
     // column; the only exchange allowed is the final orderBy — a
     // second one would mean blob bytes moved between executors
@@ -266,7 +266,8 @@ class PlanAuditSpec extends SparkSpec {
         "q150_flac_stereo", "q151_adpcm_wav", "q152_g711_wav",
         "q154_audio_catalog", "q155_mp1_decode",
         "q156_mp2_decode", "q157_warc_extract",
-        "q159_web_pipeline", "q161_charset_sniff").foreach { q =>
+        "q159_web_pipeline", "q161_charset_sniff",
+        "q164_zip_extract", "q165_tar_extract").foreach { q =>
       val p = plan(q)
       val exchanges = "Exchange".r.findAllIn(p).length
       assert(exchanges <= 1, s"$q: codec decode should not shuffle:\n$p")
