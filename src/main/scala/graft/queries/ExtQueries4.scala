@@ -2072,6 +2072,54 @@ object ExtQueries4 {
        LEFT JOIN dig d ON n.id = d.id AND n.e = d.e
        ORDER BY n.id, n.e"""
 
+  // ---------------------------------------------------------------
+  // q166 — MIME e-mail (EML) extraction: 42 messages — RFC 5322
+  // header framing (folding, required fields, strict date profile
+  // with day-of-week agreement), multipart/mixed walk (preamble +
+  // epilogue skipped, exact delimiter lines, closing delimiter
+  // required) and REAL strict transfer decoding (7bit /
+  // quoted-printable with soft breaks and uppercase-hex law /
+  // base64 produced by the JDK's OWN MIME encoder). Stats come from
+  // the DECODED part bodies — the '=' characters planted every
+  // fourth token force QP escapes, so a decoder slip shifts
+  // n_words/body_len and fails the hash gate. Corruption matrix is
+  // spec-gated in MimeLakeSpec.
+  private val EmlN = 42
+
+  def q166(s: SparkSession, dir: String): DataFrame = {
+    val fx = graft.operators.MimeLake.emlFixture(s, EmlN)
+    graft.operators.MimeLake.extractEml(fx, "id", "media")
+      .select(col("id"), col("part"), col("content_type"),
+        col("encoding"), col("date_epoch"), col("body_len"),
+        col("n_words"), col("digit_sum"), col("valid"))
+      .orderBy("id", "part")
+  }
+
+  val q166Sql: String =
+    s"""WITH base AS (
+         SELECT r AS id,
+           CASE r % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS np
+         FROM range(0, $EmlN) t(r)),
+       prt AS (
+         SELECT id, unnest([k for k in range(0, np)]) AS k FROM base),
+       tok AS (SELECT id, k, 8 + (id + k) % 5 AS nt FROM prt),
+       dig AS (
+         SELECT id, k,
+           CAST(list_sum([(id * 7 + k * 3 + j) % 10
+                          for j in range(0, nt)]) AS BIGINT) AS digit_sum
+         FROM tok)
+       SELECT t.id, CAST(t.k AS INT) AS part,
+         'text/plain' AS content_type,
+         CASE (t.id + t.k) % 3 WHEN 0 THEN '7bit'
+              WHEN 1 THEN 'quoted-printable' ELSE 'base64'
+         END AS encoding,
+         CAST(1704067200 + t.id * 86400 + t.id * 61 AS BIGINT)
+           AS date_epoch,
+         CAST(3 * t.nt - 1 + t.nt // 4 AS BIGINT) AS body_len,
+         CAST(t.nt AS BIGINT) AS n_words, d.digit_sum, true AS valid
+       FROM tok t JOIN dig d ON t.id = d.id AND t.k = d.k
+       ORDER BY t.id, t.k"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q125_label_propagation" -> (q125 _),
     "q126_pmi_cooccur" -> (q126 _),
@@ -2113,7 +2161,8 @@ object ExtQueries4 {
     "q162_robots_policy" -> (q162 _),
     "q163_unicode_norm" -> (q163 _),
     "q164_zip_extract" -> (q164 _),
-    "q165_tar_extract" -> (q165 _))
+    "q165_tar_extract" -> (q165 _),
+    "q166_eml_extract" -> (q166 _))
 
   val oracles: Map[String, String] = Map(
     "q125_label_propagation" -> q125Sql,
@@ -2156,5 +2205,6 @@ object ExtQueries4 {
     "q162_robots_policy" -> q162Sql,
     "q163_unicode_norm" -> q163Sql,
     "q164_zip_extract" -> q164Sql,
-    "q165_tar_extract" -> q165Sql)
+    "q165_tar_extract" -> q165Sql,
+    "q166_eml_extract" -> q166Sql)
 }
