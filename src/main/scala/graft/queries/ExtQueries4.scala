@@ -2120,6 +2120,56 @@ object ExtQueries4 {
        FROM tok t JOIN dig d ON t.id = d.id AND t.k = d.k
        ORDER BY t.id, t.k"""
 
+  // ---------------------------------------------------------------
+  // q167 — subtitle/caption extraction (SubRip + WebVTT): 40 files,
+  // every second one WebVTT (cue identifiers on every third cue,
+  // spec-key settings on every fourth, a NOTE comment block when
+  // id % 3 == 0 — all of which must be recognized and NOT leak into
+  // cue text), the rest SRT with strict 1,2,3,… indices. Timing laws
+  // sweep nonzero hour/minute/second/millis fields through both
+  // decimal-separator conventions (comma vs dot); odd (id+cue) cues
+  // carry two-line text so the line assembly is exercised. The full
+  // cue TEXT is an output column, so the hash gate spans BOM/UTF-8
+  // decode, grammar framing and text-block assembly. Corruption
+  // matrix is spec-gated in SubLakeSpec.
+  private val SubN = 40
+
+  def q167(s: SparkSession, dir: String): DataFrame = {
+    val fx = graft.operators.SubLake.subFixture(s, SubN)
+    graft.operators.SubLake.extractSubs(fx, "id", "media")
+      .select(col("id"), col("cue"), col("kind"), col("ident"),
+        col("start_ms"), col("end_ms"), col("text"), col("n_lines"),
+        col("n_words"), col("digit_sum"), col("valid"))
+      .orderBy("id", "cue")
+  }
+
+  val q167Sql: String =
+    s"""WITH base AS (SELECT r AS id, 3 + r % 4 AS nc FROM range(0, $SubN) t(r)),
+       cue AS (SELECT id, unnest([k for k in range(0, nc)]) AS k FROM base),
+       tok AS (
+         SELECT id, k, 8 + (id + k) % 5 AS nt,
+           ['t' || ((id * 7 + k * 3 + j) % 10)
+            for j in range(0, 8 + (id + k) % 5)] AS toks
+         FROM cue)
+       SELECT id, CAST(k AS INT) AS cue,
+         CASE WHEN id % 2 = 0 THEN 'srt' ELSE 'vtt' END AS kind,
+         CASE WHEN id % 2 = 1 AND k % 3 = 1
+              THEN 'c' || id || '_' || k END AS ident,
+         CAST((id % 3) * 3600000 + id * 61000 + k * 4000
+              + (id * 7 + k * 13) % 1000 AS BIGINT) AS start_ms,
+         CAST((id % 3) * 3600000 + id * 61000 + k * 4000
+              + (id * 7 + k * 13) % 1000
+              + 1500 + 100 * ((id + k) % 5) AS BIGINT) AS end_ms,
+         CASE WHEN (id + k) % 2 = 0 THEN array_to_string(toks, ' ')
+              ELSE array_to_string(toks[1:5], ' ') || chr(10)
+                   || array_to_string(toks[6:], ' ') END AS text,
+         CAST(1 + (id + k) % 2 AS INT) AS n_lines,
+         CAST(nt AS BIGINT) AS n_words,
+         CAST(list_sum([(id * 7 + k * 3 + j) % 10
+                        for j in range(0, nt)]) AS BIGINT) AS digit_sum,
+         true AS valid
+       FROM tok ORDER BY id, cue"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q125_label_propagation" -> (q125 _),
     "q126_pmi_cooccur" -> (q126 _),
@@ -2162,7 +2212,8 @@ object ExtQueries4 {
     "q163_unicode_norm" -> (q163 _),
     "q164_zip_extract" -> (q164 _),
     "q165_tar_extract" -> (q165 _),
-    "q166_eml_extract" -> (q166 _))
+    "q166_eml_extract" -> (q166 _),
+    "q167_subtitle_extract" -> (q167 _))
 
   val oracles: Map[String, String] = Map(
     "q125_label_propagation" -> q125Sql,
@@ -2206,5 +2257,6 @@ object ExtQueries4 {
     "q163_unicode_norm" -> q163Sql,
     "q164_zip_extract" -> q164Sql,
     "q165_tar_extract" -> q165Sql,
-    "q166_eml_extract" -> q166Sql)
+    "q166_eml_extract" -> q166Sql,
+    "q167_subtitle_extract" -> q167Sql)
 }
