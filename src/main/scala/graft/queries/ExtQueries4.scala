@@ -2170,6 +2170,93 @@ object ExtQueries4 {
          true AS valid
        FROM tok ORDER BY id, cue"""
 
+  // ---------------------------------------------------------------
+  // q168 — sitemap extraction (sitemaps.org over the strict XML
+  // subset): 40 documents, every fifth a sitemap INDEX; lastmod
+  // cycles date-only / full-UTC-datetime / absent so both W3C
+  // datetime profiles hit the epoch law; changefreq on every third
+  // entry, priority on every third (urlset only) sweeping the exact
+  // ppm grammar incl. the 1.0 boundary. DOCTYPE/PI/entity strictness
+  // (the XXE posture) is spec-gated in XmlLakeSpec.
+  private val SmapN = 40
+
+  def q168(s: SparkSession, dir: String): DataFrame = {
+    val fx = graft.operators.XmlLake.sitemapFixture(s, SmapN)
+    graft.operators.XmlLake.extractSitemap(fx, "id", "media")
+      .select(col("id"), col("seq"), col("kind"), col("loc"),
+        col("lastmod_epoch_s"), col("changefreq"), col("priority_ppm"),
+        col("valid"))
+      .orderBy("id", "seq")
+  }
+
+  val q168Sql: String =
+    s"""WITH base AS (
+         SELECT r AS id, 4 + r % 5 AS nu, r % 5 = 4 AS idx
+         FROM range(0, $SmapN) t(r)),
+       ent AS (SELECT id, idx, unnest([k for k in range(0, nu)]) AS k
+               FROM base)
+       SELECT id, CAST(k AS INT) AS seq,
+         CASE WHEN idx THEN 'index' ELSE 'urlset' END AS kind,
+         CASE WHEN idx
+              THEN 'https://ex' || id || '.org/sitemap-' || k || '.xml'
+              ELSE 'https://ex' || id || '.org/p/' || (id * 13 + k * 7) % 97
+                   || '/page-' || k END AS loc,
+         CAST(CASE
+           WHEN (id + k) % 4 IN (0, 2) THEN
+             CAST(make_date(2024, CAST(1 + (id + k) % 12 AS INT),
+                  CAST(1 + (id * 3 + k) % 28 AS INT))
+                  - DATE '1970-01-01' AS BIGINT) * 86400
+           WHEN (id + k) % 4 = 1 THEN
+             CAST(make_date(2024, CAST(1 + (id + k) % 12 AS INT),
+                  CAST(1 + (id * 3 + k) % 28 AS INT))
+                  - DATE '1970-01-01' AS BIGINT) * 86400
+             + ((id + k) % 24) * 3600 + ((id * 5 + k) % 60) * 60
+             + (k * 11) % 60
+         END AS BIGINT) AS lastmod_epoch_s,
+         CASE WHEN NOT idx AND k % 3 = 1 THEN
+           ['always', 'hourly', 'daily', 'weekly', 'monthly', 'yearly',
+            'never'][CAST((id + k) % 7 AS INT) + 1] END AS changefreq,
+         CAST(CASE WHEN NOT idx AND k % 3 = 2 THEN
+           CASE WHEN (id + k) % 9 = 0 THEN 1000000
+                ELSE ((id + k) % 10) * 100000 END
+         END AS BIGINT) AS priority_ppm,
+         true AS valid
+       FROM ent ORDER BY id, seq"""
+
+  // ---------------------------------------------------------------
+  // q169 — syndication-feed extraction (RSS 2.0 + Atom over the
+  // strict XML subset): 40 feeds, odd ids Atom (RFC 3339 dates,
+  // link-as-attribute), even ids RSS (pubDates rendered by the JDK's
+  // OWN RFC_1123 formatter over three non-UTC offsets, day-of-week
+  // verified on re-parse); titles plant a literal `&` so entity
+  // decode is hash-gated; every third body rides a CDATA section.
+  private val FeedN = 40
+
+  def q169(s: SparkSession, dir: String): DataFrame = {
+    val fx = graft.operators.XmlLake.feedFixture(s, FeedN)
+    graft.operators.XmlLake.extractFeed(fx, "id", "media")
+      .select(col("id"), col("item"), col("kind"), col("title"),
+        col("link"), col("date_epoch"), col("n_words"),
+        col("digit_sum"), col("valid"))
+      .orderBy("id", "item")
+  }
+
+  val q169Sql: String =
+    s"""WITH base AS (SELECT r AS id, 3 + r % 4 AS ni FROM range(0, $FeedN) t(r)),
+       it AS (SELECT id, unnest([k for k in range(0, ni)]) AS k FROM base),
+       tok AS (SELECT id, k, 8 + (id + k) % 5 AS nt FROM it)
+       SELECT id, CAST(k AS INT) AS item,
+         CASE WHEN id % 2 = 1 THEN 'atom' ELSE 'rss' END AS kind,
+         'Item ' || id || ' & ' || k AS title,
+         'https://feed' || id || '.example.org/item/' || k AS link,
+         CAST(1704067200 + id * 86400 + k * 3600 + (id * 7 + k * 13) % 60
+              AS BIGINT) AS date_epoch,
+         CAST(nt AS BIGINT) AS n_words,
+         CAST(list_sum([(id * 7 + k * 3 + j) % 10
+                        for j in range(0, nt)]) AS BIGINT) AS digit_sum,
+         true AS valid
+       FROM tok ORDER BY id, item"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q125_label_propagation" -> (q125 _),
     "q126_pmi_cooccur" -> (q126 _),
@@ -2213,7 +2300,9 @@ object ExtQueries4 {
     "q164_zip_extract" -> (q164 _),
     "q165_tar_extract" -> (q165 _),
     "q166_eml_extract" -> (q166 _),
-    "q167_subtitle_extract" -> (q167 _))
+    "q167_subtitle_extract" -> (q167 _),
+    "q168_sitemap_extract" -> (q168 _),
+    "q169_feed_extract" -> (q169 _))
 
   val oracles: Map[String, String] = Map(
     "q125_label_propagation" -> q125Sql,
@@ -2258,5 +2347,7 @@ object ExtQueries4 {
     "q164_zip_extract" -> q164Sql,
     "q165_tar_extract" -> q165Sql,
     "q166_eml_extract" -> q166Sql,
-    "q167_subtitle_extract" -> q167Sql)
+    "q167_subtitle_extract" -> q167Sql,
+    "q168_sitemap_extract" -> q168Sql,
+    "q169_feed_extract" -> q169Sql)
 }
