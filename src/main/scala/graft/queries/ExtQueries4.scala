@@ -2257,6 +2257,48 @@ object ExtQueries4 {
          true AS valid
        FROM tok ORDER BY id, item"""
 
+  // ---------------------------------------------------------------
+  // q170 — TFRecord + tf.Example decode (the canonical ML training-
+  // data container): 40 shards, 3-6 examples each. Laws exercise the
+  // whole wire surface: a NEGATIVE token every fourth example (the
+  // 10-byte varint path), embeddings as exact eighths (×8 checksum is
+  // integer in both engines), `label` absent every fifth example
+  // (nullable projection), and map-entry order rotating per example
+  // so decode order ≠ key order. Framing CRCs and the proto
+  // strictness matrix are spec-gated in TfRecordLakeSpec.
+  private val TfrN = 40
+
+  def q170(s: SparkSession, dir: String): DataFrame = {
+    val fx = graft.operators.TfRecordLake.tfExampleFixture(s, TfrN)
+    graft.operators.TfRecordLake.extractTfExamples(fx, "id", "media")
+      .select(col("id"), col("rec"), col("n_feat"), col("text"),
+        col("n_tokens"), col("tok_sum"), col("emb_dim"),
+        col("emb_sum_x8"), col("label"), col("valid"))
+      .orderBy("id", "rec")
+  }
+
+  val q170Sql: String =
+    s"""WITH base AS (SELECT r AS id, 3 + r % 4 AS nr FROM range(0, $TfrN) t(r)),
+       recs AS (SELECT id, unnest([k for k in range(0, nr)]) AS k FROM base),
+       law AS (SELECT id, k, 8 + (id + k) % 5 AS nt, 4 + (id + k) % 3 AS nk,
+                      8 + (id % 3) * 4 AS d, (id + k) % 5 != 4 AS has_label
+               FROM recs)
+       SELECT id, CAST(k AS INT) AS rec,
+         CAST(CASE WHEN has_label THEN 4 ELSE 3 END AS INT) AS n_feat,
+         array_to_string(['w' || (id * 7 + k * 3 + j) % 10
+                          for j in range(0, nt)], ' ') AS text,
+         CAST(nk AS BIGINT) AS n_tokens,
+         CAST(list_sum([CASE WHEN j = 0 AND (id + k) % 4 = 0
+                             THEN -(id + k + 1)
+                             ELSE (id * 5 + k * 11 + j * 3) % 1000 END
+                        for j in range(0, nk)]) AS BIGINT) AS tok_sum,
+         CAST(d AS INT) AS emb_dim,
+         CAST(list_sum([(j * 3 + id + k) % 17
+                        for j in range(0, d)]) AS BIGINT) AS emb_sum_x8,
+         CAST(CASE WHEN has_label THEN (id + 2 * k) % 7 END AS BIGINT) AS label,
+         true AS valid
+       FROM law ORDER BY id, rec"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q125_label_propagation" -> (q125 _),
     "q126_pmi_cooccur" -> (q126 _),
@@ -2302,7 +2344,8 @@ object ExtQueries4 {
     "q166_eml_extract" -> (q166 _),
     "q167_subtitle_extract" -> (q167 _),
     "q168_sitemap_extract" -> (q168 _),
-    "q169_feed_extract" -> (q169 _))
+    "q169_feed_extract" -> (q169 _),
+    "q170_tfrecord_extract" -> (q170 _))
 
   val oracles: Map[String, String] = Map(
     "q125_label_propagation" -> q125Sql,
@@ -2349,5 +2392,6 @@ object ExtQueries4 {
     "q166_eml_extract" -> q166Sql,
     "q167_subtitle_extract" -> q167Sql,
     "q168_sitemap_extract" -> q168Sql,
-    "q169_feed_extract" -> q169Sql)
+    "q169_feed_extract" -> q169Sql,
+    "q170_tfrecord_extract" -> q170Sql)
 }
