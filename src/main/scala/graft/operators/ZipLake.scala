@@ -79,13 +79,18 @@ object ZipLake {
         val extraLen = u16(b, c + 30)
         val commentLen = u16(b, c + 32)
         val lho = u32(b, c + 42).toInt
+        // record must fit inside the central directory (a corrupt
+        // nameLen would otherwise read past it — String's bounds
+        // check throws StringIndexOutOfBounds, not ArrayIndexOOB)
+        if (c + 46 + nameLen + extraLen + commentLen > eocd) return None
         val name = new String(b, c + 46, nameLen, "UTF-8")
         // local header: signature + name must agree with the
         // central directory (the authoritative copy)
-        if (lho + 30 > b.length || u32(b, lho) != 0x04034b50L) return None
+        if (lho < 0 || lho + 30 > b.length ||
+            u32(b, lho) != 0x04034b50L) return None
         val lNameLen = u16(b, lho + 26)
         val lExtraLen = u16(b, lho + 28)
-        if (lNameLen != nameLen ||
+        if (lNameLen != nameLen || lho + 30 + lNameLen > b.length ||
             new String(b, lho + 30, lNameLen, "UTF-8") != name) return None
         val dataOff = lho + 30 + lNameLen + lExtraLen
         if (dataOff + compSize > b.length) return None

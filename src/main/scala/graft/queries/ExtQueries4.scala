@@ -2299,6 +2299,43 @@ object ExtQueries4 {
          true AS valid
        FROM law ORDER BY id, rec"""
 
+  // ---------------------------------------------------------------
+  // q171 — EPUB e-book extraction (OCF container + OPF package +
+  // XHTML chapters): a COMPOSITION of the ZIP and XML parsers — 40
+  // books, 2-4 chapters each, chapter text split across two <p> runs
+  // plus an <em> so the markup-boundary whitespace law is hash-gated
+  // via the text column; book titles plant `&`; a non-spine
+  // stylesheet rides in manifest + container; languages cycle
+  // en/fr/de. OCF/OPF strictness (mimetype-first-stored, zip-slip
+  // paths, spine/manifest laws) is spec-gated in EpubLakeSpec.
+  private val EpubN = 40
+
+  def q171(s: SparkSession, dir: String): DataFrame = {
+    val fx = graft.operators.EpubLake.epubFixture(s, EpubN)
+    graft.operators.EpubLake.extractEpub(fx, "id", "media")
+      .select(col("id"), col("seq"), col("href"), col("chapter_title"),
+        col("book_title"), col("language"), col("text"),
+        col("n_words"), col("digit_sum"), col("valid"))
+      .orderBy("id", "seq")
+  }
+
+  val q171Sql: String =
+    s"""WITH base AS (SELECT r AS id, 2 + r % 3 AS nc FROM range(0, $EpubN) t(r)),
+       ch AS (SELECT id, unnest([k for k in range(0, nc)]) AS k FROM base),
+       tok AS (SELECT id, k, 8 + (id + k) % 5 AS nt FROM ch)
+       SELECT id, CAST(k AS INT) AS seq,
+         'ch_' || k || '.xhtml' AS href,
+         'Chapter ' || id || '.' || k AS chapter_title,
+         'Book ' || id || ' & co' AS book_title,
+         ['en', 'fr', 'de'][CAST(id % 3 AS INT) + 1] AS language,
+         array_to_string(['e' || (id * 7 + k * 3 + j) % 10
+                          for j in range(0, nt)], ' ') AS text,
+         CAST(nt AS BIGINT) AS n_words,
+         CAST(list_sum([(id * 7 + k * 3 + j) % 10
+                        for j in range(0, nt)]) AS BIGINT) AS digit_sum,
+         true AS valid
+       FROM tok ORDER BY id, seq"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q125_label_propagation" -> (q125 _),
     "q126_pmi_cooccur" -> (q126 _),
@@ -2345,7 +2382,8 @@ object ExtQueries4 {
     "q167_subtitle_extract" -> (q167 _),
     "q168_sitemap_extract" -> (q168 _),
     "q169_feed_extract" -> (q169 _),
-    "q170_tfrecord_extract" -> (q170 _))
+    "q170_tfrecord_extract" -> (q170 _),
+    "q171_epub_extract" -> (q171 _))
 
   val oracles: Map[String, String] = Map(
     "q125_label_propagation" -> q125Sql,
@@ -2393,5 +2431,6 @@ object ExtQueries4 {
     "q167_subtitle_extract" -> q167Sql,
     "q168_sitemap_extract" -> q168Sql,
     "q169_feed_extract" -> q169Sql,
-    "q170_tfrecord_extract" -> q170Sql)
+    "q170_tfrecord_extract" -> q170Sql,
+    "q171_epub_extract" -> q171Sql)
 }
