@@ -2336,6 +2336,60 @@ object ExtQueries4 {
          true AS valid
        FROM tok ORDER BY id, seq"""
 
+  // ---------------------------------------------------------------
+  // q172 — MediaWiki dump + wikitext→plaintext (the Wikipedia side
+  // of a pretraining corpus): 40 dumps, 2-4 pages of 1-2 sections.
+  // Every construct the kernel owns leaves a known plaintext residue
+  // (labeled + namespace-dropped links, nested templates every third
+  // page, refs, emphasis, external links, list lines, headings), and
+  // the full cleaned TEXT is an output column so the hash gate spans
+  // entity decode → wikitext parse → whitespace law. Kernel
+  // strictness (unclosed constructs, stray brackets, foreign HTML)
+  // is spec-gated in WikiLakeSpec.
+  private val WikiN = 40
+
+  def q172(s: SparkSession, dir: String): DataFrame = {
+    val fx = graft.operators.WikiLake.wikiFixture(s, WikiN)
+    graft.operators.WikiLake.extractWiki(fx, "id", "media")
+      .select(col("id"), col("page"), col("title"), col("ns"),
+        col("page_id"), col("rev_epoch"), col("text"), col("n_words"),
+        col("digit_sum"), col("n_links"), col("n_templates"),
+        col("n_sections"), col("valid"))
+      .orderBy("id", "page")
+  }
+
+  val q172Sql: String =
+    s"""WITH base AS (SELECT r AS id, 2 + r % 3 AS np FROM range(0, $WikiN) t(r)),
+       pg AS (SELECT id, unnest([p for p in range(0, np)]) AS p FROM base),
+       law AS (SELECT id, p, 1 + (id + p) % 2 AS nsec FROM pg)
+       SELECT id, CAST(p AS INT) AS page,
+         'Page ' || id || '.' || p || ' & co' AS title,
+         CAST((p % 3) * 2 AS INT) AS ns,
+         CAST(id * 100 + p AS BIGINT) AS page_id,
+         CAST(1704067200 + id * 86400 + p * 3600 AS BIGINT) AS rev_epoch,
+         array_to_string([
+           'Sec ' || s || ' m' || (id * 3 + p * 5 + s * 7) % 10
+             || ' m' || (id * 3 + p * 5 + s * 7 + 1) % 10
+             || ' m' || (id * 3 + p * 5 + s * 7 + 2) % 10
+             || ' L' || (id + p + s) % 7 || ' b' || (id + s) % 5
+             || ' m' || (id * 3 + p * 5 + s * 7 + 3) % 10
+             || ' x' || (p + s) % 9
+             || ' m' || (id * 3 + p * 5 + s * 7 + 4) % 10
+           for s in range(0, nsec)], ' ') AS text,
+         CAST(nsec * 10 AS BIGINT) AS n_words,
+         CAST(list_sum([s + (id * 3 + p * 5 + s * 7) % 10
+             + (id * 3 + p * 5 + s * 7 + 1) % 10
+             + (id * 3 + p * 5 + s * 7 + 2) % 10
+             + (id + p + s) % 7 + (id + s) % 5
+             + (id * 3 + p * 5 + s * 7 + 3) % 10 + (p + s) % 9
+             + (id * 3 + p * 5 + s * 7 + 4) % 10
+           for s in range(0, nsec)]) AS BIGINT) AS digit_sum,
+         CAST(nsec + 1 AS INT) AS n_links,
+         CAST(nsec AS INT) AS n_templates,
+         CAST(nsec AS INT) AS n_sections,
+         true AS valid
+       FROM law ORDER BY id, page"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q125_label_propagation" -> (q125 _),
     "q126_pmi_cooccur" -> (q126 _),
@@ -2383,7 +2437,8 @@ object ExtQueries4 {
     "q168_sitemap_extract" -> (q168 _),
     "q169_feed_extract" -> (q169 _),
     "q170_tfrecord_extract" -> (q170 _),
-    "q171_epub_extract" -> (q171 _))
+    "q171_epub_extract" -> (q171 _),
+    "q172_wiki_extract" -> (q172 _))
 
   val oracles: Map[String, String] = Map(
     "q125_label_propagation" -> q125Sql,
@@ -2432,5 +2487,6 @@ object ExtQueries4 {
     "q168_sitemap_extract" -> q168Sql,
     "q169_feed_extract" -> q169Sql,
     "q170_tfrecord_extract" -> q170Sql,
-    "q171_epub_extract" -> q171Sql)
+    "q171_epub_extract" -> q171Sql,
+    "q172_wiki_extract" -> q172Sql)
 }
