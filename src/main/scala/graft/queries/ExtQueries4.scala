@@ -2390,6 +2390,40 @@ object ExtQueries4 {
          true AS valid
        FROM law ORDER BY id, page"""
 
+  // ---------------------------------------------------------------
+  // q173 — Jupyter notebook (.ipynb) extraction: 40 notebooks, 3-6
+  // cells cycling code/markdown/raw, 1-3 source lines per cell with
+  // the nbformat line-list `\n` convention; execution_count absent
+  // on every fourth code cell (null-int path). Pure Catalyst
+  // (from_json + posexplode_outer, no custom parser) — the schema
+  // and invalid-blob laws are spec-gated in NotebookLakeSpec.
+  private val NbN = 40
+
+  def q173(s: SparkSession, dir: String): DataFrame = {
+    val fx = graft.operators.NotebookLake.notebookFixture(s, NbN)
+    graft.operators.NotebookLake.extractNotebooks(fx, "id", "media")
+      .orderBy("id", "cell")
+  }
+
+  val q173Sql: String =
+    s"""WITH base AS (SELECT r AS id, 3 + r % 4 AS nc FROM range(0, $NbN) t(r)),
+       c AS (SELECT id, unnest([k for k in range(0, nc)]) AS k FROM base),
+       law AS (SELECT id, k,
+                 ['code', 'markdown', 'raw'][CAST((id + k) % 3 AS INT) + 1] AS tpe,
+                 1 + (id + k) % 3 AS nl FROM c)
+       SELECT id, CAST(k AS INT) AS cell, tpe AS cell_type,
+         CAST(CASE WHEN tpe = 'code' AND (id + k) % 4 != 1
+              THEN k + 1 END AS INT) AS exec_count,
+         CAST(nl AS INT) AS n_lines,
+         array_to_string(['c' || id || '_' || k || '_' || j
+                          || ' v' || (id * 5 + k * 3 + j) % 10
+                          for j in range(0, nl)], chr(10)) AS source,
+         CAST(length(array_to_string(['c' || id || '_' || k || '_' || j
+                          || ' v' || (id * 5 + k * 3 + j) % 10
+                          for j in range(0, nl)], chr(10))) AS BIGINT) AS n_chars,
+         true AS valid
+       FROM law ORDER BY id, cell"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q125_label_propagation" -> (q125 _),
     "q126_pmi_cooccur" -> (q126 _),
@@ -2438,7 +2472,8 @@ object ExtQueries4 {
     "q169_feed_extract" -> (q169 _),
     "q170_tfrecord_extract" -> (q170 _),
     "q171_epub_extract" -> (q171 _),
-    "q172_wiki_extract" -> (q172 _))
+    "q172_wiki_extract" -> (q172 _),
+    "q173_ipynb_extract" -> (q173 _))
 
   val oracles: Map[String, String] = Map(
     "q125_label_propagation" -> q125Sql,
@@ -2488,5 +2523,6 @@ object ExtQueries4 {
     "q169_feed_extract" -> q169Sql,
     "q170_tfrecord_extract" -> q170Sql,
     "q171_epub_extract" -> q171Sql,
-    "q172_wiki_extract" -> q172Sql)
+    "q172_wiki_extract" -> q172Sql,
+    "q173_ipynb_extract" -> q173Sql)
 }
