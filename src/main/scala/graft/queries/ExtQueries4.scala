@@ -2424,6 +2424,43 @@ object ExtQueries4 {
          true AS valid
        FROM law ORDER BY id, cell"""
 
+  // ---------------------------------------------------------------
+  // q174 — PDF text extraction (ISO 32000 subset): 40 documents of
+  // 1-4 pages; every second document's content streams are
+  // FlateDecoded; page text exercises escaped parens, an octal
+  // escape (\101 = 'A') and a TJ kerning array whose numbers must
+  // vanish; titles carry escaped parens via the trailer /Info.
+  // Xref/object/stream/operator strictness is spec-gated in
+  // PdfLakeSpec.
+  private val PdfN = 40
+
+  def q174(s: SparkSession, dir: String): DataFrame = {
+    val fx = graft.operators.PdfLake.pdfFixture(s, PdfN)
+    graft.operators.PdfLake.extractPdf(fx, "id", "media")
+      .select(col("id"), col("page"), col("title"), col("text"),
+        col("n_words"), col("digit_sum"), col("valid"))
+      .orderBy("id", "page")
+  }
+
+  val q174Sql: String =
+    s"""WITH base AS (SELECT r AS id, 1 + r % 4 AS np FROM range(0, $PdfN) t(r)),
+       pg AS (SELECT id, unnest([p for p in range(0, np)]) AS p FROM base)
+       SELECT id, CAST(p AS INT) AS page,
+         'Doc ' || id || ' (rev ' || id % 3 || ')' AS title,
+         'Pg ' || p || ' d' || (id * 3 + p * 7) % 10
+           || ' d' || (id * 3 + p * 7 + 1) % 10
+           || ' (q' || (id * 3 + p * 7 + 2) % 10
+           || ') Ax' || (id * 3 + p * 7 + 3) % 10
+           || ' kern' || (id * 3 + p * 7 + 4) % 10
+           || ' z' || (id * 3 + p * 7 + 5) % 10 AS text,
+         CAST(8 AS BIGINT) AS n_words,
+         CAST(p + (id * 3 + p * 7) % 10 + (id * 3 + p * 7 + 1) % 10
+           + (id * 3 + p * 7 + 2) % 10 + (id * 3 + p * 7 + 3) % 10
+           + (id * 3 + p * 7 + 4) % 10
+           + (id * 3 + p * 7 + 5) % 10 AS BIGINT) AS digit_sum,
+         true AS valid
+       FROM pg ORDER BY id, page"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q125_label_propagation" -> (q125 _),
     "q126_pmi_cooccur" -> (q126 _),
@@ -2473,7 +2510,8 @@ object ExtQueries4 {
     "q170_tfrecord_extract" -> (q170 _),
     "q171_epub_extract" -> (q171 _),
     "q172_wiki_extract" -> (q172 _),
-    "q173_ipynb_extract" -> (q173 _))
+    "q173_ipynb_extract" -> (q173 _),
+    "q174_pdf_extract" -> (q174 _))
 
   val oracles: Map[String, String] = Map(
     "q125_label_propagation" -> q125Sql,
@@ -2524,5 +2562,6 @@ object ExtQueries4 {
     "q170_tfrecord_extract" -> q170Sql,
     "q171_epub_extract" -> q171Sql,
     "q172_wiki_extract" -> q172Sql,
-    "q173_ipynb_extract" -> q173Sql)
+    "q173_ipynb_extract" -> q173Sql,
+    "q174_pdf_extract" -> q174Sql)
 }
