@@ -2461,6 +2461,60 @@ object ExtQueries4 {
          true AS valid
        FROM pg ORDER BY id, page"""
 
+  // ---------------------------------------------------------------
+  // q175 — Markdown + YAML front matter (README/docs/blog corpora):
+  // 40 documents, 1-3 sections of heading / bold-italic-code-link
+  // paragraph / list / quote, a fenced code block on even sections
+  // (EXCLUDED from prose, censused as the code/prose split); every
+  // fourth document has no front matter (nullable projection).
+  // Kernel strictness (unclosed fence/span, stray bracket, bad date,
+  // duplicate keys) is spec-gated in MarkdownLakeSpec.
+  private val MdN = 40
+
+  def q175(s: SparkSession, dir: String): DataFrame = {
+    val fx = graft.operators.MarkdownLake.markdownFixture(s, MdN)
+    graft.operators.MarkdownLake.extractMarkdown(fx, "id", "media")
+      .select(col("id"), col("title"), col("date_epoch"), col("n_tags"),
+        col("text"), col("n_words"), col("digit_sum"), col("n_headings"),
+        col("n_links"), col("n_code_blocks"), col("code_chars"),
+        col("valid"))
+      .orderBy("id")
+  }
+
+  val q175Sql: String =
+    s"""WITH base AS (SELECT r AS id, 1 + r % 3 AS ns FROM range(0, $MdN) t(r))
+       SELECT id,
+         CASE WHEN id % 4 != 3 THEN 'Post ' || id || ' and co' END AS title,
+         CAST(CASE WHEN id % 4 != 3 THEN
+           CAST(make_date(2024, CAST(1 + id % 12 AS INT),
+                CAST(1 + (id * 3) % 28 AS INT))
+                - DATE '1970-01-01' AS BIGINT) * 86400 END AS BIGINT)
+           AS date_epoch,
+         CAST(CASE WHEN id % 4 != 3 THEN 2 END AS INT) AS n_tags,
+         array_to_string(['H' || s || ' k' || (id + s) % 10
+           || ' p' || (id * 7 + s * 3) % 10
+           || ' p' || (id * 7 + s * 3 + 1) % 10
+           || ' p' || (id * 7 + s * 3 + 2) % 10
+           || ' p' || (id * 7 + s * 3 + 3) % 10
+           || ' lk' || (id + s) % 8 || ' li' || (id + s) % 10
+           || ' q' || (id + s) % 6
+           for s in range(0, ns)], ' ') AS text,
+         CAST(ns * 9 AS BIGINT) AS n_words,
+         CAST(list_sum([s + (id + s) % 10 + (id * 7 + s * 3) % 10
+           + (id * 7 + s * 3 + 1) % 10 + (id * 7 + s * 3 + 2) % 10
+           + (id * 7 + s * 3 + 3) % 10 + (id + s) % 8 + (id + s) % 10
+           + (id + s) % 6
+           for s in range(0, ns)]) AS BIGINT) AS digit_sum,
+         CAST(ns AS INT) AS n_headings,
+         CAST(ns AS INT) AS n_links,
+         CAST((ns + 1) // 2 AS INT) AS n_code_blocks,
+         CAST(list_sum([CASE WHEN s % 2 = 0 THEN
+             length('code_' || id || '_' || s || '()' || chr(10)
+                    || 'x = ' || id)
+             ELSE 0 END for s in range(0, ns)]) AS BIGINT) AS code_chars,
+         true AS valid
+       FROM base ORDER BY id"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q125_label_propagation" -> (q125 _),
     "q126_pmi_cooccur" -> (q126 _),
@@ -2511,7 +2565,8 @@ object ExtQueries4 {
     "q171_epub_extract" -> (q171 _),
     "q172_wiki_extract" -> (q172 _),
     "q173_ipynb_extract" -> (q173 _),
-    "q174_pdf_extract" -> (q174 _))
+    "q174_pdf_extract" -> (q174 _),
+    "q175_markdown_extract" -> (q175 _))
 
   val oracles: Map[String, String] = Map(
     "q125_label_propagation" -> q125Sql,
@@ -2563,5 +2618,6 @@ object ExtQueries4 {
     "q171_epub_extract" -> q171Sql,
     "q172_wiki_extract" -> q172Sql,
     "q173_ipynb_extract" -> q173Sql,
-    "q174_pdf_extract" -> q174Sql)
+    "q174_pdf_extract" -> q174Sql,
+    "q175_markdown_extract" -> q175Sql)
 }
