@@ -2515,6 +2515,46 @@ object ExtQueries4 {
          true AS valid
        FROM base ORDER BY id"""
 
+  // ---------------------------------------------------------------
+  // q176 — unified-diff / git-patch extraction (the commit side of a
+  // code corpus): 40 patches × 1-3 files × 1-2 hunks; each hunk's
+  // counts and the cross-hunk start arithmetic are REAL (the parser
+  // verifies both); added-side text is assembled per file. Grammar/
+  // arithmetic strictness is spec-gated in DiffLakeSpec.
+  private val DiffN = 40
+
+  def q176(s: SparkSession, dir: String): DataFrame = {
+    val fx = graft.operators.DiffLake.diffFixture(s, DiffN)
+    graft.operators.DiffLake.extractDiffs(fx, "id", "media")
+      .select(col("id"), col("file"), col("path"), col("n_hunks"),
+        col("n_added"), col("n_removed"), col("n_context"),
+        col("added_text"), col("digit_sum"), col("valid"))
+      .orderBy("id", "file")
+  }
+
+  val q176Sql: String =
+    s"""WITH base AS (SELECT r AS id, 1 + r % 3 AS nf FROM range(0, $DiffN) t(r)),
+       fl AS (SELECT id, unnest([f for f in range(0, nf)]) AS f FROM base),
+       law AS (SELECT id, f, 1 + (id + f) % 2 AS nh FROM fl)
+       SELECT id, CAST(f AS INT) AS file,
+         'src/f' || id || '_' || f || '.scala' AS path,
+         CAST(nh AS INT) AS n_hunks,
+         CAST(list_sum([1 + (id + f + h) % 2
+                        for h in range(0, nh)]) AS INT) AS n_added,
+         CAST(nh AS INT) AS n_removed,
+         CAST(nh * 2 AS INT) AS n_context,
+         array_to_string([array_to_string(
+             ['new a' || (id * 5 + f * 3 + h * 2 + j) % 10
+               || ' b' || (id + f + h + j) % 7
+              for j in range(0, 1 + (id + f + h) % 2)], chr(10))
+           for h in range(0, nh)], chr(10)) AS added_text,
+         CAST(list_sum([list_sum([(id * 5 + f * 3 + h * 2 + j) % 10
+               + (id + f + h + j) % 7
+              for j in range(0, 1 + (id + f + h) % 2)])
+           for h in range(0, nh)]) AS BIGINT) AS digit_sum,
+         true AS valid
+       FROM law ORDER BY id, file"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q125_label_propagation" -> (q125 _),
     "q126_pmi_cooccur" -> (q126 _),
@@ -2566,7 +2606,8 @@ object ExtQueries4 {
     "q172_wiki_extract" -> (q172 _),
     "q173_ipynb_extract" -> (q173 _),
     "q174_pdf_extract" -> (q174 _),
-    "q175_markdown_extract" -> (q175 _))
+    "q175_markdown_extract" -> (q175 _),
+    "q176_diff_extract" -> (q176 _))
 
   val oracles: Map[String, String] = Map(
     "q125_label_propagation" -> q125Sql,
@@ -2619,5 +2660,6 @@ object ExtQueries4 {
     "q172_wiki_extract" -> q172Sql,
     "q173_ipynb_extract" -> q173Sql,
     "q174_pdf_extract" -> q174Sql,
-    "q175_markdown_extract" -> q175Sql)
+    "q175_markdown_extract" -> q175Sql,
+    "q176_diff_extract" -> q176Sql)
 }
