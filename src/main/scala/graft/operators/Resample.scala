@@ -44,15 +44,19 @@ object Resample {
                       step: Long): DataFrame = {
     require(step > 0, "gridInterpolate: step must be positive")
     val ent = col(entityCol)
-    // Deterministic value per (entity, instant) — EAGERLY pinned: the
+    // Deterministic value per (entity, instant) — pinned LAZILY: the
     // deduped series feeds BOTH the grid-bounds aggregate and the
     // stream union below, and without the checkpoint Catalyst plans
     // two full scans + aggregations of the raw event stream (the plan
-    // audit pins the single-scan shape). Not purely lazy: the pin
-    // runs one job at call time.
+    // audit pins the single-scan shape). Lazy (eager=false) because
+    // this is pure plan construction with one materialization at the
+    // end — the first action (even the orderBy's range-sampling job)
+    // computes and persists it once, and every later consumer reuses
+    // it; eager would pay one extra scheduled job per call (measured
+    // ~0.4 s of q74's wall at sf0.1).
     val ev = events.groupBy(ent, col(timeCol).as("t"))
       .agg(min(col(valueCol).cast("double")).as("v"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // Interior grid: ceil(lo/step)..floor(hi/step). Integer ceil of a
     // non-negative quotient via (lo + step − 1) div step keeps the
     // arithmetic exact for lo ≥ 0 (time axes are epoch-based here).
