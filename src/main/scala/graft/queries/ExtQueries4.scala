@@ -2555,6 +2555,48 @@ object ExtQueries4 {
          true AS valid
        FROM law ORDER BY id, file"""
 
+  // ---------------------------------------------------------------
+  // q177 — LaTeX→plaintext (the arXiv side of a corpus): 40 sources,
+  // 1-3 sections with emphasis/bold spans, a ~ tie, inline math and
+  // (odd sections) display math — both EXCLUDED from prose and
+  // censused as the math/prose split — dropped \cite keys, escaped
+  // \&, itemize pairs, planted % comments; titles carry \&. Grammar
+  // strictness is spec-gated in LatexLakeSpec.
+  private val TexN = 40
+
+  def q177(s: SparkSession, dir: String): DataFrame = {
+    val fx = graft.operators.LatexLake.latexFixture(s, TexN)
+    graft.operators.LatexLake.extractLatex(fx, "id", "media")
+      .select(col("id"), col("title"), col("author"), col("text"),
+        col("n_words"), col("digit_sum"), col("n_sections"),
+        col("n_math"), col("math_chars"), col("n_cites"), col("valid"))
+      .orderBy("id")
+  }
+
+  val q177Sql: String =
+    s"""WITH base AS (SELECT r AS id, 1 + r % 3 AS ns FROM range(0, $TexN) t(r))
+       SELECT id,
+         'T' || id || ' & co' AS title,
+         'A' || id % 7 AS author,
+         array_to_string(['S' || s || ' h' || (id + s) % 10
+           || ' w' || (id * 7 + s * 3) % 10
+           || ' w' || (id * 7 + s * 3 + 1) % 10
+           || ' w' || (id * 7 + s * 3 + 2) % 10
+           || ' w' || (id * 7 + s * 3 + 3) % 10
+           || ' e&f li' || (id + s) % 8 || ' lj' || (id + s) % 6
+           for s in range(0, ns)], ' ') AS text,
+         CAST(ns * 9 AS BIGINT) AS n_words,
+         CAST(list_sum([s + (id + s) % 10 + (id * 7 + s * 3) % 10
+           + (id * 7 + s * 3 + 1) % 10 + (id * 7 + s * 3 + 2) % 10
+           + (id * 7 + s * 3 + 3) % 10 + (id + s) % 8 + (id + s) % 6
+           for s in range(0, ns)]) AS BIGINT) AS digit_sum,
+         CAST(ns AS INT) AS n_sections,
+         CAST(ns + ns // 2 AS INT) AS n_math,
+         CAST(ns * 5 + (ns // 2) * 4 AS BIGINT) AS math_chars,
+         CAST(ns AS INT) AS n_cites,
+         true AS valid
+       FROM base ORDER BY id"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q125_label_propagation" -> (q125 _),
     "q126_pmi_cooccur" -> (q126 _),
@@ -2607,7 +2649,8 @@ object ExtQueries4 {
     "q173_ipynb_extract" -> (q173 _),
     "q174_pdf_extract" -> (q174 _),
     "q175_markdown_extract" -> (q175 _),
-    "q176_diff_extract" -> (q176 _))
+    "q176_diff_extract" -> (q176 _),
+    "q177_latex_extract" -> (q177 _))
 
   val oracles: Map[String, String] = Map(
     "q125_label_propagation" -> q125Sql,
@@ -2661,5 +2704,6 @@ object ExtQueries4 {
     "q173_ipynb_extract" -> q173Sql,
     "q174_pdf_extract" -> q174Sql,
     "q175_markdown_extract" -> q175Sql,
-    "q176_diff_extract" -> q176Sql)
+    "q176_diff_extract" -> q176Sql,
+    "q177_latex_extract" -> q177Sql)
 }
