@@ -2597,6 +2597,45 @@ object ExtQueries4 {
          true AS valid
        FROM base ORDER BY id"""
 
+  // ---------------------------------------------------------------
+  // q178 — ID3v2-tagged MP3 catalog: 40 files, even ids v2.3
+  // (plain-BE frame sizes, TYER, encodings 0/1), odd ids v2.4
+  // (SYNCSAFE sizes, TDRC, encodings 0/1/3); titles carry a ü that
+  // must survive Latin-1, UTF-16 (both BOMs) and UTF-8; trailing
+  // NUL terminators on every third frame; i%64 padding bytes; the
+  // audio remainder is a real CBR Layer III stream whose census
+  // rides the same row. Tag strictness is spec-gated in Id3LakeSpec.
+  private val Id3N = 40
+
+  def q178(s: SparkSession, dir: String): DataFrame = {
+    val fx = graft.operators.Id3Lake.taggedMp3Fixture(s, Id3N)
+    graft.operators.Id3Lake.extractTagged(fx, "id", "media")
+      .select(col("id"), col("ver"), col("title"), col("artist"),
+        col("album"), col("year"), col("track"), col("genre"),
+        col("n_tag_frames"), col("pad_bytes"), col("sample_rate"),
+        col("bitrate_kbps"), col("n_audio_frames"), col("valid"))
+      .orderBy("id")
+  }
+
+  val q178Sql: String =
+    s"""SELECT r AS id,
+         CAST(CASE WHEN r % 2 = 0 THEN 3 ELSE 4 END AS INT) AS ver,
+         'Song ' || r || ' ü' || (r * 3) % 10 AS title,
+         'Artist ' || r % 7 AS artist,
+         'Al ' || r % 5 AS album,
+         CAST(1990 + r % 30 AS INT) AS year,
+         CAST(1 + r % 12 AS INT) AS track,
+         'Genre' || r % 4 AS genre,
+         CAST(6 AS INT) AS n_tag_frames,
+         CAST(r % 64 AS INT) AS pad_bytes,
+         CAST([44100, 48000, 32000][CAST(r % 3 AS INT) + 1] AS INT)
+           AS sample_rate,
+         CAST([32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
+               256, 320][CAST(r % 14 AS INT) + 1] AS INT) AS bitrate_kbps,
+         CAST(10 + r % 30 AS INT) AS n_audio_frames,
+         true AS valid
+       FROM range(0, $Id3N) t(r) ORDER BY id"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q125_label_propagation" -> (q125 _),
     "q126_pmi_cooccur" -> (q126 _),
@@ -2650,7 +2689,8 @@ object ExtQueries4 {
     "q174_pdf_extract" -> (q174 _),
     "q175_markdown_extract" -> (q175 _),
     "q176_diff_extract" -> (q176 _),
-    "q177_latex_extract" -> (q177 _))
+    "q177_latex_extract" -> (q177 _),
+    "q178_id3_catalog" -> (q178 _))
 
   val oracles: Map[String, String] = Map(
     "q125_label_propagation" -> q125Sql,
@@ -2705,5 +2745,6 @@ object ExtQueries4 {
     "q174_pdf_extract" -> q174Sql,
     "q175_markdown_extract" -> q175Sql,
     "q176_diff_extract" -> q176Sql,
-    "q177_latex_extract" -> q177Sql)
+    "q177_latex_extract" -> q177Sql,
+    "q178_id3_catalog" -> q178Sql)
 }
