@@ -2636,6 +2636,41 @@ object ExtQueries4 {
          true AS valid
        FROM range(0, $Id3N) t(r) ORDER BY id"""
 
+  // ---------------------------------------------------------------
+  // q179 — DOCX text extraction (OOXML wordprocessing subset over
+  // the ZIP+XML composition): 40 documents, 2-4 paragraphs; every
+  // paragraph splits a WORD across two runs — the run-concatenation
+  // law is hash-gated via the text column — plus an entity, a w:br,
+  // a Heading1 style on paragraph 0 and a trailing w:sectPr. OPC/
+  // OOXML strictness is spec-gated in DocxLakeSpec.
+  private val DocxN = 40
+
+  def q179(s: SparkSession, dir: String): DataFrame = {
+    val fx = graft.operators.DocxLake.docxFixture(s, DocxN)
+    graft.operators.DocxLake.extractDocx(fx, "id", "media")
+      .select(col("id"), col("text"), col("n_words"), col("digit_sum"),
+        col("n_paras"), col("n_runs"), col("n_headings"), col("valid"))
+      .orderBy("id")
+  }
+
+  val q179Sql: String =
+    s"""WITH base AS (SELECT r AS id, 2 + r % 3 AS np FROM range(0, $DocxN) t(r))
+       SELECT id,
+         array_to_string(['ha' || (id * 7 + p * 3) % 10
+           || 'lf' || (id * 7 + p * 3 + 1) % 10
+           || ' amp&' || (id * 7 + p * 3 + 2) % 10
+           || ' tail' || (id * 7 + p * 3 + 3) % 10
+           for p in range(0, np)], ' ') AS text,
+         CAST(np * 3 AS BIGINT) AS n_words,
+         CAST(list_sum([(id * 7 + p * 3) % 10 + (id * 7 + p * 3 + 1) % 10
+           + (id * 7 + p * 3 + 2) % 10 + (id * 7 + p * 3 + 3) % 10
+           for p in range(0, np)]) AS BIGINT) AS digit_sum,
+         CAST(np AS INT) AS n_paras,
+         CAST(np * 2 AS INT) AS n_runs,
+         CAST(1 AS INT) AS n_headings,
+         true AS valid
+       FROM base ORDER BY id"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q125_label_propagation" -> (q125 _),
     "q126_pmi_cooccur" -> (q126 _),
@@ -2690,7 +2725,8 @@ object ExtQueries4 {
     "q175_markdown_extract" -> (q175 _),
     "q176_diff_extract" -> (q176 _),
     "q177_latex_extract" -> (q177 _),
-    "q178_id3_catalog" -> (q178 _))
+    "q178_id3_catalog" -> (q178 _),
+    "q179_docx_extract" -> (q179 _))
 
   val oracles: Map[String, String] = Map(
     "q125_label_propagation" -> q125Sql,
@@ -2746,5 +2782,6 @@ object ExtQueries4 {
     "q175_markdown_extract" -> q175Sql,
     "q176_diff_extract" -> q176Sql,
     "q177_latex_extract" -> q177Sql,
-    "q178_id3_catalog" -> q178Sql)
+    "q178_id3_catalog" -> q178Sql,
+    "q179_docx_extract" -> q179Sql)
 }

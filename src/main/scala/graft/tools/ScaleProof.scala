@@ -228,6 +228,53 @@ object ScaleProof {
       finally spark.conf.set("spark.sql.files.maxPartitionBytes", oldSplit)
     }
 
+    // ---- training-container family: TFRecord shards ∝ N — REAL
+    // double-masked-CRC32C framing + strict tf.Example proto payloads
+    // wrapping the blown-up documents (text + law tokens + eighth-
+    // quantized embeddings), ~20 examples per shard, built ONCE and
+    // cached like the corpus. The measured pass is the full q170
+    // machinery: CRC verification over every byte, the canonical-
+    // varint proto walk, typed projection, one aggregate — the same
+    // "embarrassingly parallel, zero shuffles" 100 TB claim as the
+    // archive family, tested by the scan stage's max_over_median.
+    if (!new java.io.File(s"$out/_done_tfr").exists()) {
+      import spark.implicits._
+      spark.read.parquet(s"$out/documents.parquet")
+        .select((col("doc_id") / 20).cast("long").as("id"),
+          col("doc_id"), col("text"))
+        .groupBy("id")
+        .agg(collect_list(struct(col("doc_id"), col("text"))).as("docs"))
+        .as[(Long, Seq[(Long, String)])]
+        .map { case (id, ds) =>
+          val recs = ds.map { case (d, t) =>
+            graft.operators.TfRecordLake.encExample(Seq(
+              "text" -> graft.operators.TfRecordLake.encBytesFeature(
+                Seq(t.getBytes("UTF-8"))),
+              "tokens" -> graft.operators.TfRecordLake.encInt64Feature(
+                (0 until 8).map(j => (d + j) % 997)),
+              "embedding" -> graft.operators.TfRecordLake.encFloatFeature(
+                (0 until 16).map(j => ((d * 3 + j) % 17).toFloat / 8f)),
+              "label" -> graft.operators.TfRecordLake.encInt64Feature(
+                Seq(d % 7))))
+          }
+          (id, graft.operators.TfRecordLake.writeTfRecord(recs))
+        }.toDF("id", "media")
+        .write.mode("overwrite").parquet(s"$out/tfrecords.parquet")
+      new java.io.File(s"$out/_done_tfr").createNewFile()
+    }
+    if (wanted("tfrecord_extract")) {
+      val oldSplit = spark.conf.get("spark.sql.files.maxPartitionBytes")
+      spark.conf.set("spark.sql.files.maxPartitionBytes", (4 << 20).toString)
+      def pass() = graft.operators.TfRecordLake.extractTfExamples(
+          spark.read.parquet(s"$out/tfrecords.parquet"), "id", "media")
+        .agg(sum(col("n_tokens")).as("toks"),
+          sum(col("emb_sum_x8")).as("emb"),
+          count(lit(1)).as("examples"), sum(length(col("text"))).as("chars"))
+      pass().collect() // untimed codegen warm-up (steady-state claim)
+      try run("tfrecord_extract")(pass())
+      finally spark.conf.set("spark.sql.files.maxPartitionBytes", oldSplit)
+    }
+
     // ---- graph family (r11 VERDICT #7): edges ∝ N·k, FORCED onto
     // the distributed checkpoint path at every scale (driver kernel
     // and cache path disabled) so the superstep/adjacency machinery
