@@ -2671,6 +2671,38 @@ object ExtQueries4 {
          true AS valid
        FROM base ORDER BY id"""
 
+  // ---------------------------------------------------------------
+  // q180 — XLSX cell extraction (OOXML spreadsheet subset): 40
+  // workbooks, 3-5 rows × A/B/C columns — A a shared string drawn
+  // from a 3-value pool (the sst actually DEDUPs and both its count
+  // laws are verified cross-part), B a signed integer, C a 2-decimal
+  // price projected as an EXACT ×100 integer. OPC/sheet strictness
+  // is spec-gated in XlsxLakeSpec.
+  private val XlsxN = 40
+
+  def q180(s: SparkSession, dir: String): DataFrame = {
+    val fx = graft.operators.XlsxLake.xlsxFixture(s, XlsxN)
+    graft.operators.XlsxLake.extractXlsx(fx, "id", "media")
+      .select(col("id"), col("sheet"), col("row_idx"), col("col_idx"),
+        col("kind"), col("sval"), col("nval_x100"), col("valid"))
+      .orderBy("id", "row_idx", "col_idx")
+  }
+
+  val q180Sql: String =
+    s"""WITH base AS (SELECT r0 AS id, 3 + r0 % 3 AS nr FROM range(0, $XlsxN) t(r0)),
+       rws AS (SELECT id, unnest([r for r in range(1, nr + 1)]) AS rw FROM base),
+       cells AS (SELECT id, rw, unnest([0, 1, 2]) AS cl FROM rws)
+       SELECT id, 'S' || id % 4 AS sheet,
+         CAST(rw AS INT) AS row_idx, CAST(cl AS INT) AS col_idx,
+         CASE WHEN cl = 0 THEN 's' ELSE 'n' END AS kind,
+         CASE WHEN cl = 0 THEN 'name' || (id + rw) % 3 END AS sval,
+         CAST(CASE WHEN cl = 1 THEN
+                (CASE WHEN (id + rw) % 4 = 0 THEN -1 ELSE 1 END)
+                  * (id * 100 + rw * 7) * 100
+              WHEN cl = 2 THEN id * 50 + rw * 13 END AS BIGINT) AS nval_x100,
+         true AS valid
+       FROM cells ORDER BY id, row_idx, col_idx"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q125_label_propagation" -> (q125 _),
     "q126_pmi_cooccur" -> (q126 _),
@@ -2726,7 +2758,8 @@ object ExtQueries4 {
     "q176_diff_extract" -> (q176 _),
     "q177_latex_extract" -> (q177 _),
     "q178_id3_catalog" -> (q178 _),
-    "q179_docx_extract" -> (q179 _))
+    "q179_docx_extract" -> (q179 _),
+    "q180_xlsx_extract" -> (q180 _))
 
   val oracles: Map[String, String] = Map(
     "q125_label_propagation" -> q125Sql,
@@ -2783,5 +2816,6 @@ object ExtQueries4 {
     "q176_diff_extract" -> q176Sql,
     "q177_latex_extract" -> q177Sql,
     "q178_id3_catalog" -> q178Sql,
-    "q179_docx_extract" -> q179Sql)
+    "q179_docx_extract" -> q179Sql,
+    "q180_xlsx_extract" -> q180Sql)
 }

@@ -274,7 +274,8 @@ class PlanAuditSpec extends SparkSpec {
         "q172_wiki_extract", "q173_ipynb_extract",
         "q174_pdf_extract", "q175_markdown_extract",
         "q176_diff_extract", "q177_latex_extract",
-        "q178_id3_catalog", "q179_docx_extract").foreach { q =>
+        "q178_id3_catalog", "q179_docx_extract",
+        "q180_xlsx_extract").foreach { q =>
       val p = plan(q)
       val exchanges = "Exchange".r.findAllIn(p).length
       assert(exchanges <= 1, s"$q: codec decode should not shuffle:\n$p")
