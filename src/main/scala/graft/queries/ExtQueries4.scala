@@ -2703,6 +2703,79 @@ object ExtQueries4 {
          true AS valid
        FROM cells ORDER BY id, row_idx, col_idx"""
 
+  // ---------------------------------------------------------------
+  // q181 — FASTA/FASTQ extraction (genomics corpora): 40 files, even
+  // ids FASTA with sequences split across two lines (the assembly
+  // law), odd ids FASTQ with the separator repeating the name on odd
+  // records; GC/N census and the exact integer Phred sum.
+  // Format strictness is spec-gated in BioLakeSpec.
+  private val BioN = 40
+
+  def q181(s: SparkSession, dir: String): DataFrame = {
+    val fx = graft.operators.BioLake.bioFixture(s, BioN)
+    graft.operators.BioLake.extractBio(fx, "id", "media")
+      .select(col("id"), col("rec"), col("fmt"), col("name"),
+        col("length"), col("gc"), col("n_count"), col("qual_sum"),
+        col("valid"))
+      .orderBy("id", "rec")
+  }
+
+  val q181Sql: String =
+    s"""WITH base AS (SELECT r AS id, 2 + r % 3 AS nrec FROM range(0, $BioN) t(r)),
+       recs AS (SELECT id, unnest([k for k in range(0, nrec)]) AS k FROM base),
+       law AS (SELECT id, k, 20 + (id + k * 7) % 30 AS len FROM recs)
+       SELECT id, CAST(k AS INT) AS rec,
+         CASE WHEN id % 2 = 0 THEN 'fasta' ELSE 'fastq' END AS fmt,
+         'seq_' || id || '_' || k AS name,
+         CAST(len AS INT) AS length,
+         CAST(list_sum([CASE WHEN (id * 3 + k * 5 + j) % 5 IN (1, 2)
+                        THEN 1 ELSE 0 END
+                        for j in range(0, len)]) AS INT) AS gc,
+         CAST(list_sum([CASE WHEN (id * 3 + k * 5 + j) % 5 = 4
+                        THEN 1 ELSE 0 END
+                        for j in range(0, len)]) AS INT) AS n_count,
+         CAST(CASE WHEN id % 2 = 1 THEN
+           list_sum([(id + k + j) % 40 for j in range(0, len)])
+           END AS BIGINT) AS qual_sum,
+         true AS valid
+       FROM law ORDER BY id, rec"""
+
+  // ---------------------------------------------------------------
+  // q182 — HTTP access-log parsing (Combined Log Format, pure
+  // Catalyst: posexplode + regexp + try_to_timestamp, no custom
+  // parser): 40 blobs × 4-7 lines with planted junk every seventh
+  // line — the valid=false census flows through to the oracle —
+  // and timestamps over three RFC 822 offsets that the ENGINE must
+  // parse back (the oracle replays the epoch law closed-form).
+  private val ClfN = 40
+
+  def q182(s: SparkSession, dir: String): DataFrame = {
+    val fx = graft.operators.AccessLog.logFixture(s, ClfN)
+    graft.operators.AccessLog.extractLogs(fx, "id", "media")
+      .orderBy("id", "line")
+  }
+
+  val q182Sql: String =
+    s"""WITH base AS (SELECT r AS id, 4 + r % 4 AS nl FROM range(0, $ClfN) t(r)),
+       ln AS (SELECT id, unnest([j for j in range(0, nl)]) AS j FROM base),
+       law AS (SELECT id, j, (id + j) % 7 != 6 AS ok FROM ln)
+       SELECT id, CAST(j AS INT) AS line,
+         CASE WHEN ok THEN '10.' || id % 256 || '.' || j || '.'
+                           || (id * 7 + j) % 250 END AS ip,
+         CAST(CASE WHEN ok THEN 1704067200 + id * 3600 + j * 60
+                                + (id * 7 + j) % 50 END AS BIGINT) AS epoch,
+         CASE WHEN ok THEN
+           ['GET', 'POST', 'HEAD'][CAST((id + j) % 3 AS INT) + 1] END AS method,
+         CASE WHEN ok THEN '/p/' || id || '/' || j END AS path,
+         CAST(CASE WHEN ok THEN
+           [200, 301, 404, 500][CAST((id + j) % 4 AS INT) + 1] END AS INT)
+           AS status,
+         CAST(CASE WHEN ok THEN (id * 97 + j * 13) % 5000 END AS BIGINT)
+           AS bytes,
+         CASE WHEN ok THEN 'ua/' || id % 5 END AS ua,
+         ok AS valid
+       FROM law ORDER BY id, line"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q125_label_propagation" -> (q125 _),
     "q126_pmi_cooccur" -> (q126 _),
@@ -2759,7 +2832,9 @@ object ExtQueries4 {
     "q177_latex_extract" -> (q177 _),
     "q178_id3_catalog" -> (q178 _),
     "q179_docx_extract" -> (q179 _),
-    "q180_xlsx_extract" -> (q180 _))
+    "q180_xlsx_extract" -> (q180 _),
+    "q181_bio_extract" -> (q181 _),
+    "q182_access_log" -> (q182 _))
 
   val oracles: Map[String, String] = Map(
     "q125_label_propagation" -> q125Sql,
@@ -2817,5 +2892,7 @@ object ExtQueries4 {
     "q177_latex_extract" -> q177Sql,
     "q178_id3_catalog" -> q178Sql,
     "q179_docx_extract" -> q179Sql,
-    "q180_xlsx_extract" -> q180Sql)
+    "q180_xlsx_extract" -> q180Sql,
+    "q181_bio_extract" -> q181Sql,
+    "q182_access_log" -> q182Sql)
 }

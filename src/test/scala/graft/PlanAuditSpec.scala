@@ -275,7 +275,8 @@ class PlanAuditSpec extends SparkSpec {
         "q174_pdf_extract", "q175_markdown_extract",
         "q176_diff_extract", "q177_latex_extract",
         "q178_id3_catalog", "q179_docx_extract",
-        "q180_xlsx_extract").foreach { q =>
+        "q180_xlsx_extract", "q181_bio_extract",
+        "q182_access_log").foreach { q =>
       val p = plan(q)
       val exchanges = "Exchange".r.findAllIn(p).length
       assert(exchanges <= 1, s"$q: codec decode should not shuffle:\n$p")
