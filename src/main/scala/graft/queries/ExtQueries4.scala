@@ -2776,6 +2776,84 @@ object ExtQueries4 {
          ok AS valid
        FROM law ORDER BY id, line"""
 
+  // ---------------------------------------------------------------
+  // q183 — gettext PO extraction (parallel translation pairs — the
+  // aligned-corpus side of a multilingual mix): 40 catalogs, 3-5
+  // entries; odd entries split their msgid across adjacent quoted
+  // pieces (the concatenation law), every third msgstr plants \"
+  // and \n escapes, every fourth entry is a 2-form plural; the
+  // header's Language: is projected onto every row. Grammar
+  // strictness is spec-gated in PoLakeSpec.
+  private val PoN = 40
+
+  def q183(s: SparkSession, dir: String): DataFrame = {
+    val fx = graft.operators.PoLake.poFixture(s, PoN)
+    graft.operators.PoLake.extractPo(fx, "id", "media")
+      .select(col("id"), col("entry"), col("language"), col("msgid"),
+        col("msgstr"), col("n_plural"), col("src_words"),
+        col("tgt_words"), col("digit_sum"), col("valid"))
+      .orderBy("id", "entry")
+  }
+
+  val q183Sql: String =
+    s"""WITH base AS (SELECT r AS id, 3 + r % 3 AS ne FROM range(0, $PoN) t(r)),
+       e AS (SELECT id, unnest([k for k in range(0, ne)]) AS k FROM base),
+       law AS (SELECT id, k,
+                 (id * 7 + k * 3) % 10 AS a0, (id * 7 + k * 3 + 1) % 10 AS a1,
+                 (id * 7 + k * 3 + 2) % 10 AS a2, (id * 7 + k * 3 + 3) % 10 AS a3
+               FROM e)
+       SELECT id, CAST(k AS INT) AS entry,
+         ['de', 'fr', 'ja', 'pt'][CAST(id % 4 AS INT) + 1] AS language,
+         'source s' || a0 || ' s' || a1 || ' tail' AS msgid,
+         CASE WHEN k % 3 = 2
+              THEN 'ziel "t' || a2 || '"' || chr(10) || 't' || a3
+              ELSE 'ziel t' || a2 || ' t' || a3 END AS msgstr,
+         CAST(CASE WHEN k % 4 = 3 THEN 2 ELSE 0 END AS INT) AS n_plural,
+         CAST(4 AS BIGINT) AS src_words,
+         CAST(CASE WHEN k % 3 = 2 THEN 2 ELSE 3 END AS BIGINT) AS tgt_words,
+         CAST(a2 + a3 AS BIGINT) AS digit_sum,
+         true AS valid
+       FROM law ORDER BY id, entry"""
+
+  // ---------------------------------------------------------------
+  // q184 — TMX translation-memory extraction (aligned pairs, the
+  // other half of how parallel corpora ship): 40 memories × 3-5
+  // translation units; `&` entities every third source, CDATA every
+  // fourth target, tuids absent every fifth; the first tuv must
+  // carry the header srclang (the alignment law). Dialect
+  // strictness is spec-gated in TmxLakeSpec.
+  private val TmxN = 40
+
+  def q184(s: SparkSession, dir: String): DataFrame = {
+    val fx = graft.operators.TmxLake.tmxFixture(s, TmxN)
+    graft.operators.TmxLake.extractTmx(fx, "id", "media")
+      .select(col("id"), col("tu"), col("tuid"), col("src_lang"),
+        col("tgt_lang"), col("src_text"), col("tgt_text"),
+        col("src_words"), col("tgt_words"), col("digit_sum"),
+        col("valid"))
+      .orderBy("id", "tu")
+  }
+
+  val q184Sql: String =
+    s"""WITH base AS (SELECT r AS id, 3 + r % 3 AS nt FROM range(0, $TmxN) t(r)),
+       e AS (SELECT id, unnest([k for k in range(0, nt)]) AS k FROM base),
+       law AS (SELECT id, k,
+                 (id * 7 + k * 3) % 10 AS a0, (id * 7 + k * 3 + 1) % 10 AS a1,
+                 (id * 7 + k * 3 + 2) % 10 AS a2, (id * 7 + k * 3 + 3) % 10 AS a3
+               FROM e)
+       SELECT id, CAST(k AS INT) AS tu,
+         CASE WHEN k % 5 != 4 THEN 'u' || id || '_' || k END AS tuid,
+         'en' AS src_lang,
+         ['de', 'fr', 'ja'][CAST(id % 3 AS INT) + 1] AS tgt_lang,
+         's' || a0 || CASE WHEN k % 3 = 2 THEN ' & ' ELSE ' and ' END
+           || 's' || a1 AS src_text,
+         'z' || a2 || ' zz z' || a3 AS tgt_text,
+         CAST(3 AS BIGINT) AS src_words,
+         CAST(3 AS BIGINT) AS tgt_words,
+         CAST(a2 + a3 AS BIGINT) AS digit_sum,
+         true AS valid
+       FROM law ORDER BY id, tu"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q125_label_propagation" -> (q125 _),
     "q126_pmi_cooccur" -> (q126 _),
@@ -2834,7 +2912,9 @@ object ExtQueries4 {
     "q179_docx_extract" -> (q179 _),
     "q180_xlsx_extract" -> (q180 _),
     "q181_bio_extract" -> (q181 _),
-    "q182_access_log" -> (q182 _))
+    "q182_access_log" -> (q182 _),
+    "q183_po_extract" -> (q183 _),
+    "q184_tmx_extract" -> (q184 _))
 
   val oracles: Map[String, String] = Map(
     "q125_label_propagation" -> q125Sql,
@@ -2894,5 +2974,7 @@ object ExtQueries4 {
     "q179_docx_extract" -> q179Sql,
     "q180_xlsx_extract" -> q180Sql,
     "q181_bio_extract" -> q181Sql,
-    "q182_access_log" -> q182Sql)
+    "q182_access_log" -> q182Sql,
+    "q183_po_extract" -> q183Sql,
+    "q184_tmx_extract" -> q184Sql)
 }
