@@ -2854,6 +2854,47 @@ object ExtQueries4 {
          true AS valid
        FROM law ORDER BY id, tu"""
 
+  // ---------------------------------------------------------------
+  // q185 — iCalendar event extraction (RFC 5545): 40 calendars × 2-4
+  // events; every second SUMMARY is FOLDED mid-token (the CRLF+SP
+  // unfolding law is hash-gated via the summary column), every third
+  // plants an escaped comma; derived duration, closed property set.
+  // Folding/escape/datetime strictness is spec-gated in IcsLakeSpec.
+  private val IcsN = 40
+
+  def q185(s: SparkSession, dir: String): DataFrame = {
+    val fx = graft.operators.IcsLake.icsFixture(s, IcsN)
+    graft.operators.IcsLake.extractIcs(fx, "id", "media")
+      .select(col("id"), col("ev"), col("uid"), col("start_epoch"),
+        col("dur_s"), col("summary"), col("location"),
+        col("n_categories"), col("n_words"), col("digit_sum"),
+        col("valid"))
+      .orderBy("id", "ev")
+  }
+
+  val q185Sql: String =
+    s"""WITH base AS (SELECT r AS id, 2 + r % 3 AS nev FROM range(0, $IcsN) t(r)),
+       e AS (SELECT id, unnest([k for k in range(0, nev)]) AS k FROM base),
+       law AS (SELECT id, k,
+                 (id * 7 + k * 3) % 10 AS a0, (id * 7 + k * 3 + 1) % 10 AS a1,
+                 (id * 7 + k * 3 + 2) % 10 AS a2, (id * 7 + k * 3 + 3) % 10 AS a3
+               FROM e)
+       SELECT id, CAST(k AS INT) AS ev,
+         'ev-' || id || '-' || k || '@graft' AS uid,
+         CAST(1704067200 + id * 86400 + k * 7200 + (id * 3 + k) % 60
+              AS BIGINT) AS start_epoch,
+         CAST(1800 + ((id + k) % 4) * 900 AS BIGINT) AS dur_s,
+         'e' || a0 || ' e' || a1 || ' ' ||
+           CASE WHEN k % 3 = 2 THEN 'x,y' || a2
+                ELSE 'longe' || a2 || 'r' END || ' e' || a3 AS summary,
+         CASE WHEN (id + k) % 3 = 0 THEN 'Room R' || (id + k) % 9 END
+           AS location,
+         CAST(CASE WHEN k % 2 = 0 THEN 2 ELSE 0 END AS INT) AS n_categories,
+         CAST(4 AS BIGINT) AS n_words,
+         CAST(a0 + a1 + a2 + a3 AS BIGINT) AS digit_sum,
+         true AS valid
+       FROM law ORDER BY id, ev"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q125_label_propagation" -> (q125 _),
     "q126_pmi_cooccur" -> (q126 _),
@@ -2914,7 +2955,8 @@ object ExtQueries4 {
     "q181_bio_extract" -> (q181 _),
     "q182_access_log" -> (q182 _),
     "q183_po_extract" -> (q183 _),
-    "q184_tmx_extract" -> (q184 _))
+    "q184_tmx_extract" -> (q184 _),
+    "q185_ics_extract" -> (q185 _))
 
   val oracles: Map[String, String] = Map(
     "q125_label_propagation" -> q125Sql,
@@ -2976,5 +3018,6 @@ object ExtQueries4 {
     "q181_bio_extract" -> q181Sql,
     "q182_access_log" -> q182Sql,
     "q183_po_extract" -> q183Sql,
-    "q184_tmx_extract" -> q184Sql)
+    "q184_tmx_extract" -> q184Sql,
+    "q185_ics_extract" -> q185Sql)
 }
