@@ -2895,6 +2895,122 @@ object ExtQueries4 {
          true AS valid
        FROM law ORDER BY id, ev"""
 
+  // ---------------------------------------------------------------
+  // q186 — mixed-format document catalog (sniff + dispatch over a
+  // table interleaving PDF/DOCX/EPUB/Markdown/LaTeX/MediaWiki blobs
+  // — the FIRST operator a real document lake runs, because format
+  // labels can't be trusted): 8 documents per format, global id =
+  // 6·m + f, every format unified onto one text schema. The oracle
+  // replays all six fixture laws as a UNION. Sniff strictness is
+  // spec-gated in DocCatalogSpec.
+  private val CatPerFmt = 8
+
+  def q186(s: SparkSession, dir: String): DataFrame = {
+    val fx = graft.operators.DocCatalog.docCatalogFixture(s, CatPerFmt)
+    graft.operators.DocCatalog.extractDocs(fx, "id", "media")
+      .select(col("id"), col("seq"), col("fmt"), col("text"),
+        col("n_words"), col("digit_sum"), col("valid"))
+      .orderBy("id", "seq")
+  }
+
+  val q186Sql: String =
+    s"""SELECT * FROM (
+       SELECT m * 6 + 0 AS id, CAST(p AS INT) AS seq, 'pdf' AS fmt,
+         'Pg ' || p || ' d' || (m * 3 + p * 7) % 10
+           || ' d' || (m * 3 + p * 7 + 1) % 10
+           || ' (q' || (m * 3 + p * 7 + 2) % 10
+           || ') Ax' || (m * 3 + p * 7 + 3) % 10
+           || ' kern' || (m * 3 + p * 7 + 4) % 10
+           || ' z' || (m * 3 + p * 7 + 5) % 10 AS text,
+         CAST(8 AS BIGINT) AS n_words,
+         CAST(p + (m * 3 + p * 7) % 10 + (m * 3 + p * 7 + 1) % 10
+           + (m * 3 + p * 7 + 2) % 10 + (m * 3 + p * 7 + 3) % 10
+           + (m * 3 + p * 7 + 4) % 10 + (m * 3 + p * 7 + 5) % 10
+           AS BIGINT) AS digit_sum,
+         true AS valid
+       FROM (SELECT r AS m, unnest([p for p in range(0, 1 + r % 4)]) AS p
+             FROM range(0, $CatPerFmt) t(r))
+       UNION ALL
+       SELECT m * 6 + 1, 0, 'docx',
+         array_to_string(['ha' || (m * 7 + p * 3) % 10
+           || 'lf' || (m * 7 + p * 3 + 1) % 10
+           || ' amp&' || (m * 7 + p * 3 + 2) % 10
+           || ' tail' || (m * 7 + p * 3 + 3) % 10
+           for p in range(0, 2 + m % 3)], ' '),
+         CAST((2 + m % 3) * 3 AS BIGINT),
+         CAST(list_sum([(m * 7 + p * 3) % 10 + (m * 7 + p * 3 + 1) % 10
+           + (m * 7 + p * 3 + 2) % 10 + (m * 7 + p * 3 + 3) % 10
+           for p in range(0, 2 + m % 3)]) AS BIGINT),
+         true
+       FROM range(0, $CatPerFmt) t(m)
+       UNION ALL
+       SELECT m * 6 + 2, CAST(k AS INT), 'epub',
+         array_to_string(['e' || (m * 7 + k * 3 + j) % 10
+           for j in range(0, 8 + (m + k) % 5)], ' '),
+         CAST(8 + (m + k) % 5 AS BIGINT),
+         CAST(list_sum([(m * 7 + k * 3 + j) % 10
+           for j in range(0, 8 + (m + k) % 5)]) AS BIGINT),
+         true
+       FROM (SELECT r AS m, unnest([k for k in range(0, 2 + r % 3)]) AS k
+             FROM range(0, $CatPerFmt) t(r))
+       UNION ALL
+       SELECT m * 6 + 3, 0, 'markdown',
+         array_to_string(['H' || s || ' k' || (m + s) % 10
+           || ' p' || (m * 7 + s * 3) % 10
+           || ' p' || (m * 7 + s * 3 + 1) % 10
+           || ' p' || (m * 7 + s * 3 + 2) % 10
+           || ' p' || (m * 7 + s * 3 + 3) % 10
+           || ' lk' || (m + s) % 8 || ' li' || (m + s) % 10
+           || ' q' || (m + s) % 6
+           for s in range(0, 1 + m % 3)], ' '),
+         CAST((1 + m % 3) * 9 AS BIGINT),
+         CAST(list_sum([s + (m + s) % 10 + (m * 7 + s * 3) % 10
+           + (m * 7 + s * 3 + 1) % 10 + (m * 7 + s * 3 + 2) % 10
+           + (m * 7 + s * 3 + 3) % 10 + (m + s) % 8 + (m + s) % 10
+           + (m + s) % 6
+           for s in range(0, 1 + m % 3)]) AS BIGINT),
+         true
+       FROM range(0, $CatPerFmt) t(m)
+       UNION ALL
+       SELECT m * 6 + 4, 0, 'latex',
+         array_to_string(['S' || s || ' h' || (m + s) % 10
+           || ' w' || (m * 7 + s * 3) % 10
+           || ' w' || (m * 7 + s * 3 + 1) % 10
+           || ' w' || (m * 7 + s * 3 + 2) % 10
+           || ' w' || (m * 7 + s * 3 + 3) % 10
+           || ' e&f li' || (m + s) % 8 || ' lj' || (m + s) % 6
+           for s in range(0, 1 + m % 3)], ' '),
+         CAST((1 + m % 3) * 9 AS BIGINT),
+         CAST(list_sum([s + (m + s) % 10 + (m * 7 + s * 3) % 10
+           + (m * 7 + s * 3 + 1) % 10 + (m * 7 + s * 3 + 2) % 10
+           + (m * 7 + s * 3 + 3) % 10 + (m + s) % 8 + (m + s) % 6
+           for s in range(0, 1 + m % 3)]) AS BIGINT),
+         true
+       FROM range(0, $CatPerFmt) t(m)
+       UNION ALL
+       SELECT m * 6 + 5, CAST(p AS INT), 'wiki',
+         array_to_string([
+           'Sec ' || s || ' m' || (m * 3 + p * 5 + s * 7) % 10
+             || ' m' || (m * 3 + p * 5 + s * 7 + 1) % 10
+             || ' m' || (m * 3 + p * 5 + s * 7 + 2) % 10
+             || ' L' || (m + p + s) % 7 || ' b' || (m + s) % 5
+             || ' m' || (m * 3 + p * 5 + s * 7 + 3) % 10
+             || ' x' || (p + s) % 9
+             || ' m' || (m * 3 + p * 5 + s * 7 + 4) % 10
+           for s in range(0, 1 + (m + p) % 2)], ' '),
+         CAST((1 + (m + p) % 2) * 10 AS BIGINT),
+         CAST(list_sum([s + (m * 3 + p * 5 + s * 7) % 10
+             + (m * 3 + p * 5 + s * 7 + 1) % 10
+             + (m * 3 + p * 5 + s * 7 + 2) % 10
+             + (m + p + s) % 7 + (m + s) % 5
+             + (m * 3 + p * 5 + s * 7 + 3) % 10 + (p + s) % 9
+             + (m * 3 + p * 5 + s * 7 + 4) % 10
+           for s in range(0, 1 + (m + p) % 2)]) AS BIGINT),
+         true
+       FROM (SELECT r AS m, unnest([p for p in range(0, 2 + r % 3)]) AS p
+             FROM range(0, $CatPerFmt) t(r))
+       ) ORDER BY id, seq"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q125_label_propagation" -> (q125 _),
     "q126_pmi_cooccur" -> (q126 _),
@@ -2956,7 +3072,8 @@ object ExtQueries4 {
     "q182_access_log" -> (q182 _),
     "q183_po_extract" -> (q183 _),
     "q184_tmx_extract" -> (q184 _),
-    "q185_ics_extract" -> (q185 _))
+    "q185_ics_extract" -> (q185 _),
+    "q186_doc_catalog" -> (q186 _))
 
   val oracles: Map[String, String] = Map(
     "q125_label_propagation" -> q125Sql,
@@ -3019,5 +3136,6 @@ object ExtQueries4 {
     "q182_access_log" -> q182Sql,
     "q183_po_extract" -> q183Sql,
     "q184_tmx_extract" -> q184Sql,
-    "q185_ics_extract" -> q185Sql)
+    "q185_ics_extract" -> q185Sql,
+    "q186_doc_catalog" -> q186Sql)
 }

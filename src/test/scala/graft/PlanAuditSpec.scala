@@ -277,7 +277,8 @@ class PlanAuditSpec extends SparkSpec {
         "q178_id3_catalog", "q179_docx_extract",
         "q180_xlsx_extract", "q181_bio_extract",
         "q182_access_log", "q183_po_extract",
-        "q184_tmx_extract", "q185_ics_extract").foreach { q =>
+        "q184_tmx_extract", "q185_ics_extract",
+        "q186_doc_catalog").foreach { q =>
       val p = plan(q)
       val exchanges = "Exchange".r.findAllIn(p).length
       assert(exchanges <= 1, s"$q: codec decode should not shuffle:\n$p")
