@@ -136,7 +136,7 @@ class EpubLakeSpec extends SparkSpec {
 
   test("null / non-zip / empty-zip reject") {
     assert(EpubLake.parseEpub(null).isEmpty)
-    assert(EpubLake.parseEpub("PKjunk".getBytes("ISO-8859-1")).isEmpty)
+    assert(EpubLake.parseEpub("PK\u0003\u0004junk".getBytes("ISO-8859-1")).isEmpty)
     // hand-built zero-entry EOCD (ZipOutputStream refuses to write one)
     val eocd = new Array[Byte](22)
     eocd(0) = 0x50; eocd(1) = 0x4b; eocd(2) = 0x05; eocd(3) = 0x06

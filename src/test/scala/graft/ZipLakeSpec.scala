@@ -75,7 +75,7 @@ class ZipLakeSpec extends SparkSpec {
     val badMethod = mut(c => c(cdOff + 10) = 3)
     val crcFlip = mut(c => c(cdOff + 16) = (c(cdOff + 16) ^ 1).toByte)
     val nameFlip = mut(c => c(cdOff + 46) = 'q'.toByte) // CD name != local name
-    val junk = "PK but not really a zip".getBytes("ISO-8859-1")
+    val junk = "PK\u0003\u0004 but not really a zip".getBytes("ISO-8859-1")
     val cases = Seq(good, payloadFlip, truncated, noEocd, encrypted,
       badMethod, crcFlip, nameFlip, junk)
     val df = cases.zipWithIndex.map { case (b, i) => (i.toLong, b) }
