@@ -3011,6 +3011,43 @@ object ExtQueries4 {
              FROM range(0, $CatPerFmt) t(r))
        ) ORDER BY id, seq"""
 
+  // ---------------------------------------------------------------
+  // q187 — SQL dump extraction (mysqldump shape — relational data
+  // arriving in a corpus): 40 dumps, one table each, 2-3 INSERT
+  // statements of 2-4 tuples; names plant a `;` (the quote-aware
+  // statement-splitter law) and doubled-quote escapes; 2-decimal
+  // prices project ×100 exactly, NULL on the (i+s+t)%5==4 law.
+  // Grammar + cross-statement strictness is spec-gated in
+  // SqlDumpLakeSpec.
+  private val SqlN = 40
+
+  def q187(s: SparkSession, dir: String): DataFrame = {
+    val fx = graft.operators.SqlDumpLake.sqlDumpFixture(s, SqlN)
+    graft.operators.SqlDumpLake.extractSqlDump(fx, "id", "media")
+      .select(col("id"), col("tbl"), col("stmt"), col("tup"),
+        col("row_id"), col("name"), col("price_x100"), col("valid"))
+      .orderBy("id", "stmt", "tup")
+  }
+
+  val q187Sql: String =
+    s"""WITH base AS (SELECT r AS id, 2 + r % 2 AS ns FROM range(0, $SqlN) t(r)),
+       st AS (SELECT id, unnest([s for s in range(0, ns)]) AS s FROM base),
+       tups AS (SELECT id, s,
+                  unnest([t for t in range(0, 2 + (id + s) % 3)]) AS t
+                FROM st),
+       law AS (SELECT id, s, t, (id * 7 + s * 3 + t * 5) % 10 AS d0,
+                      (id * 7 + s * 3 + t * 5 + 1) % 10 AS d1 FROM tups)
+       SELECT id, 't' || id % 5 AS tbl,
+         CAST(s AS INT) AS stmt, CAST(t AS INT) AS tup,
+         CAST(id * 100 + s * 10 + t AS BIGINT) AS row_id,
+         CASE WHEN t % 4 = 3 THEN 'a;b' || d0
+              WHEN t % 3 = 2 THEN 'it''s' || d0
+              ELSE 'n' || d0 || 'x' || d1 END AS name,
+         CAST(CASE WHEN (id + s + t) % 5 != 4
+              THEN id * 31 + s * 7 + t * 3 END AS BIGINT) AS price_x100,
+         true AS valid
+       FROM law ORDER BY id, stmt, tup"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q125_label_propagation" -> (q125 _),
     "q126_pmi_cooccur" -> (q126 _),
@@ -3073,7 +3110,8 @@ object ExtQueries4 {
     "q183_po_extract" -> (q183 _),
     "q184_tmx_extract" -> (q184 _),
     "q185_ics_extract" -> (q185 _),
-    "q186_doc_catalog" -> (q186 _))
+    "q186_doc_catalog" -> (q186 _),
+    "q187_sqldump_extract" -> (q187 _))
 
   val oracles: Map[String, String] = Map(
     "q125_label_propagation" -> q125Sql,
@@ -3137,5 +3175,6 @@ object ExtQueries4 {
     "q183_po_extract" -> q183Sql,
     "q184_tmx_extract" -> q184Sql,
     "q185_ics_extract" -> q185Sql,
-    "q186_doc_catalog" -> q186Sql)
+    "q186_doc_catalog" -> q186Sql,
+    "q187_sqldump_extract" -> q187Sql)
 }
