@@ -35,12 +35,14 @@ import org.apache.spark.sql.types._
   * real (q155): full bit-unpack + CRC-16 + conformant requantization
   * to the subband domain — Layer I is the MPEG audio family member
   * whose bitstream needs no tabulated allocation/Huffman tables.
-  * Layer II/III and AAC payloads (whose decode hinges on large
-  * tabulated spec constants that ship neither in the JDK nor this
-  * container) and inter-frame video codecs stay behind the
-  * deterministic `GRFT` container STUB: the per-partition batch
-  * shape is identical, and swapping in a real codec changes no plan
-  * shape.
+  * MPEG-1 Layer II payloads are ALSO real (q156): the ISO/IEC
+  * 11172-3 Tables 3-B.2a-d allocation classes are checked in as
+  * code and the decode requantizes grouped/ungrouped codes with
+  * per-granule scalefactor selection (see `parseMp2` below). AAC
+  * payloads (large perceptual filterbank constants) and inter-frame
+  * video codecs stay behind the deterministic `GRFT` container
+  * STUB: the per-partition batch shape is identical, and swapping
+  * in a real codec changes no plan shape.
   *
   * Fake container layout (little-endian):
   * {{{
