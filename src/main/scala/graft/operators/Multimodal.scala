@@ -20,9 +20,11 @@ import org.apache.spark.sql.types._
   * bit), parsed with a plain chunk walk (WAV is a container + raw
   * samples; no codec library needed): metadata from the fmt/data
   * chunks, features from the decoded sample stream. For COMPRESSED
-  * audio, three public formats are real: the MP3 (MPEG-1 Layer III)
-  * frame-HEADER walk (sync/version/layer verification, per-frame
-  * length arithmetic, rate/bitrate/frame-count/duration), FLAC
+  * audio, the real formats are: the MP3 (MPEG-1 Layer III)
+  * frame-HEADER walk (q93) AND the full Layer III PAYLOAD decode
+  * (q188 — bit reservoir, side info, scalefactors, three-region
+  * Huffman through the checked-in public-spec tables, count1,
+  * requantization; see the Layer III block comment below), FLAC
   * DECODE at two depths — the byte-aligned constant-subframe catalog
   * subset (q144) and the bit-exact PCM decoder for CONSTANT /
   * VERBATIM / FIXED-predictor / LPC subframes with partitioned Rice
@@ -509,9 +511,9 @@ object Multimodal {
     * (144·bitrate/rate + pad), and require the walk to land exactly
     * on end-of-buffer. Returns (sampleRate, firstFrameBitrateKbps,
     * frameCount) — the metadata a catalog pass needs (duration =
-    * frames·1152/rate) WITHOUT any audio decode, which stays behind
-    * the GRFT stub. Mixed sample rates, truncated tails, or reserved
-    * field values ⇒ None. */
+    * frames·1152/rate) WITHOUT any audio decode; the full payload
+    * decode is [[parseMp3L3]] (q188). Mixed sample rates, truncated
+    * tails, or reserved field values ⇒ None. */
   private[graft] def parseMp3(b: Array[Byte]): Option[(Int, Int, Int)] = {
     if (!isMp3Sync(b)) return None
     var off = 0; var n = 0; var sr = -1; var br = -1
@@ -1247,6 +1249,676 @@ object Multimodal {
   }
 
   // ------------------------------------------------------------------
+  // MPEG-1 Audio Layer III — REAL payload decode (ISO/IEC 11172-3
+  // §2.4.1.7 / §2.4.2.7 / §2.4.3.4, public spec), q188. Everything the
+  // header walk (q93) leaves out is decoded for real: the BIT RESERVOIR
+  // (main_data_begin back-pointers into previous frames' slots, honored
+  // through a rolling 511-byte window — the spec's own bound, so memory
+  // stays O(1) per stream however long the blob), side info unpacking
+  // (17/32 bytes, CRC-16-protected together with the header on
+  // protected frames), scfsi scalefactor sharing between granules over
+  // the four band groups, per-granule long-block scalefactors (slen1/
+  // slen2 from the scalefac_compress table), three-region big-value
+  // HUFFMAN decoding with per-region table selection from the
+  // checked-in public-spec code tables (src/main/resources/graft/
+  // mp3_huffman.txt — see that file's provenance note; absent table
+  // ids are rejected as unsupported, never guessed), the resource-
+  // driven linbits/ESC path, sign bits, the count1 quadruple region
+  // (Huffman table A and raw-inverted table B), rzero, and
+  // requantization
+  //   xr = sign · is^(4/3) · 2^((global_gain−210)/4
+  //        − (scalefac_scale+1)/2 · (scalefac[sfb] + preflag·pretab[sfb]))
+  // emitted in the CUBE DOMAIN as round-half-even Q15 integers:
+  //   q = rne(is⁴ · 2^(3·E4/4) · 2^15),   E4 = quarter-exponent above.
+  // The cube is a strictly monotone transform of |xr| that pins exactly
+  // the same information (the Huffman integer and the full exponent
+  // law), but is INTEGER-EXACT for EVERY Huffman magnitude whenever
+  // E4 ≡ 0 (mod 4) — is^(4/3) itself is irrational for every non-cube
+  // is, which would leave most magnitudes pinned only through doubles.
+  // Quarter exponents not divisible by 4 take an exact BigInt
+  // fourth-root path (property-gated in Mp3Layer3Spec), never doubles.
+  // Short/mixed blocks (window_switching_flag=1) and joint stereo are
+  // rejected, not guessed — the same documented-scope posture as
+  // Layer I's intensity stereo and Layer II's B.2c/d regimes. The
+  // synthesis filterbank (IMDCT + Table 3-B.3 window) stays out of
+  // decode scope exactly as for Layers I/II.
+
+  /** One loaded Huffman code table: decode tree + encode map. Pair
+    * tables key x·16+y; the count1 quad table keys v·8+w·4+x·2+y. */
+  private[graft] final class Mp3Huff(
+      val id: Int, val maxVal: Int, val linbits: Int, val quad: Boolean,
+      entries: Seq[(Int, Int, String)]) {
+    private val left = scala.collection.mutable.ArrayBuffer(-1)
+    private val right = scala.collection.mutable.ArrayBuffer(-1)
+    private val leaf = scala.collection.mutable.ArrayBuffer(-1)
+    private val enc = new java.util.HashMap[Integer, (Int, Long)]()
+    entries.foreach { case (key, hlen, bits) =>
+      require(bits.length == hlen, s"table $id: hlen mismatch")
+      var node = 0
+      var i = 0
+      while (i < bits.length) {
+        val zero = bits.charAt(i) == '0'
+        val arr = if (zero) left else right
+        var child = arr(node)
+        if (child == -1) {
+          left += -1; right += -1; leaf += -1
+          child = leaf.length - 1
+          arr(node) = child
+        }
+        require(leaf(node) == -1, s"table $id: code under a leaf")
+        node = child
+        i += 1
+      }
+      require(leaf(node) == -1 && left(node) == -1 && right(node) == -1,
+        s"table $id: duplicate/prefix code")
+      leaf(node) = key
+      enc.put(key, (hlen, java.lang.Long.parseLong(bits, 2)))
+    }
+    private val ls = left.toArray
+    private val rs = right.toArray
+    private val vs = leaf.toArray
+    /** Every internal node must have both children — a complete prefix
+      * code (Kraft sum exactly 1), which is what makes the offline
+      * transcription check strong. */
+    val complete: Boolean = ls.indices.forall { n =>
+      vs(n) >= 0 || (ls(n) != -1 && rs(n) != -1)
+    }
+    def decode(br: FlacBitReader): Int = {
+      var node = 0
+      while (vs(node) < 0)
+        node = if (br.readBit() == 0) ls(node) else rs(node)
+      vs(node)
+    }
+    def encodeBits(key: Int): (Int, Long) = {
+      val e = enc.get(key)
+      require(e != null, s"table $id: no code for key $key")
+      e
+    }
+    def keys: Seq[Int] = {
+      import scala.jdk.CollectionConverters._
+      enc.keySet().asScala.map(_.intValue()).toSeq.sorted
+    }
+  }
+
+  /** Layer III Huffman tables from the checked-in public-spec resource
+    * (mp3_huffman.txt — see its header for provenance and scope). */
+  private[graft] lazy val mp3HuffTables: Map[Int, Mp3Huff] = {
+    val in = getClass.getResourceAsStream("/graft/mp3_huffman.txt")
+    require(in != null, "graft/mp3_huffman.txt resource missing")
+    val lines = try
+      scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#")).toList
+    finally in.close()
+    val tables = Map.newBuilder[Int, Mp3Huff]
+    var i = 0
+    while (i < lines.length) {
+      val hdr = lines(i).split("\\s+")
+      require(hdr(0) == "table", s"bad table header: ${lines(i)}")
+      val id = hdr(1).toInt
+      val quad = hdr(2) == "quad"
+      val (maxVal, linbits) =
+        if (quad) (2, 0) else (hdr(3).toInt, hdr(5).toInt)
+      i += 1
+      val es = Seq.newBuilder[(Int, Int, String)]
+      while (i < lines.length && !lines(i).startsWith("table")) {
+        val t = lines(i).split("\\s+")
+        if (quad)
+          es += (((t(0).toInt << 3) | (t(1).toInt << 2) |
+            (t(2).toInt << 1) | t(3).toInt, t(4).toInt, t(5)))
+        else
+          es += (((t(0).toInt << 4) | t(1).toInt, t(2).toInt, t(3)))
+        i += 1
+      }
+      val tab = new Mp3Huff(id, maxVal, linbits, quad, es.result())
+      require(tab.complete, s"table $id: not a complete prefix code")
+      tables += id -> tab
+    }
+    tables.result()
+  }
+
+  /** ISO Table B.8 long-block scalefactor-band boundaries per rate
+    * index (44.1 / 48 / 32 kHz): 22 bands, last boundary 576. */
+  private val Mp3SfbLong: Array[Array[Int]] = Array(
+    Array(0, 4, 8, 12, 16, 20, 24, 30, 36, 44, 52, 62, 74, 90, 110,
+      134, 162, 196, 238, 288, 342, 418, 576),
+    Array(0, 4, 8, 12, 16, 20, 24, 30, 36, 42, 50, 60, 72, 88, 106,
+      128, 156, 190, 230, 276, 330, 384, 576),
+    Array(0, 4, 8, 12, 16, 20, 24, 30, 36, 44, 54, 66, 82, 102, 126,
+      156, 194, 240, 296, 364, 448, 550, 576))
+
+  /** Preemphasis table (pretab), one entry per long band 0..21. */
+  private val Mp3Pretab =
+    Array(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 3, 3, 3, 2, 0)
+
+  /** scalefac_compress → (slen1 for bands 0-10, slen2 for bands 11-20). */
+  private val Mp3Slen: Array[(Int, Int)] = Array(
+    (0, 0), (0, 1), (0, 2), (0, 3), (3, 0), (1, 1), (1, 2), (1, 3),
+    (2, 1), (2, 2), (2, 3), (3, 1), (3, 2), (3, 3), (4, 2), (4, 3))
+
+  /** scfsi band group of a long band: 0-5, 6-10, 11-15, 16-20. */
+  private def mp3Grp(band: Int): Int =
+    if (band < 6) 0 else if (band < 11) 1 else if (band < 16) 2 else 3
+
+  /** floor of the integer fourth root (sqrt of sqrt is exact). */
+  private[graft] def bigIntRoot4(n: BigInt): BigInt =
+    BigInt(n.bigInteger.sqrt().sqrt())
+
+  /** Exact round-half-even of (m⁴·2^t)^(1/4) (t in quarter-of-2 units
+    * not divisible by 4): RHE(x) where x⁴·den = num, decided purely on
+    * integers — x ≥ q+1/2 ⟺ 16·num ≥ (2q+1)⁴·den. */
+  private[graft] def mp3CubeQ15Exact(m: Long, t: Int): BigInt = {
+    val n0 = BigInt(m).pow(4)
+    val num = if (t >= 0) n0 << t else n0
+    val den = if (t >= 0) BigInt(1) else BigInt(1) << -t
+    val q = bigIntRoot4(num / den)
+    val lhs = num << 4
+    val rhs = (2 * q + 1).pow(4) * den
+    if (lhs > rhs) q + 1
+    else if (lhs < rhs) q
+    else if (q.testBit(0)) q + 1 else q
+  }
+
+  /** Cube-domain Q15 requantized magnitude for Huffman integer `is`
+    * under quarter-exponent E4 (see the block comment): exact shifts
+    * when E4 ≡ 0 (mod 4), exact BigInt fourth root otherwise. Values
+    * past 62 bits reject the stream (output is a LongType column). */
+  private[graft] def mp3CubeQ15(is: Int, e4: Int): Long = {
+    if (is == 0) return 0L
+    val m = is.toLong
+    val m4 = m * m * m * m // is ≤ 15 + 2^13 ⇒ m4 < 2^53
+    val t = 3 * e4 + 60
+    if ((t & 3) == 0) {
+      val e = t >> 2
+      if (e >= 0) {
+        if (64 - java.lang.Long.numberOfLeadingZeros(m4) + e > 62)
+          throw FlacEof
+        m4 << e
+      } else if (e <= -63) 0L
+      else rne(m4, 1L << -e)
+    } else {
+      val q = mp3CubeQ15Exact(m4, t)
+      if (q.bitLength > 62) throw FlacEof
+      q.toLong
+    }
+  }
+
+  private[graft] final case class Mp3L3Decoded(
+      rate: Int, kbps: Int, channels: Int, nFrames: Int,
+      totalSamples: Long, nDecoded: Long, huffSum: Long, valueSum: Long,
+      mn: Long, mx: Long)
+
+  private final case class Mp3GrInfo(
+      part23: Int, bigValues: Int, globalGain: Int, scalefacCompress: Int,
+      tableSelect: Array[Int], region0: Int, region1: Int,
+      preflag: Int, scalefacScale: Int, count1Table: Int)
+
+  /** Parse + FULLY decode an MPEG-1 Layer III stream to requantized
+    * (cube-domain Q15) spectral values — same strictness posture and
+    * aggregate surface family as [[parseMp1]]/[[parseMp2]], plus
+    * `huffSum` (the signed Huffman-integer sum), which pins the
+    * entropy-decode stage independently of the requantizer. */
+  private[graft] def parseMp3L3(b: Array[Byte]): Option[Mp3L3Decoded] = {
+    if (b == null || b.length < 8) return None
+    var off = 0; var nf = 0
+    var rate = -1; var rateIdx = -1; var kbps = -1; var chans = -1
+    var sum = 0L; var hsum = 0L
+    var mn = Long.MaxValue; var mx = Long.MinValue; var nDec = 0L
+    // rolling bit-reservoir window: the last ≤511 bytes of main data
+    // (main_data_begin is a 9-bit byte count — the spec's own bound)
+    var resv = new Array[Byte](0)
+    try {
+      while (off + 4 <= b.length) {
+        if ((b(off) & 0xff) != 0xff || (b(off + 1) & 0xfe) != 0xfa)
+          return None // sync + MPEG-1 + Layer III (either protection bit)
+        val prot = (b(off + 1) & 1) == 0
+        val b2 = b(off + 2) & 0xff
+        val bi = b2 >> 4
+        val si = (b2 >> 2) & 3
+        val pad = (b2 >> 1) & 1
+        if (bi == 0 || bi == 15 || si == 3) return None
+        val b3 = b(off + 3) & 0xff
+        val mode = b3 >> 6
+        if (mode == 1) return None // joint stereo out of scope
+        val ch = if (mode == 3) 1 else 2
+        val r0 = Mp3Rates(si)
+        if (rate == -1) {
+          rate = r0; rateIdx = si; kbps = Mp3Bitrates(bi); chans = ch
+        } else if (r0 != rate || ch != chans) return None
+        val flen = 144000 * Mp3Bitrates(bi) / r0 + pad
+        val siBytes = if (ch == 1) 17 else 32
+        val hdrBytes = 4 + (if (prot) 2 else 0) + siBytes
+        if (flen < hdrBytes || off + flen > b.length) return None
+        val siStart = off + 4 + (if (prot) 2 else 0)
+        if (prot) {
+          val crcWord = ((b(off + 4) & 0xff) << 8) | (b(off + 5) & 0xff)
+          val crc = new Mp1Crc
+          crc.update(b2, 8); crc.update(b3, 8)
+          var i = 0
+          while (i < siBytes) { crc.update(b(siStart + i) & 0xff, 8); i += 1 }
+          if (crc.value != crcWord) return None
+        }
+        // --- side info ---
+        val sr = new FlacBitReader(b, siStart, siStart + siBytes)
+        val mdb = sr.readBits(9).toInt
+        sr.readBits(if (ch == 1) 5 else 3) // private_bits
+        val scfsi = new Array[Int](ch)
+        var c = 0
+        while (c < ch) { scfsi(c) = sr.readBits(4).toInt; c += 1 }
+        val gi = Array.ofDim[Mp3GrInfo](2, ch)
+        var g = 0
+        while (g < 2) {
+          c = 0
+          while (c < ch) {
+            val p23 = sr.readBits(12).toInt
+            val bv = sr.readBits(9).toInt
+            val gg = sr.readBits(8).toInt
+            val scomp = sr.readBits(4).toInt
+            if (sr.readBit() != 0) return None // short/mixed out of scope
+            val ts = Array(sr.readBits(5).toInt, sr.readBits(5).toInt,
+              sr.readBits(5).toInt)
+            val r0c = sr.readBits(4).toInt
+            val r1c = sr.readBits(3).toInt
+            val pf = sr.readBit()
+            val ssc = sr.readBit()
+            val c1t = sr.readBit()
+            if (bv > 288) return None // §2.4.2.7 bound
+            gi(g)(c) = Mp3GrInfo(p23, bv, gg, scomp, ts, r0c, r1c,
+              pf, ssc, c1t)
+            c += 1
+          }
+          g += 1
+        }
+        // --- reservoir: this frame's granule data starts mdb bytes
+        // before its own slot, inside the rolling window ---
+        if (mdb > resv.length) return None
+        val slotStart = siStart + siBytes
+        val slotLen = off + flen - slotStart
+        val buf = new Array[Byte](mdb + slotLen)
+        System.arraycopy(resv, resv.length - mdb, buf, 0, mdb)
+        System.arraycopy(b, slotStart, buf, mdb, slotLen)
+        val br = new FlacBitReader(buf, 0, buf.length)
+        val bounds = Mp3SfbLong(rateIdx)
+        val sfPrev = Array.ofDim[Int](ch, 22)
+        val isArr = new Array[Int](576)
+        g = 0
+        while (g < 2) {
+          c = 0
+          while (c < ch) {
+            val info = gi(g)(c)
+            val start = br.bitPosition
+            // --- scalefactors (long blocks: 11·slen1 + 10·slen2) ---
+            val (sl1, sl2) = Mp3Slen(info.scalefacCompress)
+            val sf = new Array[Int](22)
+            var band = 0
+            while (band < 21) {
+              val sl = if (band < 11) sl1 else sl2
+              val shared =
+                g == 1 && ((scfsi(c) >> (3 - mp3Grp(band))) & 1) == 1
+              sf(band) =
+                if (shared) sfPrev(c)(band)
+                else if (sl == 0) 0
+                else br.readBits(sl).toInt
+              band += 1
+            }
+            if (g == 0) System.arraycopy(sf, 0, sfPrev(c), 0, 22)
+            // --- big values: three regions, per-region table ---
+            val r0End = bounds(math.min(info.region0 + 1, 22))
+            val r1End =
+              bounds(math.min(info.region0 + 1 + info.region1 + 1, 22))
+            val bvEnd = info.bigValues * 2
+            var p = 0
+            while (p < bvEnd) {
+              val tsel =
+                if (p < r0End) info.tableSelect(0)
+                else if (p < r1End) info.tableSelect(1)
+                else info.tableSelect(2)
+              if (tsel == 0) { isArr(p) = 0; isArr(p + 1) = 0 }
+              else {
+                val tab = mp3HuffTables.getOrElse(tsel, null)
+                if (tab == null || tab.quad) return None // unsupported id
+                val key = tab.decode(br)
+                var x = key >> 4
+                var y = key & 15
+                if (x == 15 && tab.linbits > 0)
+                  x += br.readBits(tab.linbits).toInt
+                if (x != 0 && br.readBit() == 1) x = -x
+                if (y == 15 && tab.linbits > 0)
+                  y += br.readBits(tab.linbits).toInt
+                if (y != 0 && br.readBit() == 1) y = -y
+                isArr(p) = x; isArr(p + 1) = y
+              }
+              p += 2
+            }
+            // --- count1 quadruples until part2_3_length exhausted ---
+            val quadA = mp3HuffTables(32)
+            while (br.bitPosition - start < info.part23 && p + 4 <= 576) {
+              val quad =
+                if (info.count1Table == 1) (~br.readBits(4).toInt) & 15
+                else quadA.decode(br)
+              var k = 0
+              while (k < 4) {
+                var v = (quad >> (3 - k)) & 1
+                if (v != 0 && br.readBit() == 1) v = -v
+                isArr(p) = v
+                p += 1; k += 1
+              }
+            }
+            if (br.bitPosition - start > info.part23) return None
+            br.seekBits(start + info.part23) // rest of granule: rzero
+            // --- requantize decoded slots (cube-domain Q15) ---
+            var bnd = 0
+            var i = 0
+            while (i < p) {
+              while (bnd < 21 && i >= bounds(bnd + 1)) bnd += 1
+              val sfe = sf(bnd) +
+                (if (info.preflag == 1) Mp3Pretab(bnd) else 0)
+              val e4 = (info.globalGain - 210) -
+                (2 + 2 * info.scalefacScale) * sfe
+              val v = isArr(i)
+              val qa = mp3CubeQ15(math.abs(v), e4)
+              val q = if (v < 0) -qa else qa
+              sum += q; hsum += v
+              if (q < mn) mn = q
+              if (q > mx) mx = q
+              i += 1
+            }
+            nDec += p
+            c += 1
+          }
+          g += 1
+        }
+        // roll the reservoir window forward
+        val keep = math.min(resv.length + slotLen, 511)
+        val nr = new Array[Byte](keep)
+        if (slotLen >= keep)
+          System.arraycopy(b, slotStart + slotLen - keep, nr, 0, keep)
+        else {
+          val fromResv = keep - slotLen
+          System.arraycopy(resv, resv.length - fromResv, nr, 0, fromResv)
+          System.arraycopy(b, slotStart, nr, fromResv, slotLen)
+        }
+        resv = nr
+        nf += 1
+        off += flen
+      }
+      if (nf > 0 && off == b.length) {
+        if (nDec == 0) { mn = 0; mx = 0 }
+        Some(Mp3L3Decoded(rate, kbps, chans, nf, nf.toLong * 1152 * chans,
+          nDec, hsum, sum, mn, mx))
+      } else None
+    } catch { case FlacEof => None }
+  }
+
+  /** One granule-channel's encode-side description (long blocks). */
+  final case class Mp3GrSpec(
+      globalGain: Int, scalefacCompress: Int, preflag: Int,
+      scalefacScale: Int, count1Table: Int,
+      tableSelect: (Int, Int, Int), region0Count: Int, region1Count: Int,
+      bigValues: Int,
+      sf: Int => Int,    // band 0..20 → raw scalefactor (must fit slen)
+      value: Int => Int, // position → signed spectral integer
+      nCount1: Int)      // quadruples appended after the big values
+
+  /** Encode a REAL MPEG-1 Layer III stream (fixture / test side): the
+    * per-granule structure and every spectral value are SUPPLIED
+    * closed-form — the decoder is the operator under test. Main data
+    * is assembled as one global bit stream and distributed into the
+    * frames' slots with caller-chosen main_data_begin back-pointers,
+    * so the bit reservoir is exercised for real; part2_3_length is
+    * measured from the actual bits written; the CRC on protected
+    * frames covers header bytes 2-3 + side info, computed for real. */
+  def encodeMp3L3(
+      bitrateIdx: Int, rateIdx: Int, mono: Boolean, nFrames: Int,
+      protect: Boolean,
+      pad: Int => Int,                 // frame → 0/1
+      mdbTarget: Int => Int,           // frame → main_data_begin (0 for f=0)
+      scfsiN: (Int, Int) => Int,       // (frame, ch) → 4-bit nibble, grp0=MSB
+      gr: (Int, Int, Int) => Mp3GrSpec // (frame, granule, ch)
+  ): Array[Byte] = {
+    require(bitrateIdx >= 1 && bitrateIdx <= 14 && rateIdx >= 0 && rateIdx <= 2)
+    val rate = Mp3Rates(rateIdx)
+    val ch = if (mono) 1 else 2
+    val mode = if (mono) 3 else 0
+    val siBytes = if (mono) 17 else 32
+    val flens = Array.tabulate(nFrames)(f =>
+      144000 * Mp3Bitrates(bitrateIdx) / rate + (pad(f) & 1))
+    val slots = flens.map(_ - 4 - (if (protect) 2 else 0) - siBytes)
+    require(slots.forall(_ > 0), "bitrate too low for side info")
+    val totSlots = slots.sum
+    // --- pass 1: granule sections into one global main-data stream ---
+    val gw = new FlacBitWriter(totSlots)
+    val p23 = Array.ofDim[Int](nFrames, 2, ch)
+    val tAcc = new Array[Int](nFrames + 1) // slot bytes before frame f
+    for (f <- 0 until nFrames) tAcc(f + 1) = tAcc(f) + slots(f)
+    var gBits = 0 // running bit length of the global stream
+    def padToByte(): Unit = while ((gBits & 7) != 0) { gw.writeBit(0); gBits += 1 }
+    def padToBytePos(target: Int): Unit = {
+      padToByte()
+      require(gBits / 8 <= target,
+        s"main data overran its reservoir target ($gBits bits > $target B)")
+      while (gBits / 8 < target) { gw.writeBits(0, 8); gBits += 8 }
+    }
+    val bounds = Mp3SfbLong(rateIdx)
+    for (f <- 0 until nFrames) {
+      val mdb = mdbTarget(f)
+      require(mdb >= 0 && mdb <= 511 && mdb <= tAcc(f), s"mdb $mdb frame $f")
+      padToBytePos(tAcc(f) - mdb)
+      for (g <- 0 until 2; c <- 0 until ch) {
+        val s = gr(f, g, c)
+        val startBits = gBits
+        def wb(v: Long, n: Int): Unit = { gw.writeBits(v, n); gBits += n }
+        // scalefactors
+        val (sl1, sl2) = Mp3Slen(s.scalefacCompress)
+        for (band <- 0 until 21) {
+          val sl = if (band < 11) sl1 else sl2
+          val shared =
+            g == 1 && ((scfsiN(f, c) >> (3 - mp3Grp(band))) & 1) == 1
+          if (!shared && sl > 0) {
+            val v = s.sf(band)
+            require(v >= 0 && v < (1 << sl), s"sf $v !fit slen $sl")
+            wb(v.toLong, sl)
+          } else if (!shared) require(s.sf(band) == 0, "sf nonzero at slen 0")
+        }
+        // big values
+        val r0End = bounds(math.min(s.region0Count + 1, 22))
+        val r1End = bounds(math.min(s.region0Count + 1 + s.region1Count + 1, 22))
+        var p = 0
+        while (p < s.bigValues * 2) {
+          val tsel = if (p < r0End) s.tableSelect._1
+            else if (p < r1End) s.tableSelect._2 else s.tableSelect._3
+          val x = s.value(p); val y = s.value(p + 1)
+          if (tsel == 0) require(x == 0 && y == 0, "table 0 must code zeros")
+          else {
+            val tab = mp3HuffTables(tsel)
+            val ax = math.abs(x); val ay = math.abs(y)
+            require(ax < tab.maxVal && ay < tab.maxVal,
+              s"value $x/$y exceeds table $tsel (linbits escapes need a 16+ table)")
+            val (hl, hc) = tab.encodeBits((ax << 4) | ay)
+            wb(hc, hl)
+            if (ax != 0) wb(if (x < 0) 1 else 0, 1)
+            if (ay != 0) wb(if (y < 0) 1 else 0, 1)
+          }
+          p += 2
+        }
+        // count1 quadruples
+        val quadA = mp3HuffTables(32)
+        for (_ <- 0 until s.nCount1) {
+          val vs = Array(s.value(p), s.value(p + 1), s.value(p + 2), s.value(p + 3))
+          require(vs.forall(v => v >= -1 && v <= 1), "count1 values must be ±1/0")
+          val key = vs.map(math.abs).foldLeft(0)((a, v) => (a << 1) | v)
+          if (s.count1Table == 1) wb((~key & 15).toLong, 4)
+          else { val (hl, hc) = quadA.encodeBits(key); wb(hc, hl) }
+          vs.foreach(v => if (v != 0) wb(if (v < 0) 1 else 0, 1))
+          p += 4
+        }
+        p23(f)(g)(c) = gBits - startBits
+        require(p23(f)(g)(c) < 4096, "part2_3_length overflow")
+      }
+    }
+    padToBytePos(totSlots)
+    val global = java.util.Arrays.copyOf(gw.bytes, totSlots)
+    // --- pass 2: frames = header + CRC + side info + slot bytes ---
+    val out = new java.io.ByteArrayOutputStream()
+    for (f <- 0 until nFrames) {
+      val p = pad(f) & 1
+      val b2 = (bitrateIdx << 4) | (rateIdx << 2) | (p << 1)
+      val b3 = mode << 6
+      val sw = new FlacBitWriter(siBytes)
+      sw.writeBits(mdbTarget(f).toLong, 9)
+      sw.writeBits(0, if (mono) 5 else 3)
+      for (c <- 0 until ch) sw.writeBits((scfsiN(f, c) & 15).toLong, 4)
+      for (g <- 0 until 2; c <- 0 until ch) {
+        val s = gr(f, g, c)
+        sw.writeBits(p23(f)(g)(c).toLong, 12)
+        sw.writeBits(s.bigValues.toLong, 9)
+        sw.writeBits(s.globalGain.toLong, 8)
+        sw.writeBits(s.scalefacCompress.toLong, 4)
+        sw.writeBit(0) // window_switching_flag: long blocks
+        sw.writeBits(s.tableSelect._1.toLong, 5)
+        sw.writeBits(s.tableSelect._2.toLong, 5)
+        sw.writeBits(s.tableSelect._3.toLong, 5)
+        sw.writeBits(s.region0Count.toLong, 4)
+        sw.writeBits(s.region1Count.toLong, 3)
+        sw.writeBit(s.preflag)
+        sw.writeBit(s.scalefacScale)
+        sw.writeBit(s.count1Table)
+      }
+      sw.alignByte()
+      val siArr = java.util.Arrays.copyOf(sw.bytes, siBytes)
+      val fw = new java.io.ByteArrayOutputStream()
+      fw.write(0xff)
+      fw.write(if (protect) 0xfa else 0xfb) // MPEG-1, Layer III
+      fw.write(b2)
+      fw.write(b3)
+      if (protect) {
+        val crc = new Mp1Crc
+        crc.update(b2, 8); crc.update(b3, 8)
+        siArr.foreach(x => crc.update(x & 0xff, 8))
+        fw.write(crc.value >> 8); fw.write(crc.value & 0xff)
+      }
+      fw.write(siArr)
+      fw.write(global, tAcc(f), slots(f))
+      val fb = fw.toByteArray
+      require(fb.length == flens(f), s"frame $f length ${fb.length}")
+      out.write(fb)
+    }
+    out.toByteArray
+  }
+
+  /** Deterministic Layer III fixture: 44.1/48/32 kHz cycle, mono and
+    * stereo, 256/320 kbps, CRC on even ids, real bit-reservoir
+    * back-pointers on most frames, all 16 scfsi patterns over the
+    * corpus, both scalefac_scale laws (with sf parity pinned so every
+    * quarter exponent is ≡ 0 mod 4 — the oracle's integer-exact
+    * regime; the general path is property-gated in Mp3Layer3Spec),
+    * preflag exercised on band-12 samples where pretab = 1, region0
+    * through tables 1/2/3, region1 through 5/6, count1 through both
+    * table A and raw table B — the exact laws the q188 oracle
+    * replays. */
+  def mp3L3Fixture(spark: SparkSession, n: Int): DataFrame = {
+    val rows = (0 until n).map { r =>
+      val rateIdx = r % 3
+      val mono = (r / 3) % 3 == 0
+      val ch = if (mono) 1 else 2
+      val bitrateIdx = 13 + r % 2 // 256 / 320 kbps
+      val nf = 2 + r % 3
+      val s12 = Array(74, 72, 82)(rateIdx)
+      val bv = s12 / 2 + 1
+      def grSpec(f: Int, g: Int, c: Int): Mp3GrSpec = {
+        val ss = (r + f + c) % 2
+        val scomp = (r + 2 * f + 3 * g + 5 * c) % 16
+        val (sl1, sl2) = Mp3Slen(scomp)
+        val pf = if (ss == 0) 0 else (r + f + g + c) % 2
+        def sfRaw(grp: Int): Int = {
+          val base = r + 2 * f + 3 * g + 5 * c + 7 * grp
+          val sl = if (grp < 2) sl1 else sl2
+          if (ss == 1) base % (1 << sl)
+          else if (sl == 0) 0
+          else 2 * (base % (1 << (sl - 1)))
+        }
+        val t0 = 1 + (r + f + g + c) % 3
+        val mx0 = if (t0 == 1) 2 else 3 // modulus, values 0..mx0-1
+        def v(p: Int): Int = {
+          val (m, negKey) =
+            if (p < 24)
+              ((r * 7 + f * 5 + g * 3 + c * 9 + p) % mx0,
+                r + f + g + c + p)
+            else if (p < 36)
+              ((r * 11 + f * 3 + g * 7 + c * 5 + p) % 4,
+                r + f + g + c + p)
+            else if (p < s12) (0, 0)
+            else if (p == s12) (1 + (r + f + g + c) % 3, r + f + g + c)
+            else if (p == s12 + 1)
+              (1 + (r + f + g + c + 1) % 3, r + f + g + c + 1)
+            else // count1 region: s12+2 .. s12+13
+              ((r + 3 * f + 5 * g + 7 * c + (p - s12 - 2)) % 2,
+                r + f + g + c + (p - s12 - 2))
+          if (m != 0 && negKey % 2 == 1) -m else m
+        }
+        Mp3GrSpec(
+          globalGain = 210 + 4 * ((r + f + 2 * g + 3 * c) % 4),
+          scalefacCompress = scomp,
+          preflag = pf,
+          scalefacScale = ss,
+          count1Table = (r + f + g + c) % 2,
+          tableSelect = (t0, 5 + (r + g + c) % 2, 1),
+          region0Count = 5, region1Count = 7,
+          bigValues = bv,
+          sf = band => sfRaw(mp3Grp(band)),
+          value = v,
+          nCount1 = 3)
+      }
+      val media = encodeMp3L3(bitrateIdx, rateIdx, mono, nf,
+        protect = r % 2 == 0,
+        pad = f => (r + f) % 2,
+        mdbTarget = f =>
+          if (f == 0 || (r + f) % 3 == 0) 0 else (r + 11 * f) % 200,
+        scfsiN = (f, c) => (r + 3 * f + 5 * c) % 16,
+        gr = grSpec)
+      Row(r.toLong, media)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4),
+      StructType(Seq(
+        StructField("id", LongType, false),
+        StructField("media", BinaryType, true))))
+  }
+
+  /** Full-decode DataFrame op over MPEG-1 Layer III blobs — the
+    * [[decodeMp1]]/[[decodeMp2]] surface plus `huff_sum`; malformed
+    * streams yield valid=false rows, never throw. */
+  def decodeMp3L3(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("id", LongType, false),
+      StructField("sample_rate", IntegerType, true),
+      StructField("bitrate_kbps", IntegerType, true),
+      StructField("channels", IntegerType, true),
+      StructField("n_frames", IntegerType, true),
+      StructField("total_samples", LongType, true),
+      StructField("n_decoded", LongType, true),
+      StructField("huff_sum", LongType, true),
+      StructField("value_sum", LongType, true),
+      StructField("min_sample", LongType, true),
+      StructField("max_sample", LongType, true),
+      StructField("valid", BooleanType, false)))
+    val rows = df.select(col(idCol).cast(LongType), col(binCol)).rdd
+      .mapPartitions(_.map { r =>
+        scala.util.Try(parseMp3L3(r.getAs[Array[Byte]](1))).toOption
+          .flatten match {
+          case Some(d) =>
+            Row(r.getLong(0), d.rate, d.kbps, d.channels, d.nFrames,
+              d.totalSamples, d.nDecoded, d.huffSum, d.valueSum,
+              d.mn, d.mx, true)
+          case None =>
+            Row(r.getLong(0), null, null, null, null, null, null, null,
+              null, null, null, false)
+        }
+      })
+    spark.createDataFrame(rows, outSchema)
+  }
+
+  // ------------------------------------------------------------------
   // FLAC — REAL container walk + frame decode for the CONSTANT-subframe
   // subset (public format, xiph.org spec / RFC 9639): "fLaC" magic,
   // METADATA_BLOCK walk, STREAMINFO bit unpacking, per-frame header
@@ -1550,6 +2222,15 @@ object Multimodal {
     def alignByteZero(): Unit =
       while ((bitPos & 7) != 0) if (readBit() != 0) throw FlacEof
     def bytePos: Int = { require((bitPos & 7) == 0); bitPos >> 3 }
+    /** Absolute bit cursor — Layer III tracks part2_3_length with it. */
+    def bitPosition: Int = bitPos
+    /** Seek to an absolute bit position (forward or backward within
+      * bounds); Layer III granule sections are length-framed, not
+      * self-terminating, so the caller repositions between them. */
+    def seekBits(p: Int): Unit = {
+      if (p < from * 8 || p > endBit) throw FlacEof
+      bitPos = p
+    }
   }
   private object FlacEof extends RuntimeException {
     override def fillInStackTrace(): Throwable = this

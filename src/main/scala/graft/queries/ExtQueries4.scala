@@ -3048,6 +3048,157 @@ object ExtQueries4 {
          true AS valid
        FROM law ORDER BY id, stmt, tup"""
 
+  // ---------------------------------------------------------------
+  // q188 — MPEG-1 Audio Layer III payload decode (ISO/IEC 11172-3):
+  // 42 REAL Layer III streams — bit reservoir with nonzero
+  // main_data_begin back-pointers, CRC-16 over header+side-info on
+  // even ids, all 16 scfsi sharing patterns, both scalefac_scale
+  // regimes, preflag over band-12 samples (pretab = 1), three-region
+  // Huffman decode through checked-in public-spec code tables
+  // (region0: tables 1/2/3, region1: 5/6), count1 through Huffman
+  // table A AND raw-inverted table B, sign bits, rzero — decoded to
+  // CUBE-DOMAIN Q15 integers q = rne(is⁴·2^((3·E4+60)/4)) (exact for
+  // every Huffman magnitude; see Multimodal.scala's Layer III block
+  // comment). The oracle replays the scalefactor-fit law, the scfsi
+  // sharing map, the per-position value/sign/exponent laws and the
+  // shift/round-half-even arithmetic per sample; any slip — a wrong
+  // Huffman table entry, region boundary, slen pair, sharing group,
+  // pretab application, exponent term or rounding parity — shifts
+  // huff_sum or value_sum and fails the hash gate. Corruption matrix
+  // and the fractional-exponent exact-root path are spec-gated in
+  // Mp3Layer3Spec; the parser sits in ParserFuzzSpec's central
+  // no-throw gate.
+  private val Mp3L3N = 42
+
+  def q188(s: SparkSession, dir: String): DataFrame = {
+    val fx = graft.operators.Multimodal.mp3L3Fixture(s, Mp3L3N)
+    graft.operators.Multimodal.decodeMp3L3(fx, "id", "media")
+      .select(col("id"), col("sample_rate"), col("bitrate_kbps"),
+        col("channels"), col("n_frames"), col("total_samples"),
+        col("n_decoded"), col("huff_sum"), col("value_sum"),
+        col("min_sample"), col("max_sample"), col("valid"))
+      .orderBy("id")
+  }
+
+  val q188Sql: String =
+    s"""WITH base AS (
+         SELECT r,
+           CASE r % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                ELSE 32000 END AS rate,
+           CASE WHEN (r // 3) % 3 = 0 THEN 1 ELSE 2 END AS ch,
+           CASE r % 2 WHEN 0 THEN 256 ELSE 320 END AS kbps,
+           2 + r % 3 AS nf,
+           CASE r % 3 WHEN 0 THEN 74 WHEN 1 THEN 72 ELSE 82 END AS s12
+         FROM range(0, $Mp3L3N) t(r)),
+       frows AS (
+         SELECT *, unnest([f for f in range(0, nf)]) AS f FROM base),
+       crows AS (
+         SELECT *, unnest([c for c in range(0, ch)]) AS c FROM frows),
+       gc AS ( -- per (granule, channel) side-info law
+         SELECT r, s12, f, c, unnest([0, 1]) AS g FROM crows),
+       gc2 AS (
+         SELECT r, s12, f, c, g,
+           210 + 4 * ((r + f + 2 * g + 3 * c) % 4) AS gg,
+           (r + f + c) % 2 AS ss,
+           (r + 3 * f + 5 * c) % 16 AS nsc,
+           CASE WHEN (r + f + c) % 2 = 0 THEN 0
+                ELSE (r + f + g + c) % 2 END AS pf,
+           1 + (r + f + g + c) % 3 AS t0
+         FROM gc),
+       -- effective scalefactor per scfsi band group 0..2 (the groups
+       -- our samples touch): granule 1 reuses granule 0's value when
+       -- the group's scfsi bit (MSB-first) is set
+       grp3 AS (SELECT *, unnest([0, 1, 2]) AS grp FROM gc2),
+       slens AS (
+         SELECT *,
+           CASE WHEN grp < 2
+             THEN [0,0,0,0,3,1,1,1,2,2,2,3,3,3,4,4]
+                  [1 + (r + 2 * f + 5 * c) % 16]
+             ELSE [0,1,2,3,0,1,2,3,1,2,3,1,2,3,2,3]
+                  [1 + (r + 2 * f + 5 * c) % 16] END AS sl0,
+           CASE WHEN grp < 2
+             THEN [0,0,0,0,3,1,1,1,2,2,2,3,3,3,4,4]
+                  [1 + (r + 2 * f + 3 * g + 5 * c) % 16]
+             ELSE [0,1,2,3,0,1,2,3,1,2,3,1,2,3,2,3]
+                  [1 + (r + 2 * f + 3 * g + 5 * c) % 16] END AS slg
+         FROM grp3),
+       sfe AS (
+         SELECT r, f, c, g, grp,
+           CASE WHEN g = 1 AND
+                ((nsc // (CASE grp WHEN 0 THEN 8 WHEN 1 THEN 4
+                          ELSE 2 END)) % 2) = 1
+             THEN CASE WHEN ss = 1
+                    THEN (r + 2 * f + 5 * c + 7 * grp) % (1 << sl0)
+                  WHEN sl0 = 0 THEN 0
+                  ELSE 2 * ((r + 2 * f + 5 * c + 7 * grp)
+                            % (1 << (sl0 - 1))) END
+             ELSE CASE WHEN ss = 1
+                    THEN (r + 2 * f + 3 * g + 5 * c + 7 * grp)
+                         % (1 << slg)
+                  WHEN slg = 0 THEN 0
+                  ELSE 2 * ((r + 2 * f + 3 * g + 5 * c + 7 * grp)
+                            % (1 << (slg - 1))) END END AS sf
+         FROM slens),
+       prows AS ( -- every decoded slot: big values + count1
+         SELECT *, unnest([p for p in range(0, s12 + 14)]) AS p FROM gc2),
+       vals AS (
+         SELECT r, s12, f, c, g, gg, ss, pf, p,
+           CASE WHEN p < 24 THEN (r * 7 + f * 5 + g * 3 + c * 9 + p)
+                  % (CASE WHEN t0 = 1 THEN 2 ELSE 3 END)
+                WHEN p < 36 THEN (r * 11 + f * 3 + g * 7 + c * 5 + p) % 4
+                WHEN p < s12 THEN 0
+                WHEN p = s12 THEN 1 + (r + f + g + c) % 3
+                WHEN p = s12 + 1 THEN 1 + (r + f + g + c + 1) % 3
+                ELSE (r + 3 * f + 5 * g + 7 * c + (p - s12 - 2)) % 2
+           END AS m,
+           CASE WHEN p < 36 THEN (r + f + g + c + p) % 2
+                WHEN p = s12 THEN (r + f + g + c) % 2
+                WHEN p = s12 + 1 THEN (r + f + g + c + 1) % 2
+                ELSE (r + f + g + c + (p - s12 - 2)) % 2
+           END AS neg,
+           CASE WHEN p < 24 THEN 0 WHEN p < 36 THEN 1 ELSE 2 END AS grp
+         FROM prows),
+       ev AS (
+         SELECT v.r, v.m, v.neg,
+           (3 * ((v.gg - 210) - (2 + 2 * v.ss) *
+                 (s.sf + CASE WHEN v.p >= v.s12 THEN v.pf ELSE 0 END))
+            + 60) // 4 AS e
+         FROM vals v JOIN sfe s
+           ON v.r = s.r AND v.f = s.f AND v.c = s.c AND v.g = s.g
+          AND v.grp = s.grp),
+       qv AS ( -- cube-domain Q15: shift up, or round-half-even down
+         SELECT r,
+           CASE WHEN neg = 1 AND m <> 0 THEN -1 ELSE 1 END *
+           CASE WHEN e >= 0
+             THEN CAST(m AS BIGINT) * m * m * m * (CAST(1 AS BIGINT) << e)
+             ELSE fq + CASE WHEN 2 * rp > b THEN 1
+                            WHEN 2 * rp = b AND fq % 2 <> 0 THEN 1
+                            ELSE 0 END
+           END AS q,
+           CASE WHEN neg = 1 AND m <> 0 THEN -m ELSE m END AS hv
+         FROM (
+           SELECT r, m, neg, e,
+             (CAST(1 AS BIGINT) << (CASE WHEN e < 0 THEN -e ELSE 0 END)) AS b,
+             (CAST(m AS BIGINT) * m * m * m)
+               // (CAST(1 AS BIGINT) << (CASE WHEN e < 0 THEN -e ELSE 0 END)) AS fq,
+             (CAST(m AS BIGINT) * m * m * m)
+               % (CAST(1 AS BIGINT) << (CASE WHEN e < 0 THEN -e ELSE 0 END)) AS rp
+           FROM ev))
+       SELECT base.r AS id, CAST(rate AS INT) AS sample_rate,
+         CAST(kbps AS INT) AS bitrate_kbps, CAST(ch AS INT) AS channels,
+         CAST(nf AS INT) AS n_frames,
+         CAST(nf * 1152 * ch AS BIGINT) AS total_samples,
+         a.ndec AS n_decoded, a.hsum AS huff_sum, a.vsum AS value_sum,
+         a.vmin AS min_sample, a.vmax AS max_sample, true AS valid
+       FROM base JOIN (
+         SELECT r, CAST(count(*) AS BIGINT) AS ndec,
+                CAST(sum(hv) AS BIGINT) AS hsum,
+                CAST(sum(q) AS BIGINT) AS vsum,
+                CAST(min(q) AS BIGINT) AS vmin,
+                CAST(max(q) AS BIGINT) AS vmax
+         FROM qv GROUP BY r) a ON base.r = a.r
+       ORDER BY id"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q125_label_propagation" -> (q125 _),
     "q126_pmi_cooccur" -> (q126 _),
@@ -3111,7 +3262,8 @@ object ExtQueries4 {
     "q184_tmx_extract" -> (q184 _),
     "q185_ics_extract" -> (q185 _),
     "q186_doc_catalog" -> (q186 _),
-    "q187_sqldump_extract" -> (q187 _))
+    "q187_sqldump_extract" -> (q187 _),
+    "q188_mp3_decode" -> (q188 _))
 
   val oracles: Map[String, String] = Map(
     "q125_label_propagation" -> q125Sql,
@@ -3176,5 +3328,6 @@ object ExtQueries4 {
     "q184_tmx_extract" -> q184Sql,
     "q185_ics_extract" -> q185Sql,
     "q186_doc_catalog" -> q186Sql,
-    "q187_sqldump_extract" -> q187Sql)
+    "q187_sqldump_extract" -> q187Sql,
+    "q188_mp3_decode" -> q188Sql)
 }

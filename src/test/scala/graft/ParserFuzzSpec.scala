@@ -31,6 +31,7 @@ class ParserFuzzSpec extends AnyFunSuite {
     "parseMp3" -> (b => Multimodal.parseMp3(b)),
     "parseMp1" -> (b => Multimodal.parseMp1(b)),
     "parseMp2" -> (b => Multimodal.parseMp2(b)),
+    "parseMp3L3" -> (b => Multimodal.parseMp3L3(b)),
     "parseFlac" -> (b => Multimodal.parseFlac(b)),
     "parseFlacPcm" -> (b => Multimodal.parseFlacPcm(b)),
     "parseMp4" -> (b => Multimodal.parseMp4(b)),
@@ -134,6 +135,22 @@ class ParserFuzzSpec extends AnyFunSuite {
       scfsi = (_, sb, c) => (sb + c) % 4,
       scf = (f, p, sb, c) => (sb * 3 + c * 7 + f + p) % 63,
       code = (f, g, k, sb, c) => 0),
+    "mp3l3" -> Multimodal.encodeMp3L3(8, 0, mono = true, nFrames = 2,
+      protect = true, pad = _ % 2, mdbTarget = f => if (f == 0) 0 else 9,
+      scfsiN = (f, _) => (f * 5) % 16,
+      gr = (f, g, _) => Multimodal.Mp3GrSpec(
+        globalGain = 210 + 4 * ((f + g) % 4), scalefacCompress = 9,
+        preflag = 0, scalefacScale = 1, count1Table = g % 2,
+        tableSelect = (3, 5, 1), region0Count = 5, region1Count = 7,
+        bigValues = 38, // 44.1 kHz: band-12 start 74 → pairs through 75
+        sf = b => (b + f + g) % 4,
+        value = p =>
+          if (p < 24) (if ((p + f) % 3 == 0) -(p % 3) else p % 3)
+          else if (p < 36) (p + g) % 4 * (if (p % 2 == 0) 1 else -1)
+          else if (p < 74) 0
+          else if (p <= 75) 2
+          else (p + f) % 2,
+        nCount1 = 3)),
     "flac-const" -> Multimodal.encodeFlac(9, 2, 16, 3, 7L),
     "flac-pred" -> Multimodal.encodeFlacPred(8, 2, 5, 3L),
     "flac-lpc" -> Multimodal.encodeFlacLpc(10, 1, 5, 9L),

@@ -278,7 +278,8 @@ class PlanAuditSpec extends SparkSpec {
         "q180_xlsx_extract", "q181_bio_extract",
         "q182_access_log", "q183_po_extract",
         "q184_tmx_extract", "q185_ics_extract",
-        "q186_doc_catalog", "q187_sqldump_extract").foreach { q =>
+        "q186_doc_catalog", "q187_sqldump_extract",
+        "q188_mp3_decode").foreach { q =>
       val p = plan(q)
       val exchanges = "Exchange".r.findAllIn(p).length
       assert(exchanges <= 1, s"$q: codec decode should not shuffle:\n$p")
