@@ -770,7 +770,14 @@ object Graph {
       iters: Int): DataFrame = {
     require(iters >= 1 && iters <= 32,
       s"minLabelPropagate: iters in [1, 32], got $iters")
-    // reused every round → checkpointed by [[pinnedEdges]]
+    // reused every round → checkpointed by [[pinnedEdges]]. The gate
+    // counts DISTINCT edges: gating on the raw list looks cheaper
+    // (min-propagation is duplicate-idempotent) but a clique-expanded
+    // input can be 10×+ duplicated, and a raw-count gate then exiles
+    // a genuinely tiny graph to the distributed supersteps (measured
+    // r13: q125 4.0 → 7.7 s). Callers holding the MEMBERSHIP form of
+    // a co-occurrence graph should use [[cliqueMinLabelPropagate]],
+    // which never expands pairs at all.
     val (e, p, eRows) = pinnedEdges(
       edges.select(col(srcCol).cast(LongType).as("src"),
           col(dstCol).cast(LongType).as("dst"))
@@ -807,6 +814,125 @@ object Graph {
         .localCheckpoint(eager = false)
     }
     l
+  }
+
+  /** Bounded-round min-label propagation over the CLIQUE EXPANSION of
+    * a bipartite membership table (group, member) — co-purchase,
+    * co-supply, co-occurrence blocking — WITHOUT materializing the
+    * O(Σ k²) pair list the explicit expansion costs: a 30-member
+    * group contributes 870 ordered pairs but only 30 membership rows
+    * (measured r13: q125's explode² expansion was ~12.5M pair rows
+    * off 600 k membership rows — the whole query floor). Semantically
+    * IDENTICAL to [[minLabelPropagate]] over the src ≠ dst pair
+    * expansion (CliqueLabelSpec asserts the equality): per round
+    *
+    *   label'(v) = min(label(v), min_{g ∋ v} min_{u ∈ g} label(u))
+    *
+    * — the inner min may include v itself, which the outer
+    * min(label(v), ·) absorbs. Nodes are members of groups with ≥ 2
+    * DISTINCT members (singleton groups yield no pairs, so their
+    * exclusive members are not in the pair graph at all).
+    *
+    * Scale shape per round: two |membership|-row shuffles (min per
+    * group, then min per member) — O(Σ k), never O(Σ k²); membership
+    * is checkpointed once and reused. The driver kernel runs under
+    * the same conf gate as the pair algorithms
+    * ([[driverGraphBytes]]), counted on RAW membership rows × 16 B —
+    * duplication only ever pushes TOWARD the distributed path — and
+    * dedups driver-side, so the tiny-corpus path pays ZERO shuffles:
+    * scan → checkpoint/count → collect → primitive-array rounds. */
+  def cliqueMinLabelPropagate(
+      memb: DataFrame,
+      grpCol: String,
+      memCol: String,
+      iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 32,
+      s"cliqueMinLabelPropagate: iters in [1, 32], got $iters")
+    val (raw, _, rawRows) = pinnedEdges(
+      memb.select(col(grpCol).cast(LongType).as("g"),
+        col(memCol).cast(LongType).as("m")))
+    if (rawRows * 16L <= driverGraphBytes(memb))
+      return cliqueLabelLocal(raw, iters)
+    // distributed: dedup memberships once (supersteps reuse the
+    // checkpointed copy), keep only groups with ≥ 2 members
+    val (spAll, p, spRows) = pinnedEdges(raw.distinct())
+    val multi = p.pin(spAll.groupBy("g").agg(count(lit(1)).as("n"))
+      .where(col("n") >= 2).select("g"))
+    val sp = p.pin(spAll.join(p.bcast(multi), Seq("g"), "left_semi"))
+    val nodes = p.pin(sp.select(col("m").as("node")).distinct())
+    val bcast = gatedBcast(p, nodes.count())
+    var l = nodes.withColumn("label", col("node"))
+    for (_ <- 1 to iters) {
+      val gm = sp.join(bcast(l), col("m") === col("node"))
+        .groupBy("g").agg(min(col("label")).as("gl"))
+      val mm = sp.join(bcast(gm), Seq("g"))
+        .groupBy(col("m").as("node")).agg(min(col("gl")).as("ml"))
+      // same lazy-checkpoint rationale as [[minLabelPropagate]]
+      l = l.join(bcast(mm), Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("ml"), col("label"))).as("label"))
+        .localCheckpoint(eager = false)
+    }
+    l
+  }
+
+  /** Driver-local clique-label kernel (see [[cliqueMinLabelPropagate]]
+    * for the gate): dedups raw membership rows, drops singleton
+    * groups, then runs the synchronous rounds over a group-CSR in
+    * primitive arrays — bit-equal to the distributed path and to
+    * minLabelPropagate over the explicit pair expansion
+    * (CliqueLabelSpec asserts all three). */
+  private def cliqueLabelLocal(raw: DataFrame, iters: Int): DataFrame = {
+    val spark = raw.sparkSession
+    val rows = raw.select(col("g"), col("m")).collect()
+    val gIdx = new java.util.HashMap[Long, Int]()
+    val mIdx = new java.util.HashMap[Long, Int]()
+    val mIds = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val seen = new java.util.HashSet[Long]()
+    val memOf = scala.collection.mutable.ArrayBuffer
+      .empty[scala.collection.mutable.ArrayBuffer[Int]]
+    rows.foreach { r =>
+      val g = r.getLong(0); val m = r.getLong(1)
+      var gi = gIdx.getOrDefault(g, -1)
+      if (gi < 0) {
+        gi = memOf.length; gIdx.put(g, gi)
+        memOf += scala.collection.mutable.ArrayBuffer.empty[Int]
+      }
+      var mi = mIdx.getOrDefault(m, -1)
+      if (mi < 0) { mi = mIds.length; mIdx.put(m, mi); mIds += m }
+      val key = gi.toLong << 32 | (mi.toLong & 0xffffffffL)
+      if (seen.add(key)) memOf(gi) += mi
+    }
+    // active members: in some group with >= 2 distinct members
+    val active = new Array[Boolean](mIds.length)
+    memOf.foreach(ms => if (ms.length >= 2) ms.foreach(active(_) = true))
+    var l = Array.tabulate(mIds.length)(j => mIds(j))
+    var k = 0
+    while (k < iters) {
+      val nl = l.clone() // synchronous: group mins read last round only
+      memOf.foreach { ms =>
+        if (ms.length >= 2) {
+          var gm = Long.MaxValue
+          var i = 0
+          while (i < ms.length) { if (l(ms(i)) < gm) gm = l(ms(i)); i += 1 }
+          i = 0
+          while (i < ms.length) {
+            if (gm < nl(ms(i))) nl(ms(i)) = gm
+            i += 1
+          }
+        }
+      }
+      l = nl
+      k += 1
+    }
+    val out = (0 until mIds.length).filter(active)
+      .map(j => org.apache.spark.sql.Row(mIds(j), l(j)))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("node", LongType, false),
+      org.apache.spark.sql.types.StructField("label", LongType, false)))
+    spark.createDataFrame(spark.sparkContext.parallelize(out,
+      math.max(1, math.min(spark.sparkContext.defaultParallelism,
+        out.length / 10000 + 1))), schema)
   }
 
   /** Integer-arithmetic PageRank: rank mass is carried in integer

@@ -26,25 +26,24 @@ object ExtQueries4 {
 
   // ---------------------------------------------------------------
   // q125 — community seeds by bounded min-label propagation over the
-  // supplier co-supply graph (suppliers sharing a part, via the
-  // grouped-explode pair enumeration of q106 — no self-join). Three
+  // supplier co-supply graph (suppliers sharing a part). Three
   // synchronous rounds of label'(v) = min(label(v), min over
   // neighbors) assign every supplier the smallest supplier id within
   // 3 hops — a deterministic blocking/community key with NO fixed-
-  // point iteration count dependence. Integer labels, exact.
+  // point iteration count dependence. Integer labels, exact. r13:
+  // runs on the CLIQUE form of the graph — the membership table goes
+  // straight into Graph.cliqueMinLabelPropagate, which never
+  // materializes the O(Σ k²) pair expansion (the synthetic lineitem
+  // averages ~30 suppliers/part, so the old explode² pair list was
+  // ~12.5M rows off 600 k memberships and dominated the query).
   private val LpIters = 3
 
-  def q125(s: SparkSession, dir: String): DataFrame = {
-    val sp = t(s, dir, "lineitem")
-      .select(col("l_partkey").as("p"), col("l_suppkey").as("sk"))
-      .distinct()
-    val e = sp.groupBy("p").agg(collect_set(col("sk")).as("ss"))
-      .select(explode(col("ss")).as("src"), col("ss"))
-      .select(col("src"), explode(col("ss")).as("dst"))
-      .where(col("src") =!= col("dst"))
-    Graph.minLabelPropagate(e, "src", "dst", iters = LpIters)
+  def q125(s: SparkSession, dir: String): DataFrame =
+    Graph.cliqueMinLabelPropagate(
+      t(s, dir, "lineitem")
+        .select(col("l_partkey").as("p"), col("l_suppkey").as("sk")),
+      "p", "sk", iters = LpIters)
       .orderBy("node")
-  }
 
   val q125Sql: String = {
     val rounds = (1 to LpIters).map { i =>
