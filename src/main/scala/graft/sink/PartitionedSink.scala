@@ -59,6 +59,14 @@ object PartitionedSink {
     *   exchange stages whose output the write does not reuse —
     *   harmless on the shuffle-free ingest path, double work for any
     *   caller whose input plan contains an exchange.
+    * @param format `"PARQUET"` (default), `"CSV"` or `"TSV"`
+    *   (case-insensitive) — the export modes the reference's
+    *   `convert_dat_to_xsv` name promises (`main.py:75-81` only ever
+    *   invokes `file_format="PARQUET"`, but the `xsv` surface exists;
+    *   this closes it). CSV/TSV writes carry a header row, the same
+    *   Hive partition layout, dynamic-partition-overwrite idempotency
+    *   and deterministic-name pass; the parquet-specific physical
+    *   options (page v2, dictionary pinning) do not apply.
     */
   def write(
       df: DataFrame,
@@ -67,7 +75,11 @@ object PartitionedSink {
       filesPerDir: Int = 32,
       filePrefix: Option[String] = None,
       renameScope: Seq[String] = Nil,
-      inputPartitions: Option[Int] = None): Unit = {
+      inputPartitions: Option[Int] = None,
+      format: String = "PARQUET"): Unit = {
+    val fmt = format.toUpperCase
+    require(Set("PARQUET", "CSV", "TSV")(fmt),
+      s"format must be PARQUET, CSV or TSV, got '$format'")
     // integer `div`, NOT `/`: double division of epoch-ns longs loses
     // precision above 2^53 (ulp ≈ 256 ns at 2025 epochs), which can
     // drop a row within ~1 µs of midnight into the wrong day dir
@@ -92,21 +104,32 @@ object PartitionedSink {
       else withParts.repartition(
         col("alias"), col("year"), col("month"), col("day"),
         pmod(xxhash64(col(timeCol)), lit(filesPerDir.toLong)))
-    arranged
+    val writer = arranged
       .write
       .mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
-      .option("compression", "snappy")
-      .option("parquet.writer.version", "v2")
-      .option("parquet.enable.dictionary", "false")
-      .option("parquet.enable.dictionary#alias", "true")
       .partitionBy("alias", "year", "month", "day")
-      .parquet(outDir)
+    fmt match {
+      case "PARQUET" =>
+        writer
+          .option("compression", "snappy")
+          .option("parquet.writer.version", "v2")
+          .option("parquet.enable.dictionary", "false")
+          .option("parquet.enable.dictionary#alias", "true")
+          .parquet(outDir)
+      case "CSV" | "TSV" =>
+        writer
+          .option("header", "true")
+          .option("sep", if (fmt == "TSV") "\t" else ",")
+          .csv(outDir)
+    }
+    val ext = if (fmt == "PARQUET") ".parquet"
+      else if (fmt == "TSV") ".tsv" else ".csv"
     filePrefix.foreach { p =>
       val roots =
         if (renameScope.isEmpty) Seq(outDir)
         else renameScope.map(a => s"$outDir/alias=$a")
-      roots.foreach(r => deterministicNames(df, r, p))
+      roots.foreach(r => deterministicNames(df, r, p, ext))
       // the renames happen underneath any listing this session may
       // have cached for the path (FileStatusCache) — a later reader
       // would list the old part-* names and die with FILE_NOT_EXIST;
@@ -125,7 +148,8 @@ object PartitionedSink {
     * are left alone, and a rename lost to a concurrent normalizer is
     * skipped, not fatal — content is identical either way. */
   private def deterministicNames(
-      df: DataFrame, outDir: String, prefix: String): Unit = {
+      df: DataFrame, outDir: String, prefix: String,
+      ext: String = ".parquet"): Unit = {
     val root = new org.apache.hadoop.fs.Path(outDir)
     val fs = root.getFileSystem(
       df.sparkSession.sessionState.newHadoopConf())
@@ -135,7 +159,10 @@ object PartitionedSink {
     // manual walk, not listFiles(recursive): skips hidden/staging
     // trees (.spark-staging-*, _temporary) a CONCURRENT writer may be
     // committing — their entries vanish mid-iteration — and tolerates
-    // directories deleted underneath us
+    // directories deleted underneath us. Committed data files match
+    // on the WRITER's extension (Spark emits `.csv` for both CSV and
+    // TSV — the separator is an option, not a suffix); the rename
+    // target carries the caller-facing `ext`.
     def walk(dir: org.apache.hadoop.fs.Path): Unit = {
       val statuses =
         try fs.listStatus(dir)
@@ -144,7 +171,8 @@ object PartitionedSink {
         val name = st.getPath.getName
         if (!name.startsWith(".") && !name.startsWith("_")) {
           if (st.isDirectory) walk(st.getPath)
-          else if (name.endsWith(".parquet")) files += st.getPath
+          else if (name.endsWith(".parquet") || name.endsWith(".csv"))
+            files += st.getPath
         }
       }
     }
@@ -152,7 +180,7 @@ object PartitionedSink {
     files.groupBy(_.getParent).foreach { case (dir, fl) =>
       if (fl.forall(_.getName.startsWith("part-"))) {
         fl.sortBy(_.getName).zipWithIndex.foreach { case (src, i) =>
-          val dst = new org.apache.hadoop.fs.Path(dir, f"${prefix}_$i%05d.parquet")
+          val dst = new org.apache.hadoop.fs.Path(dir, f"${prefix}_$i%05d$ext")
           if (fs.exists(src) && !fs.exists(dst)) fs.rename(src, dst)
         }
       }

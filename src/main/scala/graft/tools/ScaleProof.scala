@@ -275,6 +275,63 @@ object ScaleProof {
       finally spark.conf.set("spark.sql.files.maxPartitionBytes", oldSplit)
     }
 
+    // ---- bundle-parser family (r12 VERDICT #4): ZIP archives ∝ N —
+    // a DIFFERENT walk shape from the warc/tfrecord streaming walks:
+    // one central-directory walk per blob followed by N member
+    // inflations (nested-blob fan-out), REAL DEFLATE via the JDK's
+    // ZipOutputStream (alternating with STORED members) wrapping the
+    // blown-up documents, ~20 members per archive, built ONCE and
+    // cached like the corpus. The measured pass is the full q164
+    // machinery: EOCD backwards scan, central-directory walk,
+    // local-header cross-check, Inflater + CRC-32 verification per
+    // member, payload stats, one aggregate — same per-partition
+    // zero-shuffle 100 TB claim, tested by the scan stage's
+    // max_over_median and bytes_ratio.
+    if (!new java.io.File(s"$out/_done_zip").exists()) {
+      import spark.implicits._
+      spark.read.parquet(s"$out/documents.parquet")
+        .select((col("doc_id") / 20).cast("long").as("id"),
+          col("doc_id"), col("text"))
+        .groupBy("id")
+        .agg(collect_list(struct(col("doc_id"), col("text"))).as("docs"))
+        .as[(Long, Seq[(Long, String)])]
+        .map { case (id, ds) =>
+          val bos = new java.io.ByteArrayOutputStream()
+          val zos = new java.util.zip.ZipOutputStream(bos)
+          ds.zipWithIndex.foreach { case ((d, t), k) =>
+            val body = t.getBytes("UTF-8")
+            val e = new java.util.zip.ZipEntry(s"doc_$d.txt")
+            if (k % 2 == 1) { // STORED needs pre-declared size + CRC
+              e.setMethod(java.util.zip.ZipOutputStream.STORED)
+              e.setSize(body.length)
+              e.setCompressedSize(body.length)
+              val crc = new java.util.zip.CRC32
+              crc.update(body)
+              e.setCrc(crc.getValue)
+            }
+            zos.putNextEntry(e)
+            zos.write(body)
+            zos.closeEntry()
+          }
+          zos.close()
+          (id, bos.toByteArray)
+        }.toDF("id", "media")
+        .write.mode("overwrite").parquet(s"$out/ziparchives.parquet")
+      new java.io.File(s"$out/_done_zip").createNewFile()
+    }
+    if (wanted("zip_extract")) {
+      val oldSplit = spark.conf.get("spark.sql.files.maxPartitionBytes")
+      spark.conf.set("spark.sql.files.maxPartitionBytes", (4 << 20).toString)
+      def pass() = graft.operators.ZipLake.extractZip(
+          spark.read.parquet(s"$out/ziparchives.parquet"), "id", "media")
+        .agg(sum(col("n_words")).as("words"),
+          sum(col("digit_sum")).as("digits"),
+          sum(col("uncomp_size")).as("bytes"), count(lit(1)).as("entries"))
+      pass().collect() // untimed codegen warm-up (steady-state claim)
+      try run("zip_extract")(pass())
+      finally spark.conf.set("spark.sql.files.maxPartitionBytes", oldSplit)
+    }
+
     // ---- graph family (r11 VERDICT #7): edges ∝ N·k, FORCED onto
     // the distributed checkpoint path at every scale (driver kernel
     // and cache path disabled) so the superstep/adjacency machinery

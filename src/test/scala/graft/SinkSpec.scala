@@ -106,6 +106,58 @@ class SinkSpec extends SparkSpec {
     assert(names("data_parquet_rms") == rms)
   }
 
+  test("xsv export mode: CSV/TSV partitioned writes round-trip with deterministic names") {
+    // the reference's convert_dat_to_xsv name promises a CSV/TSV
+    // export surface (main.py:75-81 only ever invokes PARQUET);
+    // format="CSV"/"TSV" closes it with the same layout/idempotency
+    import graft.sink.PartitionedSink
+    import spark.implicits._
+    val base = java.time.Instant.parse("2025-07-11T16:22:17Z")
+      .getEpochSecond * 1000000000L
+    val df = (0 until 100).map { i =>
+      (base + i.toLong * 1000000000L, i.toDouble / 8, i.toLong)
+    }.toDF("Time", "A_x", "seq").withColumn("alias", lit("LAF1"))
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    val o = tmpDir("sink_xsv")
+    PartitionedSink.write(df, s"$o/csv", filesPerDir = 4,
+      filePrefix = Some("exp"), format = "csv")
+    // hive layout + deterministic names carry the .csv extension
+    val cfiles = walk(new java.io.File(s"$o/csv"))
+      .filter(_.getName.endsWith(".csv"))
+    assert(cfiles.nonEmpty &&
+      cfiles.forall(_.getName.matches("exp_\\d{5}\\.csv")),
+      s"names: ${cfiles.map(_.getName)}")
+    assert(cfiles.exists(_.getPath.contains(
+      "alias=LAF1/year=2025/month=7/day=11")))
+    // values round-trip (header on, partition columns from the dirs)
+    val back = spark.read.option("header", "true").csv(s"$o/csv")
+    assert(back.count() == 100)
+    val r7 = back.where(col("seq") === "7").collect()(0)
+    assert(r7.getAs[String]("A_x") == "0.875" &&
+      r7.getAs[String]("alias") == "LAF1")
+    // idempotent re-run: same name set (dynamic overwrite + rename)
+    val first = cfiles.map(_.getName).toSet
+    PartitionedSink.write(df, s"$o/csv", filesPerDir = 4,
+      filePrefix = Some("exp"), format = "csv")
+    assert(walk(new java.io.File(s"$o/csv"))
+      .map(_.getName).filter(_.endsWith(".csv")).toSet == first)
+    // TSV: tab separator on disk, .tsv extension after the rename
+    PartitionedSink.write(df, s"$o/tsv", filesPerDir = 4,
+      filePrefix = Some("exp"), format = "TSV")
+    val tfiles = walk(new java.io.File(s"$o/tsv"))
+      .filter(_.getName.endsWith(".tsv"))
+    assert(tfiles.nonEmpty && tfiles.forall(_.getName.matches("exp_\\d{5}\\.tsv")))
+    val header = scala.io.Source.fromFile(tfiles.head).getLines().next()
+    assert(header.split("\t").contains("Time"), s"header: $header")
+    assert(spark.read.option("header", "true").option("sep", "\t")
+      .csv(s"$o/tsv").count() == 100)
+    // unknown formats reject
+    intercept[IllegalArgumentException] {
+      PartitionedSink.write(df, s"$o/x", format = "ORC")
+    }
+  }
+
   test("RMS sink honors the same physical format pins") {
     import scala.jdk.CollectionConverters._
     val file = new java.io.File(s"$out/data_parquet_rms/alias=LAF1/year=2025/month=7/day=11")
