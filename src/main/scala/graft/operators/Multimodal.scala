@@ -40,11 +40,17 @@ import org.apache.spark.sql.types._
   * MPEG-1 Layer II payloads are ALSO real (q156): the ISO/IEC
   * 11172-3 Tables 3-B.2a-d allocation classes are checked in as
   * code and the decode requantizes grouped/ungrouped codes with
-  * per-granule scalefactor selection (see `parseMp2` below). AAC
-  * payloads (large perceptual filterbank constants) and inter-frame
-  * video codecs stay behind the deterministic `GRFT` container
-  * STUB: the per-partition batch shape is identical, and swapping
-  * in a real codec changes no plan shape.
+  * per-granule scalefactor selection (see `parseMp2` below). Layer
+  * III payloads are real too (q188 — see the Layer III block). For
+  * VIDEO, inter-frame decode is real for MS-RLE8-in-AVI (q189): the
+  * delta/skip escapes leave prior-frame pixels in place, so frame N
+  * genuinely depends on the framebuffer after N−1. What remains
+  * behind the deterministic `GRFT` container STUB: AAC-class
+  * perceptual audio (large filterbank constants) and transform-coded
+  * inter-frame video (H.26x-class: DCT/Huffman/motion-compensation
+  * tables and reference-frame interpolation) — the per-partition
+  * batch shape is identical, and swapping in a real codec changes
+  * no plan shape.
   *
   * Fake container layout (little-endian):
   * {{{
@@ -3471,6 +3477,332 @@ object Multimodal {
             Row(r.getLong(0), w, h, nf, us, dm, ps, true)
           case None =>
             Row(r.getLong(0), null, null, null, null, null, null, false)
+        }
+      })
+    spark.createDataFrame(rows, outSchema)
+  }
+
+  // ------------------------------------------------------------------
+  // MS-RLE8 video in AVI (BI_RLE8, biCompression = 1) — REAL
+  // INTER-FRAME decode (q189). Microsoft RLE8 is the public,
+  // fully-structural member of the inter-frame family: no tabulated
+  // constants, no transforms — encoded runs, absolute literal
+  // segments (word-padded), end-of-line / end-of-bitmap escapes, and
+  // the DELTA escape (00 02 dx dy) that SKIPS pixels, leaving the
+  // PREVIOUS frame's content in place. That skip is genuine
+  // inter-frame state: frame N's output depends on the framebuffer
+  // after frame N−1, which is exactly the statefulness the GRFT video
+  // stub stood in for. Decode keeps one palette-index framebuffer per
+  // stream and emits per-frame integer aggregates (pixels written
+  // this frame, framebuffer index sum after it) plus the strf
+  // palette's component sum — all closed-form for the oracle.
+  // Strict: every run/absolute segment must fit its row, delta jumps
+  // must stay in bounds, each frame must end with EOB exactly at its
+  // chunk boundary, and header/stream/frame counts must agree.
+
+  private[graft] final case class AviRle8Decoded(
+      width: Int, height: Int, nFrames: Int, paletteSum: Long,
+      frames: Seq[(Long, Long)]) // per frame: (nWritten, fbSum)
+
+  private[graft] def parseAviRle8(b: Array[Byte]): Option[AviRle8Decoded] = {
+    if (!isAvi(b)) return None
+    if (le32(b, 4) != b.length - 8) return None
+    try {
+      var width = -1; var height = -1
+      var totalFrames = -1L; var strhLen = -1L
+      var sawAvih = false; var sawStrh = false; var sawStrf = false
+      var paletteSum = -1L
+      var ok = true
+      def walk(from: Int, until: Int)(f: (String, Int, Int) => Unit): Boolean = {
+        var off = from
+        while (off < until) {
+          if (off + 8 > until) return false
+          val size = le32(b, off + 4)
+          if (off + 8 + size > until) return false
+          f(fourcc(b, off), off + 8, off + 8 + size.toInt)
+          off += 8 + size.toInt + (size.toInt % 2)
+        }
+        true
+      }
+      def parseHdrl(from: Int, until: Int): Unit = {
+        // bind walk's result first — `ok &= walk(...)` reads ok
+        // before the callback mutates it (the parseAvi gotcha)
+        val w = walk(from, until) {
+          case ("avih", p, q) if q - p >= 40 =>
+            sawAvih = true
+            totalFrames = le32(b, p + 16)
+            if (le32(b, p + 24) != 1L) ok = false
+            width = le32(b, p + 32).toInt
+            height = le32(b, p + 36).toInt
+          case ("LIST", p, q) if q - p >= 4 && fourcc(b, p) == "strl" =>
+            val sw = walk(p + 4, q) {
+              case ("strh", sp, sq) if sq - sp >= 48 =>
+                sawStrh = true
+                if (fourcc(b, sp) != "vids" || fourcc(b, sp + 4) != "MRLE")
+                  ok = false
+                strhLen = le32(b, sp + 32)
+              case ("strf", sp, sq) if sq - sp >= 40 + 256 * 4 =>
+                sawStrf = true
+                // BITMAPINFOHEADER: dims must match avih; BI_RLE8 = 1,
+                // 8 bpp, then the full 256-entry RGBQUAD palette
+                if (le32(b, sp + 4).toInt != width ||
+                  le32(b, sp + 8).toInt != height ||
+                  le32(b, sp + 14) % 65536 != 8 || // biBitCount (u16)
+                  le32(b, sp + 16) != 1L) ok = false
+                else {
+                  var s = 0L
+                  var i = 0
+                  while (i < 256) {
+                    val o = sp + 40 + i * 4
+                    s += (b(o) & 0xff) + (b(o + 1) & 0xff) + (b(o + 2) & 0xff)
+                    i += 1
+                  }
+                  paletteSum = s
+                }
+              case _ => ()
+            }
+            if (!sw) ok = false
+          case _ => ()
+        }
+        if (!w) ok = false
+      }
+      // locate hdrl before movi so dims are known when frames decode
+      var hdrlSpan: Option[(Int, Int)] = None
+      var moviSpan: Option[(Int, Int)] = None
+      val top = walk(12, b.length) {
+        case ("LIST", p, q) if q - p >= 4 && fourcc(b, p) == "hdrl" =>
+          hdrlSpan = Some((p + 4, q))
+        case ("LIST", p, q) if q - p >= 4 && fourcc(b, p) == "movi" =>
+          moviSpan = Some((p + 4, q))
+        case ("idx1", _, _) | ("JUNK", _, _) => ()
+        case _ => ok = false
+      }
+      if (!top || !ok || hdrlSpan.isEmpty || moviSpan.isEmpty) return None
+      hdrlSpan.foreach { case (p, q) => parseHdrl(p, q) }
+      if (!ok || !sawAvih || !sawStrh || !sawStrf) return None
+      if (width <= 0 || width > 255 || height <= 0 || paletteSum < 0)
+        return None
+      // --- frame decode: persistent framebuffer of palette indices ---
+      val fb = new Array[Int](width * height)
+      val frames = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      def decodeFrame(p: Int, q: Int): Boolean = {
+        var off = p
+        var x = 0; var y = 0
+        var written = 0L
+        var done = false
+        def put(v: Int): Boolean = {
+          if (x >= width || y >= height) return false
+          fb(y * width + x) = v
+          x += 1; written += 1
+          true
+        }
+        while (!done) {
+          if (off + 2 > q) return false
+          val c = b(off) & 0xff; val v = b(off + 1) & 0xff
+          off += 2
+          if (c > 0) {
+            var i = 0
+            while (i < c) { if (!put(v)) return false; i += 1 }
+          } else v match {
+            case 0 => x = 0; y += 1                 // end of line
+            case 1 => done = true                   // end of bitmap
+            case 2 =>                               // delta: skip dx, dy
+              if (off + 2 > q) return false
+              x += b(off) & 0xff; y += b(off + 1) & 0xff
+              off += 2
+              if (x > width || y > height) return false
+            case n =>                               // absolute: n literals
+              if (off + n > q) return false
+              var i = 0
+              while (i < n) { if (!put(b(off + i) & 0xff)) return false; i += 1 }
+              off += n + (n % 2)                    // word padding
+          }
+        }
+        if (off != q) return false // EOB must land on the chunk end
+        var s = 0L
+        var i = 0
+        while (i < fb.length) { s += fb(i); i += 1 }
+        frames += ((written, s))
+        true
+      }
+      val (mp, mq) = moviSpan.get
+      val mw = walk(mp, mq) {
+        case ("00dc", p, q) => if (!decodeFrame(p, q)) ok = false
+        case _ => ok = false
+      }
+      if (!mw || !ok) return None
+      if (frames.length.toLong != totalFrames ||
+        frames.length.toLong != strhLen || frames.isEmpty) return None
+      Some(AviRle8Decoded(width, height, frames.length, paletteSum,
+        frames.toSeq))
+    } catch { case _: Exception => None }
+  }
+
+  /** One RLE8 frame's encode-side description: opcodes are emitted
+    * exactly as supplied — the decoder is the operator under test. */
+  sealed trait Rle8Op
+  object Rle8Op {
+    final case class Run(count: Int, value: Int) extends Rle8Op
+    final case class Abs(values: Seq[Int]) extends Rle8Op
+    case object Eol extends Rle8Op
+    final case class Delta(dx: Int, dy: Int) extends Rle8Op
+  }
+
+  /** Encode an MS-RLE8 AVI (fixture / test side): one 'vids'/'MRLE'
+    * stream, BITMAPINFOHEADER with biCompression = BI_RLE8 and the
+    * full 256-RGBQUAD palette, one 00dc chunk per frame from the
+    * supplied opcode lists (EOB appended), idx1 marking frame 0 the
+    * keyframe. */
+  def encodeAviRle8(
+      width: Int, height: Int, palette: Int => (Int, Int, Int),
+      frameOps: Seq[Seq[Rle8Op]], rate: Int): Array[Byte] = {
+    require(width > 0 && width <= 255 && height > 0 && frameOps.nonEmpty)
+    def chunk(id: String, payload: Array[Byte]): Array[Byte] = {
+      val pad = payload.length % 2
+      val bb = ByteBuffer.allocate(8 + payload.length + pad)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      bb.put(id.getBytes("ASCII")).putInt(payload.length).put(payload)
+      bb.array()
+    }
+    def list(typ: String, payload: Array[Byte]): Array[Byte] =
+      chunk("LIST", typ.getBytes("ASCII") ++ payload)
+    val frames = frameOps.map { ops =>
+      val bos = new java.io.ByteArrayOutputStream()
+      ops.foreach {
+        case Rle8Op.Run(c, v) =>
+          require(c >= 1 && c <= 255 && v >= 0 && v <= 255)
+          bos.write(c); bos.write(v)
+        case Rle8Op.Abs(vs) =>
+          require(vs.length >= 3 && vs.length <= 255)
+          bos.write(0); bos.write(vs.length)
+          vs.foreach(v => bos.write(v & 0xff))
+          if (vs.length % 2 == 1) bos.write(0)
+        case Rle8Op.Eol => bos.write(0); bos.write(0)
+        case Rle8Op.Delta(dx, dy) =>
+          bos.write(0); bos.write(2); bos.write(dx); bos.write(dy)
+      }
+      bos.write(0); bos.write(1) // end of bitmap
+      bos.toByteArray
+    }
+    val maxFrame = frames.map(_.length).max
+    val avih = {
+      val bb = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(1000000 / rate).putInt(0).putInt(0)
+        .putInt(0x10).putInt(frames.length).putInt(0).putInt(1)
+        .putInt(maxFrame).putInt(width).putInt(height)
+      bb.array()
+    }
+    val strh = {
+      val bb = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
+      bb.put("vids".getBytes("ASCII")).put("MRLE".getBytes("ASCII"))
+        .putInt(0).putShort(0).putShort(0).putInt(0)
+        .putInt(1).putInt(rate).putInt(0).putInt(frames.length)
+        .putInt(maxFrame).putInt(-1).putInt(0)
+        .putShort(0).putShort(0)
+        .putShort(width.toShort).putShort(height.toShort)
+      bb.array()
+    }
+    val strf = {
+      val bb = ByteBuffer.allocate(40 + 256 * 4).order(ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(40).putInt(width).putInt(height)
+        .putShort(1).putShort(8)
+        .putInt(1) // biCompression = BI_RLE8
+        .putInt(0).putInt(0).putInt(0).putInt(256).putInt(0)
+      (0 until 256).foreach { i =>
+        val (r, g, bl) = palette(i)
+        bb.put(bl.toByte).put(g.toByte).put(r.toByte).put(0.toByte)
+      }
+      bb.array()
+    }
+    val hdrl = list("hdrl",
+      chunk("avih", avih) ++ list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val frameChunks = frames.map(f => chunk("00dc", f))
+    val movi = list("movi", frameChunks.flatten.toArray)
+    val idx1 = {
+      val bb = ByteBuffer.allocate(16 * frames.length)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      var off = 4
+      frameChunks.zip(frames).zipWithIndex.foreach { case ((ck, f), i) =>
+        bb.put("00dc".getBytes("ASCII"))
+          .putInt(if (i == 0) 0x10 else 0) // only frame 0 is the keyframe
+          .putInt(off).putInt(f.length)
+        off += ck.length
+      }
+      chunk("idx1", bb.array())
+    }
+    val body = "AVI ".getBytes("ASCII") ++ hdrl ++ movi ++ idx1
+    val out = ByteBuffer.allocate(8 + body.length).order(ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("ASCII")).putInt(body.length).put(body)
+    out.array()
+  }
+
+  /** Deterministic MS-RLE8 fixture — the laws the q189 oracle
+    * replays. Keyframe: row y holds k(y) = (r + 3y) % 240; even rows
+    * one full run, odd rows run + 5-literal absolute segment (odd
+    * count → pad byte exercised) + run, so odd-row sums carry a +10
+    * literal ramp. Delta frame f ≥ 1 jumps (delta escape, dy) to row
+    * (7f + r) % h — rows distinct within a stream — and rewrites it
+    * with u(f) = (r + 11f) % 240 as run + 6-literal absolute (even
+    * count) + run (+15 ramp); every other pixel RETAINS the prior
+    * frame's content through the skip, the inter-frame contract. */
+  def aviRle8Fixture(spark: SparkSession, n: Int): DataFrame = {
+    import Rle8Op._
+    val rows = (0 until n).map { r =>
+      val w = 16 + (r % 4) * 8
+      val h = 8 + r % 5
+      val nf = 2 + r % 4
+      val rate = 8 + r % 10
+      def k(y: Int): Int = (r + 3 * y) % 240
+      val key: Seq[Rle8Op] = (0 until h).flatMap { y =>
+        val v = k(y)
+        val row: Seq[Rle8Op] =
+          if (y % 2 == 0) Seq(Run(w, v))
+          else Seq(Run(10, v), Abs((0 until 5).map(v + _)),
+            Run(w - 15, v))
+        row :+ Eol
+      }
+      val deltas: Seq[Seq[Rle8Op]] = (1 until nf).map { f =>
+        val yf = (7 * f + r) % h
+        val u = (r + 11 * f) % 240
+        Seq(Delta(0, yf), Run(7, u), Abs((0 until 6).map(u + _)),
+          Run(w - 13, u))
+      }
+      Row(r.toLong, encodeAviRle8(w, h,
+        i => ((7 * i) % 256, (5 * i) % 256, (3 * i) % 256),
+        key +: deltas, rate))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4),
+      StructType(Seq(
+        StructField("id", LongType, false),
+        StructField("media", BinaryType, true))))
+  }
+
+  /** MS-RLE8 decode as a DataFrame op: one row per FRAME (the
+    * inter-frame state is the point — each row's fb_sum depends on
+    * every frame before it), integer outputs, per-partition. */
+  def decodeAviRle8(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("id", LongType, false),
+      StructField("frame", IntegerType, true),
+      StructField("width", IntegerType, true),
+      StructField("height", IntegerType, true),
+      StructField("n_written", LongType, true),
+      StructField("fb_sum", LongType, true),
+      StructField("palette_sum", LongType, true),
+      StructField("valid", BooleanType, false)))
+    val rows = df.select(col(idCol).cast(LongType), col(binCol)).rdd
+      .mapPartitions(_.flatMap { r =>
+        scala.util.Try(parseAviRle8(r.getAs[Array[Byte]](1))).toOption
+          .flatten match {
+          case Some(d) =>
+            d.frames.zipWithIndex.map { case ((nw, fs), i) =>
+              Row(r.getLong(0), i, d.width, d.height, nw, fs,
+                d.paletteSum, true)
+            }
+          case None =>
+            Seq(Row(r.getLong(0), null, null, null, null, null, null, false))
         }
       })
     spark.createDataFrame(rows, outSchema)

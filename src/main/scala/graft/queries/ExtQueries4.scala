@@ -3198,6 +3198,63 @@ object ExtQueries4 {
          FROM qv GROUP BY r) a ON base.r = a.r
        ORDER BY id"""
 
+  // ---------------------------------------------------------------
+  // q189 — MS-RLE8 video in AVI: REAL INTER-FRAME decode. RLE8 is
+  // the public fully-structural inter-frame codec (no tabulated
+  // constants): encoded runs, word-padded absolute segments, EOL/EOB
+  // escapes, and the DELTA escape that SKIPS pixels so they RETAIN
+  // the previous frame's content — one row per FRAME, and each
+  // frame's fb_sum depends on every frame before it (the
+  // statefulness the GRFT video stub stood in for). 40 streams:
+  // keyframe rows alternate run-only and run+absolute(+pad) shapes,
+  // each delta frame jumps to a law row and rewrites it; the oracle
+  // replays the row-value law (last update wins; rows distinct per
+  // stream), the literal ramps (+10 odd keyframe rows, +15 delta
+  // rows) and the palette component sum. Corruption matrix
+  // (row-overrun runs/absolutes, out-of-bounds delta, clobbered EOB,
+  // wrong biCompression, MJPEG cross-discrimination, truncation) is
+  // spec-gated in AviRle8Spec; parser in ParserFuzzSpec's gate.
+  private val Rle8N = 40
+
+  def q189(s: SparkSession, dir: String): DataFrame = {
+    val fx = graft.operators.Multimodal.aviRle8Fixture(s, Rle8N)
+    graft.operators.Multimodal.decodeAviRle8(fx, "id", "media")
+      .select(col("id"), col("frame"), col("width"), col("height"),
+        col("n_written"), col("fb_sum"), col("palette_sum"), col("valid"))
+      .orderBy("id", "frame")
+  }
+
+  val q189Sql: String =
+    s"""WITH base AS (
+         SELECT r, 16 + (r % 4) * 8 AS w, 8 + r % 5 AS h, 2 + r % 4 AS nf
+         FROM range(0, $Rle8N) t(r)),
+       fr AS (SELECT *, unnest([f for f in range(0, nf)]) AS f FROM base),
+       yr AS (SELECT *, unnest([y for y in range(0, h)]) AS y FROM fr),
+       upd AS ( -- the (unique) delta frame g <= f that rewrote row y
+         SELECT r, f, w, h, y,
+           list_max([g for g in range(1, f + 1)
+                     if (7 * g + r) % h = y]) AS g
+         FROM yr),
+       rowsum AS (
+         SELECT r, f, w, h,
+           CASE WHEN g IS NOT NULL THEN w * ((r + 11 * g) % 240) + 15
+                WHEN y % 2 = 1 THEN w * ((r + 3 * y) % 240) + 10
+                ELSE w * ((r + 3 * y) % 240) END AS s
+         FROM upd),
+       agg AS (
+         SELECT r, f, CAST(sum(s) AS BIGINT) AS fb_sum
+         FROM rowsum GROUP BY r, f)
+       SELECT b.r AS id, CAST(b.f AS INT) AS frame,
+         CAST(b.w AS INT) AS width, CAST(b.h AS INT) AS height,
+         CAST(CASE WHEN b.f = 0 THEN b.w * b.h ELSE b.w END AS BIGINT)
+           AS n_written,
+         a.fb_sum,
+         CAST(list_sum([(3 * i) % 256 + (5 * i) % 256 + (7 * i) % 256
+                        for i in range(0, 256)]) AS BIGINT) AS palette_sum,
+         true AS valid
+       FROM fr b JOIN agg a ON b.r = a.r AND b.f = a.f
+       ORDER BY id, frame"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q125_label_propagation" -> (q125 _),
     "q126_pmi_cooccur" -> (q126 _),
@@ -3262,7 +3319,8 @@ object ExtQueries4 {
     "q185_ics_extract" -> (q185 _),
     "q186_doc_catalog" -> (q186 _),
     "q187_sqldump_extract" -> (q187 _),
-    "q188_mp3_decode" -> (q188 _))
+    "q188_mp3_decode" -> (q188 _),
+    "q189_rle8_video" -> (q189 _))
 
   val oracles: Map[String, String] = Map(
     "q125_label_propagation" -> q125Sql,
@@ -3328,5 +3386,6 @@ object ExtQueries4 {
     "q185_ics_extract" -> q185Sql,
     "q186_doc_catalog" -> q186Sql,
     "q187_sqldump_extract" -> q187Sql,
-    "q188_mp3_decode" -> q188Sql)
+    "q188_mp3_decode" -> q188Sql,
+    "q189_rle8_video" -> q189Sql)
 }

@@ -37,6 +37,7 @@ class ParserFuzzSpec extends AnyFunSuite {
     "parseMp4" -> (b => Multimodal.parseMp4(b)),
     "parseGif" -> (b => Multimodal.parseGif(b)),
     "parseAvi" -> (b => Multimodal.parseAvi(b)),
+    "parseAviRle8" -> (b => Multimodal.parseAviRle8(b)),
     "parseWarc" -> (b => graft.operators.Warc.parseArchive(b)),
     // the lake family: every task-local byte walk the corpus
     // ingestion layer runs, under the same no-throw contract
@@ -159,6 +160,15 @@ class ParserFuzzSpec extends AnyFunSuite {
     "gif" -> Multimodal.encodeGif(8, 6,
       Seq(Array.fill(48)(17.toByte), Array.fill(48)(99.toByte)), Seq(7, 9)),
     "avi" -> Multimodal.encodeAvi(12, 8, Seq(10, 200, 77), 15),
+    "avi-rle8" -> {
+      import Multimodal.Rle8Op._
+      Multimodal.encodeAviRle8(8, 3, i => (i, (2 * i) % 256, (3 * i) % 256),
+        Seq(
+          Seq(Run(8, 1), Eol, Run(3, 2), Abs(Seq(4, 5, 6)), Run(2, 2),
+            Eol, Run(8, 3)),
+          Seq(Delta(0, 1), Run(8, 9)),
+          Seq(Delta(2, 2), Run(6, 7))), 12)
+    },
     "warc" -> {
       import graft.operators.Warc
       Warc.gzipMember(Warc.recordBytes("conversion",
