@@ -3808,6 +3808,142 @@ object Multimodal {
     spark.createDataFrame(rows, outSchema)
   }
 
+  // ------------------------------------------------------------------
+  // Image perceptual hash (dHash) + near-dup pairs (q190): the image
+  // member of the near-dup family (LAION-style image dedup). The
+  // 64-bit difference hash is fully structural — decode (lossless
+  // PNG path ⇒ exact), integer grayscale g = (r+g+b)/3, nearest-
+  // neighbor downsample to a 9×8 grid at src = (idx·dim)/9 (resp /8,
+  // integer division), bit (y·8+x) = 1 iff grid(x+1,y) > grid(x,y)
+  // (ties → 0) — so the whole pipeline is integer-exact and the
+  // oracle replays it closed-form. Pairing reuses the SimHash banded
+  // pigeonhole machinery (Dedup.simhashNearDup): EXACT ≤ maxDist
+  // retrieval whose join keys scale with the corpus — the image and
+  // text near-dup paths share one blocking implementation, not two.
+
+  /** dHash of one image blob: (fingerprint, width, height). None for
+    * undecodable bytes or images smaller than the 9×8 sample grid. */
+  private[graft] def parseDHash(b: Array[Byte]): Option[(Long, Int, Int)] = {
+    if (b == null || b.length < 8) return None
+    readImage(b) match {
+      case Some(img) if img.getWidth >= 9 && img.getHeight >= 8 =>
+        val w = img.getWidth; val h = img.getHeight
+        val grid = Array.ofDim[Int](9, 8)
+        var gy = 0
+        while (gy < 8) {
+          var gx = 0
+          while (gx < 9) {
+            val rgb = img.getRGB(gx * w / 9, gy * h / 8)
+            grid(gx)(gy) = (((rgb >>> 16) & 0xff) + ((rgb >>> 8) & 0xff) +
+              (rgb & 0xff)) / 3
+            gx += 1
+          }
+          gy += 1
+        }
+        var fp = 0L
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            if (grid(x + 1)(y) > grid(x)(y)) fp |= 1L << (y * 8 + x)
+            x += 1
+          }
+          y += 1
+        }
+        Some((fp, w, h))
+      case _ => None
+    }
+  }
+
+  /** dHash as a DataFrame op: (id, dhash, width, height, valid) —
+    * per-partition, no shuffle; feed the `dhash` column to
+    * [[graft.operators.Dedup.simhashNearDup]] for exact ≤ k pairs. */
+  def imageDHash(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("id", LongType, false),
+      StructField("dhash", LongType, true),
+      StructField("width", IntegerType, true),
+      StructField("height", IntegerType, true),
+      StructField("valid", BooleanType, false)))
+    val rows = df.select(col(idCol).cast(LongType), col(binCol)).rdd
+      .mapPartitions(_.map { r =>
+        scala.util.Try(parseDHash(r.getAs[Array[Byte]](1))).toOption
+          .flatten match {
+          case Some((fp, w, h)) => Row(r.getLong(0), fp, w, h, true)
+          case None => Row(r.getLong(0), null, null, null, false)
+        }
+      })
+    spark.createDataFrame(rows, outSchema)
+  }
+
+  /** Gray PNG whose 9×8 dHash equals exactly the supplied bit
+    * function (bit 63 must be 0 — the fingerprint stays non-negative
+    * so the oracle's BIGINT arithmetic never overflows): row pixels
+    * walk v(0)=100, v(x+1) = v(x) + (bit(x,y) ? 1+((x+y)%3) : 0),
+    * replicated s×s so the nearest-neighbor sample at (x·9s/9, y·8s/8)
+    * = (x·s, y·s) recovers the law pixel at every scale. */
+  def encodeDHashPng(bit: (Int, Int) => Boolean, s: Int): Array[Byte] = {
+    require(s >= 1 && s <= 8)
+    val img = new java.awt.image.BufferedImage(
+      9 * s, 8 * s, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < 8) {
+      var v = 100
+      var x = 0
+      while (x < 9) {
+        val rgb = (v << 16) | (v << 8) | v
+        var dy = 0
+        while (dy < s) {
+          var dx = 0
+          while (dx < s) {
+            img.setRGB(x * s + dx, y * s + dy, rgb)
+            dx += 1
+          }
+          dy += 1
+        }
+        if (x < 8 && bit(x, y)) v += 1 + (x + y) % 3
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic near-dup image fixture — the laws the q190 oracle
+    * replays. Groups of three images share a base bit pattern keyed
+    * on the EVEN group index (so adjacent groups' bases are identical
+    * — exact-duplicate fingerprints across DIFFERENT pixels/scales,
+    * exercising the Hamming-0 path); members 1 and 2 flip 2 and 1
+    * law bits. Scale s = 1 + id%3 varies within each group, so equal
+    * fingerprints come from genuinely different images through the
+    * real downsample. */
+  def dhashFixture(spark: SparkSession, n: Int): DataFrame = {
+    val rows = (0 until n).map { r =>
+      val g = r / 3
+      val m = r % 3
+      val geff = g - (g % 2)
+      def baseBit(k: Int): Boolean = (geff * 5 + k * 3) % 7 < 3
+      def flipped(k: Int): Boolean = m match {
+        case 1 => k == (3 * g) % 63 || k == (3 * g + 21) % 63
+        case 2 => k == (3 * g + 7) % 63
+        case _ => false
+      }
+      def bit(x: Int, y: Int): Boolean = {
+        val k = y * 8 + x
+        k < 63 && (baseBit(k) ^ flipped(k))
+      }
+      Row(r.toLong, encodeDHashPng(bit, 1 + r % 3))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4),
+      StructType(Seq(
+        StructField("id", LongType, false),
+        StructField("media", BinaryType, true))))
+  }
+
   /** Header-only (width, height) of a PNG/JPEG — ImageReader probes
     * the stream metadata without decoding pixel data. */
   private def imageDims(bytes: Array[Byte]): Option[(Int, Int, String)] = {

@@ -3255,6 +3255,58 @@ object ExtQueries4 {
        FROM fr b JOIN agg a ON b.r = a.r AND b.f = a.f
        ORDER BY id, frame"""
 
+  // ---------------------------------------------------------------
+  // q190 — image near-dup by perceptual hash (dHash): the IMAGE
+  // member of the near-dup family (LAION-style image dedup), and a
+  // real cross-family composition — lossless PNG decode + integer
+  // grayscale + nearest-neighbor 9×8 downsample + difference hash,
+  // then EXACT ≤3-Hamming retrieval through the SAME banded
+  // pigeonhole blocking the text SimHash path uses
+  // (Dedup.simhashNearDup — one blocking implementation, not two).
+  // 42 images in groups of three: adjacent groups share a base bit
+  // pattern (equal fingerprints from DIFFERENT pixels and scales —
+  // the Hamming-0 path), members flip 1-2 law bits, scale varies
+  // 1×/2×/3× inside every group so equal hashes always cross the
+  // real downsample. The oracle rebuilds every fingerprint from the
+  // bit law and brute-forces all C(42,2) pairs — any slip in decode,
+  // gray law, sampling positions, bit order or the blocking's
+  // exactness changes the pair set or a hamming and fails the hash
+  // gate. Decode/law/corruption gates live in ImageDHashSpec.
+  private val DHashN = 42
+
+  def q190(s: SparkSession, dir: String): DataFrame = {
+    val fx = graft.operators.Multimodal.dhashFixture(s, DHashN)
+    val fps = graft.operators.Multimodal.imageDHash(fx, "id", "media")
+      .where(col("valid"))
+      .select(col("id"), col("dhash").as("simhash"))
+    graft.operators.Dedup.simhashNearDup(fps, maxDist = 3)
+      .select(col("a"), col("b"), col("hamming").cast("int").as("hamming"))
+      .orderBy("a", "b")
+  }
+
+  val q190Sql: String =
+    s"""WITH base AS (
+         SELECT r, r // 3 AS g, r % 3 AS m,
+                (r // 3) - ((r // 3) % 2) AS geff
+         FROM range(0, $DHashN) t(r)),
+       bitv AS (
+         SELECT r, k,
+           (CASE WHEN (geff * 5 + k * 3) % 7 < 3 THEN 1 ELSE 0 END +
+            CASE WHEN m = 1 AND (k = (3 * g) % 63 OR k = (3 * g + 21) % 63)
+                   THEN 1
+                 WHEN m = 2 AND k = (3 * g + 7) % 63 THEN 1
+                 ELSE 0 END) % 2 AS b
+         FROM base, unnest([k for k in range(0, 63)]) u(k)),
+       fps AS (
+         SELECT r, CAST(sum(CASE WHEN b = 1
+                  THEN (CAST(1 AS BIGINT) << k) ELSE 0 END) AS BIGINT) AS fp
+         FROM bitv GROUP BY r)
+       SELECT x.r AS a, y.r AS b,
+         CAST(bit_count(xor(x.fp, y.fp)) AS INT) AS hamming
+       FROM fps x JOIN fps y ON x.r < y.r
+       WHERE bit_count(xor(x.fp, y.fp)) <= 3
+       ORDER BY a, b"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q125_label_propagation" -> (q125 _),
     "q126_pmi_cooccur" -> (q126 _),
@@ -3320,7 +3372,8 @@ object ExtQueries4 {
     "q186_doc_catalog" -> (q186 _),
     "q187_sqldump_extract" -> (q187 _),
     "q188_mp3_decode" -> (q188 _),
-    "q189_rle8_video" -> (q189 _))
+    "q189_rle8_video" -> (q189 _),
+    "q190_image_neardup" -> (q190 _))
 
   val oracles: Map[String, String] = Map(
     "q125_label_propagation" -> q125Sql,
@@ -3387,5 +3440,6 @@ object ExtQueries4 {
     "q186_doc_catalog" -> q186Sql,
     "q187_sqldump_extract" -> q187Sql,
     "q188_mp3_decode" -> q188Sql,
-    "q189_rle8_video" -> q189Sql)
+    "q189_rle8_video" -> q189Sql,
+    "q190_image_neardup" -> q190Sql)
 }

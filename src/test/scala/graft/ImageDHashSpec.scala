@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Multimodal}
+
+/** Image dHash + near-dup pairs (q190): law replay, downsample scale
+  * invariance, the Hamming-0 cross-scale path, blocking exactness
+  * against a brute-force reference, and decode strictness. */
+class ImageDHashSpec extends SparkSpec {
+
+  private def lawFp(r: Int): Long = {
+    val g = r / 3; val m = r % 3; val geff = g - (g % 2)
+    (0 until 63).foldLeft(0L) { (acc, k) =>
+      val base = (geff * 5 + k * 3) % 7 < 3
+      val flip = m match {
+        case 1 => k == (3 * g) % 63 || k == (3 * g + 21) % 63
+        case 2 => k == (3 * g + 7) % 63
+        case _ => false
+      }
+      if (base ^ flip) acc | (1L << k) else acc
+    }
+  }
+
+  test("fixture fingerprints match the law (the oracle's arithmetic)") {
+    val n = 18
+    val got = Multimodal.imageDHash(
+        Multimodal.dhashFixture(spark, n), "id", "media")
+      .orderBy("id").collect()
+    for (r <- 0 until n) {
+      assert(got(r).getAs[Boolean]("valid"), s"id $r")
+      assert(got(r).getAs[Long]("dhash") == lawFp(r), s"fp id $r")
+      val s = 1 + r % 3
+      assert(got(r).getAs[Int]("width") == 9 * s &&
+        got(r).getAs[Int]("height") == 8 * s)
+    }
+  }
+
+  test("downsample scale invariance: one bit law, identical hash at 1x/2x/3x") {
+    def bit(x: Int, y: Int): Boolean = (x * 3 + y * 5) % 4 < 2
+    val fps = (1 to 3).map { s =>
+      Multimodal.parseDHash(Multimodal.encodeDHashPng(bit, s)).get._1
+    }
+    assert(fps.distinct.size == 1)
+    // and the hash is exactly the bit law
+    val expect = (for (y <- 0 until 8; x <- 0 until 8 if bit(x, y))
+      yield 1L << (y * 8 + x)).sum
+    assert(fps.head == expect)
+  }
+
+  test("banded blocking is exact: pairs equal the brute-force reference") {
+    val n = 24
+    val fps = (0 until n).map(r => (r.toLong, lawFp(r)))
+    val ref = (for {
+      a <- 0 until n; b <- a + 1 until n
+      h = java.lang.Long.bitCount(fps(a)._2 ^ fps(b)._2)
+      if h <= 3
+    } yield (a.toLong, b.toLong, h)).sorted
+    assert(ref.nonEmpty && ref.exists(_._3 == 0),
+      "fixture must exercise the Hamming-0 (shared-fingerprint) path")
+    import spark.implicits._
+    val got = Dedup.simhashNearDup(
+        fps.toDF("id", "simhash"), maxDist = 3)
+      .orderBy("a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(got == ref)
+  }
+
+  test("decode strictness: junk, truncation, and sub-grid images flag invalid") {
+    assert(Multimodal.parseDHash(null).isEmpty)
+    assert(Multimodal.parseDHash(
+      Array.tabulate[Byte](256)(i => (i * 37).toByte)).isEmpty)
+    val good = Multimodal.encodeDHashPng((x, y) => (x + y) % 2 == 0, 1)
+    assert(Multimodal.parseDHash(good).isDefined)
+    assert(Multimodal.parseDHash(
+      java.util.Arrays.copyOf(good, good.length / 2)).isEmpty)
+    // an 8x8 image cannot carry the 9-column grid
+    val small = new java.awt.image.BufferedImage(
+      8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(small, "png", bos)
+    assert(Multimodal.parseDHash(bos.toByteArray).isEmpty)
+  }
+}

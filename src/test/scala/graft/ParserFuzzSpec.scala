@@ -38,6 +38,7 @@ class ParserFuzzSpec extends AnyFunSuite {
     "parseGif" -> (b => Multimodal.parseGif(b)),
     "parseAvi" -> (b => Multimodal.parseAvi(b)),
     "parseAviRle8" -> (b => Multimodal.parseAviRle8(b)),
+    "parseDHash" -> (b => Multimodal.parseDHash(b)),
     "parseWarc" -> (b => graft.operators.Warc.parseArchive(b)),
     // the lake family: every task-local byte walk the corpus
     // ingestion layer runs, under the same no-throw contract
@@ -160,6 +161,8 @@ class ParserFuzzSpec extends AnyFunSuite {
     "gif" -> Multimodal.encodeGif(8, 6,
       Seq(Array.fill(48)(17.toByte), Array.fill(48)(99.toByte)), Seq(7, 9)),
     "avi" -> Multimodal.encodeAvi(12, 8, Seq(10, 200, 77), 15),
+    "dhash-png" -> Multimodal.encodeDHashPng(
+      (x, y) => (x * 5 + y * 3) % 3 != 0, 2),
     "avi-rle8" -> {
       import Multimodal.Rle8Op._
       Multimodal.encodeAviRle8(8, 3, i => (i, (2 * i) % 256, (3 * i) % 256),
