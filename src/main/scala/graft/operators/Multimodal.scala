@@ -4305,6 +4305,142 @@ object Multimodal {
 
   /** Encode a REAL PCM16 WAV container (fixture / test side):
     * canonical 44-byte header + interleaved little-endian samples. */
+  // ------------------------------------------------------------------
+  // Audio energy segmentation (q191): the silence-trim / speech-
+  // activity pass an audio-corpus curation pipeline runs before
+  // anything else. Frames of `frameLen` samples per channel; a
+  // frame's energy is the integer sum of squared samples across all
+  // channels (8-bit PCM widened (u−128)·256 first, the standard
+  // embedding into the 16-bit range, so one threshold serves both
+  // widths); a frame is ACTIVE iff energy ≥ meanThreshold ·
+  // frameLen · channels (a per-sample mean bound, so the knob is
+  // width- and channel-independent). Consecutive active frames merge
+  // into segments; a trailing partial frame is IGNORED (only full
+  // frames are classified — the fixture pins this with a loud
+  // partial tail that must not leak into any segment). All integer,
+  // so the oracle replays energies and the gaps-and-islands merge
+  // exactly.
+
+  private[graft] final case class EnergySegment(
+      seg: Int, startFrame: Long, nFrames: Long, energySum: Long)
+
+  private[graft] def parseEnergySegments(
+      b: Array[Byte], frameLen: Int, meanThreshold: Long)
+      : Option[(Int, Int, Long, Seq[EnergySegment])] = {
+    parseWav(b) match {
+      case Some((rate, ch, bits, off, dLen)) =>
+        val bytesPerSample = bits / 8
+        val totalSamples = dLen / bytesPerSample // across channels
+        val perFrame = frameLen * ch
+        val nf = totalSamples / perFrame
+        val thr = meanThreshold * perFrame
+        def sample(i: Int): Long = {
+          if (bits == 16) {
+            val o = off + i * 2
+            ((b(o) & 0xff) | (b(o + 1) << 8)).toShort.toLong
+          } else ((b(off + i) & 0xff) - 128).toLong * 256
+        }
+        val segs = scala.collection.mutable.ArrayBuffer.empty[EnergySegment]
+        var j = 0L
+        var segStart = -1L
+        var segEnergy = 0L
+        while (j < nf) {
+          var e = 0L
+          var i = 0
+          while (i < perFrame) {
+            val s = sample((j * perFrame + i).toInt)
+            e += s * s
+            i += 1
+          }
+          if (e >= thr) {
+            if (segStart < 0) { segStart = j; segEnergy = 0L }
+            segEnergy += e
+          } else if (segStart >= 0) {
+            segs += EnergySegment(segs.length, segStart, j - segStart, segEnergy)
+            segStart = -1L
+          }
+          j += 1
+        }
+        if (segStart >= 0)
+          segs += EnergySegment(segs.length, segStart, nf - segStart, segEnergy)
+        Some((rate, ch, nf, segs.toSeq))
+      case None => None
+    }
+  }
+
+  /** Energy segmentation as a DataFrame op: one row per SEGMENT
+    * (id, seg, start_frame, n_frames, energy_sum) plus stream
+    * context; per-partition, no shuffle. A valid WAV with no active
+    * frames yields zero segment rows (not an invalid row). */
+  def energySegments(
+      df: DataFrame, idCol: String, binCol: String,
+      frameLen: Int, meanThreshold: Long): DataFrame = {
+    require(frameLen >= 1 && meanThreshold >= 0)
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("id", LongType, false),
+      StructField("seg", IntegerType, true),
+      StructField("sample_rate", IntegerType, true),
+      StructField("channels", IntegerType, true),
+      StructField("n_frames", LongType, true),
+      StructField("start_frame", LongType, true),
+      StructField("seg_frames", LongType, true),
+      StructField("energy_sum", LongType, true),
+      StructField("valid", BooleanType, false)))
+    val rows = df.select(col(idCol).cast(LongType), col(binCol)).rdd
+      .mapPartitions(_.flatMap { r =>
+        scala.util.Try(parseEnergySegments(
+          r.getAs[Array[Byte]](1), frameLen, meanThreshold)).toOption
+          .flatten match {
+          case Some((rate, ch, nf, segs)) =>
+            segs.map(s => Row(r.getLong(0), s.seg, rate, ch, nf,
+              s.startFrame, s.nFrames, s.energySum, true))
+          case None =>
+            Seq(Row(r.getLong(0), null, null, null, null, null, null,
+              null, false))
+        }
+      })
+    spark.createDataFrame(rows, outSchema)
+  }
+
+  /** Deterministic energy-segmentation fixture — the laws the q191
+    * oracle replays. 16-bit PCM; frame j holds constant-magnitude
+    * sign-alternating samples a(j)·(−1)^i with a(j) = ((r+3j) mod 5)
+    * · 300, so exactly the k=0 frames (one in five) fall silent at a
+    * 90 000 per-sample mean threshold; a LOUD partial tail of r mod 7
+    * samples at 30 000 pins the only-full-frames contract. */
+  def energyFixture(spark: SparkSession, n: Int, frameLen: Int): DataFrame = {
+    val rows = (0 until n).map { r =>
+      val rate = 8000 + (r % 3) * 4000
+      val ch = 1 + r % 2
+      val nf = 20 + r % 10
+      val tail = r % 7
+      val samples = new Array[Short](nf * frameLen * ch + tail * ch)
+      var j = 0
+      while (j < nf) {
+        val a = ((r + 3 * j) % 5) * 300
+        var i = 0
+        while (i < frameLen * ch) {
+          samples(j * frameLen * ch + i) =
+            (if (i % 2 == 0) a else -a).toShort
+          i += 1
+        }
+        j += 1
+      }
+      var t = 0
+      while (t < tail * ch) {
+        samples(nf * frameLen * ch + t) = 30000
+        t += 1
+      }
+      Row(r.toLong, encodeWav(rate, ch, samples))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4),
+      StructType(Seq(
+        StructField("id", LongType, false),
+        StructField("media", BinaryType, true))))
+  }
+
   def encodeWav(sampleRate: Int, channels: Int, samples: Array[Short]): Array[Byte] = {
     val dataLen = samples.length * 2
     val bb = ByteBuffer.allocate(44 + dataLen).order(ByteOrder.LITTLE_ENDIAN)

@@ -3307,6 +3307,63 @@ object ExtQueries4 {
        WHERE bit_count(xor(x.fp, y.fp)) <= 3
        ORDER BY a, b"""
 
+  // ---------------------------------------------------------------
+  // q191 — audio energy segmentation (silence trimming): the first
+  // pass an audio-corpus curation pipeline runs. 64-sample frames,
+  // integer sum-of-squares energy across channels, active iff the
+  // per-sample mean energy clears 90 000 (width- and channel-
+  // independent bound), consecutive active frames merged into
+  // segments, trailing partial frames ignored (the fixture's loud
+  // partial tail must never leak into a segment). One row per
+  // SEGMENT; the oracle replays frame energies and the gaps-and-
+  // islands merge exactly — any slip in sample decode, framing,
+  // threshold scaling, merge logic or the full-frames-only contract
+  // shifts a boundary or an energy sum and fails the hash gate.
+  // 8-bit widening and corruption strictness are spec-gated in
+  // EnergySegmentsSpec.
+  private val EnergyN = 40
+  private val EnergyFrame = 64
+
+  def q191(s: SparkSession, dir: String): DataFrame = {
+    val fx = graft.operators.Multimodal.energyFixture(s, EnergyN, EnergyFrame)
+    graft.operators.Multimodal
+      .energySegments(fx, "id", "media", EnergyFrame, 90000L)
+      .select(col("id"), col("seg"), col("sample_rate"), col("channels"),
+        col("n_frames"), col("start_frame"), col("seg_frames"),
+        col("energy_sum"), col("valid"))
+      .orderBy("id", "seg")
+  }
+
+  val q191Sql: String =
+    s"""WITH base AS (
+         SELECT r, 8000 + (r % 3) * 4000 AS rate, 1 + r % 2 AS ch,
+                20 + r % 10 AS nf
+         FROM range(0, $EnergyN) t(r)),
+       fr AS (SELECT *, unnest([j for j in range(0, nf)]) AS j FROM base),
+       en AS (
+         SELECT r, rate, ch, nf, j, ((r + 3 * j) % 5) * 300 AS a,
+           CAST($EnergyFrame AS BIGINT) * ch
+             * (((r + 3 * j) % 5) * 300) * (((r + 3 * j) % 5) * 300) AS e
+         FROM fr),
+       act AS (
+         SELECT *, j - ROW_NUMBER() OVER (PARTITION BY r ORDER BY j) AS grp
+         FROM en WHERE a >= 300),
+       seg AS (
+         SELECT r, rate, ch, nf, grp, min(j) AS start_frame,
+                count(*) AS seg_frames, sum(e) AS energy_sum
+         FROM act GROUP BY r, rate, ch, nf, grp),
+       num AS (
+         SELECT *, ROW_NUMBER() OVER (PARTITION BY r ORDER BY start_frame)
+                   - 1 AS seg
+         FROM seg)
+       SELECT r AS id, CAST(seg AS INT) AS seg,
+         CAST(rate AS INT) AS sample_rate, CAST(ch AS INT) AS channels,
+         CAST(nf AS BIGINT) AS n_frames,
+         CAST(start_frame AS BIGINT) AS start_frame,
+         CAST(seg_frames AS BIGINT) AS seg_frames,
+         CAST(energy_sum AS BIGINT) AS energy_sum, true AS valid
+       FROM num ORDER BY id, seg"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q125_label_propagation" -> (q125 _),
     "q126_pmi_cooccur" -> (q126 _),
@@ -3373,7 +3430,8 @@ object ExtQueries4 {
     "q187_sqldump_extract" -> (q187 _),
     "q188_mp3_decode" -> (q188 _),
     "q189_rle8_video" -> (q189 _),
-    "q190_image_neardup" -> (q190 _))
+    "q190_image_neardup" -> (q190 _),
+    "q191_energy_segments" -> (q191 _))
 
   val oracles: Map[String, String] = Map(
     "q125_label_propagation" -> q125Sql,
@@ -3441,5 +3499,6 @@ object ExtQueries4 {
     "q187_sqldump_extract" -> q187Sql,
     "q188_mp3_decode" -> q188Sql,
     "q189_rle8_video" -> q189Sql,
-    "q190_image_neardup" -> q190Sql)
+    "q190_image_neardup" -> q190Sql,
+    "q191_energy_segments" -> q191Sql)
 }
