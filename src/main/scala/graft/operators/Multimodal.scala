@@ -4441,6 +4441,140 @@ object Multimodal {
         StructField("media", BinaryType, true))))
   }
 
+  // ------------------------------------------------------------------
+  // Rational audio resampling (q192): the 48 k→16 k / 44.1 k→16 k
+  // pass every speech-training pipeline runs. Linear-interpolation
+  // polyphase at the reduced ratio L/M (L = outRate/g, M = inRate/g):
+  // output n sits at source position n·M/L = k + f/L and
+  //   y[n] = rne( s[k]·(L−f) + s[k+1]·f,  L )
+  // — exact integer arithmetic (round-half-even rational division),
+  // no floats anywhere, so decimation (f ≡ 0), heavy rationals
+  // (44.1 k→16 k ⇒ L/M = 160/441) and upsampling all replay exactly
+  // in the oracle. n_out per channel = floor((n_in−1)·L/M) + 1 (the
+  // last output never needs a sample past the end; s[k+1] is touched
+  // only when f > 0). Anti-alias filtering is deliberately out of
+  // scope — the operator is the INDEX/INTERPOLATION kernel whose
+  // per-bit behavior a fixture can pin; a production low-pass is a
+  // windowed-sinc float convolution with no exact oracle.
+
+  private[graft] final case class Resampled(
+      inRate: Int, outRate: Int, channels: Int, nIn: Long, nOut: Long,
+      outSum: Long, outMin: Long, outMax: Long, outFirst: Long, outLast: Long)
+
+  private[graft] def parseResample(
+      b: Array[Byte], outRate: Int): Option[Resampled] = {
+    if (outRate <= 0) return None
+    parseWav(b) match {
+      case Some((rate, ch, bits, off, dLen)) =>
+        val bytesPerSample = bits / 8
+        val nIn = dLen / bytesPerSample / ch
+        if (nIn < 2) return None
+        val g = java.math.BigInteger.valueOf(rate)
+          .gcd(java.math.BigInteger.valueOf(outRate)).longValueExact()
+        val l = outRate / g
+        val m = rate / g
+        def sample(i: Long, c: Int): Long = {
+          val idx = (i * ch + c).toInt
+          if (bits == 16) {
+            val o = off + idx * 2
+            ((b(o) & 0xff) | (b(o + 1) << 8)).toShort.toLong
+          } else ((b(off + idx) & 0xff) - 128).toLong * 256
+        }
+        val nOut = (nIn - 1) * l / m + 1
+        var sum = 0L
+        var mn = Long.MaxValue
+        var mx = Long.MinValue
+        var first = 0L
+        var last = 0L
+        var c = 0
+        while (c < ch) {
+          var n = 0L
+          while (n < nOut) {
+            val k = n * m / l
+            val f = n * m % l
+            val a =
+              if (f == 0) sample(k, c) * l
+              else sample(k, c) * (l - f) + sample(k + 1, c) * f
+            val y = rne(a, l)
+            sum += y
+            if (y < mn) mn = y
+            if (y > mx) mx = y
+            if (c == 0 && n == 0) first = y
+            if (c == 0 && n == nOut - 1) last = y
+            n += 1
+          }
+          c += 1
+        }
+        Some(Resampled(rate, outRate, ch, nIn, nOut, sum, mn, mx,
+          first, last))
+      case None => None
+    }
+  }
+
+  /** Resampling as a DataFrame op: per-stream integer aggregates of
+    * the resampled signal (plus first/last output of channel 0, which
+    * pin the boundary arithmetic); per-partition, no shuffle. */
+  def resampleWav(
+      df: DataFrame, idCol: String, binCol: String, outRate: Int): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("id", LongType, false),
+      StructField("in_rate", IntegerType, true),
+      StructField("out_rate", IntegerType, true),
+      StructField("channels", IntegerType, true),
+      StructField("n_in", LongType, true),
+      StructField("n_out", LongType, true),
+      StructField("out_sum", LongType, true),
+      StructField("out_min", LongType, true),
+      StructField("out_max", LongType, true),
+      StructField("out_first", LongType, true),
+      StructField("out_last", LongType, true),
+      StructField("valid", BooleanType, false)))
+    val rows = df.select(col(idCol).cast(LongType), col(binCol)).rdd
+      .mapPartitions(_.map { r =>
+        scala.util.Try(parseResample(r.getAs[Array[Byte]](1), outRate))
+          .toOption.flatten match {
+          case Some(d) =>
+            Row(r.getLong(0), d.inRate, d.outRate, d.channels, d.nIn,
+              d.nOut, d.outSum, d.outMin, d.outMax, d.outFirst,
+              d.outLast, true)
+          case None =>
+            Row(r.getLong(0), null, null, null, null, null, null, null,
+              null, null, null, false)
+        }
+      })
+    spark.createDataFrame(rows, outSchema)
+  }
+
+  /** Deterministic resample fixture — the laws the q192 oracle
+    * replays: rates 48 k / 44.1 k / 32 k (pure 1/3 decimation, the
+    * 160/441 heavy rational, and 1/2), mono and stereo, sample
+    * (i, c) of id r = ((r·31 + i·7 + c·13) mod 401) − 200. */
+  def resampleFixture(spark: SparkSession, n: Int): DataFrame = {
+    val rows = (0 until n).map { r =>
+      val rate = Array(48000, 44100, 32000)(r % 3)
+      val ch = 1 + r % 2
+      val nIn = 400 + r % 50
+      val samples = new Array[Short](nIn * ch)
+      var i = 0
+      while (i < nIn) {
+        var c = 0
+        while (c < ch) {
+          samples(i * ch + c) =
+            (((r * 31 + i * 7 + c * 13) % 401) - 200).toShort
+          c += 1
+        }
+        i += 1
+      }
+      Row(r.toLong, encodeWav(rate, ch, samples))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4),
+      StructType(Seq(
+        StructField("id", LongType, false),
+        StructField("media", BinaryType, true))))
+  }
+
   def encodeWav(sampleRate: Int, channels: Int, samples: Array[Short]): Array[Byte] = {
     val dataLen = samples.length * 2
     val bb = ByteBuffer.allocate(44 + dataLen).order(ByteOrder.LITTLE_ENDIAN)

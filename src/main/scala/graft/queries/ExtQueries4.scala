@@ -3364,6 +3364,74 @@ object ExtQueries4 {
          CAST(energy_sum AS BIGINT) AS energy_sum, true AS valid
        FROM num ORDER BY id, seg"""
 
+  // ---------------------------------------------------------------
+  // q192 — rational audio resampling to 16 kHz (the ASR-training
+  // front door): linear-interpolation polyphase at the reduced L/M
+  // ratio, exact integer arithmetic y = rne(s[k]·(L−f) + s[k+1]·f, L)
+  // — pure 1/3 decimation (48 k), the heavy 160/441 rational
+  // (44.1 k), and 1/2 (32 k), mono and stereo. The oracle replays
+  // every output sample's index arithmetic and round-half-even
+  // division; out_first/out_last pin the boundary behavior and
+  // n_out pins the (n_in−1)·L/M + 1 count law. Upsampling and
+  // corruption strictness are spec-gated in ResampleSpec.
+  private val ResampleN = 40
+
+  def q192(s: SparkSession, dir: String): DataFrame = {
+    val fx = graft.operators.Multimodal.resampleFixture(s, ResampleN)
+    graft.operators.Multimodal.resampleWav(fx, "id", "media", 16000)
+      .select(col("id"), col("in_rate"), col("out_rate"), col("channels"),
+        col("n_in"), col("n_out"), col("out_sum"), col("out_min"),
+        col("out_max"), col("out_first"), col("out_last"), col("valid"))
+      .orderBy("id")
+  }
+
+  val q192Sql: String =
+    s"""WITH base AS (
+         SELECT r,
+           CASE r % 3 WHEN 0 THEN 48000 WHEN 1 THEN 44100
+                ELSE 32000 END AS rate,
+           CASE r % 3 WHEN 0 THEN 1 WHEN 1 THEN 160 ELSE 1 END AS l,
+           CASE r % 3 WHEN 0 THEN 3 WHEN 1 THEN 441 ELSE 2 END AS m,
+           1 + r % 2 AS ch, 400 + r % 50 AS nin
+         FROM range(0, $ResampleN) t(r)),
+       b2 AS (SELECT *, (nin - 1) * l // m + 1 AS nout FROM base),
+       cn AS (SELECT *, unnest([c for c in range(0, ch)]) AS c FROM b2),
+       nn AS (SELECT *, unnest([n for n in range(0, nout)]) AS n FROM cn),
+       av AS (
+         SELECT r, c, n, nout, l,
+           CAST(((r * 31 + ((n * m) // l) * 7 + c * 13) % 401) - 200
+                AS BIGINT) * (l - (n * m) % l)
+           + CASE WHEN (n * m) % l = 0 THEN 0
+                  ELSE CAST(((r * 31 + ((n * m) // l + 1) * 7 + c * 13)
+                             % 401) - 200 AS BIGINT) * ((n * m) % l) END
+             AS a
+         FROM nn),
+       yv AS ( -- exact round-half-even of a/l (a may be negative)
+         SELECT r, c, n, nout,
+           fq + CASE WHEN 2 * rp > b THEN 1
+                     WHEN 2 * rp = b AND fq % 2 <> 0 THEN 1
+                     ELSE 0 END AS y
+         FROM (SELECT r, c, n, nout, CAST(l AS BIGINT) AS b,
+                      ((a % l) + l) % l AS rp,
+                      (a - (((a % l) + l) % l)) // l AS fq
+               FROM av)),
+       agg AS (
+         SELECT r, CAST(sum(y) AS BIGINT) AS out_sum,
+                CAST(min(y) AS BIGINT) AS out_min,
+                CAST(max(y) AS BIGINT) AS out_max,
+                CAST(max(CASE WHEN c = 0 AND n = 0 THEN y END) AS BIGINT)
+                  AS out_first,
+                CAST(max(CASE WHEN c = 0 AND n = nout - 1 THEN y END)
+                  AS BIGINT) AS out_last
+         FROM yv GROUP BY r)
+       SELECT b2.r AS id, CAST(rate AS INT) AS in_rate,
+         CAST(16000 AS INT) AS out_rate, CAST(ch AS INT) AS channels,
+         CAST(nin AS BIGINT) AS n_in, CAST(nout AS BIGINT) AS n_out,
+         a.out_sum, a.out_min, a.out_max, a.out_first, a.out_last,
+         true AS valid
+       FROM b2 JOIN agg a ON b2.r = a.r
+       ORDER BY id"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q125_label_propagation" -> (q125 _),
     "q126_pmi_cooccur" -> (q126 _),
@@ -3431,7 +3499,8 @@ object ExtQueries4 {
     "q188_mp3_decode" -> (q188 _),
     "q189_rle8_video" -> (q189 _),
     "q190_image_neardup" -> (q190 _),
-    "q191_energy_segments" -> (q191 _))
+    "q191_energy_segments" -> (q191 _),
+    "q192_resample_audio" -> (q192 _))
 
   val oracles: Map[String, String] = Map(
     "q125_label_propagation" -> q125Sql,
@@ -3500,5 +3569,6 @@ object ExtQueries4 {
     "q188_mp3_decode" -> q188Sql,
     "q189_rle8_video" -> q189Sql,
     "q190_image_neardup" -> q190Sql,
-    "q191_energy_segments" -> q191Sql)
+    "q191_energy_segments" -> q191Sql,
+    "q192_resample_audio" -> q192Sql)
 }
