@@ -3432,6 +3432,62 @@ object ExtQueries4 {
        FROM b2 JOIN agg a ON b2.r = a.r
        ORDER BY id"""
 
+  // ---------------------------------------------------------------
+  // q193 — EXIF metadata extraction from JPEG APP1 (TIFF 6.0 IFD
+  // walk, both byte orders): the catalog pass an image lake runs
+  // before any pixel work — camera identity, orientation, capture
+  // time, exposure, dimensions, focal length and the full GPS DMS
+  // position. 40 REAL JPEGs (the JDK encoder's output) with a
+  // spliced APP1 whose IFD0/Exif/GPS structure is built for real
+  // (ascending tags, inline vs out-of-line values, a shared data
+  // area); II on even ids, MM on odd. The oracle replays every law
+  // field; any slip — byte order, inline-value packing, offset
+  // arithmetic, NUL handling, type acceptance — shifts a column and
+  // fails the hash gate. Strictness matrix in ExifSpec; parser in
+  // ParserFuzzSpec's central gate.
+  private val ExifN = 40
+
+  def q193(s: SparkSession, dir: String): DataFrame = {
+    val fx = graft.operators.ExifLake.exifFixture(s, ExifN)
+    graft.operators.ExifLake.extractExif(fx, "id", "media")
+      .select(col("id"), col("byte_order"), col("make"), col("model"),
+        col("orientation"), col("dt"), col("exposure_num"),
+        col("exposure_den"), col("iso"), col("px_width"), col("px_height"),
+        col("focal_num"), col("focal_den"), col("lat_ref"), col("lat_deg"),
+        col("lat_min"), col("lat_sec_num"), col("lat_sec_den"),
+        col("lon_ref"), col("lon_deg"), col("lon_min"), col("lon_sec_num"),
+        col("lon_sec_den"), col("valid"))
+      .orderBy("id")
+  }
+
+  val q193Sql: String =
+    s"""SELECT r AS id,
+         CASE WHEN r % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+         'Maker' || (r % 5) AS make, 'Cam-' || r AS model,
+         CAST(1 + r % 8 AS INT) AS orientation,
+         printf('%04d:%02d:%02d %02d:%02d:%02d',
+           2020 + r % 5, 1 + r % 12, 1 + r % 28,
+           r % 24, (3 * r) % 60, (7 * r) % 60) AS dt,
+         CAST(1 AS BIGINT) AS exposure_num,
+         CAST(125 + r % 500 AS BIGINT) AS exposure_den,
+         CAST(100 * (1 + r % 32) AS INT) AS iso,
+         CAST(640 + r * 16 AS BIGINT) AS px_width,
+         CAST(480 + r * 9 AS BIGINT) AS px_height,
+         CAST(35 + r % 300 AS BIGINT) AS focal_num,
+         CAST(10 AS BIGINT) AS focal_den,
+         CASE WHEN r % 2 = 0 THEN 'N' ELSE 'S' END AS lat_ref,
+         CAST(r % 90 AS BIGINT) AS lat_deg,
+         CAST((3 * r) % 60 AS BIGINT) AS lat_min,
+         CAST((1101 * r) % 6000 AS BIGINT) AS lat_sec_num,
+         CAST(100 AS BIGINT) AS lat_sec_den,
+         CASE WHEN r % 3 = 0 THEN 'E' ELSE 'W' END AS lon_ref,
+         CAST(r % 180 AS BIGINT) AS lon_deg,
+         CAST((7 * r) % 60 AS BIGINT) AS lon_min,
+         CAST((2203 * r) % 6000 AS BIGINT) AS lon_sec_num,
+         CAST(100 AS BIGINT) AS lon_sec_den,
+         true AS valid
+       FROM range(0, $ExifN) t(r) ORDER BY id"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q125_label_propagation" -> (q125 _),
     "q126_pmi_cooccur" -> (q126 _),
@@ -3500,7 +3556,8 @@ object ExtQueries4 {
     "q189_rle8_video" -> (q189 _),
     "q190_image_neardup" -> (q190 _),
     "q191_energy_segments" -> (q191 _),
-    "q192_resample_audio" -> (q192 _))
+    "q192_resample_audio" -> (q192 _),
+    "q193_exif_extract" -> (q193 _))
 
   val oracles: Map[String, String] = Map(
     "q125_label_propagation" -> q125Sql,
@@ -3570,5 +3627,6 @@ object ExtQueries4 {
     "q189_rle8_video" -> q189Sql,
     "q190_image_neardup" -> q190Sql,
     "q191_energy_segments" -> q191Sql,
-    "q192_resample_audio" -> q192Sql)
+    "q192_resample_audio" -> q192Sql,
+    "q193_exif_extract" -> q193Sql)
 }

@@ -39,6 +39,7 @@ class ParserFuzzSpec extends AnyFunSuite {
     "parseAvi" -> (b => Multimodal.parseAvi(b)),
     "parseAviRle8" -> (b => Multimodal.parseAviRle8(b)),
     "parseDHash" -> (b => Multimodal.parseDHash(b)),
+    "parseExif" -> (b => graft.operators.ExifLake.parseExif(b)),
     "parseWarc" -> (b => graft.operators.Warc.parseArchive(b)),
     // the lake family: every task-local byte walk the corpus
     // ingestion layer runs, under the same no-throw contract
@@ -161,6 +162,10 @@ class ParserFuzzSpec extends AnyFunSuite {
     "gif" -> Multimodal.encodeGif(8, 6,
       Seq(Array.fill(48)(17.toByte), Array.fill(48)(99.toByte)), Seq(7, 9)),
     "avi" -> Multimodal.encodeAvi(12, 8, Seq(10, 200, 77), 15),
+    "exif-jpeg" -> graft.operators.ExifLake.buildExifJpeg(
+      Multimodal.encodeJpegGray(8, 6, 40), le = true,
+      "Mk", "Md", 3, "2024:01:02 03:04:05", 1, 250, 640, 480, 50, 10,
+      "N", (10, 20, 3000, 100), "W", (30, 40, 5000, 100)),
     "dhash-png" -> Multimodal.encodeDHashPng(
       (x, y) => (x * 5 + y * 3) % 3 != 0, 2),
     "avi-rle8" -> {
