@@ -3488,6 +3488,43 @@ object ExtQueries4 {
          true AS valid
        FROM range(0, $ExifN) t(r) ORDER BY id"""
 
+  // ---------------------------------------------------------------
+  // q194 — compressed corpus-shard ingestion: .zst / .lz4 / .bz2 /
+  // .xz / .gz blobs (the formats corpora actually ship in) routed by
+  // magic and decompressed through the codecs every Spark classpath
+  // already carries, under the DECOMPRESSION-BOMB CAP (bounded-
+  // output read; a real 10 000:1 zstd bomb is spec-gated). The
+  // decoded text follows the fixture law, so n_words/digit_sum pin
+  // correct decompression per codec; comp_bytes is codec-dependent
+  // and deliberately NOT in the oracle surface. Strictness (bombs,
+  // truncation, bit flips, magic confusion) in CompressedLakeSpec;
+  // every router branch in ParserFuzzSpec's no-throw gate.
+  private val CompN = 40
+
+  def q194(s: SparkSession, dir: String): DataFrame = {
+    val fx = graft.operators.CompressedLake.compressedFixture(s, CompN)
+    graft.operators.CompressedLake.extractCompressed(fx, "id", "media")
+      .select(col("id"), col("codec"), col("uncomp_bytes"),
+        col("n_words"), col("digit_sum"), col("valid"))
+      .orderBy("id")
+  }
+
+  val q194Sql: String =
+    s"""WITH base AS (
+         SELECT r, 10 + r % 6 AS nt,
+           ['zstd', 'lz4', 'bzip2', 'xz', 'gzip'][1 + r % 5] AS codec
+         FROM range(0, $CompN) t(r)),
+       dig AS (
+         SELECT r, CAST(list_sum([(r * 7 + j * 3) % 10
+                                  for j in range(0, nt)]) AS BIGINT) AS ds
+         FROM base)
+       SELECT b.r AS id, b.codec,
+         CAST(3 * b.nt - 1 AS BIGINT) AS uncomp_bytes,
+         CAST(b.nt AS BIGINT) AS n_words, d.ds AS digit_sum,
+         true AS valid
+       FROM base b JOIN dig d ON b.r = d.r
+       ORDER BY id"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q125_label_propagation" -> (q125 _),
     "q126_pmi_cooccur" -> (q126 _),
@@ -3557,7 +3594,8 @@ object ExtQueries4 {
     "q190_image_neardup" -> (q190 _),
     "q191_energy_segments" -> (q191 _),
     "q192_resample_audio" -> (q192 _),
-    "q193_exif_extract" -> (q193 _))
+    "q193_exif_extract" -> (q193 _),
+    "q194_compressed_shards" -> (q194 _))
 
   val oracles: Map[String, String] = Map(
     "q125_label_propagation" -> q125Sql,
@@ -3628,5 +3666,6 @@ object ExtQueries4 {
     "q190_image_neardup" -> q190Sql,
     "q191_energy_segments" -> q191Sql,
     "q192_resample_audio" -> q192Sql,
-    "q193_exif_extract" -> q193Sql)
+    "q193_exif_extract" -> q193Sql,
+    "q194_compressed_shards" -> q194Sql)
 }

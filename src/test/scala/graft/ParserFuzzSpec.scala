@@ -40,6 +40,8 @@ class ParserFuzzSpec extends AnyFunSuite {
     "parseAviRle8" -> (b => Multimodal.parseAviRle8(b)),
     "parseDHash" -> (b => Multimodal.parseDHash(b)),
     "parseExif" -> (b => graft.operators.ExifLake.parseExif(b)),
+    "decompressShard" -> (b =>
+      graft.operators.CompressedLake.decompress(b, 1 << 20)),
     "parseWarc" -> (b => graft.operators.Warc.parseArchive(b)),
     // the lake family: every task-local byte walk the corpus
     // ingestion layer runs, under the same no-throw contract
@@ -89,7 +91,12 @@ class ParserFuzzSpec extends AnyFunSuite {
     "ics" -> "BEGIN:VCALENDAR\r\nVERSION:2.0\r\n".getBytes("ISO-8859-1"),
     "mdfm" -> "---\ntitle: t\n---\n".getBytes("ISO-8859-1"),
     "po" -> "msgid \"\"\nmsgstr \"\"\n".getBytes("ISO-8859-1"),
-    "gitdiff" -> "diff --git a/x b/x\n".getBytes("ISO-8859-1"))
+    "gitdiff" -> "diff --git a/x b/x\n".getBytes("ISO-8859-1"),
+    "zstd" -> Array(0x28.toByte, 0xb5.toByte, 0x2f.toByte, 0xfd.toByte),
+    "lz4" -> Array(0x04.toByte, 0x22.toByte, 0x4d.toByte, 0x18.toByte),
+    "bzip2" -> "BZh9".getBytes("ISO-8859-1"),
+    "xz" -> Array(0xfd.toByte, '7'.toByte, 'z'.toByte, 'X'.toByte,
+      'Z'.toByte, 0.toByte))
 
   private def noThrow(label: String, p: Parser, b: Array[Byte]): Unit =
     try { p(b); () } catch {
@@ -162,6 +169,10 @@ class ParserFuzzSpec extends AnyFunSuite {
     "gif" -> Multimodal.encodeGif(8, 6,
       Seq(Array.fill(48)(17.toByte), Array.fill(48)(99.toByte)), Seq(7, 9)),
     "avi" -> Multimodal.encodeAvi(12, 8, Seq(10, 200, 77), 15),
+    "zstd-shard" -> graft.operators.CompressedLake.compress("zstd",
+      ("s1 s2 s3 " * 30).getBytes("UTF-8")),
+    "xz-shard" -> graft.operators.CompressedLake.compress("xz",
+      ("s4 s5 " * 20).getBytes("UTF-8")),
     "exif-jpeg" -> graft.operators.ExifLake.buildExifJpeg(
       Multimodal.encodeJpegGray(8, 6, 40), le = true,
       "Mk", "Md", 3, "2024:01:02 03:04:05", 1, 250, 640, 480, 50, 10,
