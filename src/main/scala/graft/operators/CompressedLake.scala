@@ -107,6 +107,56 @@ object CompressedLake {
     spark.createDataFrame(rows, outSchema)
   }
 
+  /** Bounded decompression to TEXT: the shard's decoded UTF-8 payload
+    * as a string column, for downstream Catalyst-native parsing
+    * (split/from_json/explode — the q195 JSONL path keeps everything
+    * after this op inside whole-stage codegen; no UDFs). */
+  def extractText(
+      df: DataFrame, idCol: String, binCol: String,
+      maxOut: Int = 64 * 1024 * 1024): DataFrame = {
+    require(maxOut > 0)
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("id", LongType, false),
+      StructField("codec", StringType, true),
+      StructField("text", StringType, true),
+      StructField("valid", BooleanType, false)))
+    val rows = df.select(col(idCol).cast(LongType), col(binCol)).rdd
+      .mapPartitions(_.map { r =>
+        scala.util.Try(decompress(r.getAs[Array[Byte]](1), maxOut))
+          .toOption.flatten match {
+          case Some((codec, payload)) =>
+            Row(r.getLong(0), codec, new String(payload, "UTF-8"), true)
+          case None => Row(r.getLong(0), null, null, false)
+        }
+      })
+    spark.createDataFrame(rows, outSchema)
+  }
+
+  /** Deterministic JSONL-shard fixture (the RedPajama/Dolma shape —
+    * one JSON document per line, zstd-framed): the laws the q195
+    * oracle replays. */
+  def jsonlShardFixture(spark: SparkSession, n: Int): DataFrame = {
+    val rows = (0 until n).map { r =>
+      val nd = 3 + r % 4
+      val lines = (0 until nd).map { k =>
+        val nt = 5 + (r + k) % 4
+        val text = (0 until nt).map(j => s"w${(r * 3 + k * 5 + j) % 10}")
+          .mkString(" ")
+        val lang = Seq("en", "de", "fr")((r + k) % 3)
+        s"""{"doc_id": ${r * 100 + k}, "lang": "$lang", """ +
+          s""""score": ${(r * 13 + k * 7) % 100}, "text": "$text"}"""
+      }
+      Row(r.toLong, compress(Codecs(r % 5), lines.mkString("\n")
+        .getBytes("UTF-8")))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4),
+      StructType(Seq(
+        StructField("id", LongType, false),
+        StructField("media", BinaryType, true))))
+  }
+
   /** Compress law bytes with each codec (fixture / test side). The
     * zstd frame carries the OPTIONAL content checksum — `Zstd
     * .compress` omits it by default, and without it a bit-flipped

@@ -3525,6 +3525,48 @@ object ExtQueries4 {
        FROM base b JOIN dig d ON b.r = d.r
        ORDER BY id"""
 
+  // ---------------------------------------------------------------
+  // q195 — JSONL-in-zstd corpus shards (the RedPajama / Dolma / C4
+  // distribution shape: one JSON document per line inside a
+  // compressed frame): the bounded decompressor feeds CATALYST
+  // BUILT-INS — split / posexplode / from_json / length — so
+  // everything after the codec hop runs inside whole-stage codegen
+  // (functions, not UDFs). One row per document; the oracle replays
+  // the JSON law field-by-field, so a decompression slip, a line
+  // split-off-by-one, or a from_json schema mismatch all shift a
+  // column and fail the hash gate.
+  private val JsonlN = 40
+
+  def q195(s: SparkSession, dir: String): DataFrame = {
+    val fx = graft.operators.CompressedLake.jsonlShardFixture(s, JsonlN)
+    val txt = graft.operators.CompressedLake.extractText(fx, "id", "media")
+      .where(col("valid"))
+    val docSchema = "doc_id BIGINT, lang STRING, score BIGINT, text STRING"
+    txt.select(col("id"), posexplode(split(col("text"), "\n"))
+        .as(Seq("line", "doc")))
+      .select(col("id"), col("line"),
+        from_json(col("doc"), org.apache.spark.sql.types.StructType
+          .fromDDL(docSchema)).as("j"))
+      .select(col("id"), col("line").cast("int").as("line"),
+        col("j.doc_id").as("doc_id"), col("j.lang").as("lang"),
+        col("j.score").as("score"),
+        length(col("j.text")).cast("long").as("text_chars"),
+        size(split(col("j.text"), " ")).cast("long").as("n_words"))
+      .orderBy("id", "line")
+  }
+
+  val q195Sql: String =
+    s"""WITH base AS (
+         SELECT r, unnest([k for k in range(0, 3 + r % 4)]) AS k
+         FROM range(0, $JsonlN) t(r))
+       SELECT r AS id, CAST(k AS INT) AS line,
+         CAST(r * 100 + k AS BIGINT) AS doc_id,
+         ['en', 'de', 'fr'][1 + (r + k) % 3] AS lang,
+         CAST((r * 13 + k * 7) % 100 AS BIGINT) AS score,
+         CAST(3 * (5 + (r + k) % 4) - 1 AS BIGINT) AS text_chars,
+         CAST(5 + (r + k) % 4 AS BIGINT) AS n_words
+       FROM base ORDER BY id, line"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q125_label_propagation" -> (q125 _),
     "q126_pmi_cooccur" -> (q126 _),
@@ -3595,7 +3637,8 @@ object ExtQueries4 {
     "q191_energy_segments" -> (q191 _),
     "q192_resample_audio" -> (q192 _),
     "q193_exif_extract" -> (q193 _),
-    "q194_compressed_shards" -> (q194 _))
+    "q194_compressed_shards" -> (q194 _),
+    "q195_jsonl_shards" -> (q195 _))
 
   val oracles: Map[String, String] = Map(
     "q125_label_propagation" -> q125Sql,
@@ -3667,5 +3710,6 @@ object ExtQueries4 {
     "q191_energy_segments" -> q191Sql,
     "q192_resample_audio" -> q192Sql,
     "q193_exif_extract" -> q193Sql,
-    "q194_compressed_shards" -> q194Sql)
+    "q194_compressed_shards" -> q194Sql,
+    "q195_jsonl_shards" -> q195Sql)
 }

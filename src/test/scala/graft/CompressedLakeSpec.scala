@@ -61,6 +61,28 @@ class CompressedLakeSpec extends SparkSpec {
     assert(CompressedLake.decompress(null, 1 << 20).isEmpty)
   }
 
+  test("jsonl shards: law fields survive the decompress + from_json path; malformed lines null out") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val fx = CompressedLake.jsonlShardFixture(spark, 6)
+    val txt = CompressedLake.extractText(fx, "id", "media")
+    assert(txt.where(col("valid")).count() == 6)
+    // a shard whose second line is not JSON: from_json yields a null
+    // struct for that line, the others parse — per-line isolation
+    val mixed = CompressedLake.compress("zstd",
+      "{\"doc_id\": 7, \"text\": \"a b\"}\nnot json at all".getBytes("UTF-8"))
+    val rows = CompressedLake.extractText(
+        Seq((0L, mixed)).toDF("id", "media"), "id", "media")
+      .select(posexplode(split(col("text"), "\n")).as(Seq("line", "doc")))
+      .select(col("line"), from_json(col("doc"),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "doc_id BIGINT, text STRING")).as("j"))
+      .orderBy("line").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getStruct(1).getLong(0) == 7L)
+    assert(rows(1).getStruct(1) == null || rows(1).getStruct(1).isNullAt(0))
+  }
+
   test("DataFrame op: invalid rows flag, valid rows carry both sizes") {
     import spark.implicits._
     val good = CompressedLake.compress("lz4", payload)
