@@ -332,6 +332,55 @@ object ScaleProof {
       finally spark.conf.set("spark.sql.files.maxPartitionBytes", oldSplit)
     }
 
+    // ---- compressed-shard family (r13): .jsonl.zst shards ∝ N —
+    // the RedPajama/Dolma distribution shape. Builder wraps the
+    // blown-up documents ~20/shard as JSONL and zstd-compresses
+    // (checksummed frames); the measured pass is the full q195
+    // machinery: bounded decompression, line split, from_json,
+    // per-document projection, one aggregate. Same zero-shuffle
+    // per-partition claim as warc/tfrecord/zip, tested on the scan
+    // stage's ratios; the bomb cap rides along on every blob.
+    if (!new java.io.File(s"$out/_done_jsonl").exists()) {
+      import spark.implicits._
+      spark.read.parquet(s"$out/documents.parquet")
+        .select((col("doc_id") / 20).cast("long").as("id"),
+          col("doc_id"), col("text"), col("lang"))
+        .groupBy("id")
+        .agg(collect_list(struct(col("doc_id"), col("text"),
+          col("lang"))).as("docs"))
+        .as[(Long, Seq[(Long, String, String)])]
+        .map { case (id, ds) =>
+          val jsonl = ds.map { case (d, t, lang) =>
+            val esc = t.replace("\\", "\\\\").replace("\"", "\\\"")
+              .replace("\n", " ")
+            s"""{"doc_id": $d, "lang": "$lang", "text": "$esc"}"""
+          }.mkString("\n")
+          (id, graft.operators.CompressedLake.compress("zstd",
+            jsonl.getBytes("UTF-8")))
+        }.toDF("id", "media")
+        .write.mode("overwrite").parquet(s"$out/jsonlshards.parquet")
+      new java.io.File(s"$out/_done_jsonl").createNewFile()
+    }
+    if (wanted("jsonl_zstd_shards")) {
+      val oldSplit = spark.conf.get("spark.sql.files.maxPartitionBytes")
+      spark.conf.set("spark.sql.files.maxPartitionBytes", (4 << 20).toString)
+      def pass() = {
+        val txt = graft.operators.CompressedLake.extractText(
+          spark.read.parquet(s"$out/jsonlshards.parquet"), "id", "media")
+        txt.where(col("valid"))
+          .select(explode(split(col("text"), "\n")).as("doc"))
+          .select(from_json(col("doc"),
+            org.apache.spark.sql.types.StructType.fromDDL(
+              "doc_id BIGINT, lang STRING, text STRING")).as("j"))
+          .agg(count(lit(1)).as("docs"),
+            sum(length(col("j.text"))).as("chars"),
+            countDistinct(col("j.lang")).as("langs"))
+      }
+      pass().collect() // untimed codegen warm-up (steady-state claim)
+      try run("jsonl_zstd_shards")(pass())
+      finally spark.conf.set("spark.sql.files.maxPartitionBytes", oldSplit)
+    }
+
     // ---- graph family (r11 VERDICT #7): edges ∝ N·k, FORCED onto
     // the distributed checkpoint path at every scale (driver kernel
     // and cache path disabled) so the superstep/adjacency machinery
