@@ -3567,6 +3567,56 @@ object ExtQueries4 {
          CAST(5 + (r + k) % 4 AS BIGINT) AS n_words
        FROM base ORDER BY id, line"""
 
+  // ---------------------------------------------------------------
+  // q196 — cross-corpus image near-dup (image decontamination: did a
+  // training image leak into the eval set?): the dHash fingerprints
+  // of two corpora through the SAME banded pigeonhole cross join the
+  // text family uses (Dedup.simhashNearDupCross — jaccardJoinCross /
+  // minhashLshCross / cosineNearDupCross's image sibling). Corpus B
+  // is a 45-image superset of A's laws with ids offset by 1000, so
+  // every A image has 1-3 near neighbors across the boundary
+  // (including exact-fingerprint hits from the shared-base-pattern
+  // groups at different pixel scales). The oracle brute-forces all
+  // 42×45 cross pairs from the bit law.
+  private val DHashXa = 42
+  private val DHashXb = 45
+
+  def q196(s: SparkSession, dir: String): DataFrame = {
+    def fps(n: Int, offset: Long) =
+      graft.operators.Multimodal.imageDHash(
+          graft.operators.Multimodal.dhashFixture(s, n), "id", "media")
+        .where(col("valid"))
+        .select((col("id") + lit(offset)).as("id"),
+          col("dhash").as("simhash"))
+    graft.operators.Dedup.simhashNearDupCross(
+        fps(DHashXa, 0L), fps(DHashXb, 1000L), maxDist = 3)
+      .select(col("a"), col("b"), col("hamming").cast("int").as("hamming"))
+      .orderBy("a", "b")
+  }
+
+  val q196Sql: String =
+    s"""WITH ids AS (
+         SELECT r, r // 3 AS g, r % 3 AS m,
+                (r // 3) - ((r // 3) % 2) AS geff
+         FROM range(0, $DHashXb) t(r)),
+       bitv AS (
+         SELECT r, k,
+           (CASE WHEN (geff * 5 + k * 3) % 7 < 3 THEN 1 ELSE 0 END +
+            CASE WHEN m = 1 AND (k = (3 * g) % 63 OR k = (3 * g + 21) % 63)
+                   THEN 1
+                 WHEN m = 2 AND k = (3 * g + 7) % 63 THEN 1
+                 ELSE 0 END) % 2 AS b
+         FROM ids, unnest([k for k in range(0, 63)]) u(k)),
+       fps AS (
+         SELECT r, CAST(sum(CASE WHEN b = 1
+                  THEN (CAST(1 AS BIGINT) << k) ELSE 0 END) AS BIGINT) AS fp
+         FROM bitv GROUP BY r)
+       SELECT x.r AS a, y.r + 1000 AS b,
+         CAST(bit_count(xor(x.fp, y.fp)) AS INT) AS hamming
+       FROM fps x JOIN fps y ON x.r < $DHashXa
+       WHERE bit_count(xor(x.fp, y.fp)) <= 3
+       ORDER BY a, b"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q125_label_propagation" -> (q125 _),
     "q126_pmi_cooccur" -> (q126 _),
@@ -3638,7 +3688,8 @@ object ExtQueries4 {
     "q192_resample_audio" -> (q192 _),
     "q193_exif_extract" -> (q193 _),
     "q194_compressed_shards" -> (q194 _),
-    "q195_jsonl_shards" -> (q195 _))
+    "q195_jsonl_shards" -> (q195 _),
+    "q196_image_neardup_cross" -> (q196 _))
 
   val oracles: Map[String, String] = Map(
     "q125_label_propagation" -> q125Sql,
@@ -3711,5 +3762,6 @@ object ExtQueries4 {
     "q192_resample_audio" -> q192Sql,
     "q193_exif_extract" -> q193Sql,
     "q194_compressed_shards" -> q194Sql,
-    "q195_jsonl_shards" -> q195Sql)
+    "q195_jsonl_shards" -> q195Sql,
+    "q196_image_neardup_cross" -> q196Sql)
 }

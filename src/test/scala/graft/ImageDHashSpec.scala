@@ -66,6 +66,24 @@ class ImageDHashSpec extends SparkSpec {
     assert(got == ref)
   }
 
+  test("cross blocking is exact: pairs equal the brute-force cross reference") {
+    val nA = 18; val nB = 21
+    val a = (0 until nA).map(r => (r.toLong, lawFp(r)))
+    val b = (0 until nB).map(r => (r.toLong + 1000, lawFp(r)))
+    val ref = (for {
+      (ia, fa) <- a; (ib, fb) <- b
+      h = java.lang.Long.bitCount(fa ^ fb)
+      if h <= 3
+    } yield (ia, ib, h)).sorted
+    assert(ref.exists(_._3 == 0) && ref.exists(_._3 > 0))
+    import spark.implicits._
+    val got = Dedup.simhashNearDupCross(
+        a.toDF("id", "simhash"), b.toDF("id", "simhash"), maxDist = 3)
+      .orderBy("a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(got == ref)
+  }
+
   test("decode strictness: junk, truncation, and sub-grid images flag invalid") {
     assert(Multimodal.parseDHash(null).isEmpty)
     assert(Multimodal.parseDHash(
