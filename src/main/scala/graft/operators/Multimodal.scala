@@ -1396,6 +1396,44 @@ object Multimodal {
   private val Mp3Pretab =
     Array(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 3, 3, 3, 2, 0)
 
+  /** ISO Table B.8 SHORT-block scalefactor-band widths per rate index
+    * (13 bands × 3 windows; widths sum to 192 per window). The q197
+    * fixture and oracle touch only sfbs 0-5, whose widths agree
+    * across all three rates except sfb 5 (8/6/8) — bands past the
+    * fixture's reach affect only the rzero region's (empty) band
+    * mapping, so a high-band transcription slip cannot move any
+    * gated output. */
+  private val Mp3SfbShortW: Array[Array[Int]] = Array(
+    Array(4, 4, 4, 4, 6, 8, 10, 12, 14, 18, 22, 30, 56),
+    Array(4, 4, 4, 4, 6, 6, 10, 12, 14, 16, 20, 26, 66),
+    Array(4, 4, 4, 4, 6, 8, 12, 16, 20, 26, 34, 42, 12))
+
+  /** Position → (sfb·4 | window) map for pure-short granules: the
+    * bitstream orders spectral values sfb-major, window-mid, line-
+    * minor, so the linear decode index maps through the cumulative
+    * short-band layout. */
+  private lazy val Mp3ShortPosMap: Array[Array[Int]] =
+    Mp3SfbShortW.map { widths =>
+      val m = new Array[Int](576)
+      var base = 0
+      var s = 0
+      while (s < widths.length) {
+        val wd = widths(s)
+        var w = 0
+        while (w < 3) {
+          var line = 0
+          while (line < wd) {
+            m(base + w * wd + line) = (s << 2) | w
+            line += 1
+          }
+          w += 1
+        }
+        base += 3 * wd
+        s += 1
+      }
+      m
+    }
+
   /** scalefac_compress → (slen1 for bands 0-10, slen2 for bands 11-20). */
   private val Mp3Slen: Array[(Int, Int)] = Array(
     (0, 0), (0, 1), (0, 2), (0, 3), (3, 0), (1, 1), (1, 2), (1, 3),
@@ -1456,7 +1494,8 @@ object Multimodal {
   private final case class Mp3GrInfo(
       part23: Int, bigValues: Int, globalGain: Int, scalefacCompress: Int,
       tableSelect: Array[Int], region0: Int, region1: Int,
-      preflag: Int, scalefacScale: Int, count1Table: Int)
+      preflag: Int, scalefacScale: Int, count1Table: Int,
+      short: Boolean, subblockGain: Array[Int])
 
   /** Parse + FULLY decode an MPEG-1 Layer III stream to requantized
     * (cube-domain Q15) spectral values — same strictness posture and
@@ -1519,17 +1558,40 @@ object Multimodal {
             val bv = sr.readBits(9).toInt
             val gg = sr.readBits(8).toInt
             val scomp = sr.readBits(4).toInt
-            if (sr.readBit() != 0) return None // short/mixed out of scope
-            val ts = Array(sr.readBits(5).toInt, sr.readBits(5).toInt,
-              sr.readBits(5).toInt)
-            val r0c = sr.readBits(4).toInt
-            val r1c = sr.readBits(3).toInt
-            val pf = sr.readBit()
-            val ssc = sr.readBit()
-            val c1t = sr.readBit()
+            val wsf = sr.readBit()
+            val info =
+              if (wsf == 0) {
+                val ts = Array(sr.readBits(5).toInt, sr.readBits(5).toInt,
+                  sr.readBits(5).toInt)
+                val r0c = sr.readBits(4).toInt
+                val r1c = sr.readBits(3).toInt
+                Mp3GrInfo(p23, bv, gg, scomp, ts, r0c, r1c,
+                  sr.readBit(), sr.readBit(), sr.readBit(),
+                  short = false, subblockGain = null)
+              } else {
+                // window switching: PURE short blocks (block_type 2,
+                // not mixed) are decoded for real; block types 1/3
+                // (long transition windows — same spectral layout as
+                // long, only the synthesis window differs, which is
+                // out of decode scope) and mixed blocks reject, not
+                // guess.
+                val bt = sr.readBits(2).toInt
+                val mixed = sr.readBit()
+                val ts = Array(sr.readBits(5).toInt, sr.readBits(5).toInt, 0)
+                val sbg = Array(sr.readBits(3).toInt, sr.readBits(3).toInt,
+                  sr.readBits(3).toInt)
+                if (bt != 2 || mixed != 0) return None
+                val pf = sr.readBit()
+                val ssc = sr.readBit()
+                val c1t = sr.readBit()
+                // pretab is a LONG-band table; preflag with short
+                // blocks is undefined — strict reject
+                if (pf != 0) return None
+                Mp3GrInfo(p23, bv, gg, scomp, ts, 0, 0, 0, ssc, c1t,
+                  short = true, subblockGain = sbg)
+              }
             if (bv > 288) return None // §2.4.2.7 bound
-            gi(g)(c) = Mp3GrInfo(p23, bv, gg, scomp, ts, r0c, r1c,
-              pf, ssc, c1t)
+            gi(g)(c) = info
             c += 1
           }
           g += 1
@@ -1552,25 +1614,50 @@ object Multimodal {
           while (c < ch) {
             val info = gi(g)(c)
             val start = br.bitPosition
-            // --- scalefactors (long blocks: 11·slen1 + 10·slen2) ---
+            // scfsi sharing is defined over LONG band groups only: a
+            // channel whose frame contains any short granule must
+            // carry scfsi 0 (strict — sharing into or out of a short
+            // granule is undefined)
+            if (info.short && scfsi(c) != 0) return None
             val (sl1, sl2) = Mp3Slen(info.scalefacCompress)
-            val sf = new Array[Int](22)
-            var band = 0
-            while (band < 21) {
-              val sl = if (band < 11) sl1 else sl2
-              val shared =
-                g == 1 && ((scfsi(c) >> (3 - mp3Grp(band))) & 1) == 1
-              sf(band) =
-                if (shared) sfPrev(c)(band)
-                else if (sl == 0) 0
-                else br.readBits(sl).toInt
-              band += 1
+            val sf = new Array[Int](22)          // long bands
+            val sfS = Array.ofDim[Int](13, 3)    // short (sfb, window)
+            if (info.short) {
+              // short scalefactors: sfb-major, window-minor; slen1
+              // for sfbs 0-5, slen2 for 6-11 (sfb 12 has none)
+              var s = 0
+              while (s < 12) {
+                val sl = if (s < 6) sl1 else sl2
+                var w = 0
+                while (w < 3) {
+                  sfS(s)(w) = if (sl == 0) 0 else br.readBits(sl).toInt
+                  w += 1
+                }
+                s += 1
+              }
+            } else {
+              // --- scalefactors (long: 11·slen1 + 10·slen2) ---
+              var band = 0
+              while (band < 21) {
+                val sl = if (band < 11) sl1 else sl2
+                val shared =
+                  g == 1 && ((scfsi(c) >> (3 - mp3Grp(band))) & 1) == 1
+                sf(band) =
+                  if (shared) sfPrev(c)(band)
+                  else if (sl == 0) 0
+                  else br.readBits(sl).toInt
+                band += 1
+              }
+              if (g == 0) System.arraycopy(sf, 0, sfPrev(c), 0, 22)
             }
-            if (g == 0) System.arraycopy(sf, 0, sfPrev(c), 0, 22)
-            // --- big values: three regions, per-region table ---
-            val r0End = bounds(math.min(info.region0 + 1, 22))
+            // --- big values: regions and per-region table. Pure
+            // short blocks fix region0 at the first 36 lines and
+            // region1 at the rest (no region2 — §2.4.2.7) ---
+            val r0End =
+              if (info.short) 36 else bounds(math.min(info.region0 + 1, 22))
             val r1End =
-              bounds(math.min(info.region0 + 1 + info.region1 + 1, 22))
+              if (info.short) 576
+              else bounds(math.min(info.region0 + 1 + info.region1 + 1, 22))
             val bvEnd = info.bigValues * 2
             var p = 0
             while (p < bvEnd) {
@@ -1612,14 +1699,26 @@ object Multimodal {
             if (br.bitPosition - start > info.part23) return None
             br.seekBits(start + info.part23) // rest of granule: rzero
             // --- requantize decoded slots (cube-domain Q15) ---
+            val posMap = if (info.short) Mp3ShortPosMap(rateIdx) else null
             var bnd = 0
             var i = 0
             while (i < p) {
-              while (bnd < 21 && i >= bounds(bnd + 1)) bnd += 1
-              val sfe = sf(bnd) +
-                (if (info.preflag == 1) Mp3Pretab(bnd) else 0)
-              val e4 = (info.globalGain - 210) -
-                (2 + 2 * info.scalefacScale) * sfe
+              val e4 =
+                if (info.short) {
+                  val sw = posMap(i)
+                  val s = sw >> 2
+                  val w = sw & 3
+                  // sfb 12 carries no scalefactor (remainder band)
+                  val sfe = if (s < 12) sfS(s)(w) else 0
+                  (info.globalGain - 210) - 8 * info.subblockGain(w) -
+                    (2 + 2 * info.scalefacScale) * sfe
+                } else {
+                  while (bnd < 21 && i >= bounds(bnd + 1)) bnd += 1
+                  val sfe = sf(bnd) +
+                    (if (info.preflag == 1) Mp3Pretab(bnd) else 0)
+                  (info.globalGain - 210) -
+                    (2 + 2 * info.scalefacScale) * sfe
+                }
               val v = isArr(i)
               val qa = mp3CubeQ15(math.abs(v), e4)
               val q = if (v < 0) -qa else qa
@@ -1655,7 +1754,11 @@ object Multimodal {
     } catch { case FlacEof => None }
   }
 
-  /** One granule-channel's encode-side description (long blocks). */
+  /** One granule-channel's encode-side description. Long blocks by
+    * default; `blockType = 2` encodes a PURE short granule (fixed
+    * 36-line region0, two table selects, subblock gains, sfb-major
+    * window-minor short scalefactors via `sfShort`; `preflag` must
+    * be 0 and the channel's scfsi nibble 0). */
   final case class Mp3GrSpec(
       globalGain: Int, scalefacCompress: Int, preflag: Int,
       scalefacScale: Int, count1Table: Int,
@@ -1663,7 +1766,10 @@ object Multimodal {
       bigValues: Int,
       sf: Int => Int,    // band 0..20 → raw scalefactor (must fit slen)
       value: Int => Int, // position → signed spectral integer
-      nCount1: Int)      // quadruples appended after the big values
+      nCount1: Int,      // quadruples appended after the big values
+      blockType: Int = 0,
+      subblockGain: (Int, Int, Int) = (0, 0, 0),
+      sfShort: (Int, Int) => Int = (_, _) => 0) // (sfb 0..11, window)
 
   /** Encode a REAL MPEG-1 Layer III stream (fixture / test side): the
     * per-granule structure and every spectral value are SUPPLIED
@@ -1713,9 +1819,26 @@ object Multimodal {
         val s = gr(f, g, c)
         val startBits = gBits
         def wb(v: Long, n: Int): Unit = { gw.writeBits(v, n); gBits += n }
+        require(s.blockType == 0 || s.blockType == 2,
+          "only long (0) and pure-short (2) granules are encodable")
+        val short = s.blockType == 2
+        if (short) {
+          require(s.preflag == 0, "preflag undefined for short blocks")
+          require(scfsiN(f, c) == 0,
+            "scfsi must be 0 for a channel with a short granule")
+        }
         // scalefactors
         val (sl1, sl2) = Mp3Slen(s.scalefacCompress)
-        for (band <- 0 until 21) {
+        if (short) {
+          for (sfb <- 0 until 12; w <- 0 until 3) {
+            val sl = if (sfb < 6) sl1 else sl2
+            if (sl > 0) {
+              val v = s.sfShort(sfb, w)
+              require(v >= 0 && v < (1 << sl), s"short sf $v !fit slen $sl")
+              wb(v.toLong, sl)
+            } else require(s.sfShort(sfb, w) == 0, "short sf at slen 0")
+          }
+        } else for (band <- 0 until 21) {
           val sl = if (band < 11) sl1 else sl2
           val shared =
             g == 1 && ((scfsiN(f, c) >> (3 - mp3Grp(band))) & 1) == 1
@@ -1725,9 +1848,12 @@ object Multimodal {
             wb(v.toLong, sl)
           } else if (!shared) require(s.sf(band) == 0, "sf nonzero at slen 0")
         }
-        // big values
-        val r0End = bounds(math.min(s.region0Count + 1, 22))
-        val r1End = bounds(math.min(s.region0Count + 1 + s.region1Count + 1, 22))
+        // big values (short: fixed 36-line region0, no region2)
+        val r0End =
+          if (short) 36 else bounds(math.min(s.region0Count + 1, 22))
+        val r1End =
+          if (short) 576
+          else bounds(math.min(s.region0Count + 1 + s.region1Count + 1, 22))
         var p = 0
         while (p < s.bigValues * 2) {
           val tsel = if (p < r0End) s.tableSelect._1
@@ -1779,12 +1905,23 @@ object Multimodal {
         sw.writeBits(s.bigValues.toLong, 9)
         sw.writeBits(s.globalGain.toLong, 8)
         sw.writeBits(s.scalefacCompress.toLong, 4)
-        sw.writeBit(0) // window_switching_flag: long blocks
-        sw.writeBits(s.tableSelect._1.toLong, 5)
-        sw.writeBits(s.tableSelect._2.toLong, 5)
-        sw.writeBits(s.tableSelect._3.toLong, 5)
-        sw.writeBits(s.region0Count.toLong, 4)
-        sw.writeBits(s.region1Count.toLong, 3)
+        if (s.blockType == 2) {
+          sw.writeBit(1)      // window_switching_flag
+          sw.writeBits(2, 2)  // block_type: short
+          sw.writeBit(0)      // mixed_block_flag
+          sw.writeBits(s.tableSelect._1.toLong, 5)
+          sw.writeBits(s.tableSelect._2.toLong, 5)
+          sw.writeBits(s.subblockGain._1.toLong, 3)
+          sw.writeBits(s.subblockGain._2.toLong, 3)
+          sw.writeBits(s.subblockGain._3.toLong, 3)
+        } else {
+          sw.writeBit(0) // window_switching_flag: long blocks
+          sw.writeBits(s.tableSelect._1.toLong, 5)
+          sw.writeBits(s.tableSelect._2.toLong, 5)
+          sw.writeBits(s.tableSelect._3.toLong, 5)
+          sw.writeBits(s.region0Count.toLong, 4)
+          sw.writeBits(s.region1Count.toLong, 3)
+        }
         sw.writeBit(s.preflag)
         sw.writeBit(s.scalefacScale)
         sw.writeBit(s.count1Table)
@@ -1882,6 +2019,85 @@ object Multimodal {
         scfsiN = (f, c) => (r + 3 * f + 5 * c) % 16,
         gr = grSpec)
       Row(r.toLong, media)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4),
+      StructType(Seq(
+        StructField("id", LongType, false),
+        StructField("media", BinaryType, true))))
+  }
+
+  /** Deterministic SHORT-BLOCK Layer III fixture (q197): frames
+    * alternate one pure-short and one silent long granule per
+    * channel (granule f%2 is the short one), so the reservoir and
+    * part2_3 accounting cross long/short boundaries every frame.
+    * Short values live in lines 0-77 — scalefactor bands 0-5, whose
+    * SHORT widths (4,4,4,4,6,8|6) agree across all three rates — so
+    * the oracle's position→(sfb,window) map is closed-form and a
+    * transcription slip in the high short bands cannot move any
+    * gated output. Subblock gains, both scalefac_scale regimes, both
+    * count1 tables, tables 1/2/3 in the fixed 36-line region0 and
+    * 5/6 in region1 are all exercised; scfsi is 0 throughout (its
+    * sharing is a LONG-group contract — strict-gated). */
+  def mp3L3ShortFixture(spark: SparkSession, n: Int): DataFrame = {
+    val rows = (0 until n).map { r =>
+      val rateIdx = r % 3
+      val mono = (r / 3) % 3 == 0
+      val nf = 2 + r % 3
+      def grSpec(f: Int, g: Int, c: Int): Mp3GrSpec = {
+        val short = (f + g) % 2 == 0
+        if (!short)
+          Mp3GrSpec(210, 0, 0, 0, 0, (1, 1, 1), 5, 7, 0,
+            _ => 0, _ => 0, 0) // silent long granule
+        else {
+          val ss = (r + f + c) % 2
+          val scomp = (r + 2 * f + 3 * g + 5 * c) % 16
+          val (sl1, sl2) = Mp3Slen(scomp)
+          val t0 = 1 + (r + f + g + c) % 3
+          val mx0 = if (t0 == 1) 2 else 3
+          def v(p: Int): Int = {
+            val (m, negKey) =
+              if (p < 36)
+                ((r * 7 + f * 5 + g * 3 + c * 9 + p) % mx0,
+                  r + f + g + c + p)
+              else if (p < 66)
+                ((r * 11 + f * 3 + g * 7 + c * 5 + p) % 4,
+                  r + f + g + c + p)
+              else ((r + 3 * f + 5 * g + 7 * c + (p - 66)) % 2,
+                r + f + g + c + (p - 66))
+            if (m != 0 && negKey % 2 == 1) -m else m
+          }
+          Mp3GrSpec(
+            globalGain = 210 + 4 * ((r + f + 2 * g + 3 * c) % 4),
+            scalefacCompress = scomp,
+            preflag = 0,
+            scalefacScale = ss,
+            count1Table = (r + f + g + c) % 2,
+            tableSelect = (t0, 5 + (r + g + c) % 2, 0),
+            region0Count = 0, region1Count = 0,
+            bigValues = 33,
+            sf = _ => 0,
+            value = v,
+            nCount1 = 3,
+            blockType = 2,
+            subblockGain = ((r + f + g + c) % 8, (r + f + g + c + 1) % 8,
+              (r + f + g + c + 2) % 8),
+            sfShort = (sfb, w) => {
+              val sl = if (sfb < 6) sl1 else sl2
+              val base = r + 2 * f + 3 * g + 5 * c + 7 * sfb + 11 * w
+              if (ss == 1) base % (1 << sl)
+              else if (sl == 0) 0
+              else 2 * (base % (1 << (sl - 1)))
+            })
+        }
+      }
+      Row(r.toLong, encodeMp3L3(13 + r % 2, rateIdx, mono, nf,
+        protect = r % 2 == 0,
+        pad = f => (r + f) % 2,
+        mdbTarget = f =>
+          if (f == 0 || (r + f) % 3 == 0) 0 else (r + 11 * f) % 200,
+        scfsiN = (_, _) => 0,
+        gr = grSpec))
     }
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 4),

@@ -3617,6 +3617,139 @@ object ExtQueries4 {
        WHERE bit_count(xor(x.fp, y.fp)) <= 3
        ORDER BY a, b"""
 
+  // ---------------------------------------------------------------
+  // q197 — MPEG-1 Layer III SHORT-BLOCK payload decode: the window-
+  // switching granules every real MP3 uses on transients. Frames
+  // alternate one pure-short (block_type 2) and one silent long
+  // granule per channel, so the reservoir and part2_3 accounting
+  // cross long/short boundaries every frame. Short decode adds: the
+  // 22-bit window-switching side-info layout, sfb-major/window-minor
+  // short scalefactors (slen1 over sfbs 0-5 ×3 windows, slen2 over
+  // 6-11 ×3), the FIXED 36-line region0 (no region counts, no
+  // region2), per-window subblock gains in the exponent
+  //   E4 = (gg−210) − 8·sbgain[w] − (2+2·ss)·sf_short[sfb][w],
+  // and the sfb-major/window-mid/line-minor position interleave that
+  // maps the linear Huffman index to its (sfb, window). All values
+  // live in short sfbs 0-5, whose widths agree across rates, so the
+  // oracle's position map is closed-form. scfsi≠0 with a short
+  // granule, preflag on short, block types 1/3 and mixed blocks all
+  // strict-reject (Mp3Layer3Spec/Mp3L3ShortSpec gates).
+  private val Mp3ShortN = 42
+
+  def q197(s: SparkSession, dir: String): DataFrame = {
+    val fx = graft.operators.Multimodal.mp3L3ShortFixture(s, Mp3ShortN)
+    graft.operators.Multimodal.decodeMp3L3(fx, "id", "media")
+      .select(col("id"), col("sample_rate"), col("bitrate_kbps"),
+        col("channels"), col("n_frames"), col("total_samples"),
+        col("n_decoded"), col("huff_sum"), col("value_sum"),
+        col("min_sample"), col("max_sample"), col("valid"))
+      .orderBy("id")
+  }
+
+  val q197Sql: String =
+    s"""WITH base AS (
+         SELECT r,
+           CASE r % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                ELSE 32000 END AS rate,
+           CASE WHEN (r // 3) % 3 = 0 THEN 1 ELSE 2 END AS ch,
+           CASE r % 2 WHEN 0 THEN 256 ELSE 320 END AS kbps,
+           2 + r % 3 AS nf
+         FROM range(0, $Mp3ShortN) t(r)),
+       frows AS (
+         SELECT *, unnest([f for f in range(0, nf)]) AS f FROM base),
+       crows AS ( -- the short granule of frame f is g = f % 2
+         SELECT r, rate, f, f % 2 AS g,
+                unnest([c for c in range(0, ch)]) AS c
+         FROM frows),
+       gc AS (
+         SELECT r, rate, f, g, c,
+           210 + 4 * ((r + f + 2 * g + 3 * c) % 4) AS gg,
+           (r + f + c) % 2 AS ss,
+           (r + 2 * f + 3 * g + 5 * c) % 16 AS scomp,
+           1 + (r + f + g + c) % 3 AS t0
+         FROM crows),
+       prows AS (SELECT *, unnest([p for p in range(0, 78)]) AS p FROM gc),
+       pos AS ( -- sfb-major interleave, closed-form for lines 0-77
+         SELECT *,
+           CASE WHEN p < 48 THEN p // 12
+                WHEN p < 66 THEN 4 ELSE 5 END AS sfb,
+           CASE WHEN p < 48 THEN (p % 12) // 4
+                WHEN p < 66 THEN (p - 48) // 6
+                ELSE (p - 66) //
+                     (CASE WHEN rate = 48000 THEN 6 ELSE 8 END)
+           END AS w
+         FROM prows),
+       vals AS (
+         SELECT r, f, g, c, gg, ss, scomp, p, sfb, w,
+           CASE WHEN p < 36 THEN (r * 7 + f * 5 + g * 3 + c * 9 + p)
+                  % (CASE WHEN t0 = 1 THEN 2 ELSE 3 END)
+                WHEN p < 66 THEN (r * 11 + f * 3 + g * 7 + c * 5 + p) % 4
+                ELSE (r + 3 * f + 5 * g + 7 * c + (p - 66)) % 2
+           END AS m,
+           CASE WHEN p < 66 THEN (r + f + g + c + p) % 2
+                ELSE (r + f + g + c + (p - 66)) % 2
+           END AS neg
+         FROM pos),
+       ev AS (
+         SELECT r, m, neg,
+           (3 * ((gg - 210)
+                 - 8 * ((r + f + g + c + w) % 8)
+                 - (2 + 2 * ss) *
+                   (CASE WHEN ss = 1
+                      THEN (r + 2*f + 3*g + 5*c + 7*sfb + 11*w)
+                           % (1 << (CASE WHEN sfb < 6
+                                THEN [0,0,0,0,3,1,1,1,2,2,2,3,3,3,4,4][1 + scomp]
+                                ELSE [0,1,2,3,0,1,2,3,1,2,3,1,2,3,2,3][1 + scomp]
+                              END))
+                    WHEN (CASE WHEN sfb < 6
+                            THEN [0,0,0,0,3,1,1,1,2,2,2,3,3,3,4,4][1 + scomp]
+                            ELSE [0,1,2,3,0,1,2,3,1,2,3,1,2,3,2,3][1 + scomp]
+                          END) = 0 THEN 0
+                    ELSE 2 * ((r + 2*f + 3*g + 5*c + 7*sfb + 11*w)
+                         % (1 << ((CASE WHEN sfb < 6
+                              THEN [0,0,0,0,3,1,1,1,2,2,2,3,3,3,4,4][1 + scomp]
+                              ELSE [0,1,2,3,0,1,2,3,1,2,3,1,2,3,2,3][1 + scomp]
+                            END) - 1)))
+                    END))
+            + 60) // 4 AS e
+         FROM vals),
+       qv AS ( -- e <= -63 underflows to exactly 0 (engine clamp parity)
+         SELECT r,
+           CASE WHEN neg = 1 AND m <> 0 THEN -1 ELSE 1 END *
+           CASE WHEN e >= 0
+             THEN CAST(m AS BIGINT) * m * m * m * (CAST(1 AS BIGINT) << e)
+             WHEN e <= -63 THEN 0
+             ELSE fq + CASE WHEN 2 * rp > b THEN 1
+                            WHEN 2 * rp = b AND fq % 2 <> 0 THEN 1
+                            ELSE 0 END
+           END AS q,
+           CASE WHEN neg = 1 AND m <> 0 THEN -m ELSE m END AS hv
+         FROM (
+           SELECT r, m, neg, e,
+             (CAST(1 AS BIGINT) <<
+              (CASE WHEN e < 0 THEN least(-e, 62) ELSE 0 END)) AS b,
+             (CAST(m AS BIGINT) * m * m * m)
+               // (CAST(1 AS BIGINT) <<
+                   (CASE WHEN e < 0 THEN least(-e, 62) ELSE 0 END)) AS fq,
+             (CAST(m AS BIGINT) * m * m * m)
+               % (CAST(1 AS BIGINT) <<
+                  (CASE WHEN e < 0 THEN least(-e, 62) ELSE 0 END)) AS rp
+           FROM ev))
+       SELECT base.r AS id, CAST(rate AS INT) AS sample_rate,
+         CAST(kbps AS INT) AS bitrate_kbps, CAST(ch AS INT) AS channels,
+         CAST(nf AS INT) AS n_frames,
+         CAST(nf * 1152 * ch AS BIGINT) AS total_samples,
+         a.ndec AS n_decoded, a.hsum AS huff_sum, a.vsum AS value_sum,
+         a.vmin AS min_sample, a.vmax AS max_sample, true AS valid
+       FROM base JOIN (
+         SELECT r, CAST(count(*) AS BIGINT) AS ndec,
+                CAST(sum(hv) AS BIGINT) AS hsum,
+                CAST(sum(q) AS BIGINT) AS vsum,
+                CAST(min(q) AS BIGINT) AS vmin,
+                CAST(max(q) AS BIGINT) AS vmax
+         FROM qv GROUP BY r) a ON base.r = a.r
+       ORDER BY id"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q125_label_propagation" -> (q125 _),
     "q126_pmi_cooccur" -> (q126 _),
@@ -3689,7 +3822,8 @@ object ExtQueries4 {
     "q193_exif_extract" -> (q193 _),
     "q194_compressed_shards" -> (q194 _),
     "q195_jsonl_shards" -> (q195 _),
-    "q196_image_neardup_cross" -> (q196 _))
+    "q196_image_neardup_cross" -> (q196 _),
+    "q197_mp3_short_blocks" -> (q197 _))
 
   val oracles: Map[String, String] = Map(
     "q125_label_propagation" -> q125Sql,
@@ -3763,5 +3897,6 @@ object ExtQueries4 {
     "q193_exif_extract" -> q193Sql,
     "q194_compressed_shards" -> q194Sql,
     "q195_jsonl_shards" -> q195Sql,
-    "q196_image_neardup_cross" -> q196Sql)
+    "q196_image_neardup_cross" -> q196Sql,
+    "q197_mp3_short_blocks" -> q197Sql)
 }

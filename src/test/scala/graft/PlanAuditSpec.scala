@@ -280,7 +280,8 @@ class PlanAuditSpec extends SparkSpec {
         "q184_tmx_extract", "q185_ics_extract",
         "q186_doc_catalog", "q187_sqldump_extract",
         "q188_mp3_decode", "q189_rle8_video",
-        "q194_compressed_shards", "q195_jsonl_shards").foreach { q =>
+        "q194_compressed_shards", "q195_jsonl_shards",
+        "q197_mp3_short_blocks").foreach { q =>
       val p = plan(q)
       val exchanges = "Exchange".r.findAllIn(p).length
       assert(exchanges <= 1, s"$q: codec decode should not shuffle:\n$p")
