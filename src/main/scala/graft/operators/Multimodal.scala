@@ -1356,6 +1356,10 @@ object Multimodal {
         .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#")).toList
     finally in.close()
     val tables = Map.newBuilder[Int, Mp3Huff]
+    // raw entry lists by id, so `codes <base>` aliases (the spec's own
+    // structure: 17-23 share table 16's codewords, 25-31 table 24's,
+    // differing only in linbits) can reuse a previously parsed body
+    val bodies = scala.collection.mutable.Map.empty[Int, Seq[(Int, Int, String)]]
     var i = 0
     while (i < lines.length) {
       val hdr = lines(i).split("\\s+")
@@ -1365,17 +1369,27 @@ object Multimodal {
       val (maxVal, linbits) =
         if (quad) (2, 0) else (hdr(3).toInt, hdr(5).toInt)
       i += 1
-      val es = Seq.newBuilder[(Int, Int, String)]
-      while (i < lines.length && !lines(i).startsWith("table")) {
-        val t = lines(i).split("\\s+")
-        if (quad)
-          es += (((t(0).toInt << 3) | (t(1).toInt << 2) |
-            (t(2).toInt << 1) | t(3).toInt, t(4).toInt, t(5)))
-        else
-          es += (((t(0).toInt << 4) | t(1).toInt, t(2).toInt, t(3)))
-        i += 1
-      }
-      val tab = new Mp3Huff(id, maxVal, linbits, quad, es.result())
+      val entries =
+        if (!quad && hdr.length >= 8 && hdr(6) == "codes") {
+          val base = hdr(7).toInt
+          require(bodies.contains(base), s"table $id: alias base $base undefined")
+          bodies(base)
+        } else {
+          val es = Seq.newBuilder[(Int, Int, String)]
+          while (i < lines.length && !lines(i).startsWith("table")) {
+            val t = lines(i).split("\\s+")
+            if (quad)
+              es += (((t(0).toInt << 3) | (t(1).toInt << 2) |
+                (t(2).toInt << 1) | t(3).toInt, t(4).toInt, t(5)))
+            else
+              es += (((t(0).toInt << 4) | t(1).toInt, t(2).toInt, t(3)))
+            i += 1
+          }
+          val r = es.result()
+          bodies(id) = r
+          r
+        }
+      val tab = new Mp3Huff(id, maxVal, linbits, quad, entries)
       require(tab.complete, s"table $id: not a complete prefix code")
       tables += id -> tab
     }
@@ -1863,11 +1877,21 @@ object Multimodal {
           else {
             val tab = mp3HuffTables(tsel)
             val ax = math.abs(x); val ay = math.abs(y)
-            require(ax < tab.maxVal && ay < tab.maxVal,
-              s"value $x/$y exceeds table $tsel (linbits escapes need a 16+ table)")
-            val (hl, hc) = tab.encodeBits((ax << 4) | ay)
+            val esc = tab.linbits > 0
+            val cap = if (esc) 15 + (1 << tab.linbits) - 1 else tab.maxVal - 1
+            require(ax <= cap && ay <= cap,
+              s"value $x/$y exceeds table $tsel (cap $cap)")
+            // ESC: magnitudes >= 15 code as key 15 + a linbits residual
+            // (written even when the residual is 0 — the decoder always
+            // reads linbits after a 15). Field order per spec:
+            // code, x-linbits, x-sign, y-linbits, y-sign.
+            val kx = if (esc && ax >= 15) 15 else ax
+            val ky = if (esc && ay >= 15) 15 else ay
+            val (hl, hc) = tab.encodeBits((kx << 4) | ky)
             wb(hc, hl)
+            if (esc && kx == 15) wb((ax - 15).toLong, tab.linbits)
             if (ax != 0) wb(if (x < 0) 1 else 0, 1)
+            if (esc && ky == 15) wb((ay - 15).toLong, tab.linbits)
             if (ay != 0) wb(if (y < 0) 1 else 0, 1)
           }
           p += 2
@@ -2092,6 +2116,73 @@ object Multimodal {
         }
       }
       Row(r.toLong, encodeMp3L3(13 + r % 2, rateIdx, mono, nf,
+        protect = r % 2 == 0,
+        pad = f => (r + f) % 2,
+        mdbTarget = f =>
+          if (f == 0 || (r + f) % 3 == 0) 0 else (r + 11 * f) % 200,
+        scfsiN = (_, _) => 0,
+        gr = grSpec))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4),
+      StructType(Seq(
+        StructField("id", LongType, false),
+        StructField("media", BinaryType, true))))
+  }
+
+  /** Deterministic ESC/linbits Layer III fixture (q198): every
+    * granule's region2 selects one of the sixteen linbits/ESC tables
+    * (ids 16-23 and 24-31 — codewords shared within each family,
+    * per-id linbits), with magnitudes alternating the escape path
+    * (|v| >= 15: key 15 + a linbits residual, including residual 0
+    * at exactly 15) and the sub-15 direct path; region0 runs tables
+    * 7/8/9 and region1 10/11/15 — the big-value ids this round's
+    * transcription added. Scalefactors are all zero
+    * (scalefac_compress 0) and global_gain = 210 − 4K pins every
+    * quarter exponent to −4K (K = (r+f+g+c) mod 4), so the oracle's
+    * requantization is a pure left shift q = m⁴ << (15 − 3K); the
+    * per-K magnitude caps keep every sample under 2⁵² and stream
+    * sums inside 63 bits. Reservoir back-pointers, CRC frames,
+    * padding and count1 follow the q188 fixture's laws. */
+  def mp3L3EscFixture(spark: SparkSession, n: Int): DataFrame = {
+    val rows = (0 until n).map { r =>
+      val rateIdx = r % 3
+      val mono = (r / 3) % 3 == 0
+      val nf = 2 + r % 3
+      val e14 = Array(110, 106, 126)(rateIdx) // bounds(14): region1 end
+      def grSpec(f: Int, g: Int, c: Int): Mp3GrSpec = {
+        val k = (r + f + g + c) % 4
+        val t1 = Array(10, 11, 15)((r + g + c) % 3)
+        val t2 = 16 + (r + 2 * f + 3 * g + 5 * c) % 16
+        val linbits =
+          Array(1, 2, 3, 4, 6, 8, 10, 13, 4, 5, 6, 7, 8, 9, 11, 13)(t2 - 16)
+        val extMod = math.min(1 << linbits, Array(512, 1024, 1024, 2048)(k) - 15)
+        def v(p: Int): Int = {
+          val m =
+            if (p < 24) (r * 7 + f * 5 + g * 3 + c * 9 + p) % 6
+            else if (p < e14)
+              (r * 11 + f * 3 + g * 7 + c * 5 + p) % (if (t1 == 15) 16 else 8)
+            else if (p < e14 + 12) {
+              val j = p - e14
+              val u = r * 13 + f * 7 + g * 11 + c * 5 + j * 17
+              if (j % 2 == 0) 15 + u % extMod else u % 15
+            } else (r + 3 * f + 5 * g + 7 * c + (p - e14 - 12)) % 2
+          if (m != 0 && (r + f + g + c + p) % 2 == 1) -m else m
+        }
+        Mp3GrSpec(
+          globalGain = 210 - 4 * k,
+          scalefacCompress = 0,
+          preflag = 0,
+          scalefacScale = 0,
+          count1Table = (r + f + g + c) % 2,
+          tableSelect = (7 + (r + f + g + c) % 3, t1, t2),
+          region0Count = 5, region1Count = 7,
+          bigValues = (e14 + 12) / 2,
+          sf = _ => 0,
+          value = v,
+          nCount1 = 3)
+      }
+      Row(r.toLong, encodeMp3L3(14, rateIdx, mono, nf,
         protect = r % 2 == 0,
         pad = f => (r + f) % 2,
         mdbTarget = f =>

@@ -3750,6 +3750,97 @@ object ExtQueries4 {
          FROM qv GROUP BY r) a ON base.r = a.r
        ORDER BY id"""
 
+  // ---------------------------------------------------------------
+  // q198 — MPEG-1 Layer III ESC/linbits Huffman decode: the escape
+  // path real-world encoders select on nearly every music-bitrate
+  // frame. Every granule's region2 picks one of the sixteen
+  // linbits/ESC tables (ids 16-23 share table 16's codewords, 25-31
+  // table 24's — the spec's own structure, written as `codes` aliases
+  // in mp3_huffman.txt), with magnitudes alternating the escape path
+  // (|v| >= 15: Huffman key 15 + a 1..13-bit residual, INCLUDING
+  // residual 0 at exactly 15 — the decoder always reads linbits after
+  // a 15) and the sub-15 direct path; region0 runs the newly
+  // transcribed big-value tables 7/8/9 and region1 10/11/15.
+  // global_gain = 210 - 4K pins every quarter exponent to -4K, so the
+  // oracle requantizes with a pure left shift q = m^4 << (15 - 3K);
+  // per-K magnitude caps bound each sample under 2^52. Any slip in a
+  // transcribed codeword, the linbits widths, the escape/sign field
+  // order or the alias sharing shifts huff_sum/value_sum and fails
+  // the hash gate. Structural table gates (Kraft=1, prefix-free,
+  // alias equality) live in Mp3Layer3Spec; the randomized
+  // encode/decode property over the new ids in Mp3L3PropertySpec.
+  private val Mp3EscN = 48
+
+  def q198(s: SparkSession, dir: String): DataFrame = {
+    val fx = graft.operators.Multimodal.mp3L3EscFixture(s, Mp3EscN)
+    graft.operators.Multimodal.decodeMp3L3(fx, "id", "media")
+      .select(col("id"), col("sample_rate"), col("bitrate_kbps"),
+        col("channels"), col("n_frames"), col("total_samples"),
+        col("n_decoded"), col("huff_sum"), col("value_sum"),
+        col("min_sample"), col("max_sample"), col("valid"))
+      .orderBy("id")
+  }
+
+  val q198Sql: String =
+    s"""WITH base AS (
+         SELECT r,
+           CASE r % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                ELSE 32000 END AS rate,
+           CASE WHEN (r // 3) % 3 = 0 THEN 1 ELSE 2 END AS ch,
+           2 + r % 3 AS nf,
+           CASE r % 3 WHEN 0 THEN 110 WHEN 1 THEN 106 ELSE 126 END AS e14
+         FROM range(0, $Mp3EscN) t(r)),
+       frows AS (
+         SELECT *, unnest([f for f in range(0, nf)]) AS f FROM base),
+       crows AS (
+         SELECT *, unnest([c for c in range(0, ch)]) AS c FROM frows),
+       gc AS (SELECT r, e14, f, c, unnest([0, 1]) AS g FROM crows),
+       gc2 AS ( -- per-granule laws: K, linbits of the ESC id, region1 modulus
+         SELECT r, e14, f, c, g,
+           (r + f + g + c) % 4 AS k,
+           [1,2,3,4,6,8,10,13,4,5,6,7,8,9,11,13]
+             [1 + (r + 2 * f + 3 * g + 5 * c) % 16] AS lb,
+           CASE WHEN (r + g + c) % 3 = 2 THEN 16 ELSE 8 END AS mod1
+         FROM gc),
+       gc3 AS (
+         SELECT *, 15 - 3 * k AS e,
+           least(1 << lb, [512,1024,1024,2048][1 + k] - 15) AS extmod
+         FROM gc2),
+       prows AS (
+         SELECT *, unnest([p for p in range(0, e14 + 24)]) AS p FROM gc3),
+       vals AS (
+         SELECT r, e, p, f, g, c,
+           CASE WHEN p < 24 THEN (r*7 + f*5 + g*3 + c*9 + p) % 6
+                WHEN p < e14 THEN (r*11 + f*3 + g*7 + c*5 + p) % mod1
+                WHEN p < e14 + 12 THEN
+                  CASE WHEN (p - e14) % 2 = 0
+                    THEN 15 + (r*13 + f*7 + g*11 + c*5 + (p - e14)*17)
+                              % extmod
+                    ELSE (r*13 + f*7 + g*11 + c*5 + (p - e14)*17) % 15 END
+                ELSE (r + 3*f + 5*g + 7*c + (p - e14 - 12)) % 2 END AS m,
+           (r + f + g + c + p) % 2 AS neg
+         FROM prows),
+       qv AS ( -- exponent pinned >= 0: requantization is a pure shift
+         SELECT r,
+           CASE WHEN neg = 1 AND m <> 0 THEN -1 ELSE 1 END *
+             (CAST(m AS BIGINT) * m * m * m * (CAST(1 AS BIGINT) << e)) AS q,
+           CASE WHEN neg = 1 AND m <> 0 THEN -m ELSE m END AS hv
+         FROM vals)
+       SELECT base.r AS id, CAST(rate AS INT) AS sample_rate,
+         CAST(320 AS INT) AS bitrate_kbps, CAST(ch AS INT) AS channels,
+         CAST(nf AS INT) AS n_frames,
+         CAST(nf * 1152 * ch AS BIGINT) AS total_samples,
+         a.ndec AS n_decoded, a.hsum AS huff_sum, a.vsum AS value_sum,
+         a.vmin AS min_sample, a.vmax AS max_sample, true AS valid
+       FROM base JOIN (
+         SELECT r, CAST(count(*) AS BIGINT) AS ndec,
+                CAST(sum(hv) AS BIGINT) AS hsum,
+                CAST(sum(q) AS BIGINT) AS vsum,
+                CAST(min(q) AS BIGINT) AS vmin,
+                CAST(max(q) AS BIGINT) AS vmax
+         FROM qv GROUP BY r) a ON base.r = a.r
+       ORDER BY id"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q125_label_propagation" -> (q125 _),
     "q126_pmi_cooccur" -> (q126 _),
@@ -3823,7 +3914,8 @@ object ExtQueries4 {
     "q194_compressed_shards" -> (q194 _),
     "q195_jsonl_shards" -> (q195 _),
     "q196_image_neardup_cross" -> (q196 _),
-    "q197_mp3_short_blocks" -> (q197 _))
+    "q197_mp3_short_blocks" -> (q197 _),
+    "q198_mp3_esc_tables" -> (q198 _))
 
   val oracles: Map[String, String] = Map(
     "q125_label_propagation" -> q125Sql,
@@ -3898,5 +3990,6 @@ object ExtQueries4 {
     "q194_compressed_shards" -> q194Sql,
     "q195_jsonl_shards" -> q195Sql,
     "q196_image_neardup_cross" -> q196Sql,
-    "q197_mp3_short_blocks" -> q197Sql)
+    "q197_mp3_short_blocks" -> q197Sql,
+    "q198_mp3_esc_tables" -> q198Sql)
 }

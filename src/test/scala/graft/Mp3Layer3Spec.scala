@@ -13,8 +13,11 @@ class Mp3Layer3Spec extends SparkSpec {
 
   test("huffman resource: complete prefix codes, encode/decode roundtrip") {
     val tabs = Multimodal.mp3HuffTables
-    // the subset the provenance note declares
-    assert(tabs.keySet == Set(1, 2, 3, 5, 6, 32))
+    // the set the provenance note declares: spec-unused 4/14 and
+    // transcription-failed 12/13 absent; everything else present,
+    // including all sixteen linbits/ESC ids
+    assert(tabs.keySet ==
+      (Set(1, 2, 3, 5, 6, 7, 8, 9, 10, 11, 15, 32) ++ (16 to 31)))
     tabs.values.foreach { t =>
       assert(t.complete, s"table ${t.id} incomplete")
       // Kraft sum exactly 1 — recomputed here from the encode map
@@ -26,6 +29,22 @@ class Mp3Layer3Spec extends SparkSpec {
       val expect = if (t.quad) 16 else t.maxVal * t.maxVal
       assert(t.keys.size == expect, s"table ${t.id} size")
     }
+  }
+
+  test("ESC families: 17-23 share table 16's codewords, 25-31 table 24's") {
+    val tabs = Multimodal.mp3HuffTables
+    // per-id linbits — ISO/IEC 11172-3 Table 3-B.7's ESC structure
+    val linbits = Map(16 -> 1, 17 -> 2, 18 -> 3, 19 -> 4, 20 -> 6,
+      21 -> 8, 22 -> 10, 23 -> 13, 24 -> 4, 25 -> 5, 26 -> 6, 27 -> 7,
+      28 -> 8, 29 -> 9, 30 -> 11, 31 -> 13)
+    for ((id, lb) <- linbits) assert(tabs(id).linbits == lb, s"linbits $id")
+    for (id <- 17 to 23; k <- tabs(16).keys)
+      assert(tabs(id).encodeBits(k) == tabs(16).encodeBits(k), s"t$id key $k")
+    for (id <- 25 to 31; k <- tabs(24).keys)
+      assert(tabs(id).encodeBits(k) == tabs(24).encodeBits(k), s"t$id key $k")
+    // non-ESC big-value tables carry no linbits
+    for (id <- Seq(1, 2, 3, 5, 6, 7, 8, 9, 10, 11, 15))
+      assert(tabs(id).linbits == 0, s"linbits $id")
   }
 
   test("fixture decode matches the independent law replay (the oracle's laws)") {
@@ -177,14 +196,15 @@ class Mp3Layer3Spec extends SparkSpec {
     // table_select(0) is side-info bits 52..56 (after mdb 9 + private
     // 5 + scfsi 4 + p23 12 + bv 9 + gg 8 + scomp 4 + wsf 1). Bits
     // 52..55 are the low nibble of file byte 10, bit 56 the MSB of
-    // byte 11. Splice in id 7 (00111) — transcription-failed, absent
-    // from the resource.
+    // byte 11. Splice in id 12 (01100) — transcription-failed, absent
+    // from the resource (id 7 went real this round and no longer
+    // rejects).
     val mono = Multimodal.mp3L3Fixture(spark, 10).orderBy("id").collect()(9)
       .getAs[Array[Byte]]("media")
     assert((mono(1) & 1) == 1 && ((mono(3) & 0xff) >> 6) == 3)
     val spliced = mono.clone()
-    spliced(10) = ((spliced(10) & 0xf0) | 0x03).toByte
-    spliced(11) = (spliced(11) | 0x80).toByte
+    spliced(10) = ((spliced(10) & 0xf0) | 0x06).toByte
+    spliced(11) = (spliced(11) & 0x7f).toByte
     assert(Multimodal.parseMp3L3(spliced).isEmpty)
   }
 
