@@ -1283,11 +1283,27 @@ object Multimodal {
   // is, which would leave most magnitudes pinned only through doubles.
   // Quarter exponents not divisible by 4 take an exact BigInt
   // fourth-root path (property-gated in Mp3Layer3Spec), never doubles.
-  // Short/mixed blocks (window_switching_flag=1) and joint stereo are
-  // rejected, not guessed — the same documented-scope posture as
-  // Layer I's intensity stereo and Layer II's B.2c/d regimes. The
-  // synthesis filterbank (IMDCT + Table 3-B.3 window) stays out of
-  // decode scope exactly as for Layers I/II.
+  //
+  // WINDOW SWITCHING is decoded in full: pure short granules
+  // (block_type 2, q197), the long transition windows (block_type 1
+  // start / 3 stop — long spectral layout, fixed 36-line region0, the
+  // transmitted subblock gains unused per spec, q200), and MIXED
+  // blocks (block_type 2 + mixed_block_flag: long bands 0-7 over
+  // lines 0-35, then short sfbs 3-12 — whose line layout coincides
+  // with the pure-short map from line 36 because short sfbs 0-2 are
+  // 4+4+4 wide at every MPEG-1 rate, q201). JOINT STEREO accepts
+  // mode_extension 0 (both tools off) and 2 (MS stereo): the
+  // bitstream is decoded per channel exactly as L/R — the emitted
+  // spectra are the MID/SIDE channels' requantized values, and the MS
+  // butterfly L,R = (M±S)/√2 stays OUTSIDE exact-decode scope with
+  // the IMDCT it feeds: each channel's cube m³ = is⁴·2^(3E4/4) is
+  // rational (that is what makes the per-channel pin exact), but
+  // (m+s)³ carries cross terms m²s, ms² — sums of independent
+  // 12th-root surds no power domain makes integer-exact. Intensity
+  // stereo (mode_extension bit 0) strict-rejects, the same
+  // documented-scope posture as Layer I's. The synthesis filterbank
+  // (IMDCT + Table 3-B.3 window) stays out of decode scope exactly
+  // as for Layers I/II.
 
   /** One loaded Huffman code table: decode tree + encode map. Pair
     * tables key x·16+y; the count1 quad table keys v·8+w·4+x·2+y. */
@@ -1503,13 +1519,19 @@ object Multimodal {
   private[graft] final case class Mp3L3Decoded(
       rate: Int, kbps: Int, channels: Int, nFrames: Int,
       totalSamples: Long, nDecoded: Long, huffSum: Long, valueSum: Long,
-      mn: Long, mx: Long)
+      mn: Long, mx: Long, msFrames: Int)
 
   private final case class Mp3GrInfo(
       part23: Int, bigValues: Int, globalGain: Int, scalefacCompress: Int,
       tableSelect: Array[Int], region0: Int, region1: Int,
       preflag: Int, scalefacScale: Int, count1Table: Int,
-      short: Boolean, subblockGain: Array[Int])
+      blockType: Int, mixed: Boolean, subblockGain: Array[Int]) {
+    /** pure-short granule: every line is short-windowed */
+    def short: Boolean = blockType == 2 && !mixed
+    /** granule carries short-windowed lines (pure short or mixed) —
+      * the cases scfsi sharing and preflag are undefined for */
+    def hasShortPart: Boolean = blockType == 2
+  }
 
   /** Parse + FULLY decode an MPEG-1 Layer III stream to requantized
     * (cube-domain Q15) spectral values — same strictness posture and
@@ -1520,7 +1542,7 @@ object Multimodal {
     if (b == null || b.length < 8) return None
     var off = 0; var nf = 0
     var rate = -1; var rateIdx = -1; var kbps = -1; var chans = -1
-    var sum = 0L; var hsum = 0L
+    var sum = 0L; var hsum = 0L; var msf = 0
     var mn = Long.MaxValue; var mx = Long.MinValue; var nDec = 0L
     // rolling bit-reservoir window: the last ≤511 bytes of main data
     // (main_data_begin is a 9-bit byte count — the spec's own bound)
@@ -1537,7 +1559,14 @@ object Multimodal {
         if (bi == 0 || bi == 15 || si == 3) return None
         val b3 = b(off + 3) & 0xff
         val mode = b3 >> 6
-        if (mode == 1) return None // joint stereo out of scope
+        // joint stereo: mode_extension bit 1 = MS stereo (decoded —
+        // the emitted spectra are the M/S channels, see the block
+        // comment), bit 0 = intensity stereo (strict reject)
+        if (mode == 1) {
+          val ext = (b3 >> 4) & 3
+          if ((ext & 1) == 1) return None
+          if (ext == 2) msf += 1
+        }
         val ch = if (mode == 3) 1 else 2
         val r0 = Mp3Rates(si)
         if (rate == -1) {
@@ -1581,28 +1610,32 @@ object Multimodal {
                 val r1c = sr.readBits(3).toInt
                 Mp3GrInfo(p23, bv, gg, scomp, ts, r0c, r1c,
                   sr.readBit(), sr.readBit(), sr.readBit(),
-                  short = false, subblockGain = null)
+                  blockType = 0, mixed = false, subblockGain = null)
               } else {
-                // window switching: PURE short blocks (block_type 2,
-                // not mixed) are decoded for real; block types 1/3
-                // (long transition windows — same spectral layout as
-                // long, only the synthesis window differs, which is
-                // out of decode scope) and mixed blocks reject, not
-                // guess.
+                // window switching: every spec-legal shape decodes —
+                // pure short (bt 2), long transition windows (bt 1/3:
+                // long spectral layout, only the synthesis window
+                // differs, which is out of decode scope; their
+                // transmitted subblock gains are unused per spec), and
+                // mixed blocks (bt 2 + flag). bt 0 with the flag set
+                // is illegal, and mixed_block_flag is defined for
+                // block_type 2 only — both strict-reject.
                 val bt = sr.readBits(2).toInt
-                val mixed = sr.readBit()
+                val mixed = sr.readBit() == 1
                 val ts = Array(sr.readBits(5).toInt, sr.readBits(5).toInt, 0)
                 val sbg = Array(sr.readBits(3).toInt, sr.readBits(3).toInt,
                   sr.readBits(3).toInt)
-                if (bt != 2 || mixed != 0) return None
+                if (bt == 0 || (mixed && bt != 2)) return None
                 val pf = sr.readBit()
                 val ssc = sr.readBit()
                 val c1t = sr.readBit()
-                // pretab is a LONG-band table; preflag with short
-                // blocks is undefined — strict reject
-                if (pf != 0) return None
-                Mp3GrInfo(p23, bv, gg, scomp, ts, 0, 0, 0, ssc, c1t,
-                  short = true, subblockGain = sbg)
+                // pretab is a LONG-band table; with block_type 2 it is
+                // undefined (pure short) or a no-op (the mixed long
+                // bands 0-7 all carry pretab 0) — strict reject keeps
+                // the field pinned. bt 1/3 are long: preflag applies.
+                if (bt == 2 && pf != 0) return None
+                Mp3GrInfo(p23, bv, gg, scomp, ts, 0, 0, pf, ssc, c1t,
+                  blockType = bt, mixed = mixed, subblockGain = sbg)
               }
             if (bv > 288) return None // §2.4.2.7 bound
             gi(g)(c) = info
@@ -1632,7 +1665,7 @@ object Multimodal {
             // channel whose frame contains any short granule must
             // carry scfsi 0 (strict — sharing into or out of a short
             // granule is undefined)
-            if (info.short && scfsi(c) != 0) return None
+            if (info.hasShortPart && scfsi(c) != 0) return None
             val (sl1, sl2) = Mp3Slen(info.scalefacCompress)
             val sf = new Array[Int](22)          // long bands
             val sfS = Array.ofDim[Int](13, 3)    // short (sfb, window)
@@ -1649,8 +1682,27 @@ object Multimodal {
                 }
                 s += 1
               }
+            } else if (info.mixed) {
+              // mixed: long bands 0-7 (slen1), then short sfbs 3-11
+              // (slen1 through sfb 5, slen2 from 6; sfb 12 has none)
+              var band = 0
+              while (band < 8) {
+                sf(band) = if (sl1 == 0) 0 else br.readBits(sl1).toInt
+                band += 1
+              }
+              var s = 3
+              while (s < 12) {
+                val sl = if (s < 6) sl1 else sl2
+                var w = 0
+                while (w < 3) {
+                  sfS(s)(w) = if (sl == 0) 0 else br.readBits(sl).toInt
+                  w += 1
+                }
+                s += 1
+              }
             } else {
-              // --- scalefactors (long: 11·slen1 + 10·slen2) ---
+              // --- scalefactors (long layout, bt 0/1/3:
+              // 11·slen1 + 10·slen2) ---
               var band = 0
               while (band < 21) {
                 val sl = if (band < 11) sl1 else sl2
@@ -1664,13 +1716,15 @@ object Multimodal {
               }
               if (g == 0) System.arraycopy(sf, 0, sfPrev(c), 0, 22)
             }
-            // --- big values: regions and per-region table. Pure
-            // short blocks fix region0 at the first 36 lines and
-            // region1 at the rest (no region2 — §2.4.2.7) ---
+            // --- big values: regions and per-region table. Window
+            // switching (any block_type != 0) fixes region0 at the
+            // first 36 lines and region1 at the rest (no region2 —
+            // §2.4.2.7) ---
             val r0End =
-              if (info.short) 36 else bounds(math.min(info.region0 + 1, 22))
+              if (info.blockType != 0) 36
+              else bounds(math.min(info.region0 + 1, 22))
             val r1End =
-              if (info.short) 576
+              if (info.blockType != 0) 576
               else bounds(math.min(info.region0 + 1 + info.region1 + 1, 22))
             val bvEnd = info.bigValues * 2
             var p = 0
@@ -1712,13 +1766,20 @@ object Multimodal {
             }
             if (br.bitPosition - start > info.part23) return None
             br.seekBits(start + info.part23) // rest of granule: rzero
-            // --- requantize decoded slots (cube-domain Q15) ---
-            val posMap = if (info.short) Mp3ShortPosMap(rateIdx) else null
+            // --- requantize decoded slots (cube-domain Q15). Mixed
+            // granules reuse the pure-short position map from line 36:
+            // short sfbs 0-2 are 4+4+4 wide at every MPEG-1 rate, so
+            // the short layout's sfb-3 base is exactly 36 — the same
+            // lines the mixed long bands 0-7 occupy. bt 1/3 take the
+            // long path (their transmitted subblock gains are unused
+            // per spec). ---
+            val posMap =
+              if (info.hasShortPart) Mp3ShortPosMap(rateIdx) else null
             var bnd = 0
             var i = 0
             while (i < p) {
               val e4 =
-                if (info.short) {
+                if (info.short || (info.mixed && i >= 36)) {
                   val sw = posMap(i)
                   val s = sw >> 2
                   val w = sw & 3
@@ -1763,7 +1824,7 @@ object Multimodal {
       if (nf > 0 && off == b.length) {
         if (nDec == 0) { mn = 0; mx = 0 }
         Some(Mp3L3Decoded(rate, kbps, chans, nf, nf.toLong * 1152 * chans,
-          nDec, hsum, sum, mn, mx))
+          nDec, hsum, sum, mn, mx, msf))
       } else None
     } catch { case FlacEof => None }
   }
@@ -1772,7 +1833,12 @@ object Multimodal {
     * default; `blockType = 2` encodes a PURE short granule (fixed
     * 36-line region0, two table selects, subblock gains, sfb-major
     * window-minor short scalefactors via `sfShort`; `preflag` must
-    * be 0 and the channel's scfsi nibble 0). */
+    * be 0 and the channel's scfsi nibble 0) — or, with `mixedBlock`,
+    * a MIXED granule (long bands 0-7 via `sf` over lines 0-35, short
+    * sfbs 3-11 via `sfShort` from line 36). `blockType` 1/3 encode
+    * the long transition windows: long layout, fixed 36-line region0,
+    * two table selects, subblock gains transmitted (unused by
+    * decode). */
   final case class Mp3GrSpec(
       globalGain: Int, scalefacCompress: Int, preflag: Int,
       scalefacScale: Int, count1Table: Int,
@@ -1783,7 +1849,8 @@ object Multimodal {
       nCount1: Int,      // quadruples appended after the big values
       blockType: Int = 0,
       subblockGain: (Int, Int, Int) = (0, 0, 0),
-      sfShort: (Int, Int) => Int = (_, _) => 0) // (sfb 0..11, window)
+      sfShort: (Int, Int) => Int = (_, _) => 0, // (sfb 0..11, window)
+      mixedBlock: Boolean = false)
 
   /** Encode a REAL MPEG-1 Layer III stream (fixture / test side): the
     * per-granule structure and every spectral value are SUPPLIED
@@ -1799,12 +1866,15 @@ object Multimodal {
       pad: Int => Int,                 // frame → 0/1
       mdbTarget: Int => Int,           // frame → main_data_begin (0 for f=0)
       scfsiN: (Int, Int) => Int,       // (frame, ch) → 4-bit nibble, grp0=MSB
-      gr: (Int, Int, Int) => Mp3GrSpec // (frame, granule, ch)
+      gr: (Int, Int, Int) => Mp3GrSpec, // (frame, granule, ch)
+      mode: Int = -1,                  // -1: mono ? 3 : 0; 1 = joint stereo
+      modeExt: Int => Int = _ => 0     // frame → mode_extension (mode 1)
   ): Array[Byte] = {
     require(bitrateIdx >= 1 && bitrateIdx <= 14 && rateIdx >= 0 && rateIdx <= 2)
     val rate = Mp3Rates(rateIdx)
     val ch = if (mono) 1 else 2
-    val mode = if (mono) 3 else 0
+    val md = if (mode == -1) (if (mono) 3 else 0) else mode
+    require((md == 3) == mono, s"mode $md vs mono=$mono")
     val siBytes = if (mono) 17 else 32
     val flens = Array.tabulate(nFrames)(f =>
       144000 * Mp3Bitrates(bitrateIdx) / rate + (pad(f) & 1))
@@ -1833,13 +1903,16 @@ object Multimodal {
         val s = gr(f, g, c)
         val startBits = gBits
         def wb(v: Long, n: Int): Unit = { gw.writeBits(v, n); gBits += n }
-        require(s.blockType == 0 || s.blockType == 2,
-          "only long (0) and pure-short (2) granules are encodable")
-        val short = s.blockType == 2
-        if (short) {
-          require(s.preflag == 0, "preflag undefined for short blocks")
+        require(s.blockType >= 0 && s.blockType <= 3, s"blockType ${s.blockType}")
+        require(!s.mixedBlock || s.blockType == 2,
+          "mixed_block_flag is defined for block_type 2 only")
+        val short = s.blockType == 2 && !s.mixedBlock
+        val mixed = s.blockType == 2 && s.mixedBlock
+        if (s.blockType == 2) {
+          require(s.preflag == 0,
+            "preflag undefined/no-op for block_type-2 granules")
           require(scfsiN(f, c) == 0,
-            "scfsi must be 0 for a channel with a short granule")
+            "scfsi must be 0 for a channel with a short-part granule")
         }
         // scalefactors
         val (sl1, sl2) = Mp3Slen(s.scalefacCompress)
@@ -1852,6 +1925,22 @@ object Multimodal {
               wb(v.toLong, sl)
             } else require(s.sfShort(sfb, w) == 0, "short sf at slen 0")
           }
+        } else if (mixed) {
+          for (band <- 0 until 8) {
+            if (sl1 > 0) {
+              val v = s.sf(band)
+              require(v >= 0 && v < (1 << sl1), s"mixed sf $v !fit slen $sl1")
+              wb(v.toLong, sl1)
+            } else require(s.sf(band) == 0, "mixed sf at slen 0")
+          }
+          for (sfb <- 3 until 12; w <- 0 until 3) {
+            val sl = if (sfb < 6) sl1 else sl2
+            if (sl > 0) {
+              val v = s.sfShort(sfb, w)
+              require(v >= 0 && v < (1 << sl), s"mixed short sf $v !fit $sl")
+              wb(v.toLong, sl)
+            } else require(s.sfShort(sfb, w) == 0, "mixed short sf at slen 0")
+          }
         } else for (band <- 0 until 21) {
           val sl = if (band < 11) sl1 else sl2
           val shared =
@@ -1862,11 +1951,12 @@ object Multimodal {
             wb(v.toLong, sl)
           } else if (!shared) require(s.sf(band) == 0, "sf nonzero at slen 0")
         }
-        // big values (short: fixed 36-line region0, no region2)
+        // big values (window switching: fixed 36-line region0, no region2)
         val r0End =
-          if (short) 36 else bounds(math.min(s.region0Count + 1, 22))
+          if (s.blockType != 0) 36
+          else bounds(math.min(s.region0Count + 1, 22))
         val r1End =
-          if (short) 576
+          if (s.blockType != 0) 576
           else bounds(math.min(s.region0Count + 1 + s.region1Count + 1, 22))
         var p = 0
         while (p < s.bigValues * 2) {
@@ -1918,7 +2008,7 @@ object Multimodal {
     for (f <- 0 until nFrames) {
       val p = pad(f) & 1
       val b2 = (bitrateIdx << 4) | (rateIdx << 2) | (p << 1)
-      val b3 = mode << 6
+      val b3 = (md << 6) | (if (md == 1) (modeExt(f) & 3) << 4 else 0)
       val sw = new FlacBitWriter(siBytes)
       sw.writeBits(mdbTarget(f).toLong, 9)
       sw.writeBits(0, if (mono) 5 else 3)
@@ -1929,10 +2019,10 @@ object Multimodal {
         sw.writeBits(s.bigValues.toLong, 9)
         sw.writeBits(s.globalGain.toLong, 8)
         sw.writeBits(s.scalefacCompress.toLong, 4)
-        if (s.blockType == 2) {
+        if (s.blockType != 0) {
           sw.writeBit(1)      // window_switching_flag
-          sw.writeBits(2, 2)  // block_type: short
-          sw.writeBit(0)      // mixed_block_flag
+          sw.writeBits(s.blockType.toLong, 2)
+          sw.writeBit(if (s.mixedBlock) 1 else 0)
           sw.writeBits(s.tableSelect._1.toLong, 5)
           sw.writeBits(s.tableSelect._2.toLong, 5)
           sw.writeBits(s.subblockGain._1.toLong, 3)
@@ -2197,6 +2287,211 @@ object Multimodal {
         StructField("media", BinaryType, true))))
   }
 
+  /** Deterministic MS JOINT-STEREO Layer III fixture (q199): every
+    * stream is mode-1 (joint stereo) with the per-frame
+    * mode_extension alternating 2 (MS stereo on) and 0 (both tools
+    * off) — the header legality surface real stereo music MP3s
+    * exercise. The emitted spectra are the MID/SIDE channels'
+    * requantized values (the butterfly is synthesis-side — see the
+    * Layer III block comment). Laws mirror the ESC fixture's
+    * shift-only regime without the escape path: global_gain 210−4K,
+    * zero scalefactors, tables 1/2/3 and 5/6. */
+  def mp3L3MsFixture(spark: SparkSession, n: Int): DataFrame = {
+    val rows = (0 until n).map { r =>
+      val rateIdx = r % 3
+      val nf = 2 + r % 3
+      def grSpec(f: Int, g: Int, c: Int): Mp3GrSpec = {
+        val k = (r + f + g + c) % 4
+        val t0 = 1 + (r + f + g + c) % 3
+        val mx0 = if (t0 == 1) 2 else 3
+        def v(p: Int): Int = {
+          val m =
+            if (p < 24) (r * 7 + f * 5 + g * 3 + c * 9 + p) % mx0
+            else if (p < 40) (r * 11 + f * 3 + g * 7 + c * 5 + p) % 4
+            else (r + 3 * f + 5 * g + 7 * c + (p - 40)) % 2
+          if (m != 0 && (r + f + g + c + p) % 2 == 1) -m else m
+        }
+        Mp3GrSpec(
+          globalGain = 210 - 4 * k,
+          scalefacCompress = 0,
+          preflag = 0,
+          scalefacScale = 0,
+          count1Table = (r + f + g + c) % 2,
+          tableSelect = (t0, 5 + (r + g + c) % 2, 0),
+          region0Count = 5, region1Count = 7,
+          bigValues = 20,
+          sf = _ => 0,
+          value = v,
+          nCount1 = 3)
+      }
+      Row(r.toLong, encodeMp3L3(13 + r % 2, rateIdx, mono = false, nf,
+        protect = r % 2 == 0,
+        pad = f => (r + f) % 2,
+        mdbTarget = f =>
+          if (f == 0 || (r + f) % 3 == 0) 0 else (r + 11 * f) % 200,
+        scfsiN = (_, _) => 0,
+        gr = grSpec,
+        mode = 1,
+        modeExt = f => if ((r + f) % 2 == 0) 2 else 0))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4),
+      StructType(Seq(
+        StructField("id", LongType, false),
+        StructField("media", BinaryType, true))))
+  }
+
+  /** Deterministic TRANSITION-WINDOW Layer III fixture (q200):
+    * granules cycle block types 0 → 1 (start) → 3 (stop), all with
+    * the LONG spectral layout. The bt-0 granules declare
+    * region0_count 7 / region1_count 13, which lands their region
+    * boundaries on the same [0,36)/[36,576) split window switching
+    * fixes — so one value law covers all three types, and the hash
+    * gate pins the 22-bit window-switching side-info layout (any
+    * parse slip desyncs the Huffman stream). Transmitted subblock
+    * gains on bt-1/3 granules are unused per spec; scalefactors,
+    * scfsi sharing and preflag run the full q188 laws across all
+    * three block types. */
+  def mp3L3TransitionFixture(spark: SparkSession, n: Int): DataFrame = {
+    val rows = (0 until n).map { r =>
+      val rateIdx = r % 3
+      val mono = (r / 3) % 3 == 0
+      val nf = 2 + r % 3
+      val s12 = Array(74, 72, 82)(rateIdx)
+      val bv = s12 / 2 + 1
+      def grSpec(f: Int, g: Int, c: Int): Mp3GrSpec = {
+        val ss = (r + f + c) % 2
+        val scomp = (r + 2 * f + 3 * g + 5 * c) % 16
+        val (sl1, sl2) = Mp3Slen(scomp)
+        val pf = if (ss == 0) 0 else (r + f + g + c) % 2
+        def sfRaw(grp: Int): Int = {
+          val base = r + 2 * f + 3 * g + 5 * c + 7 * grp
+          val sl = if (grp < 2) sl1 else sl2
+          if (ss == 1) base % (1 << sl)
+          else if (sl == 0) 0
+          else 2 * (base % (1 << (sl - 1)))
+        }
+        val bt = Array(0, 1, 3)((r + f + g + c) % 3)
+        val t0 = 1 + (r + f + g + c) % 3
+        val mx0 = if (t0 == 1) 2 else 3
+        def v(p: Int): Int = {
+          val (m, negKey) =
+            if (p < 36)
+              ((r * 7 + f * 5 + g * 3 + c * 9 + p) % mx0,
+                r + f + g + c + p)
+            else if (p < s12) (0, 0)
+            else if (p == s12) (1 + (r + f + g + c) % 3, r + f + g + c)
+            else if (p == s12 + 1)
+              (1 + (r + f + g + c + 1) % 3, r + f + g + c + 1)
+            else ((r + 3 * f + 5 * g + 7 * c + (p - s12 - 2)) % 2,
+              r + f + g + c + (p - s12 - 2))
+          if (m != 0 && negKey % 2 == 1) -m else m
+        }
+        Mp3GrSpec(
+          globalGain = 210 + 4 * ((r + f + 2 * g + 3 * c) % 4),
+          scalefacCompress = scomp,
+          preflag = pf,
+          scalefacScale = ss,
+          count1Table = (r + f + g + c) % 2,
+          tableSelect = (t0, 5 + (r + g + c) % 2, 0),
+          region0Count = 7, region1Count = 13,
+          bigValues = bv,
+          sf = band => sfRaw(mp3Grp(band)),
+          value = v,
+          nCount1 = 3,
+          blockType = bt,
+          subblockGain = if (bt == 0) (0, 0, 0)
+            else ((r + f + g + c) % 8, (r + f + g + c + 1) % 8,
+              (r + f + g + c + 2) % 8))
+      }
+      Row(r.toLong, encodeMp3L3(13 + r % 2, rateIdx, mono, nf,
+        protect = r % 2 == 0,
+        pad = f => (r + f) % 2,
+        mdbTarget = f =>
+          if (f == 0 || (r + f) % 3 == 0) 0 else (r + 11 * f) % 200,
+        scfsiN = (f, c) => (r + 3 * f + 5 * c) % 16,
+        gr = grSpec))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4),
+      StructType(Seq(
+        StructField("id", LongType, false),
+        StructField("media", BinaryType, true))))
+  }
+
+  /** Deterministic MIXED-BLOCK Layer III fixture (q201): granule
+    * f%2 of every (frame, channel) is a mixed granule (block_type 2
+    * + mixed_block_flag — long bands 0-7 over lines 0-35 via long
+    * scalefactors, short sfbs 3+ from line 36 with per-window
+    * subblock gains), the other granule silent long. Values reach
+    * the count1 region past the big values so short sfb 6 (slen2) is
+    * exercised; both scalefac_scale regimes keep the parity trick
+    * (quarter exponents ≡ 0 mod 4 except where values are zero). */
+  def mp3L3MixedFixture(spark: SparkSession, n: Int): DataFrame = {
+    val rows = (0 until n).map { r =>
+      val rateIdx = r % 3
+      val mono = (r / 3) % 3 == 0
+      val nf = 2 + r % 3
+      val bvEnd = Array(90, 84, 90)(rateIdx) // end of short sfb 5
+      def grSpec(f: Int, g: Int, c: Int): Mp3GrSpec = {
+        val isMixed = g == f % 2
+        if (!isMixed)
+          Mp3GrSpec(210, 0, 0, 0, 0, (1, 1, 1), 5, 7, 0,
+            _ => 0, _ => 0, 0) // silent long granule
+        else {
+          val ss = (r + f + c) % 2
+          val scomp = (r + 2 * f + 3 * g + 5 * c) % 16
+          val (sl1, sl2) = Mp3Slen(scomp)
+          val t0 = 1 + (r + f + g + c) % 3
+          val mx0 = if (t0 == 1) 2 else 3
+          def v(p: Int): Int = {
+            val m =
+              if (p < 36) (r * 7 + f * 5 + g * 3 + c * 9 + p) % mx0
+              else if (p < bvEnd)
+                (r * 11 + f * 3 + g * 7 + c * 5 + p) % 4
+              else (r + 3 * f + 5 * g + 7 * c + (p - bvEnd)) % 2
+            if (m != 0 && (r + f + g + c + p) % 2 == 1) -m else m
+          }
+          def fit(base: Int, sl: Int): Int =
+            if (ss == 1) base % (1 << sl)
+            else if (sl == 0) 0
+            else 2 * (base % (1 << (sl - 1)))
+          Mp3GrSpec(
+            globalGain = 210 + 4 * ((r + f + 2 * g + 3 * c) % 4),
+            scalefacCompress = scomp,
+            preflag = 0,
+            scalefacScale = ss,
+            count1Table = (r + f + g + c) % 2,
+            tableSelect = (t0, 5 + (r + g + c) % 2, 0),
+            region0Count = 0, region1Count = 0,
+            bigValues = bvEnd / 2,
+            sf = band => fit(r + 2 * f + 3 * g + 5 * c + 13 * band, sl1),
+            value = v,
+            nCount1 = 3,
+            blockType = 2,
+            subblockGain = ((r + f + g + c) % 8, (r + f + g + c + 1) % 8,
+              (r + f + g + c + 2) % 8),
+            sfShort = (sfb, w) =>
+              fit(r + 2 * f + 3 * g + 5 * c + 7 * sfb + 11 * w,
+                if (sfb < 6) sl1 else sl2),
+            mixedBlock = true)
+        }
+      }
+      Row(r.toLong, encodeMp3L3(13 + r % 2, rateIdx, mono, nf,
+        protect = r % 2 == 0,
+        pad = f => (r + f) % 2,
+        mdbTarget = f =>
+          if (f == 0 || (r + f) % 3 == 0) 0 else (r + 11 * f) % 200,
+        scfsiN = (_, _) => 0,
+        gr = grSpec))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4),
+      StructType(Seq(
+        StructField("id", LongType, false),
+        StructField("media", BinaryType, true))))
+  }
+
   /** Full-decode DataFrame op over MPEG-1 Layer III blobs — the
     * [[decodeMp1]]/[[decodeMp2]] surface plus `huff_sum`; malformed
     * streams yield valid=false rows, never throw. */
@@ -2214,6 +2509,7 @@ object Multimodal {
       StructField("value_sum", LongType, true),
       StructField("min_sample", LongType, true),
       StructField("max_sample", LongType, true),
+      StructField("ms_frames", IntegerType, true),
       StructField("valid", BooleanType, false)))
     val rows = df.select(col(idCol).cast(LongType), col(binCol)).rdd
       .mapPartitions(_.map { r =>
@@ -2222,10 +2518,10 @@ object Multimodal {
           case Some(d) =>
             Row(r.getLong(0), d.rate, d.kbps, d.channels, d.nFrames,
               d.totalSamples, d.nDecoded, d.huffSum, d.valueSum,
-              d.mn, d.mx, true)
+              d.mn, d.mx, d.msFrames, true)
           case None =>
             Row(r.getLong(0), null, null, null, null, null, null, null,
-              null, null, null, false)
+              null, null, null, null, false)
         }
       })
     spark.createDataFrame(rows, outSchema)

@@ -3841,6 +3841,348 @@ object ExtQueries4 {
          FROM qv GROUP BY r) a ON base.r = a.r
        ORDER BY id"""
 
+  // ---------------------------------------------------------------
+  // q199 — MPEG-1 Layer III MS JOINT STEREO: mode-1 streams whose
+  // frames alternate mode_extension 2 (MS stereo on) and 0 (both
+  // tools off) — the legality surface stereo music MP3s exercise.
+  // The decode emits the MID/SIDE channels' requantized spectra
+  // (bitstream-identical to stereo; the MS butterfly (M±S)/√2 is the
+  // first synthesis-side linear transform and stays outside exact
+  // decode scope — its cross terms are sums of independent 12th-root
+  // surds no power domain pins as integers; see Multimodal.scala's
+  // Layer III block comment). Intensity stereo (mode_extension bit 0)
+  // strict-rejects (Mp3L3ShortSpec). ms_frames counts ext-2 frames.
+  private val Mp3MsN = 42
+
+  def q199(s: SparkSession, dir: String): DataFrame = {
+    val fx = graft.operators.Multimodal.mp3L3MsFixture(s, Mp3MsN)
+    graft.operators.Multimodal.decodeMp3L3(fx, "id", "media")
+      .select(col("id"), col("sample_rate"), col("bitrate_kbps"),
+        col("channels"), col("n_frames"), col("total_samples"),
+        col("n_decoded"), col("huff_sum"), col("value_sum"),
+        col("min_sample"), col("max_sample"), col("ms_frames"),
+        col("valid"))
+      .orderBy("id")
+  }
+
+  val q199Sql: String =
+    s"""WITH base AS (
+         SELECT r,
+           CASE r % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                ELSE 32000 END AS rate,
+           CASE r % 2 WHEN 0 THEN 256 ELSE 320 END AS kbps,
+           2 + r % 3 AS nf
+         FROM range(0, $Mp3MsN) t(r)),
+       frows AS (
+         SELECT *, unnest([f for f in range(0, nf)]) AS f FROM base),
+       crows AS (SELECT *, unnest([0, 1]) AS c FROM frows),
+       gc AS (SELECT r, f, c, unnest([0, 1]) AS g FROM crows),
+       gc2 AS (
+         SELECT r, f, c, g,
+           15 - 3 * ((r + f + g + c) % 4) AS e,
+           CASE WHEN 1 + (r + f + g + c) % 3 = 1 THEN 2 ELSE 3 END AS mx0
+         FROM gc),
+       prows AS (SELECT *, unnest([p for p in range(0, 52)]) AS p FROM gc2),
+       vals AS (
+         SELECT r, e,
+           CASE WHEN p < 24 THEN (r*7 + f*5 + g*3 + c*9 + p) % mx0
+                WHEN p < 40 THEN (r*11 + f*3 + g*7 + c*5 + p) % 4
+                ELSE (r + 3*f + 5*g + 7*c + (p - 40)) % 2 END AS m,
+           (r + f + g + c + p) % 2 AS neg
+         FROM prows),
+       qv AS (
+         SELECT r,
+           CASE WHEN neg = 1 AND m <> 0 THEN -1 ELSE 1 END *
+             (CAST(m AS BIGINT) * m * m * m * (CAST(1 AS BIGINT) << e)) AS q,
+           CASE WHEN neg = 1 AND m <> 0 THEN -m ELSE m END AS hv
+         FROM vals)
+       SELECT base.r AS id, CAST(rate AS INT) AS sample_rate,
+         CAST(kbps AS INT) AS bitrate_kbps, CAST(2 AS INT) AS channels,
+         CAST(nf AS INT) AS n_frames,
+         CAST(nf * 2304 AS BIGINT) AS total_samples,
+         a.ndec AS n_decoded, a.hsum AS huff_sum, a.vsum AS value_sum,
+         a.vmin AS min_sample, a.vmax AS max_sample,
+         CAST((nf + CASE WHEN base.r % 2 = 0 THEN 1 ELSE 0 END) // 2 AS INT)
+           AS ms_frames,
+         true AS valid
+       FROM base JOIN (
+         SELECT r, CAST(count(*) AS BIGINT) AS ndec,
+                CAST(sum(hv) AS BIGINT) AS hsum,
+                CAST(sum(q) AS BIGINT) AS vsum,
+                CAST(min(q) AS BIGINT) AS vmin,
+                CAST(max(q) AS BIGINT) AS vmax
+         FROM qv GROUP BY r) a ON base.r = a.r
+       ORDER BY id"""
+
+  // ---------------------------------------------------------------
+  // q200 — MPEG-1 Layer III TRANSITION WINDOWS (block types 1/3):
+  // granules cycle block types 0 → 1 (start) → 3 (stop). bt-1/3
+  // granules carry the 22-bit window-switching side info (two table
+  // selects, subblock gains transmitted but UNUSED per spec — the
+  // fixture writes nonzero gains to pin that) with the LONG spectral
+  // layout and the fixed [0,36)/[36,576) regions; the bt-0 granules
+  // declare region0_count 7 / region1_count 13, landing on the SAME
+  // split, so one value law covers all three types and the hash gate
+  // pins the side-info layout (a parse slip desyncs the Huffman
+  // stream). Scalefactors, scfsi sharing across bt-1/3 granules and
+  // preflag run the full q188 laws.
+  private val Mp3TransN = 42
+
+  def q200(s: SparkSession, dir: String): DataFrame = {
+    val fx = graft.operators.Multimodal.mp3L3TransitionFixture(s, Mp3TransN)
+    graft.operators.Multimodal.decodeMp3L3(fx, "id", "media")
+      .select(col("id"), col("sample_rate"), col("bitrate_kbps"),
+        col("channels"), col("n_frames"), col("total_samples"),
+        col("n_decoded"), col("huff_sum"), col("value_sum"),
+        col("min_sample"), col("max_sample"), col("valid"))
+      .orderBy("id")
+  }
+
+  val q200Sql: String =
+    s"""WITH base AS (
+         SELECT r,
+           CASE r % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                ELSE 32000 END AS rate,
+           CASE WHEN (r // 3) % 3 = 0 THEN 1 ELSE 2 END AS ch,
+           CASE r % 2 WHEN 0 THEN 256 ELSE 320 END AS kbps,
+           2 + r % 3 AS nf,
+           CASE r % 3 WHEN 0 THEN 74 WHEN 1 THEN 72 ELSE 82 END AS s12
+         FROM range(0, $Mp3TransN) t(r)),
+       frows AS (
+         SELECT *, unnest([f for f in range(0, nf)]) AS f FROM base),
+       crows AS (
+         SELECT *, unnest([c for c in range(0, ch)]) AS c FROM frows),
+       gc AS ( -- per (granule, channel) side-info law
+         SELECT r, s12, f, c, unnest([0, 1]) AS g FROM crows),
+       gc2 AS (
+         SELECT r, s12, f, c, g,
+           210 + 4 * ((r + f + 2 * g + 3 * c) % 4) AS gg,
+           (r + f + c) % 2 AS ss,
+           (r + 3 * f + 5 * c) % 16 AS nsc,
+           CASE WHEN (r + f + c) % 2 = 0 THEN 0
+                ELSE (r + f + g + c) % 2 END AS pf,
+           1 + (r + f + g + c) % 3 AS t0
+         FROM gc),
+       grp3 AS (SELECT *, unnest([0, 1, 2]) AS grp FROM gc2),
+       slens AS (
+         SELECT *,
+           CASE WHEN grp < 2
+             THEN [0,0,0,0,3,1,1,1,2,2,2,3,3,3,4,4]
+                  [1 + (r + 2 * f + 5 * c) % 16]
+             ELSE [0,1,2,3,0,1,2,3,1,2,3,1,2,3,2,3]
+                  [1 + (r + 2 * f + 5 * c) % 16] END AS sl0,
+           CASE WHEN grp < 2
+             THEN [0,0,0,0,3,1,1,1,2,2,2,3,3,3,4,4]
+                  [1 + (r + 2 * f + 3 * g + 5 * c) % 16]
+             ELSE [0,1,2,3,0,1,2,3,1,2,3,1,2,3,2,3]
+                  [1 + (r + 2 * f + 3 * g + 5 * c) % 16] END AS slg
+         FROM grp3),
+       sfe AS (
+         SELECT r, f, c, g, grp,
+           CASE WHEN g = 1 AND
+                ((nsc // (CASE grp WHEN 0 THEN 8 WHEN 1 THEN 4
+                          ELSE 2 END)) % 2) = 1
+             THEN CASE WHEN ss = 1
+                    THEN (r + 2 * f + 5 * c + 7 * grp) % (1 << sl0)
+                  WHEN sl0 = 0 THEN 0
+                  ELSE 2 * ((r + 2 * f + 5 * c + 7 * grp)
+                            % (1 << (sl0 - 1))) END
+             ELSE CASE WHEN ss = 1
+                    THEN (r + 2 * f + 3 * g + 5 * c + 7 * grp)
+                         % (1 << slg)
+                  WHEN slg = 0 THEN 0
+                  ELSE 2 * ((r + 2 * f + 3 * g + 5 * c + 7 * grp)
+                            % (1 << (slg - 1))) END END AS sf
+         FROM slens),
+       prows AS ( -- every decoded slot: big values + count1
+         SELECT *, unnest([p for p in range(0, s12 + 14)]) AS p FROM gc2),
+       vals AS (
+         SELECT r, s12, f, c, g, gg, ss, pf, p,
+           CASE WHEN p < 36 THEN (r * 7 + f * 5 + g * 3 + c * 9 + p)
+                  % (CASE WHEN t0 = 1 THEN 2 ELSE 3 END)
+                WHEN p < s12 THEN 0
+                WHEN p = s12 THEN 1 + (r + f + g + c) % 3
+                WHEN p = s12 + 1 THEN 1 + (r + f + g + c + 1) % 3
+                ELSE (r + 3 * f + 5 * g + 7 * c + (p - s12 - 2)) % 2
+           END AS m,
+           CASE WHEN p < 36 THEN (r + f + g + c + p) % 2
+                WHEN p = s12 THEN (r + f + g + c) % 2
+                WHEN p = s12 + 1 THEN (r + f + g + c + 1) % 2
+                ELSE (r + f + g + c + (p - s12 - 2)) % 2
+           END AS neg,
+           CASE WHEN p < 24 THEN 0 WHEN p < 36 THEN 1 ELSE 2 END AS grp
+         FROM prows),
+       ev AS (
+         SELECT v.r, v.m, v.neg,
+           (3 * ((v.gg - 210) - (2 + 2 * v.ss) *
+                 (s.sf + CASE WHEN v.p >= v.s12 THEN v.pf ELSE 0 END))
+            + 60) // 4 AS e
+         FROM vals v JOIN sfe s
+           ON v.r = s.r AND v.f = s.f AND v.c = s.c AND v.g = s.g
+          AND v.grp = s.grp),
+       qv AS ( -- cube-domain Q15: shift up, or round-half-even down
+         SELECT r,
+           CASE WHEN neg = 1 AND m <> 0 THEN -1 ELSE 1 END *
+           CASE WHEN e >= 0
+             THEN CAST(m AS BIGINT) * m * m * m * (CAST(1 AS BIGINT) << e)
+             ELSE fq + CASE WHEN 2 * rp > b THEN 1
+                            WHEN 2 * rp = b AND fq % 2 <> 0 THEN 1
+                            ELSE 0 END
+           END AS q,
+           CASE WHEN neg = 1 AND m <> 0 THEN -m ELSE m END AS hv
+         FROM (
+           SELECT r, m, neg, e,
+             (CAST(1 AS BIGINT) << (CASE WHEN e < 0 THEN -e ELSE 0 END)) AS b,
+             (CAST(m AS BIGINT) * m * m * m)
+               // (CAST(1 AS BIGINT) << (CASE WHEN e < 0 THEN -e ELSE 0 END)) AS fq,
+             (CAST(m AS BIGINT) * m * m * m)
+               % (CAST(1 AS BIGINT) << (CASE WHEN e < 0 THEN -e ELSE 0 END)) AS rp
+           FROM ev))
+       SELECT base.r AS id, CAST(rate AS INT) AS sample_rate,
+         CAST(kbps AS INT) AS bitrate_kbps, CAST(ch AS INT) AS channels,
+         CAST(nf AS INT) AS n_frames,
+         CAST(nf * 1152 * ch AS BIGINT) AS total_samples,
+         a.ndec AS n_decoded, a.hsum AS huff_sum, a.vsum AS value_sum,
+         a.vmin AS min_sample, a.vmax AS max_sample, true AS valid
+       FROM base JOIN (
+         SELECT r, CAST(count(*) AS BIGINT) AS ndec,
+                CAST(sum(hv) AS BIGINT) AS hsum,
+                CAST(sum(q) AS BIGINT) AS vsum,
+                CAST(min(q) AS BIGINT) AS vmin,
+                CAST(max(q) AS BIGINT) AS vmax
+         FROM qv GROUP BY r) a ON base.r = a.r
+       ORDER BY id"""
+
+  // ---------------------------------------------------------------
+  // q201 — MPEG-1 Layer III MIXED BLOCKS (block_type 2 +
+  // mixed_block_flag): granule f%2 of every (frame, channel) is a
+  // mixed granule — long bands 0-7 over lines 0-35 (long
+  // scalefactors, slen1), short sfbs 3+ from line 36 (sfb-major
+  // window-minor scalefactors: slen1 through sfb 5, slen2 from 6;
+  // per-window subblock gains in the exponent) — the other granule
+  // silent long, so reservoir accounting crosses the mixed boundary
+  // every frame. Values run past the big values into count1 so short
+  // sfb 6 (slen2) is exercised; the mixed line layout reuses the
+  // pure-short position map from line 36 (short sfbs 0-2 are 4+4+4
+  // wide at every MPEG-1 rate). The oracle replays the long-band map,
+  // the short (sfb, window) map across per-rate widths, both
+  // scalefactor laws and the subblock-gain exponent per sample.
+  private val Mp3MixN = 42
+
+  def q201(s: SparkSession, dir: String): DataFrame = {
+    val fx = graft.operators.Multimodal.mp3L3MixedFixture(s, Mp3MixN)
+    graft.operators.Multimodal.decodeMp3L3(fx, "id", "media")
+      .select(col("id"), col("sample_rate"), col("bitrate_kbps"),
+        col("channels"), col("n_frames"), col("total_samples"),
+        col("n_decoded"), col("huff_sum"), col("value_sum"),
+        col("min_sample"), col("max_sample"), col("valid"))
+      .orderBy("id")
+  }
+
+  val q201Sql: String =
+    s"""WITH base AS (
+         SELECT r,
+           CASE r % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                ELSE 32000 END AS rate,
+           CASE WHEN (r // 3) % 3 = 0 THEN 1 ELSE 2 END AS ch,
+           CASE r % 2 WHEN 0 THEN 256 ELSE 320 END AS kbps,
+           2 + r % 3 AS nf,
+           CASE r % 3 WHEN 1 THEN 84 ELSE 90 END AS bvend,
+           CASE r % 3 WHEN 1 THEN 6 ELSE 8 END AS w5,
+           CASE r % 3 WHEN 2 THEN 12 ELSE 10 END AS w6
+         FROM range(0, $Mp3MixN) t(r)),
+       frows AS (
+         SELECT *, unnest([f for f in range(0, nf)]) AS f FROM base),
+       crows AS ( -- the mixed granule of frame f is g = f % 2
+         SELECT r, bvend, w5, w6, f, f % 2 AS g,
+                unnest([c for c in range(0, ch)]) AS c
+         FROM frows),
+       gc AS (
+         SELECT r, bvend, w5, w6, f, g, c,
+           210 + 4 * ((r + f + 2 * g + 3 * c) % 4) AS gg,
+           (r + f + c) % 2 AS ss,
+           (r + 2 * f + 3 * g + 5 * c) % 16 AS scomp,
+           1 + (r + f + g + c) % 3 AS t0
+         FROM crows),
+       prows AS (
+         SELECT *, unnest([p for p in range(0, bvend + 12)]) AS p FROM gc),
+       pos AS ( -- long band for lines 0-35, short (sfb, window) after
+         SELECT *,
+           CASE WHEN p < 24 THEN p // 4 WHEN p < 30 THEN 6
+                WHEN p < 36 THEN 7
+                WHEN p < 48 THEN 3 WHEN p < 66 THEN 4
+                WHEN p < bvend THEN 5 ELSE 6 END AS band,
+           CASE WHEN p < 36 THEN 0
+                WHEN p < 48 THEN (p - 36) // 4
+                WHEN p < 66 THEN (p - 48) // 6
+                WHEN p < bvend THEN (p - 66) // w5
+                ELSE (p - bvend) // w6 END AS w
+         FROM prows),
+       vals AS (
+         SELECT r, f, g, c, gg, ss, scomp, p, band, w,
+           CASE WHEN p < 36 THEN (r*7 + f*5 + g*3 + c*9 + p)
+                  % (CASE WHEN t0 = 1 THEN 2 ELSE 3 END)
+                WHEN p < bvend THEN (r*11 + f*3 + g*7 + c*5 + p) % 4
+                ELSE (r + 3*f + 5*g + 7*c + (p - bvend)) % 2 END AS m,
+           (r + f + g + c + p) % 2 AS neg
+         FROM pos),
+       sfl AS ( -- per-sample slen, then the fitted scalefactor law
+         SELECT *,
+           CASE WHEN p < 36 OR band < 6
+             THEN [0,0,0,0,3,1,1,1,2,2,2,3,3,3,4,4][1 + scomp]
+             ELSE [0,1,2,3,0,1,2,3,1,2,3,1,2,3,2,3][1 + scomp]
+           END AS slv,
+           CASE WHEN p < 36 THEN r + 2*f + 3*g + 5*c + 13 * band
+                ELSE r + 2*f + 3*g + 5*c + 7 * band + 11 * w END AS sfbase
+         FROM vals),
+       ev AS (
+         SELECT r, m, neg,
+           (3 * ((gg - 210)
+                 - CASE WHEN p >= 36
+                     THEN 8 * ((r + f + g + c + w) % 8) ELSE 0 END
+                 - (2 + 2 * ss) *
+                   (CASE WHEN ss = 1 THEN sfbase % (1 << slv)
+                         WHEN slv = 0 THEN 0
+                         ELSE 2 * (sfbase % (1 << (slv - 1))) END))
+            + 60) // 4 AS e
+         FROM sfl),
+       qv AS ( -- e <= -63 underflows to exactly 0 (engine clamp parity)
+         SELECT r,
+           CASE WHEN neg = 1 AND m <> 0 THEN -1 ELSE 1 END *
+           CASE WHEN e >= 0
+             THEN CAST(m AS BIGINT) * m * m * m * (CAST(1 AS BIGINT) << e)
+             WHEN e <= -63 THEN 0
+             ELSE fq + CASE WHEN 2 * rp > b THEN 1
+                            WHEN 2 * rp = b AND fq % 2 <> 0 THEN 1
+                            ELSE 0 END
+           END AS q,
+           CASE WHEN neg = 1 AND m <> 0 THEN -m ELSE m END AS hv
+         FROM (
+           SELECT r, m, neg, e,
+             (CAST(1 AS BIGINT) <<
+              (CASE WHEN e < 0 THEN least(-e, 62) ELSE 0 END)) AS b,
+             (CAST(m AS BIGINT) * m * m * m)
+               // (CAST(1 AS BIGINT) <<
+                   (CASE WHEN e < 0 THEN least(-e, 62) ELSE 0 END)) AS fq,
+             (CAST(m AS BIGINT) * m * m * m)
+               % (CAST(1 AS BIGINT) <<
+                  (CASE WHEN e < 0 THEN least(-e, 62) ELSE 0 END)) AS rp
+           FROM ev))
+       SELECT base.r AS id, CAST(rate AS INT) AS sample_rate,
+         CAST(kbps AS INT) AS bitrate_kbps, CAST(ch AS INT) AS channels,
+         CAST(nf AS INT) AS n_frames,
+         CAST(nf * 1152 * ch AS BIGINT) AS total_samples,
+         a.ndec AS n_decoded, a.hsum AS huff_sum, a.vsum AS value_sum,
+         a.vmin AS min_sample, a.vmax AS max_sample, true AS valid
+       FROM base JOIN (
+         SELECT r, CAST(count(*) AS BIGINT) AS ndec,
+                CAST(sum(hv) AS BIGINT) AS hsum,
+                CAST(sum(q) AS BIGINT) AS vsum,
+                CAST(min(q) AS BIGINT) AS vmin,
+                CAST(max(q) AS BIGINT) AS vmax
+         FROM qv GROUP BY r) a ON base.r = a.r
+       ORDER BY id"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q125_label_propagation" -> (q125 _),
     "q126_pmi_cooccur" -> (q126 _),
@@ -3915,7 +4257,10 @@ object ExtQueries4 {
     "q195_jsonl_shards" -> (q195 _),
     "q196_image_neardup_cross" -> (q196 _),
     "q197_mp3_short_blocks" -> (q197 _),
-    "q198_mp3_esc_tables" -> (q198 _))
+    "q198_mp3_esc_tables" -> (q198 _),
+    "q199_mp3_ms_stereo" -> (q199 _),
+    "q200_mp3_transition_blocks" -> (q200 _),
+    "q201_mp3_mixed_blocks" -> (q201 _))
 
   val oracles: Map[String, String] = Map(
     "q125_label_propagation" -> q125Sql,
@@ -3991,5 +4336,8 @@ object ExtQueries4 {
     "q195_jsonl_shards" -> q195Sql,
     "q196_image_neardup_cross" -> q196Sql,
     "q197_mp3_short_blocks" -> q197Sql,
-    "q198_mp3_esc_tables" -> q198Sql)
+    "q198_mp3_esc_tables" -> q198Sql,
+    "q199_mp3_ms_stereo" -> q199Sql,
+    "q200_mp3_transition_blocks" -> q200Sql,
+    "q201_mp3_mixed_blocks" -> q201Sql)
 }

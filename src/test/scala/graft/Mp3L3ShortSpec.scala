@@ -28,24 +28,21 @@ class Mp3L3ShortSpec extends SparkSpec {
     }
   }
 
-  test("strictness: block types 1/3, mixed blocks, scfsi and preflag with short") {
+  test("strictness: illegal window-switching shapes, scfsi/preflag with bt2") {
     // id 1: mono, unprotected, granule 0 of frame 0 is SHORT
     val good = fix(1)
     assert(Multimodal.parseMp3L3(good).isDefined)
     assert((good(1) & 1) == 1 && ((good(3) & 0xff) >> 6) == 3)
-    // block_type bits 52-53 currently 10 (short); splice 01 (bt 1 —
-    // long-window transition frame, spectral layout out of scope)
-    val bt1 = good.clone()
-    bt1(10) = ((bt1(10) & ~0x08) | 0x04).toByte
-    assert(Multimodal.parseMp3L3(bt1).isEmpty)
-    // block_type 11 (bt 3) likewise
-    val bt3 = good.clone()
-    bt3(10) = (bt3(10) | 0x0c).toByte
-    assert(Multimodal.parseMp3L3(bt3).isEmpty)
-    // mixed_block_flag (bit 54) set
-    val mixed = good.clone()
-    mixed(10) = (mixed(10) | 0x02).toByte
-    assert(Multimodal.parseMp3L3(mixed).isEmpty)
+    // block_type bits 52-53 currently 10 (short); splice 00 —
+    // block_type 0 with window_switching_flag set is illegal
+    val bt0 = good.clone()
+    bt0(10) = (bt0(10) & ~0x0c).toByte
+    assert(Multimodal.parseMp3L3(bt0).isEmpty)
+    // block_type 01 with mixed_block_flag (bit 54) set: mixed is
+    // defined for block_type 2 only
+    val bt1mixed = good.clone()
+    bt1mixed(10) = (((bt1mixed(10) & ~0x08) | 0x04) | 0x02).toByte
+    assert(Multimodal.parseMp3L3(bt1mixed).isEmpty)
     // scfsi nibble nonzero while a granule is short (bit 14 — byte 5)
     val scfsi = good.clone()
     scfsi(5) = (scfsi(5) | 0x02).toByte
@@ -54,6 +51,20 @@ class Mp3L3ShortSpec extends SparkSpec {
     val pf = good.clone()
     pf(13) = (pf(13) | 0x20).toByte
     assert(Multimodal.parseMp3L3(pf).isEmpty)
+    // intensity stereo (mode 01, mode_extension bit 0) strict-rejects
+    // on a stereo stream — id 5 is stereo ((5/3)%3 != 0) and odd, so
+    // UNPROTECTED (no CRC over the spliced header byte); byte 3's
+    // top nibble carries mode(2) + mode_extension(2)
+    val st = fix(5)
+    assert(((st(3) & 0xff) >> 6) == 0 && Multimodal.parseMp3L3(st).isDefined)
+    val intensity = st.clone()
+    intensity(3) = ((intensity(3) & 0x0f) | 0x50).toByte // mode 01, ext 01
+    assert(Multimodal.parseMp3L3(intensity).isEmpty)
+    // ...while MS-only joint stereo (ext 10) on the same bytes PARSES
+    // (same side-info/main-data layout, only the header mode differs)
+    val ms = st.clone()
+    ms(3) = ((ms(3) & 0x0f) | 0x60).toByte // mode 01, ext 10
+    assert(Multimodal.parseMp3L3(ms).exists(_.msFrames == 1))
     // the long-block property/fixture families still decode (no
     // regression from the window-switching branch)
     assert(Multimodal.parseMp3L3(
@@ -62,14 +73,15 @@ class Mp3L3ShortSpec extends SparkSpec {
   }
 
   test("encoder refuses what the decoder rejects") {
-    def spec(bt: Int, pf: Int) = Multimodal.Mp3GrSpec(
-      210, 0, pf, 0, 0, (1, 1, 0), 0, 0, 0, _ => 0, _ => 0, 0,
-      blockType = bt)
-    intercept[IllegalArgumentException] {
+    def spec(bt: Int, pf: Int, mixed: Boolean = false) =
+      Multimodal.Mp3GrSpec(
+        210, 0, pf, 0, 0, (1, 1, 0), 0, 0, 0, _ => 0, _ => 0, 0,
+        blockType = bt, mixedBlock = mixed)
+    intercept[IllegalArgumentException] { // mixed with bt 1
       Multimodal.encodeMp3L3(14, 0, mono = true, 1, protect = false,
-        _ => 0, _ => 0, (_, _) => 0, (_, _, _) => spec(1, 0))
+        _ => 0, _ => 0, (_, _) => 0, (_, _, _) => spec(1, 0, mixed = true))
     }
-    intercept[IllegalArgumentException] {
+    intercept[IllegalArgumentException] { // preflag with bt 2
       Multimodal.encodeMp3L3(14, 0, mono = true, 1, protect = false,
         _ => 0, _ => 0, (_, _) => 0, (_, _, _) => spec(2, 1))
     }
@@ -77,5 +89,12 @@ class Mp3L3ShortSpec extends SparkSpec {
       Multimodal.encodeMp3L3(14, 0, mono = true, 1, protect = false,
         _ => 0, _ => 0, (_, _) => 5, (_, _, _) => spec(2, 0))
     }
+    intercept[IllegalArgumentException] { // mode/mono mismatch
+      Multimodal.encodeMp3L3(14, 0, mono = true, 1, protect = false,
+        _ => 0, _ => 0, (_, _) => 0, (_, _, _) => spec(0, 0), mode = 1)
+    }
+    // bt 1/3 long transition granules are now encodable (q200)
+    assert(Multimodal.encodeMp3L3(14, 0, mono = true, 1, protect = false,
+      _ => 0, _ => 0, (_, _) => 0, (_, _, _) => spec(1, 0)).nonEmpty)
   }
 }
