@@ -68,9 +68,15 @@ object CompressedLake {
         out.write(buf, 0, n)
         n = stream.read(buf)
       }
-      // gzip multi-member / trailing-garbage strictness: the codec
-      // streams consume what they recognize; leftover bytes in the
-      // source mean a truncated/concatenated container — reject
+      // Trailing-bytes posture is CODEC-DEPENDENT, not uniform: each
+      // library stream decides how it treats data past the first
+      // member (JDK gzip silently stops, xz/zstd error on garbage,
+      // concatenated members may decode as one payload). A uniform
+      // leftover-byte reject is not soundly implementable here — the
+      // codec streams read the source through internal buffers, so
+      // source-side accounting cannot distinguish bytes consumed from
+      // bytes merely buffered. Corrupt/truncated members still reject
+      // via the codec error paths (fuzz-gated in ParserFuzzSpec).
       Some((codec, out.toByteArray))
     } catch { case _: Exception => None }
     finally stream.close()

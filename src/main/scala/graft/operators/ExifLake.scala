@@ -37,33 +37,43 @@ object ExifLake {
       latSecDen: Long, lonRef: String, lonDeg: Long, lonMin: Long,
       lonSecNum: Long, lonSecDen: Long)
 
+  /** Parse a JPEG/Exif blob — or a BARE TIFF stream (scanned-document
+    * corpora carry raw `.tif`; the IFD walker is TIFF 6.0 either
+    * way): a blob opening with the TIFF byte-order mark + magic 42 is
+    * treated as one whole TIFF segment, no JPEG wrapper. */
   private[graft] def parseExif(b: Array[Byte]): Option[Exif] = {
-    if (b == null || b.length < 4) return None
-    if ((b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None // SOI
-    // --- JPEG marker walk to APP1/Exif ---
-    var off = 2
+    if (b == null || b.length < 8) return None
     var tiff = -1
     var tiffEnd = -1
-    var done = false
-    while (!done) {
-      if (off + 4 > b.length) return None
-      if ((b(off) & 0xff) != 0xff) return None
-      val marker = b(off + 1) & 0xff
-      if (marker == 0xda || marker == 0xd9) done = true // SOS/EOI: stop
-      else {
-        val len = ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
-        if (len < 2 || off + 2 + len > b.length) return None
-        if (marker == 0xe1 && len >= 16 &&
-          b(off + 4) == 'E' && b(off + 5) == 'x' && b(off + 6) == 'i' &&
-          b(off + 7) == 'f' && b(off + 8) == 0 && b(off + 9) == 0) {
-          if (tiff >= 0) return None // two Exif segments: reject
-          tiff = off + 10
-          tiffEnd = off + 2 + len
+    if ((b(0) == 'I' && b(1) == 'I' && b(2) == 42 && b(3) == 0) ||
+      (b(0) == 'M' && b(1) == 'M' && b(2) == 0 && b(3) == 42)) {
+      tiff = 0
+      tiffEnd = b.length
+    } else {
+      if ((b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None // SOI
+      // --- JPEG marker walk to APP1/Exif ---
+      var off = 2
+      var done = false
+      while (!done) {
+        if (off + 4 > b.length) return None
+        if ((b(off) & 0xff) != 0xff) return None
+        val marker = b(off + 1) & 0xff
+        if (marker == 0xda || marker == 0xd9) done = true // SOS/EOI: stop
+        else {
+          val len = ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+          if (len < 2 || off + 2 + len > b.length) return None
+          if (marker == 0xe1 && len >= 16 &&
+            b(off + 4) == 'E' && b(off + 5) == 'x' && b(off + 6) == 'i' &&
+            b(off + 7) == 'f' && b(off + 8) == 0 && b(off + 9) == 0) {
+            if (tiff >= 0) return None // two Exif segments: reject
+            tiff = off + 10
+            tiffEnd = off + 2 + len
+          }
+          off += 2 + len
         }
-        off += 2 + len
       }
+      if (tiff < 0) return None
     }
-    if (tiff < 0) return None
     // --- TIFF header ---
     if (tiffEnd - tiff < 8) return None
     val le =
@@ -98,16 +108,27 @@ object ExifLake {
       }
       val typeSize = Map(1 -> 1, 2 -> 1, 3 -> 2, 4 -> 4, 5 -> 8, 7 -> 1,
         9 -> 4, 10 -> 8)
+      // ALL bound checks in Long arithmetic: count and offset are u32
+      // fields a crafted entry can set past 2^31 — a .toInt there
+      // wraps negative and bypasses an Int-domain comparison (the
+      // r13 ADVICE finding), so reject before any narrowing.
       def valueAt(e: Entry): Int = {
         val sz = typeSize.getOrElse(e.typ, -1)
         if (sz < 0) throw ExifOob
-        val total = sz * e.count
-        if (total <= 4) e.at else tiff + u32(e.at).toInt
+        val seg = (tiffEnd - tiff).toLong
+        val total = sz * e.count // count < 2^32, sz <= 8: no Long overflow
+        if (total > seg) throw ExifOob
+        if (total <= 4) e.at
+        else {
+          val off = u32(e.at)
+          if (off + total > seg) throw ExifOob
+          tiff + off.toInt
+        }
       }
       def ascii(m: Map[Int, Entry], tag: Int): String = m.get(tag) match {
         case Some(e) if e.typ == 2 && e.count >= 1 =>
-          val at = valueAt(e)
-          if (at + e.count.toInt > tiffEnd) throw ExifOob
+          val at = valueAt(e) // validates count/offset in Long domain
+          if (at.toLong + e.count > tiffEnd) throw ExifOob
           val raw = new String(b, at, e.count.toInt - 1, "US-ASCII")
           if (b(at + e.count.toInt - 1) != 0) throw ExifOob // NUL term
           raw
@@ -210,21 +231,19 @@ object ExifLake {
     spark.createDataFrame(rows, outSchema)
   }
 
-  /** TIFF/APP1 builder (fixture / test side): writes a real APP1 Exif
-    * segment — IFD0 (Make/Model/Orientation/DateTime + Exif/GPS
-    * pointers), Exif IFD (exposure/ISO/dimensions/focal), GPS IFD
-    * (refs + 3-rational coordinates), ascending tags, out-of-line
-    * values in a data area after the IFDs — spliced into a REAL JPEG
-    * right after SOI. */
-  def buildExifJpeg(
-      jpeg: Array[Byte], le: Boolean,
+  /** TIFF builder (fixture / test side): a real TIFF 6.0 byte stream —
+    * IFD0 (Make/Model/Orientation/DateTime + Exif/GPS pointers), Exif
+    * IFD (exposure/ISO/dimensions/focal), GPS IFD (refs + 3-rational
+    * coordinates), ascending tags, out-of-line values in a data area
+    * after the IFDs. Used bare (standalone `.tif` carrier) or wrapped
+    * in a JPEG APP1 Exif segment by [[buildExifJpeg]]. */
+  def buildExifTiff(
+      le: Boolean,
       make: String, model: String, orientation: Int, dt: String,
       exposureDen: Long, iso: Int, pxW: Long, pxH: Long,
       focalNum: Long, focalDen: Long,
       latRef: String, latDms: (Long, Long, Long, Long),
       lonRef: String, lonDms: (Long, Long, Long, Long)): Array[Byte] = {
-    require(jpeg.length > 4 && (jpeg(0) & 0xff) == 0xff &&
-      (jpeg(1) & 0xff) == 0xd8)
     val order = if (le) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN
     final case class E(tag: Int, typ: Int, count: Long,
         inline: Option[Long] = None, bytes: Option[Array[Byte]] = None)
@@ -306,7 +325,23 @@ object ExifLake {
     writeIfd(bbAll, gpsEs0)
     pre.write(bbAll.array())
     pre.write(data.toByteArray)
-    val tiffBytes = pre.toByteArray
+    pre.toByteArray
+  }
+
+  /** JPEG/Exif builder: [[buildExifTiff]]'s stream wrapped in an APP1
+    * Exif segment spliced into a REAL JPEG right after SOI. */
+  def buildExifJpeg(
+      jpeg: Array[Byte], le: Boolean,
+      make: String, model: String, orientation: Int, dt: String,
+      exposureDen: Long, iso: Int, pxW: Long, pxH: Long,
+      focalNum: Long, focalDen: Long,
+      latRef: String, latDms: (Long, Long, Long, Long),
+      lonRef: String, lonDms: (Long, Long, Long, Long)): Array[Byte] = {
+    require(jpeg.length > 4 && (jpeg(0) & 0xff) == 0xff &&
+      (jpeg(1) & 0xff) == 0xd8)
+    val tiffBytes = buildExifTiff(le, make, model, orientation, dt,
+      exposureDen, iso, pxW, pxH, focalNum, focalDen,
+      latRef, latDms, lonRef, lonDms)
     val app1Len = 2 + 6 + tiffBytes.length
     val out = new java.io.ByteArrayOutputStream()
     out.write(jpeg, 0, 2) // SOI
@@ -319,22 +354,40 @@ object ExifLake {
   }
 
   /** Deterministic EXIF fixture — the laws the q193 oracle replays;
-    * byte order alternates II/MM, the carrier is a REAL JPEG. */
+    * byte order alternates II/MM. The carrier cycles: a REAL JPEG
+    * (APP1 Exif) on most ids, a BARE TIFF stream on every 4th —
+    * scanned-document corpora carry raw `.tif`, and the metadata laws
+    * are carrier-independent (the oracle needs no change). */
   def exifFixture(spark: SparkSession, n: Int): DataFrame = {
     val rows = (0 until n).map { r =>
-      val base = Multimodal.encodeJpegGray(8 + r % 4, 6 + r % 3, (r * 37) % 256)
       val dt = f"${2020 + r % 5}%04d:${1 + r % 12}%02d:${1 + r % 28}%02d " +
         f"${r % 24}%02d:${(3 * r) % 60}%02d:${(7 * r) % 60}%02d"
-      Row(r.toLong, buildExifJpeg(base, le = r % 2 == 0,
-        make = s"Maker${r % 5}", model = s"Cam-$r",
-        orientation = 1 + r % 8, dt = dt,
-        exposureDen = 125 + r % 500, iso = 100 * (1 + r % 32),
-        pxW = 640L + r * 16, pxH = 480L + r * 9,
-        focalNum = 35 + r % 300, focalDen = 10,
-        latRef = if (r % 2 == 0) "N" else "S",
-        latDms = (r % 90, (3L * r) % 60, (1101L * r) % 6000, 100L),
-        lonRef = if (r % 3 == 0) "E" else "W",
-        lonDms = (r % 180, (7L * r) % 60, (2203L * r) % 6000, 100L)))
+      val media =
+        if (r % 4 == 3)
+          buildExifTiff(le = r % 2 == 0,
+            make = s"Maker${r % 5}", model = s"Cam-$r",
+            orientation = 1 + r % 8, dt = dt,
+            exposureDen = 125 + r % 500, iso = 100 * (1 + r % 32),
+            pxW = 640L + r * 16, pxH = 480L + r * 9,
+            focalNum = 35 + r % 300, focalDen = 10,
+            latRef = if (r % 2 == 0) "N" else "S",
+            latDms = (r % 90, (3L * r) % 60, (1101L * r) % 6000, 100L),
+            lonRef = if (r % 3 == 0) "E" else "W",
+            lonDms = (r % 180, (7L * r) % 60, (2203L * r) % 6000, 100L))
+        else
+          buildExifJpeg(
+            Multimodal.encodeJpegGray(8 + r % 4, 6 + r % 3, (r * 37) % 256),
+            le = r % 2 == 0,
+            make = s"Maker${r % 5}", model = s"Cam-$r",
+            orientation = 1 + r % 8, dt = dt,
+            exposureDen = 125 + r % 500, iso = 100 * (1 + r % 32),
+            pxW = 640L + r * 16, pxH = 480L + r * 9,
+            focalNum = 35 + r % 300, focalDen = 10,
+            latRef = if (r % 2 == 0) "N" else "S",
+            latDms = (r % 90, (3L * r) % 60, (1101L * r) % 6000, 100L),
+            lonRef = if (r % 3 == 0) "E" else "W",
+            lonDms = (r % 180, (7L * r) % 60, (2203L * r) % 6000, 100L))
+      Row(r.toLong, media)
     }
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 4),

@@ -80,4 +80,51 @@ class ExifSpec extends SparkSpec {
     assert(ExifLake.parseExif(
       Array.tabulate[Byte](300)(i => (i * 23).toByte)).isEmpty)
   }
+
+  test("bare TIFF streams parse on both byte orders (standalone .tif)") {
+    for (le <- Seq(true, false)) {
+      val t = ExifLake.buildExifTiff(le,
+        "Mk", "Md", 5, "2024:01:02 03:04:05", 250, 200, 640, 480, 50, 10,
+        "N", (10, 20, 3000, 100), "W", (30, 40, 5000, 100))
+      val got = ExifLake.parseExif(t)
+      assert(got.isDefined, s"le=$le")
+      assert(got.get.byteOrder == (if (le) "II" else "MM"))
+      assert(got.get.make == "Mk" && got.get.orientation == 5)
+      assert(got.get.pxWidth == 640 && got.get.lonDeg == 30)
+      // truncation sweep: every cut rejects, never throws
+      for (cut <- 1 until t.length)
+        assert(ExifLake.parseExif(java.util.Arrays.copyOf(t, cut)).isEmpty)
+    }
+  }
+
+  test("count/offset past 2^31 reject in Long domain (no Int wrap)") {
+    // regression for the r13 ADVICE finding: a crafted ASCII entry
+    // whose count (or out-of-line offset) has the top u32 bit set
+    // used to wrap negative under .toInt and slip past an Int-domain
+    // bound check into new String — an uncaught
+    // StringIndexOutOfBounds, violating the parse->Option contract
+    val good = ExifLake.buildExifTiff(le = true,
+      "A-much-longer-camera-maker", "Md", 3, "2024:01:02 03:04:05",
+      250, 200, 640, 480, 50, 10,
+      "N", (10, 20, 3000, 100), "W", (30, 40, 5000, 100))
+    assert(ExifLake.parseExif(good).isDefined)
+    val e0 = 8 + 2 // first IFD0 entry (Make, type ASCII, out-of-line)
+    // count := 0x80000010 (LE at e0+4)
+    val hugeCount = good.clone()
+    hugeCount(e0 + 4) = 0x10; hugeCount(e0 + 5) = 0
+    hugeCount(e0 + 6) = 0; hugeCount(e0 + 7) = 0x80.toByte
+    assert(ExifLake.parseExif(hugeCount).isEmpty)
+    // offset := 0xfffffff0 (LE at e0+8)
+    val hugeOff = good.clone()
+    hugeOff(e0 + 8) = 0xf0.toByte; hugeOff(e0 + 9) = 0xff.toByte
+    hugeOff(e0 + 10) = 0xff.toByte; hugeOff(e0 + 11) = 0xff.toByte
+    assert(ExifLake.parseExif(hugeOff).isEmpty)
+    // sub-IFD pointer with the top bit set (Exif IFD tag 0x8769 is
+    // IFD0 entry 4; its value is inline LONG at +8)
+    val hugePtr = good.clone()
+    val e4 = 8 + 2 + 4 * 12
+    hugePtr(e4 + 8) = 0xf0.toByte; hugePtr(e4 + 9) = 0xff.toByte
+    hugePtr(e4 + 10) = 0xff.toByte; hugePtr(e4 + 11) = 0xff.toByte
+    assert(ExifLake.parseExif(hugePtr).isEmpty)
+  }
 }

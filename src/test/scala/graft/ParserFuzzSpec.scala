@@ -96,7 +96,12 @@ class ParserFuzzSpec extends AnyFunSuite {
     "lz4" -> Array(0x04.toByte, 0x22.toByte, 0x4d.toByte, 0x18.toByte),
     "bzip2" -> "BZh9".getBytes("ISO-8859-1"),
     "xz" -> Array(0xfd.toByte, '7'.toByte, 'z'.toByte, 'X'.toByte,
-      'Z'.toByte, 0.toByte))
+      'Z'.toByte, 0.toByte),
+    // JPEG SOI (reaches parseExif's marker walk — the r13 ADVICE gap)
+    // and both bare-TIFF byte-order marks (reach the IFD walker)
+    "jpeg" -> Array(0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe1.toByte),
+    "tiff-ii" -> Array[Byte]('I', 'I', 42, 0, 8, 0, 0, 0),
+    "tiff-mm" -> Array[Byte]('M', 'M', 0, 42, 0, 0, 0, 8))
 
   private def noThrow(label: String, p: Parser, b: Array[Byte]): Unit =
     try { p(b); () } catch {
@@ -175,6 +180,9 @@ class ParserFuzzSpec extends AnyFunSuite {
       ("s4 s5 " * 20).getBytes("UTF-8")),
     "exif-jpeg" -> graft.operators.ExifLake.buildExifJpeg(
       Multimodal.encodeJpegGray(8, 6, 40), le = true,
+      "Mk", "Md", 3, "2024:01:02 03:04:05", 1, 250, 640, 480, 50, 10,
+      "N", (10, 20, 3000, 100), "W", (30, 40, 5000, 100)),
+    "exif-tiff" -> graft.operators.ExifLake.buildExifTiff(le = false,
       "Mk", "Md", 3, "2024:01:02 03:04:05", 1, 250, 640, 480, 50, 10,
       "N", (10, 20, 3000, 100), "W", (30, 40, 5000, 100)),
     "dhash-png" -> Multimodal.encodeDHashPng(
