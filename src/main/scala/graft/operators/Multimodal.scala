@@ -1541,6 +1541,27 @@ object Multimodal {
   private[graft] def parseMp3L3(b: Array[Byte]): Option[Mp3L3Decoded] = {
     if (b == null || b.length < 8) return None
     var off = 0; var nf = 0
+    var end = b.length
+    // Real-world MP3 carriers: a wellformed ID3v2 tag before the
+    // first frame (skipped — "ID3", major 2..4, sane revision,
+    // syncsafe size, optional footer) and an ID3v1 trailer (exactly
+    // the last 128 bytes, "TAG") after the last. Both are metadata,
+    // not audio: Id3Lake (q178) is the tag CATALOG; this path only
+    // locates the audio. A malformed tag rejects, never guesses.
+    if (b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+      if (b.length < 10) return None
+      val major = b(3) & 0xff
+      if (major < 2 || major > 4 || (b(4) & 0xff) == 0xff) return None
+      if (((b(6) | b(7) | b(8) | b(9)) & 0x80) != 0) return None // syncsafe
+      val size = ((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) |
+        ((b(8) & 0x7f) << 7) | (b(9) & 0x7f)
+      val footer = (b(5) & 0x10) != 0
+      off = 10 + size + (if (footer) 10 else 0)
+      if (off >= b.length) return None
+    }
+    if (end - off > 128 && b(end - 128) == 'T' && b(end - 127) == 'A' &&
+      b(end - 126) == 'G')
+      end -= 128
     var rate = -1; var rateIdx = -1; var kbps = -1; var chans = -1
     var sum = 0L; var hsum = 0L; var msf = 0
     var mn = Long.MaxValue; var mx = Long.MinValue; var nDec = 0L
@@ -1548,7 +1569,7 @@ object Multimodal {
     // (main_data_begin is a 9-bit byte count — the spec's own bound)
     var resv = new Array[Byte](0)
     try {
-      while (off + 4 <= b.length) {
+      while (off + 4 <= end) {
         if ((b(off) & 0xff) != 0xff || (b(off + 1) & 0xfe) != 0xfa)
           return None // sync + MPEG-1 + Layer III (either protection bit)
         val prot = (b(off + 1) & 1) == 0
@@ -1575,7 +1596,7 @@ object Multimodal {
         val flen = 144000 * Mp3Bitrates(bi) / r0 + pad
         val siBytes = if (ch == 1) 17 else 32
         val hdrBytes = 4 + (if (prot) 2 else 0) + siBytes
-        if (flen < hdrBytes || off + flen > b.length) return None
+        if (flen < hdrBytes || off + flen > end) return None
         val siStart = off + 4 + (if (prot) 2 else 0)
         if (prot) {
           val crcWord = ((b(off + 4) & 0xff) << 8) | (b(off + 5) & 0xff)
@@ -1821,7 +1842,7 @@ object Multimodal {
         nf += 1
         off += flen
       }
-      if (nf > 0 && off == b.length) {
+      if (nf > 0 && off == end) {
         if (nDec == 0) { mn = 0; mx = 0 }
         Some(Mp3L3Decoded(rate, kbps, chans, nf, nf.toLong * 1152 * chans,
           nDec, hsum, sum, mn, mx, msf))
@@ -2333,6 +2354,83 @@ object Multimodal {
         gr = grSpec,
         mode = 1,
         modeExt = f => if ((r + f) % 2 == 0) 2 else 0))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4),
+      StructType(Seq(
+        StructField("id", LongType, false),
+        StructField("media", BinaryType, true))))
+  }
+
+  /** ID3-WRAPPED Layer III fixture (q202): the real-world MP3 FILE
+    * shape — an ID3v2 tag (REAL frames via [[Id3Lake.encFrame]], both
+    * tag majors, padding) before the first audio frame on ids ≢ 2
+    * (mod 3), an ID3v1 trailer (exactly 128 "TAG…" bytes) on even
+    * ids — so the corpus carries v2-only, v1-only, both and neither.
+    * The audio laws mirror the MS fixture's shift-only regime
+    * (mono/stereo, tables 1/2/3 + 5/6); the decode output is
+    * tag-invariant, so the oracle replays only the audio laws. */
+  def mp3L3Id3Fixture(spark: SparkSession, n: Int): DataFrame = {
+    val rows = (0 until n).map { r =>
+      val rateIdx = r % 3
+      val mono = (r / 3) % 3 == 0
+      val nf = 2 + r % 3
+      def grSpec(f: Int, g: Int, c: Int): Mp3GrSpec = {
+        val k = (r + f + g + c) % 4
+        val t0 = 1 + (r + f + g + c) % 3
+        val mx0 = if (t0 == 1) 2 else 3
+        def v(p: Int): Int = {
+          val m =
+            if (p < 24) (r * 7 + f * 5 + g * 3 + c * 9 + p) % mx0
+            else if (p < 40) (r * 11 + f * 3 + g * 7 + c * 5 + p) % 4
+            else (r + 3 * f + 5 * g + 7 * c + (p - 40)) % 2
+          if (m != 0 && (r + f + g + c + p) % 2 == 1) -m else m
+        }
+        Mp3GrSpec(
+          globalGain = 210 - 4 * k,
+          scalefacCompress = 0,
+          preflag = 0,
+          scalefacScale = 0,
+          count1Table = (r + f + g + c) % 2,
+          tableSelect = (t0, 5 + (r + g + c) % 2, 0),
+          region0Count = 5, region1Count = 7,
+          bigValues = 20,
+          sf = _ => 0,
+          value = v,
+          nCount1 = 3)
+      }
+      val audio = encodeMp3L3(13 + r % 2, rateIdx, mono, nf,
+        protect = r % 2 == 0,
+        pad = f => (r + f) % 2,
+        mdbTarget = f =>
+          if (f == 0 || (r + f) % 3 == 0) 0 else (r + 11 * f) % 200,
+        scfsiN = (_, _) => 0,
+        gr = grSpec)
+      val v2: Array[Byte] =
+        if (r % 3 == 2) Array.emptyByteArray
+        else {
+          val ver = if (r % 2 == 0) 3 else 4
+          val body = Id3Lake.encFrame(ver, "TIT2", 0, s"Track $r",
+            trailingNul = false) ++ new Array[Byte](r % 32)
+          val sz = body.length
+          "ID3".getBytes("ISO-8859-1") ++
+            Array(ver.toByte, 0.toByte, 0.toByte,
+              ((sz >> 21) & 0x7f).toByte, ((sz >> 14) & 0x7f).toByte,
+              ((sz >> 7) & 0x7f).toByte, (sz & 0x7f).toByte) ++ body
+        }
+      val v1: Array[Byte] =
+        if (r % 2 != 0) Array.emptyByteArray
+        else {
+          val blk = new Array[Byte](128)
+          val s = ("TAG" + s"Song $r".padTo(30, ' ') +
+            s"Artist ${r % 7}".padTo(30, ' ') +
+            s"Album ${r % 5}".padTo(30, ' ') +
+            (1990 + r % 30).toString).getBytes("ISO-8859-1")
+          System.arraycopy(s, 0, blk, 0, s.length)
+          blk(127) = (r % 80).toByte // genre id
+          blk
+        }
+      Row(r.toLong, v2 ++ audio ++ v1)
     }
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 4),

@@ -3276,9 +3276,14 @@ object ExtQueries4 {
 
   def q190(s: SparkSession, dir: String): DataFrame = {
     val fx = graft.operators.Multimodal.dhashFixture(s, DHashN)
+    // decode ONCE: the banded blocking evaluates its input several
+    // times (free on a fingerprint column scan, a full PNG re-decode
+    // here) — eager-materialize the 16 B/row fingerprints, which also
+    // hands AQE true sizes for the band joins (SCALE.md image row)
     val fps = graft.operators.Multimodal.imageDHash(fx, "id", "media")
       .where(col("valid"))
       .select(col("id"), col("dhash").as("simhash"))
+      .localCheckpoint()
     graft.operators.Dedup.simhashNearDup(fps, maxDist = 3)
       .select(col("a"), col("b"), col("hamming").cast("int").as("hamming"))
       .orderBy("a", "b")
@@ -3582,12 +3587,14 @@ object ExtQueries4 {
   private val DHashXb = 45
 
   def q196(s: SparkSession, dir: String): DataFrame = {
+    // decode ONCE per corpus (same materialization rationale as q190)
     def fps(n: Int, offset: Long) =
       graft.operators.Multimodal.imageDHash(
           graft.operators.Multimodal.dhashFixture(s, n), "id", "media")
         .where(col("valid"))
         .select((col("id") + lit(offset)).as("id"),
           col("dhash").as("simhash"))
+        .localCheckpoint()
     graft.operators.Dedup.simhashNearDupCross(
         fps(DHashXa, 0L), fps(DHashXb, 1000L), maxDist = 3)
       .select(col("a"), col("b"), col("hamming").cast("int").as("hamming"))
@@ -4183,6 +4190,79 @@ object ExtQueries4 {
          FROM qv GROUP BY r) a ON base.r = a.r
        ORDER BY id"""
 
+  // ---------------------------------------------------------------
+  // q202 — ID3-WRAPPED MP3 decode: the real-world MP3 FILE shape.
+  // Nearly every MP3 in the wild opens with an ID3v2 tag and many
+  // close with the 128-byte ID3v1 trailer — streams the raw decoder
+  // used to strict-reject at byte 0. The fixture wraps real Layer III
+  // audio with REAL ID3v2 frames (both tag majors, padding) on ids
+  // ≢ 2 (mod 3) and an ID3v1 "TAG" trailer on even ids (v2-only /
+  // v1-only / both / neither across the corpus); the decoder locates
+  // the audio via the syncsafe tag size and the exact-128-byte
+  // trailer rule, and the decode output is tag-invariant — the
+  // oracle replays only the audio laws. Malformed tags (bad syncsafe
+  // byte, truncated tag, major out of range) strict-reject
+  // (Mp3Layer3Spec's matrix).
+  private val Mp3Id3N = 42
+
+  def q202(s: SparkSession, dir: String): DataFrame = {
+    val fx = graft.operators.Multimodal.mp3L3Id3Fixture(s, Mp3Id3N)
+    graft.operators.Multimodal.decodeMp3L3(fx, "id", "media")
+      .select(col("id"), col("sample_rate"), col("bitrate_kbps"),
+        col("channels"), col("n_frames"), col("total_samples"),
+        col("n_decoded"), col("huff_sum"), col("value_sum"),
+        col("min_sample"), col("max_sample"), col("valid"))
+      .orderBy("id")
+  }
+
+  val q202Sql: String =
+    s"""WITH base AS (
+         SELECT r,
+           CASE r % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                ELSE 32000 END AS rate,
+           CASE WHEN (r // 3) % 3 = 0 THEN 1 ELSE 2 END AS ch,
+           CASE r % 2 WHEN 0 THEN 256 ELSE 320 END AS kbps,
+           2 + r % 3 AS nf
+         FROM range(0, $Mp3Id3N) t(r)),
+       frows AS (
+         SELECT *, unnest([f for f in range(0, nf)]) AS f FROM base),
+       crows AS (
+         SELECT *, unnest([c for c in range(0, ch)]) AS c FROM frows),
+       gc AS (SELECT r, f, c, unnest([0, 1]) AS g FROM crows),
+       gc2 AS (
+         SELECT r, f, c, g,
+           15 - 3 * ((r + f + g + c) % 4) AS e,
+           CASE WHEN 1 + (r + f + g + c) % 3 = 1 THEN 2 ELSE 3 END AS mx0
+         FROM gc),
+       prows AS (SELECT *, unnest([p for p in range(0, 52)]) AS p FROM gc2),
+       vals AS (
+         SELECT r, e,
+           CASE WHEN p < 24 THEN (r*7 + f*5 + g*3 + c*9 + p) % mx0
+                WHEN p < 40 THEN (r*11 + f*3 + g*7 + c*5 + p) % 4
+                ELSE (r + 3*f + 5*g + 7*c + (p - 40)) % 2 END AS m,
+           (r + f + g + c + p) % 2 AS neg
+         FROM prows),
+       qv AS (
+         SELECT r,
+           CASE WHEN neg = 1 AND m <> 0 THEN -1 ELSE 1 END *
+             (CAST(m AS BIGINT) * m * m * m * (CAST(1 AS BIGINT) << e)) AS q,
+           CASE WHEN neg = 1 AND m <> 0 THEN -m ELSE m END AS hv
+         FROM vals)
+       SELECT base.r AS id, CAST(rate AS INT) AS sample_rate,
+         CAST(kbps AS INT) AS bitrate_kbps, CAST(ch AS INT) AS channels,
+         CAST(nf AS INT) AS n_frames,
+         CAST(nf * 1152 * ch AS BIGINT) AS total_samples,
+         a.ndec AS n_decoded, a.hsum AS huff_sum, a.vsum AS value_sum,
+         a.vmin AS min_sample, a.vmax AS max_sample, true AS valid
+       FROM base JOIN (
+         SELECT r, CAST(count(*) AS BIGINT) AS ndec,
+                CAST(sum(hv) AS BIGINT) AS hsum,
+                CAST(sum(q) AS BIGINT) AS vsum,
+                CAST(min(q) AS BIGINT) AS vmin,
+                CAST(max(q) AS BIGINT) AS vmax
+         FROM qv GROUP BY r) a ON base.r = a.r
+       ORDER BY id"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q125_label_propagation" -> (q125 _),
     "q126_pmi_cooccur" -> (q126 _),
@@ -4260,7 +4340,8 @@ object ExtQueries4 {
     "q198_mp3_esc_tables" -> (q198 _),
     "q199_mp3_ms_stereo" -> (q199 _),
     "q200_mp3_transition_blocks" -> (q200 _),
-    "q201_mp3_mixed_blocks" -> (q201 _))
+    "q201_mp3_mixed_blocks" -> (q201 _),
+    "q202_mp3_id3_wrapped" -> (q202 _))
 
   val oracles: Map[String, String] = Map(
     "q125_label_propagation" -> q125Sql,
@@ -4339,5 +4420,6 @@ object ExtQueries4 {
     "q198_mp3_esc_tables" -> q198Sql,
     "q199_mp3_ms_stereo" -> q199Sql,
     "q200_mp3_transition_blocks" -> q200Sql,
-    "q201_mp3_mixed_blocks" -> q201Sql)
+    "q201_mp3_mixed_blocks" -> q201Sql,
+    "q202_mp3_id3_wrapped" -> q202Sql)
 }

@@ -423,10 +423,18 @@ object ScaleProof {
       val oldSplit = spark.conf.get("spark.sql.files.maxPartitionBytes")
       spark.conf.set("spark.sql.files.maxPartitionBytes", (4 << 20).toString)
       def pass() = {
+        // decode ONCE: the blocking evaluates its input several times
+        // (distinct reps + two id joins + the within join) — free on a
+        // fingerprint COLUMN scan, 3× the whole PNG decode here
+        // (measured: three equal-sum decode stages at 100×).
+        // Fingerprints are 16 B/row, so eager-materialize them; the
+        // eager localCheckpoint also hands AQE true sizes (vs cache()'s
+        // stats-blind InMemoryRelation — CLAUDE.md Graph.pinner note).
         val fps = graft.operators.Multimodal.imageDHash(
             spark.read.parquet(s"$out/images.parquet"), "id", "media")
           .where(col("valid"))
           .select(col("id"), col("dhash").as("simhash"))
+          .localCheckpoint()
         graft.operators.Dedup.simhashNearDup(fps, maxDist = 3)
           .agg(count(lit(1)).as("pairs"), sum(col("hamming")).as("ham_sum"))
       }

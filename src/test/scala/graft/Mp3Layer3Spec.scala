@@ -208,6 +208,38 @@ class Mp3Layer3Spec extends SparkSpec {
     assert(Multimodal.parseMp3L3(spliced).isEmpty)
   }
 
+  test("ID3 wrapping: decode is tag-invariant; malformed tags reject") {
+    val rows = Multimodal.mp3L3Id3Fixture(spark, 6).orderBy("id").collect()
+    // id 0: v2 + v1 (even, ≡0 mod 3); id 5: neither (odd, ≡2 mod 3)
+    val wrapped = rows(0).getAs[Array[Byte]]("media")
+    assert(wrapped(0) == 'I' && wrapped(1) == 'D' && wrapped(2) == '3')
+    assert(wrapped(wrapped.length - 128) == 'T')
+    val bare = rows(5).getAs[Array[Byte]]("media")
+    assert((bare(0) & 0xff) == 0xff)
+    val d = Multimodal.parseMp3L3(wrapped)
+    assert(d.isDefined && d.get.nFrames == 2)
+    // tag-invariance: strip the v2 prefix + v1 trailer by the tag's
+    // own size field and decode the bare audio to the same result
+    val size = ((wrapped(6) & 0x7f) << 21) | ((wrapped(7) & 0x7f) << 14) |
+      ((wrapped(8) & 0x7f) << 7) | (wrapped(9) & 0x7f)
+    val audio = java.util.Arrays.copyOfRange(
+      wrapped, 10 + size, wrapped.length - 128)
+    assert(Multimodal.parseMp3L3(audio) == d)
+    // malformed syncsafe (high bit set) rejects
+    val badSs = wrapped.clone(); badSs(6) = (badSs(6) | 0x80).toByte
+    assert(Multimodal.parseMp3L3(badSs).isEmpty)
+    // tag size past the blob rejects
+    val huge = wrapped.clone(); huge(6) = 0x7f.toByte; huge(7) = 0x7f.toByte
+    assert(Multimodal.parseMp3L3(huge).isEmpty)
+    // major version out of range rejects
+    val badVer = wrapped.clone(); badVer(3) = 9
+    assert(Multimodal.parseMp3L3(badVer).isEmpty)
+    // a 'TAG' block NOT exactly 128 bytes from the end is not a
+    // trailer — the frame walk then fails on the trailing bytes
+    assert(Multimodal.parseMp3L3(
+      wrapped ++ Array[Byte]('x')).isEmpty)
+  }
+
   test("requantizer: exact fourth-root RHE for every quarter exponent") {
     // Property: q = mp3CubeQ15(is, e4) is THE round-half-even of
     // (is^4 * 2^((3*e4+60)/4)) for ALL e4, including the fractional-
