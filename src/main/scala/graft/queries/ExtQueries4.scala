@@ -4263,6 +4263,105 @@ object ExtQueries4 {
          FROM qv GROUP BY r) a ON base.r = a.r
        ORDER BY id"""
 
+  // ---------------------------------------------------------------
+  // q203 — SAFETENSORS shard catalog: the Hugging Face weight/dataset
+  // exchange format (8-byte LE header length + JSON tensor map +
+  // contiguous data buffer the offsets must tile exactly). PURE
+  // CATALYST extraction (TensorLake) — from_json over map/struct
+  // schemas, dynamic substr on the binary, window functions for the
+  // tiling validation, md5(hex(bytes)) as the content pin — no
+  // custom parser, no UDF (the ipynb architecture, not the byte-walk
+  // one). The oracle replays tensor names/dtypes/shapes/offsets AND
+  // the md5 of every tensor's bytes from the closed-form byte law —
+  // any slip in the header-length decode, JSON projection, offset
+  // tiling or buffer slicing changes a digest and fails the hash
+  // gate. ANSI-overflow strictness (crafted shapes/offsets) is
+  // spec-gated in TensorLakeSpec.
+  private val SafeTN = 40
+
+  def q203(s: SparkSession, dir: String): DataFrame = {
+    val fx = graft.operators.TensorLake.safetensorsFixture(s, SafeTN)
+    graft.operators.TensorLake.extractSafetensors(fx, "id", "media")
+      .select(col("id"), col("name"), col("dtype"), col("rank"),
+        col("n_elems"), col("byte_len"), col("begin"), col("end_off"),
+        col("digest"), col("meta"), col("valid"))
+      .orderBy("id", "name")
+  }
+
+  val q203Sql: String =
+    s"""WITH base AS (
+         SELECT id, 3 + id % 4 AS t FROM range(0, $SafeTN) r(id)),
+       ks AS (
+         SELECT id, unnest([k for k in range(0, t)]) AS k FROM base),
+       spec AS (
+         SELECT id, k,
+           ['F32','F16','BF16','I64','U8'][1 + (id + k) % 5] AS dtype,
+           [4,2,2,8,1][1 + (id + k) % 5] AS sz,
+           1 + (id + k) % 3 AS rank,
+           [1 + (id + 2 * k + 3 * i) % 4
+            for i in range(0, 1 + (id + k) % 3)] AS dims
+         FROM ks),
+       sized AS (
+         SELECT *, CAST(list_product(dims) AS BIGINT) AS n_elems,
+           CAST(list_product(dims) * sz AS BIGINT) AS byte_len
+         FROM spec),
+       offs AS (
+         SELECT *,
+           CAST(coalesce(SUM(byte_len) OVER (PARTITION BY id ORDER BY k
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS begin
+         FROM sized)
+       SELECT id, 't' || k AS name, dtype,
+         CAST(rank AS INT) AS rank, n_elems, byte_len, begin,
+         begin + byte_len AS end_off,
+         md5(array_to_string(
+           [upper(lpad(format('{:x}', (id*7 + k*11 + j*13) % 256), 2, '0'))
+            for j in range(0, byte_len)], '')) AS digest,
+         CASE WHEN id % 3 = 0 THEN 'src=fixture;v=' || id ELSE '' END AS meta,
+         true AS valid
+       FROM offs
+       ORDER BY id, name"""
+
+  // ---------------------------------------------------------------
+  // q204 — NPY array catalog: the NumPy v1.0 format (magic + version,
+  // u16-LE header length, Python-dict-literal header, raw array
+  // bytes). Pure Catalyst like q203: the dict literal is parsed with
+  // regexp_extract (descr / fortran_order / shape incl. the rank-0
+  // scalar `()`), the exact size law 10 + hlen + n_elems·width ==
+  // blob length gates validity, md5(hex(bytes)) pins content.
+  private val NpyN = 40
+
+  def q204(s: SparkSession, dir: String): DataFrame = {
+    val fx = graft.operators.TensorLake.npyFixture(s, NpyN)
+    graft.operators.TensorLake.extractNpy(fx, "id", "media")
+      .select(col("id"), col("descr"), col("fortran_order"), col("rank"),
+        col("n_elems"), col("byte_len"), col("digest"), col("valid"))
+      .orderBy("id")
+  }
+
+  val q204Sql: String =
+    s"""WITH base AS (
+         SELECT id,
+           ['<f4','<i8','|u1','<f8','<i2'][1 + id % 5] AS descr,
+           [4,8,1,8,2][1 + id % 5] AS width,
+           id % 7 = 0 AS fortran_order,
+           id % 4 AS rank,
+           [1 + (id + 3 * i) % 5 for i in range(0, id % 4)] AS dims
+         FROM range(0, $NpyN) r(id)),
+       sized AS (
+         SELECT *,
+           CAST(CASE WHEN rank = 0 THEN 1
+                ELSE list_product(dims) END AS BIGINT) AS n_elems
+         FROM base)
+       SELECT id, descr, fortran_order, CAST(rank AS INT) AS rank,
+         n_elems, CAST(n_elems * width AS BIGINT) AS byte_len,
+         md5(array_to_string(
+           [upper(lpad(format('{:x}', (id*5 + j*17) % 256), 2, '0'))
+            for j in range(0, n_elems * width)], '')) AS digest,
+         true AS valid
+       FROM sized
+       ORDER BY id"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q125_label_propagation" -> (q125 _),
     "q126_pmi_cooccur" -> (q126 _),
@@ -4341,7 +4440,9 @@ object ExtQueries4 {
     "q199_mp3_ms_stereo" -> (q199 _),
     "q200_mp3_transition_blocks" -> (q200 _),
     "q201_mp3_mixed_blocks" -> (q201 _),
-    "q202_mp3_id3_wrapped" -> (q202 _))
+    "q202_mp3_id3_wrapped" -> (q202 _),
+    "q203_safetensors_extract" -> (q203 _),
+    "q204_npy_extract" -> (q204 _))
 
   val oracles: Map[String, String] = Map(
     "q125_label_propagation" -> q125Sql,
@@ -4421,5 +4522,7 @@ object ExtQueries4 {
     "q199_mp3_ms_stereo" -> q199Sql,
     "q200_mp3_transition_blocks" -> q200Sql,
     "q201_mp3_mixed_blocks" -> q201Sql,
-    "q202_mp3_id3_wrapped" -> q202Sql)
+    "q202_mp3_id3_wrapped" -> q202Sql,
+    "q203_safetensors_extract" -> q203Sql,
+    "q204_npy_extract" -> q204Sql)
 }
