@@ -281,12 +281,26 @@ class PlanAuditSpec extends SparkSpec {
         "q186_doc_catalog", "q187_sqldump_extract",
         "q188_mp3_decode", "q189_rle8_video",
         "q194_compressed_shards", "q195_jsonl_shards",
-        "q197_mp3_short_blocks").foreach { q =>
+        "q197_mp3_short_blocks", "q198_mp3_esc_tables",
+        "q199_mp3_ms_stereo", "q200_mp3_transition_blocks",
+        "q201_mp3_mixed_blocks", "q202_mp3_id3_wrapped",
+        "q204_npy_extract").foreach { q =>
       val p = plan(q)
       val exchanges = "Exchange".r.findAllIn(p).length
       assert(exchanges <= 1, s"$q: codec decode should not shuffle:\n$p")
       assert(!p.contains("Join") && !p.contains("Window"), s"$q plan:\n$p")
     }
+  }
+
+  test("q203: safetensors — one id-partitioned window shuffle, no join") {
+    // the tiling validation needs per-blob window functions; the data
+    // BYTES never shuffle (the digest substr happens before the
+    // exchange only if Catalyst keeps it with the scan — the gate is
+    // the exchange COUNT: one for the window, one presentation sort)
+    val p = plan("q203_safetensors_extract")
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 2, s"q203: window + sort only:\n$p")
+    assert(!p.contains("Join"), s"q203 plan:\n$p")
   }
 
   test("q134: negative sampling plans NO global window — ranks from the prefix sum") {
