@@ -4362,6 +4362,64 @@ object ExtQueries4 {
        FROM sized
        ORDER BY id"""
 
+  // ---------------------------------------------------------------
+  // q205 — GGUF model-container catalog (ggml/llama.cpp exchange
+  // format, version 3): the third tensor-container lake next to
+  // SafeTensors (q203) and NPY (q204). 40 files with per-file
+  // alignment 8·2^(i%4), 6 typed metadata kvs (u32/string/bool/f32/
+  // string-array incl. general.alignment + general.name), 2+i%3
+  // tensors alternating F32/F16 with 1-2 dims; value_sum decodes
+  // EVERY sample (halves exactly), offsets are the aligned
+  // contiguous law the parser enforces. Subset strictness (type
+  // tags, alignment power-of-two, offset tiling, file-end law,
+  // Inf/NaN) is spec-gated in GgufLakeSpec.
+  private val GgufN = 40
+
+  def q205(s: SparkSession, dir: String): DataFrame = {
+    val fx = graft.operators.GgufLake.ggufFixture(s, GgufN)
+    graft.operators.GgufLake.extractGguf(fx, "id", "media")
+      .select(col("id"), col("tidx"), col("name"), col("dtype"),
+        col("n_dims"), col("numel"), col("off"), col("value_sum"),
+        col("n_kv"), col("align"), col("model_name"), col("valid"))
+      .orderBy("id", "tidx")
+  }
+
+  val q205Sql: String =
+    s"""WITH base AS (
+         SELECT r AS id, 2 + r % 3 AS nt,
+           CAST(8 * (1 << CAST(r % 4 AS INT)) AS INT) AS al
+         FROM range(0, $GgufN) t(r)),
+       tens AS (
+         SELECT id, al, CAST(unnest(range(0, nt)) AS INT) AS tidx
+         FROM base),
+       d AS (
+         SELECT id, al, tidx,
+           CAST(1 + (id + tidx) % 2 AS INT) AS n_dims,
+           3 + (id + tidx) % 4 AS d0,
+           2 + tidx % 3 AS d1,
+           CASE WHEN (id + tidx) % 2 = 0 THEN 'F32' ELSE 'F16' END AS dtype
+         FROM tens),
+       e AS (
+         SELECT *,
+           CAST(CASE WHEN n_dims = 1 THEN d0 ELSE d0 * d1 END AS BIGINT)
+             AS numel,
+           CASE WHEN dtype = 'F32' THEN 4 ELSE 2 END AS esz
+         FROM d),
+       f AS (
+         SELECT *,
+           CAST(COALESCE(SUM(((numel * esz + al - 1) // al) * al) OVER (
+             PARTITION BY id ORDER BY tidx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS off
+         FROM e)
+       SELECT id, tidx, 'blk.' || tidx || '.w' AS name, dtype, n_dims,
+         numel, off,
+         CAST(list_sum([(id * 37 + tidx * 11 + j * 3) % 100 - 50
+           for j in range(0, numel)]) AS DOUBLE) AS value_sum,
+         CAST(6 AS INT) AS n_kv, al AS align,
+         'model-' || id % 7 AS model_name, true AS valid
+       FROM f ORDER BY id, tidx"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q125_label_propagation" -> (q125 _),
     "q126_pmi_cooccur" -> (q126 _),
@@ -4442,7 +4500,8 @@ object ExtQueries4 {
     "q201_mp3_mixed_blocks" -> (q201 _),
     "q202_mp3_id3_wrapped" -> (q202 _),
     "q203_safetensors_extract" -> (q203 _),
-    "q204_npy_extract" -> (q204 _))
+    "q204_npy_extract" -> (q204 _),
+    "q205_gguf_extract" -> (q205 _))
 
   val oracles: Map[String, String] = Map(
     "q125_label_propagation" -> q125Sql,
@@ -4524,5 +4583,6 @@ object ExtQueries4 {
     "q201_mp3_mixed_blocks" -> q201Sql,
     "q202_mp3_id3_wrapped" -> q202Sql,
     "q203_safetensors_extract" -> q203Sql,
-    "q204_npy_extract" -> q204Sql)
+    "q204_npy_extract" -> q204Sql,
+    "q205_gguf_extract" -> q205Sql)
 }
