@@ -4420,6 +4420,56 @@ object ExtQueries4 {
          'model-' || id % 7 AS model_name, true AS valid
        FROM f ORDER BY id, tidx"""
 
+  // ---------------------------------------------------------------
+  // q206 — Avro object-container catalog (Apache Avro 1.11 "Object
+  // Container Files"): 40 containers, codec alternating null/raw-
+  // deflate on file parity, 2 data blocks of 2+(i+b)%3 records each,
+  // a 5-primitive record schema (long/string/int/double/boolean)
+  // parsed from avro.schema by a strict JSON walk. One row per
+  // (record, field) — zigzag varints, UTF-8 strings, LE doubles and
+  // booleans are all individually hash-gated. Header-map/sync/block-
+  // tiling strictness is spec-gated in AvroLakeSpec.
+  private val AvroN = 40
+
+  def q206(s: SparkSession, dir: String): DataFrame = {
+    val fx = graft.operators.AvroLake.avroFixture(s, AvroN)
+    graft.operators.AvroLake.extractAvro(fx, "id", "media")
+      .select(col("id"), col("blk"), col("rec"), col("fld"),
+        col("fname"), col("ftype"), col("lval"), col("sval"),
+        col("dval"), col("codec"), col("rec_name"), col("valid"))
+      .orderBy("id", "blk", "rec", "fld")
+  }
+
+  val q206Sql: String =
+    s"""WITH base AS (SELECT r AS id FROM range(0, $AvroN) t(r)),
+       blocks AS (
+         SELECT id, CAST(unnest([0, 1]) AS INT) AS blk FROM base),
+       recs AS (
+         SELECT id, blk,
+           CAST(unnest(range(0, 2 + (id + blk) % 3)) AS INT) AS rec
+         FROM blocks),
+       g AS (
+         SELECT id, blk, rec,
+           CASE WHEN blk = 0 THEN rec ELSE 2 + id % 3 + rec END AS g
+         FROM recs),
+       cells AS (
+         SELECT id, blk, rec, g,
+           CAST(unnest([0, 1, 2, 3, 4]) AS INT) AS fld
+         FROM g)
+       SELECT id, blk, rec, fld,
+         ['k', 'name', 'n', 'price', 'flag'][fld + 1] AS fname,
+         ['long', 'string', 'int', 'double', 'boolean'][fld + 1] AS ftype,
+         CAST(CASE WHEN fld = 0 THEN id * 1000 + g * 7 - 500
+              WHEN fld = 2 THEN (id * 3 + g) % 100 - 50
+              WHEN fld = 4 THEN CASE WHEN (id + g) % 2 = 0 THEN 1 ELSE 0 END
+              END AS BIGINT) AS lval,
+         CASE WHEN fld = 1 THEN 'rec-' || (id + g) % 9 END AS sval,
+         CAST(CASE WHEN fld = 3 THEN ((id * 13 + g * 7) % 1000) / 4.0 END
+           AS DOUBLE) AS dval,
+         CASE WHEN id % 2 = 0 THEN 'null' ELSE 'deflate' END AS codec,
+         'Doc' AS rec_name, true AS valid
+       FROM cells ORDER BY id, blk, rec, fld"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q125_label_propagation" -> (q125 _),
     "q126_pmi_cooccur" -> (q126 _),
@@ -4501,7 +4551,8 @@ object ExtQueries4 {
     "q202_mp3_id3_wrapped" -> (q202 _),
     "q203_safetensors_extract" -> (q203 _),
     "q204_npy_extract" -> (q204 _),
-    "q205_gguf_extract" -> (q205 _))
+    "q205_gguf_extract" -> (q205 _),
+    "q206_avro_extract" -> (q206 _))
 
   val oracles: Map[String, String] = Map(
     "q125_label_propagation" -> q125Sql,
@@ -4584,5 +4635,6 @@ object ExtQueries4 {
     "q202_mp3_id3_wrapped" -> q202Sql,
     "q203_safetensors_extract" -> q203Sql,
     "q204_npy_extract" -> q204Sql,
-    "q205_gguf_extract" -> q205Sql)
+    "q205_gguf_extract" -> q205Sql,
+    "q206_avro_extract" -> q206Sql)
 }
