@@ -4470,6 +4470,55 @@ object ExtQueries4 {
          'Doc' AS rec_name, true AS valid
        FROM cells ORDER BY id, blk, rec, fld"""
 
+  // ---------------------------------------------------------------
+  // q207 — SQLite database-file catalog (the sqlite.org file format
+  // — app data / browser profiles / mobile dumps in a scraped
+  // corpus): 40 databases with page size 512·2^(i%4), a real 4-page
+  // layout (sqlite_master leaf on page 1 → `docs` interior root →
+  // two leaves), rowids split across the interior boundary, and a
+  // serial-size-sweeping int column (const-0/1, i8..i64 classes all
+  // exercised by the ·10^k law). One row per (table row, column).
+  // Header/B-tree/record strictness is spec-gated in SqliteLakeSpec.
+  private val SqliteN = 40
+
+  def q207(s: SparkSession, dir: String): DataFrame = {
+    val fx = graft.operators.SqliteLake.sqliteFixture(s, SqliteN)
+    graft.operators.SqliteLake.extractSqlite(fx, "id", "media")
+      .select(col("id"), col("tbl"), col("rid"), col("col"),
+        col("kind"), col("lval"), col("sval"), col("dval"),
+        col("page_size"), col("n_pages"), col("valid"))
+      .orderBy("id", "rid", "col")
+  }
+
+  val q207Sql: String =
+    s"""WITH base AS (
+         SELECT r AS id, 2 + r % 3 AS nra, 2 + (r + 1) % 3 AS nrb,
+           CAST(512 * (1 << CAST(r % 4 AS INT)) AS INT) AS ps
+         FROM range(0, $SqliteN) t(r)),
+       recs AS (
+         SELECT id, ps,
+           CAST(unnest(range(1, nra + nrb + 1)) AS BIGINT) AS rid
+         FROM base),
+       cells AS (
+         SELECT id, ps, rid, rid - 1 AS g,
+           CAST(unnest([0, 1, 2, 3]) AS INT) AS col
+         FROM recs)
+       SELECT id, 'docs' AS tbl, rid, col,
+         CASE col WHEN 0 THEN 'int' WHEN 1 THEN 'text' WHEN 2 THEN 'real'
+           ELSE CASE WHEN (id + g) % 3 = 0 THEN 'null' ELSE 'int' END
+           END AS kind,
+         CAST(CASE WHEN col = 0 THEN
+                ((id * 37 + g * 11) % 90 - 45) *
+                [1, 100, 10000, 1000000, 100000000, 1000000000000,
+                 10000000000000000][CAST(g % 7 AS INT) + 1]
+              WHEN col = 3 AND (id + g) % 3 <> 0 THEN g % 2
+              END AS BIGINT) AS lval,
+         CASE WHEN col = 1 THEN 'doc-' || (id + g) % 9 END AS sval,
+         CAST(CASE WHEN col = 2 THEN ((id * 13 + g * 7) % 1000) / 4.0 END
+           AS DOUBLE) AS dval,
+         ps AS page_size, CAST(4 AS INT) AS n_pages, true AS valid
+       FROM cells ORDER BY id, rid, col"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q125_label_propagation" -> (q125 _),
     "q126_pmi_cooccur" -> (q126 _),
@@ -4552,7 +4601,8 @@ object ExtQueries4 {
     "q203_safetensors_extract" -> (q203 _),
     "q204_npy_extract" -> (q204 _),
     "q205_gguf_extract" -> (q205 _),
-    "q206_avro_extract" -> (q206 _))
+    "q206_avro_extract" -> (q206 _),
+    "q207_sqlite_extract" -> (q207 _))
 
   val oracles: Map[String, String] = Map(
     "q125_label_propagation" -> q125Sql,
@@ -4636,5 +4686,6 @@ object ExtQueries4 {
     "q203_safetensors_extract" -> q203Sql,
     "q204_npy_extract" -> q204Sql,
     "q205_gguf_extract" -> q205Sql,
-    "q206_avro_extract" -> q206Sql)
+    "q206_avro_extract" -> q206Sql,
+    "q207_sqlite_extract" -> q207Sql)
 }

@@ -70,7 +70,8 @@ class ParserFuzzSpec extends AnyFunSuite {
     "routeDoc" -> (b => graft.operators.DocCatalog.route(b)),
     "parseSqlDump" -> (b => graft.operators.SqlDumpLake.parseDump(b)),
     "parseGguf" -> (b => graft.operators.GgufLake.parseGguf(b)),
-    "parseAvro" -> (b => graft.operators.AvroLake.parseAvro(b)))
+    "parseAvro" -> (b => graft.operators.AvroLake.parseAvro(b)),
+    "parseSqlite" -> (b => graft.operators.SqliteLake.parseSqlite(b)))
 
   private val magics: Seq[(String, Array[Byte])] = Seq(
     "wav" -> ("RIFF\u0000\u0000\u0000\u0000WAVE").getBytes("ISO-8859-1"),
@@ -105,7 +106,9 @@ class ParserFuzzSpec extends AnyFunSuite {
     "tiff-ii" -> Array[Byte]('I', 'I', 42, 0, 8, 0, 0, 0),
     "tiff-mm" -> Array[Byte]('M', 'M', 0, 42, 0, 0, 0, 8),
     "gguf" -> ("GGUF\u0003\u0000\u0000\u0000").getBytes("ISO-8859-1"),
-    "avro" -> ("Obj".getBytes("ISO-8859-1") ++ Array[Byte](1)))
+    "avro" -> ("Obj".getBytes("ISO-8859-1") ++ Array[Byte](1)),
+    "sqlite" -> ("SQLite format 3".getBytes("ISO-8859-1") ++
+      Array[Byte](0)))
 
   private def noThrow(label: String, p: Parser, b: Array[Byte]): Unit =
     try { p(b); () } catch {
