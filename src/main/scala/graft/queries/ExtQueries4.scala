@@ -4519,6 +4519,54 @@ object ExtQueries4 {
          ps AS page_size, CAST(4 AS INT) AS n_pages, true AS valid
        FROM cells ORDER BY id, rid, col"""
 
+  // ---------------------------------------------------------------
+  // q208 — PyTorch checkpoint catalog (the torch.save zipfile layout
+  // — scraped model-hub artifacts): 40 checkpoints, 2+i%3 tensors of
+  // 1-3 dims, every third tensor a strided VIEW at offset 2 into a
+  // larger storage; data.pkl is interpreted by a restricted pickle-
+  // protocol-2 VM over a closed global whitelist — nothing executes,
+  // unknown opcodes/globals reject. value_sum decodes each tensor's
+  // own f32 window, so content is hash-gated alongside the catalog.
+  // VM/container strictness is spec-gated in TorchLakeSpec.
+  private val TorchN = 40
+
+  def q208(s: SparkSession, dir: String): DataFrame = {
+    val fx = graft.operators.TorchLake.torchFixture(s, TorchN)
+    graft.operators.TorchLake.extractCheckpoint(fx, "id", "media")
+      .select(col("id"), col("tidx"), col("tname"), col("skey"),
+        col("numel"), col("n_dims"), col("nelem"), col("off"),
+        col("rg"), col("value_sum"), col("n_storages"), col("valid"))
+      .orderBy("id", "tidx")
+  }
+
+  val q208Sql: String =
+    s"""WITH base AS (
+         SELECT r AS id, 2 + r % 3 AS nt FROM range(0, $TorchN) t(r)),
+       tens AS (
+         SELECT id, nt, CAST(unnest(range(0, nt)) AS INT) AS tidx
+         FROM base),
+       d AS (
+         SELECT id, nt, tidx,
+           CAST(1 + (id + tidx) % 3 AS INT) AS nd,
+           2 + (id + tidx) % 3 AS d0, 1 + tidx % 3 AS d1,
+           CASE WHEN (id + tidx) % 3 = 0 THEN 2 ELSE 0 END AS off,
+           CASE WHEN (id + tidx) % 3 = 0 THEN 4 ELSE 0 END AS pad
+         FROM tens),
+       e AS (
+         SELECT *,
+           CAST(d0 * (CASE WHEN nd >= 2 THEN d1 ELSE 1 END)
+             * (CASE WHEN nd >= 3 THEN 2 ELSE 1 END) AS BIGINT) AS nelem
+         FROM d)
+       SELECT id, tidx, 'layer.' || tidx || '.weight' AS tname,
+         CAST(tidx AS VARCHAR) AS skey,
+         CAST(nelem + pad AS BIGINT) AS numel, nd AS n_dims, nelem,
+         CAST(off AS BIGINT) AS off,
+         (id + tidx) % 2 = 0 AS rg,
+         CAST(list_sum([(id * 31 + tidx * 17 + j * 7) % 200 - 100
+           for j in range(off, off + nelem)]) AS DOUBLE) AS value_sum,
+         CAST(nt AS INT) AS n_storages, true AS valid
+       FROM e ORDER BY id, tidx"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q125_label_propagation" -> (q125 _),
     "q126_pmi_cooccur" -> (q126 _),
@@ -4602,7 +4650,8 @@ object ExtQueries4 {
     "q204_npy_extract" -> (q204 _),
     "q205_gguf_extract" -> (q205 _),
     "q206_avro_extract" -> (q206 _),
-    "q207_sqlite_extract" -> (q207 _))
+    "q207_sqlite_extract" -> (q207 _),
+    "q208_torch_checkpoint" -> (q208 _))
 
   val oracles: Map[String, String] = Map(
     "q125_label_propagation" -> q125Sql,
@@ -4687,5 +4736,6 @@ object ExtQueries4 {
     "q204_npy_extract" -> q204Sql,
     "q205_gguf_extract" -> q205Sql,
     "q206_avro_extract" -> q206Sql,
-    "q207_sqlite_extract" -> q207Sql)
+    "q207_sqlite_extract" -> q207Sql,
+    "q208_torch_checkpoint" -> q208Sql)
 }

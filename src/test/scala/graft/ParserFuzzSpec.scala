@@ -71,7 +71,8 @@ class ParserFuzzSpec extends AnyFunSuite {
     "parseSqlDump" -> (b => graft.operators.SqlDumpLake.parseDump(b)),
     "parseGguf" -> (b => graft.operators.GgufLake.parseGguf(b)),
     "parseAvro" -> (b => graft.operators.AvroLake.parseAvro(b)),
-    "parseSqlite" -> (b => graft.operators.SqliteLake.parseSqlite(b)))
+    "parseSqlite" -> (b => graft.operators.SqliteLake.parseSqlite(b)),
+    "parseCheckpoint" -> (b => graft.operators.TorchLake.parseCheckpoint(b)))
 
   private val magics: Seq[(String, Array[Byte])] = Seq(
     "wav" -> ("RIFF\u0000\u0000\u0000\u0000WAVE").getBytes("ISO-8859-1"),
