@@ -4567,6 +4567,59 @@ object ExtQueries4 {
          CAST(nt AS INT) AS n_storages, true AS valid
        FROM e ORDER BY id, tidx"""
 
+  // ---------------------------------------------------------------
+  // q209 — MessagePack record shards (msgpack.org spec — the binary
+  // JSONL of log pipelines): 40 shards of 3+i%4 concatenated map
+  // records with a size-sweeping signed int (every int family down
+  // to fixint), strings, a big-endian float64, bools, flat string
+  // arrays and an optional nil key (map size varies 5/6). CANONICAL
+  // minimal encoding is enforced — a widened int family rejects.
+  // Strictness is spec-gated in MsgpackLakeSpec.
+  private val MsgpackN = 40
+
+  def q209(s: SparkSession, dir: String): DataFrame = {
+    val fx = graft.operators.MsgpackLake.msgpackFixture(s, MsgpackN)
+    graft.operators.MsgpackLake.extractMsgpack(fx, "id", "media")
+      .select(col("id"), col("rec"), col("kidx"), col("key"),
+        col("kind"), col("lval"), col("sval"), col("dval"),
+        col("n_keys"), col("valid"))
+      .orderBy("id", "rec", "kidx")
+  }
+
+  val q209Sql: String =
+    s"""WITH base AS (
+         SELECT x AS id, 3 + x % 4 AS nr FROM range(0, $MsgpackN) t(x)),
+       recs AS (
+         SELECT id, CAST(unnest(range(0, nr)) AS INT) AS rec FROM base),
+       r2 AS (SELECT id, rec, (id + rec) % 3 = 0 AS has_nil FROM recs),
+       ks AS (
+         SELECT id, rec, has_nil,
+           CAST(unnest(CASE WHEN has_nil THEN [0, 1, 2, 3, 4, 5]
+             ELSE [0, 1, 2, 3, 4] END) AS INT) AS kidx
+         FROM r2)
+       SELECT id, rec, kidx,
+         ['id', 'text', 'score', 'ok', 'tags', 'n'][kidx + 1] AS key,
+         CASE kidx WHEN 0 THEN 'int' WHEN 1 THEN 'str' WHEN 2 THEN 'float'
+           WHEN 3 THEN 'bool' WHEN 4 THEN 'arr' ELSE 'nil' END AS kind,
+         CAST(CASE WHEN kidx = 0 THEN
+             (id * 100 + rec + 1)
+             * [1, 1000, 100000000, 10000000000000]
+               [CAST(rec % 4 AS INT) + 1]
+             * (CASE WHEN (id + rec) % 5 = 0 THEN -1 ELSE 1 END)
+           WHEN kidx = 3 THEN CASE WHEN (id + rec) % 2 = 0 THEN 1 ELSE 0 END
+           WHEN kidx = 4 THEN rec % 3 END AS BIGINT) AS lval,
+         CASE WHEN kidx = 1 THEN 'doc ' || (id + rec) % 7 || ' body'
+           -- DuckDB's array_to_string([]) is NULL; the engine's
+           -- mkString is '' — pin the empty-array case explicitly
+           WHEN kidx = 4 THEN COALESCE(array_to_string(
+             ['t' || (id + j) % 5 for j in range(0, rec % 3)], '|'), '')
+           END AS sval,
+         CAST(CASE WHEN kidx = 2 THEN ((id * 13 + rec * 7) % 1000) / 4.0
+           END AS DOUBLE) AS dval,
+         CAST(CASE WHEN has_nil THEN 6 ELSE 5 END AS INT) AS n_keys,
+         true AS valid
+       FROM ks ORDER BY id, rec, kidx"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q125_label_propagation" -> (q125 _),
     "q126_pmi_cooccur" -> (q126 _),
@@ -4651,7 +4704,8 @@ object ExtQueries4 {
     "q205_gguf_extract" -> (q205 _),
     "q206_avro_extract" -> (q206 _),
     "q207_sqlite_extract" -> (q207 _),
-    "q208_torch_checkpoint" -> (q208 _))
+    "q208_torch_checkpoint" -> (q208 _),
+    "q209_msgpack_extract" -> (q209 _))
 
   val oracles: Map[String, String] = Map(
     "q125_label_propagation" -> q125Sql,
@@ -4737,5 +4791,6 @@ object ExtQueries4 {
     "q205_gguf_extract" -> q205Sql,
     "q206_avro_extract" -> q206Sql,
     "q207_sqlite_extract" -> q207Sql,
-    "q208_torch_checkpoint" -> q208Sql)
+    "q208_torch_checkpoint" -> q208Sql,
+    "q209_msgpack_extract" -> q209Sql)
 }

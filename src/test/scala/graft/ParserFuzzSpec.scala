@@ -72,7 +72,8 @@ class ParserFuzzSpec extends AnyFunSuite {
     "parseGguf" -> (b => graft.operators.GgufLake.parseGguf(b)),
     "parseAvro" -> (b => graft.operators.AvroLake.parseAvro(b)),
     "parseSqlite" -> (b => graft.operators.SqliteLake.parseSqlite(b)),
-    "parseCheckpoint" -> (b => graft.operators.TorchLake.parseCheckpoint(b)))
+    "parseCheckpoint" -> (b => graft.operators.TorchLake.parseCheckpoint(b)),
+    "parseMsgpack" -> (b => graft.operators.MsgpackLake.parseMsgpack(b)))
 
   private val magics: Seq[(String, Array[Byte])] = Seq(
     "wav" -> ("RIFF\u0000\u0000\u0000\u0000WAVE").getBytes("ISO-8859-1"),
@@ -109,7 +110,8 @@ class ParserFuzzSpec extends AnyFunSuite {
     "gguf" -> ("GGUF\u0003\u0000\u0000\u0000").getBytes("ISO-8859-1"),
     "avro" -> ("Obj".getBytes("ISO-8859-1") ++ Array[Byte](1)),
     "sqlite" -> ("SQLite format 3".getBytes("ISO-8859-1") ++
-      Array[Byte](0)))
+      Array[Byte](0)),
+    "msgpack" -> Array(0x85.toByte, 0xa2.toByte, 'i'.toByte, 'd'.toByte))
 
   private def noThrow(label: String, p: Parser, b: Array[Byte]): Unit =
     try { p(b); () } catch {
