@@ -4620,6 +4620,52 @@ object ExtQueries4 {
          true AS valid
        FROM ks ORDER BY id, rec, kidx"""
 
+  // ---------------------------------------------------------------
+  // q210 — Standard MIDI File catalog (MMA SMF spec — the symbolic-
+  // music side of an audio corpus): 40 format-1 files of 1+i%3
+  // tracks; NoteOffs ride as NoteOn-velocity-0 so every event after
+  // a track's first exercises the RUNNING-STATUS state machine; name
+  // and tempo metas, VLQ deltas, per-track event/tick/note/velocity
+  // censuses. Chunk/VLQ/meta strictness is spec-gated in
+  // MidiLakeSpec.
+  private val MidiN = 40
+
+  def q210(s: SparkSession, dir: String): DataFrame = {
+    val fx = graft.operators.MidiLake.midiFixture(s, MidiN)
+    graft.operators.MidiLake.extractMidi(fx, "id", "media")
+      .select(col("id"), col("trk"), col("name"), col("fmt"),
+        col("division"), col("n_events"), col("total_ticks"),
+        col("n_notes"), col("note_sum"), col("vel_sum"),
+        col("tempo_us"), col("valid"))
+      .orderBy("id", "trk")
+  }
+
+  val q210Sql: String =
+    s"""WITH base AS (
+         SELECT x AS id, 1 + x % 3 AS nt,
+           CAST(96 * (1 + x % 4) AS INT) AS division
+         FROM range(0, $MidiN) t(x)),
+       trks AS (
+         SELECT id, division,
+           CAST(unnest(range(0, nt)) AS INT) AS trk
+         FROM base),
+       d AS (SELECT *, 3 + (id + trk) % 4 AS ne FROM trks)
+       SELECT id, trk, 'trk-' || trk AS name, CAST(1 AS INT) AS fmt,
+         division,
+         CAST(1 + (CASE WHEN trk = 0 THEN 1 ELSE 0 END) + 2 * ne + 1
+           AS INT) AS n_events,
+         CAST(list_sum([3 + j % 8 + j % 5 for j in range(0, ne)])
+           AS BIGINT) AS total_ticks,
+         CAST(ne AS INT) AS n_notes,
+         CAST(list_sum([60 + (id + j) % 12 for j in range(0, ne)])
+           AS BIGINT) AS note_sum,
+         CAST(list_sum([64 + j % 32 for j in range(0, ne)])
+           AS BIGINT) AS vel_sum,
+         CAST(CASE WHEN trk = 0 THEN 500000 + id * 1000 END AS INT)
+           AS tempo_us,
+         true AS valid
+       FROM d ORDER BY id, trk"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q125_label_propagation" -> (q125 _),
     "q126_pmi_cooccur" -> (q126 _),
@@ -4705,7 +4751,8 @@ object ExtQueries4 {
     "q206_avro_extract" -> (q206 _),
     "q207_sqlite_extract" -> (q207 _),
     "q208_torch_checkpoint" -> (q208 _),
-    "q209_msgpack_extract" -> (q209 _))
+    "q209_msgpack_extract" -> (q209 _),
+    "q210_midi_extract" -> (q210 _))
 
   val oracles: Map[String, String] = Map(
     "q125_label_propagation" -> q125Sql,
@@ -4792,5 +4839,6 @@ object ExtQueries4 {
     "q206_avro_extract" -> q206Sql,
     "q207_sqlite_extract" -> q207Sql,
     "q208_torch_checkpoint" -> q208Sql,
-    "q209_msgpack_extract" -> q209Sql)
+    "q209_msgpack_extract" -> q209Sql,
+    "q210_midi_extract" -> q210Sql)
 }

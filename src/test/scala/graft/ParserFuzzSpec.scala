@@ -73,7 +73,8 @@ class ParserFuzzSpec extends AnyFunSuite {
     "parseAvro" -> (b => graft.operators.AvroLake.parseAvro(b)),
     "parseSqlite" -> (b => graft.operators.SqliteLake.parseSqlite(b)),
     "parseCheckpoint" -> (b => graft.operators.TorchLake.parseCheckpoint(b)),
-    "parseMsgpack" -> (b => graft.operators.MsgpackLake.parseMsgpack(b)))
+    "parseMsgpack" -> (b => graft.operators.MsgpackLake.parseMsgpack(b)),
+    "parseMidi" -> (b => graft.operators.MidiLake.parseMidi(b)))
 
   private val magics: Seq[(String, Array[Byte])] = Seq(
     "wav" -> ("RIFF\u0000\u0000\u0000\u0000WAVE").getBytes("ISO-8859-1"),
@@ -111,7 +112,9 @@ class ParserFuzzSpec extends AnyFunSuite {
     "avro" -> ("Obj".getBytes("ISO-8859-1") ++ Array[Byte](1)),
     "sqlite" -> ("SQLite format 3".getBytes("ISO-8859-1") ++
       Array[Byte](0)),
-    "msgpack" -> Array(0x85.toByte, 0xa2.toByte, 'i'.toByte, 'd'.toByte))
+    "msgpack" -> Array(0x85.toByte, 0xa2.toByte, 'i'.toByte, 'd'.toByte),
+    "midi" -> ("MThd".getBytes("ISO-8859-1") ++
+      Array[Byte](0, 0, 0, 6, 0, 1)))
 
   private def noThrow(label: String, p: Parser, b: Array[Byte]): Unit =
     try { p(b); () } catch {

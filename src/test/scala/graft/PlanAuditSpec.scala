@@ -286,7 +286,8 @@ class PlanAuditSpec extends SparkSpec {
         "q201_mp3_mixed_blocks", "q202_mp3_id3_wrapped",
         "q204_npy_extract", "q205_gguf_extract",
         "q206_avro_extract", "q207_sqlite_extract",
-        "q208_torch_checkpoint", "q209_msgpack_extract").foreach { q =>
+        "q208_torch_checkpoint", "q209_msgpack_extract",
+        "q210_midi_extract").foreach { q =>
       val p = plan(q)
       val exchanges = "Exchange".r.findAllIn(p).length
       assert(exchanges <= 1, s"$q: codec decode should not shuffle:\n$p")
