@@ -4666,6 +4666,54 @@ object ExtQueries4 {
          true AS valid
        FROM d ORDER BY id, trk"""
 
+  // ---------------------------------------------------------------
+  // q211 — BMP image decode (BITMAPINFOHEADER — scanned documents /
+  // legacy dumps): 40 bitmaps alternating 8-bpp palette and 24-bpp
+  // BGR, every third file TOP-DOWN (negative height); row0_sum pins
+  // the orientation decode (a flipped reader keeps pixel_sum but
+  // breaks the top row). Strictness is spec-gated in BmpLakeSpec.
+  private val BmpN = 40
+
+  def q211(s: SparkSession, dir: String): DataFrame = {
+    val fx = graft.operators.BmpLake.bmpFixture(s, BmpN)
+    graft.operators.BmpLake.extractBmp(fx, "id", "media")
+      .select(col("id"), col("width"), col("height"), col("topdown"),
+        col("bpp"), col("nc"), col("pixel_sum"), col("row0_sum"),
+        col("valid"))
+      .orderBy("id")
+  }
+
+  val q211Sql: String =
+    s"""WITH base AS (
+         SELECT x AS id, 3 + x % 5 AS w, 2 + x % 4 AS h,
+           CASE WHEN x % 2 = 0 THEN 8 ELSE 24 END AS bpp,
+           x % 3 = 0 AS topdown,
+           CASE WHEN x % 2 = 0 THEN 64 + 64 * (x % 3) ELSE 0 END AS nc
+         FROM range(0, $BmpN) t(x))
+       SELECT id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+         topdown, CAST(bpp AS INT) AS bpp, CAST(nc AS INT) AS nc,
+         CAST(CASE WHEN bpp = 8 THEN
+             list_sum([list_sum([(((xx + yy * w + id) % nc) * 3) % 256
+               + (((xx + yy * w + id) % nc) * 5) % 256
+               + (((xx + yy * w + id) % nc) * 7) % 256
+               for xx in range(0, w)]) for yy in range(0, h)])
+           ELSE
+             list_sum([list_sum([(id + 3 * xx + 7 * yy) % 256
+               + (2 * id + 5 * xx + 11 * yy) % 256
+               + (3 * id + 7 * xx + 13 * yy) % 256
+               for xx in range(0, w)]) for yy in range(0, h)])
+           END AS BIGINT) AS pixel_sum,
+         CAST(CASE WHEN bpp = 8 THEN
+             list_sum([(((xx + id) % nc) * 3) % 256
+               + (((xx + id) % nc) * 5) % 256
+               + (((xx + id) % nc) * 7) % 256 for xx in range(0, w)])
+           ELSE
+             list_sum([(id + 3 * xx) % 256 + (2 * id + 5 * xx) % 256
+               + (3 * id + 7 * xx) % 256 for xx in range(0, w)])
+           END AS BIGINT) AS row0_sum,
+         true AS valid
+       FROM base ORDER BY id"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q125_label_propagation" -> (q125 _),
     "q126_pmi_cooccur" -> (q126 _),
@@ -4752,7 +4800,8 @@ object ExtQueries4 {
     "q207_sqlite_extract" -> (q207 _),
     "q208_torch_checkpoint" -> (q208 _),
     "q209_msgpack_extract" -> (q209 _),
-    "q210_midi_extract" -> (q210 _))
+    "q210_midi_extract" -> (q210 _),
+    "q211_bmp_decode" -> (q211 _))
 
   val oracles: Map[String, String] = Map(
     "q125_label_propagation" -> q125Sql,
@@ -4840,5 +4889,6 @@ object ExtQueries4 {
     "q207_sqlite_extract" -> q207Sql,
     "q208_torch_checkpoint" -> q208Sql,
     "q209_msgpack_extract" -> q209Sql,
-    "q210_midi_extract" -> q210Sql)
+    "q210_midi_extract" -> q210Sql,
+    "q211_bmp_decode" -> q211Sql)
 }
