@@ -4613,6 +4613,87 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** The [[encodeDHashPng]] law image as a 24-bpp bottom-up BMP
+    * (BITMAPINFOHEADER, BI_RGB — hand-written so the pixel content
+    * is bit-identical to the PNG twin's): the JDK's ImageIO decodes
+    * BMP natively, so [[parseDHash]] fingerprints both formats
+    * through the SAME grid walk — the format-invariance q212 pins. */
+  def encodeDHashBmp(bit: (Int, Int) => Boolean, s: Int): Array[Byte] = {
+    require(s >= 1 && s <= 8)
+    val w = 9 * s
+    val h = 8 * s
+    val stride = ((w * 3 + 3) / 4) * 4
+    val dataOff = 14 + 40
+    val total = dataOff + stride * h
+    val b = new Array[Byte](total)
+    def le(v: Long, o: Int, n: Int): Unit =
+      (0 until n).foreach(k => b(o + k) = ((v >> (8 * k)) & 0xff).toByte)
+    b(0) = 'B'; b(1) = 'M'
+    le(total.toLong, 2, 4)
+    le(dataOff.toLong, 10, 4)
+    le(40, 14, 4)
+    le(w.toLong, 18, 4)
+    le(h.toLong, 22, 4) // positive: bottom-up rows
+    b(26) = 1
+    b(28) = 24
+    var y = 0
+    while (y < 8) {
+      var v = 100
+      var x = 0
+      while (x < 9) {
+        var dy = 0
+        while (dy < s) {
+          var dx = 0
+          while (dx < s) {
+            val py = y * s + dy // image orientation
+            val fy = h - 1 - py // bottom-up file row
+            val o = dataOff + fy * stride + 3 * (x * s + dx)
+            b(o) = v.toByte; b(o + 1) = v.toByte; b(o + 2) = v.toByte
+            dx += 1
+          }
+          dy += 1
+        }
+        if (x < 8 && bit(x, y)) v += 1 + (x + y) % 3
+        x += 1
+      }
+      y += 1
+    }
+    b
+  }
+
+  private[graft] def dhashBit(r: Int)(x: Int, y: Int): Boolean = {
+    val g = r / 3
+    val m = r % 3
+    val geff = g - (g % 2)
+    val k = y * 8 + x
+    def baseBit = (geff * 5 + k * 3) % 7 < 3
+    def flipped = m match {
+      case 1 => k == (3 * g) % 63 || k == (3 * g + 21) % 63
+      case 2 => k == (3 * g + 7) % 63
+      case _ => false
+    }
+    k < 63 && (baseBit ^ flipped)
+  }
+
+  /** q190's fixture with every ODD id stored as a 24-bpp BMP instead
+    * of a PNG (a mixed-format image corpus). The bit laws are q190's
+    * exactly, so the near-dup pair set is identical — and because
+    * adjacent even/odd groups share a base pattern, every Hamming-0
+    * pair with one even and one odd id is a CROSS-FORMAT exact
+    * duplicate (same picture, different container). */
+  def dhashMixedFixture(spark: SparkSession, n: Int): DataFrame = {
+    val rows = (0 until n).map { r =>
+      val enc: ((Int, Int) => Boolean, Int) => Array[Byte] =
+        if (r % 2 == 1) encodeDHashBmp else encodeDHashPng
+      Row(r.toLong, enc(dhashBit(r), 1 + r % 3))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4),
+      StructType(Seq(
+        StructField("id", LongType, false),
+        StructField("media", BinaryType, true))))
+  }
+
   /** Deterministic near-dup image fixture — the laws the q190 oracle
     * replays. Groups of three images share a base bit pattern keyed
     * on the EVEN group index (so adjacent groups' bases are identical
@@ -4623,20 +4704,7 @@ object Multimodal {
     * real downsample. */
   def dhashFixture(spark: SparkSession, n: Int): DataFrame = {
     val rows = (0 until n).map { r =>
-      val g = r / 3
-      val m = r % 3
-      val geff = g - (g % 2)
-      def baseBit(k: Int): Boolean = (geff * 5 + k * 3) % 7 < 3
-      def flipped(k: Int): Boolean = m match {
-        case 1 => k == (3 * g) % 63 || k == (3 * g + 21) % 63
-        case 2 => k == (3 * g + 7) % 63
-        case _ => false
-      }
-      def bit(x: Int, y: Int): Boolean = {
-        val k = y * 8 + x
-        k < 63 && (baseBit(k) ^ flipped(k))
-      }
-      Row(r.toLong, encodeDHashPng(bit, 1 + r % 3))
+      Row(r.toLong, encodeDHashPng(dhashBit(r), 1 + r % 3))
     }
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 4),

@@ -4714,6 +4714,29 @@ object ExtQueries4 {
          true AS valid
        FROM base ORDER BY id"""
 
+  // ---------------------------------------------------------------
+  // q212 — FORMAT-INVARIANT image near-dup: q190's corpus with every
+  // odd id stored as a 24-bpp BMP instead of a PNG (a mixed-format
+  // image lake). The bit laws are q190's exactly, so the correct
+  // pair set is IDENTICAL to q190's oracle — and since adjacent
+  // even/odd groups share a base pattern, every Hamming-0 pair with
+  // one even and one odd id is the same picture in two containers.
+  // A decoder whose BMP path flips rows, swaps channels or resamples
+  // differently changes fingerprints and fails the hash gate. Same
+  // decode-once + shared-banded-blocking shape as q190.
+  def q212(s: SparkSession, dir: String): DataFrame = {
+    val fx = graft.operators.Multimodal.dhashMixedFixture(s, DHashN)
+    val fps = graft.operators.Multimodal.imageDHash(fx, "id", "media")
+      .where(col("valid"))
+      .select(col("id"), col("dhash").as("simhash"))
+      .localCheckpoint()
+    graft.operators.Dedup.simhashNearDup(fps, maxDist = 3)
+      .select(col("a"), col("b"), col("hamming").cast("int").as("hamming"))
+      .orderBy("a", "b")
+  }
+
+  val q212Sql: String = q190Sql // same laws ⇒ same pair set
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q125_label_propagation" -> (q125 _),
     "q126_pmi_cooccur" -> (q126 _),
@@ -4801,7 +4824,8 @@ object ExtQueries4 {
     "q208_torch_checkpoint" -> (q208 _),
     "q209_msgpack_extract" -> (q209 _),
     "q210_midi_extract" -> (q210 _),
-    "q211_bmp_decode" -> (q211 _))
+    "q211_bmp_decode" -> (q211 _),
+    "q212_image_mixed_neardup" -> (q212 _))
 
   val oracles: Map[String, String] = Map(
     "q125_label_propagation" -> q125Sql,
@@ -4890,5 +4914,6 @@ object ExtQueries4 {
     "q208_torch_checkpoint" -> q208Sql,
     "q209_msgpack_extract" -> q209Sql,
     "q210_midi_extract" -> q210Sql,
-    "q211_bmp_decode" -> q211Sql)
+    "q211_bmp_decode" -> q211Sql,
+    "q212_image_mixed_neardup" -> q212Sql)
 }

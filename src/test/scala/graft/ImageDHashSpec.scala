@@ -99,4 +99,23 @@ class ImageDHashSpec extends SparkSpec {
     javax.imageio.ImageIO.write(small, "png", bos)
     assert(Multimodal.parseDHash(bos.toByteArray).isEmpty)
   }
+
+  test("format invariance: the BMP twin fingerprints equal the PNG's") {
+    // q212's law: the same picture in two containers must hash equal
+    // at every fixture scale — a BMP path that flips rows or swaps
+    // channels diverges here before it ever reaches the pair join
+    (0 until 9).foreach { r =>
+      val bit = (x: Int, y: Int) => Multimodal.dhashBit(r)(x, y)
+      val s = 1 + r % 3
+      val png = Multimodal.parseDHash(Multimodal.encodeDHashPng(bit, s))
+      val bmp = Multimodal.parseDHash(Multimodal.encodeDHashBmp(bit, s))
+      assert(png.isDefined && bmp.isDefined, s"decode r=$r")
+      assert(png.get == bmp.get, s"fingerprint/dims diverge at r=$r")
+    }
+    // and the BMP twin really is a BMP (the hand-written container
+    // parses under the strict BmpLake walk too)
+    val asBmp = graft.operators.BmpLake.parseBmp(
+      Multimodal.encodeDHashBmp((x, y) => (x + y) % 2 == 0, 2))
+    assert(asBmp.exists(b => b.width == 18 && b.height == 16 && !b.topdown))
+  }
 }
