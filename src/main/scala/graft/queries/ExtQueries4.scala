@@ -4737,6 +4737,40 @@ object ExtQueries4 {
 
   val q212Sql: String = q190Sql // same laws ⇒ same pair set
 
+  // ---------------------------------------------------------------
+  // q213 — RTF text extraction (legacy-document long tail): 40
+  // documents of 2+i%3 paragraphs, each exercising the two laws
+  // naive strippers get wrong — destination groups (a fonttbl and a
+  // \*-escaped generator group contribute NO text) and the \uN
+  // escape with the \ucN fallback-skip convention (even paragraphs
+  // swallow one fallback char at uc=1, odd ones run at uc=0) — plus
+  // Latin-1 \'hh escapes and brace literals. The text column
+  // hash-gates the full render. Strictness is spec-gated in
+  // RtfLakeSpec.
+  private val RtfN = 40
+
+  def q213(s: SparkSession, dir: String): DataFrame = {
+    val fx = graft.operators.RtfLake.rtfFixture(s, RtfN)
+    graft.operators.RtfLake.extractRtf(fx, "id", "media")
+      .select(col("id"), col("text"), col("n_pars"), col("n_groups"),
+        col("n_unicode"), col("valid"))
+      .orderBy("id")
+  }
+
+  val q213Sql: String =
+    s"""WITH base AS (
+         SELECT x AS id, 2 + x % 3 AS np FROM range(0, $RtfN) t(x))
+       SELECT id,
+         array_to_string(['Seg ' || (id + k) % 10
+           || ' é' || (id * 3 + k) % 10
+           || ' ué {x} tail' || (id * 7 + k) % 10 || chr(10)
+           for k in range(0, np)], '') AS text,
+         CAST(np AS INT) AS n_pars,
+         CAST(3 + np AS INT) AS n_groups,
+         CAST(np AS INT) AS n_unicode,
+         true AS valid
+       FROM base ORDER BY id"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q125_label_propagation" -> (q125 _),
     "q126_pmi_cooccur" -> (q126 _),
@@ -4825,7 +4859,8 @@ object ExtQueries4 {
     "q209_msgpack_extract" -> (q209 _),
     "q210_midi_extract" -> (q210 _),
     "q211_bmp_decode" -> (q211 _),
-    "q212_image_mixed_neardup" -> (q212 _))
+    "q212_image_mixed_neardup" -> (q212 _),
+    "q213_rtf_extract" -> (q213 _))
 
   val oracles: Map[String, String] = Map(
     "q125_label_propagation" -> q125Sql,
@@ -4915,5 +4950,6 @@ object ExtQueries4 {
     "q209_msgpack_extract" -> q209Sql,
     "q210_midi_extract" -> q210Sql,
     "q211_bmp_decode" -> q211Sql,
-    "q212_image_mixed_neardup" -> q212Sql)
+    "q212_image_mixed_neardup" -> q212Sql,
+    "q213_rtf_extract" -> q213Sql)
 }

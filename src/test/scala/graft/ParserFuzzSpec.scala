@@ -75,7 +75,8 @@ class ParserFuzzSpec extends AnyFunSuite {
     "parseCheckpoint" -> (b => graft.operators.TorchLake.parseCheckpoint(b)),
     "parseMsgpack" -> (b => graft.operators.MsgpackLake.parseMsgpack(b)),
     "parseMidi" -> (b => graft.operators.MidiLake.parseMidi(b)),
-    "parseBmp" -> (b => graft.operators.BmpLake.parseBmp(b)))
+    "parseBmp" -> (b => graft.operators.BmpLake.parseBmp(b)),
+    "parseRtf" -> (b => graft.operators.RtfLake.parseRtf(b)))
 
   private val magics: Seq[(String, Array[Byte])] = Seq(
     "wav" -> ("RIFF\u0000\u0000\u0000\u0000WAVE").getBytes("ISO-8859-1"),
@@ -116,7 +117,8 @@ class ParserFuzzSpec extends AnyFunSuite {
     "msgpack" -> Array(0x85.toByte, 0xa2.toByte, 'i'.toByte, 'd'.toByte),
     "midi" -> ("MThd".getBytes("ISO-8859-1") ++
       Array[Byte](0, 0, 0, 6, 0, 1)),
-    "bmp" -> "BM".getBytes("ISO-8859-1"))
+    "bmp" -> "BM".getBytes("ISO-8859-1"),
+    "rtf" -> "{\\rtf1\\ansi ".getBytes("ISO-8859-1"))
 
   private def noThrow(label: String, p: Parser, b: Array[Byte]): Unit =
     try { p(b); () } catch {

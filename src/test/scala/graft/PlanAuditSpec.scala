@@ -287,7 +287,8 @@ class PlanAuditSpec extends SparkSpec {
         "q204_npy_extract", "q205_gguf_extract",
         "q206_avro_extract", "q207_sqlite_extract",
         "q208_torch_checkpoint", "q209_msgpack_extract",
-        "q210_midi_extract", "q211_bmp_decode").foreach { q =>
+        "q210_midi_extract", "q211_bmp_decode",
+        "q213_rtf_extract").foreach { q =>
       val p = plan(q)
       val exchanges = "Exchange".r.findAllIn(p).length
       assert(exchanges <= 1, s"$q: codec decode should not shuffle:\n$p")
