@@ -4771,6 +4771,49 @@ object ExtQueries4 {
          true AS valid
        FROM base ORDER BY id"""
 
+  // ---------------------------------------------------------------
+  // q214 — schema-less protobuf wire census (corpus forensics over
+  // blobs whose .proto is lost — the complement of q170's schema-
+  // bound tf.Example decode): 40 messages with a size-sweeping
+  // varint (1-7 bytes via a ·2^(4k) law), printable text, fixed32/
+  // fixed64, and repeated non-printable LEN payloads censused by
+  // byte sum. Minimal-varint/group-reject/exact-tiling strictness is
+  // spec-gated in ProtoLakeSpec.
+  private val ProtoN = 40
+
+  def q214(s: SparkSession, dir: String): DataFrame = {
+    val fx = graft.operators.ProtoLake.protoFixture(s, ProtoN)
+    graft.operators.ProtoLake.extractProto(fx, "id", "media")
+      .select(col("id"), col("seq"), col("fno"), col("wire"),
+        col("lval"), col("len"), col("sval"), col("valid"))
+      .orderBy("id", "seq")
+  }
+
+  val q214Sql: String =
+    s"""WITH base AS (
+         SELECT x AS id, 4 + x % 3 AS nf FROM range(0, $ProtoN) t(x)),
+       fields AS (
+         SELECT id, CAST(unnest(range(0, nf)) AS INT) AS seq FROM base)
+       SELECT id, seq,
+         CAST(CASE seq WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 3
+           WHEN 3 THEN 4 ELSE 5 END AS INT) AS fno,
+         CAST(CASE seq WHEN 0 THEN 0 WHEN 1 THEN 2 WHEN 2 THEN 5
+           WHEN 3 THEN 1 ELSE 2 END AS INT) AS wire,
+         CAST(CASE WHEN seq = 0 THEN (id * 97 + 13)
+             * (CAST(1 AS BIGINT) << CAST(4 * (id % 8) AS INT))
+           WHEN seq = 2 THEN id * 1000 + 7
+           WHEN seq = 3 THEN id * 1000000000 + 3
+           WHEN seq >= 4 THEN list_sum(
+             [128 + (id + (seq - 4) + k) % 64
+              for k in range(0, 3 + (seq - 4))])
+           END AS BIGINT) AS lval,
+         CAST(CASE WHEN seq = 1 THEN 10 WHEN seq >= 4 THEN 3 + (seq - 4)
+           END AS BIGINT) AS len,
+         CASE WHEN seq = 1 THEN 'msg ' || id % 7 || ' of ' || id % 5
+           END AS sval,
+         true AS valid
+       FROM fields ORDER BY id, seq"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q125_label_propagation" -> (q125 _),
     "q126_pmi_cooccur" -> (q126 _),
@@ -4860,7 +4903,8 @@ object ExtQueries4 {
     "q210_midi_extract" -> (q210 _),
     "q211_bmp_decode" -> (q211 _),
     "q212_image_mixed_neardup" -> (q212 _),
-    "q213_rtf_extract" -> (q213 _))
+    "q213_rtf_extract" -> (q213 _),
+    "q214_proto_census" -> (q214 _))
 
   val oracles: Map[String, String] = Map(
     "q125_label_propagation" -> q125Sql,
@@ -4951,5 +4995,6 @@ object ExtQueries4 {
     "q210_midi_extract" -> q210Sql,
     "q211_bmp_decode" -> q211Sql,
     "q212_image_mixed_neardup" -> q212Sql,
-    "q213_rtf_extract" -> q213Sql)
+    "q213_rtf_extract" -> q213Sql,
+    "q214_proto_census" -> q214Sql)
 }

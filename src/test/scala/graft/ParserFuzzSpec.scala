@@ -76,7 +76,8 @@ class ParserFuzzSpec extends AnyFunSuite {
     "parseMsgpack" -> (b => graft.operators.MsgpackLake.parseMsgpack(b)),
     "parseMidi" -> (b => graft.operators.MidiLake.parseMidi(b)),
     "parseBmp" -> (b => graft.operators.BmpLake.parseBmp(b)),
-    "parseRtf" -> (b => graft.operators.RtfLake.parseRtf(b)))
+    "parseRtf" -> (b => graft.operators.RtfLake.parseRtf(b)),
+    "parseProto" -> (b => graft.operators.ProtoLake.parseProto(b)))
 
   private val magics: Seq[(String, Array[Byte])] = Seq(
     "wav" -> ("RIFF\u0000\u0000\u0000\u0000WAVE").getBytes("ISO-8859-1"),
