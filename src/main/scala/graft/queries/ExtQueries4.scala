@@ -4814,6 +4814,109 @@ object ExtQueries4 {
          true AS valid
        FROM fields ORDER BY id, seq"""
 
+  // ---------------------------------------------------------------
+  // q215 — mixed-format TENSOR catalog (magic sniff + dispatch over
+  // GGUF / SafeTensors / NPY / PyTorch-zip — the model-hub twin of
+  // the q186 document catalog and the q154 audio catalog): 10 files
+  // per format interleaved as id = 4m+f so every partition carries
+  // every format; all four unified onto one (fmt, seq, name,
+  // n_elems, sig) schema where sig is still a CONTENT pin (md5
+  // digests / integer-exact decoded value sums). The oracle is the
+  // UNION of all four family laws — routing or extraction drift in
+  // any branch fails the hash gate.
+  private val TCatPerFmt = 10
+
+  def q215(s: SparkSession, dir: String): DataFrame = {
+    val fx = graft.operators.TensorCatalog.tensorCatalogFixture(s, TCatPerFmt)
+    graft.operators.TensorCatalog.catalogTensors(fx, "id", "media")
+      .select(col("id"), col("fmt"), col("seq"), col("name"),
+        col("n_elems"), col("sig"), col("valid"))
+      .orderBy("id", "seq")
+  }
+
+  val q215Sql: String =
+    s"""WITH ms AS (SELECT m FROM range(0, $TCatPerFmt) t(m)),
+       -- f=0: GGUF (q205 laws)
+       gg0 AS (
+         SELECT m, CAST(unnest(range(0, 2 + m % 3)) AS INT) AS t FROM ms),
+       gg1 AS (
+         SELECT m, t, CAST(1 + (m + t) % 2 AS INT) AS nd,
+           3 + (m + t) % 4 AS d0, 2 + t % 3 AS d1
+         FROM gg0),
+       gg AS (
+         SELECT 4 * m AS id, 'gguf' AS fmt, t AS seq,
+           'blk.' || t || '.w' AS name,
+           CAST(CASE WHEN nd = 1 THEN d0 ELSE d0 * d1 END AS BIGINT)
+             AS n_elems,
+           CAST(CAST(list_sum([(m * 37 + t * 11 + j * 3) % 100 - 50
+             for j in range(0, CASE WHEN nd = 1 THEN d0 ELSE d0 * d1 END)])
+             AS BIGINT) AS VARCHAR) AS sig,
+           true AS valid
+         FROM gg1),
+       -- f=1: SafeTensors (q203 laws)
+       st0 AS (
+         SELECT m, CAST(unnest(range(0, 3 + m % 4)) AS INT) AS k FROM ms),
+       st1 AS (
+         SELECT m, k,
+           [4, 2, 2, 8, 1][1 + CAST((m + k) % 5 AS INT)] AS sz,
+           [1 + (m + 2 * k + 3 * i) % 4
+            for i in range(0, 1 + (m + k) % 3)] AS dims
+         FROM st0),
+       st AS (
+         SELECT 4 * m + 1 AS id, 'safetensors' AS fmt, k AS seq,
+           't' || k AS name,
+           CAST(list_product(dims) AS BIGINT) AS n_elems,
+           md5(array_to_string(
+             [upper(lpad(format('{:x}', (m * 7 + k * 11 + j * 13) % 256),
+                2, '0'))
+              for j in range(0,
+                CAST(list_product(dims) * sz AS BIGINT))], '')) AS sig,
+           true AS valid
+         FROM st1),
+       -- f=2: NPY (q204 laws)
+       np0 AS (
+         SELECT m, m % 4 AS rank,
+           [4, 8, 1, 8, 2][1 + CAST(m % 5 AS INT)] AS width,
+           [1 + (m + 3 * i) % 5 for i in range(0, m % 4)] AS dims
+         FROM ms),
+       np AS (
+         SELECT 4 * m + 2 AS id, 'npy' AS fmt, CAST(0 AS INT) AS seq,
+           '' AS name,
+           CAST(CASE WHEN rank = 0 THEN 1 ELSE list_product(dims) END
+             AS BIGINT) AS n_elems,
+           md5(array_to_string(
+             [upper(lpad(format('{:x}', (m * 5 + j * 17) % 256), 2, '0'))
+              for j in range(0, CAST(
+                (CASE WHEN rank = 0 THEN 1 ELSE list_product(dims) END)
+                  * width AS BIGINT))], '')) AS sig,
+           true AS valid
+         FROM np0),
+       -- f=3: torch checkpoints (q208 laws)
+       th0 AS (
+         SELECT m, CAST(unnest(range(0, 2 + m % 3)) AS INT) AS t FROM ms),
+       th1 AS (
+         SELECT m, t, CAST(1 + (m + t) % 3 AS INT) AS nd,
+           2 + (m + t) % 3 AS d0, 1 + t % 3 AS d1,
+           CASE WHEN (m + t) % 3 = 0 THEN 2 ELSE 0 END AS off
+         FROM th0),
+       th2 AS (
+         SELECT *,
+           CAST(d0 * (CASE WHEN nd >= 2 THEN d1 ELSE 1 END)
+             * (CASE WHEN nd >= 3 THEN 2 ELSE 1 END) AS BIGINT) AS nelem
+         FROM th1),
+       th AS (
+         SELECT 4 * m + 3 AS id, 'torch' AS fmt, t AS seq,
+           'layer.' || t || '.weight' AS name, nelem AS n_elems,
+           CAST(CAST(list_sum([(m * 31 + t * 17 + j * 7) % 200 - 100
+             for j in range(off, off + nelem)]) AS BIGINT) AS VARCHAR)
+             AS sig,
+           true AS valid
+         FROM th2)
+       SELECT id, fmt, seq, name, n_elems, sig, valid FROM (
+         SELECT * FROM gg UNION ALL SELECT * FROM st
+         UNION ALL SELECT * FROM np UNION ALL SELECT * FROM th)
+       ORDER BY id, seq"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q125_label_propagation" -> (q125 _),
     "q126_pmi_cooccur" -> (q126 _),
@@ -4904,7 +5007,8 @@ object ExtQueries4 {
     "q211_bmp_decode" -> (q211 _),
     "q212_image_mixed_neardup" -> (q212 _),
     "q213_rtf_extract" -> (q213 _),
-    "q214_proto_census" -> (q214 _))
+    "q214_proto_census" -> (q214 _),
+    "q215_tensor_catalog" -> (q215 _))
 
   val oracles: Map[String, String] = Map(
     "q125_label_propagation" -> q125Sql,
@@ -4996,5 +5100,6 @@ object ExtQueries4 {
     "q211_bmp_decode" -> q211Sql,
     "q212_image_mixed_neardup" -> q212Sql,
     "q213_rtf_extract" -> q213Sql,
-    "q214_proto_census" -> q214Sql)
+    "q214_proto_census" -> q214Sql,
+    "q215_tensor_catalog" -> q215Sql)
 }
