@@ -307,6 +307,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), s"q203 plan:\n$p")
   }
 
+  test("q215: tensor catalog — routed union, no join; only q203's window shuffle") {
+    // four per-partition extractor branches unioned; the only
+    // exchanges are the safetensors branch's window + the
+    // presentation sort — routing itself is a scan-level CASE
+    val p = plan("q215_tensor_catalog")
+    assert(!p.contains("Join"), s"q215 plan:\n$p")
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 3, s"q215: window + union sort only:\n$p")
+  }
+
   test("q134: negative sampling plans NO global window — ranks from the prefix sum") {
     val p = plan("q134_negative_sampling")
     assert(!p.contains("Window"),
