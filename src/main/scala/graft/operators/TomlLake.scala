@@ -1,0 +1,284 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** TOML configuration extraction (the TOML v1.0.0 specification —
+  * the config-file layer of code corpora: Cargo.toml, pyproject.toml
+  * and friends). A real line-oriented parser with the spec's own
+  * lexical laws rather than a split-on-`=` approximation.
+  *
+  * Closed subset (strict — reject, never guess):
+  *  - structure: comments (`#` to EOL, also after values), blank
+  *    lines, `[table]` headers and `key = value` pairs; bare keys
+  *    `[A-Za-z0-9_-]+` only (dotted/quoted keys, array-of-tables
+  *    out of subset); tables unique, keys unique per table;
+  *  - integers: optional sign, NO LEADING ZEROS (the TOML law),
+  *    ≤ 18 digits; underscores out of subset;
+  *  - strings: basic `"…"` with escapes `\" \\ \n \t \r \uXXXX`
+  *    (raw control chars reject) and literal `'…'` (no escapes at
+  *    all — a backslash is data); multi-line strings out of subset;
+  *  - booleans `true`/`false` exactly;
+  *  - floats: strict `±D+.DD` with 1-2 decimals, projected as an
+  *    EXACT ×100 integer (no doubles cross the engine boundary —
+  *    the repo convention); exponents/inf/nan out of subset;
+  *  - arrays: single-line, INTEGER elements only, possibly empty;
+  *    censused as (count, exact element sum);
+  *  - anything after a value except whitespace/comment rejects.
+  *
+  * Emits one row per key in APPEARANCE order. One blob = one
+  * task-local walk (codec-family plan shape). */
+object TomlLake {
+
+  private object Fail extends scala.util.control.ControlThrowable
+
+  private[graft] final case class TomlEntry(
+      tbl: String, key: String, kind: String, lval: Option[Long],
+      sval: Option[String], fx100: Option[Long], arrN: Option[Int])
+
+  private def isBareKeyChar(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+      (c >= '0' && c <= '9') || c == '_' || c == '-'
+
+  private final class LCur(val s: String) {
+    var p = 0
+    def ws(): Unit = { while (p < s.length && (s(p) == ' ' || s(p) == '\t')) p += 1 }
+    def eol: Boolean = p >= s.length || s(p) == '#'
+    def peek: Char = { if (p >= s.length) throw Fail; s(p) }
+    /** After a value: only whitespace then EOL/comment is legal. */
+    def finish(): Unit = { ws(); if (!eol) throw Fail }
+  }
+
+  private def bareKey(c: LCur): String = {
+    val st = c.p
+    while (c.p < c.s.length && isBareKeyChar(c.s(c.p))) c.p += 1
+    if (c.p == st || c.p - st > 64) throw Fail
+    c.s.substring(st, c.p)
+  }
+
+  private def parseInt(c: LCur): Long = {
+    val st = c.p
+    if (c.peek == '+' || c.peek == '-') c.p += 1
+    val ds = c.p
+    while (c.p < c.s.length && c.s(c.p).isDigit) c.p += 1
+    val n = c.p - ds
+    if (n < 1 || n > 18) throw Fail
+    if (n > 1 && c.s(ds) == '0') throw Fail // leading zero law
+    java.lang.Long.parseLong(c.s.substring(st, c.p))
+  }
+
+  private def parseValue(c: LCur): TomlEntry = {
+    c.ws()
+    c.peek match {
+      case '"' => // basic string with escapes
+        c.p += 1
+        val sb = new StringBuilder
+        var done = false
+        while (!done) {
+          if (c.p >= c.s.length) throw Fail
+          val ch = c.s(c.p); c.p += 1
+          ch match {
+            case '"' => done = true
+            case '\\' =>
+              if (c.p >= c.s.length) throw Fail
+              val e = c.s(c.p); c.p += 1
+              e match {
+                case '"' => sb += '"'
+                case '\\' => sb += '\\'
+                case 'n' => sb += '\n'
+                case 't' => sb += '\t'
+                case 'r' => sb += '\r'
+                case 'u' =>
+                  if (c.p + 4 > c.s.length) throw Fail
+                  val h = c.s.substring(c.p, c.p + 4)
+                  if (!h.forall(x => x.isDigit || ('a' <= x && x <= 'f') ||
+                    ('A' <= x && x <= 'F'))) throw Fail
+                  val cp = Integer.parseInt(h, 16)
+                  if (cp < 0x20) throw Fail
+                  sb += cp.toChar
+                  c.p += 4
+                case _ => throw Fail
+              }
+            case x if x < 0x20 => throw Fail
+            case x => sb += x
+          }
+        }
+        TomlEntry("", "", "str", None, Some(sb.toString), None, None)
+      case '\'' => // literal string: no escapes at all
+        c.p += 1
+        val st = c.p
+        while (c.p < c.s.length && c.s(c.p) != '\'') {
+          if (c.s(c.p) < 0x20) throw Fail
+          c.p += 1
+        }
+        if (c.p >= c.s.length) throw Fail
+        val v = c.s.substring(st, c.p)
+        c.p += 1
+        TomlEntry("", "", "str", None, Some(v), None, None)
+      case 't' =>
+        if (!c.s.startsWith("true", c.p)) throw Fail
+        c.p += 4
+        TomlEntry("", "", "bool", Some(1L), None, None, None)
+      case 'f' =>
+        if (!c.s.startsWith("false", c.p)) throw Fail
+        c.p += 5
+        TomlEntry("", "", "bool", Some(0L), None, None, None)
+      case '[' => // single-line integer array
+        c.p += 1
+        c.ws()
+        val vals = scala.collection.mutable.ArrayBuffer.empty[Long]
+        if (c.peek == ']') c.p += 1
+        else {
+          var more = true
+          while (more) {
+            c.ws()
+            vals += parseInt(c)
+            c.ws()
+            if (c.peek == ',') c.p += 1
+            else { if (c.peek != ']') throw Fail; c.p += 1; more = false }
+          }
+        }
+        if (vals.length > 256) throw Fail
+        TomlEntry("", "", "arr", Some(vals.sum), None, None,
+          Some(vals.length))
+      case ch if ch == '+' || ch == '-' || ch.isDigit =>
+        val neg = ch == '-'
+        val v = parseInt(c)
+        if (c.p < c.s.length && c.s(c.p) == '.') { // strict float
+          c.p += 1
+          val ds = c.p
+          while (c.p < c.s.length && c.s(c.p).isDigit) c.p += 1
+          val nd = c.p - ds
+          if (nd < 1 || nd > 2) throw Fail // ≤2 decimals: exact ×100
+          val frac = java.lang.Integer.parseInt(c.s.substring(ds, c.p))
+          val cents = (frac * (if (nd == 1) 10 else 1)).toLong
+          // `neg` carries the "-0.xx" case parseInt cannot represent
+          val x100 =
+            if (v < 0 || (v == 0 && neg)) v * 100 - cents
+            else v * 100 + cents
+          TomlEntry("", "", "float", None, None, Some(x100), None)
+        } else TomlEntry("", "", "int", Some(v), None, None, None)
+      case _ => throw Fail // dates, exponents, nested arrays: out
+    }
+  }
+
+  /** Walk one document; None on any spec or subset violation. */
+  private[graft] def parseToml(raw: Array[Byte]): Option[Seq[TomlEntry]] = {
+    if (raw == null) return None
+    try {
+      // strict ASCII/UTF-8 text: decode, allow \n and \t only
+      val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+        .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+        .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+      val text =
+        try dec.decode(java.nio.ByteBuffer.wrap(raw)).toString
+        catch { case _: java.nio.charset.CharacterCodingException => throw Fail }
+      if (text.exists(ch => ch < 0x20 && ch != '\n' && ch != '\t')) throw Fail
+      val out = scala.collection.mutable.ArrayBuffer.empty[TomlEntry]
+      var tbl = ""
+      val tables = scala.collection.mutable.HashSet.empty[String]
+      val keys = scala.collection.mutable.HashSet.empty[(String, String)]
+      text.split("\n", -1).foreach { line =>
+        val c = new LCur(line)
+        c.ws()
+        if (!c.eol) {
+          if (c.peek == '[') {
+            c.p += 1
+            c.ws()
+            val name = bareKey(c)
+            c.ws()
+            if (c.peek != ']') throw Fail
+            c.p += 1
+            c.finish()
+            if (!tables.add(name)) throw Fail // duplicate table
+            tbl = name
+          } else {
+            val key = bareKey(c)
+            c.ws()
+            if (c.peek != '=') throw Fail
+            c.p += 1
+            val e = parseValue(c)
+            c.finish()
+            if (!keys.add((tbl, key))) throw Fail // duplicate key
+            out += e.copy(tbl = tbl, key = key)
+          }
+        }
+      }
+      if (out.isEmpty) throw Fail
+      Some(out.toSeq)
+    } catch { case Fail => None }
+  }
+
+  /** One row per key in appearance order; invalid → one flagged row. */
+  def extractToml(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("id", LongType, false),
+      StructField("seq", IntegerType, true),
+      StructField("tbl", StringType, true),
+      StructField("key", StringType, true),
+      StructField("kind", StringType, true),
+      StructField("lval", LongType, true),
+      StructField("sval", StringType, true),
+      StructField("fx100", LongType, true),
+      StructField("arr_n", IntegerType, true),
+      StructField("valid", BooleanType, false)))
+    val rows = df.select(col(idCol).cast(LongType), col(binCol)).rdd
+      .mapPartitions(_.flatMap { r =>
+        val id = r.getLong(0)
+        scala.util.Try(parseToml(r.getAs[Array[Byte]](1))).toOption
+          .flatten match {
+          case Some(es) =>
+            es.zipWithIndex.map { case (e, i) =>
+              Row(id, i, e.tbl, e.key, e.kind,
+                e.lval.map(Long.box).orNull, e.sval.orNull,
+                e.fx100.map(Long.box).orNull,
+                e.arrN.map(Int.box).orNull, true)
+            }
+          case None =>
+            Seq(Row(id, null, null, null, null, null, null, null, null,
+              false))
+        }
+      })
+    spark.createDataFrame(rows, outSchema)
+  }
+
+  // ------------------------------------------------------------------
+  // fixture (encode side — test/oracle contract)
+
+  /** Fixture law (replayed closed-form by the oracle): doc i has root
+    * keys title (basic string with a \\u00E9 escape), port
+    * (8000+i), debug ((i%2==0)), ratio (float ((i·13)%90+1).(i·7)%100
+    * → exact ×100), delta (signed int ±(i·3)%1000, sign on i%2), then
+    * 1+i%2 `[srvT]` tables with host (LITERAL string, backslash kept
+    * as data), workers (1+(i+t)%8) and weights (an (i+t)%4-element
+    * integer array, elements (i·5+t+j)%100). Comments and blank
+    * lines interspersed. */
+  def tomlFixture(spark: SparkSession, n: Int): DataFrame = {
+    val rows = (0 until n).map { i =>
+      val sb = new StringBuilder
+      sb.append("# graft fixture " + i + "\n\n")
+      sb.append("title = \"cfg \\u00E9" + i % 7 + "\" # inline comment\n")
+      sb.append("port = " + (8000 + i) + "\n")
+      sb.append("debug = " + (i % 2 == 0) + "\n")
+      sb.append("ratio = " + ((i * 13) % 90 + 1) + "." +
+        f"${(i * 7) % 100}%02d" + "\n")
+      val delta = (if (i % 2 == 0) 1 else -1) * ((i * 3) % 1000)
+      sb.append("delta = " + delta + "\n")
+      (0 until 1 + i % 2).foreach { t =>
+        sb.append("\n[srv" + t + "] # table\n")
+        sb.append("host = 'h" + (i + t) + "\\example'\n")
+        sb.append("workers = " + (1 + (i + t) % 8) + "\n")
+        val arr = (0 until (i + t) % 4).map(j => (i * 5 + t + j) % 100)
+        sb.append("weights = [" + arr.mkString(", ") + "]\n")
+      }
+      Row(i.toLong, sb.toString.getBytes("UTF-8"))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4),
+      StructType(Seq(
+        StructField("id", LongType, false),
+        StructField("media", BinaryType, true))))
+  }
+}

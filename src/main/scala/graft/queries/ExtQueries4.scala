@@ -4917,6 +4917,63 @@ object ExtQueries4 {
          UNION ALL SELECT * FROM np UNION ALL SELECT * FROM th)
        ORDER BY id, seq"""
 
+  // ---------------------------------------------------------------
+  // q216 — TOML configuration extraction (the config layer of code
+  // corpora — Cargo.toml/pyproject.toml): 40 documents with basic
+  // strings (incl. a \\u00E9 escape), LITERAL strings whose
+  // backslash is data, the no-leading-zero integer law, signed ints,
+  // exact ×100 floats, integer arrays (some empty), per-table key
+  // scoping and inline comments. One row per key in appearance
+  // order. Lexical strictness is spec-gated in TomlLakeSpec.
+  private val TomlN = 40
+
+  def q216(s: SparkSession, dir: String): DataFrame = {
+    val fx = graft.operators.TomlLake.tomlFixture(s, TomlN)
+    graft.operators.TomlLake.extractToml(fx, "id", "media")
+      .select(col("id"), col("seq"), col("tbl"), col("key"),
+        col("kind"), col("lval"), col("sval"), col("fx100"),
+        col("arr_n"), col("valid"))
+      .orderBy("id", "seq")
+  }
+
+  val q216Sql: String =
+    s"""WITH base AS (
+         SELECT x AS id, 1 + x % 2 AS nt FROM range(0, $TomlN) t(x)),
+       rws AS (
+         SELECT id, nt, CAST(unnest(range(0, 5 + 3 * nt)) AS INT) AS seq
+         FROM base),
+       d AS (
+         SELECT id, seq,
+           CASE WHEN seq >= 5 THEN (seq - 5) // 3 END AS t,
+           CASE WHEN seq >= 5 THEN (seq - 5) % 3 END AS kpos
+         FROM rws)
+       SELECT id, seq,
+         CASE WHEN seq < 5 THEN '' ELSE 'srv' || t END AS tbl,
+         CASE seq WHEN 0 THEN 'title' WHEN 1 THEN 'port'
+           WHEN 2 THEN 'debug' WHEN 3 THEN 'ratio' WHEN 4 THEN 'delta'
+           ELSE ['host', 'workers', 'weights'][CAST(kpos AS INT) + 1]
+           END AS key,
+         CASE seq WHEN 0 THEN 'str' WHEN 1 THEN 'int' WHEN 2 THEN 'bool'
+           WHEN 3 THEN 'float' WHEN 4 THEN 'int'
+           ELSE ['str', 'int', 'arr'][CAST(kpos AS INT) + 1] END AS kind,
+         CAST(CASE WHEN seq = 1 THEN 8000 + id
+           WHEN seq = 2 THEN CASE WHEN id % 2 = 0 THEN 1 ELSE 0 END
+           WHEN seq = 4 THEN (CASE WHEN id % 2 = 0 THEN 1 ELSE -1 END)
+             * ((id * 3) % 1000)
+           WHEN seq >= 5 AND kpos = 1 THEN 1 + (id + t) % 8
+           WHEN seq >= 5 AND kpos = 2 THEN COALESCE(list_sum(
+             [(id * 5 + t + j) % 100 for j in range(0, (id + t) % 4)]), 0)
+           END AS BIGINT) AS lval,
+         CASE WHEN seq = 0 THEN 'cfg é' || id % 7
+           WHEN seq >= 5 AND kpos = 0 THEN 'h' || (id + t) || '\\example'
+           END AS sval,
+         CAST(CASE WHEN seq = 3 THEN ((id * 13) % 90 + 1) * 100
+           + (id * 7) % 100 END AS BIGINT) AS fx100,
+         CAST(CASE WHEN seq >= 5 AND kpos = 2 THEN (id + t) % 4 END
+           AS INT) AS arr_n,
+         true AS valid
+       FROM d ORDER BY id, seq"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q125_label_propagation" -> (q125 _),
     "q126_pmi_cooccur" -> (q126 _),
@@ -5008,7 +5065,8 @@ object ExtQueries4 {
     "q212_image_mixed_neardup" -> (q212 _),
     "q213_rtf_extract" -> (q213 _),
     "q214_proto_census" -> (q214 _),
-    "q215_tensor_catalog" -> (q215 _))
+    "q215_tensor_catalog" -> (q215 _),
+    "q216_toml_extract" -> (q216 _))
 
   val oracles: Map[String, String] = Map(
     "q125_label_propagation" -> q125Sql,
@@ -5101,5 +5159,6 @@ object ExtQueries4 {
     "q212_image_mixed_neardup" -> q212Sql,
     "q213_rtf_extract" -> q213Sql,
     "q214_proto_census" -> q214Sql,
-    "q215_tensor_catalog" -> q215Sql)
+    "q215_tensor_catalog" -> q215Sql,
+    "q216_toml_extract" -> q216Sql)
 }

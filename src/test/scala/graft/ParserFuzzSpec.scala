@@ -77,7 +77,8 @@ class ParserFuzzSpec extends AnyFunSuite {
     "parseMidi" -> (b => graft.operators.MidiLake.parseMidi(b)),
     "parseBmp" -> (b => graft.operators.BmpLake.parseBmp(b)),
     "parseRtf" -> (b => graft.operators.RtfLake.parseRtf(b)),
-    "parseProto" -> (b => graft.operators.ProtoLake.parseProto(b)))
+    "parseProto" -> (b => graft.operators.ProtoLake.parseProto(b)),
+    "parseToml" -> (b => graft.operators.TomlLake.parseToml(b)))
 
   private val magics: Seq[(String, Array[Byte])] = Seq(
     "wav" -> ("RIFF\u0000\u0000\u0000\u0000WAVE").getBytes("ISO-8859-1"),
@@ -119,7 +120,8 @@ class ParserFuzzSpec extends AnyFunSuite {
     "midi" -> ("MThd".getBytes("ISO-8859-1") ++
       Array[Byte](0, 0, 0, 6, 0, 1)),
     "bmp" -> "BM".getBytes("ISO-8859-1"),
-    "rtf" -> "{\\rtf1\\ansi ".getBytes("ISO-8859-1"))
+    "rtf" -> "{\\rtf1\\ansi ".getBytes("ISO-8859-1"),
+    "toml" -> "title = \"x\"\n[srv]\n".getBytes("ISO-8859-1"))
 
   private def noThrow(label: String, p: Parser, b: Array[Byte]): Unit =
     try { p(b); () } catch {
