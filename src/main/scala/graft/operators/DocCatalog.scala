@@ -20,7 +20,7 @@ import org.apache.spark.sql.types._
   *    payload walk reuses it, never re-inflated;
   *  - `\documentclass` → [[LatexLake]]; `<?xml` with a `mediawiki`
   *    root → [[WikiLake]] (per page); a `---` front-matter opener or
-  *    ATX heading → [[MarkdownLake]];
+  *    ATX heading → [[MarkdownLake]]; `{\rtf` → [[RtfLake]] (r14);
   *  - anything else (or a sniffed format whose strict parse then
   *    fails) → one valid=false row: mislabeled/corrupt blobs are a
   *    CENSUS, not an error.
@@ -71,6 +71,8 @@ object DocCatalog {
     else if (startsWith(raw, "---\n") || startsWith(raw, "# ") ||
         startsWith(raw, "## "))
       MarkdownLake.parseMd(raw).map(d => ("markdown", Seq((0, d.text))))
+    else if (startsWith(raw, "{\\rtf"))
+      RtfLake.parseRtf(raw).map(d => ("rtf", Seq((0, d.text))))
     else None
   }
 

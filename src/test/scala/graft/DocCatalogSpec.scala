@@ -41,6 +41,23 @@ class DocCatalogSpec extends SparkSpec {
     assert(gotWiki.toSeq == viaWiki.toSeq, "wiki path equality")
   }
 
+  test("rtf routes through the catalog and equals RtfLake's render") {
+    // r14: the `{\rtf` magic joins the dispatch; q186's fixture and
+    // oracle are untouched (no rtf blobs there) — this pins the new
+    // branch at the unit level
+    val blobs = graft.operators.RtfLake.rtfFixture(spark, 4).collect()
+      .map(_.getAs[Array[Byte]](1))
+    blobs.foreach { b =>
+      val routed = DocCatalog.route(b)
+      assert(routed.exists(_._1 == "rtf"))
+      assert(routed.get._2 ==
+        Seq((0, graft.operators.RtfLake.parseRtf(b).get.text)))
+    }
+    // a corrupt rtf (unknown control word) censuses as None
+    assert(DocCatalog.route(
+      "{\\rtf1\\ansi \\frobnicate}".getBytes("ISO-8859-1")).isEmpty)
+  }
+
   test("unknown and corrupt blobs census as invalid") {
     def mediaDf(blobs: Seq[(Long, Array[Byte])]) =
       spark.createDataFrame(
