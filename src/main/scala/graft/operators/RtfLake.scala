@@ -160,6 +160,10 @@ object RtfLake {
                 case "u" =>
                   val v = arg.getOrElse(throw Fail)
                   if (v < 32 || v > 65535) throw Fail
+                  // lone UTF-16 surrogates are not scalar values — an
+                  // ill-formed emitted string would mangle at the
+                  // UTF8String boundary (strict-UTF-8 posture)
+                  if (v >= 0xD800 && v <= 0xDFFF) throw Fail
                   if (pendingSkip > 0) pendingSkip -= 1
                   else sb.append(v.toChar)
                   nUnicode += 1

@@ -157,6 +157,10 @@ object SqliteLake {
 
     def page(pgno: Long): Int = {
       if (pgno < 1 || pgno > nPages) throw Fail
+      // page 1 is sqlite_master's root; visited is per-walkTable, so a
+      // docs-tree pointer back to page 1 would be accepted in a second
+      // walk — only the master walk itself (root == 1) may touch it
+      if (pgno == 1 && root != 1) throw Fail
       if (!visited.add(pgno)) throw Fail // cycle / shared page
       ((pgno - 1) * ps).toInt
     }
@@ -183,6 +187,9 @@ object SqliteLake {
             val (plen, n1) = varint(raw, co)
             if (plen < 0 || plen > ps - 35) throw Fail // overflow: out of subset
             val (rowid, n2) = varint(raw, co + n1)
+            // the whole cell must live inside THIS page — a crafted cell
+            // near the page end must not read into a sibling page
+            if (co + n1 + n2 + plen > base + ps) throw Fail
             if (rowid <= lastRowid) throw Fail // ascending rowid law
             lastRowid = rowid
             out += Rec(rowid, record(raw, co + n1 + n2, plen.toInt))

@@ -95,7 +95,10 @@ object TomlLake {
                   if (!h.forall(x => x.isDigit || ('a' <= x && x <= 'f') ||
                     ('A' <= x && x <= 'F'))) throw Fail
                   val cp = Integer.parseInt(h, 16)
-                  if (cp < 0x20) throw Fail
+                  // surrogate code points are not Unicode scalar values —
+                  // a lone \uD800..\uDFFF would make an ill-formed string
+                  // (the strict-UTF-8 posture of the byte-level decode)
+                  if (cp < 0x20 || (cp >= 0xD800 && cp <= 0xDFFF)) throw Fail
                   sb += cp.toChar
                   c.p += 4
                 case _ => throw Fail
@@ -140,7 +143,12 @@ object TomlLake {
           }
         }
         if (vals.length > 256) throw Fail
-        TomlEntry("", "", "arr", Some(vals.sum), None, None,
+        // 256 elements × ±(10^18-1) can wrap Long silently — reject on
+        // overflow instead of emitting a wrapped census flagged valid
+        val sum =
+          try vals.foldLeft(0L)(Math.addExact)
+          catch { case _: ArithmeticException => throw Fail }
+        TomlEntry("", "", "arr", Some(sum), None, None,
           Some(vals.length))
       case ch if ch == '+' || ch == '-' || ch.isDigit =>
         val neg = ch == '-'
@@ -153,10 +161,15 @@ object TomlLake {
           if (nd < 1 || nd > 2) throw Fail // ≤2 decimals: exact ×100
           val frac = java.lang.Integer.parseInt(c.s.substring(ds, c.p))
           val cents = (frac * (if (nd == 1) 10 else 1)).toLong
-          // `neg` carries the "-0.xx" case parseInt cannot represent
+          // `neg` carries the "-0.xx" case parseInt cannot represent.
+          // parseInt admits up to 18 digits, so v*100 can exceed Long —
+          // reject-never-guess: overflow is a Fail, not a wrapped value.
           val x100 =
-            if (v < 0 || (v == 0 && neg)) v * 100 - cents
-            else v * 100 + cents
+            try {
+              val scaled = Math.multiplyExact(v, 100L)
+              if (v < 0 || (v == 0 && neg)) Math.subtractExact(scaled, cents)
+              else Math.addExact(scaled, cents)
+            } catch { case _: ArithmeticException => throw Fail }
           TomlEntry("", "", "float", None, None, Some(x100), None)
         } else TomlEntry("", "", "int", Some(v), None, None, None)
       case _ => throw Fail // dates, exponents, nested arrays: out

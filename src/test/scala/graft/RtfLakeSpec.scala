@@ -63,6 +63,9 @@ class RtfLakeSpec extends SparkSpec {
       "uc above 4" -> "{\\rtf1\\ansi \\uc9 x}",
       "u below 32" -> "{\\rtf1\\ansi \\u31 x}",
       "u without arg" -> "{\\rtf1\\ansi \\u x}",
+      // lone UTF-16 surrogates are not scalar values (ADVICE r14)
+      "u lone surrogate low bound" -> "{\\rtf1\\ansi \\u55296 x}",
+      "u lone surrogate high bound" -> "{\\rtf1\\ansi \\u57343 x}",
       "bare backslash-minus-nothing" -> "{\\rtf1\\ansi \\b- x}",
       "raw 8-bit byte" -> "{\\rtf1\\ansi hé}",
       "depth bomb" -> ("{\\rtf1\\ansi " + "{" * 40 + "}" * 40 + "}"),
@@ -72,6 +75,9 @@ class RtfLakeSpec extends SparkSpec {
     }
     assert(RtfLake.parseRtf(null).isEmpty)
     assert(RtfLake.parseRtf(Array.emptyByteArray).isEmpty)
+    // boundary code points just OUTSIDE the surrogate range still parse
+    assert(parse("{\\rtf1\\ansi \\u55295 x}").nonEmpty, "U+D7FF ok")
+    assert(parse("{\\rtf1\\ansi \\u57344 x}").nonEmpty, "U+E000 ok")
     // a raw control byte in the data stream (built as bytes so the
     // source file itself stays hygiene-clean)
     assert(RtfLake.parseRtf("{\\rtf1\\ansi h".getBytes("ISO-8859-1") ++

@@ -181,7 +181,28 @@ class SqliteLakeSpec extends SparkSpec {
         SqliteLake.leafPage(512, 0, Seq((1L, Array[Byte](9, 8)))))),
       "bad utf8 in text" -> db(Seq(p1,
         SqliteLake.leafPage(512, 0, Seq((1L,
-          Array[Byte](2, 15) ++ Array[Byte](0xff.toByte)))))))
+          Array[Byte](2, 15) ++ Array[Byte](0xff.toByte)))))),
+      // ADVICE r14: a cell whose payload extends past its own page must
+      // not read into the sibling page (which here holds a record that
+      // WOULD decode — the lie is only visible to the bound check)
+      "leaf cell payload reads into sibling page" -> {
+        val evil = new Array[Byte](512)
+        evil(0) = 13
+        evil(4) = 1 // one cell
+        evil(5) = (510 >> 8).toByte; evil(6) = 510.toByte // contentStart
+        evil(8) = (510 >> 8).toByte; evil(9) = 510.toByte // cell ptr
+        evil(510) = 2 // plen varint: 2 payload bytes...
+        evil(511) = 1 // rowid varint — payload would start in page 3
+        val sibling = new Array[Byte](512)
+        sibling(0) = 2; sibling(1) = 8 // a decodable record: int 0
+        db(Seq(p1, evil, sibling))
+      },
+      // ADVICE r14: page 1 is sqlite_master — a docs-tree child pointer
+      // back to it must reject even though visited is per-walk
+      "interior child pointer back into page 1" -> db(Seq(
+        SqliteLake.leafPage(512, 100, Seq((1L, master(2L)))),
+        SqliteLake.interiorPage(512, Seq((1L, 1L)), 3L),
+        SqliteLake.leafPage(512, 0, Seq((2L, rec(9)))))))
     cases.foreach { case (name, b) =>
       assert(SqliteLake.parseSqlite(b).isEmpty, name)
     }

@@ -83,7 +83,15 @@ class TomlLakeSpec extends SparkSpec {
       "array missing comma" -> "k = [1 2]",
       "unclosed table header" -> "[t\nk = 1",
       "empty document" -> "# only a comment\n",
-      "18-quintillion overflow" -> ("k = " + "9" * 19))
+      "18-quintillion overflow" -> ("k = " + "9" * 19),
+      // overflow in derived values must reject, never wrap (ADVICE r14)
+      "float x100 wraps Long" -> ("k = " + "9" * 18 + ".5"),
+      "negative float x100 wraps Long" -> ("k = -" + "9" * 18 + ".5"),
+      "array sum wraps Long" ->
+        ("k = [" + Seq.fill(10)("9" * 18).mkString(", ") + "]"),
+      // lone UTF-16 surrogate escape is not a scalar value (ADVICE r14)
+      "surrogate escape low bound" -> "k = \"a\\uD800b\"",
+      "surrogate escape high bound" -> "k = \"a\\uDFFFb\"")
     cases.foreach { case (name, s) =>
       assert(parse(s).isEmpty, name)
     }
