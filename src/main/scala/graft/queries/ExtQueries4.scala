@@ -2022,15 +2022,22 @@ object ExtQueries4 {
        ORDER BY t.id, t.k"""
 
   // ---------------------------------------------------------------
-  // q165 — TAR bundle extraction (POSIX ustar): 40 bundles, each a
-  // leading directory entry plus 3-6 file entries whose paths
-  // alternate between full-name and prefix[155]-split encodings
-  // (both must join to the same path); every second bundle is a REAL
-  // .tar.gz (single RFC 1952 member, CRC-32 + ISIZE verified, FNAME
-  // header field present). Header checksums, strict octal fields,
-  // zero-block termination and zero payload padding are all enforced;
-  // stats come from the EXTRACTED text so the hash gate spans the
-  // gzip + tar chain. Corruption matrix is spec-gated in TarLakeSpec.
+  // q165 — TAR bundle extraction (POSIX ustar + pax + GNU longname):
+  // 40 bundles, each a leading directory entry plus 3-6 file entries.
+  // The WIRE encoding routes by bundle index while the decoded laws
+  // stay identical (the oracle is format-blind): i%4==0|2 POSIX with
+  // prefix[155]-split paths, i%4==1 old-GNU magic (`ustar  \0`) with
+  // 'L' longname records, i%4==3 pax with a 'g' global header and
+  // per-entry 'x' records whose path/size/mtime OVERRIDE a truncated
+  // name, a zeroed size field and a zero mtime (pax mtime carries a
+  // fractional part that must floor) — the overrides are load-bearing.
+  // Every second bundle is a REAL .tar.gz (single RFC 1952 member,
+  // CRC-32 + ISIZE verified, FNAME header field present). Header
+  // checksums, strict octal fields, pax record framing, zero-block
+  // termination and zero payload padding are all enforced; stats come
+  // from the EXTRACTED text so the hash gate spans the gzip + tar
+  // chain. Corruption + pax strictness matrices are spec-gated in
+  // TarLakeSpec.
   private val TarN = 40
 
   def q165(s: SparkSession, dir: String): DataFrame = {
