@@ -421,16 +421,24 @@ object TorchLake {
     head ++ body ++ Array[Byte](0x75, 0x2e) // SETITEMS, STOP
   }
 
-  private def zip(entries: Seq[(String, Array[Byte])]): Array[Byte] = {
-    val bos = new java.io.ByteArrayOutputStream()
-    val z = new java.util.zip.ZipOutputStream(bos)
-    entries.foreach { case (name, data) =>
-      z.putNextEntry(new java.util.zip.ZipEntry(name))
-      z.write(data)
-      z.closeEntry()
+  private def zip(entries: Seq[(String, Array[Byte])],
+      zip64: Boolean = false): Array[Byte] = {
+    // real >4 GiB checkpoints are ZIP64 containers; the fixture marks
+    // some SMALL ones ZIP64 (sentinel extras + EOCD64) the way some
+    // writers do, so the walk's ZIP64 path is exercised end to end
+    if (zip64)
+      ZipLake.writeZip64(entries.map { case (n, d) => (n, d, false) })
+    else {
+      val bos = new java.io.ByteArrayOutputStream()
+      val z = new java.util.zip.ZipOutputStream(bos)
+      entries.foreach { case (name, data) =>
+        z.putNextEntry(new java.util.zip.ZipEntry(name))
+        z.write(data)
+        z.closeEntry()
+      }
+      z.close()
+      bos.toByteArray
     }
-    z.close()
-    bos.toByteArray
   }
 
   private[graft] def fixtureVal(i: Int, t: Int, j: Long): Int =
@@ -462,7 +470,8 @@ object TorchLake {
         (s"archive/data/$key", data)
       }
       val blob = zip(Seq(("archive/data.pkl", pkl)) ++ storageEntries ++
-        Seq(("archive/version", "3\n".getBytes(StandardCharsets.US_ASCII))))
+        Seq(("archive/version", "3\n".getBytes(StandardCharsets.US_ASCII))),
+        zip64 = i % 3 == 1)
       Row(i.toLong, blob)
     }
     spark.createDataFrame(

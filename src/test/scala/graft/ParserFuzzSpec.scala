@@ -223,7 +223,14 @@ class ParserFuzzSpec extends AnyFunSuite {
         "<urn:uuid:0-0>", "w1 w2 w3"), fname = Some("r.warc")) ++
         Warc.recordBytes("metadata", "", "2024-01-01T00:00:01Z",
           "<urn:uuid:0-1>", "w4 w5")
-    })
+    },
+    // three entries hit all three ZIP64 sentinel shapes (sizes / lho /
+    // all+disk)
+    "zip64" -> graft.operators.ZipLake.writeZip64(Seq(
+      ("a.txt", "q1 q2 9".getBytes("UTF-8"), false),
+      ("b.txt", "q3 4".getBytes("UTF-8"), true),
+      ("c.txt", "q5".getBytes("UTF-8"), false)),
+      sentinelEocd = true, comment = "c"))
 
   test("every single-byte corruption of a valid stream never throws") {
     validStreams.foreach { case (sname, v) =>

@@ -3,7 +3,8 @@ package graft
 import graft.operators.ZipLake
 
 /** ZIP central-directory walk: JDK-encoder round-trip, EOCD comment
-  * search, corruption matrix, strictness rejects. */
+  * search, ZIP64 (EOCD64 + locator + sentinel extras), corruption
+  * matrices, strictness rejects. */
 class ZipLakeSpec extends SparkSpec {
 
   private def mkZip(
@@ -85,6 +86,81 @@ class ZipLakeSpec extends SparkSpec {
     for (k <- 1 until cases.length)
       assert(out.filter(_.getLong(0) == k.toLong)
         .forall(!_.getAs[Boolean]("valid")), s"variant $k must flag")
+  }
+
+  test("ZIP64 archives round-trip: sentinel shapes, both EOCD conventions") {
+    val bodies = Seq(
+      ("a.txt", "alpha beta 12".getBytes("UTF-8"), false), // sizes sentineled
+      ("dir/b.bin", Array.tabulate(5000)(i => (i * 37 % 251).toByte),
+        true), // lho sentineled
+      ("c.txt", Array.empty[Byte], false), // all three + disk sentineled
+      ("d.txt", "z9 z8 z7".getBytes("UTF-8"), true))
+    for (sent <- Seq(true, false);
+         comment <- Seq("", "zip64 trailing comment")) {
+      val z = ZipLake.writeZip64(bodies, sentinelEocd = sent,
+        comment = comment)
+      val got = ZipLake.parseZip(z)
+      assert(got.isDefined, s"sentinelEocd=$sent comment=$comment")
+      val es = got.get
+      assert(es.map(_.name) == bodies.map(_._1))
+      assert(es.map(_.method) ==
+        Seq("deflate", "stored", "deflate", "stored"))
+      es.zip(bodies).foreach { case (e, (_, body, _)) =>
+        assert(java.util.Arrays.equals(e.payload, body), e.name)
+        assert(e.uncompSize == body.length.toLong)
+      }
+    }
+  }
+
+  test("ZIP64 corruption matrix: every structural lie rejects") {
+    val bodies = Seq(
+      ("x.txt", "words here 42".getBytes("UTF-8"), false),
+      ("y.txt", "more text".getBytes("UTF-8"), true),
+      ("z.txt", "tail 7".getBytes("UTF-8"), false))
+    val good = ZipLake.writeZip64(bodies, sentinelEocd = true)
+    val L = good.length
+    // fixed tail layout (no comment): EOCD 22 + locator 20 + EOCD64 56
+    val eocd = L - 22
+    val loc = L - 42
+    val e64 = L - 98
+    def u64(b: Array[Byte], o: Int): Long =
+      (0 until 8).map(i => (b(o + i) & 0xffL) << (8 * i)).sum
+    assert((good(e64) & 0xff) == 0x50 && (good(loc) & 0xff) == 0x50,
+      "layout sanity: EOCD64 + locator signatures where expected")
+    val cdOff = u64(good, e64 + 48).toInt
+    def mut(f: Array[Byte] => Unit): Array[Byte] = {
+      val c = good.clone(); f(c); c
+    }
+    val cases: Seq[(String, Array[Byte])] = Seq(
+      // a broken locator must NOT silently downgrade to classic parse
+      "locator signature flip" -> mut(c => c(loc) = 0x51.toByte),
+      "EOCD64 signature flip" -> mut(c => c(e64) = 0x51.toByte),
+      "EOCD64 record size lie" -> mut(c => c(e64 + 4) = 45.toByte),
+      "EOCD64 disk nonzero" -> mut(c => c(e64 + 16) = 1.toByte),
+      "entry counts disagree" ->
+        mut(c => c(e64 + 24) = (c(e64 + 24) + 1).toByte),
+      "cd offset lie" -> mut(c => c(e64 + 48) = (c(e64 + 48) ^ 1).toByte),
+      "locator total disks = 2" -> mut(c => c(loc + 16) = 2.toByte),
+      "locator eocd64 disk = 1" -> mut(c => c(loc + 4) = 1.toByte),
+      // first CD entry (x.txt, 5-char name): sizes sentineled, so its
+      // extra is id(2)+len(2)+16 at cdOff+46+5
+      "zip64 extra id flipped away" ->
+        mut(c => c(cdOff + 46 + 5) = 2.toByte),
+      "zip64 extra length lie" ->
+        mut(c => c(cdOff + 46 + 5 + 2) = 17.toByte),
+      "zip64 uncomp size lie" ->
+        mut(c => c(cdOff + 46 + 5 + 4) = (c(cdOff + 46 + 5 + 4) + 1).toByte))
+    cases.foreach { case (name, b) =>
+      assert(ZipLake.parseZip(b).isEmpty, name)
+    }
+    assert(ZipLake.parseZip(good).nonEmpty, "control: unmutated parses")
+    // EOCD classic-field disagreement on a real-valued (non-sentinel)
+    // ZIP64 archive
+    val real = ZipLake.writeZip64(bodies, sentinelEocd = false)
+    val cnt = real.clone()
+    cnt(cnt.length - 22 + 10) = (cnt(cnt.length - 22 + 10) + 1).toByte
+    assert(ZipLake.parseZip(cnt).isEmpty, "EOCD count disagrees with ZIP64")
+    assert(ZipLake.parseZip(real).nonEmpty, "control: real-valued parses")
   }
 
   test("fixture laws replay through the DataFrame surface") {
