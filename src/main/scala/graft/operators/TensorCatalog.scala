@@ -4,24 +4,29 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Mixed-format tensor/model-artifact catalog: magic-byte sniff +
-  * dispatch over the four weight-container formats a model-hub crawl
-  * actually yields — GGUF, SafeTensors, NPY, PyTorch zip checkpoints
-  * — unified onto one (id, fmt, seq, name, n_elems, sig) schema.
+  * dispatch over the five weight-container formats a model-hub crawl
+  * actually yields — GGUF, SafeTensors, NPY, PyTorch zip checkpoints,
+  * ONNX — unified onto one (id, fmt, seq, name, n_elems, sig) schema.
   * The tensor twin of [[DocCatalog]] (q186) and the audio catalog
   * (q154): blob format labels can't be trusted, so the FIRST
   * operator a real lake runs is a sniffer.
   *
-  * Sniff precedence (first match wins; the safetensors shape has no
-  * leading magic, so it is the guarded fallback): `GGUF` → GgufLake;
-  * `NUMPY` → TensorLake.extractNpy; `PK` → TorchLake; an
-  * 8-byte LE header length whose 9th byte opens a JSON object →
-  * TensorLake.extractSafetensors; anything else (or a sniffed format
-  * whose STRICT extractor then rejects) → one valid=false census
-  * row, never an error.
+  * Sniff precedence (first match wins; the safetensors and ONNX
+  * shapes have no leading magic, so they are guarded fallbacks):
+  * `GGUF` → GgufLake; `NUMPY` → TensorLake.extractNpy; `PK` →
+  * TorchLake; an 8-byte LE header length whose 9th byte opens a JSON
+  * object → TensorLake.extractSafetensors; a leading 0x08 byte (the
+  * ModelProto ir_version tag — bare protobuf has no magic) →
+  * OnnxLake; anything else (or a sniffed format whose STRICT
+  * extractor then rejects) → one valid=false census row, never an
+  * error. The two guarded fallbacks can in principle collide (a
+  * safetensors header of exactly 8+256k bytes starts 0x08; an ONNX
+  * blob could carry '{' at offset 8) — the '{' check runs first and
+  * either way the strict loser-parse flags rather than lies.
   *
   * `sig` pins content per family: the md5 digests the Catalyst
   * extractors compute (SafeTensors/NPY), the integer-exact decoded
-  * value sums of the byte-walk extractors (GGUF/Torch) — so the
+  * value sums of the byte-walk extractors (GGUF/Torch/ONNX) — so the
   * catalog is still a CONTENT gate, not just a router. */
 object TensorCatalog {
 
@@ -34,9 +39,10 @@ object TensorCatalog {
       .when(substring(bin, 1, 2) === lit("PK".getBytes("US-ASCII")), "torch")
       .when(substring(bin, 9, 1) === lit("{".getBytes("US-ASCII")),
         "safetensors")
+      .when(substring(bin, 1, 1) === lit(Array[Byte](0x08)), "onnx")
       .otherwise("unknown")
 
-  /** One row per tensor (or flagged file) across all four formats. */
+  /** One row per tensor (or flagged file) across all five formats. */
   def catalogTensors(df: DataFrame, idCol: String, binCol: String)
     : DataFrame = {
     val base = df.select(col(idCol).cast("long").as("id"),
@@ -72,6 +78,13 @@ object TensorCatalog {
         when(col("valid"),
           col("value_sum").cast("long").cast("string")).as("sig"),
         col("valid"))
+    val onnx = OnnxLake
+      .extractOnnx(base.where(col("fmt") === "onnx"), "id", "media")
+      .select(col("id"), lit("onnx").as("fmt"), col("tidx").as("seq"),
+        col("tname").as("name"), col("nelem").as("n_elems"),
+        when(col("valid"),
+          col("value_sum").cast("long").cast("string")).as("sig"),
+        col("valid"))
     val unknown = base.where(col("fmt") === "unknown")
       .select(col("id"), lit("unknown").as("fmt"),
         lit(null).cast("int").as("seq"),
@@ -79,19 +92,20 @@ object TensorCatalog {
         lit(null).cast("long").as("n_elems"),
         lit(null).cast("string").as("sig"), lit(false).as("valid"))
 
-    gguf.union(st).union(npy).union(th).union(unknown)
+    gguf.union(st).union(npy).union(th).union(onnx).union(unknown)
   }
 
-  /** Fixture: the four family fixtures interleaved as id = 4m + f
-    * (f = 0 gguf, 1 safetensors, 2 npy, 3 torch) so every partition
-    * carries every format; each family keeps its own laws. */
+  /** Fixture: the five family fixtures interleaved as id = 5m + f
+    * (f = 0 gguf, 1 safetensors, 2 npy, 3 torch, 4 onnx) so every
+    * partition carries every format; each family keeps its own laws. */
   def tensorCatalogFixture(spark: org.apache.spark.sql.SparkSession,
       perFmt: Int): DataFrame = {
     def remap(df: DataFrame, f: Int): DataFrame =
-      df.select((col("id") * 4 + f).as("id"), col("media"))
+      df.select((col("id") * 5 + f).as("id"), col("media"))
     remap(GgufLake.ggufFixture(spark, perFmt), 0)
       .union(remap(TensorLake.safetensorsFixture(spark, perFmt), 1))
       .union(remap(TensorLake.npyFixture(spark, perFmt), 2))
       .union(remap(TorchLake.torchFixture(spark, perFmt), 3))
+      .union(remap(OnnxLake.onnxFixture(spark, perFmt), 4))
   }
 }

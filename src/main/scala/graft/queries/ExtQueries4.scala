@@ -4823,13 +4823,13 @@ object ExtQueries4 {
 
   // ---------------------------------------------------------------
   // q215 — mixed-format TENSOR catalog (magic sniff + dispatch over
-  // GGUF / SafeTensors / NPY / PyTorch-zip — the model-hub twin of
-  // the q186 document catalog and the q154 audio catalog): 10 files
-  // per format interleaved as id = 4m+f so every partition carries
-  // every format; all four unified onto one (fmt, seq, name,
+  // GGUF / SafeTensors / NPY / PyTorch-zip / ONNX — the model-hub
+  // twin of the q186 document catalog and the q154 audio catalog):
+  // 10 files per format interleaved as id = 5m+f so every partition
+  // carries every format; all five unified onto one (fmt, seq, name,
   // n_elems, sig) schema where sig is still a CONTENT pin (md5
   // digests / integer-exact decoded value sums). The oracle is the
-  // UNION of all four family laws — routing or extraction drift in
+  // UNION of all five family laws — routing or extraction drift in
   // any branch fails the hash gate.
   private val TCatPerFmt = 10
 
@@ -4851,7 +4851,7 @@ object ExtQueries4 {
            3 + (m + t) % 4 AS d0, 2 + t % 3 AS d1
          FROM gg0),
        gg AS (
-         SELECT 4 * m AS id, 'gguf' AS fmt, t AS seq,
+         SELECT 5 * m AS id, 'gguf' AS fmt, t AS seq,
            'blk.' || t || '.w' AS name,
            CAST(CASE WHEN nd = 1 THEN d0 ELSE d0 * d1 END AS BIGINT)
              AS n_elems,
@@ -4870,7 +4870,7 @@ object ExtQueries4 {
             for i in range(0, 1 + (m + k) % 3)] AS dims
          FROM st0),
        st AS (
-         SELECT 4 * m + 1 AS id, 'safetensors' AS fmt, k AS seq,
+         SELECT 5 * m + 1 AS id, 'safetensors' AS fmt, k AS seq,
            't' || k AS name,
            CAST(list_product(dims) AS BIGINT) AS n_elems,
            md5(array_to_string(
@@ -4887,7 +4887,7 @@ object ExtQueries4 {
            [1 + (m + 3 * i) % 5 for i in range(0, m % 4)] AS dims
          FROM ms),
        np AS (
-         SELECT 4 * m + 2 AS id, 'npy' AS fmt, CAST(0 AS INT) AS seq,
+         SELECT 5 * m + 2 AS id, 'npy' AS fmt, CAST(0 AS INT) AS seq,
            '' AS name,
            CAST(CASE WHEN rank = 0 THEN 1 ELSE list_product(dims) END
              AS BIGINT) AS n_elems,
@@ -4912,16 +4912,36 @@ object ExtQueries4 {
              * (CASE WHEN nd >= 3 THEN 2 ELSE 1 END) AS BIGINT) AS nelem
          FROM th1),
        th AS (
-         SELECT 4 * m + 3 AS id, 'torch' AS fmt, t AS seq,
+         SELECT 5 * m + 3 AS id, 'torch' AS fmt, t AS seq,
            'layer.' || t || '.weight' AS name, nelem AS n_elems,
            CAST(CAST(list_sum([(m * 31 + t * 17 + j * 7) % 200 - 100
              for j in range(off, off + nelem)]) AS BIGINT) AS VARCHAR)
              AS sig,
            true AS valid
-         FROM th2)
+         FROM th2),
+       -- f=4: ONNX (q217 laws)
+       ox0 AS (
+         SELECT m, CAST(unnest(range(0, 2 + m % 3)) AS INT) AS t FROM ms),
+       ox1 AS (
+         SELECT m, t, CAST(1 + (m + t) % 3 AS INT) AS nd,
+           2 + (m + t) % 3 AS d0, 1 + t % 3 AS d1
+         FROM ox0),
+       ox2 AS (
+         SELECT *,
+           CAST(d0 * (CASE WHEN nd >= 2 THEN d1 ELSE 1 END)
+             * (CASE WHEN nd >= 3 THEN 2 ELSE 1 END) AS BIGINT) AS nelem
+         FROM ox1),
+       ox AS (
+         SELECT 5 * m + 4 AS id, 'onnx' AS fmt, t AS seq,
+           'w.' || t AS name, nelem AS n_elems,
+           CAST(CAST(list_sum([(m * 29 + t * 13 + j * 5) % 256 - 128
+             for j in range(0, nelem)]) AS BIGINT) AS VARCHAR) AS sig,
+           true AS valid
+         FROM ox2)
        SELECT id, fmt, seq, name, n_elems, sig, valid FROM (
          SELECT * FROM gg UNION ALL SELECT * FROM st
-         UNION ALL SELECT * FROM np UNION ALL SELECT * FROM th)
+         UNION ALL SELECT * FROM np UNION ALL SELECT * FROM th
+         UNION ALL SELECT * FROM ox)
        ORDER BY id, seq"""
 
   // ---------------------------------------------------------------
@@ -4980,6 +5000,50 @@ object ExtQueries4 {
            AS INT) AS arr_n,
          true AS valid
        FROM d ORDER BY id, seq"""
+
+  // ---------------------------------------------------------------
+  // q217 — ONNX model-container extraction (onnx.proto, proto3 —
+  // the fourth weight format a hub crawl yields next to GGUF/
+  // SafeTensors/Torch): 40 models, each a schema-bound ModelProto
+  // walk — ir_version + opset_import validated, node/input/output
+  // payloads skipped by LEN framing, initializer TensorProtos
+  // decoded exactly (dims PACKED for even i+t and unpacked for odd —
+  // same decode either way; float32 raw_data little-endian; value
+  // sums hash-gate content). Unknown fields, float_data, external
+  // data and non-FLOAT dtypes reject. Wire strictness (minimal
+  // varints, exact tiling) is spec-gated in OnnxLakeSpec.
+  private val OnnxN = 40
+
+  def q217(s: SparkSession, dir: String): DataFrame = {
+    val fx = graft.operators.OnnxLake.onnxFixture(s, OnnxN)
+    graft.operators.OnnxLake.extractOnnx(fx, "id", "media")
+      .select(col("id"), col("tidx"), col("tname"), col("n_dims"),
+        col("nelem"), col("value_sum"), col("ir"), col("n_opsets"),
+        col("gname"), col("valid"))
+      .orderBy("id", "tidx")
+  }
+
+  val q217Sql: String =
+    s"""WITH base AS (
+         SELECT r AS id, 2 + r % 3 AS nt FROM range(0, $OnnxN) t(r)),
+       tens AS (
+         SELECT id, CAST(unnest(range(0, nt)) AS INT) AS tidx FROM base),
+       d AS (
+         SELECT id, tidx, CAST(1 + (id + tidx) % 3 AS INT) AS nd,
+           2 + (id + tidx) % 3 AS d0, 1 + tidx % 3 AS d1
+         FROM tens),
+       e AS (
+         SELECT *,
+           CAST(d0 * (CASE WHEN nd >= 2 THEN d1 ELSE 1 END)
+             * (CASE WHEN nd >= 3 THEN 2 ELSE 1 END) AS BIGINT) AS nelem
+         FROM d)
+       SELECT id, tidx, 'w.' || tidx AS tname, nd AS n_dims, nelem,
+         CAST(list_sum([(id * 29 + tidx * 13 + j * 5) % 256 - 128
+           for j in range(0, nelem)]) AS DOUBLE) AS value_sum,
+         CAST(7 + id % 3 AS BIGINT) AS ir,
+         CAST(1 + id % 2 AS INT) AS n_opsets,
+         'g' || id AS gname, true AS valid
+       FROM e ORDER BY id, tidx"""
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q125_label_propagation" -> (q125 _),
@@ -5073,7 +5137,8 @@ object ExtQueries4 {
     "q213_rtf_extract" -> (q213 _),
     "q214_proto_census" -> (q214 _),
     "q215_tensor_catalog" -> (q215 _),
-    "q216_toml_extract" -> (q216 _))
+    "q216_toml_extract" -> (q216 _),
+    "q217_onnx_extract" -> (q217 _))
 
   val oracles: Map[String, String] = Map(
     "q125_label_propagation" -> q125Sql,
@@ -5167,5 +5232,6 @@ object ExtQueries4 {
     "q213_rtf_extract" -> q213Sql,
     "q214_proto_census" -> q214Sql,
     "q215_tensor_catalog" -> q215Sql,
-    "q216_toml_extract" -> q216Sql)
+    "q216_toml_extract" -> q216Sql,
+    "q217_onnx_extract" -> q217Sql)
 }

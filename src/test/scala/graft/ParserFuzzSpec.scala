@@ -78,7 +78,8 @@ class ParserFuzzSpec extends AnyFunSuite {
     "parseBmp" -> (b => graft.operators.BmpLake.parseBmp(b)),
     "parseRtf" -> (b => graft.operators.RtfLake.parseRtf(b)),
     "parseProto" -> (b => graft.operators.ProtoLake.parseProto(b)),
-    "parseToml" -> (b => graft.operators.TomlLake.parseToml(b)))
+    "parseToml" -> (b => graft.operators.TomlLake.parseToml(b)),
+    "parseOnnx" -> (b => graft.operators.OnnxLake.parseOnnx(b)))
 
   private val magics: Seq[(String, Array[Byte])] = Seq(
     "wav" -> ("RIFF\u0000\u0000\u0000\u0000WAVE").getBytes("ISO-8859-1"),
@@ -230,7 +231,10 @@ class ParserFuzzSpec extends AnyFunSuite {
       ("a.txt", "q1 q2 9".getBytes("UTF-8"), false),
       ("b.txt", "q3 4".getBytes("UTF-8"), true),
       ("c.txt", "q5".getBytes("UTF-8"), false)),
-      sentinelEocd = true, comment = "c"))
+      sentinelEocd = true, comment = "c"),
+    "onnx" -> graft.operators.OnnxLake.encModel(8L, Seq(("", 17L)), "g",
+      Seq(graft.operators.OnnxLake.encTensor("w", Seq(2L, 2L),
+        Seq(1f, -2f, 3f, 4f), packedDims = true))))
 
   test("every single-byte corruption of a valid stream never throws") {
     validStreams.foreach { case (sname, v) =>

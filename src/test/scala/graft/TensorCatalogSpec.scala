@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{GgufLake, TensorCatalog, TensorLake, TorchLake}
+import graft.operators.{GgufLake, OnnxLake, TensorCatalog, TensorLake, TorchLake}
 
 /** Tensor-catalog dispatch: path equality vs the dedicated
   * extractors per format, unknown/corrupt routing census,
@@ -14,30 +14,30 @@ class TensorCatalogSpec extends SparkSpec {
       TensorCatalog.tensorCatalogFixture(spark, 6), "id", "media")
       .orderBy("id", "seq").collect()
     assert(out.forall(_.getBoolean(6)))
-    // gguf ids (4m): name/numel/sig equal extractGguf's
+    // gguf ids (5m): name/numel/sig equal extractGguf's
     val gguf = out.filter(_.getString(1) == "gguf")
     val direct = GgufLake.extractGguf(
       GgufLake.ggufFixture(spark, 6), "id", "media")
       .orderBy("id", "tidx").collect()
     assert(gguf.length == direct.length)
     gguf.zip(direct).foreach { case (c, d) =>
-      assert(c.getLong(0) == d.getLong(0) * 4)
+      assert(c.getLong(0) == d.getLong(0) * 5)
       assert(c.getString(3) == d.getString(2)) // name
       assert(c.getLong(4) == d.getLong(5)) // numel
       assert(c.getString(5) == d.getDouble(7).toLong.toString) // sig
     }
-    // torch ids (4m+3): sig equals the decoded view sum
+    // torch ids (5m+3): sig equals the decoded view sum
     val th = out.filter(_.getString(1) == "torch")
     val thd = TorchLake.extractCheckpoint(
       TorchLake.torchFixture(spark, 6), "id", "media")
       .orderBy("id", "tidx").collect()
     assert(th.length == thd.length)
     th.zip(thd).foreach { case (c, d) =>
-      assert(c.getLong(0) == d.getLong(0) * 4 + 3)
+      assert(c.getLong(0) == d.getLong(0) * 5 + 3)
       assert(c.getString(3) == d.getString(2))
       assert(c.getString(5) == d.getDouble(9).toLong.toString)
     }
-    // safetensors (4m+1) and npy (4m+2): digests equal the Catalyst
+    // safetensors (5m+1) and npy (5m+2): digests equal the Catalyst
     // extractors'
     val st = out.filter(_.getString(1) == "safetensors")
     val std = TensorLake.extractSafetensors(
@@ -45,10 +45,22 @@ class TensorCatalogSpec extends SparkSpec {
       .orderBy("id", "name").collect()
     assert(st.map(r => (r.getLong(0), r.getString(3), r.getString(5)))
       .toSeq ==
-      std.map(r => (r.getLong(0) * 4 + 1, r.getString(1),
+      std.map(r => (r.getLong(0) * 5 + 1, r.getString(1),
         r.getString(8))).toSeq)
     val np = out.filter(_.getString(1) == "npy")
     assert(np.length == 6 && np.forall(r => r.getInt(2) == 0))
+    // onnx ids (5m+4): sig equals the decoded float32 value sum
+    val ox = out.filter(_.getString(1) == "onnx")
+    val oxd = OnnxLake.extractOnnx(
+      OnnxLake.onnxFixture(spark, 6), "id", "media")
+      .orderBy("id", "tidx").collect()
+    assert(ox.length == oxd.length)
+    ox.zip(oxd).foreach { case (c, d) =>
+      assert(c.getLong(0) == d.getLong(0) * 5 + 4)
+      assert(c.getString(3) == d.getString(2)) // name
+      assert(c.getLong(4) == d.getLong(4)) // nelem
+      assert(c.getString(5) == d.getDouble(5).toLong.toString) // sig
+    }
   }
 
   test("unknown and corrupt blobs census as valid=false, never error") {
@@ -70,13 +82,13 @@ class TensorCatalogSpec extends SparkSpec {
 
   test("cross-format discrimination: no blob reaches a wrong branch") {
     // every fixture blob must be routed to its own family — count per
-    // (id % 4, fmt) is diagonal
+    // (id % 5, fmt) is diagonal
     val fx = TensorCatalog.tensorCatalogFixture(spark, 8)
     val routed = TensorCatalog.catalogTensors(fx, "id", "media")
-      .select(pmod(col("id"), lit(4)).as("f"), col("fmt"))
+      .select(pmod(col("id"), lit(5)).as("f"), col("fmt"))
       .distinct().collect()
       .map(r => (r.getLong(0), r.getString(1))).toSet
     assert(routed == Set((0L, "gguf"), (1L, "safetensors"),
-      (2L, "npy"), (3L, "torch")))
+      (2L, "npy"), (3L, "torch"), (4L, "onnx")))
   }
 }
