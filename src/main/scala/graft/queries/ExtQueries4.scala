@@ -1815,13 +1815,18 @@ object ExtQueries4 {
   // q161 — charset detection + decode (the byte→text step of web
   // ingestion): 40 buffers cycling BOM'd UTF-8 / UTF-16LE / UTF-16BE
   // / raw windows-1252 (0x80-0x9F-row characters, not valid UTF-8) /
-  // BOM-less UTF-8, each decoded through the documented detection
-  // ladder (BOM → strict RFC 3629 UTF-8 validation → strict cp1252).
-  // The oracle states each row's expected charset and exact decoded
-  // text as literals, so the hash gate pins BOM handling, the
-  // validator and the fallback mapping. Malformed-payload rejects
-  // (BOM + truncated sequence, odd UTF-16 length, unpaired
-  // surrogates, undefined cp1252 bytes) are spec-gated.
+  // BOM-less UTF-8 / BOM-less UTF-16LE / BOM-less UTF-16BE, each
+  // decoded through the documented detection ladder (BOM → strict
+  // NUL-parity UTF-16 sniff with reject-on-ambiguity → strict RFC
+  // 3629 UTF-8 validation → strict cp1252). The BOM-less UTF-16LE
+  // rows are the load-bearing part: their ASCII-majority bytes are
+  // bytewise VALID UTF-8, so only the parity sniff keeps them from
+  // decoding as NUL-riddled UTF-8. The oracle states each row's
+  // expected charset and exact decoded text as literals, so the hash
+  // gate pins BOM handling, the sniff, the validator and the
+  // fallback mapping. Malformed-payload rejects (BOM + truncated
+  // sequence, odd UTF-16 length, unpaired surrogates, ambiguous
+  // parity, undefined cp1252 bytes) are spec-gated.
   private val CharsetN = 40
 
   def q161(s: SparkSession, dir: String): DataFrame = {
@@ -1837,15 +1842,18 @@ object ExtQueries4 {
          CAST(length(text) AS BIGINT) AS n_chars, true AS valid
        FROM (
          SELECT r AS id,
-           CASE r % 5 WHEN 0 THEN 'utf-8' WHEN 1 THEN 'utf-16le'
+           CASE r % 7 WHEN 0 THEN 'utf-8' WHEN 1 THEN 'utf-16le'
                 WHEN 2 THEN 'utf-16be' WHEN 3 THEN 'windows-1252'
-                ELSE 'utf-8' END AS charset,
-           CASE r % 5
+                WHEN 4 THEN 'utf-8' WHEN 5 THEN 'utf-16le'
+                ELSE 'utf-16be' END AS charset,
+           CASE r % 7
              WHEN 0 THEN 'café € menu ' || r
              WHEN 1 THEN '日本語 text ' || r
              WHEN 2 THEN 'snowman ☃ row ' || r
              WHEN 3 THEN 'quote “w' || r || '” dash – eur €'
-             ELSE 'plain ascii line ' || r END AS text
+             WHEN 4 THEN 'plain ascii line ' || r
+             WHEN 5 THEN 'win export ' || r || ' é☃'
+             ELSE 'be dump ' || r || ' Ω' END AS text
          FROM range(0, $CharsetN) t(r))
        ORDER BY id"""
 
