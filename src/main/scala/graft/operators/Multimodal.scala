@@ -4522,38 +4522,55 @@ object Multimodal {
   // retrieval whose join keys scale with the corpus — the image and
   // text near-dup paths share one blocking implementation, not two.
 
+  /** The 9×8 grid walk shared by every container route. */
+  private def dhashOf(w: Int, h: Int,
+      rgbAt: (Int, Int) => Int): Option[(Long, Int, Int)] = {
+    if (w < 9 || h < 8) return None
+    val grid = Array.ofDim[Int](9, 8)
+    var gy = 0
+    while (gy < 8) {
+      var gx = 0
+      while (gx < 9) {
+        val rgb = rgbAt(gx * w / 9, gy * h / 8)
+        grid(gx)(gy) = (((rgb >>> 16) & 0xff) + ((rgb >>> 8) & 0xff) +
+          (rgb & 0xff)) / 3
+        gx += 1
+      }
+      gy += 1
+    }
+    var fp = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (grid(x + 1)(y) > grid(x)(y)) fp |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    Some((fp, w, h))
+  }
+
   /** dHash of one image blob: (fingerprint, width, height). None for
-    * undecodable bytes or images smaller than the 9×8 sample grid. */
+    * undecodable bytes or images smaller than the 9×8 sample grid.
+    * Routes RIFF/WEBP through the spec-written VP8L decoder
+    * ([[WebpLake.parseVp8l]] — ImageIO has no WebP support); PNG /
+    * BMP / GIF / JPEG go through ImageIO. */
   private[graft] def parseDHash(b: Array[Byte]): Option[(Long, Int, Int)] = {
     if (b == null || b.length < 8) return None
-    readImage(b) match {
-      case Some(img) if img.getWidth >= 9 && img.getHeight >= 8 =>
-        val w = img.getWidth; val h = img.getHeight
-        val grid = Array.ofDim[Int](9, 8)
-        var gy = 0
-        while (gy < 8) {
-          var gx = 0
-          while (gx < 9) {
-            val rgb = img.getRGB(gx * w / 9, gy * h / 8)
-            grid(gx)(gy) = (((rgb >>> 16) & 0xff) + ((rgb >>> 8) & 0xff) +
-              (rgb & 0xff)) / 3
-            gx += 1
-          }
-          gy += 1
-        }
-        var fp = 0L
-        var y = 0
-        while (y < 8) {
-          var x = 0
-          while (x < 8) {
-            if (grid(x + 1)(y) > grid(x)(y)) fp |= 1L << (y * 8 + x)
-            x += 1
-          }
-          y += 1
-        }
-        Some((fp, w, h))
-      case _ => None
-    }
+    if (b.length >= 16 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+        b(3) == 'F' && b(8) == 'W' && b(9) == 'E' && b(10) == 'B' &&
+        b(11) == 'P')
+      WebpLake.parseVp8l(b).flatMap { img =>
+        dhashOf(img.width, img.height,
+          (x, y) => img.argb(y * img.width + x))
+      }
+    else
+      readImage(b) match {
+        case Some(img) =>
+          dhashOf(img.getWidth, img.getHeight, (x, y) => img.getRGB(x, y))
+        case _ => None
+      }
   }
 
   /** dHash as a DataFrame op: (id, dhash, width, height, valid) —
@@ -4661,6 +4678,44 @@ object Multimodal {
     b
   }
 
+  /** The [[encodeDHashPng]] law image as a VP8L lossless WebP (the
+    * spec-written [[WebpLake]] encoder; subtract-green + row-copy
+    * LZ77 — the wire shapes real lossless encoders emit), so
+    * [[parseDHash]] fingerprints all three containers through the
+    * SAME grid walk — the format-invariance q212 pins. */
+  /** The law image as raw ARGB (shared by the WebP encoders). */
+  private[graft] def dhashLawPixels(bit: (Int, Int) => Boolean,
+      s: Int): Array[Int] = {
+    require(s >= 1 && s <= 8)
+    val w = 9 * s
+    val px = new Array[Int](w * 8 * s)
+    var y = 0
+    while (y < 8) {
+      var v = 100
+      var x = 0
+      while (x < 9) {
+        val rgb = 0xff000000 | (v << 16) | (v << 8) | v
+        var dy = 0
+        while (dy < s) {
+          var dx = 0
+          while (dx < s) {
+            px((y * s + dy) * w + x * s + dx) = rgb
+            dx += 1
+          }
+          dy += 1
+        }
+        if (x < 8 && bit(x, y)) v += 1 + (x + y) % 3
+        x += 1
+      }
+      y += 1
+    }
+    px
+  }
+
+  def encodeDHashWebp(bit: (Int, Int) => Boolean, s: Int): Array[Byte] =
+    WebpLake.encodeVp8l(dhashLawPixels(bit, s), 9 * s, 8 * s,
+      WebpLake.EncOpts(subtractGreen = true, rowCopy = true))
+
   private[graft] def dhashBit(r: Int)(x: Int, y: Int): Boolean = {
     val g = r / 3
     val m = r % 3
@@ -4675,16 +4730,23 @@ object Multimodal {
     k < 63 && (baseBit ^ flipped)
   }
 
-  /** q190's fixture with every ODD id stored as a 24-bpp BMP instead
-    * of a PNG (a mixed-format image corpus). The bit laws are q190's
-    * exactly, so the near-dup pair set is identical — and because
-    * adjacent even/odd groups share a base pattern, every Hamming-0
-    * pair with one even and one odd id is a CROSS-FORMAT exact
-    * duplicate (same picture, different container). */
+  /** q190's fixture routed across THREE containers — PNG / 24-bpp
+    * BMP / VP8L WebP (a mixed-format image corpus) — by
+    * (r + r/3) % 3, NOT r % 3: the law's Hamming-0 pairs are
+    * (6g+m, 6g+3+m), whose containers under this routing are
+    * (8g+m) % 3 and (8g+m+1) % 3 — provably ALWAYS different, so
+    * every exact-duplicate pair is a cross-format one (same picture,
+    * different container — what the format-invariance gate exists to
+    * pin; a plain r % 3 would make them all same-format). The bit
+    * laws are q190's exactly, so the near-dup pair set is identical. */
   def dhashMixedFixture(spark: SparkSession, n: Int): DataFrame = {
     val rows = (0 until n).map { r =>
       val enc: ((Int, Int) => Boolean, Int) => Array[Byte] =
-        if (r % 2 == 1) encodeDHashBmp else encodeDHashPng
+        (r + r / 3) % 3 match {
+          case 1 => encodeDHashBmp
+          case 2 => encodeDHashWebp
+          case _ => encodeDHashPng
+        }
       Row(r.toLong, enc(dhashBit(r), 1 + r % 3))
     }
     spark.createDataFrame(

@@ -4730,15 +4730,16 @@ object ExtQueries4 {
        FROM base ORDER BY id"""
 
   // ---------------------------------------------------------------
-  // q212 — FORMAT-INVARIANT image near-dup: q190's corpus with every
-  // odd id stored as a 24-bpp BMP instead of a PNG (a mixed-format
-  // image lake). The bit laws are q190's exactly, so the correct
-  // pair set is IDENTICAL to q190's oracle — and since adjacent
-  // even/odd groups share a base pattern, every Hamming-0 pair with
-  // one even and one odd id is the same picture in two containers.
-  // A decoder whose BMP path flips rows, swaps channels or resamples
-  // differently changes fingerprints and fails the hash gate. Same
-  // decode-once + shared-banded-blocking shape as q190.
+  // q212 — FORMAT-INVARIANT image near-dup: q190's corpus routed
+  // across THREE containers — PNG / 24-bpp BMP / VP8L WebP (the
+  // spec-written decoder; ImageIO has no WebP support) — by
+  // (id + id/3) % 3, a routing chosen so the law's Hamming-0 pairs
+  // ALWAYS land in two different containers (see dhashMixedFixture).
+  // The bit laws are q190's exactly, so the correct pair set is
+  // IDENTICAL to q190's oracle. A decoder whose BMP path flips rows,
+  // swaps channels, or whose VP8L path mis-inverts a transform
+  // changes fingerprints and fails the hash gate. Same decode-once +
+  // shared-banded-blocking shape as q190.
   def q212(s: SparkSession, dir: String): DataFrame = {
     val fx = graft.operators.Multimodal.dhashMixedFixture(s, DHashN)
     val fps = graft.operators.Multimodal.imageDHash(fx, "id", "media")
@@ -5053,6 +5054,71 @@ object ExtQueries4 {
          'g' || id AS gname, true AS valid
        FROM e ORDER BY id, tidx"""
 
+  // ---------------------------------------------------------------
+  // q218 — WebP VP8L lossless decode (WebP dominates modern web image
+  // corpora): 40 files, ONE pixel law (the q190 dHash law image at
+  // scale 1+i%3) behind SIX wire variants routed by i%6 — plain
+  // literals, subtract-green, a sweeping predictor mode, palette with
+  // sub-byte bundling, color cache + row-copy LZ77, and all three
+  // pixel-value transforms stacked — so the oracle is wire-blind and
+  // any slip in a transform inverse, the canonical Huffman layer, the
+  // cache hash or the LZ77 copy changes gray_sum/n_colors/dhash and
+  // fails the hash gate. Codec strictness (hand-computed bit vector,
+  // corruption matrix, round-trip sweeps) is spec-gated in
+  // WebpLakeSpec; the shared-grid fingerprint ties this decoder into
+  // the q190/q212 near-dup family.
+  private val WebpN = 40
+
+  def q218(s: SparkSession, dir: String): DataFrame = {
+    val fx = graft.operators.WebpLake.webpFixture(s, WebpN)
+    graft.operators.WebpLake.extractWebp(fx, "id", "media")
+      .select(col("id"), col("width"), col("height"), col("gray_sum"),
+        col("n_colors"), col("dhash"), col("valid"))
+      .orderBy("id")
+  }
+
+  val q218Sql: String =
+    s"""WITH base AS (
+         SELECT r AS id, 1 + r % 3 AS s, r // 3 AS g, r % 3 AS m,
+                (r // 3) - ((r // 3) % 2) AS geff
+         FROM range(0, $WebpN) t(r)),
+       grid AS (
+         SELECT id, s, y, x,
+           100 + COALESCE(list_sum([
+             CASE WHEN (y * 8 + x2) < 63 AND
+               ((CASE WHEN (geff * 5 + (y * 8 + x2) * 3) % 7 < 3
+                 THEN 1 ELSE 0 END +
+                 CASE WHEN m = 1 AND ((y * 8 + x2) = (3 * g) % 63 OR
+                        (y * 8 + x2) = (3 * g + 21) % 63) THEN 1
+                      WHEN m = 2 AND (y * 8 + x2) = (3 * g + 7) % 63 THEN 1
+                      ELSE 0 END) % 2) = 1
+             THEN 1 + (x2 + y) % 3 ELSE 0 END
+             for x2 in range(0, x)]), 0) AS v
+         FROM base,
+           unnest([yy for yy in range(0, 8)]) u(y),
+           unnest([xx for xx in range(0, 9)]) w(x)),
+       stats AS (
+         SELECT id, s, CAST(s * s * SUM(v) AS BIGINT) AS gray_sum,
+           CAST(COUNT(DISTINCT v) AS INT) AS n_colors
+         FROM grid GROUP BY id, s),
+       bitv AS (
+         SELECT id, k,
+           (CASE WHEN (geff * 5 + k * 3) % 7 < 3 THEN 1 ELSE 0 END +
+            CASE WHEN m = 1 AND (k = (3 * g) % 63 OR k = (3 * g + 21) % 63)
+                   THEN 1
+                 WHEN m = 2 AND k = (3 * g + 7) % 63 THEN 1
+                 ELSE 0 END) % 2 AS b
+         FROM base, unnest([k for k in range(0, 63)]) u(k)),
+       fps AS (
+         SELECT id, CAST(sum(CASE WHEN b = 1
+                  THEN (CAST(1 AS BIGINT) << k) ELSE 0 END) AS BIGINT) AS fp
+         FROM bitv GROUP BY id)
+       SELECT st.id, CAST(9 * st.s AS INT) AS width,
+         CAST(8 * st.s AS INT) AS height, st.gray_sum, st.n_colors,
+         f.fp AS dhash, true AS valid
+       FROM stats st JOIN fps f ON st.id = f.id
+       ORDER BY st.id"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q125_label_propagation" -> (q125 _),
     "q126_pmi_cooccur" -> (q126 _),
@@ -5146,7 +5212,8 @@ object ExtQueries4 {
     "q214_proto_census" -> (q214 _),
     "q215_tensor_catalog" -> (q215 _),
     "q216_toml_extract" -> (q216 _),
-    "q217_onnx_extract" -> (q217 _))
+    "q217_onnx_extract" -> (q217 _),
+    "q218_webp_decode" -> (q218 _))
 
   val oracles: Map[String, String] = Map(
     "q125_label_propagation" -> q125Sql,
@@ -5241,5 +5308,6 @@ object ExtQueries4 {
     "q214_proto_census" -> q214Sql,
     "q215_tensor_catalog" -> q215Sql,
     "q216_toml_extract" -> q216Sql,
-    "q217_onnx_extract" -> q217Sql)
+    "q217_onnx_extract" -> q217Sql,
+    "q218_webp_decode" -> q218Sql)
 }

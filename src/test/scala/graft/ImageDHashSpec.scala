@@ -100,22 +100,40 @@ class ImageDHashSpec extends SparkSpec {
     assert(Multimodal.parseDHash(bos.toByteArray).isEmpty)
   }
 
-  test("format invariance: the BMP twin fingerprints equal the PNG's") {
-    // q212's law: the same picture in two containers must hash equal
-    // at every fixture scale — a BMP path that flips rows or swaps
-    // channels diverges here before it ever reaches the pair join
+  test("format invariance: BMP and WebP twins fingerprint equal to PNG") {
+    // q212's law: the same picture in three containers must hash equal
+    // at every fixture scale — a BMP path that flips rows, swaps
+    // channels, or a VP8L path that mis-inverts a transform diverges
+    // here before it ever reaches the pair join
     (0 until 9).foreach { r =>
       val bit = (x: Int, y: Int) => Multimodal.dhashBit(r)(x, y)
       val s = 1 + r % 3
       val png = Multimodal.parseDHash(Multimodal.encodeDHashPng(bit, s))
       val bmp = Multimodal.parseDHash(Multimodal.encodeDHashBmp(bit, s))
-      assert(png.isDefined && bmp.isDefined, s"decode r=$r")
-      assert(png.get == bmp.get, s"fingerprint/dims diverge at r=$r")
+      val webp = Multimodal.parseDHash(Multimodal.encodeDHashWebp(bit, s))
+      assert(png.isDefined && bmp.isDefined && webp.isDefined, s"r=$r")
+      assert(png.get == bmp.get, s"BMP fingerprint diverges at r=$r")
+      assert(png.get == webp.get, s"WebP fingerprint diverges at r=$r")
     }
-    // and the BMP twin really is a BMP (the hand-written container
-    // parses under the strict BmpLake walk too)
+    // and the twins really are their formats (strict dedicated walks)
     val asBmp = graft.operators.BmpLake.parseBmp(
       Multimodal.encodeDHashBmp((x, y) => (x + y) % 2 == 0, 2))
     assert(asBmp.exists(b => b.width == 18 && b.height == 16 && !b.topdown))
+    val asWebp = graft.operators.WebpLake.parseVp8l(
+      Multimodal.encodeDHashWebp((x, y) => (x + y) % 2 == 0, 2))
+    assert(asWebp.exists(w => w.width == 18 && w.height == 16))
+  }
+
+  test("mixed-fixture routing: every Hamming-0 law pair crosses formats") {
+    // the (r + r/3) % 3 routing exists so exact-duplicate pairs never
+    // share a container — the property q212's comment claims
+    def fmt(r: Int): Int = (r + r / 3) % 3
+    for (g <- 0 until 6; m <- 0 until 3) {
+      val a = 6 * g + m
+      val b = 6 * g + 3 + m // the adjacent-group law duplicate
+      assert(fmt(a) != fmt(b), s"pair ($a,$b) lands in one container")
+    }
+    // and all three containers actually occur
+    assert((0 until 9).map(fmt).toSet == Set(0, 1, 2))
   }
 }

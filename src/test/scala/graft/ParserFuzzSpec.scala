@@ -79,7 +79,8 @@ class ParserFuzzSpec extends AnyFunSuite {
     "parseRtf" -> (b => graft.operators.RtfLake.parseRtf(b)),
     "parseProto" -> (b => graft.operators.ProtoLake.parseProto(b)),
     "parseToml" -> (b => graft.operators.TomlLake.parseToml(b)),
-    "parseOnnx" -> (b => graft.operators.OnnxLake.parseOnnx(b)))
+    "parseOnnx" -> (b => graft.operators.OnnxLake.parseOnnx(b)),
+    "parseVp8l" -> (b => graft.operators.WebpLake.parseVp8l(b)))
 
   private val magics: Seq[(String, Array[Byte])] = Seq(
     "wav" -> ("RIFF\u0000\u0000\u0000\u0000WAVE").getBytes("ISO-8859-1"),
@@ -234,7 +235,9 @@ class ParserFuzzSpec extends AnyFunSuite {
       sentinelEocd = true, comment = "c"),
     "onnx" -> graft.operators.OnnxLake.encModel(8L, Seq(("", 17L)), "g",
       Seq(graft.operators.OnnxLake.encTensor("w", Seq(2L, 2L),
-        Seq(1f, -2f, 3f, 4f), packedDims = true))))
+        Seq(1f, -2f, 3f, 4f), packedDims = true))),
+    "webp" -> graft.operators.Multimodal.encodeDHashWebp(
+      (x, y) => (x * 5 + y * 3) % 3 != 0, 2))
 
   test("every single-byte corruption of a valid stream never throws") {
     validStreams.foreach { case (sname, v) =>

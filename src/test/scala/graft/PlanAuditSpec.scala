@@ -289,7 +289,8 @@ class PlanAuditSpec extends SparkSpec {
         "q208_torch_checkpoint", "q209_msgpack_extract",
         "q210_midi_extract", "q211_bmp_decode",
         "q213_rtf_extract", "q214_proto_census",
-        "q216_toml_extract", "q217_onnx_extract").foreach { q =>
+        "q216_toml_extract", "q217_onnx_extract",
+        "q218_webp_decode").foreach { q =>
       val p = plan(q)
       val exchanges = "Exchange".r.findAllIn(p).length
       assert(exchanges <= 1, s"$q: codec decode should not shuffle:\n$p")
