@@ -656,13 +656,15 @@ object Multimodal {
       totalSamples: Long, nDecoded: Long, valueSum: Long, mn: Int, mx: Int)
 
   /** Parse + FULLY decode an MPEG-1 Layer I stream to the subband
-    * domain. Strict: every frame re-verified (sync, MPEG-1 + Layer I
-    * bits, bitrate/rate indices, frame-length walk landing exactly on
+    * domain — all four modes including intensity stereo (mode 1:
+    * subbands above the mode_extension bound share one sample stream
+    * requantized per channel through its own scalefactor). Strict:
+    * every frame re-verified (sync, MPEG-1 + Layer I bits,
+    * bitrate/rate indices, frame-length walk landing exactly on
     * end-of-buffer), constant sample-rate and channel count across
-    * frames, allocation 15 / scalefactor 63 / intensity-stereo mode
-    * rejected, CRC-16 checked on protected frames. Bits after the
-    * last sample up to the frame boundary are ancillary data (spec
-    * §2.4.1.8) and are skipped. */
+    * frames, allocation 15 / scalefactor 63 rejected, CRC-16 checked
+    * on protected frames. Bits after the last sample up to the frame
+    * boundary are ancillary data (spec §2.4.1.8) and are skipped. */
   private[graft] def parseMp1(b: Array[Byte]): Option[Mp1Decoded] = {
     if (b == null || b.length < 8) return None
     var off = 0; var nf = 0
@@ -679,7 +681,12 @@ object Multimodal {
         if (bi == 0 || bi == 15 || si == 3) return None
         val b3 = b(off + 3) & 0xff
         val mode = b3 >> 6
-        if (mode == 1) return None // intensity stereo: bound sharing out of scope
+        // intensity stereo (mode 1): subbands from `bound` up carry ONE
+        // shared sample stream, requantized per channel through each
+        // channel's OWN scalefactor (§2.4.2.4) — in Layers I/II the
+        // scalefactor scaling IS the intensity reconstruction, so the
+        // joint region decodes exactly like everything else
+        val bound = if (mode == 1) 4 * (((b3 >> 4) & 3) + 1) else 32
         val ch = if (mode == 3) 1 else 2
         val r0 = Mp3Rates(si)
         if (rate == -1) { rate = r0; kbps = Mp1Bitrates(bi); chans = ch }
@@ -694,13 +701,22 @@ object Multimodal {
         val scf = Array.ofDim[Int](32, ch)
         var sb = 0
         while (sb < 32) {
-          var c = 0
-          while (c < ch) {
+          if (sb < bound) {
+            var c = 0
+            while (c < ch) {
+              val a = br.readBits(4).toInt
+              if (a == 15) return None
+              crc.update(a, 4)
+              alloc(sb)(c) = if (a == 0) 0 else a + 1
+              c += 1
+            }
+          } else { // joint region: one allocation for both channels
             val a = br.readBits(4).toInt
             if (a == 15) return None
             crc.update(a, 4)
-            alloc(sb)(c) = if (a == 0) 0 else a + 1
-            c += 1
+            val v = if (a == 0) 0 else a + 1
+            alloc(sb)(0) = v
+            alloc(sb)(1) = v // mode 1 implies ch == 2
           }
           sb += 1
         }
@@ -722,17 +738,32 @@ object Multimodal {
         while (g < 12) {
           sb = 0
           while (sb < 32) {
-            var c = 0
-            while (c < ch) {
-              val nb = alloc(sb)(c)
-              if (nb != 0) {
-                val q = mp1Quant(br.readBits(nb).toInt, nb, scf(sb)(c))
+            if (sb < bound) {
+              var c = 0
+              while (c < ch) {
+                val nb = alloc(sb)(c)
+                if (nb != 0) {
+                  val q = mp1Quant(br.readBits(nb).toInt, nb, scf(sb)(c))
+                  sum += q
+                  if (q < mn) mn = q.toInt
+                  if (q > mx) mx = q.toInt
+                  nDec += 1
+                }
+                c += 1
+              }
+            } else if (alloc(sb)(0) != 0) {
+              // joint region: one code, two per-channel requantizations
+              val nb = alloc(sb)(0)
+              val raw = br.readBits(nb).toInt
+              var c = 0
+              while (c < ch) {
+                val q = mp1Quant(raw, nb, scf(sb)(c))
                 sum += q
                 if (q < mn) mn = q.toInt
                 if (q > mx) mx = q.toInt
                 nDec += 1
+                c += 1
               }
-              c += 1
             }
             sb += 1
           }
@@ -760,27 +791,38 @@ object Multimodal {
       pad: Int => Int,                       // frame -> 0/1
       alloc: (Int, Int, Int) => Int,         // (frame, sb, ch) -> nb
       scf: (Int, Int, Int) => Int,           // (frame, sb, ch) -> idx 0..62
-      code: (Int, Int, Int, Int) => Int      // (frame, granule, sb, ch) -> raw
+      code: (Int, Int, Int, Int) => Int,     // (frame, granule, sb, ch) -> raw
+      modeExt: Int => Int = _ => 0           // frame -> mode_extension (mode 1)
   ): Array[Byte] = {
     require(bitrateIdx >= 1 && bitrateIdx <= 14 && rateIdx >= 0 && rateIdx <= 2)
-    require(mode == 0 || mode == 2 || mode == 3)
+    require(mode >= 0 && mode <= 3)
     val rate = Mp3Rates(rateIdx)
     val ch = if (mode == 3) 1 else 2
     val out = new java.io.ByteArrayOutputStream()
     var f = 0
     while (f < nFrames) {
       val p = pad(f) & 1
+      val ext = if (mode == 1) modeExt(f) & 3 else 0
+      // joint region from `bound` up: one allocation + one sample
+      // stream (taken from channel 0's laws), scalefactors per channel
+      val bound = if (mode == 1) 4 * (ext + 1) else 32
+      def nbAt(sb: Int, c: Int): Int = alloc(f, sb, if (sb < bound) c else 0)
       val flen = 4 * (12000 * Mp1Bitrates(bitrateIdx) / rate + p)
-      var bits = 32 + (if (protect) 16 else 0) + 4 * 32 * ch
+      var bits = 32 + (if (protect) 16 else 0) +
+        4 * (bound * ch + (32 - bound))
       for (sb <- 0 until 32; c <- 0 until ch) {
-        val nb = alloc(f, sb, c)
+        val nb = nbAt(sb, c)
         require(nb == 0 || (nb >= 2 && nb <= 15), s"bad nb $nb")
-        if (nb != 0) bits += 6 + 12 * nb
+        if (nb != 0) bits += 6 // scalefactors stay per channel
+      }
+      for (sb <- 0 until 32; c <- 0 until (if (sb < bound) ch else 1)) {
+        val nb = nbAt(sb, c)
+        if (nb != 0) bits += 12 * nb
       }
       require(bits <= flen * 8, s"payload $bits bits > frame ${flen * 8}")
       val bw = new FlacBitWriter(flen)
       val b2 = (bitrateIdx << 4) | (rateIdx << 2) | (p << 1)
-      val b3 = mode << 6
+      val b3 = (mode << 6) | (ext << 4)
       bw.writeBits(0xfff, 12)                // sync
       bw.writeBit(1)                         // ID: MPEG-1
       bw.writeBits(3, 2)                     // Layer I
@@ -789,21 +831,24 @@ object Multimodal {
       bw.writeBits(b3.toLong, 8)
       val crc = new Mp1Crc
       crc.update(b2, 8); crc.update(b3, 8)
-      for (sb <- 0 until 32; c <- 0 until ch) {
-        val nb = alloc(f, sb, c)
+      for (sb <- 0 until 32; c <- 0 until (if (sb < bound) ch else 1)) {
+        val nb = nbAt(sb, c)
         crc.update(if (nb == 0) 0 else nb - 1, 4)
       }
       if (protect) bw.writeBits(crc.value.toLong, 16)
+      for (sb <- 0 until 32; c <- 0 until (if (sb < bound) ch else 1)) {
+        val nb = nbAt(sb, c)
+        bw.writeBits((if (nb == 0) 0 else nb - 1).toLong, 4)
+      }
       for (sb <- 0 until 32; c <- 0 until ch)
-        bw.writeBits((if (alloc(f, sb, c) == 0) 0 else alloc(f, sb, c) - 1).toLong, 4)
-      for (sb <- 0 until 32; c <- 0 until ch)
-        if (alloc(f, sb, c) != 0) {
+        if (nbAt(sb, c) != 0) {
           val idx = scf(f, sb, c)
           require(idx >= 0 && idx <= 62)
           bw.writeBits(idx.toLong, 6)
         }
-      for (g <- 0 until 12; sb <- 0 until 32; c <- 0 until ch) {
-        val nb = alloc(f, sb, c)
+      for (g <- 0 until 12; sb <- 0 until 32;
+           c <- 0 until (if (sb < bound) ch else 1)) {
+        val nb = nbAt(sb, c)
         if (nb != 0)
           bw.writeBits((code(f, g, sb, c) & ((1 << nb) - 1)).toLong, nb)
       }
@@ -835,6 +880,36 @@ object Multimodal {
         alloc = (_, sb, _) => act.getOrElse(sb, 0),
         scf = (f, sb, c) => 3 * ((i + sb + 7 * c + 2 * f) % 21),
         code = (f, g, sb, c) => i * 13 + f * 3 + g * 7 + sb * 5 + c * 11))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4),
+      StructType(Seq(
+        StructField("id", LongType, false),
+        StructField("media", BinaryType, true))))
+  }
+
+  /** Intensity-stereo Layer I fixture (q220): every stream mode 1
+    * with mode_extension i%4 (bound = 4·(ext+1) ∈ {4,8,12,16}).
+    * Active-subband, scalefactor and code laws mirror
+    * [[mp1Fixture]]'s; in the joint region the encoder writes channel
+    * 0's code ONCE and the decoder requantizes it through BOTH
+    * channels' scalefactors — the value_sum law splits on sb < bound,
+    * which is exactly what the oracle replays. */
+  def mp1IsFixture(spark: SparkSession, n: Int): DataFrame = {
+    val rows = (0 until n).map { i =>
+      val rateIdx = i % 3
+      val bitrateIdx = 13 + i % 2            // 416 / 448 kbps
+      val nf = 2 + i % 4
+      val nA = 5 + i % 4
+      val act: Map[Int, Int] =
+        (0 until nA).map(j => ((i + 3 * j) % 32, 2 + (3 * i + 5 * j) % 14)).toMap
+      Row(i.toLong, encodeMp1(bitrateIdx, rateIdx, 1, nf,
+        protect = i % 2 == 0,
+        pad = f => (i + f) % 2,
+        alloc = (_, sb, _) => act.getOrElse(sb, 0),
+        scf = (f, sb, c) => 3 * ((i + sb + 7 * c + 2 * f) % 21),
+        code = (f, g, sb, c) => i * 13 + f * 3 + g * 7 + sb * 5 + c * 11,
+        modeExt = _ => i % 4))
     }
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 4),
@@ -930,7 +1005,9 @@ object Multimodal {
 
   /** Parse + FULLY decode an MPEG-1 Layer II stream to the subband
     * domain — the Layer II counterpart of [[parseMp1]]; same
-    * strictness posture, same aggregate surface. */
+    * strictness posture (intensity stereo decoded the same way: the
+    * joint region's shared codes requantize per channel), same
+    * aggregate surface. */
   private[graft] def parseMp2(b: Array[Byte]): Option[Mp1Decoded] = {
     if (b == null || b.length < 8) return None
     var off = 0; var nf = 0
@@ -947,7 +1024,10 @@ object Multimodal {
         if (bi == 0 || bi == 15 || si == 3) return None
         val b3 = b(off + 3) & 0xff
         val mode = b3 >> 6
-        if (mode == 1) return None // intensity stereo out of scope
+        // intensity stereo (mode 1): shared allocation + samples above
+        // the mode_extension bound, per-channel scfsi/scalefactors —
+        // the scaling IS the intensity reconstruction (§2.4.2.4)
+        val bound = if (mode == 1) 4 * (((b3 >> 4) & 3) + 1) else 64
         val ch = if (mode == 3) 1 else 2
         val kb = Mp2Bitrates(bi)
         // §2.4.2.3 mode-bitrate legality for Layer II
@@ -969,12 +1049,20 @@ object Multimodal {
         var sb = 0
         while (sb < sbl) {
           val nbal = mp2Nbal(sb); val row = mp2Row(sb)
-          var c = 0
-          while (c < ch) {
+          if (sb < bound) {
+            var c = 0
+            while (c < ch) {
+              val a = br.readBits(nbal).toInt
+              crc.update(a, nbal)
+              nlev(sb)(c) = if (a == 0) 0 else row(a - 1)
+              c += 1
+            }
+          } else { // joint region: one allocation for both channels
             val a = br.readBits(nbal).toInt
             crc.update(a, nbal)
-            nlev(sb)(c) = if (a == 0) 0 else row(a - 1)
-            c += 1
+            val v = if (a == 0) 0 else row(a - 1)
+            nlev(sb)(0) = v
+            nlev(sb)(1) = v // mode 1 implies ch == 2
           }
           sb += 1
         }
@@ -1029,38 +1117,71 @@ object Multimodal {
         while (g < 12) {
           sb = 0
           while (sb < sbl) {
-            var c = 0
-            while (c < ch) {
-              val nl = nlev(sb)(c)
-              if (nl != 0) {
-                val e = scf(sb)(c)(g >> 2)
-                if (nl == 3 || nl == 5 || nl == 9) {
-                  val gb = if (nl == 3) 5 else if (nl == 5) 7 else 10
-                  var v = br.readBits(gb).toInt
-                  if (v >= nl * nl * nl) return None
-                  var k = 0
-                  while (k < 3) {
-                    val q = mp2Quant(v % nl, nl, e)
-                    sum += q
-                    if (q < mn) mn = q.toInt
-                    if (q > mx) mx = q.toInt
-                    v /= nl
-                    k += 1
+            @inline def emit(q: Long): Unit = {
+              sum += q
+              if (q < mn) mn = q.toInt
+              if (q > mx) mx = q.toInt
+            }
+            if (sb < bound) {
+              var c = 0
+              while (c < ch) {
+                val nl = nlev(sb)(c)
+                if (nl != 0) {
+                  val e = scf(sb)(c)(g >> 2)
+                  if (nl == 3 || nl == 5 || nl == 9) {
+                    val gb = if (nl == 3) 5 else if (nl == 5) 7 else 10
+                    var v = br.readBits(gb).toInt
+                    if (v >= nl * nl * nl) return None
+                    var k = 0
+                    while (k < 3) {
+                      emit(mp2Quant(v % nl, nl, e))
+                      v /= nl
+                      k += 1
+                    }
+                  } else {
+                    val nb = mp2SampleBits(nl)
+                    var k = 0
+                    while (k < 3) {
+                      emit(mp2Quant(br.readBits(nb).toInt, nl, e))
+                      k += 1
+                    }
                   }
-                } else {
-                  val nb = mp2SampleBits(nl)
-                  var k = 0
-                  while (k < 3) {
-                    val q = mp2Quant(br.readBits(nb).toInt, nl, e)
-                    sum += q
-                    if (q < mn) mn = q.toInt
-                    if (q > mx) mx = q.toInt
-                    k += 1
-                  }
+                  nDec += 3
                 }
-                nDec += 3
+                c += 1
               }
-              c += 1
+            } else if (nlev(sb)(0) != 0) {
+              // joint region: one code stream, each sample requantized
+              // once per channel through its own part-scalefactor
+              val nl = nlev(sb)(0)
+              if (nl == 3 || nl == 5 || nl == 9) {
+                val gb = if (nl == 3) 5 else if (nl == 5) 7 else 10
+                var v = br.readBits(gb).toInt
+                if (v >= nl * nl * nl) return None
+                var k = 0
+                while (k < 3) {
+                  var c = 0
+                  while (c < ch) {
+                    emit(mp2Quant(v % nl, nl, scf(sb)(c)(g >> 2)))
+                    c += 1
+                  }
+                  v /= nl
+                  k += 1
+                }
+              } else {
+                val nb = mp2SampleBits(nl)
+                var k = 0
+                while (k < 3) {
+                  val raw = br.readBits(nb).toInt
+                  var c = 0
+                  while (c < ch) {
+                    emit(mp2Quant(raw, nl, scf(sb)(c)(g >> 2)))
+                    c += 1
+                  }
+                  k += 1
+                }
+              }
+              nDec += 3L * ch
             }
             sb += 1
           }
@@ -1092,10 +1213,11 @@ object Multimodal {
       allocIdx: (Int, Int, Int) => Int,      // (frame, sb, ch) -> code
       scfsi: (Int, Int, Int) => Int,         // (frame, sb, ch) -> 0..3
       scf: (Int, Int, Int, Int) => Int,      // (frame, part, sb, ch) -> 0..62
-      code: (Int, Int, Int, Int, Int) => Int // (frame, granule, k, sb, ch)
+      code: (Int, Int, Int, Int, Int) => Int, // (frame, granule, k, sb, ch)
+      modeExt: Int => Int = _ => 0           // frame -> mode_extension (mode 1)
   ): Array[Byte] = {
     require(bitrateIdx >= 1 && bitrateIdx <= 14 && rateIdx >= 0 && rateIdx <= 2)
-    require(mode == 0 || mode == 2 || mode == 3)
+    require(mode >= 0 && mode <= 3)
     val rate = Mp3Rates(rateIdx)
     val ch = if (mode == 3) 1 else 2
     val kb = Mp2Bitrates(bitrateIdx)
@@ -1107,10 +1229,16 @@ object Multimodal {
     var f = 0
     while (f < nFrames) {
       val p = pad(f) & 1
+      val ext = if (mode == 1) modeExt(f) & 3 else 0
+      // joint region from `bound` up: one allocation + one code
+      // stream (channel 0's laws); scfsi/scalefactors per channel
+      val bound = if (mode == 1) 4 * (ext + 1) else sbl
+      def aAt(sb: Int, c: Int): Int =
+        allocIdx(f, sb, if (sb < bound) c else 0)
       val flen = 144000 * kb / rate + p
       val bw = new FlacBitWriter(flen)
       val b2 = (bitrateIdx << 4) | (rateIdx << 2) | (p << 1)
-      val b3 = mode << 6
+      val b3 = (mode << 6) | (ext << 4)
       bw.writeBits(0xfff, 12)                // sync
       bw.writeBit(1)                         // ID: MPEG-1
       bw.writeBits(2, 2)                     // Layer II
@@ -1119,19 +1247,19 @@ object Multimodal {
       bw.writeBits(b3.toLong, 8)
       val crc = new Mp1Crc
       crc.update(b2, 8); crc.update(b3, 8)
-      for (sb <- 0 until sbl; c <- 0 until ch) {
-        val a = allocIdx(f, sb, c)
+      for (sb <- 0 until sbl; c <- 0 until (if (sb < bound) ch else 1)) {
+        val a = aAt(sb, c)
         require(a >= 0 && a < (1 << mp2Nbal(sb)), s"alloc code $a sb $sb")
         crc.update(a, mp2Nbal(sb))
       }
       for (sb <- 0 until sbl; c <- 0 until ch)
-        if (allocIdx(f, sb, c) != 0) crc.update(scfsi(f, sb, c) & 3, 2)
+        if (aAt(sb, c) != 0) crc.update(scfsi(f, sb, c) & 3, 2)
       if (protect) bw.writeBits(crc.value.toLong, 16)
+      for (sb <- 0 until sbl; c <- 0 until (if (sb < bound) ch else 1))
+        bw.writeBits(aAt(sb, c).toLong, mp2Nbal(sb))
       for (sb <- 0 until sbl; c <- 0 until ch)
-        bw.writeBits(allocIdx(f, sb, c).toLong, mp2Nbal(sb))
-      for (sb <- 0 until sbl; c <- 0 until ch)
-        if (allocIdx(f, sb, c) != 0) bw.writeBits((scfsi(f, sb, c) & 3).toLong, 2)
-      for (sb <- 0 until sbl; c <- 0 until ch) if (allocIdx(f, sb, c) != 0) {
+        if (aAt(sb, c) != 0) bw.writeBits((scfsi(f, sb, c) & 3).toLong, 2)
+      for (sb <- 0 until sbl; c <- 0 until ch) if (aAt(sb, c) != 0) {
         val parts: Seq[Int] = (scfsi(f, sb, c) & 3) match {
           case 0 => Seq(0, 1, 2)
           case 1 => Seq(0, 2)
@@ -1144,8 +1272,9 @@ object Multimodal {
           bw.writeBits(idx.toLong, 6)
         }
       }
-      for (g <- 0 until 12; sb <- 0 until sbl; c <- 0 until ch) {
-        val a = allocIdx(f, sb, c)
+      for (g <- 0 until 12; sb <- 0 until sbl;
+           c <- 0 until (if (sb < bound) ch else 1)) {
+        val a = aAt(sb, c)
         if (a != 0) {
           val nl = mp2Row(sb)(a - 1)
           def cd(k: Int): Int = {
@@ -1207,6 +1336,43 @@ object Multimodal {
           val nl = mp2Row(sb)(act(sb) - 1)
           (i * 13 + f * 3 + g * 7 + k * 17 + sb * 5 + c * 11) % nl
         }))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4),
+      StructType(Seq(
+        StructField("id", LongType, false),
+        StructField("media", BinaryType, true))))
+  }
+
+  /** Intensity-stereo Layer II fixture (q221): mode 1 with
+    * mode_extension i%4; allocation/scfsi/scalefactor/code laws
+    * mirror [[mp2Fixture]]'s stereo shape, with the joint region's
+    * shared code stream requantized per channel. */
+  def mp2IsFixture(spark: SparkSession, n: Int): DataFrame = {
+    val rows = (0 until n).map { i =>
+      val rateIdx = i % 3
+      val bitrateIdx = 14                    // 384 kbps (legal stereo)
+      val sbl = mp2Sblimit(Mp3Rates(rateIdx), Mp2Bitrates(bitrateIdx) / 2)
+      val nf = 2 + i % 3
+      val nA = 4 + i % 4
+      val act: Map[Int, Int] = (0 until nA).map { j =>
+        val sb = (i + 7 * j) % sbl
+        val cap = if (sb < 11) 15 else if (sb < 23) 7 else 3
+        sb -> (1 + (3 * i + 5 * j) % cap)
+      }.toMap
+      val jOf: Map[Int, Int] =
+        (0 until nA).map(j => ((i + 7 * j) % sbl) -> j).toMap
+      Row(i.toLong, encodeMp2(bitrateIdx, rateIdx, 1, nf,
+        protect = i % 2 == 0,
+        pad = f => (i + f) % 2,
+        allocIdx = (_, sb, _) => act.getOrElse(sb, 0),
+        scfsi = (_, sb, c) => (i + 2 * jOf(sb) + c) % 4,
+        scf = (f, p, sb, c) => 3 * ((i + sb + 7 * c + 2 * p + f) % 21),
+        code = (f, g, k, sb, c) => {
+          val nl = mp2Row(sb)(act(sb) - 1)
+          (i * 13 + f * 3 + g * 7 + k * 17 + sb * 5 + c * 11) % nl
+        },
+        modeExt = _ => i % 4))
     }
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 4),
@@ -1292,18 +1458,22 @@ object Multimodal {
   // lines 0-35, then short sfbs 3-12 — whose line layout coincides
   // with the pure-short map from line 36 because short sfbs 0-2 are
   // 4+4+4 wide at every MPEG-1 rate, q201). JOINT STEREO accepts
-  // mode_extension 0 (both tools off) and 2 (MS stereo): the
-  // bitstream is decoded per channel exactly as L/R — the emitted
-  // spectra are the MID/SIDE channels' requantized values, and the MS
-  // butterfly L,R = (M±S)/√2 stays OUTSIDE exact-decode scope with
-  // the IMDCT it feeds: each channel's cube m³ = is⁴·2^(3E4/4) is
-  // rational (that is what makes the per-channel pin exact), but
-  // (m+s)³ carries cross terms m²s, ms² — sums of independent
-  // 12th-root surds no power domain makes integer-exact. Intensity
-  // stereo (mode_extension bit 0) strict-rejects, the same
-  // documented-scope posture as Layer I's. The synthesis filterbank
-  // (IMDCT + Table 3-B.3 window) stays out of decode scope exactly
-  // as for Layers I/II.
+  // EVERY mode_extension (0-3): in Layer III the stereo tools change
+  // only the RECONSTRUCTION semantics, never the bitstream syntax, so
+  // the bitstream is decoded per channel exactly as L/R and the
+  // emitted spectra are the transmitted channels' requantized values.
+  // The reconstructions themselves stay OUTSIDE exact-decode scope
+  // with the IMDCT they feed: the MS butterfly L,R = (M±S)/√2 — each
+  // channel's cube m³ = is⁴·2^(3E4/4) is rational (that is what makes
+  // the per-channel pin exact), but (m+s)³ carries cross terms m²s,
+  // ms² — sums of independent 12th-root surds no power domain makes
+  // integer-exact; and intensity re-scaling multiplies the upper
+  // bands by is_ratio = tan(is_pos·π/12), irrational for every
+  // in-range is_pos except 3 (where it is 1). The decoded stream
+  // reports per-tool frame counts (ms_frames / is_frames) so a
+  // downstream stage knows which tools a file uses. The synthesis
+  // filterbank (IMDCT + Table 3-B.3 window) stays out of decode scope
+  // exactly as for Layers I/II.
 
   /** One loaded Huffman code table: decode tree + encode map. Pair
     * tables key x·16+y; the count1 quad table keys v·8+w·4+x·2+y. */
@@ -1519,7 +1689,7 @@ object Multimodal {
   private[graft] final case class Mp3L3Decoded(
       rate: Int, kbps: Int, channels: Int, nFrames: Int,
       totalSamples: Long, nDecoded: Long, huffSum: Long, valueSum: Long,
-      mn: Long, mx: Long, msFrames: Int)
+      mn: Long, mx: Long, msFrames: Int, isFrames: Int)
 
   private final case class Mp3GrInfo(
       part23: Int, bigValues: Int, globalGain: Int, scalefacCompress: Int,
@@ -1563,7 +1733,7 @@ object Multimodal {
       b(end - 126) == 'G')
       end -= 128
     var rate = -1; var rateIdx = -1; var kbps = -1; var chans = -1
-    var sum = 0L; var hsum = 0L; var msf = 0
+    var sum = 0L; var hsum = 0L; var msf = 0; var isf = 0
     var mn = Long.MaxValue; var mx = Long.MinValue; var nDec = 0L
     // rolling bit-reservoir window: the last ≤511 bytes of main data
     // (main_data_begin is a 9-bit byte count — the spec's own bound)
@@ -1580,13 +1750,17 @@ object Multimodal {
         if (bi == 0 || bi == 15 || si == 3) return None
         val b3 = b(off + 3) & 0xff
         val mode = b3 >> 6
-        // joint stereo: mode_extension bit 1 = MS stereo (decoded —
-        // the emitted spectra are the M/S channels, see the block
-        // comment), bit 0 = intensity stereo (strict reject)
+        // joint stereo: mode_extension bit 1 = MS stereo, bit 0 =
+        // intensity stereo. BOTH parse identically — in Layer III the
+        // stereo tools change only the RECONSTRUCTION semantics (the
+        // MS butterfly; is_pos re-scaling of the upper bands), never
+        // the bitstream syntax, so the emitted per-channel requantized
+        // spectra stay exact. See the block comment for why the
+        // reconstructions themselves stay out of exact-decode scope.
         if (mode == 1) {
           val ext = (b3 >> 4) & 3
-          if ((ext & 1) == 1) return None
-          if (ext == 2) msf += 1
+          if ((ext & 2) == 2) msf += 1
+          if ((ext & 1) == 1) isf += 1
         }
         val ch = if (mode == 3) 1 else 2
         val r0 = Mp3Rates(si)
@@ -1845,7 +2019,7 @@ object Multimodal {
       if (nf > 0 && off == end) {
         if (nDec == 0) { mn = 0; mx = 0 }
         Some(Mp3L3Decoded(rate, kbps, chans, nf, nf.toLong * 1152 * chans,
-          nDec, hsum, sum, mn, mx, msf))
+          nDec, hsum, sum, mn, mx, msf, isf))
       } else None
     } catch { case FlacEof => None }
   }
@@ -2317,7 +2491,19 @@ object Multimodal {
     * Layer III block comment). Laws mirror the ESC fixture's
     * shift-only regime without the escape path: global_gain 210−4K,
     * zero scalefactors, tables 1/2/3 and 5/6. */
-  def mp3L3MsFixture(spark: SparkSession, n: Int): DataFrame = {
+  def mp3L3MsFixture(spark: SparkSession, n: Int): DataFrame =
+    mp3L3JointFixture(spark, n, (r, f) => if ((r + f) % 2 == 0) 2 else 0)
+
+  /** Intensity-stereo twin (q219): the SAME audio laws behind
+    * mode_extension 1 (intensity only) on even r+f and 3 (intensity +
+    * MS) on odd — the bitstream is identical to the MS fixture's
+    * mode-1 shape, so the oracle replays the same value CTEs; only
+    * the per-tool frame counters differ. */
+  def mp3L3IsFixture(spark: SparkSession, n: Int): DataFrame =
+    mp3L3JointFixture(spark, n, (r, f) => if ((r + f) % 2 == 0) 1 else 3)
+
+  private def mp3L3JointFixture(spark: SparkSession, n: Int,
+      ext: (Int, Int) => Int): DataFrame = {
     val rows = (0 until n).map { r =>
       val rateIdx = r % 3
       val nf = 2 + r % 3
@@ -2353,7 +2539,7 @@ object Multimodal {
         scfsiN = (_, _) => 0,
         gr = grSpec,
         mode = 1,
-        modeExt = f => if ((r + f) % 2 == 0) 2 else 0))
+        modeExt = f => ext(r, f)))
     }
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 4),
@@ -2608,6 +2794,7 @@ object Multimodal {
       StructField("min_sample", LongType, true),
       StructField("max_sample", LongType, true),
       StructField("ms_frames", IntegerType, true),
+      StructField("is_frames", IntegerType, true),
       StructField("valid", BooleanType, false)))
     val rows = df.select(col(idCol).cast(LongType), col(binCol)).rdd
       .mapPartitions(_.map { r =>
@@ -2616,10 +2803,10 @@ object Multimodal {
           case Some(d) =>
             Row(r.getLong(0), d.rate, d.kbps, d.channels, d.nFrames,
               d.totalSamples, d.nDecoded, d.huffSum, d.valueSum,
-              d.mn, d.mx, d.msFrames, true)
+              d.mn, d.mx, d.msFrames, d.isFrames, true)
           case None =>
             Row(r.getLong(0), null, null, null, null, null, null, null,
-              null, null, null, null, false)
+              null, null, null, null, null, false)
         }
       })
     spark.createDataFrame(rows, outSchema)

@@ -3872,8 +3872,9 @@ object ExtQueries4 {
   // first synthesis-side linear transform and stays outside exact
   // decode scope — its cross terms are sums of independent 12th-root
   // surds no power domain pins as integers; see Multimodal.scala's
-  // Layer III block comment). Intensity stereo (mode_extension bit 0)
-  // strict-rejects (Mp3L3ShortSpec). ms_frames counts ext-2 frames.
+  // Layer III block comment). Intensity stereo is covered by q219
+  // (bitstream-identical; only the counters differ). ms_frames
+  // counts ext&2 frames.
   private val Mp3MsN = 42
 
   def q199(s: SparkSession, dir: String): DataFrame = {
@@ -5119,6 +5120,247 @@ object ExtQueries4 {
        FROM stats st JOIN fps f ON st.id = f.id
        ORDER BY st.id"""
 
+  // ---------------------------------------------------------------
+  // q219 — MPEG-1 Layer III INTENSITY STEREO: mode-1 streams whose
+  // frames alternate mode_extension 1 (intensity only) and 3
+  // (intensity + MS) — the remaining joint-stereo legality surface.
+  // In Layer III the stereo tools change only RECONSTRUCTION
+  // semantics, never bitstream syntax, so the decode emits the
+  // transmitted channels' requantized spectra exactly as q199 does
+  // (same audio laws, same value CTEs — the fixture shares
+  // mp3L3JointFixture); is_ratio = tan(is_pos·π/12) re-scaling is
+  // irrational and stays outside exact-decode scope with the MS
+  // butterfly and the IMDCT (Multimodal.scala block comment).
+  // ms_frames counts ext&2 frames, is_frames counts ext&1 frames.
+  private val Mp3IsN = 42
+
+  def q219(s: SparkSession, dir: String): DataFrame = {
+    val fx = graft.operators.Multimodal.mp3L3IsFixture(s, Mp3IsN)
+    graft.operators.Multimodal.decodeMp3L3(fx, "id", "media")
+      .select(col("id"), col("sample_rate"), col("bitrate_kbps"),
+        col("channels"), col("n_frames"), col("total_samples"),
+        col("n_decoded"), col("huff_sum"), col("value_sum"),
+        col("min_sample"), col("max_sample"), col("ms_frames"),
+        col("is_frames"), col("valid"))
+      .orderBy("id")
+  }
+
+  val q219Sql: String =
+    s"""WITH base AS (
+         SELECT r,
+           CASE r % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                ELSE 32000 END AS rate,
+           CASE r % 2 WHEN 0 THEN 256 ELSE 320 END AS kbps,
+           2 + r % 3 AS nf
+         FROM range(0, $Mp3IsN) t(r)),
+       frows AS (
+         SELECT *, unnest([f for f in range(0, nf)]) AS f FROM base),
+       crows AS (SELECT *, unnest([0, 1]) AS c FROM frows),
+       gc AS (SELECT r, f, c, unnest([0, 1]) AS g FROM crows),
+       gc2 AS (
+         SELECT r, f, c, g,
+           15 - 3 * ((r + f + g + c) % 4) AS e,
+           CASE WHEN 1 + (r + f + g + c) % 3 = 1 THEN 2 ELSE 3 END AS mx0
+         FROM gc),
+       prows AS (SELECT *, unnest([p for p in range(0, 52)]) AS p FROM gc2),
+       vals AS (
+         SELECT r, e,
+           CASE WHEN p < 24 THEN (r*7 + f*5 + g*3 + c*9 + p) % mx0
+                WHEN p < 40 THEN (r*11 + f*3 + g*7 + c*5 + p) % 4
+                ELSE (r + 3*f + 5*g + 7*c + (p - 40)) % 2 END AS m,
+           (r + f + g + c + p) % 2 AS neg
+         FROM prows),
+       qv AS (
+         SELECT r,
+           CASE WHEN neg = 1 AND m <> 0 THEN -1 ELSE 1 END *
+             (CAST(m AS BIGINT) * m * m * m * (CAST(1 AS BIGINT) << e)) AS q,
+           CASE WHEN neg = 1 AND m <> 0 THEN -m ELSE m END AS hv
+         FROM vals)
+       SELECT base.r AS id, CAST(rate AS INT) AS sample_rate,
+         CAST(kbps AS INT) AS bitrate_kbps, CAST(2 AS INT) AS channels,
+         CAST(nf AS INT) AS n_frames,
+         CAST(nf * 2304 AS BIGINT) AS total_samples,
+         a.ndec AS n_decoded, a.hsum AS huff_sum, a.vsum AS value_sum,
+         a.vmin AS min_sample, a.vmax AS max_sample,
+         CAST((nf + base.r % 2) // 2 AS INT) AS ms_frames,
+         CAST(nf AS INT) AS is_frames,
+         true AS valid
+       FROM base JOIN (
+         SELECT r, CAST(count(*) AS BIGINT) AS ndec,
+                CAST(sum(hv) AS BIGINT) AS hsum,
+                CAST(sum(q) AS BIGINT) AS vsum,
+                CAST(min(q) AS BIGINT) AS vmin,
+                CAST(max(q) AS BIGINT) AS vmax
+         FROM qv GROUP BY r) a ON base.r = a.r
+       ORDER BY id"""
+
+  // ---------------------------------------------------------------
+  // q220 — MPEG-1 Layer I INTENSITY STEREO decode: mode-1 streams
+  // with mode_extension r%4 (bound = 4·(ext+1) ∈ {4,8,12,16}). In
+  // Layers I/II the joint region carries ONE shared sample stream
+  // requantized per channel through each channel's OWN scalefactor —
+  // the scaling IS the intensity reconstruction, so the decode stays
+  // integer-exact (§2.4.2.4). The oracle replays the shared-code rule
+  // (cc = 0 above the bound) against per-channel scalefactors — an
+  // implementation that read per-channel codes in the joint region
+  // or shared the scalefactors would shift value_sum and fail the
+  // hash gate. Strictness is spec-gated in MultimodalSpec.
+  private val Mp1IsN = 42
+
+  def q220(s: SparkSession, dir: String): DataFrame = {
+    val fx = graft.operators.Multimodal.mp1IsFixture(s, Mp1IsN)
+    graft.operators.Multimodal.decodeMp1(fx, "id", "media")
+      .select(col("id"), col("sample_rate"), col("bitrate_kbps"),
+        col("channels"), col("n_frames"), col("total_samples"),
+        col("n_decoded"), col("value_sum"), col("min_sample"),
+        col("max_sample"), col("valid"))
+      .orderBy("id")
+  }
+
+  val q220Sql: String =
+    s"""WITH base AS (
+         SELECT r,
+           CASE r % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                ELSE 32000 END AS rate,
+           416 + 32 * (r % 2) AS kbps,
+           2 + r % 4 AS nf, 5 + r % 4 AS na,
+           4 * (r % 4 + 1) AS bound
+         FROM range(0, $Mp1IsN) t(r)),
+       jrow AS (
+         SELECT r, rate, kbps, nf, na, bound,
+                unnest([j for j in range(0, na)]) AS j FROM base),
+       sbnb AS (
+         SELECT r, nf, bound, j, (r + 3 * j) % 32 AS sb,
+                2 + (3 * r + 5 * j) % 14 AS nb FROM jrow),
+       frow AS (SELECT *, unnest([f for f in range(0, nf)]) AS f FROM sbnb),
+       crow AS (SELECT *, unnest([0, 1]) AS c FROM frow),
+       grow AS (SELECT *, unnest([g for g in range(0, 12)]) AS g FROM crow),
+       samp AS (
+         SELECT r, nb, (r + sb + 7 * c + 2 * f) % 21 AS e,
+           (r * 13 + f * 3 + g * 7 + sb * 5 +
+            (CASE WHEN sb < bound THEN c ELSE 0 END) * 11) % (1 << nb)
+             AS code
+         FROM grow),
+       ab AS (
+         SELECT r,
+           CAST(2 * code - (1 << nb) + 2 AS BIGINT)
+             * (CAST(1 AS BIGINT) << (36 - e)) AS a,
+           ((CAST(1 AS BIGINT) << nb) - 1) * (CAST(1 AS BIGINT) << 20) AS b
+         FROM samp),
+       qv AS ( -- exact round-half-even of a/b: floor quotient + tie parity
+         SELECT r, fq + CASE WHEN 2 * rp > b THEN 1
+                             WHEN 2 * rp = b AND fq % 2 <> 0 THEN 1
+                             ELSE 0 END AS q
+         FROM (SELECT r, b, ((a % b) + b) % b AS rp,
+                      (a - (((a % b) + b) % b)) // b AS fq FROM ab))
+       SELECT base.r AS id, CAST(rate AS INT) AS sample_rate,
+         CAST(kbps AS INT) AS bitrate_kbps, CAST(2 AS INT) AS channels,
+         CAST(nf AS INT) AS n_frames,
+         CAST(nf * 768 AS BIGINT) AS total_samples,
+         CAST(nf * 24 * na AS BIGINT) AS n_decoded,
+         s.vsum AS value_sum, s.vmin AS min_sample, s.vmax AS max_sample,
+         true AS valid
+       FROM base JOIN (
+         SELECT r, CAST(sum(q) AS BIGINT) AS vsum,
+                CAST(min(q) AS INT) AS vmin, CAST(max(q) AS INT) AS vmax
+         FROM qv GROUP BY r) s ON base.r = s.r
+       ORDER BY id"""
+
+  // ---------------------------------------------------------------
+  // q221 — MPEG-1 Layer II INTENSITY STEREO decode: the Layer II
+  // twin of q220 — shared allocation AND shared (possibly grouped)
+  // code stream above the bound, per-channel scfsi/scalefactors, all
+  // through the exact rational requantizer. The oracle replays the
+  // shared-code rule against the full scfsi part-sharing matrix.
+  private val Mp2IsN = 42
+
+  def q221(s: SparkSession, dir: String): DataFrame = {
+    val fx = graft.operators.Multimodal.mp2IsFixture(s, Mp2IsN)
+    graft.operators.Multimodal.decodeMp2(fx, "id", "media")
+      .select(col("id"), col("sample_rate"), col("bitrate_kbps"),
+        col("channels"), col("n_frames"), col("total_samples"),
+        col("n_decoded"), col("value_sum"), col("min_sample"),
+        col("max_sample"), col("valid"))
+      .orderBy("id")
+  }
+
+  val q221Sql: String =
+    s"""WITH base AS (
+         SELECT r,
+           CASE r % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                ELSE 32000 END AS rate,
+           2 + r % 3 AS nf, 4 + r % 4 AS na,
+           4 * (r % 4 + 1) AS bound
+         FROM range(0, $Mp2IsN) t(r)),
+       base2 AS (
+         SELECT *, 384 AS kbps,
+                CASE WHEN rate = 48000 THEN 27 ELSE 30 END AS sbl
+         FROM base),
+       jrow AS (
+         SELECT r, nf, sbl, bound,
+                unnest([j for j in range(0, na)]) AS j FROM base2),
+       sbrow AS (SELECT r, nf, bound, j, (r + 7 * j) % sbl AS sb FROM jrow),
+       nlrow AS ( -- Table 3-B.2a/b class rows (B.2b = B.2a + tail rows)
+         SELECT r, nf, bound, j, sb,
+           (CASE WHEN sb < 3 THEN [3,7,15,31,63,127,255,511,1023,
+                                   2047,4095,8191,16383,32767,65535]
+                 WHEN sb < 11 THEN [3,5,7,9,15,31,63,127,255,511,
+                                    1023,2047,4095,8191,65535]
+                 WHEN sb < 23 THEN [3,5,7,9,15,31,65535]
+                 ELSE [3,5,65535] END)
+           [1 + (3 * r + 5 * j) % (CASE WHEN sb < 11 THEN 15
+                WHEN sb < 23 THEN 7 ELSE 3 END)] AS nlev
+         FROM sbrow),
+       nbrow AS (
+         SELECT *,
+           CASE nlev WHEN 3 THEN 2 WHEN 5 THEN 3 WHEN 9 THEN 4
+             WHEN 7 THEN 3 WHEN 15 THEN 4 WHEN 31 THEN 5 WHEN 63 THEN 6
+             WHEN 127 THEN 7 WHEN 255 THEN 8 WHEN 511 THEN 9
+             WHEN 1023 THEN 10 WHEN 2047 THEN 11 WHEN 4095 THEN 12
+             WHEN 8191 THEN 13 WHEN 16383 THEN 14 WHEN 32767 THEN 15
+             ELSE 16 END AS nb,
+           CASE nlev WHEN 3 THEN 2 WHEN 5 THEN 4 WHEN 9 THEN 8
+             ELSE 2 END AS madd
+         FROM nlrow),
+       crow AS (SELECT *, unnest([0, 1]) AS c FROM nbrow),
+       scfr AS (SELECT *, (r + 2 * j + c) % 4 AS scfsi FROM crow),
+       frow AS (SELECT *, unnest([f for f in range(0, nf)]) AS f FROM scfr),
+       grow AS (SELECT *, unnest([g for g in range(0, 12)]) AS g FROM frow),
+       erow AS ( -- scfsi part sharing: 0=(0,1,2) 1=(0,0,2) 2=(0,0,0) 3=(0,1,1)
+         SELECT *, (r + sb + 7 * c + f + 2 *
+           (CASE scfsi WHEN 0 THEN g // 4
+                 WHEN 1 THEN (CASE WHEN g // 4 = 2 THEN 2 ELSE 0 END)
+                 WHEN 2 THEN 0
+                 ELSE (CASE WHEN g // 4 = 0 THEN 0 ELSE 1 END) END)) % 21 AS e
+         FROM grow),
+       krow AS (SELECT *, unnest([k for k in range(0, 3)]) AS k FROM erow),
+       ab AS (
+         SELECT r,
+           CAST(2 * ((r * 13 + f * 3 + g * 7 + k * 17 + sb * 5 +
+                      (CASE WHEN sb < bound THEN c ELSE 0 END) * 11)
+                     % nlev) - (1 << nb) + madd AS BIGINT)
+             * (CAST(1 AS BIGINT) << (36 - e)) AS a,
+           CAST(nlev AS BIGINT) * (CAST(1 AS BIGINT) << 20) AS b
+         FROM krow),
+       qv AS ( -- exact round-half-even of a/b: floor quotient + tie parity
+         SELECT r, fq + CASE WHEN 2 * rp > b THEN 1
+                             WHEN 2 * rp = b AND fq % 2 <> 0 THEN 1
+                             ELSE 0 END AS q
+         FROM (SELECT r, b, ((a % b) + b) % b AS rp,
+                      (a - (((a % b) + b) % b)) // b AS fq FROM ab))
+       SELECT base2.r AS id, CAST(rate AS INT) AS sample_rate,
+         CAST(kbps AS INT) AS bitrate_kbps, CAST(2 AS INT) AS channels,
+         CAST(nf AS INT) AS n_frames,
+         CAST(nf * 2304 AS BIGINT) AS total_samples,
+         CAST(nf * na * 72 AS BIGINT) AS n_decoded,
+         s.vsum AS value_sum, s.vmin AS min_sample, s.vmax AS max_sample,
+         true AS valid
+       FROM base2 JOIN (
+         SELECT r, CAST(sum(q) AS BIGINT) AS vsum,
+                CAST(min(q) AS INT) AS vmin, CAST(max(q) AS INT) AS vmax
+         FROM qv GROUP BY r) s ON base2.r = s.r
+       ORDER BY id"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q125_label_propagation" -> (q125 _),
     "q126_pmi_cooccur" -> (q126 _),
@@ -5213,7 +5455,10 @@ object ExtQueries4 {
     "q215_tensor_catalog" -> (q215 _),
     "q216_toml_extract" -> (q216 _),
     "q217_onnx_extract" -> (q217 _),
-    "q218_webp_decode" -> (q218 _))
+    "q218_webp_decode" -> (q218 _),
+    "q219_mp3_intensity_stereo" -> (q219 _),
+    "q220_mp1_intensity_stereo" -> (q220 _),
+    "q221_mp2_intensity_stereo" -> (q221 _))
 
   val oracles: Map[String, String] = Map(
     "q125_label_propagation" -> q125Sql,
@@ -5309,5 +5554,8 @@ object ExtQueries4 {
     "q215_tensor_catalog" -> q215Sql,
     "q216_toml_extract" -> q216Sql,
     "q217_onnx_extract" -> q217Sql,
-    "q218_webp_decode" -> q218Sql)
+    "q218_webp_decode" -> q218Sql,
+    "q219_mp3_intensity_stereo" -> q219Sql,
+    "q220_mp1_intensity_stereo" -> q220Sql,
+    "q221_mp2_intensity_stereo" -> q221Sql)
 }

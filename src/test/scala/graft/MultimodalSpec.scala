@@ -278,7 +278,16 @@ class MultimodalSpec extends SparkSpec {
     val truncated = java.util.Arrays.copyOf(goodU, goodU.length - 3)
     val alloc15 = goodU.clone(); alloc15(4) = (alloc15(4) | 0xf0).toByte
     val scf63 = goodU.clone(); scf63(20) = (scf63(20) | 0xfc).toByte
-    val joint = goodU.clone(); joint(3) = ((joint(3) & 0x3f) | 0x40).toByte
+    // intensity mode itself is DECODED now (q220); the lie here is a
+    // flipped mode_extension on a protected intensity stream — the
+    // bound moves, the allocation region changes length, and the
+    // CRC-pinned layout no longer matches
+    val joint = {
+      val c = Multimodal.mp1IsFixture(spark, 1).collect()(0)
+        .getAs[Array[Byte]]("media").clone() // id 0: protected, ext 0
+      c(3) = (c(3) ^ 0x10).toByte
+      c
+    }
     val freeRate = goodU.clone(); freeRate(2) = (freeRate(2) & 0x0f).toByte
     val badCrc = goodP.clone(); badCrc(6) = (badCrc(6) ^ 0x10).toByte
     val mixedRate = Multimodal.encodeMp1(14, 0, 3, 1, protect = false,
@@ -397,7 +406,15 @@ class MultimodalSpec extends SparkSpec {
     val scf63 = one.clone(); scf63(15) = (scf63(15) | 0x3f).toByte
     val groupOver = one.clone() // first 5-bit group word := 31 >= 3^3
     groupOver(16) = (groupOver(16) | 0xf8).toByte
-    val joint = one.clone(); joint(3) = ((joint(3) & 0x3f) | 0x40).toByte
+    // intensity mode is DECODED now (q221); the lie is a flipped
+    // mode_extension on a protected intensity stream (bound moves →
+    // the CRC-pinned allocation layout no longer matches)
+    val joint = {
+      val c = Multimodal.mp2IsFixture(spark, 1).collect()(0)
+        .getAs[Array[Byte]]("media").clone() // id 0: protected, ext 0
+      c(3) = (c(3) ^ 0x10).toByte
+      c
+    }
     val truncated = java.util.Arrays.copyOf(one, one.length - 3)
     val freeRate = one.clone(); freeRate(2) = (freeRate(2) & 0x0f).toByte
     val prot = Multimodal.mp2Fixture(spark, 1).collect()(0)
@@ -430,6 +447,114 @@ class MultimodalSpec extends SparkSpec {
     assert(!Multimodal.decodeMp2(
       Seq((0L, Multimodal.encodeMp3(9, 0, 3))).toDF("id", "media"),
       "id", "media").collect()(0).getAs[Boolean]("valid"))
+  }
+
+  test("Layers I+II intensity stereo: shared joint-region codes match a BigDecimal reference") {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    // Layer I: replay mp1IsFixture's laws with the shared-code rule
+    // (joint region takes channel 0's code, each channel its own
+    // scalefactor) through BigDecimal HALF_EVEN — independent of the
+    // decoder's shift/parity arithmetic
+    def refMp1(i: Int): (Long, Long) = {
+      val nf = 2 + i % 4
+      val nA = 5 + i % 4
+      val bound = 4 * (i % 4 + 1)
+      var sum = 0L
+      var n = 0L
+      for (j <- 0 until nA; f <- 0 until nf; c <- 0 until 2;
+           g <- 0 until 12) {
+        val sb = (i + 3 * j) % 32
+        val nb = 2 + (3 * i + 5 * j) % 14
+        val e = (i + sb + 7 * c + 2 * f) % 21
+        val cc = if (sb < bound) c else 0
+        val code = (i * 13 + f * 3 + g * 7 + sb * 5 + cc * 11) % (1 << nb)
+        val m = 2 * code - (1 << nb) + 2
+        val num = new JBD(m).multiply(new JBD(2).pow(36 - e))
+        val den = new JBD((1L << nb) - 1).multiply(new JBD(2).pow(20))
+        sum += num.divide(den, 0, RoundingMode.HALF_EVEN).longValueExact()
+        n += 1
+      }
+      (sum, n)
+    }
+    val got1 = Multimodal.decodeMp1(
+      Multimodal.mp1IsFixture(spark, 8), "id", "media")
+      .orderBy("id").collect()
+    for (i <- 0 until 8) {
+      val (sum, n) = refMp1(i)
+      assert(got1(i).getAs[Boolean]("valid"), s"mp1 id $i")
+      assert(got1(i).getAs[Long]("value_sum") == sum, s"mp1 sum id $i")
+      assert(got1(i).getAs[Long]("n_decoded") == n, s"mp1 nDec id $i")
+      assert(got1(i).getAs[Int]("channels") == 2)
+    }
+    // Layer II: same rule through the grouped/ungrouped requantizer
+    def refMp2(i: Int): (Long, Long) = {
+      val rate = Seq(44100, 48000, 32000)(i % 3)
+      val sbl = if (rate == 48000) 27 else 30
+      val nf = 2 + i % 3
+      val nA = 4 + i % 4
+      val bound = 4 * (i % 4 + 1)
+      var sum = 0L
+      var n = 0L
+      for (j <- 0 until nA; c <- 0 until 2; f <- 0 until nf;
+           g <- 0 until 12; k <- 0 until 3) {
+        val sb = (i + 7 * j) % sbl
+        val cap = if (sb < 11) 15 else if (sb < 23) 7 else 3
+        val row =
+          if (sb < 3) Seq(3, 7, 15, 31, 63, 127, 255, 511, 1023, 2047,
+            4095, 8191, 16383, 32767, 65535)
+          else if (sb < 11) Seq(3, 5, 7, 9, 15, 31, 63, 127, 255, 511,
+            1023, 2047, 4095, 8191, 65535)
+          else if (sb < 23) Seq(3, 5, 7, 9, 15, 31, 65535)
+          else Seq(3, 5, 65535)
+        val nl = row((3 * i + 5 * j) % cap)
+        val nb = if (nl == 3) 2 else if (nl == 5) 3 else if (nl == 9) 4
+          else 32 - Integer.numberOfLeadingZeros(nl)
+        val madd = if (nl == 3 || nl == 5 || nl == 9) 1 << (nb - 1) else 2
+        val scfsi = (i + 2 * j + c) % 4
+        val part = scfsi match {
+          case 0 => g / 4
+          case 1 => if (g / 4 == 2) 2 else 0
+          case 2 => 0
+          case _ => if (g / 4 == 0) 0 else 1
+        }
+        val e = (i + sb + 7 * c + 2 * part + f) % 21
+        val cc = if (sb < bound) c else 0
+        val code =
+          (i * 13 + f * 3 + g * 7 + k * 17 + sb * 5 + cc * 11) % nl
+        val m = 2 * code - (1 << nb) + madd
+        val num = new JBD(m).multiply(new JBD(2).pow(36 - e))
+        val den = new JBD(nl).multiply(new JBD(2).pow(20))
+        sum += num.divide(den, 0, RoundingMode.HALF_EVEN).longValueExact()
+        n += 1
+      }
+      (sum, n)
+    }
+    val got2 = Multimodal.decodeMp2(
+      Multimodal.mp2IsFixture(spark, 8), "id", "media")
+      .orderBy("id").collect()
+    for (i <- 0 until 8) {
+      val (sum, n) = refMp2(i)
+      assert(got2(i).getAs[Boolean]("valid"), s"mp2 id $i")
+      assert(got2(i).getAs[Long]("value_sum") == sum, s"mp2 sum id $i")
+      assert(got2(i).getAs[Long]("n_decoded") == n, s"mp2 nDec id $i")
+    }
+    // Layer III: intensity frames parse (bitstream-identical to L/R);
+    // the per-tool counters split ext 1 / ext 3 correctly
+    val got3 = Multimodal.decodeMp3L3(
+      Multimodal.mp3L3IsFixture(spark, 6), "id", "media")
+      .orderBy("id").collect()
+    for (i <- 0 until 6) {
+      val nf = 2 + i % 3
+      assert(got3(i).getAs[Boolean]("valid"), s"mp3 id $i")
+      assert(got3(i).getAs[Int]("is_frames") == nf, s"mp3 isf id $i")
+      assert(got3(i).getAs[Int]("ms_frames") == (nf + i % 2) / 2,
+        s"mp3 msf id $i")
+    }
+    // and the MS fixture reports zero intensity frames
+    val ms = Multimodal.decodeMp3L3(
+      Multimodal.mp3L3MsFixture(spark, 2), "id", "media")
+      .orderBy("id").collect()
+    assert(ms.forall(_.getAs[Int]("is_frames") == 0))
   }
 
   test("audioCatalog: dispatch routes every family to its parser; junk flags") {

@@ -290,7 +290,9 @@ class PlanAuditSpec extends SparkSpec {
         "q210_midi_extract", "q211_bmp_decode",
         "q213_rtf_extract", "q214_proto_census",
         "q216_toml_extract", "q217_onnx_extract",
-        "q218_webp_decode").foreach { q =>
+        "q218_webp_decode", "q219_mp3_intensity_stereo",
+        "q220_mp1_intensity_stereo",
+        "q221_mp2_intensity_stereo").foreach { q =>
       val p = plan(q)
       val exchanges = "Exchange".r.findAllIn(p).length
       assert(exchanges <= 1, s"$q: codec decode should not shuffle:\n$p")
