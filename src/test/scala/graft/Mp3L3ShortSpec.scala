@@ -51,20 +51,29 @@ class Mp3L3ShortSpec extends SparkSpec {
     val pf = good.clone()
     pf(13) = (pf(13) | 0x20).toByte
     assert(Multimodal.parseMp3L3(pf).isEmpty)
-    // intensity stereo (mode 01, mode_extension bit 0) strict-rejects
-    // on a stereo stream — id 5 is stereo ((5/3)%3 != 0) and odd, so
-    // UNPROTECTED (no CRC over the spliced header byte); byte 3's
-    // top nibble carries mode(2) + mode_extension(2)
+    // joint stereo on a stereo stream — id 5 is stereo ((5/3)%3 != 0)
+    // and odd, so UNPROTECTED (no CRC over the spliced header byte);
+    // byte 3's top nibble carries mode(2) + mode_extension(2). Since
+    // round 15 ALL mode_extensions parse (the Layer III stereo tools
+    // never change bitstream syntax — q219) and the per-tool frame
+    // counters split the extension bits
     val st = fix(5)
     assert(((st(3) & 0xff) >> 6) == 0 && Multimodal.parseMp3L3(st).isDefined)
     val intensity = st.clone()
     intensity(3) = ((intensity(3) & 0x0f) | 0x50).toByte // mode 01, ext 01
-    assert(Multimodal.parseMp3L3(intensity).isEmpty)
-    // ...while MS-only joint stereo (ext 10) on the same bytes PARSES
+    assert(Multimodal.parseMp3L3(intensity)
+      .exists(d => d.isFrames == 1 && d.msFrames == 0))
+    // MS-only joint stereo (ext 10) on the same bytes likewise PARSES
     // (same side-info/main-data layout, only the header mode differs)
     val ms = st.clone()
     ms(3) = ((ms(3) & 0x0f) | 0x60).toByte // mode 01, ext 10
-    assert(Multimodal.parseMp3L3(ms).exists(_.msFrames == 1))
+    assert(Multimodal.parseMp3L3(ms)
+      .exists(d => d.msFrames == 1 && d.isFrames == 0))
+    // both tools at once (ext 11)
+    val both = st.clone()
+    both(3) = ((both(3) & 0x0f) | 0x70).toByte // mode 01, ext 11
+    assert(Multimodal.parseMp3L3(both)
+      .exists(d => d.msFrames == 1 && d.isFrames == 1))
     // the long-block property/fixture families still decode (no
     // regression from the window-switching branch)
     assert(Multimodal.parseMp3L3(
