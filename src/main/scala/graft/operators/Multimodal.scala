@@ -4741,7 +4741,11 @@ object Multimodal {
   /** dHash of one image blob: (fingerprint, width, height). None for
     * undecodable bytes or images smaller than the 9×8 sample grid.
     * Routes RIFF/WEBP through the spec-written VP8L decoder
-    * ([[WebpLake.parseVp8l]] — ImageIO has no WebP support); PNG /
+    * ([[WebpLake.parseVp8l]] — ImageIO has no WebP support) and the
+    * II/MM byte-order marks through the spec-written baseline TIFF
+    * decoder
+    * ([[TiffLake.parseTiff]] — authoritative over ImageIO's TIFF
+    * plugin so the strictness posture is ours, not the JDK's); PNG /
     * BMP / GIF / JPEG go through ImageIO. */
   private[graft] def parseDHash(b: Array[Byte]): Option[(Long, Int, Int)] = {
     if (b == null || b.length < 8) return None
@@ -4749,6 +4753,12 @@ object Multimodal {
         b(3) == 'F' && b(8) == 'W' && b(9) == 'E' && b(10) == 'B' &&
         b(11) == 'P')
       WebpLake.parseVp8l(b).flatMap { img =>
+        dhashOf(img.width, img.height,
+          (x, y) => img.argb(y * img.width + x))
+      }
+    else if ((b(0) == 'I' && b(1) == 'I' && b(2) == 42 && b(3) == 0) ||
+        (b(0) == 'M' && b(1) == 'M' && b(2) == 0 && b(3) == 42))
+      TiffLake.parseTiff(b).flatMap { img =>
         dhashOf(img.width, img.height,
           (x, y) => img.argb(y * img.width + x))
       }
@@ -4932,6 +4942,39 @@ object Multimodal {
         (r + r / 3) % 3 match {
           case 1 => encodeDHashBmp
           case 2 => encodeDHashWebp
+          case _ => encodeDHashPng
+        }
+      Row(r.toLong, enc(dhashBit(r), 1 + r % 3))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4),
+      StructType(Seq(
+        StructField("id", LongType, false),
+        StructField("media", BinaryType, true))))
+  }
+
+  /** The law image as a baseline TIFF (the spec-written [[TiffLake]]
+    * encoder; big-endian, LZW with the horizontal predictor, 3-row
+    * strips — the wire shape real scanner output takes), extending
+    * the format-invariance family to a fourth container. */
+  def encodeDHashTiff(bit: (Int, Int) => Boolean, s: Int): Array[Byte] =
+    TiffLake.encodeTiff(dhashLawPixels(bit, s), 9 * s, 8 * s,
+      TiffLake.TiffOpts(bigEndian = true, compression = 5,
+        predictor = 2, rowsPerStrip = 3))
+
+  /** q190's fixture routed across FOUR containers — PNG / 24-bpp BMP
+    * / VP8L WebP / baseline TIFF — by (r%6 + r/6) % 4: the law's
+    * Hamming-0 pairs are (6k, 6k+3), whose routes are (k) % 4 and
+    * (k+3) % 4 — always different, so every exact-duplicate pair is
+    * a cross-format one. The bit laws are q190's exactly, so the
+    * near-dup pair set is identical. */
+  def dhashMixed4Fixture(spark: SparkSession, n: Int): DataFrame = {
+    val rows = (0 until n).map { r =>
+      val enc: ((Int, Int) => Boolean, Int) => Array[Byte] =
+        (r % 6 + r / 6) % 4 match {
+          case 1 => encodeDHashBmp
+          case 2 => encodeDHashWebp
+          case 3 => encodeDHashTiff
           case _ => encodeDHashPng
         }
       Row(r.toLong, enc(dhashBit(r), 1 + r % 3))

@@ -1,0 +1,303 @@
+package graft
+
+import graft.operators.TiffLake
+import graft.operators.TiffLake.TiffOpts
+import graft.operators.Multimodal
+
+/** Baseline TIFF codec: encode→decode round-trip across photometrics
+  * × compressions × endians × strip layouts × predictors, a
+  * hand-built minimal file pinning the byte conventions independent
+  * of the encoder, an LZW round-trip that crosses the 9→10→11-bit
+  * width boundaries AND the 4094-entry clear, PackBits hand vectors,
+  * a strictness matrix, fuzz sweeps, and format invariance against
+  * the PNG twin. */
+class TiffLakeSpec extends SparkSpec {
+
+  // deterministic pseudo-random ARGB image (seeded; no Math.random)
+  private def image(seed: Int, w: Int, h: Int, colors: Int = 0): Array[Int] = {
+    var s = seed * 2654435761L + 97
+    def next(): Int = {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      (s >>> 33).toInt
+    }
+    Array.tabulate(w * h) { _ =>
+      val v = next()
+      if (colors > 0) {
+        val k = math.floorMod(v, colors)
+        0xff000000 | (k * 37 % 256 << 16) | (k * 91 % 256 << 8) |
+          (k * 53 % 256)
+      } else v | 0xff000000
+    }
+  }
+
+  // gray projection of an ARGB image (what gray photometrics carry):
+  // the encoder stores the GREEN channel, so round-trip equality for
+  // photometric 0/1/3 is asserted on gray(g) replicated to all three
+  private def grayOf(px: Array[Int]): Array[Int] =
+    px.map { p =>
+      val v = (p >> 8) & 0xff
+      0xff000000 | (v << 16) | (v << 8) | v
+    }
+
+  private def roundTrip(px: Array[Int], w: Int, h: Int, opts: TiffOpts,
+      label: String): Unit = {
+    val bytes = TiffLake.encodeTiff(px, w, h, opts)
+    val got = TiffLake.parseTiff(bytes)
+    assert(got.nonEmpty, s"$label: decode failed")
+    val img = got.get
+    assert(img.width == w && img.height == h, label)
+    // RGB and palette restore full color; gray photometrics carry the
+    // green channel replicated
+    val want =
+      if (opts.photometric == 2 || opts.photometric == 3) px
+      else grayOf(px)
+    assert(java.util.Arrays.equals(img.argb, want), s"$label: pixels differ")
+    assert(img.bigEndian == opts.bigEndian, label)
+    assert(img.compression == opts.compression, label)
+  }
+
+  test("round-trip: photometrics x compressions x endians x strips") {
+    for {
+      be <- Seq(false, true)
+      pm <- Seq(0, 1, 2, 3)
+      comp <- Seq(1, 5, 32773)
+      rps <- Seq(0, 1, 3)
+    } {
+      val px =
+        if (pm == 3) image(pm * 100 + comp, 11, 7, colors = 9)
+        else image(pm * 100 + comp + (if (be) 7 else 0), 11, 7)
+      roundTrip(px, 11, 7, TiffOpts(bigEndian = be, photometric = pm,
+        compression = comp, rowsPerStrip = rps),
+        s"be=$be pm=$pm comp=$comp rps=$rps")
+    }
+    // predictor 2 over LZW, both endians, gray + RGB, multi-strip
+    for (be <- Seq(false, true); pm <- Seq(1, 2))
+      roundTrip(image(50 + pm, 13, 9), 13, 9,
+        TiffOpts(bigEndian = be, photometric = pm, compression = 5,
+          predictor = 2, rowsPerStrip = 4), s"pred2 be=$be pm=$pm")
+    // single pixel, uniform image (PackBits all-runs), 256-color palette
+    roundTrip(image(60, 1, 1), 1, 1, TiffOpts(), "1x1")
+    roundTrip(Array.fill(35)(0xff404040), 7, 5,
+      TiffOpts(compression = 32773), "uniform packbits")
+    roundTrip(image(61, 32, 8, colors = 256), 32, 8,
+      TiffOpts(photometric = 3), "palette 256 colors")
+  }
+
+  test("LZW round-trip crosses 9/10/11-bit widths and the table clear") {
+    // high-entropy RGB raster: LZW adds roughly one table entry per
+    // ~2 input bytes, so 64x48x3 = 9216 bytes crosses 510 (9→10),
+    // 1022 (10→11) and the 4094-entry clear-and-reset — the width
+    // derivation in TiffLake's comment is exercised, not just argued
+    val px = image(70, 64, 48)
+    roundTrip(px, 64, 48, TiffOpts(photometric = 2, compression = 5),
+      "lzw width boundaries")
+    roundTrip(px, 64, 48, TiffOpts(photometric = 2, compression = 5,
+      predictor = 2), "lzw + predictor")
+    // direct kernel check with an exact byte count
+    val raw = new Array[Byte](20000)
+    var s = 0x9e3779b97f4a7c15L
+    raw.indices.foreach { i =>
+      s = s * 6364136223846793005L + 1442695040888963407L
+      raw(i) = (s >>> 56).toByte
+    }
+    val enc = TiffLake.lzwEncode(raw)
+    val tiff = TiffLake.encodeTiff(
+      raw.map(b => 0xff000000 | ((b & 0xff) << 16) | ((b & 0xff) << 8)
+        | (b & 0xff)), 100, 200, TiffOpts(compression = 5))
+    assert(TiffLake.parseTiff(tiff).nonEmpty, s"kernel ${enc.length}")
+  }
+
+  test("hand-built minimal TIFFs pin the byte conventions") {
+    // 1x1 gray pixel 0x55 at offset 8, IFD at 10, built by hand in
+    // BOTH byte orders — pins header layout, entry packing, inline
+    // SHORT placement and the LONG strip pointer independent of the
+    // encoder (which could share a misreading with the decoder)
+    def mk(be: Boolean): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def u16(v: Int): Unit =
+        if (be) { out.write(v >> 8); out.write(v & 0xff) }
+        else { out.write(v & 0xff); out.write(v >> 8) }
+      def u32(v: Int): Unit =
+        if (be) { u16(v >>> 16); u16(v & 0xffff) }
+        else { u16(v & 0xffff); u16(v >>> 16) }
+      if (be) { out.write('M'); out.write('M'); u16(42) }
+      else { out.write('I'); out.write('I'); u16(42) }
+      u32(10) // first IFD
+      out.write(0x55) // the pixel, at offset 8
+      out.write(0) // pad to even
+      u16(9) // entry count
+      def shortEnt(tag: Int, v: Int): Unit = {
+        u16(tag); u16(3); u32(1); u16(v); u16(0)
+      }
+      def longEnt(tag: Int, v: Int): Unit = { u16(tag); u16(4); u32(1); u32(v) }
+      shortEnt(256, 1); shortEnt(257, 1); shortEnt(258, 8)
+      shortEnt(259, 1); shortEnt(262, 1)
+      longEnt(273, 8)
+      shortEnt(277, 1); shortEnt(278, 1)
+      longEnt(279, 1)
+      u32(0) // next IFD
+      out.toByteArray
+    }
+    for (be <- Seq(false, true)) {
+      val img = TiffLake.parseTiff(mk(be))
+      assert(img.nonEmpty, s"hand-built be=$be")
+      assert(img.get.width == 1 && img.get.height == 1 &&
+        img.get.argb(0) == 0xff555555 && img.get.bigEndian == be)
+    }
+  }
+
+  test("PackBits hand vector decodes through a hand-built file") {
+    // -2 'A' (run of 3) | 2 'B','C','D' (3 literals) | -128 (no-op) |
+    // -1 'E' (run of 2)  =>  AAABCDEE — pins the control-byte
+    // conventions independent of the packBits encoder
+    val strip = Array[Byte](-2, 'A', 2, 'B', 'C', 'D', -128, -1, 'E')
+    val out = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit = { out.write(v & 0xff); out.write(v >> 8) }
+    def u32(v: Int): Unit = { u16(v & 0xffff); u16(v >>> 16) }
+    out.write('I'); out.write('I'); u16(42)
+    u32(18) // strip at 8 (9 bytes), pad at 17, IFD at 18
+    out.write(strip, 0, strip.length)
+    out.write(0)
+    u16(9)
+    def shortEnt(tag: Int, v: Int): Unit = {
+      u16(tag); u16(3); u32(1); u16(v); u16(0)
+    }
+    def longEnt(tag: Int, v: Int): Unit = { u16(tag); u16(4); u32(1); u32(v) }
+    shortEnt(256, 8); shortEnt(257, 1); shortEnt(258, 8)
+    shortEnt(259, 32773); shortEnt(262, 1)
+    longEnt(273, 8)
+    shortEnt(277, 1); shortEnt(278, 1)
+    longEnt(279, strip.length)
+    u32(0)
+    val img = TiffLake.parseTiff(out.toByteArray)
+    assert(img.nonEmpty, "hand-built packbits")
+    val want = "AAABCDEE".getBytes("US-ASCII")
+      .map(b => 0xff000000 | ((b & 0xff) * 0x010101))
+    assert(java.util.Arrays.equals(img.get.argb, want))
+    // and the canonical encoder round-trips the same raster
+    roundTrip(want, 8, 1, TiffOpts(compression = 32773), "packbits law")
+  }
+
+  test("strictness: every lie rejects") {
+    val good = TiffLake.encodeTiff(image(80, 9, 8), 9, 8,
+      TiffOpts(photometric = 2, compression = 5, predictor = 2,
+        rowsPerStrip = 3))
+    def mut(f: Array[Byte] => Unit): Array[Byte] = {
+      val c = good.clone(); f(c); c
+    }
+    val cases: Seq[(String, Array[Byte])] = Seq(
+      "magic not 42" -> mut(c => c(2) = 43),
+      "mixed byte-order mark" -> mut(c => c(1) = 'M'.toByte),
+      "odd IFD offset" -> mut(c => c(4) = (c(4) + 1).toByte),
+      "truncated" -> good.dropRight(3))
+    cases.foreach { case (name, b) =>
+      assert(TiffLake.parseTiff(b).isEmpty, name)
+    }
+    assert(TiffLake.parseTiff(good).nonEmpty, "control: unmutated parses")
+    assert(TiffLake.parseTiff(null).isEmpty)
+    assert(TiffLake.parseTiff(Array.emptyByteArray).isEmpty)
+  }
+
+  test("strictness: unsupported structure rejects, not guesses") {
+    // each case hand-builds the minimal file with ONE law broken
+    def mk(tweak: String): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def u16(v: Int): Unit = { out.write(v & 0xff); out.write(v >> 8) }
+      def u32(v: Int): Unit = { u16(v & 0xffff); u16(v >>> 16) }
+      out.write('I'); out.write('I'); u16(42)
+      u32(10)
+      out.write(0x55); out.write(0)
+      val extra = tweak match {
+        case "tile" | "orientation" | "fillorder" | "planar2" |
+             "extrasamples" | "colormap-on-gray" => 1
+        case _ => 0
+      }
+      u16(9 + extra)
+      def shortEnt(tag: Int, v: Int): Unit = {
+        u16(tag); u16(3); u32(1); u16(v); u16(0)
+      }
+      def longEnt(tag: Int, v: Int): Unit = { u16(tag); u16(4); u32(1); u32(v) }
+      // entries stay in ascending tag order so each case isolates
+      // exactly the one law it breaks
+      shortEnt(256, 1); shortEnt(257, 1)
+      shortEnt(258, if (tweak == "bps16") 16 else 8)
+      shortEnt(259, if (tweak == "comp6") 6 else 1)
+      shortEnt(262, if (tweak == "pm9") 9 else 1)
+      if (tweak == "fillorder") shortEnt(266, 2)
+      shortEnt(273, 8) // SHORT strip offset is legal
+      if (tweak == "orientation") shortEnt(274, 3)
+      shortEnt(277, 1); shortEnt(278, 1)
+      longEnt(279, if (tweak == "cntlie") 2 else 1)
+      if (tweak == "planar2") shortEnt(284, 2)
+      if (tweak == "colormap-on-gray") shortEnt(320, 0)
+      if (tweak == "tile") shortEnt(322, 16)
+      if (tweak == "extrasamples") shortEnt(338, 0)
+      u32(if (tweak == "multi-ifd") 10 else 0)
+      out.toByteArray
+    }
+    for (t <- Seq("bps16", "comp6", "pm9", "cntlie", "planar2", "tile",
+        "orientation", "fillorder", "extrasamples", "colormap-on-gray",
+        "multi-ifd"))
+      assert(TiffLake.parseTiff(mk(t)).isEmpty, t)
+    assert(TiffLake.parseTiff(mk("none")).nonEmpty, "control")
+    // entry order law: 273 placed before 262 violates ascending tags
+    // (mk writes 262 then 273 — build the swap by hand)
+    val swapped = {
+      val b = mk("none")
+      // entries start at 12; entry i at 12 + 12*i; swap entries 4 and 5
+      val e4 = java.util.Arrays.copyOfRange(b, 12 + 48, 12 + 60)
+      val e5 = java.util.Arrays.copyOfRange(b, 12 + 60, 12 + 72)
+      System.arraycopy(e5, 0, b, 12 + 48, 12)
+      System.arraycopy(e4, 0, b, 12 + 60, 12)
+      b
+    }
+    assert(TiffLake.parseTiff(swapped).isEmpty, "tag order")
+  }
+
+  test("byte-flip + truncation sweeps never throw; survivors well-formed") {
+    val seeds = Seq(
+      TiffLake.encodeTiff(image(90, 11, 9), 11, 9,
+        TiffOpts(photometric = 2, compression = 5, predictor = 2)),
+      TiffLake.encodeTiff(image(91, 11, 9, colors = 7), 11, 9,
+        TiffOpts(photometric = 3, compression = 32773, rowsPerStrip = 2)),
+      TiffLake.encodeTiff(image(92, 11, 9), 11, 9,
+        TiffOpts(bigEndian = true, photometric = 0)))
+    for (src <- seeds; i <- src.indices; bit <- Seq(1, 0x40)) {
+      val c = src.clone(); c(i) = (c(i) ^ bit).toByte
+      TiffLake.parseTiff(c).foreach { img =>
+        assert(img.argb.length == img.width * img.height)
+      }
+    }
+    val s0 = seeds.head
+    (0 until s0.length).foreach(n => TiffLake.parseTiff(s0.take(n)))
+  }
+
+  test("format invariance: TIFF twin fingerprints equal the PNG twin's") {
+    for (r <- 0 until 12) {
+      val s = 1 + r % 3
+      val png = Multimodal.parseDHash(
+        Multimodal.encodeDHashPng(Multimodal.dhashBit(r), s))
+      val tif = Multimodal.parseDHash(
+        Multimodal.encodeDHashTiff(Multimodal.dhashBit(r), s))
+      assert(png.nonEmpty && tif.nonEmpty, s"r=$r")
+      assert(png.get == tif.get, s"r=$r: dHash differs across formats")
+    }
+  }
+
+  test("fixture + extractTiff: every wire variant decodes to the law") {
+    val fx = TiffLake.tiffFixture(spark, 16)
+    val rows = TiffLake.extractTiff(fx, "id", "media")
+      .orderBy("id").collect()
+    assert(rows.length == 16)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getBoolean(8), s"id=$id invalid")
+      val s = 1 + (id % 3).toInt
+      assert(r.getInt(1) == 9 * s && r.getInt(2) == 8 * s, s"id=$id dims")
+      // dhash must equal the law fingerprint (via the PNG twin)
+      val want = Multimodal.parseDHash(
+        Multimodal.encodeDHashPng(Multimodal.dhashBit(id.toInt), s)).get._1
+      assert(r.getLong(7) == want, s"id=$id dhash")
+    }
+  }
+}
