@@ -5361,6 +5361,300 @@ object ExtQueries4 {
          FROM qv GROUP BY r) s ON base2.r = s.r
        ORDER BY id"""
 
+  // ---------------------------------------------------------------
+  // q222 — baseline TIFF pixel decode (scanned-document/scientific
+  // imaging corpora; the pixel half of the TIFF surface — ExifLake
+  // walks the metadata half): 40 files, ONE pixel law (the q190
+  // dHash law image at scale 1+i%3) behind EIGHT wire variants
+  // routed by i%8 — both endians, photometric 0/1/2/3 (inverted
+  // gray / gray / RGB / 16-bit-ColorMap palette), compression
+  // none/LZW/PackBits, single- and multi-strip layouts, both
+  // predictors — so the pixel columns are wire-blind and the wire
+  // columns (n_strips, compression) are closed-form in id. Any slip
+  // in endianness, strip tiling, PackBits framing, the LZW
+  // early-change widths, the predictor or a photometric mapping
+  // changes gray_sum/n_colors/dhash and fails the hash gate. Codec
+  // strictness (corruption matrix, LZW width-boundary round-trip,
+  // spec laws) is gated in TiffLakeSpec; the shared-grid fingerprint
+  // ties the decoder into the q190/q212/q223 near-dup family.
+  private val TiffN = 40
+
+  def q222(s: SparkSession, dir: String): DataFrame = {
+    val fx = graft.operators.TiffLake.tiffFixture(s, TiffN)
+    graft.operators.TiffLake.extractTiff(fx, "id", "media")
+      .select(col("id"), col("width"), col("height"), col("n_strips"),
+        col("compression"), col("gray_sum"), col("n_colors"),
+        col("dhash"), col("valid"))
+      .orderBy("id")
+  }
+
+  val q222Sql: String =
+    s"""WITH base AS (
+         SELECT r AS id, 1 + r % 3 AS s, r // 3 AS g, r % 3 AS m,
+                (r // 3) - ((r // 3) % 2) AS geff
+         FROM range(0, $TiffN) t(r)),
+       wire AS (
+         SELECT id, s,
+           CASE id % 8 WHEN 1 THEN 3 WHEN 2 THEN 2 WHEN 5 THEN 5
+                WHEN 6 THEN 4 ELSE 8 * s END AS rps,
+           CASE id % 8 WHEN 1 THEN 32773 WHEN 7 THEN 32773
+                WHEN 3 THEN 5 WHEN 6 THEN 5 ELSE 1 END AS comp
+         FROM base),
+       grid AS (
+         SELECT id, s, y, x,
+           100 + COALESCE(list_sum([
+             CASE WHEN (y * 8 + x2) < 63 AND
+               ((CASE WHEN (geff * 5 + (y * 8 + x2) * 3) % 7 < 3
+                 THEN 1 ELSE 0 END +
+                 CASE WHEN m = 1 AND ((y * 8 + x2) = (3 * g) % 63 OR
+                        (y * 8 + x2) = (3 * g + 21) % 63) THEN 1
+                      WHEN m = 2 AND (y * 8 + x2) = (3 * g + 7) % 63 THEN 1
+                      ELSE 0 END) % 2) = 1
+             THEN 1 + (x2 + y) % 3 ELSE 0 END
+             for x2 in range(0, x)]), 0) AS v
+         FROM base,
+           unnest([yy for yy in range(0, 8)]) u(y),
+           unnest([xx for xx in range(0, 9)]) w(x)),
+       stats AS (
+         SELECT id, s, CAST(s * s * SUM(v) AS BIGINT) AS gray_sum,
+           CAST(COUNT(DISTINCT v) AS INT) AS n_colors
+         FROM grid GROUP BY id, s),
+       bitv AS (
+         SELECT id, k,
+           (CASE WHEN (geff * 5 + k * 3) % 7 < 3 THEN 1 ELSE 0 END +
+            CASE WHEN m = 1 AND (k = (3 * g) % 63 OR k = (3 * g + 21) % 63)
+                   THEN 1
+                 WHEN m = 2 AND k = (3 * g + 7) % 63 THEN 1
+                 ELSE 0 END) % 2 AS b
+         FROM base, unnest([k for k in range(0, 63)]) u(k)),
+       fps AS (
+         SELECT id, CAST(sum(CASE WHEN b = 1
+                  THEN (CAST(1 AS BIGINT) << k) ELSE 0 END) AS BIGINT) AS fp
+         FROM bitv GROUP BY id)
+       SELECT st.id, CAST(9 * st.s AS INT) AS width,
+         CAST(8 * st.s AS INT) AS height,
+         CAST((8 * st.s + w.rps - 1) // w.rps AS INT) AS n_strips,
+         CAST(w.comp AS INT) AS compression,
+         st.gray_sum, st.n_colors, f.fp AS dhash, true AS valid
+       FROM stats st JOIN fps f ON st.id = f.id
+         JOIN wire w ON st.id = w.id
+       ORDER BY st.id"""
+
+  // ---------------------------------------------------------------
+  // q223 — FOUR-container format-invariant image near-dup: q190's
+  // corpus routed across PNG / 24-bpp BMP / VP8L WebP / baseline
+  // TIFF (big-endian LZW + predictor, multi-strip) by
+  // (id%6 + id/6) % 4 — a routing under which the law's Hamming-0
+  // pairs (6k, 6k+3) land at routes k%4 vs (k+3)%4, provably always
+  // different, so every exact-duplicate pair crosses formats. The
+  // bit laws are q190's exactly, so the correct pair set is
+  // IDENTICAL to q190's oracle; a decoder whose TIFF path drops a
+  // strip, mis-widths the LZW stream or skips the predictor changes
+  // fingerprints and fails the hash gate. Same decode-once +
+  // shared-banded-blocking shape as q190/q212.
+  def q223(s: SparkSession, dir: String): DataFrame = {
+    val fx = graft.operators.Multimodal.dhashMixed4Fixture(s, DHashN)
+    val fps = graft.operators.Multimodal.imageDHash(fx, "id", "media")
+      .where(col("valid"))
+      .select(col("id"), col("dhash").as("simhash"))
+      .localCheckpoint()
+    graft.operators.Dedup.simhashNearDup(fps, maxDist = 3)
+      .select(col("a"), col("b"), col("hamming").cast("int").as("hamming"))
+      .orderBy("a", "b")
+  }
+
+  val q223Sql: String = q190Sql // same laws ⇒ same pair set
+
+  // ---------------------------------------------------------------
+  // q224 — parquet FOOTER census (byte-level corpus forensics over
+  // the engine's own storage format): a spec-written Thrift Compact
+  // Protocol walk of FileMetaData — no parquet library, no data-page
+  // reads — yielding per-(file, row-group, column-chunk) physical
+  // type, codec, value counts, sizes, dictionary presence and writer
+  // identity. 40 files whose footers interleave known-but-skipped
+  // fields (key-value metadata i%4=0, column orders i%5=0, per-chunk
+  // statistics i%3=0) between the extracted ones, so the oracle gate
+  // spans the forward-compatibility skipper, the zigzag varints, the
+  // field-delta decoding, the schema-tree validation and every
+  // cross-field law (Σ rg rows = file rows, chunks per rg = leaves,
+  // page offsets inside the data region, dict before data).
+  // Real-writer conformance (parquet-cpp-arrow test tables) is
+  // spec-gated in ParquetLakeSpec.
+  private val PqMetaN = 40
+
+  def q224(s: SparkSession, dir: String): DataFrame = {
+    val fx = graft.operators.ParquetLake.parquetMetaFixture(s, PqMetaN)
+    graft.operators.ParquetLake.extractParquetMeta(fx, "id", "media")
+      .select(col("id"), col("version"), col("created_by"),
+        col("n_schema"), col("n_leaves"), col("num_rows"),
+        col("n_row_groups"), col("rg"), col("rg_rows"), col("rg_bytes"),
+        col("col"), col("col_path"), col("ptype"), col("codec"),
+        col("n_values"), col("total_compressed"),
+        col("total_uncompressed"), col("has_dict"), col("valid"))
+      .orderBy("id", "rg", "col")
+  }
+
+  val q224Sql: String =
+    s"""WITH base AS (
+         SELECT r AS id, 1 + r % 2 AS version, 2 + r % 3 AS L,
+                100 + 10 * r AS R, 1 + r % 2 AS G
+         FROM range(0, $PqMetaN) t(r)),
+       rgs AS (
+         SELECT *, CAST(unnest(range(0, G)) AS INT) AS rg FROM base),
+       rg2 AS (
+         SELECT *, CASE WHEN G = 1 THEN R
+                        WHEN rg = 0 THEN 60 + 5 * id
+                        ELSE 40 + 5 * id END AS rg_rows
+         FROM rgs),
+       chunks AS (
+         SELECT *, CAST(unnest(range(0, L)) AS INT) AS c FROM rg2),
+       laws AS (
+         SELECT *, 500 + 13 * id + 11 * c + 5 * rg AS tc FROM chunks)
+       SELECT id, CAST(version AS INT) AS version,
+         'graft-parquet ' || (id % 5) AS created_by,
+         CAST(L + 1 AS INT) AS n_schema, CAST(L AS INT) AS n_leaves,
+         CAST(R AS BIGINT) AS num_rows, CAST(G AS INT) AS n_row_groups,
+         rg, CAST(rg_rows AS BIGINT) AS rg_rows,
+         CAST(list_sum([500 + 13 * id + 11 * cc + 5 * rg + 200 + id
+           for cc in range(0, L)]) AS BIGINT) AS rg_bytes,
+         c AS col, 'c' || c AS col_path,
+         CAST(CASE (id + c) % 3 WHEN 0 THEN 1 WHEN 1 THEN 2
+              ELSE 6 END AS INT) AS ptype,
+         CAST(CASE (id + 2 * c + 3 * rg) % 3 WHEN 0 THEN 0 WHEN 1 THEN 1
+              ELSE 6 END AS INT) AS codec,
+         CAST(rg_rows AS BIGINT) AS n_values,
+         CAST(tc AS BIGINT) AS total_compressed,
+         CAST(tc + 200 + id AS BIGINT) AS total_uncompressed,
+         (id + c) % 2 = 0 AS has_dict,
+         true AS valid
+       FROM laws ORDER BY id, rg, col"""
+
+  // ---------------------------------------------------------------
+  // q225 — Ogg container catalog (RFC 3533 framing + RFC 7845 Opus /
+  // Vorbis I ident layouts): modern audio corpora are Ogg-heavy and
+  // the curation layer needs per-stream codec/channels/rate/packet
+  // censuses without decoding audio. Every page CRC is VERIFIED
+  // (forward CRC-32, the RFC polynomial), pages must tile the file,
+  // per-serial sequence/BOS/EOS/continuation state machines are
+  // strict. 40 files: an Opus stream always (with a 510-byte
+  // k·255-boundary packet on i%3=0 and a >255-byte packet SPANNING
+  // pages via a continuation on i%3=1), a multiplexed Vorbis stream
+  // on odd i, and an unrecognized-ident stream on i%5=0 censused
+  // honestly as codec='other' with null audio facts. Strictness
+  // (CRC flip, lost page, BOS/EOS/continuation lies) is spec-gated
+  // in OggLakeSpec.
+  private val OggN = 40
+
+  def q225(s: SparkSession, dir: String): DataFrame = {
+    val fx = graft.operators.OggLake.oggFixture(s, OggN)
+    graft.operators.OggLake.catalogOgg(fx, "id", "media")
+      .select(col("id"), col("stream"), col("serial"), col("codec"),
+        col("channels"), col("sample_rate"), col("pre_skip"),
+        col("n_pages"), col("n_packets"), col("last_granule"),
+        col("valid"))
+      .orderBy("id", "stream")
+  }
+
+  val q225Sql: String =
+    s"""WITH base AS (SELECT r AS id FROM range(0, $OggN) t(r)),
+       rows_a AS (
+         SELECT id, 0 AS stream, 1000 + id AS serial, 'opus' AS codec,
+           1 + id % 2 AS channels, 48000 AS sample_rate,
+           312 + id AS pre_skip,
+           CASE WHEN id % 3 = 1 THEN 4 ELSE 2 END AS n_pages,
+           4 + id % 3 AS n_packets,
+           960 * (3 + id % 3) AS last_granule
+         FROM base),
+       rows_b AS (
+         SELECT id, 1 AS stream, 2000 + id AS serial, 'vorbis' AS codec,
+           2 AS channels,
+           CASE WHEN id % 4 = 1 THEN 44100 ELSE 48000 END AS sample_rate,
+           CAST(NULL AS INT) AS pre_skip, 2 AS n_pages, 2 AS n_packets,
+           128 AS last_granule
+         FROM base WHERE id % 2 = 1),
+       rows_c AS (
+         SELECT id, 1 + id % 2 AS stream, 3000 + id AS serial,
+           'other' AS codec, CAST(NULL AS INT) AS channels,
+           CAST(NULL AS BIGINT) AS sample_rate,
+           CAST(NULL AS INT) AS pre_skip, 2 AS n_pages, 2 AS n_packets,
+           777 AS last_granule
+         FROM base WHERE id % 5 = 0),
+       u AS (SELECT * FROM rows_a UNION ALL SELECT * FROM rows_b
+             UNION ALL SELECT * FROM rows_c)
+       SELECT id, CAST(stream AS INT) AS stream,
+         CAST(serial AS BIGINT) AS serial, codec,
+         CAST(channels AS INT) AS channels,
+         CAST(sample_rate AS BIGINT) AS sample_rate,
+         CAST(pre_skip AS INT) AS pre_skip,
+         CAST(n_pages AS INT) AS n_pages,
+         CAST(n_packets AS INT) AS n_packets,
+         CAST(last_granule AS BIGINT) AS last_granule,
+         true AS valid
+       FROM u ORDER BY id, stream"""
+
+  // ---------------------------------------------------------------
+  // q226 — EBML/Matroska container catalog (RFC 8794 + the Matroska
+  // element registry): WebM dominates scraped web video, and the
+  // curation layer needs per-track codec/dimensions/channels/rate,
+  // duration and cluster censuses without touching a codec. Strict
+  // VINT parsing (IDs keep the marker, sizes strip it, unknown-size
+  // rejects), exact parent tiling, unknown elements skipped by size
+  // (EBML's forward-compat design), Duration as float32 OR float64
+  // (both exact for the integer-valued law), TimestampScale default
+  // exercised by absence. 40 files, 1+i%3 tracks alternating video/
+  // audio, planted Void elements, multi-cluster bodies censused by
+  // count and byte size. Strictness (tiling lies, unknown-size,
+  // mixed track planes) is spec-gated in EbmlLakeSpec.
+  private val EbmlN = 40
+
+  def q226(s: SparkSession, dir: String): DataFrame = {
+    val fx = graft.operators.EbmlLake.ebmlFixture(s, EbmlN)
+    graft.operators.EbmlLake.catalogEbml(fx, "id", "media")
+      .select(col("id"), col("doctype"), col("doctype_version"),
+        col("timestamp_scale"), col("duration"), col("muxing_app"),
+        col("n_tracks"), col("track"), col("track_number"),
+        col("track_type"), col("codec_id"), col("pix_w"), col("pix_h"),
+        col("channels"), col("sample_hz"), col("n_clusters"),
+        col("cluster_bytes"), col("valid"))
+      .orderBy("id", "track")
+  }
+
+  val q226Sql: String =
+    s"""WITH base AS (
+         SELECT r AS id, 1 + r % 3 AS nt FROM range(0, $EbmlN) t(r)),
+       tr AS (
+         SELECT *, CAST(unnest(range(0, nt)) AS INT) AS track FROM base),
+       facts AS (
+         SELECT *, (id + track) % 2 = 0 AS is_video FROM tr)
+       SELECT id,
+         CASE WHEN id % 2 = 0 THEN 'webm' ELSE 'matroska' END AS doctype,
+         CAST(CASE WHEN id % 2 = 0 THEN 4 ELSE 2 END AS BIGINT)
+           AS doctype_version,
+         CAST(CASE WHEN id % 3 = 0 THEN 1000000
+              ELSE 1000000 * (1 + id % 2) END AS BIGINT) AS timestamp_scale,
+         CAST(1000 + 10 * id AS DOUBLE) AS duration,
+         'graft-mux ' || (id % 3) AS muxing_app,
+         CAST(nt AS INT) AS n_tracks, track,
+         CAST(track + 1 AS BIGINT) AS track_number,
+         CAST(CASE WHEN is_video THEN 1 ELSE 2 END AS INT) AS track_type,
+         CASE WHEN is_video THEN
+              (CASE WHEN id % 4 < 2 THEN 'V_VP9' ELSE 'V_AV1' END)
+              ELSE
+              (CASE WHEN id % 4 < 2 THEN 'A_OPUS' ELSE 'A_VORBIS' END)
+         END AS codec_id,
+         CAST(CASE WHEN is_video THEN 320 + 16 * id END AS BIGINT) AS pix_w,
+         CAST(CASE WHEN is_video THEN 240 + 8 * id END AS BIGINT) AS pix_h,
+         CAST(CASE WHEN NOT is_video THEN 1 + (id + track) % 2 END
+           AS BIGINT) AS channels,
+         CAST(CASE WHEN NOT is_video THEN
+              (CASE WHEN id % 4 < 2 THEN 48000 ELSE 44100 END) END
+           AS DOUBLE) AS sample_hz,
+         CAST(1 + id % 2 AS INT) AS n_clusters,
+         CAST(CASE WHEN id % 2 = 0 THEN 69 ELSE 170 END AS BIGINT)
+           AS cluster_bytes,
+         true AS valid
+       FROM facts ORDER BY id, track"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q125_label_propagation" -> (q125 _),
     "q126_pmi_cooccur" -> (q126 _),
@@ -5458,7 +5752,12 @@ object ExtQueries4 {
     "q218_webp_decode" -> (q218 _),
     "q219_mp3_intensity_stereo" -> (q219 _),
     "q220_mp1_intensity_stereo" -> (q220 _),
-    "q221_mp2_intensity_stereo" -> (q221 _))
+    "q221_mp2_intensity_stereo" -> (q221 _),
+    "q222_tiff_decode" -> (q222 _),
+    "q223_image_mixed4_neardup" -> (q223 _),
+    "q224_parquet_meta" -> (q224 _),
+    "q225_ogg_catalog" -> (q225 _),
+    "q226_ebml_catalog" -> (q226 _))
 
   val oracles: Map[String, String] = Map(
     "q125_label_propagation" -> q125Sql,
@@ -5557,5 +5856,10 @@ object ExtQueries4 {
     "q218_webp_decode" -> q218Sql,
     "q219_mp3_intensity_stereo" -> q219Sql,
     "q220_mp1_intensity_stereo" -> q220Sql,
-    "q221_mp2_intensity_stereo" -> q221Sql)
+    "q221_mp2_intensity_stereo" -> q221Sql,
+    "q222_tiff_decode" -> q222Sql,
+    "q223_image_mixed4_neardup" -> q223Sql,
+    "q224_parquet_meta" -> q224Sql,
+    "q225_ogg_catalog" -> q225Sql,
+    "q226_ebml_catalog" -> q226Sql)
 }

@@ -80,7 +80,12 @@ class ParserFuzzSpec extends AnyFunSuite {
     "parseProto" -> (b => graft.operators.ProtoLake.parseProto(b)),
     "parseToml" -> (b => graft.operators.TomlLake.parseToml(b)),
     "parseOnnx" -> (b => graft.operators.OnnxLake.parseOnnx(b)),
-    "parseVp8l" -> (b => graft.operators.WebpLake.parseVp8l(b)))
+    "parseVp8l" -> (b => graft.operators.WebpLake.parseVp8l(b)),
+    "parseTiff" -> (b => graft.operators.TiffLake.parseTiff(b)),
+    "parseParquetMeta" -> (b =>
+      graft.operators.ParquetLake.parseParquetMeta(b)),
+    "parseOgg" -> (b => graft.operators.OggLake.parseOgg(b)),
+    "parseEbml" -> (b => graft.operators.EbmlLake.parseEbml(b)))
 
   private val magics: Seq[(String, Array[Byte])] = Seq(
     "wav" -> ("RIFF\u0000\u0000\u0000\u0000WAVE").getBytes("ISO-8859-1"),
@@ -123,7 +128,11 @@ class ParserFuzzSpec extends AnyFunSuite {
       Array[Byte](0, 0, 0, 6, 0, 1)),
     "bmp" -> "BM".getBytes("ISO-8859-1"),
     "rtf" -> "{\\rtf1\\ansi ".getBytes("ISO-8859-1"),
-    "toml" -> "title = \"x\"\n[srv]\n".getBytes("ISO-8859-1"))
+    "toml" -> "title = \"x\"\n[srv]\n".getBytes("ISO-8859-1"),
+    "par1" -> "PAR1".getBytes("ISO-8859-1"),
+    // version byte 0 appended so the fuzz reaches past the magic
+    "oggs" -> ("OggS".getBytes("ISO-8859-1") ++ Array[Byte](0)),
+    "ebml" -> Array(0x1a.toByte, 0x45.toByte, 0xdf.toByte, 0xa3.toByte))
 
   private def noThrow(label: String, p: Parser, b: Array[Byte]): Unit =
     try { p(b); () } catch {

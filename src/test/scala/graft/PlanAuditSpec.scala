@@ -292,7 +292,9 @@ class PlanAuditSpec extends SparkSpec {
         "q216_toml_extract", "q217_onnx_extract",
         "q218_webp_decode", "q219_mp3_intensity_stereo",
         "q220_mp1_intensity_stereo",
-        "q221_mp2_intensity_stereo").foreach { q =>
+        "q221_mp2_intensity_stereo",
+        "q222_tiff_decode", "q224_parquet_meta",
+        "q225_ogg_catalog", "q226_ebml_catalog").foreach { q =>
       val p = plan(q)
       val exchanges = "Exchange".r.findAllIn(p).length
       assert(exchanges <= 1, s"$q: codec decode should not shuffle:\n$p")
