@@ -135,13 +135,14 @@ object OggLake {
     var sawEos = false
     var open: java.io.ByteArrayOutputStream = null // packet in progress
     var firstPacket: Array[Byte] = null
+    var secondPacket: Array[Byte] = null
   }
 
-  /** Census one Ogg file; None on any violation. */
-  private[graft] def parseOgg(b: Array[Byte]): Option[Array[OggStream]] = {
-    if (b == null || b.length < 28) return None
-    if (b(0) != 'O' || b(1) != 'g' || b(2) != 'g' || b(3) != 'S') return None
-    try {
+  /** The shared page walk: framing + CRC + state machines + packet
+    * assembly; throws Fail on any violation. */
+  private def walkStreams(
+      b: Array[Byte]): java.util.LinkedHashMap[Long, StreamState] = {
+    {
       val streams = new java.util.LinkedHashMap[Long, StreamState]()
       var pos = 0
       var nPagesTotal = 0
@@ -204,6 +205,7 @@ object OggLake {
             st.open = null
             st.nPackets += 1
             if (st.firstPacket == null) st.firstPacket = p
+            else if (st.secondPacket == null) st.secondPacket = p
           }
           s += 1
         }
@@ -213,15 +215,126 @@ object OggLake {
         }
         pos += pageLen
       }
+      val it0 = streams.values().iterator()
+      while (it0.hasNext) {
+        val st = it0.next()
+        if (!st.sawEos) throw Fail // truncated stream
+        if (st.firstPacket == null) throw Fail
+      }
+      streams
+    }
+  }
+
+  /** Census one Ogg file; None on any violation. */
+  private[graft] def parseOgg(b: Array[Byte]): Option[Array[OggStream]] = {
+    if (b == null || b.length < 28) return None
+    if (b(0) != 'O' || b(1) != 'g' || b(2) != 'g' || b(3) != 'S') return None
+    try {
+      val streams = walkStreams(b)
       val out = new Array[OggStream](streams.size())
       val it = streams.values().iterator()
       while (it.hasNext) {
         val st = it.next()
-        if (!st.sawEos) throw Fail // truncated stream
-        if (st.firstPacket == null) throw Fail
         val (codec, ch, rate, preSkip) = decodeIdent(st.firstPacket)
         out(st.order) = OggStream(st.serial, codec, ch, rate, preSkip,
           st.nPages, st.nPackets, st.lastGranule)
+      }
+      Some(out)
+    } catch { case Fail => None }
+  }
+
+  // ------------------------------------------------------------------
+  // comment headers (RFC 7845 §5.2 OpusTags / Vorbis I §5 comments)
+
+  private[graft] final case class OggComment(key: String, value: String)
+
+  private[graft] final case class OggTagStream(
+      serial: Long, codec: String, vendor: String,
+      comments: Array[OggComment])
+
+  private def strictUtf8(b: Array[Byte], off: Int, len: Int): String = {
+    val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+    try dec.decode(java.nio.ByteBuffer.wrap(b, off, len)).toString
+    catch { case _: java.nio.charset.CharacterCodingException => throw Fail }
+  }
+
+  /** The shared vendor + user-comment-list layout starting at `off`;
+    * returns (vendor, comments, positionAfter). Field names must be
+    * nonempty, '='-separated at the FIRST '=', with every key
+    * character in 0x20-0x7d excluding '=' (both specs' rule); the
+    * value is arbitrary strict UTF-8. */
+  private def parseCommentBlock(p: Array[Byte],
+      off: Int): (String, Array[OggComment], Int) = {
+    var pos = off
+    def u32(): Long = {
+      if (pos + 4 > p.length) throw Fail
+      val v = u32le(p, pos)
+      pos += 4
+      v
+    }
+    val vlen = u32()
+    if (vlen > p.length - pos) throw Fail
+    val vendor = strictUtf8(p, pos, vlen.toInt)
+    pos += vlen.toInt
+    val n = u32()
+    if (n > 65536) throw Fail
+    val out = new Array[OggComment](n.toInt)
+    var i = 0
+    while (i < n) {
+      val clen = u32()
+      if (clen > p.length - pos) throw Fail
+      val s = strictUtf8(p, pos, clen.toInt)
+      pos += clen.toInt
+      val eq = s.indexOf('=')
+      if (eq < 1) throw Fail // key must be nonempty
+      val key = s.substring(0, eq)
+      if (!key.forall(c => c >= 0x20 && c <= 0x7d && c != '=')) throw Fail
+      out(i) = OggComment(key, s.substring(eq + 1))
+      i += 1
+    }
+    (vendor, out, pos)
+  }
+
+  /** Comment-header extraction: for every opus/vorbis stream the
+    * SECOND packet MUST be its comment header (both specs mandate
+    * it), consumed exactly (the Vorbis form ends with its framing
+    * bit set); `other` streams carry no comment surface and census
+    * with a null vendor. */
+  private[graft] def parseOggTags(
+      b: Array[Byte]): Option[Array[OggTagStream]] = {
+    if (b == null || b.length < 28) return None
+    if (b(0) != 'O' || b(1) != 'g' || b(2) != 'g' || b(3) != 'S') return None
+    try {
+      val streams = walkStreams(b)
+      val out = new Array[OggTagStream](streams.size())
+      val it = streams.values().iterator()
+      while (it.hasNext) {
+        val st = it.next()
+        val (codec, _, _, _) = decodeIdent(st.firstPacket)
+        val res = codec match {
+          case "opus" =>
+            val p = st.secondPacket
+            if (p == null || p.length < 8 || p(0) != 'O' || p(1) != 'p' ||
+                p(2) != 'u' || p(3) != 's' || p(4) != 'T' || p(5) != 'a' ||
+                p(6) != 'g' || p(7) != 's') throw Fail
+            val (vendor, cs, end) = parseCommentBlock(p, 8)
+            if (end != p.length) throw Fail
+            OggTagStream(st.serial, codec, vendor, cs)
+          case "vorbis" =>
+            val p = st.secondPacket
+            if (p == null || p.length < 8 || p(0) != 3 || p(1) != 'v' ||
+                p(2) != 'o' || p(3) != 'r' || p(4) != 'b' || p(5) != 'i' ||
+                p(6) != 's') throw Fail
+            val (vendor, cs, end) = parseCommentBlock(p, 7)
+            if (end != p.length - 1 || (p(p.length - 1) & 1) != 1)
+              throw Fail // framing bit
+            OggTagStream(st.serial, codec, vendor, cs)
+          case _ =>
+            OggTagStream(st.serial, codec, null, Array.empty)
+        }
+        out(st.order) = res
       }
       Some(out)
     } catch { case Fail => None }
@@ -328,6 +441,144 @@ object OggLake {
         }
       })
     spark.createDataFrame(rows, outSchema)
+  }
+
+  /** One row per (file, stream, comment); codec `other` streams and
+    * zero-comment headers contribute no rows (vendor rides on every
+    * comment row). */
+  def tagsOgg(df: org.apache.spark.sql.DataFrame, idCol: String,
+      binCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("id", LongType, false),
+      StructField("stream", IntegerType, true),
+      StructField("serial", LongType, true),
+      StructField("codec", StringType, true),
+      StructField("vendor", StringType, true),
+      StructField("seq", IntegerType, true),
+      StructField("key", StringType, true),
+      StructField("key_upper", StringType, true),
+      StructField("value", StringType, true),
+      StructField("valid", BooleanType, false)))
+    val rows = df.select(col(idCol).cast(LongType), col(binCol)).rdd
+      .mapPartitions(_.flatMap { r =>
+        val id = r.getLong(0)
+        val media = r.getAs[Array[Byte]](1)
+        scala.util.Try(parseOggTags(media)).toOption.flatten match {
+          case Some(ss) =>
+            ss.iterator.zipWithIndex.flatMap { case (s, si) =>
+              s.comments.iterator.zipWithIndex.map { case (c, ci) =>
+                Row(id, si, s.serial, s.codec, s.vendor, ci, c.key,
+                  c.key.toUpperCase(java.util.Locale.ROOT), c.value,
+                  true)
+              }
+            }
+          case None =>
+            Iterator(Row(id, null, null, null, null, null, null, null,
+              null, false))
+        }
+      })
+    spark.createDataFrame(rows, outSchema)
+  }
+
+  private[graft] def opusTagsPacket(vendor: String,
+      comments: Seq[String]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("OpusTags".getBytes("US-ASCII"))
+    def le32(v: Int): Unit =
+      (0 until 4).foreach(j => out.write((v >> (8 * j)) & 0xff))
+    val vb = vendor.getBytes("UTF-8")
+    le32(vb.length)
+    out.write(vb, 0, vb.length)
+    le32(comments.length)
+    comments.foreach { c =>
+      val cb = c.getBytes("UTF-8")
+      le32(cb.length)
+      out.write(cb, 0, cb.length)
+    }
+    out.toByteArray
+  }
+
+  private[graft] def vorbisCommentPacket(vendor: String,
+      comments: Seq[String]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(1) // placeholder; fixed below to 0x03
+    out.write("vorbis".getBytes("US-ASCII"))
+    def le32(v: Int): Unit =
+      (0 until 4).foreach(j => out.write((v >> (8 * j)) & 0xff))
+    val vb = vendor.getBytes("UTF-8")
+    le32(vb.length)
+    out.write(vb, 0, vb.length)
+    le32(comments.length)
+    comments.foreach { c =>
+      val cb = c.getBytes("UTF-8")
+      le32(cb.length)
+      out.write(cb, 0, cb.length)
+    }
+    out.write(1) // framing bit
+    val b = out.toByteArray
+    b(0) = 3 // comment-header packet type
+    b
+  }
+
+  /** Tags fixture (file i): a CONFORMANT Opus stream — ident,
+    * OpusTags (vendor `graft-vendor i%4`, 1+i%3 comments whose keys
+    * cycle Title/ARTIST/lang preserving case, values embedding '='
+    * on odd seq, é on even i, and an EMPTY value at seq 0 when
+    * i%5=0), one audio packet — plus, on odd i, a Vorbis stream with
+    * its 0x03-vorbis comment header (one LANGUAGE comment). */
+  def oggTagsFixture(spark: org.apache.spark.sql.SparkSession,
+      n: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val rows = (0 until n).map { i =>
+      val bos = new java.io.ByteArrayOutputStream()
+      val serialA = 1000L + i
+      val ident = opusHead(1 + i % 2, 300, 48000L)
+      bos.write(writePage(EncPage(serialA, 0, 0, bos = true, eos = false,
+        cont = false, packetLaces(ident), ident)))
+      val comments = (0 until 1 + i % 3).map { k =>
+        val key = k % 3 match {
+          case 0 => "Title"
+          case 1 => "ARTIST"
+          case _ => "lang"
+        }
+        val value =
+          if (i % 5 == 0 && k == 0) ""
+          else s"v${(i * 7 + k) % 10}" +
+            (if (k % 2 == 1) "=x" else "") +
+            (if (i % 2 == 0) "é" else "")
+        s"$key=$value"
+      }
+      val tags = opusTagsPacket(s"graft-vendor ${i % 4}", comments)
+      val audio = Array.tabulate(40)(k => ((i * 3 + k) % 256).toByte)
+      bos.write(writePage(EncPage(serialA, 1, 0, bos = false,
+        eos = false, cont = false, packetLaces(tags), tags)))
+      bos.write(writePage(EncPage(serialA, 2, 960, bos = false,
+        eos = true, cont = false, packetLaces(audio), audio)))
+      if (i % 2 == 1) {
+        val serialB = 2000L + i
+        val vident = vorbisIdent(2, 44100L)
+        val vtags = vorbisCommentPacket(s"graft-vorbis ${i % 3}",
+          Seq(s"LANGUAGE=l${i % 6}"))
+        val vaudio = Array.tabulate(16)(k => ((i * 5 + k) % 256).toByte)
+        bos.write(writePage(EncPage(serialB, 0, 0, bos = true,
+          eos = false, cont = false, packetLaces(vident), vident)))
+        bos.write(writePage(EncPage(serialB, 1, 0, bos = false,
+          eos = false, cont = false, packetLaces(vtags), vtags)))
+        bos.write(writePage(EncPage(serialB, 2, 128, bos = false,
+          eos = true, cont = false, packetLaces(vaudio), vaudio)))
+      }
+      Row(i.toLong, bos.toByteArray)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4),
+      StructType(Seq(
+        StructField("id", LongType, false),
+        StructField("media", BinaryType, true))))
   }
 
   /** Fixture laws (file i): an Opus stream (serial 1000+i, channels

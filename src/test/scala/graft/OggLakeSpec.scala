@@ -192,6 +192,84 @@ class OggLakeSpec extends SparkSpec {
     assert(OggLake.parseOgg(a).get.length == 1)
   }
 
+  test("comment headers: layout laws and strictness") {
+    def opusWithTags(tags: Array[Byte]): Array[Byte] = {
+      val ident = OggLake.opusHead(1, 0, 48000)
+      onePage(ident, OggLake.packetLaces(ident), 7, bos = true,
+        eos = false) ++
+        onePage(tags, OggLake.packetLaces(tags), 7, bos = false,
+          eos = false, seq = 1) ++
+        onePage(Array[Byte](1), Seq(1), 7, bos = false, eos = true,
+          seq = 2)
+    }
+    val good = opusWithTags(OggLake.opusTagsPacket("vend",
+      Seq("TITLE=t=x", "lang=", "A-key=v")))
+    val m = OggLake.parseOggTags(good).get
+    assert(m.length == 1 && m(0).vendor == "vend")
+    val cs = m(0).comments
+    assert(cs.length == 3)
+    assert(cs(0).key == "TITLE" && cs(0).value == "t=x",
+      "split at the FIRST '='")
+    assert(cs(1).key == "lang" && cs(1).value == "", "empty value legal")
+    assert(cs(2).key == "A-key", "case and punctuation preserved")
+    // vorbis form round-trips with its framing bit
+    val vident = OggLake.vorbisIdent(2, 44100)
+    val vtags = OggLake.vorbisCommentPacket("vv", Seq("K=1"))
+    val vf = onePage(vident, OggLake.packetLaces(vident), 9, bos = true,
+      eos = false) ++
+      onePage(vtags, OggLake.packetLaces(vtags), 9, bos = false,
+        eos = false, seq = 1) ++
+      onePage(Array[Byte](1), Seq(1), 9, bos = false, eos = true, seq = 2)
+    val vm = OggLake.parseOggTags(vf).get
+    assert(vm(0).codec == "vorbis" && vm(0).vendor == "vv" &&
+      vm(0).comments(0).key == "K")
+    // strictness: each lie rejects
+    val lies = Seq(
+      "no '=' in comment" -> OggLake.opusTagsPacket("v", Seq("NOEQ")),
+      "empty key" -> OggLake.opusTagsPacket("v", Seq("=val")),
+      "key with '~' is out of 0x20-0x7d" ->
+        OggLake.opusTagsPacket("v", Seq("K~=v")),
+      "trailing bytes after the list" ->
+        (OggLake.opusTagsPacket("v", Seq("K=v")) ++ Array[Byte](0)),
+      "second packet not OpusTags" ->
+        Array.tabulate(12)(_.toByte))
+    lies.foreach { case (name, tags) =>
+      assert(OggLake.parseOggTags(opusWithTags(tags)).isEmpty, name)
+    }
+    // a vorbis comment header without the framing bit rejects
+    val badV = vtags.clone(); badV(badV.length - 1) = 0
+    val badVf = onePage(vident, OggLake.packetLaces(vident), 9,
+      bos = true, eos = false) ++
+      onePage(badV, OggLake.packetLaces(badV), 9, bos = false,
+        eos = false, seq = 1) ++
+      onePage(Array[Byte](1), Seq(1), 9, bos = false, eos = true, seq = 2)
+    assert(OggLake.parseOggTags(badVf).isEmpty, "framing bit")
+    // parseOgg (the catalog walk) still accepts all of the lying
+    // files above structurally — the tag layer is a separate gate
+    assert(OggLake.parseOgg(good).nonEmpty)
+  }
+
+  test("tags fixture + tagsOgg: comment grain matches the laws") {
+    val fx = OggLake.oggTagsFixture(spark, 10)
+    val rows = OggLake.tagsOgg(fx, "id", "media")
+      .orderBy("id", "stream", "seq").collect()
+    val expect = (0 until 10).map(i =>
+      (1 + i % 3) + (if (i % 2 == 1) 1 else 0)).sum
+    assert(rows.length == expect)
+    assert(rows.forall(_.getBoolean(9)), "all valid")
+    // file 0: i%5=0 → empty value at seq 0; even → é suffix elsewhere
+    val f0 = rows.filter(_.getLong(0) == 0L)
+    assert(f0.length == 1 && f0(0).getString(6) == "Title" &&
+      f0(0).getString(7) == "TITLE" && f0(0).getString(8) == "")
+    // file 3: odd → vorbis stream present with the LANGUAGE law
+    val f3 = rows.filter(r => r.getLong(0) == 3L && r.getInt(1) == 1)
+    assert(f3.length == 1 && f3(0).getString(3) == "vorbis" &&
+      f3(0).getString(6) == "LANGUAGE" && f3(0).getString(8) == "l3")
+    // file 2 seq 1: '=' embedded in the value, é suffix
+    val f2 = rows.filter(r => r.getLong(0) == 2L && r.getInt(5) == 1)
+    assert(f2.length == 1 && f2(0).getString(8) == "v5=xé")
+  }
+
   test("byte-flip + truncation sweeps never throw") {
     val fx = OggLake.oggFixture(spark, 8).collect()
       .map(_.getAs[Array[Byte]](1))
