@@ -5655,6 +5655,127 @@ object ExtQueries4 {
          true AS valid
        FROM facts ORDER BY id, track"""
 
+  // ---------------------------------------------------------------
+  // q227 — Ogg COMMENT headers (RFC 7845 §5.2 OpusTags / Vorbis I
+  // comments): the metadata layer a curation pipeline reads for
+  // language/licensing/provenance tags. Both specs share the
+  // vendor + length-prefixed "KEY=value" list; the walk enforces the
+  // second-packet-must-be-comments law, exact consumption (with the
+  // Vorbis framing bit), the FIRST-'=' split, the key character
+  // range, and strict UTF-8 — while case is PRESERVED and a
+  // canonical upper form is emitted alongside (field names are
+  // case-insensitive per spec). 40 files: Opus always (empty value
+  // at seq 0 on i%5=0, '=' embedded in values on odd seq, é on even
+  // i), a Vorbis stream with a LANGUAGE tag on odd i. Strictness is
+  // spec-gated in OggLakeSpec.
+  private val OggTagsN = 40
+
+  def q227(s: SparkSession, dir: String): DataFrame = {
+    val fx = graft.operators.OggLake.oggTagsFixture(s, OggTagsN)
+    graft.operators.OggLake.tagsOgg(fx, "id", "media")
+      .select(col("id"), col("stream"), col("serial"), col("codec"),
+        col("vendor"), col("seq"), col("key"), col("key_upper"),
+        col("value"), col("valid"))
+      .orderBy("id", "stream", "seq")
+  }
+
+  val q227Sql: String =
+    s"""WITH base AS (SELECT r AS id FROM range(0, $OggTagsN) t(r)),
+       ca AS (
+         SELECT id, CAST(unnest(range(0, 1 + id % 3)) AS INT) AS seq
+         FROM base),
+       rows_a AS (
+         SELECT id, 0 AS stream, 1000 + id AS serial, 'opus' AS codec,
+           'graft-vendor ' || (id % 4) AS vendor, seq,
+           CASE seq % 3 WHEN 0 THEN 'Title' WHEN 1 THEN 'ARTIST'
+                ELSE 'lang' END AS key,
+           CASE seq % 3 WHEN 0 THEN 'TITLE' WHEN 1 THEN 'ARTIST'
+                ELSE 'LANG' END AS key_upper,
+           CASE WHEN id % 5 = 0 AND seq = 0 THEN ''
+                ELSE 'v' || ((id * 7 + seq) % 10)
+                  || (CASE WHEN seq % 2 = 1 THEN '=x' ELSE '' END)
+                  || (CASE WHEN id % 2 = 0 THEN 'é' ELSE '' END)
+           END AS value
+         FROM ca),
+       rows_b AS (
+         SELECT id, 1 AS stream, 2000 + id AS serial, 'vorbis' AS codec,
+           'graft-vorbis ' || (id % 3) AS vendor, 0 AS seq,
+           'LANGUAGE' AS key, 'LANGUAGE' AS key_upper,
+           'l' || (id % 6) AS value
+         FROM base WHERE id % 2 = 1),
+       u AS (SELECT * FROM rows_a UNION ALL SELECT * FROM rows_b)
+       SELECT id, CAST(stream AS INT) AS stream,
+         CAST(serial AS BIGINT) AS serial, codec, vendor,
+         CAST(seq AS INT) AS seq, key, key_upper, value, true AS valid
+       FROM u ORDER BY id, stream, seq"""
+
+  // ---------------------------------------------------------------
+  // q228 — Arrow IPC file census (Feather V2 — how HuggingFace
+  // datasets cache and exchange tables; the fifth interchange format
+  // next to parquet/SafeTensors-NPY-GGUF/Avro): a spec-written
+  // FLATBUFFERS walk (root uoffset, signed soffsets, vtables, u32
+  // indirections, inline structs — no flatbuffers library) over
+  // Footer / Message / Schema / RecordBatch, with the stream-schema-
+  // must-match-footer-schema cross law, per-batch node/buffer-layout
+  // validation for the flat primitive subset, EXACT int64 column
+  // sums (the content hash gate), honest family='other' for types
+  // out of subset, and strict rejects for dictionaries and
+  // compression. 40 files, 2+i%3 fields cycling int64/float64/utf8/
+  // bool, 1-2 batches; body_bytes replays the 8-byte buffer padding
+  // law closed-form. Real pyarrow-written files are spec-gated in
+  // ArrowLakeSpec.
+  private val ArrowN = 40
+
+  def q228(s: SparkSession, dir: String): DataFrame = {
+    val fx = graft.operators.ArrowLake.arrowFixture(s, ArrowN)
+    graft.operators.ArrowLake.extractArrow(fx, "id", "media")
+      .select(col("id"), col("version"), col("n_fields"), col("field"),
+        col("name"), col("nullable"), col("family"), col("bit_width"),
+        col("n_batches"), col("total_rows"), col("body_bytes"),
+        col("value_sum"), col("valid"))
+      .orderBy("id", "field")
+  }
+
+  val q228Sql: String =
+    s"""WITH base AS (
+         SELECT r AS id, 2 + r % 3 AS nf, 1 + r % 2 AS nb
+         FROM range(0, $ArrowN) t(r)),
+       agg AS (
+         SELECT id,
+           CAST(list_sum([5 + id % 4 + 3 * b
+             for b in range(0, nb)]) AS BIGINT) AS total_rows,
+           CAST(list_sum([list_sum([
+             CASE WHEN (id + cc) % 4 IN (0, 1)
+                    THEN 8 * (5 + id % 4 + 3 * b)
+                  WHEN (id + cc) % 4 = 3 THEN 8
+                  ELSE ((4 * (6 + id % 4 + 3 * b) + 7) // 8) * 8
+                    + ((list_sum([1 + length(CAST(
+                          id * 100 + cc * 10 + b + 7 * rr AS VARCHAR))
+                        for rr in range(0, 5 + id % 4 + 3 * b)]) + 7)
+                       // 8) * 8
+             END for cc in range(0, nf)])
+             for b in range(0, nb)]) AS BIGINT) AS body_bytes
+         FROM base),
+       fields AS (
+         SELECT base.*, CAST(unnest(range(0, nf)) AS INT) AS field
+         FROM base)
+       SELECT f.id, CAST(4 AS INT) AS version, CAST(nf AS INT) AS n_fields,
+         field, 'c' || field AS name, field % 2 = 1 AS nullable,
+         CASE (f.id + field) % 4 WHEN 0 THEN 'int' WHEN 1 THEN 'float'
+              WHEN 2 THEN 'utf8' ELSE 'bool' END AS family,
+         CAST(CASE (f.id + field) % 4 WHEN 0 THEN 64 WHEN 1 THEN 64
+              WHEN 3 THEN 1 END AS INT) AS bit_width,
+         CAST(nb AS INT) AS n_batches, a.total_rows, a.body_bytes,
+         CAST(CASE WHEN (f.id + field) % 4 = 0 THEN
+           list_sum([(5 + f.id % 4 + 3 * b)
+               * (f.id * 100 + field * 10 + b)
+             + 7 * (5 + f.id % 4 + 3 * b) * (4 + f.id % 4 + 3 * b) // 2
+             for b in range(0, nb)])
+         END AS BIGINT) AS value_sum,
+         true AS valid
+       FROM fields f JOIN agg a ON f.id = a.id
+       ORDER BY f.id, field"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q125_label_propagation" -> (q125 _),
     "q126_pmi_cooccur" -> (q126 _),
@@ -5757,7 +5878,9 @@ object ExtQueries4 {
     "q223_image_mixed4_neardup" -> (q223 _),
     "q224_parquet_meta" -> (q224 _),
     "q225_ogg_catalog" -> (q225 _),
-    "q226_ebml_catalog" -> (q226 _))
+    "q226_ebml_catalog" -> (q226 _),
+    "q227_ogg_tags" -> (q227 _),
+    "q228_arrow_ipc" -> (q228 _))
 
   val oracles: Map[String, String] = Map(
     "q125_label_propagation" -> q125Sql,
@@ -5861,5 +5984,7 @@ object ExtQueries4 {
     "q223_image_mixed4_neardup" -> q223Sql,
     "q224_parquet_meta" -> q224Sql,
     "q225_ogg_catalog" -> q225Sql,
-    "q226_ebml_catalog" -> q226Sql)
+    "q226_ebml_catalog" -> q226Sql,
+    "q227_ogg_tags" -> q227Sql,
+    "q228_arrow_ipc" -> q228Sql)
 }

@@ -443,6 +443,52 @@ object ScaleProof {
       finally spark.conf.set("spark.sql.files.maxPartitionBytes", oldSplit)
     }
 
+    // ---- parquet-footer census family (r15): footers ∝ N — the
+    // lake-inventory pass a 100 TB estate runs nightly. Blobs are
+    // REAL thrift-compact FileMetaData footers (the in-repo writer)
+    // with law-driven schema/row-group/chunk shapes, each a few
+    // hundred bytes: this family's claim is that a census of
+    // MILLIONS of small footers is scan-bound and shuffle-free, the
+    // opposite corpus shape from the big-archive families above.
+    if (!new java.io.File(s"$out/_done_pqm").exists()) {
+      import spark.implicits._
+      val nFtr = 3000L * k
+      spark.range(nFtr).repartition(math.max(32, 2 * k)).as[Long]
+        .map { r =>
+          val nLeaves = 2 + (r % 4).toInt
+          val nRg = 1 + (r % 3).toInt
+          val rgs = (0 until nRg).map { g =>
+            graft.operators.ParquetLake.FixRg(100 + r % 50 + g,
+              (0 until nLeaves).map { c =>
+                val tc = 400L + (r % 97) * 3 + c * 11 + g * 5
+                graft.operators.ParquetLake.FixCol(s"c$c",
+                  Array(1, 2, 6)((c + g) % 3), Array(0, 1, 6)(c % 3),
+                  100 + r % 50 + g, tc, tc + 150,
+                  hasDict = (r + c) % 2 == 0)
+              })
+          }
+          (r, graft.operators.ParquetLake.encodeParquetMeta(
+            1 + (r % 2).toInt, s"scaleproof ${r % 9}", rgs,
+            extraKv = r % 4 == 0, columnOrders = r % 5 == 0,
+            stats = r % 3 == 0))
+        }.toDF("id", "media")
+        .write.mode("overwrite").parquet(s"$out/footers.parquet")
+      new java.io.File(s"$out/_done_pqm").createNewFile()
+    }
+    if (wanted("parquet_census")) {
+      val oldSplit = spark.conf.get("spark.sql.files.maxPartitionBytes")
+      spark.conf.set("spark.sql.files.maxPartitionBytes", (4 << 20).toString)
+      def pass() = graft.operators.ParquetLake.extractParquetMeta(
+          spark.read.parquet(s"$out/footers.parquet"), "id", "media")
+        .agg(sum(col("n_values")).as("vals"),
+          sum(col("total_compressed")).as("bytes"),
+          countDistinct(col("codec")).as("codecs"),
+          count(lit(1)).as("chunks"))
+      pass().collect() // untimed codegen warm-up (steady-state claim)
+      try run("parquet_census")(pass())
+      finally spark.conf.set("spark.sql.files.maxPartitionBytes", oldSplit)
+    }
+
     // ---- graph family (r11 VERDICT #7): edges ∝ N·k, FORCED onto
     // the distributed checkpoint path at every scale (driver kernel
     // and cache path disabled) so the superstep/adjacency machinery

@@ -85,7 +85,9 @@ class ParserFuzzSpec extends AnyFunSuite {
     "parseParquetMeta" -> (b =>
       graft.operators.ParquetLake.parseParquetMeta(b)),
     "parseOgg" -> (b => graft.operators.OggLake.parseOgg(b)),
-    "parseEbml" -> (b => graft.operators.EbmlLake.parseEbml(b)))
+    "parseOggTags" -> (b => graft.operators.OggLake.parseOggTags(b)),
+    "parseEbml" -> (b => graft.operators.EbmlLake.parseEbml(b)),
+    "parseArrow" -> (b => graft.operators.ArrowLake.parseArrow(b)))
 
   private val magics: Seq[(String, Array[Byte])] = Seq(
     "wav" -> ("RIFF\u0000\u0000\u0000\u0000WAVE").getBytes("ISO-8859-1"),
@@ -132,7 +134,8 @@ class ParserFuzzSpec extends AnyFunSuite {
     "par1" -> "PAR1".getBytes("ISO-8859-1"),
     // version byte 0 appended so the fuzz reaches past the magic
     "oggs" -> ("OggS".getBytes("ISO-8859-1") ++ Array[Byte](0)),
-    "ebml" -> Array(0x1a.toByte, 0x45.toByte, 0xdf.toByte, 0xa3.toByte))
+    "ebml" -> Array(0x1a.toByte, 0x45.toByte, 0xdf.toByte, 0xa3.toByte),
+    "arrow" -> ("ARROW1".getBytes("ISO-8859-1") ++ Array[Byte](0, 0)))
 
   private def noThrow(label: String, p: Parser, b: Array[Byte]): Unit =
     try { p(b); () } catch {
