@@ -245,8 +245,12 @@ object ArrowLake {
         val off = fb.i64(bp)
         val metaLen = fb.i32(bp + 8)
         val bodyLen = fb.i64(bp + 16)
-        if (off < 8 || metaLen < 8 || bodyLen < 0 ||
-            off + metaLen + bodyLen > fStart) throw Fail
+        // bound each term before summing: a crafted huge offset or
+        // body length would wrap the Long sum and slip past a
+        // combined check (the ExifLake int-wrap lesson, 64-bit form)
+        if (off < 8 || off > fStart || metaLen < 8 ||
+            metaLen > fStart - off ||
+            bodyLen < 0 || bodyLen > fStart - off - metaLen) throw Fail
         val (ht, rb, mBody, mfb) =
           readMessage(b, off.toInt, off.toInt + metaLen)
         if (ht != 3) throw Fail // RecordBatch

@@ -279,10 +279,12 @@ object ParquetLake {
     val hasDict = dictOff >= 0
     // dictionary page strictly precedes the first data page; the
     // chunk's pages (dict-or-data start + compressed size) must fit
-    // inside the data region, before the footer
+    // inside the data region, before the footer — with each term
+    // bounded BEFORE the sum, so a crafted huge size cannot wrap the
+    // Long and slip past the check
     if (hasDict && (dictOff < 4 || dictOff >= dataOff)) throw Fail
     val pageStart = if (hasDict) dictOff else dataOff
-    if (pageStart + tcSize > dataEnd) throw Fail
+    if (pageStart > dataEnd || tcSize > dataEnd - pageStart) throw Fail
     PqCol(path, ptype, codec, nValues, tcSize, tuSize, hasDict)
   }
 
