@@ -5776,6 +5776,52 @@ object ExtQueries4 {
        FROM fields f JOIN agg a ON f.id = a.id
        ORDER BY f.id, field"""
 
+  // ---------------------------------------------------------------
+  // q229 — mixed-MEDIA catalog: the media twin of the q186 document
+  // catalog and q215 tensor catalog. One magic-sniff dispatch routes
+  // every blob of a mixed crawl bucket to its family walk — images
+  // through the parseDHash chain (PNG/BMP/WebP/TIFF here; GIF/JPEG
+  // spec-gated), Ogg through the CRC-verified page walk, EBML
+  // through the VINT walk — and censuses minimal facts on ONE
+  // schema; unknown magics census honestly as kind=other while a
+  // blob whose magic matches but whose body lies is valid=false. 42
+  // blobs routed by i%7 across all seven routes. Route/corruption
+  // strictness is spec-gated in MediaCatalogSpec.
+  private val MediaN = 42
+
+  def q229(s: SparkSession, dir: String): DataFrame = {
+    val fx = graft.operators.MediaCatalog.mediaFixture(s, MediaN)
+    graft.operators.MediaCatalog.catalogMedia(fx, "id", "media")
+      .select(col("id"), col("fmt"), col("kind"), col("width"),
+        col("height"), col("channels"), col("sample_rate"),
+        col("n_units"), col("valid"))
+      .orderBy("id")
+  }
+
+  val q229Sql: String =
+    s"""WITH base AS (
+         SELECT r AS id, 1 + r % 3 AS s, r % 7 AS m
+         FROM range(0, $MediaN) t(r))
+       SELECT id,
+         CASE m WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' WHEN 2 THEN 'webp'
+              WHEN 3 THEN 'tiff' WHEN 4 THEN 'ogg' WHEN 5 THEN 'ebml'
+              ELSE 'other' END AS fmt,
+         CASE WHEN m <= 3 THEN 'image' WHEN m = 4 THEN 'audio'
+              WHEN m = 5 THEN 'video' ELSE 'other' END AS kind,
+         CAST(CASE WHEN m <= 3 THEN 9 * s
+              WHEN m = 5 THEN 320 + 16 * id END AS INT) AS width,
+         CAST(CASE WHEN m <= 3 THEN 8 * s
+              WHEN m = 5 THEN 240 + 8 * id END AS INT) AS height,
+         CAST(CASE WHEN m = 4 THEN 1 + id % 2
+              WHEN m = 5 AND id % 2 = 1 THEN 2 END AS INT) AS channels,
+         CAST(CASE WHEN m = 4 THEN 48000
+              WHEN m = 5 AND id % 2 = 1 THEN 48000 END AS BIGINT)
+           AS sample_rate,
+         CAST(CASE WHEN m <= 3 THEN 1 WHEN m = 4 THEN 3 + id % 3
+              WHEN m = 5 THEN 1 + id % 2 END AS INT) AS n_units,
+         true AS valid
+       FROM base ORDER BY id"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q125_label_propagation" -> (q125 _),
     "q126_pmi_cooccur" -> (q126 _),
@@ -5880,7 +5926,8 @@ object ExtQueries4 {
     "q225_ogg_catalog" -> (q225 _),
     "q226_ebml_catalog" -> (q226 _),
     "q227_ogg_tags" -> (q227 _),
-    "q228_arrow_ipc" -> (q228 _))
+    "q228_arrow_ipc" -> (q228 _),
+    "q229_media_catalog" -> (q229 _))
 
   val oracles: Map[String, String] = Map(
     "q125_label_propagation" -> q125Sql,
@@ -5986,5 +6033,6 @@ object ExtQueries4 {
     "q225_ogg_catalog" -> q225Sql,
     "q226_ebml_catalog" -> q226Sql,
     "q227_ogg_tags" -> q227Sql,
-    "q228_arrow_ipc" -> q228Sql)
+    "q228_arrow_ipc" -> q228Sql,
+    "q229_media_catalog" -> q229Sql)
 }

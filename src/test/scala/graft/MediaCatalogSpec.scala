@@ -1,0 +1,107 @@
+package graft
+
+import graft.operators.{EbmlLake, MediaCatalog, Multimodal, OggLake}
+
+/** Media catalog: route discrimination across every magic, fact
+  * equality against the dedicated extractors, the corrupt-vs-other
+  * distinction, fixture replay. */
+class MediaCatalogSpec extends SparkSpec {
+
+  import org.apache.spark.sql.Row
+  import org.apache.spark.sql.types._
+
+  private def df(pairs: (Long, Array[Byte])*) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        pairs.map { case (i, b) => Row(i, b) }, 2),
+      StructType(Seq(
+        StructField("id", LongType, false),
+        StructField("media", BinaryType, true))))
+
+  test("route discriminates every family magic") {
+    val png = Multimodal.encodeDHashPng(Multimodal.dhashBit(1), 1)
+    val bmp = Multimodal.encodeDHashBmp(Multimodal.dhashBit(1), 1)
+    val webp = Multimodal.encodeDHashWebp(Multimodal.dhashBit(1), 1)
+    val tiff = Multimodal.encodeDHashTiff(Multimodal.dhashBit(1), 1)
+    assert(MediaCatalog.route(png) == "png")
+    assert(MediaCatalog.route(bmp) == "bmp")
+    assert(MediaCatalog.route(webp) == "webp")
+    assert(MediaCatalog.route(tiff) == "tiff")
+    // a GIF via ImageIO (animated formats route as image too)
+    val img = new java.awt.image.BufferedImage(12, 10,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "gif", bos)
+    assert(MediaCatalog.route(bos.toByteArray) == "gif")
+    val jb = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", jb)
+    assert(MediaCatalog.route(jb.toByteArray) == "jpeg")
+    assert(MediaCatalog.route("OggS12345678".getBytes("US-ASCII")) ==
+      "ogg")
+    assert(MediaCatalog.route(Array[Byte](0x1a, 0x45, 0xdf.toByte,
+      0xa3.toByte) ++ new Array[Byte](8)) == "ebml")
+    assert(MediaCatalog.route("plain text here".getBytes) == "other")
+    assert(MediaCatalog.route(null) == "other")
+    assert(MediaCatalog.route(Array.emptyByteArray) == "other")
+  }
+
+  test("facts equal the dedicated extractors'; gif/jpeg route decodes") {
+    val png = Multimodal.encodeDHashPng(Multimodal.dhashBit(2), 2)
+    val img = new java.awt.image.BufferedImage(18, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 16).foreach(y => (0 until 18).foreach(x =>
+      img.setRGB(x, y, ((x * 13 + y * 7) % 256) * 0x010101)))
+    val gif = { val o = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "gif", o); o.toByteArray }
+    val rows = MediaCatalog.catalogMedia(
+      df(0L -> png, 1L -> gif), "id", "media")
+      .orderBy("id").collect()
+    assert(rows(0).getString(2) == "image" && rows(0).getInt(3) == 18 &&
+      rows(0).getInt(4) == 16 && rows(0).getBoolean(8))
+    assert(rows(1).getString(1) == "gif" && rows(1).getInt(3) == 18 &&
+      rows(1).getInt(4) == 16 && rows(1).getBoolean(8))
+  }
+
+  test("corrupt members flag invalid; unknown magics census as other") {
+    val png = Multimodal.encodeDHashPng(Multimodal.dhashBit(0), 1)
+    val corrupt = png.take(30) // valid magic, truncated body
+    val unknown = "not any media format at all".getBytes("US-ASCII")
+    val rows = MediaCatalog.catalogMedia(
+      df(0L -> corrupt, 1L -> unknown), "id", "media")
+      .orderBy("id").collect()
+    assert(rows(0).getString(1) == "png" && !rows(0).getBoolean(8),
+      "a lying PNG is corrupt, not other")
+    assert(rows(1).getString(1) == "other" && rows(1).getBoolean(8),
+      "an unknown magic is an honest census row")
+    // a CRC-broken ogg flags invalid through the family walk
+    val ident = OggLake.opusHead(1, 0, 48000L)
+    val ogg = OggLake.writePage(OggLake.EncPage(9, 0, 0, bos = true,
+      eos = true, cont = false, OggLake.packetLaces(ident), ident))
+    val badOgg = ogg.clone(); badOgg(22) = (badOgg(22) ^ 1).toByte
+    val r2 = MediaCatalog.catalogMedia(df(0L -> badOgg), "id", "media")
+      .collect()
+    assert(r2(0).getString(1) == "ogg" && !r2(0).getBoolean(8))
+  }
+
+  test("fixture + catalogMedia: every route censuses to its law") {
+    val fx = MediaCatalog.mediaFixture(spark, 14)
+    val rows = MediaCatalog.catalogMedia(fx, "id", "media")
+      .orderBy("id").collect()
+    assert(rows.length == 14)
+    assert(rows.forall(_.getBoolean(8)), "all valid")
+    assert(rows.map(_.getString(1)).toSeq == Seq("png", "bmp", "webp",
+      "tiff", "ogg", "ebml", "other", "png", "bmp", "webp", "tiff",
+      "ogg", "ebml", "other"))
+    // ogg at id 4: channels 1, 48000, 3 + 4%3 = 4 packets... law check
+    val ogg4 = rows(4)
+    assert(ogg4.getInt(5) == 1 && ogg4.getLong(6) == 48000L &&
+      ogg4.getInt(7) == 3 + 4 % 3)
+    // ebml at id 12: video 320+16*12 x 240+8*12, no audio (even id)
+    val eb = rows(12)
+    assert(eb.getInt(3) == 320 + 16 * 12 && eb.getInt(4) == 240 + 8 * 12)
+    assert(eb.isNullAt(5) && eb.getInt(7) == 1 + 12 % 2)
+    // ebml at id 5 (odd): audio plane present
+    val eb5 = rows(5)
+    assert(eb5.getInt(5) == 2 && eb5.getLong(6) == 48000L)
+  }
+}

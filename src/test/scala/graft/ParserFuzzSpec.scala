@@ -87,7 +87,8 @@ class ParserFuzzSpec extends AnyFunSuite {
     "parseOgg" -> (b => graft.operators.OggLake.parseOgg(b)),
     "parseOggTags" -> (b => graft.operators.OggLake.parseOggTags(b)),
     "parseEbml" -> (b => graft.operators.EbmlLake.parseEbml(b)),
-    "parseArrow" -> (b => graft.operators.ArrowLake.parseArrow(b)))
+    "parseArrow" -> (b => graft.operators.ArrowLake.parseArrow(b)),
+    "routeMedia" -> (b => graft.operators.MediaCatalog.route(b)))
 
   private val magics: Seq[(String, Array[Byte])] = Seq(
     "wav" -> ("RIFF\u0000\u0000\u0000\u0000WAVE").getBytes("ISO-8859-1"),
