@@ -1,0 +1,180 @@
+package graft.operators
+
+/** CSV dialect sniffing — scraped tabular data arrives with unknown
+  * delimiter / quote / header conventions, and the ingestion layer
+  * must DETECT the dialect before any reader can be pointed at the
+  * shard. The sniffer here is deterministic and fully specified (so
+  * the oracle can replay it), not a statistical guesser:
+  *
+  *  - candidate dialects: delimiter in {`,` `;` TAB `|`} x quote in
+  *    {`"` `'`}, parsed over the first 64 lines with a real
+  *    quote-aware state machine (doubled quotes escape, delimiters
+  *    inside quotes are data);
+  *  - a candidate is ADMISSIBLE iff every line parses to the SAME
+  *    field count >= 2 with no unterminated quote; among admissible
+  *    candidates the sniffer picks the FEWEST fields (a wrong quote
+  *    splits quoted delimiters apart and can only inflate the
+  *    count), tie-broken by the fixed candidate order — so a file
+  *    with no quoted fields deterministically reports the `"`
+  *    default;
+  *  - header detection: the first row is a header iff none of its
+  *    fields is numeric AND some other row has a numeric field
+  *    (numeric = `-?digits(.digits)?` exactly, on the unquoted
+  *    value);
+  *  - column census: a column is numeric iff EVERY data row's value
+  *    is numeric;
+  *  - no admissible dialect, or fewer than two lines, censuses the
+  *    shard invalid — reject, never guess.
+  *
+  * One blob = one task-local walk (codec-family plan shape).
+  */
+object CsvSniff {
+
+  private val Delims = Array(',', ';', '\t', '|')
+  private val Quotes = Array('"', '\'')
+  private val MaxLines = 64
+
+  private[graft] final case class Dialect(
+      delim: Char, quote: Char, nFields: Int)
+
+  private[graft] final case class CsvFacts(
+      nLines: Int, dialect: Dialect, hasHeader: Boolean, nNumeric: Int)
+
+  private def splitLines(text: String): Array[String] = {
+    val raw = text.split("\n", -1)
+    val trimmed =
+      if (raw.nonEmpty && raw.last.isEmpty) raw.dropRight(1) else raw
+    trimmed.map(l => if (l.endsWith("\r")) l.dropRight(1) else l)
+  }
+
+  /** Quote-aware field split; None on an unterminated quote. */
+  private[graft] def splitFields(line: String, delim: Char,
+      quote: Char): Option[Array[String]] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new java.lang.StringBuilder
+    var inQ = false
+    var i = 0
+    while (i < line.length) {
+      val c = line.charAt(i)
+      if (inQ) {
+        if (c == quote) {
+          if (i + 1 < line.length && line.charAt(i + 1) == quote) {
+            cur.append(quote) // doubled quote escapes
+            i += 1
+          } else inQ = false
+        } else cur.append(c)
+      } else if (c == quote && cur.length() == 0) inQ = true
+      else if (c == delim) {
+        out += cur.toString
+        cur.setLength(0)
+      } else cur.append(c)
+      i += 1
+    }
+    if (inQ) None
+    else {
+      out += cur.toString
+      Some(out.toArray)
+    }
+  }
+
+  private val NumericRe = "-?[0-9]+(\\.[0-9]+)?".r
+
+  private[graft] def isNumeric(s: String): Boolean =
+    NumericRe.matches(s)
+
+  /** Sniff one text shard; None when no admissible dialect exists. */
+  private[graft] def sniff(text: String): Option[CsvFacts] = {
+    if (text == null) return None
+    val lines = splitLines(text)
+    if (lines.length < 2) return None
+    val sample = lines.take(MaxLines)
+    var best: Dialect = null
+    for (d <- Delims; q <- Quotes) {
+      val counts = sample.map(splitFields(_, d, q).map(_.length))
+      if (counts.forall(_.nonEmpty)) {
+        val ns = counts.map(_.get)
+        if (ns.distinct.length == 1 && ns.head >= 2)
+          if (best == null || ns.head < best.nFields)
+            best = Dialect(d, q, ns.head)
+      }
+    }
+    if (best == null) return None
+    val rows = sample.map(l =>
+      splitFields(l, best.delim, best.quote).get)
+    val firstNumeric = rows.head.exists(isNumeric)
+    val restNumeric = rows.tail.exists(_.exists(isNumeric))
+    val hasHeader = !firstNumeric && restNumeric
+    val data = if (hasHeader) rows.tail else rows
+    val nNumeric = (0 until best.nFields).count(j =>
+      data.nonEmpty && data.forall(r => isNumeric(r(j))))
+    Some(CsvFacts(lines.length, best, hasHeader, nNumeric))
+  }
+
+  // ==================================================================
+  // DataFrame surface + fixture (q230)
+
+  def sniffCsv(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("id", LongType, false),
+      StructField("n_lines", IntegerType, true),
+      StructField("delim", StringType, true),
+      StructField("quote", StringType, true),
+      StructField("n_fields", IntegerType, true),
+      StructField("has_header", BooleanType, true),
+      StructField("n_numeric", IntegerType, true),
+      StructField("valid", BooleanType, false)))
+    val rows = df.select(col(idCol).cast(LongType), col(textCol)).rdd
+      .mapPartitions(_.map { r =>
+        val id = r.getLong(0)
+        val text = r.getString(1)
+        scala.util.Try(sniff(text)).toOption.flatten match {
+          case Some(f) =>
+            Row(id, f.nLines, f.dialect.delim.toString,
+              f.dialect.quote.toString, f.dialect.nFields, f.hasHeader,
+              f.nNumeric, true)
+          case None =>
+            Row(id, null, null, null, null, null, null, false)
+        }
+      })
+    spark.createDataFrame(rows, outSchema)
+  }
+
+  /** Fixture laws (shard i): delimiter by i%4, quote by i%2, header
+    * iff i%3 != 0, 2+i%3 columns over 4+i%4 data rows; column j is
+    * numeric iff (i+j)%2=0 (value i*10+r+j), else a QUOTED string
+    * containing the live delimiter (`a<d>b<r>`) — the case naive
+    * splitters break on; trailing newline on i%5=0. */
+  def csvFixture(spark: org.apache.spark.sql.SparkSession,
+      n: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val rows = (0 until n).map { i =>
+      val d = Delims(i % 4)
+      val q = Quotes(i % 2)
+      val nf = 2 + i % 3
+      val nRows = 4 + i % 4
+      val header =
+        if (i % 3 != 0) Seq((0 until nf).map(j => s"h$j").mkString(d.toString))
+        else Nil
+      val data = (0 until nRows).map { r =>
+        (0 until nf).map { j =>
+          if ((i + j) % 2 == 0) (i * 10 + r + j).toString
+          else s"${q}a${d}b$r$q"
+        }.mkString(d.toString)
+      }
+      val text = (header ++ data).mkString("\n") +
+        (if (i % 5 == 0) "\n" else "")
+      Row(i.toLong, text)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4),
+      StructType(Seq(
+        StructField("id", LongType, false),
+        StructField("text", StringType, true))))
+  }
+}

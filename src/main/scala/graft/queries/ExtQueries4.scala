@@ -5822,6 +5822,47 @@ object ExtQueries4 {
          true AS valid
        FROM base ORDER BY id"""
 
+  // ---------------------------------------------------------------
+  // q230 — CSV dialect sniffing: scraped tabular shards arrive with
+  // unknown delimiter/quote/header conventions, and ingestion must
+  // DETECT the dialect before any reader runs. The sniffer is
+  // deterministic and fully specified (candidate grid x quote-aware
+  // parse; admissible = every line the same field count >= 2;
+  // fewest-fields tie-break — a wrong quote can only inflate the
+  // count by splitting quoted delimiters; header iff first row
+  // non-numeric and a later row numeric) so the oracle replays its
+  // verdicts closed-form. 40 shards sweeping all four delimiters,
+  // both quotes, header presence, with every string cell QUOTING a
+  // live delimiter — the case naive split-on-comma breaks on.
+  // Adversarial strictness is spec-gated in CsvSniffSpec.
+  private val CsvN = 40
+
+  def q230(s: SparkSession, dir: String): DataFrame = {
+    val fx = graft.operators.CsvSniff.csvFixture(s, CsvN)
+    graft.operators.CsvSniff.sniffCsv(fx, "id", "text")
+      .select(col("id"), col("n_lines"), col("delim"), col("quote"),
+        col("n_fields"), col("has_header"), col("n_numeric"),
+        col("valid"))
+      .orderBy("id")
+  }
+
+  val q230Sql: String =
+    s"""WITH base AS (
+         SELECT r AS id, 2 + r % 3 AS nf, 4 + r % 4 AS nr
+         FROM range(0, $CsvN) t(r))
+       SELECT id,
+         CAST(nr + CASE WHEN id % 3 <> 0 THEN 1 ELSE 0 END AS INT)
+           AS n_lines,
+         CASE id % 4 WHEN 0 THEN ',' WHEN 1 THEN ';' WHEN 2 THEN chr(9)
+              ELSE '|' END AS delim,
+         CASE id % 2 WHEN 0 THEN '"' ELSE '''' END AS quote,
+         CAST(nf AS INT) AS n_fields,
+         id % 3 <> 0 AS has_header,
+         CAST(list_sum([CASE WHEN (id + j) % 2 = 0 THEN 1 ELSE 0 END
+           for j in range(0, nf)]) AS INT) AS n_numeric,
+         true AS valid
+       FROM base ORDER BY id"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q125_label_propagation" -> (q125 _),
     "q126_pmi_cooccur" -> (q126 _),
@@ -5927,7 +5968,8 @@ object ExtQueries4 {
     "q226_ebml_catalog" -> (q226 _),
     "q227_ogg_tags" -> (q227 _),
     "q228_arrow_ipc" -> (q228 _),
-    "q229_media_catalog" -> (q229 _))
+    "q229_media_catalog" -> (q229 _),
+    "q230_csv_sniff" -> (q230 _))
 
   val oracles: Map[String, String] = Map(
     "q125_label_propagation" -> q125Sql,
@@ -6034,5 +6076,6 @@ object ExtQueries4 {
     "q226_ebml_catalog" -> q226Sql,
     "q227_ogg_tags" -> q227Sql,
     "q228_arrow_ipc" -> q228Sql,
-    "q229_media_catalog" -> q229Sql)
+    "q229_media_catalog" -> q229Sql,
+    "q230_csv_sniff" -> q230Sql)
 }

@@ -1,0 +1,87 @@
+package graft
+
+import graft.operators.CsvSniff
+
+/** CSV dialect sniffer: quote-aware split laws, the fewest-fields
+  * rule, header heuristic edges, adversarial inputs, fixture
+  * replay. */
+class CsvSniffSpec extends SparkSpec {
+
+  test("quote-aware split: embedded delimiters, doubled quotes") {
+    assert(CsvSniff.splitFields("a,b,c", ',', '"').get.toSeq ==
+      Seq("a", "b", "c"))
+    assert(CsvSniff.splitFields("\"a,b\",c", ',', '"').get.toSeq ==
+      Seq("a,b", "c"))
+    assert(CsvSniff.splitFields("\"he said \"\"hi\"\"\",x", ',', '"')
+      .get.toSeq == Seq("he said \"hi\"", "x"))
+    assert(CsvSniff.splitFields("'a;b';c", ';', '\'').get.toSeq ==
+      Seq("a;b", "c"))
+    assert(CsvSniff.splitFields("a,,c", ',', '"').get.toSeq ==
+      Seq("a", "", "c"))
+    assert(CsvSniff.splitFields("\"open,never closed", ',', '"').isEmpty,
+      "unterminated quote")
+  }
+
+  test("dialect selection: consistency + the fewest-fields rule") {
+    // semicolons, single quotes, commas riding inside the quoted cell
+    val f = CsvSniff.sniff("'x;y';1\n'a;b';2\n'c;d';3").get
+    assert(f.dialect.delim == ';' && f.dialect.quote == '\'')
+    assert(f.dialect.nFields == 2)
+    // no quoted fields at all: the quote is unobservable, the fixed
+    // order reports the double-quote default
+    val g = CsvSniff.sniff("a|1\nb|2").get
+    assert(g.dialect.delim == '|' && g.dialect.quote == '"')
+    // a wrong quote would split 'a;b' apart -> 3 fields; the sniffer
+    // must prefer the 2-field parse (fewest fields)
+    assert(CsvSniff.sniff("'a;b';1\n'c;d';2").get.dialect.nFields == 2)
+  }
+
+  test("header heuristic: both verdicts and the all-string edge") {
+    val withH = CsvSniff.sniff("name,score\nalice,10\nbob,20").get
+    assert(withH.hasHeader && withH.nNumeric == 1)
+    val noH = CsvSniff.sniff("1,alice\n2,bob").get
+    assert(!noH.hasHeader && noH.nNumeric == 1)
+    // all-string file: no numeric evidence anywhere -> NOT a header
+    // (the heuristic needs a numeric row to distinguish; honesty
+    // over guessing)
+    val allS = CsvSniff.sniff("aa,bb\ncc,dd\nee,ff").get
+    assert(!allS.hasHeader && allS.nNumeric == 0)
+    // negative numbers and decimals are numeric; padded ones are not
+    assert(CsvSniff.isNumeric("-12.5") && CsvSniff.isNumeric("7"))
+    assert(!CsvSniff.isNumeric(" 7") && !CsvSniff.isNumeric("7a") &&
+      !CsvSniff.isNumeric("1e5") && !CsvSniff.isNumeric(""))
+  }
+
+  test("adversarial inputs reject, never guess") {
+    assert(CsvSniff.sniff(null).isEmpty)
+    assert(CsvSniff.sniff("").isEmpty)
+    assert(CsvSniff.sniff("only one line,with,commas").isEmpty)
+    // inconsistent field counts under every candidate
+    assert(CsvSniff.sniff("a,b,c\nd,e\nf").isEmpty)
+    // no candidate reaches two fields
+    assert(CsvSniff.sniff("plain text\nmore text").isEmpty)
+    // CRLF line endings are accepted and do not leak \r into fields
+    val crlf = CsvSniff.sniff("a,1\r\nb,2\r\n").get
+    assert(crlf.nLines == 2 && crlf.dialect.nFields == 2)
+  }
+
+  test("fixture + sniffCsv: every dialect law recovered") {
+    val fx = CsvSniff.csvFixture(spark, 12)
+    val rows = CsvSniff.sniffCsv(fx, "id", "text")
+      .orderBy("id").collect()
+    assert(rows.length == 12)
+    assert(rows.forall(_.getBoolean(7)), "all valid")
+    // id 2: tab-delimited, double quote, no header (2%3!=0 -> header!)
+    val r2 = rows(2)
+    assert(r2.getString(2) == "\t" && r2.getString(3) == "\"" &&
+      r2.getBoolean(5), "id 2: tab + header")
+    // id 3: pipe, single quote, no header (3%3=0)
+    val r3 = rows(3)
+    assert(r3.getString(2) == "|" && r3.getString(3) == "'" &&
+      !r3.getBoolean(5))
+    // id 5: nf = 2+5%3 = 4... recompute: 2+2=4 fields, n_numeric =
+    // count of j in 0..3 with (5+j)%2=0 -> j in {1,3} -> 2
+    val r5 = rows(5)
+    assert(r5.getInt(4) == 4 && r5.getInt(6) == 2)
+  }
+}
