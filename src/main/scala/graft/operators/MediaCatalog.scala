@@ -11,9 +11,15 @@ package graft.operators
   *    decoder — the [[Multimodal.parseDHash]] routing, so the
   *    catalog inherits each format's strictness posture):
   *    kind `image`, width/height, n_units 1;
+  *  - WAV (the strict PCM chunk walk): kind `audio`, channels /
+  *    rate, n_units = sample frames; FLAC (the CRC-verified
+  *    constant-subframe walk): channels / rate, n_units = frames;
   *  - Ogg (the CRC-verified [[OggLake]] walk): kind `audio`,
   *    channels / sample rate from the first stream's ident packet,
   *    n_units = its packet census;
+  *  - MP4 (the box walk): kind `video`, audio-track channels/rate
+  *    when present, n_units = track count; AVI (the RIFF walk):
+  *    width/height, n_units = frame count;
   *  - EBML/Matroska (the [[EbmlLake]] walk): kind `video`,
   *    width/height from the first video track, channels/rate from
   *    the first audio track if any, n_units = cluster count;
@@ -38,10 +44,16 @@ object MediaCatalog {
     else if (at(0, 'B') && at(1, 'M')) "bmp"
     else if (at(0, 'R') && at(1, 'I') && at(2, 'F') && at(3, 'F') &&
         at(8, 'W') && at(9, 'E') && at(10, 'B') && at(11, 'P')) "webp"
+    else if (at(0, 'R') && at(1, 'I') && at(2, 'F') && at(3, 'F') &&
+        at(8, 'W') && at(9, 'A') && at(10, 'V') && at(11, 'E')) "wav"
+    else if (at(0, 'R') && at(1, 'I') && at(2, 'F') && at(3, 'F') &&
+        at(8, 'A') && at(9, 'V') && at(10, 'I') && at(11, ' ')) "avi"
     else if ((at(0, 'I') && at(1, 'I') && b(2) == 42 && b(3) == 0) ||
         (at(0, 'M') && at(1, 'M') && b(2) == 0 && b(3) == 42)) "tiff"
     else if (at(0, 'G') && at(1, 'I') && at(2, 'F') && at(3, '8')) "gif"
     else if ((b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) "jpeg"
+    else if (at(0, 'f') && at(1, 'L') && at(2, 'a') && at(3, 'C')) "flac"
+    else if (at(4, 'f') && at(5, 't') && at(6, 'y') && at(7, 'p')) "mp4"
     else if (at(0, 'O') && at(1, 'g') && at(2, 'g') && at(3, 'S')) "ogg"
     else if ((b(0) & 0xff) == 0x1a && (b(1) & 0xff) == 0x45 &&
         (b(2) & 0xff) == 0xdf && (b(3) & 0xff) == 0xa3) "ebml"
@@ -83,6 +95,48 @@ object MediaCatalog {
               case None =>
                 Row(id, f, "image", null, null, null, null, null, false)
             }
+          case "wav" =>
+            scala.util.Try(Multimodal.parseWav(media)).toOption
+              .flatten match {
+              case Some((rate, ch, bits, _, dLen)) =>
+                Row(id, "wav", "audio", null, null, ch, rate.toLong,
+                  dLen / (ch * bits / 8), true)
+              case None =>
+                Row(id, "wav", "audio", null, null, null, null, null,
+                  false)
+            }
+          case "flac" =>
+            scala.util.Try(Multimodal.parseFlac(media)).toOption
+              .flatten match {
+              case Some((rate, ch, _, nFrames, _, _)) =>
+                Row(id, "flac", "audio", null, null, ch, rate.toLong,
+                  nFrames, true)
+              case None =>
+                Row(id, "flac", "audio", null, null, null, null, null,
+                  false)
+            }
+          case "mp4" =>
+            scala.util.Try(Multimodal.parseMp4(media)).toOption
+              .flatten match {
+              case Some((_, _, _, nTracks, _, aRate, aCh, _)) =>
+                Row(id, "mp4", "video", null, null,
+                  if (aCh > 0) Int.box(aCh) else null,
+                  if (aRate > 0) Long.box(aRate.toLong) else null,
+                  nTracks, true)
+              case None =>
+                Row(id, "mp4", "video", null, null, null, null, null,
+                  false)
+            }
+          case "avi" =>
+            scala.util.Try(Multimodal.parseAvi(media)).toOption
+              .flatten match {
+              case Some((w, h, moviFrames, _, _, _)) =>
+                Row(id, "avi", "video", w, h, null, null, moviFrames,
+                  true)
+              case None =>
+                Row(id, "avi", "video", null, null, null, null, null,
+                  false)
+            }
           case "ogg" =>
             scala.util.Try(OggLake.parseOgg(media)).toOption
               .flatten match {
@@ -123,19 +177,46 @@ object MediaCatalog {
     spark.createDataFrame(rows, outSchema)
   }
 
-  /** Fixture laws (blob i, routed by i % 7): the q190 dHash law image
-    * at scale 1+i%3 as PNG / BMP / WebP / TIFF; a minimal two-page
-    * Opus stream (channels 1+i%2, rate 48000, 2+i%3 audio packets);
-    * a one-or-two-track EBML file (video dims 320+16i × 240+8i,
-    * audio channels 1+i%2 at 48000 on odd i, 1+i%2 clusters); and an
-    * unknown-magic blob censused as `other`. */
+  /** Minimal 16-bit PCM WAV (fixture side). */
+  private[graft] def pcmWav(ch: Int, rate: Int, nSamples: Int,
+      seed: Int): Array[Byte] = {
+    val blockAlign = ch * 2
+    val dLen = nSamples * blockAlign
+    val bb = java.nio.ByteBuffer.allocate(44 + dLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dLen)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    bb.putShort(1).putShort(ch.toShort).putInt(rate)
+    bb.putInt(rate * blockAlign).putShort(blockAlign.toShort)
+    bb.putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(dLen)
+    var k = 0
+    while (k < nSamples * ch) {
+      bb.putShort((((seed * 31 + k * 7) % 2000) - 1000).toShort)
+      k += 1
+    }
+    bb.array()
+  }
+
+  /** Fixture laws (blob i, routed by i % 11): the q190 dHash law
+    * image at scale 1+i%3 as PNG / BMP / WebP / TIFF; a minimal
+    * two-page Opus stream (channels 1+i%2, rate 48000, 2+i%3 audio
+    * packets); a one-or-two-track EBML file (video dims 320+16i ×
+    * 240+8i, audio channels 2 at 48000 on odd i, 1+i%2 clusters);
+    * an unknown-magic blob censused as `other`; a 16-bit PCM WAV
+    * (channels 1+i%2, rate 8000·(1+i%2), 64+i sample frames); a
+    * constant-subframe FLAC (rate 32000/44100/48000 by i%3, 3+i%5
+    * frames); an MP4 with one audio track (same rate law, channels
+    * 1+i%2); and a one-stream MJPEG AVI (dims 12+i%8 × 8+i%5,
+    * 2+i%4 frames). */
   def mediaFixture(spark: org.apache.spark.sql.SparkSession,
       n: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val rows = (0 until n).map { i =>
       val s = 1 + i % 3
-      val bytes = (i % 7) match {
+      val bytes = (i % 11) match {
         case 0 => Multimodal.encodeDHashPng(Multimodal.dhashBit(i), s)
         case 1 => Multimodal.encodeDHashBmp(Multimodal.dhashBit(i), s)
         case 2 => Multimodal.encodeDHashWebp(Multimodal.dhashBit(i), s)
@@ -167,8 +248,20 @@ object MediaCatalog {
             Some(2000.0 + i), durF32 = false, "cat", tracks,
             (0 until 1 + i % 2).map(c => 48 + 16 * c),
             planted = false)
-        case _ =>
+        case 6 =>
           Array.tabulate(24)(k => (((i * 13 + k) % 200) + 1).toByte)
+        case 7 =>
+          pcmWav(1 + i % 2, 8000 * (1 + i % 2), 64 + i, i)
+        case 8 =>
+          Multimodal.encodeFlac(8 + i % 3, 1 + i % 2, 16, 3 + i % 5,
+            i.toLong)
+        case 9 =>
+          Multimodal.encodeMp4(Array(32000, 44100, 48000)(i % 3),
+            1 + i % 2, 1000L + i)
+        case _ =>
+          Multimodal.encodeAvi(12 + i % 8, 8 + i % 5,
+            (0 until 2 + i % 4).map(f => (i * 11 + f * 29) % 256),
+            10 + i % 15)
       }
       Row(i.toLong, bytes)
     }

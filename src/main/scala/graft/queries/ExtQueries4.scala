@@ -5781,13 +5781,15 @@ object ExtQueries4 {
   // catalog and q215 tensor catalog. One magic-sniff dispatch routes
   // every blob of a mixed crawl bucket to its family walk — images
   // through the parseDHash chain (PNG/BMP/WebP/TIFF here; GIF/JPEG
-  // spec-gated), Ogg through the CRC-verified page walk, EBML
-  // through the VINT walk — and censuses minimal facts on ONE
-  // schema; unknown magics census honestly as kind=other while a
-  // blob whose magic matches but whose body lies is valid=false. 42
-  // blobs routed by i%7 across all seven routes. Route/corruption
-  // strictness is spec-gated in MediaCatalogSpec.
-  private val MediaN = 42
+  // spec-gated), WAV/FLAC through the PCM and constant-subframe
+  // walks, MP4/AVI through the box/RIFF walks, Ogg through the
+  // CRC-verified page walk, EBML through the VINT walk — and
+  // censuses minimal facts on ONE schema; unknown magics census
+  // honestly as kind=other while a blob whose magic matches but
+  // whose body lies is valid=false. 44 blobs routed by i%11 across
+  // all eleven routes. Route/corruption strictness is spec-gated in
+  // MediaCatalogSpec.
+  private val MediaN = 44
 
   def q229(s: SparkSession, dir: String): DataFrame = {
     val fx = graft.operators.MediaCatalog.mediaFixture(s, MediaN)
@@ -5800,25 +5802,37 @@ object ExtQueries4 {
 
   val q229Sql: String =
     s"""WITH base AS (
-         SELECT r AS id, 1 + r % 3 AS s, r % 7 AS m
+         SELECT r AS id, 1 + r % 3 AS s, r % 11 AS m,
+           CASE r % 3 WHEN 0 THEN 32000 WHEN 1 THEN 44100
+                ELSE 48000 END AS rate3
          FROM range(0, $MediaN) t(r))
        SELECT id,
          CASE m WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' WHEN 2 THEN 'webp'
               WHEN 3 THEN 'tiff' WHEN 4 THEN 'ogg' WHEN 5 THEN 'ebml'
-              ELSE 'other' END AS fmt,
-         CASE WHEN m <= 3 THEN 'image' WHEN m = 4 THEN 'audio'
-              WHEN m = 5 THEN 'video' ELSE 'other' END AS kind,
+              WHEN 7 THEN 'wav' WHEN 8 THEN 'flac' WHEN 9 THEN 'mp4'
+              WHEN 10 THEN 'avi' ELSE 'other' END AS fmt,
+         CASE WHEN m <= 3 THEN 'image'
+              WHEN m IN (4, 7, 8) THEN 'audio'
+              WHEN m IN (5, 9, 10) THEN 'video' ELSE 'other' END AS kind,
          CAST(CASE WHEN m <= 3 THEN 9 * s
-              WHEN m = 5 THEN 320 + 16 * id END AS INT) AS width,
+              WHEN m = 5 THEN 320 + 16 * id
+              WHEN m = 10 THEN 12 + id % 8 END AS INT) AS width,
          CAST(CASE WHEN m <= 3 THEN 8 * s
-              WHEN m = 5 THEN 240 + 8 * id END AS INT) AS height,
-         CAST(CASE WHEN m = 4 THEN 1 + id % 2
+              WHEN m = 5 THEN 240 + 8 * id
+              WHEN m = 10 THEN 8 + id % 5 END AS INT) AS height,
+         CAST(CASE WHEN m IN (4, 7, 8, 9) THEN 1 + id % 2
               WHEN m = 5 AND id % 2 = 1 THEN 2 END AS INT) AS channels,
          CAST(CASE WHEN m = 4 THEN 48000
-              WHEN m = 5 AND id % 2 = 1 THEN 48000 END AS BIGINT)
+              WHEN m = 5 AND id % 2 = 1 THEN 48000
+              WHEN m = 7 THEN 8000 * (1 + id % 2)
+              WHEN m IN (8, 9) THEN rate3 END AS BIGINT)
            AS sample_rate,
          CAST(CASE WHEN m <= 3 THEN 1 WHEN m = 4 THEN 3 + id % 3
-              WHEN m = 5 THEN 1 + id % 2 END AS INT) AS n_units,
+              WHEN m = 5 THEN 1 + id % 2
+              WHEN m = 7 THEN 64 + id
+              WHEN m = 8 THEN 3 + id % 5
+              WHEN m = 9 THEN 1
+              WHEN m = 10 THEN 2 + id % 4 END AS INT) AS n_units,
          true AS valid
        FROM base ORDER BY id"""
 

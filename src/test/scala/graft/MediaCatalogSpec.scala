@@ -40,6 +40,15 @@ class MediaCatalogSpec extends SparkSpec {
       "ogg")
     assert(MediaCatalog.route(Array[Byte](0x1a, 0x45, 0xdf.toByte,
       0xa3.toByte) ++ new Array[Byte](8)) == "ebml")
+    // the three RIFF variants must discriminate on the form type
+    assert(MediaCatalog.route(MediaCatalog.pcmWav(1, 8000, 4, 0)) ==
+      "wav")
+    assert(MediaCatalog.route(
+      Multimodal.encodeAvi(12, 8, Seq(10, 20), 10)) == "avi")
+    assert(MediaCatalog.route(
+      Multimodal.encodeFlac(9, 1, 16, 2, 5L)) == "flac")
+    assert(MediaCatalog.route(
+      Multimodal.encodeMp4(44100, 1, 100L)) == "mp4")
     assert(MediaCatalog.route("plain text here".getBytes) == "other")
     assert(MediaCatalog.route(null) == "other")
     assert(MediaCatalog.route(Array.emptyByteArray) == "other")
@@ -84,24 +93,41 @@ class MediaCatalogSpec extends SparkSpec {
   }
 
   test("fixture + catalogMedia: every route censuses to its law") {
-    val fx = MediaCatalog.mediaFixture(spark, 14)
+    val fx = MediaCatalog.mediaFixture(spark, 22)
     val rows = MediaCatalog.catalogMedia(fx, "id", "media")
       .orderBy("id").collect()
-    assert(rows.length == 14)
+    assert(rows.length == 22)
     assert(rows.forall(_.getBoolean(8)), "all valid")
     assert(rows.map(_.getString(1)).toSeq == Seq("png", "bmp", "webp",
-      "tiff", "ogg", "ebml", "other", "png", "bmp", "webp", "tiff",
-      "ogg", "ebml", "other"))
-    // ogg at id 4: channels 1, 48000, 3 + 4%3 = 4 packets... law check
+      "tiff", "ogg", "ebml", "other", "wav", "flac", "mp4", "avi",
+      "png", "bmp", "webp", "tiff", "ogg", "ebml", "other", "wav",
+      "flac", "mp4", "avi"))
+    // ogg at id 4: channels 1, 48000, 3 + 4%3 = 4 packets
     val ogg4 = rows(4)
     assert(ogg4.getInt(5) == 1 && ogg4.getLong(6) == 48000L &&
       ogg4.getInt(7) == 3 + 4 % 3)
-    // ebml at id 12: video 320+16*12 x 240+8*12, no audio (even id)
-    val eb = rows(12)
-    assert(eb.getInt(3) == 320 + 16 * 12 && eb.getInt(4) == 240 + 8 * 12)
-    assert(eb.isNullAt(5) && eb.getInt(7) == 1 + 12 % 2)
+    // ebml at id 16: video 320+16*16 x 240+8*16, no audio (even id)
+    val eb = rows(16)
+    assert(eb.getInt(3) == 320 + 16 * 16 && eb.getInt(4) == 240 + 8 * 16)
+    assert(eb.isNullAt(5) && eb.getInt(7) == 1 + 16 % 2)
     // ebml at id 5 (odd): audio plane present
     val eb5 = rows(5)
     assert(eb5.getInt(5) == 2 && eb5.getLong(6) == 48000L)
+    // wav at id 7: 2 ch, 16000 Hz, 64+7 frames
+    val wav7 = rows(7)
+    assert(wav7.getString(2) == "audio" && wav7.getInt(5) == 2 &&
+      wav7.getLong(6) == 16000L && wav7.getInt(7) == 71)
+    // flac at id 8: 1 ch, rate3(8)=48000, 3+8%5 frames
+    val fl8 = rows(8)
+    assert(fl8.getInt(5) == 1 && fl8.getLong(6) == 48000L &&
+      fl8.getInt(7) == 3 + 8 % 5)
+    // mp4 at id 9: 2 ch, rate3(9)=32000, one track
+    val m9 = rows(9)
+    assert(m9.getString(2) == "video" && m9.getInt(5) == 2 &&
+      m9.getLong(6) == 32000L && m9.getInt(7) == 1)
+    // avi at id 10: dims 12+10%8 x 8+10%5, 2+10%4 frames
+    val a10 = rows(10)
+    assert(a10.getInt(3) == 12 + 10 % 8 && a10.getInt(4) == 8 + 10 % 5 &&
+      a10.getInt(7) == 2 + 10 % 4)
   }
 }
