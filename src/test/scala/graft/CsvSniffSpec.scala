@@ -65,6 +65,45 @@ class CsvSniffSpec extends SparkSpec {
     assert(crlf.nLines == 2 && crlf.dialect.nFields == 2)
   }
 
+  test("randomized sweep: generated dialects are always recovered") {
+    // 200 seeded-random files over the full candidate grid; string
+    // cells embed the live delimiter and doubled-quote escapes, the
+    // content alphabet excludes the other candidates so the true
+    // dialect is the unique admissible minimum by construction
+    val delims = Array(',', ';', '\t', '|')
+    val quotes = Array('"', '\'')
+    val rnd = new scala.util.Random(23041)
+    (0 until 200).foreach { t =>
+      val d = delims(rnd.nextInt(4))
+      val q = quotes(rnd.nextInt(2))
+      val nf = 2 + rnd.nextInt(5)
+      val nr = 2 + rnd.nextInt(12)
+      val header = rnd.nextBoolean()
+      val numericCol = rnd.nextInt(nf) // at least one numeric column
+      def word(): String =
+        (0 until 1 + rnd.nextInt(5)).map(_ =>
+          ('a' + rnd.nextInt(26)).toChar).mkString
+      val head =
+        if (header) Seq((0 until nf).map(j => s"h${j}${word()}")
+          .mkString(d.toString))
+        else Nil
+      val data = (0 until nr).map { _ =>
+        (0 until nf).map { j =>
+          if (j == numericCol) (rnd.nextInt(2000) - 1000).toString
+          else if (rnd.nextBoolean())
+            s"$q${word()}$d${word()}$q$q$q" // quoted delim + escaped q
+          else word()
+        }.mkString(d.toString)
+      }
+      val text = (head ++ data).mkString("\n")
+      val f = CsvSniff.sniff(text)
+      assert(f.nonEmpty, s"sweep#$t")
+      assert(f.get.dialect.delim == d && f.get.dialect.nFields == nf,
+        s"sweep#$t d=$d q=$q nf=$nf: got ${f.get.dialect}")
+      assert(f.get.hasHeader == header, s"sweep#$t header")
+    }
+  }
+
   test("fixture + sniffCsv: every dialect law recovered") {
     val fx = CsvSniff.csvFixture(spark, 12)
     val rows = CsvSniff.sniffCsv(fx, "id", "text")

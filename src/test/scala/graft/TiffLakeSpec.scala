@@ -107,6 +107,27 @@ class TiffLakeSpec extends SparkSpec {
     assert(TiffLake.parseTiff(tiff).nonEmpty, s"kernel ${enc.length}")
   }
 
+  test("randomized sweep: arbitrary shapes x compressions round-trip") {
+    // 150 seeded-random cases over the whole wire grid — sizes that
+    // hit 1-pixel rows, strip remainders, LZW streams from a few
+    // bytes to several KB (KwKwK sequences arise naturally from
+    // random bytes), palette fallback excluded (random pixels exceed
+    // 256 colors)
+    val rnd = new scala.util.Random(41507)
+    (0 until 150).foreach { t =>
+      val w = 1 + rnd.nextInt(40)
+      val h = 1 + rnd.nextInt(30)
+      val pm = Seq(0, 1, 2)(rnd.nextInt(3))
+      val comp = Seq(1, 5, 32773)(rnd.nextInt(3))
+      val pred = if (comp == 5 && rnd.nextBoolean()) 2 else 1
+      val rps = if (rnd.nextBoolean()) 0 else 1 + rnd.nextInt(h)
+      val px = Array.fill(w * h)(rnd.nextInt() | 0xff000000)
+      roundTrip(px, w, h, TiffOpts(bigEndian = rnd.nextBoolean(),
+        photometric = pm, compression = comp, predictor = pred,
+        rowsPerStrip = rps), s"sweep#$t w=$w h=$h pm=$pm comp=$comp")
+    }
+  }
+
   test("hand-built minimal TIFFs pin the byte conventions") {
     // 1x1 gray pixel 0x55 at offset 8, IFD at 10, built by hand in
     // BOTH byte orders — pins header layout, entry packing, inline
