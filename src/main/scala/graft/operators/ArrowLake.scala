@@ -257,7 +257,11 @@ object ArrowLake {
         if (mBody != bodyLen) throw Fail
         val lenPos = mfb.field(rb, 0)
         val rows = if (lenPos == 0) 0L else mfb.i64(lenPos)
-        if (rows < 0) throw Fail
+        // a batch cannot hold more fixed-width rows than the file has
+        // bytes — rejecting implausible counts up front keeps the
+        // size-law products below (rows * width, (rows+1) * 4) from
+        // wrapping Long and passing vacuously
+        if (rows < 0 || rows > fStart) throw Fail
         if (mfb.field(rb, 3) != 0) throw Fail // compression: out
         totalRows += rows
         bodyBytes += bodyLen

@@ -407,7 +407,10 @@ object TiffLake {
         if (shorts(rd, e).exists(_ != 1)) throw Fail)
       val w = scalar(rd, req(256))
       val h = scalar(rd, req(257))
-      if (w < 1 || h < 1 || w * h > (1L << 22)) throw Fail
+      // bound each factor BEFORE the product: w,h are u32 reads, so
+      // w*h can wrap past 2^63 and slip a pure product bound
+      if (w < 1 || h < 1 || w > (1L << 22) || h > (1L << 22) ||
+          w * h > (1L << 22)) throw Fail
       val width = w.toInt
       val height = h.toInt
       val pm = scalar(rd, req(262)).toInt

@@ -275,6 +275,38 @@ class TiffLakeSpec extends SparkSpec {
     assert(TiffLake.parseTiff(swapped).isEmpty, "tag order")
   }
 
+  test("u32 dimension product cannot wrap the Long bound") {
+    // w = h = 0xB504F334 (~3.04e9, a legal u32): the product is just
+    // past 2^63, so an unguarded `w * h > bound` wraps negative and
+    // passes — width.toInt then goes negative and the raster
+    // allocation throws outside the parse->Option contract. Each
+    // factor must reject on its own.
+    def mk(dim: Int): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def u16(v: Int): Unit = { out.write(v & 0xff); out.write(v >> 8) }
+      def u32(v: Int): Unit = { u16(v & 0xffff); u16(v >>> 16) }
+      out.write('I'); out.write('I'); u16(42)
+      u32(10)
+      out.write(0x55); out.write(0)
+      u16(9)
+      def shortEnt(tag: Int, v: Int): Unit = {
+        u16(tag); u16(3); u32(1); u16(v); u16(0)
+      }
+      def longEnt(tag: Int, v: Int): Unit = { u16(tag); u16(4); u32(1); u32(v) }
+      longEnt(256, dim); longEnt(257, dim)
+      shortEnt(258, 8); shortEnt(259, 1); shortEnt(262, 1)
+      longEnt(273, 8)
+      shortEnt(277, 1); longEnt(278, dim)
+      longEnt(279, 1)
+      u32(0)
+      out.toByteArray
+    }
+    assert(TiffLake.parseTiff(mk(0xB504F334)).isEmpty, "wrap dims")
+    // a second wrap shape: one huge factor, one tiny
+    assert(TiffLake.parseTiff(mk(0xFFFFFFFF)).isEmpty, "u32 max dims")
+    assert(TiffLake.parseTiff(mk(1)).nonEmpty, "control: 1x1 parses")
+  }
+
   test("byte-flip + truncation sweeps never throw; survivors well-formed") {
     val seeds = Seq(
       TiffLake.encodeTiff(image(90, 11, 9), 11, 9,
