@@ -1,0 +1,544 @@
+package graft.operators
+
+import java.nio.charset.{CodingErrorAction, StandardCharsets}
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** YAML configuration extraction (YAML 1.2 core schema, strict
+  * subset) — the metadata layer of hub corpora: model cards, dataset
+  * cards, CI configs, static-site front matter. A real indentation
+  * parser with the spec's own lexical laws, never a split-on-`:`
+  * approximation.
+  *
+  * Closed subset (strict — reject, never guess):
+  *  - structure: one document; an optional leading `---` start
+  *    marker; block mappings (`key: value` / `key:` + nested block)
+  *    and block sequences (`- value`), nested by indentation (spaces
+  *    only — the YAML tab law; sequences may sit at the parent key's
+  *    own indent OR deeper, both real-world emitter styles); comments
+  *    (`#` to EOL, which the spec requires be preceded by whitespace
+  *    when trailing a value); the root must be a mapping;
+  *  - keys: bare `[A-Za-z0-9_-]+` (≤64 chars), unique per mapping
+  *    (the YAML key-uniqueness law); complex/quoted keys out;
+  *  - scalars: double-quoted with escapes `\" \\ \n \t \r \uXXXX`
+  *    (raw controls and surrogate code points reject), single-quoted
+  *    with the `''` escape, and plain scalars resolved by a CLOSED
+  *    core-schema subset — `true`/`false` exactly, `null`/`~`,
+  *    integers (optional sign, ≤18 digits, no leading zeros), floats
+  *    `±D+.DD` (1-2 decimals, projected as an EXACT ×100 integer —
+  *    no doubles cross the engine boundary), strict `YYYY-MM-DD`
+  *    dates (→ epoch seconds). Anything else number-like (`1.2.3`,
+  *    `0x1F`, `1e5`, `007`) and every OTHER resolution-ambiguous
+  *    word (`yes`/`On`/`None`/`nan`/`True`…) rejects rather than
+  *    silently resolving — the 1.1-vs-1.2 "Norway problem" is a
+  *    reject, not a guess;
+  *  - flow: ONE level of flow sequences `[a, 1, "b"]` as a mapping
+  *    value (scalar elements only); flow mappings, nested flow,
+  *    anchors, aliases, tags, directives, block scalars (`|`/`>`)
+  *    and multi-document streams are out of subset.
+  *
+  * Emits one row per leaf in APPEARANCE order; every sequence also
+  * emits a container row carrying its element count. One blob = one
+  * task-local walk (codec-family plan shape). */
+object YamlLake {
+
+  private object Fail extends scala.util.control.ControlThrowable
+
+  private[graft] final case class YamlEntry(
+      path: String, kind: String, lval: Option[Long],
+      sval: Option[String], fx100: Option[Long], arrN: Option[Int])
+
+  // resolution-ambiguous plain words: YAML 1.1 bools / 1.2 variants /
+  // non-finite floats — resolving any of them would be a guess
+  private val Ambiguous: Set[String] = Set(
+    "true", "false", "null", "yes", "no", "on", "off", "none",
+    "nan", "inf", "infinity")
+
+  private def isBareKeyChar(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+      (c >= '0' && c <= '9') || c == '_' || c == '-'
+
+  private final class LCur(val s: String) {
+    var p = 0
+    def ws(): Unit = { while (p < s.length && s(p) == ' ') p += 1 }
+    /** EOL or a trailing comment — which the spec only admits after
+      * whitespace (`a#b` is scalar content, `a #b` is a comment). */
+    def eol: Boolean = p >= s.length ||
+      (s(p) == '#' && (p == 0 || s(p - 1) == ' '))
+    def peek: Char = { if (p >= s.length) throw Fail; s(p) }
+    def finish(): Unit = { ws(); if (!eol) throw Fail }
+  }
+
+  private def bareKey(c: LCur): String = {
+    val st = c.p
+    while (c.p < c.s.length && isBareKeyChar(c.s(c.p))) c.p += 1
+    if (c.p == st || c.p - st > 64) throw Fail
+    c.s.substring(st, c.p)
+  }
+
+  private def quotedDouble(c: LCur): String = {
+    c.p += 1
+    val sb = new StringBuilder
+    var done = false
+    while (!done) {
+      if (c.p >= c.s.length) throw Fail
+      val ch = c.s(c.p); c.p += 1
+      ch match {
+        case '"' => done = true
+        case '\\' =>
+          if (c.p >= c.s.length) throw Fail
+          val e = c.s(c.p); c.p += 1
+          e match {
+            case '"' => sb += '"'
+            case '\\' => sb += '\\'
+            case 'n' => sb += '\n'
+            case 't' => sb += '\t'
+            case 'r' => sb += '\r'
+            case 'u' =>
+              if (c.p + 4 > c.s.length) throw Fail
+              val h = c.s.substring(c.p, c.p + 4)
+              if (!h.forall(x => x.isDigit || ('a' <= x && x <= 'f') ||
+                ('A' <= x && x <= 'F'))) throw Fail
+              val cp = Integer.parseInt(h, 16)
+              // surrogate code points are not Unicode scalar values
+              if (cp < 0x20 || (cp >= 0xD800 && cp <= 0xDFFF)) throw Fail
+              sb += cp.toChar
+              c.p += 4
+            case _ => throw Fail
+          }
+        case x if x < 0x20 => throw Fail
+        case x => sb += x
+      }
+    }
+    sb.toString
+  }
+
+  private def quotedSingle(c: LCur): String = {
+    c.p += 1
+    val sb = new StringBuilder
+    var done = false
+    while (!done) {
+      if (c.p >= c.s.length) throw Fail // unterminated
+      val ch = c.s(c.p); c.p += 1
+      if (ch == '\'') {
+        if (c.p < c.s.length && c.s(c.p) == '\'') { sb += '\''; c.p += 1 }
+        else done = true
+      } else if (ch < 0x20) throw Fail
+      else sb += ch
+    }
+    sb.toString
+  }
+
+  /** Resolve one PLAIN token under the closed core-schema subset. */
+  private def resolvePlain(tok: String): YamlEntry = {
+    if (tok.isEmpty) throw Fail
+    if (tok == "true") return YamlEntry("", "bool", Some(1L), None, None, None)
+    if (tok == "false") return YamlEntry("", "bool", Some(0L), None, None, None)
+    if (tok == "null" || tok == "~")
+      return YamlEntry("", "null", None, None, None, None)
+    // every other resolution-ambiguous word rejects, case-insensitively
+    if (Ambiguous.contains(tok.toLowerCase(java.util.Locale.ROOT))) throw Fail
+    val c0 = tok.head
+    if (c0.isDigit || c0 == '+' || c0 == '-') {
+      // number-like: must be EXACTLY one of the three accepted shapes
+      val sgn = if (c0 == '+' || c0 == '-') 1 else 0
+      val body = tok.substring(sgn)
+      val dot = body.indexOf('.')
+      if (dot < 0 && sgn == 0 && body.length == 10 && body(4) == '-' &&
+          body(7) == '-') {
+        // strict date YYYY-MM-DD → epoch seconds
+        val (y, m, d) = (body.substring(0, 4), body.substring(5, 7),
+          body.substring(8, 10))
+        if (!(y + m + d).forall(_.isDigit)) throw Fail
+        val epoch =
+          try java.time.LocalDate.of(y.toInt, m.toInt, d.toInt)
+            .toEpochDay * 86400L
+          catch { case _: java.time.DateTimeException => throw Fail }
+        return YamlEntry("", "date", Some(epoch), None, None, None)
+      }
+      val ip = if (dot < 0) body else body.substring(0, dot)
+      if (ip.isEmpty || ip.length > 18 || !ip.forall(_.isDigit)) throw Fail
+      if (ip.length > 1 && ip(0) == '0') throw Fail // leading-zero law
+      val neg = c0 == '-'
+      val iv = java.lang.Long.parseLong(ip) * (if (neg) -1 else 1)
+      if (dot < 0) return YamlEntry("", "int", Some(iv), None, None, None)
+      val fp = body.substring(dot + 1)
+      if (fp.length < 1 || fp.length > 2 || !fp.forall(_.isDigit)) throw Fail
+      val cents = Integer.parseInt(fp) * (if (fp.length == 1) 10 else 1)
+      // `neg` carries the "-0.xx" case the signed int cannot represent
+      val x100 = if (neg) iv * 100 - cents else iv * 100 + cents
+      return YamlEntry("", "float", None, None, Some(x100), None)
+    }
+    // plain string: the first char must not be a YAML indicator
+    if ("?:,[]{}#&*!|>'\"%@`-".indexOf(c0) >= 0) throw Fail
+    if (tok.contains(": ") || tok.endsWith(":")) throw Fail
+    YamlEntry("", "str", None, Some(tok), None, None)
+  }
+
+  /** Scan one plain token in block context: to EOL or ` #` comment. */
+  private def scanPlain(c: LCur): String = {
+    val st = c.p
+    var stop = -1
+    var q = c.p
+    while (stop < 0 && q < c.s.length) {
+      if (c.s(q) == '#' && q > st && c.s(q - 1) == ' ') stop = q
+      else q += 1
+    }
+    val end = if (stop < 0) c.s.length else stop
+    c.p = end
+    val tok = c.s.substring(st, end)
+    val t = tok.replaceAll("\\s+$", "")
+    if (t.isEmpty) throw Fail
+    t
+  }
+
+  /** Scan one plain token in flow context: also stops at `,` / `]`. */
+  private def scanPlainFlow(c: LCur): String = {
+    val st = c.p
+    while (c.p < c.s.length && c.s(c.p) != ',' && c.s(c.p) != ']' &&
+      c.s(c.p) != '#') c.p += 1
+    if (c.p >= c.s.length) throw Fail // flow must close on the line
+    if (c.s(c.p) == '#') throw Fail
+    val t = c.s.substring(st, c.p).trim
+    if (t.isEmpty) throw Fail
+    t
+  }
+
+  /** Parse one SCALAR at the cursor (no flow sequences here). */
+  private def scalar(c: LCur, flow: Boolean): YamlEntry = {
+    c.ws()
+    c.peek match {
+      case '"' =>
+        val v = quotedDouble(c)
+        YamlEntry("", "str", None, Some(v), None, None)
+      case '\'' =>
+        val v = quotedSingle(c)
+        YamlEntry("", "str", None, Some(v), None, None)
+      case '{' | '[' | '&' | '*' | '!' | '|' | '>' | '%' | '@' | '`' =>
+        throw Fail // flow maps, nested flow, anchors/aliases/tags,
+      // block scalars, directives, reserved indicators: out of subset
+      case _ =>
+        resolvePlain(if (flow) scanPlainFlow(c) else scanPlain(c))
+    }
+  }
+
+  private sealed trait Scope {
+    def indent: Int
+    def path: String
+  }
+  private final case class MapScope(indent: Int, path: String,
+      seen: scala.collection.mutable.HashSet[String]) extends Scope
+  private final case class SeqScope(indent: Int, path: String,
+      var idx: Int, rowAt: Int) extends Scope
+
+  /** Walk one document; None on any spec or subset violation. */
+  private[graft] def parseYaml(raw: Array[Byte]): Option[Seq[YamlEntry]] = {
+    if (raw == null || raw.length > (1 << 20)) return None
+    try {
+      val dec = StandardCharsets.UTF_8.newDecoder()
+        .onMalformedInput(CodingErrorAction.REPORT)
+        .onUnmappableCharacter(CodingErrorAction.REPORT)
+      val text =
+        try dec.decode(java.nio.ByteBuffer.wrap(raw)).toString
+        catch { case _: java.nio.charset.CharacterCodingException => throw Fail }
+      // strict text: LF line breaks only; tabs reject everywhere (the
+      // YAML indentation law, applied to the whole subset)
+      if (text.exists(ch => ch < 0x20 && ch != '\n')) throw Fail
+      val lines = text.split("\n", -1)
+      if (lines.length > 8192) throw Fail
+      val out = scala.collection.mutable.ArrayBuffer.empty[YamlEntry]
+      val stack = scala.collection.mutable.ArrayBuffer.empty[Scope]
+      var pending: Option[(Int, String)] = None // `key:` awaiting a block
+      var sawContent = false
+      var sawDocStart = false
+
+      def popTop(): Unit = stack.remove(stack.length - 1) match {
+        case s: SeqScope =>
+          // patch the container row with the now-known element count
+          out(s.rowAt) = out(s.rowAt).copy(arrN = Some(s.idx))
+        case _ => ()
+      }
+
+      def childPath(parent: String, key: String): String = {
+        val p = if (parent.isEmpty) key else parent + "." + key
+        if (p.length > 256 || p.count(_ == '.') >= 6) throw Fail
+        p
+      }
+
+      def emit(e: YamlEntry): Unit = {
+        if (out.length >= 2048) throw Fail
+        out += e
+      }
+
+      def keyLine(c: LCur, m: MapScope): Unit = {
+        val key = bareKey(c)
+        if (!m.seen.add(key)) throw Fail // the key-uniqueness law
+        if (c.peek != ':') throw Fail
+        c.p += 1
+        // the block-mapping indicator is ": " (or `:` at EOL) — a
+        // colon glued to the value is plain-scalar content in YAML,
+        // not a mapping, so accepting it would be a guess
+        if (c.p < c.s.length && c.s(c.p) != ' ') throw Fail
+        val path = childPath(m.path, key)
+        c.ws()
+        if (c.eol) { pending = Some((m.indent, path)); return }
+        if (c.peek == '[') { // one-level flow sequence value
+          c.p += 1
+          val rowAt = out.length
+          emit(YamlEntry(path, "seq", None, None, None, Some(0)))
+          var n = 0
+          c.ws()
+          if (c.peek == ']') c.p += 1
+          else {
+            var more = true
+            while (more) {
+              c.ws()
+              if (n >= 256) throw Fail
+              emit(scalar(c, flow = true).copy(path = path + "." + n))
+              n += 1
+              c.ws()
+              if (c.peek == ',') c.p += 1
+              else { if (c.peek != ']') throw Fail; c.p += 1; more = false }
+            }
+          }
+          out(rowAt) = out(rowAt).copy(arrN = Some(n))
+        } else emit(scalar(c, flow = false).copy(path = path))
+        c.finish()
+      }
+
+      def seqItem(c: LCur, sq: SeqScope): Unit = {
+        c.p += 1 // the dash
+        if (c.p < c.s.length && c.s(c.p) != ' ') throw Fail
+        c.ws()
+        if (c.eol) throw Fail // bare `-` (nested containers): out
+        emit(scalar(c, flow = false).copy(path = sq.path + "." + sq.idx))
+        sq.idx += 1
+        c.finish()
+      }
+
+      lines.foreach { line =>
+        val c = new LCur(line)
+        c.ws()
+        val indent = c.p
+        if (!c.eol) { // content line (blank / comment lines skip)
+          val rest = line.substring(indent)
+          if (rest == "---") {
+            // document start marker: legal once, before any content
+            if (sawContent || sawDocStart) throw Fail
+            sawDocStart = true
+          } else if (rest == "..." || rest.startsWith("--- ")) {
+            throw Fail // document end / multi-doc streams: out
+          } else {
+            sawContent = true
+            val isDash = rest(0) == '-' &&
+              (rest.length == 1 || rest(1) == ' ')
+            pending match {
+              case Some((ki, kpath)) =>
+                pending = None
+                if (isDash) {
+                  // block sequence: at the key's own indent or deeper
+                  if (indent < ki) throw Fail
+                  if (stack.length >= 8) throw Fail
+                  val sq = SeqScope(indent, kpath, 0, out.length)
+                  emit(YamlEntry(kpath, "seq", None, None, None, Some(0)))
+                  stack += sq
+                  seqItem(c, sq)
+                } else {
+                  // nested mapping: strictly deeper than the key
+                  if (indent <= ki) throw Fail
+                  if (stack.length >= 8) throw Fail
+                  val m = MapScope(indent, kpath,
+                    scala.collection.mutable.HashSet.empty[String])
+                  stack += m
+                  keyLine(c, m)
+                }
+              case None =>
+                while (stack.nonEmpty && stack.last.indent > indent)
+                  popTop()
+                // a same-indent sequence closes on the next mapping key
+                if (stack.nonEmpty && !isDash &&
+                    stack.last.isInstanceOf[SeqScope] &&
+                    stack.last.indent == indent) popTop()
+                if (stack.isEmpty) {
+                  // the root must be a mapping at column 0
+                  if (indent != 0 || isDash) throw Fail
+                  stack += MapScope(0, "",
+                    scala.collection.mutable.HashSet.empty[String])
+                }
+                val top = stack.last
+                if (top.indent != indent) throw Fail
+                (top, isDash) match {
+                  case (sq: SeqScope, true) => seqItem(c, sq)
+                  case (m: MapScope, false) => keyLine(c, m)
+                  case _ => throw Fail
+                }
+            }
+          }
+        }
+      }
+      if (pending.nonEmpty) throw Fail // `key:` with no block
+      while (stack.nonEmpty) popTop()
+      if (out.isEmpty) throw Fail
+      Some(out.toSeq)
+    } catch { case Fail => None }
+  }
+
+  // ------------------------------------------------------------------
+  // front matter (the static-site / model-card convention)
+
+  private[graft] sealed trait FmResult
+  private[graft] case object NoFm extends FmResult
+  private[graft] case object BadFm extends FmResult
+  private[graft] final case class Fm(yaml: Array[Byte]) extends FmResult
+
+  /** Split a leading `---` … `---` front-matter fence off a text
+    * document. NoFm when the first line is not the opener (a legal
+    * plain document); BadFm when the opener never closes or the text
+    * is not strict UTF-8. The YAML between the fences is returned
+    * verbatim for [[parseYaml]]. */
+  private[graft] def frontMatter(raw: Array[Byte]): FmResult = {
+    if (raw == null) return BadFm
+    val dec = StandardCharsets.UTF_8.newDecoder()
+      .onMalformedInput(CodingErrorAction.REPORT)
+      .onUnmappableCharacter(CodingErrorAction.REPORT)
+    val text =
+      try dec.decode(java.nio.ByteBuffer.wrap(raw)).toString
+      catch { case _: java.nio.charset.CharacterCodingException =>
+        return BadFm }
+    val lines = text.split("\n", -1)
+    if (lines.isEmpty || lines.head != "---") return NoFm
+    val close = lines.indexOf("---", 1)
+    if (close < 0) return BadFm
+    Fm(lines.slice(1, close).mkString("\n").getBytes(StandardCharsets.UTF_8))
+  }
+
+  // ------------------------------------------------------------------
+  // extraction (DataFrame surface)
+
+  private val outSchema = StructType(Seq(
+    StructField("id", LongType, false),
+    StructField("seq", IntegerType, true),
+    StructField("path", StringType, true),
+    StructField("kind", StringType, true),
+    StructField("lval", LongType, true),
+    StructField("sval", StringType, true),
+    StructField("fx100", LongType, true),
+    StructField("arr_n", IntegerType, true),
+    StructField("valid", BooleanType, false)))
+
+  private def entryRows(id: Long, es: Seq[YamlEntry]): Seq[Row] =
+    es.zipWithIndex.map { case (e, i) =>
+      Row(id, i, e.path, e.kind, e.lval.map(Long.box).orNull,
+        e.sval.orNull, e.fx100.map(Long.box).orNull,
+        e.arrN.map(Int.box).orNull, true)
+    }
+
+  /** One row per leaf (plus a container row per sequence) in
+    * appearance order; invalid → one flagged row. */
+  def extractYaml(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val rows = df.select(col(idCol).cast(LongType), col(binCol)).rdd
+      .mapPartitions(_.flatMap { r =>
+        val id = r.getLong(0)
+        scala.util.Try(parseYaml(r.getAs[Array[Byte]](1))).toOption
+          .flatten match {
+          case Some(es) => entryRows(id, es)
+          case None =>
+            Seq(Row(id, 0, null, null, null, null, null, null, false))
+        }
+      })
+    spark.createDataFrame(rows, outSchema)
+  }
+
+  /** Front-matter composition over a TEXT corpus (Markdown/model
+    * cards): documents without the fence get one `has_fm = false`
+    * row; fenced documents route their YAML through [[parseYaml]]. */
+  def extractFrontMatter(df: DataFrame, idCol: String,
+      binCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val schema = StructType(outSchema.dropRight(1) ++ Seq(
+      StructField("has_fm", BooleanType, false),
+      StructField("valid", BooleanType, false)))
+    val rows = df.select(col(idCol).cast(LongType), col(binCol)).rdd
+      .mapPartitions(_.flatMap { r =>
+        val id = r.getLong(0)
+        scala.util.Try(frontMatter(r.getAs[Array[Byte]](1)))
+          .getOrElse(BadFm) match {
+          case NoFm =>
+            Seq(Row(id, 0, null, null, null, null, null, null, false, true))
+          case BadFm =>
+            Seq(Row(id, 0, null, null, null, null, null, null, true, false))
+          case Fm(y) =>
+            scala.util.Try(parseYaml(y)).toOption.flatten match {
+              case Some(es) => es.zipWithIndex.map { case (e, i) =>
+                Row(id, i, e.path, e.kind, e.lval.map(Long.box).orNull,
+                  e.sval.orNull, e.fx100.map(Long.box).orNull,
+                  e.arrN.map(Int.box).orNull, true, true)
+              }
+              case None =>
+                Seq(Row(id, 0, null, null, null, null, null, null, true,
+                  false))
+            }
+        }
+      })
+    spark.createDataFrame(rows, schema)
+  }
+
+  // ------------------------------------------------------------------
+  // fixture (encode side — test/oracle contract)
+
+  /** Fixture law (replayed closed-form by the oracle): doc i opens
+    * with a comment (and a `---` start marker when i%3==0), then root
+    * keys title (double-quoted with a é escape), count
+    * (100+i, trailing comment), active (i%2==0), score (float
+    * ((i·13)%90+1).((i·7)%100) → exact ×100), note (plain scalar with
+    * spaces), empty (`null` on even i, `~` on odd), born (strict date
+    * 2024-(1+i%12)-(1+(i·3)%28)), ids (a flow sequence of i%4
+    * integers (i·5+j)%100), a nested `meta` mapping (owner: a
+    * single-quoted scalar with the '' escape; level: 1+i%5), a block
+    * sequence `steps` of 1+i%3 elements — ints (i·3+j)%50 on even
+    * i+j, plain strings s((i+j)%10) on odd — indented DEEPER than the
+    * key on even i and at the key's OWN indent on odd i (both
+    * real-world emitter styles), and a depth-3 `build.env` mapping
+    * (os: linux(i%3); jobs: 2+i%4). */
+  def yamlFixture(spark: SparkSession, n: Int): DataFrame = {
+    val rows = (0 until n).map { i =>
+      val sb = new StringBuilder
+      sb.append("# graft fixture " + i + "\n")
+      if (i % 3 == 0) sb.append("---\n")
+      sb.append("title: \"doc \\u00E9" + i % 7 + "\"\n")
+      sb.append("count: " + (100 + i) + " # cores\n")
+      sb.append("active: " + (i % 2 == 0) + "\n")
+      sb.append("score: " + ((i * 13) % 90 + 1) + "." +
+        f"${(i * 7) % 100}%02d" + "\n")
+      sb.append("note: plain text " + i % 5 + "\n")
+      sb.append("empty: " + (if (i % 2 == 0) "null" else "~") + "\n")
+      sb.append(f"born: 2024-${1 + i % 12}%02d-${1 + (i * 3) % 28}%02d\n")
+      val ids = (0 until i % 4).map(j => (i * 5 + j) % 100)
+      sb.append("ids: [" + ids.mkString(", ") + "]\n")
+      sb.append("meta:\n")
+      sb.append("  owner: 'it''s t" + i % 6 + "'\n")
+      sb.append("  # nested comment " + i + "\n")
+      sb.append("  level: " + (1 + i % 5) + "\n")
+      sb.append("steps:\n")
+      val stepIndent = if (i % 2 == 0) "  " else ""
+      (0 until 1 + i % 3).foreach { j =>
+        val v = if ((i + j) % 2 == 0) ((i * 3 + j) % 50).toString
+          else "s" + (i + j) % 10
+        sb.append(stepIndent + "- " + v + "\n")
+      }
+      sb.append("build:\n")
+      sb.append("  env:\n")
+      sb.append("    os: linux" + i % 3 + "\n")
+      sb.append("    jobs: " + (2 + i % 4) + "\n")
+      Row(i.toLong, sb.toString.getBytes("UTF-8"))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4),
+      StructType(Seq(
+        StructField("id", LongType, false),
+        StructField("media", BinaryType, true))))
+  }
+}

@@ -5362,21 +5362,24 @@ object ExtQueries4 {
        ORDER BY id"""
 
   // ---------------------------------------------------------------
-  // q222 — baseline TIFF pixel decode (scanned-document/scientific
-  // imaging corpora; the pixel half of the TIFF surface — ExifLake
-  // walks the metadata half): 40 files, ONE pixel law (the q190
-  // dHash law image at scale 1+i%3) behind EIGHT wire variants
-  // routed by i%8 — both endians, photometric 0/1/2/3 (inverted
-  // gray / gray / RGB / 16-bit-ColorMap palette), compression
-  // none/LZW/PackBits, single- and multi-strip layouts, both
-  // predictors — so the pixel columns are wire-blind and the wire
-  // columns (n_strips, compression) are closed-form in id. Any slip
-  // in endianness, strip tiling, PackBits framing, the LZW
-  // early-change widths, the predictor or a photometric mapping
-  // changes gray_sum/n_colors/dhash and fails the hash gate. Codec
+  // q222 — TIFF pixel decode (scanned-document/scientific imaging
+  // corpora; the pixel half of the TIFF surface — ExifLake walks the
+  // metadata half): 40 files, one pixel law per depth class (the
+  // q190 dHash law image at scale 1+i%3; its BILEVEL rendering for
+  // the scanned-document variants) behind TWELVE wire variants
+  // routed by i%12 — both endians, photometric 0/1/2/3, compression
+  // none/LZW/PackBits/CCITT-G4, single- and multi-strip AND tiled
+  // layouts, both predictors, 8-bit and 1-bit depths — so the pixel
+  // columns are wire-blind within each class and the wire columns
+  // (n_strips = segment count, compression) are closed-form in id.
+  // Any slip in endianness, strip/tile assembly, PackBits framing,
+  // the LZW early-change widths, the predictor, the G4 reference-
+  // line coding or a photometric mapping changes
+  // gray_sum/n_colors/dhash and fails the hash gate. Codec
   // strictness (corruption matrix, LZW width-boundary round-trip,
-  // spec laws) is gated in TiffLakeSpec; the shared-grid fingerprint
-  // ties the decoder into the q190/q212/q223 near-dup family.
+  // G4 alphabet laws, spec laws) is gated in TiffLakeSpec/G4Spec;
+  // the shared-grid fingerprint ties the decoder into the
+  // q190/q212/q223 near-dup family.
   private val TiffN = 40
 
   def q222(s: SparkSession, dir: String): DataFrame = {
@@ -5877,6 +5880,138 @@ object ExtQueries4 {
          true AS valid
        FROM base ORDER BY id"""
 
+  // ---------------------------------------------------------------
+  // q231 — YAML configuration extraction (the metadata layer of hub
+  // corpora: model cards, dataset cards, CI configs): 40 documents
+  // exercising double-quoted escapes (incl. \\u00E9), single-quoted
+  // '' escapes, plain-scalar resolution under the CLOSED core-schema
+  // subset (ints with the no-leading-zero law, exact ×100 floats,
+  // strict dates, both null forms), flow sequences (some empty),
+  // nested mappings to depth 3, block sequences in BOTH real-world
+  // indent styles (deeper than the key, and at the key's own
+  // indent), comments and a `---` start marker. One row per leaf in
+  // appearance order; containers carry element counts. Lexical
+  // strictness (the Norway-problem words, anchors/tags/flow maps,
+  // tab law, key uniqueness) is spec-gated in YamlLakeSpec.
+  private val YamlN = 40
+
+  def q231(s: SparkSession, dir: String): DataFrame = {
+    val fx = graft.operators.YamlLake.yamlFixture(s, YamlN)
+    graft.operators.YamlLake.extractYaml(fx, "id", "media")
+      .select(col("id"), col("seq"), col("path"), col("kind"),
+        col("lval"), col("sval"), col("fx100"), col("arr_n"),
+        col("valid"))
+      .orderBy("id", "seq")
+  }
+
+  val q231Sql: String =
+    s"""WITH base AS (
+         SELECT r AS id, r % 4 AS na, 1 + r % 3 AS ns
+         FROM range(0, $YamlN) t(r)),
+       rws AS (
+         SELECT id, na, ns,
+           CAST(unnest(range(0, 13 + na + ns)) AS INT) AS seq
+         FROM base),
+       d AS (
+         SELECT id, na, ns, seq,
+           CASE WHEN seq >= 8 AND seq < 8 + na THEN seq - 8 END AS ij,
+           CASE WHEN seq >= 11 + na AND seq < 11 + na + ns
+                THEN seq - 11 - na END AS sj,
+           CASE WHEN seq < 8 THEN seq
+                WHEN seq < 8 + na THEN 100
+                WHEN seq = 8 + na THEN 101
+                WHEN seq = 9 + na THEN 102
+                WHEN seq = 10 + na THEN 103
+                WHEN seq < 11 + na + ns THEN 104
+                WHEN seq = 11 + na + ns THEN 105
+                ELSE 106 END AS pos
+         FROM rws)
+       SELECT id, seq,
+         CASE pos WHEN 0 THEN 'title' WHEN 1 THEN 'count'
+           WHEN 2 THEN 'active' WHEN 3 THEN 'score' WHEN 4 THEN 'note'
+           WHEN 5 THEN 'empty' WHEN 6 THEN 'born' WHEN 7 THEN 'ids'
+           WHEN 100 THEN 'ids.' || ij WHEN 101 THEN 'meta.owner'
+           WHEN 102 THEN 'meta.level' WHEN 103 THEN 'steps'
+           WHEN 104 THEN 'steps.' || sj WHEN 105 THEN 'build.env.os'
+           ELSE 'build.env.jobs' END AS path,
+         CASE pos WHEN 0 THEN 'str' WHEN 1 THEN 'int' WHEN 2 THEN 'bool'
+           WHEN 3 THEN 'float' WHEN 4 THEN 'str' WHEN 5 THEN 'null'
+           WHEN 6 THEN 'date' WHEN 7 THEN 'seq' WHEN 100 THEN 'int'
+           WHEN 101 THEN 'str' WHEN 102 THEN 'int' WHEN 103 THEN 'seq'
+           WHEN 104 THEN CASE WHEN (id + sj) % 2 = 0 THEN 'int'
+             ELSE 'str' END
+           WHEN 105 THEN 'str' ELSE 'int' END AS kind,
+         CAST(CASE pos WHEN 1 THEN 100 + id
+           WHEN 2 THEN CASE WHEN id % 2 = 0 THEN 1 ELSE 0 END
+           WHEN 6 THEN (make_date(2024, CAST(1 + id % 12 AS INT),
+                CAST(1 + (id * 3) % 28 AS INT))
+                - DATE '1970-01-01') * 86400
+           WHEN 100 THEN (id * 5 + ij) % 100
+           WHEN 102 THEN 1 + id % 5
+           WHEN 104 THEN CASE WHEN (id + sj) % 2 = 0
+             THEN (id * 3 + sj) % 50 END
+           WHEN 106 THEN 2 + id % 4 END AS BIGINT) AS lval,
+         CASE pos WHEN 0 THEN 'doc é' || (id % 7)
+           WHEN 4 THEN 'plain text ' || (id % 5)
+           WHEN 101 THEN 'it''s t' || (id % 6)
+           WHEN 104 THEN CASE WHEN (id + sj) % 2 = 1
+             THEN 's' || ((id + sj) % 10) END
+           WHEN 105 THEN 'linux' || (id % 3) END AS sval,
+         CAST(CASE pos WHEN 3 THEN ((id * 13) % 90 + 1) * 100
+           + (id * 7) % 100 END AS BIGINT) AS fx100,
+         CAST(CASE pos WHEN 7 THEN na WHEN 103 THEN ns END AS INT)
+           AS arr_n,
+         true AS valid
+       FROM d ORDER BY id, seq"""
+
+  // ---------------------------------------------------------------
+  // q232 — YAML front matter over the Markdown corpus (the q175
+  // family composed with the q231 lake): the static-site / model-card
+  // convention routes the leading `---` fence through the strict
+  // YAML subset parser — per-key rows instead of q175's three pinned
+  // projections. Every fourth document has no front matter
+  // (has_fm = false), the rest yield title/date/tags/draft rows with
+  // the flow-sequence tags expanded per element.
+  def q232(s: SparkSession, dir: String): DataFrame = {
+    val fx = graft.operators.MarkdownLake.markdownFixture(s, MdN)
+    graft.operators.YamlLake.extractFrontMatter(fx, "id", "media")
+      .select(col("id"), col("seq"), col("path"), col("kind"),
+        col("lval"), col("sval"), col("fx100"), col("arr_n"),
+        col("has_fm"), col("valid"))
+      .orderBy("id", "seq")
+  }
+
+  val q232Sql: String =
+    s"""WITH base AS (
+         SELECT r AS id, CASE WHEN r % 4 = 3 THEN 1 ELSE 6 END AS nr
+         FROM range(0, $MdN) t(r)),
+       rws AS (
+         SELECT id, nr, CAST(unnest(range(0, nr)) AS INT) AS seq
+         FROM base)
+       SELECT id, seq,
+         CASE WHEN nr = 6 THEN
+           CASE seq WHEN 0 THEN 'title' WHEN 1 THEN 'date'
+             WHEN 2 THEN 'tags' WHEN 3 THEN 'tags.0'
+             WHEN 4 THEN 'tags.1' ELSE 'draft' END END AS path,
+         CASE WHEN nr = 6 THEN
+           CASE seq WHEN 0 THEN 'str' WHEN 1 THEN 'date'
+             WHEN 2 THEN 'seq' WHEN 3 THEN 'str' WHEN 4 THEN 'str'
+             ELSE 'bool' END END AS kind,
+         CAST(CASE WHEN nr = 6 AND seq = 1 THEN
+             (make_date(2024, CAST(1 + id % 12 AS INT),
+              CAST(1 + (id * 3) % 28 AS INT))
+              - DATE '1970-01-01') * 86400
+           WHEN nr = 6 AND seq = 5 THEN 0 END AS BIGINT) AS lval,
+         CASE WHEN nr = 6 AND seq = 0 THEN 'Post ' || id || ' and co'
+           WHEN nr = 6 AND seq = 3 THEN 't' || (id % 5)
+           WHEN nr = 6 AND seq = 4 THEN 'u' || ((id + 3) % 7)
+           END AS sval,
+         CAST(NULL AS BIGINT) AS fx100,
+         CAST(CASE WHEN nr = 6 AND seq = 2 THEN 2 END AS INT) AS arr_n,
+         nr = 6 AS has_fm,
+         true AS valid
+       FROM rws ORDER BY id, seq"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q125_label_propagation" -> (q125 _),
     "q126_pmi_cooccur" -> (q126 _),
@@ -5983,7 +6118,9 @@ object ExtQueries4 {
     "q227_ogg_tags" -> (q227 _),
     "q228_arrow_ipc" -> (q228 _),
     "q229_media_catalog" -> (q229 _),
-    "q230_csv_sniff" -> (q230 _))
+    "q230_csv_sniff" -> (q230 _),
+    "q231_yaml_extract" -> (q231 _),
+    "q232_front_matter" -> (q232 _))
 
   val oracles: Map[String, String] = Map(
     "q125_label_propagation" -> q125Sql,
@@ -6091,5 +6228,7 @@ object ExtQueries4 {
     "q227_ogg_tags" -> q227Sql,
     "q228_arrow_ipc" -> q228Sql,
     "q229_media_catalog" -> q229Sql,
-    "q230_csv_sniff" -> q230Sql)
+    "q230_csv_sniff" -> q230Sql,
+    "q231_yaml_extract" -> q231Sql,
+    "q232_front_matter" -> q232Sql)
 }

@@ -88,7 +88,9 @@ class ParserFuzzSpec extends AnyFunSuite {
     "parseOggTags" -> (b => graft.operators.OggLake.parseOggTags(b)),
     "parseEbml" -> (b => graft.operators.EbmlLake.parseEbml(b)),
     "parseArrow" -> (b => graft.operators.ArrowLake.parseArrow(b)),
-    "routeMedia" -> (b => graft.operators.MediaCatalog.route(b)))
+    "routeMedia" -> (b => graft.operators.MediaCatalog.route(b)),
+    "parseYaml" -> (b => graft.operators.YamlLake.parseYaml(b)),
+    "frontMatter" -> (b => graft.operators.YamlLake.frontMatter(b)))
 
   private val magics: Seq[(String, Array[Byte])] = Seq(
     "wav" -> ("RIFF\u0000\u0000\u0000\u0000WAVE").getBytes("ISO-8859-1"),
@@ -136,7 +138,9 @@ class ParserFuzzSpec extends AnyFunSuite {
     // version byte 0 appended so the fuzz reaches past the magic
     "oggs" -> ("OggS".getBytes("ISO-8859-1") ++ Array[Byte](0)),
     "ebml" -> Array(0x1a.toByte, 0x45.toByte, 0xdf.toByte, 0xa3.toByte),
-    "arrow" -> ("ARROW1".getBytes("ISO-8859-1") ++ Array[Byte](0, 0)))
+    "arrow" -> ("ARROW1".getBytes("ISO-8859-1") ++ Array[Byte](0, 0)),
+    // a YAML mapping prefix so the fuzz reaches the indent walker
+    "yaml" -> "title: x\nmeta:\n  a: 1\n".getBytes("ISO-8859-1"))
 
   private def noThrow(label: String, p: Parser, b: Array[Byte]): Unit =
     try { p(b); () } catch {

@@ -296,7 +296,8 @@ class PlanAuditSpec extends SparkSpec {
         "q222_tiff_decode", "q224_parquet_meta",
         "q225_ogg_catalog", "q226_ebml_catalog",
         "q227_ogg_tags", "q228_arrow_ipc",
-        "q229_media_catalog", "q230_csv_sniff").foreach { q =>
+        "q229_media_catalog", "q230_csv_sniff",
+        "q231_yaml_extract", "q232_front_matter").foreach { q =>
       val p = plan(q)
       val exchanges = "Exchange".r.findAllIn(p).length
       assert(exchanges <= 1, s"$q: codec decode should not shuffle:\n$p")

@@ -1,0 +1,237 @@
+package graft
+
+import graft.operators.YamlLake
+import graft.operators.YamlLake.YamlEntry
+
+/** YAML subset lake: the fixture law replayed in Scala against every
+  * fixture doc, hand-pinned minimal documents for the byte/indent
+  * conventions, a strictness matrix (every resolution-ambiguous word,
+  * every out-of-subset construct), the trailing-comment law, both
+  * block-sequence indent styles, front-matter composition over the
+  * Markdown fixture, and byte-flip/truncation sweeps. */
+class YamlLakeSpec extends SparkSpec {
+
+  private def parse(s: String): Option[Seq[YamlEntry]] =
+    YamlLake.parseYaml(s.getBytes("UTF-8"))
+
+  // the fixture law, restated independently (multiset reference —
+  // built with Seq, not Set, per the triangle-count lesson)
+  private def lawRows(i: Int): Seq[YamlEntry] = {
+    def e(path: String, kind: String, lval: Long = -1, sval: String = null,
+        fx100: Long = -1, arrN: Int = -1): YamlEntry =
+      YamlEntry(path, kind,
+        if (lval == -1) None else Some(lval),
+        Option(sval),
+        if (fx100 == -1) None else Some(fx100),
+        if (arrN == -1) None else Some(arrN))
+    val na = i % 4
+    val ns = 1 + i % 3
+    val born = java.time.LocalDate.of(2024, 1 + i % 12, 1 + (i * 3) % 28)
+      .toEpochDay * 86400L
+    Seq(
+      e("title", "str", sval = "doc \u00E9" + i % 7),
+      e("count", "int", lval = 100 + i),
+      e("active", "bool", lval = if (i % 2 == 0) 1 else 0),
+      e("score", "float", fx100 = ((i * 13) % 90 + 1) * 100L + (i * 7) % 100),
+      e("note", "str", sval = "plain text " + i % 5),
+      e("empty", "null"),
+      e("born", "date", lval = born),
+      e("ids", "seq", arrN = na)) ++
+      (0 until na).map(j => e("ids." + j, "int", lval = (i * 5 + j) % 100)) ++
+      Seq(
+        e("meta.owner", "str", sval = "it's t" + i % 6),
+        e("meta.level", "int", lval = 1 + i % 5),
+        e("steps", "seq", arrN = ns)) ++
+      (0 until ns).map { j =>
+        if ((i + j) % 2 == 0) e("steps." + j, "int", lval = (i * 3 + j) % 50)
+        else e("steps." + j, "str", sval = "s" + (i + j) % 10)
+      } ++
+      Seq(
+        e("build.env.os", "str", sval = "linux" + i % 3),
+        e("build.env.jobs", "int", lval = 2 + i % 4))
+  }
+
+  test("fixture law: every doc decodes to exactly the law rows") {
+    val docs = YamlLake.yamlFixture(spark, 40).orderBy("id").collect()
+    assert(docs.length == 40)
+    docs.foreach { r =>
+      val i = r.getLong(0).toInt
+      val got = YamlLake.parseYaml(r.getAs[Array[Byte]](1))
+      assert(got.nonEmpty, s"doc $i failed to parse")
+      assert(got.get == lawRows(i), s"doc $i rows differ from the law")
+    }
+  }
+
+  test("hand-pinned minimal documents") {
+    // scalar resolutions, both null forms, date, signed ints, floats
+    val r = parse(
+      "a: 7\nb: -42\nc: +9\nd: 3.5\ne: -0.25\nf: true\ng: false\n" +
+        "h: null\nk: ~\nm: 2024-02-29\nn: v1 beta\n").get
+    assert(r == Seq(
+      YamlEntry("a", "int", Some(7L), None, None, None),
+      YamlEntry("b", "int", Some(-42L), None, None, None),
+      YamlEntry("c", "int", Some(9L), None, None, None),
+      YamlEntry("d", "float", None, None, Some(350L), None),
+      YamlEntry("e", "float", None, None, Some(-25L), None),
+      YamlEntry("f", "bool", Some(1L), None, None, None),
+      YamlEntry("g", "bool", Some(0L), None, None, None),
+      YamlEntry("h", "null", None, None, None, None),
+      YamlEntry("k", "null", None, None, None, None),
+      YamlEntry("m", "date", Some(19782L * 86400), None, None, None),
+      YamlEntry("n", "str", None, Some("v1 beta"), None, None)))
+    // quoted scalars: escapes, the '' law, delimiters as data
+    val q = parse(
+      "a: \"x \\\"y\\\" \\u00E9 \\n z\"\nb: 'it''s, [ok]: fine'\n").get
+    assert(q(0).sval.contains("x \"y\" \u00E9 \n z"))
+    assert(q(1).sval.contains("it's, [ok]: fine"))
+    // flow sequence: mixed scalar kinds, quoted elements with commas
+    val f = parse("xs: [1, a2, \"q, r\", 2.5, true]\nempty: []\n").get
+    assert(f == Seq(
+      YamlEntry("xs", "seq", None, None, None, Some(5)),
+      YamlEntry("xs.0", "int", Some(1L), None, None, None),
+      YamlEntry("xs.1", "str", None, Some("a2"), None, None),
+      YamlEntry("xs.2", "str", None, Some("q, r"), None, None),
+      YamlEntry("xs.3", "float", None, None, Some(250L), None),
+      YamlEntry("xs.4", "bool", Some(1L), None, None, None),
+      YamlEntry("empty", "seq", None, None, None, Some(0))))
+    // document start marker + comments everywhere
+    assert(parse("# c\n---\n# c2\na: 1 # c3\n  # c4\n").get ==
+      Seq(YamlEntry("a", "int", Some(1L), None, None, None)))
+  }
+
+  test("both block-sequence indent styles parse to identical rows") {
+    val deeper = parse("k:\n  - 1\n  - b\nz: 2\n").get
+    val same = parse("k:\n- 1\n- b\nz: 2\n").get
+    assert(deeper == same)
+    assert(deeper == Seq(
+      YamlEntry("k", "seq", None, None, None, Some(2)),
+      YamlEntry("k.0", "int", Some(1L), None, None, None),
+      YamlEntry("k.1", "str", None, Some("b"), None, None),
+      YamlEntry("z", "int", Some(2L), None, None, None)))
+    // nested mapping depth-3 and a sequence under a nested key
+    val n = parse("a:\n  b:\n    c: 1\n  d:\n    - x\nq: 2\n").get
+    assert(n == Seq(
+      YamlEntry("a.b.c", "int", Some(1L), None, None, None),
+      YamlEntry("a.d", "seq", None, None, None, Some(1)),
+      YamlEntry("a.d.0", "str", None, Some("x"), None, None),
+      YamlEntry("q", "int", Some(2L), None, None, None)))
+  }
+
+  test("strictness: every out-of-subset construct rejects") {
+    val cases = Seq(
+      "tab indent" -> "a: 1\n\tb: 2\n",
+      "tab in scalar" -> "a: x\ty\n",
+      "CR line break" -> "a: 1\r\nb: 2\n",
+      "no space after colon" -> "a:1\n",
+      "duplicate key" -> "a: 1\na: 2\n",
+      "duplicate nested key" -> "m:\n  a: 1\n  a: 2\n",
+      "anchor" -> "a: &x 1\n",
+      "alias" -> "a: *x\n",
+      "tag" -> "a: !!int 1\n",
+      "block literal" -> "a: |\n  x\n",
+      "block folded" -> "a: >\n  x\n",
+      "flow mapping" -> "a: {b: 1}\n",
+      "nested flow" -> "a: [[1], 2]\n",
+      "flow map in flow seq" -> "a: [{x: 1}]\n",
+      "directive" -> "%YAML 1.2\na: 1\n",
+      "second doc marker" -> "a: 1\n---\nb: 2\n",
+      "doc end marker" -> "a: 1\n...\n",
+      "ambiguous yes" -> "a: yes\n",
+      "ambiguous Off" -> "a: Off\n",
+      "ambiguous True" -> "a: True\n",
+      "ambiguous NULL" -> "a: NULL\n",
+      "ambiguous None" -> "a: None\n",
+      "ambiguous nan" -> "a: nan\n",
+      "ambiguous Infinity" -> "a: Infinity\n",
+      "leading-zero int" -> "a: 007\n",
+      "hex int" -> "a: 0x1F\n",
+      "exponent float" -> "a: 1e5\n",
+      "three decimals" -> "a: 1.234\n",
+      "dotted version" -> "a: 1.2.3\n",
+      "bad calendar date" -> "a: 2024-13-01\n",
+      "trailing junk after int" -> "a: 5#x\n",
+      "comment without space" -> "a: 1# c\n",
+      "unterminated dquote" -> "a: \"x\n",
+      "unterminated squote" -> "a: 'x\n",
+      "surrogate escape" -> "a: \"\\uD800\"\n",
+      "bad escape" -> "a: \"\\q\"\n",
+      "key with no block" -> "a:\nb: 1\n",
+      "key with no block at EOF" -> "a: 1\nb:\n",
+      "nested at same indent" -> "a:\na2: 1\n",
+      "root sequence" -> "- 1\n- 2\n",
+      "indented root" -> "  a: 1\n",
+      "inconsistent sibling indent" -> "m:\n  a: 1\n   b: 2\n",
+      "seq item indent drift" -> "k:\n  - 1\n   - 2\n",
+      "bare dash" -> "k:\n  -\n",
+      "dash no space" -> "k:\n  -x\n",
+      "mapping in sequence" -> "k:\n  - a: 1\n",
+      "plain starts with indicator" -> "a: @x\n",
+      "plain contains colon-space" -> "a: x: y\n",
+      "plain ends with colon" -> "a: x:\n",
+      "empty flow element" -> "a: [1, ]\n",
+      "unclosed flow" -> "a: [1, 2\n",
+      "quoted key" -> "\"a\": 1\n",
+      "empty document" -> "# only comments\n",
+      "trailing junk after quote" -> "a: 'x' y\n")
+    cases.foreach { case (name, doc) =>
+      assert(parse(doc).isEmpty, name)
+    }
+    assert(parse("a: 1\n").nonEmpty, "control")
+    assert(YamlLake.parseYaml(null).isEmpty)
+    assert(YamlLake.parseYaml(Array.emptyByteArray).isEmpty)
+    // invalid UTF-8 rejects
+    assert(YamlLake.parseYaml(Array[Byte]('a', ':', ' ', 0xC3.toByte)).isEmpty)
+  }
+
+  test("front matter: fence splitting and composition") {
+    import YamlLake.{Fm, NoFm, BadFm}
+    assert(YamlLake.frontMatter("plain text\n".getBytes("UTF-8")) == NoFm)
+    assert(YamlLake.frontMatter("---\na: 1\n".getBytes("UTF-8")) == BadFm)
+    assert(YamlLake.frontMatter(null) == BadFm)
+    YamlLake.frontMatter("---\na: 1\nb: x\n---\nbody # text\n"
+      .getBytes("UTF-8")) match {
+      case Fm(y) =>
+        assert(parse(new String(y, "UTF-8")).get == Seq(
+          YamlEntry("a", "int", Some(1L), None, None, None),
+          YamlEntry("b", "str", None, Some("x"), None, None)))
+      case other => fail(s"expected Fm, got $other")
+    }
+    // the markdown-fixture law: docs i%4==3 carry no front matter
+    val fx = graft.operators.MarkdownLake.markdownFixture(spark, 12)
+    val rows = YamlLake.extractFrontMatter(fx, "id", "media")
+      .orderBy("id", "seq").collect()
+    (0 until 12).foreach { i =>
+      val mine = rows.filter(_.getLong(0) == i)
+      if (i % 4 == 3) {
+        assert(mine.length == 1 && !mine(0).getBoolean(8) &&
+          mine(0).getBoolean(9), s"doc $i: expected a no-fm row")
+      } else {
+        assert(mine.length == 6, s"doc $i row count")
+        assert(mine.forall(r => r.getBoolean(8) && r.getBoolean(9)))
+        assert(mine.map(_.getString(2)).toSeq ==
+          Seq("title", "date", "tags", "tags.0", "tags.1", "draft"))
+        assert(mine(0).getString(5) == s"Post $i and co")
+        assert(mine(1).getString(3) == "date")
+        assert(mine(2).getInt(7) == 2)
+        assert(mine(3).getString(5) == "t" + i % 5)
+        assert(mine(5).getLong(4) == 0L) // draft: false
+      }
+    }
+  }
+
+  test("byte-flip + truncation sweeps never throw; survivors well-formed") {
+    val docs = YamlLake.yamlFixture(spark, 3).collect()
+      .map(_.getAs[Array[Byte]](1))
+    for (src <- docs; i <- src.indices; bit <- Seq(1, 0x40)) {
+      val c = src.clone(); c(i) = (c(i) ^ bit).toByte
+      YamlLake.parseYaml(c).foreach { es =>
+        assert(es.nonEmpty && es.forall(_.path.nonEmpty))
+      }
+      YamlLake.frontMatter(c)
+    }
+    val s0 = docs.head
+    (0 until s0.length).foreach { n =>
+      YamlLake.parseYaml(s0.take(n)); YamlLake.frontMatter(s0.take(n))
+    }
+  }
+}
