@@ -5394,14 +5394,21 @@ object ExtQueries4 {
   val q222Sql: String =
     s"""WITH base AS (
          SELECT r AS id, 1 + r % 3 AS s, r // 3 AS g, r % 3 AS m,
-                (r // 3) - ((r // 3) % 2) AS geff
+                (r // 3) - ((r // 3) % 2) AS geff, r % 12 AS v
          FROM range(0, $TiffN) t(r)),
        wire AS (
-         SELECT id, s,
-           CASE id % 8 WHEN 1 THEN 3 WHEN 2 THEN 2 WHEN 5 THEN 5
-                WHEN 6 THEN 4 ELSE 8 * s END AS rps,
-           CASE id % 8 WHEN 1 THEN 32773 WHEN 7 THEN 32773
-                WHEN 3 THEN 5 WHEN 6 THEN 5 ELSE 1 END AS comp
+         SELECT id, s, v,
+           CASE WHEN v IN (10, 11) THEN
+             ((9 * s + 15) // 16) * ((8 * s + 15) // 16)
+           ELSE (8 * s
+             + CASE v WHEN 1 THEN 3 WHEN 2 THEN 2 WHEN 5 THEN 5
+                 WHEN 6 THEN 4 WHEN 8 THEN 3 ELSE 8 * s END - 1)
+             // CASE v WHEN 1 THEN 3 WHEN 2 THEN 2 WHEN 5 THEN 5
+                 WHEN 6 THEN 4 WHEN 8 THEN 3 ELSE 8 * s END
+           END AS nsegs,
+           CASE v WHEN 1 THEN 32773 WHEN 7 THEN 32773
+                WHEN 3 THEN 5 WHEN 6 THEN 5 WHEN 10 THEN 5
+                WHEN 9 THEN 4 WHEN 11 THEN 4 ELSE 1 END AS comp
          FROM base),
        grid AS (
          SELECT id, s, y, x,
@@ -5433,13 +5440,45 @@ object ExtQueries4 {
        fps AS (
          SELECT id, CAST(sum(CASE WHEN b = 1
                   THEN (CAST(1 AS BIGINT) << k) ELSE 0 END) AS BIGINT) AS fp
-         FROM bitv GROUP BY id)
+         FROM bitv GROUP BY id),
+       bcell AS (
+         SELECT id, y, x,
+           CASE WHEN (y * 8 + x) < 63 AND
+             ((CASE WHEN (geff * 5 + (y * 8 + x) * 3) % 7 < 3
+                THEN 1 ELSE 0 END +
+               CASE WHEN m = 1 AND ((y * 8 + x) = (3 * g) % 63 OR
+                      (y * 8 + x) = (3 * g + 21) % 63) THEN 1
+                    WHEN m = 2 AND (y * 8 + x) = (3 * g + 7) % 63 THEN 1
+                    ELSE 0 END) % 2) = 1
+           THEN 1 ELSE 0 END AS b
+         FROM base,
+           unnest([yy for yy in range(0, 8)]) u(y),
+           unnest([xx for xx in range(0, 9)]) w(x)),
+       bsum AS (
+         SELECT id, CAST(SUM(1 - b) AS BIGINT) AS nwhite
+         FROM bcell GROUP BY id),
+       bfp AS (
+         SELECT c1.id, CAST(COALESCE(SUM(CASE WHEN c1.b = 1 AND c2.b = 0
+             THEN (CAST(1 AS BIGINT) << (c1.y * 8 + c1.x)) END), 0)
+             AS BIGINT) AS fp
+         FROM bcell c1 JOIN bcell c2
+           ON c1.id = c2.id AND c1.y = c2.y AND c2.x = c1.x + 1
+         WHERE c1.x < 8
+         GROUP BY c1.id)
        SELECT st.id, CAST(9 * st.s AS INT) AS width,
          CAST(8 * st.s AS INT) AS height,
-         CAST((8 * st.s + w.rps - 1) // w.rps AS INT) AS n_strips,
+         CAST(w.nsegs AS INT) AS n_strips,
          CAST(w.comp AS INT) AS compression,
-         st.gray_sum, st.n_colors, f.fp AS dhash, true AS valid
+         CASE WHEN w.v IN (8, 9, 11)
+           THEN CAST(255 * st.s * st.s * bs.nwhite AS BIGINT)
+           ELSE st.gray_sum END AS gray_sum,
+         CAST(CASE WHEN w.v IN (8, 9, 11) THEN 2 ELSE st.n_colors END
+           AS INT) AS n_colors,
+         CASE WHEN w.v IN (8, 9, 11) THEN bf.fp ELSE f.fp END AS dhash,
+         true AS valid
        FROM stats st JOIN fps f ON st.id = f.id
+       JOIN bsum bs ON st.id = bs.id
+       JOIN bfp bf ON st.id = bf.id
          JOIN wire w ON st.id = w.id
        ORDER BY st.id"""
 

@@ -254,7 +254,13 @@ class ParserFuzzSpec extends AnyFunSuite {
       Seq(graft.operators.OnnxLake.encTensor("w", Seq(2L, 2L),
         Seq(1f, -2f, 3f, 4f), packedDims = true))),
     "webp" -> graft.operators.Multimodal.encodeDHashWebp(
-      (x, y) => (x * 5 + y * 3) % 3 != 0, 2))
+      (x, y) => (x * 5 + y * 3) % 3 != 0, 2),
+    "tiff-g4" -> graft.operators.TiffLake.encodeTiff(
+      Array.tabulate(18 * 17)(i =>
+        if ((i * 7) % 11 < 4) 0xff000000 else 0xffffffff), 18, 17,
+      graft.operators.TiffLake.TiffOpts(photometric = 0,
+        bitsPerSample = 1, compression = 4, tileWidth = 16,
+        tileLength = 16, eofb = true)))
 
   test("every single-byte corruption of a valid stream never throws") {
     validStreams.foreach { case (sname, v) =>
