@@ -7,10 +7,15 @@ package graft.operators
   * and censuses minimal facts on ONE schema:
   *
   *  - images (PNG / BMP / GIF / JPEG via ImageIO, WebP via the
-  *    spec-written VP8L decoder, TIFF via the spec-written baseline
-  *    decoder — the [[Multimodal.parseDHash]] routing, so the
-  *    catalog inherits each format's strictness posture):
-  *    kind `image`, width/height, n_units 1;
+  *    spec-written VP8L decoder, TIFF via the spec-written decoder —
+  *    the [[Multimodal.parseDHash]] routing, so the catalog inherits
+  *    each format's strictness posture): kind `image`, width/height,
+  *    n_units 1; LOSSY WebP (`VP8 `) and extended (`VP8X`) profiles
+  *    census fmt `webp_lossy` / `webp_ext` with the header-declared
+  *    dimensions via [[WebpLake.webpCensus]] — no pinnable pixel
+  *    oracle exists for the lossy transform pipeline, so the census
+  *    records the facts the headers declare instead of guessing
+  *    pixels;
   *  - WAV (the strict PCM chunk walk): kind `audio`, channels /
   *    rate, n_units = sample frames; FLAC (the CRC-verified
   *    constant-subframe walk): channels / rate, n_units = frames;
@@ -87,6 +92,31 @@ object MediaCatalog {
         val media = r.getAs[Array[Byte]](1)
         val fmt = scala.util.Try(route(media)).getOrElse("other")
         fmt match {
+          case "webp" =>
+            // profile first: lossless decodes fully (the VP8L pixel
+            // walk), lossy/extended census header-declared facts —
+            // pixel decode of lossy VP8 has no pinnable oracle, so
+            // censusing is the honest posture (corrupt ≠ other: a
+            // header-law violation is valid=false)
+            scala.util.Try(WebpLake.webpCensus(media)).toOption
+              .flatten match {
+              case Some(("lossless", _, _)) =>
+                scala.util.Try(Multimodal.parseDHash(media)).toOption
+                  .flatten match {
+                  case Some((_, w, h)) =>
+                    Row(id, "webp", "image", w, h, null, null, 1, true)
+                  case None =>
+                    Row(id, "webp", "image", null, null, null, null,
+                      null, false)
+                }
+              case Some(("lossy", w, h)) =>
+                Row(id, "webp_lossy", "image", w, h, null, null, 1, true)
+              case Some(("extended", w, h)) =>
+                Row(id, "webp_ext", "image", w, h, null, null, 1, true)
+              case _ =>
+                Row(id, "webp", "image", null, null, null, null, null,
+                  false)
+            }
           case f if ImageFmts.contains(f) =>
             scala.util.Try(Multimodal.parseDHash(media)).toOption
               .flatten match {
@@ -199,7 +229,7 @@ object MediaCatalog {
     bb.array()
   }
 
-  /** Fixture laws (blob i, routed by i % 11): the q190 dHash law
+  /** Fixture laws (blob i, routed by i % 13): the q190 dHash law
     * image at scale 1+i%3 as PNG / BMP / WebP / TIFF; a minimal
     * two-page Opus stream (channels 1+i%2, rate 48000, 2+i%3 audio
     * packets); a one-or-two-track EBML file (video dims 320+16i ×
@@ -208,15 +238,17 @@ object MediaCatalog {
     * (channels 1+i%2, rate 8000·(1+i%2), 64+i sample frames); a
     * constant-subframe FLAC (rate 32000/44100/48000 by i%3, 3+i%5
     * frames); an MP4 with one audio track (same rate law, channels
-    * 1+i%2); and a one-stream MJPEG AVI (dims 12+i%8 × 8+i%5,
-    * 2+i%4 frames). */
+    * 1+i%2); a one-stream MJPEG AVI (dims 12+i%8 × 8+i%5,
+    * 2+i%4 frames); a LOSSY VP8 key frame (dims 64+2i × 48+i,
+    * censused without pixel decode); and an extended VP8X container
+    * (canvas 200+3i × 100+2i over a VP8 still). */
   def mediaFixture(spark: org.apache.spark.sql.SparkSession,
       n: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val rows = (0 until n).map { i =>
       val s = 1 + i % 3
-      val bytes = (i % 11) match {
+      val bytes = (i % 13) match {
         case 0 => Multimodal.encodeDHashPng(Multimodal.dhashBit(i), s)
         case 1 => Multimodal.encodeDHashBmp(Multimodal.dhashBit(i), s)
         case 2 => Multimodal.encodeDHashWebp(Multimodal.dhashBit(i), s)
@@ -258,10 +290,17 @@ object MediaCatalog {
         case 9 =>
           Multimodal.encodeMp4(Array(32000, 44100, 48000)(i % 3),
             1 + i % 2, 1000L + i)
-        case _ =>
+        case 10 =>
           Multimodal.encodeAvi(12 + i % 8, 8 + i % 5,
             (0 until 2 + i % 4).map(f => (i * 11 + f * 29) % 256),
             10 + i % 15)
+        case 11 =>
+          WebpLake.riffWebp(Seq("VP8 " ->
+            WebpLake.vp8KeyPayload(64 + 2 * i, 48 + i, 5 + i % 7, i)))
+        case _ =>
+          WebpLake.riffWebp(Seq(
+            "VP8X" -> WebpLake.vp8xPayload(200 + 3 * i, 100 + 2 * i),
+            "VP8 " -> WebpLake.vp8KeyPayload(16, 16, 4, i)))
       }
       Row(i.toLong, bytes)
     }

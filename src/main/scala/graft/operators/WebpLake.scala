@@ -780,6 +780,157 @@ object WebpLake {
 
   /** Encode an ARGB image as a VP8L WebP file with the given options
     * (palette excludes the other transforms by construction). */
+  // ------------------------------------------------------------------
+  // container census — the lossy (VP8) and extended (VP8X) profiles a
+  // real web crawl is dominated by. An honest census, not a decode:
+  // profile + the header-declared dimensions, with every header law
+  // checked (RFC 6386 §9.1 key-frame header for lossy; the VP8X
+  // flags/reserved/canvas layout with the animation↔ANMF consistency
+  // law for extended). Pixel decode of lossy VP8 stays out of scope:
+  // no pinned-subset oracle exists for its transform pipeline, so the
+  // exact-oracle posture censuses it rather than guessing pixels.
+
+  /** (profile, width, height) for one WebP container; None on any
+    * header-law violation. Profiles: "lossless", "lossy", "extended"
+    * (canvas dimensions). */
+  private[graft] def webpCensus(
+      b: Array[Byte]): Option[(String, Int, Int)] = {
+    if (b == null || b.length < 20) return None
+    try {
+      if (b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F')
+        return None
+      if (u32le(b, 4) != b.length - 8L) throw Fail
+      if (b(8) != 'W' || b(9) != 'E' || b(10) != 'B' || b(11) != 'P')
+        throw Fail
+      def fourcc(o: Int): String =
+        new String(Array(b(o), b(o + 1), b(o + 2), b(o + 3)),
+          "US-ASCII")
+      // RFC 6386 §9.1: 3-byte frame tag (key frame, version ≤ 3,
+      // show_frame, 19-bit first-partition size), start code
+      // 0x9d012a, 14-bit dimensions
+      def vp8Dims(off: Int, len: Long): (Int, Int) = {
+        if (len < 10) throw Fail
+        val tag = (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+          ((b(off + 2) & 0xff) << 16)
+        if ((tag & 1) != 0) throw Fail // inter frame: not an image
+        if (((tag >> 1) & 7) > 3) throw Fail // version
+        if (((tag >> 4) & 1) != 1) throw Fail // show_frame
+        if (10L + (tag >>> 5) > len) throw Fail // partition must fit
+        if ((b(off + 3) & 0xff) != 0x9d || (b(off + 4) & 0xff) != 0x01 ||
+            (b(off + 5) & 0xff) != 0x2a) throw Fail // start code
+        val w = ((b(off + 6) & 0xff) | ((b(off + 7) & 0xff) << 8)) & 0x3fff
+        val h = ((b(off + 8) & 0xff) | ((b(off + 9) & 0xff) << 8)) & 0x3fff
+        if (w < 1 || h < 1) throw Fail
+        (w, h)
+      }
+      val size0 = u32le(b, 16)
+      val padded0 = size0 + (size0 & 1)
+      fourcc(12) match {
+        case "VP8L" =>
+          if (20L + padded0 != b.length || size0 < 5) throw Fail
+          if ((b(20) & 0xff) != 0x2f) throw Fail
+          val bits = (b(21) & 0xffL) | ((b(22) & 0xffL) << 8) |
+            ((b(23) & 0xffL) << 16) | ((b(24) & 0xffL) << 24)
+          if (((bits >> 29) & 7) != 0) throw Fail // version
+          Some(("lossless", (bits & 0x3fff).toInt + 1,
+            ((bits >> 14) & 0x3fff).toInt + 1))
+        case "VP8 " =>
+          if (20L + padded0 != b.length) throw Fail // one chunk
+          val (w, h) = vp8Dims(20, size0)
+          Some(("lossy", w, h))
+        case "VP8X" =>
+          if (size0 != 10) throw Fail
+          val flags = b(20) & 0xff
+          if ((flags & 0xc1) != 0) throw Fail // reserved bits
+          if (b(21) != 0 || b(22) != 0 || b(23) != 0) throw Fail
+          val cw = ((b(24) & 0xff) | ((b(25) & 0xff) << 8) |
+            ((b(26) & 0xff) << 16)) + 1
+          val ch = ((b(27) & 0xff) | ((b(28) & 0xff) << 8) |
+            ((b(29) & 0xff) << 16)) + 1
+          // walk the remaining chunks: consistent framing, and the
+          // container must actually carry an image (ANMF frames when
+          // the animation flag is set, a VP8/VP8L chunk otherwise)
+          val anim = (flags & 0x02) != 0
+          var o = 30
+          var still = false
+          var frames = false
+          while (o < b.length) {
+            if (o + 8 > b.length) throw Fail
+            val fc = fourcc(o)
+            val sz = u32le(b, o + 4)
+            val pad = sz + (sz & 1)
+            if (o + 8 + pad > b.length) throw Fail
+            if (fc == "VP8 ") { vp8Dims(o + 8, sz); still = true }
+            if (fc == "VP8L") still = true
+            if (fc == "ANMF") frames = true
+            o += 8 + pad.toInt
+          }
+          if ((anim && !frames) || (!anim && !still)) throw Fail
+          Some(("extended", cw, ch))
+        case _ => throw Fail
+      }
+    } catch { case Fail => None }
+  }
+
+  /** RIFF/WEBP wrap (fixture side). */
+  private[graft] def riffWebp(
+      chunks: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val body = new java.io.ByteArrayOutputStream()
+    body.write("WEBP".getBytes("US-ASCII"))
+    chunks.foreach { case (fc, payload) =>
+      body.write(fc.getBytes("US-ASCII"))
+      val n = payload.length
+      body.write(n & 0xff); body.write((n >> 8) & 0xff)
+      body.write((n >> 16) & 0xff); body.write((n >> 24) & 0xff)
+      body.write(payload, 0, n)
+      if ((n & 1) == 1) body.write(0)
+    }
+    val bb = body.toByteArray
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("RIFF".getBytes("US-ASCII"))
+    out.write(bb.length & 0xff); out.write((bb.length >> 8) & 0xff)
+    out.write((bb.length >> 16) & 0xff); out.write((bb.length >> 24) & 0xff)
+    out.write(bb, 0, bb.length)
+    out.toByteArray
+  }
+
+  /** A VP8 key-frame header + deterministic first-partition filler
+    * (fixture side — enough header for the census laws; no pixels). */
+  private[graft] def vp8KeyPayload(w: Int, h: Int, partBytes: Int,
+      seed: Int): Array[Byte] = {
+    require(w >= 1 && w < (1 << 14) && h >= 1 && h < (1 << 14) &&
+      partBytes >= 0 && partBytes < (1 << 19))
+    val out = new Array[Byte](10 + partBytes)
+    val tag = (partBytes << 5) | (1 << 4) // key frame, version 0, shown
+    out(0) = (tag & 0xff).toByte
+    out(1) = ((tag >> 8) & 0xff).toByte
+    out(2) = ((tag >> 16) & 0xff).toByte
+    out(3) = 0x9d.toByte; out(4) = 0x01; out(5) = 0x2a
+    out(6) = (w & 0xff).toByte; out(7) = ((w >> 8) & 0x3f).toByte
+    out(8) = (h & 0xff).toByte; out(9) = ((h >> 8) & 0x3f).toByte
+    var k = 0
+    while (k < partBytes) {
+      out(10 + k) = ((seed * 31 + k * 7) % 256).toByte
+      k += 1
+    }
+    out
+  }
+
+  /** VP8X chunk payload for a cw×ch canvas (fixture side). */
+  private[graft] def vp8xPayload(cw: Int, ch: Int,
+      flags: Int = 0): Array[Byte] = {
+    require(cw >= 1 && cw <= (1 << 24) && ch >= 1 && ch <= (1 << 24))
+    val out = new Array[Byte](10)
+    out(0) = flags.toByte
+    out(4) = ((cw - 1) & 0xff).toByte
+    out(5) = (((cw - 1) >> 8) & 0xff).toByte
+    out(6) = (((cw - 1) >> 16) & 0xff).toByte
+    out(7) = ((ch - 1) & 0xff).toByte
+    out(8) = (((ch - 1) >> 8) & 0xff).toByte
+    out(9) = (((ch - 1) >> 16) & 0xff).toByte
+    out
+  }
+
   private[graft] def encodeVp8l(argb: Array[Int], w: Int, h: Int,
       opts: EncOpts = EncOpts()): Array[Byte] = {
     require(argb.length == w * h && w >= 1 && h >= 1 && w <= 16384 &&

@@ -5828,10 +5828,13 @@ object ExtQueries4 {
   // CRC-verified page walk, EBML through the VINT walk — and
   // censuses minimal facts on ONE schema; unknown magics census
   // honestly as kind=other while a blob whose magic matches but
-  // whose body lies is valid=false. 44 blobs routed by i%11 across
-  // all eleven routes. Route/corruption strictness is spec-gated in
-  // MediaCatalogSpec.
-  private val MediaN = 44
+  // whose body lies is valid=false; LOSSY VP8 and extended VP8X
+  // WebP profiles census header-declared dimensions (no pinnable
+  // pixel oracle exists for the lossy pipeline — censusing is the
+  // honest posture). 52 blobs routed by i%13 across all thirteen
+  // routes. Route/corruption strictness is spec-gated in
+  // MediaCatalogSpec/WebpLakeSpec.
+  private val MediaN = 52
 
   def q229(s: SparkSession, dir: String): DataFrame = {
     val fx = graft.operators.MediaCatalog.mediaFixture(s, MediaN)
@@ -5844,7 +5847,7 @@ object ExtQueries4 {
 
   val q229Sql: String =
     s"""WITH base AS (
-         SELECT r AS id, 1 + r % 3 AS s, r % 11 AS m,
+         SELECT r AS id, 1 + r % 3 AS s, r % 13 AS m,
            CASE r % 3 WHEN 0 THEN 32000 WHEN 1 THEN 44100
                 ELSE 48000 END AS rate3
          FROM range(0, $MediaN) t(r))
@@ -5852,16 +5855,21 @@ object ExtQueries4 {
          CASE m WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' WHEN 2 THEN 'webp'
               WHEN 3 THEN 'tiff' WHEN 4 THEN 'ogg' WHEN 5 THEN 'ebml'
               WHEN 7 THEN 'wav' WHEN 8 THEN 'flac' WHEN 9 THEN 'mp4'
-              WHEN 10 THEN 'avi' ELSE 'other' END AS fmt,
-         CASE WHEN m <= 3 THEN 'image'
+              WHEN 10 THEN 'avi' WHEN 11 THEN 'webp_lossy'
+              WHEN 12 THEN 'webp_ext' ELSE 'other' END AS fmt,
+         CASE WHEN m <= 3 OR m >= 11 THEN 'image'
               WHEN m IN (4, 7, 8) THEN 'audio'
               WHEN m IN (5, 9, 10) THEN 'video' ELSE 'other' END AS kind,
          CAST(CASE WHEN m <= 3 THEN 9 * s
               WHEN m = 5 THEN 320 + 16 * id
-              WHEN m = 10 THEN 12 + id % 8 END AS INT) AS width,
+              WHEN m = 10 THEN 12 + id % 8
+              WHEN m = 11 THEN 64 + 2 * id
+              WHEN m = 12 THEN 200 + 3 * id END AS INT) AS width,
          CAST(CASE WHEN m <= 3 THEN 8 * s
               WHEN m = 5 THEN 240 + 8 * id
-              WHEN m = 10 THEN 8 + id % 5 END AS INT) AS height,
+              WHEN m = 10 THEN 8 + id % 5
+              WHEN m = 11 THEN 48 + id
+              WHEN m = 12 THEN 100 + 2 * id END AS INT) AS height,
          CAST(CASE WHEN m IN (4, 7, 8, 9) THEN 1 + id % 2
               WHEN m = 5 AND id % 2 = 1 THEN 2 END AS INT) AS channels,
          CAST(CASE WHEN m = 4 THEN 48000
@@ -5869,7 +5877,8 @@ object ExtQueries4 {
               WHEN m = 7 THEN 8000 * (1 + id % 2)
               WHEN m IN (8, 9) THEN rate3 END AS BIGINT)
            AS sample_rate,
-         CAST(CASE WHEN m <= 3 THEN 1 WHEN m = 4 THEN 3 + id % 3
+         CAST(CASE WHEN m <= 3 OR m >= 11 THEN 1
+              WHEN m = 4 THEN 3 + id % 3
               WHEN m = 5 THEN 1 + id % 2
               WHEN m = 7 THEN 64 + id
               WHEN m = 8 THEN 3 + id % 5

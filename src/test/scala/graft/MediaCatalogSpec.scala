@@ -93,23 +93,37 @@ class MediaCatalogSpec extends SparkSpec {
   }
 
   test("fixture + catalogMedia: every route censuses to its law") {
-    val fx = MediaCatalog.mediaFixture(spark, 22)
+    val fx = MediaCatalog.mediaFixture(spark, 26)
     val rows = MediaCatalog.catalogMedia(fx, "id", "media")
       .orderBy("id").collect()
-    assert(rows.length == 22)
+    assert(rows.length == 26)
     assert(rows.forall(_.getBoolean(8)), "all valid")
     assert(rows.map(_.getString(1)).toSeq == Seq("png", "bmp", "webp",
       "tiff", "ogg", "ebml", "other", "wav", "flac", "mp4", "avi",
+      "webp_lossy", "webp_ext",
       "png", "bmp", "webp", "tiff", "ogg", "ebml", "other", "wav",
-      "flac", "mp4", "avi"))
+      "flac", "mp4", "avi", "webp_lossy", "webp_ext"))
     // ogg at id 4: channels 1, 48000, 3 + 4%3 = 4 packets
     val ogg4 = rows(4)
     assert(ogg4.getInt(5) == 1 && ogg4.getLong(6) == 48000L &&
       ogg4.getInt(7) == 3 + 4 % 3)
-    // ebml at id 16: video 320+16*16 x 240+8*16, no audio (even id)
-    val eb = rows(16)
-    assert(eb.getInt(3) == 320 + 16 * 16 && eb.getInt(4) == 240 + 8 * 16)
-    assert(eb.isNullAt(5) && eb.getInt(7) == 1 + 16 % 2)
+    // ebml at id 18 (18%13=5): video 320+16*18 x 240+8*18, even id =>
+    // no audio plane
+    val eb = rows(18)
+    assert(eb.getInt(3) == 320 + 16 * 18 && eb.getInt(4) == 240 + 8 * 18)
+    assert(eb.isNullAt(5) && eb.getInt(7) == 1 + 18 % 2)
+    // lossy webp at ids 11/24: header-declared dims, kind image
+    for (i <- Seq(11, 24)) {
+      val lw = rows(i)
+      assert(lw.getString(2) == "image" && lw.getInt(3) == 64 + 2 * i &&
+        lw.getInt(4) == 48 + i && lw.getInt(7) == 1, s"lossy id=$i")
+    }
+    // extended webp at ids 12/25: canvas dims from the VP8X header
+    for (i <- Seq(12, 25)) {
+      val xw = rows(i)
+      assert(xw.getString(2) == "image" && xw.getInt(3) == 200 + 3 * i &&
+        xw.getInt(4) == 100 + 2 * i, s"ext id=$i")
+    }
     // ebml at id 5 (odd): audio plane present
     val eb5 = rows(5)
     assert(eb5.getInt(5) == 2 && eb5.getLong(6) == 48000L)

@@ -90,7 +90,8 @@ class ParserFuzzSpec extends AnyFunSuite {
     "parseArrow" -> (b => graft.operators.ArrowLake.parseArrow(b)),
     "routeMedia" -> (b => graft.operators.MediaCatalog.route(b)),
     "parseYaml" -> (b => graft.operators.YamlLake.parseYaml(b)),
-    "frontMatter" -> (b => graft.operators.YamlLake.frontMatter(b)))
+    "frontMatter" -> (b => graft.operators.YamlLake.frontMatter(b)),
+    "webpCensus" -> (b => graft.operators.WebpLake.webpCensus(b)))
 
   private val magics: Seq[(String, Array[Byte])] = Seq(
     "wav" -> ("RIFF\u0000\u0000\u0000\u0000WAVE").getBytes("ISO-8859-1"),
@@ -140,7 +141,12 @@ class ParserFuzzSpec extends AnyFunSuite {
     "ebml" -> Array(0x1a.toByte, 0x45.toByte, 0xdf.toByte, 0xa3.toByte),
     "arrow" -> ("ARROW1".getBytes("ISO-8859-1") ++ Array[Byte](0, 0)),
     // a YAML mapping prefix so the fuzz reaches the indent walker
-    "yaml" -> "title: x\nmeta:\n  a: 1\n".getBytes("ISO-8859-1"))
+    "yaml" -> "title: x\nmeta:\n  a: 1\n".getBytes("ISO-8859-1"),
+    // lossy-WebP chunk headers reach the census's VP8/VP8X walks
+    "webp-vp8" -> ("RIFF".getBytes("ISO-8859-1") ++
+      Array[Byte](0, 0, 0, 0) ++ "WEBPVP8 ".getBytes("ISO-8859-1")),
+    "webp-vp8x" -> ("RIFF".getBytes("ISO-8859-1") ++
+      Array[Byte](0, 0, 0, 0) ++ "WEBPVP8X".getBytes("ISO-8859-1")))
 
   private def noThrow(label: String, p: Parser, b: Array[Byte]): Unit =
     try { p(b); () } catch {

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.WebpLake
+import graft.operators.{Multimodal, WebpLake}
 import graft.operators.WebpLake.EncOpts
 
 /** VP8L codec: encode→decode round-trip across every transform and
@@ -148,5 +148,79 @@ class WebpLakeSpec extends SparkSpec {
     }
     val s0 = seeds.head
     (0 until s0.length).foreach(n => WebpLake.parseVp8l(s0.take(n)))
+  }
+
+  test("container census: lossless, lossy and extended profiles") {
+    // lossless: census dims without decode, consistent with parseVp8l
+    val ll = Multimodal.encodeDHashWebp((x, y) => (x + y) % 2 == 0, 2)
+    assert(WebpLake.webpCensus(ll).contains(("lossless", 18, 16)))
+    // lossy: the RFC 6386 key-frame header (no pixel decode)
+    val lossy = WebpLake.riffWebp(Seq("VP8 " ->
+      WebpLake.vp8KeyPayload(640, 480, 12, 7)))
+    assert(WebpLake.webpCensus(lossy).contains(("lossy", 640, 480)))
+    // odd-sized payload exercises the RIFF pad law
+    val odd = WebpLake.riffWebp(Seq("VP8 " ->
+      WebpLake.vp8KeyPayload(33, 21, 5, 3)))
+    assert(WebpLake.webpCensus(odd).contains(("lossy", 33, 21)))
+    // extended: canvas dims from VP8X over a VP8 still
+    val ext = WebpLake.riffWebp(Seq(
+      "VP8X" -> WebpLake.vp8xPayload(4000, 3000),
+      "VP8 " -> WebpLake.vp8KeyPayload(16, 16, 4, 1)))
+    assert(WebpLake.webpCensus(ext).contains(("extended", 4000, 3000)))
+    // extended animation: ANMF frames satisfy the flag law; a still
+    // chunk does NOT satisfy an animation flag and vice versa
+    val anim = WebpLake.riffWebp(Seq(
+      "VP8X" -> WebpLake.vp8xPayload(100, 50, flags = 0x02),
+      "ANMF" -> Array.fill[Byte](24)(1)))
+    assert(WebpLake.webpCensus(anim).contains(("extended", 100, 50)))
+    assert(WebpLake.webpCensus(WebpLake.riffWebp(Seq(
+      "VP8X" -> WebpLake.vp8xPayload(100, 50, flags = 0x02),
+      "VP8 " -> WebpLake.vp8KeyPayload(16, 16, 4, 1)))).isEmpty,
+      "anim flag without frames")
+    assert(WebpLake.webpCensus(WebpLake.riffWebp(Seq(
+      "VP8X" -> WebpLake.vp8xPayload(100, 50)))).isEmpty,
+      "extended without any image chunk")
+  }
+
+  test("container census strictness: every header lie rejects") {
+    val good = WebpLake.riffWebp(Seq("VP8 " ->
+      WebpLake.vp8KeyPayload(64, 48, 8, 5)))
+    def mut(f: Array[Byte] => Unit): Array[Byte] = {
+      val c = good.clone(); f(c); c
+    }
+    val cases = Seq(
+      // payload starts at 20: frame tag bytes 20-22, start code 23-25
+      "inter frame" -> mut(c => c(20) = (c(20) | 1).toByte),
+      "version 4" -> mut(c => c(20) = ((c(20) & ~0x0e) | 8).toByte),
+      "hidden frame" -> mut(c => c(20) = (c(20) & ~0x10).toByte),
+      "bad start code" -> mut(c => c(23) = 0x9c.toByte),
+      "riff size lie" -> mut(c => c(4) = (c(4) + 1).toByte),
+      "partition overruns chunk" ->
+        mut(c => c(22) = (c(22) + 0x40).toByte),
+      "truncated" -> good.dropRight(3))
+    cases.foreach { case (name, b) =>
+      assert(WebpLake.webpCensus(b).isEmpty, name)
+    }
+    assert(WebpLake.webpCensus(good).nonEmpty, "control")
+    assert(WebpLake.webpCensus(null).isEmpty)
+    // zero-dimension and reserved-bit lies
+    assert(WebpLake.webpCensus(WebpLake.riffWebp(Seq("VP8 " -> {
+      val p = WebpLake.vp8KeyPayload(1, 1, 4, 0)
+      p(6) = 0; p // width 0
+    }))).isEmpty, "zero width")
+    val badFlags = WebpLake.riffWebp(Seq(
+      "VP8X" -> { val p = WebpLake.vp8xPayload(10, 10); p(0) = 0x40; p },
+      "VP8 " -> WebpLake.vp8KeyPayload(16, 16, 4, 1)))
+    assert(WebpLake.webpCensus(badFlags).isEmpty, "reserved flag bit")
+    val badRsv = WebpLake.riffWebp(Seq(
+      "VP8X" -> { val p = WebpLake.vp8xPayload(10, 10); p(2) = 1; p },
+      "VP8 " -> WebpLake.vp8KeyPayload(16, 16, 4, 1)))
+    assert(WebpLake.webpCensus(badRsv).isEmpty, "reserved bytes")
+    // census never throws across flips/truncations
+    for (i <- good.indices; bit <- Seq(1, 0x40)) {
+      val c = good.clone(); c(i) = (c(i) ^ bit).toByte
+      WebpLake.webpCensus(c)
+    }
+    (0 until good.length).foreach(n => WebpLake.webpCensus(good.take(n)))
   }
 }
