@@ -144,6 +144,178 @@ object CsvSniff {
     spark.createDataFrame(rows, outSchema)
   }
 
+  // ==================================================================
+  // dialect-applied extraction (q233): sniff, then parse the WHOLE
+  // shard with the detected dialect into typed per-column stats on
+  // one schema — the composition step a real tabular-ingest pipeline
+  // runs after detection. Typing is CLOSED and exact:
+  //  - `long`: every data value matches -?digits (≤18 digits) —
+  //    stats are exact BIGINT min/max/sum (overflow rejects the
+  //    shard, never wraps);
+  //  - `dec2`: every value numeric with ≤2 decimals (mixed with
+  //    plain integers) — stats on the EXACT ×100 integers (the
+  //    repo's no-doubles-across-the-boundary convention);
+  //  - `string` otherwise — stats on field LENGTHS;
+  //  - any line that fails the detected dialect (field-count drift
+  //    past the sniff sample, unterminated quote) invalidates the
+  //    whole shard: reject, never guess.
+
+  private[graft] final case class CsvCol(
+      name: Option[String], kind: String, lmin: Long, lmax: Long,
+      lsum: Long)
+
+  private val LongRe = "-?[0-9]{1,18}".r
+  private val Dec2Re = "(-?)([0-9]{1,16})(?:\\.([0-9]{1,2}))?".r
+
+  private def dec2Scaled(s: String): Long = {
+    val m = Dec2Re.pattern.matcher(s)
+    require(m.matches())
+    val neg = m.group(1) == "-"
+    val ip = java.lang.Long.parseLong(m.group(2)) * 100
+    val fr = m.group(3) match {
+      case null => 0L
+      case f => java.lang.Integer.parseInt(f) * (if (f.length == 1) 10 else 1)
+    }
+    if (neg) -ip - fr else ip + fr
+  }
+
+  private[graft] final case class CsvTable(cols: Seq[CsvCol], nData: Int)
+
+  /** Sniff + full-shard typed extraction; None on any violation. */
+  private[graft] def extract(text: String): Option[CsvTable] = {
+    val facts = sniff(text) match {
+      case Some(f) => f
+      case None => return None
+    }
+    val lines = splitLines(text)
+    if (lines.length > (1 << 20)) return None
+    val d = facts.dialect
+    val rows = new Array[Array[String]](lines.length)
+    var i = 0
+    while (i < lines.length) {
+      splitFields(lines(i), d.delim, d.quote) match {
+        case Some(fs) if fs.length == d.nFields => rows(i) = fs
+        case _ => return None // drift past the sniff sample: reject
+      }
+      i += 1
+    }
+    val header: Option[Array[String]] =
+      if (facts.hasHeader) Some(rows(0)) else None
+    val data = if (facts.hasHeader) rows.drop(1) else rows
+    if (data.isEmpty) return None
+    try {
+      Some(CsvTable((0 until d.nFields).map { j =>
+        val name = header.map(_(j))
+        val vals = data.map(_(j))
+        if (vals.forall(LongRe.matches(_))) {
+          var mn = Long.MaxValue
+          var mx = Long.MinValue
+          var sum = 0L
+          vals.foreach { v =>
+            val x = java.lang.Long.parseLong(v)
+            mn = math.min(mn, x); mx = math.max(mx, x)
+            sum = Math.addExact(sum, x)
+          }
+          CsvCol(name, "long", mn, mx, sum)
+        } else if (vals.forall(Dec2Re.matches(_))) {
+          var mn = Long.MaxValue
+          var mx = Long.MinValue
+          var sum = 0L
+          vals.foreach { v =>
+            val x = dec2Scaled(v)
+            mn = math.min(mn, x); mx = math.max(mx, x)
+            sum = Math.addExact(sum, x)
+          }
+          CsvCol(name, "dec2", mn, mx, sum)
+        } else {
+          var mn = Long.MaxValue
+          var mx = Long.MinValue
+          var sum = 0L
+          vals.foreach { v =>
+            val n = v.length.toLong
+            mn = math.min(mn, n); mx = math.max(mx, n)
+            sum = Math.addExact(sum, n)
+          }
+          CsvCol(name, "string", mn, mx, sum)
+        }
+      }, data.length))
+    } catch { case _: ArithmeticException => None } // exact or nothing
+  }
+
+  /** One row per detected column: header name, closed typed kind,
+    * exact stats; an undetectable or drifting shard flags one row. */
+  def extractCsv(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("id", LongType, false),
+      StructField("col", IntegerType, false),
+      StructField("name", StringType, true),
+      StructField("kind", StringType, true),
+      StructField("lmin", LongType, true),
+      StructField("lmax", LongType, true),
+      StructField("lsum", LongType, true),
+      StructField("n_rows", IntegerType, true),
+      StructField("valid", BooleanType, false)))
+    val rows = df.select(col(idCol).cast(LongType), col(textCol)).rdd
+      .mapPartitions(_.flatMap { r =>
+        val id = r.getLong(0)
+        val text = r.getString(1)
+        scala.util.Try(extract(text)).toOption.flatten match {
+          case Some(t) =>
+            t.cols.zipWithIndex.map { case (c, j) =>
+              Row(id, j, c.name.orNull, c.kind, c.lmin, c.lmax, c.lsum,
+                t.nData, true)
+            }
+          case None =>
+            Seq(Row(id, 0, null, null, null, null, null, null, false))
+        }
+      })
+    spark.createDataFrame(rows, outSchema)
+  }
+
+  /** Typed-extraction fixture (q233): the q230 wire laws (delimiter
+    * i%4, quote i%2, header iff i%3 != 0, 2+i%3 columns, 4+i%4 data
+    * rows, trailing newline on i%5=0) with column j's KIND cycling by
+    * (i+j)%3 — 0: long (value i·10+r+j), 1: a QUOTED string carrying
+    * the live delimiter (`a<d>b<r>` — the naive-split breaker),
+    * 2: dec2 (value (r+j).((i+j)%100 zero-padded) → exact ×100). */
+  def csvTypedFixture(spark: org.apache.spark.sql.SparkSession,
+      n: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val rows = (0 until n).map { i =>
+      val d = Delims(i % 4)
+      val q = Quotes(i % 2)
+      val nf = 2 + i % 3
+      val nRows = 4 + i % 4
+      val header =
+        if (i % 3 != 0)
+          Seq((0 until nf).map(j => s"h$j").mkString(d.toString))
+        else Nil
+      val data = (0 until nRows).map { r =>
+        (0 until nf).map { j =>
+          (i + j) % 3 match {
+            case 0 => (i * 10 + r + j).toString
+            case 1 => s"${q}a${d}b$r$q"
+            case _ => s"${r + j}." + f"${(i + j) % 100}%02d"
+          }
+        }.mkString(d.toString)
+      }
+      val text = (header ++ data).mkString("\n") +
+        (if (i % 5 == 0) "\n" else "")
+      Row(i.toLong, text)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4),
+      StructType(Seq(
+        StructField("id", LongType, false),
+        StructField("text", StringType, true))))
+  }
+
   /** Fixture laws (shard i): delimiter by i%4, quote by i%2, header
     * iff i%3 != 0, 2+i%3 columns over 4+i%4 data rows; column j is
     * numeric iff (i+j)%2=0 (value i*10+r+j), else a QUOTED string

@@ -6060,6 +6060,54 @@ object ExtQueries4 {
          true AS valid
        FROM rws ORDER BY id, seq"""
 
+  // ---------------------------------------------------------------
+  // q233 — dialect-applied CSV extraction (q230 composed): after the
+  // sniffer detects the dialect, the WHOLE shard is parsed with it
+  // into typed per-column stats on one schema — kind `long` (exact
+  // BIGINT min/max/sum), `dec2` (≤2-decimal numerics on the EXACT
+  // ×100 axis) or `string` (length stats); header names projected;
+  // any line drifting from the detected dialect invalidates the
+  // shard. 40 shards with kinds cycling per column, every string
+  // cell QUOTING a live delimiter. Typing strictness (mixed
+  // long/dec2 promotion, drift reject, overflow reject) is
+  // spec-gated in CsvSniffSpec.
+  def q233(s: SparkSession, dir: String): DataFrame = {
+    val fx = graft.operators.CsvSniff.csvTypedFixture(s, CsvN)
+    graft.operators.CsvSniff.extractCsv(fx, "id", "text")
+      .select(col("id"), col("col"), col("name"), col("kind"),
+        col("lmin"), col("lmax"), col("lsum"), col("n_rows"),
+        col("valid"))
+      .orderBy("id", "col")
+  }
+
+  val q233Sql: String =
+    s"""WITH base AS (
+         SELECT r AS id, 2 + r % 3 AS nf, 4 + r % 4 AS nr,
+                r % 3 <> 0 AS hdr
+         FROM range(0, $CsvN) t(r)),
+       cols AS (
+         SELECT id, nf, nr, hdr,
+           CAST(unnest(range(0, nf)) AS INT) AS col
+         FROM base),
+       d AS (SELECT *, (id + col) % 3 AS k FROM cols)
+       SELECT id, col,
+         CASE WHEN hdr THEN 'h' || col END AS name,
+         CASE k WHEN 0 THEN 'long' WHEN 1 THEN 'string'
+           ELSE 'dec2' END AS kind,
+         CAST(CASE k WHEN 0 THEN id * 10 + col WHEN 1 THEN 4
+              ELSE col * 100 + (id + col) % 100 END AS BIGINT) AS lmin,
+         CAST(CASE k WHEN 0 THEN id * 10 + col + nr - 1 WHEN 1 THEN 4
+              ELSE (nr - 1 + col) * 100 + (id + col) % 100 END
+           AS BIGINT) AS lmax,
+         CAST(CASE k WHEN 0 THEN nr * (id * 10 + col)
+                + nr * (nr - 1) // 2
+              WHEN 1 THEN 4 * nr
+              ELSE 100 * (col * nr + nr * (nr - 1) // 2)
+                + nr * ((id + col) % 100) END AS BIGINT) AS lsum,
+         CAST(nr AS INT) AS n_rows,
+         true AS valid
+       FROM d ORDER BY id, col"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q125_label_propagation" -> (q125 _),
     "q126_pmi_cooccur" -> (q126 _),
@@ -6168,7 +6216,8 @@ object ExtQueries4 {
     "q229_media_catalog" -> (q229 _),
     "q230_csv_sniff" -> (q230 _),
     "q231_yaml_extract" -> (q231 _),
-    "q232_front_matter" -> (q232 _))
+    "q232_front_matter" -> (q232 _),
+    "q233_csv_extract" -> (q233 _))
 
   val oracles: Map[String, String] = Map(
     "q125_label_propagation" -> q125Sql,
@@ -6278,5 +6327,6 @@ object ExtQueries4 {
     "q229_media_catalog" -> q229Sql,
     "q230_csv_sniff" -> q230Sql,
     "q231_yaml_extract" -> q231Sql,
-    "q232_front_matter" -> q232Sql)
+    "q232_front_matter" -> q232Sql,
+    "q233_csv_extract" -> q233Sql)
 }

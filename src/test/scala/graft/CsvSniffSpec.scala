@@ -123,4 +123,68 @@ class CsvSniffSpec extends SparkSpec {
     val r5 = rows(5)
     assert(r5.getInt(4) == 4 && r5.getInt(6) == 2)
   }
+
+  test("typed extraction: closed kind rules, exact stats") {
+    import graft.operators.CsvSniff.CsvCol
+    def ext(s: String) = CsvSniff.extract(s)
+    // pure longs, negatives included
+    val t1 = ext("a,b\n-5,2\n10,3\n").get
+    assert(t1.nData == 2)
+    assert(t1.cols(0) == CsvCol(Some("a"), "long", -5, 10, 5))
+    assert(t1.cols(1) == CsvCol(Some("b"), "long", 2, 3, 5))
+    // mixed long + decimals promote to dec2 on the exact x100 axis
+    val t2 = ext("x,y\n5,1.5\n-0.25,2\n").get
+    assert(t2.cols(0) == CsvCol(Some("x"), "dec2", -25, 500, 475))
+    assert(t2.cols(1) == CsvCol(Some("y"), "dec2", 150, 200, 350))
+    // three decimals / 20 digits are NOT exactly representable in the
+    // closed kinds: they census as strings (length stats), not a
+    // lossy parse
+    val t3 = ext("p,q\n1.234,99999999999999999999\n2,3\n").get
+    assert(t3.cols(0).kind == "string" && t3.cols(0).lsum == 5 + 1)
+    assert(t3.cols(1).kind == "string" && t3.cols(1).lsum == 20 + 1)
+    // quoted numerics are data, and the quote strips before typing
+    val t4 = ext("\"7\",z\n8,w\n").get
+    assert(t4.cols(0).kind == "long" && t4.cols(0).lsum == 15)
+    // no header: names absent
+    assert(ext("1,2\n3,4\n").get.cols.forall(_.name.isEmpty))
+    // field-count drift PAST the 64-line sniff sample rejects the
+    // whole shard (the sniffer alone would have accepted it)
+    val drift = (0 until 70).map(r => s"$r,${r * 2}").mkString("\n") +
+      "\nlonely\n"
+    assert(CsvSniff.sniff(drift).nonEmpty, "sniff accepts the sample")
+    assert(ext(drift).isEmpty, "extraction rejects the drift")
+    // sum overflow rejects the shard rather than wrapping: twelve
+    // 18-digit rows sum past 2^63
+    val big = (1 to 12).map(r => s"999999999999999999,$r").mkString("\n")
+    assert(ext(big).isEmpty, "overflow must reject")
+    assert(ext(null).isEmpty)
+    assert(ext("only-one-line\n").isEmpty)
+  }
+
+  test("fixture + extractCsv: every typed law recovered") {
+    val fx = CsvSniff.csvTypedFixture(spark, 12)
+    val rows = CsvSniff.extractCsv(fx, "id", "text")
+      .orderBy("id", "col").collect()
+    assert(rows.forall(_.getBoolean(8)), "all valid")
+    rows.foreach { r =>
+      val i = r.getLong(0).toInt
+      val j = r.getInt(1)
+      val nr = 4 + i % 4
+      assert(r.getInt(7) == nr, s"id=$i n_rows")
+      if (i % 3 != 0) assert(r.getString(2) == s"h$j", s"id=$i name")
+      else assert(r.isNullAt(2), s"id=$i no header")
+      (i + j) % 3 match {
+        case 0 =>
+          assert(r.getString(3) == "long" &&
+            r.getLong(4) == i * 10 + j &&
+            r.getLong(5) == i * 10 + j + nr - 1, s"id=$i col=$j long")
+        case 1 =>
+          assert(r.getString(3) == "string" && r.getLong(6) == 4L * nr,
+            s"id=$i col=$j string")
+        case _ =>
+          assert(r.getString(3) == "dec2" &&
+            r.getLong(4) == j * 100 + (i + j) % 100, s"id=$i col=$j dec2")
+      }
+    }
+  }
 }
