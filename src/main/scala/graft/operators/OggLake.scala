@@ -136,6 +136,9 @@ object OggLake {
     var open: java.io.ByteArrayOutputStream = null // packet in progress
     var firstPacket: Array[Byte] = null
     var secondPacket: Array[Byte] = null
+    // (first byte, second byte or -1, length) per completed packet —
+    // all the TOC-layer census needs, without retaining bodies
+    val pkts = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int)]
   }
 
   /** The shared page walk: framing + CRC + state machines + packet
@@ -206,6 +209,8 @@ object OggLake {
             st.nPackets += 1
             if (st.firstPacket == null) st.firstPacket = p
             else if (st.secondPacket == null) st.secondPacket = p
+            st.pkts += ((if (p.length > 0) p(0) & 0xff else -1,
+              if (p.length > 1) p(1) & 0xff else -1, p.length))
           }
           s += 1
         }
@@ -241,6 +246,201 @@ object OggLake {
       }
       Some(out)
     } catch { case Fail => None }
+  }
+
+  // ------------------------------------------------------------------
+  // Opus TOC-byte packet census (RFC 6716 §3.1): the TOC byte alone
+  // pins config (5 bits → mode/bandwidth/frame size), the per-packet
+  // stereo flag, and the frame-count code; the per-packet duration in
+  // 48 kHz samples follows without any codec decode, and RFC 7845's
+  // granule law (final granule = pre-skip + total samples − end trim,
+  // trim smaller than the last packet) cross-checks the page-layer
+  // duration against the packet layer.
+
+  private[graft] final case class OpusTocStream(
+      serial: Long, channels: Int, preSkip: Int, nAudio: Int,
+      tocSamples: Long, nConfigs: Int, maxFrames: Int, stereoPkts: Int,
+      trim: Long)
+
+  /** Frame duration in 48 kHz samples per RFC 6716 §3.1: SILK groups
+    * (configs 0-11) run 10/20/40/60 ms, hybrid (12-15) 10/20 ms,
+    * CELT (16-31) 2.5/5/10/20 ms. */
+  private[graft] def opusCfgSamples(cfg: Int): Int =
+    if (cfg < 12) Array(480, 960, 1920, 2880)(cfg % 4)
+    else if (cfg < 16) Array(480, 960)(cfg % 2)
+    else Array(120, 240, 480, 960)(cfg % 4)
+
+  /** (duration in samples, config, frames, stereo) of one packet from
+    * its first two bytes + length; Fail on any §3.4 framing-law
+    * violation expressible at this layer. */
+  private def tocPacket(b0: Int, b1: Int, len: Int): (Int, Int, Int, Int) = {
+    if (len < 1 || b0 < 0) throw Fail
+    val cfg = b0 >>> 3
+    val stereo = (b0 >> 2) & 1
+    val frames = (b0 & 3) match {
+      case 0 => 1
+      case 1 => // two frames of equal size: the payload must split
+        if ((len - 1) % 2 != 0) throw Fail
+        2
+      case 2 => // two frames, first length self-delimited
+        if (len < 2) throw Fail
+        2
+      case _ => // code 3: count byte (vbr/padding flags + 6-bit M)
+        if (len < 2 || b1 < 0) throw Fail
+        val m = b1 & 0x3f
+        if (m < 1) throw Fail
+        m
+    }
+    val dur = frames * opusCfgSamples(cfg)
+    if (dur > 5760) throw Fail // the 120 ms packet law (R5)
+    (dur, cfg, frames, stereo)
+  }
+
+  /** TOC-layer census of an all-Opus Ogg file; None on any page,
+    * header or TOC-layer violation, including a granule that the
+    * packet-layer durations cannot explain. */
+  private[graft] def parseOpusToc(
+      b: Array[Byte]): Option[Array[OpusTocStream]] = {
+    if (b == null || b.length < 28) return None
+    if (b(0) != 'O' || b(1) != 'g' || b(2) != 'g' || b(3) != 'S')
+      return None
+    try {
+      val streams = walkStreams(b)
+      val out = new Array[OpusTocStream](streams.size())
+      val it = streams.values().iterator()
+      while (it.hasNext) {
+        val st = it.next()
+        val (codec, ch, _, preSkip) = decodeIdent(st.firstPacket)
+        if (codec != "opus") throw Fail // this census is Opus-specific
+        // RFC 7845: the second packet MUST be OpusTags
+        val tags = st.secondPacket
+        if (tags == null || tags.length < 8 || tags(0) != 'O' ||
+            tags(1) != 'p' || tags(2) != 'u' || tags(3) != 's' ||
+            tags(4) != 'T' || tags(5) != 'a' || tags(6) != 'g' ||
+            tags(7) != 's') throw Fail
+        val audio = st.pkts.drop(2)
+        if (audio.isEmpty) throw Fail
+        var total = 0L
+        var lastDur = 0
+        var maxFrames = 0
+        var stereoPkts = 0
+        val cfgs = scala.collection.mutable.HashSet.empty[Int]
+        audio.foreach { case (b0, b1, len) =>
+          val (dur, cfg, frames, stereo) = tocPacket(b0, b1, len)
+          total += dur
+          lastDur = dur
+          maxFrames = math.max(maxFrames, frames)
+          stereoPkts += stereo
+          cfgs += cfg
+        }
+        // granule cross-law: pre-skip + samples − trim, 0 ≤ trim <
+        // last packet duration (RFC 7845 §4)
+        val trim = preSkip.get + total - st.lastGranule
+        if (trim < 0 || trim >= lastDur) throw Fail
+        out(st.order) = OpusTocStream(st.serial, ch.get, preSkip.get,
+          audio.length, total, cfgs.size, maxFrames, stereoPkts, trim)
+      }
+      Some(out)
+    } catch { case Fail => None }
+  }
+
+  /** One row per Opus stream: TOC-layer census + the granule trim. */
+  def extractOpusToc(df: org.apache.spark.sql.DataFrame, idCol: String,
+      binCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("id", LongType, false),
+      StructField("stream", IntegerType, false),
+      StructField("channels", IntegerType, true),
+      StructField("pre_skip", IntegerType, true),
+      StructField("n_audio", IntegerType, true),
+      StructField("toc_samples", LongType, true),
+      StructField("n_configs", IntegerType, true),
+      StructField("max_frames", IntegerType, true),
+      StructField("stereo_pkts", IntegerType, true),
+      StructField("trim_samples", LongType, true),
+      StructField("valid", BooleanType, false)))
+    val rows = df.select(col(idCol).cast(LongType), col(binCol)).rdd
+      .mapPartitions(_.flatMap { r =>
+        val id = r.getLong(0)
+        scala.util.Try(parseOpusToc(r.getAs[Array[Byte]](1))).toOption
+          .flatten match {
+          case Some(ss) => ss.zipWithIndex.map { case (s, k) =>
+            Row(id, k, s.channels, s.preSkip, s.nAudio, s.tocSamples,
+              s.nConfigs, s.maxFrames, s.stereoPkts, s.trim, true)
+          }
+          case None =>
+            Seq(Row(id, 0, null, null, null, null, null, null, null,
+              null, false))
+        }
+      })
+    spark.createDataFrame(rows, outSchema)
+  }
+
+  /** TOC fixture law (doc i): one Opus stream, channels 1+i%2,
+    * pre-skip 100+i, 2+i%3 audio packets; packet j uses frame-count
+    * code j%4 — code 3 carries M = 1+(i+j)%3 frames of CELT config
+    * 16+(i+j)%4, the others one/two frames of config (i+j)%32 — with
+    * the TOC stereo flag set on odd i+j; the final page's granule is
+    * pre-skip + total samples − (i%3) (an end trim smaller than the
+    * last packet, per RFC 7845 §4). */
+  def opusTocFixture(spark: org.apache.spark.sql.SparkSession,
+      n: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val rows = (0 until n).map { i =>
+      val ch = 1 + i % 2
+      val preSkip = 100 + i
+      val nAudio = 2 + i % 3
+      var total = 0L
+      val audio = (0 until nAudio).map { j =>
+        val code = j % 4
+        val cfg = if (code == 3) 16 + (i + j) % 4 else (i + j) % 32
+        val stereo = (i + j) % 2
+        val toc = (cfg << 3) | (stereo << 2) | code
+        val body = code match {
+          case 0 => Array.tabulate(1 + (i + j) % 3)(k =>
+            ((i + j + k) % 256).toByte)
+          case 1 => Array.tabulate(2 * ((i + j) % 3))(k =>
+            ((i * 3 + k) % 256).toByte)
+          case 2 => Array.tabulate(1 + (i + j) % 3)(k =>
+            ((i * 5 + k) % 256).toByte)
+          case _ =>
+            val m = 1 + (i + j) % 3
+            (0x80 | m).toByte +: Array.tabulate((i + j) % 4)(k =>
+              ((i * 7 + k) % 256).toByte)
+        }
+        val frames = code match {
+          case 0 => 1
+          case 3 => 1 + (i + j) % 3
+          case _ => 2
+        }
+        total += frames.toLong * opusCfgSamples(cfg)
+        (toc.toByte +: body, j)
+      }
+      val granule = preSkip + total - (i % 3)
+      val ident = opusHead(ch, preSkip, 48000L)
+      val tags = opusTagsPacket("graft-toc " + i % 3,
+        Seq("title=t" + i))
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write(writePage(EncPage(900L + i, 0, 0, bos = true,
+        eos = false, cont = false, packetLaces(ident), ident)))
+      bos.write(writePage(EncPage(900L + i, 1, 0, bos = false,
+        eos = false, cont = false, packetLaces(tags), tags)))
+      val pkts = audio.map(_._1)
+      val laces = pkts.flatMap(packetLaces)
+      bos.write(writePage(EncPage(900L + i, 2, granule, bos = false,
+        eos = true, cont = false, laces, pkts.flatten.toArray)))
+      Row(i.toLong, bos.toByteArray)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4),
+      StructType(Seq(
+        StructField("id", LongType, false),
+        StructField("media", BinaryType, true))))
   }
 
   // ------------------------------------------------------------------

@@ -6108,6 +6108,56 @@ object ExtQueries4 {
          true AS valid
        FROM d ORDER BY id, col"""
 
+  // ---------------------------------------------------------------
+  // q234 — Opus TOC-byte packet census (RFC 6716 §3.1 over the q225
+  // Ogg walk): the TOC byte alone pins each packet's config, stereo
+  // flag and frame count, hence its exact duration in 48 kHz samples
+  // with NO codec decode; RFC 7845's granule law (final granule =
+  // pre-skip + samples − trim, trim smaller than the last packet)
+  // cross-checks the page layer against the packet layer. 40
+  // single-stream files sweeping all four frame-count codes, SILK/
+  // hybrid/CELT configs and an end trim. TOC strictness (the 120 ms
+  // law, code-1 parity, zero-count code-3) is spec-gated in
+  // OggLakeSpec.
+  private val OpusTocN = 40
+
+  def q234(s: SparkSession, dir: String): DataFrame = {
+    val fx = graft.operators.OggLake.opusTocFixture(s, OpusTocN)
+    graft.operators.OggLake.extractOpusToc(fx, "id", "media")
+      .select(col("id"), col("stream"), col("channels"), col("pre_skip"),
+        col("n_audio"), col("toc_samples"), col("n_configs"),
+        col("max_frames"), col("stereo_pkts"), col("trim_samples"),
+        col("valid"))
+      .orderBy("id", "stream")
+  }
+
+  val q234Sql: String =
+    s"""WITH base AS (
+         SELECT r AS id, 2 + r % 3 AS na FROM range(0, $OpusTocN) t(r)),
+       p AS (
+         SELECT id, na,
+           [CASE WHEN j % 4 = 3 THEN 16 + (id + j) % 4
+                 ELSE (id + j) % 32 END for j in range(0, na)] AS cfgs,
+           [CASE j % 4 WHEN 0 THEN 1 WHEN 3 THEN 1 + (id + j) % 3
+                 ELSE 2 END for j in range(0, na)] AS frs,
+           [(id + j) % 2 for j in range(0, na)] AS sts
+         FROM base)
+       SELECT id, CAST(0 AS INT) AS stream,
+         CAST(1 + id % 2 AS INT) AS channels,
+         CAST(100 + id AS INT) AS pre_skip,
+         CAST(na AS INT) AS n_audio,
+         CAST(list_sum([frs[k] * (CASE WHEN cfgs[k] < 12 THEN
+               ([480, 960, 1920, 2880])[cfgs[k] % 4 + 1]
+             WHEN cfgs[k] < 16 THEN ([480, 960])[cfgs[k] % 2 + 1]
+             ELSE ([120, 240, 480, 960])[cfgs[k] % 4 + 1] END)
+           for k in range(1, na + 1)]) AS BIGINT) AS toc_samples,
+         CAST(len(list_distinct(cfgs)) AS INT) AS n_configs,
+         CAST(list_max(frs) AS INT) AS max_frames,
+         CAST(list_sum(sts) AS INT) AS stereo_pkts,
+         CAST(id % 3 AS BIGINT) AS trim_samples,
+         true AS valid
+       FROM p ORDER BY id"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q125_label_propagation" -> (q125 _),
     "q126_pmi_cooccur" -> (q126 _),
@@ -6217,7 +6267,8 @@ object ExtQueries4 {
     "q230_csv_sniff" -> (q230 _),
     "q231_yaml_extract" -> (q231 _),
     "q232_front_matter" -> (q232 _),
-    "q233_csv_extract" -> (q233 _))
+    "q233_csv_extract" -> (q233 _),
+    "q234_opus_toc" -> (q234 _))
 
   val oracles: Map[String, String] = Map(
     "q125_label_propagation" -> q125Sql,
@@ -6328,5 +6379,6 @@ object ExtQueries4 {
     "q230_csv_sniff" -> q230Sql,
     "q231_yaml_extract" -> q231Sql,
     "q232_front_matter" -> q232Sql,
-    "q233_csv_extract" -> q233Sql)
+    "q233_csv_extract" -> q233Sql,
+    "q234_opus_toc" -> q234Sql)
 }

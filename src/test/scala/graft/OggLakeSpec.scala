@@ -300,4 +300,84 @@ class OggLakeSpec extends SparkSpec {
     assert(op1.getInt(7) == 4, "i%3=1: the spanning layout has 4 pages")
     assert(op1.getInt(8) == 5 && op1.getLong(9) == 960L * 4)
   }
+
+  test("Opus TOC census: fixture law, duration cross-check") {
+    val fx = OggLake.opusTocFixture(spark, 12)
+    val rows = OggLake.extractOpusToc(fx, "id", "media")
+      .orderBy("id", "stream").collect()
+    assert(rows.length == 12 && rows.forall(_.getBoolean(10)))
+    rows.foreach { r =>
+      val i = r.getLong(0).toInt
+      val na = 2 + i % 3
+      assert(r.getInt(4) == na, s"id=$i n_audio")
+      var total = 0L
+      for (j <- 0 until na) {
+        val code = j % 4
+        val cfg = if (code == 3) 16 + (i + j) % 4 else (i + j) % 32
+        val frames = code match {
+          case 0 => 1
+          case 3 => 1 + (i + j) % 3
+          case _ => 2
+        }
+        total += frames.toLong * OggLake.opusCfgSamples(cfg)
+      }
+      assert(r.getLong(5) == total, s"id=$i toc_samples")
+      assert(r.getLong(9) == i % 3, s"id=$i trim")
+    }
+  }
+
+  test("Opus TOC strictness: every framing lie rejects") {
+    // one audio packet, crafted by hand; granule must satisfy the
+    // trim law against the packet's TOC duration
+    def mk(toc: Int, body: Array[Byte], granule: Long,
+        preSkip: Int = 100): Array[Byte] = {
+      val ident = OggLake.opusHead(1, preSkip, 48000L)
+      val tags = OggLake.opusTagsPacket("v", Seq("a=b"))
+      val pkt = toc.toByte +: body
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write(OggLake.writePage(EncPage(7L, 0, 0, bos = true,
+        eos = false, cont = false, OggLake.packetLaces(ident), ident)))
+      bos.write(OggLake.writePage(EncPage(7L, 1, 0, bos = false,
+        eos = false, cont = false, OggLake.packetLaces(tags), tags)))
+      bos.write(OggLake.writePage(EncPage(7L, 2, granule, bos = false,
+        eos = true, cont = false, OggLake.packetLaces(pkt), pkt)))
+      bos.toByteArray
+    }
+    // control: config 16 (CELT 2.5 ms = 120 samples), code 0
+    val c16 = 16 << 3
+    assert(OggLake.parseOpusToc(mk(c16, Array[Byte](1), 220L)).nonEmpty)
+    val cases = Seq(
+      // code 1 with an odd body (len-1 = 2 ok) vs EVEN body (parity lie)
+      "code1 parity" -> mk(c16 | 1, Array[Byte](1), 340L),
+      // code 3 with M = 0
+      "code3 zero count" -> mk(c16 | 3, Array[Byte](0x40), 220L),
+      // code 3 blowing the 120 ms law: config 3 (SILK 60 ms) M = 3
+      "120ms law" -> mk((3 << 3) | 3, Array[Byte](3), 100L + 3 * 2880L),
+      // trim >= last packet duration
+      "overtrim" -> mk(c16, Array[Byte](1), 100L),
+      // negative trim (granule larger than the packets explain)
+      "negative trim" -> mk(c16, Array[Byte](1), 500L),
+      // second packet is not OpusTags
+      "missing tags" -> {
+        val ident = OggLake.opusHead(1, 100, 48000L)
+        val pkt = Array[Byte]((c16 & 0xff).toByte, 1)
+        val bos = new java.io.ByteArrayOutputStream()
+        bos.write(OggLake.writePage(EncPage(7L, 0, 0, bos = true,
+          eos = false, cont = false, OggLake.packetLaces(ident), ident)))
+        bos.write(OggLake.writePage(EncPage(7L, 1, 220L, bos = false,
+          eos = true, cont = false, OggLake.packetLaces(pkt), pkt)))
+        bos.toByteArray
+      })
+    cases.foreach { case (name, b) =>
+      assert(OggLake.parseOpusToc(b).isEmpty, name)
+    }
+    // code-1 parity CONTROL: even payload splits into two frames
+    assert(OggLake.parseOpusToc(
+      mk(c16 | 1, Array[Byte](1, 2), 340L)).nonEmpty, "code1 control")
+    // a vorbis stream is out of this census's scope
+    assert(OggLake.parseOpusToc(
+      OggLake.oggFixture(spark, 2).collect()(1).getAs[Array[Byte]](1))
+      .isEmpty, "non-opus stream")
+    assert(OggLake.parseOpusToc(null).isEmpty)
+  }
 }
