@@ -36,9 +36,22 @@ package graft.operators
   *    buffer sizes consistent with the row count — and INT64
   *    columns with zero nulls are SUMMED exactly (the content hash
   *    gate);
-  *  - strict rejects: dictionary-encoded fields, non-empty
-  *    dictionary-block lists, body compression, big-endian schemas,
-  *    non-RecordBatch blocks.
+  *  - DICTIONARY-encoded fields (Utf8 values, signed 8/16/32/64-bit
+  *    indices — the string categoricals HuggingFace `datasets`
+  *    writes): DictionaryBatch blocks walk BEFORE the data (size +
+  *    total value chars from the offsets buffer, one batch per id,
+  *    delta batches reject), every record-batch index is
+  *    bounds-checked against its dictionary and the index SUM is the
+  *    content gate;
+  *  - BODY COMPRESSION (BodyCompression, method BUFFER): each
+  *    non-empty buffer is an i64 uncompressed length (-1 = raw)
+  *    followed by an LZ4 frame or zstd frame; size laws run on the
+  *    UNCOMPRESSED lengths, decoded buffers must produce EXACTLY the
+  *    declared length, and the whole file must use one codec;
+  *  - strict rejects: non-Utf8 dictionary values, delta or missing
+  *    or duplicate dictionary batches, out-of-range indices, lying
+  *    length prefixes, mixed codecs, big-endian schemas,
+  *    non-RecordBatch data blocks.
   *
   * The fixture encoder builds real flatbuffers back-to-front with
   * the canonical builder algorithm (prep-alignment, vtable emission,
@@ -54,11 +67,14 @@ object ArrowLake {
   private object Fail extends scala.util.control.ControlThrowable
 
   private[graft] final case class ArrowField(
-      name: String, nullable: Boolean, family: String, bitWidth: Int)
+      name: String, nullable: Boolean, family: String, bitWidth: Int,
+      dictId: Long = -1L)
 
   private[graft] final case class ArrowMeta(
       version: Int, fields: Array[ArrowField], nBatches: Int,
-      totalRows: Long, bodyBytes: Long, intSums: Array[Option[Long]])
+      totalRows: Long, bodyBytes: Long, intSums: Array[Option[Long]],
+      codec: String = "none", dictSizes: Array[Option[Long]] = null,
+      dictChars: Array[Option[Long]] = null)
 
   // ------------------------------------------------------------------
   // flatbuffers reader (bounded, absolute positions)
@@ -134,7 +150,7 @@ object ArrowLake {
       val name = fb.str(namePos)
       val nullablePos = fb.field(f, 1)
       val nullable = nullablePos != 0 && fb.u8(nullablePos) != 0
-      if (fb.field(f, 4) != 0) throw Fail // dictionary encoding: out
+      val dictPos = fb.field(f, 4)
       val childrenPos = fb.field(f, 5)
       val nChildren =
         if (childrenPos == 0) 0 else fb.vec(childrenPos, 4)._2
@@ -163,9 +179,107 @@ object ArrowLake {
         case 6 => ("bool", 1)
         case _ => ("other", 0)
       }
-      // the flat subset: known families must be leaves
-      if (family != "other" && nChildren != 0) throw Fail
-      ArrowField(name, nullable, family, width)
+      if (dictPos != 0) {
+        // DictionaryEncoding (slot 4): id, indexType (Int), isOrdered,
+        // dictionaryKind (DenseArray only). The dictionary VALUE type
+        // in this subset is Utf8 — string categoricals, the form
+        // HuggingFace `datasets` writes; anything else rejects.
+        if (family != "utf8" || nChildren != 0) throw Fail
+        val dt = fb.indirect(dictPos)
+        val idPos = fb.field(dt, 0)
+        val id = if (idPos == 0) 0L else fb.i64(idPos)
+        if (id < 0) throw Fail
+        val itPos = fb.field(dt, 1)
+        if (itPos == 0) throw Fail // pyarrow always writes it
+        val it = fb.indirect(itPos)
+        val bwPos = fb.field(it, 0)
+        val bw = if (bwPos == 0) 0 else fb.i32(bwPos)
+        if (bw != 8 && bw != 16 && bw != 32 && bw != 64) throw Fail
+        val dkPos = fb.field(dt, 3)
+        if (dkPos != 0 && fb.u16(dkPos) != 0) throw Fail // dense only
+        ArrowField(name, nullable, "dict", bw, id)
+      } else {
+        // the flat subset: known families must be leaves
+        if (family != "other" && nChildren != 0) throw Fail
+        ArrowField(name, nullable, family, width)
+      }
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // body-buffer access under optional LZ4-frame / zstd compression
+  // (BodyCompression, method BUFFER: each non-empty buffer is an i64
+  // uncompressed length followed by the frame; -1 marks a raw buffer)
+
+  private def i64leAt(b: Array[Byte], o: Int): Long = {
+    var v = 0L
+    var k = 7
+    while (k >= 0) { v = (v << 8) | (b(o + k) & 0xffL); k -= 1 }
+    v
+  }
+
+  /** codec of one record batch: -1 none, 0 LZ4_FRAME, 1 ZSTD. */
+  private def batchCodec(mfb: Fb, rb: Int): Int = {
+    val cPos = mfb.field(rb, 3)
+    if (cPos == 0) -1
+    else {
+      val ct = mfb.indirect(cPos)
+      val codPos = mfb.field(ct, 0)
+      val cod = if (codPos == 0) 0 else mfb.u8(codPos)
+      if (cod > 1) throw Fail
+      val mPos = mfb.field(ct, 1)
+      if (mPos != 0 && mfb.u8(mPos) != 0) throw Fail // BUFFER method
+      cod
+    }
+  }
+
+  private final val MaxBuf = 1 << 26
+
+  /** Declared UNCOMPRESSED length of a buffer (size laws run on it). */
+  private def bufUncompLen(b: Array[Byte], bodyStart: Long, off: Long,
+      len: Long, codec: Int): Long =
+    if (codec < 0 || len == 0) len
+    else {
+      if (len < 8) throw Fail
+      val decl = i64leAt(b, (bodyStart + off).toInt)
+      if (decl == -1) len - 8 // stored raw behind the prefix
+      else if (decl < 0 || decl > MaxBuf) throw Fail
+      else decl
+    }
+
+  /** Materialized uncompressed bytes of a buffer we decode. */
+  private def bufData(b: Array[Byte], bodyStart: Long, off: Long,
+      len: Long, codec: Int): Array[Byte] = {
+    val p = (bodyStart + off).toInt
+    if (codec < 0 || len == 0)
+      java.util.Arrays.copyOfRange(b, p, p + len.toInt)
+    else {
+      val decl = i64leAt(b, p)
+      if (decl == -1)
+        java.util.Arrays.copyOfRange(b, p + 8, p + len.toInt)
+      else {
+        if (decl < 0 || decl > MaxBuf) throw Fail
+        val in = new java.io.ByteArrayInputStream(b, p + 8,
+          len.toInt - 8)
+        var st: java.io.InputStream = null
+        try {
+          // the LZ4 constructor reads the frame header EAGERLY, so it
+          // sits inside the try; zstd-jni signals malformed frames as
+          // IOExceptions but lz4-java throws RuntimeExceptions (found
+          // by the fuzz corruption sweep: "Reserved0 field must be 0")
+          st =
+            if (codec == 0) new net.jpountz.lz4.LZ4FrameInputStream(in)
+            else new com.github.luben.zstd.ZstdInputStream(in)
+          val out = st.readNBytes(decl.toInt + 1)
+          // the frame must produce EXACTLY the declared length — a
+          // lying prefix is a framing violation, not a truncation
+          if (out.length != decl) throw Fail
+          out
+        } catch {
+          case _: java.io.IOException => throw Fail
+          case _: RuntimeException => throw Fail
+        } finally if (st != null) st.close()
+      }
     }
   }
 
@@ -221,7 +335,9 @@ object ArrowLake {
       if (schemaPos == 0) throw Fail
       val fields = readSchema(fb, fb.indirect(schemaPos))
       val dictPos = fb.field(footer, 2)
-      if (dictPos != 0 && fb.vec(dictPos, 24)._2 != 0) throw Fail
+      val (dblk0, nDicts) =
+        if (dictPos == 0) (0, 0) else fb.vec(dictPos, 24)
+      if (nDicts > 4096) throw Fail
       val rbPos = fb.field(footer, 3)
       val (blk0, nBlocks) =
         if (rbPos == 0) (0, 0) else fb.vec(rbPos, 24)
@@ -234,14 +350,16 @@ object ArrowLake {
           streamFields.asInstanceOf[Array[AnyRef]],
           fields.asInstanceOf[Array[AnyRef]])) throw Fail
       val allKnown = fields.forall(_.family != "other")
-      var totalRows = 0L
-      var bodyBytes = 0L
-      val sums = fields.map(f =>
-        if (allKnown && f.family == "int" && f.bitWidth == 64) Some(0L)
-        else None: Option[Long])
-      var k = 0
-      while (k < nBlocks) {
-        val bp = blk0 + 24 * k
+      // one codec for the whole file — a mix would make the census's
+      // codec fact a lie; -2 = not yet seen
+      var fileCodec = -2
+      def meldCodec(c: Int): Unit = {
+        if (fileCodec == -2) fileCodec = c
+        else if (fileCodec != c) throw Fail
+      }
+      /** Validate one footer Block and return its message pieces. */
+      def readBlock(base: Int, k: Int): (Long, Int, Long, Int, Int, Fb) = {
+        val bp = base + 24 * k
         val off = fb.i64(bp)
         val metaLen = fb.i32(bp + 8)
         val bodyLen = fb.i64(bp + 16)
@@ -251,10 +369,18 @@ object ArrowLake {
         if (off < 8 || off > fStart || metaLen < 8 ||
             metaLen > fStart - off ||
             bodyLen < 0 || bodyLen > fStart - off - metaLen) throw Fail
-        val (ht, rb, mBody, mfb) =
+        val (ht, hdr, mBody, mfb) =
           readMessage(b, off.toInt, off.toInt + metaLen)
-        if (ht != 3) throw Fail // RecordBatch
         if (mBody != bodyLen) throw Fail
+        (off, metaLen, bodyLen, ht, hdr, mfb)
+      }
+      /** Walk one RecordBatch-shaped table (a data batch or a
+        * dictionary batch's payload): per-node validation, size laws
+        * under the batch codec, int64/dict-index sums. `dictOf` maps
+        * a field to its dictionary size for index bounds. */
+      def walkBatch(mfb: Fb, rb: Int, bodyStart: Long, bodyLen: Long,
+          bFields: Array[ArrowField], sums: Array[Option[Long]],
+          dictOf: Long => Long): Long = {
         val lenPos = mfb.field(rb, 0)
         val rows = if (lenPos == 0) 0L else mfb.i64(lenPos)
         // a batch cannot hold more fixed-width rows than the file has
@@ -262,68 +388,153 @@ object ArrowLake {
         // size-law products below (rows * width, (rows+1) * 4) from
         // wrapping Long and passing vacuously
         if (rows < 0 || rows > fStart) throw Fail
-        if (mfb.field(rb, 3) != 0) throw Fail // compression: out
-        totalRows += rows
-        bodyBytes += bodyLen
-        if (allKnown) {
-          val (nd0, nNodes) = mfb.vec(mfb.field(rb, 1), 16)
-          if (nNodes != fields.length) throw Fail
-          val (bf0, nBufs) = mfb.vec(mfb.field(rb, 2), 16)
-          val expBufs = fields.map(f =>
-            if (f.family == "utf8") 3 else 2).sum
-          if (nBufs != expBufs) throw Fail
-          val bodyStart = off + metaLen
-          var bi = 0
-          var fi = 0
-          while (fi < fields.length) {
-            val f = fields(fi)
-            val nodeLen = mfb.i64(nd0 + 16 * fi)
-            val nullCount = mfb.i64(nd0 + 16 * fi + 8)
-            if (nodeLen != rows || nullCount < 0 || nullCount > rows)
-              throw Fail
-            val nPer = if (f.family == "utf8") 3 else 2
-            // buffer extents inside the body
-            val exts = Array.tabulate(nPer) { j =>
-              val o = mfb.i64(bf0 + 16 * (bi + j))
-              val l = mfb.i64(bf0 + 16 * (bi + j) + 8)
-              if (o < 0 || l < 0 || o + l > bodyLen) throw Fail
-              (o, l)
-            }
-            // data-buffer size laws
-            f.family match {
-              case "int" | "float" =>
-                if (exts(1)._2 < rows * (f.bitWidth / 8)) throw Fail
-              case "bool" =>
-                if (exts(1)._2 < (rows + 7) / 8) throw Fail
-              case "utf8" =>
-                if (rows > 0 && exts(1)._2 < (rows + 1) * 4) throw Fail
-              case _ =>
-            }
-            if (f.family == "int" && f.bitWidth == 64 && nullCount != 0)
-              sums(fi) = None // nulls present: the sum is out of scope
-            else if (f.family == "int" && f.bitWidth == 64) {
-              val dataOff = (bodyStart + exts(1)._1).toInt
-              var r = 0L
-              var s = 0L
-              while (r < rows) {
-                val p = dataOff + 8 * r.toInt
-                if (p + 8 > fStart) throw Fail
-                var v = 0L
-                var j = 7
-                while (j >= 0) { v = (v << 8) | (b(p + j) & 0xffL); j -= 1 }
-                s += v
-                r += 1
-              }
-              sums(fi) = sums(fi).map(_ + s)
-            }
-            bi += nPer
-            fi += 1
+        val codec = batchCodec(mfb, rb)
+        meldCodec(codec)
+        val (nd0, nNodes) = mfb.vec(mfb.field(rb, 1), 16)
+        if (nNodes != bFields.length) throw Fail
+        val (bf0, nBufs) = mfb.vec(mfb.field(rb, 2), 16)
+        val expBufs = bFields.map(f =>
+          if (f.family == "utf8") 3 else 2).sum
+        if (nBufs != expBufs) throw Fail
+        var bi = 0
+        var fi = 0
+        while (fi < bFields.length) {
+          val f = bFields(fi)
+          val nodeLen = mfb.i64(nd0 + 16 * fi)
+          val nullCount = mfb.i64(nd0 + 16 * fi + 8)
+          if (nodeLen != rows || nullCount < 0 || nullCount > rows)
+            throw Fail
+          val nPer = if (f.family == "utf8") 3 else 2
+          // buffer extents inside the body (on-wire, maybe compressed)
+          val exts = Array.tabulate(nPer) { j =>
+            val o = mfb.i64(bf0 + 16 * (bi + j))
+            val l = mfb.i64(bf0 + 16 * (bi + j) + 8)
+            if (o < 0 || l < 0 || o + l > bodyLen) throw Fail
+            (o, l)
           }
+          // data-buffer size laws, on the UNCOMPRESSED lengths
+          val dataLen = bufUncompLen(b, bodyStart, exts(1)._1,
+            exts(1)._2, codec)
+          f.family match {
+            case "int" | "float" | "dict" =>
+              if (dataLen < rows * (f.bitWidth / 8)) throw Fail
+            case "bool" =>
+              if (dataLen < (rows + 7) / 8) throw Fail
+            case "utf8" =>
+              if (rows > 0 && dataLen < (rows + 1) * 4) throw Fail
+            case _ =>
+          }
+          val summed = (f.family == "int" && f.bitWidth == 64) ||
+            f.family == "dict"
+          if (summed && nullCount != 0)
+            sums(fi) = None // nulls present: the sum is out of scope
+          else if (summed && sums(fi).nonEmpty) {
+            val data = bufData(b, bodyStart, exts(1)._1, exts(1)._2,
+              codec)
+            val w = f.bitWidth / 8
+            val lim = if (f.family == "dict") dictOf(f.dictId)
+              else Long.MaxValue
+            var r = 0
+            var s = 0L
+            while (r < rows) {
+              var v = 0L
+              var j = w - 1
+              while (j >= 0) {
+                v = (v << 8) | (data(r * w + j) & 0xffL)
+                j -= 1
+              }
+              // sign-extend sub-64-bit index types
+              if (w < 8) v = (v << (64 - 8 * w)) >> (64 - 8 * w)
+              if (f.family == "dict" && (v < 0 || v >= lim)) throw Fail
+              s += v
+              r += 1
+            }
+            sums(fi) = sums(fi).map(_ + s)
+          }
+          bi += nPer
+          fi += 1
+        }
+        rows
+      }
+      // dictionary batches FIRST: id → (size, total value chars)
+      val dictSizes = new java.util.HashMap[Long, Long]()
+      val dictChars = new java.util.HashMap[Long, Long]()
+      var dk = 0
+      while (dk < nDicts) {
+        val (off, metaLen, bodyLen, ht, hdr, mfb) = readBlock(dblk0, dk)
+        if (ht != 2) throw Fail // DictionaryBatch
+        val idPos = mfb.field(hdr, 0)
+        val id = if (idPos == 0) 0L else mfb.i64(idPos)
+        val deltaPos = mfb.field(hdr, 2)
+        if (deltaPos != 0 && mfb.u8(deltaPos) != 0) throw Fail // delta: out
+        val dataPos = mfb.field(hdr, 1)
+        if (dataPos == 0) throw Fail
+        val rb = mfb.indirect(dataPos)
+        if (dictSizes.containsKey(id)) throw Fail // one batch per id
+        // the dictionary payload is one non-null Utf8 column
+        val valField = Array(ArrowField("", nullable = false, "utf8", 0))
+        val vSums = Array[Option[Long]](None)
+        val bodyStart = off + metaLen
+        val rows = walkBatch(mfb, rb, bodyStart, bodyLen, valField,
+          vSums, _ => 0L)
+        // total value chars = the final offsets entry (content gate)
+        val codec = batchCodec(mfb, rb)
+        val (bf0, _) = mfb.vec(mfb.field(rb, 2), 16)
+        val offExt = (mfb.i64(bf0 + 16), mfb.i64(bf0 + 16 + 8))
+        val chars =
+          if (rows == 0) 0L
+          else {
+            val offs = bufData(b, bodyStart, offExt._1, offExt._2, codec)
+            val last = (rows * 4).toInt
+            if (offs.length < last + 4) throw Fail
+            (offs(last) & 0xffL) | ((offs(last + 1) & 0xffL) << 8) |
+              ((offs(last + 2) & 0xffL) << 16) |
+              ((offs(last + 3) & 0xffL) << 24)
+          }
+        dictSizes.put(id, rows)
+        dictChars.put(id, chars)
+        dk += 1
+      }
+      // every dictionary-encoded field must have its dictionary
+      fields.foreach { f =>
+        if (f.family == "dict" && !dictSizes.containsKey(f.dictId))
+          throw Fail
+      }
+      var totalRows = 0L
+      var bodyBytes = 0L
+      val sums = fields.map(f =>
+        if (allKnown &&
+          ((f.family == "int" && f.bitWidth == 64) || f.family == "dict"))
+          Some(0L)
+        else None: Option[Long])
+      var k = 0
+      while (k < nBlocks) {
+        val (off, metaLen, bodyLen, ht, rb, mfb) = readBlock(blk0, k)
+        if (ht != 3) throw Fail // RecordBatch
+        bodyBytes += bodyLen
+        if (allKnown)
+          totalRows += walkBatch(mfb, rb, off + metaLen, bodyLen,
+            fields, sums, id => dictSizes.get(id))
+        else {
+          val lenPos = mfb.field(rb, 0)
+          val rows = if (lenPos == 0) 0L else mfb.i64(lenPos)
+          if (rows < 0 || rows > fStart) throw Fail
+          meldCodec(batchCodec(mfb, rb))
+          totalRows += rows
         }
         k += 1
       }
+      val codecName = fileCodec match {
+        case 0 => "lz4"
+        case 1 => "zstd"
+        case _ => "none"
+      }
       Some(ArrowMeta(version, fields, nBlocks, totalRows, bodyBytes,
-        sums))
+        sums, codecName,
+        fields.map(f => if (f.family == "dict")
+          Some(dictSizes.get(f.dictId)) else None),
+        fields.map(f => if (f.family == "dict")
+          Some(dictChars.get(f.dictId)) else None)))
     } catch { case Fail => None }
   }
 
@@ -461,7 +672,8 @@ object ArrowLake {
   // fixture-side flatbuffer assembly for the three message shapes
 
   private[graft] final case class FixField(
-      name: String, nullable: Boolean, family: String, bitWidth: Int)
+      name: String, nullable: Boolean, family: String, bitWidth: Int,
+      dict: Option[(Long, Int)] = None) // (dictionary id, index width)
 
   private def buildFieldTables(fbb: FbB,
       fields: Seq[FixField]): Seq[Int] =
@@ -484,7 +696,19 @@ object ArrowLake {
         case "int" => 2
         case "float" => 3
         case "utf8" => 5
+        case "dict" => 5 // the dictionary VALUE type is Utf8
         case _ => 6
+      }
+      // DictionaryEncoding table (slot 4): id + signed index type
+      val dictOff = f.dict.map { case (id, idxWidth) =>
+        fbb.startTable(2)
+        fbb.slotI32(0, idxWidth)
+        fbb.slotBool(1, true)
+        val idxType = fbb.endTable()
+        fbb.startTable(4)
+        fbb.slotI64(0, id)
+        fbb.slotRef(1, idxType)
+        fbb.endTable()
       }
       val nameOff = fbb.string(f.name)
       val childrenOff = fbb.refVector(Nil)
@@ -493,6 +717,7 @@ object ArrowLake {
       if (f.nullable) fbb.slotBool(1, true)
       fbb.slotU8(2, typeTag)
       fbb.slotRef(3, typeOff)
+      dictOff.foreach(d => fbb.slotRef(4, d))
       fbb.slotRef(5, childrenOff)
       fbb.endTable()
     }
@@ -517,11 +742,18 @@ object ArrowLake {
     fbb.finish(msg)
   }
 
-  /** RecordBatch message flatbuffer; buffers laid out by the caller. */
-  private[graft] def recordBatchMessage(rows: Long,
+  /** RecordBatch TABLE (shared by data and dictionary messages);
+    * `comp` is -1 none / 0 LZ4_FRAME / 1 ZSTD. */
+  private def buildRecordBatchTable(fbb: FbB, rows: Long,
       nodes: Seq[(Long, Long)], buffers: Seq[(Long, Long)],
-      bodyLen: Long): Array[Byte] = {
-    val fbb = new FbB
+      comp: Int): Int = {
+    val compOff =
+      if (comp < 0) -1
+      else {
+        fbb.startTable(2)
+        if (comp != 0) fbb.slotU8(0, comp)
+        fbb.endTable()
+      }
     val bufVec = fbb.structVector(buffers.length, 16) { i =>
       fbb.i64Raw(buffers(i)._2) // reversed within the struct too:
       fbb.i64Raw(buffers(i)._1) // length pushed first => offset first
@@ -530,11 +762,20 @@ object ArrowLake {
       fbb.i64Raw(nodes(i)._2)
       fbb.i64Raw(nodes(i)._1)
     }
-    fbb.startTable(3)
+    fbb.startTable(4)
     fbb.slotI64(0, rows)
     fbb.slotRef(1, nodeVec)
     fbb.slotRef(2, bufVec)
-    val rb = fbb.endTable()
+    if (compOff >= 0) fbb.slotRef(3, compOff)
+    fbb.endTable()
+  }
+
+  /** RecordBatch message flatbuffer; buffers laid out by the caller. */
+  private[graft] def recordBatchMessage(rows: Long,
+      nodes: Seq[(Long, Long)], buffers: Seq[(Long, Long)],
+      bodyLen: Long, comp: Int = -1): Array[Byte] = {
+    val fbb = new FbB
+    val rb = buildRecordBatchTable(fbb, rows, nodes, buffers, comp)
     fbb.startTable(4)
     fbb.slotU16(0, 4)
     fbb.slotU8(1, 3) // RecordBatch
@@ -544,8 +785,28 @@ object ArrowLake {
     fbb.finish(msg)
   }
 
+  /** DictionaryBatch message: id + the values' RecordBatch. */
+  private[graft] def dictionaryBatchMessage(id: Long, rows: Long,
+      nodes: Seq[(Long, Long)], buffers: Seq[(Long, Long)],
+      bodyLen: Long, comp: Int = -1): Array[Byte] = {
+    val fbb = new FbB
+    val rb = buildRecordBatchTable(fbb, rows, nodes, buffers, comp)
+    fbb.startTable(3)
+    fbb.slotI64(0, id)
+    fbb.slotRef(1, rb)
+    val db = fbb.endTable()
+    fbb.startTable(4)
+    fbb.slotU16(0, 4)
+    fbb.slotU8(1, 2) // DictionaryBatch
+    fbb.slotRef(2, db)
+    fbb.slotI64(3, bodyLen)
+    val msg = fbb.endTable()
+    fbb.finish(msg)
+  }
+
   private[graft] def footerFlatbuffer(fields: Seq[FixField],
-      blocks: Seq[(Long, Int, Long)]): Array[Byte] = {
+      blocks: Seq[(Long, Int, Long)],
+      dictBlocks: Seq[(Long, Int, Long)] = Nil): Array[Byte] = {
     val fbb = new FbB
     val schemaOff = buildSchemaTable(fbb, fields)
     val blockVec = fbb.structVector(blocks.length, 24) { i =>
@@ -554,11 +815,16 @@ object ArrowLake {
       fbb.i32Raw(blocks(i)._2)
       fbb.i64Raw(blocks(i)._1)
     }
-    val emptyDict = fbb.structVector(0, 24)(_ => ())
+    val dictVec = fbb.structVector(dictBlocks.length, 24) { i =>
+      fbb.i64Raw(dictBlocks(i)._3)
+      fbb.i32Raw(0)
+      fbb.i32Raw(dictBlocks(i)._2)
+      fbb.i64Raw(dictBlocks(i)._1)
+    }
     fbb.startTable(4)
     fbb.slotU16(0, 4)
     fbb.slotRef(1, schemaOff)
-    fbb.slotRef(2, emptyDict)
+    fbb.slotRef(2, dictVec)
     fbb.slotRef(3, blockVec)
     val ft = fbb.endTable()
     fbb.finish(ft)
@@ -576,81 +842,115 @@ object ArrowLake {
     out
   }
 
-  /** Write a complete IPC file: int64/float64/utf8/bool columns with
-    * law-driven content across `batchRows` batches. */
-  private[graft] def encodeArrow(fields: Seq[FixField],
-      batches: Seq[Map[String, Array[Long]]],
-      batchRows: Seq[Int]): Array[Byte] = {
+  /** Raw (uncompressed) buffers of one column: [validity(empty),
+    * data] or [validity, offsets, data] for strings. */
+  private def rawColumnBuffers(f: FixField, vals: Array[Long],
+      rows: Int): Seq[Array[Byte]] = {
+    def le(v: Long, w: Int): Array[Byte] =
+      Array.tabulate(w)(j => ((v >> (8 * j)) & 0xff).toByte)
+    f.family match {
+      case "int" =>
+        Seq(Array.emptyByteArray,
+          vals.take(rows).flatMap(le(_, 8)))
+      case "float" =>
+        Seq(Array.emptyByteArray, vals.take(rows).flatMap(v =>
+          le(java.lang.Double.doubleToLongBits(v.toDouble / 2.0), 8)))
+      case "dict" =>
+        val w = f.dict.get._2 / 8
+        Seq(Array.emptyByteArray, vals.take(rows).flatMap(le(_, w)))
+      case "utf8" =>
+        val strs = vals.take(rows).map(v => s"s$v")
+        utf8Buffers(strs)
+      case _ => // bool
+        val nBytes = (rows + 7) / 8
+        val bits = new Array[Byte](nBytes)
+        vals.take(rows).zipWithIndex.foreach { case (v, i) =>
+          if ((v & 1) != 0)
+            bits(i / 8) = (bits(i / 8) | (1 << (i % 8))).toByte
+        }
+        Seq(Array.emptyByteArray, bits)
+    }
+  }
+
+  private def utf8Buffers(strs: Seq[String]): Seq[Array[Byte]] = {
+    val offs = new java.io.ByteArrayOutputStream()
+    val data = new java.io.ByteArrayOutputStream()
+    var acc = 0
+    (0 until 4).foreach(_ => offs.write(0))
+    strs.foreach { s =>
+      val sb = s.getBytes("UTF-8")
+      data.write(sb, 0, sb.length)
+      acc += sb.length
+      (0 until 4).foreach(j => offs.write((acc >> (8 * j)) & 0xff))
+    }
+    Seq(Array.emptyByteArray, offs.toByteArray, data.toByteArray)
+  }
+
+  /** Lay one batch body out; with a codec every non-empty buffer is
+    * framed [i64 uncompressed length][compressed frame]. */
+  private def layBody(raw: Seq[Array[Byte]],
+      comp: Int): (Array[Byte], Seq[(Long, Long)]) = {
+    val body = new java.io.ByteArrayOutputStream()
+    val buffers = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    def pad8(): Unit = while (body.size % 8 != 0) body.write(0)
+    raw.foreach { rb =>
+      val start = body.size.toLong
+      if (rb.isEmpty) buffers += ((start, 0L))
+      else if (comp < 0) {
+        body.write(rb, 0, rb.length)
+        buffers += ((start, rb.length.toLong))
+      } else {
+        val bos = new java.io.ByteArrayOutputStream()
+        val st: java.io.OutputStream =
+          if (comp == 0) new net.jpountz.lz4.LZ4FrameOutputStream(bos)
+          else new com.github.luben.zstd.ZstdOutputStream(bos, 3)
+        st.write(rb); st.close()
+        val frame = bos.toByteArray
+        (0 until 8).foreach(j =>
+          body.write(((rb.length.toLong >> (8 * j)) & 0xff).toInt))
+        body.write(frame, 0, frame.length)
+        buffers += ((start, 8L + frame.length))
+      }
+      pad8()
+    }
+    (body.toByteArray, buffers.toSeq)
+  }
+
+  /** Write a complete IPC file: int64/float64/utf8/bool plus
+    * dictionary-encoded utf8 columns (`dicts` maps dictionary id →
+    * values; dict-field data arrays carry INDICES), optionally with
+    * per-buffer LZ4-frame (0) / zstd (1) body compression. */
+  private[graft] def encodeArrowExt(fields: Seq[FixField],
+      batches: Seq[Map[String, Array[Long]]], batchRows: Seq[Int],
+      dicts: Map[Long, Seq[String]] = Map.empty,
+      comp: Int = -1): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     out.write("ARROW1".getBytes("US-ASCII"))
     out.write(0); out.write(0)
-    out.write(encapsulate(schemaMessage(fields)), 0,
-      encapsulate(schemaMessage(fields)).length)
-    val blocks = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long)]
+    val schemaEnc = encapsulate(schemaMessage(fields))
+    out.write(schemaEnc, 0, schemaEnc.length)
+    // dictionary batches first (readers need them before the data)
+    val dictBlocks =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long)]
+    dicts.toSeq.sortBy(_._1).foreach { case (id, values) =>
+      val (bodyBytes, buffers) = layBody(utf8Buffers(values), comp)
+      val meta = encapsulate(dictionaryBatchMessage(id,
+        values.length.toLong, Seq((values.length.toLong, 0L)), buffers,
+        bodyBytes.length.toLong, comp))
+      dictBlocks += ((out.size.toLong, meta.length,
+        bodyBytes.length.toLong))
+      out.write(meta, 0, meta.length)
+      out.write(bodyBytes, 0, bodyBytes.length)
+    }
+    val blocks =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long)]
     batches.zip(batchRows).foreach { case (data, rows) =>
-      // body: per field [validity(empty), data] / [validity, offsets,
-      // data] for utf8 — all zero-null so validity buffers are empty
-      val body = new java.io.ByteArrayOutputStream()
-      val buffers = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      val raw = fields.flatMap(f =>
+        rawColumnBuffers(f, data(f.name), rows))
+      val (bodyBytes, buffers) = layBody(raw, comp)
       val nodes = fields.map(_ => (rows.toLong, 0L))
-      def pad8(): Unit = while (body.size % 8 != 0) body.write(0)
-      fields.foreach { f =>
-        buffers += ((body.size.toLong, 0L)) // empty validity
-        f.family match {
-          case "int" =>
-            val vals = data(f.name)
-            val start = body.size
-            vals.take(rows).foreach { v =>
-              (0 until 8).foreach(j => body.write(((v >> (8 * j)) & 0xff)
-                .toInt))
-            }
-            buffers += ((start.toLong, 8L * rows))
-            pad8()
-          case "float" =>
-            val vals = data(f.name)
-            val start = body.size
-            vals.take(rows).foreach { v =>
-              val bits =
-                java.lang.Double.doubleToLongBits(v.toDouble / 2.0)
-              (0 until 8).foreach(j =>
-                body.write(((bits >> (8 * j)) & 0xff).toInt))
-            }
-            buffers += ((start.toLong, 8L * rows))
-            pad8()
-          case "utf8" =>
-            val vals = data(f.name)
-            val strs = vals.take(rows).map(v => s"s$v")
-            val offStart = body.size
-            var acc = 0
-            body.write(0); body.write(0); body.write(0); body.write(0)
-            strs.foreach { s =>
-              acc += s.getBytes("UTF-8").length
-              (0 until 4).foreach(j => body.write((acc >> (8 * j)) & 0xff))
-            }
-            buffers += ((offStart.toLong, 4L * (rows + 1)))
-            pad8()
-            val dataStart = body.size
-            strs.foreach(s => body.write(s.getBytes("UTF-8"), 0,
-              s.getBytes("UTF-8").length))
-            buffers += ((dataStart.toLong, acc.toLong))
-            pad8()
-          case _ => // bool
-            val vals = data(f.name)
-            val start = body.size
-            val nBytes = (rows + 7) / 8
-            val bits = new Array[Byte](nBytes)
-            vals.take(rows).zipWithIndex.foreach { case (v, i) =>
-              if ((v & 1) != 0)
-                bits(i / 8) = (bits(i / 8) | (1 << (i % 8))).toByte
-            }
-            body.write(bits, 0, nBytes)
-            buffers += ((start.toLong, nBytes.toLong))
-            pad8()
-        }
-      }
-      val bodyBytes = body.toByteArray
       val meta = encapsulate(recordBatchMessage(rows.toLong, nodes,
-        buffers.toSeq, bodyBytes.length.toLong))
+        buffers, bodyBytes.length.toLong, comp))
       blocks += ((out.size.toLong, meta.length, bodyBytes.length.toLong))
       out.write(meta, 0, meta.length)
       out.write(bodyBytes, 0, bodyBytes.length)
@@ -658,12 +958,20 @@ object ArrowLake {
     // EOS marker
     out.write(-1); out.write(-1); out.write(-1); out.write(-1)
     out.write(0); out.write(0); out.write(0); out.write(0)
-    val footer = footerFlatbuffer(fields, blocks.toSeq)
+    val footer = footerFlatbuffer(fields, blocks.toSeq,
+      dictBlocks.toSeq)
     out.write(footer, 0, footer.length)
     (0 until 4).foreach(j => out.write((footer.length >> (8 * j)) & 0xff))
     out.write("ARROW1".getBytes("US-ASCII"))
     out.toByteArray
   }
+
+  /** Write a complete IPC file: int64/float64/utf8/bool columns with
+    * law-driven content across `batchRows` batches. */
+  private[graft] def encodeArrow(fields: Seq[FixField],
+      batches: Seq[Map[String, Array[Long]]],
+      batchRows: Seq[Int]): Array[Byte] =
+    encodeArrowExt(fields, batches, batchRows)
 
   // ==================================================================
   // DataFrame surface + fixture (q228)
@@ -708,6 +1016,95 @@ object ArrowLake {
         }
       })
     spark.createDataFrame(rows, outSchema)
+  }
+
+  /** One row per (file, field) with the dictionary/compression
+    * facts: family `dict` carries the index width, its dictionary's
+    * size and total value chars, and the exact INDEX sum (the
+    * content gate); `int` carries the value sum as in q228. */
+  def extractArrowDict(df: org.apache.spark.sql.DataFrame,
+      idCol: String, binCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("id", LongType, false),
+      StructField("field", IntegerType, true),
+      StructField("name", StringType, true),
+      StructField("family", StringType, true),
+      StructField("bit_width", IntegerType, true),
+      StructField("codec", StringType, true),
+      StructField("n_batches", IntegerType, true),
+      StructField("total_rows", LongType, true),
+      StructField("dict_size", LongType, true),
+      StructField("dict_chars", LongType, true),
+      StructField("value_sum", LongType, true),
+      StructField("valid", BooleanType, false)))
+    val rows = df.select(col(idCol).cast(LongType), col(binCol)).rdd
+      .mapPartitions(_.flatMap { r =>
+        val id = r.getLong(0)
+        scala.util.Try(parseArrow(r.getAs[Array[Byte]](1))).toOption
+          .flatten match {
+          case Some(m) =>
+            m.fields.iterator.zipWithIndex.map { case (f, fi) =>
+              Row(id, fi, f.name, f.family,
+                if (f.bitWidth == 0) null else Int.box(f.bitWidth),
+                m.codec, m.nBatches, m.totalRows,
+                m.dictSizes(fi).map(Long.box).orNull,
+                m.dictChars(fi).map(Long.box).orNull,
+                m.intSums(fi).map(Long.box).orNull, true)
+            }
+          case None =>
+            Iterator(Row(id, null, null, null, null, null, null, null,
+              null, null, null, false))
+        }
+      })
+    spark.createDataFrame(rows, outSchema)
+  }
+
+  /** Dictionary/compression fixture laws (file i): codec cycles
+    * none/lz4/zstd by i%3; field c0 is a dictionary-encoded string
+    * column (id 7, index width 8/16/32/64 by i%4, dictionary size
+    * 3+i%3 with values v0..), c1 is int64, and odd files add a plain
+    * utf8 c2; 1+i%2 batches of 4+i%3 (+2 for batch 1) rows; indices
+    * follow (i+batch+row) % dictSize and int64 values follow
+    * i·100 + 10 + batch + row·7, so both sums are closed-form. */
+  def arrowDictFixture(spark: org.apache.spark.sql.SparkSession,
+      n: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val rows = (0 until n).map { i =>
+      val comp = i % 3 - 1
+      val iw = Array(8, 16, 32, 64)(i % 4)
+      val ds = 3 + i % 3
+      val fields = Seq(
+        FixField("c0", nullable = false, "dict", iw, Some((7L, iw))),
+        FixField("c1", nullable = true, "int", 64)) ++
+        (if (i % 2 == 1)
+          Seq(FixField("c2", nullable = false, "utf8", 0))
+        else Nil)
+      val nBatches = 1 + i % 2
+      val batchRows = (0 until nBatches).map(bi => 4 + i % 3 + 2 * bi)
+      val batches = batchRows.zipWithIndex.map { case (rows, bi) =>
+        fields.map { f =>
+          f.name -> (f.family match {
+            case "dict" =>
+              Array.tabulate(rows)(r => ((i + bi + r) % ds).toLong)
+            case _ =>
+              Array.tabulate(rows)(r => i * 100L + 10L + bi + r * 7L)
+          })
+        }.toMap
+      }
+      val dict = Map(7L -> (0 until ds).map(k => s"v$k"))
+      Row(i.toLong,
+        encodeArrowExt(fields, batches, batchRows, dict, comp))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4),
+      StructType(Seq(
+        StructField("id", LongType, false),
+        StructField("media", BinaryType, true))))
   }
 
   /** Fixture laws (file i): 2+i%3 fields cycling int64 / float64 /

@@ -6158,6 +6158,71 @@ object ExtQueries4 {
          true AS valid
        FROM p ORDER BY id"""
 
+  // ---------------------------------------------------------------
+  // q235 — Arrow IPC: dictionary-encoded columns + compressed bodies
+  // (what newer HuggingFace `datasets` writes — string categoricals
+  // arrive dictionary-encoded, buffers LZ4-frame or zstd framed):
+  // DictionaryEncoding schema fields (Utf8 values, signed 8/16/32/64
+  // indices), DictionaryBatch blocks walked BEFORE the data (size +
+  // total value chars from the offsets buffer), per-batch index
+  // bounds + EXACT index sums as the content gate, and BodyCompression
+  // BUFFER framing ([i64 uncompressed length | -1][frame]) with size
+  // laws on the UNCOMPRESSED lengths and decompressed-length
+  // verification. 40 files cycling none/lz4/zstd and all four index
+  // widths. Real pyarrow dictionary/lz4/zstd files are conformance
+  // resources in ArrowLakeSpec.
+  private val ArrowDictN = 40
+
+  def q235(s: SparkSession, dir: String): DataFrame = {
+    val fx = graft.operators.ArrowLake.arrowDictFixture(s, ArrowDictN)
+    graft.operators.ArrowLake.extractArrowDict(fx, "id", "media")
+      .select(col("id"), col("field"), col("name"), col("family"),
+        col("bit_width"), col("codec"), col("n_batches"),
+        col("total_rows"), col("dict_size"), col("dict_chars"),
+        col("value_sum"), col("valid"))
+      .orderBy("id", "field")
+  }
+
+  val q235Sql: String =
+    s"""WITH base AS (
+         SELECT r AS id, r % 3 AS cmp, 1 + r % 2 AS nb,
+                4 + r % 3 AS b, 3 + r % 3 AS ds,
+                ([8, 16, 32, 64])[r % 4 + 1] AS iw
+         FROM range(0, $ArrowDictN) t(r)),
+       bat AS (
+         SELECT id, nb, b, ds,
+           CAST(unnest(range(0, nb)) AS INT) AS bi
+         FROM base),
+       rws AS (
+         SELECT id, ds, bi,
+           CAST(unnest(range(0, b + 2 * bi)) AS INT) AS rr
+         FROM bat),
+       agg AS (
+         SELECT id, CAST(SUM((id + bi + rr) % ds) AS BIGINT) AS dsum,
+           CAST(SUM(id * 100 + 10 + bi + rr * 7) AS BIGINT) AS isum,
+           CAST(COUNT(*) AS BIGINT) AS trows
+         FROM rws GROUP BY id),
+       flds AS (
+         SELECT base.*, agg.dsum, agg.isum, agg.trows,
+           CAST(unnest(range(0, CASE WHEN id % 2 = 1 THEN 3 ELSE 2 END))
+             AS INT) AS fidx
+         FROM base JOIN agg USING (id))
+       SELECT id, fidx AS field, 'c' || fidx AS name,
+         CASE fidx WHEN 0 THEN 'dict' WHEN 1 THEN 'int'
+           ELSE 'utf8' END AS family,
+         CAST(CASE fidx WHEN 0 THEN iw WHEN 1 THEN 64 END AS INT)
+           AS bit_width,
+         CASE cmp WHEN 0 THEN 'none' WHEN 1 THEN 'lz4'
+           ELSE 'zstd' END AS codec,
+         CAST(nb AS INT) AS n_batches,
+         trows AS total_rows,
+         CAST(CASE WHEN fidx = 0 THEN ds END AS BIGINT) AS dict_size,
+         CAST(CASE WHEN fidx = 0 THEN 2 * ds END AS BIGINT)
+           AS dict_chars,
+         CASE fidx WHEN 0 THEN dsum WHEN 1 THEN isum END AS value_sum,
+         true AS valid
+       FROM flds ORDER BY id, field"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q125_label_propagation" -> (q125 _),
     "q126_pmi_cooccur" -> (q126 _),
@@ -6268,7 +6333,8 @@ object ExtQueries4 {
     "q231_yaml_extract" -> (q231 _),
     "q232_front_matter" -> (q232 _),
     "q233_csv_extract" -> (q233 _),
-    "q234_opus_toc" -> (q234 _))
+    "q234_opus_toc" -> (q234 _),
+    "q235_arrow_dict" -> (q235 _))
 
   val oracles: Map[String, String] = Map(
     "q125_label_propagation" -> q125Sql,
@@ -6380,5 +6446,6 @@ object ExtQueries4 {
     "q231_yaml_extract" -> q231Sql,
     "q232_front_matter" -> q232Sql,
     "q233_csv_extract" -> q233Sql,
-    "q234_opus_toc" -> q234Sql)
+    "q234_opus_toc" -> q234Sql,
+    "q235_arrow_dict" -> q235Sql)
 }

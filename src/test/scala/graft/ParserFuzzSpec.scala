@@ -261,6 +261,15 @@ class ParserFuzzSpec extends AnyFunSuite {
         Seq(1f, -2f, 3f, 4f), packedDims = true))),
     "webp" -> graft.operators.Multimodal.encodeDHashWebp(
       (x, y) => (x * 5 + y * 3) % 3 != 0, 2),
+    "arrow-dict-lz4" -> {
+      import graft.operators.ArrowLake
+      ArrowLake.encodeArrowExt(
+        Seq(ArrowLake.FixField("d", nullable = false, "dict", 16,
+          Some((1L, 16))),
+          ArrowLake.FixField("x", nullable = false, "int", 64)),
+        Seq(Map("d" -> Array(0L, 1L, 1L), "x" -> Array(7L, 8L, 9L))),
+        Seq(3), Map(1L -> Seq("aa", "b")), comp = 0)
+    },
     "tiff-g4" -> graft.operators.TiffLake.encodeTiff(
       Array.tabulate(18 * 17)(i =>
         if ((i * 7) % 11 < 4) 0xff000000 else 0xffffffff), 18, 17,
