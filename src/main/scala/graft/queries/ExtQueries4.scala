@@ -6223,6 +6223,58 @@ object ExtQueries4 {
          true AS valid
        FROM flds ORDER BY id, field"""
 
+  // ---------------------------------------------------------------
+  // q236 — parquet census, page grain (q224 extended to the layers a
+  // lake audit needs below the chunk): per-column ENCODINGS bitmask
+  // (so the census can verify the engine's own DELTA_BINARY_PACKED /
+  // dictionary pinning from the OUTSIDE — the O11 cross-gate lives
+  // in ParquetLakeSpec), encoding_stats (V1/V2/dictionary page
+  // counts, consistency with the dictionary offset), OffsetIndex
+  // walks (page offsets/rows strictly increasing, sizes inside the
+  // chunk), ColumnIndex walks (null_pages/min/max grain == page
+  // count, boundary order), and SBBF bloom headers (power-of-two
+  // bitsets, BLOCK/XXHASH/UNCOMPRESSED unions, length law). 40
+  // files; real parquet-mr footers exercise the same walks in
+  // ParquetLakeSpec (their page indexes parse on every spec run).
+  private val PqPagesN = 40
+
+  def q236(s: SparkSession, dir: String): DataFrame = {
+    val fx = graft.operators.ParquetLake.parquetPagesFixture(s, PqPagesN)
+    graft.operators.ParquetLake.extractParquetPages(fx, "id", "media")
+      .select(col("id"), col("rg"), col("col"), col("col_path"),
+        col("encodings"), col("pages_v1"), col("pages_v2"),
+        col("dict_pages"), col("n_pages"), col("has_col_index"),
+        col("bloom_bytes"), col("valid"))
+      .orderBy("id", "col")
+  }
+
+  val q236Sql: String =
+    s"""WITH base AS (
+         SELECT r AS id, 2 + r % 2 AS nl, r % 4 <> 3 AS idx
+         FROM range(0, $PqPagesN) t(r)),
+       cols AS (
+         SELECT id, idx, CAST(unnest(range(0, nl)) AS INT) AS col
+         FROM base),
+       d AS (
+         SELECT *, (id + col) % 2 = 0 AS evn,
+           CAST(2 + (id + col) % 3 AS INT) AS np
+         FROM cols)
+       SELECT id, CAST(0 AS INT) AS rg, col,
+         'c' || col AS col_path,
+         CAST(CASE WHEN evn THEN 297 ELSE 9 END AS INT) AS encodings,
+         CAST(CASE WHEN evn THEN 0
+           ELSE CASE WHEN idx THEN np ELSE 1 END END AS INT) AS pages_v1,
+         CAST(CASE WHEN evn THEN CASE WHEN idx THEN np ELSE 1 END
+           ELSE 0 END AS INT) AS pages_v2,
+         CAST(CASE WHEN evn THEN 1 ELSE 0 END AS INT) AS dict_pages,
+         CAST(CASE WHEN idx THEN np END AS INT) AS n_pages,
+         idx AS has_col_index,
+         CAST(CASE WHEN (id + col) % 3 = 0 THEN 32 *
+           (CASE id % 3 WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 4 END) END
+           AS BIGINT) AS bloom_bytes,
+         true AS valid
+       FROM d ORDER BY id, col"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q125_label_propagation" -> (q125 _),
     "q126_pmi_cooccur" -> (q126 _),
@@ -6334,7 +6386,8 @@ object ExtQueries4 {
     "q232_front_matter" -> (q232 _),
     "q233_csv_extract" -> (q233 _),
     "q234_opus_toc" -> (q234 _),
-    "q235_arrow_dict" -> (q235 _))
+    "q235_arrow_dict" -> (q235 _),
+    "q236_parquet_pages" -> (q236 _))
 
   val oracles: Map[String, String] = Map(
     "q125_label_propagation" -> q125Sql,
@@ -6447,5 +6500,6 @@ object ExtQueries4 {
     "q232_front_matter" -> q232Sql,
     "q233_csv_extract" -> q233Sql,
     "q234_opus_toc" -> q234Sql,
-    "q235_arrow_dict" -> q235Sql)
+    "q235_arrow_dict" -> q235Sql,
+    "q236_parquet_pages" -> q236Sql)
 }

@@ -209,4 +209,94 @@ class ParquetLakeSpec extends SparkSpec {
     assert(r0.getLong(8) == 45L && r0.getLong(14) == 45L)
     assert(r0.getLong(15) == 518L && r0.getLong(16) == 518L + 201)
   }
+
+  test("page-grain fixture: encodings, stats, indexes, blooms") {
+    val fx = ParquetLake.parquetPagesFixture(spark, 12)
+    val rows = ParquetLake.extractParquetPages(fx, "id", "media")
+      .orderBy("id", "col").collect()
+    assert(rows.forall(_.getBoolean(11)), "all valid")
+    rows.foreach { r =>
+      val i = r.getLong(0).toInt
+      val c = r.getInt(2)
+      val even = (i + c) % 2 == 0
+      val idx = i % 4 != 3
+      val np = 2 + (i + c) % 3
+      assert(r.getInt(4) == (if (even) 297 else 9), s"i=$i c=$c encodings")
+      val dataPages = if (idx) np else 1
+      assert(r.getInt(5) == (if (even) 0 else dataPages), s"i=$i c=$c v1")
+      assert(r.getInt(6) == (if (even) dataPages else 0), s"i=$i c=$c v2")
+      assert(r.getInt(7) == (if (even) 1 else 0), s"i=$i c=$c dict")
+      if (idx) assert(r.getInt(8) == np && r.getBoolean(9), s"i=$i c=$c idx")
+      else assert(r.isNullAt(8) && !r.getBoolean(9), s"i=$i c=$c noidx")
+      if ((i + c) % 3 == 0)
+        assert(r.getLong(10) == (32L << (i % 3)), s"i=$i c=$c bloom")
+      else assert(r.isNullAt(10), s"i=$i c=$c nobloom")
+    }
+  }
+
+  test("O11 cross-gate: the engine's own sink encodings, from outside") {
+    // the census verifies PartitionedSink's physical pinning
+    // (DELTA_BINARY_PACKED Time, page V2, dictionary off) against the
+    // written bytes — an INDEPENDENT reader of the engine's promise
+    import spark.implicits._
+    val base = java.time.Instant.parse("2025-07-11T10:00:00Z")
+      .getEpochSecond * 1000000000L
+    val df = (0 until 5000).map(i => (base + i.toLong * 1000000L,
+      i.toDouble)).toDF("Time", "v")
+      .withColumn("alias", org.apache.spark.sql.functions.lit("LAF1"))
+    val o = tmpDir("pq_pages_sink")
+    graft.sink.PartitionedSink.write(df, s"$o/t", filesPerDir = 4)
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    val part = walk(new java.io.File(s"$o/t"))
+      .find(_.getName.endsWith(".parquet")).get
+    val m = ParquetLake.parseParquetMeta(
+      java.nio.file.Files.readAllBytes(part.toPath)).get
+    val time = m.rowGroups(0).cols.find(_.path == "Time").get
+    assert((time.encodings & (1 << 5)) != 0,
+      "Time must carry DELTA_BINARY_PACKED (O11)")
+    assert(!time.hasDict, "dictionary must be off in the sink profile")
+    assert(time.pagesV2 >= 1 && time.pagesV1 == 0,
+      "the sink writes data page V2")
+    // parquet-mr writes page indexes by default: the census's
+    // OffsetIndex/ColumnIndex walks run against real mr output here
+    assert(time.nPages >= 1 && time.hasColIndex, "page index present")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(o))
+  }
+
+  test("page-grain strictness: index, stats and bloom lies reject") {
+    import graft.operators.ParquetLake.FixColX
+    def patch(b: Array[Byte], from: Int, pat: Seq[Int],
+        at: Int, to: Int): Array[Byte] = {
+      val hits = (from until b.length - pat.length).filter(k =>
+        pat.indices.forall(j => (b(k + j) & 0xff) == pat(j)))
+      assert(hits.length == 1, s"pattern $pat hits ${hits.length}")
+      val c = b.clone()
+      c(hits.head + at) = to.toByte
+      c
+    }
+    // one plain column, 2 pages (sizes 10/590, rows 0/40), bloom 32
+    val good = ParquetLake.encodeParquetMetaX(1, "w", 80L, Seq(
+      FixColX("a", 1, 0, 80, 600, 900, hasDict = false, nPages = 2,
+        bloomBytes = 32)))
+    assert(ParquetLake.parseParquetMeta(good).nonEmpty, "control")
+    val side = 4 + 600 // the side region starts after the data zeros
+    // bloom numBytes 32 -> 33: not a power of two
+    assert(ParquetLake.parseParquetMeta(
+      patch(good, side, Seq(0x15, 0x40), 1, 0x42)).isEmpty,
+      "bloom power-of-two law")
+    // OffsetIndex first_row_index of page 1: 40 -> 0 breaks monotony
+    assert(ParquetLake.parseParquetMeta(
+      patch(good, side, Seq(0x16, 0x50), 1, 0x00)).isEmpty,
+      "first_row_index strictly increasing")
+    // a dict chunk whose encoding_stats claims TWO dictionary pages
+    val dict = ParquetLake.encodeParquetMetaX(1, "w", 80L, Seq(
+      FixColX("a", 1, 0, 80, 600, 900, hasDict = true, nPages = 2,
+        v2 = true, delta = true)))
+    assert(ParquetLake.parseParquetMeta(dict).nonEmpty, "dict control")
+    assert(ParquetLake.parseParquetMeta(
+      patch(dict, 0, Seq(0x15, 0x04, 0x15, 0x00, 0x15, 0x02, 0x00),
+        5, 0x04)).isEmpty,
+      "encoding_stats vs dictionary-offset consistency")
+  }
 }
