@@ -51,7 +51,12 @@ package graft.operators
   *  - strict rejects: non-Utf8 dictionary values, delta or missing
   *    or duplicate dictionary batches, out-of-range indices, lying
   *    length prefixes, mixed codecs, big-endian schemas,
-  *    non-RecordBatch data blocks.
+  *    non-RecordBatch data blocks;
+  *  - the IPC STREAM form (`.arrows`) walks the same batch engine
+  *    sequentially: Schema message first, dictionaries strictly
+  *    before the data, the 8-byte EOS marker closing the blob
+  *    exactly — no footer, so the census facts come from the walk
+  *    alone.
   *
   * The fixture encoder builds real flatbuffers back-to-front with
   * the canonical builder algorithm (prep-alignment, vtable emission,
@@ -308,6 +313,188 @@ object ArrowLake {
   }
 
   // ------------------------------------------------------------------
+  // shared batch/dictionary walking (the file and stream forms drive
+  // the same validation and summing; `limit` bounds every offset —
+  // the footer start for files, the blob length for streams)
+
+  private final class Walk(b: Array[Byte], limit: Long,
+      fields: Array[ArrowField]) {
+    val allKnown: Boolean = fields.forall(_.family != "other")
+    // one codec for the whole file — a mix would make the census's
+    // codec fact a lie; -2 = not yet seen
+    private var fileCodec = -2
+    val dictSizes = new java.util.HashMap[Long, Long]()
+    val dictChars = new java.util.HashMap[Long, Long]()
+    val sums: Array[Option[Long]] = fields.map(f =>
+      if (allKnown &&
+        ((f.family == "int" && f.bitWidth == 64) || f.family == "dict"))
+        Some(0L)
+      else None)
+    var totalRows = 0L
+    var bodyBytes = 0L
+    var nBatches = 0
+
+    private def meldCodec(c: Int): Unit = {
+      if (fileCodec == -2) fileCodec = c
+      else if (fileCodec != c) throw Fail
+    }
+
+    def codecName: String = fileCodec match {
+      case 0 => "lz4"
+      case 1 => "zstd"
+      case _ => "none"
+    }
+
+    /** Walk one RecordBatch-shaped table (a data batch or a
+      * dictionary batch's payload): per-node validation, size laws
+      * under the batch codec, int64/dict-index sums. */
+    private def walkBatch(mfb: Fb, rb: Int, bodyStart: Long,
+        bodyLen: Long, bFields: Array[ArrowField],
+        bSums: Array[Option[Long]], dictOf: Long => Long): Long = {
+      val lenPos = mfb.field(rb, 0)
+      val rows = if (lenPos == 0) 0L else mfb.i64(lenPos)
+      // a batch cannot hold more fixed-width rows than the file has
+      // bytes — rejecting implausible counts up front keeps the
+      // size-law products below (rows * width, (rows+1) * 4) from
+      // wrapping Long and passing vacuously
+      if (rows < 0 || rows > limit) throw Fail
+      val codec = batchCodec(mfb, rb)
+      meldCodec(codec)
+      val (nd0, nNodes) = mfb.vec(mfb.field(rb, 1), 16)
+      if (nNodes != bFields.length) throw Fail
+      val (bf0, nBufs) = mfb.vec(mfb.field(rb, 2), 16)
+      val expBufs = bFields.map(f =>
+        if (f.family == "utf8") 3 else 2).sum
+      if (nBufs != expBufs) throw Fail
+      var bi = 0
+      var fi = 0
+      while (fi < bFields.length) {
+        val f = bFields(fi)
+        val nodeLen = mfb.i64(nd0 + 16 * fi)
+        val nullCount = mfb.i64(nd0 + 16 * fi + 8)
+        if (nodeLen != rows || nullCount < 0 || nullCount > rows)
+          throw Fail
+        val nPer = if (f.family == "utf8") 3 else 2
+        // buffer extents inside the body (on-wire, maybe compressed)
+        val exts = Array.tabulate(nPer) { j =>
+          val o = mfb.i64(bf0 + 16 * (bi + j))
+          val l = mfb.i64(bf0 + 16 * (bi + j) + 8)
+          if (o < 0 || l < 0 || o + l > bodyLen) throw Fail
+          (o, l)
+        }
+        // data-buffer size laws, on the UNCOMPRESSED lengths
+        val dataLen = bufUncompLen(b, bodyStart, exts(1)._1,
+          exts(1)._2, codec)
+        f.family match {
+          case "int" | "float" | "dict" =>
+            if (dataLen < rows * (f.bitWidth / 8)) throw Fail
+          case "bool" =>
+            if (dataLen < (rows + 7) / 8) throw Fail
+          case "utf8" =>
+            if (rows > 0 && dataLen < (rows + 1) * 4) throw Fail
+          case _ =>
+        }
+        val summed = (f.family == "int" && f.bitWidth == 64) ||
+          f.family == "dict"
+        if (summed && nullCount != 0)
+          bSums(fi) = None // nulls present: the sum is out of scope
+        else if (summed && bSums(fi).nonEmpty) {
+          val data = bufData(b, bodyStart, exts(1)._1, exts(1)._2,
+            codec)
+          val w = f.bitWidth / 8
+          val lim = if (f.family == "dict") dictOf(f.dictId)
+            else Long.MaxValue
+          var r = 0
+          var s = 0L
+          while (r < rows) {
+            var v = 0L
+            var j = w - 1
+            while (j >= 0) {
+              v = (v << 8) | (data(r * w + j) & 0xffL)
+              j -= 1
+            }
+            // sign-extend sub-64-bit index types
+            if (w < 8) v = (v << (64 - 8 * w)) >> (64 - 8 * w)
+            if (f.family == "dict" && (v < 0 || v >= lim)) throw Fail
+            s += v
+            r += 1
+          }
+          bSums(fi) = bSums(fi).map(_ + s)
+        }
+        bi += nPer
+        fi += 1
+      }
+      rows
+    }
+
+    /** One DictionaryBatch: id → (size, total value chars). */
+    def dictionaryBatch(mfb: Fb, hdr: Int, bodyStart: Long,
+        bodyLen: Long): Unit = {
+      val idPos = mfb.field(hdr, 0)
+      val id = if (idPos == 0) 0L else mfb.i64(idPos)
+      val deltaPos = mfb.field(hdr, 2)
+      if (deltaPos != 0 && mfb.u8(deltaPos) != 0) throw Fail // delta: out
+      val dataPos = mfb.field(hdr, 1)
+      if (dataPos == 0) throw Fail
+      val rb = mfb.indirect(dataPos)
+      if (dictSizes.containsKey(id)) throw Fail // one batch per id
+      // the dictionary payload is one non-null Utf8 column
+      val valField = Array(ArrowField("", nullable = false, "utf8", 0))
+      val vSums = Array[Option[Long]](None)
+      val rows = walkBatch(mfb, rb, bodyStart, bodyLen, valField,
+        vSums, _ => 0L)
+      // total value chars = the final offsets entry (content gate)
+      val codec = batchCodec(mfb, rb)
+      val (bf0, _) = mfb.vec(mfb.field(rb, 2), 16)
+      val offExt = (mfb.i64(bf0 + 16), mfb.i64(bf0 + 16 + 8))
+      val chars =
+        if (rows == 0) 0L
+        else {
+          val offs = bufData(b, bodyStart, offExt._1, offExt._2, codec)
+          val last = (rows * 4).toInt
+          if (offs.length < last + 4) throw Fail
+          (offs(last) & 0xffL) | ((offs(last + 1) & 0xffL) << 8) |
+            ((offs(last + 2) & 0xffL) << 16) |
+            ((offs(last + 3) & 0xffL) << 24)
+        }
+      dictSizes.put(id, rows)
+      dictChars.put(id, chars)
+    }
+
+    /** Every dictionary-encoded field must have its dictionary. */
+    def requireDicts(): Unit =
+      fields.foreach { f =>
+        if (f.family == "dict" && !dictSizes.containsKey(f.dictId))
+          throw Fail
+      }
+
+    /** One data RecordBatch. */
+    def recordBatch(mfb: Fb, rb: Int, bodyStart: Long,
+        bodyLen: Long): Unit = {
+      bodyBytes += bodyLen
+      nBatches += 1
+      if (allKnown)
+        totalRows += walkBatch(mfb, rb, bodyStart, bodyLen, fields,
+          sums, id => dictSizes.get(id))
+      else {
+        val lenPos = mfb.field(rb, 0)
+        val rows = if (lenPos == 0) 0L else mfb.i64(lenPos)
+        if (rows < 0 || rows > limit) throw Fail
+        meldCodec(batchCodec(mfb, rb))
+        totalRows += rows
+      }
+    }
+
+    def meta(version: Int): ArrowMeta =
+      ArrowMeta(version, fields, nBatches, totalRows, bodyBytes, sums,
+        codecName,
+        fields.map(f => if (f.family == "dict")
+          Some(dictSizes.get(f.dictId)) else None),
+        fields.map(f => if (f.family == "dict")
+          Some(dictChars.get(f.dictId)) else None))
+  }
+
+  // ------------------------------------------------------------------
   // file walk
 
   private def u32le(b: Array[Byte], o: Int): Long =
@@ -349,14 +536,7 @@ object ArrowLake {
       if (!java.util.Arrays.equals(
           streamFields.asInstanceOf[Array[AnyRef]],
           fields.asInstanceOf[Array[AnyRef]])) throw Fail
-      val allKnown = fields.forall(_.family != "other")
-      // one codec for the whole file — a mix would make the census's
-      // codec fact a lie; -2 = not yet seen
-      var fileCodec = -2
-      def meldCodec(c: Int): Unit = {
-        if (fileCodec == -2) fileCodec = c
-        else if (fileCodec != c) throw Fail
-      }
+      val walk = new Walk(b, fStart.toLong, fields)
       /** Validate one footer Block and return its message pieces. */
       def readBlock(base: Int, k: Int): (Long, Int, Long, Int, Int, Fb) = {
         val bp = base + 24 * k
@@ -374,167 +554,85 @@ object ArrowLake {
         if (mBody != bodyLen) throw Fail
         (off, metaLen, bodyLen, ht, hdr, mfb)
       }
-      /** Walk one RecordBatch-shaped table (a data batch or a
-        * dictionary batch's payload): per-node validation, size laws
-        * under the batch codec, int64/dict-index sums. `dictOf` maps
-        * a field to its dictionary size for index bounds. */
-      def walkBatch(mfb: Fb, rb: Int, bodyStart: Long, bodyLen: Long,
-          bFields: Array[ArrowField], sums: Array[Option[Long]],
-          dictOf: Long => Long): Long = {
-        val lenPos = mfb.field(rb, 0)
-        val rows = if (lenPos == 0) 0L else mfb.i64(lenPos)
-        // a batch cannot hold more fixed-width rows than the file has
-        // bytes — rejecting implausible counts up front keeps the
-        // size-law products below (rows * width, (rows+1) * 4) from
-        // wrapping Long and passing vacuously
-        if (rows < 0 || rows > fStart) throw Fail
-        val codec = batchCodec(mfb, rb)
-        meldCodec(codec)
-        val (nd0, nNodes) = mfb.vec(mfb.field(rb, 1), 16)
-        if (nNodes != bFields.length) throw Fail
-        val (bf0, nBufs) = mfb.vec(mfb.field(rb, 2), 16)
-        val expBufs = bFields.map(f =>
-          if (f.family == "utf8") 3 else 2).sum
-        if (nBufs != expBufs) throw Fail
-        var bi = 0
-        var fi = 0
-        while (fi < bFields.length) {
-          val f = bFields(fi)
-          val nodeLen = mfb.i64(nd0 + 16 * fi)
-          val nullCount = mfb.i64(nd0 + 16 * fi + 8)
-          if (nodeLen != rows || nullCount < 0 || nullCount > rows)
-            throw Fail
-          val nPer = if (f.family == "utf8") 3 else 2
-          // buffer extents inside the body (on-wire, maybe compressed)
-          val exts = Array.tabulate(nPer) { j =>
-            val o = mfb.i64(bf0 + 16 * (bi + j))
-            val l = mfb.i64(bf0 + 16 * (bi + j) + 8)
-            if (o < 0 || l < 0 || o + l > bodyLen) throw Fail
-            (o, l)
-          }
-          // data-buffer size laws, on the UNCOMPRESSED lengths
-          val dataLen = bufUncompLen(b, bodyStart, exts(1)._1,
-            exts(1)._2, codec)
-          f.family match {
-            case "int" | "float" | "dict" =>
-              if (dataLen < rows * (f.bitWidth / 8)) throw Fail
-            case "bool" =>
-              if (dataLen < (rows + 7) / 8) throw Fail
-            case "utf8" =>
-              if (rows > 0 && dataLen < (rows + 1) * 4) throw Fail
-            case _ =>
-          }
-          val summed = (f.family == "int" && f.bitWidth == 64) ||
-            f.family == "dict"
-          if (summed && nullCount != 0)
-            sums(fi) = None // nulls present: the sum is out of scope
-          else if (summed && sums(fi).nonEmpty) {
-            val data = bufData(b, bodyStart, exts(1)._1, exts(1)._2,
-              codec)
-            val w = f.bitWidth / 8
-            val lim = if (f.family == "dict") dictOf(f.dictId)
-              else Long.MaxValue
-            var r = 0
-            var s = 0L
-            while (r < rows) {
-              var v = 0L
-              var j = w - 1
-              while (j >= 0) {
-                v = (v << 8) | (data(r * w + j) & 0xffL)
-                j -= 1
-              }
-              // sign-extend sub-64-bit index types
-              if (w < 8) v = (v << (64 - 8 * w)) >> (64 - 8 * w)
-              if (f.family == "dict" && (v < 0 || v >= lim)) throw Fail
-              s += v
-              r += 1
-            }
-            sums(fi) = sums(fi).map(_ + s)
-          }
-          bi += nPer
-          fi += 1
-        }
-        rows
-      }
-      // dictionary batches FIRST: id → (size, total value chars)
-      val dictSizes = new java.util.HashMap[Long, Long]()
-      val dictChars = new java.util.HashMap[Long, Long]()
+      // dictionary batches FIRST: id -> (size, total value chars)
       var dk = 0
       while (dk < nDicts) {
         val (off, metaLen, bodyLen, ht, hdr, mfb) = readBlock(dblk0, dk)
         if (ht != 2) throw Fail // DictionaryBatch
-        val idPos = mfb.field(hdr, 0)
-        val id = if (idPos == 0) 0L else mfb.i64(idPos)
-        val deltaPos = mfb.field(hdr, 2)
-        if (deltaPos != 0 && mfb.u8(deltaPos) != 0) throw Fail // delta: out
-        val dataPos = mfb.field(hdr, 1)
-        if (dataPos == 0) throw Fail
-        val rb = mfb.indirect(dataPos)
-        if (dictSizes.containsKey(id)) throw Fail // one batch per id
-        // the dictionary payload is one non-null Utf8 column
-        val valField = Array(ArrowField("", nullable = false, "utf8", 0))
-        val vSums = Array[Option[Long]](None)
-        val bodyStart = off + metaLen
-        val rows = walkBatch(mfb, rb, bodyStart, bodyLen, valField,
-          vSums, _ => 0L)
-        // total value chars = the final offsets entry (content gate)
-        val codec = batchCodec(mfb, rb)
-        val (bf0, _) = mfb.vec(mfb.field(rb, 2), 16)
-        val offExt = (mfb.i64(bf0 + 16), mfb.i64(bf0 + 16 + 8))
-        val chars =
-          if (rows == 0) 0L
-          else {
-            val offs = bufData(b, bodyStart, offExt._1, offExt._2, codec)
-            val last = (rows * 4).toInt
-            if (offs.length < last + 4) throw Fail
-            (offs(last) & 0xffL) | ((offs(last + 1) & 0xffL) << 8) |
-              ((offs(last + 2) & 0xffL) << 16) |
-              ((offs(last + 3) & 0xffL) << 24)
-          }
-        dictSizes.put(id, rows)
-        dictChars.put(id, chars)
+        walk.dictionaryBatch(mfb, hdr, off + metaLen, bodyLen)
         dk += 1
       }
-      // every dictionary-encoded field must have its dictionary
-      fields.foreach { f =>
-        if (f.family == "dict" && !dictSizes.containsKey(f.dictId))
-          throw Fail
-      }
-      var totalRows = 0L
-      var bodyBytes = 0L
-      val sums = fields.map(f =>
-        if (allKnown &&
-          ((f.family == "int" && f.bitWidth == 64) || f.family == "dict"))
-          Some(0L)
-        else None: Option[Long])
+      walk.requireDicts()
       var k = 0
       while (k < nBlocks) {
         val (off, metaLen, bodyLen, ht, rb, mfb) = readBlock(blk0, k)
         if (ht != 3) throw Fail // RecordBatch
-        bodyBytes += bodyLen
-        if (allKnown)
-          totalRows += walkBatch(mfb, rb, off + metaLen, bodyLen,
-            fields, sums, id => dictSizes.get(id))
-        else {
-          val lenPos = mfb.field(rb, 0)
-          val rows = if (lenPos == 0) 0L else mfb.i64(lenPos)
-          if (rows < 0 || rows > fStart) throw Fail
-          meldCodec(batchCodec(mfb, rb))
-          totalRows += rows
-        }
+        walk.recordBatch(mfb, rb, off + metaLen, bodyLen)
         k += 1
       }
-      val codecName = fileCodec match {
-        case 0 => "lz4"
-        case 1 => "zstd"
-        case _ => "none"
+      if (walk.nBatches != nBlocks) throw Fail
+      Some(walk.meta(version))
+    } catch { case Fail => None }
+  }
+
+  // ------------------------------------------------------------------
+  // stream walk (`.arrows` — the IPC STREAMING format: no magic, no
+  // footer; an encapsulated Schema message, dictionary batches, data
+  // batches, then the 8-byte end-of-stream marker)
+
+  private[graft] def parseArrowStream(b: Array[Byte]): Option[ArrowMeta] = {
+    if (b == null || b.length < 16) return None
+    // the stream form begins directly with the continuation marker
+    if (b(0) != -1 || b(1) != -1 || b(2) != -1 || b(3) != -1) return None
+    try {
+      val n = b.length
+      val (ht0, hdr0, bl0, sfb) = readMessage(b, 0, n)
+      if (ht0 != 1 || bl0 != 0) throw Fail // Schema first
+      // the Message's own version field (the stream has no footer)
+      val msg0 = sfb.root
+      val vPos = sfb.field(msg0, 0)
+      val version = if (vPos == 0) 0 else sfb.u16(vPos)
+      val fields = readSchema(sfb, hdr0)
+      val walk = new Walk(b, n.toLong, fields)
+      var off = 8L + (sfb.end - sfb.base)
+      var seenRecord = false
+      var eos = false
+      while (!eos) {
+        // the stream must CLOSE with the EOS marker — a blob that
+        // just stops mid-air is a truncation, not a census subject
+        if (off + 8 > n) throw Fail
+        def i32At(p: Int): Int =
+          (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8) |
+            ((b(p + 2) & 0xff) << 16) | ((b(p + 3) & 0xff) << 24)
+        if (i32At(off.toInt) != -1) throw Fail
+        if (i32At(off.toInt + 4) == 0) {
+          eos = true
+          off += 8
+        } else {
+          val (ht, hdr, bodyLen, mfb) = readMessage(b, off.toInt, n)
+          val metaLen = 8L + (mfb.end - mfb.base)
+          val bodyStart = off + metaLen
+          if (bodyLen > n - bodyStart) throw Fail
+          ht match {
+            case 2 =>
+              // dictionaries precede the data they encode (delta
+              // batches, the only legal late arrivals, are out of
+              // subset anyway)
+              if (seenRecord) throw Fail
+              walk.dictionaryBatch(mfb, hdr, bodyStart, bodyLen)
+            case 3 =>
+              if (!seenRecord) walk.requireDicts()
+              seenRecord = true
+              walk.recordBatch(mfb, rb = hdr, bodyStart, bodyLen)
+            case _ => throw Fail
+          }
+          // bodies are 8-aligned on the wire
+          off = bodyStart + ((bodyLen + 7) / 8 * 8)
+        }
       }
-      Some(ArrowMeta(version, fields, nBlocks, totalRows, bodyBytes,
-        sums, codecName,
-        fields.map(f => if (f.family == "dict")
-          Some(dictSizes.get(f.dictId)) else None),
-        fields.map(f => if (f.family == "dict")
-          Some(dictChars.get(f.dictId)) else None)))
+      if (off != n) throw Fail // nothing after EOS
+      if (!seenRecord) walk.requireDicts()
+      Some(walk.meta(version))
     } catch { case Fail => None }
   }
 
@@ -920,13 +1018,13 @@ object ArrowLake {
     * dictionary-encoded utf8 columns (`dicts` maps dictionary id →
     * values; dict-field data arrays carry INDICES), optionally with
     * per-buffer LZ4-frame (0) / zstd (1) body compression. */
-  private[graft] def encodeArrowExt(fields: Seq[FixField],
-      batches: Seq[Map[String, Array[Long]]], batchRows: Seq[Int],
-      dicts: Map[Long, Seq[String]] = Map.empty,
-      comp: Int = -1): Array[Byte] = {
-    val out = new java.io.ByteArrayOutputStream()
-    out.write("ARROW1".getBytes("US-ASCII"))
-    out.write(0); out.write(0)
+  /** Schema + dictionary batches + data batches + EOS into `out`;
+    * returns the (data blocks, dictionary blocks) for a file footer.
+    * This IS the stream form when `out` starts empty. */
+  private def writeIpcBody(out: java.io.ByteArrayOutputStream,
+      fields: Seq[FixField], batches: Seq[Map[String, Array[Long]]],
+      batchRows: Seq[Int], dicts: Map[Long, Seq[String]],
+      comp: Int): (Seq[(Long, Int, Long)], Seq[(Long, Int, Long)]) = {
     val schemaEnc = encapsulate(schemaMessage(fields))
     out.write(schemaEnc, 0, schemaEnc.length)
     // dictionary batches first (readers need them before the data)
@@ -958,11 +1056,33 @@ object ArrowLake {
     // EOS marker
     out.write(-1); out.write(-1); out.write(-1); out.write(-1)
     out.write(0); out.write(0); out.write(0); out.write(0)
-    val footer = footerFlatbuffer(fields, blocks.toSeq,
-      dictBlocks.toSeq)
+    (blocks.toSeq, dictBlocks.toSeq)
+  }
+
+  /** Write a complete IPC FILE (magic + body + footer + magic). */
+  private[graft] def encodeArrowExt(fields: Seq[FixField],
+      batches: Seq[Map[String, Array[Long]]], batchRows: Seq[Int],
+      dicts: Map[Long, Seq[String]] = Map.empty,
+      comp: Int = -1): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("ARROW1".getBytes("US-ASCII"))
+    out.write(0); out.write(0)
+    val (blocks, dictBlocks) =
+      writeIpcBody(out, fields, batches, batchRows, dicts, comp)
+    val footer = footerFlatbuffer(fields, blocks, dictBlocks)
     out.write(footer, 0, footer.length)
     (0 until 4).foreach(j => out.write((footer.length >> (8 * j)) & 0xff))
     out.write("ARROW1".getBytes("US-ASCII"))
+    out.toByteArray
+  }
+
+  /** Write the IPC STREAM form (`.arrows`): the body alone. */
+  private[graft] def encodeArrowStream(fields: Seq[FixField],
+      batches: Seq[Map[String, Array[Long]]], batchRows: Seq[Int],
+      dicts: Map[Long, Seq[String]] = Map.empty,
+      comp: Int = -1): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    writeIpcBody(out, fields, batches, batchRows, dicts, comp)
     out.toByteArray
   }
 
@@ -1018,10 +1138,19 @@ object ArrowLake {
     spark.createDataFrame(rows, outSchema)
   }
 
+  /** File-or-stream census: the 6-byte magic routes to the Feather
+    * V2 file walk, anything else tries the stream form. */
+  private[graft] def parseArrowAny(b: Array[Byte]): Option[ArrowMeta] =
+    if (b != null && b.length >= 6 && b(0) == 'A' && b(1) == 'R' &&
+        b(2) == 'R' && b(3) == 'O' && b(4) == 'W' && b(5) == '1')
+      parseArrow(b)
+    else parseArrowStream(b)
+
   /** One row per (file, field) with the dictionary/compression
     * facts: family `dict` carries the index width, its dictionary's
     * size and total value chars, and the exact INDEX sum (the
-    * content gate); `int` carries the value sum as in q228. */
+    * content gate); `int` carries the value sum as in q228. Routes
+    * both the file and the stream (`.arrows`) forms. */
   def extractArrowDict(df: org.apache.spark.sql.DataFrame,
       idCol: String, binCol: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.Row
@@ -1044,7 +1173,7 @@ object ArrowLake {
     val rows = df.select(col(idCol).cast(LongType), col(binCol)).rdd
       .mapPartitions(_.flatMap { r =>
         val id = r.getLong(0)
-        scala.util.Try(parseArrow(r.getAs[Array[Byte]](1))).toOption
+        scala.util.Try(parseArrowAny(r.getAs[Array[Byte]](1))).toOption
           .flatten match {
           case Some(m) =>
             m.fields.iterator.zipWithIndex.map { case (f, fi) =>
@@ -1099,6 +1228,47 @@ object ArrowLake {
       val dict = Map(7L -> (0 until ds).map(k => s"v$k"))
       Row(i.toLong,
         encodeArrowExt(fields, batches, batchRows, dict, comp))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4),
+      StructType(Seq(
+        StructField("id", LongType, false),
+        StructField("media", BinaryType, true))))
+  }
+
+  /** The [[arrowDictFixture]] laws in the STREAM form (`.arrows`):
+    * identical content, no magic/footer — so the q237 oracle is the
+    * q235 oracle verbatim and any divergence between the two walks
+    * fails the hash gate. */
+  def arrowStreamFixture(spark: org.apache.spark.sql.SparkSession,
+      n: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val rows = (0 until n).map { i =>
+      val comp = i % 3 - 1
+      val iw = Array(8, 16, 32, 64)(i % 4)
+      val ds = 3 + i % 3
+      val fields = Seq(
+        FixField("c0", nullable = false, "dict", iw, Some((7L, iw))),
+        FixField("c1", nullable = true, "int", 64)) ++
+        (if (i % 2 == 1)
+          Seq(FixField("c2", nullable = false, "utf8", 0))
+        else Nil)
+      val nBatches = 1 + i % 2
+      val batchRows = (0 until nBatches).map(bi => 4 + i % 3 + 2 * bi)
+      val batches = batchRows.zipWithIndex.map { case (rows, bi) =>
+        fields.map { f =>
+          f.name -> (f.family match {
+            case "dict" =>
+              Array.tabulate(rows)(r => ((i + bi + r) % ds).toLong)
+            case _ =>
+              Array.tabulate(rows)(r => i * 100L + 10L + bi + r * 7L)
+          })
+        }.toMap
+      }
+      val dict = Map(7L -> (0 until ds).map(k => s"v$k"))
+      Row(i.toLong,
+        encodeArrowStream(fields, batches, batchRows, dict, comp))
     }
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 4),

@@ -6275,6 +6275,25 @@ object ExtQueries4 {
          true AS valid
        FROM d ORDER BY id, col"""
 
+  // ---------------------------------------------------------------
+  // q237 — Arrow IPC STREAM form (`.arrows` — the streaming/RPC
+  // sibling of the q228/q235 file walk, and what `datasets` emits
+  // over sockets): no magic, no footer — an encapsulated Schema
+  // message, dictionary batches strictly before the data, record
+  // batches, then the 8-byte EOS marker closing the blob exactly.
+  // The fixture carries the q235 content laws VERBATIM in the stream
+  // wrapper, so the oracle is q235's and any divergence between the
+  // two walks (which share one batch engine) fails the hash gate.
+  def q237(s: SparkSession, dir: String): DataFrame = {
+    val fx = graft.operators.ArrowLake.arrowStreamFixture(s, ArrowDictN)
+    graft.operators.ArrowLake.extractArrowDict(fx, "id", "media")
+      .select(col("id"), col("field"), col("name"), col("family"),
+        col("bit_width"), col("codec"), col("n_batches"),
+        col("total_rows"), col("dict_size"), col("dict_chars"),
+        col("value_sum"), col("valid"))
+      .orderBy("id", "field")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q125_label_propagation" -> (q125 _),
     "q126_pmi_cooccur" -> (q126 _),
@@ -6387,7 +6406,8 @@ object ExtQueries4 {
     "q233_csv_extract" -> (q233 _),
     "q234_opus_toc" -> (q234 _),
     "q235_arrow_dict" -> (q235 _),
-    "q236_parquet_pages" -> (q236 _))
+    "q236_parquet_pages" -> (q236 _),
+    "q237_arrow_stream" -> (q237 _))
 
   val oracles: Map[String, String] = Map(
     "q125_label_propagation" -> q125Sql,
@@ -6501,5 +6521,7 @@ object ExtQueries4 {
     "q233_csv_extract" -> q233Sql,
     "q234_opus_toc" -> q234Sql,
     "q235_arrow_dict" -> q235Sql,
-    "q236_parquet_pages" -> q236Sql)
+    "q236_parquet_pages" -> q236Sql,
+    // the stream fixture carries the q235 laws verbatim
+    "q237_arrow_stream" -> q235Sql)
 }

@@ -91,7 +91,9 @@ class ParserFuzzSpec extends AnyFunSuite {
     "routeMedia" -> (b => graft.operators.MediaCatalog.route(b)),
     "parseYaml" -> (b => graft.operators.YamlLake.parseYaml(b)),
     "frontMatter" -> (b => graft.operators.YamlLake.frontMatter(b)),
-    "webpCensus" -> (b => graft.operators.WebpLake.webpCensus(b)))
+    "webpCensus" -> (b => graft.operators.WebpLake.webpCensus(b)),
+    "parseArrowStream" -> (b =>
+      graft.operators.ArrowLake.parseArrowStream(b)))
 
   private val magics: Seq[(String, Array[Byte])] = Seq(
     "wav" -> ("RIFF\u0000\u0000\u0000\u0000WAVE").getBytes("ISO-8859-1"),
@@ -142,6 +144,8 @@ class ParserFuzzSpec extends AnyFunSuite {
     "arrow" -> ("ARROW1".getBytes("ISO-8859-1") ++ Array[Byte](0, 0)),
     // a YAML mapping prefix so the fuzz reaches the indent walker
     "yaml" -> "title: x\nmeta:\n  a: 1\n".getBytes("ISO-8859-1"),
+    // the stream-form continuation marker reaches the .arrows walk
+    "arrows" -> Array[Byte](-1, -1, -1, -1),
     // lossy-WebP chunk headers reach the census's VP8/VP8X walks
     "webp-vp8" -> ("RIFF".getBytes("ISO-8859-1") ++
       Array[Byte](0, 0, 0, 0) ++ "WEBPVP8 ".getBytes("ISO-8859-1")),

@@ -299,7 +299,8 @@ class PlanAuditSpec extends SparkSpec {
         "q229_media_catalog", "q230_csv_sniff",
         "q231_yaml_extract", "q232_front_matter",
         "q233_csv_extract", "q234_opus_toc",
-        "q235_arrow_dict", "q236_parquet_pages").foreach { q =>
+        "q235_arrow_dict", "q236_parquet_pages",
+        "q237_arrow_stream").foreach { q =>
       val p = plan(q)
       val exchanges = "Exchange".r.findAllIn(p).length
       assert(exchanges <= 1, s"$q: codec decode should not shuffle:\n$p")
