@@ -287,7 +287,17 @@ object CsvSniff {
       n: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
-    val rows = (0 until n).map { i =>
+    val rows = (0 until n).map(i => Row(i.toLong, csvTypedDoc(i)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4),
+      StructType(Seq(
+        StructField("id", LongType, false),
+        StructField("text", StringType, true))))
+  }
+
+  /** One typed-fixture shard (shared with the ScaleProof generator). */
+  private[graft] def csvTypedDoc(i: Int): String = {
+    {
       val d = Delims(i % 4)
       val q = Quotes(i % 2)
       val nf = 2 + i % 3
@@ -305,15 +315,9 @@ object CsvSniff {
           }
         }.mkString(d.toString)
       }
-      val text = (header ++ data).mkString("\n") +
+      (header ++ data).mkString("\n") +
         (if (i % 5 == 0) "\n" else "")
-      Row(i.toLong, text)
     }
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 4),
-      StructType(Seq(
-        StructField("id", LongType, false),
-        StructField("text", StringType, true))))
   }
 
   /** Fixture laws (shard i): delimiter by i%4, quote by i%2, header

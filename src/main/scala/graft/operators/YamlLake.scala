@@ -504,7 +504,17 @@ object YamlLake {
     * real-world emitter styles), and a depth-3 `build.env` mapping
     * (os: linux(i%3); jobs: 2+i%4). */
   def yamlFixture(spark: SparkSession, n: Int): DataFrame = {
-    val rows = (0 until n).map { i =>
+    val rows = (0 until n).map(i => Row(i.toLong, yamlDoc(i)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4),
+      StructType(Seq(
+        StructField("id", LongType, false),
+        StructField("media", BinaryType, true))))
+  }
+
+  /** One fixture document (shared with the ScaleProof generator). */
+  private[graft] def yamlDoc(i: Int): Array[Byte] = {
+    {
       val sb = new StringBuilder
       sb.append("# graft fixture " + i + "\n")
       if (i % 3 == 0) sb.append("---\n")
@@ -533,12 +543,7 @@ object YamlLake {
       sb.append("  env:\n")
       sb.append("    os: linux" + i % 3 + "\n")
       sb.append("    jobs: " + (2 + i % 4) + "\n")
-      Row(i.toLong, sb.toString.getBytes("UTF-8"))
+      sb.toString.getBytes("UTF-8")
     }
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 4),
-      StructType(Seq(
-        StructField("id", LongType, false),
-        StructField("media", BinaryType, true))))
   }
 }

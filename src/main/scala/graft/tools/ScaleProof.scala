@@ -489,6 +489,51 @@ object ScaleProof {
       finally spark.conf.set("spark.sql.files.maxPartitionBytes", oldSplit)
     }
 
+    // ---- config-lake census family (r16): small TEXT configs ∝ N —
+    // the metadata layer of a hub crawl (YAML model/dataset cards,
+    // CSV shards with unknown dialects). Same corpus shape and claim
+    // as the footer census: millions of sub-KB blobs are scan-bound
+    // and shuffle-free below the final aggregate; "add executors" is
+    // the whole scaling story.
+    if (!new java.io.File(s"$out/_done_cfg").exists()) {
+      import spark.implicits._
+      val nCfg = 3000L * k
+      spark.range(nCfg).repartition(math.max(32, 2 * k)).as[Long]
+        .map(r => (r, graft.operators.YamlLake.yamlDoc((r % 4096).toInt)))
+        .toDF("id", "media")
+        .write.mode("overwrite").parquet(s"$out/yaml.parquet")
+      spark.range(nCfg).repartition(math.max(32, 2 * k)).as[Long]
+        .map(r =>
+          (r, graft.operators.CsvSniff.csvTypedDoc((r % 4096).toInt)))
+        .toDF("id", "text")
+        .write.mode("overwrite").parquet(s"$out/csv.parquet")
+      new java.io.File(s"$out/_done_cfg").createNewFile()
+    }
+    if (wanted("yaml_census")) {
+      val oldSplit = spark.conf.get("spark.sql.files.maxPartitionBytes")
+      spark.conf.set("spark.sql.files.maxPartitionBytes", (4 << 20).toString)
+      def pass() = graft.operators.YamlLake.extractYaml(
+          spark.read.parquet(s"$out/yaml.parquet"), "id", "media")
+        .agg(sum(col("lval")).as("lsum"),
+          countDistinct(col("kind")).as("kinds"),
+          count(lit(1)).as("leaves"))
+      pass().collect() // untimed codegen warm-up (steady-state claim)
+      try run("yaml_census")(pass())
+      finally spark.conf.set("spark.sql.files.maxPartitionBytes", oldSplit)
+    }
+    if (wanted("csv_census")) {
+      val oldSplit = spark.conf.get("spark.sql.files.maxPartitionBytes")
+      spark.conf.set("spark.sql.files.maxPartitionBytes", (4 << 20).toString)
+      def pass() = graft.operators.CsvSniff.extractCsv(
+          spark.read.parquet(s"$out/csv.parquet"), "id", "text")
+        .agg(sum(col("lsum")).as("vsum"),
+          countDistinct(col("kind")).as("kinds"),
+          count(lit(1)).as("cols"))
+      pass().collect() // untimed codegen warm-up (steady-state claim)
+      try run("csv_census")(pass())
+      finally spark.conf.set("spark.sql.files.maxPartitionBytes", oldSplit)
+    }
+
     // ---- graph family (r11 VERDICT #7): edges ∝ N·k, FORCED onto
     // the distributed checkpoint path at every scale (driver kernel
     // and cache path disabled) so the superstep/adjacency machinery
