@@ -18,8 +18,9 @@ package graft.operators
   *  - BitsPerSample: all 8, or all 1 (bilevel — the scanned-document
   *    depth; the tag's TIFF default IS 1 bit, so absence resolves per
   *    the spec); bilevel admits photometric 0/1 and Compression 1
-  *    (byte-aligned packed rows) or 4 (CCITT G4/T.6 — photometric 0
-  *    only, the sense scanners write; see the G4 section);
+  *    (byte-aligned packed rows), 4 (CCITT G4/T.6) or 2 (CCITT MH
+  *    1D, "CCITT RLE") — the fax coders under photometric 0 only,
+  *    the sense scanners write; see the G4/MH sections;
   *  - strip organization (RowsPerStrip default = all rows, matching
   *    StripOffsets/StripByteCounts counts, every strip decoding to
   *    exactly rows·width·spp samples) XOR tile organization (tags
@@ -35,8 +36,8 @@ package graft.operators
   *    PlanarConfiguration 2, Orientation != 1, FillOrder != 1,
   *    ExtraSamples present, SampleFormat != unsigned, unknown
   *    compression, bits-per-sample outside {1, 8}, mixed strip+tile
-  *    tag families, G4 on photometric 1, fax G3/RLE (Compression
-  *    2/3).
+  *    tag families, fax coders on photometric 1, G3 with EOLs
+  *    (Compression 3).
   *
   * TIFF LZW (the one genuinely tricky layer): MSB-first bit packing,
   * ClearCode 256 / EOI 257 / first dynamic code 258, 9→12 bit codes
@@ -313,6 +314,8 @@ object TiffLake {
       if (n > 0) { buf.write(cur << (8 - n)); cur = 0; n = 0 }
       buf.toByteArray
     }
+    /** Zero-pad to the next byte boundary (the MH-1D row law). */
+    def align(): Unit = if (n > 0) { buf.write(cur << (8 - n)); cur = 0; n = 0 }
   }
 
   private[graft] def lzwEncode(in: Array[Byte]): Array[Byte] = {
@@ -587,34 +590,107 @@ object TiffLake {
     out
   }
 
+  // encoder-side MH lookup tables (shared by G4 and the 1D coder)
+  private lazy val TermW: Array[(Int, Int)] = {
+    val a = new Array[(Int, Int)](64)
+    WhiteTerm.foreach { case (r, c, l) => a(r) = (c, l) }
+    a
+  }
+  private lazy val TermB: Array[(Int, Int)] = {
+    val a = new Array[(Int, Int)](64)
+    BlackTerm.foreach { case (r, c, l) => a(r) = (c, l) }
+    a
+  }
+  private lazy val MkW: Map[Int, (Int, Int)] =
+    (WhiteMakeup ++ ExtMakeup).map { case (r, c, l) => r -> ((c, l)) }
+      .toMap
+  private lazy val MkB: Map[Int, (Int, Int)] =
+    (BlackMakeup ++ ExtMakeup).map { case (r, c, l) => r -> ((c, l)) }
+      .toMap
+
+  private def mhWrite(bw: MsbBw, run0: Int, black: Boolean): Unit = {
+    var run = run0
+    while (run >= 2624) {
+      val (c, l) = if (black) MkB(2560) else MkW(2560)
+      bw.write(c, l)
+      run -= 2560
+    }
+    if (run >= 64) {
+      val (c, l) = if (black) MkB(run / 64 * 64) else MkW(run / 64 * 64)
+      bw.write(c, l)
+      run %= 64
+    }
+    val (c, l) = if (black) TermB(run) else TermW(run)
+    bw.write(c, l)
+  }
+
+  // ------------------------------------------------------------------
+  // CCITT MH 1D (TIFF Compression=2, "CCITT RLE" — the T.4 one-
+  // dimensional coder old scanners and faxes wrote): each row is an
+  // independent alternating white/black MH run sequence starting
+  // white (a black-first row opens with white run 0), runs summing
+  // EXACTLY to the row width, and — the TIFF variant's law — every
+  // row starts on a byte boundary (no EOL codes).
+
+  /** Decode one MH-1D segment to one byte per sample. */
+  private[graft] def mh1dDecode(in: Array[Byte], w: Int,
+      rows: Int): Array[Byte] = {
+    if (w < 1 || rows < 1) throw Fail
+    val out = new Array[Byte](w * rows)
+    val br = new MsbBits(in)
+    var y = 0
+    while (y < rows) {
+      var x = 0
+      var black = false
+      var runIdx = 0
+      while (x < w) {
+        val run = mhRun(br, black, w - x)
+        // a zero run is legal ONLY as the row's leading white run
+        // (first pixel black); anywhere else — including a black 0
+        // right after it — the decoder would loop forever
+        if (run == 0 && runIdx > 0) throw Fail
+        runIdx += 1
+        if (black)
+          java.util.Arrays.fill(out, y * w + x, y * w + x + run,
+            1.toByte)
+        x += run
+        black = !black
+      }
+      br.pos = (br.pos + 7) / 8 * 8 // rows are byte-aligned
+      y += 1
+    }
+    if (br.lim - br.pos >= 8) throw Fail
+    out
+  }
+
+  /** Encode one segment of samples as MH 1D. */
+  private[graft] def mh1dEncode(samples: Array[Byte], w: Int,
+      rows: Int): Array[Byte] = {
+    require(samples.length == w * rows && w >= 1 && rows >= 1)
+    val bw = new MsbBw
+    var y = 0
+    while (y < rows) {
+      var x = 0
+      var black = false
+      while (x < w) {
+        var run = 0
+        while (x + run < w &&
+          ((samples(y * w + x + run) != 0) == black)) run += 1
+        mhWrite(bw, run, black)
+        x += run
+        black = !black
+      }
+      bw.align()
+      y += 1
+    }
+    bw.bytes
+  }
+
   /** Encode one segment of samples (0 white, 1 black) as G4. */
   private[graft] def g4Encode(samples: Array[Byte], w: Int, rows: Int,
       eofb: Boolean = false): Array[Byte] = {
     require(samples.length == w * rows && w >= 1 && rows >= 1)
     val bw = new MsbBw
-    val termW = new Array[(Int, Int)](64)
-    val termB = new Array[(Int, Int)](64)
-    WhiteTerm.foreach { case (r, c, l) => termW(r) = (c, l) }
-    BlackTerm.foreach { case (r, c, l) => termB(r) = (c, l) }
-    val mkW = (WhiteMakeup ++ ExtMakeup).map { case (r, c, l) =>
-      r -> ((c, l)) }.toMap
-    val mkB = (BlackMakeup ++ ExtMakeup).map { case (r, c, l) =>
-      r -> ((c, l)) }.toMap
-    def mhWrite(run0: Int, black: Boolean): Unit = {
-      var run = run0
-      while (run >= 2624) {
-        val (c, l) = if (black) mkB(2560) else mkW(2560)
-        bw.write(c, l)
-        run -= 2560
-      }
-      if (run >= 64) {
-        val (c, l) = if (black) mkB(run / 64 * 64) else mkW(run / 64 * 64)
-        bw.write(c, l)
-        run %= 64
-      }
-      val (c, l) = if (black) termB(run) else termW(run)
-      bw.write(c, l)
-    }
     def transitions(y: Int): Array[Int] = {
       val t = scala.collection.mutable.ArrayBuffer.empty[Int]
       var prev = 0
@@ -662,8 +738,8 @@ object TiffLake {
           val a2 = if (ci + 1 < curT.length && curT(ci + 1) < w &&
             a1 < w) curT(ci + 1) else w
           bw.write(1, 3) // 001
-          mhWrite(a1 - a0f, black)
-          mhWrite(a2 - a1, !black)
+          mhWrite(bw, a1 - a0f, black)
+          mhWrite(bw, a2 - a1, !black)
           a0 = a2
         }
       }
@@ -764,12 +840,13 @@ object TiffLake {
       if (bps == 8) {
         if (comp != 1 && comp != 5 && comp != 32773) throw Fail
       } else {
-        // bilevel subset: raw packed rows, or CCITT G4 — whose
-        // white/black runs are the photometric-0 sense (min-is-white,
-        // the one scanners write); G4 under pm 1 would silently
-        // invert every document, so it rejects
-        if (comp != 1 && comp != 4) throw Fail
-        if (comp == 4 && pm != 0) throw Fail
+        // bilevel subset: raw packed rows, CCITT G4, or CCITT MH 1D
+        // (Compression 2, "CCITT RLE") — whose white/black runs are
+        // the photometric-0 sense (min-is-white, the one scanners
+        // write); either fax coder under pm 1 would silently invert
+        // every document, so they reject
+        if (comp != 1 && comp != 2 && comp != 4) throw Fail
+        if (comp != 1 && pm != 0) throw Fail
       }
       val pred = ent(317).map(scalar(rd, _)).getOrElse(1L).toInt
       if (pred != 1 && (pred != 2 || comp != 5)) throw Fail
@@ -816,6 +893,7 @@ object TiffLake {
           dec
         } else comp match {
           case 4 => g4Decode(in, sw, sh)
+          case 2 => mh1dDecode(in, sw, sh)
           case _ => // raw packed bits, each row byte-aligned
             val rowBytes = (sw + 7) / 8
             if (in.length != rowBytes * sh) throw Fail
@@ -953,8 +1031,8 @@ object TiffLake {
       (opts.predictor == 2 && opts.compression == 5))
     require(opts.bitsPerSample == 8 ||
       (opts.bitsPerSample == 1 && opts.photometric <= 1 &&
-        (opts.compression == 1 || opts.compression == 4)))
-    require(opts.compression != 4 ||
+        Set(1, 2, 4)(opts.compression)))
+    require((opts.compression != 4 && opts.compression != 2) ||
       (opts.bitsPerSample == 1 && opts.photometric == 0))
     require((opts.tileWidth == 0) == (opts.tileLength == 0))
     require(opts.tileWidth % 16 == 0 && opts.tileLength % 16 == 0)
@@ -996,6 +1074,7 @@ object TiffLake {
     def encodeSeg(seg: Array[Byte], sw: Int, sh: Int): Array[Byte] =
       if (bilevel) opts.compression match {
         case 4 => g4Encode(seg, sw, sh, opts.eofb)
+        case 2 => mh1dEncode(seg, sw, sh)
         case _ => // raw packed bits, each row byte-aligned
           val rowBytes = (sw + 7) / 8
           val out = new Array[Byte](rowBytes * sh)
@@ -1197,16 +1276,17 @@ object TiffLake {
   }
 
   /** Fixture: the q190 law image per id (scale 1 + id%3) behind
-    * TWELVE wire variants routed by id % 12 — both endians, all four
-    * photometrics, compressions none/LZW/PackBits/G4, single- and
-    * multi-strip AND tiled layouts, both predictors, 8-bit and
-    * bilevel depths. Variants 0-7 carry the grayscale ramp law;
-    * variants 8/9/11 are BILEVEL renderings of the same dHash bit law
-    * (cell (x,y) black iff bit(x,y)) — raw packed rows, G4 strips and
-    * G4 tiles — and variant 10 is the ramp law in LZW tiles; so the
-    * pixel columns stay wire-blind within each depth class and the
-    * wire columns (n_strips, compression) are closed-form in id. */
-  private[graft] def tiffOptsFor(i: Int): TiffOpts = (i % 12) match {
+    * THIRTEEN wire variants routed by id % 13 — both endians, all
+    * four photometrics, compressions none/LZW/PackBits/G4/MH-1D,
+    * single- and multi-strip AND tiled layouts, both predictors,
+    * 8-bit and bilevel depths. Variants 0-7 carry the grayscale ramp
+    * law; variants 8/9/11/12 are BILEVEL renderings of the same
+    * dHash bit law (cell (x,y) black iff bit(x,y)) — raw packed
+    * rows, G4 strips, G4 tiles and MH-1D strips — and variant 10 is
+    * the ramp law in LZW tiles; so the pixel columns stay wire-blind
+    * within each depth class and the wire columns (n_strips,
+    * compression) are closed-form in id. */
+  private[graft] def tiffOptsFor(i: Int): TiffOpts = (i % 13) match {
     case 0 => TiffOpts()
     case 1 => TiffOpts(bigEndian = true, compression = 32773,
       rowsPerStrip = 3)
@@ -1223,9 +1303,11 @@ object TiffLake {
     case 9 => TiffOpts(bigEndian = true, photometric = 0,
       bitsPerSample = 1, compression = 4)
     case 10 => TiffOpts(compression = 5, tileWidth = 16, tileLength = 16)
-    case _ => TiffOpts(bigEndian = true, photometric = 0,
+    case 11 => TiffOpts(bigEndian = true, photometric = 0,
       bitsPerSample = 1, compression = 4, tileWidth = 16,
       tileLength = 16, eofb = true)
+    case _ => TiffOpts(photometric = 0, bitsPerSample = 1,
+      compression = 2, rowsPerStrip = 4)
   }
 
   /** The dHash bit law rendered bilevel: cell (x,y) of the 9×8 grid
@@ -1246,7 +1328,8 @@ object TiffLake {
     import org.apache.spark.sql.types._
     val rows = (0 until n).map { i =>
       val s = 1 + i % 3
-      val bilevel = (i % 12) == 8 || (i % 12) == 9 || (i % 12) == 11
+      val v = i % 13
+      val bilevel = v == 8 || v == 9 || v == 11 || v == 12
       val px =
         if (bilevel) bilevelLawPixels(Multimodal.dhashBit(i), s)
         else Multimodal.dhashLawPixels(Multimodal.dhashBit(i), s)

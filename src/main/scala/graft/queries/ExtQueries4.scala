@@ -5366,9 +5366,9 @@ object ExtQueries4 {
   // corpora; the pixel half of the TIFF surface — ExifLake walks the
   // metadata half): 40 files, one pixel law per depth class (the
   // q190 dHash law image at scale 1+i%3; its BILEVEL rendering for
-  // the scanned-document variants) behind TWELVE wire variants
-  // routed by i%12 — both endians, photometric 0/1/2/3, compression
-  // none/LZW/PackBits/CCITT-G4, single- and multi-strip AND tiled
+  // the scanned-document variants) behind THIRTEEN wire variants
+  // routed by i%13 — both endians, photometric 0/1/2/3, compression
+  // none/LZW/PackBits/CCITT-G4/CCITT-MH-1D, single/multi-strip + tiled
   // layouts, both predictors, 8-bit and 1-bit depths — so the pixel
   // columns are wire-blind within each class and the wire columns
   // (n_strips = segment count, compression) are closed-form in id.
@@ -5394,7 +5394,7 @@ object ExtQueries4 {
   val q222Sql: String =
     s"""WITH base AS (
          SELECT r AS id, 1 + r % 3 AS s, r // 3 AS g, r % 3 AS m,
-                (r // 3) - ((r // 3) % 2) AS geff, r % 12 AS v
+                (r // 3) - ((r // 3) % 2) AS geff, r % 13 AS v
          FROM range(0, $TiffN) t(r)),
        wire AS (
          SELECT id, s, v,
@@ -5402,13 +5402,16 @@ object ExtQueries4 {
              ((9 * s + 15) // 16) * ((8 * s + 15) // 16)
            ELSE (8 * s
              + CASE v WHEN 1 THEN 3 WHEN 2 THEN 2 WHEN 5 THEN 5
-                 WHEN 6 THEN 4 WHEN 8 THEN 3 ELSE 8 * s END - 1)
+                 WHEN 6 THEN 4 WHEN 8 THEN 3 WHEN 12 THEN 4
+                 ELSE 8 * s END - 1)
              // CASE v WHEN 1 THEN 3 WHEN 2 THEN 2 WHEN 5 THEN 5
-                 WHEN 6 THEN 4 WHEN 8 THEN 3 ELSE 8 * s END
+                 WHEN 6 THEN 4 WHEN 8 THEN 3 WHEN 12 THEN 4
+                 ELSE 8 * s END
            END AS nsegs,
            CASE v WHEN 1 THEN 32773 WHEN 7 THEN 32773
                 WHEN 3 THEN 5 WHEN 6 THEN 5 WHEN 10 THEN 5
-                WHEN 9 THEN 4 WHEN 11 THEN 4 ELSE 1 END AS comp
+                WHEN 9 THEN 4 WHEN 11 THEN 4 WHEN 12 THEN 2
+                ELSE 1 END AS comp
          FROM base),
        grid AS (
          SELECT id, s, y, x,
@@ -5469,12 +5472,12 @@ object ExtQueries4 {
          CAST(8 * st.s AS INT) AS height,
          CAST(w.nsegs AS INT) AS n_strips,
          CAST(w.comp AS INT) AS compression,
-         CASE WHEN w.v IN (8, 9, 11)
+         CASE WHEN w.v IN (8, 9, 11, 12)
            THEN CAST(255 * st.s * st.s * bs.nwhite AS BIGINT)
            ELSE st.gray_sum END AS gray_sum,
-         CAST(CASE WHEN w.v IN (8, 9, 11) THEN 2 ELSE st.n_colors END
+         CAST(CASE WHEN w.v IN (8, 9, 11, 12) THEN 2 ELSE st.n_colors END
            AS INT) AS n_colors,
-         CASE WHEN w.v IN (8, 9, 11) THEN bf.fp ELSE f.fp END AS dhash,
+         CASE WHEN w.v IN (8, 9, 11, 12) THEN bf.fp ELSE f.fp END AS dhash,
          true AS valid
        FROM stats st JOIN fps f ON st.id = f.id
        JOIN bsum bs ON st.id = bs.id

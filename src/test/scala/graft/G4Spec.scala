@@ -156,6 +156,61 @@ class G4Spec extends SparkSpec {
   }
 
   // ------------------------------------------------------------------
+  // CCITT MH 1D (TIFF Compression 2, "CCITT RLE")
+
+  test("MH 1D: hand vectors, row byte-alignment, round-trips") {
+    // BBBBWWWW: white 0 (00110101), black 4 (011), white 4 (1011) —
+    // hand-derived, decoder-independent
+    assert(TiffLake.mh1dDecode(bits("00110101 011 1011"), 8, 1).toSeq ==
+      Seq[Byte](1, 1, 1, 1, 0, 0, 0, 0))
+    // two rows, each byte-aligned: all-white 8 (10011) wait — white 8
+    // = 10011: row0 all white, row1 all black (white 0 + black 8)
+    assert(TiffLake.mh1dDecode(
+      bits("10011 000 00110101 000101 00"), 8, 2).toSeq ==
+      Seq[Byte](0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 1, 1, 1, 1))
+    // strictness: a mid-row zero run would loop forever; the decoder
+    // rejects it (white 0 after a black run)
+    intercept[Throwable](TiffLake.mh1dDecode(
+      bits("00110101 011 00110101 1011"), 8, 1))
+    // a black 0 right after the leading white 0 as well
+    intercept[Throwable](TiffLake.mh1dDecode(
+      bits("00110101 0000110111 00110101 000101"), 8, 1))
+    // run overrunning the row width
+    intercept[Throwable](TiffLake.mh1dDecode(
+      bits("10011"), 6, 1)) // white 8 into a 6-wide row
+    intercept[Throwable](TiffLake.mh1dDecode(bits(""), 8, 1))
+    // round-trips across makeup boundaries and shapes
+    for (n <- Seq(1, 63, 64, 1664, 1792, 2624, 3000)) {
+      val white = new Array[Byte](n)
+      assert(java.util.Arrays.equals(
+        TiffLake.mh1dDecode(TiffLake.mh1dEncode(white, n, 1), n, 1),
+        white), s"white $n")
+      val black = Array.fill[Byte](n)(1)
+      assert(java.util.Arrays.equals(
+        TiffLake.mh1dDecode(TiffLake.mh1dEncode(black, n, 1), n, 1),
+        black), s"black $n")
+    }
+    val rnd = new scala.util.Random(46002)
+    (0 until 80).foreach { t =>
+      val w = 1 + rnd.nextInt(120)
+      val rows = 1 + rnd.nextInt(16)
+      val samples = Array.fill[Byte](w * rows)(
+        if (rnd.nextInt(3) == 0) 1 else 0)
+      val enc = TiffLake.mh1dEncode(samples, w, rows)
+      assert(java.util.Arrays.equals(
+        TiffLake.mh1dDecode(enc, w, rows), samples), s"sweep $t")
+    }
+    // container level: MH-1D strips and both dimensions
+    val px = bilevelImage(77, 23, 18)
+    val enc = TiffLake.encodeTiff(px, 23, 18, TiffOpts(photometric = 0,
+      compression = 2, bitsPerSample = 1, rowsPerStrip = 5))
+    val got = TiffLake.parseTiff(enc)
+    assert(got.nonEmpty && java.util.Arrays.equals(got.get.argb, px),
+      "MH-1D container round-trip")
+    assert(got.get.compression == 2 && got.get.nStrips == 4)
+  }
+
+  // ------------------------------------------------------------------
   // encoder/decoder round-trip across the makeup boundaries
 
   private def roundTrip(samples: Array[Byte], w: Int, rows: Int,
@@ -313,16 +368,22 @@ class G4Spec extends SparkSpec {
     val fx = TiffLake.tiffFixture(spark, 40).orderBy("id").collect()
     fx.foreach { r =>
       val i = r.getLong(0).toInt
-      val v = i % 12
-      if (v == 8 || v == 9 || v == 11) {
+      val v = i % 13
+      if (v == 8 || v == 9 || v == 11 || v == 12) {
         val s = 1 + i % 3
         val img = TiffLake.parseTiff(r.getAs[Array[Byte]](1)).get
         val want = TiffLake.bilevelLawPixels(Multimodal.dhashBit(i), s)
         assert(java.util.Arrays.equals(img.argb, want), s"id=$i pixels")
-        assert(img.compression == (if (v == 8) 1 else 4), s"id=$i comp")
+        val expComp = v match {
+          case 8 => 1
+          case 12 => 2
+          case _ => 4
+        }
+        assert(img.compression == expComp, s"id=$i comp")
         val expSegs =
           if (v == 11) ((9 * s + 15) / 16) * ((8 * s + 15) / 16)
           else if (v == 9) 1
+          else if (v == 12) (8 * s + 3) / 4
           else (8 * s + 2) / 3
         assert(img.nStrips == expSegs, s"id=$i segments")
         // the extractTiff dhash law: bit k = black(k) && !black(k+1)

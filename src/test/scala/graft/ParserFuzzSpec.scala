@@ -279,7 +279,12 @@ class ParserFuzzSpec extends AnyFunSuite {
         if ((i * 7) % 11 < 4) 0xff000000 else 0xffffffff), 18, 17,
       graft.operators.TiffLake.TiffOpts(photometric = 0,
         bitsPerSample = 1, compression = 4, tileWidth = 16,
-        tileLength = 16, eofb = true)))
+        tileLength = 16, eofb = true)),
+    "tiff-mh1d" -> graft.operators.TiffLake.encodeTiff(
+      Array.tabulate(18 * 9)(i =>
+        if ((i * 5) % 9 < 3) 0xff000000 else 0xffffffff), 18, 9,
+      graft.operators.TiffLake.TiffOpts(photometric = 0,
+        bitsPerSample = 1, compression = 2, rowsPerStrip = 4)))
 
   test("every single-byte corruption of a valid stream never throws") {
     validStreams.foreach { case (sname, v) =>
