@@ -310,8 +310,12 @@ object ParquetLake {
                 case _ => false
               }
             }
-            if (pt < 0 || pt > 3 || enc < 0 || enc > 9 || cnt < 1)
-              throw Fail
+            // cnt is attacker-controlled i32: 64 entries of 2^30
+            // would wrap the Int accumulators into a census that
+            // LOOKS valid — bound each term before the sum (the
+            // ExifLake/TiffLake wrap lesson, page-count form)
+            if (pt < 0 || pt > 3 || enc < 0 || enc > 9 || cnt < 1 ||
+                cnt > (1 << 24)) throw Fail
             pt match {
               case 0 => pagesV1 += cnt
               case 2 => dictPages += cnt

@@ -167,8 +167,17 @@ object YamlLake {
       val fp = body.substring(dot + 1)
       if (fp.length < 1 || fp.length > 2 || !fp.forall(_.isDigit)) throw Fail
       val cents = Integer.parseInt(fp) * (if (fp.length == 1) 10 else 1)
-      // `neg` carries the "-0.xx" case the signed int cannot represent
-      val x100 = if (neg) iv * 100 - cents else iv * 100 + cents
+      // `neg` carries the "-0.xx" case the signed int cannot
+      // represent. An 18-digit integer part × 100 exceeds Long —
+      // reject-never-guess: overflow is a Fail, not a wrapped value
+      // (the TomlLake r14-ADVICE lesson, repeated here before the
+      // advisor had to)
+      val x100 =
+        try {
+          val scaled = Math.multiplyExact(iv, 100L)
+          if (neg) Math.subtractExact(scaled, cents.toLong)
+          else Math.addExact(scaled, cents.toLong)
+        } catch { case _: ArithmeticException => throw Fail }
       return YamlEntry("", "float", None, None, Some(x100), None)
     }
     // plain string: the first char must not be a YAML indicator

@@ -147,6 +147,8 @@ class YamlLakeSpec extends SparkSpec {
       "hex int" -> "a: 0x1F\n",
       "exponent float" -> "a: 1e5\n",
       "three decimals" -> "a: 1.234\n",
+      "float x100 overflow" -> "a: 999999999999999999.99\n",
+      "negative float x100 overflow" -> "a: -999999999999999999.99\n",
       "dotted version" -> "a: 1.2.3\n",
       "bad calendar date" -> "a: 2024-13-01\n",
       "trailing junk after int" -> "a: 5#x\n",
@@ -177,6 +179,10 @@ class YamlLakeSpec extends SparkSpec {
       assert(parse(doc).isEmpty, name)
     }
     assert(parse("a: 1\n").nonEmpty, "control")
+    // the largest float that fits the exact x100 axis parses to
+    // EXACTLY Long.MaxValue — one cent more overflows above
+    assert(parse("a: 92233720368547758.07\n").get.head.fx100
+      .contains(Long.MaxValue), "x100 upper edge")
     assert(YamlLake.parseYaml(null).isEmpty)
     assert(YamlLake.parseYaml(Array.emptyByteArray).isEmpty)
     // invalid UTF-8 rejects
