@@ -379,7 +379,10 @@ object ArrowLake {
         val exts = Array.tabulate(nPer) { j =>
           val o = mfb.i64(bf0 + 16 * (bi + j))
           val l = mfb.i64(bf0 + 16 * (bi + j) + 8)
-          if (o < 0 || l < 0 || o + l > bodyLen) throw Fail
+          // bound each term before the sum: two huge i64s wrap o+l
+          // negative and would pass a sum-only check
+          if (o < 0 || l < 0 || o > bodyLen || l > bodyLen ||
+            o + l > bodyLen) throw Fail
           (o, l)
         }
         // data-buffer size laws, on the UNCOMPRESSED lengths

@@ -918,7 +918,10 @@ object TiffLake {
           val tl = scalar(rd, req(323))
           // TIFF 6.0: tile dimensions are multiples of 16; edge tiles
           // pad to the full tile grid and the padding is discarded
-          if (tw < 16 || tl < 16 || tw % 16 != 0 || tl % 16 != 0 ||
+          // bound each factor before the product: two ~3e9 u32 dims
+          // wrap tw*tl negative and would pass a product-only check
+          if (tw < 16 || tl < 16 || tw > (1L << 22) || tl > (1L << 22) ||
+              tw % 16 != 0 || tl % 16 != 0 ||
               tw * tl > (1L << 22)) throw Fail
           val across = ((w + tw - 1) / tw).toInt
           val down = ((h + tl - 1) / tl).toInt

@@ -324,6 +324,40 @@ class TiffLakeSpec extends SparkSpec {
     assert(TiffLake.parseTiff(mk(1)).nonEmpty, "control: 1x1 parses")
   }
 
+  test("u32 tile dimension product cannot wrap the Long bound") {
+    // tw = tl = 0xB504F340 (~3.04e9, a multiple of 16, a legal u32):
+    // the product is just past 2^63, so an unguarded `tw * tl > bound`
+    // wraps negative and passes — tw.toInt then goes negative and the
+    // LZW segment path would allocate a negative-size array
+    // (NegativeArraySizeException escaping parse->Option). Each
+    // factor must reject on its own, as the image w/h guard does.
+    def mk(tdim: Int): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def u16(v: Int): Unit = { out.write(v & 0xff); out.write(v >> 8) }
+      def u32(v: Int): Unit = { u16(v & 0xffff); u16(v >>> 16) }
+      out.write('I'); out.write('I'); u16(42)
+      u32(8 + 256) // one 16x16 gray tile at 8, IFD after it
+      (0 until 256).foreach(i => out.write(i & 0xff))
+      u16(10)
+      def shortEnt(tag: Int, v: Int): Unit = {
+        u16(tag); u16(3); u32(1); u16(v); u16(0)
+      }
+      def longEnt(tag: Int, v: Int): Unit = {
+        u16(tag); u16(4); u32(1); u32(v)
+      }
+      longEnt(256, 16); longEnt(257, 16)
+      shortEnt(258, 8); shortEnt(259, 1); shortEnt(262, 1)
+      shortEnt(277, 1)
+      longEnt(322, tdim); longEnt(323, tdim)
+      longEnt(324, 8); longEnt(325, 256)
+      u32(0)
+      out.toByteArray
+    }
+    assert(TiffLake.parseTiff(mk(0xB504F340)).isEmpty, "wrap tile dims")
+    assert(TiffLake.parseTiff(mk(0xFFFFFFF0)).isEmpty, "u32 max tile dims")
+    assert(TiffLake.parseTiff(mk(16)).nonEmpty, "control: 16x16 tile parses")
+  }
+
   test("byte-flip + truncation sweeps never throw; survivors well-formed") {
     val seeds = Seq(
       TiffLake.encodeTiff(image(90, 11, 9), 11, 9,
