@@ -34,10 +34,20 @@ import org.apache.spark.sql.types._
   *    word (`yes`/`On`/`None`/`nan`/`True`…) rejects rather than
   *    silently resolving — the 1.1-vs-1.2 "Norway problem" is a
   *    reject, not a guess;
+  *  - block scalars (YAML 1.2 sec 8.1) as MAPPING values: literal
+  *    (`|`) and folded (`>`) with the chomping indicators (`-` strip,
+  *    `+` keep, none clip) and the explicit indentation indicator
+  *    (1-9, relative to the key's indent), in either order; content
+  *    ends at the first less-indented non-empty line or EOF. Strict
+  *    sub-laws (reject, never guess): trailing spaces on a content
+  *    line, an all-space line longer than the block indent, a leading
+  *    empty line more indented than the auto-detected indent, and —
+  *    folded only — more-indented content lines (whose breaks the
+  *    spec does NOT fold) all reject;
   *  - flow: ONE level of flow sequences `[a, 1, "b"]` as a mapping
   *    value (scalar elements only); flow mappings, nested flow,
-  *    anchors, aliases, tags, directives, block scalars (`|`/`>`)
-  *    and multi-document streams are out of subset.
+  *    anchors, aliases, tags, directives, block scalars as SEQUENCE
+  *    items, and multi-document streams are out of subset.
   *
   * Emits one row per leaf in APPEARANCE order; every sequence also
   * emits a container row carrying its element count. One blob = one
@@ -233,6 +243,19 @@ object YamlLake {
     }
   }
 
+  /** One open block scalar (YAML 1.2 sec 8.1): accumulates logical
+    * content lines until a less-indented non-empty line (or EOF)
+    * closes it. `indent` is -1 until auto-detection resolves it from
+    * the first non-empty content line. */
+  private final class BlkSt(val keyIndent: Int, val path: String,
+      val folded: Boolean, val chomp: Int) { // 0 clip, 1 strip, 2 keep
+    var indent: Int = -1
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    var pendingEmpties = 0 // leading empty lines before resolution
+    var maxLead = 0 // longest leading empty line (spec: must not
+    // exceed the detected indentation)
+  }
+
   private sealed trait Scope {
     def indent: Int
     def path: String
@@ -255,11 +278,18 @@ object YamlLake {
       // strict text: LF line breaks only; tabs reject everywhere (the
       // YAML indentation law, applied to the whole subset)
       if (text.exists(ch => ch < 0x20 && ch != '\n')) throw Fail
-      val lines = text.split("\n", -1)
+      // a final \n terminates the last line rather than opening an
+      // empty one — the phantom line would count as a trailing empty
+      // inside a keep-chomped block scalar
+      val lines0 = text.split("\n", -1)
+      val lines =
+        if (lines0.nonEmpty && lines0.last.isEmpty) lines0.dropRight(1)
+        else lines0
       if (lines.length > 8192) throw Fail
       val out = scala.collection.mutable.ArrayBuffer.empty[YamlEntry]
       val stack = scala.collection.mutable.ArrayBuffer.empty[Scope]
       var pending: Option[(Int, String)] = None // `key:` awaiting a block
+      var blk: Option[BlkSt] = None // an open block scalar
       var sawContent = false
       var sawDocStart = false
 
@@ -293,6 +323,32 @@ object YamlLake {
         val path = childPath(m.path, key)
         c.ws()
         if (c.eol) { pending = Some((m.indent, path)); return }
+        if (c.peek == '|' || c.peek == '>') {
+          // block scalar header: style, then at most one chomping
+          // indicator and one indentation indicator, either order
+          val folded = c.peek == '>'
+          c.p += 1
+          var chomp = 0
+          var sawChomp = false
+          var ind = -1
+          var more = true
+          while (more && c.p < c.s.length) {
+            val ch = c.s(c.p)
+            if ((ch == '-' || ch == '+') && !sawChomp) {
+              sawChomp = true
+              chomp = if (ch == '-') 1 else 2
+              c.p += 1
+            } else if (ch >= '1' && ch <= '9' && ind < 0) {
+              ind = ch - '0'
+              c.p += 1
+            } else more = false
+          }
+          c.finish() // anything but a space-led comment rejects
+          val b = new BlkSt(m.indent, path, folded, chomp)
+          if (ind > 0) b.indent = m.indent + ind
+          blk = Some(b)
+          return
+        }
         if (c.peek == '[') { // one-level flow sequence value
           c.p += 1
           val rowAt = out.length
@@ -317,6 +373,80 @@ object YamlLake {
         c.finish()
       }
 
+      /** Feed one raw line to the open block scalar; false when the
+        * line closes the block (caller reprocesses it). */
+      def consumeBlk(b: BlkSt, line: String): Boolean = {
+        var sp = 0
+        while (sp < line.length && line(sp) == ' ') sp += 1
+        if (sp == line.length) { // empty (all-space) line
+          if (b.indent < 0) {
+            b.pendingEmpties += 1
+            if (sp > b.maxLead) b.maxLead = sp
+          } else {
+            // spaces past the block indent would be invisible content
+            if (sp > b.indent) throw Fail
+            b.lines += ""
+          }
+          true
+        } else {
+          if (b.indent < 0) {
+            if (sp <= b.keyIndent) return false // no content: closes
+            b.indent = sp // auto-detected from the first content line
+            if (b.maxLead > sp) throw Fail // sec 8.1.1 leading-empty law
+            (0 until b.pendingEmpties).foreach(_ => b.lines += "")
+            b.pendingEmpties = 0
+          } else if (sp < b.indent) return false // dedent closes
+          val content = line.substring(b.indent)
+          if (content.last == ' ') throw Fail // trailing-space law
+          // folded: the spec does NOT fold breaks around more-indented
+          // lines — out of subset rather than a second assembly mode
+          if (b.folded && content(0) == ' ') throw Fail
+          b.lines += content
+          true
+        }
+      }
+
+      /** Assemble the block scalar's value (sec 8.1 chomping laws). */
+      def closeBlk(): Unit = {
+        val b = blk.get
+        blk = None
+        val ls: Seq[String] =
+          if (b.indent < 0) Seq.fill(b.pendingEmpties)("")
+          else b.lines.toSeq
+        var last = ls.length - 1
+        while (last >= 0 && ls(last).isEmpty) last -= 1
+        val body = ls.take(last + 1)
+        val trailingEmpties = ls.length - (last + 1)
+        val raw =
+          if (!b.folded) body.mkString("\n")
+          else {
+            // fold a single break between content lines to a space; a
+            // run of k empty lines contributes k newlines
+            val sb = new StringBuilder
+            var prevContent = false
+            var pend = 0
+            body.foreach { l =>
+              if (l.isEmpty) pend += 1
+              else {
+                if (prevContent && pend == 0) sb += ' '
+                else (0 until pend).foreach(_ => sb += '\n')
+                sb ++= l
+                prevContent = true
+                pend = 0
+              }
+            }
+            sb.toString
+          }
+        val value = b.chomp match {
+          case 1 => raw // strip: no trailing breaks
+          case 0 => if (raw.isEmpty) "" else raw + "\n" // clip: one
+          case _ => // keep: the final break plus every trailing empty
+            if (body.isEmpty) "\n" * trailingEmpties
+            else raw + ("\n" * (1 + trailingEmpties))
+        }
+        emit(YamlEntry(b.path, "str", None, Some(value), None, None))
+      }
+
       def seqItem(c: LCur, sq: SeqScope): Unit = {
         c.p += 1 // the dash
         if (c.p < c.s.length && c.s(c.p) != ' ') throw Fail
@@ -327,7 +457,7 @@ object YamlLake {
         c.finish()
       }
 
-      lines.foreach { line =>
+      def structuralLine(line: String): Unit = {
         val c = new LCur(line)
         c.ws()
         val indent = c.p
@@ -387,6 +517,15 @@ object YamlLake {
           }
         }
       }
+
+      lines.foreach { line =>
+        if (blk.isEmpty) structuralLine(line)
+        else if (!consumeBlk(blk.get, line)) {
+          closeBlk() // emit, then reprocess the closing line
+          structuralLine(line)
+        }
+      }
+      if (blk.nonEmpty) closeBlk() // EOF closes an open block scalar
       if (pending.nonEmpty) throw Fail // `key:` with no block
       while (stack.nonEmpty) popTop()
       if (out.isEmpty) throw Fail

@@ -128,8 +128,6 @@ class YamlLakeSpec extends SparkSpec {
       "anchor" -> "a: &x 1\n",
       "alias" -> "a: *x\n",
       "tag" -> "a: !!int 1\n",
-      "block literal" -> "a: |\n  x\n",
-      "block folded" -> "a: >\n  x\n",
       "flow mapping" -> "a: {b: 1}\n",
       "nested flow" -> "a: [[1], 2]\n",
       "flow map in flow seq" -> "a: [{x: 1}]\n",
@@ -174,7 +172,20 @@ class YamlLakeSpec extends SparkSpec {
       "unclosed flow" -> "a: [1, 2\n",
       "quoted key" -> "\"a\": 1\n",
       "empty document" -> "# only comments\n",
-      "trailing junk after quote" -> "a: 'x' y\n")
+      "trailing junk after quote" -> "a: 'x' y\n",
+      // block-scalar sub-laws (sec 8.1 strict subset)
+      "block as sequence item" -> "k:\n  - |\n    x\n",
+      "block header junk" -> "a: |x\n  x\n",
+      "block header two chomps" -> "a: |--\n  x\n",
+      "block header two indents" -> "a: |22\n  x\n",
+      "block header chomp pair" -> "a: |+-\n  x\n",
+      "block header indicator zero" -> "a: |0\n  x\n",
+      "block header comment no space" -> "a: |# c\n  x\n",
+      "block content trailing space" -> "a: |\n  x \n",
+      "all-space line past the indent" -> "a: |\n  x\n   \nb: 1\n",
+      "leading empty more indented than auto" -> "a: |\n    \n  x\n",
+      "explicit indent above the content" -> "a: |2\n x\n",
+      "folded more-indented line" -> "a: >\n  x\n   y\n")
     cases.foreach { case (name, doc) =>
       assert(parse(doc).isEmpty, name)
     }
@@ -187,6 +198,58 @@ class YamlLakeSpec extends SparkSpec {
     assert(YamlLake.parseYaml(Array.emptyByteArray).isEmpty)
     // invalid UTF-8 rejects
     assert(YamlLake.parseYaml(Array[Byte]('a', ':', ' ', 0xC3.toByte)).isEmpty)
+  }
+
+  test("block scalars: literal/folded x chomping x indentation laws") {
+    def v(doc: String): String = parse(doc).get.head.sval.get
+    // literal: clip keeps exactly one trailing newline
+    assert(v("a: |\n  x\n  y\n") == "x\ny\n")
+    assert(v("a: |-\n  x\n  y\n") == "x\ny")
+    // keep preserves every trailing empty line; clip drops them
+    assert(v("a: |+\n  x\n\n\n") == "x\n\n\n")
+    assert(v("a: |\n  x\n\n\nb: 1\n") == "x\n")
+    // interior empty lines and more-indented literal lines verbatim
+    assert(v("a: |\n  x\n\n  y\n") == "x\n\ny\n")
+    assert(v("a: |\n  x\n    y\n") == "x\n  y\n")
+    // folded: one break folds to a space, an empty line to a newline
+    assert(v("a: >\n  x\n  y\n") == "x y\n")
+    assert(v("a: >\n  x\n\n  y\n") == "x\ny\n")
+    assert(v("a: >\n  x\n\n\n  y\n") == "x\n\ny\n")
+    assert(v("a: >-\n  x\n  y\n") == "x y")
+    assert(v("a: >+\n  x\n\n") == "x\n\n")
+    // explicit indentation indicator, relative to the key's indent
+    assert(v("a: |2\n  x\n") == "x\n")
+    assert(v("a: |1\n x\n") == "x\n")
+    assert(v("a: |1\n  x\n") == " x\n") // deeper than explicit: content
+    // both indicator orders
+    assert(v("a: |-2\n  x\n") == "x")
+    assert(v("a: |2-\n  x\n") == "x")
+    // a dedent closes the block; the closing line is structural
+    assert(parse("a: |\n  x\nb: 1\n").get == Seq(
+      YamlEntry("a", "str", None, Some("x\n"), None, None),
+      YamlEntry("b", "int", Some(1L), None, None, None)))
+    // nested under a deeper mapping; a two-level dedent closes both
+    assert(parse("m:\n  a: |\n    x\n  b: 2\n").get == Seq(
+      YamlEntry("m.a", "str", None, Some("x\n"), None, None),
+      YamlEntry("m.b", "int", Some(2L), None, None, None)))
+    assert(parse("m:\n  a: |\n    x\nq: 1\n").get == Seq(
+      YamlEntry("m.a", "str", None, Some("x\n"), None, None),
+      YamlEntry("q", "int", Some(1L), None, None, None)))
+    // leading empty lines survive as leading newlines (both styles)
+    assert(v("a: |\n\n  x\n") == "\nx\n")
+    assert(v("a: >\n\n  x\n") == "\nx\n")
+    // zero content lines: clip/strip empty, keep counts the empties
+    assert(v("a: |\nb: 1\n") == "")
+    assert(v("a: |\n\n\nb: 1\n") == "")
+    assert(v("a: |+\n\n\nb: 1\n") == "\n\n")
+    // EOF closes an open block
+    assert(v("a: |-\n  x") == "x")
+    assert(v("a: |+\n  x\n\n") == "x\n\n")
+    // a space-led comment may trail the header; inside the block,
+    // '#' and the document markers are plain content
+    assert(v("a: | # note\n  x\n") == "x\n")
+    assert(v("a: |\n  x # not a comment\n") == "x # not a comment\n")
+    assert(v("a: |\n  ---\n") == "---\n")
   }
 
   test("front matter: fence splitting and composition") {
