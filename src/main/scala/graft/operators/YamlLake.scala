@@ -559,7 +559,12 @@ object YamlLake {
     if (lines.isEmpty || lines.head != "---") return NoFm
     val close = lines.indexOf("---", 1)
     if (close < 0) return BadFm
-    Fm(lines.slice(1, close).mkString("\n").getBytes(StandardCharsets.UTF_8))
+    // newline-TERMINATED, not newline-joined: a trailing empty line in
+    // the fence is real content (a keep-chomped block scalar counts
+    // it), so the slice must round-trip through parseYaml's
+    // final-newline normalization unchanged
+    Fm(lines.slice(1, close).map(_ + "\n").mkString
+      .getBytes(StandardCharsets.UTF_8))
   }
 
   // ------------------------------------------------------------------
@@ -658,6 +663,57 @@ object YamlLake {
       StructType(Seq(
         StructField("id", LongType, false),
         StructField("media", BinaryType, true))))
+  }
+
+  /** Block-scalar front-matter fixture (q238). Law (replayed
+    * closed-form by the oracle): doc i is a text document whose
+    * front matter (absent when i%5==4) carries name: blk(i%5), a
+    * block-scalar desc — literal on even i, folded on odd — with
+    * chomping i%3 (0 clip, 1 strip, 2 keep), 1+(i/2)%3 content lines
+    * "line j w((i+j)%7)" at indent 2, an interior empty line after
+    * the first when i%4<2 and lines>=2, (i/3)%3 trailing empty
+    * lines, an explicit `2` indentation indicator when i%5==0
+    * (written chomp-first when i%10==5; literal explicit docs with
+    * >=2 lines carry one extra-indented second line), and
+    * tail: 100+i — omitted when i%7==3, closing the block at the end
+    * of the front matter instead of by dedent. */
+  def blockFixture(spark: SparkSession, n: Int): DataFrame = {
+    val rows = (0 until n).map(i => Row(i.toLong, blockDoc(i)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4),
+      StructType(Seq(
+        StructField("id", LongType, false),
+        StructField("media", BinaryType, true))))
+  }
+
+  private[graft] def blockDoc(i: Int): Array[Byte] = {
+    val sb = new StringBuilder
+    if (i % 5 != 4) {
+      sb.append("---\n")
+      sb.append("name: blk" + i % 5 + "\n")
+      val lit = i % 2 == 0
+      val chompCh = i % 3 match { case 1 => "-"; case 2 => "+"; case _ => "" }
+      val style = if (lit) "|" else ">"
+      val ex = i % 5 == 0
+      val hdr =
+        if (ex && i % 10 == 5) style + chompCh + "2"
+        else if (ex) style + "2" + chompCh
+        else style + chompCh
+      sb.append("desc: " + hdr + "\n")
+      val nl = 1 + (i / 2) % 3
+      val inter = i % 4 < 2 && nl >= 2
+      def a(j: Int) = "line" + j + " w" + (i + j) % 7
+      sb.append("  " + a(0) + "\n")
+      if (inter) sb.append("\n")
+      if (nl >= 2) sb.append("  " + (if (ex && lit) " " else "") + a(1) + "\n")
+      if (nl >= 3) sb.append("  " + a(2) + "\n")
+      (0 until (i / 3) % 3).foreach(_ => sb.append("\n"))
+      if (i % 7 != 3) sb.append("tail: " + (100 + i) + "\n")
+      sb.append("---\n")
+    }
+    sb.append("# Body " + i + "\n")
+    sb.append("Body text " + i % 3 + ".\n")
+    sb.toString.getBytes("UTF-8")
   }
 
   /** One fixture document (shared with the ScaleProof generator). */

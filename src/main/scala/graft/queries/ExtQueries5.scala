@@ -2036,6 +2036,87 @@ object ExtQueries5 {
       .orderBy("id", "field")
   }
 
+  // ---------------------------------------------------------------
+  // q238 — BLOCK-SCALAR front matter (the q232 family over the YAML
+  // 1.2 sec 8.1 block-scalar subset): real model/dataset cards put
+  // multi-line descriptions, prompts and license text in literal
+  // (`|`) / folded (`>`) block scalars, which the strict subset
+  // rejected before round 17. 40 text documents sweep literal x
+  // folded x clip/strip/keep chomping x interior/trailing empty
+  // lines x auto/explicit indentation indicator (both indicator
+  // orders) x dedent/EOF close, with every fifth document carrying
+  // no front matter. The assembled multi-line values cross the hash
+  // gate verbatim (chr(10)-built in the oracle). Header/indent
+  // strictness is spec-gated in YamlLakeSpec.
+  private val BlockN = 40
+
+  def q238(s: SparkSession, dir: String): DataFrame = {
+    val fx = graft.operators.YamlLake.blockFixture(s, BlockN)
+    graft.operators.YamlLake.extractFrontMatter(fx, "id", "media")
+      .select(col("id"), col("seq"), col("path"), col("kind"),
+        col("lval"), col("sval"), col("fx100"), col("arr_n"),
+        col("has_fm"), col("valid"))
+      .orderBy("id", "seq")
+  }
+
+  val q238Sql: String =
+    s"""WITH base AS (
+         SELECT r AS id,
+           r % 5 <> 4 AS fm,
+           r % 2 = 0 AS lit,
+           r % 3 AS c,
+           (r // 3) % 3 AS te,
+           1 + (r // 2) % 3 AS nl,
+           r % 5 = 0 AS ex,
+           (r % 4 < 2) AND (1 + (r // 2) % 3 >= 2) AS inter,
+           r % 7 <> 3 AS tl
+         FROM range(0, $BlockN) g(r)),
+       a AS (
+         SELECT *,
+           'line0 w' || (id % 7) AS a0,
+           'line1 w' || ((id + 1) % 7) AS a1,
+           'line2 w' || ((id + 2) % 7) AS a2,
+           CASE WHEN ex AND lit THEN ' ' ELSE '' END AS xi
+         FROM base),
+       rawv AS (
+         SELECT *,
+           CASE WHEN lit THEN
+             a0 || CASE WHEN inter THEN chr(10) ELSE '' END
+                || CASE WHEN nl >= 2 THEN chr(10) || xi || a1 ELSE '' END
+                || CASE WHEN nl >= 3 THEN chr(10) || a2 ELSE '' END
+           ELSE
+             a0 || CASE WHEN nl >= 2 THEN
+                     (CASE WHEN inter THEN chr(10) ELSE ' ' END) || a1
+                   ELSE '' END
+                || CASE WHEN nl >= 3 THEN ' ' || a2 ELSE '' END
+           END AS rw
+         FROM a),
+       vals AS (
+         SELECT *,
+           CASE c WHEN 1 THEN rw WHEN 0 THEN rw || chr(10)
+             ELSE rw || repeat(chr(10), CAST(1 + te AS BIGINT)) END AS v
+         FROM rawv),
+       rws AS (
+         SELECT id, fm, tl, v,
+           CAST(unnest(range(0,
+             CASE WHEN NOT fm THEN 1 WHEN tl THEN 3 ELSE 2 END)) AS INT)
+             AS seq
+         FROM vals)
+       SELECT id, seq,
+         CASE WHEN fm THEN CASE seq WHEN 0 THEN 'name'
+           WHEN 1 THEN 'desc' ELSE 'tail' END END AS path,
+         CASE WHEN fm THEN CASE seq WHEN 2 THEN 'int'
+           ELSE 'str' END END AS kind,
+         CAST(CASE WHEN fm AND seq = 2 THEN 100 + id END AS BIGINT)
+           AS lval,
+         CASE WHEN fm AND seq = 0 THEN 'blk' || (id % 5)
+              WHEN fm AND seq = 1 THEN v END AS sval,
+         CAST(NULL AS BIGINT) AS fx100,
+         CAST(NULL AS INT) AS arr_n,
+         fm AS has_fm,
+         true AS valid
+       FROM rws ORDER BY id, seq"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q203_safetensors_extract" -> (q203 _),
     "q204_npy_extract" -> (q204 _),
@@ -2071,7 +2152,8 @@ object ExtQueries5 {
     "q234_opus_toc" -> (q234 _),
     "q235_arrow_dict" -> (q235 _),
     "q236_parquet_pages" -> (q236 _),
-    "q237_arrow_stream" -> (q237 _)
+    "q237_arrow_stream" -> (q237 _),
+    "q238_block_scalars" -> (q238 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -2110,6 +2192,7 @@ object ExtQueries5 {
     "q235_arrow_dict" -> q235Sql,
     "q236_parquet_pages" -> q236Sql,
     // the stream fixture carries the q235 laws verbatim
-    "q237_arrow_stream" -> q235Sql
+    "q237_arrow_stream" -> q235Sql,
+    "q238_block_scalars" -> q238Sql
   )
 }

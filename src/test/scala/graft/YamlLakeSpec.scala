@@ -288,9 +288,54 @@ class YamlLakeSpec extends SparkSpec {
     }
   }
 
+  test("block fixture law: name/desc/tail rows with assembled values") {
+    // restate the q238 law independently for every doc
+    val rows = YamlLake.extractFrontMatter(
+      YamlLake.blockFixture(spark, 40), "id", "media")
+      .orderBy("id", "seq").collect()
+    (0 until 40).foreach { i =>
+      val mine = rows.filter(_.getLong(0) == i)
+      if (i % 5 == 4) {
+        assert(mine.length == 1 && !mine(0).getBoolean(8) &&
+          mine(0).getBoolean(9), s"doc $i: expected a no-fm row")
+      } else {
+        val lit = i % 2 == 0
+        val nl = 1 + (i / 2) % 3
+        val inter = i % 4 < 2 && nl >= 2
+        val ex = i % 5 == 0
+        def a(j: Int) = "line" + j + " w" + (i + j) % 7
+        val x1 = (if (ex && lit) " " else "") + a(1)
+        val raw =
+          if (lit)
+            a(0) + (if (inter) "\n" else "") +
+              (if (nl >= 2) "\n" + x1 else "") +
+              (if (nl >= 3) "\n" + a(2) else "")
+          else
+            a(0) + (if (nl >= 2) (if (inter) "\n" else " ") + a(1) else "") +
+              (if (nl >= 3) " " + a(2) else "")
+        val want = i % 3 match {
+          case 1 => raw
+          case 0 => raw + "\n"
+          case _ => raw + ("\n" * (1 + (i / 3) % 3))
+        }
+        val hasTail = i % 7 != 3
+        assert(mine.length == (if (hasTail) 3 else 2), s"doc $i rows")
+        assert(mine.forall(r => r.getBoolean(8) && r.getBoolean(9)))
+        assert(mine(0).getString(2) == "name" &&
+          mine(0).getString(5) == "blk" + i % 5)
+        assert(mine(1).getString(2) == "desc" &&
+          mine(1).getString(5) == want, s"doc $i desc value")
+        if (hasTail)
+          assert(mine(2).getString(2) == "tail" &&
+            mine(2).getLong(4) == 100 + i)
+      }
+    }
+  }
+
   test("byte-flip + truncation sweeps never throw; survivors well-formed") {
     val docs = YamlLake.yamlFixture(spark, 3).collect()
-      .map(_.getAs[Array[Byte]](1))
+      .map(_.getAs[Array[Byte]](1)) ++
+      Seq(2, 5, 8).map(YamlLake.blockDoc) // block-scalar paths swept too
     for (src <- docs; i <- src.indices; bit <- Seq(1, 0x40)) {
       val c = src.clone(); c(i) = (c(i) ^ bit).toByte
       YamlLake.parseYaml(c).foreach { es =>
