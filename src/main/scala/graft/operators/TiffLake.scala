@@ -8,10 +8,16 @@ package graft.operators
   * the subset a strict curation pipeline can pin exactly:
   *
   *  - both byte orders (`II*\0` little-endian, `MM\0*` big-endian);
-  *  - exactly ONE IFD (next-IFD offset must be 0 — multi-page rejects,
-  *    not silently-first-page), entries in strictly ascending tag
-  *    order as the spec requires, every out-of-line value bounded in
-  *    Long domain before narrowing (the ExifLake int-wrap lesson);
+  *  - a bounded IFD chain (<= 32 pages, offsets STRICTLY ascending so
+  *    cycles and backward links are structurally impossible): the
+  *    multi-page shape scanned-document corpora actually ship, each
+  *    page under the same per-IFD laws. The single-image surface
+  *    ([[parseTiff]] — what the near-dup fingerprints consume) still
+  *    requires exactly ONE page rather than silently picking one;
+  *    [[parseTiffPages]] is the page-grain surface. IFD entries in
+  *    strictly ascending tag order as the spec requires, every
+  *    out-of-line value bounded in Long domain before narrowing (the
+  *    ExifLake int-wrap lesson);
   *  - PhotometricInterpretation 0 (WhiteIsZero — inverted grayscale),
   *    1 (BlackIsZero), 2 (RGB, SamplesPerPixel 3), 3 (palette via a
   *    768-entry 16-bit ColorMap, 8-bit value = entry >> 8);
@@ -754,7 +760,20 @@ object TiffLake {
   // decode
 
   /** Decode one baseline TIFF; None on any violation. */
-  private[graft] def parseTiff(b: Array[Byte]): Option[TiffImage] = {
+  /** Single-image surface: exactly ONE page (the near-dup family's
+    * fingerprint contract — picking a page of a multi-page file would
+    * be a guess); multi-page documents go through [[parseTiffPages]]. */
+  private[graft] def parseTiff(b: Array[Byte]): Option[TiffImage] =
+    parseTiffPages(b).flatMap(ps =>
+      if (ps.length == 1) Some(ps.head) else None)
+
+  /** Bounded page-chain walk (scanned-document corpora are
+    * predominantly multi-page): offsets must move STRICTLY forward —
+    * the ascending law makes chain cycles structurally impossible —
+    * and each page decodes under the existing per-IFD laws. */
+  private[graft] val MaxPages = 32
+
+  private[graft] def parseTiffPages(b: Array[Byte]): Option[Seq[TiffImage]] = {
     if (b == null || b.length < 8) return None
     val be =
       if (b(0) == 'M' && b(1) == 'M') true
@@ -763,11 +782,30 @@ object TiffLake {
     try {
       val rd = new Rd(b, be)
       if (rd.u16(2) != 42) throw Fail
-      val ifdOff = rd.u32(4)
-      if (ifdOff < 8 || (ifdOff & 1) != 0) throw Fail // word-aligned
+      var off = rd.u32(4)
+      val pages = scala.collection.mutable.ArrayBuffer.empty[TiffImage]
+      var prev = 0L
+      while (off != 0) {
+        if (pages.length >= MaxPages) throw Fail
+        // word-aligned and strictly past the previous IFD (cycles and
+        // backward links reject; off >= 8 follows from prev >= 0)
+        if (off <= math.max(prev, 7L) || (off & 1) != 0) throw Fail
+        prev = off
+        val (img, next) = parseIfd(rd, be, off)
+        pages += img
+        off = next
+      }
+      Some(pages.toSeq)
+    } catch { case Fail => None }
+  }
+
+  /** Decode the ONE IFD at `ifdOff`; returns the page image and the
+    * raw next-IFD offset (0 = end of chain). */
+  private def parseIfd(rd: Rd, be: Boolean,
+      ifdOff: Long): (TiffImage, Long) = {
       val n = rd.u16(ifdOff)
       if (n < 1) throw Fail
-      if (rd.u32(ifdOff + 2 + 12L * n) != 0) throw Fail // single IFD
+      val nextIfd = rd.u32(ifdOff + 2 + 12L * n)
       val ents = new java.util.TreeMap[Int, Ent]()
       var prevTag = -1
       var i = 0
@@ -993,8 +1031,7 @@ object TiffLake {
           }
         p += 1
       }
-      Some(TiffImage(width, height, argb, pm, comp, nSegs, be))
-    } catch { case Fail => None }
+      (TiffImage(width, height, argb, pm, comp, nSegs, be), nextIfd)
   }
 
   // ==================================================================
@@ -1027,7 +1064,45 @@ object TiffLake {
     * colors; ColorMap entries are v·257 so decode recovers v exactly;
     * bilevel requires every pixel pure black or white). */
   private[graft] def encodeTiff(argb: Array[Int], w: Int, h: Int,
-      opts: TiffOpts = TiffOpts()): Array[Byte] = {
+      opts: TiffOpts = TiffOpts()): Array[Byte] =
+    encodeTiffMulti(Seq((argb, w, h, opts)))
+
+  /** Multi-page file: one byte order, pages appended in order, each
+    * next-IFD pointer chained strictly forward (the shape
+    * [[parseTiffPages]] requires). */
+  private[graft] def encodeTiffMulti(
+      pages: Seq[(Array[Int], Int, Int, TiffOpts)]): Array[Byte] = {
+    require(pages.nonEmpty)
+    val be = pages.head._4.bigEndian
+    require(pages.forall(_._4.bigEndian == be), "one byte order per file")
+    val wr = new Wr(be)
+    wr.raw(if (be) Array[Byte]('M', 'M', 0, 42)
+      else Array[Byte]('I', 'I', 42, 0))
+    var fixupAt = wr.size // the header's first-IFD pointer
+    wr.u32(0)
+    val patches = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    pages.foreach { case (argb, w, h, opts) =>
+      val (ifdOff, nextFixup) = writePage(wr, argb, w, h, opts)
+      patches += ((fixupAt, ifdOff))
+      fixupAt = nextFixup
+    }
+    val out = wr.buf.toByteArray
+    patches.foreach { case (at, ifdOff) =>
+      var k = 0
+      while (k < 4) {
+        val shift = if (be) 8 * (3 - k) else 8 * k
+        out(at + k) = ((ifdOff >> shift) & 0xff).toByte
+        k += 1
+      }
+    }
+    out
+  }
+
+  /** One page's segment data + out-of-line values + IFD into `wr`;
+    * returns (the page's IFD offset, the position of its next-IFD
+    * pointer — written 0, chained by the caller). */
+  private def writePage(wr: Wr, argb: Array[Int], w: Int, h: Int,
+      opts: TiffOpts): (Int, Int) = {
     require(argb.length == w * h && w >= 1 && h >= 1)
     val spp = if (opts.photometric == 2) 3 else 1
     require(opts.predictor == 1 ||
@@ -1140,13 +1215,8 @@ object TiffLake {
         encodeSeg(java.util.Arrays.copyOfRange(
           raster, s * rps * w * spp, (s * rps + rows) * w * spp), w, rows)
       }
-    // layout: header(8) | segment data (word-aligned) | out-of-line
-    // tag values | IFD
-    val wr = new Wr(opts.bigEndian)
-    wr.raw(if (opts.bigEndian) Array[Byte]('M', 'M', 0, 42)
-      else Array[Byte]('I', 'I', 42, 0))
-    val ifdOffFixup = wr.size
-    wr.u32(0) // patched below
+    // layout within the caller's stream: segment data (word-aligned)
+    // | out-of-line tag values | IFD
     val segOffs = segs.map { s =>
       if ((wr.size & 1) != 0) wr.u8(0) // word alignment
       val off = wr.size
@@ -1219,17 +1289,9 @@ object TiffLake {
           while (wr.size < before + 4) wr.u8(0)
       }
     }
-    wr.u32(0) // next IFD
-    val out = wr.buf.toByteArray
-    // patch the first-IFD offset
-    val be = opts.bigEndian
-    var k = 0
-    while (k < 4) {
-      val shift = if (be) 8 * (3 - k) else 8 * k
-      out(ifdOffFixup + k) = ((ifdOff >> shift) & 0xff).toByte
-      k += 1
-    }
-    out
+    val nextFixup = wr.size
+    wr.u32(0) // next IFD: 0 here, chained by encodeTiffMulti
+    (ifdOff, nextFixup)
   }
 
   // ==================================================================
@@ -1276,6 +1338,99 @@ object TiffLake {
         }
       })
     spark.createDataFrame(rows, outSchema)
+  }
+
+  /** Page-grain extraction over [[parseTiffPages]] — one row per
+    * page of the IFD chain (the scanned-document shape); any chain
+    * or per-page violation flags the whole file invalid. */
+  def extractTiffPages(df: org.apache.spark.sql.DataFrame, idCol: String,
+      binCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("id", LongType, false),
+      StructField("page", IntegerType, false),
+      StructField("n_pages", IntegerType, true),
+      StructField("width", IntegerType, true),
+      StructField("height", IntegerType, true),
+      StructField("n_strips", IntegerType, true),
+      StructField("compression", IntegerType, true),
+      StructField("gray_sum", LongType, true),
+      StructField("n_colors", IntegerType, true),
+      StructField("valid", BooleanType, false)))
+    val rows = df.select(col(idCol).cast(LongType), col(binCol)).rdd
+      .mapPartitions(_.flatMap { r =>
+        val media = r.getAs[Array[Byte]](1)
+        scala.util.Try(parseTiffPages(media)).toOption.flatten match {
+          case Some(pages) =>
+            pages.zipWithIndex.map { case (img, p) =>
+              var gsum = 0L
+              val distinct = scala.collection.mutable.HashSet.empty[Int]
+              img.argb.foreach { px =>
+                gsum += (px >> 8) & 0xff
+                distinct += px
+              }
+              Row(r.getLong(0), p, pages.length, img.width, img.height,
+                img.nStrips, img.compression, gsum, distinct.size, true)
+            }
+          case None =>
+            Seq(Row(r.getLong(0), 0, null, null, null, null, null, null,
+              null, false))
+        }
+      })
+    spark.createDataFrame(rows, outSchema)
+  }
+
+  /** Multi-page fixture law (q239, replayed closed-form by the
+    * oracle): doc i has 1 + i%4 pages chained in one file (big-endian
+    * on odd i); page p is w×h gray with w = 5+(i+p)%4, h = 4+(i+p)%3,
+    * compression cycling (i+p)%4 → none / LZW / PackBits / CCITT G4
+    * (the G4 page bilevel, photometric 0), one strip on even i+p and
+    * RowsPerStrip 2 otherwise. Pixels: 8-bit pages are photometric-1
+    * gray v(k) = (i·7 + p·11 + 3k) % 256 in row-major k (all w·h
+    * values distinct since 3(wh−1) < 256); G4 pages are black iff
+    * (i·3 + p·5 + k) % 3 == 0. */
+  def tiffMultiFixture(spark: org.apache.spark.sql.SparkSession,
+      n: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val rows = (0 until n).map(i => Row(i.toLong, multiPageDoc(i)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4),
+      StructType(Seq(
+        StructField("id", LongType, false),
+        StructField("media", BinaryType, true))))
+  }
+
+  private[graft] def multiPageDoc(i: Int): Array[Byte] = {
+    val pages = (0 until 1 + i % 4).map { p =>
+      val w = 5 + (i + p) % 4
+      val h = 4 + (i + p) % 3
+      val cm = (i + p) % 4
+      val rps = if ((i + p) % 2 == 0) 0 else 2
+      val argb = new Array[Int](w * h)
+      var k = 0
+      while (k < argb.length) {
+        val v =
+          if (cm == 3) { if ((i * 3 + p * 5 + k) % 3 == 0) 0 else 255 }
+          else (i * 7 + p * 11 + 3 * k) % 256
+        argb(k) = 0xff000000 | (v << 16) | (v << 8) | v
+        k += 1
+      }
+      val opts = cm match {
+        case 0 => TiffOpts(bigEndian = i % 2 == 1, rowsPerStrip = rps)
+        case 1 => TiffOpts(bigEndian = i % 2 == 1, compression = 5,
+          rowsPerStrip = rps)
+        case 2 => TiffOpts(bigEndian = i % 2 == 1, compression = 32773,
+          rowsPerStrip = rps)
+        case _ => TiffOpts(bigEndian = i % 2 == 1, photometric = 0,
+          bitsPerSample = 1, compression = 4, rowsPerStrip = rps)
+      }
+      (argb, w, h, opts)
+    }
+    encodeTiffMulti(pages)
   }
 
   /** Fixture: the q190 law image per id (scale 1 + id%3) behind

@@ -2117,6 +2117,63 @@ object ExtQueries5 {
          true AS valid
        FROM rws ORDER BY id, seq"""
 
+  // ---------------------------------------------------------------
+  // q239 — MULTI-PAGE TIFF page census (the q222 family over the IFD
+  // chain): scanned-document corpora are predominantly multi-page,
+  // which the lake strict-rejected before round 17. 40 files of
+  // 1 + i%4 chained pages (big-endian on odd i), per-page
+  // compressions cycling none/LZW/PackBits/CCITT-G4 with single- and
+  // 2-row-strip layouts and page-local pixel laws (8-bit gray ramp;
+  // bilevel %3 pattern on the G4 pages) — one row per page with the
+  // page index, so mixed per-page wire shapes cross the hash gate.
+  // Chain strictness (cycles, backward/odd/out-of-bounds next-IFD,
+  // the page cap, parseTiff's one-page contract) is spec-gated in
+  // TiffLakeSpec.
+  private val TiffMultiN = 40
+
+  def q239(s: SparkSession, dir: String): DataFrame = {
+    val fx = graft.operators.TiffLake.tiffMultiFixture(s, TiffMultiN)
+    graft.operators.TiffLake.extractTiffPages(fx, "id", "media")
+      .select(col("id"), col("page"), col("n_pages"), col("width"),
+        col("height"), col("n_strips"), col("compression"),
+        col("gray_sum"), col("n_colors"), col("valid"))
+      .orderBy("id", "page")
+  }
+
+  val q239Sql: String =
+    s"""WITH base AS (
+         SELECT r AS id, 1 + r % 4 AS np FROM range(0, $TiffMultiN) g(r)),
+       pages AS (
+         SELECT id, np, CAST(unnest(range(0, np)) AS INT) AS page
+         FROM base),
+       d AS (
+         SELECT id, np, page,
+           (id + page) % 4 AS cm,
+           5 + (id + page) % 4 AS w,
+           4 + (id + page) % 3 AS h
+         FROM pages),
+       e AS (
+         SELECT id, np, page, cm, w, h, w * h AS n,
+           CASE cm WHEN 1 THEN 5 WHEN 2 THEN 32773 WHEN 3 THEN 4
+             ELSE 1 END AS comp,
+           CASE WHEN (id + page) % 2 = 0 THEN 1 ELSE (h + 1) // 2 END
+             AS nsegs,
+           (id * 7 + page * 11) % 256 AS c0,
+           (id * 3 + page * 5) % 3 AS b0
+         FROM d)
+       SELECT id, page, CAST(np AS INT) AS n_pages,
+         CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+         CAST(nsegs AS INT) AS n_strips,
+         CAST(comp AS INT) AS compression,
+         CAST(CASE WHEN cm = 3
+           THEN 255 * list_sum([CASE WHEN (b0 + k) % 3 <> 0 THEN 1
+                                ELSE 0 END for k in range(0, n)])
+           ELSE list_sum([(c0 + 3 * k) % 256 for k in range(0, n)])
+         END AS BIGINT) AS gray_sum,
+         CAST(CASE WHEN cm = 3 THEN 2 ELSE n END AS INT) AS n_colors,
+         true AS valid
+       FROM e ORDER BY id, page"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q203_safetensors_extract" -> (q203 _),
     "q204_npy_extract" -> (q204 _),
@@ -2153,7 +2210,8 @@ object ExtQueries5 {
     "q235_arrow_dict" -> (q235 _),
     "q236_parquet_pages" -> (q236 _),
     "q237_arrow_stream" -> (q237 _),
-    "q238_block_scalars" -> (q238 _)
+    "q238_block_scalars" -> (q238 _),
+    "q239_tiff_multipage" -> (q239 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -2193,6 +2251,7 @@ object ExtQueries5 {
     "q236_parquet_pages" -> q236Sql,
     // the stream fixture carries the q235 laws verbatim
     "q237_arrow_stream" -> q235Sql,
-    "q238_block_scalars" -> q238Sql
+    "q238_block_scalars" -> q238Sql,
+    "q239_tiff_multipage" -> q239Sql
   )
 }

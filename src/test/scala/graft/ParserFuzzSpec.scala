@@ -82,6 +82,7 @@ class ParserFuzzSpec extends AnyFunSuite {
     "parseOnnx" -> (b => graft.operators.OnnxLake.parseOnnx(b)),
     "parseVp8l" -> (b => graft.operators.WebpLake.parseVp8l(b)),
     "parseTiff" -> (b => graft.operators.TiffLake.parseTiff(b)),
+    "parseTiffPages" -> (b => graft.operators.TiffLake.parseTiffPages(b)),
     "parseParquetMeta" -> (b =>
       graft.operators.ParquetLake.parseParquetMeta(b)),
     "parseOgg" -> (b => graft.operators.OggLake.parseOgg(b)),

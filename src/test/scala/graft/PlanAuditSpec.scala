@@ -300,7 +300,8 @@ class PlanAuditSpec extends SparkSpec {
         "q231_yaml_extract", "q232_front_matter",
         "q233_csv_extract", "q234_opus_toc",
         "q235_arrow_dict", "q236_parquet_pages",
-        "q237_arrow_stream", "q238_block_scalars").foreach { q =>
+        "q237_arrow_stream", "q238_block_scalars",
+        "q239_tiff_multipage").foreach { q =>
       val p = plan(q)
       val exchanges = "Exchange".r.findAllIn(p).length
       assert(exchanges <= 1, s"$q: codec decode should not shuffle:\n$p")

@@ -270,6 +270,9 @@ class TiffLakeSpec extends SparkSpec {
       if (tweak == "colormap-on-gray") shortEnt(320, 0)
       if (tweak == "tile") shortEnt(322, 16)
       if (tweak == "extrasamples") shortEnt(338, 0)
+      // "multi-ifd": next-IFD pointing back at THIS IFD — a chain
+      // cycle, which the strictly-forward law rejects (and the
+      // one-page parseTiff surface would reject any chain anyway)
       u32(if (tweak == "multi-ifd") 10 else 0)
       out.toByteArray
     }
@@ -358,6 +361,52 @@ class TiffLakeSpec extends SparkSpec {
     assert(TiffLake.parseTiff(mk(16)).nonEmpty, "control: 16x16 tile parses")
   }
 
+  test("multi-page chain: forward walk decodes, every chain lie rejects") {
+    // a 3-page file mixing compressions (none / LZW / PackBits)
+    val three = TiffLake.encodeTiffMulti((0 until 3).map { p =>
+      val (w, h) = (5 + p, 4 + p % 2)
+      val argb = Array.tabulate(w * h)(k =>
+        0xff000000 | (((p * 31 + k * 3) % 256) * 0x010101))
+      (argb, w, h, TiffLake.TiffOpts(
+        compression = Seq(1, 5, 32773)(p), rowsPerStrip = 1 + p % 2))
+    })
+    val pages = TiffLake.parseTiffPages(three)
+    assert(pages.nonEmpty && pages.get.length == 3)
+    pages.get.zipWithIndex.foreach { case (img, p) =>
+      assert(img.width == 5 + p && img.height == 4 + p % 2, s"page $p dims")
+      assert(img.compression == Seq(1, 5, 32773)(p), s"page $p comp")
+      (0 until img.width * img.height).foreach(k =>
+        assert((img.argb(k) & 0xff) == (p * 31 + k * 3) % 256))
+    }
+    // the one-page surface refuses to pick a page of a chain
+    assert(TiffLake.parseTiff(three).isEmpty, "parseTiff: one page only")
+    // path equality on a single-page file
+    val one = TiffLake.encodeTiff(Array.fill(6)(0xff808080), 3, 2)
+    assert(TiffLake.parseTiffPages(one).get.map(i => (i.width, i.height,
+      i.argb.toSeq)) == Seq(TiffLake.parseTiff(one).get)
+        .map(i => (i.width, i.height, i.argb.toSeq)))
+    // chain lies: locate page 2's next-IFD pointer (the file's last
+    // u32, written 0) and point it backward / at itself / odd / past
+    // the file — every shape rejects, and a huge forward offset is
+    // out of bounds
+    def patched(v: Long): Array[Byte] = {
+      val b = three.clone()
+      val at = b.length - 4
+      var k = 0
+      while (k < 4) { b(at + k) = ((v >> (8 * k)) & 0xff).toByte; k += 1 }
+      b
+    }
+    assert(TiffLake.parseTiffPages(patched(10L)).isEmpty, "backward link")
+    assert(TiffLake.parseTiffPages(patched(9L)).isEmpty, "odd offset")
+    assert(TiffLake.parseTiffPages(
+      patched(three.length.toLong + 8)).isEmpty, "out of bounds")
+    // the page cap: a 33-page chain rejects, 32 parses
+    def manyPages(n: Int) = TiffLake.encodeTiffMulti((0 until n).map(_ =>
+      (Array.fill(4)(0xffffffff), 2, 2, TiffLake.TiffOpts())))
+    assert(TiffLake.parseTiffPages(manyPages(32)).exists(_.length == 32))
+    assert(TiffLake.parseTiffPages(manyPages(33)).isEmpty, "page cap")
+  }
+
   test("byte-flip + truncation sweeps never throw; survivors well-formed") {
     val seeds = Seq(
       TiffLake.encodeTiff(image(90, 11, 9), 11, 9,
@@ -365,15 +414,22 @@ class TiffLakeSpec extends SparkSpec {
       TiffLake.encodeTiff(image(91, 11, 9, colors = 7), 11, 9,
         TiffOpts(photometric = 3, compression = 32773, rowsPerStrip = 2)),
       TiffLake.encodeTiff(image(92, 11, 9), 11, 9,
-        TiffOpts(bigEndian = true, photometric = 0)))
+        TiffOpts(bigEndian = true, photometric = 0)),
+      TiffLake.multiPageDoc(7)) // chain walk swept too
     for (src <- seeds; i <- src.indices; bit <- Seq(1, 0x40)) {
       val c = src.clone(); c(i) = (c(i) ^ bit).toByte
       TiffLake.parseTiff(c).foreach { img =>
         assert(img.argb.length == img.width * img.height)
       }
+      TiffLake.parseTiffPages(c).foreach(_.foreach { img =>
+        assert(img.argb.length == img.width * img.height)
+      })
     }
     val s0 = seeds.head
-    (0 until s0.length).foreach(n => TiffLake.parseTiff(s0.take(n)))
+    (0 until s0.length).foreach { n =>
+      TiffLake.parseTiff(s0.take(n))
+      TiffLake.parseTiffPages(s0.take(n))
+    }
   }
 
   test("format invariance: TIFF twin fingerprints equal the PNG twin's") {
