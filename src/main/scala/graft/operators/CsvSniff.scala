@@ -7,10 +7,12 @@ package graft.operators
   * the oracle can replay it), not a statistical guesser:
   *
   *  - candidate dialects: delimiter in {`,` `;` TAB `|`} x quote in
-  *    {`"` `'`}, parsed over the first 64 lines with a real
+  *    {`"` `'`}, parsed over the first 64 RECORDS with a real
   *    quote-aware state machine (doubled quotes escape, delimiters
-  *    inside quotes are data);
-  *  - a candidate is ADMISSIBLE iff every line parses to the SAME
+  *    inside quotes are data, and — RFC 4180 sec 2.6 — LF/CRLF inside
+  *    quotes is field CONTENT, so record splitting shares the same
+  *    state machine rather than an up-front split on `\n`);
+  *  - a candidate is ADMISSIBLE iff every record parses to the SAME
   *    field count >= 2 with no unterminated quote; among admissible
   *    candidates the sniffer picks the FEWEST fields (a wrong quote
   *    splits quoted delimiters apart and can only inflate the
@@ -40,14 +42,9 @@ object CsvSniff {
   private[graft] final case class CsvFacts(
       nLines: Int, dialect: Dialect, hasHeader: Boolean, nNumeric: Int)
 
-  private def splitLines(text: String): Array[String] = {
-    val raw = text.split("\n", -1)
-    val trimmed =
-      if (raw.nonEmpty && raw.last.isEmpty) raw.dropRight(1) else raw
-    trimmed.map(l => if (l.endsWith("\r")) l.dropRight(1) else l)
-  }
-
-  /** Quote-aware field split; None on an unterminated quote. */
+  /** Quote-aware field split of ONE record (the single-record law
+    * [[parseCsv]] applies across the whole shard); None on an
+    * unterminated quote. */
   private[graft] def splitFields(line: String, delim: Char,
       quote: Char): Option[Array[String]] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -82,32 +79,96 @@ object CsvSniff {
   private[graft] def isNumeric(s: String): Boolean =
     NumericRe.matches(s)
 
+  /** Quote-aware RECORD parse of the whole shard (RFC 4180 sec 2.6:
+    * a quoted field may contain line breaks, so record splitting and
+    * field splitting must share ONE quote state machine — an up-front
+    * split on `\n` breaks every Excel/Sheets export with embedded
+    * newlines). LF or CRLF ends a record outside quotes and is field
+    * content inside them; quoting rules are [[splitFields]]'s
+    * exactly. Stops cleanly after `maxRecords` full records (the
+    * sniff sample — quote state at the cut is not judged); a quote
+    * left open at end of text is None. */
+  private[graft] def parseCsv(text: String, delim: Char, quote: Char,
+      maxRecords: Int = Int.MaxValue): Option[Array[Array[String]]] = {
+    val recs = scala.collection.mutable.ArrayBuffer.empty[Array[String]]
+    val fields = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new java.lang.StringBuilder
+    var inQ = false
+    var atRecordStart = true
+    var i = 0
+    val n = text.length
+    def endRecord(): Unit = {
+      fields += cur.toString
+      cur.setLength(0)
+      recs += fields.toArray
+      fields.clear()
+      atRecordStart = true
+    }
+    while (i < n && recs.length < maxRecords) {
+      val c = text.charAt(i)
+      if (inQ) {
+        if (c == quote) {
+          if (i + 1 < n && text.charAt(i + 1) == quote) {
+            cur.append(quote) // doubled quote escapes
+            i += 1
+          } else inQ = false
+        } else cur.append(c)
+      } else if (c == '\n') endRecord()
+      else if (c == '\r' && i + 1 < n && text.charAt(i + 1) == '\n') {
+        endRecord() // CRLF record break
+        i += 1
+      } else {
+        atRecordStart = false
+        if (c == quote && cur.length() == 0) inQ = true
+        else if (c == delim) {
+          fields += cur.toString
+          cur.setLength(0)
+        } else cur.append(c)
+      }
+      i += 1
+    }
+    if (recs.length >= maxRecords) Some(recs.toArray) // sample cut
+    else if (inQ) None // unterminated quote at end of text
+    else {
+      // a final record not closed by a newline; text ending in \n
+      // contributes no empty last record
+      if (!atRecordStart) endRecord()
+      Some(recs.toArray)
+    }
+  }
+
   /** Sniff one text shard; None when no admissible dialect exists. */
   private[graft] def sniff(text: String): Option[CsvFacts] = {
     if (text == null) return None
-    val lines = splitLines(text)
-    if (lines.length < 2) return None
-    val sample = lines.take(MaxLines)
     var best: Dialect = null
+    var bestSample: Array[Array[String]] = null
     for (d <- Delims; q <- Quotes) {
-      val counts = sample.map(splitFields(_, d, q).map(_.length))
-      if (counts.forall(_.nonEmpty)) {
-        val ns = counts.map(_.get)
-        if (ns.distinct.length == 1 && ns.head >= 2)
-          if (best == null || ns.head < best.nFields)
+      parseCsv(text, d, q, MaxLines) match {
+        case Some(rs) if rs.length >= 2 =>
+          val ns = rs.map(_.length)
+          if (ns.distinct.length == 1 && ns.head >= 2 &&
+              (best == null || ns.head < best.nFields)) {
             best = Dialect(d, q, ns.head)
+            bestSample = rs
+          }
+        case _ =>
       }
     }
     if (best == null) return None
-    val rows = sample.map(l =>
-      splitFields(l, best.delim, best.quote).get)
+    // the record count is dialect-dependent now (embedded newlines
+    // are content): a quote left open past the sample rejects here
+    val nRecords = parseCsv(text, best.delim, best.quote) match {
+      case Some(all) => all.length
+      case None => return None
+    }
+    val rows = bestSample
     val firstNumeric = rows.head.exists(isNumeric)
     val restNumeric = rows.tail.exists(_.exists(isNumeric))
     val hasHeader = !firstNumeric && restNumeric
     val data = if (hasHeader) rows.tail else rows
     val nNumeric = (0 until best.nFields).count(j =>
       data.nonEmpty && data.forall(r => isNumeric(r(j))))
-    Some(CsvFacts(lines.length, best, hasHeader, nNumeric))
+    Some(CsvFacts(nRecords, best, hasHeader, nNumeric))
   }
 
   // ==================================================================
@@ -187,18 +248,14 @@ object CsvSniff {
       case Some(f) => f
       case None => return None
     }
-    val lines = splitLines(text)
-    if (lines.length > (1 << 20)) return None
     val d = facts.dialect
-    val rows = new Array[Array[String]](lines.length)
-    var i = 0
-    while (i < lines.length) {
-      splitFields(lines(i), d.delim, d.quote) match {
-        case Some(fs) if fs.length == d.nFields => rows(i) = fs
-        case _ => return None // drift past the sniff sample: reject
-      }
-      i += 1
+    val rows = parseCsv(text, d.delim, d.quote) match {
+      case Some(rs) => rs
+      case None => return None
     }
+    if (rows.length > (1 << 20)) return None
+    // drift past the sniff sample: reject, never guess
+    if (rows.exists(_.length != d.nFields)) return None
     val header: Option[Array[String]] =
       if (facts.hasHeader) Some(rows(0)) else None
     val data = if (facts.hasHeader) rows.drop(1) else rows
@@ -281,8 +338,10 @@ object CsvSniff {
     * i%4, quote i%2, header iff i%3 != 0, 2+i%3 columns, 4+i%4 data
     * rows, trailing newline on i%5=0) with column j's KIND cycling by
     * (i+j)%3 — 0: long (value i·10+r+j), 1: a QUOTED string carrying
-    * the live delimiter (`a<d>b<r>` — the naive-split breaker),
-    * 2: dec2 (value (r+j).((i+j)%100 zero-padded) → exact ×100). */
+    * the live delimiter AND an embedded newline (`a<d>b\nc<r>` — the
+    * class both naive field splitters AND naive record splitters
+    * break on, RFC 4180 sec 2.6), 2: dec2 (value
+    * (r+j).((i+j)%100 zero-padded) → exact ×100). */
   def csvTypedFixture(spark: org.apache.spark.sql.SparkSession,
       n: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.Row
@@ -310,7 +369,7 @@ object CsvSniff {
         (0 until nf).map { j =>
           (i + j) % 3 match {
             case 0 => (i * 10 + r + j).toString
-            case 1 => s"${q}a${d}b$r$q"
+            case 1 => s"${q}a${d}b\nc$r$q"
             case _ => s"${r + j}." + f"${(i + j) % 100}%02d"
           }
         }.mkString(d.toString)

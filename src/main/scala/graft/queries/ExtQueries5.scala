@@ -1810,7 +1810,9 @@ object ExtQueries5 {
   // ×100 axis) or `string` (length stats); header names projected;
   // any line drifting from the detected dialect invalidates the
   // shard. 40 shards with kinds cycling per column, every string
-  // cell QUOTING a live delimiter. Typing strictness (mixed
+  // cell QUOTING a live delimiter AND an embedded newline (RFC 4180
+  // sec 2.6 — the record class naive line splitters break on).
+  // Typing strictness (mixed
   // long/dec2 promotion, drift reject, overflow reject) is
   // spec-gated in CsvSniffSpec.
   def q233(s: SparkSession, dir: String): DataFrame = {
@@ -1836,14 +1838,14 @@ object ExtQueries5 {
          CASE WHEN hdr THEN 'h' || col END AS name,
          CASE k WHEN 0 THEN 'long' WHEN 1 THEN 'string'
            ELSE 'dec2' END AS kind,
-         CAST(CASE k WHEN 0 THEN id * 10 + col WHEN 1 THEN 4
+         CAST(CASE k WHEN 0 THEN id * 10 + col WHEN 1 THEN 6
               ELSE col * 100 + (id + col) % 100 END AS BIGINT) AS lmin,
-         CAST(CASE k WHEN 0 THEN id * 10 + col + nr - 1 WHEN 1 THEN 4
+         CAST(CASE k WHEN 0 THEN id * 10 + col + nr - 1 WHEN 1 THEN 6
               ELSE (nr - 1 + col) * 100 + (id + col) % 100 END
            AS BIGINT) AS lmax,
          CAST(CASE k WHEN 0 THEN nr * (id * 10 + col)
                 + nr * (nr - 1) // 2
-              WHEN 1 THEN 4 * nr
+              WHEN 1 THEN 6 * nr
               ELSE 100 * (col * nr + nr * (nr - 1) // 2)
                 + nr * ((id + col) % 100) END AS BIGINT) AS lsum,
          CAST(nr AS INT) AS n_rows,

@@ -22,6 +22,33 @@ class CsvSniffSpec extends SparkSpec {
       "unterminated quote")
   }
 
+  test("RFC 4180 records: quoted newlines are content, not breaks") {
+    // one state machine for records AND fields: LF / CRLF inside a
+    // quoted field is data; outside, both end the record
+    val recs = CsvSniff.parseCsv(
+      "a,\"x\ny\"\r\nb,\"p\r\nq\"\nc,z", ',', '"').get
+    assert(recs.map(_.toSeq).toSeq == Seq(
+      Seq("a", "x\ny"), Seq("b", "p\r\nq"), Seq("c", "z")))
+    // a quote left open at end of text rejects the whole parse
+    assert(CsvSniff.parseCsv("a,\"open\nnever,closed", ',', '"').isEmpty)
+    // the sample cut returns full records only, quote state unjudged
+    val cut = CsvSniff.parseCsv("a,1\nb,2\nc,\"open", ',', '"',
+      maxRecords = 2).get
+    assert(cut.length == 2 && cut(1).toSeq == Seq("b", "2"))
+    // sniff counts RECORDS, not physical lines, and extraction types
+    // the embedded-newline cell as a string of its full length
+    val shard = "h0,h1\n\"l1\nl2\",5\n\"m\",6\n"
+    val f = CsvSniff.sniff(shard).get
+    assert(f.nLines == 3 && f.dialect.nFields == 2 && f.hasHeader)
+    val t = CsvSniff.extract(shard).get
+    assert(t.nData == 2 && t.cols(0).kind == "string" &&
+      t.cols(0).lmax == 5 && t.cols(1).kind == "long")
+    // a quote opened PAST the 64-record sniff sample still rejects
+    val late = (0 until 70).map(r => s"$r,${r * 2}").mkString("\n") +
+      "\n71,\"open\n"
+    assert(CsvSniff.sniff(late).isEmpty, "late unterminated quote")
+  }
+
   test("dialect selection: consistency + the fewest-fields rule") {
     // semicolons, single quotes, commas riding inside the quoted cell
     val f = CsvSniff.sniff("'x;y';1\n'a;b';2\n'c;d';3").get
@@ -179,7 +206,8 @@ class CsvSniffSpec extends SparkSpec {
             r.getLong(4) == i * 10 + j &&
             r.getLong(5) == i * 10 + j + nr - 1, s"id=$i col=$j long")
         case 1 =>
-          assert(r.getString(3) == "string" && r.getLong(6) == 4L * nr,
+          // `a<d>b\nc<r>` — 6 chars including the embedded newline
+          assert(r.getString(3) == "string" && r.getLong(6) == 6L * nr,
             s"id=$i col=$j string")
         case _ =>
           assert(r.getString(3) == "dec2" &&
