@@ -322,6 +322,8 @@ object TiffLake {
     }
     /** Zero-pad to the next byte boundary (the MH-1D row law). */
     def align(): Unit = if (n > 0) { buf.write(cur << (8 - n)); cur = 0; n = 0 }
+    /** Bits written so far (the G3 aligned-EOL fill computation). */
+    def bitPos: Long = buf.size().toLong * 8 + n
   }
 
   private[graft] def lzwEncode(in: Array[Byte]): Array[Byte] = {
@@ -669,6 +671,95 @@ object TiffLake {
     out
   }
 
+  // ------------------------------------------------------------------
+  // CCITT G3 1D (TIFF Compression=3, T.4 with EOL framing — the
+  // profile fax-originated documents ship): every row, INCLUDING the
+  // first, is preceded by the 12-bit EOL code 000000000001 (T.4
+  // sec 4.1.2); the rows themselves are the same alternating MH run
+  // sequences as Compression 2. T4Options (tag 292) closes the
+  // subset: bit 0 (2D coding — each EOL would carry a trailing mode
+  // bit) and bit 1 (uncompressed mode) reject; bit 2 selects
+  // byte-ALIGNED EOLs, honoured exactly — in aligned mode the zero
+  // fill before an EOL is precisely what makes its trailing 1 end a
+  // byte (at most 7 bits), in unaligned mode no fill is accepted.
+  // T.4's RTC (six EOLs) is not used in TIFF (TIFF 6.0 p.49 "the
+  // RTC should not be written"), so a trailing RTC rejects; after
+  // the last row at most 7 zero pad bits close the segment.
+
+  /** One EOL: optional alignment fill, eleven+ zeros, a one. */
+  private def expectEol(br: MsbBits, aligned: Boolean): Unit = {
+    var zeros = 0
+    var bit = br.read(1)
+    while (bit == 0) {
+      zeros += 1
+      if (zeros > 18) throw Fail // 11 + at most 7 fill bits
+      bit = br.read(1)
+    }
+    if (zeros < 11) throw Fail
+    if (aligned) {
+      if ((br.pos & 7) != 0) throw Fail // the 1 must END a byte
+    } else if (zeros != 11) throw Fail // no fill in unaligned mode
+  }
+
+  /** Decode one G3 1D segment to one byte per sample. */
+  private[graft] def g31dDecode(in: Array[Byte], w: Int, rows: Int,
+      aligned: Boolean): Array[Byte] = {
+    if (w < 1 || rows < 1) throw Fail
+    val out = new Array[Byte](w * rows)
+    val br = new MsbBits(in)
+    var y = 0
+    while (y < rows) {
+      expectEol(br, aligned)
+      var x = 0
+      var black = false
+      var runIdx = 0
+      while (x < w) {
+        val run = mhRun(br, black, w - x)
+        // a zero run is legal ONLY as the row's leading white run
+        // (first pixel black) — the Compression-2 law
+        if (run == 0 && runIdx > 0) throw Fail
+        runIdx += 1
+        if (black)
+          java.util.Arrays.fill(out, y * w + x, y * w + x + run,
+            1.toByte)
+        x += run
+        black = !black
+      }
+      y += 1
+    }
+    // no RTC: at most 7 zero pad bits close the segment
+    if (br.lim - br.pos >= 8) throw Fail
+    while (br.pos < br.lim) if (br.read(1) != 0) throw Fail
+    out
+  }
+
+  /** Encode one segment of samples as G3 1D. */
+  private[graft] def g31dEncode(samples: Array[Byte], w: Int,
+      rows: Int, aligned: Boolean): Array[Byte] = {
+    require(samples.length == w * rows && w >= 1 && rows >= 1)
+    val bw = new MsbBw
+    var y = 0
+    while (y < rows) {
+      if (aligned) { // fill so the EOL's trailing 1 ends a byte
+        val fill = ((8 - (bw.bitPos + 12) % 8) % 8).toInt
+        if (fill > 0) bw.write(0, fill)
+      }
+      bw.write(1, 12) // EOL
+      var x = 0
+      var black = false
+      while (x < w) {
+        var run = 0
+        while (x + run < w &&
+          ((samples(y * w + x + run) != 0) == black)) run += 1
+        mhWrite(bw, run, black)
+        x += run
+        black = !black
+      }
+      y += 1
+    }
+    bw.bytes
+  }
+
   /** Encode one segment of samples as MH 1D. */
   private[graft] def mh1dEncode(samples: Array[Byte], w: Int,
       rows: Int): Array[Byte] = {
@@ -878,13 +969,27 @@ object TiffLake {
       if (bps == 8) {
         if (comp != 1 && comp != 5 && comp != 32773) throw Fail
       } else {
-        // bilevel subset: raw packed rows, CCITT G4, or CCITT MH 1D
-        // (Compression 2, "CCITT RLE") — whose white/black runs are
-        // the photometric-0 sense (min-is-white, the one scanners
-        // write); either fax coder under pm 1 would silently invert
+        // bilevel subset: raw packed rows, CCITT G4, CCITT MH 1D
+        // (Compression 2, "CCITT RLE") or CCITT G3 1D (Compression 3,
+        // T.4 EOL-framed) — the fax coders' white/black runs are the
+        // photometric-0 sense (min-is-white, the one scanners
+        // write); any fax coder under pm 1 would silently invert
         // every document, so they reject
-        if (comp != 1 && comp != 2 && comp != 4) throw Fail
+        if (comp != 1 && comp != 2 && comp != 3 && comp != 4) throw Fail
         if (comp != 1 && pm != 0) throw Fail
+      }
+      // T4Options (292) only rides Compression 3; within it, 2D
+      // coding (bit 0) and uncompressed mode (bit 1) are out of
+      // subset — only plain 1D (0) and byte-aligned EOLs (4) decode
+      val t4Aligned = ent(292) match {
+        case Some(e) =>
+          if (comp != 3) throw Fail
+          scalar(rd, e) match {
+            case 0L => false
+            case 4L => true
+            case _ => throw Fail
+          }
+        case None => false
       }
       val pred = ent(317).map(scalar(rd, _)).getOrElse(1L).toInt
       if (pred != 1 && (pred != 2 || comp != 5)) throw Fail
@@ -931,6 +1036,7 @@ object TiffLake {
           dec
         } else comp match {
           case 4 => g4Decode(in, sw, sh)
+          case 3 => g31dDecode(in, sw, sh, t4Aligned)
           case 2 => mh1dDecode(in, sw, sh)
           case _ => // raw packed bits, each row byte-aligned
             val rowBytes = (sw + 7) / 8
@@ -1040,13 +1146,15 @@ object TiffLake {
   private[graft] final case class TiffOpts(
       bigEndian: Boolean = false,
       photometric: Int = 1, // 0 gray-inverted, 1 gray, 2 RGB, 3 palette
-      compression: Int = 1, // 1, 5 (LZW), 32773 (PackBits), 4 (G4)
+      compression: Int = 1, // 1, 5 (LZW), 32773 (PackBits), 4 (G4),
+      // 2 (MH 1D), 3 (G3 1D)
       rowsPerStrip: Int = 0, // 0 = all rows in one strip
       predictor: Int = 1,
       bitsPerSample: Int = 8, // 8, or 1 (bilevel; photometric 0/1)
       tileWidth: Int = 0, // 0 = strips; else multiples of 16
       tileLength: Int = 0,
-      eofb: Boolean = false) // close each G4 segment with EOFB
+      eofb: Boolean = false, // close each G4 segment with EOFB
+      t4Aligned: Boolean = false) // G3: byte-aligned EOLs (T4Options 4)
 
   private final class Wr(be: Boolean) {
     val buf = new java.io.ByteArrayOutputStream()
@@ -1109,8 +1217,8 @@ object TiffLake {
       (opts.predictor == 2 && opts.compression == 5))
     require(opts.bitsPerSample == 8 ||
       (opts.bitsPerSample == 1 && opts.photometric <= 1 &&
-        Set(1, 2, 4)(opts.compression)))
-    require((opts.compression != 4 && opts.compression != 2) ||
+        Set(1, 2, 3, 4)(opts.compression)))
+    require(!Set(2, 3, 4)(opts.compression) ||
       (opts.bitsPerSample == 1 && opts.photometric == 0))
     require((opts.tileWidth == 0) == (opts.tileLength == 0))
     require(opts.tileWidth % 16 == 0 && opts.tileLength % 16 == 0)
@@ -1152,6 +1260,7 @@ object TiffLake {
     def encodeSeg(seg: Array[Byte], sw: Int, sh: Int): Array[Byte] =
       if (bilevel) opts.compression match {
         case 4 => g4Encode(seg, sw, sh, opts.eofb)
+        case 3 => g31dEncode(seg, sw, sh, opts.t4Aligned)
         case 2 => mh1dEncode(seg, sw, sh)
         case _ => // raw packed bits, each row byte-aligned
           val rowBytes = (sw + 7) / 8
@@ -1240,6 +1349,8 @@ object TiffLake {
         values = segs.map(_.length.toLong).toArray)
     }
     tags += Tag(277, 3, 1, Some(spp.toLong))
+    if (opts.compression == 3)
+      tags += Tag(292, 4, 1, Some(if (opts.t4Aligned) 4L else 0L))
     if (opts.predictor == 2) tags += Tag(317, 3, 1, Some(2L))
     if (tiled) {
       tags += Tag(322, 3, 1, Some(opts.tileWidth.toLong))
@@ -1434,17 +1545,19 @@ object TiffLake {
   }
 
   /** Fixture: the q190 law image per id (scale 1 + id%3) behind
-    * THIRTEEN wire variants routed by id % 13 — both endians, all
-    * four photometrics, compressions none/LZW/PackBits/G4/MH-1D,
-    * single- and multi-strip AND tiled layouts, both predictors,
-    * 8-bit and bilevel depths. Variants 0-7 carry the grayscale ramp
-    * law; variants 8/9/11/12 are BILEVEL renderings of the same
-    * dHash bit law (cell (x,y) black iff bit(x,y)) — raw packed
-    * rows, G4 strips, G4 tiles and MH-1D strips — and variant 10 is
-    * the ramp law in LZW tiles; so the pixel columns stay wire-blind
-    * within each depth class and the wire columns (n_strips,
-    * compression) are closed-form in id. */
-  private[graft] def tiffOptsFor(i: Int): TiffOpts = (i % 13) match {
+    * FIFTEEN wire variants routed by id % 15 — both endians, all
+    * four photometrics, compressions none/LZW/PackBits/G4/MH-1D/
+    * G3-1D, single- and multi-strip AND tiled layouts, both
+    * predictors, 8-bit and bilevel depths. Variants 0-7 carry the
+    * grayscale ramp law; variants 8/9/11/12/13/14 are BILEVEL
+    * renderings of the same dHash bit law (cell (x,y) black iff
+    * bit(x,y)) — raw packed rows, G4 strips, G4 tiles, MH-1D strips
+    * and G3-1D strips in both EOL modes (13 unaligned, 14 with
+    * byte-aligned EOL fill, big-endian) — and variant 10 is the ramp
+    * law in LZW tiles; so the pixel columns stay wire-blind within
+    * each depth class and the wire columns (n_strips, compression)
+    * are closed-form in id. */
+  private[graft] def tiffOptsFor(i: Int): TiffOpts = (i % 15) match {
     case 0 => TiffOpts()
     case 1 => TiffOpts(bigEndian = true, compression = 32773,
       rowsPerStrip = 3)
@@ -1464,8 +1577,13 @@ object TiffLake {
     case 11 => TiffOpts(bigEndian = true, photometric = 0,
       bitsPerSample = 1, compression = 4, tileWidth = 16,
       tileLength = 16, eofb = true)
-    case _ => TiffOpts(photometric = 0, bitsPerSample = 1,
+    case 12 => TiffOpts(photometric = 0, bitsPerSample = 1,
       compression = 2, rowsPerStrip = 4)
+    case 13 => TiffOpts(photometric = 0, bitsPerSample = 1,
+      compression = 3, rowsPerStrip = 2)
+    case _ => TiffOpts(bigEndian = true, photometric = 0,
+      bitsPerSample = 1, compression = 3, rowsPerStrip = 5,
+      t4Aligned = true)
   }
 
   /** The dHash bit law rendered bilevel: cell (x,y) of the 9×8 grid
@@ -1486,8 +1604,8 @@ object TiffLake {
     import org.apache.spark.sql.types._
     val rows = (0 until n).map { i =>
       val s = 1 + i % 3
-      val v = i % 13
-      val bilevel = v == 8 || v == 9 || v == 11 || v == 12
+      val v = i % 15
+      val bilevel = v == 8 || v == 9 || v >= 11
       val px =
         if (bilevel) bilevelLawPixels(Multimodal.dhashBit(i), s)
         else Multimodal.dhashLawPixels(Multimodal.dhashBit(i), s)

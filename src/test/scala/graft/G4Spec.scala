@@ -211,6 +211,111 @@ class G4Spec extends SparkSpec {
   }
 
   // ------------------------------------------------------------------
+  // CCITT G3 1D (TIFF Compression 3, T.4 EOL framing)
+
+  test("G3 1D: hand vectors for EOL and fill framing, round-trips") {
+    val eol = "000000000001"
+    // one all-white 8-wide row: EOL then white 8 (10011) —
+    // hand-derived from the T.4 tables, decoder-independent
+    assert(TiffLake.g31dDecode(bits(eol + " 10011"), 8, 1,
+      aligned = false).forall(_ == 0))
+    // BBBBWWWW: EOL, white 0 (00110101), black 4 (011), white 4 (1011)
+    assert(TiffLake.g31dDecode(bits(eol + " 00110101 011 1011"), 8, 1,
+      aligned = false).toSeq == Seq[Byte](1, 1, 1, 1, 0, 0, 0, 0))
+    // an EOL before EVERY row, rows NOT byte-aligned in between:
+    // row0 all white (10011 — 5 bits), row1 all black (white 0 +
+    // black 8 = 00110101 000101)
+    assert(TiffLake.g31dDecode(
+      bits(eol + " 10011 " + eol + " 00110101 000101"), 8, 2,
+      aligned = false).toSeq ==
+      Seq[Byte](0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 1, 1, 1, 1))
+    // aligned mode (T4Options bit 2), fill hand-computed: first EOL
+    // needs 4 fill zeros (0+4+12 = 16 = two bytes); after the 5-bit
+    // row the second EOL needs 7 (21+7+12 = 40); the trailing 1 of
+    // each EOL ends a byte exactly
+    assert(TiffLake.g31dDecode(
+      bits("0000 " + eol + " 10011 0000000 " + eol + " 00110101 000101"),
+      8, 2, aligned = true).toSeq ==
+      Seq[Byte](0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 1, 1, 1, 1))
+    // hand-derived rejects
+    // no leading EOL
+    intercept[Throwable](TiffLake.g31dDecode(bits("10011"), 8, 1,
+      aligned = false))
+    // fill in unaligned mode (12 zeros before the 1)
+    intercept[Throwable](TiffLake.g31dDecode(bits("0" + eol + " 10011"),
+      8, 1, aligned = false))
+    // aligned mode: EOL's trailing 1 does not end a byte
+    intercept[Throwable](TiffLake.g31dDecode(bits(eol + " 10011"), 8, 1,
+      aligned = true))
+    // more fill than alignment can need: 12 fill zeros land the EOL
+    // on a byte boundary, but past the 7-bit fill cap
+    intercept[Throwable](TiffLake.g31dDecode(
+      bits("000000000000" + eol + " 10011"), 8, 1, aligned = true))
+    // RTC after the last row (T.4's six EOLs are not used in TIFF)
+    intercept[Throwable](TiffLake.g31dDecode(
+      bits(eol + " 10011 " + eol + eol + eol + eol + eol + eol), 8, 1,
+      aligned = false))
+    intercept[Throwable](TiffLake.g31dDecode(bits(""), 8, 1,
+      aligned = false))
+    // round-trips across makeup boundaries, both EOL modes
+    for (n <- Seq(1, 63, 64, 1664, 1792, 2624, 3000);
+        al <- Seq(false, true)) {
+      val black = Array.fill[Byte](n)(1)
+      assert(java.util.Arrays.equals(TiffLake.g31dDecode(
+        TiffLake.g31dEncode(black, n, 1, al), n, 1, al), black),
+        s"black $n aligned=$al")
+    }
+    val rnd = new scala.util.Random(46003)
+    (0 until 80).foreach { t =>
+      val w = 1 + rnd.nextInt(120)
+      val rows = 1 + rnd.nextInt(16)
+      val al = rnd.nextBoolean()
+      val samples = Array.fill[Byte](w * rows)(
+        if (rnd.nextInt(3) == 0) 1 else 0)
+      val enc = TiffLake.g31dEncode(samples, w, rows, al)
+      assert(java.util.Arrays.equals(
+        TiffLake.g31dDecode(enc, w, rows, al), samples),
+        s"sweep $t aligned=$al")
+    }
+    // container level: both T4Options modes, strips, both endians
+    for (al <- Seq(false, true); be <- Seq(false, true)) {
+      val px = bilevelImage(80 + (if (al) 1 else 0), 23, 18)
+      val enc = TiffLake.encodeTiff(px, 23, 18, TiffOpts(
+        bigEndian = be, photometric = 0, compression = 3,
+        bitsPerSample = 1, rowsPerStrip = 5, t4Aligned = al))
+      val got = TiffLake.parseTiff(enc)
+      assert(got.nonEmpty && java.util.Arrays.equals(got.get.argb, px),
+        s"G3 container aligned=$al be=$be")
+      assert(got.get.compression == 3 && got.get.nStrips == 4)
+    }
+    // T4Options strictness: 2D bit, uncompressed bit, junk values,
+    // and the tag riding a non-G3 compression all reject
+    val good = TiffLake.encodeTiff(bilevelImage(82, 18, 17), 18, 17,
+      TiffOpts(photometric = 0, compression = 3, bitsPerSample = 1))
+    assert(TiffLake.parseTiff(good).nonEmpty, "G3 control")
+    def patchT4(v: Int): Array[Byte] = {
+      val c = good.clone()
+      val ifd = (c(4) & 0xff) | ((c(5) & 0xff) << 8) |
+        ((c(6) & 0xff) << 16) | ((c(7) & 0xff) << 24)
+      // tag 292 = 0x0124 LE, type 4 (LONG), inline value at +8
+      val i = (ifd until c.length - 12).find(k =>
+        (c(k) & 0xff) == 0x24 && c(k + 1) == 1 && c(k + 2) == 4).get
+      c(i + 8) = v.toByte
+      c
+    }
+    assert(TiffLake.parseTiff(patchT4(1)).isEmpty, "2D coding bit")
+    assert(TiffLake.parseTiff(patchT4(2)).isEmpty, "uncompressed bit")
+    assert(TiffLake.parseTiff(patchT4(5)).isEmpty, "2D + aligned")
+    // byte-flip sweep over the G3 container (never throws)
+    for (i <- good.indices; bit <- Seq(1, 0x10)) {
+      val c = good.clone(); c(i) = (c(i) ^ bit).toByte
+      TiffLake.parseTiff(c).foreach { img =>
+        assert(img.argb.length == img.width * img.height)
+      }
+    }
+  }
+
+  // ------------------------------------------------------------------
   // encoder/decoder round-trip across the makeup boundaries
 
   private def roundTrip(samples: Array[Byte], w: Int, rows: Int,
@@ -368,8 +473,8 @@ class G4Spec extends SparkSpec {
     val fx = TiffLake.tiffFixture(spark, 40).orderBy("id").collect()
     fx.foreach { r =>
       val i = r.getLong(0).toInt
-      val v = i % 13
-      if (v == 8 || v == 9 || v == 11 || v == 12) {
+      val v = i % 15
+      if (v == 8 || v == 9 || v >= 11) {
         val s = 1 + i % 3
         val img = TiffLake.parseTiff(r.getAs[Array[Byte]](1)).get
         val want = TiffLake.bilevelLawPixels(Multimodal.dhashBit(i), s)
@@ -377,6 +482,7 @@ class G4Spec extends SparkSpec {
         val expComp = v match {
           case 8 => 1
           case 12 => 2
+          case 13 | 14 => 3
           case _ => 4
         }
         assert(img.compression == expComp, s"id=$i comp")
@@ -384,6 +490,8 @@ class G4Spec extends SparkSpec {
           if (v == 11) ((9 * s + 15) / 16) * ((8 * s + 15) / 16)
           else if (v == 9) 1
           else if (v == 12) (8 * s + 3) / 4
+          else if (v == 13) (8 * s + 1) / 2
+          else if (v == 14) (8 * s + 4) / 5
           else (8 * s + 2) / 3
         assert(img.nStrips == expSegs, s"id=$i segments")
         // the extractTiff dhash law: bit k = black(k) && !black(k+1)
