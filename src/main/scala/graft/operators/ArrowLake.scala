@@ -39,19 +39,21 @@ package graft.operators
   *  - DICTIONARY-encoded fields (Utf8 values, signed 8/16/32/64-bit
   *    indices — the string categoricals HuggingFace `datasets`
   *    writes): DictionaryBatch blocks walk BEFORE the data (size +
-  *    total value chars from the offsets buffer, one batch per id,
-  *    delta batches reject), every record-batch index is
-  *    bounds-checked against its dictionary and the index SUM is the
-  *    content gate;
+  *    total value chars from the offsets buffer), isDelta = 1
+  *    batches APPEND to an already-defined id (how `datasets`
+  *    appends categories; in a stream they may arrive between record
+  *    batches), every record-batch index is bounds-checked against
+  *    its dictionary and the index SUM is the content gate;
   *  - BODY COMPRESSION (BodyCompression, method BUFFER): each
   *    non-empty buffer is an i64 uncompressed length (-1 = raw)
   *    followed by an LZ4 frame or zstd frame; size laws run on the
   *    UNCOMPRESSED lengths, decoded buffers must produce EXACTLY the
   *    declared length, and the whole file must use one codec;
-  *  - strict rejects: non-Utf8 dictionary values, delta or missing
-  *    or duplicate dictionary batches, out-of-range indices, lying
-  *    length prefixes, mixed codecs, big-endian schemas,
-  *    non-RecordBatch data blocks;
+  *  - strict rejects: non-Utf8 dictionary values, missing
+  *    dictionaries, REPLACEMENT (a second definition without the
+  *    delta flag) or before-definition delta batches, out-of-range
+  *    indices, lying length prefixes, mixed codecs, big-endian
+  *    schemas, non-RecordBatch data blocks;
   *  - the IPC STREAM form (`.arrows`) walks the same batch engine
   *    sequentially: Schema message first, dictionaries strictly
   *    before the data, the 8-byte EOS marker closing the blob
@@ -430,17 +432,22 @@ object ArrowLake {
       rows
     }
 
-    /** One DictionaryBatch: id → (size, total value chars). */
+    /** One DictionaryBatch: id → (size, total value chars). A batch
+      * with isDelta = 1 APPENDS to an already-defined dictionary
+      * (how `datasets` appends categories across batches); a second
+      * definition WITHOUT the delta flag is a replacement, which the
+      * file format forbids — reject. A delta before any definition
+      * rejects too. */
     def dictionaryBatch(mfb: Fb, hdr: Int, bodyStart: Long,
-        bodyLen: Long): Unit = {
+        bodyLen: Long): Boolean = {
       val idPos = mfb.field(hdr, 0)
       val id = if (idPos == 0) 0L else mfb.i64(idPos)
       val deltaPos = mfb.field(hdr, 2)
-      if (deltaPos != 0 && mfb.u8(deltaPos) != 0) throw Fail // delta: out
+      val isDelta = deltaPos != 0 && mfb.u8(deltaPos) != 0
       val dataPos = mfb.field(hdr, 1)
       if (dataPos == 0) throw Fail
       val rb = mfb.indirect(dataPos)
-      if (dictSizes.containsKey(id)) throw Fail // one batch per id
+      if (isDelta != dictSizes.containsKey(id)) throw Fail
       // the dictionary payload is one non-null Utf8 column
       val valField = Array(ArrowField("", nullable = false, "utf8", 0))
       val vSums = Array[Option[Long]](None)
@@ -460,8 +467,20 @@ object ArrowLake {
             ((offs(last + 2) & 0xffL) << 16) |
             ((offs(last + 3) & 0xffL) << 24)
         }
-      dictSizes.put(id, rows)
-      dictChars.put(id, chars)
+      if (isDelta) {
+        // bounds re-checked on the accumulated totals: each delta's
+        // rows is already <= limit, and the running size must stay
+        // a plausible dictionary (index bound for later batches)
+        val nsz = dictSizes.get(id) + rows
+        val nch = dictChars.get(id) + chars
+        if (nsz < 0 || nsz > limit || nch < 0) throw Fail
+        dictSizes.put(id, nsz)
+        dictChars.put(id, nch)
+      } else {
+        dictSizes.put(id, rows)
+        dictChars.put(id, chars)
+      }
+      isDelta
     }
 
     /** Every dictionary-encoded field must have its dictionary. */
@@ -618,11 +637,12 @@ object ArrowLake {
           if (bodyLen > n - bodyStart) throw Fail
           ht match {
             case 2 =>
-              // dictionaries precede the data they encode (delta
-              // batches, the only legal late arrivals, are out of
-              // subset anyway)
-              if (seenRecord) throw Fail
-              walk.dictionaryBatch(mfb, hdr, bodyStart, bodyLen)
+              // dictionaries precede the data they encode; once data
+              // has begun, only DELTA batches (appends to an already
+              // defined id) are legal arrivals
+              val wasDelta =
+                walk.dictionaryBatch(mfb, hdr, bodyStart, bodyLen)
+              if (seenRecord && !wasDelta) throw Fail
             case 3 =>
               if (!seenRecord) walk.requireDicts()
               seenRecord = true
@@ -886,15 +906,18 @@ object ArrowLake {
     fbb.finish(msg)
   }
 
-  /** DictionaryBatch message: id + the values' RecordBatch. */
+  /** DictionaryBatch message: id + the values' RecordBatch; isDelta
+    * marks an APPEND to an earlier batch for the same id. */
   private[graft] def dictionaryBatchMessage(id: Long, rows: Long,
       nodes: Seq[(Long, Long)], buffers: Seq[(Long, Long)],
-      bodyLen: Long, comp: Int = -1): Array[Byte] = {
+      bodyLen: Long, comp: Int = -1,
+      isDelta: Boolean = false): Array[Byte] = {
     val fbb = new FbB
     val rb = buildRecordBatchTable(fbb, rows, nodes, buffers, comp)
     fbb.startTable(3)
     fbb.slotI64(0, id)
     fbb.slotRef(1, rb)
+    if (isDelta) fbb.slotU8(2, 1)
     val db = fbb.endTable()
     fbb.startTable(4)
     fbb.slotU16(0, 4)
@@ -1027,21 +1050,31 @@ object ArrowLake {
   private def writeIpcBody(out: java.io.ByteArrayOutputStream,
       fields: Seq[FixField], batches: Seq[Map[String, Array[Long]]],
       batchRows: Seq[Int], dicts: Map[Long, Seq[String]],
-      comp: Int): (Seq[(Long, Int, Long)], Seq[(Long, Int, Long)]) = {
+      comp: Int,
+      dictSplit: Map[Long, Int]): (Seq[(Long, Int, Long)], Seq[(Long, Int, Long)]) = {
     val schemaEnc = encapsulate(schemaMessage(fields))
     out.write(schemaEnc, 0, schemaEnc.length)
-    // dictionary batches first (readers need them before the data)
+    // dictionary batches first (readers need them before the data);
+    // a dictSplit entry ships that id as an initial batch of its
+    // first k values plus a DELTA batch carrying the rest
     val dictBlocks =
       scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long)]
     dicts.toSeq.sortBy(_._1).foreach { case (id, values) =>
-      val (bodyBytes, buffers) = layBody(utf8Buffers(values), comp)
-      val meta = encapsulate(dictionaryBatchMessage(id,
-        values.length.toLong, Seq((values.length.toLong, 0L)), buffers,
-        bodyBytes.length.toLong, comp))
-      dictBlocks += ((out.size.toLong, meta.length,
-        bodyBytes.length.toLong))
-      out.write(meta, 0, meta.length)
-      out.write(bodyBytes, 0, bodyBytes.length)
+      val k = dictSplit.getOrElse(id, 0)
+      val pieces =
+        if (k > 0 && k < values.length)
+          Seq((values.take(k), false), (values.drop(k), true))
+        else Seq((values, false))
+      pieces.foreach { case (vs, delta) =>
+        val (bodyBytes, buffers) = layBody(utf8Buffers(vs), comp)
+        val meta = encapsulate(dictionaryBatchMessage(id,
+          vs.length.toLong, Seq((vs.length.toLong, 0L)), buffers,
+          bodyBytes.length.toLong, comp, isDelta = delta))
+        dictBlocks += ((out.size.toLong, meta.length,
+          bodyBytes.length.toLong))
+        out.write(meta, 0, meta.length)
+        out.write(bodyBytes, 0, bodyBytes.length)
+      }
     }
     val blocks =
       scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long)]
@@ -1066,12 +1099,14 @@ object ArrowLake {
   private[graft] def encodeArrowExt(fields: Seq[FixField],
       batches: Seq[Map[String, Array[Long]]], batchRows: Seq[Int],
       dicts: Map[Long, Seq[String]] = Map.empty,
-      comp: Int = -1): Array[Byte] = {
+      comp: Int = -1,
+      dictSplit: Map[Long, Int] = Map.empty): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     out.write("ARROW1".getBytes("US-ASCII"))
     out.write(0); out.write(0)
     val (blocks, dictBlocks) =
-      writeIpcBody(out, fields, batches, batchRows, dicts, comp)
+      writeIpcBody(out, fields, batches, batchRows, dicts, comp,
+        dictSplit)
     val footer = footerFlatbuffer(fields, blocks, dictBlocks)
     out.write(footer, 0, footer.length)
     (0 until 4).foreach(j => out.write((footer.length >> (8 * j)) & 0xff))
@@ -1083,9 +1118,10 @@ object ArrowLake {
   private[graft] def encodeArrowStream(fields: Seq[FixField],
       batches: Seq[Map[String, Array[Long]]], batchRows: Seq[Int],
       dicts: Map[Long, Seq[String]] = Map.empty,
-      comp: Int = -1): Array[Byte] = {
+      comp: Int = -1,
+      dictSplit: Map[Long, Int] = Map.empty): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
-    writeIpcBody(out, fields, batches, batchRows, dicts, comp)
+    writeIpcBody(out, fields, batches, batchRows, dicts, comp, dictSplit)
     out.toByteArray
   }
 
@@ -1229,8 +1265,14 @@ object ArrowLake {
         }.toMap
       }
       val dict = Map(7L -> (0 until ds).map(k => s"v$k"))
+      // every fifth file ships the dictionary as an initial batch of
+      // its first ceil(ds/2) values plus a DELTA batch with the rest
+      // (same totals, so the oracle is unchanged and the delta path
+      // sits under the existing hash gate)
+      val split =
+        if (i % 5 == 0) Map(7L -> ((ds + 1) / 2)) else Map.empty[Long, Int]
       Row(i.toLong,
-        encodeArrowExt(fields, batches, batchRows, dict, comp))
+        encodeArrowExt(fields, batches, batchRows, dict, comp, split))
     }
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 4),
@@ -1240,9 +1282,10 @@ object ArrowLake {
   }
 
   /** The [[arrowDictFixture]] laws in the STREAM form (`.arrows`):
-    * identical content, no magic/footer — so the q237 oracle is the
-    * q235 oracle verbatim and any divergence between the two walks
-    * fails the hash gate. */
+    * identical content (including the i%5==0 delta-split
+    * dictionaries), no magic/footer — so the q237 oracle is the q235
+    * oracle verbatim and any divergence between the two walks fails
+    * the hash gate. */
   def arrowStreamFixture(spark: org.apache.spark.sql.SparkSession,
       n: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.Row
@@ -1270,8 +1313,11 @@ object ArrowLake {
         }.toMap
       }
       val dict = Map(7L -> (0 until ds).map(k => s"v$k"))
+      val split =
+        if (i % 5 == 0) Map(7L -> ((ds + 1) / 2)) else Map.empty[Long, Int]
       Row(i.toLong,
-        encodeArrowStream(fields, batches, batchRows, dict, comp))
+        encodeArrowStream(fields, batches, batchRows, dict, comp,
+          split))
     }
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 4),

@@ -1917,7 +1917,10 @@ object ExtQueries5 {
   // BUFFER framing ([i64 uncompressed length | -1][frame]) with size
   // laws on the UNCOMPRESSED lengths and decompressed-length
   // verification. 40 files cycling none/lz4/zstd and all four index
-  // widths. Real pyarrow dictionary/lz4/zstd files are conformance
+  // widths; every fifth file ships its dictionary as an initial
+  // batch plus a DELTA batch (isDelta = 1 appends — same totals, so
+  // the delta walk sits under this hash gate). Real pyarrow
+  // dictionary/lz4/zstd/delta/replacement files are conformance
   // resources in ArrowLakeSpec.
   private val ArrowDictN = 40
 
