@@ -44,10 +44,12 @@ import org.apache.spark.sql.types._
   *    empty line more indented than the auto-detected indent, and —
   *    folded only — more-indented content lines (whose breaks the
   *    spec does NOT fold) all reject;
-  *  - flow: ONE level of flow sequences `[a, 1, "b"]` as a mapping
-  *    value (scalar elements only); flow mappings, nested flow,
-  *    anchors, aliases, tags, directives, block scalars as SEQUENCE
-  *    items, and multi-document streams are out of subset.
+  *  - flow: ONE level of flow sequences `[a, 1, "b"]` and ONE level
+  *    of flow mappings `{k: 1, m: "x"}` as mapping values (scalar
+  *    elements/values only, bare unique keys, the same ": " pair
+  *    indicator); nested flow, anchors, aliases, tags, directives,
+  *    block scalars as SEQUENCE items, and multi-document streams
+  *    are out of subset.
   *
   * Emits one row per leaf in APPEARANCE order; every sequence also
   * emits a container row carrying its element count. One blob = one
@@ -213,10 +215,13 @@ object YamlLake {
     t
   }
 
-  /** Scan one plain token in flow context: also stops at `,` / `]`. */
-  private def scanPlainFlow(c: LCur): String = {
+  /** Scan one plain token in flow context: also stops at `,` and the
+    * collection's closing indicator (`]` or `}` — YAML makes both
+    * indicators in flow context, so plain content may contain
+    * neither). */
+  private def scanPlainFlow(c: LCur, close: Char): String = {
     val st = c.p
-    while (c.p < c.s.length && c.s(c.p) != ',' && c.s(c.p) != ']' &&
+    while (c.p < c.s.length && c.s(c.p) != ',' && c.s(c.p) != close &&
       c.s(c.p) != '#') c.p += 1
     if (c.p >= c.s.length) throw Fail // flow must close on the line
     if (c.s(c.p) == '#') throw Fail
@@ -225,8 +230,9 @@ object YamlLake {
     t
   }
 
-  /** Parse one SCALAR at the cursor (no flow sequences here). */
-  private def scalar(c: LCur, flow: Boolean): YamlEntry = {
+  /** Parse one SCALAR at the cursor (no flow collections here);
+    * `flow` carries the enclosing collection's closer, 0 = block. */
+  private def scalar(c: LCur, flow: Char): YamlEntry = {
     c.ws()
     c.peek match {
       case '"' =>
@@ -236,10 +242,11 @@ object YamlLake {
         val v = quotedSingle(c)
         YamlEntry("", "str", None, Some(v), None, None)
       case '{' | '[' | '&' | '*' | '!' | '|' | '>' | '%' | '@' | '`' =>
-        throw Fail // flow maps, nested flow, anchors/aliases/tags,
-      // block scalars, directives, reserved indicators: out of subset
+        throw Fail // nested flow, anchors/aliases/tags, block
+      // scalars, directives, reserved indicators: out of subset
       case _ =>
-        resolvePlain(if (flow) scanPlainFlow(c) else scanPlain(c))
+        resolvePlain(if (flow != 0) scanPlainFlow(c, flow)
+        else scanPlain(c))
     }
   }
 
@@ -361,7 +368,7 @@ object YamlLake {
             while (more) {
               c.ws()
               if (n >= 256) throw Fail
-              emit(scalar(c, flow = true).copy(path = path + "." + n))
+              emit(scalar(c, flow = ']').copy(path = path + "." + n))
               n += 1
               c.ws()
               if (c.peek == ',') c.p += 1
@@ -369,7 +376,35 @@ object YamlLake {
             }
           }
           out(rowAt) = out(rowAt).copy(arrN = Some(n))
-        } else emit(scalar(c, flow = false).copy(path = path))
+        } else if (c.peek == '{') { // one-level flow mapping value
+          c.p += 1
+          val rowAt = out.length
+          emit(YamlEntry(path, "map", None, None, None, Some(0)))
+          var n = 0
+          c.ws()
+          if (c.peek == '}') c.p += 1
+          else {
+            val seen = scala.collection.mutable.HashSet.empty[String]
+            var more = true
+            while (more) {
+              c.ws()
+              if (n >= 256) throw Fail
+              val k = bareKey(c)
+              if (!seen.add(k)) throw Fail // key uniqueness, flow form
+              if (c.peek != ':') throw Fail
+              c.p += 1
+              // the flow pair indicator is also ": " in this subset
+              if (c.p >= c.s.length || c.s(c.p) != ' ') throw Fail
+              c.ws()
+              emit(scalar(c, flow = '}').copy(path = childPath(path, k)))
+              n += 1
+              c.ws()
+              if (c.peek == ',') c.p += 1
+              else { if (c.peek != '}') throw Fail; c.p += 1; more = false }
+            }
+          }
+          out(rowAt) = out(rowAt).copy(arrN = Some(n))
+        } else emit(scalar(c, flow = 0).copy(path = path))
         c.finish()
       }
 
@@ -452,7 +487,7 @@ object YamlLake {
         if (c.p < c.s.length && c.s(c.p) != ' ') throw Fail
         c.ws()
         if (c.eol) throw Fail // bare `-` (nested containers): out
-        emit(scalar(c, flow = false).copy(path = sq.path + "." + sq.idx))
+        emit(scalar(c, flow = 0).copy(path = sq.path + "." + sq.idx))
         sq.idx += 1
         c.finish()
       }
@@ -713,6 +748,44 @@ object YamlLake {
     }
     sb.append("# Body " + i + "\n")
     sb.append("Body text " + i % 3 + ".\n")
+    sb.toString.getBytes("UTF-8")
+  }
+
+  /** Flow-mapping fixture (q240). Law (replayed closed-form by the
+    * oracle): doc i carries svc: s(i%6), a flow mapping `cfg` of
+    * i%4 entries — a: 3i+1 (int), b: a QUOTED string containing a
+    * live comma AND close brace ("d,}"+i%7 double-quoted on even i,
+    * 's,}'+i%7 single-quoted on odd), c: float (1+i%9).(i%100) on
+    * the exact x100 axis — written with no space after commas when
+    * i%3==0 and padded braces when i%5==3, an empty flow mapping
+    * `lims`, and port: 1000+i. */
+  def flowFixture(spark: SparkSession, n: Int): DataFrame = {
+    val rows = (0 until n).map(i => Row(i.toLong, flowDoc(i)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4),
+      StructType(Seq(
+        StructField("id", LongType, false),
+        StructField("media", BinaryType, true))))
+  }
+
+  private[graft] def flowDoc(i: Int): Array[Byte] = {
+    val ne = i % 4
+    val qv =
+      if (i % 2 == 0) "\"d,}" + i % 7 + "\""
+      else "'s,}" + i % 7 + "'"
+    val entries = (0 until ne).map {
+      case 0 => "a: " + (3 * i + 1)
+      case 1 => "b: " + qv
+      case _ => "c: " + (1 + i % 9) + "." + f"${i % 100}%02d"
+    }
+    val sep = if (i % 3 == 0) "," else ", "
+    val pad = if (i % 5 == 3) " " else ""
+    val sb = new StringBuilder
+    sb.append("# cfg " + i + "\n")
+    sb.append("svc: s" + i % 6 + "\n")
+    sb.append("cfg: {" + pad + entries.mkString(sep) + pad + "}\n")
+    sb.append("lims: {}\n")
+    sb.append("port: " + (1000 + i) + "\n")
     sb.toString.getBytes("UTF-8")
   }
 

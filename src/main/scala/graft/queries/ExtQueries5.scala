@@ -2183,6 +2183,59 @@ object ExtQueries5 {
          true AS valid
        FROM e ORDER BY id, page"""
 
+  // ---------------------------------------------------------------
+  // q240 — FLOW-MAPPING extraction (the other half of the r16
+  // verdict's YAML gap, alongside q238's block scalars): one-level
+  // `{k: v, ...}` mapping values — the inline-object form CI configs
+  // and model cards use for small option groups. 40 documents sweep
+  // entry counts 0-3 (including the empty `{}`), quoted values
+  // carrying a LIVE comma and close brace (the naive-split breakers,
+  // both quote styles), exact x100 floats, no-space-after-comma and
+  // padded-brace spacings. Key-uniqueness / nesting / pair-indicator
+  // strictness is spec-gated in YamlLakeSpec.
+  private val FlowN = 40
+
+  def q240(s: SparkSession, dir: String): DataFrame = {
+    val fx = graft.operators.YamlLake.flowFixture(s, FlowN)
+    graft.operators.YamlLake.extractYaml(fx, "id", "media")
+      .select(col("id"), col("seq"), col("path"), col("kind"),
+        col("lval"), col("sval"), col("fx100"), col("arr_n"),
+        col("valid"))
+      .orderBy("id", "seq")
+  }
+
+  val q240Sql: String =
+    s"""WITH base AS (
+         SELECT r AS id, r % 4 AS ne FROM range(0, $FlowN) g(r)),
+       rws AS (
+         SELECT id, ne, CAST(unnest(range(0, 4 + ne)) AS INT) AS seq
+         FROM base),
+       d AS (
+         SELECT id, ne, seq,
+           CASE WHEN seq = 0 THEN 0
+                WHEN seq = 1 THEN 1
+                WHEN seq < 2 + ne THEN 10 + (seq - 2)
+                WHEN seq = 2 + ne THEN 2
+                ELSE 3 END AS pos
+         FROM rws)
+       SELECT id, seq,
+         CASE pos WHEN 0 THEN 'svc' WHEN 1 THEN 'cfg' WHEN 2 THEN 'lims'
+           WHEN 3 THEN 'port' WHEN 10 THEN 'cfg.a' WHEN 11 THEN 'cfg.b'
+           ELSE 'cfg.c' END AS path,
+         CASE pos WHEN 0 THEN 'str' WHEN 1 THEN 'map' WHEN 2 THEN 'map'
+           WHEN 3 THEN 'int' WHEN 10 THEN 'int' WHEN 11 THEN 'str'
+           ELSE 'float' END AS kind,
+         CAST(CASE pos WHEN 3 THEN 1000 + id WHEN 10 THEN 3 * id + 1
+           END AS BIGINT) AS lval,
+         CASE pos WHEN 0 THEN 's' || (id % 6)
+           WHEN 11 THEN CASE WHEN id % 2 = 0 THEN 'd,}' ELSE 's,}' END
+             || (id % 7) END AS sval,
+         CAST(CASE pos WHEN 12 THEN (1 + id % 9) * 100 + id % 100
+           END AS BIGINT) AS fx100,
+         CAST(CASE pos WHEN 1 THEN ne WHEN 2 THEN 0 END AS INT) AS arr_n,
+         true AS valid
+       FROM d ORDER BY id, seq"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q203_safetensors_extract" -> (q203 _),
     "q204_npy_extract" -> (q204 _),
@@ -2220,7 +2273,8 @@ object ExtQueries5 {
     "q236_parquet_pages" -> (q236 _),
     "q237_arrow_stream" -> (q237 _),
     "q238_block_scalars" -> (q238 _),
-    "q239_tiff_multipage" -> (q239 _)
+    "q239_tiff_multipage" -> (q239 _),
+    "q240_flow_mappings" -> (q240 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -2261,6 +2315,7 @@ object ExtQueries5 {
     // the stream fixture carries the q235 laws verbatim
     "q237_arrow_stream" -> q235Sql,
     "q238_block_scalars" -> q238Sql,
-    "q239_tiff_multipage" -> q239Sql
+    "q239_tiff_multipage" -> q239Sql,
+    "q240_flow_mappings" -> q240Sql
   )
 }

@@ -128,7 +128,6 @@ class YamlLakeSpec extends SparkSpec {
       "anchor" -> "a: &x 1\n",
       "alias" -> "a: *x\n",
       "tag" -> "a: !!int 1\n",
-      "flow mapping" -> "a: {b: 1}\n",
       "nested flow" -> "a: [[1], 2]\n",
       "flow map in flow seq" -> "a: [{x: 1}]\n",
       "directive" -> "%YAML 1.2\na: 1\n",
@@ -198,6 +197,40 @@ class YamlLakeSpec extends SparkSpec {
     assert(YamlLake.parseYaml(Array.emptyByteArray).isEmpty)
     // invalid UTF-8 rejects
     assert(YamlLake.parseYaml(Array[Byte]('a', ':', ' ', 0xC3.toByte)).isEmpty)
+  }
+
+  test("flow mappings: one level, scalar values, spacing forms") {
+    assert(parse("m: {a: 1, b: 'x,y', c: 2.5}\nz: 9\n").get == Seq(
+      YamlEntry("m", "map", None, None, None, Some(3)),
+      YamlEntry("m.a", "int", Some(1L), None, None, None),
+      YamlEntry("m.b", "str", None, Some("x,y"), None, None),
+      YamlEntry("m.c", "float", None, None, Some(250L), None),
+      YamlEntry("z", "int", Some(9L), None, None, None)))
+    // empty mapping, padded braces, no space after commas, trailing
+    // comment, quoted values carrying the closing indicator
+    assert(parse("m: {}\n").get ==
+      Seq(YamlEntry("m", "map", None, None, None, Some(0))))
+    assert(parse("m: { a: 1 }\n").get.length == 2)
+    assert(parse("m: {a: 1,b: 2}\n").get.length == 3)
+    assert(parse("m: {a: 1} # c\n").get.length == 2)
+    assert(parse("m: {b: \"}x\"}\n").get(1).sval.contains("}x"))
+    // strictness: the flow-mapping sub-laws reject, never guess
+    val rejects = Seq(
+      "duplicate flow key" -> "m: {a: 1, a: 2}\n",
+      "nested flow map" -> "m: {a: {b: 1}}\n",
+      "flow seq in flow map" -> "m: {a: [1]}\n",
+      "flow map in flow seq" -> "m: [{a: 1}]\n",
+      "flow map as seq item" -> "k:\n  - {a: 1}\n",
+      "no space after flow colon" -> "m: {a:1}\n",
+      "unterminated flow map" -> "m: {a: 1\n",
+      "empty flow value" -> "m: {a: }\n",
+      "junk after close" -> "m: {a: 1} x\n",
+      "bare close brace in plain" -> "m: {a: x}y}\n",
+      "missing comma" -> "m: {a: 1 b: 2}\n",
+      "quoted flow key" -> "m: {'a': 1}\n")
+    rejects.foreach { case (name, doc) =>
+      assert(parse(doc).isEmpty, name)
+    }
   }
 
   test("block scalars: literal/folded x chomping x indentation laws") {
@@ -335,7 +368,8 @@ class YamlLakeSpec extends SparkSpec {
   test("byte-flip + truncation sweeps never throw; survivors well-formed") {
     val docs = YamlLake.yamlFixture(spark, 3).collect()
       .map(_.getAs[Array[Byte]](1)) ++
-      Seq(2, 5, 8).map(YamlLake.blockDoc) // block-scalar paths swept too
+      Seq(2, 5, 8).map(YamlLake.blockDoc) ++ // block-scalar paths
+      Seq(3, 6).map(YamlLake.flowDoc) // flow-mapping paths swept too
     for (src <- docs; i <- src.indices; bit <- Seq(1, 0x40)) {
       val c = src.clone(); c(i) = (c(i) ^ bit).toByte
       YamlLake.parseYaml(c).foreach { es =>
