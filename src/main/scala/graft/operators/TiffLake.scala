@@ -492,22 +492,13 @@ object TiffLake {
     total
   }
 
-  /** Decode one G4 segment to one byte per sample (0 white, 1 black). */
-  private[graft] def g4Decode(in: Array[Byte], w: Int,
-      rows: Int): Array[Byte] = {
-    if (w < 1 || rows < 1) throw Fail
-    val out = new Array[Byte](w * rows)
-    val br = new MsbBits(in)
-    // changing elements of the reference line (positions where colour
-    // flips; even index = white->black), padded with w sentinels so
-    // b1/b2 lookups never fall off the end
-    var ref = Array.fill(4)(w)
-    var refN = 0
-    // positions strictly increase within [0, w]: at most w+1
-    // recorded entries per row; the guard is a pathology backstop
-    val cur = new Array[Int](w + 8)
-    var y = 0
-    while (y < rows) {
+  /** Decode ONE 2D-coded row against the reference line's changing
+    * elements (sentinel-padded); writes pixels at `rowBase` and
+    * records the row's changing elements into `cur`, returning their
+    * count. Shared by G4 (every row 2D) and G3 2D (tag-bit rows). */
+  private def decode2dRow(br: MsbBits, w: Int, out: Array[Byte],
+      rowBase: Int, ref: Array[Int], refN: Int,
+      cur: Array[Int]): Int = {
       var curN = 0
       var a0 = -1
       var black = false
@@ -524,8 +515,8 @@ object TiffLake {
         val a0f = if (a0 < 0) 0 else a0
         @inline def fill(from: Int, until: Int, blk: Boolean): Unit = {
           if (until > w || until < from) throw Fail
-          if (blk) java.util.Arrays.fill(out, y * w + from, y * w + until,
-            1.toByte)
+          if (blk) java.util.Arrays.fill(out, rowBase + from,
+            rowBase + until, 1.toByte)
         }
         if (br.read(1) == 1) { // V0
           fill(a0f, b1, black)
@@ -585,6 +576,26 @@ object TiffLake {
       if (a0 != w) throw Fail
       // transitions at w are not changing elements of the next row
       while (curN > 0 && cur(curN - 1) >= w) curN -= 1
+      curN
+  }
+
+  /** Decode one G4 segment to one byte per sample (0 white, 1 black). */
+  private[graft] def g4Decode(in: Array[Byte], w: Int,
+      rows: Int): Array[Byte] = {
+    if (w < 1 || rows < 1) throw Fail
+    val out = new Array[Byte](w * rows)
+    val br = new MsbBits(in)
+    // changing elements of the reference line (positions where colour
+    // flips; even index = white->black), padded with w sentinels so
+    // b1/b2 lookups never fall off the end
+    var ref = Array.fill(4)(w)
+    var refN = 0
+    // positions strictly increase within [0, w]: at most w+1
+    // recorded entries per row; the guard is a pathology backstop
+    val cur = new Array[Int](w + 8)
+    var y = 0
+    while (y < rows) {
+      val curN = decode2dRow(br, w, out, y * w, ref, refN, cur)
       ref = java.util.Arrays.copyOf(cur, curN + 4)
       java.util.Arrays.fill(ref, curN, curN + 4, w)
       refN = curN
@@ -733,6 +744,86 @@ object TiffLake {
     out
   }
 
+  /** Decode one G3 2D segment (T.4 sec 4.2: T4Options bit 0 set).
+    * Every row is EOL-framed like 1D, but the EOL carries a trailing
+    * tag bit — 1 = the next row is 1D-coded, 0 = 2D-coded against
+    * the previous row with the SAME vertical/pass/horizontal machine
+    * as G4. Fill before EOLs is out of this mode's subset (the
+    * byte-aligned variant's fill placement relative to the tag bit
+    * is writer-divergent in the wild — reject, never guess). */
+  private[graft] def g32dDecode(in: Array[Byte], w: Int,
+      rows: Int): Array[Byte] = {
+    if (w < 1 || rows < 1) throw Fail
+    val out = new Array[Byte](w * rows)
+    val br = new MsbBits(in)
+    var ref = Array.fill(4)(w)
+    var refN = 0
+    val cur = new Array[Int](w + 8)
+    var y = 0
+    while (y < rows) {
+      expectEol(br, aligned = false)
+      val tag = br.read(1)
+      var curN = 0
+      if (tag == 1) { // 1D row: MH runs, changing elements recorded
+        var x = 0
+        var black = false
+        var runIdx = 0
+        while (x < w) {
+          val run = mhRun(br, black, w - x)
+          if (run == 0 && runIdx > 0) throw Fail
+          runIdx += 1
+          if (black)
+            java.util.Arrays.fill(out, y * w + x, y * w + x + run,
+              1.toByte)
+          x += run
+          if (x < w) { cur(curN) = x; curN += 1 }
+          black = !black
+        }
+      } else curN = decode2dRow(br, w, out, y * w, ref, refN, cur)
+      ref = java.util.Arrays.copyOf(cur, curN + 4)
+      java.util.Arrays.fill(ref, curN, curN + 4, w)
+      refN = curN
+      y += 1
+    }
+    // no RTC: at most 7 zero pad bits close the segment
+    if (br.lim - br.pos >= 8) throw Fail
+    while (br.pos < br.lim) if (br.read(1) != 0) throw Fail
+    out
+  }
+
+  /** Encode one segment as G3 2D with K-factor `k`: every k-th row
+    * is 1D-coded (the error-confinement convention), the rest 2D. */
+  private[graft] def g32dEncode(samples: Array[Byte], w: Int,
+      rows: Int, k: Int): Array[Byte] = {
+    require(samples.length == w * rows && w >= 1 && rows >= 1 && k >= 1)
+    val bw = new MsbBw
+    var ref: Array[Int] = null
+    var y = 0
+    while (y < rows) {
+      bw.write(1, 12) // EOL
+      val curT = transitionsOf(samples, w, y)
+      if (y % k == 0) {
+        bw.write(1, 1) // tag: 1D row
+        var x = 0
+        var black = false
+        while (x < w) {
+          var run = 0
+          while (x + run < w &&
+            ((samples(y * w + x + run) != 0) == black)) run += 1
+          mhWrite(bw, run, black)
+          x += run
+          black = !black
+        }
+      } else {
+        bw.write(0, 1) // tag: 2D row
+        encode2dRow(bw, ref, curT, w)
+      }
+      ref = curT
+      y += 1
+    }
+    bw.bytes
+  }
+
   /** Encode one segment of samples as G3 1D. */
   private[graft] def g31dEncode(samples: Array[Byte], w: Int,
       rows: Int, aligned: Boolean): Array[Byte] = {
@@ -783,63 +874,73 @@ object TiffLake {
     bw.bytes
   }
 
+  /** Changing elements of row y, padded with four w sentinels. */
+  private def transitionsOf(samples: Array[Byte], w: Int,
+      y: Int): Array[Int] = {
+    val t = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var prev = 0
+    var x = 0
+    while (x < w) {
+      val v = samples(y * w + x) & 1
+      if (v != prev) { t += x; prev = v }
+      x += 1
+    }
+    t += w; t += w; t += w; t += w
+    t.toArray
+  }
+
+  /** Code ONE row 2D against the reference transitions (both
+    * sentinel-padded). Shared by G4 and the G3 2D rows. */
+  private def encode2dRow(bw: MsbBw, ref: Array[Int],
+      curT: Array[Int], w: Int): Unit = {
+    var a0 = -1
+    var black = false
+    var lo = 0 // into ref
+    var ci = 0 // into curT: next transition > a0
+    while (a0 < w) {
+      while (lo + 1 < ref.length && ref(lo) <= a0) lo += 1
+      val i1 = if ((lo & 1) == (if (black) 1 else 0)) lo else lo + 1
+      val b1 = ref(i1)
+      val b2 = ref(i1 + 1)
+      while (curT(ci) <= a0 && curT(ci) < w) ci += 1
+      val a1 = if (curT(ci) <= a0) w else curT(ci)
+      if (b2 < a1) { // pass
+        bw.write(1, 4) // 0001
+        a0 = b2
+      } else if (a1 - b1 >= -3 && a1 - b1 <= 3) { // vertical
+        a1 - b1 match {
+          case 0 => bw.write(1, 1)
+          case 1 => bw.write(3, 3)
+          case -1 => bw.write(2, 3)
+          case 2 => bw.write(3, 6)
+          case -2 => bw.write(2, 6)
+          case 3 => bw.write(3, 7)
+          case _ => bw.write(2, 7)
+        }
+        a0 = a1
+        black = !black
+      } else { // horizontal: two runs from a0 (first-pixel a0f rule)
+        val a0f = if (a0 < 0) 0 else a0
+        val a2 = if (ci + 1 < curT.length && curT(ci + 1) < w &&
+          a1 < w) curT(ci + 1) else w
+        bw.write(1, 3) // 001
+        mhWrite(bw, a1 - a0f, black)
+        mhWrite(bw, a2 - a1, !black)
+        a0 = a2
+      }
+    }
+  }
+
   /** Encode one segment of samples (0 white, 1 black) as G4. */
   private[graft] def g4Encode(samples: Array[Byte], w: Int, rows: Int,
       eofb: Boolean = false): Array[Byte] = {
     require(samples.length == w * rows && w >= 1 && rows >= 1)
     val bw = new MsbBw
-    def transitions(y: Int): Array[Int] = {
-      val t = scala.collection.mutable.ArrayBuffer.empty[Int]
-      var prev = 0
-      var x = 0
-      while (x < w) {
-        val v = samples(y * w + x) & 1
-        if (v != prev) { t += x; prev = v }
-        x += 1
-      }
-      t += w; t += w; t += w; t += w
-      t.toArray
-    }
     var ref = Array.fill(4)(w)
     var y = 0
     while (y < rows) {
-      val curT = transitions(y)
-      var a0 = -1
-      var black = false
-      var lo = 0 // into ref
-      var ci = 0 // into curT: next transition > a0
-      while (a0 < w) {
-        while (lo + 1 < ref.length && ref(lo) <= a0) lo += 1
-        val i1 = if ((lo & 1) == (if (black) 1 else 0)) lo else lo + 1
-        val b1 = ref(i1)
-        val b2 = ref(i1 + 1)
-        while (curT(ci) <= a0 && curT(ci) < w) ci += 1
-        val a1 = if (curT(ci) <= a0) w else curT(ci)
-        if (b2 < a1) { // pass
-          bw.write(1, 4) // 0001
-          a0 = b2
-        } else if (a1 - b1 >= -3 && a1 - b1 <= 3) { // vertical
-          a1 - b1 match {
-            case 0 => bw.write(1, 1)
-            case 1 => bw.write(3, 3)
-            case -1 => bw.write(2, 3)
-            case 2 => bw.write(3, 6)
-            case -2 => bw.write(2, 6)
-            case 3 => bw.write(3, 7)
-            case _ => bw.write(2, 7)
-          }
-          a0 = a1
-          black = !black
-        } else { // horizontal: two runs from a0 (first-pixel a0f rule)
-          val a0f = if (a0 < 0) 0 else a0
-          val a2 = if (ci + 1 < curT.length && curT(ci + 1) < w &&
-            a1 < w) curT(ci + 1) else w
-          bw.write(1, 3) // 001
-          mhWrite(bw, a1 - a0f, black)
-          mhWrite(bw, a2 - a1, !black)
-          a0 = a2
-        }
-      }
+      val curT = transitionsOf(samples, w, y)
+      encode2dRow(bw, ref, curT, w)
       ref = curT
       y += 1
     }
@@ -978,18 +1079,18 @@ object TiffLake {
         if (comp != 1 && comp != 2 && comp != 3 && comp != 4) throw Fail
         if (comp != 1 && pm != 0) throw Fail
       }
-      // T4Options (292) only rides Compression 3; within it, 2D
-      // coding (bit 0) and uncompressed mode (bit 1) are out of
-      // subset — only plain 1D (0) and byte-aligned EOLs (4) decode
-      val t4Aligned = ent(292) match {
+      // T4Options (292) only rides Compression 3; the closed subset
+      // is 0 (plain 1D), 4 (1D with byte-aligned EOLs) and 1 (2D
+      // coding, unaligned) — uncompressed mode (bit 1) and the
+      // aligned-2D combination (whose fill placement relative to the
+      // tag bit is writer-divergent) reject
+      val t4opts = ent(292) match {
         case Some(e) =>
           if (comp != 3) throw Fail
-          scalar(rd, e) match {
-            case 0L => false
-            case 4L => true
-            case _ => throw Fail
-          }
-        case None => false
+          val v = scalar(rd, e)
+          if (v != 0L && v != 1L && v != 4L) throw Fail
+          v.toInt
+        case None => 0
       }
       val pred = ent(317).map(scalar(rd, _)).getOrElse(1L).toInt
       if (pred != 1 && (pred != 2 || comp != 5)) throw Fail
@@ -1036,7 +1137,10 @@ object TiffLake {
           dec
         } else comp match {
           case 4 => g4Decode(in, sw, sh)
-          case 3 => g31dDecode(in, sw, sh, t4Aligned)
+          case 3 => t4opts match {
+            case 1 => g32dDecode(in, sw, sh)
+            case a => g31dDecode(in, sw, sh, a == 4)
+          }
           case 2 => mh1dDecode(in, sw, sh)
           case _ => // raw packed bits, each row byte-aligned
             val rowBytes = (sw + 7) / 8
@@ -1154,7 +1258,8 @@ object TiffLake {
       tileWidth: Int = 0, // 0 = strips; else multiples of 16
       tileLength: Int = 0,
       eofb: Boolean = false, // close each G4 segment with EOFB
-      t4Aligned: Boolean = false) // G3: byte-aligned EOLs (T4Options 4)
+      t4Aligned: Boolean = false, // G3: byte-aligned EOLs (T4Options 4)
+      t42d: Boolean = false) // G3: 2D coding (T4Options 1), K = 4
 
   private final class Wr(be: Boolean) {
     val buf = new java.io.ByteArrayOutputStream()
@@ -1220,6 +1325,7 @@ object TiffLake {
         Set(1, 2, 3, 4)(opts.compression)))
     require(!Set(2, 3, 4)(opts.compression) ||
       (opts.bitsPerSample == 1 && opts.photometric == 0))
+    require(!(opts.t42d && opts.t4Aligned), "aligned-2D is out of subset")
     require((opts.tileWidth == 0) == (opts.tileLength == 0))
     require(opts.tileWidth % 16 == 0 && opts.tileLength % 16 == 0)
     // palette (photometric 3)
@@ -1260,7 +1366,9 @@ object TiffLake {
     def encodeSeg(seg: Array[Byte], sw: Int, sh: Int): Array[Byte] =
       if (bilevel) opts.compression match {
         case 4 => g4Encode(seg, sw, sh, opts.eofb)
-        case 3 => g31dEncode(seg, sw, sh, opts.t4Aligned)
+        case 3 =>
+          if (opts.t42d) g32dEncode(seg, sw, sh, k = 4)
+          else g31dEncode(seg, sw, sh, opts.t4Aligned)
         case 2 => mh1dEncode(seg, sw, sh)
         case _ => // raw packed bits, each row byte-aligned
           val rowBytes = (sw + 7) / 8
@@ -1350,7 +1458,8 @@ object TiffLake {
     }
     tags += Tag(277, 3, 1, Some(spp.toLong))
     if (opts.compression == 3)
-      tags += Tag(292, 4, 1, Some(if (opts.t4Aligned) 4L else 0L))
+      tags += Tag(292, 4, 1, Some(
+        if (opts.t42d) 1L else if (opts.t4Aligned) 4L else 0L))
     if (opts.predictor == 2) tags += Tag(317, 3, 1, Some(2L))
     if (tiled) {
       tags += Tag(322, 3, 1, Some(opts.tileWidth.toLong))
@@ -1545,19 +1654,19 @@ object TiffLake {
   }
 
   /** Fixture: the q190 law image per id (scale 1 + id%3) behind
-    * FIFTEEN wire variants routed by id % 15 — both endians, all
+    * SIXTEEN wire variants routed by id % 16 — both endians, all
     * four photometrics, compressions none/LZW/PackBits/G4/MH-1D/
-    * G3-1D, single- and multi-strip AND tiled layouts, both
+    * G3-1D/G3-2D, single- and multi-strip AND tiled layouts, both
     * predictors, 8-bit and bilevel depths. Variants 0-7 carry the
-    * grayscale ramp law; variants 8/9/11/12/13/14 are BILEVEL
-    * renderings of the same dHash bit law (cell (x,y) black iff
-    * bit(x,y)) — raw packed rows, G4 strips, G4 tiles, MH-1D strips
-    * and G3-1D strips in both EOL modes (13 unaligned, 14 with
-    * byte-aligned EOL fill, big-endian) — and variant 10 is the ramp
-    * law in LZW tiles; so the pixel columns stay wire-blind within
-    * each depth class and the wire columns (n_strips, compression)
-    * are closed-form in id. */
-  private[graft] def tiffOptsFor(i: Int): TiffOpts = (i % 15) match {
+    * grayscale ramp law; variants 8/9/11-15 are BILEVEL renderings
+    * of the same dHash bit law (cell (x,y) black iff bit(x,y)) —
+    * raw packed rows, G4 strips, G4 tiles, MH-1D strips, G3-1D
+    * strips in both EOL modes (13 unaligned, 14 with byte-aligned
+    * EOL fill, big-endian) and G3-2D single strips (15, K = 4) —
+    * and variant 10 is the ramp law in LZW tiles; so the pixel
+    * columns stay wire-blind within each depth class and the wire
+    * columns (n_strips, compression) are closed-form in id. */
+  private[graft] def tiffOptsFor(i: Int): TiffOpts = (i % 16) match {
     case 0 => TiffOpts()
     case 1 => TiffOpts(bigEndian = true, compression = 32773,
       rowsPerStrip = 3)
@@ -1581,9 +1690,11 @@ object TiffLake {
       compression = 2, rowsPerStrip = 4)
     case 13 => TiffOpts(photometric = 0, bitsPerSample = 1,
       compression = 3, rowsPerStrip = 2)
-    case _ => TiffOpts(bigEndian = true, photometric = 0,
+    case 14 => TiffOpts(bigEndian = true, photometric = 0,
       bitsPerSample = 1, compression = 3, rowsPerStrip = 5,
       t4Aligned = true)
+    case _ => TiffOpts(photometric = 0, bitsPerSample = 1,
+      compression = 3, t42d = true)
   }
 
   /** The dHash bit law rendered bilevel: cell (x,y) of the 9×8 grid
@@ -1604,7 +1715,7 @@ object TiffLake {
     import org.apache.spark.sql.types._
     val rows = (0 until n).map { i =>
       val s = 1 + i % 3
-      val v = i % 15
+      val v = i % 16
       val bilevel = v == 8 || v == 9 || v >= 11
       val px =
         if (bilevel) bilevelLawPixels(Multimodal.dhashBit(i), s)

@@ -1105,10 +1105,11 @@ object ExtQueries5 {
   // corpora; the pixel half of the TIFF surface — ExifLake walks the
   // metadata half): 40 files, one pixel law per depth class (the
   // q190 dHash law image at scale 1+i%3; its BILEVEL rendering for
-  // the scanned-document variants) behind FIFTEEN wire variants
-  // routed by i%15 — both endians, photometric 0/1/2/3, compression
+  // the scanned-document variants) behind SIXTEEN wire variants
+  // routed by i%16 — both endians, photometric 0/1/2/3, compression
   // none/LZW/PackBits/CCITT-G4/CCITT-MH-1D/CCITT-G3-1D (both
-  // T4Options EOL modes), single/multi-strip + tiled
+  // T4Options EOL modes)/CCITT-G3-2D (K=4), single/multi-strip +
+  // tiled
   // layouts, both predictors, 8-bit and 1-bit depths — so the pixel
   // columns are wire-blind within each class and the wire columns
   // (n_strips = segment count, compression) are closed-form in id.
@@ -1134,7 +1135,7 @@ object ExtQueries5 {
   val q222Sql: String =
     s"""WITH base AS (
          SELECT r AS id, 1 + r % 3 AS s, r // 3 AS g, r % 3 AS m,
-                (r // 3) - ((r // 3) % 2) AS geff, r % 15 AS v
+                (r // 3) - ((r // 3) % 2) AS geff, r % 16 AS v
          FROM range(0, $TiffN) t(r)),
        wire AS (
          SELECT id, s, v,
@@ -1153,7 +1154,7 @@ object ExtQueries5 {
            CASE v WHEN 1 THEN 32773 WHEN 7 THEN 32773
                 WHEN 3 THEN 5 WHEN 6 THEN 5 WHEN 10 THEN 5
                 WHEN 9 THEN 4 WHEN 11 THEN 4 WHEN 12 THEN 2
-                WHEN 13 THEN 3 WHEN 14 THEN 3
+                WHEN 13 THEN 3 WHEN 14 THEN 3 WHEN 15 THEN 3
                 ELSE 1 END AS comp
          FROM base),
        grid AS (
@@ -1215,12 +1216,12 @@ object ExtQueries5 {
          CAST(8 * st.s AS INT) AS height,
          CAST(w.nsegs AS INT) AS n_strips,
          CAST(w.comp AS INT) AS compression,
-         CASE WHEN w.v IN (8, 9, 11, 12, 13, 14)
+         CASE WHEN w.v IN (8, 9, 11, 12, 13, 14, 15)
            THEN CAST(255 * st.s * st.s * bs.nwhite AS BIGINT)
            ELSE st.gray_sum END AS gray_sum,
-         CAST(CASE WHEN w.v IN (8, 9, 11, 12, 13, 14) THEN 2 ELSE st.n_colors END
+         CAST(CASE WHEN w.v IN (8, 9, 11, 12, 13, 14, 15) THEN 2 ELSE st.n_colors END
            AS INT) AS n_colors,
-         CASE WHEN w.v IN (8, 9, 11, 12, 13, 14) THEN bf.fp ELSE f.fp END AS dhash,
+         CASE WHEN w.v IN (8, 9, 11, 12, 13, 14, 15) THEN bf.fp ELSE f.fp END AS dhash,
          true AS valid
        FROM stats st JOIN fps f ON st.id = f.id
        JOIN bsum bs ON st.id = bs.id

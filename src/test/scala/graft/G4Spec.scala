@@ -303,10 +303,75 @@ class G4Spec extends SparkSpec {
       c(i + 8) = v.toByte
       c
     }
-    assert(TiffLake.parseTiff(patchT4(1)).isEmpty, "2D coding bit")
     assert(TiffLake.parseTiff(patchT4(2)).isEmpty, "uncompressed bit")
+    assert(TiffLake.parseTiff(patchT4(3)).isEmpty, "2D + uncompressed")
     assert(TiffLake.parseTiff(patchT4(5)).isEmpty, "2D + aligned")
+    assert(TiffLake.parseTiff(patchT4(8)).isEmpty, "junk option bit")
     // byte-flip sweep over the G3 container (never throws)
+    for (i <- good.indices; bit <- Seq(1, 0x10)) {
+      val c = good.clone(); c(i) = (c(i) ^ bit).toByte
+      TiffLake.parseTiff(c).foreach { img =>
+        assert(img.argb.length == img.width * img.height)
+      }
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // CCITT G3 2D (TIFF Compression 3, T4Options bit 0: T.4 sec 4.2)
+
+  test("G3 2D: tag-bit hand vectors, K-factor round-trips") {
+    val eol = "000000000001"
+    // row0 1D (tag 1): WWBBBWWW = white 2 (0111), black 3 (10),
+    // white 3 (1000); row1 2D (tag 0): same row = V0 V0 V0 against
+    // the reference — hand-derived, decoder-independent
+    val two = TiffLake.g32dDecode(
+      bits(eol + "1" + " 0111 10 1000 " + eol + "0" + " 1 1 1"), 8, 2)
+    assert(two.toSeq == Seq[Byte](0, 0, 1, 1, 1, 0, 0, 0,
+      0, 0, 1, 1, 1, 0, 0, 0))
+    // 2D row shifted right by one: VR1 VR1 V0
+    val shifted = TiffLake.g32dDecode(
+      bits(eol + "1" + " 0111 10 1000 " + eol + "0" + " 011 011 1"),
+      8, 2)
+    assert(shifted.toSeq == Seq[Byte](0, 0, 1, 1, 1, 0, 0, 0,
+      0, 0, 0, 1, 1, 1, 0, 0))
+    // all-1D stream decodes too (every tag 1)
+    assert(TiffLake.g32dDecode(
+      bits(eol + "1" + " 10011 " + eol + "1" + " 10011"), 8, 2)
+      .forall(_ == 0))
+    // rejects: missing EOL, fill before EOL (out of the 2D subset),
+    // RTC tail
+    intercept[Throwable](TiffLake.g32dDecode(bits("1 10011"), 8, 1))
+    intercept[Throwable](TiffLake.g32dDecode(
+      bits("0" + eol + "1 10011"), 8, 1))
+    intercept[Throwable](TiffLake.g32dDecode(
+      bits(eol + "1 10011 " + eol + eol + eol + eol + eol + eol), 8, 1))
+    // K-factor round-trips: every k-th row 1D, the rest 2D
+    val rnd = new scala.util.Random(46004)
+    (0 until 60).foreach { t =>
+      val w = 1 + rnd.nextInt(100)
+      val rows = 1 + rnd.nextInt(16)
+      val k = 1 + rnd.nextInt(5)
+      val samples = Array.fill[Byte](w * rows)(
+        if (rnd.nextInt(3) == 0) 1 else 0)
+      val enc = TiffLake.g32dEncode(samples, w, rows, k)
+      assert(java.util.Arrays.equals(
+        TiffLake.g32dDecode(enc, w, rows), samples), s"sweep $t k=$k")
+    }
+    // container level: T4Options = 1, strips, both endians
+    for (be <- Seq(false, true)) {
+      val px = bilevelImage(85, 23, 18)
+      val enc = TiffLake.encodeTiff(px, 23, 18, TiffOpts(
+        bigEndian = be, photometric = 0, compression = 3,
+        bitsPerSample = 1, rowsPerStrip = 6, t42d = true))
+      val got = TiffLake.parseTiff(enc)
+      assert(got.nonEmpty && java.util.Arrays.equals(got.get.argb, px),
+        s"G3 2D container be=$be")
+      assert(got.get.compression == 3 && got.get.nStrips == 3)
+    }
+    // byte-flip sweep over a 2D container (never throws)
+    val good = TiffLake.encodeTiff(bilevelImage(86, 18, 17), 18, 17,
+      TiffOpts(photometric = 0, compression = 3, bitsPerSample = 1,
+        t42d = true))
     for (i <- good.indices; bit <- Seq(1, 0x10)) {
       val c = good.clone(); c(i) = (c(i) ^ bit).toByte
       TiffLake.parseTiff(c).foreach { img =>
@@ -473,7 +538,7 @@ class G4Spec extends SparkSpec {
     val fx = TiffLake.tiffFixture(spark, 40).orderBy("id").collect()
     fx.foreach { r =>
       val i = r.getLong(0).toInt
-      val v = i % 15
+      val v = i % 16
       if (v == 8 || v == 9 || v >= 11) {
         val s = 1 + i % 3
         val img = TiffLake.parseTiff(r.getAs[Array[Byte]](1)).get
@@ -482,7 +547,7 @@ class G4Spec extends SparkSpec {
         val expComp = v match {
           case 8 => 1
           case 12 => 2
-          case 13 | 14 => 3
+          case 13 | 14 | 15 => 3
           case _ => 4
         }
         assert(img.compression == expComp, s"id=$i comp")
@@ -492,6 +557,7 @@ class G4Spec extends SparkSpec {
           else if (v == 12) (8 * s + 3) / 4
           else if (v == 13) (8 * s + 1) / 2
           else if (v == 14) (8 * s + 4) / 5
+          else if (v == 15) 1
           else (8 * s + 2) / 3
         assert(img.nStrips == expSegs, s"id=$i segments")
         // the extractTiff dhash law: bit k = black(k) && !black(k+1)

@@ -445,16 +445,16 @@ class TiffLakeSpec extends SparkSpec {
   }
 
   test("fixture + extractTiff: every wire variant decodes to the law") {
-    val fx = TiffLake.tiffFixture(spark, 30)
+    val fx = TiffLake.tiffFixture(spark, 32)
     val rows = TiffLake.extractTiff(fx, "id", "media")
       .orderBy("id").collect()
-    assert(rows.length == 30)
+    assert(rows.length == 32)
     rows.foreach { r =>
       val id = r.getLong(0)
       assert(r.getBoolean(8), s"id=$id invalid")
       val s = 1 + (id % 3).toInt
       assert(r.getInt(1) == 9 * s && r.getInt(2) == 8 * s, s"id=$id dims")
-      val v = (id % 15).toInt
+      val v = (id % 16).toInt
       val want =
         if (v == 8 || v == 9 || v >= 11) {
           // bilevel variants: bit k = black(k) && !black(k+1)
