@@ -521,6 +521,34 @@ object ScaleProof {
       try run("yaml_census")(pass())
       finally spark.conf.set("spark.sql.files.maxPartitionBytes", oldSplit)
     }
+    // ---- scanned-document family (r17): multi-page TIFFs ∝ N — the
+    // digitization-corpus shape (faxes, book scans: small files, a
+    // few pages each, mixed per-page compressions incl. the CCITT
+    // coders). One blob = one IFD-chain walk, one row per page; the
+    // claim is the same as the other censuses: scan-bound,
+    // shuffle-free below the final aggregate.
+    if (!new java.io.File(s"$out/_done_tiff").exists()) {
+      import spark.implicits._
+      val nTiff = 3000L * k
+      spark.range(nTiff).repartition(math.max(32, 2 * k)).as[Long]
+        .map(r =>
+          (r, graft.operators.TiffLake.multiPageDoc((r % 4096).toInt)))
+        .toDF("id", "media")
+        .write.mode("overwrite").parquet(s"$out/tiff.parquet")
+      new java.io.File(s"$out/_done_tiff").createNewFile()
+    }
+    if (wanted("tiff_census")) {
+      val oldSplit = spark.conf.get("spark.sql.files.maxPartitionBytes")
+      spark.conf.set("spark.sql.files.maxPartitionBytes", (4 << 20).toString)
+      def pass() = graft.operators.TiffLake.extractTiffPages(
+          spark.read.parquet(s"$out/tiff.parquet"), "id", "media")
+        .agg(sum(col("gray_sum")).as("gsum"),
+          countDistinct(col("compression")).as("comps"),
+          count(lit(1)).as("pages"))
+      pass().collect() // untimed codegen warm-up (steady-state claim)
+      try run("tiff_census")(pass())
+      finally spark.conf.set("spark.sql.files.maxPartitionBytes", oldSplit)
+    }
     if (wanted("csv_census")) {
       val oldSplit = spark.conf.get("spark.sql.files.maxPartitionBytes")
       spark.conf.set("spark.sql.files.maxPartitionBytes", (4 << 20).toString)
