@@ -117,6 +117,20 @@ object MediaCatalog {
                 Row(id, "webp", "image", null, null, null, null, null,
                   false)
             }
+          case "tiff" =>
+            // the page-chain surface: scanned documents are
+            // predominantly multi-page — n_units is the page count
+            // and the dims are the first page's (single-page files
+            // census exactly as before)
+            scala.util.Try(TiffLake.parseTiffPages(media)).toOption
+              .flatten match {
+              case Some(pages) =>
+                Row(id, "tiff", "image", pages.head.width,
+                  pages.head.height, null, null, pages.length, true)
+              case None =>
+                Row(id, "tiff", "image", null, null, null, null, null,
+                  false)
+            }
           case f if ImageFmts.contains(f) =>
             scala.util.Try(Multimodal.parseDHash(media)).toOption
               .flatten match {

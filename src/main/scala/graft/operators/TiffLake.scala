@@ -8,8 +8,9 @@ package graft.operators
   * the subset a strict curation pipeline can pin exactly:
   *
   *  - both byte orders (`II*\0` little-endian, `MM\0*` big-endian);
-  *  - a bounded IFD chain (<= 32 pages, offsets STRICTLY ascending so
-  *    cycles and backward links are structurally impossible): the
+  *  - a bounded IFD chain (<= 32 pages, <= 2^24 samples across the
+  *    whole chain, offsets STRICTLY ascending so cycles and backward
+  *    links are structurally impossible): the
   *    multi-page shape scanned-document corpora actually ship, each
   *    page under the same per-IFD laws. The single-image surface
   *    ([[parseTiff]] — what the near-dup fingerprints consume) still
@@ -977,6 +978,7 @@ object TiffLake {
       var off = rd.u32(4)
       val pages = scala.collection.mutable.ArrayBuffer.empty[TiffImage]
       var prev = 0L
+      var pxTotal = 0L
       while (off != 0) {
         if (pages.length >= MaxPages) throw Fail
         // word-aligned and strictly past the previous IFD (cycles and
@@ -984,6 +986,11 @@ object TiffLake {
         if (off <= math.max(prev, 7L) || (off & 1) != 0) throw Fail
         prev = off
         val (img, next) = parseIfd(rd, be, off)
+        // a WHOLE-CHAIN pixel budget: the per-page 2^22 bound alone
+        // would let 32 crafted max-dim pages demand ~512 MB of argb
+        // in one task — the chain is capped at 2^24 samples total
+        pxTotal += img.width.toLong * img.height
+        if (pxTotal > (1L << 24)) throw Fail
         pages += img
         off = next
       }

@@ -71,6 +71,22 @@ class MediaCatalogSpec extends SparkSpec {
       rows(1).getInt(4) == 16 && rows(1).getBoolean(8))
   }
 
+  test("multi-page TIFF censuses at the chain grain") {
+    // a 3-page scan: n_units = page count, dims = page 0's; a
+    // single-page TIFF keeps the exact pre-r17 row shape
+    val multi = graft.operators.TiffLake.multiPageDoc(7) // 1 + 7%4 = 4 pages
+    val single = Multimodal.encodeDHashTiff(Multimodal.dhashBit(3), 1)
+    val rows = MediaCatalog.catalogMedia(
+      df(0L -> multi, 1L -> single), "id", "media")
+      .orderBy("id").collect()
+    assert(rows(0).getString(1) == "tiff" && rows(0).getBoolean(8))
+    assert(rows(0).getInt(7) == 4, "n_units = pages")
+    assert(rows(0).getInt(3) == 5 + 7 % 4 && rows(0).getInt(4) == 4 + 7 % 3,
+      "page-0 dims")
+    assert(rows(1).getString(1) == "tiff" && rows(1).getInt(7) == 1 &&
+      rows(1).getBoolean(8))
+  }
+
   test("corrupt members flag invalid; unknown magics census as other") {
     val png = Multimodal.encodeDHashPng(Multimodal.dhashBit(0), 1)
     val corrupt = png.take(30) // valid magic, truncated body

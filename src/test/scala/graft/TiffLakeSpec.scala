@@ -405,6 +405,14 @@ class TiffLakeSpec extends SparkSpec {
       (Array.fill(4)(0xffffffff), 2, 2, TiffLake.TiffOpts())))
     assert(TiffLake.parseTiffPages(manyPages(32)).exists(_.length == 32))
     assert(TiffLake.parseTiffPages(manyPages(33)).isEmpty, "page cap")
+    // the whole-chain pixel budget (2^24 samples): 16 megapixel-pages
+    // land exactly on the cap, a 17th rejects — without it, 32 pages
+    // at the per-page bound could demand ~512 MB of argb in one task
+    val mega = Array.fill(1 << 20)(0xff808080)
+    def megaPages(n: Int) = TiffLake.encodeTiffMulti((0 until n).map(_ =>
+      (mega, 1024, 1024, TiffLake.TiffOpts())))
+    assert(TiffLake.parseTiffPages(megaPages(16)).exists(_.length == 16))
+    assert(TiffLake.parseTiffPages(megaPages(17)).isEmpty, "pixel budget")
   }
 
   test("byte-flip + truncation sweeps never throw; survivors well-formed") {
