@@ -1610,6 +1610,42 @@ object TiffLake {
     spark.createDataFrame(rows, outSchema)
   }
 
+  /** Page-content signatures over [[parseTiffPages]] — one row per
+    * page carrying the EXACT gray raster as a comma-joined decimal
+    * string (pages are small scans; the signature is the collision-
+    * free join key page-level exact dedup groups on — a perceptual
+    * hash would admit cross-content collisions the oracle cannot
+    * replay). Invalid files contribute no rows (dedup input grain). */
+  def extractTiffPageSigs(df: org.apache.spark.sql.DataFrame,
+      idCol: String, binCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("id", LongType, false),
+      StructField("page", IntegerType, false),
+      StructField("width", IntegerType, false),
+      StructField("height", IntegerType, false),
+      StructField("sig", StringType, false)))
+    val rows = df.select(col(idCol).cast(LongType), col(binCol)).rdd
+      .mapPartitions(_.flatMap { r =>
+        val media = r.getAs[Array[Byte]](1)
+        scala.util.Try(parseTiffPages(media)).toOption.flatten
+          .toSeq.flatMap(_.zipWithIndex.map { case (img, p) =>
+            val sb = new java.lang.StringBuilder(img.argb.length * 4)
+            var k = 0
+            while (k < img.argb.length) {
+              if (k > 0) sb.append(',')
+              sb.append((img.argb(k) >> 8) & 0xff)
+              k += 1
+            }
+            Row(r.getLong(0), p, img.width, img.height, sb.toString)
+          })
+      })
+    spark.createDataFrame(rows, outSchema)
+  }
+
   /** Multi-page fixture law (q239, replayed closed-form by the
     * oracle): doc i has 1 + i%4 pages chained in one file (big-endian
     * on odd i); page p is w×h gray with w = 5+(i+p)%4, h = 4+(i+p)%3,

@@ -2237,6 +2237,68 @@ object ExtQueries5 {
          true AS valid
        FROM d ORDER BY id, seq"""
 
+  // ---------------------------------------------------------------
+  // q241 — PAGE-level exact dedup across scanned documents (the q239
+  // lake composed with the dedup family): repeated pages — blank
+  // separators, cover sheets, re-scanned originals — are found by
+  // grouping decoded pages on their EXACT gray raster (a collision-
+  // free signature the oracle replays closed-form; a perceptual hash
+  // could alias different content cross-engine). One shuffle: the
+  // window partition over (dims, signature); every page reports its
+  // duplicate-group size and the group's canonical (first) page.
+  // The q239 fixture genuinely contains cross-document duplicates —
+  // e.g. doc 0 page 0 and doc 35 page 1 share (i+p) mod 12 AND
+  // 7i+11p mod 256, hence the full raster.
+  def q241(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fx = graft.operators.TiffLake.tiffMultiFixture(s, TiffMultiN)
+    val sigs = graft.operators.TiffLake.extractTiffPageSigs(
+      fx, "id", "media")
+    val grp = Window.partitionBy(col("width"), col("height"), col("sig"))
+    sigs.select(col("id"), col("page"),
+        count(lit(1)).over(grp).cast("int").as("dup_count"),
+        min(col("id") * 10 + col("page")).over(grp).as("canon"))
+      .select(col("id"), col("page"), col("dup_count"),
+        expr("canon DIV 10").as("canon_id"),
+        expr("CAST(canon % 10 AS INT)").as("canon_page"))
+      .orderBy("id", "page")
+  }
+
+  val q241Sql: String =
+    s"""WITH base AS (
+         SELECT r AS id, 1 + r % 4 AS np FROM range(0, $TiffMultiN) g(r)),
+       pages AS (
+         SELECT id, CAST(unnest(range(0, np)) AS INT) AS page
+         FROM base),
+       e AS (
+         SELECT id, page,
+           (id + page) % 4 AS cm,
+           5 + (id + page) % 4 AS w,
+           4 + (id + page) % 3 AS h,
+           (5 + (id + page) % 4) * (4 + (id + page) % 3) AS n,
+           (id * 7 + page * 11) % 256 AS c0,
+           (id * 3 + page * 5) % 3 AS b0
+         FROM pages),
+       sigs AS (
+         SELECT id, page, w, h,
+           CASE WHEN cm = 3
+             THEN array_to_string([CASE WHEN (b0 + k) % 3 = 0 THEN 0
+                    ELSE 255 END for k in range(0, n)], ',')
+             ELSE array_to_string([(c0 + 3 * k) % 256
+                    for k in range(0, n)], ',')
+           END AS sig
+         FROM e),
+       grp AS (
+         SELECT id, page,
+           CAST(COUNT(*) OVER (PARTITION BY w, h, sig) AS INT)
+             AS dup_count,
+           MIN(id * 10 + page) OVER (PARTITION BY w, h, sig) AS canon
+         FROM sigs)
+       SELECT id, page, dup_count,
+         CAST(canon // 10 AS BIGINT) AS canon_id,
+         CAST(canon % 10 AS INT) AS canon_page
+       FROM grp ORDER BY id, page"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q203_safetensors_extract" -> (q203 _),
     "q204_npy_extract" -> (q204 _),
@@ -2275,7 +2337,8 @@ object ExtQueries5 {
     "q237_arrow_stream" -> (q237 _),
     "q238_block_scalars" -> (q238 _),
     "q239_tiff_multipage" -> (q239 _),
-    "q240_flow_mappings" -> (q240 _)
+    "q240_flow_mappings" -> (q240 _),
+    "q241_page_dedup" -> (q241 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -2317,6 +2380,7 @@ object ExtQueries5 {
     "q237_arrow_stream" -> q235Sql,
     "q238_block_scalars" -> q238Sql,
     "q239_tiff_multipage" -> q239Sql,
-    "q240_flow_mappings" -> q240Sql
+    "q240_flow_mappings" -> q240Sql,
+    "q241_page_dedup" -> q241Sql
   )
 }

@@ -309,6 +309,16 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q241: page dedup — one signature-partitioned window, no join") {
+    // the decoded pages shuffle ONCE on (dims, signature) for the
+    // duplicate-group window; the only other exchange is the
+    // presentation sort — grouping never all-pairs-joins
+    val p = plan("q241_page_dedup")
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 2, s"q241: window + sort only:\n$p")
+    assert(!p.contains("Join"), s"q241 plan:\n$p")
+  }
+
   test("q203: safetensors — one id-partitioned window shuffle, no join") {
     // the tiling validation needs per-blob window functions; the data
     // BYTES never shuffle (the digest substr happens before the

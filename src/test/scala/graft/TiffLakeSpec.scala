@@ -415,6 +415,32 @@ class TiffLakeSpec extends SparkSpec {
     assert(TiffLake.parseTiffPages(megaPages(17)).isEmpty, "pixel budget")
   }
 
+  test("page signatures: exact rasters, real cross-document duplicates") {
+    val sigs = TiffLake.extractTiffPageSigs(
+      TiffLake.tiffMultiFixture(spark, 40), "id", "media").collect()
+    assert(sigs.length == (0 until 40).map(1 + _ % 4).sum)
+    // the signature IS the raster: replay doc 2's pages from the law
+    // (page 0: i+p=2 -> the 8-bit ramp; page 1: i+p=3 -> G4 bilevel)
+    val s20 = sigs.find(r => r.getLong(0) == 2 && r.getInt(1) == 0).get
+    assert(s20.getInt(2) == 7 && s20.getInt(3) == 6)
+    assert(s20.getString(4) ==
+      (0 until 42).map(k => (14 + 3 * k) % 256).mkString(","))
+    val s21 = sigs.find(r => r.getLong(0) == 2 && r.getInt(1) == 1).get
+    val b0 = (2 * 3 + 1 * 5) % 3
+    assert(s21.getString(4) == (0 until 8 * 4).map(k =>
+      if ((b0 + k) % 3 == 0) 0 else 255).mkString(","))
+    // hand-derived duplicate: doc 0 page 0 and doc 35 page 1 share
+    // (i+p) mod 12 (dims + compression) and 7i+11p mod 256 (= 0 and
+    // 7*35+11 = 256), hence the full raster
+    val a = sigs.find(r => r.getLong(0) == 0 && r.getInt(1) == 0).get
+    val b = sigs.find(r => r.getLong(0) == 35 && r.getInt(1) == 1).get
+    assert(a.getString(4) == b.getString(4) && a.getInt(2) == b.getInt(2),
+      "the q241 fixture must contain real cross-document duplicates")
+    // ...and a non-duplicate control
+    val c = sigs.find(r => r.getLong(0) == 1 && r.getInt(1) == 0).get
+    assert(c.getString(4) != a.getString(4))
+  }
+
   test("byte-flip + truncation sweeps never throw; survivors well-formed") {
     val seeds = Seq(
       TiffLake.encodeTiff(image(90, 11, 9), 11, 9,
