@@ -16,9 +16,10 @@ package graft.operators
   *    field count >= 2 with no unterminated quote; among admissible
   *    candidates the sniffer picks the FEWEST fields (a wrong quote
   *    splits quoted delimiters apart and can only inflate the
-  *    count), tie-broken by the fixed candidate order — so a file
-  *    with no quoted fields deterministically reports the `"`
-  *    default;
+  *    count), then the MOST records (the dual law: a wrong quote
+  *    spanning newlines can only merge records), then the fixed
+  *    candidate order — so a file with no quoted fields
+  *    deterministically reports the `"` default;
   *  - header detection: the first row is a header iff none of its
   *    fields is numeric AND some other row has a numeric field
   *    (numeric = `-?digits(.digits)?` exactly, on the unquoted
@@ -42,37 +43,14 @@ object CsvSniff {
   private[graft] final case class CsvFacts(
       nLines: Int, dialect: Dialect, hasHeader: Boolean, nNumeric: Int)
 
-  /** Quote-aware field split of ONE record (the single-record law
-    * [[parseCsv]] applies across the whole shard); None on an
-    * unterminated quote. */
+  /** Quote-aware field split of ONE record — a thin wrapper over
+    * [[parseCsv]] so there is exactly ONE quoting state machine to
+    * keep correct; None on an unterminated quote. */
   private[graft] def splitFields(line: String, delim: Char,
-      quote: Char): Option[Array[String]] = {
-    val out = scala.collection.mutable.ArrayBuffer.empty[String]
-    val cur = new java.lang.StringBuilder
-    var inQ = false
-    var i = 0
-    while (i < line.length) {
-      val c = line.charAt(i)
-      if (inQ) {
-        if (c == quote) {
-          if (i + 1 < line.length && line.charAt(i + 1) == quote) {
-            cur.append(quote) // doubled quote escapes
-            i += 1
-          } else inQ = false
-        } else cur.append(c)
-      } else if (c == quote && cur.length() == 0) inQ = true
-      else if (c == delim) {
-        out += cur.toString
-        cur.setLength(0)
-      } else cur.append(c)
-      i += 1
+      quote: Char): Option[Array[String]] =
+    parseCsv(line, delim, quote).map { rs =>
+      if (rs.isEmpty) Array("") else rs(0)
     }
-    if (inQ) None
-    else {
-      out += cur.toString
-      Some(out.toArray)
-    }
-  }
 
   private val NumericRe = "-?[0-9]+(\\.[0-9]+)?".r
 
@@ -114,9 +92,11 @@ object CsvSniff {
           } else inQ = false
         } else cur.append(c)
       } else if (c == '\n') endRecord()
-      else if (c == '\r' && i + 1 < n && text.charAt(i + 1) == '\n') {
-        endRecord() // CRLF record break
-        i += 1
+      else if (c == '\r' && (i + 1 >= n || text.charAt(i + 1) == '\n')) {
+        // CRLF record break; a bare CR at end of text closes the
+        // final record too (the pre-r17 per-line \r-strip law)
+        endRecord()
+        if (i + 1 < n) i += 1
       } else {
         atRecordStart = false
         if (c == quote && cur.length() == 0) inQ = true
@@ -146,8 +126,15 @@ object CsvSniff {
       parseCsv(text, d, q, MaxLines) match {
         case Some(rs) if rs.length >= 2 =>
           val ns = rs.map(_.length)
+          // fewest fields (a wrong quote splits quoted delimiters and
+          // can only inflate the count); between equals, MOST records
+          // (the dual law: a wrong quote spanning newlines can only
+          // MERGE records — e.g. lines led by inch marks); then the
+          // fixed candidate order
           if (ns.distinct.length == 1 && ns.head >= 2 &&
-              (best == null || ns.head < best.nFields)) {
+              (best == null || ns.head < best.nFields ||
+                (ns.head == best.nFields &&
+                  rs.length > bestSample.length))) {
             best = Dialect(d, q, ns.head)
             bestSample = rs
           }

@@ -1611,11 +1611,13 @@ object TiffLake {
   }
 
   /** Page-content signatures over [[parseTiffPages]] — one row per
-    * page carrying the EXACT gray raster as a comma-joined decimal
-    * string (pages are small scans; the signature is the collision-
-    * free join key page-level exact dedup groups on — a perceptual
-    * hash would admit cross-content collisions the oracle cannot
-    * replay). Invalid files contribute no rows (dedup input grain). */
+    * page carrying the EXACT 24-bit RGB raster as a comma-joined
+    * decimal string (pages are small scans; the FULL pixel value is
+    * the collision-free join key page-level exact dedup groups on —
+    * a gray projection would collide RGB/palette pages differing
+    * only in red/blue, and a perceptual hash could alias content the
+    * oracle cannot replay). Invalid files contribute no rows (dedup
+    * input grain). */
   def extractTiffPageSigs(df: org.apache.spark.sql.DataFrame,
       idCol: String, binCol: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.Row
@@ -1637,7 +1639,7 @@ object TiffLake {
             var k = 0
             while (k < img.argb.length) {
               if (k > 0) sb.append(',')
-              sb.append((img.argb(k) >> 8) & 0xff)
+              sb.append(img.argb(k) & 0xffffff)
               k += 1
             }
             Row(r.getLong(0), p, img.width, img.height, sb.toString)

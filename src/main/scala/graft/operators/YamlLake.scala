@@ -215,10 +215,11 @@ object YamlLake {
     t
   }
 
-  /** Scan one plain token in flow context: also stops at `,` and the
-    * collection's closing indicator (`]` or `}` — YAML makes both
-    * indicators in flow context, so plain content may contain
-    * neither). */
+  /** Scan one plain token in flow context: stops at `,` and the
+    * collection's closing indicator; YAML 1.2 makes EVERY
+    * c-flow-indicator (`,` `[` `]` `{` `}`) an indicator in flow
+    * context, so a plain token containing any of the others rejects
+    * rather than silently carrying what a real parser errors on. */
   private def scanPlainFlow(c: LCur, close: Char): String = {
     val st = c.p
     while (c.p < c.s.length && c.s(c.p) != ',' && c.s(c.p) != close &&
@@ -227,6 +228,8 @@ object YamlLake {
     if (c.s(c.p) == '#') throw Fail
     val t = c.s.substring(st, c.p).trim
     if (t.isEmpty) throw Fail
+    if (t.exists(ch => ch == '[' || ch == ']' || ch == '{' || ch == '}'))
+      throw Fail
     t
   }
 

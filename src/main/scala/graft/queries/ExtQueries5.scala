@@ -2241,7 +2241,7 @@ object ExtQueries5 {
   // q241 — PAGE-level exact dedup across scanned documents (the q239
   // lake composed with the dedup family): repeated pages — blank
   // separators, cover sheets, re-scanned originals — are found by
-  // grouping decoded pages on their EXACT gray raster (a collision-
+  // grouping decoded pages on their EXACT 24-bit raster (a collision-
   // free signature the oracle replays closed-form; a perceptual hash
   // could alias different content cross-engine). One shuffle: the
   // window partition over (dims, signature); every page reports its
@@ -2283,8 +2283,8 @@ object ExtQueries5 {
          SELECT id, page, w, h,
            CASE WHEN cm = 3
              THEN array_to_string([CASE WHEN (b0 + k) % 3 = 0 THEN 0
-                    ELSE 255 END for k in range(0, n)], ',')
-             ELSE array_to_string([(c0 + 3 * k) % 256
+                    ELSE 16777215 END for k in range(0, n)], ',')
+             ELSE array_to_string([((c0 + 3 * k) % 256) * 65793
                     for k in range(0, n)], ',')
            END AS sig
          FROM e),

@@ -47,6 +47,18 @@ class CsvSniffSpec extends SparkSpec {
     val late = (0 until 70).map(r => s"$r,${r * 2}").mkString("\n") +
       "\n71,\"open\n"
     assert(CsvSniff.sniff(late).isEmpty, "late unterminated quote")
+    // a bare CR at end of text closes the final record (the pre-r17
+    // per-line strip law): the last cell types numeric, not "6\r"
+    val bareCr = CsvSniff.extract("h0,h1\n5,6\n7,8\r").get
+    assert(bareCr.cols(1).kind == "long" && bareCr.cols(1).lsum == 14)
+    // the most-records tie-break: every line led by an inch mark —
+    // the double-quote candidate could merge line pairs into
+    // 2-field records (admissible since r17's record machine), but
+    // the single-quote parse keeps all four records and wins
+    val inches = "\"a,1\n\"b,2\n\"c,3\n\"d,4\n"
+    val im = CsvSniff.sniff(inches).get
+    assert(im.dialect.quote == '\'' && im.nLines == 4,
+      s"inch marks: got ${im.dialect} over ${im.nLines} records")
   }
 
   test("dialect selection: consistency + the fewest-fields rule") {

@@ -424,11 +424,12 @@ class TiffLakeSpec extends SparkSpec {
     val s20 = sigs.find(r => r.getLong(0) == 2 && r.getInt(1) == 0).get
     assert(s20.getInt(2) == 7 && s20.getInt(3) == 6)
     assert(s20.getString(4) ==
-      (0 until 42).map(k => (14 + 3 * k) % 256).mkString(","))
+      (0 until 42).map(k => ((14 + 3 * k) % 256) * 0x010101)
+        .mkString(","))
     val s21 = sigs.find(r => r.getLong(0) == 2 && r.getInt(1) == 1).get
     val b0 = (2 * 3 + 1 * 5) % 3
     assert(s21.getString(4) == (0 until 8 * 4).map(k =>
-      if ((b0 + k) % 3 == 0) 0 else 255).mkString(","))
+      if ((b0 + k) % 3 == 0) 0 else 0xffffff).mkString(","))
     // hand-derived duplicate: doc 0 page 0 and doc 35 page 1 share
     // (i+p) mod 12 (dims + compression) and 7i+11p mod 256 (= 0 and
     // 7*35+11 = 256), hence the full raster

@@ -227,7 +227,14 @@ class YamlLakeSpec extends SparkSpec {
       "junk after close" -> "m: {a: 1} x\n",
       "bare close brace in plain" -> "m: {a: x}y}\n",
       "missing comma" -> "m: {a: 1 b: 2}\n",
-      "quoted flow key" -> "m: {'a': 1}\n")
+      "quoted flow key" -> "m: {'a': 1}\n",
+      // YAML 1.2 makes EVERY c-flow-indicator an indicator in flow
+      // context — plain tokens carrying the OTHER collection's
+      // brackets reject rather than silently differing from real
+      // parsers (quoted values carry them freely, above)
+      "bracket in flow-map plain" -> "m: {a: x[y]}\n",
+      "brace in flow-seq plain" -> "a: [x{y]\n",
+      "close brace in flow-seq plain" -> "a: [x}y]\n")
     rejects.foreach { case (name, doc) =>
       assert(parse(doc).isEmpty, name)
     }
