@@ -17,7 +17,13 @@ import org.apache.spark.sql.types._
   *    marker; block mappings (`key: value` / `key:` + nested block)
   *    and block sequences (`- value`), nested by indentation (spaces
   *    only — the YAML tab law; sequences may sit at the parent key's
-  *    own indent OR deeper, both real-world emitter styles); comments
+  *    own indent OR deeper, both real-world emitter styles); sequence
+  *    items may themselves be block MAPPINGS (`- key: value`, the hub
+  *    model-card `model-index`/`results` and dataset-card `configs`
+  *    shape): the first key rides the dash line at column dash+2
+  *    exactly, continuation keys sit at that same column, and item
+  *    values follow the full mapping-value grammar (so the structure
+  *    composes recursively under the same indentation laws); comments
   *    (`#` to EOL, which the spec requires be preceded by whitespace
   *    when trailing a value); the root must be a mapping;
   *  - keys: bare `[A-Za-z0-9_-]+` (≤64 chars), unique per mapping
@@ -48,8 +54,10 @@ import org.apache.spark.sql.types._
   *    of flow mappings `{k: 1, m: "x"}` as mapping values (scalar
   *    elements/values only, bare unique keys, the same ": " pair
   *    indicator); nested flow, anchors, aliases, tags, directives,
-  *    block scalars as SEQUENCE items, and multi-document streams
-  *    are out of subset.
+  *    block scalars as DIRECT sequence items (`- |`; as item-MAPPING
+  *    values they compose), and multi-document streams in THIS
+  *    single-document surface (bounded streams go through
+  *    [[parseYamlDocs]]) are out of subset.
   *
   * Emits one row per leaf in APPEARANCE order; every sequence also
   * emits a container row carrying its element count. One blob = one
@@ -311,8 +319,11 @@ object YamlLake {
       }
 
       def childPath(parent: String, key: String): String = {
+        // depth 8 admits the canonical hub model-index shape
+        // (model-index.0.results.0.metrics.0.value = 6 dots) with
+        // headroom; still a hard bound, not a growth vector
         val p = if (parent.isEmpty) key else parent + "." + key
-        if (p.length > 256 || p.count(_ == '.') >= 6) throw Fail
+        if (p.length > 256 || p.count(_ == '.') >= 8) throw Fail
         p
       }
 
@@ -489,10 +500,36 @@ object YamlLake {
         c.p += 1 // the dash
         if (c.p < c.s.length && c.s(c.p) != ' ') throw Fail
         c.ws()
-        if (c.eol) throw Fail // bare `-` (nested containers): out
-        emit(scalar(c, flow = 0).copy(path = sq.path + "." + sq.idx))
+        if (c.eol) throw Fail // bare `-` (anonymous nesting): out
+        // a sequence item may itself be a block MAPPING (`- key: v`,
+        // the hub model-card `model-index`/`results` shape). Detection
+        // is lexical: a bare key, `:`, then space or EOL — anything
+        // else (incl. `key:x`, plain-scalar content under the ": "
+        // indicator law) stays a scalar item. The item mapping's
+        // column is EXACTLY dash+2: extra spaces after the dash would
+        // float the continuation-key column, so they reject for map
+        // items (scalar items keep the established lenient spacing).
+        val isMapItem = isBareKeyChar(c.peek) && {
+          var q = c.p
+          while (q < c.s.length && isBareKeyChar(c.s(q))) q += 1
+          q - c.p <= 64 && q < c.s.length && c.s(q) == ':' &&
+            (q + 1 == c.s.length || c.s(q + 1) == ' ')
+        }
+        val ipath = sq.path + "." + sq.idx
         sq.idx += 1
-        c.finish()
+        if (isMapItem) {
+          if (c.p != sq.indent + 2) throw Fail
+          if (stack.length >= 8) throw Fail
+          val m = MapScope(sq.indent + 2, ipath,
+            scala.collection.mutable.HashSet.empty[String])
+          stack += m
+          // the first key rides the dash line; continuation keys
+          // arrive as ordinary mapping lines at the item's indent
+          keyLine(c, m)
+        } else {
+          emit(scalar(c, flow = 0).copy(path = ipath))
+          c.finish()
+        }
       }
 
       def structuralLine(line: String): Unit = {
@@ -571,6 +608,54 @@ object YamlLake {
     } catch { case Fail => None }
   }
 
+  /** Bounded multi-document stream (`---`-separated — config dumps
+    * and concatenated dataset shards). A column-0 `---` line is
+    * unambiguous as a separator in this subset: block-scalar content
+    * is always indented at least one space, so no document can own
+    * one. Content before the first marker is document 0 (the
+    * marker-less opener the single-document surface also allows);
+    * each document then re-enters [[parseYaml]] so EVERY
+    * single-document law applies per document, and any invalid
+    * document invalidates the whole stream (reject, never guess).
+    * At most 64 documents. */
+  private[graft] def parseYamlDocs(
+      raw: Array[Byte]): Option[Seq[Seq[YamlEntry]]] = {
+    if (raw == null || raw.length > (1 << 20)) return None
+    val dec = StandardCharsets.UTF_8.newDecoder()
+      .onMalformedInput(CodingErrorAction.REPORT)
+      .onUnmappableCharacter(CodingErrorAction.REPORT)
+    val text =
+      try dec.decode(java.nio.ByteBuffer.wrap(raw)).toString
+      catch { case _: java.nio.charset.CharacterCodingException =>
+        return None }
+    if (text.exists(ch => ch < 0x20 && ch != '\n')) return None
+    val lines0 = text.split("\n", -1)
+    val lines =
+      if (lines0.nonEmpty && lines0.last.isEmpty) lines0.dropRight(1)
+      else lines0
+    if (lines.length > 8192) return None
+    val segs = scala.collection.mutable.ArrayBuffer(
+      scala.collection.mutable.ArrayBuffer.empty[String])
+    lines.foreach { ln =>
+      if (ln == "---")
+        segs += scala.collection.mutable.ArrayBuffer.empty[String]
+      else segs.last += ln
+    }
+    // an empty FIRST segment is the explicit-opener form; an empty
+    // segment anywhere else is an empty document, which parseYaml
+    // rejects below (its no-content law)
+    val docSegs =
+      if (segs.head.isEmpty && segs.length > 1) segs.tail else segs.toSeq
+    if (docSegs.length > 64) return None
+    val docs = docSegs.map { seg =>
+      // newline-TERMINATED per the front-matter lesson: a trailing
+      // empty line is real content inside a keep-chomped block scalar
+      parseYaml(seg.map(_ + "\n").mkString
+        .getBytes(StandardCharsets.UTF_8))
+    }
+    if (docs.exists(_.isEmpty)) None else Some(docs.map(_.get).toSeq)
+  }
+
   // ------------------------------------------------------------------
   // front matter (the static-site / model-card convention)
 
@@ -641,6 +726,45 @@ object YamlLake {
         }
       })
     spark.createDataFrame(rows, outSchema)
+  }
+
+  /** Multi-document stream extraction over [[parseYamlDocs]] — one
+    * row per leaf with the document index (the multi-page TIFF
+    * shape); `seq` restarts per document; any invalid document flags
+    * the whole stream. */
+  def extractYamlDocs(df: DataFrame, idCol: String,
+      binCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val schema = StructType(Seq(
+      StructField("id", LongType, false),
+      StructField("doc", IntegerType, false),
+      StructField("seq", IntegerType, true),
+      StructField("path", StringType, true),
+      StructField("kind", StringType, true),
+      StructField("lval", LongType, true),
+      StructField("sval", StringType, true),
+      StructField("fx100", LongType, true),
+      StructField("arr_n", IntegerType, true),
+      StructField("n_docs", IntegerType, true),
+      StructField("valid", BooleanType, false)))
+    val rows = df.select(col(idCol).cast(LongType), col(binCol)).rdd
+      .mapPartitions(_.flatMap { r =>
+        val id = r.getLong(0)
+        scala.util.Try(parseYamlDocs(r.getAs[Array[Byte]](1))).toOption
+          .flatten match {
+          case Some(ds) => ds.zipWithIndex.flatMap { case (es, d) =>
+            es.zipWithIndex.map { case (e, i) =>
+              Row(id, d, i, e.path, e.kind, e.lval.map(Long.box).orNull,
+                e.sval.orNull, e.fx100.map(Long.box).orNull,
+                e.arrN.map(Int.box).orNull, ds.length, true)
+            }
+          }
+          case None =>
+            Seq(Row(id, 0, null, null, null, null, null, null, null,
+              null, false))
+        }
+      })
+    spark.createDataFrame(rows, schema)
   }
 
   /** Front-matter composition over a TEXT corpus (Markdown/model
@@ -789,6 +913,69 @@ object YamlLake {
     sb.append("cfg: {" + pad + entries.mkString(sep) + pad + "}\n")
     sb.append("lims: {}\n")
     sb.append("port: " + (1000 + i) + "\n")
+    sb.toString.getBytes("UTF-8")
+  }
+
+  /** Sequence-of-mappings fixture (q242). Law (replayed closed-form
+    * by the oracle): doc i carries model: m(i%5), a block sequence
+    * `results` of 1+i%3 MAPPING items — item j has task: t((i+j)%4),
+    * ep: (3i+7j)%100, ok: (i+j)%2==0, plus w: ((i+5j)%40+1).((11i+j)
+    * %100, two digits) on odd i+j — items indented DEEPER than the
+    * key on even i and at the key's OWN indent on odd i (both
+    * real-world emitter styles), and done: 10+i closing the sequence
+    * by dedent. */
+  def seqMapFixture(spark: SparkSession, n: Int): DataFrame = {
+    val rows = (0 until n).map(i => Row(i.toLong, seqMapDoc(i)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4),
+      StructType(Seq(
+        StructField("id", LongType, false),
+        StructField("media", BinaryType, true))))
+  }
+
+  private[graft] def seqMapDoc(i: Int): Array[Byte] = {
+    val sb = new StringBuilder
+    sb.append("# seqmap fixture " + i + "\n")
+    sb.append("model: m" + i % 5 + "\n")
+    sb.append("results:\n")
+    val ind = if (i % 2 == 0) "  " else ""
+    (0 until 1 + i % 3).foreach { j =>
+      sb.append(ind + "- task: t" + (i + j) % 4 + "\n")
+      sb.append(ind + "  ep: " + (3 * i + 7 * j) % 100 + "\n")
+      sb.append(ind + "  ok: " + ((i + j) % 2 == 0) + "\n")
+      if ((i + j) % 2 == 1)
+        sb.append(ind + "  w: " + ((i + 5 * j) % 40 + 1) + "." +
+          f"${(11 * i + j) % 100}%02d" + "\n")
+    }
+    sb.append("done: " + (10 + i) + "\n")
+    sb.toString.getBytes("UTF-8")
+  }
+
+  /** Multi-document stream fixture (q243). Law (replayed closed-form
+    * by the oracle): stream i carries 1+i%3 documents separated by
+    * column-0 `---` lines; the stream opens with an explicit marker
+    * except when i%4==3 (the marker-less first document). Document d
+    * carries app: a((i+d)%5), v: (7i+3d)%50, up: (i+d)%2==0 and
+    * r: (1+(i+d)%9).((13i+d)%100, two digits). */
+  def docsFixture(spark: SparkSession, n: Int): DataFrame = {
+    val rows = (0 until n).map(i => Row(i.toLong, docsDoc(i)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4),
+      StructType(Seq(
+        StructField("id", LongType, false),
+        StructField("media", BinaryType, true))))
+  }
+
+  private[graft] def docsDoc(i: Int): Array[Byte] = {
+    val sb = new StringBuilder
+    (0 until 1 + i % 3).foreach { d =>
+      if (d > 0 || i % 4 != 3) sb.append("---\n")
+      sb.append("app: a" + (i + d) % 5 + "\n")
+      sb.append("v: " + (7 * i + 3 * d) % 50 + "\n")
+      sb.append("up: " + ((i + d) % 2 == 0) + "\n")
+      sb.append("r: " + (1 + (i + d) % 9) + "." +
+        f"${(13 * i + d) % 100}%02d" + "\n")
+    }
     sb.toString.getBytes("UTF-8")
   }
 

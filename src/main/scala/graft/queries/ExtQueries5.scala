@@ -2299,6 +2299,119 @@ object ExtQueries5 {
          CAST(canon % 10 AS INT) AS canon_page
        FROM grp ORDER BY id, page"""
 
+  // ---------------------------------------------------------------
+  // q242 — BLOCK SEQUENCES OF MAPPINGS (the r17 verdict's single
+  // highest-leverage YAML gap): `- key: value` sequence items are
+  // the backbone of real hub cards — the model-index/results
+  // structure on model cards, configs lists on dataset cards — and
+  // strict-rejected before round 18. 40 documents sweep 1-3 mapping
+  // items x 3-4 keys per item (str / int / bool / exact-x100 float
+  // kinds) x both sequence indent styles (deeper than the key, and
+  // at the key's own indent), with a trailing root key closing the
+  // sequence by dedent. Continuation-column/indent strictness is
+  // spec-gated in YamlLakeSpec.
+  private val SeqMapN = 40
+
+  def q242(s: SparkSession, dir: String): DataFrame = {
+    val fx = graft.operators.YamlLake.seqMapFixture(s, SeqMapN)
+    graft.operators.YamlLake.extractYaml(fx, "id", "media")
+      .select(col("id"), col("seq"), col("path"), col("kind"),
+        col("lval"), col("sval"), col("fx100"), col("arr_n"),
+        col("valid"))
+      .orderBy("id", "seq")
+  }
+
+  // per-item key count is 3 + (i+j)%2, so item j's first row sits at
+  // seq = 2 + 3j + |{j'<j : i+j' odd}| = 2 + 3j + (j + i%2) // 2
+  val q242Sql: String =
+    s"""WITH base AS (
+         SELECT r AS id, 1 + r % 3 AS n FROM range(0, $SeqMapN) g(r)),
+       items AS (
+         SELECT id, n, CAST(unnest(range(0, n)) AS INT) AS j FROM base),
+       keyrows AS (
+         SELECT id, j,
+           CAST(unnest(range(0, 3 + (id + j) % 2)) AS INT) AS k
+         FROM items),
+       itemrows AS (
+         SELECT id,
+           CAST(2 + 3 * j + (j + id % 2) // 2 + k AS INT) AS seq,
+           'results.' || j || CASE k WHEN 0 THEN '.task'
+             WHEN 1 THEN '.ep' WHEN 2 THEN '.ok' ELSE '.w' END AS path,
+           CASE k WHEN 0 THEN 'str' WHEN 1 THEN 'int' WHEN 2 THEN 'bool'
+             ELSE 'float' END AS kind,
+           CAST(CASE k WHEN 1 THEN (3 * id + 7 * j) % 100
+             WHEN 2 THEN CASE WHEN (id + j) % 2 = 0 THEN 1 ELSE 0 END
+             END AS BIGINT) AS lval,
+           CASE k WHEN 0 THEN 't' || ((id + j) % 4) END AS sval,
+           CAST(CASE k WHEN 3 THEN ((id + 5 * j) % 40 + 1) * 100
+             + (11 * id + j) % 100 END AS BIGINT) AS fx100,
+           CAST(NULL AS INT) AS arr_n
+         FROM keyrows),
+       headtail AS (
+         SELECT id, CAST(0 AS INT) AS seq, 'model' AS path,
+           'str' AS kind, CAST(NULL AS BIGINT) AS lval,
+           'm' || (id % 5) AS sval, CAST(NULL AS BIGINT) AS fx100,
+           CAST(NULL AS INT) AS arr_n
+         FROM base
+         UNION ALL
+         SELECT id, CAST(1 AS INT), 'results', 'seq',
+           CAST(NULL AS BIGINT), NULL, CAST(NULL AS BIGINT),
+           CAST(n AS INT)
+         FROM base
+         UNION ALL
+         SELECT id, CAST(2 + 3 * n + (n + id % 2) // 2 AS INT), 'done',
+           'int', CAST(10 + id AS BIGINT), NULL, CAST(NULL AS BIGINT),
+           CAST(NULL AS INT)
+         FROM base)
+       SELECT id, seq, path, kind, lval, sval, fx100, arr_n,
+         true AS valid
+       FROM (SELECT * FROM itemrows UNION ALL SELECT * FROM headtail)
+       ORDER BY id, seq"""
+
+  // ---------------------------------------------------------------
+  // q243 — MULTI-DOCUMENT YAML streams (the r17 verdict's ask #4):
+  // config dumps and concatenated dataset shards separate documents
+  // with column-0 `---` lines — the multi-page TIFF shape, with a
+  // doc index column and every single-document law applied per
+  // document. 40 streams sweep 1-3 documents x marker-led /
+  // marker-less openers x all four scalar kinds. Separator/empty-doc
+  // strictness is spec-gated in YamlLakeSpec.
+  private val DocsN = 40
+
+  def q243(s: SparkSession, dir: String): DataFrame = {
+    val fx = graft.operators.YamlLake.docsFixture(s, DocsN)
+    graft.operators.YamlLake.extractYamlDocs(fx, "id", "media")
+      .select(col("id"), col("doc"), col("seq"), col("path"),
+        col("kind"), col("lval"), col("sval"), col("fx100"),
+        col("arr_n"), col("n_docs"), col("valid"))
+      .orderBy("id", "doc", "seq")
+  }
+
+  val q243Sql: String =
+    s"""WITH base AS (
+         SELECT r AS id, 1 + r % 3 AS nd FROM range(0, $DocsN) g(r)),
+       docs AS (
+         SELECT id, nd, CAST(unnest(range(0, nd)) AS INT) AS doc
+         FROM base),
+       rws AS (
+         SELECT id, nd, doc, CAST(unnest(range(0, 4)) AS INT) AS seq
+         FROM docs)
+       SELECT id, doc, seq,
+         CASE seq WHEN 0 THEN 'app' WHEN 1 THEN 'v' WHEN 2 THEN 'up'
+           ELSE 'r' END AS path,
+         CASE seq WHEN 0 THEN 'str' WHEN 1 THEN 'int'
+           WHEN 2 THEN 'bool' ELSE 'float' END AS kind,
+         CAST(CASE seq WHEN 1 THEN (7 * id + 3 * doc) % 50
+           WHEN 2 THEN CASE WHEN (id + doc) % 2 = 0 THEN 1 ELSE 0 END
+           END AS BIGINT) AS lval,
+         CASE seq WHEN 0 THEN 'a' || ((id + doc) % 5) END AS sval,
+         CAST(CASE seq WHEN 3 THEN (1 + (id + doc) % 9) * 100
+           + (13 * id + doc) % 100 END AS BIGINT) AS fx100,
+         CAST(NULL AS INT) AS arr_n,
+         CAST(nd AS INT) AS n_docs,
+         true AS valid
+       FROM rws ORDER BY id, doc, seq"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q203_safetensors_extract" -> (q203 _),
     "q204_npy_extract" -> (q204 _),
@@ -2338,7 +2451,9 @@ object ExtQueries5 {
     "q238_block_scalars" -> (q238 _),
     "q239_tiff_multipage" -> (q239 _),
     "q240_flow_mappings" -> (q240 _),
-    "q241_page_dedup" -> (q241 _)
+    "q241_page_dedup" -> (q241 _),
+    "q242_seq_mappings" -> (q242 _),
+    "q243_yaml_stream" -> (q243 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -2381,6 +2496,8 @@ object ExtQueries5 {
     "q238_block_scalars" -> q238Sql,
     "q239_tiff_multipage" -> q239Sql,
     "q240_flow_mappings" -> q240Sql,
-    "q241_page_dedup" -> q241Sql
+    "q241_page_dedup" -> q241Sql,
+    "q242_seq_mappings" -> q242Sql,
+    "q243_yaml_stream" -> q243Sql
   )
 }

@@ -91,6 +91,7 @@ class ParserFuzzSpec extends AnyFunSuite {
     "parseArrow" -> (b => graft.operators.ArrowLake.parseArrow(b)),
     "routeMedia" -> (b => graft.operators.MediaCatalog.route(b)),
     "parseYaml" -> (b => graft.operators.YamlLake.parseYaml(b)),
+    "parseYamlDocs" -> (b => graft.operators.YamlLake.parseYamlDocs(b)),
     "frontMatter" -> (b => graft.operators.YamlLake.frontMatter(b)),
     "webpCensus" -> (b => graft.operators.WebpLake.webpCensus(b)),
     "parseArrowStream" -> (b =>

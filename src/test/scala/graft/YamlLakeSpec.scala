@@ -163,7 +163,6 @@ class YamlLakeSpec extends SparkSpec {
       "seq item indent drift" -> "k:\n  - 1\n   - 2\n",
       "bare dash" -> "k:\n  -\n",
       "dash no space" -> "k:\n  -x\n",
-      "mapping in sequence" -> "k:\n  - a: 1\n",
       "plain starts with indicator" -> "a: @x\n",
       "plain contains colon-space" -> "a: x: y\n",
       "plain ends with colon" -> "a: x:\n",
@@ -197,6 +196,157 @@ class YamlLakeSpec extends SparkSpec {
     assert(YamlLake.parseYaml(Array.emptyByteArray).isEmpty)
     // invalid UTF-8 rejects
     assert(YamlLake.parseYaml(Array[Byte]('a', ':', ' ', 0xC3.toByte)).isEmpty)
+  }
+
+  test("sequence items as block mappings (`- key: value`)") {
+    // both sequence indent styles produce identical rows
+    val deeper = parse("k:\n  - a: 1\n    b: x\n  - a: 2\nz: 9\n").get
+    val same = parse("k:\n- a: 1\n  b: x\n- a: 2\nz: 9\n").get
+    assert(deeper == same)
+    assert(deeper == Seq(
+      YamlEntry("k", "seq", None, None, None, Some(2)),
+      YamlEntry("k.0.a", "int", Some(1L), None, None, None),
+      YamlEntry("k.0.b", "str", None, Some("x"), None, None),
+      YamlEntry("k.1.a", "int", Some(2L), None, None, None),
+      YamlEntry("z", "int", Some(9L), None, None, None)))
+    // duplicate keys ACROSS items are distinct mappings (legal);
+    // scalar and mapping items may mix within one sequence
+    assert(parse("k:\n  - 5\n  - a: 1\n").get == Seq(
+      YamlEntry("k", "seq", None, None, None, Some(2)),
+      YamlEntry("k.0", "int", Some(5L), None, None, None),
+      YamlEntry("k.1.a", "int", Some(1L), None, None, None)))
+    // item values follow the FULL mapping-value grammar: nested
+    // mappings, nested sequences-of-mappings (the hub model-index
+    // shape), flow collections and block scalars all compose
+    val mi = parse(
+      "model-index:\n" +
+        "- name: m1\n" +
+        "  results:\n" +
+        "  - task:\n" +
+        "      type: gen\n" +
+        "    metrics:\n" +
+        "    - type: acc\n" +
+        "      value: 0.95\n" +
+        "  tags: [a, b]\n" +
+        "  desc: |\n" +
+        "    line1\n" +
+        "    line2\n" +
+        "done: 1\n").get
+    assert(mi == Seq(
+      YamlEntry("model-index", "seq", None, None, None, Some(1)),
+      YamlEntry("model-index.0.name", "str", None, Some("m1"), None, None),
+      YamlEntry("model-index.0.results", "seq", None, None, None, Some(1)),
+      YamlEntry("model-index.0.results.0.task.type", "str", None,
+        Some("gen"), None, None),
+      YamlEntry("model-index.0.results.0.metrics", "seq", None, None,
+        None, Some(1)),
+      YamlEntry("model-index.0.results.0.metrics.0.type", "str", None,
+        Some("acc"), None, None),
+      YamlEntry("model-index.0.results.0.metrics.0.value", "float",
+        None, None, Some(95L), None),
+      YamlEntry("model-index.0.tags", "seq", None, None, None, Some(2)),
+      YamlEntry("model-index.0.tags.0", "str", None, Some("a"), None, None),
+      YamlEntry("model-index.0.tags.1", "str", None, Some("b"), None, None),
+      YamlEntry("model-index.0.desc", "str", None,
+        Some("line1\nline2\n"), None, None),
+      YamlEntry("done", "int", Some(1L), None, None, None)))
+    // `key:x` (colon glued to the value) stays a plain SCALAR item —
+    // the ": " indicator law, unchanged by map-item detection
+    assert(parse("k:\n  - a:1\n").get(1) ==
+      YamlEntry("k.0", "str", None, Some("a:1"), None, None))
+    // strictness: the item-mapping column laws reject, never guess
+    val rejects = Seq(
+      // extra spaces after the dash would float the key column
+      "map item extra dash spacing" -> "k:\n  -  a: 1\n",
+      "continuation key too shallow" -> "k:\n  - a: 1\n   b: 2\n",
+      "continuation key too deep" -> "k:\n  - a: 1\n     b: 2\n",
+      "duplicate key within one item" -> "k:\n  - a: 1\n    a: 2\n",
+      "dash at the item-map column" -> "k:\n  - a: 1\n    - 2\n",
+      "block scalar as a DIRECT item" -> "k:\n  - |\n    x\n",
+      "flow map as a DIRECT item" -> "k:\n  - {a: 1}\n")
+    rejects.foreach { case (name, doc) =>
+      assert(parse(doc).isEmpty, name)
+    }
+  }
+
+  test("seq-map fixture law: every doc decodes to exactly the law rows") {
+    // restate the q242 law independently for every doc
+    val docs = YamlLake.seqMapFixture(spark, 40).orderBy("id").collect()
+    docs.foreach { r =>
+      val i = r.getLong(0).toInt
+      val n = 1 + i % 3
+      def e(path: String, kind: String, lval: Long = -1,
+          sval: String = null, fx100: Long = -1, arrN: Int = -1) =
+        YamlEntry(path, kind,
+          if (lval == -1) None else Some(lval), Option(sval),
+          if (fx100 == -1) None else Some(fx100),
+          if (arrN == -1) None else Some(arrN))
+      val want = Seq(
+        e("model", "str", sval = "m" + i % 5),
+        e("results", "seq", arrN = n)) ++
+        (0 until n).flatMap { j =>
+          Seq(
+            e(s"results.$j.task", "str", sval = "t" + (i + j) % 4),
+            e(s"results.$j.ep", "int", lval = (3 * i + 7 * j) % 100),
+            e(s"results.$j.ok", "bool",
+              lval = if ((i + j) % 2 == 0) 1 else 0)) ++
+            (if ((i + j) % 2 == 1)
+              Seq(e(s"results.$j.w", "float",
+                fx100 = ((i + 5 * j) % 40 + 1) * 100L + (11 * i + j) % 100))
+            else Seq.empty)
+        } ++
+        Seq(e("done", "int", lval = 10 + i))
+      val got = YamlLake.parseYaml(r.getAs[Array[Byte]](1))
+      assert(got.nonEmpty, s"doc $i failed to parse")
+      assert(got.get == want, s"doc $i rows differ from the law")
+    }
+  }
+
+  test("multi-document streams: separators, openers, strictness") {
+    import YamlLake.parseYamlDocs
+    def pd(s: String) = parseYamlDocs(s.getBytes("UTF-8"))
+    // marker-led and marker-less openers; per-doc seq restart
+    val two = pd("---\na: 1\n---\nb: 2\n").get
+    assert(two == Seq(
+      Seq(YamlEntry("a", "int", Some(1L), None, None, None)),
+      Seq(YamlEntry("b", "int", Some(2L), None, None, None))))
+    assert(pd("a: 1\n---\nb: 2\n").get == two, "marker-less opener")
+    // a single marker-less document is a one-document stream
+    assert(pd("a: 1\n").get.length == 1)
+    // a column-0 `---` inside a block scalar is impossible (content
+    // is indented); an INDENTED one is content, not a separator
+    assert(pd("a: |\n  ---\n").get.head.head.sval.contains("---\n"))
+    // strictness: empty documents, bad documents, oversized streams
+    assert(pd("---\n").isEmpty, "one empty doc")
+    assert(pd("---\na: 1\n---\n").isEmpty, "trailing empty doc")
+    assert(pd("---\n---\na: 1\n").isEmpty, "interior empty doc")
+    assert(pd("# note\n---\na: 1\n").isEmpty,
+      "comment-only first document")
+    assert(pd("a: 1\n---\nb: yes\n").isEmpty,
+      "any invalid doc invalidates the stream")
+    assert(pd("a: 1\n--- \nb: 2\n").isEmpty, "junk after separator")
+    assert(parseYamlDocs(null).isEmpty)
+    val many = (0 until 65).map(k => s"---\na: $k\n").mkString
+    assert(pd(many).isEmpty, "more than 64 documents")
+    val ok64 = (0 until 64).map(k => s"---\na: $k\n").mkString
+    assert(pd(ok64).exists(_.length == 64), "exactly 64 documents")
+    // the docs-fixture law, restated independently
+    val docs = YamlLake.docsFixture(spark, 40).orderBy("id").collect()
+    docs.foreach { r =>
+      val i = r.getLong(0).toInt
+      val want = (0 until 1 + i % 3).map { d =>
+        Seq(
+          YamlEntry("app", "str", None, Some("a" + (i + d) % 5), None, None),
+          YamlEntry("v", "int", Some(((7 * i + 3 * d) % 50).toLong),
+            None, None, None),
+          YamlEntry("up", "bool", Some(if ((i + d) % 2 == 0) 1L else 0L),
+            None, None, None),
+          YamlEntry("r", "float", None, None,
+            Some((1 + (i + d) % 9) * 100L + (13 * i + d) % 100), None))
+      }
+      assert(parseYamlDocs(r.getAs[Array[Byte]](1)).contains(want),
+        s"stream $i differs from the law")
+    }
   }
 
   test("flow mappings: one level, scalar values, spacing forms") {
@@ -376,17 +526,24 @@ class YamlLakeSpec extends SparkSpec {
     val docs = YamlLake.yamlFixture(spark, 3).collect()
       .map(_.getAs[Array[Byte]](1)) ++
       Seq(2, 5, 8).map(YamlLake.blockDoc) ++ // block-scalar paths
-      Seq(3, 6).map(YamlLake.flowDoc) // flow-mapping paths swept too
+      Seq(3, 6).map(YamlLake.flowDoc) ++ // flow-mapping paths
+      Seq(1, 4).map(YamlLake.seqMapDoc) ++ // seq-of-mappings paths
+      Seq(2, 7).map(YamlLake.docsDoc) // multi-document streams
     for (src <- docs; i <- src.indices; bit <- Seq(1, 0x40)) {
       val c = src.clone(); c(i) = (c(i) ^ bit).toByte
       YamlLake.parseYaml(c).foreach { es =>
         assert(es.nonEmpty && es.forall(_.path.nonEmpty))
+      }
+      YamlLake.parseYamlDocs(c).foreach { ds =>
+        assert(ds.nonEmpty && ds.forall(es =>
+          es.nonEmpty && es.forall(_.path.nonEmpty)))
       }
       YamlLake.frontMatter(c)
     }
     val s0 = docs.head
     (0 until s0.length).foreach { n =>
       YamlLake.parseYaml(s0.take(n)); YamlLake.frontMatter(s0.take(n))
+      YamlLake.parseYamlDocs(s0.take(n))
     }
   }
 }
