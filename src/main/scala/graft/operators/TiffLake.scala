@@ -950,6 +950,87 @@ object TiffLake {
   }
 
   // ------------------------------------------------------------------
+  // JPEG-in-TIFF (Compression 7, TIFF TechNote 2 "new-style" JPEG)
+
+  /** One Compression-7 segment: a COMPLETE JFIF stream (abbreviated
+    * streams via JPEGTables reject at the tag layer). Dims are probed
+    * header-first and must equal the declared segment dims BEFORE the
+    * pixel decode — a crafted stream declaring huge dims must not get
+    * to allocate. The subset is grayscale: a 1-component stream's
+    * raster samples pass through untouched (raster access, never
+    * getRGB — that would route TYPE_BYTE_GRAY through the
+    * linear-gray→sRGB color conversion and silently gamma-shift every
+    * pixel); a 3-component stream must decode achromatic (equal
+    * bands), else the payload contradicts the gray photometric.
+    * A non-JPEG payload behind the tag rejects by format name. */
+  private def jpegDecodeSeg(in: Array[Byte], sw: Int,
+      sh: Int): Array[Byte] = {
+    val iis =
+      try javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(in))
+      catch { case scala.util.control.NonFatal(_) => throw Fail }
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) throw Fail
+      val r = readers.next()
+      try {
+        if (!r.getFormatName.equalsIgnoreCase("jpeg")) throw Fail
+        r.setInput(iis)
+        if (r.getWidth(0) != sw || r.getHeight(0) != sh) throw Fail
+        val img = r.read(0)
+        if (img == null) throw Fail
+        val raster = img.getRaster
+        val nb = raster.getNumBands
+        if (nb != 1 && nb != 3) throw Fail
+        val out = new Array[Byte](sw * sh)
+        var y = 0
+        while (y < sh) {
+          var x = 0
+          while (x < sw) {
+            val s0 = raster.getSample(x, y, 0)
+            if (nb == 3 && (raster.getSample(x, y, 1) != s0 ||
+                raster.getSample(x, y, 2) != s0)) throw Fail
+            out(y * sw + x) = s0.toByte
+            x += 1
+          }
+          y += 1
+        }
+        out
+      } catch {
+        case Fail => throw Fail
+        case scala.util.control.NonFatal(_) => throw Fail
+      } finally r.dispose()
+    } finally iis.close()
+  }
+
+  /** Solid-gray 1-component JFIF at EXPLICIT quality 1.0 — the
+    * exact-round-trip operating point (the q147 closed-form-oracle
+    * trick: scaled quant tables degenerate to all-ones and a constant
+    * block is pure DC, so decode returns exactly the encoded gray).
+    * Compression-7 fixtures therefore encode SOLID segments only. */
+  private[graft] def jpegEncodeSeg(seg: Array[Byte], sw: Int,
+      sh: Int): Array[Byte] = {
+    require(seg.length == sw * sh && seg.forall(_ == seg(0)),
+      "Compression-7 fixtures encode solid segments only")
+    val img = new java.awt.image.BufferedImage(sw, sh,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    img.getRaster.setDataElements(0, 0, sw, sh, seg)
+    val writer =
+      javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(1.0f)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null,
+        new javax.imageio.IIOImage(img, null, null), param)
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  // ------------------------------------------------------------------
   // decode
 
   /** Decode one baseline TIFF; None on any violation. */
@@ -963,8 +1044,12 @@ object TiffLake {
   /** Bounded page-chain walk (scanned-document corpora are
     * predominantly multi-page): offsets must move STRICTLY forward —
     * the ascending law makes chain cycles structurally impossible —
-    * and each page decodes under the existing per-IFD laws. */
-  private[graft] val MaxPages = 32
+    * and each page decodes under the existing per-IFD laws. The page
+    * bound caps per-file ROW fanout (memory is bounded separately by
+    * the whole-chain 2^24-sample pixel budget): 2048 covers scanned
+    * books and long faxes, which the r17 cap of 32 strict-rejected
+    * although every page was in-profile. */
+  private[graft] val MaxPages = 2048
 
   private[graft] def parseTiffPages(b: Array[Byte]): Option[Seq[TiffImage]] = {
     if (b == null || b.length < 8) return None
@@ -1040,6 +1125,11 @@ object TiffLake {
       @inline def req(tag: Int): Ent = ent(tag).getOrElse(throw Fail)
       // strict-rejects: anything that would change pixel meaning
       if (ents.containsKey(338)) throw Fail // ExtraSamples
+      // JPEGTables (347): abbreviated streams factor the DQT/DHT out
+      // of the segments — every segment in THIS subset must be a
+      // COMPLETE JFIF stream, so the tag's presence rejects rather
+      // than silently decoding table-less segments with ImageIO
+      if (ents.containsKey(347)) throw Fail
       for ((t, want) <- Seq(266 -> 1L, 274 -> 1L, 284 -> 1L))
         ent(t).foreach(e => if (scalar(rd, e) != want) throw Fail)
       ent(339).foreach(e => // SampleFormat: unsigned only
@@ -1075,7 +1165,13 @@ object TiffLake {
       if (bps == 1 && pm >= 2) throw Fail // bilevel is grayscale
       val comp = ent(259).map(scalar(rd, _)).getOrElse(1L).toInt
       if (bps == 8) {
-        if (comp != 1 && comp != 5 && comp != 32773) throw Fail
+        if (comp != 1 && comp != 5 && comp != 32773 && comp != 7)
+          throw Fail
+        // JPEG-in-TIFF (Compression 7, TIFF TechNote 2 "new-style"):
+        // grayscale pages only — scanned corpora mix G4 bilevel with
+        // JFIF gray pages in one chain; a color JPEG behind RGB tags
+        // would need subsampling/positioning tags this subset rejects
+        if (comp == 7 && pm != 1) throw Fail
       } else {
         // bilevel subset: raw packed rows, CCITT G4, CCITT MH 1D
         // (Compression 2, "CCITT RLE") or CCITT G3 1D (Compression 3,
@@ -1127,6 +1223,7 @@ object TiffLake {
               in
             case 32773 => unpackBits(in, expected)
             case 5 => lzwDecode(in, expected)
+            case 7 => jpegDecodeSeg(in, sw, sh) // pm 1 ⇒ spp 1
           }
           if (pred == 2) { // horizontal differencing, per segment row
             var yy = 0
@@ -1258,7 +1355,7 @@ object TiffLake {
       bigEndian: Boolean = false,
       photometric: Int = 1, // 0 gray-inverted, 1 gray, 2 RGB, 3 palette
       compression: Int = 1, // 1, 5 (LZW), 32773 (PackBits), 4 (G4),
-      // 2 (MH 1D), 3 (G3 1D)
+      // 2 (MH 1D), 3 (G3 1D), 7 (JPEG — solid-gray segments only)
       rowsPerStrip: Int = 0, // 0 = all rows in one strip
       predictor: Int = 1,
       bitsPerSample: Int = 8, // 8, or 1 (bilevel; photometric 0/1)
@@ -1330,6 +1427,9 @@ object TiffLake {
     require(opts.bitsPerSample == 8 ||
       (opts.bitsPerSample == 1 && opts.photometric <= 1 &&
         Set(1, 2, 3, 4)(opts.compression)))
+    require(opts.compression != 7 ||
+      (opts.bitsPerSample == 8 && opts.photometric == 1),
+      "JPEG-in-TIFF is the grayscale subset")
     require(!Set(2, 3, 4)(opts.compression) ||
       (opts.bitsPerSample == 1 && opts.photometric == 0))
     require(!(opts.t42d && opts.t4Aligned), "aligned-2D is out of subset")
@@ -1410,6 +1510,7 @@ object TiffLake {
           case 1 => seg
           case 5 => lzwEncode(seg)
           case 32773 => packBits(seg)
+          case 7 => jpegEncodeSeg(seg, sw, sh)
         }
       }
     val tiled = opts.tileWidth > 0
@@ -1649,14 +1750,17 @@ object TiffLake {
   }
 
   /** Multi-page fixture law (q239, replayed closed-form by the
-    * oracle): doc i has 1 + i%4 pages chained in one file (big-endian
-    * on odd i); page p is w×h gray with w = 5+(i+p)%4, h = 4+(i+p)%3,
-    * compression cycling (i+p)%4 → none / LZW / PackBits / CCITT G4
-    * (the G4 page bilevel, photometric 0), one strip on even i+p and
-    * RowsPerStrip 2 otherwise. Pixels: 8-bit pages are photometric-1
-    * gray v(k) = (i·7 + p·11 + 3k) % 256 in row-major k (all w·h
-    * values distinct since 3(wh−1) < 256); G4 pages are black iff
-    * (i·3 + p·5 + k) % 3 == 0. */
+    * oracle): doc i has 1 + i%4 pages — 40 pages when i%20 == 9, the
+    * scanned-book shape past the old 32-page cap — chained in one
+    * file (big-endian on odd i); page p is w×h gray with
+    * w = 5+(i+p)%4, h = 4+(i+p)%3, compression cycling (i+p)%5 →
+    * none / LZW / PackBits / CCITT G4 (the G4 page bilevel,
+    * photometric 0) / JPEG (Compression 7), one strip on even i+p
+    * and RowsPerStrip 2 otherwise. Pixels: 8-bit ramp pages are
+    * photometric-1 gray v(k) = (i·7 + p·11 + 3k) % 256 in row-major
+    * k (all w·h values distinct since 3(wh−1) < 256); G4 pages are
+    * black iff (i·3 + p·5 + k) % 3 == 0; JPEG pages are SOLID gray
+    * (i·7 + p·11) % 256 — the exact-round-trip operating point. */
   def tiffMultiFixture(spark: org.apache.spark.sql.SparkSession,
       n: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.Row
@@ -1670,17 +1774,20 @@ object TiffLake {
   }
 
   private[graft] def multiPageDoc(i: Int): Array[Byte] = {
-    val pages = (0 until 1 + i % 4).map { p =>
+    val np = if (i % 20 == 9) 40 else 1 + i % 4
+    val pages = (0 until np).map { p =>
       val w = 5 + (i + p) % 4
       val h = 4 + (i + p) % 3
-      val cm = (i + p) % 4
+      val cm = (i + p) % 5
       val rps = if ((i + p) % 2 == 0) 0 else 2
       val argb = new Array[Int](w * h)
       var k = 0
       while (k < argb.length) {
-        val v =
-          if (cm == 3) { if ((i * 3 + p * 5 + k) % 3 == 0) 0 else 255 }
-          else (i * 7 + p * 11 + 3 * k) % 256
+        val v = cm match {
+          case 3 => if ((i * 3 + p * 5 + k) % 3 == 0) 0 else 255
+          case 4 => (i * 7 + p * 11) % 256 // solid: JPEG-exact
+          case _ => (i * 7 + p * 11 + 3 * k) % 256
+        }
         argb(k) = 0xff000000 | (v << 16) | (v << 8) | v
         k += 1
       }
@@ -1690,8 +1797,10 @@ object TiffLake {
           rowsPerStrip = rps)
         case 2 => TiffOpts(bigEndian = i % 2 == 1, compression = 32773,
           rowsPerStrip = rps)
-        case _ => TiffOpts(bigEndian = i % 2 == 1, photometric = 0,
+        case 3 => TiffOpts(bigEndian = i % 2 == 1, photometric = 0,
           bitsPerSample = 1, compression = 4, rowsPerStrip = rps)
+        case _ => TiffOpts(bigEndian = i % 2 == 1, compression = 7,
+          rowsPerStrip = rps)
       }
       (argb, w, h, opts)
     }

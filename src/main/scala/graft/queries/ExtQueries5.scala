@@ -2131,14 +2131,17 @@ object ExtQueries5 {
   // q239 — MULTI-PAGE TIFF page census (the q222 family over the IFD
   // chain): scanned-document corpora are predominantly multi-page,
   // which the lake strict-rejected before round 17. 40 files of
-  // 1 + i%4 chained pages (big-endian on odd i), per-page
-  // compressions cycling none/LZW/PackBits/CCITT-G4 with single- and
-  // 2-row-strip layouts and page-local pixel laws (8-bit gray ramp;
-  // bilevel %3 pattern on the G4 pages) — one row per page with the
-  // page index, so mixed per-page wire shapes cross the hash gate.
-  // Chain strictness (cycles, backward/odd/out-of-bounds next-IFD,
-  // the page cap, parseTiff's one-page contract) is spec-gated in
-  // TiffLakeSpec.
+  // 1 + i%4 chained pages — 40 pages on i%20==9, the scanned-book
+  // shape past the old 32-page cap — big-endian on odd i, per-page
+  // compressions cycling none/LZW/PackBits/CCITT-G4/JPEG
+  // (Compression 7, round 18) with single- and 2-row-strip layouts
+  // and page-local pixel laws (8-bit gray ramp; bilevel %3 pattern
+  // on the G4 pages; SOLID gray on the JPEG pages — the q147
+  // quality-1.0 exact-round-trip operating point) — one row per page
+  // with the page index, so mixed per-page wire shapes cross the
+  // hash gate. Chain strictness (cycles, backward/odd/out-of-bounds
+  // next-IFD, the page cap, parseTiff's one-page contract) and the
+  // JPEG corruption matrix are spec-gated in TiffLakeSpec.
   private val TiffMultiN = 40
 
   def q239(s: SparkSession, dir: String): DataFrame = {
@@ -2152,20 +2155,22 @@ object ExtQueries5 {
 
   val q239Sql: String =
     s"""WITH base AS (
-         SELECT r AS id, 1 + r % 4 AS np FROM range(0, $TiffMultiN) g(r)),
+         SELECT r AS id,
+           CASE WHEN r % 20 = 9 THEN 40 ELSE 1 + r % 4 END AS np
+         FROM range(0, $TiffMultiN) g(r)),
        pages AS (
          SELECT id, np, CAST(unnest(range(0, np)) AS INT) AS page
          FROM base),
        d AS (
          SELECT id, np, page,
-           (id + page) % 4 AS cm,
+           (id + page) % 5 AS cm,
            5 + (id + page) % 4 AS w,
            4 + (id + page) % 3 AS h
          FROM pages),
        e AS (
          SELECT id, np, page, cm, w, h, w * h AS n,
            CASE cm WHEN 1 THEN 5 WHEN 2 THEN 32773 WHEN 3 THEN 4
-             ELSE 1 END AS comp,
+             WHEN 4 THEN 7 ELSE 1 END AS comp,
            CASE WHEN (id + page) % 2 = 0 THEN 1 ELSE (h + 1) // 2 END
              AS nsegs,
            (id * 7 + page * 11) % 256 AS c0,
@@ -2178,9 +2183,11 @@ object ExtQueries5 {
          CAST(CASE WHEN cm = 3
            THEN 255 * list_sum([CASE WHEN (b0 + k) % 3 <> 0 THEN 1
                                 ELSE 0 END for k in range(0, n)])
+           WHEN cm = 4 THEN c0 * n
            ELSE list_sum([(c0 + 3 * k) % 256 for k in range(0, n)])
          END AS BIGINT) AS gray_sum,
-         CAST(CASE WHEN cm = 3 THEN 2 ELSE n END AS INT) AS n_colors,
+         CAST(CASE WHEN cm = 3 THEN 2 WHEN cm = 4 THEN 1 ELSE n END
+           AS INT) AS n_colors,
          true AS valid
        FROM e ORDER BY id, page"""
 
@@ -2247,32 +2254,40 @@ object ExtQueries5 {
   // window partition over (dims, signature); every page reports its
   // duplicate-group size and the group's canonical (first) page.
   // The q239 fixture genuinely contains cross-document duplicates —
-  // e.g. doc 0 page 0 and doc 35 page 1 share (i+p) mod 12 AND
-  // 7i+11p mod 256, hence the full raster.
+  // e.g. doc 0 page 0 and doc 35 page 1 share (i+p) mod 12 (dims)
+  // AND 7i+11p mod 256 (the ramp base), hence the full raster —
+  // while their WIRE compressions differ (none vs LZW under r18's
+  // mod-5 cycle): the dedup is format-invariant by construction.
   def q241(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val fx = graft.operators.TiffLake.tiffMultiFixture(s, TiffMultiN)
     val sigs = graft.operators.TiffLake.extractTiffPageSigs(
       fx, "id", "media")
+    // canon packs (id, page) on a MaxPages stride — page < MaxPages
+    // structurally, so the encoding never aliases (the r17 *10 pack
+    // silently assumed page <= 9)
+    val stride = graft.operators.TiffLake.MaxPages
     val grp = Window.partitionBy(col("width"), col("height"), col("sig"))
     sigs.select(col("id"), col("page"),
         count(lit(1)).over(grp).cast("int").as("dup_count"),
-        min(col("id") * 10 + col("page")).over(grp).as("canon"))
+        min(col("id") * stride + col("page")).over(grp).as("canon"))
       .select(col("id"), col("page"), col("dup_count"),
-        expr("canon DIV 10").as("canon_id"),
-        expr("CAST(canon % 10 AS INT)").as("canon_page"))
+        expr(s"canon DIV $stride").as("canon_id"),
+        expr(s"CAST(canon % $stride AS INT)").as("canon_page"))
       .orderBy("id", "page")
   }
 
   val q241Sql: String =
     s"""WITH base AS (
-         SELECT r AS id, 1 + r % 4 AS np FROM range(0, $TiffMultiN) g(r)),
+         SELECT r AS id,
+           CASE WHEN r % 20 = 9 THEN 40 ELSE 1 + r % 4 END AS np
+         FROM range(0, $TiffMultiN) g(r)),
        pages AS (
          SELECT id, CAST(unnest(range(0, np)) AS INT) AS page
          FROM base),
        e AS (
          SELECT id, page,
-           (id + page) % 4 AS cm,
+           (id + page) % 5 AS cm,
            5 + (id + page) % 4 AS w,
            4 + (id + page) % 3 AS h,
            (5 + (id + page) % 4) * (4 + (id + page) % 3) AS n,
@@ -2284,6 +2299,9 @@ object ExtQueries5 {
            CASE WHEN cm = 3
              THEN array_to_string([CASE WHEN (b0 + k) % 3 = 0 THEN 0
                     ELSE 16777215 END for k in range(0, n)], ',')
+             WHEN cm = 4
+             THEN array_to_string([c0 * 65793
+                    for k in range(0, n)], ',')
              ELSE array_to_string([((c0 + 3 * k) % 256) * 65793
                     for k in range(0, n)], ',')
            END AS sig
@@ -2292,11 +2310,14 @@ object ExtQueries5 {
          SELECT id, page,
            CAST(COUNT(*) OVER (PARTITION BY w, h, sig) AS INT)
              AS dup_count,
-           MIN(id * 10 + page) OVER (PARTITION BY w, h, sig) AS canon
+           MIN(id * ${graft.operators.TiffLake.MaxPages} + page)
+             OVER (PARTITION BY w, h, sig) AS canon
          FROM sigs)
        SELECT id, page, dup_count,
-         CAST(canon // 10 AS BIGINT) AS canon_id,
-         CAST(canon % 10 AS INT) AS canon_page
+         CAST(canon // ${graft.operators.TiffLake.MaxPages} AS BIGINT)
+           AS canon_id,
+         CAST(canon % ${graft.operators.TiffLake.MaxPages} AS INT)
+           AS canon_page
        FROM grp ORDER BY id, page"""
 
   // ---------------------------------------------------------------

@@ -400,11 +400,14 @@ class TiffLakeSpec extends SparkSpec {
     assert(TiffLake.parseTiffPages(patched(9L)).isEmpty, "odd offset")
     assert(TiffLake.parseTiffPages(
       patched(three.length.toLong + 8)).isEmpty, "out of bounds")
-    // the page cap: a 33-page chain rejects, 32 parses
+    // the page cap (2048 since r18 — scanned books/faxes exceed the
+    // old 32): a cap+1 chain rejects, a cap-sized one parses
     def manyPages(n: Int) = TiffLake.encodeTiffMulti((0 until n).map(_ =>
       (Array.fill(4)(0xffffffff), 2, 2, TiffLake.TiffOpts())))
-    assert(TiffLake.parseTiffPages(manyPages(32)).exists(_.length == 32))
-    assert(TiffLake.parseTiffPages(manyPages(33)).isEmpty, "page cap")
+    assert(TiffLake.parseTiffPages(manyPages(TiffLake.MaxPages))
+      .exists(_.length == TiffLake.MaxPages))
+    assert(TiffLake.parseTiffPages(manyPages(TiffLake.MaxPages + 1))
+      .isEmpty, "page cap")
     // the whole-chain pixel budget (2^24 samples): 16 megapixel-pages
     // land exactly on the cap, a 17th rejects — without it, 32 pages
     // at the per-page bound could demand ~512 MB of argb in one task
@@ -415,10 +418,78 @@ class TiffLakeSpec extends SparkSpec {
     assert(TiffLake.parseTiffPages(megaPages(17)).isEmpty, "pixel budget")
   }
 
+  test("JPEG-in-TIFF (Compression 7): exact solid decode, corruption matrix") {
+    // all 256 grays, single strip: a solid 1-component JFIF at
+    // quality 1.0 decodes to EXACTLY the encoded gray at every pixel
+    // (the q147 operating point, composed into the TIFF container)
+    (0 until 256).foreach { g =>
+      val px = 0xff000000 | (g * 0x010101)
+      val t = TiffLake.encodeTiff(Array.fill(35)(px), 7, 5,
+        TiffOpts(compression = 7))
+      val img = TiffLake.parseTiff(t)
+      assert(img.nonEmpty, s"gray $g")
+      assert(img.get.compression == 7 && img.get.argb.forall(_ == px),
+        s"gray $g exact")
+    }
+    // multi-strip big-endian and tiled wire shapes, same pixel law
+    // (tile dims divide the image so every JPEG segment stays solid)
+    val p77 = 0xff000000 | (77 * 0x010101)
+    val si = TiffLake.parseTiff(TiffLake.encodeTiff(
+      Array.fill(45)(p77), 9, 5,
+      TiffOpts(bigEndian = true, compression = 7, rowsPerStrip = 2))).get
+    assert(si.nStrips == 3 && si.argb.forall(_ == p77))
+    val p130 = 0xff000000 | (130 * 0x010101)
+    val ti = TiffLake.parseTiff(TiffLake.encodeTiff(
+      Array.fill(32 * 16)(p130), 32, 16,
+      TiffOpts(compression = 7, tileWidth = 16, tileLength = 16))).get
+    assert(ti.nStrips == 2 && ti.argb.forall(_ == p130))
+    // --- corruption matrix ---
+    val t0 = TiffLake.encodeTiff(
+      Array.fill(35)(0xff000000 | (80 * 0x010101)), 7, 5,
+      TiffOpts(compression = 7))
+    assert(TiffLake.parseTiff(t0).nonEmpty, "control")
+    def u32le(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+        ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+    val ifd = u32le(t0, 4)
+    // non-JPEG payload behind the tag: the first strip rides at
+    // offset 8 — break the SOI magic
+    val noJpeg = t0.clone(); noJpeg(8) = 0x00
+    assert(TiffLake.parseTiff(noJpeg).isEmpty,
+      "non-JPEG payload behind Compression 7")
+    // declared dims lie: tag 256 is the first (ascending) entry, its
+    // inline SHORT at ifd+10 — the JPEG's own 7x5 must then mismatch
+    val lie = t0.clone(); lie(ifd + 10) = 6
+    assert(TiffLake.parseTiff(lie).isEmpty,
+      "JPEG dims must equal the declared dims")
+    // photometric 0 under comp 7 (entry 4 = tag 262): gray-only subset
+    val pm0 = t0.clone(); pm0(ifd + 2 + 12 * 4 + 8) = 0
+    assert(TiffLake.parseTiff(pm0).isEmpty, "comp 7 is photometric 1 only")
+    // bilevel under comp 7 (entry 2 = tag 258): rejects in the bps-1 set
+    val b1 = t0.clone(); b1(ifd + 2 + 12 * 2 + 8) = 1
+    assert(TiffLake.parseTiff(b1).isEmpty, "comp 7 under bps 1")
+    // JPEGTables (347): append a sorted-last IFD entry (existing tags
+    // all < 347), bump the count — abbreviated streams reject
+    val n0 = (t0(ifd) & 0xff) | ((t0(ifd + 1) & 0xff) << 8)
+    val entEnd = ifd + 2 + 12 * n0
+    val tables = t0.take(entEnd) ++
+      Array[Byte](0x5B, 0x01, 1, 0, 4, 0, 0, 0, // tag 347, BYTE x4
+        0xDE.toByte, 0xAD.toByte, 0xBE.toByte, 0xEF.toByte) ++
+      Array[Byte](0, 0, 0, 0) // next-IFD: end of chain
+    tables(ifd) = ((n0 + 1) & 0xff).toByte
+    tables(ifd + 1) = (((n0 + 1) >> 8) & 0xff).toByte
+    assert(TiffLake.parseTiff(tables).isEmpty,
+      "JPEGTables (abbreviated streams) reject")
+    // the >32-page scanned-book fixture member decodes end-to-end
+    val book = TiffLake.parseTiffPages(TiffLake.multiPageDoc(9))
+    assert(book.exists(_.length == 40), "40-page chain member")
+  }
+
   test("page signatures: exact rasters, real cross-document duplicates") {
     val sigs = TiffLake.extractTiffPageSigs(
       TiffLake.tiffMultiFixture(spark, 40), "id", "media").collect()
-    assert(sigs.length == (0 until 40).map(1 + _ % 4).sum)
+    assert(sigs.length == (0 until 40)
+      .map(i => if (i % 20 == 9) 40 else 1 + i % 4).sum)
     // the signature IS the raster: replay doc 2's pages from the law
     // (page 0: i+p=2 -> the 8-bit ramp; page 1: i+p=3 -> G4 bilevel)
     val s20 = sigs.find(r => r.getLong(0) == 2 && r.getInt(1) == 0).get
@@ -430,9 +501,18 @@ class TiffLakeSpec extends SparkSpec {
     val b0 = (2 * 3 + 1 * 5) % 3
     assert(s21.getString(4) == (0 until 8 * 4).map(k =>
       if ((b0 + k) % 3 == 0) 0 else 0xffffff).mkString(","))
+    // JPEG page (i+p ≡ 4 mod 5): doc 2 page 2 is SOLID gray
+    // (7·2 + 11·2) % 256 = 36 at w = 5+4%4 = 5, h = 4+4%3 = 5 — the
+    // quality-1.0 round trip returns the encoded gray at every pixel
+    val s22 = sigs.find(r => r.getLong(0) == 2 && r.getInt(1) == 2).get
+    assert(s22.getInt(2) == 5 && s22.getInt(3) == 5)
+    assert(s22.getString(4) ==
+      Seq.fill(25)(36 * 0x010101).mkString(","))
     // hand-derived duplicate: doc 0 page 0 and doc 35 page 1 share
-    // (i+p) mod 12 (dims + compression) and 7i+11p mod 256 (= 0 and
-    // 7*35+11 = 256), hence the full raster
+    // (i+p) mod 12 (dims) and the ramp base 7i+11p mod 256 (= 0 and
+    // 7*35+11 = 256), hence the full raster — while their WIRE
+    // compressions differ (none vs LZW under the mod-5 cycle): the
+    // dedup key is format-invariant by construction
     val a = sigs.find(r => r.getLong(0) == 0 && r.getInt(1) == 0).get
     val b = sigs.find(r => r.getLong(0) == 35 && r.getInt(1) == 1).get
     assert(a.getString(4) == b.getString(4) && a.getInt(2) == b.getInt(2),
