@@ -166,6 +166,49 @@ object Dedup {
       .groupBy(col("norm_key"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** Page-level exact dedup at scale (the q241 semantics without
+    * shuffling rasters): pass 1 shuffles only (dims, xxhash64(sig))
+    * — 8 bytes per page instead of ~9 bytes per pixel of the raw
+    * signature — and pages alone in their hash bucket are their own
+    * canonical page with dup_count 1; pass 2 re-attaches the full
+    * signature ONLY for hash-colliding pages (true duplicates plus
+    * rare collisions) and verifies EXACTLY inside each bucket, so a
+    * collision can never merge distinct pages. The exact≡hash
+    * discipline: output is identical to a direct (dims, sig) window
+    * — spec-asserted, including under a deliberately-degenerate hash
+    * that forces every page through the verify pass. `sigs` columns:
+    * id, page, width, height, sig; output matches q241's shape
+    * (dup_count + canonical page, canon packed as id·stride+page
+    * with page < stride). On a duplicate-heavy corpus most pages
+    * carry their signature into pass 2 — that is the operator
+    * working as designed, not a leak: the exact verify is the point. */
+  def pageDupGroups(sigs: DataFrame, stride: Int,
+      hash: Column = xxhash64(col("sig"))): DataFrame = {
+    val base = sigs.select(col("id"), col("page"), col("width"),
+      col("height"), col("sig"))
+    val hw = Window.partitionBy(col("width"), col("height"), col("h64"))
+    val counted = base
+      .select(col("id"), col("page"), col("width"), col("height"),
+        hash.as("h64"))
+      .select(col("id"), col("page"), col("width"), col("height"),
+        col("h64"), count(lit(1)).over(hw).as("hcnt"))
+    val singles = counted.filter(col("hcnt") === 1)
+      .select(col("id"), col("page"),
+        lit(1).cast("int").as("dup_count"),
+        col("id").as("canon_id"), col("page").as("canon_page"))
+    val multiKeys = counted.filter(col("hcnt") > 1)
+      .select(col("id"), col("page"))
+    val ex = Window.partitionBy(col("width"), col("height"), col("sig"))
+    val multi = base.join(multiKeys, Seq("id", "page"))
+      .select(col("id"), col("page"),
+        count(lit(1)).over(ex).cast("int").as("dup_count"),
+        min(col("id") * stride + col("page")).over(ex).as("canon"))
+      .select(col("id"), col("page"), col("dup_count"),
+        expr(s"canon DIV $stride").as("canon_id"),
+        expr(s"CAST(canon % $stride AS INT)").as("canon_page"))
+    singles.unionByName(multi)
+  }
+
   /** All-pairs n-gram Jaccard similarity join via inverted index.
     *
     * Returns (a, b, n_inter, n_union) for every doc pair with

@@ -549,6 +549,29 @@ object ScaleProof {
       try run("tiff_census")(pass())
       finally spark.conf.set("spark.sql.files.maxPartitionBytes", oldSplit)
     }
+    if (wanted("tiff_pagededup")) {
+      // the q241 composition at scale: decode chains → raster sigs →
+      // hash-pregrouped exact dedup (Dedup.pageDupGroups). This
+      // corpus duplicates each of the 4096 base documents ~N/4096
+      // times, so at 100× nearly every page hash-collides and the
+      // verify pass carries most signatures — the dup-heavy WORST
+      // case for pass 2, by design (growth then measures the exact
+      // verify, not a best-case singleton short-circuit).
+      val oldSplit = spark.conf.get("spark.sql.files.maxPartitionBytes")
+      spark.conf.set("spark.sql.files.maxPartitionBytes", (4 << 20).toString)
+      def pass() = {
+        val sigs = graft.operators.TiffLake.extractTiffPageSigs(
+          spark.read.parquet(s"$out/tiff.parquet"), "id", "media")
+        graft.operators.Dedup.pageDupGroups(sigs,
+            graft.operators.TiffLake.MaxPages)
+          .agg(sum(col("dup_count")).as("dsum"),
+            sum(col("canon_id")).as("csum"),
+            count(lit(1)).as("pages"))
+      }
+      pass().collect() // untimed codegen warm-up (steady-state claim)
+      try run("tiff_pagededup")(pass())
+      finally spark.conf.set("spark.sql.files.maxPartitionBytes", oldSplit)
+    }
     if (wanted("csv_census")) {
       val oldSplit = spark.conf.get("spark.sql.files.maxPartitionBytes")
       spark.conf.set("spark.sql.files.maxPartitionBytes", (4 << 20).toString)

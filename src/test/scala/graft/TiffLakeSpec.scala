@@ -522,6 +522,35 @@ class TiffLakeSpec extends SparkSpec {
     assert(c.getString(4) != a.getString(4))
   }
 
+  test("page dedup scale path: hash pregroup equals the direct window") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val sigs = TiffLake.extractTiffPageSigs(
+      TiffLake.tiffMultiFixture(spark, 40), "id", "media")
+    val stride = TiffLake.MaxPages
+    val grp = Window.partitionBy(col("width"), col("height"), col("sig"))
+    val direct = sigs.select(col("id"), col("page"),
+        count(lit(1)).over(grp).cast("int").as("dup_count"),
+        min(col("id") * stride + col("page")).over(grp).as("canon"))
+      .select(col("id"), col("page"), col("dup_count"),
+        expr(s"canon DIV $stride").as("canon_id"),
+        expr(s"CAST(canon % $stride AS INT)").as("canon_page"))
+      .orderBy("id", "page").collect().toSeq
+    val pre = graft.operators.Dedup.pageDupGroups(sigs, stride)
+      .orderBy("id", "page").collect().toSeq
+    assert(pre == direct, "xxhash64 pregroup must be output-identical")
+    // a deliberately-degenerate hash lands EVERY page in one bucket:
+    // the exact verify must still yield identical output (a hash
+    // collision can never merge distinct pages)
+    val worst = graft.operators.Dedup
+      .pageDupGroups(sigs, stride, hash = lit(0L))
+      .orderBy("id", "page").collect().toSeq
+    assert(worst == direct, "degenerate hash must still verify exactly")
+    // the fixture exercises BOTH passes: hash-singletons and colliders
+    assert(direct.exists(_.getInt(2) > 1) &&
+      direct.exists(_.getInt(2) == 1))
+  }
+
   test("byte-flip + truncation sweeps never throw; survivors well-formed") {
     val seeds = Seq(
       TiffLake.encodeTiff(image(90, 11, 9), 11, 9,
