@@ -952,6 +952,13 @@ object TiffLake {
   // ------------------------------------------------------------------
   // JPEG-in-TIFF (Compression 7, TIFF TechNote 2 "new-style" JPEG)
 
+  /** ImageIO's stream factories default to DISK-backed caches — a
+    * temp file per stream, a multi-ms tax per tiny segment at census
+    * scale. Segments here are small in-memory byte arrays: cache in
+    * memory, pinned once per JVM. */
+  private lazy val imageIoMemCache: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
   /** One Compression-7 segment: a COMPLETE JFIF stream (abbreviated
     * streams via JPEGTables reject at the tag layer). Dims are probed
     * header-first and must equal the declared segment dims BEFORE the
@@ -965,6 +972,7 @@ object TiffLake {
     * A non-JPEG payload behind the tag rejects by format name. */
   private def jpegDecodeSeg(in: Array[Byte], sw: Int,
       sh: Int): Array[Byte] = {
+    imageIoMemCache
     val iis =
       try javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(in))
@@ -1012,6 +1020,7 @@ object TiffLake {
       sh: Int): Array[Byte] = {
     require(seg.length == sw * sh && seg.forall(_ == seg(0)),
       "Compression-7 fixtures encode solid segments only")
+    imageIoMemCache
     val img = new java.awt.image.BufferedImage(sw, sh,
       java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
     img.getRaster.setDataElements(0, 0, sw, sh, seg)
