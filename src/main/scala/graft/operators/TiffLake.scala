@@ -996,6 +996,9 @@ object TiffLake {
           var x = 0
           while (x < sw) {
             val s0 = raster.getSample(x, y, 0)
+            // 12-bit JPEG samples would silently truncate in the
+            // byte store — the subset is 8-bit, reject out-of-range
+            if (s0 < 0 || s0 > 255) throw Fail
             if (nb == 3 && (raster.getSample(x, y, 1) != s0 ||
                 raster.getSample(x, y, 2) != s0)) throw Fail
             out(y * sw + x) = s0.toByte

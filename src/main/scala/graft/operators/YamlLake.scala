@@ -979,6 +979,56 @@ object YamlLake {
     sb.toString.getBytes("UTF-8")
   }
 
+  /** Model-card capstone fixture (q244): a real-shaped hub card
+    * composing EVERY front-matter surface this engine parses — the
+    * fence, a plain-scalar license, a flow-sequence tags list, a
+    * literal block-scalar description, the canonical
+    * model-index → results → metrics sequence-of-mappings nest (the
+    * exact structure the r17 verdict named as the reason to ship
+    * seq-of-maps), and a trailing root int. Law (replayed closed-form
+    * by the oracle): doc i (no front matter when i%7==6) carries
+    * license lic(i%3) ∈ {apache-2.0, mit, cc-by-4.0}, tags [nlp,
+    * t(i%4)], desc two literal lines "Card c(i%5)" / "line w(i%3)",
+    * model-index with one entry m(i%6) whose results hold one task
+    * cls(i%3) and 1+[i even] metrics (acc 0.(7i%100), plus f1
+    * 0.(11i%100) on even i), and downloads: 1000+3i. */
+  def modelCardFixture(spark: SparkSession, n: Int): DataFrame = {
+    val rows = (0 until n).map(i => Row(i.toLong, modelCardDoc(i)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4),
+      StructType(Seq(
+        StructField("id", LongType, false),
+        StructField("media", BinaryType, true))))
+  }
+
+  private[graft] def modelCardDoc(i: Int): Array[Byte] = {
+    val sb = new StringBuilder
+    if (i % 7 != 6) {
+      sb.append("---\n")
+      sb.append("license: " +
+        Seq("apache-2.0", "mit", "cc-by-4.0")(i % 3) + "\n")
+      sb.append("tags: [nlp, t" + i % 4 + "]\n")
+      sb.append("desc: |\n")
+      sb.append("  Card c" + i % 5 + "\n")
+      sb.append("  line w" + i % 3 + "\n")
+      sb.append("model-index:\n")
+      sb.append("- name: m" + i % 6 + "\n")
+      sb.append("  results:\n")
+      sb.append("  - task: cls" + i % 3 + "\n")
+      sb.append("    metrics:\n")
+      sb.append("    - type: acc\n")
+      sb.append(f"      value: 0.${(7 * i) % 100}%02d\n")
+      if (i % 2 == 0) {
+        sb.append("    - type: f1\n")
+        sb.append(f"      value: 0.${(11 * i) % 100}%02d\n")
+      }
+      sb.append("downloads: " + (1000 + 3 * i) + "\n")
+      sb.append("---\n")
+    }
+    sb.append("# Model card body " + i + "\n")
+    sb.toString.getBytes("UTF-8")
+  }
+
   /** One fixture document (shared with the ScaleProof generator). */
   private[graft] def yamlDoc(i: Int): Array[Byte] = {
     {

@@ -2433,6 +2433,99 @@ object ExtQueries5 {
          true AS valid
        FROM rws ORDER BY id, doc, seq"""
 
+  // ---------------------------------------------------------------
+  // q244 — MODEL-CARD capstone (the round-18 YAML surfaces composed
+  // into the real hub-card shape the r17 verdict motivated): one
+  // front-matter fence carrying a plain-scalar license, a flow-seq
+  // tags list, a literal block-scalar description, the canonical
+  // model-index → results → metrics sequence-of-mappings nest at
+  // depth 6, and a trailing root int. 42 documents (every seventh
+  // with no front matter) sweep licenses, tag/metric variants and
+  // 1-vs-2-metric lists; the assembled block-scalar value and every
+  // nested path cross the hash gate.
+  private val CardN = 42
+
+  def q244(s: SparkSession, dir: String): DataFrame = {
+    val fx = graft.operators.YamlLake.modelCardFixture(s, CardN)
+    graft.operators.YamlLake.extractFrontMatter(fx, "id", "media")
+      .select(col("id"), col("seq"), col("path"), col("kind"),
+        col("lval"), col("sval"), col("fx100"), col("arr_n"),
+        col("has_fm"), col("valid"))
+      .orderBy("id", "seq")
+  }
+
+  val q244Sql: String =
+    s"""WITH base AS (
+         SELECT r AS id, r % 7 <> 6 AS fm, r % 2 = 0 AS ev
+         FROM range(0, $CardN) g(r)),
+       fixed AS (
+         SELECT id, ev, CAST(unnest(range(0, 12)) AS INT) AS seq
+         FROM base WHERE fm),
+       fixedrows AS (
+         SELECT id, seq,
+           CASE seq WHEN 0 THEN 'license' WHEN 1 THEN 'tags'
+             WHEN 2 THEN 'tags.0' WHEN 3 THEN 'tags.1'
+             WHEN 4 THEN 'desc' WHEN 5 THEN 'model-index'
+             WHEN 6 THEN 'model-index.0.name'
+             WHEN 7 THEN 'model-index.0.results'
+             WHEN 8 THEN 'model-index.0.results.0.task'
+             WHEN 9 THEN 'model-index.0.results.0.metrics'
+             WHEN 10 THEN 'model-index.0.results.0.metrics.0.type'
+             ELSE 'model-index.0.results.0.metrics.0.value'
+           END AS path,
+           CASE WHEN seq IN (1, 5, 7, 9) THEN 'seq'
+             WHEN seq = 11 THEN 'float' ELSE 'str' END AS kind,
+           CAST(NULL AS BIGINT) AS lval,
+           CASE seq WHEN 0 THEN list_extract(
+               ['apache-2.0', 'mit', 'cc-by-4.0'], id % 3 + 1)
+             WHEN 2 THEN 'nlp' WHEN 3 THEN 't' || (id % 4)
+             WHEN 4 THEN 'Card c' || (id % 5) || chr(10) ||
+               'line w' || (id % 3) || chr(10)
+             WHEN 6 THEN 'm' || (id % 6)
+             WHEN 8 THEN 'cls' || (id % 3)
+             WHEN 10 THEN 'acc' END AS sval,
+           CAST(CASE seq WHEN 11 THEN (7 * id) % 100 END AS BIGINT)
+             AS fx100,
+           CAST(CASE seq WHEN 1 THEN 2 WHEN 5 THEN 1 WHEN 7 THEN 1
+             WHEN 9 THEN CASE WHEN ev THEN 2 ELSE 1 END END AS INT)
+             AS arr_n
+         FROM fixed),
+       extra AS (
+         SELECT id, CAST(12 + k AS INT) AS seq,
+           'model-index.0.results.0.metrics.1.' ||
+             CASE k WHEN 0 THEN 'type' ELSE 'value' END AS path,
+           CASE k WHEN 0 THEN 'str' ELSE 'float' END AS kind,
+           CAST(NULL AS BIGINT) AS lval,
+           CASE k WHEN 0 THEN 'f1' END AS sval,
+           CAST(CASE k WHEN 1 THEN (11 * id) % 100 END AS BIGINT)
+             AS fx100,
+           CAST(NULL AS INT) AS arr_n
+         FROM (SELECT id, CAST(unnest(range(0, 2)) AS INT) AS k
+               FROM base WHERE fm AND ev)),
+       dl AS (
+         SELECT id, CAST(CASE WHEN ev THEN 14 ELSE 12 END AS INT)
+             AS seq,
+           'downloads' AS path, 'int' AS kind,
+           CAST(1000 + 3 * id AS BIGINT) AS lval,
+           CAST(NULL AS VARCHAR) AS sval,
+           CAST(NULL AS BIGINT) AS fx100, CAST(NULL AS INT) AS arr_n
+         FROM base WHERE fm),
+       nofm AS (
+         SELECT id, CAST(0 AS INT) AS seq,
+           CAST(NULL AS VARCHAR) AS path, CAST(NULL AS VARCHAR) AS kind,
+           CAST(NULL AS BIGINT) AS lval, CAST(NULL AS VARCHAR) AS sval,
+           CAST(NULL AS BIGINT) AS fx100, CAST(NULL AS INT) AS arr_n
+         FROM base WHERE NOT fm),
+       unioned AS (
+         SELECT *, true AS has_fm FROM
+           (SELECT * FROM fixedrows UNION ALL SELECT * FROM extra
+            UNION ALL SELECT * FROM dl)
+         UNION ALL
+         SELECT *, false AS has_fm FROM nofm)
+       SELECT id, seq, path, kind, lval, sval, fx100, arr_n, has_fm,
+         true AS valid
+       FROM unioned ORDER BY id, seq"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q203_safetensors_extract" -> (q203 _),
     "q204_npy_extract" -> (q204 _),
@@ -2474,7 +2567,8 @@ object ExtQueries5 {
     "q240_flow_mappings" -> (q240 _),
     "q241_page_dedup" -> (q241 _),
     "q242_seq_mappings" -> (q242 _),
-    "q243_yaml_stream" -> (q243 _)
+    "q243_yaml_stream" -> (q243 _),
+    "q244_model_cards" -> (q244 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -2519,6 +2613,7 @@ object ExtQueries5 {
     "q240_flow_mappings" -> q240Sql,
     "q241_page_dedup" -> q241Sql,
     "q242_seq_mappings" -> q242Sql,
-    "q243_yaml_stream" -> q243Sql
+    "q243_yaml_stream" -> q243Sql,
+    "q244_model_cards" -> q244Sql
   )
 }

@@ -302,6 +302,53 @@ class YamlLakeSpec extends SparkSpec {
     }
   }
 
+  test("model-card fixture law: the composed hub-card shape decodes") {
+    // restate the q244 law independently for every doc
+    val rows = YamlLake.extractFrontMatter(
+      YamlLake.modelCardFixture(spark, 42), "id", "media")
+      .orderBy("id", "seq").collect()
+    (0 until 42).foreach { i =>
+      val mine = rows.filter(_.getLong(0) == i)
+      if (i % 7 == 6) {
+        assert(mine.length == 1 && !mine(0).getBoolean(8) &&
+          mine(0).getBoolean(9), s"doc $i: expected a no-fm row")
+      } else {
+        val nm = if (i % 2 == 0) 2 else 1
+        assert(mine.length == 13 + 2 * (nm - 1), s"doc $i row count")
+        assert(mine.forall(r => r.getBoolean(8) && r.getBoolean(9)))
+        def at(s: Int) = mine(s)
+        assert(at(0).getString(2) == "license" && at(0).getString(5) ==
+          Seq("apache-2.0", "mit", "cc-by-4.0")(i % 3))
+        assert(at(1).getString(2) == "tags" && at(1).getInt(7) == 2)
+        assert(at(2).getString(5) == "nlp" &&
+          at(3).getString(5) == "t" + i % 4)
+        assert(at(4).getString(2) == "desc" && at(4).getString(5) ==
+          s"Card c${i % 5}\nline w${i % 3}\n")
+        assert(at(5).getString(2) == "model-index" && at(5).getInt(7) == 1)
+        assert(at(6).getString(2) == "model-index.0.name" &&
+          at(6).getString(5) == "m" + i % 6)
+        assert(at(7).getString(2) == "model-index.0.results" &&
+          at(7).getInt(7) == 1)
+        assert(at(8).getString(2) == "model-index.0.results.0.task" &&
+          at(8).getString(5) == "cls" + i % 3)
+        assert(at(9).getString(2) == "model-index.0.results.0.metrics" &&
+          at(9).getInt(7) == nm)
+        assert(at(10).getString(5) == "acc" &&
+          at(11).getString(3) == "float" &&
+          at(11).getLong(6) == (7 * i) % 100)
+        if (nm == 2) {
+          assert(at(12).getString(5) == "f1" &&
+            at(13).getLong(6) == (11 * i) % 100)
+          assert(at(13).getString(2) ==
+            "model-index.0.results.0.metrics.1.value")
+        }
+        val dl = mine.last
+        assert(dl.getString(2) == "downloads" &&
+          dl.getLong(4) == 1000 + 3 * i)
+      }
+    }
+  }
+
   test("multi-document streams: separators, openers, strictness") {
     import YamlLake.parseYamlDocs
     def pd(s: String) = parseYamlDocs(s.getBytes("UTF-8"))
@@ -528,7 +575,8 @@ class YamlLakeSpec extends SparkSpec {
       Seq(2, 5, 8).map(YamlLake.blockDoc) ++ // block-scalar paths
       Seq(3, 6).map(YamlLake.flowDoc) ++ // flow-mapping paths
       Seq(1, 4).map(YamlLake.seqMapDoc) ++ // seq-of-mappings paths
-      Seq(2, 7).map(YamlLake.docsDoc) // multi-document streams
+      Seq(2, 7).map(YamlLake.docsDoc) ++ // multi-document streams
+      Seq(0, 3).map(YamlLake.modelCardDoc) // the composed card shape
     for (src <- docs; i <- src.indices; bit <- Seq(1, 0x40)) {
       val c = src.clone(); c(i) = (c(i) ^ bit).toByte
       YamlLake.parseYaml(c).foreach { es =>
