@@ -40,10 +40,13 @@ import org.apache.spark.sql.types._
   *    word (`yes`/`On`/`None`/`nan`/`True`…) rejects rather than
   *    silently resolving — the 1.1-vs-1.2 "Norway problem" is a
   *    reject, not a guess;
-  *  - block scalars (YAML 1.2 sec 8.1) as MAPPING values: literal
+  *  - block scalars (YAML 1.2 sec 8.1) as MAPPING values and as
+  *    DIRECT sequence items (`- |`, the prompt-list shape — the dash
+  *    column is the owning indent): literal
   *    (`|`) and folded (`>`) with the chomping indicators (`-` strip,
   *    `+` keep, none clip) and the explicit indentation indicator
-  *    (1-9, relative to the key's indent), in either order; content
+  *    (1-9, relative to the owning node's indent), in either order;
+  *    content
   *    ends at the first less-indented non-empty line or EOF. Strict
   *    sub-laws (reject, never guess): trailing spaces on a content
   *    line, an all-space line longer than the block indent, a leading
@@ -54,10 +57,9 @@ import org.apache.spark.sql.types._
   *    of flow mappings `{k: 1, m: "x"}` as mapping values (scalar
   *    elements/values only, bare unique keys, the same ": " pair
   *    indicator); nested flow, anchors, aliases, tags, directives,
-  *    block scalars as DIRECT sequence items (`- |`; as item-MAPPING
-  *    values they compose), and multi-document streams in THIS
-  *    single-document surface (bounded streams go through
-  *    [[parseYamlDocs]]) are out of subset.
+  *    flow collections as DIRECT sequence items, and multi-document
+  *    streams in THIS single-document surface (bounded streams go
+  *    through [[parseYamlDocs]]) are out of subset.
   *
   * Emits one row per leaf in APPEARANCE order; every sequence also
   * emits a container row carrying its element count. One blob = one
@@ -332,6 +334,36 @@ object YamlLake {
         out += e
       }
 
+      /** Parse a block-scalar header at the cursor and open the
+        * block: style (`|`/`>`), then at most one chomping indicator
+        * and one indentation indicator, either order. `keyIndent` is
+        * the owning node's column (the key's indent, or the dash's
+        * for a block scalar as a sequence item) — content must sit
+        * deeper, and the explicit indicator is relative to it. */
+      def blkHeader(c: LCur, keyIndent: Int, path: String): Unit = {
+        val folded = c.peek == '>'
+        c.p += 1
+        var chomp = 0
+        var sawChomp = false
+        var ind = -1
+        var more = true
+        while (more && c.p < c.s.length) {
+          val ch = c.s(c.p)
+          if ((ch == '-' || ch == '+') && !sawChomp) {
+            sawChomp = true
+            chomp = if (ch == '-') 1 else 2
+            c.p += 1
+          } else if (ch >= '1' && ch <= '9' && ind < 0) {
+            ind = ch - '0'
+            c.p += 1
+          } else more = false
+        }
+        c.finish() // anything but a space-led comment rejects
+        val b = new BlkSt(keyIndent, path, folded, chomp)
+        if (ind > 0) b.indent = keyIndent + ind
+        blk = Some(b)
+      }
+
       def keyLine(c: LCur, m: MapScope): Unit = {
         val key = bareKey(c)
         if (!m.seen.add(key)) throw Fail // the key-uniqueness law
@@ -345,29 +377,7 @@ object YamlLake {
         c.ws()
         if (c.eol) { pending = Some((m.indent, path)); return }
         if (c.peek == '|' || c.peek == '>') {
-          // block scalar header: style, then at most one chomping
-          // indicator and one indentation indicator, either order
-          val folded = c.peek == '>'
-          c.p += 1
-          var chomp = 0
-          var sawChomp = false
-          var ind = -1
-          var more = true
-          while (more && c.p < c.s.length) {
-            val ch = c.s(c.p)
-            if ((ch == '-' || ch == '+') && !sawChomp) {
-              sawChomp = true
-              chomp = if (ch == '-') 1 else 2
-              c.p += 1
-            } else if (ch >= '1' && ch <= '9' && ind < 0) {
-              ind = ch - '0'
-              c.p += 1
-            } else more = false
-          }
-          c.finish() // anything but a space-led comment rejects
-          val b = new BlkSt(m.indent, path, folded, chomp)
-          if (ind > 0) b.indent = m.indent + ind
-          blk = Some(b)
+          blkHeader(c, m.indent, path)
           return
         }
         if (c.peek == '[') { // one-level flow sequence value
@@ -517,7 +527,13 @@ object YamlLake {
         }
         val ipath = sq.path + "." + sq.idx
         sq.idx += 1
-        if (isMapItem) {
+        if (c.peek == '|' || c.peek == '>') {
+          // a block scalar as the item ITSELF (`- |` — prompt lists
+          // in eval/training configs): the dash column is the owning
+          // indent, so content sits deeper than the dash and the
+          // next item (or any dedent) closes the block
+          blkHeader(c, sq.indent, ipath)
+        } else if (isMapItem) {
           if (c.p != sq.indent + 2) throw Fail
           if (stack.length >= 8) throw Fail
           val m = MapScope(sq.indent + 2, ipath,
@@ -976,6 +992,42 @@ object YamlLake {
       sb.append("r: " + (1 + (i + d) % 9) + "." +
         f"${(13 * i + d) % 100}%02d" + "\n")
     }
+    sb.toString.getBytes("UTF-8")
+  }
+
+  /** Prompt-list fixture (q245): block scalars as DIRECT sequence
+    * items — the eval/training-config shape (`prompts:` followed by
+    * `- |` items). Law (replayed closed-form by the oracle): doc i
+    * carries name: p(i%4), a `prompts` sequence whose first item is
+    * a two-line literal block "Ask q(i%3) w(i%5)" / "more t((3i)%7)"
+    * with chomping i%3 (clip/strip/keep — no trailing empties, so
+    * keep assembles like clip), a second strip-chomped item
+    * "Short s(i%7)" on even i, items indented DEEPER than the key on
+    * even i and at the key's OWN indent on odd i, and temp:
+    * (1+i%3).(i%10) on the exact x100 axis. */
+  def promptsFixture(spark: SparkSession, n: Int): DataFrame = {
+    val rows = (0 until n).map(i => Row(i.toLong, promptsDoc(i)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4),
+      StructType(Seq(
+        StructField("id", LongType, false),
+        StructField("media", BinaryType, true))))
+  }
+
+  private[graft] def promptsDoc(i: Int): Array[Byte] = {
+    val sb = new StringBuilder
+    sb.append("name: p" + i % 4 + "\n")
+    sb.append("prompts:\n")
+    val ind = if (i % 2 == 0) "  " else ""
+    val chomp = i % 3 match { case 1 => "-"; case 2 => "+"; case _ => "" }
+    sb.append(ind + "- |" + chomp + "\n")
+    sb.append(ind + "  Ask q" + i % 3 + " w" + i % 5 + "\n")
+    sb.append(ind + "  more t" + (3 * i) % 7 + "\n")
+    if (i % 2 == 0) {
+      sb.append(ind + "- |-\n")
+      sb.append(ind + "  Short s" + i % 7 + "\n")
+    }
+    sb.append("temp: " + (1 + i % 3) + "." + i % 10 + "\n")
     sb.toString.getBytes("UTF-8")
   }
 

@@ -2526,6 +2526,59 @@ object ExtQueries5 {
          true AS valid
        FROM unioned ORDER BY id, seq"""
 
+  // ---------------------------------------------------------------
+  // q245 — PROMPT LISTS (block scalars as DIRECT sequence items,
+  // `- |` — the eval/training-config shape): the last block-scalar
+  // position the subset rejected. 40 documents sweep all three
+  // chompings x one-vs-two items x both sequence indent styles, with
+  // assembled multi-line values crossing the hash gate verbatim and
+  // an exact x100 float tail. Column/header strictness is spec-gated
+  // in YamlLakeSpec.
+  private val PromptsN = 40
+
+  def q245(s: SparkSession, dir: String): DataFrame = {
+    val fx = graft.operators.YamlLake.promptsFixture(s, PromptsN)
+    graft.operators.YamlLake.extractYaml(fx, "id", "media")
+      .select(col("id"), col("seq"), col("path"), col("kind"),
+        col("lval"), col("sval"), col("fx100"), col("arr_n"),
+        col("valid"))
+      .orderBy("id", "seq")
+  }
+
+  val q245Sql: String =
+    s"""WITH base AS (
+         SELECT r AS id, r % 2 = 0 AS ev, r % 3 AS ch
+         FROM range(0, $PromptsN) g(r)),
+       v AS (
+         SELECT id, ev, ch,
+           'Ask q' || (id % 3) || ' w' || (id % 5) || chr(10) ||
+             'more t' || ((3 * id) % 7) AS raw
+         FROM base),
+       rws AS (
+         SELECT id, ev, ch, raw,
+           CAST(unnest(range(0, CASE WHEN ev THEN 5 ELSE 4 END))
+             AS INT) AS seq
+         FROM v)
+       SELECT id, seq,
+         CASE WHEN seq = 0 THEN 'name' WHEN seq = 1 THEN 'prompts'
+           WHEN seq = 2 THEN 'prompts.0'
+           WHEN seq = 3 AND ev THEN 'prompts.1' ELSE 'temp' END AS path,
+         CASE WHEN seq = 1 THEN 'seq'
+           WHEN seq = (CASE WHEN ev THEN 4 ELSE 3 END) THEN 'float'
+           ELSE 'str' END AS kind,
+         CAST(NULL AS BIGINT) AS lval,
+         CASE WHEN seq = 0 THEN 'p' || (id % 4)
+           WHEN seq = 2 THEN
+             CASE WHEN ch = 1 THEN raw ELSE raw || chr(10) END
+           WHEN seq = 3 AND ev THEN 'Short s' || (id % 7) END AS sval,
+         CAST(CASE WHEN seq = (CASE WHEN ev THEN 4 ELSE 3 END)
+           THEN (1 + id % 3) * 100 + (id % 10) * 10 END AS BIGINT)
+           AS fx100,
+         CAST(CASE WHEN seq = 1 THEN CASE WHEN ev THEN 2 ELSE 1 END
+           END AS INT) AS arr_n,
+         true AS valid
+       FROM rws ORDER BY id, seq"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q203_safetensors_extract" -> (q203 _),
     "q204_npy_extract" -> (q204 _),
@@ -2568,7 +2621,8 @@ object ExtQueries5 {
     "q241_page_dedup" -> (q241 _),
     "q242_seq_mappings" -> (q242 _),
     "q243_yaml_stream" -> (q243 _),
-    "q244_model_cards" -> (q244 _)
+    "q244_model_cards" -> (q244 _),
+    "q245_prompt_lists" -> (q245 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -2614,6 +2668,7 @@ object ExtQueries5 {
     "q241_page_dedup" -> q241Sql,
     "q242_seq_mappings" -> q242Sql,
     "q243_yaml_stream" -> q243Sql,
-    "q244_model_cards" -> q244Sql
+    "q244_model_cards" -> q244Sql,
+    "q245_prompt_lists" -> q245Sql
   )
 }

@@ -172,7 +172,6 @@ class YamlLakeSpec extends SparkSpec {
       "empty document" -> "# only comments\n",
       "trailing junk after quote" -> "a: 'x' y\n",
       // block-scalar sub-laws (sec 8.1 strict subset)
-      "block as sequence item" -> "k:\n  - |\n    x\n",
       "block header junk" -> "a: |x\n  x\n",
       "block header two chomps" -> "a: |--\n  x\n",
       "block header two indents" -> "a: |22\n  x\n",
@@ -262,7 +261,6 @@ class YamlLakeSpec extends SparkSpec {
       "continuation key too deep" -> "k:\n  - a: 1\n     b: 2\n",
       "duplicate key within one item" -> "k:\n  - a: 1\n    a: 2\n",
       "dash at the item-map column" -> "k:\n  - a: 1\n    - 2\n",
-      "block scalar as a DIRECT item" -> "k:\n  - |\n    x\n",
       "flow map as a DIRECT item" -> "k:\n  - {a: 1}\n")
     rejects.foreach { case (name, doc) =>
       assert(parse(doc).isEmpty, name)
@@ -299,6 +297,54 @@ class YamlLakeSpec extends SparkSpec {
       val got = YamlLake.parseYaml(r.getAs[Array[Byte]](1))
       assert(got.nonEmpty, s"doc $i failed to parse")
       assert(got.get == want, s"doc $i rows differ from the law")
+    }
+  }
+
+  test("block scalars as sequence items (`- |` prompt lists)") {
+    // own-indent style, mixed chomping, the next item closes a block
+    assert(parse("k:\n- |\n  x\n  y\n- |-\n  z\nt: 1\n").get == Seq(
+      YamlEntry("k", "seq", None, None, None, Some(2)),
+      YamlEntry("k.0", "str", None, Some("x\ny\n"), None, None),
+      YamlEntry("k.1", "str", None, Some("z"), None, None),
+      YamlEntry("t", "int", Some(1L), None, None, None)))
+    // deeper style; folded; keep; explicit indicator relative to the
+    // DASH column; EOF close
+    assert(parse("k:\n  - >\n    a\n    b\n").get(1).sval.contains("a b\n"))
+    assert(parse("k:\n  - |+\n    x\n\n").get(1).sval.contains("x\n\n"))
+    assert(parse("k:\n  - |2\n    x\n").get(1).sval.contains("x\n"))
+    assert(parse("k:\n- |-\n  x").get(1).sval.contains("x"))
+    // content only one space past the dash is still content
+    assert(parse("k:\n- |\n x\n").get(1).sval.contains("x\n"))
+    // inside an item MAPPING the block still routes via its key
+    assert(parse("k:\n- a: |\n    x\n  b: 1\n").get == Seq(
+      YamlEntry("k", "seq", None, None, None, Some(1)),
+      YamlEntry("k.0.a", "str", None, Some("x\n"), None, None),
+      YamlEntry("k.0.b", "int", Some(1L), None, None, None)))
+    // strictness: header junk on an item block; content landing at
+    // the dash column closes the block and then fails structurally
+    assert(parse("k:\n- |x\n  y\n").isEmpty)
+    assert(parse("k:\n  - |\n  x\n").isEmpty)
+  }
+
+  test("prompt-list fixture law: every doc decodes to the law rows") {
+    val docs = YamlLake.promptsFixture(spark, 40).orderBy("id").collect()
+    docs.foreach { r =>
+      val i = r.getLong(0).toInt
+      val raw = s"Ask q${i % 3} w${i % 5}\nmore t${(3 * i) % 7}"
+      val v0 = if (i % 3 == 1) raw else raw + "\n"
+      val want = Seq(
+        YamlEntry("name", "str", None, Some("p" + i % 4), None, None),
+        YamlEntry("prompts", "seq", None, None, None,
+          Some(1 + (1 - i % 2)))) ++
+        Seq(YamlEntry("prompts.0", "str", None, Some(v0), None, None)) ++
+        (if (i % 2 == 0)
+          Seq(YamlEntry("prompts.1", "str", None,
+            Some("Short s" + i % 7), None, None))
+        else Seq.empty) ++
+        Seq(YamlEntry("temp", "float", None, None,
+          Some((1 + i % 3) * 100L + (i % 10) * 10), None))
+      val got = YamlLake.parseYaml(r.getAs[Array[Byte]](1))
+      assert(got.contains(want), s"doc $i rows differ from the law")
     }
   }
 
