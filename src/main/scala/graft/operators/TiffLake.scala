@@ -970,13 +970,14 @@ object TiffLake {
     * pixel); a 3-component stream must decode achromatic (equal
     * bands), else the payload contradicts the gray photometric.
     * A non-JPEG payload behind the tag rejects by format name. */
-  private def jpegDecodeSeg(in: Array[Byte], sw: Int,
+  private[graft] def jpegDecodeSeg(in: Array[Byte], sw: Int,
       sh: Int): Array[Byte] = {
     imageIoMemCache
     val iis =
       try javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(in))
       catch { case scala.util.control.NonFatal(_) => throw Fail }
+    if (iis == null) throw Fail // no SPI for the stream shape
     try {
       val readers = javax.imageio.ImageIO.getImageReaders(iis)
       if (!readers.hasNext) throw Fail

@@ -521,6 +521,33 @@ object ScaleProof {
       try run("yaml_census")(pass())
       finally spark.conf.set("spark.sql.files.maxPartitionBytes", oldSplit)
     }
+    // ---- composed model-card family (r18): the full front-matter
+    // walk (fence + flow seqs + block scalar + the depth-6
+    // model-index sequence-of-mappings nest) over card-shaped text
+    // blobs ∝ N — the hub-metadata corpus the r17 verdict motivated.
+    if (!new java.io.File(s"$out/_done_card").exists()) {
+      import spark.implicits._
+      val nCard = 3000L * k
+      spark.range(nCard).repartition(math.max(32, 2 * k)).as[Long]
+        .map(r =>
+          (r, graft.operators.YamlLake.modelCardDoc((r % 4096).toInt)))
+        .toDF("id", "media")
+        .write.mode("overwrite").parquet(s"$out/card.parquet")
+      new java.io.File(s"$out/_done_card").createNewFile()
+    }
+    if (wanted("card_census")) {
+      val oldSplit = spark.conf.get("spark.sql.files.maxPartitionBytes")
+      spark.conf.set("spark.sql.files.maxPartitionBytes", (4 << 20).toString)
+      def pass() = graft.operators.YamlLake.extractFrontMatter(
+          spark.read.parquet(s"$out/card.parquet"), "id", "media")
+        .agg(sum(col("lval")).as("lsum"),
+          sum(col("fx100")).as("fsum"),
+          countDistinct(col("path")).as("paths"),
+          count(lit(1)).as("leaves"))
+      pass().collect() // untimed codegen warm-up (steady-state claim)
+      try run("card_census")(pass())
+      finally spark.conf.set("spark.sql.files.maxPartitionBytes", oldSplit)
+    }
     // ---- scanned-document family (r17): multi-page TIFFs ∝ N — the
     // digitization-corpus shape (faxes, book scans: small files, a
     // few pages each, mixed per-page compressions incl. the CCITT

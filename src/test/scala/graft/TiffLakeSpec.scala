@@ -480,6 +480,11 @@ class TiffLakeSpec extends SparkSpec {
     tables(ifd + 1) = (((n0 + 1) >> 8) & 0xff).toByte
     assert(TiffLake.parseTiff(tables).isEmpty,
       "JPEGTables (abbreviated streams) reject")
+    // a structurally-VALID other format behind the tag exercises the
+    // format-name gate specifically (not just the no-reader path):
+    // a real 9x8 PNG fed as a 9x8 "JPEG" segment must reject
+    val png = Multimodal.encodeDHashPng(Multimodal.dhashBit(5), 1)
+    intercept[Throwable] { TiffLake.jpegDecodeSeg(png, 9, 8) }
     // the >32-page scanned-book fixture member decodes end-to-end
     val book = TiffLake.parseTiffPages(TiffLake.multiPageDoc(9))
     assert(book.exists(_.length == 40), "40-page chain member")
