@@ -11,9 +11,17 @@ import org.apache.spark.sql.types._
   *
   * Closed subset (strict — reject, never guess):
   *  - structure: comments (`#` to EOL, also after values), blank
-  *    lines, `[table]` headers and `key = value` pairs; bare keys
-  *    `[A-Za-z0-9_-]+` only (dotted/quoted keys, array-of-tables
-  *    out of subset); tables unique, keys unique per table;
+  *    lines, `[table]` headers with DOTTED names of bare segments
+  *    (`[tool.fmt]` — ≤8 segments, ≤256 chars, whitespace around
+  *    dots per the spec), `[[name]]` ARRAY-OF-TABLES headers (each
+  *    occurrence appends an element; its keys land under
+  *    `name.<idx>`), and `key = value` pairs; bare keys
+  *    `[A-Za-z0-9_-]+` only (dotted/quoted KEYS stay out of
+  *    subset); tables unique by full path, keys unique per table,
+  *    and the TOML kind-conflict laws reject: a table path that
+  *    names an existing key or array-of-tables (and vice versa),
+  *    and any header under an array-of-tables prefix (per-element
+  *    subtables are out of subset);
   *  - integers: optional sign, NO LEADING ZEROS (the TOML law),
   *    ≤ 18 digits; underscores out of subset;
   *  - strings: basic `"…"` with escapes `\" \\ \n \t \r \uXXXX`
@@ -23,8 +31,12 @@ import org.apache.spark.sql.types._
   *  - floats: strict `±D+.DD` with 1-2 decimals, projected as an
   *    EXACT ×100 integer (no doubles cross the engine boundary —
   *    the repo convention); exponents/inf/nan out of subset;
-  *  - arrays: single-line, INTEGER elements only, possibly empty;
-  *    censused as (count, exact element sum);
+  *  - arrays: single-line, HOMOGENEOUS — integer elements (censused
+  *    as count + exact element sum, kind `arr`) or string elements
+  *    (kind `sarr`, both quote styles, censused as count + the
+  *    elements joined on U+001F, which no escape can forge since
+  *    `\\u` rejects code points < 0x20); the empty `[]` is the
+  *    untyped `arr` census; mixed element kinds reject;
   *  - anything after a value except whitespace/comment rejects.
   *
   * Emits one row per key in APPEARANCE order. One blob = one
@@ -36,6 +48,9 @@ object TomlLake {
   private[graft] final case class TomlEntry(
       tbl: String, key: String, kind: String, lval: Option[Long],
       sval: Option[String], fx100: Option[Long], arrN: Option[Int])
+
+  /** String-array join separator (U+001F, unforgeable in-subset). */
+  private[graft] val SarrSep: String = 0x1f.toChar.toString
 
   private def isBareKeyChar(c: Char): Boolean =
     (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
@@ -68,57 +83,65 @@ object TomlLake {
     java.lang.Long.parseLong(c.s.substring(st, c.p))
   }
 
+  private def parseBasicStr(c: LCur): String = {
+    c.p += 1
+    val sb = new StringBuilder
+    var done = false
+    while (!done) {
+      if (c.p >= c.s.length) throw Fail
+      val ch = c.s(c.p); c.p += 1
+      ch match {
+        case '"' => done = true
+        case '\\' =>
+          if (c.p >= c.s.length) throw Fail
+          val e = c.s(c.p); c.p += 1
+          e match {
+            case '"' => sb += '"'
+            case '\\' => sb += '\\'
+            case 'n' => sb += '\n'
+            case 't' => sb += '\t'
+            case 'r' => sb += '\r'
+            case 'u' =>
+              if (c.p + 4 > c.s.length) throw Fail
+              val h = c.s.substring(c.p, c.p + 4)
+              if (!h.forall(x => x.isDigit || ('a' <= x && x <= 'f') ||
+                ('A' <= x && x <= 'F'))) throw Fail
+              val cp = Integer.parseInt(h, 16)
+              // surrogate code points are not Unicode scalar values —
+              // a lone \uD800..\uDFFF would make an ill-formed string
+              // (the strict-UTF-8 posture of the byte-level decode)
+              if (cp < 0x20 || (cp >= 0xD800 && cp <= 0xDFFF)) throw Fail
+              sb += cp.toChar
+              c.p += 4
+            case _ => throw Fail
+          }
+        case x if x < 0x20 => throw Fail
+        case x => sb += x
+      }
+    }
+    sb.toString
+  }
+
+  private def parseLiteralStr(c: LCur): String = {
+    c.p += 1
+    val st = c.p
+    while (c.p < c.s.length && c.s(c.p) != '\'') {
+      if (c.s(c.p) < 0x20) throw Fail
+      c.p += 1
+    }
+    if (c.p >= c.s.length) throw Fail
+    val v = c.s.substring(st, c.p)
+    c.p += 1
+    v
+  }
+
   private def parseValue(c: LCur): TomlEntry = {
     c.ws()
     c.peek match {
-      case '"' => // basic string with escapes
-        c.p += 1
-        val sb = new StringBuilder
-        var done = false
-        while (!done) {
-          if (c.p >= c.s.length) throw Fail
-          val ch = c.s(c.p); c.p += 1
-          ch match {
-            case '"' => done = true
-            case '\\' =>
-              if (c.p >= c.s.length) throw Fail
-              val e = c.s(c.p); c.p += 1
-              e match {
-                case '"' => sb += '"'
-                case '\\' => sb += '\\'
-                case 'n' => sb += '\n'
-                case 't' => sb += '\t'
-                case 'r' => sb += '\r'
-                case 'u' =>
-                  if (c.p + 4 > c.s.length) throw Fail
-                  val h = c.s.substring(c.p, c.p + 4)
-                  if (!h.forall(x => x.isDigit || ('a' <= x && x <= 'f') ||
-                    ('A' <= x && x <= 'F'))) throw Fail
-                  val cp = Integer.parseInt(h, 16)
-                  // surrogate code points are not Unicode scalar values —
-                  // a lone \uD800..\uDFFF would make an ill-formed string
-                  // (the strict-UTF-8 posture of the byte-level decode)
-                  if (cp < 0x20 || (cp >= 0xD800 && cp <= 0xDFFF)) throw Fail
-                  sb += cp.toChar
-                  c.p += 4
-                case _ => throw Fail
-              }
-            case x if x < 0x20 => throw Fail
-            case x => sb += x
-          }
-        }
-        TomlEntry("", "", "str", None, Some(sb.toString), None, None)
-      case '\'' => // literal string: no escapes at all
-        c.p += 1
-        val st = c.p
-        while (c.p < c.s.length && c.s(c.p) != '\'') {
-          if (c.s(c.p) < 0x20) throw Fail
-          c.p += 1
-        }
-        if (c.p >= c.s.length) throw Fail
-        val v = c.s.substring(st, c.p)
-        c.p += 1
-        TomlEntry("", "", "str", None, Some(v), None, None)
+      case '"' =>
+        TomlEntry("", "", "str", None, Some(parseBasicStr(c)), None, None)
+      case '\'' =>
+        TomlEntry("", "", "str", None, Some(parseLiteralStr(c)), None, None)
       case 't' =>
         if (!c.s.startsWith("true", c.p)) throw Fail
         c.p += 4
@@ -127,12 +150,37 @@ object TomlLake {
         if (!c.s.startsWith("false", c.p)) throw Fail
         c.p += 5
         TomlEntry("", "", "bool", Some(0L), None, None, None)
-      case '[' => // single-line integer array
+      case '[' => // single-line HOMOGENEOUS array: ints or strings
         c.p += 1
         c.ws()
-        val vals = scala.collection.mutable.ArrayBuffer.empty[Long]
-        if (c.peek == ']') c.p += 1
-        else {
+        if (c.peek == ']') { // empty: the untyped census
+          c.p += 1
+          TomlEntry("", "", "arr", Some(0L), None, None, Some(0))
+        } else if (c.peek == '"' || c.peek == '\'') { // string array
+          val vals = scala.collection.mutable.ArrayBuffer.empty[String]
+          var more = true
+          while (more) {
+            c.ws()
+            val ch = c.peek
+            // homogeneity: a non-string element after a string rejects
+            val v =
+              if (ch == '"') parseBasicStr(c)
+              else if (ch == '\'') parseLiteralStr(c)
+              else throw Fail
+            vals += v
+            c.ws()
+            if (c.peek == ',') c.p += 1
+            else { if (c.peek != ']') throw Fail; c.p += 1; more = false }
+          }
+          if (vals.length > 256) throw Fail
+          // joined on U+001F — unforgeable: the raw text layer rejects
+          // control bytes and the \u escape rejects code points < 0x20
+          val joined = vals.mkString(SarrSep)
+          if (joined.length > 4096) throw Fail
+          TomlEntry("", "", "sarr", None, Some(joined), None,
+            Some(vals.length))
+        } else {
+          val vals = scala.collection.mutable.ArrayBuffer.empty[Long]
           var more = true
           while (more) {
             c.ws()
@@ -141,15 +189,15 @@ object TomlLake {
             if (c.peek == ',') c.p += 1
             else { if (c.peek != ']') throw Fail; c.p += 1; more = false }
           }
+          if (vals.length > 256) throw Fail
+          // 256 elements × ±(10^18-1) can wrap Long silently — reject
+          // on overflow instead of a wrapped census flagged valid
+          val sum =
+            try vals.foldLeft(0L)(Math.addExact)
+            catch { case _: ArithmeticException => throw Fail }
+          TomlEntry("", "", "arr", Some(sum), None, None,
+            Some(vals.length))
         }
-        if (vals.length > 256) throw Fail
-        // 256 elements × ±(10^18-1) can wrap Long silently — reject on
-        // overflow instead of emitting a wrapped census flagged valid
-        val sum =
-          try vals.foldLeft(0L)(Math.addExact)
-          catch { case _: ArithmeticException => throw Fail }
-        TomlEntry("", "", "arr", Some(sum), None, None,
-          Some(vals.length))
       case ch if ch == '+' || ch == '-' || ch.isDigit =>
         val neg = ch == '-'
         val v = parseInt(c)
@@ -191,21 +239,75 @@ object TomlLake {
       val out = scala.collection.mutable.ArrayBuffer.empty[TomlEntry]
       var tbl = ""
       val tables = scala.collection.mutable.HashSet.empty[String]
-      val keys = scala.collection.mutable.HashSet.empty[(String, String)]
+      val aotCounts = scala.collection.mutable.HashMap.empty[String, Int]
+      val keyPaths = scala.collection.mutable.HashSet.empty[String]
+      // a dotted header name: bare segments, whitespace around dots
+      // legal per the spec; bounded like the YAML path law
+      def dottedName(c: LCur): String = {
+        val sb = new StringBuilder(bareKey(c))
+        var more = true
+        while (more) {
+          c.ws()
+          if (c.p < c.s.length && c.s(c.p) == '.') {
+            c.p += 1
+            c.ws()
+            sb += '.'
+            sb ++= bareKey(c)
+          } else more = false
+        }
+        val name = sb.toString
+        if (name.length > 256 || name.count(_ == '.') >= 8) throw Fail
+        name
+      }
+      def properPrefixes(name: String): Iterator[String] = {
+        val parts = name.split('.')
+        (1 until parts.length).iterator.map(k => parts.take(k).mkString("."))
+      }
+      // TOML kind-conflict laws: a header may not name (or sit under)
+      // something already used as a different kind
+      def checkHeader(name: String): Unit = {
+        if (keyPaths.contains(name)) throw Fail // names a key
+        properPrefixes(name).foreach { p =>
+          // any prefix that is an array-of-tables puts this header
+          // inside an ELEMENT — per-element subtables are out
+          if (aotCounts.contains(p)) throw Fail
+          if (keyPaths.contains(p)) throw Fail // under a scalar key
+        }
+      }
       text.split("\n", -1).foreach { line =>
         val c = new LCur(line)
         c.ws()
         if (!c.eol) {
           if (c.peek == '[') {
             c.p += 1
-            c.ws()
-            val name = bareKey(c)
-            c.ws()
-            if (c.peek != ']') throw Fail
-            c.p += 1
-            c.finish()
-            if (!tables.add(name)) throw Fail // duplicate table
-            tbl = name
+            if (c.p < c.s.length && c.s(c.p) == '[') { // [[array-of-tables]]
+              c.p += 1
+              c.ws()
+              val name = dottedName(c)
+              c.ws()
+              if (c.peek != ']') throw Fail
+              c.p += 1
+              if (c.p >= c.s.length || c.s(c.p) != ']') throw Fail
+              c.p += 1
+              c.finish()
+              if (tables.contains(name)) throw Fail // was a [table]
+              checkHeader(name)
+              val idx = aotCounts.getOrElse(name, 0)
+              aotCounts(name) = idx + 1
+              tbl = name + "." + idx
+              if (tbl.length > 256) throw Fail
+            } else {
+              c.ws()
+              val name = dottedName(c)
+              c.ws()
+              if (c.peek != ']') throw Fail
+              c.p += 1
+              c.finish()
+              if (!tables.add(name)) throw Fail // duplicate table
+              if (aotCounts.contains(name)) throw Fail // was an AoT
+              checkHeader(name)
+              tbl = name
+            }
           } else {
             val key = bareKey(c)
             c.ws()
@@ -213,7 +315,11 @@ object TomlLake {
             c.p += 1
             val e = parseValue(c)
             c.finish()
-            if (!keys.add((tbl, key))) throw Fail // duplicate key
+            val path = if (tbl.isEmpty) key else tbl + "." + key
+            if (!keyPaths.add(path)) throw Fail // duplicate key
+            // a key may not name an existing table / array-of-tables
+            if (tables.contains(path) || aotCounts.contains(path))
+              throw Fail
             out += e.copy(tbl = tbl, key = key)
           }
         }
@@ -259,6 +365,47 @@ object TomlLake {
 
   // ------------------------------------------------------------------
   // fixture (encode side — test/oracle contract)
+
+  /** Pyproject-shaped fixture (q246). Law (replayed closed-form by
+    * the oracle): doc i carries title "pkg é(i%7)" at root, a
+    * [project] table with name 'p(i%5)' (literal string), version
+    * "(i%3).(i%10)" (QUOTED — version strings are strings, never
+    * floats), deps = a string array of i%3 elements lib((i+j)%6)
+    * alternating quote styles (empty `[]` on i%3==0 — the untyped
+    * arr census), a DOTTED [tool.fmt] table with line 80+i%40 and
+    * strict (i%2==0), and 1+i%2 [[bin]] array-of-tables elements
+    * with name "b((i+t)%5)" and order (3i+7t)%50. */
+  def pyprojectFixture(spark: SparkSession, n: Int): DataFrame = {
+    val rows = (0 until n).map(i => Row(i.toLong, pyprojectDoc(i)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4),
+      StructType(Seq(
+        StructField("id", LongType, false),
+        StructField("media", BinaryType, true))))
+  }
+
+  private[graft] def pyprojectDoc(i: Int): Array[Byte] = {
+    val sb = new StringBuilder
+    sb.append("# pyproject fixture " + i + "\n")
+    sb.append("title = \"pkg \\u00E9" + i % 7 + "\"\n\n")
+    sb.append("[project]\n")
+    sb.append("name = 'p" + i % 5 + "'\n")
+    sb.append("version = \"" + i % 3 + "." + i % 10 + "\"\n")
+    val deps = (0 until i % 3).map { j =>
+      val v = "lib" + (i + j) % 6
+      if (j % 2 == 0) "\"" + v + "\"" else "'" + v + "'"
+    }
+    sb.append("deps = [" + deps.mkString(", ") + "]\n\n")
+    sb.append("[tool.fmt] # dotted header\n")
+    sb.append("line = " + (80 + i % 40) + "\n")
+    sb.append("strict = " + (i % 2 == 0) + "\n")
+    (0 until 1 + i % 2).foreach { t =>
+      sb.append("\n[[bin]]\n")
+      sb.append("name = \"b" + (i + t) % 5 + "\"\n")
+      sb.append("order = " + (3 * i + 7 * t) % 50 + "\n")
+    }
+    sb.toString.getBytes("UTF-8")
+  }
 
   /** Fixture law (replayed closed-form by the oracle): doc i has root
     * keys title (basic string with a \\u00E9 escape), port

@@ -2579,6 +2579,77 @@ object ExtQueries5 {
          true AS valid
        FROM rws ORDER BY id, seq"""
 
+  // ---------------------------------------------------------------
+  // q246 — PYPROJECT-shaped TOML (dotted table headers, string
+  // arrays, [[array-of-tables]] — the three structures real
+  // pyproject.toml / Cargo.toml files put their load-bearing
+  // metadata in, all strict-rejected before round 18): [tool.fmt]
+  // dotted headers, deps string arrays in both quote styles (the
+  // empty [] staying the untyped arr census), and [[bin]] elements
+  // landing under bin.<idx>. 40 documents; kind-conflict and
+  // homogeneity strictness is spec-gated in TomlLakeSpec.
+  private val PyprojN = 40
+
+  def q246(s: SparkSession, dir: String): DataFrame = {
+    val fx = graft.operators.TomlLake.pyprojectFixture(s, PyprojN)
+    graft.operators.TomlLake.extractToml(fx, "id", "media")
+      .select(col("id"), col("seq"), col("tbl"), col("key"),
+        col("kind"), col("lval"), col("sval"), col("fx100"),
+        col("arr_n"), col("valid"))
+      .orderBy("id", "seq")
+  }
+
+  val q246Sql: String =
+    s"""WITH base AS (
+         SELECT r AS id, r % 3 AS nd, 1 + r % 2 AS nb
+         FROM range(0, $PyprojN) g(r)),
+       fixed AS (
+         SELECT id, nd, CAST(unnest(range(0, 6)) AS INT) AS seq
+         FROM base),
+       fixedrows AS (
+         SELECT id, seq,
+           CASE WHEN seq = 0 THEN '' WHEN seq <= 3 THEN 'project'
+             ELSE 'tool.fmt' END AS tbl,
+           CASE seq WHEN 0 THEN 'title' WHEN 1 THEN 'name'
+             WHEN 2 THEN 'version' WHEN 3 THEN 'deps'
+             WHEN 4 THEN 'line' ELSE 'strict' END AS key,
+           CASE seq WHEN 3 THEN
+               CASE WHEN nd = 0 THEN 'arr' ELSE 'sarr' END
+             WHEN 4 THEN 'int' WHEN 5 THEN 'bool'
+             ELSE 'str' END AS kind,
+           CAST(CASE seq WHEN 3 THEN CASE WHEN nd = 0 THEN 0 END
+             WHEN 4 THEN 80 + id % 40
+             WHEN 5 THEN CASE WHEN id % 2 = 0 THEN 1 ELSE 0 END
+             END AS BIGINT) AS lval,
+           CASE seq WHEN 0 THEN 'pkg é' || (id % 7)
+             WHEN 1 THEN 'p' || (id % 5)
+             WHEN 2 THEN (id % 3) || '.' || (id % 10)
+             WHEN 3 THEN CASE WHEN nd > 0 THEN array_to_string(
+               ['lib' || ((id + j) % 6) for j in range(0, nd)],
+               chr(31)) END
+             END AS sval,
+           CAST(NULL AS BIGINT) AS fx100,
+           CAST(CASE seq WHEN 3 THEN nd END AS INT) AS arr_n
+         FROM fixed),
+       bins AS (
+         SELECT id, t, CAST(unnest(range(0, 2)) AS INT) AS k FROM
+           (SELECT id, CAST(unnest(range(0, nb)) AS INT) AS t
+            FROM base)),
+       binrows AS (
+         SELECT id, CAST(6 + 2 * t + k AS INT) AS seq,
+           'bin.' || t AS tbl,
+           CASE k WHEN 0 THEN 'name' ELSE 'order' END AS key,
+           CASE k WHEN 0 THEN 'str' ELSE 'int' END AS kind,
+           CAST(CASE k WHEN 1 THEN (3 * id + 7 * t) % 50 END
+             AS BIGINT) AS lval,
+           CASE k WHEN 0 THEN 'b' || ((id + t) % 5) END AS sval,
+           CAST(NULL AS BIGINT) AS fx100, CAST(NULL AS INT) AS arr_n
+         FROM bins)
+       SELECT id, seq, tbl, key, kind, lval, sval, fx100, arr_n,
+         true AS valid
+       FROM (SELECT * FROM fixedrows UNION ALL SELECT * FROM binrows)
+       ORDER BY id, seq"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q203_safetensors_extract" -> (q203 _),
     "q204_npy_extract" -> (q204 _),
@@ -2622,7 +2693,8 @@ object ExtQueries5 {
     "q242_seq_mappings" -> (q242 _),
     "q243_yaml_stream" -> (q243 _),
     "q244_model_cards" -> (q244 _),
-    "q245_prompt_lists" -> (q245 _)
+    "q245_prompt_lists" -> (q245 _),
+    "q246_pyproject_toml" -> (q246 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -2669,6 +2741,7 @@ object ExtQueries5 {
     "q242_seq_mappings" -> q242Sql,
     "q243_yaml_stream" -> q243Sql,
     "q244_model_cards" -> q244Sql,
-    "q245_prompt_lists" -> q245Sql
+    "q245_prompt_lists" -> q245Sql,
+    "q246_pyproject_toml" -> q246Sql
   )
 }

@@ -79,7 +79,6 @@ class TomlLakeSpec extends SparkSpec {
       "raw control in string" -> "k = \"a\tb\"",
       "unknown escape" -> "k = \"a\\x41\"",
       "nested array out of subset" -> "k = [[1]]",
-      "string array out of subset" -> "k = [\"a\"]",
       "array missing comma" -> "k = [1 2]",
       "unclosed table header" -> "[t\nk = 1",
       "empty document" -> "# only a comment\n",
@@ -106,9 +105,88 @@ class TomlLakeSpec extends SparkSpec {
     assert(parse("k = 3.5").get.head.fx100.contains(350L))
   }
 
+  test("dotted headers, string arrays, arrays of tables") {
+    import graft.operators.TomlLake.TomlEntry
+    // dotted headers, with the spec's whitespace-around-dots freedom
+    assert(parse("[a.b]\nk = 1").get.head.tbl == "a.b")
+    assert(parse("[ a . b ]\nk = 1").get.head.tbl == "a.b")
+    // super/sub table orders both legal (distinct full paths)
+    assert(parse("[a]\nk = 1\n[a.b]\nk = 2").nonEmpty)
+    assert(parse("[a.b]\nk = 1\n[a]\nk = 2").nonEmpty)
+    // string arrays: both quote styles, escapes, commas inside values
+    val sa = parse("k = [\"a,x\", 'b\\c', \"\\u00E9\"]").get.head
+    assert(sa.kind == "sarr" && sa.arrN.contains(3) &&
+      sa.sval.contains(Seq("a,x", "b\\c", "\u00E9")
+        .mkString(TomlLake.SarrSep)))
+    // the empty [] stays the untyped integer census
+    val ea = parse("k = []").get.head
+    assert(ea.kind == "arr" && ea.arrN.contains(0) && ea.lval.contains(0L))
+    // arrays of tables: each [[x]] appends an element at x.<idx>;
+    // duplicate key NAMES across elements are distinct paths
+    assert(parse("[[x]]\nk = 1\n[[x]]\nk = 2\n").get.map(e =>
+      (e.tbl, e.key, e.lval.get)) ==
+      Seq(("x.0", "k", 1L), ("x.1", "k", 2L)))
+    assert(parse("[[a.b]]\nk = 1").get.head.tbl == "a.b.0")
+    // strictness: the TOML kind-conflict laws reject, never guess
+    val rejects = Seq(
+      "key names an existing table" -> "[a.b]\nx = 1\n[a]\nb = 2",
+      "table names an existing key" -> "[a]\nb = 1\n[a.b]\nc = 2",
+      "header under a root key" -> "a = 1\n[a.b]\nc = 2",
+      "[x] after [[x]]" -> "[[x]]\nk = 1\n[x]\nk = 2",
+      "[[x]] after [x]" -> "[x]\nk = 1\n[[x]]\nk = 2",
+      "subtable of an AoT element" -> "[[x]]\nk = 1\n[x.sub]\nk = 2",
+      "nested AoT under an AoT" -> "[[x]]\nk = 1\n[[x.y]]\nk = 2",
+      "AoT names an existing key" -> "a = 1\n[[a]]\nk = 1",
+      "duplicate key within one element" -> "[[x]]\nk = 1\nk = 2",
+      "mixed array str then int" -> "k = [\"a\", 1]",
+      "mixed array int then str" -> "k = [1, \"a\"]",
+      "space between AoT brackets" -> "[ [x]]\nk = 1",
+      "unclosed AoT header" -> "[[x]\nk = 1",
+      "nine header segments" -> "[a.b.c.d.e.f.g.h.i]\nk = 1",
+      "empty header segment" -> "[a..b]\nk = 1")
+    rejects.foreach { case (name, s) =>
+      assert(parse(s).isEmpty, name)
+    }
+  }
+
+  test("pyproject fixture law: every doc decodes to the law rows") {
+    val out = TomlLake.extractToml(
+      TomlLake.pyprojectFixture(spark, 40), "id", "media")
+      .orderBy("id", "seq").collect()
+    assert(out.forall(_.getBoolean(9)))
+    (0 until 40).foreach { i =>
+      val mine = out.filter(_.getLong(0) == i)
+      val nb = 1 + i % 2
+      assert(mine.length == 6 + 2 * nb, s"doc $i row count")
+      assert(mine(0).getString(3) == "title" &&
+        mine(0).getString(6) == s"pkg é${i % 7}")
+      assert(mine(1).getString(2) == "project" &&
+        mine(1).getString(6) == "p" + i % 5)
+      assert(mine(2).getString(6) == s"${i % 3}.${i % 10}" &&
+        mine(2).getString(4) == "str", "version stays a string")
+      val deps = mine(3)
+      if (i % 3 == 0)
+        assert(deps.getString(4) == "arr" && deps.getInt(8) == 0)
+      else {
+        assert(deps.getString(4) == "sarr" && deps.getInt(8) == i % 3)
+        assert(deps.getString(6) == (0 until i % 3)
+          .map(j => "lib" + (i + j) % 6).mkString(TomlLake.SarrSep))
+      }
+      assert(mine(4).getString(2) == "tool.fmt" &&
+        mine(4).getLong(5) == 80 + i % 40)
+      assert(mine(5).getLong(5) == (if (i % 2 == 0) 1 else 0))
+      (0 until nb).foreach { t =>
+        assert(mine(6 + 2 * t).getString(2) == s"bin.$t" &&
+          mine(6 + 2 * t).getString(6) == "b" + (i + t) % 5)
+        assert(mine(7 + 2 * t).getLong(5) == (3 * i + 7 * t) % 50)
+      }
+    }
+  }
+
   test("byte-flip + truncation sweeps never throw") {
     val seeds = TomlLake.tomlFixture(spark, 3).collect()
-      .map(_.getAs[Array[Byte]](1))
+      .map(_.getAs[Array[Byte]](1)) ++
+      Seq(2, 5).map(TomlLake.pyprojectDoc) // dotted/AoT/sarr paths
     for (src <- seeds; i <- src.indices by 2; bit <- Seq(1, 0x80)) {
       val c = src.clone(); c(i) = (c(i) ^ bit).toByte
       TomlLake.parseToml(c) // must not throw
