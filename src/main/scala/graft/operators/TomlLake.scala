@@ -329,6 +329,123 @@ object TomlLake {
     } catch { case Fail => None }
   }
 
+  // ------------------------------------------------------------------
+  // TOML front matter (the Hugo `+++` convention — the static-site
+  // sibling of YamlLake's `---` fences)
+
+  private[graft] sealed trait FmResult
+  private[graft] case object NoFm extends FmResult
+  private[graft] case object BadFm extends FmResult
+  private[graft] final case class Fm(toml: Array[Byte]) extends FmResult
+
+  /** Split a leading `+++` … `+++` TOML front-matter fence off a
+    * text document. A column-0 `+++` line is unambiguous in this
+    * subset: multi-line strings are out, so no TOML value line can
+    * consist of the bare fence. NoFm when the first line is not the
+    * opener; BadFm when the opener never closes or the text is not
+    * strict UTF-8. */
+  private[graft] def frontMatterToml(raw: Array[Byte]): FmResult = {
+    if (raw == null) return BadFm
+    val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+    val text =
+      try dec.decode(java.nio.ByteBuffer.wrap(raw)).toString
+      catch { case _: java.nio.charset.CharacterCodingException =>
+        return BadFm }
+    val lines = text.split("\n", -1)
+    if (lines.isEmpty || lines.head != "+++") return NoFm
+    val close = lines.indexOf("+++", 1)
+    if (close < 0) return BadFm
+    // newline-TERMINATED (the front-matter lesson): the slice must
+    // reach parseToml exactly as it sat between the fences
+    Fm(lines.slice(1, close).map(_ + "\n").mkString
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** TOML front-matter composition over a TEXT corpus: documents
+    * without the fence get one `has_fm = false` row; fenced
+    * documents route their TOML through [[parseToml]]. */
+  def extractFrontMatterToml(df: DataFrame, idCol: String,
+      binCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val schema = StructType(Seq(
+      StructField("id", LongType, false),
+      StructField("seq", IntegerType, true),
+      StructField("tbl", StringType, true),
+      StructField("key", StringType, true),
+      StructField("kind", StringType, true),
+      StructField("lval", LongType, true),
+      StructField("sval", StringType, true),
+      StructField("fx100", LongType, true),
+      StructField("arr_n", IntegerType, true),
+      StructField("has_fm", BooleanType, false),
+      StructField("valid", BooleanType, false)))
+    val rows = df.select(col(idCol).cast(LongType), col(binCol)).rdd
+      .mapPartitions(_.flatMap { r =>
+        val id = r.getLong(0)
+        scala.util.Try(frontMatterToml(r.getAs[Array[Byte]](1)))
+          .getOrElse(BadFm) match {
+          case NoFm =>
+            Seq(Row(id, 0, null, null, null, null, null, null, null,
+              false, true))
+          case BadFm =>
+            Seq(Row(id, 0, null, null, null, null, null, null, null,
+              true, false))
+          case Fm(t) =>
+            scala.util.Try(parseToml(t)).toOption.flatten match {
+              case Some(es) => es.zipWithIndex.map { case (e, i) =>
+                Row(id, i, e.tbl, e.key, e.kind,
+                  e.lval.map(Long.box).orNull, e.sval.orNull,
+                  e.fx100.map(Long.box).orNull,
+                  e.arrN.map(Int.box).orNull, true, true)
+              }
+              case None =>
+                Seq(Row(id, 0, null, null, null, null, null, null,
+                  null, true, false))
+            }
+        }
+      })
+    spark.createDataFrame(rows, schema)
+  }
+
+  /** Hugo-shaped fixture (q247). Law (replayed closed-form by the
+    * oracle): doc i is a text document whose `+++` front matter
+    * (absent when i%5==4) carries title "Post é(i%7)", weight
+    * 10+i%20, draft (i%3==0), tags = a string array of 1+i%2
+    * elements t((i+j)%4) alternating quote styles, then a [params]
+    * table with author 'a(i%6)' and score (1+i%4).((9i)%100, two
+    * digits) on the exact x100 axis. */
+  def hugoFixture(spark: SparkSession, n: Int): DataFrame = {
+    val rows = (0 until n).map(i => Row(i.toLong, hugoDoc(i)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4),
+      StructType(Seq(
+        StructField("id", LongType, false),
+        StructField("media", BinaryType, true))))
+  }
+
+  private[graft] def hugoDoc(i: Int): Array[Byte] = {
+    val sb = new StringBuilder
+    if (i % 5 != 4) {
+      sb.append("+++\n")
+      sb.append("title = \"Post \\u00E9" + i % 7 + "\"\n")
+      sb.append("weight = " + (10 + i % 20) + "\n")
+      sb.append("draft = " + (i % 3 == 0) + "\n")
+      val tags = (0 until 1 + i % 2).map { j =>
+        val v = "t" + (i + j) % 4
+        if (j % 2 == 0) "\"" + v + "\"" else "'" + v + "'"
+      }
+      sb.append("tags = [" + tags.mkString(", ") + "]\n")
+      sb.append("\n[params]\n")
+      sb.append("author = 'a" + i % 6 + "'\n")
+      sb.append(f"score = ${1 + i % 4}.${(9 * i) % 100}%02d\n")
+      sb.append("+++\n")
+    }
+    sb.append("# Post body " + i + "\n")
+    sb.toString.getBytes("UTF-8")
+  }
+
   /** One row per key in appearance order; invalid → one flagged row. */
   def extractToml(df: DataFrame, idCol: String, binCol: String): DataFrame = {
     val spark = df.sparkSession

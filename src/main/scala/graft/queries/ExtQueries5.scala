@@ -2650,6 +2650,66 @@ object ExtQueries5 {
        FROM (SELECT * FROM fixedrows UNION ALL SELECT * FROM binrows)
        ORDER BY id, seq"""
 
+  // ---------------------------------------------------------------
+  // q247 — HUGO front matter (`+++` TOML fences — the other
+  // static-site convention, composing q246's TOML surfaces the way
+  // q232/q238 compose the YAML ones): a column-0 `+++` line is
+  // unambiguous in the subset since multi-line strings are out. 40
+  // text documents (every fifth with no front matter) sweep string
+  // arrays in both quote styles, a [params] table and exact x100
+  // scores. Fence strictness is spec-gated in TomlLakeSpec.
+  private val HugoN = 40
+
+  def q247(s: SparkSession, dir: String): DataFrame = {
+    val fx = graft.operators.TomlLake.hugoFixture(s, HugoN)
+    graft.operators.TomlLake.extractFrontMatterToml(fx, "id", "media")
+      .select(col("id"), col("seq"), col("tbl"), col("key"),
+        col("kind"), col("lval"), col("sval"), col("fx100"),
+        col("arr_n"), col("has_fm"), col("valid"))
+      .orderBy("id", "seq")
+  }
+
+  val q247Sql: String =
+    s"""WITH base AS (
+         SELECT r AS id, r % 5 <> 4 AS fm, 1 + r % 2 AS ntag
+         FROM range(0, $HugoN) g(r)),
+       rws AS (
+         SELECT id, ntag, CAST(unnest(range(0, 6)) AS INT) AS seq
+         FROM base WHERE fm),
+       fmrows AS (
+         SELECT id, seq,
+           CASE WHEN seq <= 3 THEN '' ELSE 'params' END AS tbl,
+           CASE seq WHEN 0 THEN 'title' WHEN 1 THEN 'weight'
+             WHEN 2 THEN 'draft' WHEN 3 THEN 'tags'
+             WHEN 4 THEN 'author' ELSE 'score' END AS key,
+           CASE seq WHEN 0 THEN 'str' WHEN 1 THEN 'int'
+             WHEN 2 THEN 'bool' WHEN 3 THEN 'sarr' WHEN 4 THEN 'str'
+             ELSE 'float' END AS kind,
+           CAST(CASE seq WHEN 1 THEN 10 + id % 20
+             WHEN 2 THEN CASE WHEN id % 3 = 0 THEN 1 ELSE 0 END
+             END AS BIGINT) AS lval,
+           CASE seq WHEN 0 THEN 'Post é' || (id % 7)
+             WHEN 3 THEN array_to_string(
+               ['t' || ((id + j) % 4) for j in range(0, ntag)],
+               chr(31))
+             WHEN 4 THEN 'a' || (id % 6) END AS sval,
+           CAST(CASE seq WHEN 5 THEN (1 + id % 4) * 100 + (9 * id) % 100
+             END AS BIGINT) AS fx100,
+           CAST(CASE seq WHEN 3 THEN ntag END AS INT) AS arr_n,
+           true AS has_fm
+         FROM rws),
+       nofm AS (
+         SELECT id, CAST(0 AS INT) AS seq, CAST(NULL AS VARCHAR) AS tbl,
+           CAST(NULL AS VARCHAR) AS key, CAST(NULL AS VARCHAR) AS kind,
+           CAST(NULL AS BIGINT) AS lval, CAST(NULL AS VARCHAR) AS sval,
+           CAST(NULL AS BIGINT) AS fx100, CAST(NULL AS INT) AS arr_n,
+           false AS has_fm
+         FROM base WHERE NOT fm)
+       SELECT id, seq, tbl, key, kind, lval, sval, fx100, arr_n,
+         has_fm, true AS valid
+       FROM (SELECT * FROM fmrows UNION ALL SELECT * FROM nofm)
+       ORDER BY id, seq"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q203_safetensors_extract" -> (q203 _),
     "q204_npy_extract" -> (q204 _),
@@ -2694,7 +2754,8 @@ object ExtQueries5 {
     "q243_yaml_stream" -> (q243 _),
     "q244_model_cards" -> (q244 _),
     "q245_prompt_lists" -> (q245 _),
-    "q246_pyproject_toml" -> (q246 _)
+    "q246_pyproject_toml" -> (q246 _),
+    "q247_hugo_front_matter" -> (q247 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -2742,6 +2803,7 @@ object ExtQueries5 {
     "q243_yaml_stream" -> q243Sql,
     "q244_model_cards" -> q244Sql,
     "q245_prompt_lists" -> q245Sql,
-    "q246_pyproject_toml" -> q246Sql
+    "q246_pyproject_toml" -> q246Sql,
+    "q247_hugo_front_matter" -> q247Sql
   )
 }

@@ -183,15 +183,63 @@ class TomlLakeSpec extends SparkSpec {
     }
   }
 
+  test("hugo front matter: fence splitting, composition, fixture law") {
+    import TomlLake.{Fm, NoFm, BadFm}
+    assert(TomlLake.frontMatterToml("plain text\n".getBytes("UTF-8")) == NoFm)
+    assert(TomlLake.frontMatterToml("+++\na = 1\n".getBytes("UTF-8")) == BadFm)
+    assert(TomlLake.frontMatterToml(null) == BadFm)
+    // a YAML fence is NOT a TOML fence (and vice versa)
+    assert(TomlLake.frontMatterToml("---\na: 1\n---\n".getBytes("UTF-8")) == NoFm)
+    TomlLake.frontMatterToml("+++\na = 1\n+++\nbody +++ text\n"
+      .getBytes("UTF-8")) match {
+      case Fm(t) =>
+        assert(TomlLake.parseToml(t).get.head.lval.contains(1L))
+      case other => fail(s"expected Fm, got $other")
+    }
+    // an INLINE value containing +++ cannot open/close a fence; the
+    // fence must be the whole line
+    assert(TomlLake.frontMatterToml("+++\nk = '+++x'\n+++\nb\n"
+      .getBytes("UTF-8")).isInstanceOf[Fm])
+    // the q247 law, restated independently for every doc
+    val rows = TomlLake.extractFrontMatterToml(
+      TomlLake.hugoFixture(spark, 40), "id", "media")
+      .orderBy("id", "seq").collect()
+    (0 until 40).foreach { i =>
+      val mine = rows.filter(_.getLong(0) == i)
+      if (i % 5 == 4) {
+        assert(mine.length == 1 && !mine(0).getBoolean(9) &&
+          mine(0).getBoolean(10), s"doc $i: expected a no-fm row")
+      } else {
+        assert(mine.length == 6, s"doc $i row count")
+        assert(mine.forall(r => r.getBoolean(9) && r.getBoolean(10)))
+        assert(mine(0).getString(6) == s"Post é${i % 7}")
+        assert(mine(1).getLong(5) == 10 + i % 20)
+        assert(mine(2).getLong(5) == (if (i % 3 == 0) 1 else 0))
+        assert(mine(3).getString(4) == "sarr" &&
+          mine(3).getInt(8) == 1 + i % 2 &&
+          mine(3).getString(6) == (0 until 1 + i % 2)
+            .map(j => "t" + (i + j) % 4).mkString(TomlLake.SarrSep))
+        assert(mine(4).getString(2) == "params" &&
+          mine(4).getString(6) == "a" + i % 6)
+        assert(mine(5).getLong(7) == (1 + i % 4) * 100L + (9 * i) % 100)
+      }
+    }
+  }
+
   test("byte-flip + truncation sweeps never throw") {
     val seeds = TomlLake.tomlFixture(spark, 3).collect()
       .map(_.getAs[Array[Byte]](1)) ++
-      Seq(2, 5).map(TomlLake.pyprojectDoc) // dotted/AoT/sarr paths
+      Seq(2, 5).map(TomlLake.pyprojectDoc) ++ // dotted/AoT/sarr paths
+      Seq(1, 3).map(TomlLake.hugoDoc) // fence + composition paths
     for (src <- seeds; i <- src.indices by 2; bit <- Seq(1, 0x80)) {
       val c = src.clone(); c(i) = (c(i) ^ bit).toByte
       TomlLake.parseToml(c) // must not throw
+      TomlLake.frontMatterToml(c)
     }
     val s0 = seeds.head
-    (0 until s0.length by 3).foreach(n => TomlLake.parseToml(s0.take(n)))
+    (0 until s0.length by 3).foreach { n =>
+      TomlLake.parseToml(s0.take(n))
+      TomlLake.frontMatterToml(s0.take(n))
+    }
   }
 }
