@@ -2710,6 +2710,89 @@ object ExtQueries5 {
        FROM (SELECT * FROM fmrows UNION ALL SELECT * FROM nofm)
        ORDER BY id, seq"""
 
+  // ---------------------------------------------------------------
+  // q248 — DOCKERFILE census (the build layer of code corpora —
+  // base-image / stage / port facts are what licensing, security and
+  // provenance audits group on): logical-line continuations, the
+  // only-ARG-precedes-FROM law, multi-stage FROM ... AS with unique
+  // stage names, EXPOSE port censuses, ENV pair grammar with quoted
+  // values. 40 files sweep pre-FROM ARGs, two-segment RUN
+  // continuations, one-vs-two stages and tagged/untagged images.
+  // Structural strictness is spec-gated in DockerLakeSpec.
+  private val DockerN = 40
+
+  def q248(s: SparkSession, dir: String): DataFrame = {
+    val fx = graft.operators.DockerLake.dockerFixture(s, DockerN)
+    graft.operators.DockerLake.extractDocker(fx, "id", "media")
+      .select(col("id"), col("seq"), col("stage"), col("instr"),
+        col("image"), col("tag"), col("stage_name"), col("n_parts"),
+        col("lsum"), col("args"), col("valid"))
+      .orderBy("id", "seq")
+  }
+
+  val q248Sql: String =
+    s"""WITH base AS (
+         SELECT r AS id,
+           CASE WHEN r % 4 = 0 THEN 1 ELSE 0 END AS a,
+           CASE WHEN r % 2 = 0 THEN 1 ELSE 0 END AS b
+         FROM range(0, $DockerN) g(r)),
+       argrows AS (
+         SELECT id, CAST(0 AS INT) AS seq, CAST(-1 AS INT) AS stage,
+           'ARG' AS instr, CAST(NULL AS VARCHAR) AS image,
+           CAST(NULL AS VARCHAR) AS tag,
+           CAST(NULL AS VARCHAR) AS stage_name,
+           CAST(1 AS INT) AS n_parts, CAST(NULL AS BIGINT) AS lsum,
+           'BASE=u' || (id % 3) AS args
+         FROM base WHERE a = 1),
+       fromrows AS (
+         SELECT id, CAST(a AS INT), CAST(0 AS INT), 'FROM',
+           'img' || (id % 5), 'v' || (id % 3), 'build',
+           CAST(NULL AS INT), CAST(NULL AS BIGINT),
+           'img' || (id % 5) || ':v' || (id % 3) || ' AS build'
+         FROM base),
+       runrows AS (
+         SELECT id, CAST(a + 1 AS INT), CAST(0 AS INT), 'RUN',
+           NULL, NULL, NULL, CAST(NULL AS INT), CAST(NULL AS BIGINT),
+           'apk add pkg' || (id % 7) || ' && echo done' || (id % 4)
+         FROM base),
+       envrows AS (
+         SELECT id, CAST(a + 2 AS INT), CAST(0 AS INT), 'ENV',
+           NULL, NULL, NULL, CAST(2 AS INT), CAST(NULL AS BIGINT),
+           'K' || (id % 3) || '=v' || (id % 5) || ' MODE="m ' ||
+             (id % 2) || '"'
+         FROM base),
+       exposerows AS (
+         SELECT id, CAST(a + 3 AS INT), CAST(0 AS INT), 'EXPOSE',
+           NULL, NULL, NULL, CAST(2 AS INT),
+           CAST(17000 + id % 10 + id % 7 AS BIGINT),
+           (8000 + id % 10) || ' ' || (9000 + id % 7) || '/tcp'
+         FROM base),
+       from2rows AS (
+         SELECT id, CAST(a + 4 AS INT), CAST(1 AS INT), 'FROM',
+           'img' || ((id + 1) % 5), NULL, NULL,
+           CAST(NULL AS INT), CAST(NULL AS BIGINT),
+           'img' || ((id + 1) % 5)
+         FROM base WHERE b = 1),
+       copyrows AS (
+         SELECT id, CAST(a + 5 AS INT), CAST(1 AS INT), 'COPY',
+           NULL, NULL, NULL, CAST(NULL AS INT), CAST(NULL AS BIGINT),
+           '--from=build /a /b' || (id % 3)
+         FROM base WHERE b = 1),
+       cmdrows AS (
+         SELECT id, CAST(a + 4 + 2 * b AS INT), CAST(b AS INT), 'CMD',
+           NULL, NULL, NULL, CAST(NULL AS INT), CAST(NULL AS BIGINT),
+           '["run", "r' || (id % 6) || '"]'
+         FROM base)
+       SELECT id, seq, stage, instr, image, tag, stage_name, n_parts,
+         lsum, args, true AS valid
+       FROM (SELECT * FROM argrows UNION ALL SELECT * FROM fromrows
+         UNION ALL SELECT * FROM runrows UNION ALL SELECT * FROM envrows
+         UNION ALL SELECT * FROM exposerows
+         UNION ALL SELECT * FROM from2rows
+         UNION ALL SELECT * FROM copyrows
+         UNION ALL SELECT * FROM cmdrows)
+       ORDER BY id, seq"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q203_safetensors_extract" -> (q203 _),
     "q204_npy_extract" -> (q204 _),
@@ -2755,7 +2838,8 @@ object ExtQueries5 {
     "q244_model_cards" -> (q244 _),
     "q245_prompt_lists" -> (q245 _),
     "q246_pyproject_toml" -> (q246 _),
-    "q247_hugo_front_matter" -> (q247 _)
+    "q247_hugo_front_matter" -> (q247 _),
+    "q248_dockerfile_census" -> (q248 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -2804,6 +2888,7 @@ object ExtQueries5 {
     "q244_model_cards" -> q244Sql,
     "q245_prompt_lists" -> q245Sql,
     "q246_pyproject_toml" -> q246Sql,
-    "q247_hugo_front_matter" -> q247Sql
+    "q247_hugo_front_matter" -> q247Sql,
+    "q248_dockerfile_census" -> q248Sql
   )
 }

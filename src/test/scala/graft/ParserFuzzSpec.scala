@@ -79,6 +79,7 @@ class ParserFuzzSpec extends AnyFunSuite {
     "parseRtf" -> (b => graft.operators.RtfLake.parseRtf(b)),
     "parseProto" -> (b => graft.operators.ProtoLake.parseProto(b)),
     "parseToml" -> (b => graft.operators.TomlLake.parseToml(b)),
+    "parseDocker" -> (b => graft.operators.DockerLake.parseDocker(b)),
     "frontMatterToml" -> (b => graft.operators.TomlLake.frontMatterToml(b)),
     "parseOnnx" -> (b => graft.operators.OnnxLake.parseOnnx(b)),
     "parseVp8l" -> (b => graft.operators.WebpLake.parseVp8l(b)),

@@ -304,7 +304,8 @@ class PlanAuditSpec extends SparkSpec {
         "q239_tiff_multipage", "q240_flow_mappings",
         "q242_seq_mappings", "q243_yaml_stream",
         "q244_model_cards", "q245_prompt_lists",
-        "q246_pyproject_toml", "q247_hugo_front_matter").foreach { q =>
+        "q246_pyproject_toml", "q247_hugo_front_matter",
+        "q248_dockerfile_census").foreach { q =>
       val p = plan(q)
       val exchanges = "Exchange".r.findAllIn(p).length
       assert(exchanges <= 1, s"$q: codec decode should not shuffle:\n$p")
