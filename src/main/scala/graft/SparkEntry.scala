@@ -24,7 +24,8 @@ object SparkEntry {
     graft.queries.Queries.all ++ graft.queries.IngestQueries.all ++
       graft.queries.ExtQueries.all ++ graft.queries.DtdlQueries.all ++
       graft.queries.ExtQueries2.all ++ graft.queries.ExtQueries3.all ++
-      graft.queries.ExtQueries4.all ++ graft.queries.ExtQueries5.all
+      graft.queries.ExtQueries4.all ++ graft.queries.ExtQueries5.all ++
+      graft.queries.ExtQueries6.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB
     * on the same parquet tables. Omitted keys get a rows-only check. */
@@ -32,5 +33,6 @@ object SparkEntry {
     graft.queries.Queries.oracles ++ graft.queries.IngestQueries.oracles ++
       graft.queries.ExtQueries.oracles ++ graft.queries.DtdlQueries.oracles ++
       graft.queries.ExtQueries2.oracles ++ graft.queries.ExtQueries3.oracles ++
-      graft.queries.ExtQueries4.oracles ++ graft.queries.ExtQueries5.oracles
+      graft.queries.ExtQueries4.oracles ++ graft.queries.ExtQueries5.oracles ++
+      graft.queries.ExtQueries6.oracles
 }

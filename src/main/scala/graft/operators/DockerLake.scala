@@ -33,6 +33,23 @@ import org.apache.spark.sql.types._
   *    `[A-Za-z_][A-Za-z0-9_.-]*`, value bare (no spaces) or
   *    double-quoted without inner quotes/escapes; ARG also admits a
   *    bare KEY (no default); censused as the pair count;
+  *  - CMD / ENTRYPOINT / RUN in EXEC form (`["a", "b"]` — the form
+  *    real Dockerfiles overwhelmingly use) parse as a strict JSON
+  *    string array: double-quoted elements with the `\"` escape
+  *    ONLY, an optional single space after each comma, ≥1 element,
+  *    nothing after the closing bracket; an args string opening with
+  *    `[` MUST parse (reject, never fall back to shell form — the
+  *    builder's silent fallback is a guess). SHELL is exec-form-only
+  *    per the reference, so a shell-form SHELL rejects. The census
+  *    records the argv count; shell forms stay verbatim (argv null);
+  *  - COPY `--from=<stage|index>` resolves to a STAGE-GRAPH edge:
+  *    a numeric ref (no leading zeros) addresses an earlier stage by
+  *    index, a name ref resolves through the `AS` table; unknown
+  *    names, forward/self references, and any other leading `--`
+  *    flag (`--chown`, `--link`: out of subset) reject. At least a
+  *    source and a destination must follow the flag. The census
+  *    records the resolved source stage — the (stage, from_stage)
+  *    pairs ARE the build graph a provenance audit queries;
   *  - every other instruction carries its joined args verbatim (a
   *    census, not an execution semantics — RUN shell syntax is
   *    opaque by design).
@@ -52,7 +69,8 @@ object DockerLake {
   private[graft] final case class DockerRow(
       stage: Int, instr: String, image: Option[String],
       tag: Option[String], stageName: Option[String],
-      nParts: Option[Int], lsum: Option[Long], args: String)
+      nParts: Option[Int], lsum: Option[Long], args: String,
+      argvN: Option[Int] = None, fromStage: Option[Int] = None)
 
   private def isImageChar(c: Char): Boolean =
     (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') ||
@@ -66,9 +84,11 @@ object DockerLake {
     (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') ||
       c == '_' || c == '-'
 
-  /** FROM args: image[:tag] [AS name]. */
-  private def parseFrom(args: String,
-      stageNames: scala.collection.mutable.HashSet[String]): DockerRow = {
+  /** FROM args: image[:tag] [AS name]; `stage` is this FROM's own
+    * 0-based index, recorded against the AS name for `--from`
+    * resolution. */
+  private def parseFrom(args: String, stage: Int,
+      stageNames: scala.collection.mutable.HashMap[String, Int]): DockerRow = {
     val toks = args.split(" ").filter(_.nonEmpty)
     if (toks.isEmpty || toks.length == 2 || toks.length > 3) throw Fail
     val ref = toks(0)
@@ -88,10 +108,82 @@ object DockerLake {
       val n = toks(2)
       if (n.isEmpty || n.length > 64 || !n.forall(isStageNameChar))
         throw Fail
-      if (!stageNames.add(n)) throw Fail // stage names unique
+      if (stageNames.contains(n)) throw Fail // stage names unique
+      stageNames(n) = stage
       Some(n)
     } else None
-    DockerRow(0, "FROM", Some(img), tag, name, None, None, args)
+    DockerRow(stage, "FROM", Some(img), tag, name, None, None, args)
+  }
+
+  /** JSON-array exec form (CMD/ENTRYPOINT/RUN/SHELL): string
+    * elements only, the `\"` escape only, an optional single space
+    * after each comma, ≥1 element, nothing after `]`. Returns the
+    * argv count. */
+  private def parseExecArray(s: String): Int = {
+    var p = 1 // caller guaranteed s(0) == '['
+    var n = 0
+    var more = true
+    while (more) {
+      if (p >= s.length || s(p) != '"') throw Fail
+      p += 1
+      val vs = p
+      var done = false
+      while (!done) {
+        if (p >= s.length) throw Fail
+        val ch = s(p)
+        if (ch == '"') done = true
+        else if (ch == '\\') {
+          // the subset's ONLY escape; `\\`, `\n`, … reject
+          if (p + 1 >= s.length || s(p + 1) != '"') throw Fail
+          p += 2
+        } else if (ch < 0x20) throw Fail // tabs are not JSON string chars
+        else p += 1
+      }
+      if (p - vs > 1024) throw Fail
+      p += 1 // the closing quote
+      n += 1
+      if (n > 64) throw Fail
+      if (p >= s.length) throw Fail
+      s(p) match {
+        case ',' =>
+          p += 1
+          if (p < s.length && s(p) == ' ') p += 1
+        case ']' =>
+          p += 1
+          more = false
+        case _ => throw Fail
+      }
+    }
+    if (p != s.length) throw Fail // trailing garbage after the array
+    n
+  }
+
+  /** COPY: resolve an optional `--from=<stage|index>` into a
+    * stage-graph edge; any OTHER leading `--` flag is out of subset.
+    * `stage` is the consuming stage (the edge's sink). */
+  private def parseCopy(args: String, stage: Int,
+      stageNames: scala.collection.mutable.HashMap[String, Int]): DockerRow = {
+    if (!args.startsWith("--"))
+      return DockerRow(stage, "COPY", None, None, None, None, None, args)
+    if (!args.startsWith("--from=")) throw Fail
+    val sp = args.indexOf(' ')
+    if (sp < 0) throw Fail
+    val ref = args.substring(7, sp)
+    if (ref.isEmpty || ref.length > 64) throw Fail
+    // at least a source and a destination must follow the flag
+    if (args.substring(sp + 1).split(" ").count(_.nonEmpty) < 2) throw Fail
+    val idx =
+      if (ref.forall(_.isDigit)) {
+        if (ref.length > 1 && ref(0) == '0') throw Fail
+        if (ref.length > 4) throw Fail
+        ref.toInt
+      } else {
+        if (!ref.forall(isStageNameChar)) throw Fail
+        stageNames.getOrElse(ref, throw Fail)
+      }
+    if (idx >= stage) throw Fail // forward/self reference
+    DockerRow(stage, "COPY", None, None, None, None, None, args,
+      fromStage = Some(idx))
   }
 
   /** EXPOSE: ports with optional /tcp | /udp, censused count + sum. */
@@ -207,7 +299,7 @@ object DockerLake {
       if (cont != null) throw Fail // dangling continuation at EOF
       if (logical.isEmpty) throw Fail
       val out = scala.collection.mutable.ArrayBuffer.empty[DockerRow]
-      val stageNames = scala.collection.mutable.HashSet.empty[String]
+      val stageNames = scala.collection.mutable.HashMap.empty[String, Int]
       var stage = -1
       logical.foreach { ln =>
         if (out.length >= 2048) throw Fail
@@ -220,7 +312,7 @@ object DockerLake {
         instr match {
           case "FROM" =>
             stage += 1
-            out += parseFrom(args, stageNames).copy(stage = stage)
+            out += parseFrom(args, stage, stageNames)
           case "ARG" =>
             // the ONLY instruction legal before the first FROM
             out += DockerRow(stage, "ARG", None, None, None,
@@ -233,6 +325,19 @@ object DockerLake {
               case "ENV" | "LABEL" =>
                 out += DockerRow(stage, instr, None, None, None,
                   Some(parsePairs(args, bareKeyOk = false)), None, args)
+              case "COPY" =>
+                out += parseCopy(args, stage, stageNames)
+              case "CMD" | "ENTRYPOINT" | "RUN" =>
+                // opening `[` commits to exec form — no silent
+                // shell-form fallback
+                val argvN =
+                  if (args(0) == '[') Some(parseExecArray(args)) else None
+                out += DockerRow(stage, instr, None, None, None,
+                  None, None, args, argvN = argvN)
+              case "SHELL" =>
+                if (args(0) != '[') throw Fail // exec-form-only
+                out += DockerRow(stage, "SHELL", None, None, None,
+                  None, None, args, argvN = Some(parseExecArray(args)))
               case _ =>
                 out += DockerRow(stage, instr, None, None, None,
                   None, None, args)
@@ -257,6 +362,8 @@ object DockerLake {
     StructField("stage_name", StringType, true),
     StructField("n_parts", IntegerType, true),
     StructField("lsum", LongType, true),
+    StructField("argv_n", IntegerType, true),
+    StructField("from_stage", IntegerType, true),
     StructField("args", StringType, true),
     StructField("valid", BooleanType, false)))
 
@@ -273,11 +380,12 @@ object DockerLake {
           case Some(es) => es.zipWithIndex.map { case (e, i) =>
             Row(id, i, e.stage, e.instr, e.image.orNull, e.tag.orNull,
               e.stageName.orNull, e.nParts.map(Int.box).orNull,
-              e.lsum.map(Long.box).orNull, e.args, true)
+              e.lsum.map(Long.box).orNull, e.argvN.map(Int.box).orNull,
+              e.fromStage.map(Int.box).orNull, e.args, true)
           }
           case None =>
             Seq(Row(id, 0, null, null, null, null, null, null, null,
-              null, false))
+              null, null, null, false))
         }
       })
     spark.createDataFrame(rows, outSchema)
@@ -319,6 +427,45 @@ object DockerLake {
       sb.append("COPY --from=build /a /b" + i % 3 + "\n")
     }
     sb.append("CMD [\"run\", \"r" + i % 6 + "\"]\n")
+    sb.toString.getBytes("UTF-8")
+  }
+
+  /** Stage-graph fixture (q249, replayed closed-form by the oracle):
+    * doc i is a THREE-stage build — `FROM base(i%4):v(i%3) AS s0`,
+    * a RUN in exec form `["sh", "-c", "echo r(i%5)"]` on even i and
+    * shell form `echo r(i%5)` on odd, `SHELL ["shl(i%3)", "-c"]`
+    * when i%4==0, then `FROM mid(i%5) AS s1` with
+    * `COPY --from=s0 /a /m(i%3)` (a NAME edge 1→0) and
+    * `ENTRYPOINT ["run", "e(i%6)"]` (plus a third element
+    * `"say \"hi\""` exercising the escape when i%5==2), then an
+    * anonymous `FROM out(i%3)` with `COPY --from=1 /b /c` (a NUMERIC
+    * edge 2→1), `COPY --from=s0 /d /e(i%2)` (a name edge 2→0
+    * skipping a stage) and `CMD ["go", "c(i%7)"]`. */
+  def dockerGraphFixture(spark: SparkSession, n: Int): DataFrame = {
+    val rows = (0 until n).map(i => Row(i.toLong, dockerGraphDoc(i)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4),
+      StructType(Seq(
+        StructField("id", LongType, false),
+        StructField("media", BinaryType, true))))
+  }
+
+  private[graft] def dockerGraphDoc(i: Int): Array[Byte] = {
+    val sb = new StringBuilder
+    sb.append("# graph fixture " + i + "\n")
+    sb.append("FROM base" + i % 4 + ":v" + i % 3 + " AS s0\n")
+    if (i % 2 == 0)
+      sb.append("RUN [\"sh\", \"-c\", \"echo r" + i % 5 + "\"]\n")
+    else sb.append("RUN echo r" + i % 5 + "\n")
+    if (i % 4 == 0) sb.append("SHELL [\"shl" + i % 3 + "\", \"-c\"]\n")
+    sb.append("FROM mid" + i % 5 + " AS s1\n")
+    sb.append("COPY --from=s0 /a /m" + i % 3 + "\n")
+    val third = if (i % 5 == 2) ", \"say \\\"hi\\\"\"" else ""
+    sb.append("ENTRYPOINT [\"run\", \"e" + i % 6 + "\"" + third + "]\n")
+    sb.append("FROM out" + i % 3 + "\n")
+    sb.append("COPY --from=1 /b /c\n")
+    sb.append("COPY --from=s0 /d /e" + i % 2 + "\n")
+    sb.append("CMD [\"go\", \"c" + i % 7 + "\"]\n")
     sb.toString.getBytes("UTF-8")
   }
 }

@@ -37,7 +37,10 @@ import org.apache.spark.sql.types._
   *    elements joined on U+001F, which no escape can forge since
   *    `\\u` rejects code points < 0x20); the empty `[]` is the
   *    untyped `arr` census; mixed element kinds reject;
-  *  - anything after a value except whitespace/comment rejects.
+  *  - anything after a value except whitespace/comment rejects;
+  *  - whole-input bounds (the family-standard budget shared with
+  *    parseYaml/parseDocker): raw ≤ 1 MiB, ≤ 8192 lines, ≤ 2048
+  *    emitted keys — per-item caps times N need the product bound.
   *
   * Emits one row per key in APPEARANCE order. One blob = one
   * task-local walk (codec-family plan shape). */
@@ -226,7 +229,10 @@ object TomlLake {
 
   /** Walk one document; None on any spec or subset violation. */
   private[graft] def parseToml(raw: Array[Byte]): Option[Seq[TomlEntry]] = {
-    if (raw == null) return None
+    // family-standard whole-input guards (the parseYaml/parseDocker
+    // bounds): a multi-MB blob or an unbounded row fan-out per blob
+    // is a resource hazard, not a census — reject, never decode
+    if (raw == null || raw.length > (1 << 20)) return None
     try {
       // strict ASCII/UTF-8 text: decode, allow \n and \t only
       val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
@@ -236,6 +242,8 @@ object TomlLake {
         try dec.decode(java.nio.ByteBuffer.wrap(raw)).toString
         catch { case _: java.nio.charset.CharacterCodingException => throw Fail }
       if (text.exists(ch => ch < 0x20 && ch != '\n' && ch != '\t')) throw Fail
+      val allLines = text.split("\n", -1)
+      if (allLines.length > 8192) throw Fail
       val out = scala.collection.mutable.ArrayBuffer.empty[TomlEntry]
       var tbl = ""
       val tables = scala.collection.mutable.HashSet.empty[String]
@@ -274,7 +282,7 @@ object TomlLake {
           if (keyPaths.contains(p)) throw Fail // under a scalar key
         }
       }
-      text.split("\n", -1).foreach { line =>
+      allLines.foreach { line =>
         val c = new LCur(line)
         c.ws()
         if (!c.eol) {
@@ -320,6 +328,7 @@ object TomlLake {
             // a key may not name an existing table / array-of-tables
             if (tables.contains(path) || aotCounts.contains(path))
               throw Fail
+            if (out.length >= 2048) throw Fail // bounded row fan-out
             out += e.copy(tbl = tbl, key = key)
           }
         }

@@ -13,7 +13,7 @@ class DockerLakeSpec extends SparkSpec {
     val out = DockerLake.extractDocker(
       DockerLake.dockerFixture(spark, 40), "id", "media")
       .orderBy("id", "seq").collect()
-    assert(out.forall(_.getBoolean(10)))
+    assert(out.forall(_.getBoolean(12)))
     (0 until 40).foreach { i =>
       val mine = out.filter(_.getLong(0) == i)
       val a = if (i % 4 == 0) 1 else 0
@@ -21,7 +21,7 @@ class DockerLakeSpec extends SparkSpec {
       assert(mine.length == 5 + a + 2 * b, s"doc $i row count")
       if (a == 1) {
         assert(mine(0).getString(3) == "ARG" && mine(0).getInt(2) == -1 &&
-          mine(0).getInt(7) == 1 && mine(0).getString(9) ==
+          mine(0).getInt(7) == 1 && mine(0).getString(11) ==
           s"BASE=u${i % 3}")
       }
       val fr = mine(a)
@@ -29,7 +29,7 @@ class DockerLakeSpec extends SparkSpec {
         fr.getString(4) == "img" + i % 5 && fr.getString(5) == "v" + i % 3 &&
         fr.getString(6) == "build")
       // the two-segment continuation joins with one space
-      assert(mine(a + 1).getString(3) == "RUN" && mine(a + 1).getString(9) ==
+      assert(mine(a + 1).getString(3) == "RUN" && mine(a + 1).getString(11) ==
         s"apk add pkg${i % 7} && echo done${i % 4}")
       assert(mine(a + 2).getString(3) == "ENV" && mine(a + 2).getInt(7) == 2)
       val ex = mine(a + 3)
@@ -45,7 +45,7 @@ class DockerLakeSpec extends SparkSpec {
       }
       val cmd = mine.last
       assert(cmd.getString(3) == "CMD" && cmd.getInt(2) == b &&
-        cmd.getString(9) == s"""["run", "r${i % 6}"]""")
+        cmd.getString(11) == s"""["run", "r${i % 6}"]""")
     }
   }
 
@@ -109,8 +109,84 @@ class DockerLakeSpec extends SparkSpec {
     assert(parse("ARG JUSTKEY\nFROM a\n").nonEmpty)
   }
 
+  test("exec form: argv counts, the escape, strictness (q249)") {
+    // shell forms stay verbatim with a null argv
+    assert(parse("FROM a\nRUN echo hi\n").get(1).argvN.isEmpty)
+    // exec forms census their argv
+    assert(parse("FROM a\nCMD [\"x\"]\n").get(1).argvN.contains(1))
+    assert(parse("FROM a\nRUN [\"sh\", \"-c\", \"x y\"]\n").get(1)
+      .argvN.contains(3))
+    // the one escape: \" inside an element
+    assert(parse("FROM a\nCMD [\"say \\\"hi\\\"\"]\n").get(1)
+      .argvN.contains(1))
+    // comma without the optional space
+    assert(parse("FROM a\nCMD [\"a\",\"b\"]\n").get(1).argvN.contains(2))
+    // SHELL is exec-form-only
+    assert(parse("FROM a\nSHELL [\"sh\", \"-c\"]\n").get(1)
+      .argvN.contains(2))
+    val bad = Seq(
+      "unterminated array" -> "FROM a\nCMD [\"x\"\n",
+      "unterminated element" -> "FROM a\nCMD [\"x]\n",
+      "non-string element" -> "FROM a\nCMD [\"a\", 1]\n",
+      "bare word element" -> "FROM a\nCMD [x]\n",
+      "empty array" -> "FROM a\nCMD []\n",
+      "trailing garbage after bracket" -> "FROM a\nCMD [\"a\"] x\n",
+      "trailing comma" -> "FROM a\nCMD [\"a\",]\n",
+      "backslash escape out of subset" -> "FROM a\nCMD [\"a\\\\b\"]\n",
+      "two spaces after comma" -> "FROM a\nCMD [\"a\",  \"b\"]\n",
+      "shell-form SHELL" -> "FROM a\nSHELL sh -c\n")
+    bad.foreach { case (name, s) => assert(parse(s).isEmpty, name) }
+  }
+
+  test("COPY --from: stage-graph edges, strictness (q249)") {
+    val d = "FROM a AS one\nFROM b AS two\nCOPY --from=one /s /d\n" +
+      "FROM c\nCOPY --from=1 /s /d\nCOPY --from=one /s /d\n"
+    val es = parse(d).get
+    assert(es(2).fromStage.contains(0)) // name ref
+    assert(es(4).fromStage.contains(1)) // numeric ref
+    assert(es(5).fromStage.contains(0)) // name ref skipping a stage
+    // a plain COPY carries no edge
+    assert(parse("FROM a\nCOPY /s /d\n").get(1).fromStage.isEmpty)
+    val bad = Seq(
+      "unknown stage" -> "FROM a AS s\nFROM b\nCOPY --from=zz /s /d\n",
+      "forward reference" -> ("FROM a\nCOPY --from=later /s /d\n" +
+        "FROM b AS later\n"),
+      "self reference by name" -> "FROM a AS s\nCOPY --from=s /s /d\n",
+      "self reference numeric" -> "FROM a\nFROM b\nCOPY --from=1 /s /d\n",
+      "numeric leading zero" -> "FROM a\nFROM b\nCOPY --from=00 /s /d\n",
+      "missing dest" -> "FROM a\nFROM b\nCOPY --from=0 /s\n",
+      "other flag out of subset" -> "FROM a\nCOPY --chown=x /s /d\n")
+    bad.foreach { case (name, s) => assert(parse(s).isEmpty, name) }
+  }
+
+  test("stage-graph fixture law replays exactly (q249)") {
+    val out = DockerLake.extractDocker(
+      DockerLake.dockerGraphFixture(spark, 40), "id", "media")
+      .orderBy("id", "seq").collect()
+    assert(out.forall(_.getBoolean(12)))
+    (0 until 40).foreach { i =>
+      val mine = out.filter(_.getLong(0) == i)
+      val a = if (i % 4 == 0) 1 else 0
+      assert(mine.length == 9 + a, s"doc $i row count")
+      // argv_n is column 9, from_stage column 10
+      assert(mine(0).getString(3) == "FROM" &&
+        mine(0).getString(6) == "s0")
+      if (i % 2 == 0) assert(mine(1).getInt(9) == 3)
+      else assert(mine(1).isNullAt(9))
+      if (a == 1) assert(mine(2).getString(3) == "SHELL" &&
+        mine(2).getInt(9) == 2)
+      assert(mine(3 + a).getString(3) == "COPY" &&
+        mine(3 + a).getInt(10) == 0 && mine(3 + a).getInt(2) == 1)
+      assert(mine(4 + a).getInt(9) == (if (i % 5 == 2) 3 else 2))
+      assert(mine(6 + a).getInt(10) == 1 && mine(6 + a).getInt(2) == 2)
+      assert(mine(7 + a).getInt(10) == 0)
+      assert(mine(8 + a).getString(3) == "CMD" && mine(8 + a).getInt(9) == 2)
+    }
+  }
+
   test("byte-flip + truncation sweeps never throw") {
-    val seeds = Seq(0, 3).map(DockerLake.dockerDoc)
+    val seeds = Seq(0, 3).map(DockerLake.dockerDoc) ++
+      Seq(2, 5).map(DockerLake.dockerGraphDoc) // exec + --from paths
     for (src <- seeds; i <- src.indices; bit <- Seq(1, 0x40)) {
       val c = src.clone(); c(i) = (c(i) ^ bit).toByte
       DockerLake.parseDocker(c).foreach { es =>

@@ -148,6 +148,9 @@ class ParserFuzzSpec extends AnyFunSuite {
     "arrow" -> ("ARROW1".getBytes("ISO-8859-1") ++ Array[Byte](0, 0)),
     // a YAML mapping prefix so the fuzz reaches the indent walker
     "yaml" -> "title: x\nmeta:\n  a: 1\n".getBytes("ISO-8859-1"),
+    // a Dockerfile prefix so the fuzz reaches the logical-line walk
+    // (and the exec-form / --from grammars behind it)
+    "dockerfile" -> "FROM a AS s\nCMD [\"".getBytes("ISO-8859-1"),
     // the stream-form continuation marker reaches the .arrows walk
     "arrows" -> Array[Byte](-1, -1, -1, -1),
     // lossy-WebP chunk headers reach the census's VP8/VP8X walks

@@ -95,6 +95,15 @@ class TomlLakeSpec extends SparkSpec {
       assert(parse(s).isEmpty, name)
     }
     assert(TomlLake.parseToml(null).isEmpty)
+    // whole-input budget (ADVICE r18): oversized raw, line floods and
+    // unbounded per-blob row fan-out all reject instead of decoding
+    assert(TomlLake.parseToml(new Array[Byte]((1 << 20) + 1)).isEmpty,
+      "raw over 1 MiB")
+    assert(parse("k = 1\n" + "\n" * 8192).isEmpty, "line flood")
+    assert(parse((0 until 2049).map(j => s"k$j = $j").mkString("\n"))
+      .isEmpty, "entry-count flood")
+    assert(parse((0 until 2048).map(j => s"k$j = $j").mkString("\n"))
+      .nonEmpty, "2048 entries is the last admissible count")
     // duplicate key names in DIFFERENT tables are fine
     assert(parse("[a]\nk = 1\n[b]\nk = 2").nonEmpty)
     // comments + blank lines + tabs as whitespace are fine
