@@ -56,10 +56,29 @@ import org.apache.spark.sql.types._
   *  - flow: ONE level of flow sequences `[a, 1, "b"]` and ONE level
   *    of flow mappings `{k: 1, m: "x"}` as mapping values (scalar
   *    elements/values only, bare unique keys, the same ": " pair
-  *    indicator); nested flow, anchors, aliases, tags, directives,
-  *    flow collections as DIRECT sequence items, and multi-document
-  *    streams in THIS single-document surface (bounded streams go
-  *    through [[parseYamlDocs]]) are out of subset.
+  *    indicator); nested flow, tags, directives, flow collections as
+  *    DIRECT sequence items, and multi-document streams in THIS
+  *    single-document surface (bounded streams go through
+  *    [[parseYamlDocs]]) are out of subset;
+  *  - anchors & aliases (the docker-compose / GitLab-CI reuse
+  *    idiom), bounded and acyclic: `key: &name <scalar>` anchors a
+  *    plain/quoted scalar, `key: &name` + nested block anchors the
+  *    MAPPING or SEQUENCE that follows; `key: *name` (and `- *name`
+  *    as a sequence item) replays the anchored node re-rooted at the
+  *    target path; `<<: *name` inside a block mapping merges an
+  *    anchored MAPPING's keys with LOCAL-KEY PRECEDENCE — merged
+  *    entries emit when the mapping closes, in the anchor's order,
+  *    skipping every top-level key the mapping defines itself
+  *    (before or after the merge line, per the merge-key spec).
+  *    Aliases expand at parse time, so an anchored node captures its
+  *    own expanded form. Strict sub-laws (reject, never guess):
+  *    undefined aliases, an alias to an anchor whose subtree is
+  *    still open (the cycle case), duplicate anchor names, more than
+  *    one merge key per mapping, merging a scalar/sequence anchor,
+  *    anchors on flow/block-scalar values, anchored nodes over 256
+  *    entries, and a whole-document alias-expansion budget of 1024
+  *    emitted entries (the whole-chain-budget law: per-item caps
+  *    times N need the product bound).
   *
   * Emits one row per leaf in APPEARANCE order; every sequence also
   * emits a container row carrying its element count. One blob = one
@@ -255,8 +274,10 @@ object YamlLake {
         val v = quotedSingle(c)
         YamlEntry("", "str", None, Some(v), None, None)
       case '{' | '[' | '&' | '*' | '!' | '|' | '>' | '%' | '@' | '`' =>
-        throw Fail // nested flow, anchors/aliases/tags, block
-      // scalars, directives, reserved indicators: out of subset
+        throw Fail // nested flow, tags, block scalars, directives,
+      // reserved indicators — and anchors/aliases at any position
+      // the dedicated keyLine/seqItem branches do not handle (flow
+      // elements, a value after an anchor): out of subset
       case _ =>
         resolvePlain(if (flow != 0) scanPlainFlow(c, flow)
         else scanPlain(c))
@@ -276,14 +297,29 @@ object YamlLake {
     // exceed the detected indentation)
   }
 
+  /** A captured anchor: the node's class plus its entries with
+    * RELATIVE paths ("" is the node itself — a scalar's one entry or
+    * a sequence's container row). */
+  private final case class AnchorNode(kind: String,
+      entries: Vector[YamlEntry])
+
   private sealed trait Scope {
     def indent: Int
     def path: String
+    def anchor: Option[String]
+    def anchorStart: Int
   }
   private final case class MapScope(indent: Int, path: String,
-      seen: scala.collection.mutable.HashSet[String]) extends Scope
+      seen: scala.collection.mutable.HashSet[String],
+      anchor: Option[String] = None, anchorStart: Int = 0)
+      extends Scope {
+    // the `<<` merge payload, held until the mapping closes so
+    // local keys appearing AFTER the merge line still win
+    var merge: Option[Vector[YamlEntry]] = None
+  }
   private final case class SeqScope(indent: Int, path: String,
-      var idx: Int, rowAt: Int) extends Scope
+      var idx: Int, rowAt: Int, anchor: Option[String] = None,
+      anchorStart: Int = 0) extends Scope
 
   /** Walk one document; None on any spec or subset violation. */
   private[graft] def parseYaml(raw: Array[Byte]): Option[Seq[YamlEntry]] = {
@@ -308,16 +344,82 @@ object YamlLake {
       if (lines.length > 8192) throw Fail
       val out = scala.collection.mutable.ArrayBuffer.empty[YamlEntry]
       val stack = scala.collection.mutable.ArrayBuffer.empty[Scope]
-      var pending: Option[(Int, String)] = None // `key:` awaiting a block
+      // `key:` awaiting a block, with an optional anchor to attach
+      var pending: Option[(Int, String, Option[String])] = None
       var blk: Option[BlkSt] = None // an open block scalar
       var sawContent = false
       var sawDocStart = false
+      val anchors = scala.collection.mutable.HashMap.empty[String, AnchorNode]
+      // anchors whose subtree is still being captured: an alias to
+      // one of these IS the cycle case
+      val openAnchors = scala.collection.mutable.HashSet.empty[String]
+      var expanded = 0 // whole-document alias-expansion budget
 
-      def popTop(): Unit = stack.remove(stack.length - 1) match {
-        case s: SeqScope =>
-          // patch the container row with the now-known element count
-          out(s.rowAt) = out(s.rowAt).copy(arrN = Some(s.idx))
-        case _ => ()
+      /** Emit one captured entry re-rooted at `base`, under the
+        * expansion budget and the path bounds. */
+      def emitAt(e: YamlEntry, base: String): Unit = {
+        expanded += 1
+        if (expanded > 1024) throw Fail
+        val p =
+          if (e.path.isEmpty) base
+          else if (base.isEmpty) e.path
+          else base + "." + e.path
+        if (p.isEmpty || p.length > 256 || p.count(_ == '.') >= 8)
+          throw Fail
+        emit(e.copy(path = p))
+      }
+
+      /** Scan `&name` / `*name` at the cursor (cursor ON the
+        * indicator). */
+      def anchorName(c: LCur): String = {
+        c.p += 1
+        val st = c.p
+        while (c.p < c.s.length && isBareKeyChar(c.s(c.p))) c.p += 1
+        if (c.p == st || c.p - st > 32) throw Fail
+        c.s.substring(st, c.p)
+      }
+
+      /** Replay an anchored node at `tpath` (a `*name` use). */
+      def expandAlias(name: String, tpath: String): Unit = {
+        if (openAnchors.contains(name)) throw Fail // cycle
+        val node = anchors.getOrElse(name, throw Fail) // undefined
+        node.entries.foreach(emitAt(_, tpath))
+      }
+
+      def popTop(): Unit = {
+        val s = stack.remove(stack.length - 1)
+        s match {
+          case sq: SeqScope =>
+            // patch the container row with the now-known element count
+            out(sq.rowAt) = out(sq.rowAt).copy(arrN = Some(sq.idx))
+          case m: MapScope =>
+            // merge-at-close: anchor-order emission of every merged
+            // entry whose TOP-LEVEL key the mapping does not define
+            // locally (local keys win regardless of line order)
+            m.merge.foreach(_.foreach { e =>
+              val dot = e.path.indexOf('.')
+              val top = if (dot < 0) e.path else e.path.substring(0, dot)
+              if (!m.seen.contains(top)) emitAt(e, m.path)
+            })
+        }
+        // the anchored subtree is complete (container counts patched,
+        // merges emitted): capture it with relative paths
+        s.anchor.foreach { name =>
+          val slice = out.slice(s.anchorStart, out.length)
+          if (slice.isEmpty || slice.length > 256) throw Fail
+          val rels = slice.map { e =>
+            val rel =
+              if (e.path == s.path) ""
+              else e.path.substring(s.path.length + 1)
+            e.copy(path = rel)
+          }.toVector
+          val kind = s match {
+            case _: MapScope => "map"
+            case _ => "seq"
+          }
+          anchors(name) = AnchorNode(kind, rels)
+          openAnchors -= name
+        }
       }
 
       def childPath(parent: String, key: String): String = {
@@ -365,6 +467,21 @@ object YamlLake {
       }
 
       def keyLine(c: LCur, m: MapScope): Unit = {
+        if (c.peek == '<') { // `<<: *name` — the merge key
+          if (!c.s.startsWith("<<:", c.p)) throw Fail
+          c.p += 3
+          if (c.p < c.s.length && c.s(c.p) != ' ') throw Fail
+          c.ws()
+          if (c.eol || c.peek != '*') throw Fail // only an alias merges
+          val name = anchorName(c)
+          if (m.merge.nonEmpty) throw Fail // one merge key per mapping
+          if (openAnchors.contains(name)) throw Fail // cycle
+          val node = anchors.getOrElse(name, throw Fail) // undefined
+          if (node.kind != "map") throw Fail // merge needs a mapping
+          m.merge = Some(node.entries)
+          c.finish()
+          return
+        }
         val key = bareKey(c)
         if (!m.seen.add(key)) throw Fail // the key-uniqueness law
         if (c.peek != ':') throw Fail
@@ -375,7 +492,30 @@ object YamlLake {
         if (c.p < c.s.length && c.s(c.p) != ' ') throw Fail
         val path = childPath(m.path, key)
         c.ws()
-        if (c.eol) { pending = Some((m.indent, path)); return }
+        if (c.eol) { pending = Some((m.indent, path, None)); return }
+        if (c.peek == '&') { // anchor definition
+          val name = anchorName(c)
+          if (anchors.contains(name) || openAnchors.contains(name))
+            throw Fail // duplicate anchor name
+          c.ws()
+          if (c.eol) { // anchored COLLECTION: the block that follows
+            openAnchors += name
+            pending = Some((m.indent, path, Some(name)))
+            return
+          }
+          // anchored SCALAR: plain or quoted only (anchors on flow /
+          // block-scalar values stay out of subset via scalar())
+          val e = scalar(c, flow = 0).copy(path = path)
+          emit(e)
+          anchors(name) = AnchorNode("scalar", Vector(e.copy(path = "")))
+          c.finish()
+          return
+        }
+        if (c.peek == '*') { // alias as the mapping value
+          expandAlias(anchorName(c), path)
+          c.finish()
+          return
+        }
         if (c.peek == '|' || c.peek == '>') {
           blkHeader(c, m.indent, path)
           return
@@ -527,7 +667,10 @@ object YamlLake {
         }
         val ipath = sq.path + "." + sq.idx
         sq.idx += 1
-        if (c.peek == '|' || c.peek == '>') {
+        if (c.peek == '*') { // alias as a sequence item (`- *name`)
+          expandAlias(anchorName(c), ipath)
+          c.finish()
+        } else if (c.peek == '|' || c.peek == '>') {
           // a block scalar as the item ITSELF (`- |` — prompt lists
           // in eval/training configs): the dash column is the owning
           // indent, so content sits deeper than the dash and the
@@ -565,13 +708,14 @@ object YamlLake {
             val isDash = rest(0) == '-' &&
               (rest.length == 1 || rest(1) == ' ')
             pending match {
-              case Some((ki, kpath)) =>
+              case Some((ki, kpath, anch)) =>
                 pending = None
                 if (isDash) {
                   // block sequence: at the key's own indent or deeper
                   if (indent < ki) throw Fail
                   if (stack.length >= 8) throw Fail
-                  val sq = SeqScope(indent, kpath, 0, out.length)
+                  val sq = SeqScope(indent, kpath, 0, out.length,
+                    anchor = anch, anchorStart = out.length)
                   emit(YamlEntry(kpath, "seq", None, None, None, Some(0)))
                   stack += sq
                   seqItem(c, sq)
@@ -580,7 +724,8 @@ object YamlLake {
                   if (indent <= ki) throw Fail
                   if (stack.length >= 8) throw Fail
                   val m = MapScope(indent, kpath,
-                    scala.collection.mutable.HashSet.empty[String])
+                    scala.collection.mutable.HashSet.empty[String],
+                    anchor = anch, anchorStart = out.length)
                   stack += m
                   keyLine(c, m)
                 }
@@ -1078,6 +1223,50 @@ object YamlLake {
       sb.append("---\n")
     }
     sb.append("# Model card body " + i + "\n")
+    sb.toString.getBytes("UTF-8")
+  }
+
+  /** Anchors/aliases/merge fixture (q250) — the docker-compose
+    * reuse shape. Law (replayed closed-form by the oracle): doc i
+    * anchors a `defaults` mapping (&def: image img(i%5), retries
+    * i%4, ping (1+i%3).((7i)%100, two digits)), then `svc_a` merges
+    * it (`<<: *def`) under local port 8000+i%20 — overriding retries
+    * with 50+i%6 on even i, where the local key wins although the
+    * merged entries emit at mapping close — and `svc_b` merges it
+    * under a local image alt(i%3). `motto` anchors a quoted scalar
+    * "go (i%7)" that `again` aliases, and `nums` anchors a 2-element
+    * block sequence ((3i)%40, n(i%9)) that `copy` replays container
+    * row included. Emission order: local entries in appearance
+    * order, merged entries at mapping close in anchor order. */
+  def anchorsFixture(spark: SparkSession, n: Int): DataFrame = {
+    val rows = (0 until n).map(i => Row(i.toLong, anchorsDoc(i)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4),
+      StructType(Seq(
+        StructField("id", LongType, false),
+        StructField("media", BinaryType, true))))
+  }
+
+  private[graft] def anchorsDoc(i: Int): Array[Byte] = {
+    val sb = new StringBuilder
+    sb.append("# anchors fixture " + i + "\n")
+    sb.append("defaults: &def\n")
+    sb.append("  image: img" + i % 5 + "\n")
+    sb.append("  retries: " + i % 4 + "\n")
+    sb.append("  ping: " + (1 + i % 3) + "." + f"${(7 * i) % 100}%02d\n")
+    sb.append("svc_a:\n")
+    sb.append("  <<: *def\n")
+    sb.append("  port: " + (8000 + i % 20) + "\n")
+    if (i % 2 == 0) sb.append("  retries: " + (50 + i % 6) + "\n")
+    sb.append("svc_b:\n")
+    sb.append("  <<: *def\n")
+    sb.append("  image: alt" + i % 3 + "\n")
+    sb.append("motto: &m \"go " + i % 7 + "\"\n")
+    sb.append("again: *m\n")
+    sb.append("nums: &ns\n")
+    sb.append("  - " + (3 * i) % 40 + "\n")
+    sb.append("  - n" + i % 9 + "\n")
+    sb.append("copy: *ns\n")
     sb.toString.getBytes("UTF-8")
   }
 

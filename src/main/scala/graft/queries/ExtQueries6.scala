@@ -118,11 +118,82 @@ object ExtQueries6 {
          UNION ALL SELECT * FROM r8 UNION ALL SELECT * FROM r9)
        ORDER BY id, seq"""
 
+  // ---------------------------------------------------------------
+  // q250 — YAML anchors / aliases / merge keys (the docker-compose
+  // and GitLab-CI reuse idiom — the r18 verdict's #2 gap): `&name`
+  // on mapping/sequence/scalar nodes, `*name` replay re-rooted at
+  // the target path, and `<<: *name` merge with local-key precedence
+  // (merged entries emit at mapping close in anchor order, so a
+  // local override AFTER the merge line still wins). Cycles,
+  // undefined aliases, duplicate anchors and the expansion budget
+  // are spec-gated in YamlLakeSpec.
+  private val AnchorsN = 40
+
+  def q250(s: SparkSession, dir: String): DataFrame = {
+    val fx = graft.operators.YamlLake.anchorsFixture(s, AnchorsN)
+    graft.operators.YamlLake.extractYaml(fx, "id", "media")
+      .select(col("id"), col("seq"), col("path"), col("kind"),
+        col("lval"), col("sval"), col("fx100"), col("arr_n"),
+        col("valid"))
+      .orderBy("id", "seq")
+  }
+
+  val q250Sql: String =
+    s"""WITH g AS (
+         SELECT r AS id, CAST(unnest(range(0, 18)) AS INT) AS seq,
+           r % 2 = 0 AS ev
+         FROM range(0, $AnchorsN) t(r)),
+       rows0 AS (
+         SELECT id, seq,
+           CASE seq WHEN 0 THEN 'defaults.image'
+             WHEN 1 THEN 'defaults.retries' WHEN 2 THEN 'defaults.ping'
+             WHEN 3 THEN 'svc_a.port'
+             WHEN 4 THEN CASE WHEN ev THEN 'svc_a.retries'
+               ELSE 'svc_a.image' END
+             WHEN 5 THEN CASE WHEN ev THEN 'svc_a.image'
+               ELSE 'svc_a.retries' END
+             WHEN 6 THEN 'svc_a.ping' WHEN 7 THEN 'svc_b.image'
+             WHEN 8 THEN 'svc_b.retries' WHEN 9 THEN 'svc_b.ping'
+             WHEN 10 THEN 'motto' WHEN 11 THEN 'again'
+             WHEN 12 THEN 'nums' WHEN 13 THEN 'nums.0'
+             WHEN 14 THEN 'nums.1' WHEN 15 THEN 'copy'
+             WHEN 16 THEN 'copy.0' ELSE 'copy.1' END AS path,
+           CASE WHEN seq IN (2, 6, 9) THEN 'float'
+             WHEN seq IN (12, 15) THEN 'seq'
+             WHEN seq IN (1, 3, 8, 13, 16) THEN 'int'
+             WHEN seq = 4 THEN CASE WHEN ev THEN 'int' ELSE 'str' END
+             WHEN seq = 5 THEN CASE WHEN ev THEN 'str' ELSE 'int' END
+             ELSE 'str' END AS kind,
+           CAST(CASE seq WHEN 1 THEN id % 4 WHEN 3 THEN 8000 + id % 20
+             WHEN 4 THEN CASE WHEN ev THEN 50 + id % 6 END
+             WHEN 5 THEN CASE WHEN NOT ev THEN id % 4 END
+             WHEN 8 THEN id % 4
+             WHEN 13 THEN (3 * id) % 40 WHEN 16 THEN (3 * id) % 40
+             END AS BIGINT) AS lval,
+           CASE seq WHEN 0 THEN 'img' || (id % 5)
+             WHEN 4 THEN CASE WHEN NOT ev THEN 'img' || (id % 5) END
+             WHEN 5 THEN CASE WHEN ev THEN 'img' || (id % 5) END
+             WHEN 7 THEN 'alt' || (id % 3)
+             WHEN 10 THEN 'go ' || (id % 7) WHEN 11 THEN 'go ' || (id % 7)
+             WHEN 14 THEN 'n' || (id % 9) WHEN 17 THEN 'n' || (id % 9)
+             END AS sval,
+           CAST(CASE WHEN seq IN (2, 6, 9)
+             THEN (1 + id % 3) * 100 + (7 * id) % 100
+             END AS BIGINT) AS fx100,
+           CAST(CASE WHEN seq IN (12, 15) THEN 2 END AS INT) AS arr_n
+         FROM g)
+       SELECT id, seq, path, kind, lval, sval, fx100, arr_n,
+         true AS valid
+       FROM rows0
+       ORDER BY id, seq"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q249_docker_stage_graph" -> (q249 _)
+    "q249_docker_stage_graph" -> (q249 _),
+    "q250_yaml_anchors" -> (q250 _)
   )
 
   val oracles: Map[String, String] = Map(
-    "q249_docker_stage_graph" -> q249Sql
+    "q249_docker_stage_graph" -> q249Sql,
+    "q250_yaml_anchors" -> q250Sql
   )
 }

@@ -151,6 +151,8 @@ class ParserFuzzSpec extends AnyFunSuite {
     // a Dockerfile prefix so the fuzz reaches the logical-line walk
     // (and the exec-form / --from grammars behind it)
     "dockerfile" -> "FROM a AS s\nCMD [\"".getBytes("ISO-8859-1"),
+    // an anchor/merge prefix so the fuzz reaches the alias machinery
+    "yaml-anchor" -> "d: &d\n  a: 1\nu:\n  <<: *".getBytes("ISO-8859-1"),
     // the stream-form continuation marker reaches the .arrows walk
     "arrows" -> Array[Byte](-1, -1, -1, -1),
     // lossy-WebP chunk headers reach the census's VP8/VP8X walks

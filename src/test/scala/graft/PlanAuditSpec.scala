@@ -306,7 +306,8 @@ class PlanAuditSpec extends SparkSpec {
         "q244_model_cards", "q245_prompt_lists",
         "q246_pyproject_toml", "q247_hugo_front_matter",
         "q248_dockerfile_census",
-        "q249_docker_stage_graph").foreach { q =>
+        "q249_docker_stage_graph",
+        "q250_yaml_anchors").foreach { q =>
       val p = plan(q)
       val exchanges = "Exchange".r.findAllIn(p).length
       assert(exchanges <= 1, s"$q: codec decode should not shuffle:\n$p")

@@ -125,8 +125,7 @@ class YamlLakeSpec extends SparkSpec {
       "no space after colon" -> "a:1\n",
       "duplicate key" -> "a: 1\na: 2\n",
       "duplicate nested key" -> "m:\n  a: 1\n  a: 2\n",
-      "anchor" -> "a: &x 1\n",
-      "alias" -> "a: *x\n",
+      "undefined alias" -> "a: *x\n",
       "tag" -> "a: !!int 1\n",
       "nested flow" -> "a: [[1], 2]\n",
       "flow map in flow seq" -> "a: [{x: 1}]\n",
@@ -615,6 +614,98 @@ class YamlLakeSpec extends SparkSpec {
     }
   }
 
+  test("anchors, aliases, merge keys (q250)") {
+    // anchored scalar + alias replay, both value and item positions
+    val sc = parse("a: &x 7\nb: *x\nl:\n  - *x\n").get
+    assert(sc.map(_.path) == Seq("a", "b", "l", "l.0"))
+    assert(sc.filter(_.kind == "int").forall(_.lval.contains(7L)))
+    // anchored mapping: alias replays the whole subtree re-rooted
+    val mp = parse("m: &d\n  a: 1\n  b: x\nn: *d\n").get
+    assert(mp.map(_.path) == Seq("m.a", "m.b", "n.a", "n.b"))
+    // anchored sequence: the container row (with its count) replays
+    val sq = parse("s: &q\n  - 1\n  - 2\nt: *q\n").get
+    assert(sq.map(_.path) == Seq("s", "s.0", "s.1", "t", "t.0", "t.1"))
+    assert(sq(3).kind == "seq" && sq(3).arrN.contains(2))
+    // merge: local keys win REGARDLESS of line order; merged entries
+    // emit at mapping close in the anchor's order
+    val mg = parse("d: &d\n  a: 1\n  b: 2\nu:\n  <<: *d\n  c: 9\n" +
+      "  b: 8\nz: 0\n").get
+    assert(mg.map(e => e.path -> e.lval.get) == Seq("d.a" -> 1L,
+      "d.b" -> 2L, "u.c" -> 9L, "u.b" -> 8L, "u.a" -> 1L, "z" -> 0L))
+    // a merged NESTED structure replays wholesale when not overridden
+    val mn = parse("d: &d\n  a: 1\n  m:\n    x: 5\nu:\n  <<: *d\n" +
+      "  a: 3\nz: 0\n").get
+    assert(mn.map(_.path) == Seq("d.a", "d.m.x", "u.a", "u.m.x", "z"))
+    assert(mn(3).lval.contains(5L))
+    // aliases expand at parse time: an anchored node captures its
+    // own expanded form (alias-in-anchored-subtree)
+    val ae = parse("a: &x 4\nm: &d\n  k: *x\nn: *d\n").get
+    assert(ae.map(_.path) == Seq("a", "m.k", "n.k"))
+    assert(ae(2).lval.contains(4L))
+    val bad = Seq(
+      "cycle: alias inside its own open anchor" ->
+        "a: &x\n  b: *x\n",
+      "cycle: merge of the open anchor" -> "a: &x\n  <<: *x\n",
+      "undefined alias in item position" -> "l:\n  - *nope\n",
+      "undefined merge source" -> "u:\n  <<: *nope\n  a: 1\n",
+      "duplicate anchor name" -> "a: &x 1\nb: &x 2\n",
+      "merge of a scalar anchor" -> "a: &x 1\nu:\n  <<: *x\n  b: 2\n",
+      "merge of a sequence anchor" ->
+        "s: &x\n  - 1\nu:\n  <<: *x\n  b: 2\n",
+      "two merge keys in one mapping" ->
+        "d: &d\n  a: 1\ne: &e\n  b: 2\nu:\n  <<: *d\n  <<: *e\n",
+      "merge at value depth (no space)" -> "u:\n  <<:*d\n",
+      "anchor on a flow value" -> "a: &x [1, 2]\n",
+      "anchor on a block scalar" -> "a: &x |\n  t\n",
+      "alias with trailing garbage" -> "a: &x 1\nb: *x y\n",
+      "anchor with no node at EOF" -> "a: &x\n",
+      "empty anchor name" -> "a: & 1\n")
+    bad.foreach { case (name, s) => assert(parse(s).isEmpty, name) }
+    // expansion budget: a 256-entry anchored node is capturable, but
+    // replaying it 5 times crosses the 1024-entry budget
+    val bigMap = "d: &d\n" +
+      (0 until 255).map(j => s"  k$j: $j\n").mkString
+    val fourCopies = bigMap +
+      (0 until 4).map(j => s"c$j: *d\n").mkString
+    assert(parse(fourCopies).nonEmpty, "4 x 255 entries fits")
+    val fiveCopies = bigMap +
+      (0 until 5).map(j => s"c$j: *d\n").mkString
+    assert(parse(fiveCopies).isEmpty, "5 x 255 crosses the budget")
+    // an anchored node over 256 entries rejects at capture
+    val tooBig = "d: &d\n" +
+      (0 until 257).map(j => s"  k$j: $j\n").mkString + "z: 0\n"
+    assert(parse(tooBig).isEmpty, "257-entry anchor")
+  }
+
+  test("anchors fixture law: every doc decodes to the law rows (q250)") {
+    val out = YamlLake.extractYaml(
+      YamlLake.anchorsFixture(spark, 40), "id", "media")
+      .orderBy("id", "seq").collect()
+    assert(out.forall(_.getBoolean(8)))
+    (0 until 40).foreach { i =>
+      val mine = out.filter(_.getLong(0) == i)
+      assert(mine.length == 18, s"doc $i row count")
+      val ev = i % 2 == 0
+      val paths = mine.map(_.getString(2)).toSeq
+      val mid =
+        if (ev) Seq("svc_a.retries", "svc_a.image")
+        else Seq("svc_a.image", "svc_a.retries")
+      assert(paths == Seq("defaults.image", "defaults.retries",
+        "defaults.ping", "svc_a.port") ++ mid ++ Seq("svc_a.ping",
+        "svc_b.image", "svc_b.retries", "svc_b.ping", "motto",
+        "again", "nums", "nums.0", "nums.1", "copy", "copy.0",
+        "copy.1"), s"doc $i paths")
+      // the local override won on even i, the merged value on odd
+      val aRetries = mine(if (ev) 4 else 5)
+      assert(aRetries.getLong(4) == (if (ev) 50 + i % 6 else i % 4))
+      assert(mine(8).getLong(4) == i % 4) // svc_b: merged retries
+      assert(mine(7).getString(5) == "alt" + i % 3) // local image won
+      assert(mine(11).getString(5) == "go " + i % 7) // alias replay
+      assert(mine(15).getString(3) == "seq" && mine(15).getInt(7) == 2)
+      assert(mine(16).getLong(4) == (3 * i) % 40)
+    }
+  }
+
   test("byte-flip + truncation sweeps never throw; survivors well-formed") {
     val docs = YamlLake.yamlFixture(spark, 3).collect()
       .map(_.getAs[Array[Byte]](1)) ++
@@ -622,7 +713,8 @@ class YamlLakeSpec extends SparkSpec {
       Seq(3, 6).map(YamlLake.flowDoc) ++ // flow-mapping paths
       Seq(1, 4).map(YamlLake.seqMapDoc) ++ // seq-of-mappings paths
       Seq(2, 7).map(YamlLake.docsDoc) ++ // multi-document streams
-      Seq(0, 3).map(YamlLake.modelCardDoc) // the composed card shape
+      Seq(0, 3).map(YamlLake.modelCardDoc) ++ // the composed card shape
+      Seq(1, 6).map(YamlLake.anchorsDoc) // anchor/alias/merge paths
     for (src <- docs; i <- src.indices; bit <- Seq(1, 0x40)) {
       val c = src.clone(); c(i) = (c(i) ^ bit).toByte
       YamlLake.parseYaml(c).foreach { es =>
