@@ -43,6 +43,25 @@ object Sessions {
       //    2000 entries keeps every suite stage resident (~MBs of
       //    class metadata, nothing at a 128 GiB heap)
       .config("spark.sql.codegen.cache.maxEntries", "2000")
+      // AQE post-shuffle coalescing (parallelismFirst, the default)
+      // targets max(totalBytes/defaultParallelism, minPartitionSize):
+      // BYTES pick the task count. That starves CPU-dense stages whose
+      // per-byte work is extreme — a similarity-verify stage reads
+      // ~4 MB of candidate metadata carrying ~10 s of kernel CPU
+      // (merge-walk intersect / banded levenshtein per pair), and the
+      // 1 MiB default floor coalesces it to 3 tasks on 32 cores (wall
+      // = cpu/3; measured r19, OPTIMIZATION_r19.md Finding 1). 64 KiB
+      // keeps the parallelism-first target (total/defaultParallelism)
+      // in charge down to 64 KiB × cores of shuffle bytes. A/B/A
+      // full-bench evidence (r19, one box window, q106 controls
+      // 2.06/1.93/1.98 s): 151.5 / 132.7 / 149.1 s — the floor is
+      // worth ~17 s at sf0.1 (q87 8.6→2.2, q22 8.4→2.8, q51 5.5→1.3,
+      // q99 4.8→2.3). At production scale post-shuffle partitions are
+      // orders of magnitude above either floor, so this only governs
+      // small-bytes/heavy-CPU stages; env-parameterised for cluster
+      // tuning rather than hard-coded.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "64k"))
 
   def local(cores: Int): SparkSession = {
     val s = builder(s"local[$cores]", math.max(cores, 4)).getOrCreate()
